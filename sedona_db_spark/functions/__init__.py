@@ -1,0 +1,58 @@
+"""Function registry: SQL registration + Python `st` namespace.
+
+Registration mirrors the reference's FunctionSet assembly
+(/root/reference/rust/sedona/src/context.rs:317-355): one SQL name per
+kernel.  In Spark each ST_* name is a vectorized pandas UDF registered with
+``spark.udf.register`` so both ``spark.sql("ST_Area(...)")`` and
+``st.area(col)`` work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from sedona_db_spark.functions.kernels import KERNELS, make_pandas_udf
+
+_REGISTERED_UDFS: dict[str, object] = {}
+
+
+def get_udf(name: str):
+    if name not in _REGISTERED_UDFS:
+        _REGISTERED_UDFS[name] = make_pandas_udf(name)
+    return _REGISTERED_UDFS[name]
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    for name in KERNELS:
+        spark.udf.register(name, get_udf(name))
+    # pipeline (text/dedup/similarity) SQL functions
+    from sedona_db_spark.functions import text as _text
+    _text.register(spark)
+
+
+def call(name: str, *cols):
+    """Invoke an ST_* kernel on Columns from Python."""
+    cols = [c if not isinstance(c, (int, float, str)) else F.lit(c) for c in cols]
+    return get_udf(name)(*cols)
+
+
+class _St:
+    """`st.area(col)`-style namespace (reference: sedonadb.functions)."""
+
+    def __getattr__(self, item: str):
+        target = None
+        for name in KERNELS:
+            if name.lower() == f"st_{item.lower()}":
+                target = name
+                break
+        if target is None:
+            raise AttributeError(f"no ST function st_{item}")
+
+        def fn(*cols):
+            return call(target, *cols)
+        fn.__name__ = target
+        return fn
+
+
+st = _St()

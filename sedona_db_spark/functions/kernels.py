@@ -1,0 +1,666 @@
+"""Arrow-batched pandas-UDF kernels for every ST_* scalar function.
+
+This is the Spark-side equivalent of the reference's kernel crates
+(/root/reference/rust/sedona-functions/src/register.rs:39-121,
+/root/reference/c/sedona-geos/src/register.rs:41-98).  Each SQL name becomes
+a vectorized `pandas_udf`: geometry travels as WKB bytes (BinaryType), the
+kernel decodes with numpy, computes, re-encodes.
+
+Scale design:
+- Everything is Arrow-batched (spark.sql.execution.arrow.* on): one
+  Python call per ~64k rows, not per row.
+- Uniform 2-D point batches take a pure-numpy fast path (no per-row WKB
+  parse) — the common case for the TPC-H-ish derived point columns and the
+  reference's point benchmark tables.
+- No kernel ever touches the driver: all are executor-side, so the same
+  code runs identically on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sedona_db_spark.geom import algorithms as alg
+from sedona_db_spark.geom import core, wkt as wktmod
+from sedona_db_spark.geom.core import Geom, make_point
+
+# ----------------------------------------------------------------------
+# decode/encode helpers
+# ----------------------------------------------------------------------
+
+def _decode(s: pd.Series) -> list:
+    """WKB series -> list[Geom | None]."""
+    return [None if b is None else core.from_wkb(b) for b in s]
+
+
+def _fast_points(s: pd.Series):
+    """(n,2) float array if batch is all 21-byte 2D points, else None."""
+    vals = s.to_numpy(dtype=object)
+    if any(v is None for v in vals):
+        return None
+    try:
+        return core.wkb_array_to_points(list(vals))
+    except Exception:
+        return None
+
+
+def _unary(fn, out_null=None):
+    def run(s: pd.Series) -> pd.Series:
+        out = [out_null if g is None else fn(g) for g in _decode(s)]
+        return pd.Series(out, dtype=object)
+    return run
+
+
+def _unary_geom(fn):
+    def run(s: pd.Series) -> pd.Series:
+        out = []
+        for g in _decode(s):
+            if g is None:
+                out.append(None)
+            else:
+                r = fn(g)
+                out.append(None if r is None else core.to_wkb(r))
+        return pd.Series(out, dtype=object)
+    return run
+
+
+def _binary(fn):
+    def run(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        g1s, g2s = _decode(s1), _decode(s2)
+        return pd.Series(
+            [None if (a is None or b is None) else fn(a, b) for a, b in zip(g1s, g2s)],
+            dtype=object)
+    return run
+
+
+def _coerce(series_or_scalar, n):
+    if isinstance(series_or_scalar, pd.Series):
+        return series_or_scalar
+    return pd.Series([series_or_scalar] * n)
+
+
+# ----------------------------------------------------------------------
+# constructors
+# ----------------------------------------------------------------------
+
+def k_geomfromwkt(s: pd.Series) -> pd.Series:
+    out = []
+    for v in s:
+        if v is None:
+            out.append(None)
+        else:
+            out.append(core.to_wkb(wktmod.from_wkt(v)))
+    return pd.Series(out, dtype=object)
+
+
+def k_geomfromwkb(s: pd.Series) -> pd.Series:
+    # validate + normalize EWKB -> ISO WKB (reference st_geomfromwkb.rs)
+    out = []
+    for v in s:
+        if v is None:
+            out.append(None)
+        else:
+            out.append(core.to_wkb(core.from_wkb(v)))
+    return pd.Series(out, dtype=object)
+
+
+def k_point(xs: pd.Series, ys: pd.Series) -> pd.Series:
+    x = xs.to_numpy(dtype=np.float64)
+    y = ys.to_numpy(dtype=np.float64)
+    mask = np.isnan(x) | np.isnan(y)
+    arr = core.points_to_wkb_array(x, y)
+    if mask.any():
+        arr = arr.copy()
+        arr[mask] = None
+    return pd.Series(list(arr), dtype=object)
+
+
+def k_pointz(xs, ys, zs) -> pd.Series:
+    n = len(xs)
+    out = []
+    for i in range(n):
+        x, y, z = xs.iloc[i], ys.iloc[i], zs.iloc[i]
+        if x is None or y is None or z is None:
+            out.append(None)
+        else:
+            out.append(core.to_wkb(make_point(float(x), float(y), float(z))))
+    return pd.Series(out, dtype=object)
+
+
+def k_makeenvelope(x0, y0, x1, y1) -> pd.Series:
+    n = len(x0)
+    out = []
+    for i in range(n):
+        a, b, c, d = x0.iloc[i], y0.iloc[i], x1.iloc[i], y1.iloc[i]
+        if any(v is None for v in (a, b, c, d)):
+            out.append(None)
+        else:
+            out.append(core.to_wkb(alg.box_polygon(float(a), float(b), float(c), float(d))))
+    return pd.Series(out, dtype=object)
+
+
+def k_makeline_agg(points: pd.Series) -> pd.Series:
+    """array<binary> of point WKBs -> LINESTRING."""
+    out = []
+    for arr in points:
+        if arr is None:
+            out.append(None)
+            continue
+        coords = []
+        for b in arr:
+            if b is None:
+                continue
+            g = core.from_wkb(bytes(b))
+            if g.data is not None:
+                coords.append(g.data[:2])
+        if len(coords) < 2:
+            out.append(None)
+        else:
+            out.append(core.to_wkb(Geom(core.LINESTRING, np.array(coords))))
+    return pd.Series(out, dtype=object)
+
+
+def k_astext(s: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else wktmod.to_wkt(g) for g in _decode(s)], dtype=object)
+
+
+def k_asgeojson(s: pd.Series) -> pd.Series:
+    import json
+
+    def gj(g: Geom):
+        if g.gt == core.POINT:
+            return {"type": "Point", "coordinates": [] if g.data is None else list(map(float, g.data[:2]))}
+        if g.gt == core.LINESTRING:
+            return {"type": "LineString", "coordinates": [list(map(float, c[:2])) for c in g.data]}
+        if g.gt == core.POLYGON:
+            return {"type": "Polygon", "coordinates": [[list(map(float, c[:2])) for c in r] for r in g.data]}
+        if g.gt == core.MULTIPOINT:
+            return {"type": "MultiPoint", "coordinates": [list(map(float, p[:2])) for p in g.data if p is not None]}
+        if g.gt == core.MULTILINESTRING:
+            return {"type": "MultiLineString", "coordinates": [[list(map(float, c[:2])) for c in l] for l in g.data]}
+        if g.gt == core.MULTIPOLYGON:
+            return {"type": "MultiPolygon", "coordinates": [[[list(map(float, c[:2])) for c in r] for r in p] for p in g.data]}
+        return {"type": "GeometryCollection", "geometries": [gj(s_) for s_ in g.data]}
+
+    return pd.Series([None if g is None else json.dumps(gj(g)) for g in _decode(s)], dtype=object)
+
+
+# ----------------------------------------------------------------------
+# accessors (with point fast paths)
+# ----------------------------------------------------------------------
+
+def k_x(s: pd.Series) -> pd.Series:
+    pts = _fast_points(s)
+    if pts is not None:
+        return pd.Series(pts[:, 0])
+    return pd.Series(
+        [None if g is None or g.gt != core.POINT or g.data is None else float(g.data[0])
+         for g in _decode(s)], dtype=object)
+
+
+def k_y(s: pd.Series) -> pd.Series:
+    pts = _fast_points(s)
+    if pts is not None:
+        return pd.Series(pts[:, 1])
+    return pd.Series(
+        [None if g is None or g.gt != core.POINT or g.data is None else float(g.data[1])
+         for g in _decode(s)], dtype=object)
+
+
+def _minmax(idx, op):
+    def run(s: pd.Series) -> pd.Series:
+        pts = _fast_points(s)
+        if pts is not None:
+            return pd.Series(pts[:, idx])
+        out = []
+        for g in _decode(s):
+            b = None if g is None else alg.bounds(g)
+            if b is None:
+                out.append(None)
+            else:
+                out.append(b[idx] if op == "min" else b[idx + 2])
+        return pd.Series(out, dtype=object)
+    return run
+
+
+k_xmin = _minmax(0, "min")
+k_ymin = _minmax(1, "min")
+
+
+def k_xmax(s):
+    pts = _fast_points(s)
+    if pts is not None:
+        return pd.Series(pts[:, 0])
+    return pd.Series([None if g is None or alg.bounds(g) is None else alg.bounds(g)[2] for g in _decode(s)], dtype=object)
+
+
+def k_ymax(s):
+    pts = _fast_points(s)
+    if pts is not None:
+        return pd.Series(pts[:, 1])
+    return pd.Series([None if g is None or alg.bounds(g) is None else alg.bounds(g)[3] for g in _decode(s)], dtype=object)
+
+
+# ----------------------------------------------------------------------
+# predicates / measures with point-point fast paths
+# ----------------------------------------------------------------------
+
+def k_distance(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    p1, p2 = _fast_points(s1), _fast_points(s2)
+    if p1 is not None and p2 is not None:
+        return pd.Series(np.hypot(p1[:, 0] - p2[:, 0], p1[:, 1] - p2[:, 1]))
+    return _binary(alg.distance)(s1, s2)
+
+
+def k_dwithin(s1: pd.Series, s2: pd.Series, d) -> pd.Series:
+    p1, p2 = _fast_points(s1), _fast_points(s2)
+    dv = _coerce(d, len(s1)).to_numpy(dtype=np.float64)
+    if p1 is not None and p2 is not None:
+        dx = p1[:, 0] - p2[:, 0]
+        dy = p1[:, 1] - p2[:, 1]
+        return pd.Series(dx * dx + dy * dy <= dv * dv)
+    g1s, g2s = _decode(s1), _decode(s2)
+    return pd.Series(
+        [None if (a is None or b is None) else alg.dwithin(a, b, dv[i])
+         for i, (a, b) in enumerate(zip(g1s, g2s))], dtype=object)
+
+
+def k_azimuth(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    p1, p2 = _fast_points(s1), _fast_points(s2)
+    if p1 is not None and p2 is not None:
+        az = np.arctan2(p2[:, 0] - p1[:, 0], p2[:, 1] - p1[:, 1])
+        az = np.where(az < 0, az + 2 * np.pi, az)
+        return pd.Series(az)
+
+    def one(a: Geom, b: Geom):
+        if a.gt != core.POINT or b.gt != core.POINT or a.data is None or b.data is None:
+            return None
+        v = math.atan2(b.data[0] - a.data[0], b.data[1] - a.data[1])
+        return v + 2 * math.pi if v < 0 else v
+    return _binary(one)(s1, s2)
+
+
+# ----------------------------------------------------------------------
+# kernel registry: name -> (callable, spark return type, n_geom_args)
+# ----------------------------------------------------------------------
+
+BIN = T.BinaryType()
+DBL = T.DoubleType()
+BOOL = T.BooleanType()
+STR = T.StringType()
+INT = T.IntegerType()
+
+_GEOM_T = BIN
+
+
+def _pred(fn):
+    return _binary(lambda a, b: bool(fn(a, b)))
+
+
+def _geom_n(g: Geom, n):
+    parts = g.geometries()
+    if n is None or n < 1 or n > len(parts):
+        return None
+    return parts[int(n) - 1]
+
+
+def k_geometryn(s: pd.Series, ns: pd.Series) -> pd.Series:
+    gs = _decode(s)
+    nv = _coerce(ns, len(s))
+    out = []
+    for g, n in zip(gs, nv):
+        if g is None or n is None:
+            out.append(None)
+        else:
+            r = _geom_n(g, int(n))
+            out.append(None if r is None else core.to_wkb(r))
+    return pd.Series(out, dtype=object)
+
+
+def k_pointn(s: pd.Series, ns: pd.Series) -> pd.Series:
+    gs = _decode(s)
+    nv = _coerce(ns, len(s))
+    out = []
+    for g, n in zip(gs, nv):
+        if g is None or n is None or g.gt != core.LINESTRING:
+            out.append(None)
+            continue
+        n = int(n)
+        ln = len(g.data)
+        if n < 0:
+            n = ln + n + 1
+        if n < 1 or n > ln:
+            out.append(None)
+        else:
+            c = g.data[n - 1]
+            out.append(core.to_wkb(Geom(core.POINT, c, g.has_z, g.has_m)))
+    return pd.Series(out, dtype=object)
+
+
+def _with_scalar(fn_geom_scalar, encode=True):
+    """kernel for (geom, numeric scalar/col) -> geom or value."""
+    def run(s: pd.Series, v) -> pd.Series:
+        gs = _decode(s)
+        vv = _coerce(v, len(s))
+        out = []
+        for g, x in zip(gs, vv):
+            if g is None or x is None:
+                out.append(None)
+                continue
+            r = fn_geom_scalar(g, float(x))
+            if encode and r is not None:
+                r = core.to_wkb(r)
+            out.append(r)
+        return pd.Series(out, dtype=object)
+    return run
+
+
+def k_translate(s, dx, dy):
+    gs = _decode(s)
+    n = len(s)
+    dxv, dyv = _coerce(dx, n), _coerce(dy, n)
+    out = []
+    for g, a, b in zip(gs, dxv, dyv):
+        if g is None or a is None or b is None:
+            out.append(None)
+        else:
+            out.append(core.to_wkb(alg.translate(g, float(a), float(b))))
+    return pd.Series(out, dtype=object)
+
+
+def k_scale(s, sx, sy):
+    gs = _decode(s)
+    n = len(s)
+    sxv, syv = _coerce(sx, n), _coerce(sy, n)
+    out = []
+    for g, a, b in zip(gs, sxv, syv):
+        if g is None or a is None or b is None:
+            out.append(None)
+        else:
+            out.append(core.to_wkb(alg.scale(g, float(a), float(b))))
+    return pd.Series(out, dtype=object)
+
+
+def k_rotate(s, theta):
+    return _with_scalar(lambda g, t: alg.rotate(g, t))(s, theta)
+
+
+def k_linesubstring(s, f0, f1):
+    gs = _decode(s)
+    n = len(s)
+    a0, a1 = _coerce(f0, n), _coerce(f1, n)
+    out = []
+    for g, x0, x1 in zip(gs, a0, a1):
+        if g is None or x0 is None or x1 is None or g.gt != core.LINESTRING:
+            out.append(None)
+        else:
+            out.append(core.to_wkb(Geom(core.LINESTRING, alg.line_substring(g.data, float(x0), float(x1)))))
+    return pd.Series(out, dtype=object)
+
+
+def k_lineinterpolate(s, f):
+    def one(g, frac):
+        if g.gt != core.LINESTRING or len(g.data) == 0:
+            return None
+        p = alg.line_interpolate_point(g.data, frac)
+        return make_point(float(p[0]), float(p[1]))
+    return _with_scalar(one)(s, f)
+
+
+def k_linelocate(s, pt_s):
+    def one(g, p):
+        if g.gt != core.LINESTRING or p.gt != core.POINT or p.data is None:
+            return None
+        return alg.line_locate_point(g.data, p.data)
+    return _binary(one)(s, pt_s)
+
+
+def k_buffer(s, d):
+    return _with_scalar(lambda g, dist: alg.buffer(g, dist))(s, d)
+
+
+def k_simplify(s, tol):
+    return _with_scalar(lambda g, t: alg.simplify(g, t))(s, tol)
+
+
+def k_reduceprecision(s, grid):
+    def one(g, gs):
+        if gs <= 0:
+            return g
+        inv = 1.0 / gs
+        return alg.transform_coords(g, lambda xy: np.round(xy * inv) / inv)
+    return _with_scalar(one)(s, grid)
+
+
+def k_segmentize(s, ml):
+    return _with_scalar(lambda g, m: alg.segmentize(g, m))(s, ml)
+
+
+def k_setsrid(s, srid):
+    gs = _decode(s)
+    vv = _coerce(srid, len(s))
+    out = []
+    for g, v in zip(gs, vv):
+        if g is None or v is None:
+            out.append(None)
+        else:
+            out.append(core.to_wkb(g, srid=int(v)))
+    return pd.Series(out, dtype=object)
+
+
+def k_srid(s):
+    return pd.Series([None if g is None else int(g.srid) for g in _decode(s)], dtype=object)
+
+
+def k_force2d(s):
+    def one(g):
+        def drop(arr):
+            return None if arr is None else np.asarray(arr)[..., :2]
+        out = alg.transform_coords(g, lambda xy: xy)
+        # rebuild without z/m
+
+        def strip(gg: Geom) -> Geom:
+            if gg.gt == core.POINT:
+                return Geom(core.POINT, drop(gg.data))
+            if gg.gt == core.LINESTRING:
+                return Geom(core.LINESTRING, drop(gg.data))
+            if gg.gt == core.POLYGON:
+                return Geom(core.POLYGON, [drop(r) for r in gg.data])
+            if gg.gt == core.MULTIPOINT:
+                return Geom(core.MULTIPOINT, [drop(p) for p in gg.data])
+            if gg.gt == core.MULTILINESTRING:
+                return Geom(core.MULTILINESTRING, [drop(l) for l in gg.data])
+            if gg.gt == core.MULTIPOLYGON:
+                return Geom(core.MULTIPOLYGON, [[drop(r) for r in p] for p in gg.data])
+            return Geom(core.GEOMETRYCOLLECTION, [strip(x) for x in gg.data])
+        return strip(out)
+    return _unary_geom(one)(s)
+
+
+def k_isvalidreason(s):
+    def one(g):
+        return "Valid Geometry" if alg.is_valid(g) else "Self-intersection or degenerate ring"
+    return _unary(one)(s)
+
+
+def k_centroid(s):
+    def one(g):
+        c = alg.centroid(g)
+        if c is None:
+            return Geom(core.POINT, None)
+        return make_point(c[0], c[1])
+    return _unary_geom(one)(s)
+
+
+def k_numgeometries(s):
+    return _unary(lambda g: 0 if g.is_empty() else len(g.geometries()))(s)
+
+
+def k_npoints(s):
+    return _unary(lambda g: int(len(g.all_coords())))(s)
+
+
+def k_boundary(s):
+    def one(g: Geom):
+        if g.gt == core.POLYGON:
+            if len(g.data) == 1:
+                return Geom(core.LINESTRING, g.data[0])
+            return Geom(core.MULTILINESTRING, list(g.data))
+        if g.gt == core.LINESTRING:
+            if len(g.data) == 0 or alg._close(g.data[0], g.data[-1]):
+                return Geom(core.MULTIPOINT, [])
+            return Geom(core.MULTIPOINT, [g.data[0], g.data[-1]])
+        if g.gt == core.MULTIPOLYGON:
+            rings = [r for p in g.data for r in p]
+            return Geom(core.MULTILINESTRING, rings)
+        return Geom(core.GEOMETRYCOLLECTION, [])
+    return _unary_geom(one)(s)
+
+
+# registry consumed by register_sql_functions -------------------------------
+# name -> (python kernel, return type, arg spec string)
+# arg spec: 'g' geometry, 'd' double, 'i' int, 's' string, 'a' array<binary>
+KERNELS: dict[str, tuple] = {
+    # constructors
+    "ST_GeomFromWKT": (k_geomfromwkt, BIN, "s"),
+    "ST_GeomFromText": (k_geomfromwkt, BIN, "s"),
+    "ST_GeogFromWKT": (k_geomfromwkt, BIN, "s"),
+    "ST_GeomFromEWKT": (k_geomfromwkt, BIN, "s"),
+    "ST_PointFromText": (k_geomfromwkt, BIN, "s"),
+    "ST_LineFromText": (k_geomfromwkt, BIN, "s"),
+    "ST_PolygonFromText": (k_geomfromwkt, BIN, "s"),
+    "ST_GeomFromWKB": (k_geomfromwkb, BIN, "g"),
+    "ST_GeomFromEWKB": (k_geomfromwkb, BIN, "g"),
+    "ST_GeogFromWKB": (k_geomfromwkb, BIN, "g"),
+    "ST_Point": (k_point, BIN, "dd"),
+    "ST_MakePoint": (k_point, BIN, "dd"),
+    "ST_GeogPoint": (k_point, BIN, "dd"),
+    "ST_PointZ": (k_pointz, BIN, "ddd"),
+    "ST_MakeEnvelope": (k_makeenvelope, BIN, "dddd"),
+    "ST_MakeLine": (k_makeline_agg, BIN, "a"),
+    "ST_AsText": (k_astext, STR, "g"),
+    "ST_AsEWKT": (k_astext, STR, "g"),
+    "ST_AsBinary": (lambda s: s, BIN, "g"),
+    "ST_AsEWKB": (lambda s: s, BIN, "g"),
+    "ST_AsGeoJSON": (k_asgeojson, STR, "g"),
+    # accessors
+    "ST_X": (k_x, DBL, "g"),
+    "ST_Y": (k_y, DBL, "g"),
+    "ST_XMin": (k_xmin, DBL, "g"),
+    "ST_YMin": (k_ymin, DBL, "g"),
+    "ST_XMax": (k_xmax, DBL, "g"),
+    "ST_YMax": (k_ymax, DBL, "g"),
+    "ST_Envelope": (_unary_geom(alg.envelope), BIN, "g"),
+    "ST_Dimension": (_unary(lambda g: int(g.dimension())), INT, "g"),
+    "ST_GeometryType": (_unary(lambda g: g.st_type_name()), STR, "g"),
+    "ST_IsEmpty": (_unary(lambda g: bool(g.is_empty())), BOOL, "g"),
+    "ST_IsClosed": (_unary(lambda g: bool(alg.is_closed(g))), BOOL, "g"),
+    "ST_IsCollection": (_unary(lambda g: g.gt in (4, 5, 6, 7)), BOOL, "g"),
+    "ST_HasZ": (_unary(lambda g: bool(g.has_z)), BOOL, "g"),
+    "ST_HasM": (_unary(lambda g: bool(g.has_m)), BOOL, "g"),
+    "ST_NumGeometries": (k_numgeometries, INT, "g"),
+    "ST_GeometryN": (k_geometryn, BIN, "gi"),
+    "ST_PointN": (k_pointn, BIN, "gi"),
+    "ST_StartPoint": (
+        _unary_geom(lambda g: Geom(core.POINT, g.data[0], g.has_z, g.has_m)
+                    if g.gt == core.LINESTRING and len(g.data) else None), BIN, "g"),
+    "ST_EndPoint": (
+        _unary_geom(lambda g: Geom(core.POINT, g.data[-1], g.has_z, g.has_m)
+                    if g.gt == core.LINESTRING and len(g.data) else None), BIN, "g"),
+    "ST_NPoints": (k_npoints, INT, "g"),
+    "ST_NumPoints": (k_npoints, INT, "g"),
+    "ST_NRings": (_unary(lambda g: sum(1 for _ in g.rings())), INT, "g"),
+    "ST_NumInteriorRings": (
+        _unary(lambda g: max(0, len(g.data) - 1) if g.gt == core.POLYGON else None), INT, "g"),
+    "ST_ExteriorRing": (
+        _unary_geom(lambda g: Geom(core.LINESTRING, g.data[0], g.has_z, g.has_m)
+                    if g.gt == core.POLYGON and g.data else None), BIN, "g"),
+    "ST_InteriorRingN": (
+        lambda s, n: pd.Series(
+            [None if g is None or nn is None or g.gt != core.POLYGON or int(nn) >= len(g.data) or int(nn) < 1
+             else core.to_wkb(Geom(core.LINESTRING, g.data[int(nn)], g.has_z, g.has_m))
+             for g, nn in zip(_decode(s), _coerce(n, len(s)))], dtype=object), BIN, "gi"),
+    "ST_Boundary": (k_boundary, BIN, "g"),
+    "ST_SRID": (k_srid, INT, "g"),
+    "ST_SetSRID": (k_setsrid, BIN, "gi"),
+    # predicates
+    "ST_Intersects": (_pred(alg.intersects), BOOL, "gg"),
+    "ST_Contains": (_pred(alg.contains), BOOL, "gg"),
+    "ST_Within": (_pred(alg.within), BOOL, "gg"),
+    "ST_Covers": (_pred(alg.covers), BOOL, "gg"),
+    "ST_CoveredBy": (_pred(alg.covered_by), BOOL, "gg"),
+    "ST_Touches": (_pred(alg.touches), BOOL, "gg"),
+    "ST_Crosses": (_pred(alg.crosses), BOOL, "gg"),
+    "ST_Overlaps": (_pred(alg.overlaps), BOOL, "gg"),
+    "ST_Equals": (_pred(alg.equals), BOOL, "gg"),
+    "ST_Disjoint": (_pred(alg.disjoint), BOOL, "gg"),
+    "ST_DWithin": (k_dwithin, BOOL, "ggd"),
+    # measures
+    "ST_Area": (_unary(alg.area), DBL, "g"),
+    "ST_Length": (_unary(alg.length), DBL, "g"),
+    "ST_Perimeter": (_unary(alg.perimeter), DBL, "g"),
+    "ST_Distance": (k_distance, DBL, "gg"),
+    "ST_MaxDistance": (_binary(alg.max_distance), DBL, "gg"),
+    "ST_HausdorffDistance": (_binary(alg.hausdorff), DBL, "gg"),
+    "ST_Azimuth": (k_azimuth, DBL, "gg"),
+    # editors / transforms
+    "ST_Buffer": (k_buffer, BIN, "gd"),
+    "ST_Centroid": (k_centroid, BIN, "g"),
+    "ST_ConvexHull": (_unary_geom(alg.convex_hull), BIN, "g"),
+    "ST_Simplify": (k_simplify, BIN, "gd"),
+    "ST_SimplifyPreserveTopology": (k_simplify, BIN, "gd"),
+    "ST_Reverse": (_unary_geom(alg.reverse), BIN, "g"),
+    "ST_FlipCoordinates": (_unary_geom(alg.flip_coordinates), BIN, "g"),
+    "ST_Translate": (k_translate, BIN, "gdd"),
+    "ST_Scale": (k_scale, BIN, "gdd"),
+    "ST_Rotate": (k_rotate, BIN, "gd"),
+    "ST_Segmentize": (k_segmentize, BIN, "gd"),
+    "ST_ReducePrecision": (k_reduceprecision, BIN, "gd"),
+    "ST_LineSubstring": (k_linesubstring, BIN, "gdd"),
+    "ST_LineInterpolatePoint": (k_lineinterpolate, BIN, "gd"),
+    "ST_LineLocatePoint": (k_linelocate, DBL, "gg"),
+    "ST_Force2D": (k_force2d, BIN, "g"),
+    "ST_MakeValid": (_unary_geom(alg.make_valid), BIN, "g"),
+    # validity
+    "ST_IsValid": (_unary(lambda g: bool(alg.is_valid(g))), BOOL, "g"),
+    "ST_IsValidReason": (k_isvalidreason, STR, "g"),
+    "ST_IsSimple": (_unary(lambda g: bool(alg.is_simple(g))), BOOL, "g"),
+    "ST_IsRing": (
+        _unary(lambda g: bool(g.gt == core.LINESTRING and alg.is_closed(g) and alg.is_simple(g))),
+        BOOL, "g"),
+    # overlay (subset — see algorithms.intersection docstring)
+    "ST_Intersection": (
+        _binary(lambda a, b: core.to_wkb(alg.intersection(a, b))), BIN, "gg"),
+}
+
+_SPEC_TYPE = {"g": BIN, "d": DBL, "i": T.LongType(), "s": STR,
+              "a": T.ArrayType(BIN)}
+
+
+def _wrap_arity(fn, n: int):
+    """pandas_udf infers eval type from hints — give it explicit ones."""
+    if n == 1:
+        def w(c1: pd.Series) -> pd.Series:
+            return fn(c1)
+    elif n == 2:
+        def w(c1: pd.Series, c2: pd.Series) -> pd.Series:
+            return fn(c1, c2)
+    elif n == 3:
+        def w(c1: pd.Series, c2: pd.Series, c3: pd.Series) -> pd.Series:
+            return fn(c1, c2, c3)
+    elif n == 4:
+        def w(c1: pd.Series, c2: pd.Series, c3: pd.Series, c4: pd.Series) -> pd.Series:
+            return fn(c1, c2, c3, c4)
+    else:
+        raise ValueError(f"unsupported arity {n}")
+    return w
+
+
+def make_pandas_udf(name: str):
+    fn, ret, spec = KERNELS[name]
+    return F.pandas_udf(_wrap_arity(fn, len(spec)), returnType=ret)

@@ -1,0 +1,200 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Not in the reference (SedonaDB is geospatial); these are the north-star
+extensions (BASELINE.json) built Spark-first: everything that can be a
+native Catalyst expression IS one (whole-stage codegen, no Python), and
+only the hashing-heavy ops (MinHash/SimHash) drop to Arrow-batched pandas
+UDFs.
+
+Native column builders (JVM-side, zero Python cost):
+    token_count, char_count, word_count, punct_ratio, digit_ratio,
+    stopword_ratio, quality_score, doc_fingerprint, lang_id
+UDF kernels:
+    minhash_signature, simhash64
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Tiny per-language stopword lists — deterministic heuristic language ID.
+# (Public-knowledge common words; a real deployment would swap in fastText.)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pour", "dans", "que", "des"],
+    "es": ["el", "la", "los", "y", "es", "una", "por", "con", "que", "para"],
+}
+
+_TOKEN_SPLIT = "\\s+"
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization, lowercased, empty-safe (native)."""
+    return F.filter(F.split(F.lower(F.trim(col)), _TOKEN_SPLIT), lambda t: t != "")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col) -> Column:
+    return F.length(col)
+
+
+def punct_ratio(col) -> Column:
+    punct = F.length(F.regexp_replace(col, "[^!-/:-@\\[-`{-~]", ""))
+    return punct / F.greatest(F.length(col), F.lit(1))
+
+
+def digit_ratio(col) -> Column:
+    digits = F.length(F.regexp_replace(col, "[^0-9]", ""))
+    return digits / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_hits(col, lang: str) -> Column:
+    """Count of tokens that are stopwords of `lang` (native array ops)."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t)))
+
+
+def stopword_ratio(col, lang: str = "en") -> Column:
+    return stopword_hits(col, lang) / F.greatest(token_count(col), F.lit(1))
+
+
+def lang_id(col) -> Column:
+    """Heuristic language ID: argmax of stopword hit counts (native).
+
+    Returns 'und' when no stopword hits at all.
+    """
+    pairs = [F.struct(stopword_hits(col, lang).alias("hits"), F.lit(lang).alias("lang"))
+             for lang in STOPWORDS]
+    best = F.array_max(F.array(*pairs))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def avg_word_len(col) -> Column:
+    return F.length(F.regexp_replace(col, "\\s+", "")) / F.greatest(token_count(col), F.lit(1))
+
+
+def quality_score(col) -> Column:
+    """Composite document-quality score in [0, 1] (native expression).
+
+    score = 0.3*length_ok + 0.3*(1-punct_ratio) + 0.2*stopword_sig +
+            0.2*word_len_ok — deterministic, SQL-expressible (oracle-able).
+    """
+    n_tok = token_count(col)
+    length_ok = F.when((n_tok >= 5) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    wl = avg_word_len(col)
+    word_len_ok = F.when((wl >= 2.0) & (wl <= 12.0), 1.0).otherwise(0.0)
+    sw_sig = F.least(stopword_ratio(col, "en") * F.lit(4.0), F.lit(1.0))
+    return (F.lit(0.3) * length_ok + F.lit(0.3) * (F.lit(1.0) - punct_ratio(col))
+            + F.lit(0.2) * sw_sig + F.lit(0.2) * word_len_ok)
+
+
+def doc_fingerprint(col) -> Column:
+    """Deterministic content fingerprint: md5 of whitespace-normalized,
+    lowercased text (native; DuckDB-reproducible for the oracle)."""
+    normalized = F.regexp_replace(F.lower(F.trim(col)), "\\s+", " ")
+    return F.md5(normalized)
+
+
+# ----------------------------------------------------------------------
+# MinHash / SimHash kernels (pandas UDFs, numpy-vectorized)
+# ----------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+_MAX_HASH = (1 << 32) - 1
+
+
+def _hash_tokens_np(toks: list[str]) -> np.ndarray:
+    """Stable 32-bit hashes of tokens (FNV-1a, numpy-reduced)."""
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = np.uint64(14695981039346656037)
+        for b in t.encode("utf-8"):
+            h = np.uint64((int(h) ^ b) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return (out & np.uint64(_MAX_HASH)).astype(np.uint64)
+
+
+def _shingles(text: str, k: int) -> list[str]:
+    toks = text.lower().split()
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+
+def _minhash_params(num_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature_kernel(texts: pd.Series, num_perm: int = 64,
+                             shingle_k: int = 3, seed: int = 42) -> pd.Series:
+    """MinHash signatures: shingle -> FNV hash -> (a*h+b) mod p -> min."""
+    a, b = _minhash_params(num_perm, seed)
+    out = []
+    for t in texts:
+        if t is None:
+            out.append(None)
+            continue
+        sh = _shingles(t, shingle_k)
+        if not sh:
+            out.append([int(_MAX_HASH)] * num_perm)
+            continue
+        hv = _hash_tokens_np(sh)  # (n,)
+        # (num_perm, n) permuted hashes, min over shingles
+        ph = (a[:, None] * hv[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+        ph = ph & np.uint64(_MAX_HASH)
+        out.append([int(v) for v in ph.min(axis=1)])
+    return pd.Series(out, dtype=object)
+
+
+def simhash64_kernel(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over token FNV hashes."""
+    out = []
+    for t in texts:
+        if t is None:
+            out.append(None)
+            continue
+        toks = t.lower().split()
+        if not toks:
+            out.append(0)
+            continue
+        hv = np.empty(len(toks), dtype=np.uint64)
+        for i, tok in enumerate(toks):
+            h = 14695981039346656037
+            for byte in tok.encode("utf-8"):
+                h = ((h ^ byte) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+            hv[i] = h
+        bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+        score = (2 * bits - 1).sum(axis=0)
+        sim = np.uint64(0)
+        for j in range(64):
+            if score[j] > 0:
+                sim |= np.uint64(1) << np.uint64(j)
+        out.append(int(np.int64(sim)))  # signed for Spark LongType
+    return pd.Series(out, dtype=object)
+
+
+def minhash_udf(num_perm: int = 64, shingle_k: int = 3, seed: int = 42):
+    def fn(s: pd.Series) -> pd.Series:
+        return minhash_signature_kernel(s, num_perm, shingle_k, seed)
+    return F.pandas_udf(fn, returnType=T.ArrayType(T.LongType()))
+
+
+simhash_udf = None  # initialized in register()
+
+
+def register(spark: SparkSession) -> None:
+    global simhash_udf
+    spark.udf.register("MinHashSignature", minhash_udf())
+    simhash_udf = F.pandas_udf(simhash64_kernel, returnType=T.LongType())
+    spark.udf.register("SimHash64", simhash_udf)

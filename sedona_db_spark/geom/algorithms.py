@@ -1,0 +1,1012 @@
+"""Computational-geometry algorithms over the internal Geom repr.
+
+Implements (from scratch — no GEOS available in this environment) the kernel
+semantics of the reference's function set:
+- measures:   /root/reference/c/sedona-geos/src/st_area.rs, st_length.rs, distance.rs
+- predicates: /root/reference/c/sedona-geos/src/binary_predicates.rs
+- overlay:    /root/reference/c/sedona-geos/src/overlay.rs (subset: point/line vs
+              polygon, convex clip via Sutherland-Hodgman)
+- hull:       /root/reference/c/sedona-geos/src/st_convexhull.rs (monotone chain)
+- simplify:   /root/reference/c/sedona-geos/src/st_simplify.rs (Douglas-Peucker)
+- affine:     /root/reference/rust/sedona-functions/src/st_affine.rs
+
+Semantics follow PostGIS/GEOS conventions the reference tests encode
+(/root/reference/python/sedonadb/tests/functions/test_predicates.py:21-97):
+boundary-touch => contains False / intersects True; EMPTY never intersects.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from sedona_db_spark.geom.core import (
+    GEOMETRYCOLLECTION, LINESTRING, MULTILINESTRING, MULTIPOINT,
+    MULTIPOLYGON, POINT, POLYGON, Geom, make_point,
+)
+
+_EPS = 1e-12
+
+
+# ======================================================================
+# bounds / envelope
+# ======================================================================
+
+def bounds(g: Geom):
+    """(xmin, ymin, xmax, ymax) or None for empty."""
+    c = g.all_coords()
+    if len(c) == 0:
+        return None
+    return (float(np.min(c[:, 0])), float(np.min(c[:, 1])),
+            float(np.max(c[:, 0])), float(np.max(c[:, 1])))
+
+
+def envelope(g: Geom) -> Geom:
+    b = bounds(g)
+    if b is None:
+        return Geom(POLYGON, [])
+    x0, y0, x1, y1 = b
+    if x0 == x1 and y0 == y1:
+        return make_point(x0, y0)
+    if x0 == x1 or y0 == y1:
+        return Geom(LINESTRING, np.array([[x0, y0], [x1, y1]]))
+    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+    return Geom(POLYGON, [ring])
+
+
+def box_polygon(x0, y0, x1, y1) -> Geom:
+    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=np.float64)
+    return Geom(POLYGON, [ring])
+
+
+def bbox_intersects(b1, b2) -> bool:
+    if b1 is None or b2 is None:
+        return False
+    return not (b1[2] < b2[0] or b2[2] < b1[0] or b1[3] < b2[1] or b2[3] < b1[1])
+
+
+# ======================================================================
+# measures
+# ======================================================================
+
+def _ring_area2(ring: np.ndarray) -> float:
+    """Twice the signed shoelace area (CCW positive)."""
+    x, y = ring[:, 0], ring[:, 1]
+    return float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+
+
+def area(g: Geom) -> float:
+    total = 0.0
+    for poly in g.polygons():
+        if not poly:
+            continue
+        total += abs(_ring_area2(poly[0])) / 2.0
+        for hole in poly[1:]:
+            total -= abs(_ring_area2(hole)) / 2.0
+    return total
+
+
+def _path_length(arr: np.ndarray) -> float:
+    if len(arr) < 2:
+        return 0.0
+    d = np.diff(arr[:, :2], axis=0)
+    return float(np.sum(np.hypot(d[:, 0], d[:, 1])))
+
+
+def length(g: Geom) -> float:
+    """Length of linear parts (PostGIS ST_Length: 0 for polygons/points)."""
+    return sum(_path_length(l) for l in g.lines())
+
+
+def perimeter(g: Geom) -> float:
+    return sum(_path_length(r) for r in g.rings())
+
+
+def centroid(g: Geom):
+    """Area/length/count-weighted centroid of highest-dimension parts."""
+    dim = g.dimension()
+    if g.is_empty():
+        return None
+    if dim == 2:
+        cx = cy = A = 0.0
+        for poly in g.polygons():
+            for i, ring in enumerate(poly):
+                x, y = ring[:, 0], ring[:, 1]
+                xn, yn = np.roll(x, -1), np.roll(y, -1)
+                cross = x * yn - xn * y
+                a2 = float(np.sum(cross))  # signed
+                if abs(a2) < _EPS:
+                    continue
+                gx = float(np.sum((x + xn) * cross)) / (3.0 * a2)
+                gy = float(np.sum((y + yn) * cross)) / (3.0 * a2)
+                w = abs(a2) / 2.0 * (1.0 if i == 0 else -1.0)
+                cx += gx * w
+                cy += gy * w
+                A += w
+        if abs(A) > _EPS:
+            return (cx / A, cy / A)
+        dim = 1  # degenerate polygon -> fall through to length centroid
+    if dim == 1:
+        cx = cy = L = 0.0
+        segs = list(g.lines()) + list(g.rings())
+        for arr in segs:
+            if len(arr) < 2:
+                continue
+            p, q = arr[:-1, :2], arr[1:, :2]
+            seglen = np.hypot(*(q - p).T)
+            mid = (p + q) / 2.0
+            cx += float(np.sum(mid[:, 0] * seglen))
+            cy += float(np.sum(mid[:, 1] * seglen))
+            L += float(np.sum(seglen))
+        if L > _EPS:
+            return (cx / L, cy / L)
+    pts = g.all_coords()
+    if len(pts) == 0:
+        return None
+    return (float(np.mean(pts[:, 0])), float(np.mean(pts[:, 1])))
+
+
+# ======================================================================
+# low-level predicates
+# ======================================================================
+
+def _orient(o, a, b):
+    """Cross product sign of (a-o) x (b-o)."""
+    v = (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+    if v > _EPS:
+        return 1
+    if v < -_EPS:
+        return -1
+    return 0
+
+
+def _on_segment(p, a, b) -> bool:
+    if _orient(a, b, p) != 0:
+        return False
+    return (min(a[0], b[0]) - _EPS <= p[0] <= max(a[0], b[0]) + _EPS and
+            min(a[1], b[1]) - _EPS <= p[1] <= max(a[1], b[1]) + _EPS)
+
+
+def _seg_intersects(a, b, c, d) -> bool:
+    o1, o2 = _orient(a, b, c), _orient(a, b, d)
+    o3, o4 = _orient(c, d, a), _orient(c, d, b)
+    if o1 != o2 and o3 != o4:
+        return True
+    return (_on_segment(c, a, b) or _on_segment(d, a, b) or
+            _on_segment(a, c, d) or _on_segment(b, c, d))
+
+
+def _point_in_ring(p, ring: np.ndarray) -> int:
+    """1 interior, 0 boundary, -1 exterior (ray casting, vectorized)."""
+    x, y = p[0], p[1]
+    xs, ys = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
+    # boundary check
+    dx, dy = x2 - xs, y2 - ys
+    cross = (x - xs) * dy - (y - ys) * dx
+    within_x = (np.minimum(xs, x2) - _EPS <= x) & (x <= np.maximum(xs, x2) + _EPS)
+    within_y = (np.minimum(ys, y2) - _EPS <= y) & (y <= np.maximum(ys, y2) + _EPS)
+    seg_len2 = dx * dx + dy * dy
+    tol = np.maximum(seg_len2, 1.0)
+    if np.any((np.abs(cross) <= 1e-9 * np.sqrt(tol)) & within_x & within_y):
+        return 0
+    # ray cast to +x
+    cond = (ys > y) != (y2 > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xi = xs + (y - ys) / (y2 - ys) * (x2 - xs)
+    crossings = int(np.count_nonzero(cond & (x < xi)))
+    return 1 if crossings % 2 == 1 else -1
+
+
+def _point_in_polygon(p, poly_rings) -> int:
+    """1 interior, 0 boundary, -1 exterior; polygon with holes."""
+    r = _point_in_ring(p, poly_rings[0])
+    if r <= 0:
+        return r
+    for hole in poly_rings[1:]:
+        h = _point_in_ring(p, hole)
+        if h == 1:
+            return -1
+        if h == 0:
+            return 0
+    return 1
+
+
+def point_position(p, g: Geom) -> int:
+    """Locate point vs geometry: 1 interior, 0 boundary, -1 exterior."""
+    best = -1
+    for poly in g.polygons():
+        r = _point_in_polygon(p, poly)
+        best = max(best, r)
+        if best == 1:
+            return 1
+    for line in g.lines():
+        for i in range(len(line) - 1):
+            if _on_segment(p, line[i], line[i + 1]):
+                # interior of a line unless at an unshared endpoint
+                is_end = ((i == 0 and _close(p, line[0])) or
+                          (i == len(line) - 2 and _close(p, line[-1])))
+                closed = _close(line[0], line[-1])
+                best = max(best, 0 if (is_end and not closed) else 1 if g.dimension() == 1 else 0)
+    for q in g.points():
+        if _close(p, q):
+            best = max(best, 1 if g.dimension() == 0 else 0)
+    return best
+
+
+def _close(a, b) -> bool:
+    return abs(a[0] - b[0]) <= _EPS and abs(a[1] - b[1]) <= _EPS
+
+
+def _segments(g: Geom):
+    for arr in list(g.lines()) + list(g.rings()):
+        for i in range(len(arr) - 1):
+            yield arr[i], arr[i + 1]
+
+
+def _any_segment_cross(g1: Geom, g2: Geom) -> bool:
+    segs2 = list(_segments(g2))
+    if not segs2:
+        return False
+    for a, b in _segments(g1):
+        sb = (min(a[0], b[0]), min(a[1], b[1]), max(a[0], b[0]), max(a[1], b[1]))
+        for c, d in segs2:
+            if (max(c[0], d[0]) < sb[0] - _EPS or min(c[0], d[0]) > sb[2] + _EPS or
+                    max(c[1], d[1]) < sb[1] - _EPS or min(c[1], d[1]) > sb[3] + _EPS):
+                continue
+            if _seg_intersects(a, b, c, d):
+                return True
+    return False
+
+
+# ======================================================================
+# binary predicates (DE-9IM-lite)
+# ======================================================================
+
+def intersects(g1: Geom, g2: Geom) -> bool:
+    if g1.is_empty() or g2.is_empty():
+        return False
+    if not bbox_intersects(bounds(g1), bounds(g2)):
+        return False
+    # any collection: distribute
+    if g1.gt == GEOMETRYCOLLECTION:
+        return any(intersects(s, g2) for s in g1.data)
+    if g2.gt == GEOMETRYCOLLECTION:
+        return any(intersects(g1, s) for s in g2.data)
+    # point tests
+    for p in g1.points():
+        if point_position(p, g2) >= 0:
+            return True
+    for p in g2.points():
+        if point_position(p, g1) >= 0:
+            return True
+    if g1.dimension() == 0 and g2.dimension() == 0:
+        return False
+    # edge crossings
+    if _any_segment_cross(g1, g2):
+        return True
+    # containment without edge crossing: one inside the other
+    c1 = _first_vertex(g1)
+    if c1 is not None and any(_point_in_polygon(c1, poly) >= 0 for poly in g2.polygons()):
+        return True
+    c2 = _first_vertex(g2)
+    if c2 is not None and any(_point_in_polygon(c2, poly) >= 0 for poly in g1.polygons()):
+        return True
+    return False
+
+
+def _first_vertex(g: Geom):
+    c = g.all_coords()
+    return c[0] if len(c) else None
+
+
+def _all_vertices_position(g: Geom, container: Geom):
+    """min/max of point_position over every vertex of g."""
+    lo, hi = 1, -1
+    for c in g.all_coords():
+        r = point_position(c, container)
+        lo, hi = min(lo, r), max(hi, r)
+    return lo, hi
+
+
+def contains(g1: Geom, g2: Geom) -> bool:
+    """PostGIS ST_Contains: g2 fully inside g1, interiors must intersect."""
+    if g1.is_empty() or g2.is_empty():
+        return False
+    b1, b2 = bounds(g1), bounds(g2)
+    if b1 is None or b2 is None:
+        return False
+    if b2[0] < b1[0] - _EPS or b2[1] < b1[1] - _EPS or b2[2] > b1[2] + _EPS or b2[3] > b1[3] + _EPS:
+        return False
+    if g2.gt == GEOMETRYCOLLECTION:
+        return all(contains(g1, s) for s in g2.data if not s.is_empty())
+    lo, hi = _all_vertices_position(g2, g1)
+    if lo < 0:
+        return False
+    if hi < 1 and g2.dimension() == 0:
+        return False  # all points on boundary -> contains is false
+    if g2.dimension() >= 1:
+        # no edge of g2 may cross out of g1; approximate: no proper crossing
+        # with g1's boundary, plus midpoints inside
+        if _any_proper_cross(g1, g2):
+            return False
+        if not _midpoints_inside(g2, g1):
+            return False
+    return True
+
+
+def _any_proper_cross(g1: Geom, g2: Geom) -> bool:
+    """True if a segment of g2 properly crosses a boundary segment of g1."""
+    for a, b in _segments(g2):
+        for c, d in _segments(g1):
+            o1, o2 = _orient(c, d, a), _orient(c, d, b)
+            o3, o4 = _orient(a, b, c), _orient(a, b, d)
+            if o1 * o2 < 0 and o3 * o4 < 0:
+                return True
+    return False
+
+
+def _midpoints_inside(g2: Geom, g1: Geom) -> bool:
+    for a, b in _segments(g2):
+        mid = ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)
+        if point_position(mid, g1) < 0:
+            return False
+    return True
+
+
+def within(g1, g2):
+    return contains(g2, g1)
+
+
+def covers(g1: Geom, g2: Geom) -> bool:
+    """Like contains but boundary-only containment is allowed."""
+    if g1.is_empty() or g2.is_empty():
+        return False
+    if g2.gt == GEOMETRYCOLLECTION:
+        return all(covers(g1, s) for s in g2.data if not s.is_empty())
+    lo, _ = _all_vertices_position(g2, g1)
+    if lo < 0:
+        return False
+    if g2.dimension() >= 1:
+        if _any_proper_cross(g1, g2):
+            return False
+        for a, b in _segments(g2):
+            mid = ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)
+            if point_position(mid, g1) < 0:
+                return False
+    return True
+
+
+def covered_by(g1, g2):
+    return covers(g2, g1)
+
+
+def disjoint(g1, g2):
+    return not intersects(g1, g2)
+
+
+def touches(g1: Geom, g2: Geom) -> bool:
+    """Intersect only at boundaries (no interior-interior intersection)."""
+    if not intersects(g1, g2):
+        return False
+    # interiors intersect?
+    if g1.dimension() == 0:
+        return all(point_position(p, g2) == 0 for p in g1.points())
+    if g2.dimension() == 0:
+        return all(point_position(p, g1) == 0 for p in g2.points())
+    if _any_proper_cross(g1, g2):
+        return False
+    if g1.dimension() == 2:
+        for a, b in _segments(g2):
+            mid = ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)
+            if point_position(mid, g1) == 1:
+                return False
+    if g2.dimension() == 2:
+        for a, b in _segments(g1):
+            mid = ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)
+            if point_position(mid, g2) == 1:
+                return False
+    if g1.dimension() == 2 and g2.dimension() == 2:
+        # area overlap without crossing => one contains the other's interior
+        c = _first_vertex(g2)
+        if c is not None and any(_point_in_polygon(c, poly) == 1 for poly in g1.polygons()):
+            return False
+    return True
+
+
+def equals(g1: Geom, g2: Geom) -> bool:
+    if g1.is_empty() and g2.is_empty():
+        return True
+    if g1.dimension() != g2.dimension():
+        return False
+    return covers(g1, g2) and covers(g2, g1)
+
+
+def crosses(g1: Geom, g2: Geom) -> bool:
+    d1, d2 = g1.dimension(), g2.dimension()
+    if not intersects(g1, g2):
+        return False
+    if d1 == d2 == 1:
+        return _any_proper_cross(g1, g2)
+    if {d1, d2} == {0, 1} or {d1, d2} == {0, 2}:
+        pts = g1 if d1 == 0 else g2
+        other = g2 if d1 == 0 else g1
+        positions = [point_position(p, other) for p in pts.points()]
+        return any(r == 1 for r in positions) and any(r == -1 for r in positions)
+    if {d1, d2} == {1, 2}:
+        line = g1 if d1 == 1 else g2
+        poly = g2 if d1 == 1 else g1
+        has_in = has_out = False
+        for a, b in _segments(line):
+            for p in (a, ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0), b):
+                r = point_position(p, poly)
+                has_in |= r == 1
+                has_out |= r == -1
+                if has_in and has_out:
+                    return True
+        return has_in and has_out
+    return False
+
+
+def overlaps(g1: Geom, g2: Geom) -> bool:
+    if g1.dimension() != g2.dimension():
+        return False
+    if not intersects(g1, g2):
+        return False
+    return (not contains(g1, g2) and not contains(g2, g1)
+            and not touches(g1, g2))
+
+
+# ======================================================================
+# distance
+# ======================================================================
+
+def _pt_seg_dist_many(p, segs_a: np.ndarray, segs_b: np.ndarray) -> float:
+    """Min distance from point p to segments (a_i -> b_i), vectorized."""
+    d = segs_b - segs_a
+    len2 = np.einsum("ij,ij->i", d, d)
+    ap = p[:2] - segs_a
+    t = np.clip(np.divide(np.einsum("ij,ij->i", ap, d), np.where(len2 == 0, 1, len2)), 0, 1)
+    proj = segs_a + t[:, None] * d
+    diff = p[:2] - proj
+    return float(np.sqrt(np.min(np.einsum("ij,ij->i", diff, diff))))
+
+
+def _collect_segments(g: Geom):
+    arrs = list(g.lines()) + list(g.rings())
+    a_list, b_list = [], []
+    for arr in arrs:
+        if len(arr) >= 2:
+            a_list.append(arr[:-1, :2])
+            b_list.append(arr[1:, :2])
+    if not a_list:
+        return None, None
+    return np.concatenate(a_list), np.concatenate(b_list)
+
+
+def distance(g1: Geom, g2: Geom):
+    if g1.is_empty() or g2.is_empty():
+        return None
+    if intersects(g1, g2):
+        return 0.0
+    best = math.inf
+    p1 = list(g1.points())
+    p2 = list(g2.points())
+    a1, b1 = _collect_segments(g1)
+    a2, b2 = _collect_segments(g2)
+    # point-point
+    if p1 and p2:
+        arr1 = np.array([p[:2] for p in p1])
+        arr2 = np.array([p[:2] for p in p2])
+        diff = arr1[:, None, :] - arr2[None, :, :]
+        best = min(best, float(np.sqrt(np.min(np.einsum("ijk,ijk->ij", diff, diff)))))
+    # point-seg both directions
+    if p1 and a2 is not None:
+        best = min(best, min(_pt_seg_dist_many(p, a2, b2) for p in p1))
+    if p2 and a1 is not None:
+        best = min(best, min(_pt_seg_dist_many(p, a1, b1) for p in p2))
+    # seg-seg: endpoints-to-other-segments (sufficient for non-crossing segs)
+    if a1 is not None and a2 is not None:
+        for p in np.concatenate([a1, b1]):
+            best = min(best, _pt_seg_dist_many(p, a2, b2))
+        for p in np.concatenate([a2, b2]):
+            best = min(best, _pt_seg_dist_many(p, a1, b1))
+    return best if best < math.inf else None
+
+
+def dwithin(g1: Geom, g2: Geom, d: float):
+    r = distance(g1, g2)
+    return None if r is None else bool(r <= d + _EPS)
+
+
+def max_distance(g1: Geom, g2: Geom):
+    """Max distance between vertices (reference st_max_distance.rs)."""
+    c1, c2 = g1.all_coords(), g2.all_coords()
+    if len(c1) == 0 or len(c2) == 0:
+        return None
+    diff = c1[:, None, :2] - c2[None, :, :2]
+    return float(np.sqrt(np.max(np.einsum("ijk,ijk->ij", diff, diff))))
+
+
+def hausdorff(g1: Geom, g2: Geom):
+    """Discrete (vertex-sampled) Hausdorff distance."""
+    a1, b1 = _collect_segments(g1)
+    a2, b2 = _collect_segments(g2)
+    c1, c2 = g1.all_coords(), g2.all_coords()
+    if len(c1) == 0 or len(c2) == 0:
+        return None
+
+    def _dir(coords, sa, sb, other_pts):
+        worst = 0.0
+        for p in coords:
+            if sa is not None:
+                dmin = _pt_seg_dist_many(p, sa, sb)
+            else:
+                diff = other_pts[:, :2] - p[:2]
+                dmin = float(np.sqrt(np.min(np.einsum("ij,ij->i", diff, diff))))
+            worst = max(worst, dmin)
+        return worst
+
+    return max(_dir(c1, a2, b2, c2), _dir(c2, a1, b1, c1))
+
+
+# ======================================================================
+# hull / simplify / affine / line ops
+# ======================================================================
+
+def convex_hull(g: Geom) -> Geom:
+    pts = g.all_coords()[:, :2]
+    if len(pts) == 0:
+        return Geom(GEOMETRYCOLLECTION, [])
+    pts = np.unique(pts, axis=0)
+    if len(pts) == 1:
+        return make_point(pts[0][0], pts[0][1])
+    if len(pts) == 2:
+        return Geom(LINESTRING, pts)
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and _orient(out[-2], out[-1], p) <= 0:
+                out.pop()
+            out.append(tuple(p))
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 3:
+        return Geom(LINESTRING, np.array(hull))
+    ring = np.array(hull + [hull[0]], dtype=np.float64)
+    # CCW from monotone chain; PostGIS emits CCW shell too
+    return Geom(POLYGON, [ring])
+
+
+def _dp_mask(arr: np.ndarray, tol: float, i: int, j: int, keep: np.ndarray):
+    if j <= i + 1:
+        return
+    a, b = arr[i, :2], arr[j, :2]
+    seg = b - a
+    seg_len2 = float(seg @ seg)
+    pts = arr[i + 1:j, :2]
+    if seg_len2 < _EPS:
+        d = np.sqrt(np.einsum("ij,ij->i", pts - a, pts - a))
+    else:
+        t = np.clip(((pts - a) @ seg) / seg_len2, 0, 1)
+        proj = a + t[:, None] * seg
+        d = np.sqrt(np.einsum("ij,ij->i", pts - proj, pts - proj))
+    kmax = int(np.argmax(d))
+    if d[kmax] > tol:
+        keep[i + 1 + kmax] = True
+        _dp_mask(arr, tol, i, i + 1 + kmax, keep)
+        _dp_mask(arr, tol, i + 1 + kmax, j, keep)
+
+
+def _simplify_path(arr: np.ndarray, tol: float, is_ring: bool) -> np.ndarray:
+    if len(arr) <= 2:
+        return arr
+    keep = np.zeros(len(arr), dtype=bool)
+    keep[0] = keep[-1] = True
+    _dp_mask(arr, tol, 0, len(arr) - 1, keep)
+    out = arr[keep]
+    if is_ring and len(out) < 4:
+        return arr
+    return out
+
+
+def simplify(g: Geom, tol: float) -> Geom:
+    if g.gt == LINESTRING:
+        return Geom(LINESTRING, _simplify_path(g.data, tol, False), g.has_z, g.has_m)
+    if g.gt == POLYGON:
+        return Geom(POLYGON, [_simplify_path(r, tol, True) for r in g.data], g.has_z, g.has_m)
+    if g.gt == MULTILINESTRING:
+        return Geom(MULTILINESTRING, [_simplify_path(l, tol, False) for l in g.data], g.has_z, g.has_m)
+    if g.gt == MULTIPOLYGON:
+        return Geom(MULTIPOLYGON, [[_simplify_path(r, tol, True) for r in p] for p in g.data], g.has_z, g.has_m)
+    if g.gt == GEOMETRYCOLLECTION:
+        return Geom(GEOMETRYCOLLECTION, [simplify(s, tol) for s in g.data], g.has_z, g.has_m)
+    return g
+
+
+def transform_coords(g: Geom, fn) -> Geom:
+    """Apply fn((n,2) array)->(n,2) to every xy, preserving extra dims."""
+    def tx(arr):
+        if arr is None:
+            return None
+        arr = np.asarray(arr, dtype=np.float64)
+        single = arr.ndim == 1
+        a2 = arr.reshape(1, -1) if single else arr
+        out = a2.copy()
+        out[:, :2] = fn(a2[:, :2])
+        return out[0] if single else out
+
+    if g.gt == POINT:
+        return Geom(POINT, tx(g.data), g.has_z, g.has_m, g.srid)
+    if g.gt == LINESTRING:
+        return Geom(LINESTRING, tx(g.data), g.has_z, g.has_m, g.srid)
+    if g.gt == POLYGON:
+        return Geom(POLYGON, [tx(r) for r in g.data], g.has_z, g.has_m, g.srid)
+    if g.gt == MULTIPOINT:
+        return Geom(MULTIPOINT, [tx(p) for p in g.data], g.has_z, g.has_m, g.srid)
+    if g.gt == MULTILINESTRING:
+        return Geom(MULTILINESTRING, [tx(l) for l in g.data], g.has_z, g.has_m, g.srid)
+    if g.gt == MULTIPOLYGON:
+        return Geom(MULTIPOLYGON, [[tx(r) for r in p] for p in g.data], g.has_z, g.has_m, g.srid)
+    return Geom(GEOMETRYCOLLECTION, [transform_coords(s, fn) for s in g.data], g.has_z, g.has_m, g.srid)
+
+
+def affine(g: Geom, a, b, d, e, xoff, yoff) -> Geom:
+    m = np.array([[a, b], [d, e]], dtype=np.float64)
+    off = np.array([xoff, yoff], dtype=np.float64)
+    return transform_coords(g, lambda xy: xy @ m.T + off)
+
+
+def translate(g, dx, dy):
+    return affine(g, 1, 0, 0, 1, dx, dy)
+
+
+def scale(g, sx, sy):
+    return affine(g, sx, 0, 0, sy, 0, 0)
+
+
+def rotate(g, theta, ox=0.0, oy=0.0):
+    c, s = math.cos(theta), math.sin(theta)
+    return affine(g, c, -s, s, c, ox - ox * c + oy * s, oy - ox * s - oy * c)
+
+
+def flip_coordinates(g):
+    return transform_coords(g, lambda xy: xy[:, ::-1])
+
+
+def line_interpolate_point(line: np.ndarray, frac: float):
+    if len(line) == 0:
+        return None
+    frac = min(max(frac, 0.0), 1.0)
+    seg = np.diff(line[:, :2], axis=0)
+    seglen = np.hypot(seg[:, 0], seg[:, 1])
+    total = float(np.sum(seglen))
+    if total == 0:
+        return line[0][:2]
+    target = frac * total
+    cum = np.concatenate([[0.0], np.cumsum(seglen)])
+    i = int(np.searchsorted(cum, target, side="right")) - 1
+    i = min(i, len(seglen) - 1)
+    rem = target - cum[i]
+    t = rem / seglen[i] if seglen[i] > 0 else 0.0
+    return line[i, :2] + t * seg[i]
+
+
+def line_locate_point(line: np.ndarray, p) -> float:
+    if len(line) < 2:
+        return 0.0
+    a, b = line[:-1, :2], line[1:, :2]
+    d = b - a
+    len2 = np.einsum("ij,ij->i", d, d)
+    t = np.clip(np.divide(np.einsum("ij,ij->i", p[:2] - a, d), np.where(len2 == 0, 1, len2)), 0, 1)
+    proj = a + t[:, None] * d
+    diff = p[:2] - proj
+    dist2 = np.einsum("ij,ij->i", diff, diff)
+    i = int(np.argmin(dist2))
+    seglen = np.sqrt(len2)
+    total = float(np.sum(seglen))
+    if total == 0:
+        return 0.0
+    return float((np.sum(seglen[:i]) + t[i] * seglen[i]) / total)
+
+
+def line_substring(line: np.ndarray, f0: float, f1: float):
+    if f1 < f0:
+        f0, f1 = f1, f0
+    p0 = line_interpolate_point(line, f0)
+    p1 = line_interpolate_point(line, f1)
+    seg = np.diff(line[:, :2], axis=0)
+    seglen = np.hypot(seg[:, 0], seg[:, 1])
+    total = float(np.sum(seglen))
+    cum = np.concatenate([[0.0], np.cumsum(seglen)])
+    lo, hi = f0 * total, f1 * total
+    mids = [p0]
+    for i in range(1, len(line)):
+        if lo < cum[i] < hi:
+            mids.append(line[i, :2])
+    mids.append(p1)
+    return np.array(mids)
+
+
+def segmentize(g: Geom, max_len: float) -> Geom:
+    def seg_path(arr):
+        if len(arr) < 2:
+            return arr
+        out = [arr[0]]
+        for i in range(1, len(arr)):
+            a, b = arr[i - 1], arr[i]
+            d = math.hypot(b[0] - a[0], b[1] - a[1])
+            n = max(1, int(math.ceil(d / max_len)))
+            for j in range(1, n + 1):
+                out.append(a + (b - a) * (j / n))
+        return np.array(out)
+
+    if g.gt == LINESTRING:
+        return Geom(LINESTRING, seg_path(g.data), g.has_z, g.has_m)
+    if g.gt == POLYGON:
+        return Geom(POLYGON, [seg_path(r) for r in g.data], g.has_z, g.has_m)
+    if g.gt == MULTILINESTRING:
+        return Geom(MULTILINESTRING, [seg_path(l) for l in g.data], g.has_z, g.has_m)
+    if g.gt == MULTIPOLYGON:
+        return Geom(MULTIPOLYGON, [[seg_path(r) for r in p] for p in g.data], g.has_z, g.has_m)
+    if g.gt == GEOMETRYCOLLECTION:
+        return Geom(GEOMETRYCOLLECTION, [segmentize(s, max_len) for s in g.data], g.has_z, g.has_m)
+    return g
+
+
+# ======================================================================
+# buffer (point: exact n-gon; line/polygon: sampled approximation)
+# ======================================================================
+
+def buffer(g: Geom, dist: float, quad_segs: int = 8) -> Geom:
+    """GEOS-style buffer.  Exact regular 4*quad_segs-gon for points
+    (matches GEOS vertex placement); for lines/polygons a convex-hull
+    approximation of offset samples (documented limitation: concave
+    shapes are approximated — adequate for bbox/convex workloads)."""
+    if dist <= 0:
+        if g.dimension() == 2 and dist < 0:
+            return _erode_approx(g, -dist, quad_segs)
+        return Geom(POLYGON, [])
+    n = max(4 * quad_segs, 8)
+    ang = np.arange(n) * (2 * math.pi / n)
+    circ = np.column_stack([np.cos(ang), np.sin(ang)]) * dist
+    pts = list(g.points())
+    if g.dimension() == 0 and len(pts) == 1:
+        c = pts[0][:2]
+        ring = circ + c
+        ring = np.vstack([ring, ring[:1]])
+        return Geom(POLYGON, [ring])
+    # sample boundary points, Minkowski with circle, convex hull
+    samples = []
+    for p in pts:
+        samples.append(p[:2].reshape(1, 2))
+    for arr in list(g.lines()) + list(g.rings()):
+        seg = segmentize(Geom(LINESTRING, arr), max(dist / 2.0, 1e-9))
+        samples.append(seg.data[:, :2])
+    if not samples:
+        return Geom(POLYGON, [])
+    base = np.concatenate(samples)
+    cloud = (base[:, None, :] + circ[None, :, :]).reshape(-1, 2)
+    return convex_hull(Geom(MULTIPOINT, list(cloud)))
+
+
+def _erode_approx(g: Geom, dist: float, quad_segs: int) -> Geom:
+    """Negative buffer approximation: keep ring vertices whose distance to
+    the boundary exceeds dist (coarse; exact erosion needs boolean ops)."""
+    polys = list(g.polygons())
+    if not polys:
+        return Geom(POLYGON, [])
+    shell = polys[0][0]
+    c = centroid(g)
+    if c is None:
+        return Geom(POLYGON, [])
+    cx, cy = c
+    out = []
+    for p in shell[:, :2]:
+        v = np.array([p[0] - cx, p[1] - cy])
+        norm = np.hypot(*v)
+        if norm > dist:
+            out.append(np.array([cx, cy]) + v * ((norm - dist) / norm))
+    if len(out) < 3:
+        return Geom(POLYGON, [])
+    ring = np.vstack([out, out[:1]])
+    return Geom(POLYGON, [ring])
+
+
+# ======================================================================
+# overlay subset: clipping
+# ======================================================================
+
+def _is_convex_ring(ring: np.ndarray) -> bool:
+    n = len(ring) - 1
+    if n < 3:
+        return False
+    sign = 0
+    for i in range(n):
+        o = _orient(ring[i], ring[(i + 1) % n], ring[(i + 2) % n])
+        if o != 0:
+            if sign == 0:
+                sign = o
+            elif o != sign:
+                return False
+    return True
+
+
+def _clip_ring_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray | None:
+    """Sutherland-Hodgman: clip subject ring by a CONVEX clip ring."""
+    if _ring_area2(clip_ring) < 0:
+        clip_ring = clip_ring[::-1]
+    output = [tuple(p[:2]) for p in subject[:-1]]
+    n = len(clip_ring) - 1
+    for i in range(n):
+        a, b = clip_ring[i], clip_ring[i + 1]
+        input_pts = output
+        output = []
+        if not input_pts:
+            return None
+        m = len(input_pts)
+        for j in range(m):
+            cur, prev = input_pts[j], input_pts[j - 1]
+            cur_in = _orient(a, b, cur) >= 0
+            prev_in = _orient(a, b, prev) >= 0
+            if cur_in:
+                if not prev_in:
+                    output.append(_line_x(prev, cur, a, b))
+                output.append(tuple(cur))
+            elif prev_in:
+                output.append(_line_x(prev, cur, a, b))
+    if len(output) < 3:
+        return None
+    ring = np.array(output + [output[0]], dtype=np.float64)
+    if abs(_ring_area2(ring)) < _EPS:
+        return None
+    return ring
+
+
+def _line_x(p, q, a, b):
+    x1, y1, x2, y2 = p[0], p[1], q[0], q[1]
+    x3, y3, x4, y4 = a[0], a[1], b[0], b[1]
+    den = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+    if abs(den) < _EPS:
+        return tuple(q[:2])
+    t = ((x1 - x3) * (y3 - y4) - (y1 - y3) * (x3 - x4)) / den
+    return (x1 + t * (x2 - x1), y1 + t * (y2 - y1))
+
+
+def intersection(g1: Geom, g2: Geom) -> Geom:
+    """Overlay subset: exact when one side is convex polygon / point / line."""
+    if g1.is_empty() or g2.is_empty() or not intersects(g1, g2):
+        return Geom(GEOMETRYCOLLECTION, [])
+    # points
+    if g1.dimension() == 0:
+        pts = [p for p in g1.points() if point_position(p, g2) >= 0]
+        if len(pts) == 1:
+            return Geom(POINT, pts[0])
+        return Geom(MULTIPOINT, pts)
+    if g2.dimension() == 0:
+        return intersection(g2, g1)
+    if g1.dimension() == 2 and g2.dimension() == 2:
+        p1s = list(g1.polygons())
+        p2s = list(g2.polygons())
+        out = []
+        for p1 in p1s:
+            for p2 in p2s:
+                clip = None
+                if _is_convex_ring(p2[0]):
+                    clip = _clip_ring_convex(p1[0], p2[0])
+                elif _is_convex_ring(p1[0]):
+                    clip = _clip_ring_convex(p2[0], p1[0])
+                else:
+                    raise NotImplementedError(
+                        "general concave-concave polygon intersection not supported; "
+                        "one input must be convex")
+                if clip is not None:
+                    out.append([clip])
+        if not out:
+            return Geom(GEOMETRYCOLLECTION, [])
+        if len(out) == 1:
+            return Geom(POLYGON, out[0])
+        return Geom(MULTIPOLYGON, out)
+    # line vs polygon: clip line segments
+    line = g1 if g1.dimension() == 1 else g2
+    poly = g2 if g1.dimension() == 1 else g1
+    pieces = []
+    for arr in line.lines():
+        cur = []
+        step = max(_path_length(arr) / 256.0, 1e-9)
+        dense = segmentize(Geom(LINESTRING, arr), step).data
+        for p in dense:
+            if point_position(p[:2], poly) >= 0:
+                cur.append(p[:2])
+            else:
+                if len(cur) >= 2:
+                    pieces.append(np.array(cur))
+                cur = []
+        if len(cur) >= 2:
+            pieces.append(np.array(cur))
+    if not pieces:
+        return Geom(GEOMETRYCOLLECTION, [])
+    if len(pieces) == 1:
+        return Geom(LINESTRING, pieces[0])
+    return Geom(MULTILINESTRING, pieces)
+
+
+# ======================================================================
+# validity / misc
+# ======================================================================
+
+def is_ring_simple(ring: np.ndarray) -> bool:
+    n = len(ring) - 1
+    for i in range(n):
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue
+            if _seg_intersects(ring[i], ring[i + 1], ring[j], ring[j + 1]):
+                return False
+    return True
+
+
+def is_valid(g: Geom) -> bool:
+    for poly in g.polygons():
+        for ring in poly:
+            if len(ring) < 4:
+                return False
+            if not _close(ring[0], ring[-1]):
+                return False
+            if not is_ring_simple(ring):
+                return False
+    return True
+
+
+def is_simple(g: Geom) -> bool:
+    for line in g.lines():
+        n = len(line) - 1
+        for i in range(n):
+            for j in range(i + 2, n):
+                if i == 0 and j == n - 1 and _close(line[0], line[-1]):
+                    continue
+                if _seg_intersects(line[i], line[i + 1], line[j], line[j + 1]):
+                    return False
+    return is_valid(g)
+
+
+def is_closed(g: Geom) -> bool:
+    lines = list(g.lines())
+    if not lines:
+        return g.dimension() != 1
+    return all(len(l) >= 2 and _close(l[0], l[-1]) for l in lines)
+
+
+def reverse(g: Geom) -> Geom:
+    if g.gt == LINESTRING:
+        return Geom(LINESTRING, g.data[::-1].copy(), g.has_z, g.has_m)
+    if g.gt == POLYGON:
+        return Geom(POLYGON, [r[::-1].copy() for r in g.data], g.has_z, g.has_m)
+    if g.gt == MULTILINESTRING:
+        return Geom(MULTILINESTRING, [l[::-1].copy() for l in g.data], g.has_z, g.has_m)
+    if g.gt == MULTIPOLYGON:
+        return Geom(MULTIPOLYGON, [[r[::-1].copy() for r in p] for p in g.data], g.has_z, g.has_m)
+    if g.gt == GEOMETRYCOLLECTION:
+        return Geom(GEOMETRYCOLLECTION, [reverse(s) for s in g.data], g.has_z, g.has_m)
+    return g
+
+
+def make_valid(g: Geom) -> Geom:
+    """Best-effort: drop degenerate rings; close unclosed rings."""
+    if g.gt == POLYGON:
+        rings = []
+        for r in g.data:
+            if len(r) >= 3:
+                if not _close(r[0], r[-1]):
+                    r = np.vstack([r, r[:1]])
+                if abs(_ring_area2(r)) > _EPS:
+                    rings.append(r)
+        return Geom(POLYGON, rings, g.has_z, g.has_m)
+    return g

@@ -1,0 +1,349 @@
+"""Minimal computational-geometry core (no GEOS/shapely in this env).
+
+Plays the role of the reference's geometry libraries (GEOS/geo/tg wrapped at
+/root/reference/c/sedona-geos, /root/reference/rust/sedona-geo): an internal
+geometry representation plus WKB/WKT codecs.  Storage format matches the
+reference's modeling decision — ISO WKB bytes in a binary column
+(/root/reference/rust/sedona-schema/src/datatypes.rs:204-212).
+
+Representation:
+    Geom(gt, data, has_z, has_m)
+      gt=1 POINT           data: np.ndarray (k,) or None (EMPTY)
+      gt=2 LINESTRING      data: np.ndarray (n, k)
+      gt=3 POLYGON         data: [ring ndarray (n, k), ...] (first = shell)
+      gt=4 MULTIPOINT      data: [point ndarray or None, ...]
+      gt=5 MULTILINESTRING data: [ndarray (n, k), ...]
+      gt=6 MULTIPOLYGON    data: [[ring, ...], ...]
+      gt=7 GEOMETRYCOLLECTION data: [Geom, ...]
+
+k = 2 + has_z + has_m.  Axis order is always x, y[, z][, m].
+"""
+
+from __future__ import annotations
+
+import struct
+from io import BytesIO
+
+import numpy as np
+
+POINT, LINESTRING, POLYGON = 1, 2, 3
+MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION = 4, 5, 6, 7
+
+_TYPE_NAMES = {
+    POINT: "POINT", LINESTRING: "LINESTRING", POLYGON: "POLYGON",
+    MULTIPOINT: "MULTIPOINT", MULTILINESTRING: "MULTILINESTRING",
+    MULTIPOLYGON: "MULTIPOLYGON", GEOMETRYCOLLECTION: "GEOMETRYCOLLECTION",
+}
+_NAME_TYPES = {v: k for k, v in _TYPE_NAMES.items()}
+_ST_NAMES = {
+    POINT: "ST_Point", LINESTRING: "ST_LineString", POLYGON: "ST_Polygon",
+    MULTIPOINT: "ST_MultiPoint", MULTILINESTRING: "ST_MultiLineString",
+    MULTIPOLYGON: "ST_MultiPolygon", GEOMETRYCOLLECTION: "ST_GeometryCollection",
+}
+
+
+class Geom:
+    __slots__ = ("gt", "data", "has_z", "has_m", "srid")
+
+    def __init__(self, gt, data, has_z=False, has_m=False, srid=0):
+        self.gt = gt
+        self.data = data
+        self.has_z = has_z
+        self.has_m = has_m
+        self.srid = srid
+
+    # ---- basic props -------------------------------------------------
+    @property
+    def ndim(self):
+        return 2 + int(self.has_z) + int(self.has_m)
+
+    def is_empty(self):
+        if self.gt == POINT:
+            return self.data is None
+        if self.gt in (LINESTRING,):
+            return len(self.data) == 0
+        if self.gt == POLYGON:
+            return len(self.data) == 0
+        return len(self.data) == 0
+
+    def type_name(self):
+        return _TYPE_NAMES[self.gt]
+
+    def st_type_name(self):
+        return _ST_NAMES[self.gt]
+
+    def __repr__(self):
+        from sedona_db_spark.geom.wkt import to_wkt
+        return f"Geom<{to_wkt(self)}>"
+
+    def __eq__(self, other):
+        if not isinstance(other, Geom):
+            return NotImplemented
+        from sedona_db_spark.geom.wkt import to_wkt
+        return to_wkt(self) == to_wkt(other)
+
+    def __hash__(self):
+        from sedona_db_spark.geom.wkt import to_wkt
+        return hash(to_wkt(self))
+
+    # ---- traversal ---------------------------------------------------
+    def rings(self):
+        """Yield every ring ndarray of polygon parts."""
+        if self.gt == POLYGON:
+            yield from self.data
+        elif self.gt == MULTIPOLYGON:
+            for poly in self.data:
+                yield from poly
+        elif self.gt == GEOMETRYCOLLECTION:
+            for g in self.data:
+                yield from g.rings()
+
+    def lines(self):
+        """Yield every linestring ndarray (not polygon rings)."""
+        if self.gt == LINESTRING:
+            if len(self.data):
+                yield self.data
+        elif self.gt == MULTILINESTRING:
+            yield from self.data
+        elif self.gt == GEOMETRYCOLLECTION:
+            for g in self.data:
+                yield from g.lines()
+
+    def points(self):
+        """Yield every point coordinate array (POINT parts only)."""
+        if self.gt == POINT:
+            if self.data is not None:
+                yield self.data
+        elif self.gt == MULTIPOINT:
+            for p in self.data:
+                if p is not None:
+                    yield p
+        elif self.gt == GEOMETRYCOLLECTION:
+            for g in self.data:
+                yield from g.points()
+
+    def polygons(self):
+        """Yield polygon ring-lists."""
+        if self.gt == POLYGON:
+            if self.data:
+                yield self.data
+        elif self.gt == MULTIPOLYGON:
+            yield from self.data
+        elif self.gt == GEOMETRYCOLLECTION:
+            for g in self.data:
+                yield from g.polygons()
+
+    def geometries(self):
+        """Top-level parts for multi/collection; self otherwise."""
+        if self.gt == MULTIPOINT:
+            return [Geom(POINT, p, self.has_z, self.has_m) for p in self.data]
+        if self.gt == MULTILINESTRING:
+            return [Geom(LINESTRING, l, self.has_z, self.has_m) for l in self.data]
+        if self.gt == MULTIPOLYGON:
+            return [Geom(POLYGON, p, self.has_z, self.has_m) for p in self.data]
+        if self.gt == GEOMETRYCOLLECTION:
+            return list(self.data)
+        return [self]
+
+    def all_coords(self):
+        """(n, k) array of every vertex."""
+        parts = []
+        for p in self.points():
+            parts.append(np.asarray(p, dtype=np.float64).reshape(1, -1))
+        for l in self.lines():
+            parts.append(l)
+        for r in self.rings():
+            parts.append(r)
+        if not parts:
+            return np.empty((0, self.ndim))
+        return np.concatenate([np.asarray(p, dtype=np.float64) for p in parts], axis=0)
+
+    def dimension(self):
+        """Topological dimension (max over parts)."""
+        if self.gt == POINT or self.gt == MULTIPOINT:
+            return 0
+        if self.gt in (LINESTRING, MULTILINESTRING):
+            return 1
+        if self.gt in (POLYGON, MULTIPOLYGON):
+            return 2
+        dims = [g.dimension() for g in self.data] if self.data else []
+        return max(dims) if dims else 0
+
+
+def make_point(x, y, z=None, m=None):
+    coords = [x, y]
+    if z is not None:
+        coords.append(z)
+    if m is not None:
+        coords.append(m)
+    return Geom(POINT, np.asarray(coords, dtype=np.float64),
+                has_z=z is not None, has_m=m is not None)
+
+
+def empty(gt=GEOMETRYCOLLECTION):
+    if gt == POINT:
+        return Geom(POINT, None)
+    return Geom(gt, [] if gt != LINESTRING else np.empty((0, 2)))
+
+
+# ======================================================================
+# WKB codec (ISO WKB + EWKB SRID flag), little-endian writer.
+# Layout matches the reference's storage
+# (/root/reference/rust/sedona-schema/src/datatypes.rs:56-60).
+# ======================================================================
+
+_EWKB_Z = 0x80000000
+_EWKB_M = 0x40000000
+_EWKB_SRID = 0x20000000
+
+
+def _read_header(buf: BytesIO):
+    bo = buf.read(1)
+    if not bo:
+        raise ValueError("truncated WKB")
+    endian = "<" if bo[0] == 1 else ">"
+    (code,) = struct.unpack(endian + "I", buf.read(4))
+    srid = 0
+    has_z = has_m = False
+    if code & _EWKB_SRID:
+        (srid,) = struct.unpack(endian + "I", buf.read(4))
+        code &= ~_EWKB_SRID
+    if code & _EWKB_Z:
+        has_z = True
+        code &= ~_EWKB_Z
+    if code & _EWKB_M:
+        has_m = True
+        code &= ~_EWKB_M
+    # ISO WKB encodes dims as code = base + 1000*z + 2000*m(+3000 zm)
+    iso = code // 1000
+    if iso == 1:
+        has_z = True
+    elif iso == 2:
+        has_m = True
+    elif iso == 3:
+        has_z = has_m = True
+    base = code % 1000
+    return endian, base, has_z, has_m, srid
+
+
+def _read_coords(buf, endian, n, k):
+    raw = buf.read(8 * n * k)
+    arr = np.frombuffer(raw, dtype=("<f8" if endian == "<" else ">f8")).astype(np.float64)
+    return arr.reshape(n, k)
+
+
+def _parse_body(buf: BytesIO):
+    endian, base, has_z, has_m, srid = _read_header(buf)
+    k = 2 + has_z + has_m
+    if base == POINT:
+        coords = _read_coords(buf, endian, 1, k)[0]
+        if np.all(np.isnan(coords)):
+            return Geom(POINT, None, has_z, has_m, srid)
+        return Geom(POINT, coords, has_z, has_m, srid)
+    if base == LINESTRING:
+        (n,) = struct.unpack(endian + "I", buf.read(4))
+        return Geom(LINESTRING, _read_coords(buf, endian, n, k), has_z, has_m, srid)
+    if base == POLYGON:
+        (nr,) = struct.unpack(endian + "I", buf.read(4))
+        rings = []
+        for _ in range(nr):
+            (n,) = struct.unpack(endian + "I", buf.read(4))
+            rings.append(_read_coords(buf, endian, n, k))
+        return Geom(POLYGON, rings, has_z, has_m, srid)
+    if base in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        (np_,) = struct.unpack(endian + "I", buf.read(4))
+        subs = [_parse_body(buf) for _ in range(np_)]
+        if base == MULTIPOINT:
+            return Geom(MULTIPOINT, [s.data for s in subs], has_z, has_m, srid)
+        if base == MULTILINESTRING:
+            return Geom(MULTILINESTRING, [s.data for s in subs], has_z, has_m, srid)
+        if base == MULTIPOLYGON:
+            return Geom(MULTIPOLYGON, [s.data for s in subs], has_z, has_m, srid)
+        return Geom(GEOMETRYCOLLECTION, subs, has_z, has_m, srid)
+    raise ValueError(f"unsupported WKB geometry type {base}")
+
+
+def from_wkb(b: bytes) -> Geom:
+    return _parse_body(BytesIO(bytes(b)))
+
+
+def _iso_code(gt, has_z, has_m):
+    return gt + 1000 * (1 if has_z and not has_m else 2 if has_m and not has_z else 3 if has_z and has_m else 0)
+
+
+def _write_body(g: Geom, out: bytearray, srid: int = 0):
+    code = _iso_code(g.gt, g.has_z, g.has_m)
+    if srid:
+        out += struct.pack("<BI", 1, (g.gt | _EWKB_SRID | (_EWKB_Z if g.has_z else 0) | (_EWKB_M if g.has_m else 0)))
+        out += struct.pack("<I", srid)
+    else:
+        out += struct.pack("<BI", 1, code)
+    k = g.ndim
+    if g.gt == POINT:
+        if g.data is None:
+            out += struct.pack("<%dd" % k, *([float("nan")] * k))
+        else:
+            out += np.asarray(g.data, dtype="<f8").tobytes()
+    elif g.gt == LINESTRING:
+        arr = np.asarray(g.data, dtype="<f8").reshape(-1, k)
+        out += struct.pack("<I", arr.shape[0])
+        out += arr.tobytes()
+    elif g.gt == POLYGON:
+        out += struct.pack("<I", len(g.data))
+        for ring in g.data:
+            arr = np.asarray(ring, dtype="<f8").reshape(-1, k)
+            out += struct.pack("<I", arr.shape[0])
+            out += arr.tobytes()
+    elif g.gt in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON):
+        sub_gt = {MULTIPOINT: POINT, MULTILINESTRING: LINESTRING, MULTIPOLYGON: POLYGON}[g.gt]
+        out += struct.pack("<I", len(g.data))
+        for part in g.data:
+            _write_body(Geom(sub_gt, part, g.has_z, g.has_m), out)
+    else:  # collection
+        out += struct.pack("<I", len(g.data))
+        for sub in g.data:
+            _write_body(sub, out)
+
+
+def to_wkb(g: Geom, srid: int = 0) -> bytes:
+    out = bytearray()
+    _write_body(g, out, srid=srid)
+    return bytes(out)
+
+
+# ---- vectorized point fast path --------------------------------------
+# A 2-D point WKB is exactly 21 bytes: 01 01000000 <x f64> <y f64>.
+POINT_WKB_LEN = 21
+_POINT_PREFIX = struct.pack("<BI", 1, POINT)
+
+
+def points_to_wkb_array(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Vectorized (x, y) -> WKB bytes, no per-row Python struct calls."""
+    n = len(xs)
+    buf = np.empty((n, POINT_WKB_LEN), dtype=np.uint8)
+    buf[:, :5] = np.frombuffer(_POINT_PREFIX, dtype=np.uint8)
+    buf[:, 5:13] = np.asarray(xs, dtype="<f8").reshape(n, 1).view(np.uint8)
+    buf[:, 13:21] = np.asarray(ys, dtype="<f8").reshape(n, 1).view(np.uint8)
+    raw = buf.tobytes()
+    return np.array([raw[i * POINT_WKB_LEN:(i + 1) * POINT_WKB_LEN] for i in range(n)], dtype=object)
+
+
+def wkb_array_to_points(vals) -> "np.ndarray | None":
+    """If every element is a 21-byte LE 2-D point WKB, return (n, 2) float64.
+
+    Returns None when the fast path doesn't apply (mixed types, big-endian,
+    Z/M, nulls handled by caller).
+    """
+    n = len(vals)
+    if n == 0:
+        return np.empty((0, 2))
+    joined = b"".join(vals)
+    if len(joined) != n * POINT_WKB_LEN:
+        return None
+    raw = np.frombuffer(joined, dtype=np.uint8).reshape(n, POINT_WKB_LEN)
+    prefix = np.frombuffer(_POINT_PREFIX, dtype=np.uint8)
+    if not np.all(raw[:, :5] == prefix):
+        return None
+    xs = raw[:, 5:13].copy().view("<f8").reshape(n)
+    ys = raw[:, 13:21].copy().view("<f8").reshape(n)
+    return np.column_stack([xs, ys])

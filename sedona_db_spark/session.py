@@ -1,0 +1,97 @@
+"""SparkSession factory + function registration for sedona_db_spark.
+
+Mirrors the role of the reference's ``SedonaContext`` builder
+(/root/reference/rust/sedona/src/context.rs:317-355) which assembles the
+function set and planner extensions at session-build time.  Here the same
+step is `configure()` (tuned confs) + `register_all()` (ST_* UDFs, SQL
+names).
+
+Design notes (100 TB posture):
+- AQE on: runtime coalescing, skew-join splitting, dynamic broadcast.
+- Arrow exchange on: every pandas UDF crosses JVM<->Python as Arrow
+  batches, never rows.
+- shuffle.partitions defaults to 2x cores locally; on a real cluster the
+  caller overrides (or relies on AQE coalescing from a higher number).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+    # driver testdata events.parquet carries timestamp[ns]; read as long
+    # and convert to TimestampType in load_tables
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+}
+
+
+def configure(builder: SparkSession.Builder, cpus: int | None = None) -> SparkSession.Builder:
+    """Apply engine defaults to a SparkSession builder."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    builder = builder.config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+    for k, v in _DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    return builder
+
+
+def get_spark(app_name: str = "sedona_db_spark", master: str | None = None) -> SparkSession:
+    """Create (or get) a configured SparkSession with all functions registered."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    builder = configure(SparkSession.builder.master(master).appName(app_name), cpus=cpus)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    register_all(spark)
+    return spark
+
+
+def register_all(spark: SparkSession) -> SparkSession:
+    """Register every ST_* / RS_* / pipeline function for SQL use.
+
+    Equivalent of the reference's function-set registration
+    (/root/reference/rust/sedona-functions/src/register.rs:39-128).
+    Idempotent: re-registration overwrites.
+    """
+    from sedona_db_spark.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
+    """Register the driver testdata parquet tables as temp views.
+
+    Returns {name: DataFrame}. Views: region nation customer supplier part
+    orders lineitem events documents embeddings (TESTDATA.md).
+    """
+    names = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out = {}
+    for n in names:
+        path = os.path.join(sf_dir, f"{n}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            # timestamp[ns] columns arrive as long (nanosAsLong) — convert
+            for field in df.schema.fields:
+                if field.name == "ts" and field.dataType.typeName() in ("long", "bigint"):
+                    from pyspark.sql import functions as F
+                    df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            df.createOrReplaceTempView(n)
+            out[n] = df
+    return out
