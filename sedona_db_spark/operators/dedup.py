@@ -1,0 +1,148 @@
+"""Deduplication operators for training-data pipelines (north-star ops).
+
+Not in the geospatial reference; designed Spark-first for 100 TB:
+- exact_dedup: one hash-shuffle, keeps deterministic winner per key.
+- minhash_lsh_dedup: shingle -> MinHash signature (Arrow-batched UDF) ->
+  band-bucket equi-join (LSH) -> signature-overlap verification (native
+  array ops) -> remove docs having a duplicate with a smaller id.  Only
+  shuffles are the band groupBy and the pair join — no cross join ever.
+- simhash_dedup: 64-bit SimHash, banded into 4x16-bit chunks (any pair at
+  hamming distance <= 3 shares at least one chunk — pigeonhole), verified
+  with native bit_count.
+- ngram_jaccard_pairs: exact n-gram Jaccard via explode + equi-join +
+  count aggregation; fully native SQL (DuckDB-oracle-able).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sedona_db_spark.functions import text as tx
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None,
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (the min id) per exact content hash."""
+    if cols is None:
+        cols = [c for c in df.columns if c != id_col]
+    key = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]))
+    w = Window.partitionBy(key.alias("__k") if False else key).orderBy(F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(
+        Window.partitionBy(key).orderBy(F.col(id_col))))
+        .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized-content fingerprint (md5 of
+    whitespace-collapsed lowercase text)."""
+    fp = tx.doc_fingerprint(F.col(text_col))
+    return (df.withColumn("__fp", fp)
+            .withColumn("__rn", F.row_number().over(
+                Window.partitionBy("__fp").orderBy(F.col(id_col))))
+            .filter(F.col("__rn") == 1).drop("__rn", "__fp"))
+
+
+def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", num_perm: int = 64,
+                            bands: int = 16, shingle_k: int = 3,
+                            threshold: float = 0.5) -> DataFrame:
+    """(id_a, id_b, est_jaccard) candidate pairs via MinHash LSH.
+
+    est_jaccard = fraction of matching signature positions (unbiased
+    estimator of true shingle Jaccard).
+    """
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sig = tx.minhash_udf(num_perm=num_perm, shingle_k=shingle_k)
+    sdf = df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("sig"))
+    # band hash: native slice + hash of the slice
+    banded = sdf.select(
+        "id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias("bh"))
+            for b in range(bands)])).alias("bk"))
+    banded = banded.select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                    (F.col("a.bh") == F.col("b.bh")) &
+                    (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                           lambda v: v)) / F.lit(float(num_perm)))
+    return (pairs.withColumn("est_jaccard", est)
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("id_a", "id_b", "est_jaccard"))
+
+
+def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", threshold: float = 0.8,
+                      **kw) -> DataFrame:
+    """Drop every doc that near-duplicates a smaller-id doc (single pass,
+    non-transitive — the deterministic industry-standard policy)."""
+    pairs = minhash_candidate_pairs(df, text_col, id_col, threshold=threshold, **kw)
+    dupes = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dupes, on=id_col, how="left_anti")
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with 64-bit SimHash distance <= max_hamming.
+
+    Pigeonhole banding: 4 16-bit chunks; distance <= 3 implies an identical
+    chunk, so candidates = chunk-equality equi-join (one shuffle)."""
+    from sedona_db_spark.functions.text import simhash64_kernel
+    import pandas as pd
+    sim = F.pandas_udf(simhash64_kernel, returnType="long")
+    sdf = df.select(F.col(id_col).alias("id"), sim(F.col(text_col)).alias("sh"))
+    chunks = F.array(*[
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftrightunsigned(F.col("sh"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"))
+        for c in range(4)])
+    banded = sdf.select("id", "sh", F.explode(chunks).alias("b")) \
+                .select("id", "sh", F.col("b.chunk").alias("chunk"), F.col("b.ck").alias("ck"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b, (F.col("a.chunk") == F.col("b.chunk")) &
+                    (F.col("a.ck") == F.col("b.ck")) &
+                    (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (pairs.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5,
+                        prefilter_ratio: float = 0.0) -> DataFrame:
+    """Exact token n-gram Jaccard similarity pairs — native SQL only.
+
+    explode(distinct n-grams) -> equi-join on gram -> |A∩B| counts ->
+    jaccard = inter / (|A| + |B| - inter).  The gram join is the only
+    shuffle; at scale, rare-gram filtering (df < limit) bounds fanout.
+    """
+    toks = tx.tokens(F.col(text_col))
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    g = df.select(F.col(id_col).alias("id"), grams.alias("grams")) \
+          .withColumn("n_grams", F.size("grams"))
+    exploded = g.select("id", "n_grams", F.explode("grams").alias("gram"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (a.join(b, (F.col("a.gram") == F.col("b.gram")) &
+                    (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                      F.col("a.n_grams").alias("na"), F.col("b.n_grams").alias("nb"))
+             .agg(F.count("*").alias("inter")))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (inter.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (north-star ops).
+
+`embeddings` table: vec_id bigint, embedding array<float>, label int.
+
+- brute_force_topk: exact cosine top-k, 100% native Catalyst expressions
+  (F.zip_with/F.aggregate compile to JVM codegen — no Python in the hot
+  path).  One TakeOrderedAndProject, no shuffle of the full table.
+- cosine_self_join_topk: exact k-NN graph per vector at small scale
+  (window over grid-free join) — used as the correctness oracle.
+- lsh_topk: random-hyperplane (sign) LSH — signature via a seeded numpy
+  pandas UDF, Hamming-banded bucket join, exact re-rank inside buckets.
+  The scale path: buckets bound candidate sets, no O(n^2) anywhere.
+- embedding_near_dup_pairs: near-duplicate pairs by cosine >= threshold,
+  LSH-bucketed with exact verification.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _cosine_expr(vec_col, qlit):
+    """Native cosine similarity between an array column and a literal."""
+    dot = F.aggregate(F.zip_with(vec_col, qlit, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    n1 = F.sqrt(F.aggregate(F.transform(vec_col, lambda a: a * a),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    n2 = F.sqrt(F.aggregate(F.transform(qlit, lambda a: a * a),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (n1 * n2)
+
+
+def query_literal(vec: list[float]):
+    return F.array(*[F.lit(float(v)).cast("double") for v in vec])
+
+
+def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact cosine top-k against one query vector (native, no UDF)."""
+    qlit = query_literal(query_vec)
+    cos = _cosine_expr(F.col(vec_col).cast("array<double>"), qlit)
+    return (df.select(F.col(id_col), cos.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k))
+
+
+_SIG_BITS = 16
+
+
+def _hyperplanes(dim: int, bits: int = _SIG_BITS, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((bits, dim)).astype(np.float64)
+
+
+def _pack_bits(bitsv: np.ndarray) -> int:
+    return int(bitsv.astype(np.uint64) @ (np.uint64(1) << np.arange(len(bitsv), dtype=np.uint64)))
+
+
+def lsh_signature_udf(dim: int, bits: int = _SIG_BITS, seed: int = 7):
+    planes = _hyperplanes(dim, bits, seed)
+
+    def sig(vs: pd.Series) -> pd.Series:
+        out = []
+        for v in vs:
+            if v is None:
+                out.append(None)
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            out.append(_pack_bits(planes @ x > 0))
+        return pd.Series(out, dtype=object)
+    return F.pandas_udf(sig, returnType=T.LongType())
+
+
+def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             bits: int = _SIG_BITS, max_hamming: int = 3, seed: int = 7) -> DataFrame:
+    """ANN top-k: restrict to vectors whose LSH signature is within
+    `max_hamming` bits of the query's, then exact cosine re-rank.
+    Recall is tunable via bits/max_hamming; candidates shrink ~2^-bits."""
+    dim = len(query_vec)
+    sig_udf = lsh_signature_udf(dim, bits, seed)
+    planes = _hyperplanes(dim, bits, seed)
+    qx = np.asarray(query_vec, dtype=np.float64)
+    qsig = _pack_bits(planes @ qx > 0)
+    cand = (df.withColumn("__sig", sig_udf(F.col(vec_col)))
+            .filter(F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig))) <= max_hamming))
+    qlit = query_literal(query_vec)
+    cos = _cosine_expr(F.col(vec_col).cast("array<double>"), qlit)
+    return (cand.select(F.col(id_col), cos.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k))
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                             vec_col: str = "embedding", id_col: str = "vec_id",
+                             bits: int = _SIG_BITS, band_bits: int = 8,
+                             seed: int = 7) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine >= threshold.
+
+    LSH bucket join on signature bands (pigeonhole over hamming radius),
+    exact native cosine verification on candidates only."""
+    first = df.select(vec_col).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double")
+    dim = len(first[0])
+    sig_udf = lsh_signature_udf(dim, bits, seed)
+    sdf = df.select(F.col(id_col).alias("id"),
+                    F.col(vec_col).cast("array<double>").alias("v")) \
+            .withColumn("sig", sig_udf(F.col("v")))
+    nbands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    bandc = F.array(*[
+        F.struct(F.lit(c).alias("band"),
+                 F.shiftrightunsigned(F.col("sig"), c * band_bits)
+                 .bitwiseAND(F.lit(mask)).alias("bh"))
+        for c in range(nbands)])
+    banded = sdf.select("id", "v", F.explode(bandc).alias("b")) \
+                .select("id", "v", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
+                                        F.lit(0.0), lambda acc, x: acc + x))
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                    (F.col("a.bh") == F.col("b.bh")) &
+                    (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     (dot / (norm(F.col("a.v")) * norm(F.col("b.v")))).alias("cosine"))
+             .dropDuplicates(["id_a", "id_b"]))
+    return pairs.filter(F.col("cosine") >= threshold)
+
+
+def pairwise_topk_native(df: DataFrame, k: int, vec_col: str = "embedding",
+                         id_col: str = "vec_id", sample_ids: list[int] | None = None) -> DataFrame:
+    """Exact top-k neighbors for each of a set of query ids against the full
+    table (native join + window).  Small-scale oracle for ANN recall."""
+    from pyspark.sql import Window
+    q = df.select(F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv"))
+    if sample_ids is not None:
+        q = q.filter(F.col("qid").isin(sample_ids))
+    c = df.select(F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv"))
+    dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda col: F.sqrt(F.aggregate(F.transform(col, lambda x: x * x),
+                                          F.lit(0.0), lambda acc, x: acc + x))
+    joined = (q.crossJoin(c).filter(F.col("qid") != F.col("cid"))
+              .withColumn("cosine", dot / (norm(F.col("qv")) * norm(F.col("cv")))))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (joined.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("qid", F.col("cid"), "cosine", "rk"))
