@@ -1,0 +1,80 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline query suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries are forced to full materialization with a noop write (no driver
+collect cost, no result serialization — pure engine time).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3_top10",
+    "tpch_q5_nation_rev",
+    "window_rownum",
+    "events_sessionization",
+    "events_hourly_counts",
+    "st_point_accessors",
+    "st_distance_pairs",
+    "st_contains_point_in_box",
+    "spatial_join_grid_within",
+    "spatial_join_broadcast_within",
+    "knn_join_k3",
+    "st_buffer_area",
+    "text_token_stats",
+    "text_quality_score",
+    "text_fingerprint_dedup",
+    "dedup_minhash_pairs",
+    "text_ngram_jaccard_pairs",
+    "sim_cosine_topk",
+    "sim_label_centroid_dist",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from sedona_db_spark import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+        except Exception as e:  # report but keep the suite going
+            dt = time.time() - t0
+            timings[name] = -1.0
+            print(f"# bench error {name}: {e}", file=sys.stderr)
+            continue
+        timings[name] = round(dt, 3)
+        total += dt
+    print(json.dumps({
+        "metric": "headline_suite_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

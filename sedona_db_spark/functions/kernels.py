@@ -71,10 +71,87 @@ def _unary_geom(fn):
 
 def _binary(fn):
     def run(s1: pd.Series, s2: pd.Series) -> pd.Series:
-        g1s, g2s = _decode(s1), _decode(s2)
+        g1s, g2s = _decode_cached(s1), _decode_cached(s2)
         return pd.Series(
             [None if (a is None or b is None) else fn(a, b) for a, b in zip(g1s, g2s)],
             dtype=object)
+    return run
+
+
+def _decode_cached(s: pd.Series) -> list:
+    """Decode with per-batch memoization — pair joins repeat the same WKB
+    (e.g. 25 polygons against 150k points); decode each distinct once."""
+    cache: dict = {}
+    out = []
+    for b in s:
+        if b is None:
+            out.append(None)
+            continue
+        g = cache.get(b)
+        if g is None:
+            g = core.from_wkb(b)
+            cache[b] = g
+        out.append(g)
+    return out
+
+
+# position-threshold per predicate for the vectorized polygon-vs-points
+# fast path: (needs_flip, min_position) where position: 1 in, 0 bdry, -1 out
+_PT_POLY_PRED = {
+    # predicate(poly, point)
+    "contains": (False, 1), "covers": (False, 0), "intersects": (False, 0),
+    # predicate(point, poly)
+    "within": (True, 1), "covered_by": (True, 0),
+}
+
+
+def _pred_fast(name: str):
+    """Vectorized predicate when one side is uniform 2-D points and the
+    other has few distinct polygon WKBs (the spatial-join shape)."""
+    from sedona_db_spark.geom import algorithms as alg2
+
+    flip_needed, min_pos = _PT_POLY_PRED[name]
+
+    def run(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        poly_s, pt_s = (s2, s1) if flip_needed else (s1, s2)
+        pts = _fast_points(pt_s)
+        if pts is not None:
+            vals = poly_s.to_numpy(dtype=object)
+            distinct = set()
+            ok = True
+            for v in vals:
+                if v is None:
+                    ok = False
+                    break
+                distinct.add(v)
+                if len(distinct) > 64:
+                    ok = False
+                    break
+            if ok:
+                cache = {}
+                good = True
+                for b in distinct:
+                    g = core.from_wkb(b)
+                    if (g.dimension() != 2 or list(g.lines()) or list(g.points())
+                            or not list(g.polygons())):
+                        good = False
+                        break
+                    cache[b] = g
+                if good:
+                    res = np.empty(len(pt_s), dtype=bool)
+                    for b, g in cache.items():
+                        mask = np.fromiter((v == b for v in vals), dtype=bool,
+                                           count=len(vals))
+                        pos = alg2.points_position_batch(pts[mask], g)
+                        res[mask] = pos >= min_pos
+                    return pd.Series(res)
+        # general path
+        from sedona_db_spark.geom import algorithms as alg
+        fn = getattr(alg, name)
+        g1s, g2s = _decode_cached(s1), _decode_cached(s2)
+        return pd.Series(
+            [None if (a is None or b is None) else bool(fn(a, b))
+             for a, b in zip(g1s, g2s)], dtype=object)
     return run
 
 
@@ -588,12 +665,13 @@ KERNELS: dict[str, tuple] = {
     "ST_Boundary": (k_boundary, BIN, "g"),
     "ST_SRID": (k_srid, INT, "g"),
     "ST_SetSRID": (k_setsrid, BIN, "gi"),
-    # predicates
-    "ST_Intersects": (_pred(alg.intersects), BOOL, "gg"),
-    "ST_Contains": (_pred(alg.contains), BOOL, "gg"),
-    "ST_Within": (_pred(alg.within), BOOL, "gg"),
-    "ST_Covers": (_pred(alg.covers), BOOL, "gg"),
-    "ST_CoveredBy": (_pred(alg.covered_by), BOOL, "gg"),
+    # predicates (contains/within family gets the vectorized
+    # polygon-vs-points fast path)
+    "ST_Intersects": (_pred_fast("intersects"), BOOL, "gg"),
+    "ST_Contains": (_pred_fast("contains"), BOOL, "gg"),
+    "ST_Within": (_pred_fast("within"), BOOL, "gg"),
+    "ST_Covers": (_pred_fast("covers"), BOOL, "gg"),
+    "ST_CoveredBy": (_pred_fast("covered_by"), BOOL, "gg"),
     "ST_Touches": (_pred(alg.touches), BOOL, "gg"),
     "ST_Crosses": (_pred(alg.crosses), BOOL, "gg"),
     "ST_Overlaps": (_pred(alg.overlaps), BOOL, "gg"),

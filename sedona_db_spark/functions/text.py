@@ -112,14 +112,10 @@ _MAX_HASH = (1 << 32) - 1
 
 
 def _hash_tokens_np(toks: list[str]) -> np.ndarray:
-    """Stable 32-bit hashes of tokens (FNV-1a, numpy-reduced)."""
-    out = np.empty(len(toks), dtype=np.uint64)
-    for i, t in enumerate(toks):
-        h = np.uint64(14695981039346656037)
-        for b in t.encode("utf-8"):
-            h = np.uint64((int(h) ^ b) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return (out & np.uint64(_MAX_HASH)).astype(np.uint64)
+    """Stable 32-bit hashes of tokens (crc32 — C-speed, deterministic)."""
+    from zlib import crc32
+    return np.fromiter((crc32(t.encode("utf-8")) for t in toks),
+                       dtype=np.uint64, count=len(toks))
 
 
 def _shingles(text: str, k: int) -> list[str]:
@@ -158,7 +154,8 @@ def minhash_signature_kernel(texts: pd.Series, num_perm: int = 64,
 
 
 def simhash64_kernel(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over token FNV hashes."""
+    """64-bit SimHash over token hashes (crc32 split-mixed to 64 bits)."""
+    from zlib import crc32
     out = []
     for t in texts:
         if t is None:
@@ -168,18 +165,17 @@ def simhash64_kernel(texts: pd.Series) -> pd.Series:
         if not toks:
             out.append(0)
             continue
-        hv = np.empty(len(toks), dtype=np.uint64)
-        for i, tok in enumerate(toks):
-            h = 14695981039346656037
-            for byte in tok.encode("utf-8"):
-                h = ((h ^ byte) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-            hv[i] = h
+        hv = np.fromiter((crc32(tok.encode("utf-8")) for tok in toks),
+                         dtype=np.uint64, count=len(toks))
+        # splitmix64 to spread 32-bit crc across 64 bits
+        hv = (hv * np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        hv ^= hv >> np.uint64(31)
+        hv = (hv * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        hv ^= hv >> np.uint64(27)
         bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
         score = (2 * bits - 1).sum(axis=0)
-        sim = np.uint64(0)
-        for j in range(64):
-            if score[j] > 0:
-                sim |= np.uint64(1) << np.uint64(j)
+        sim = ((score > 0).astype(np.uint64)
+               << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
         out.append(int(np.int64(sim)))  # signed for Spark LongType
     return pd.Series(out, dtype=object)
 

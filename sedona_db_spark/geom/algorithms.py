@@ -213,6 +213,51 @@ def _point_in_polygon(p, poly_rings) -> int:
     return 1
 
 
+def points_in_ring_batch(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized _point_in_ring for many points: (n,) of {1, 0, -1}."""
+    x = pts[:, 0:1]          # (n,1)
+    y = pts[:, 1:2]
+    xs, ys = ring[:, 0][None, :], ring[:, 1][None, :]   # (1,m)
+    x2, y2 = np.roll(ring[:, 0], -1)[None, :], np.roll(ring[:, 1], -1)[None, :]
+    dx, dy = x2 - xs, y2 - ys
+    cross = (x - xs) * dy - (y - ys) * dx                # (n,m)
+    within_x = (np.minimum(xs, x2) - _EPS <= x) & (x <= np.maximum(xs, x2) + _EPS)
+    within_y = (np.minimum(ys, y2) - _EPS <= y) & (y <= np.maximum(ys, y2) + _EPS)
+    seg_len2 = dx * dx + dy * dy
+    tol = 1e-9 * np.sqrt(np.maximum(seg_len2, 1.0))
+    on_boundary = ((np.abs(cross) <= tol) & within_x & within_y).any(axis=1)
+    cond = (ys > y) != (y2 > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xi = xs + (y - ys) / (y2 - ys) * (x2 - xs)
+    crossings = (cond & (x < xi)).sum(axis=1)
+    out = np.where(crossings % 2 == 1, 1, -1)
+    out[on_boundary] = 0
+    return out
+
+
+def points_in_polygon_batch(pts: np.ndarray, poly_rings) -> np.ndarray:
+    """Vectorized _point_in_polygon (with holes) for many points."""
+    res = points_in_ring_batch(pts, poly_rings[0])
+    for hole in poly_rings[1:]:
+        h = points_in_ring_batch(pts, hole)
+        res = np.where((res == 1) & (h == 1), -1, res)
+        res = np.where((res == 1) & (h == 0), 0, res)
+    return res
+
+
+def points_position_batch(pts: np.ndarray, g: Geom) -> np.ndarray:
+    """Vectorized point_position for a pure-polygon geometry; falls back to
+    the scalar path for mixed geometries."""
+    polys = list(g.polygons())
+    if polys and g.dimension() == 2 and not list(g.lines()) and not list(g.points()):
+        res = np.full(len(pts), -1, dtype=np.int64)
+        for poly in polys:
+            r = points_in_polygon_batch(pts, poly)
+            res = np.maximum(res, r)
+        return res
+    return np.array([point_position(p, g) for p in pts], dtype=np.int64)
+
+
 def point_position(p, g: Geom) -> int:
     """Locate point vs geometry: 1 interior, 0 boundary, -1 exterior."""
     best = -1

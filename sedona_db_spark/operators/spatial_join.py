@@ -95,6 +95,14 @@ def _refine_udf(predicate: str, distance_expr: bool):
                 False if (a is None or b is None) else bool(alg.dwithin(a, b, dd))
                 for a, b, dd in zip(g1, g2, dv)], dtype=object)
         return F.pandas_udf(refine, returnType=T.BooleanType())
+    from sedona_db_spark.functions.kernels import _PT_POLY_PRED, _pred_fast
+    if predicate in _PT_POLY_PRED:
+        fast = _pred_fast(predicate)
+
+        def refine_fast(s1: pd.Series, s2: pd.Series) -> pd.Series:
+            r = fast(s1, s2)
+            return r.fillna(False) if r.dtype == object else r
+        return F.pandas_udf(refine_fast, returnType=T.BooleanType())
     fn = _PREDICATES[predicate]
 
     def refine2(s1: pd.Series, s2: pd.Series) -> pd.Series:

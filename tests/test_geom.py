@@ -1,0 +1,209 @@
+"""Geometry engine unit tests (no Spark).
+
+Edge-case matrix follows the reference's predicate tests
+(/root/reference/python/sedonadb/tests/functions/test_predicates.py:21-97):
+NULL/EMPTY handling, boundary-touch semantics, holes, collections.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from sedona_db_spark.geom import algorithms as alg
+from sedona_db_spark.geom import core, wkt
+
+W = wkt.from_wkt
+
+ROUNDTRIP = [
+    "POINT (1 2)",
+    "POINT EMPTY",
+    "POINT Z (1 2 3)",
+    "LINESTRING (0 0, 1 1, 2 0)",
+    "LINESTRING EMPTY",
+    "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+    "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+    "MULTIPOINT ((1 1), (2 2))",
+    "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+    "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))",
+    "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))",
+    "GEOMETRYCOLLECTION EMPTY",
+]
+
+
+@pytest.mark.parametrize("text", ROUNDTRIP)
+def test_wkt_wkb_roundtrip(text):
+    g = W(text)
+    assert wkt.to_wkt(core.from_wkb(core.to_wkb(g))) == text
+
+
+def test_ewkb_srid_roundtrip():
+    g = W("SRID=4326;POINT (1 2)")
+    assert g.srid == 4326
+    b = core.to_wkb(g, srid=4326)
+    assert core.from_wkb(b).srid == 4326
+
+
+POLY = W("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")
+
+
+def test_measures():
+    assert alg.area(POLY) == 96.0
+    assert alg.perimeter(POLY) == 48.0
+    assert alg.length(W("LINESTRING (0 0, 3 4)")) == 5.0
+    assert alg.length(POLY) == 0.0  # PostGIS: polygons have length 0
+    assert alg.centroid(W("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")) == (5.0, 5.0)
+
+
+# (a, b, intersects, contains(a,b), touches)
+PREDICATE_CASES = [
+    ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "POINT (5 5)", True, True, False),
+    ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "POINT (0 5)", True, False, True),  # boundary
+    ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "POINT (15 5)", False, False, False),
+    # point in hole
+    ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+     "POINT (3 3)", False, False, False),
+    # edge-adjacent boxes
+    ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))",
+     True, False, True),
+    # overlapping boxes
+    ("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))",
+     True, False, False),
+    # nested boxes
+    ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "POLYGON ((2 2, 3 2, 3 3, 2 3, 2 2))",
+     True, True, False),
+    # line crossing polygon
+    ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "LINESTRING (-5 5, 15 5)",
+     True, False, False),
+    # collection containing point
+    ("GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), POINT (9 9))",
+     "POINT (2 2)", True, True, False),
+]
+
+
+@pytest.mark.parametrize("a,b,inter,cont,touch", PREDICATE_CASES)
+def test_predicates(a, b, inter, cont, touch):
+    ga, gb = W(a), W(b)
+    assert alg.intersects(ga, gb) == inter
+    assert alg.intersects(gb, ga) == inter  # symmetry
+    assert alg.contains(ga, gb) == cont
+    assert alg.within(gb, ga) == cont
+    assert alg.touches(ga, gb) == touch
+    assert alg.disjoint(ga, gb) == (not inter)
+
+
+def test_empty_semantics():
+    e = W("POINT EMPTY")
+    p = W("POINT (1 1)")
+    assert not alg.intersects(e, p)
+    assert not alg.contains(p, e)
+    assert alg.distance(e, p) is None
+
+
+def test_covers_vs_contains_boundary():
+    box = W("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    edge_pt = W("POINT (0 5)")
+    assert alg.covers(box, edge_pt) is True
+    assert alg.contains(box, edge_pt) is False
+
+
+def test_crosses_overlaps_equals():
+    box = W("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    line = W("LINESTRING (-5 5, 15 5)")
+    assert alg.crosses(line, box)
+    assert not alg.crosses(W("LINESTRING (1 1, 2 2)"), box)  # fully inside
+    a = W("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    b = W("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")
+    assert alg.overlaps(a, b)
+    assert alg.equals(a, W("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"))
+    assert alg.equals(a, W("POLYGON ((2 0, 2 2, 0 2, 0 0, 2 0))"))  # rotated ring
+
+
+def test_distance_and_dwithin():
+    assert alg.distance(W("POINT (0 0)"), W("POINT (3 4)")) == 5.0
+    d = alg.distance(W("POINT (15 5)"), W("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"))
+    assert d == 5.0
+    assert alg.dwithin(W("POINT (0 0)"), W("POINT (3 4)"), 5.0)
+    assert not alg.dwithin(W("POINT (0 0)"), W("POINT (3 4)"), 4.9)
+    # segment-segment
+    assert alg.distance(W("LINESTRING (0 0, 0 10)"), W("LINESTRING (3 0, 3 10)")) == 3.0
+
+
+def test_convex_hull():
+    h = alg.convex_hull(W("MULTIPOINT ((0 0), (4 0), (4 4), (0 4), (2 2))"))
+    assert alg.area(h) == 16.0
+    assert h.gt == core.POLYGON
+    # degenerate
+    assert alg.convex_hull(W("MULTIPOINT ((1 1), (1 1))")).gt == core.POINT
+
+
+def test_buffer_point_area():
+    buf = alg.buffer(W("POINT (0 0)"), 2.0, quad_segs=8)
+    n = 32
+    assert abs(alg.area(buf) - 0.5 * n * 4.0 * math.sin(2 * math.pi / n)) < 1e-9
+    assert abs(alg.area(buf) - math.pi * 4) / (math.pi * 4) < 0.01
+
+
+def test_simplify():
+    line = W("LINESTRING (0 0, 1 0.01, 2 0, 3 0.01, 4 0)")
+    s = alg.simplify(line, 0.1)
+    assert len(s.data) == 2
+    s2 = alg.simplify(line, 0.001)
+    assert len(s2.data) == 5
+
+
+def test_affine_ops():
+    p = W("POINT (1 2)")
+    assert wkt.to_wkt(alg.translate(p, 3, 4)) == "POINT (4 6)"
+    assert wkt.to_wkt(alg.scale(p, 2, 3)) == "POINT (2 6)"
+    r = alg.rotate(p, math.pi)
+    assert abs(r.data[0] + 1) < 1e-12 and abs(r.data[1] + 2) < 1e-12
+    assert wkt.to_wkt(alg.flip_coordinates(p)) == "POINT (2 1)"
+
+
+def test_line_ops():
+    line = W("LINESTRING (0 0, 10 0)").data
+    assert list(alg.line_interpolate_point(line, 0.3)) == [3.0, 0.0]
+    assert alg.line_locate_point(line, np.array([3.0, 5.0])) == 0.3
+    sub = alg.line_substring(line, 0.2, 0.5)
+    assert list(sub[0]) == [2.0, 0.0] and list(sub[-1]) == [5.0, 0.0]
+    seg = alg.segmentize(W("LINESTRING (0 0, 10 0)"), 3.0)
+    assert len(seg.data) == 5
+
+
+def test_intersection_convex_clip():
+    a = W("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    b = alg.box_polygon(5, 5, 15, 15)
+    out = alg.intersection(a, b)
+    assert abs(alg.area(out) - 25.0) < 1e-9
+    # line clip
+    line = W("LINESTRING (-5 5, 15 5)")
+    li = alg.intersection(line, a)
+    assert abs(alg.length(li) - 10.0) < 0.2  # sampled clip tolerance
+
+
+def test_validity():
+    bowtie = W("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))")
+    assert not alg.is_valid(bowtie)
+    assert alg.is_valid(POLY)
+    assert alg.is_simple(W("LINESTRING (0 0, 1 1)"))
+    assert not alg.is_simple(W("LINESTRING (0 0, 2 2, 2 0, 0 2)"))
+
+
+def test_batch_point_in_polygon_matches_scalar():
+    rng = np.random.RandomState(42)
+    pts = rng.uniform(-2, 12, size=(500, 2))
+    batch = alg.points_position_batch(pts, POLY)
+    scalar = np.array([alg.point_position(p, POLY) for p in pts])
+    assert (batch == scalar).all()
+
+
+def test_point_fast_paths():
+    xs = np.array([1.0, 2.5, -3.0])
+    ys = np.array([4.0, -5.5, 6.0])
+    arr = core.points_to_wkb_array(xs, ys)
+    back = core.wkb_array_to_points(list(arr))
+    assert np.allclose(back, np.column_stack([xs, ys]))
+    # non-point rejects fast path
+    mixed = list(arr) + [core.to_wkb(W("LINESTRING (0 0, 1 1)"))]
+    assert core.wkb_array_to_points(mixed) is None

@@ -1,0 +1,194 @@
+"""Distributed operator tests: spatial joins, KNN, dedup, similarity."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def cust_pts(spark):
+    return spark.sql("""
+      SELECT c_custkey, ST_Point(abs(c_acctbal) % 100.0, (c_custkey % 1000) / 10.0) AS geom,
+             abs(c_acctbal) % 100.0 AS px, (c_custkey % 1000) / 10.0 AS py
+      FROM customer
+    """).cache()
+
+
+@pytest.fixture(scope="module")
+def boxes(spark):
+    return spark.sql("""
+      SELECT n_nationkey,
+             ST_MakeEnvelope(CAST(n_nationkey % 5 AS DOUBLE) * 20.0,
+                             CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0,
+                             CAST(n_nationkey % 5 AS DOUBLE) * 20.0 + 20.0,
+                             CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 + 20.0) AS geom
+      FROM nation
+    """).cache()
+
+
+def _expected_within(spark):
+    return spark.sql("""
+      SELECT count(*) AS n FROM
+      (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px, (c_custkey % 1000) / 10.0 AS py FROM customer) c
+      JOIN (SELECT n_nationkey,
+                   CAST(n_nationkey % 5 AS DOUBLE) * 20.0 AS x0,
+                   CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 AS y0 FROM nation) n
+      ON c.px > n.x0 AND c.px < n.x0 + 20.0 AND c.py > n.y0 AND c.py < n.y0 + 20.0
+    """).first()["n"]
+
+
+def test_spatial_join_paths_agree(spark, cust_pts, boxes):
+    from sedona_db_spark.operators.spatial_join import spatial_join
+    expected = _expected_within(spark)
+    left = cust_pts.select("c_custkey", "geom")
+    right = boxes.select("n_nationkey", "geom")
+    nb = spatial_join(left, right, predicate="within", broadcast_threshold=10**7).count()
+    ng = spatial_join(left, right, predicate="within", broadcast_threshold=1).count()
+    assert nb == expected
+    assert ng == expected
+
+
+def test_spatial_join_column_collision(spark, cust_pts, boxes):
+    from sedona_db_spark.operators.spatial_join import spatial_join
+    out = spatial_join(cust_pts.select("c_custkey", "geom"),
+                       boxes.select("n_nationkey", "geom"),
+                       predicate="within")
+    assert "right_geom" in out.columns  # collision prefixed
+
+
+def test_distance_join_symmetric_count(spark, cust_pts):
+    from sedona_db_spark.operators.spatial_join import spatial_join
+    small = cust_pts.select("c_custkey", "geom").filter("c_custkey < 200")
+    other = small.withColumnRenamed("c_custkey", "k2")
+    n = (spatial_join(small, other, predicate="intersects", distance=5.0,
+                      broadcast_threshold=10**7)
+         .filter("c_custkey < k2").count())
+    exp = spark.sql("""
+      SELECT count(*) AS n FROM
+      (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px, (c_custkey % 1000)/10.0 AS py
+       FROM customer WHERE c_custkey < 200) a
+      JOIN (SELECT c_custkey AS k2, abs(c_acctbal) % 100.0 AS px, (c_custkey % 1000)/10.0 AS py
+            FROM customer WHERE c_custkey < 200) b
+      ON a.c_custkey < b.k2
+       AND sqrt(power(a.px - b.px, 2) + power(a.py - b.py, 2)) <= 5.0
+    """).first()["n"]
+    assert n == exp
+
+
+def test_knn_join_matches_brute_force(spark, cust_pts):
+    from sedona_db_spark.operators.knn_join import knn_join
+    queries = cust_pts.select("c_custkey", "geom").filter("c_custkey < 100")
+    objects = spark.sql("""
+      SELECT n_nationkey, ST_Point(CAST(n_nationkey % 5 AS DOUBLE) * 20.0 + 10.0,
+                                   CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 + 10.0) AS geom
+      FROM nation""")
+    got = {(r["c_custkey"], r["n_nationkey"])
+           for r in knn_join(queries, objects, k=3).collect()}
+    exp = {(r["c_custkey"], r["n_nationkey"]) for r in spark.sql("""
+      SELECT c_custkey, n_nationkey FROM (
+        SELECT c.c_custkey, n.n_nationkey,
+               row_number() OVER (PARTITION BY c.c_custkey
+                 ORDER BY sqrt(power(c.px - n.cx, 2) + power(c.py - n.cy, 2)), n.n_nationkey) AS rk
+        FROM (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px, (c_custkey % 1000)/10.0 AS py
+              FROM customer WHERE c_custkey < 100) c
+        CROSS JOIN (SELECT n_nationkey,
+                           CAST(n_nationkey % 5 AS DOUBLE) * 20.0 + 10.0 AS cx,
+                           CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 + 10.0 AS cy
+                    FROM nation) n) t
+      WHERE rk <= 3""").collect()}
+    assert got == exp
+
+
+def test_exact_dedup_idempotent(spark):
+    from sedona_db_spark.operators.dedup import exact_dedup, fingerprint_dedup
+    docs = spark.table("documents")
+    d1 = fingerprint_dedup(docs)
+    assert d1.count() <= docs.count()
+    assert fingerprint_dedup(d1).count() == d1.count()
+    dup = docs.union(docs)
+    assert exact_dedup(dup, ["text"], id_col="doc_id").count() == \
+        docs.select("text").distinct().count()
+
+
+def test_minhash_estimates_jaccard(spark):
+    from sedona_db_spark.operators.dedup import minhash_candidate_pairs
+    # construct docs with known overlap: b = a with half the tokens changed
+    base = " ".join(f"tok{i}" for i in range(100))
+    half = " ".join(f"tok{i}" for i in range(50)) + " " + \
+           " ".join(f"other{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, half)], "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in minhash_candidate_pairs(df, threshold=0.0, num_perm=128).collect()}
+    assert pairs[(1, 2)] == 1.0
+    if (1, 3) in pairs:
+        assert pairs[(1, 3)] < 0.75
+
+
+def test_simhash_identical_distance_zero(spark):
+    from sedona_db_spark.operators.dedup import simhash_pairs
+    df = spark.createDataFrame(
+        [(1, "hello world foo bar"), (2, "hello world foo bar"),
+         (3, "entirely different content here")],
+        "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(df, max_hamming=64).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_ngram_jaccard_exact(spark):
+    from sedona_db_spark.operators.dedup import ngram_jaccard_pairs
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")],
+        "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_brute_force_topk_and_lsh_recall(spark):
+    from sedona_db_spark.operators import similarity as simi
+    emb = spark.table("embeddings")
+    qv = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
+    bf = [r["vec_id"] for r in simi.brute_force_topk(emb, qv, k=10).collect()]
+    assert bf[0] == 0  # self-similarity = 1.0
+    lsh = [r["vec_id"] for r in simi.lsh_topk(emb, qv, k=10, max_hamming=8).collect()]
+    recall = len(set(bf) & set(lsh)) / 10
+    assert recall >= 0.5  # tunable ANN: generous bound for 500 random vecs
+
+
+def test_embedding_near_dup_finds_planted(spark):
+    from sedona_db_spark.operators.similarity import embedding_near_dup_pairs
+    rng = np.random.RandomState(0)
+    v1 = rng.standard_normal(64)
+    v2 = v1 + rng.standard_normal(64) * 0.01   # near-dup
+    v3 = rng.standard_normal(64)
+    df = spark.createDataFrame(
+        [(1, [float(x) for x in v1], 0), (2, [float(x) for x in v2], 0),
+         (3, [float(x) for x in v3], 1)],
+        "vec_id long, embedding array<float>, label int")
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(df, threshold=0.95).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_envelope_agg_native(spark):
+    from sedona_db_spark.functions.aggregates import envelope_agg
+    pts = spark.sql(
+        "SELECT c_nationkey, ST_Point(abs(c_acctbal) % 100.0, (c_custkey % 1000)/10.0) AS geom FROM customer")
+    env = envelope_agg(pts, ["c_nationkey"])
+    assert env.count() == 25
+    row = env.filter("c_nationkey = 0").first()
+    assert row["xmin"] <= row["xmax"] and row["ymin"] <= row["ymax"]
+
+
+def test_multimodal_features(spark):
+    from sedona_db_spark.operators import multimodal as mm
+    media = mm.make_demo_media(spark, 12)
+    feats = mm.extract_features(media)
+    rows = feats.select("media_id", F.size("features").alias("d")).collect()
+    assert all(r["d"] == mm.FEATURE_DIM for r in rows)
+    # determinism
+    again = mm.extract_features(media).orderBy("media_id").first()["features"]
+    first = feats.orderBy("media_id").first()["features"]
+    assert again == first
+    frames = mm.frame_sample_stub(media.filter("kind = 'video'"))
+    assert frames.count() == media.filter("kind = 'video'").count() * 5

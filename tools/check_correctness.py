@@ -1,0 +1,122 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark and the matching
+oracle_sql() in DuckDB at the given sf dir, compares row count, schema
+arity, and order-insensitive values (columns sorted by name, rows sorted).
+
+Usage: python tools/check_correctness.py [sf_dir] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def duck_con(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df.columns = [c.lower() for c in df.columns]
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype(str)
+    try:
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    except Exception:
+        df = df.reset_index(drop=True)
+    return df
+
+
+def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]:
+    s, o = normalize(sdf), normalize(odf)
+    if len(s) != len(o):
+        return False, f"rowcount spark={len(s)} oracle={len(o)}"
+    if list(s.columns) != list(o.columns):
+        return False, f"columns spark={list(s.columns)} oracle={list(o.columns)}"
+    for c in s.columns:
+        a, b = s[c].to_numpy(), o[c].to_numpy()
+        if np.issubdtype(s[c].dtype, np.floating) or np.issubdtype(o[c].dtype, np.floating):
+            a = a.astype(float)
+            b = b.astype(float)
+            an, bn = np.isnan(a), np.isnan(b)
+            if not (an == bn).all():
+                return False, f"col {c}: nan mismatch"
+            eq = np.isclose(a[~an], b[~bn], rtol=0, atol=1e-9)
+            if not eq.all():
+                i = int(np.argmin(eq))
+                return False, f"col {c}: value mismatch e.g. {a[~an][i]} vs {b[~bn][i]} ({int((~eq).sum())} rows)"
+            exact = (a[~an] == b[~bn]).all()
+            if not exact:
+                return True, "PASS(tol)"  # flag: rounding wobble, would fail a strict hash
+        else:
+            if not (a == b).all():
+                i = int(np.argmin(a == b))
+                return False, f"col {c}: value mismatch e.g. {a[i]!r} vs {b[i]!r}"
+    return True, "PASS"
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    filters = sys.argv[2:]
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    import __spark_entry__ as entrymod
+    from sedona_db_spark import get_spark
+    spark = get_spark("correctness")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duck_con(sf_dir)
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if filters and not any(f in name for f in filters):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {str(e).splitlines()[0][:200]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: rows={len(sdf)} cols={list(sdf.columns)} ({time.time()-t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL  {name}: ORACLE ERROR {str(e).splitlines()[0][:200]}")
+            n_fail += 1
+            continue
+        ok, msg = compare(sdf, odf)
+        status = "ok  " if ok else "FAIL"
+        print(f"{status}  {name}: {msg} rows={len(sdf)} ({time.time()-t0:.1f}s)")
+        n_pass += ok
+        n_fail += not ok
+    print(f"\n=== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ===")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
