@@ -716,6 +716,158 @@ KERNELS: dict[str, tuple] = {
         _binary(lambda a, b: core.to_wkb(alg.intersection(a, b))), BIN, "gg"),
 }
 
+
+# ----------------------------------------------------------------------
+# second wave: dump/points, overlay-subset, nearest, sphere distance
+# ----------------------------------------------------------------------
+
+def k_dump(s: pd.Series) -> pd.Series:
+    """array<binary> of the parts (ST_Dump; pair with explode())."""
+    out = []
+    for g in _decode(s):
+        if g is None:
+            out.append(None)
+        else:
+            out.append([core.to_wkb(p) for p in g.geometries()])
+    return pd.Series(out, dtype=object)
+
+
+def k_points(s: pd.Series) -> pd.Series:
+    """array<binary> of every vertex as POINT (ST_Points + explode)."""
+    out = []
+    for g in _decode(s):
+        if g is None:
+            out.append(None)
+        else:
+            out.append([core.to_wkb(Geom(core.POINT, c[:2]))
+                        for c in g.all_coords()])
+    return pd.Series(out, dtype=object)
+
+
+def k_makepolygon(s: pd.Series) -> pd.Series:
+    def one(g: Geom):
+        if g.gt != core.LINESTRING or len(g.data) < 4:
+            return None
+        ring = g.data
+        if not alg._close(ring[0], ring[-1]):
+            return None
+        return Geom(core.POLYGON, [ring])
+    return _unary_geom(one)(s)
+
+
+def k_closestpoint(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    def one(a, b):
+        np_ = alg.nearest_points(a, b)
+        return None if np_ is None else core.to_wkb(make_point(float(np_[0][0]), float(np_[0][1])))
+    g1s, g2s = _decode(s1), _decode(s2)
+    return pd.Series([None if (a is None or b is None) else one(a, b)
+                      for a, b in zip(g1s, g2s)], dtype=object)
+
+
+def k_shortestline(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    def one(a, b):
+        np_ = alg.nearest_points(a, b)
+        if np_ is None:
+            return None
+        return core.to_wkb(Geom(core.LINESTRING, np.vstack([np_[0], np_[1]])))
+    g1s, g2s = _decode(s1), _decode(s2)
+    return pd.Series([None if (a is None or b is None) else one(a, b)
+                      for a, b in zip(g1s, g2s)], dtype=object)
+
+
+def k_distance_sphere(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    """Great-circle distance in meters; inputs lon/lat points (vectorized
+    haversine on the uniform-point fast path)."""
+    p1, p2 = _fast_points(s1), _fast_points(s2)
+    if p1 is not None and p2 is not None:
+        R = alg._EARTH_RADIUS_M
+        lon1, lat1 = np.radians(p1[:, 0]), np.radians(p1[:, 1])
+        lon2, lat2 = np.radians(p2[:, 0]), np.radians(p2[:, 1])
+        a = (np.sin((lat2 - lat1) / 2) ** 2
+             + np.cos(lat1) * np.cos(lat2) * np.sin((lon2 - lon1) / 2) ** 2)
+        return pd.Series(2 * R * np.arcsin(np.minimum(1.0, np.sqrt(a))))
+
+    def one(a, b):
+        if a.gt != core.POINT or b.gt != core.POINT or a.data is None or b.data is None:
+            return None
+        return alg.haversine(a.data[0], a.data[1], b.data[0], b.data[1])
+    return _binary(one)(s1, s2)
+
+
+def k_force3d(s: pd.Series, z) -> pd.Series:
+    gs = _decode(s)
+    zv = _coerce(z, len(s))
+    out = []
+    for g, zz in zip(gs, zv):
+        if g is None:
+            out.append(None)
+            continue
+        zz = 0.0 if zz is None else float(zz)
+
+        def add_z(arr):
+            if arr is None:
+                return None
+            a = np.asarray(arr, dtype=np.float64)
+            if a.ndim == 1:
+                return np.append(a[:2], zz)
+            return np.column_stack([a[:, :2], np.full(len(a), zz)])
+
+        def conv(gg: Geom) -> Geom:
+            if gg.has_z:
+                return gg
+            if gg.gt == core.POINT:
+                return Geom(core.POINT, add_z(gg.data), True, False)
+            if gg.gt == core.LINESTRING:
+                return Geom(core.LINESTRING, add_z(gg.data), True, False)
+            if gg.gt == core.POLYGON:
+                return Geom(core.POLYGON, [add_z(r) for r in gg.data], True, False)
+            if gg.gt == core.MULTIPOINT:
+                return Geom(core.MULTIPOINT, [add_z(p) for p in gg.data], True, False)
+            if gg.gt == core.MULTILINESTRING:
+                return Geom(core.MULTILINESTRING, [add_z(l) for l in gg.data], True, False)
+            if gg.gt == core.MULTIPOLYGON:
+                return Geom(core.MULTIPOLYGON, [[add_z(r) for r in p] for p in gg.data], True, False)
+            return Geom(core.GEOMETRYCOLLECTION, [conv(x) for x in gg.data], True, False)
+        out.append(core.to_wkb(conv(g)))
+    return pd.Series(out, dtype=object)
+
+
+def k_zmflag(s: pd.Series) -> pd.Series:
+    return _unary(lambda g: int(g.has_z) * 2 + int(g.has_m))(s)
+
+
+def k_snap(s1: pd.Series, s2: pd.Series, tol) -> pd.Series:
+    g1s, g2s = _decode(s1), _decode(s2)
+    tv = _coerce(tol, len(s1))
+    out = []
+    for a, b, t in zip(g1s, g2s, tv):
+        if a is None or b is None or t is None:
+            out.append(None)
+        else:
+            out.append(core.to_wkb(alg.snap(a, b, float(t))))
+    return pd.Series(out, dtype=object)
+
+
+KERNELS.update({
+    "ST_Dump": (k_dump, T.ArrayType(BIN), "g"),
+    "ST_Points": (k_points, T.ArrayType(BIN), "g"),
+    "ST_MakePolygon": (k_makepolygon, BIN, "g"),
+    "ST_ClosestPoint": (k_closestpoint, BIN, "gg"),
+    "ST_ShortestLine": (k_shortestline, BIN, "gg"),
+    "ST_DistanceSphere": (k_distance_sphere, DBL, "gg"),
+    "ST_Force3D": (k_force3d, BIN, "gd"),
+    "ST_Force3DZ": (k_force3d, BIN, "gd"),
+    "ST_ZMFlag": (k_zmflag, INT, "g"),
+    "ST_Snap": (k_snap, BIN, "ggd"),
+    "ST_Normalize": (_unary_geom(alg.normalize), BIN, "g"),
+    "ST_Union": (_binary(lambda a, b: core.to_wkb(alg.union2(a, b))), BIN, "gg"),
+    "ST_Difference": (_binary(lambda a, b: core.to_wkb(alg.difference(a, b))), BIN, "gg"),
+    "ST_SymDifference": (_binary(lambda a, b: core.to_wkb(alg.sym_difference(a, b))), BIN, "gg"),
+    # dedupes point collections; lines/areas pass through (dissolve needs
+    # boolean ops — documented subset)
+    "ST_UnaryUnion": (_unary_geom(lambda g: alg.union2(g, g)), BIN, "g"),
+})
+
 _SPEC_TYPE = {"g": BIN, "d": DBL, "i": T.LongType(), "s": STR,
               "a": T.ArrayType(BIN)}
 

@@ -984,6 +984,214 @@ def intersection(g1: Geom, g2: Geom) -> Geom:
 
 
 # ======================================================================
+# nearest points / further overlay subsets
+# ======================================================================
+
+def nearest_points(g1: Geom, g2: Geom):
+    """(p1, p2) witness points of the minimum distance (PostGIS
+    ST_ClosestPoint / ST_ShortestLine support)."""
+    if g1.is_empty() or g2.is_empty():
+        return None
+    # intersecting: find a shared point
+    if intersects(g1, g2):
+        for p in g1.points():
+            if point_position(p, g2) >= 0:
+                return (p[:2], p[:2])
+        for p in g2.points():
+            if point_position(p, g1) >= 0:
+                return (p[:2], p[:2])
+        for a, b in _segments(g1):
+            for c, d in _segments(g2):
+                if _seg_intersects(a, b, c, d):
+                    x = _line_x(a, b, c, d)
+                    return (np.asarray(x), np.asarray(x))
+        c1 = _first_vertex(g1)
+        if c1 is not None and point_position(c1, g2) >= 0:
+            return (c1[:2], c1[:2])
+        c2 = _first_vertex(g2)
+        if c2 is not None and point_position(c2, g1) >= 0:
+            return (c2[:2], c2[:2])
+    best = (math.inf, None, None)
+
+    def upd(d, p, q):
+        nonlocal best
+        if d < best[0]:
+            best = (d, p, q)
+
+    a1, b1 = _collect_segments(g1)
+    a2, b2 = _collect_segments(g2)
+    v1 = g1.all_coords()[:, :2]
+    v2 = g2.all_coords()[:, :2]
+    for p in v1:
+        if a2 is not None:
+            d = b2 - a2
+            len2 = np.einsum("ij,ij->i", d, d)
+            t = np.clip(np.divide(np.einsum("ij,ij->i", p - a2, d),
+                                  np.where(len2 == 0, 1, len2)), 0, 1)
+            proj = a2 + t[:, None] * d
+            dist = np.hypot(*(p - proj).T)
+            i = int(np.argmin(dist))
+            upd(float(dist[i]), p, proj[i])
+        else:
+            dist = np.hypot(*(v2 - p).T)
+            i = int(np.argmin(dist))
+            upd(float(dist[i]), p, v2[i])
+    for q in v2:
+        if a1 is not None:
+            d = b1 - a1
+            len2 = np.einsum("ij,ij->i", d, d)
+            t = np.clip(np.divide(np.einsum("ij,ij->i", q - a1, d),
+                                  np.where(len2 == 0, 1, len2)), 0, 1)
+            proj = a1 + t[:, None] * d
+            dist = np.hypot(*(q - proj).T)
+            i = int(np.argmin(dist))
+            upd(float(dist[i]), proj[i], q)
+        else:
+            dist = np.hypot(*(v1 - q).T)
+            i = int(np.argmin(dist))
+            upd(float(dist[i]), v1[i], q)
+    if best[1] is None:
+        return None
+    return (np.asarray(best[1]), np.asarray(best[2]))
+
+
+def union2(g1: Geom, g2: Geom) -> Geom:
+    """Binary ST_Union — supported cases: any points (dedup), disjoint
+    geometries (multi/collection), containment.  Overlapping area-area
+    union requires polygon clipping (unsupported -> error)."""
+    if g1.is_empty():
+        return g2
+    if g2.is_empty():
+        return g1
+    if g1.dimension() == 0 and g2.dimension() == 0:
+        pts = {tuple(p[:2]) for p in g1.points()} | {tuple(p[:2]) for p in g2.points()}
+        spts = sorted(pts)
+        if len(spts) == 1:
+            return Geom(POINT, np.asarray(spts[0]))
+        return Geom(MULTIPOINT, [np.asarray(p) for p in spts])
+    if contains(g1, g2) or covers(g1, g2):
+        return g1
+    if contains(g2, g1) or covers(g2, g1):
+        return g2
+    if not intersects(g1, g2):
+        parts = g1.geometries() + g2.geometries()
+        gts = {p.gt for p in parts}
+        if gts == {POLYGON}:
+            return Geom(MULTIPOLYGON, [p.data for p in parts])
+        if gts == {LINESTRING}:
+            return Geom(MULTILINESTRING, [p.data for p in parts])
+        return Geom(GEOMETRYCOLLECTION, parts)
+    raise NotImplementedError(
+        "overlapping area union requires polygon boolean ops; "
+        "supported: points, disjoint, containment")
+
+
+def difference(g1: Geom, g2: Geom) -> Geom:
+    """Binary ST_Difference — supported: disjoint (identity), g2 covers g1
+    (empty), point/line minus area (sampled clip)."""
+    if g1.is_empty() or g2.is_empty() or not intersects(g1, g2):
+        return g1
+    if covers(g2, g1):
+        return Geom(GEOMETRYCOLLECTION, [])
+    if g1.dimension() == 0:
+        pts = [p for p in g1.points() if point_position(p, g2) < 0]
+        if not pts:
+            return Geom(GEOMETRYCOLLECTION, [])
+        if len(pts) == 1:
+            return Geom(POINT, pts[0])
+        return Geom(MULTIPOINT, pts)
+    if g1.dimension() == 1 and g2.dimension() == 2:
+        pieces = []
+        for arr in g1.lines():
+            cur = []
+            step = max(_path_length(arr) / 256.0, 1e-9)
+            dense = segmentize(Geom(LINESTRING, arr), step).data
+            for p in dense:
+                if point_position(p[:2], g2) < 0:
+                    cur.append(p[:2])
+                else:
+                    if len(cur) >= 2:
+                        pieces.append(np.array(cur))
+                    cur = []
+            if len(cur) >= 2:
+                pieces.append(np.array(cur))
+        if not pieces:
+            return Geom(GEOMETRYCOLLECTION, [])
+        if len(pieces) == 1:
+            return Geom(LINESTRING, pieces[0])
+        return Geom(MULTILINESTRING, pieces)
+    raise NotImplementedError(
+        "area-area difference requires polygon boolean ops; "
+        "supported: disjoint, covered, point/line minus area")
+
+
+def sym_difference(g1: Geom, g2: Geom) -> Geom:
+    if not intersects(g1, g2):
+        return union2(g1, g2)
+    d1 = difference(g1, g2)
+    d2 = difference(g2, g1)
+    if d1.is_empty():
+        return d2
+    if d2.is_empty():
+        return d1
+    return union2(d1, d2)
+
+
+def normalize(g: Geom) -> Geom:
+    """Canonical form: shells CCW, holes CW, rings start at lexicographic
+    minimum vertex, multi-parts sorted by WKT."""
+    def norm_ring(ring, want_ccw):
+        r = ring[:-1]
+        ccw = _ring_area2(ring) > 0
+        if ccw != want_ccw:
+            r = r[::-1]
+        i = int(np.lexsort((r[:, 1], r[:, 0]))[0])
+        r = np.vstack([r[i:], r[:i]])
+        return np.vstack([r, r[:1]])
+
+    if g.gt == POLYGON:
+        rings = [norm_ring(g.data[0], True)] + [norm_ring(h, False) for h in g.data[1:]]
+        return Geom(POLYGON, rings, g.has_z, g.has_m)
+    if g.gt == MULTIPOLYGON:
+        polys = [normalize(Geom(POLYGON, p, g.has_z, g.has_m)).data for p in g.data]
+        return Geom(MULTIPOLYGON, polys, g.has_z, g.has_m)
+    if g.gt == GEOMETRYCOLLECTION:
+        from sedona_db_spark.geom.wkt import to_wkt
+        subs = sorted([normalize(s) for s in g.data], key=to_wkt)
+        return Geom(GEOMETRYCOLLECTION, subs, g.has_z, g.has_m)
+    return g
+
+
+def snap(g1: Geom, g2: Geom, tol: float) -> Geom:
+    """Snap vertices of g1 to the nearest vertex of g2 within tolerance."""
+    v2 = g2.all_coords()[:, :2]
+    if len(v2) == 0 or tol <= 0:
+        return g1
+
+    def fn(xy):
+        out = xy.copy()
+        for i, p in enumerate(xy):
+            d = np.hypot(*(v2 - p).T)
+            j = int(np.argmin(d))
+            if d[j] <= tol:
+                out[i] = v2[j]
+        return out
+    return transform_coords(g1, fn)
+
+
+_EARTH_RADIUS_M = 6371008.8
+
+
+def haversine(lon1, lat1, lon2, lat2):
+    """Great-circle distance in meters (vectorized-friendly scalars)."""
+    rl1, rl2 = math.radians(lat1), math.radians(lat2)
+    dlat = rl2 - rl1
+    dlon = math.radians(lon2 - lon1)
+    a = math.sin(dlat / 2) ** 2 + math.cos(rl1) * math.cos(rl2) * math.sin(dlon / 2) ** 2
+    return 2 * _EARTH_RADIUS_M * math.asin(min(1.0, math.sqrt(a)))
+
+
+# ======================================================================
 # validity / misc
 # ======================================================================
 

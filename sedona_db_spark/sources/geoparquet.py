@@ -1,0 +1,142 @@
+"""GeoParquet read/write + bbox-based scan pruning.
+
+Reference: /root/reference/rust/sedona-geoparquet/src/provider.rs:108 (read),
+writer.rs:71-579 (write, bbox covering columns), file_opener.rs:102-470
+(three pruning layers), metadata.rs (the `geo` footer key).
+
+Spark-first design (SURVEY.md §4.2):
+- write: geometry stays WKB; a NATIVE `bbox` struct column
+  (xmin/ymin/xmax/ymax) is added before the parquet write, so stock
+  Parquet min/max row-group statistics serve as the GeoParquet 1.1
+  covering — Spark's own row-group pruning then implements the
+  reference's layer-2 skip with ZERO custom reader code.
+- `geo` metadata: GeoParquet 1.1 JSON is embedded into each file footer
+  (pyarrow post-pass; at 100 TB you'd move this into a DSv2 commit hook)
+  and mirrored in a `_geo_metadata.json` sidecar that survives engines
+  that drop custom footer keys.
+- read: restores geometry column metadata from footer or sidecar;
+  `spatial_filter` rewrites ST_Intersects(geom, <bbox literal>) into
+  native range predicates on the bbox column (+ exact refine), which
+  `.explain` shows as PushedFilters reaching the scan.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GEO_VERSION = "1.1.0"
+SIDECAR = "_geo_metadata.json"
+
+
+def _geo_meta(geom_cols: dict[str, str], bbox_cols: dict[str, str]) -> dict:
+    cols = {}
+    for c, crs in geom_cols.items():
+        entry = {
+            "encoding": "WKB",
+            "geometry_types": [],
+            "crs": crs,
+        }
+        if c in bbox_cols:
+            entry["covering"] = {"bbox": {
+                "xmin": [bbox_cols[c], "xmin"], "ymin": [bbox_cols[c], "ymin"],
+                "xmax": [bbox_cols[c], "xmax"], "ymax": [bbox_cols[c], "ymax"]}}
+        cols[c] = entry
+    primary = next(iter(geom_cols))
+    return {"version": GEO_VERSION, "primary_column": primary, "columns": cols}
+
+
+def write_geoparquet(
+    df: DataFrame,
+    path: str,
+    geom_cols: dict[str, str] | None = None,   # {col: crs}
+    add_bbox: bool = True,
+    embed_footer: bool = True,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a DataFrame with WKB geometry column(s) as GeoParquet."""
+    if geom_cols is None:
+        geom_cols = {"geom": "EPSG:4326"}
+    from sedona_db_spark.operators.spatial_join import bbox_col
+    bbox_cols = {}
+    if add_bbox:
+        for c in geom_cols:
+            bname = "bbox" if len(geom_cols) == 1 else f"{c}_bbox"
+            df = df.withColumn(bname, bbox_col(F.col(c)))
+            bbox_cols[c] = bname
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    meta = _geo_meta(geom_cols, bbox_cols)
+    with open(os.path.join(path, SIDECAR), "w") as f:
+        json.dump(meta, f)
+    if embed_footer:
+        _embed_geo_footer(path, meta)
+
+
+def _embed_geo_footer(path: str, meta: dict) -> None:
+    """Driver-side post-pass stamping the `geo` key into each footer."""
+    import pyarrow.parquet as pq
+    for fp in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        t = pq.read_table(fp)
+        md = dict(t.schema.metadata or {})
+        md[b"geo"] = json.dumps(meta).encode()
+        pq.write_table(t.replace_schema_metadata(md), fp)
+        # Hadoop LocalFS checksums are stale after the rewrite
+        crc = os.path.join(os.path.dirname(fp), "." + os.path.basename(fp) + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+
+def read_geoparquet(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    """Read (Geo)Parquet; returns (df, geo_metadata).  Geometry columns get
+    Spark column metadata {'udt': 'geometry', 'crs': ...} re-stamped."""
+    df = spark.read.parquet(path)
+    meta = {}
+    sidecar = os.path.join(path, SIDECAR)
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            meta = json.load(f)
+    else:
+        import pyarrow.parquet as pq
+        files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if files:
+            md = pq.read_schema(files[0]).metadata or {}
+            if b"geo" in md:
+                meta = json.loads(md[b"geo"])
+    for c, entry in (meta.get("columns") or {}).items():
+        if c in df.columns:
+            df = df.withMetadata(c, {"udt": "geometry",
+                                     "crs": entry.get("crs", "EPSG:4326"),
+                                     "edges": "planar"})
+    return df, meta
+
+
+def spatial_filter(df: DataFrame, geom_col: str, xmin: float, ymin: float,
+                   xmax: float, ymax: float, bbox_col_name: str = "bbox",
+                   exact: bool = True) -> DataFrame:
+    """ST_Intersects(geom, envelope) rewritten to pushdown-able ranges.
+
+    The bbox range conjuncts are native comparisons on a parquet-backed
+    struct column -> Catalyst pushes them to the scan (PushedFilters),
+    parquet row-group stats skip non-overlapping row groups — this IS the
+    reference's geo-pruning (file_opener.rs:315-366) re-expressed."""
+    out = df
+    if bbox_col_name in df.columns:
+        out = out.filter(
+            (F.col(f"{bbox_col_name}.xmin") <= xmax) &
+            (F.col(f"{bbox_col_name}.xmax") >= xmin) &
+            (F.col(f"{bbox_col_name}.ymin") <= ymax) &
+            (F.col(f"{bbox_col_name}.ymax") >= ymin))
+    if exact:
+        from sedona_db_spark.functions import get_udf
+        env = get_udf("ST_MakeEnvelope")(
+            F.lit(float(xmin)), F.lit(float(ymin)), F.lit(float(xmax)), F.lit(float(ymax)))
+        out = out.filter(get_udf("ST_Intersects")(F.col(geom_col), env))
+    return out

@@ -1,0 +1,87 @@
+"""Structured Streaming operators (north-star extension).
+
+The reference is batch-only (SURVEY.md: "no streaming surface anywhere");
+our operators are DataFrame-native, so the streaming variants come almost
+free: the same expressions run under `readStream` with watermarks.
+
+Provided:
+- event_stream: file-source stream over an events-shaped directory
+- windowed_counts: tumbling/sliding window agg with watermark
+- sessionize: session windows (built-in session_window)
+- streaming_dedup: dropDuplicatesWithinWatermark on a fingerprint
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def event_stream(spark: SparkSession, directory: str,
+                 max_files_per_trigger: int = 1) -> DataFrame:
+    return (spark.readStream
+            .schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(directory))
+
+
+def windowed_counts(stream: DataFrame, window: str = "1 hour",
+                    slide: str | None = None,
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling (or sliding) window counts per event_type with late-data
+    handling.  At scale: partial aggregation + state store keyed by
+    (window, event_type); watermark bounds state size."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (stream.withWatermark("ts", watermark)
+            .groupBy(w.alias("win"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"),
+                    "event_type", "n", "sum_value"))
+
+
+def sessionize(stream: DataFrame, gap: str = "30 minutes",
+               watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user (built-in session_window operator)."""
+    return (stream.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+            .select("user_id", F.col("sess.start").alias("sess_start"),
+                    F.col("sess.end").alias("sess_end"), "n_events", "sum_value"))
+
+
+def streaming_dedup(stream: DataFrame, cols: list[str],
+                    watermark: str = "1 hour") -> DataFrame:
+    """Exact streaming dedup bounded by watermark state."""
+    return stream.withWatermark("ts", watermark) \
+                 .dropDuplicatesWithinWatermark(cols)
+
+
+def run_batchlike(stream_df: DataFrame, tmp_dir: str) -> DataFrame:
+    """Drain a (bounded) stream to completion into a memory table and
+    return the result as a batch DataFrame — test/verify helper."""
+    import uuid
+    name = "t" + uuid.uuid4().hex[:8]
+    q = (stream_df.writeStream.format("memory")
+         .queryName(name)
+         .option("checkpointLocation", tmp_dir)
+         .outputMode("complete" if _has_agg(stream_df) else "append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    return stream_df.sparkSession.table(name)
+
+
+def _has_agg(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().logical().toString()
+    return "Aggregate" in plan

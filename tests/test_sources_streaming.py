@@ -1,0 +1,99 @@
+"""GeoParquet IO, random-geometry generator, streaming operators."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_geoparquet_roundtrip_and_pruning(spark):
+    from sedona_db_spark.sources.geoparquet import (
+        read_geoparquet, spatial_filter, write_geoparquet)
+    cust = spark.sql(
+        "SELECT c_custkey, ST_Point(abs(c_acctbal) % 100.0, (c_custkey % 1000)/10.0) AS geom "
+        "FROM customer")
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "gp")
+        write_geoparquet(cust.repartition(4), p)
+        back, meta = read_geoparquet(spark, p)
+        assert back.count() == cust.count()
+        assert meta["version"].startswith("1.1")
+        assert meta["columns"]["geom"]["encoding"] == "WKB"
+        assert back.schema["geom"].metadata["udt"] == "geometry"
+        assert "bbox" in back.columns
+        # bbox ranges reach the parquet scan as pushed filters
+        filt = spatial_filter(back, "geom", 0.0, 0.0, 10.0, 10.0)
+        plan = filt._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "bbox.xmin" in plan
+        # result matches plain-math filter
+        exp = cust.filter(
+            "abs(c_acctbal) % 100.0 <= 10.0 AND (c_custkey % 1000)/10.0 <= 10.0").count()
+        assert filt.count() == exp
+
+
+def test_geoparquet_footer_metadata(spark):
+    import json
+    import pyarrow.parquet as pq
+    from sedona_db_spark.sources.geoparquet import write_geoparquet
+    cust = spark.sql("SELECT c_custkey, ST_Point(1.0, 2.0) AS geom FROM customer LIMIT 10")
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "gp")
+        write_geoparquet(cust, p)
+        import glob
+        f = glob.glob(os.path.join(p, "*.parquet"))[0]
+        md = pq.read_schema(f).metadata
+        geo = json.loads(md[b"geo"])
+        assert geo["primary_column"] == "geom"
+        assert geo["columns"]["geom"]["covering"]["bbox"]["xmin"] == ["bbox", "xmin"]
+
+
+def test_random_geometry_deterministic(spark):
+    from sedona_db_spark.functions.table_functions import sd_random_geometry
+    a = sd_random_geometry(spark, {"geom_type": "Point", "num_rows": 500, "seed": 42})
+    b = sd_random_geometry(spark, {"geom_type": "Point", "num_rows": 500, "seed": 42}) \
+        .repartition(7).withColumnRenamed("geom", "g2")
+    assert a.join(b, "id").filter("geom != g2").count() == 0
+    c = sd_random_geometry(spark, {"geom_type": "Point", "num_rows": 500, "seed": 43}) \
+        .withColumnRenamed("geom", "g2")
+    assert a.join(c, "id").filter("geom != g2").count() > 400
+
+
+def test_random_geometry_options(spark):
+    from sedona_db_spark.functions.table_functions import sd_random_geometry
+    df = sd_random_geometry(spark, {
+        "geom_type": "Polygon", "num_rows": 300, "num_vertices": [10, 10],
+        "size": [1.0, 15.0], "hole_rate": 0.5, "null_rate": 0.1,
+        "empty_rate": 0.05, "seed": 42})
+    df.createOrReplaceTempView("rg")
+    stats = spark.sql("""
+      SELECT count(*) AS n, count(geom) AS nonnull,
+             sum(CASE WHEN geom IS NOT NULL AND ST_IsEmpty(geom) THEN 1 ELSE 0 END) AS empties,
+             sum(CASE WHEN ST_NumInteriorRings(geom) > 0 THEN 1 ELSE 0 END) AS holes
+      FROM rg""").first()
+    assert stats["n"] == 300
+    assert 240 <= stats["nonnull"] <= 290      # ~10% null
+    assert stats["empties"] > 0
+    assert stats["holes"] > 50                 # ~50% hole rate
+    bounds = spark.sql(
+        "SELECT min(ST_XMin(geom)) AS a, max(ST_XMax(geom)) AS b FROM rg "
+        "WHERE geom IS NOT NULL AND NOT ST_IsEmpty(geom)").first()
+    assert bounds["a"] >= 0.0 and bounds["b"] <= 100.0
+
+
+def test_streaming_matches_batch(spark):
+    from sedona_db_spark.streaming import ops as so
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "src")
+        spark.table("events").limit(1000).write.parquet(src)
+        stream = so.event_stream(spark, src, max_files_per_trigger=100)
+        res = so.run_batchlike(so.windowed_counts(stream, "1 hour"),
+                               os.path.join(td, "ck"))
+        batch = (spark.table("events").limit(1000)
+                 .groupBy(F.window("ts", "1 hour"), "event_type").count())
+        assert res.count() == batch.count()
+        sess = so.run_batchlike(so.sessionize(stream, "30 minutes"),
+                                os.path.join(td, "ck2"))
+        assert sess.count() > 0
+        assert set(sess.columns) == {"user_id", "sess_start", "sess_end",
+                                     "n_events", "sum_value"}
