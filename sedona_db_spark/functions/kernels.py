@@ -848,7 +848,21 @@ def k_snap(s1: pd.Series, s2: pd.Series, tol) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def k_transform(s: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
+    gs = _decode(s)
+    n = len(s)
+    sv, dv = _coerce(src, n), _coerce(dst, n)
+    out = []
+    for g, a, b in zip(gs, sv, dv):
+        if g is None or a is None or b is None:
+            out.append(None)
+        else:
+            out.append(core.to_wkb(alg.transform_crs(g, str(a), str(b))))
+    return pd.Series(out, dtype=object)
+
+
 KERNELS.update({
+    "ST_Transform": (k_transform, BIN, "gss"),
     "ST_Dump": (k_dump, T.ArrayType(BIN), "g"),
     "ST_Points": (k_points, T.ArrayType(BIN), "g"),
     "ST_MakePolygon": (k_makepolygon, BIN, "g"),

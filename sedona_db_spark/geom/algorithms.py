@@ -1180,6 +1180,43 @@ def snap(g1: Geom, g2: Geom, tol: float) -> Geom:
 
 
 _EARTH_RADIUS_M = 6371008.8
+_WGS84_A = 6378137.0  # web-mercator sphere radius
+
+
+def _lonlat_to_webmercator(xy: np.ndarray) -> np.ndarray:
+    x = np.radians(xy[:, 0]) * _WGS84_A
+    lat = np.clip(xy[:, 1], -85.06, 85.06)
+    y = np.log(np.tan(np.pi / 4 + np.radians(lat) / 2)) * _WGS84_A
+    return np.column_stack([x, y])
+
+
+def _webmercator_to_lonlat(xy: np.ndarray) -> np.ndarray:
+    lon = np.degrees(xy[:, 0] / _WGS84_A)
+    lat = np.degrees(2 * np.arctan(np.exp(xy[:, 1] / _WGS84_A)) - np.pi / 2)
+    return np.column_stack([lon, lat])
+
+
+_TRANSFORMS = {
+    ("EPSG:4326", "EPSG:3857"): _lonlat_to_webmercator,
+    ("EPSG:3857", "EPSG:4326"): _webmercator_to_lonlat,
+    ("OGC:CRS84", "EPSG:3857"): _lonlat_to_webmercator,
+    ("EPSG:3857", "OGC:CRS84"): _webmercator_to_lonlat,
+}
+
+
+def transform_crs(g: Geom, src: str, dst: str) -> Geom:
+    """Reproject between supported CRSes (reference ST_Transform via PROJ,
+    /root/reference/c/sedona-proj; here: spherical Web-Mercator math for
+    the 4326<->3857 pair — the overwhelmingly common case — implemented
+    directly since PROJ is unavailable in this environment)."""
+    src, dst = src.upper(), dst.upper()
+    if src == dst:
+        return g
+    fn = _TRANSFORMS.get((src, dst))
+    if fn is None:
+        raise NotImplementedError(f"transform {src} -> {dst} not supported "
+                                  "(supported: EPSG:4326/OGC:CRS84 <-> EPSG:3857)")
+    return transform_coords(g, fn)
 
 
 def haversine(lon1, lat1, lon2, lat2):

@@ -207,3 +207,16 @@ def test_point_fast_paths():
     # non-point rejects fast path
     mixed = list(arr) + [core.to_wkb(W("LINESTRING (0 0, 1 1)"))]
     assert core.wkb_array_to_points(mixed) is None
+
+
+def test_transform_crs_roundtrip():
+    g = W("POINT (10 45)")
+    m = alg.transform_crs(g, "EPSG:4326", "EPSG:3857")
+    x, y = m.all_coords()[0][:2]
+    assert abs(x - 1113194.9079) < 1.0 and abs(y - 5621521.486) < 10.0
+    back = alg.transform_crs(m, "EPSG:3857", "EPSG:4326")
+    bx, by = back.all_coords()[0][:2]
+    assert abs(bx - 10) < 1e-6 and abs(by - 45) < 1e-6
+    with pytest.raises(NotImplementedError):
+        alg.transform_crs(g, "EPSG:4326", "EPSG:32633")
+    assert alg.transform_crs(g, "EPSG:4326", "epsg:4326") is g
