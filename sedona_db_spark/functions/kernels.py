@@ -900,6 +900,18 @@ def _wrap_arity(fn, n: int):
     elif n == 4:
         def w(c1: pd.Series, c2: pd.Series, c3: pd.Series, c4: pd.Series) -> pd.Series:
             return fn(c1, c2, c3, c4)
+    elif n == 5:
+        def w(c1: pd.Series, c2: pd.Series, c3: pd.Series, c4: pd.Series,
+              c5: pd.Series) -> pd.Series:
+            return fn(c1, c2, c3, c4, c5)
+    elif n == 6:
+        def w(c1: pd.Series, c2: pd.Series, c3: pd.Series, c4: pd.Series,
+              c5: pd.Series, c6: pd.Series) -> pd.Series:
+            return fn(c1, c2, c3, c4, c5, c6)
+    elif n == 7:
+        def w(c1: pd.Series, c2: pd.Series, c3: pd.Series, c4: pd.Series,
+              c5: pd.Series, c6: pd.Series, c7: pd.Series) -> pd.Series:
+            return fn(c1, c2, c3, c4, c5, c6, c7)
     else:
         raise ValueError(f"unsupported arity {n}")
     return w

@@ -1,0 +1,673 @@
+"""Wave-3 computational geometry: triangulation, hull refinement, linework
+assembly, interior points, clearance, DE-9IM relate, space-filling order.
+
+Reference parity targets (semantics only, no code ported):
+- ST_DelaunayTriangles  /root/reference/c/sedona-geos/src/st_delaunaytriangles.rs
+- ST_ConcaveHull        /root/reference/c/sedona-geos/src/st_concavehull.rs
+- ST_LineMerge          /root/reference/c/sedona-geos/src/st_line_merge.rs
+- ST_Polygonize         /root/reference/c/sedona-geos/src/st_polygonize.rs
+- ST_BuildArea          /root/reference/c/sedona-geos/src/st_buildarea.rs
+- ST_PointOnSurface     /root/reference/c/sedona-geos/src/st_pointonsurface.rs
+- ST_MinimumClearance   /root/reference/c/sedona-geos/src/st_minimumclearance.rs
+- ST_Relate             /root/reference/c/sedona-geos/src/st_relate.rs
+- SD_Order              /root/reference/rust/sedona-functions/src/sd_order.rs
+
+All functions operate on the pure-python/numpy `Geom` model (geom.core); they
+run executor-side inside Arrow-batched pandas UDFs, so they scale horizontally
+with partitions — no driver involvement.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from sedona_db_spark.geom import algorithms as alg
+from sedona_db_spark.geom.core import (
+    GEOMETRYCOLLECTION, LINESTRING, MULTILINESTRING, MULTIPOINT, MULTIPOLYGON,
+    POINT, POLYGON, Geom, make_point,
+)
+
+# ----------------------------------------------------------------------
+# Delaunay triangulation (Bowyer-Watson, O(n^2) — batch sizes are bounded
+# by Arrow batch rows, and per-geometry vertex counts are small)
+# ----------------------------------------------------------------------
+
+def _circumcircle_contains(pts, tri, p) -> bool:
+    ax, ay = pts[tri[0]]
+    bx, by = pts[tri[1]]
+    cx, cy = pts[tri[2]]
+    dx, dy = p
+    # in-circumcircle determinant; orientation-normalized
+    m = np.array([
+        [ax - dx, ay - dy, (ax - dx) ** 2 + (ay - dy) ** 2],
+        [bx - dx, by - dy, (bx - dx) ** 2 + (by - dy) ** 2],
+        [cx - dx, cy - dy, (cx - dx) ** 2 + (cy - dy) ** 2],
+    ])
+    det = np.linalg.det(m)
+    area2 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    if area2 < 0:
+        det = -det
+    return det > 1e-12
+
+
+def delaunay_triangles(points: np.ndarray) -> list[tuple[int, int, int]]:
+    """Bowyer-Watson over unique 2-D points -> list of index triangles."""
+    pts = np.unique(np.asarray(points, dtype=np.float64)[:, :2], axis=0)
+    n = len(pts)
+    if n < 3:
+        return [], pts
+    # super-triangle enclosing everything
+    cx, cy = pts.mean(axis=0)
+    r = max(np.abs(pts - [cx, cy]).max(), 1.0) * 64.0
+    sup = np.array([[cx - 2 * r, cy - r], [cx + 2 * r, cy - r], [cx, cy + 2 * r]])
+    allp = np.vstack([pts, sup])
+    s0, s1, s2 = n, n + 1, n + 2
+    tris = [(s0, s1, s2)]
+    for i in range(n):
+        p = allp[i]
+        bad = [t for t in tris if _circumcircle_contains(allp, t, p)]
+        if not bad:
+            continue
+        # boundary of the cavity = edges appearing exactly once among bad tris
+        edge_count: dict = {}
+        for t in bad:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                k = (min(e), max(e))
+                edge_count[k] = edge_count.get(k, 0) + 1
+        tris = [t for t in tris if t not in bad]
+        for (a, b), c in edge_count.items():
+            if c == 1:
+                tris.append((a, b, i))
+    out = [t for t in tris if s0 not in t and s1 not in t and s2 not in t]
+    return [(int(a), int(b), int(c)) for a, b, c in out], pts
+
+
+def st_delaunay(g: Geom) -> Geom:
+    coords = g.all_coords()
+    if len(coords) < 3:
+        return Geom(GEOMETRYCOLLECTION, [])
+    tris, pts = delaunay_triangles(coords)
+    polys = []
+    for a, b, c in tris:
+        ring = np.array([pts[a], pts[b], pts[c], pts[a]], dtype=np.float64)
+        # normalize to CCW like GEOS output
+        if alg._ring_area2(ring) < 0:
+            ring = ring[::-1]
+        polys.append(Geom(POLYGON, [ring]))
+    return Geom(GEOMETRYCOLLECTION, polys)
+
+
+# ----------------------------------------------------------------------
+# Concave hull — Delaunay + boundary-edge erosion (the GEOS
+# ConcaveHull algorithm family; ratio 1.0 == convex hull)
+# ----------------------------------------------------------------------
+
+def _edge_len(pts, a, b):
+    return float(np.hypot(*(pts[a] - pts[b])))
+
+
+def concave_hull(g: Geom, ratio: float, allow_holes: bool = False) -> Geom:
+    coords = g.all_coords()
+    if len(coords) < 3:
+        return alg.convex_hull(g)
+    ratio = min(max(float(ratio), 0.0), 1.0)
+    tris, pts = delaunay_triangles(coords)
+    if not tris:
+        return alg.convex_hull(g)
+    if ratio >= 1.0:
+        return alg.convex_hull(g)
+
+    lens = [_edge_len(pts, a, b) for t in tris
+            for a, b in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0]))]
+    lo, hi = min(lens), max(lens)
+    thr = lo + ratio * (hi - lo)
+
+    tri_set = set(tris)
+
+    def edge_key(a, b):
+        return (a, b) if a < b else (b, a)
+
+    def edge_uses():
+        uses: dict = {}
+        for t in tri_set:
+            for a, b in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                uses.setdefault(edge_key(a, b), []).append(t)
+        return uses
+
+    changed = True
+    while changed and len(tri_set) > 1:
+        changed = False
+        uses = edge_uses()
+        boundary_verts = set()
+        for e, ts in uses.items():
+            if len(ts) == 1:
+                boundary_verts.update(e)
+        # erode the boundary triangle exposing the longest too-long edge
+        best = None
+        for e, ts in uses.items():
+            if len(ts) != 1:
+                continue
+            ln = _edge_len(pts, *e)
+            if ln <= thr:
+                continue
+            t = ts[0]
+            opp = [v for v in t if v not in e][0]
+            if opp in boundary_verts:
+                continue  # removal would pinch the hull
+            if best is None or ln > best[0]:
+                best = (ln, t)
+        if best is not None:
+            tri_set.discard(best[1])
+            changed = True
+
+    # stitch remaining boundary edges into a ring
+    uses = edge_uses()
+    border = [e for e, ts in uses.items() if len(ts) == 1]
+    if not border:
+        return alg.convex_hull(g)
+    nxt: dict = {}
+    for a, b in border:
+        nxt.setdefault(a, []).append(b)
+        nxt.setdefault(b, []).append(a)
+    start = border[0][0]
+    ring = [start]
+    prev = None
+    cur = start
+    for _ in range(len(border) + 1):
+        cands = [v for v in nxt.get(cur, []) if v != prev]
+        if not cands:
+            break
+        prev, cur = cur, cands[0]
+        ring.append(cur)
+        if cur == start:
+            break
+    if ring[-1] != start or len(ring) < 4:
+        return alg.convex_hull(g)
+    arr = pts[np.array(ring)]
+    if alg._ring_area2(arr) < 0:
+        arr = arr[::-1]
+    return Geom(POLYGON, [arr])
+
+
+# ----------------------------------------------------------------------
+# Linework: merge, polygonize, build_area
+# ----------------------------------------------------------------------
+
+def _pt_key(p, nd=12):
+    return (round(float(p[0]), nd), round(float(p[1]), nd))
+
+
+def line_merge(g: Geom) -> Geom:
+    """Chain lines that meet at degree-2 endpoints (GEOS LineMerger)."""
+    lines = [np.asarray(l, dtype=np.float64)[:, :2] for l in g.lines() if len(l) >= 2]
+    if not lines:
+        return Geom(GEOMETRYCOLLECTION, []) if g.gt == GEOMETRYCOLLECTION else g
+    merged = True
+    while merged:
+        merged = False
+        # endpoint -> [(line_idx, is_start)]
+        ends: dict = {}
+        for i, l in enumerate(lines):
+            ends.setdefault(_pt_key(l[0]), []).append((i, True))
+            ends.setdefault(_pt_key(l[-1]), []).append((i, False))
+        for k, touching in ends.items():
+            if len(touching) != 2:
+                continue
+            (i, si), (j, sj) = touching
+            if i == j:
+                continue  # closed ring
+            a, b = lines[i], lines[j]
+            if si:
+                a = a[::-1]  # now a ends at k
+            if not sj:
+                b = b[::-1]  # now b starts at k
+            lines[i] = np.vstack([a, b[1:]])
+            lines.pop(j)
+            merged = True
+            break
+    if len(lines) == 1:
+        return Geom(LINESTRING, lines[0])
+    return Geom(MULTILINESTRING, lines)
+
+
+def polygonize(g: Geom) -> Geom:
+    """Closed rings in the (merged) linework -> collection of polygons."""
+    m = line_merge(g)
+    polys = []
+    for l in ([m.data] if m.gt == LINESTRING else list(m.data) if m.gt == MULTILINESTRING else []):
+        if len(l) >= 4 and _pt_key(l[0]) == _pt_key(l[-1]):
+            ring = np.asarray(l, dtype=np.float64)
+            if alg._ring_area2(ring) < 0:
+                ring = ring[::-1]
+            polys.append(Geom(POLYGON, [ring]))
+    return Geom(GEOMETRYCOLLECTION, polys)
+
+
+def build_area(g: Geom) -> Geom:
+    """Polygonize + assign rings contained in another ring as holes."""
+    pc = polygonize(g)
+    shells = [p.data[0] for p in pc.data]
+    if not shells:
+        return Geom(GEOMETRYCOLLECTION, [])
+    # sort big->small so holes attach to the smallest enclosing shell last
+    order = sorted(range(len(shells)),
+                   key=lambda i: -abs(alg._ring_area2(shells[i])))
+    assigned = [None] * len(shells)  # index of parent shell or None
+    for pos, i in enumerate(order):
+        for j in order[:pos][::-1]:  # smallest enclosing first
+            if assigned[j] is not None:
+                continue
+            inside = alg._point_in_ring(shells[i][0], shells[j]) >= 0 and \
+                abs(alg._ring_area2(shells[j])) > abs(alg._ring_area2(shells[i]))
+            if inside:
+                assigned[i] = j
+                break
+    polys = []
+    for i in range(len(shells)):
+        if assigned[i] is not None:
+            continue
+        holes = [shells[j][::-1] for j in range(len(shells)) if assigned[j] == i]
+        polys.append(Geom(POLYGON, [shells[i]] + holes))
+    if not polys:
+        return Geom(GEOMETRYCOLLECTION, [])
+    if len(polys) == 1:
+        return polys[0]
+    return Geom(MULTIPOLYGON, [p.data for p in polys])
+
+
+# ----------------------------------------------------------------------
+# Interior point (ST_PointOnSurface)
+# ----------------------------------------------------------------------
+
+def point_on_surface(g: Geom) -> Geom | None:
+    if g.is_empty():
+        return None
+    if g.gt in (POINT, MULTIPOINT):
+        return Geom(POINT, next(iter(g.points())).copy()[:2])
+    if g.gt in (LINESTRING, MULTILINESTRING):
+        # vertex closest to the centroid (GEOS InteriorPointLine flavor)
+        c = alg.centroid(g)
+        best, bd = None, math.inf
+        for l in g.lines():
+            arr = np.asarray(l, dtype=np.float64)[:, :2]
+            # prefer non-endpoint vertices
+            cand = arr[1:-1] if len(arr) > 2 else arr
+            d = np.hypot(cand[:, 0] - c[0], cand[:, 1] - c[1])
+            i = int(d.argmin())
+            if d[i] < bd:
+                bd, best = float(d[i]), cand[i]
+        return Geom(POINT, best.copy())
+    polys = list(g.polygons())
+    if not polys:
+        for part in g.geometries():  # mixed collection: first non-empty
+            p = point_on_surface(part)
+            if p is not None:
+                return p
+        return None
+    # GEOS InteriorPointArea: horizontal bisector scanline, widest interval
+    rings = [np.asarray(r, dtype=np.float64)[:, :2] for pr in polys for r in pr]
+    ys = np.concatenate([r[:, 1] for r in rings])
+    y = (ys.min() + ys.max()) / 2.0
+    if np.any(np.isclose(ys, y)):  # nudge off vertices for robustness
+        uniq = np.unique(ys)
+        above = uniq[uniq > y]
+        below = uniq[uniq < y]
+        if len(above) and len(below):
+            y = (below.max() + above.min()) / 2.0
+    xs = []
+    for r in rings:
+        x0, y0 = r[:-1, 0], r[:-1, 1]
+        x1, y1 = r[1:, 0], r[1:, 1]
+        cross = ((y0 <= y) & (y1 > y)) | ((y1 <= y) & (y0 > y))
+        t = (y - y0[cross]) / (y1[cross] - y0[cross])
+        xs.append(x0[cross] + t * (x1[cross] - x0[cross]))
+    xs = np.sort(np.concatenate(xs)) if xs else np.empty(0)
+    if len(xs) < 2:
+        c = alg.centroid(g)
+        return Geom(POINT, np.array(c, dtype=np.float64))
+    widths = xs[1::2] - xs[0::2] if len(xs) % 2 == 0 else xs[1:] - xs[:-1]
+    i = int(np.argmax(widths))
+    mid_x = (xs[2 * i] + xs[2 * i + 1]) / 2.0 if len(xs) % 2 == 0 else \
+        (xs[i] + xs[i + 1]) / 2.0
+    return Geom(POINT, np.array([mid_x, y], dtype=np.float64))
+
+
+# ----------------------------------------------------------------------
+# Minimum clearance
+# ----------------------------------------------------------------------
+
+def minimum_clearance(g: Geom, want_line: bool = False):
+    """Min over (vertex-to-vertex, vertex-to-non-incident-segment) distances."""
+    coords = g.all_coords()[:, :2]
+    if len(coords) < 2:
+        return (None if want_line else math.inf)
+    best = math.inf
+    best_pair = None
+    uniq = np.unique(coords, axis=0)
+    # vertex-vertex
+    for i in range(len(uniq)):
+        d = np.hypot(uniq[i + 1:, 0] - uniq[i, 0], uniq[i + 1:, 1] - uniq[i, 1])
+        if len(d):
+            j = int(d.argmin())
+            if d[j] < best:
+                best = float(d[j])
+                best_pair = (uniq[i], uniq[i + 1 + j])
+    # vertex to non-incident segment
+    segs = []
+    for part in ([l for l in g.lines()] + [r for r in g.rings()]):
+        arr = np.asarray(part, dtype=np.float64)[:, :2]
+        for k in range(len(arr) - 1):
+            segs.append((arr[k], arr[k + 1]))
+    for v in uniq:
+        for a, b in segs:
+            if (np.allclose(v, a) or np.allclose(v, b)):
+                continue
+            ab = b - a
+            ll = float(ab @ ab)
+            if ll == 0:
+                continue
+            t = min(1.0, max(0.0, float((v - a) @ ab) / ll))
+            proj = a + t * ab
+            d = float(np.hypot(*(v - proj)))
+            if d < best:
+                best = d
+                best_pair = (v, proj)
+    if want_line:
+        if best_pair is None or not math.isfinite(best):
+            return None
+        return Geom(LINESTRING, np.array([best_pair[0], best_pair[1]],
+                                         dtype=np.float64))
+    return best
+
+
+# ----------------------------------------------------------------------
+# DE-9IM relate (case analysis on topological dimension; multi-part
+# geometries take cell-wise max over part pairs — documented approximation)
+# ----------------------------------------------------------------------
+
+_DIMRANK = {"F": 0, "0": 1, "1": 2, "2": 3}
+_RANKDIM = {v: k for k, v in _DIMRANK.items()}
+
+
+def _cell_max(a: str, b: str) -> str:
+    return a if _DIMRANK[a] >= _DIMRANK[b] else b
+
+
+def _line_boundary_points(g: Geom) -> list:
+    """Mod-2 boundary: endpoints appearing an odd number of times."""
+    cnt: dict = {}
+    pts: dict = {}
+    for l in g.lines():
+        arr = np.asarray(l, dtype=np.float64)[:, :2]
+        if len(arr) < 2 or _pt_key(arr[0]) == _pt_key(arr[-1]):
+            continue
+        for p in (arr[0], arr[-1]):
+            k = _pt_key(p)
+            cnt[k] = cnt.get(k, 0) + 1
+            pts[k] = p
+    return [pts[k] for k, c in cnt.items() if c % 2 == 1]
+
+
+def _pt_on_line_interior(p, g: Geom) -> bool:
+    bnd = {_pt_key(q) for q in _line_boundary_points(g)}
+    if _pt_key(p) in bnd:
+        return False
+    pg = Geom(POINT, np.asarray(p, dtype=np.float64))
+    return alg.intersects(pg, g)
+
+
+def _lines_share_dim1(a: Geom, b: Geom) -> bool:
+    """Any pair of collinear overlapping segments between the two."""
+    for sa0, sa1 in alg._segments(a):
+        da = sa1 - sa0
+        for sb0, sb1 in alg._segments(b):
+            # collinear test
+            if abs(alg._orient(sa0, sa1, sb0)) > 1e-12 or \
+               abs(alg._orient(sa0, sa1, sb1)) > 1e-12:
+                continue
+            # 1-D overlap along the dominant axis
+            ax = 0 if abs(da[0]) >= abs(da[1]) else 1
+            lo1, hi1 = sorted((sa0[ax], sa1[ax]))
+            lo2, hi2 = sorted((sb0[ax], sb1[ax]))
+            if min(hi1, hi2) - max(lo1, lo2) > 1e-12:
+                return True
+    return False
+
+
+def _relate_simple(a: Geom, b: Geom) -> list[list[str]]:
+    """9-cell matrix for single-part a, b (rows: a I/B/E, cols: b I/B/E)."""
+    M = [["F", "F", "F"], ["F", "F", "F"], ["F", "F", "2"]]
+    da, db = a.dimension(), b.dimension()
+
+    def setc(r, c, v):
+        M[r][c] = _cell_max(M[r][c], v)
+
+    if da == 0 and db == 0:
+        pa = {_pt_key(p) for p in a.points()}
+        pb = {_pt_key(p) for p in b.points()}
+        if pa & pb:
+            setc(0, 0, "0")
+        if pa - pb:
+            setc(0, 2, "0")
+        if pb - pa:
+            setc(2, 0, "0")
+        return M
+    if da == 0:
+        return _transpose(_relate_simple(b, a))
+    if db == 0:  # a is line/polygon, b is point(s)
+        for p in b.points():
+            pg = Geom(POINT, np.asarray(p, dtype=np.float64))
+            if da == 1:
+                bnd = {_pt_key(q) for q in _line_boundary_points(a)}
+                if _pt_key(p) in bnd:
+                    setc(1, 0, "0")
+                elif alg.intersects(pg, a):
+                    setc(0, 0, "0")
+                else:
+                    setc(2, 0, "0")
+            else:
+                pos = alg.point_position(np.asarray(p, dtype=np.float64)[:2], a)
+                if pos > 0:
+                    setc(0, 0, "0")
+                elif pos == 0:
+                    setc(1, 0, "0")
+                else:
+                    setc(2, 0, "0")
+        # a minus the points always keeps its own dimension
+        setc(0, 2, str(da))
+        if da == 1:
+            if _line_boundary_points(a):
+                setc(1, 2, "0")
+        else:
+            setc(1, 2, "1")
+        return M
+
+    if da == 1 and db == 1:
+        sh1 = _lines_share_dim1(a, b)
+        inter = alg.intersects(a, b)
+        ba = _line_boundary_points(a)
+        bb = _line_boundary_points(b)
+        bak = {_pt_key(p) for p in ba}
+        bbk = {_pt_key(p) for p in bb}
+        if sh1:
+            setc(0, 0, "1")
+        elif inter:
+            # point intersections: classify each side's touch point
+            touched_int = False
+            for p in bb:
+                if _pt_on_line_interior(p, a):
+                    setc(0, 1, "0")
+                    touched_int = True
+            for p in ba:
+                if _pt_on_line_interior(p, b):
+                    setc(1, 0, "0")
+                    touched_int = True
+            if bak & bbk:
+                setc(1, 1, "0")
+                touched_int = True
+            if not touched_int:
+                setc(0, 0, "0")  # proper interior crossing
+        # boundary-vs-other cells
+        for p in bb:
+            if _pt_on_line_interior(p, a):
+                setc(0, 1, "0")
+            elif _pt_key(p) in bak:
+                setc(1, 1, "0")
+            else:
+                setc(2, 1, "0")
+        for p in ba:
+            if _pt_on_line_interior(p, b):
+                setc(1, 0, "0")
+            elif _pt_key(p) in bbk:
+                setc(1, 1, "0")
+            else:
+                setc(1, 2, "0")
+        if not (alg.covered_by(a, b) and sh1):
+            if not alg.covered_by(a, b):
+                setc(0, 2, "1")
+        if not alg.covered_by(b, a):
+            setc(2, 0, "1")
+        return M
+
+    if da == 1 and db == 2:
+        return _transpose(_relate_simple(b, a))
+    if da == 2 and db == 1:
+        # polygon a vs line b
+        verts = b.all_coords()[:, :2]
+        pos = alg.points_position_batch(verts, a)
+        mids = (verts[:-1] + verts[1:]) / 2.0 if len(verts) > 1 else verts
+        mpos = alg.points_position_batch(mids, a)
+        if (pos > 0).any() or (mpos > 0).any():
+            setc(0, 0, "1")
+        if alg._any_segment_cross(a, b):
+            setc(0, 0, "1") if ((pos > 0).any() or (mpos > 0).any()) else setc(1, 0, "0")
+        # line running along the boundary?
+        ringg = Geom(MULTILINESTRING, [np.asarray(r, dtype=np.float64)[:, :2]
+                                       for r in a.rings()])
+        if _lines_share_dim1(ringg, b):
+            setc(1, 0, "1")
+        elif (pos == 0).any() or (mpos == 0).any():
+            setc(1, 0, "0")
+        if (pos < 0).any() or (mpos < 0).any():
+            setc(2, 0, "1")
+        for p in _line_boundary_points(b):
+            pp = alg.point_position(np.asarray(p, dtype=np.float64)[:2], a)
+            if pp > 0:
+                setc(0, 1, "0")
+            elif pp == 0:
+                setc(1, 1, "0")
+            else:
+                setc(2, 1, "0")
+        setc(0, 2, "2")
+        if not alg.covered_by(ringg, b):
+            setc(1, 2, "1")
+        return M
+
+    # polygon vs polygon
+    inter = alg.intersects(a, b)
+    if not inter:
+        M[0][2] = "2"
+        M[1][2] = "1"
+        M[2][0] = "2"
+        M[2][1] = "1"
+        return M
+    eq = alg.equals(a, b)
+    if eq:
+        return [["2", "F", "F"], ["F", "1", "F"], ["F", "F", "2"]]
+    a_in_b = alg.covered_by(a, b)
+    b_in_a = alg.covered_by(b, a)
+    ra = Geom(MULTILINESTRING, [np.asarray(r, dtype=np.float64)[:, :2]
+                                for r in a.rings()])
+    rb = Geom(MULTILINESTRING, [np.asarray(r, dtype=np.float64)[:, :2]
+                                for r in b.rings()])
+    bb_dim1 = _lines_share_dim1(ra, rb)
+    touch_only = alg.touches(a, b)
+    if not touch_only:
+        M[0][0] = "2"
+    M[1][1] = "1" if bb_dim1 else ("0" if alg.intersects(ra, rb) else "F")
+    if not touch_only:
+        # b's boundary meets a's interior unless a sits inside b
+        if not a_in_b:
+            M[0][1] = "1"
+        # a's boundary meets b's interior unless b sits inside a
+        if not b_in_a:
+            M[1][0] = "1"
+    if not a_in_b:
+        M[0][2] = "2"
+        M[1][2] = "1"
+    if not b_in_a:
+        M[2][0] = "2"
+        M[2][1] = "1"
+    return M
+
+
+def _transpose(M):
+    return [[M[c][r] for c in range(3)] for r in range(3)]
+
+
+def relate_matrix(a: Geom, b: Geom) -> str:
+    """DE-9IM matrix string; multi-part inputs take cell-wise max over
+    part pairs (approximation — exact for disjoint-part multis)."""
+    pa = a.geometries() if a.gt in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON,
+                                    GEOMETRYCOLLECTION) else [a]
+    pb = b.geometries() if b.gt in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON,
+                                    GEOMETRYCOLLECTION) else [b]
+    M = [["F"] * 3 for _ in range(3)]
+    M[2][2] = "2"
+    for ga in pa:
+        for gb in pb:
+            S = _relate_simple(ga, gb)
+            for r in range(3):
+                for c in range(3):
+                    M[r][c] = _cell_max(M[r][c], S[r][c])
+    return "".join(M[r][c] for r in range(3) for c in range(3))
+
+
+def relate_pattern(a: Geom, b: Geom, pattern: str) -> bool:
+    m = relate_matrix(a, b)
+    if len(pattern) != 9:
+        return False
+    for mc, pc in zip(m, pattern.upper()):
+        if pc == "*":
+            continue
+        if pc == "T":
+            if mc == "F":
+                return False
+        elif pc != mc:
+            return False
+    return True
+
+
+# ----------------------------------------------------------------------
+# Hilbert space-filling order (SD_Order / SD_OrderLngLat)
+# ----------------------------------------------------------------------
+
+_HILBERT_ORDER = 16  # 2^16 cells per axis -> 32-bit key
+
+
+def hilbert_xy2d(x: int, y: int, order: int = _HILBERT_ORDER) -> int:
+    rx = ry = 0
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def hilbert_key(x: float, y: float, bounds=(-180.0, -90.0, 180.0, 90.0)) -> int:
+    x0, y0, x1, y1 = bounds
+    n = (1 << _HILBERT_ORDER) - 1
+    fx = 0.0 if x1 == x0 else (min(max(x, x0), x1) - x0) / (x1 - x0)
+    fy = 0.0 if y1 == y0 else (min(max(y, y0), y1) - y0) / (y1 - y0)
+    return hilbert_xy2d(int(fx * n), int(fy * n))

@@ -1,0 +1,96 @@
+"""Wave-3 ST_*/SD_* functions through the SQL surface.
+
+Case style mirrors the reference's WKT-literal parametrized suites
+(/root/reference/python/sedonadb/tests/functions/test_predicates.py:21-97).
+"""
+
+import math
+
+import pytest
+
+
+def one(spark, expr):
+    return spark.sql(f"SELECT {expr} AS v").first()["v"]
+
+
+CASES = [
+    # Z/M accessors
+    ("ST_Z(ST_PointZ(1.0, 2.0, 3.0))", 3.0),
+    ("ST_M(ST_PointM(1.0, 2.0, 7.0))", 7.0),
+    ("ST_M(ST_PointZM(1.0, 2.0, 3.0, 7.0))", 7.0),
+    ("ST_Z(ST_Point(1.0, 2.0))", None),
+    ("ST_ZMin(ST_GeomFromWKT('LINESTRING Z (0 0 1, 1 1 5)'))", 1.0),
+    ("ST_ZMax(ST_GeomFromWKT('LINESTRING Z (0 0 1, 1 1 5)'))", 5.0),
+    ("ST_MMin(ST_PointM(0.0, 0.0, 4.0))", 4.0),
+    # typed constructors
+    ("ST_AsText(ST_MPointFromText('MULTIPOINT ((1 1), (2 2))'))",
+     "MULTIPOINT ((1 1), (2 2))"),
+    ("ST_MPointFromText('POINT (1 1)')", None),
+    ("ST_GeometryType(ST_MPolyFromText('MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))'))",
+     "ST_MultiPolygon"),
+    # affine family
+    ("ST_AsText(ST_Affine(ST_Point(1.0, 2.0), 2.0, 0.0, 0.0, 2.0, 10.0, 20.0))",
+     "POINT (12 24)"),
+    ("ST_AsText(ST_RotateX(ST_Point(1.0, 2.0), pi()))", "POINT (1 -2)"),
+    ("ST_AsText(ST_RotateY(ST_Point(1.0, 2.0), pi()))", "POINT (-1 2)"),
+    # dimension forcing
+    ("ST_AsText(ST_Force3DM(ST_Point(1.0, 2.0)))", "POINT M (1 2 0)"),
+    ("ST_HasM(ST_Force4D(ST_Point(1.0, 2.0)))", True),
+    ("ST_HasZ(ST_Force4D(ST_Point(1.0, 2.0)))", True),
+    # processing
+    ("ST_AsText(ST_PointOnSurface(ST_MakeEnvelope(0.0, 0.0, 10.0, 10.0)))",
+     "POINT (5 5)"),
+    ("ST_AsText(ST_LineMerge(ST_GeomFromWKT("
+     "'MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))')))",
+     "LINESTRING (0 0, 1 1, 2 2)"),
+    ("ST_NumGeometries(ST_Polygonize(ST_GeomFromWKT("
+     "'MULTILINESTRING ((0 0, 1 0), (1 0, 1 1), (1 1, 0 0))')))", 1),
+    ("ST_Area(ST_BuildArea(ST_GeomFromWKT('MULTILINESTRING "
+     "((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 8 2, 8 8, 2 8, 2 2))')))", 64.0),
+    ("ST_Area(ST_ConcaveHull(ST_GeomFromWKT("
+     "'MULTIPOINT (0 0, 4 0, 4 4, 0 4)'), 1.0))", 16.0),
+    ("ST_NumGeometries(ST_DelaunayTriangles(ST_GeomFromWKT("
+     "'MULTIPOINT (0 0, 1 0, 0 1, 1 1)')))", 2),
+    ("ST_MinimumClearance(ST_GeomFromWKT("
+     "'POLYGON ((0 0, 10 0, 10 10, 0.5 10, 0 0))'))", 9.5),
+    ("ST_AsText(ST_LongestLine(ST_GeomFromWKT('LINESTRING (0 0, 1 1)'),"
+     " ST_GeomFromWKT('POINT (5 5)')))", "LINESTRING (0 0, 5 5)"),
+    # relate
+    ("ST_Relate(ST_MakeEnvelope(0.0,0.0,4.0,4.0), ST_Point(1.0,1.0))",
+     "0F2FF1FF2"),
+    ("ST_RelateMatch(ST_MakeEnvelope(0.0,0.0,4.0,4.0),"
+     " ST_MakeEnvelope(1.0,1.0,2.0,2.0), 'T*****FF*')", True),
+    # CRS tagging
+    ("ST_CRS(ST_SetCRS(ST_Point(1.0, 1.0), 'EPSG:3857'))", "EPSG:3857"),
+    ("ST_SRID(ST_SetSRID(ST_Point(1.0, 1.0), 4326))", 4326),
+    # collect
+    ("ST_AsText(ST_Collect(array(ST_Point(1.0,1.0), ST_Point(2.0,2.0))))",
+     "MULTIPOINT ((1 1), (2 2))"),
+    # display / ordering
+    ("SD_Format(ST_Point(1.0, 2.0))", "POINT (1 2)"),
+]
+
+
+@pytest.mark.parametrize("expr,expected", CASES, ids=[c[0][:60] for c in CASES])
+def test_wave3_case(spark, expr, expected):
+    got = one(spark, expr)
+    if isinstance(expected, float):
+        assert got == pytest.approx(expected, abs=1e-9)
+    else:
+        assert got == expected
+
+
+def test_sd_order_is_spatially_monotone_on_quadrants(spark):
+    # keys in the same quadrant sort nearer each other than cross-quadrant
+    rows = spark.sql("""
+        SELECT SD_Order(ST_Point(-90.0, -45.0)) AS sw,
+               SD_Order(ST_Point(-89.0, -44.0)) AS sw2,
+               SD_Order(ST_Point(90.0, 45.0))  AS ne
+    """).first()
+    assert abs(rows["sw"] - rows["sw2"]) < abs(rows["sw"] - rows["ne"])
+
+
+def test_st_knn_marker_errors_outside_join(spark):
+    with pytest.raises(Exception):
+        spark.sql("SELECT ST_KNN(ST_Point(0.0,0.0), ST_Point(1.0,1.0),"
+                  " 1.0, 'false') AS v").collect()
