@@ -864,6 +864,22 @@ _sql("sd_order_distinct_keys", """
   SELECT count(*) AS n FROM nation
 """)
 
+_sql("geo_distance_sphere", """
+  SELECT c_custkey,
+         round(ST_DistanceSphere(ST_Point(px - 50.0, py * 0.8 - 40.0),
+                                 ST_Point(0.0, 0.0)), 1) AS dist_m
+  FROM cust_pts WHERE c_custkey < 300
+""", """
+  SELECT c_custkey,
+         round(2.0 * 6371008.8 * asin(least(1.0, sqrt(
+             power(sin(radians((py * 0.8 - 40.0)) / 2.0), 2)
+           + cos(radians(py * 0.8 - 40.0)) * cos(0.0)
+             * power(sin(radians(px - 50.0) / 2.0), 2)))), 1) AS dist_m
+  FROM (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,
+               (c_custkey % 1000) / 10.0 AS py FROM customer) c
+  WHERE c_custkey < 300
+""")
+
 # ======================================================================
 # raster subsystem (SURVEY §2.6) — python builders over the rs API
 # ======================================================================

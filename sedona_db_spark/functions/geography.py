@@ -1,0 +1,261 @@
+"""Geography (spherical/geodesic) kernels — SURVEY §2.4.
+
+Reference: the S2-backed geography overloads
+(/root/reference/c/sedona-s2geography/src/register.rs:30-59, kernels.rs:38).
+There, geography vs geometry is a type tag (`Edges::Spherical`) and the same
+SQL names dispatch to spherical kernels.  In our Spark model the edge tag
+rides column metadata (SURVEY §1.3), and Spark SQL UDFs cannot dispatch on
+metadata — so spherical semantics get explicit SQL names (the PostGIS
+convention): ST_DistanceSphere / ST_DistanceSpheroid / ST_AreaSpheroid /
+ST_LengthSpheroid / ST_PerimeterSpheroid / ST_DWithinSphere, plus the
+S2-style cell functions S2_CellIDFromPoint / S2_CoveringCellIDs
+(docs/reference/sql/s2_*.qmd).
+
+All kernels assume lon/lat degrees (EPSG:4326 axis order lon, lat).
+
+Cell IDs: hierarchical face+Hilbert scheme with the same *shape* as S2
+(6 faces x 4^level cells, parent = child >> 2*(30-level)) built from public
+descriptions of the S2 decomposition; IDs are deterministic and
+prefix-hierarchical but not bitwise-identical to the s2geometry library.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sedona_db_spark.functions.kernels import (
+    BIN, BOOL, DBL, KERNELS, _coerce, _decode,
+)
+from sedona_db_spark.geom import algorithms2 as alg2
+from sedona_db_spark.geom.core import Geom, POINT
+
+EARTH_RADIUS_M = 6371008.8            # mean radius (reference uses the same
+                                      # sphere for ST_DistanceSphere)
+WGS84_A = 6378137.0                   # spheroid semi-major
+WGS84_F = 1.0 / 298.257223563         # flattening
+
+
+# ----------------------------------------------------------------------
+# scalar math (numpy-vectorizable)
+# ----------------------------------------------------------------------
+
+def haversine_m(lon1, lat1, lon2, lat2) -> float:
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp = p2 - p1
+    dl = math.radians(lon2 - lon1)
+    a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2 * EARTH_RADIUS_M * math.asin(min(1.0, math.sqrt(a)))
+
+
+def spheroid_distance_m(lon1, lat1, lon2, lat2) -> float:
+    """Lambert's formula on WGS84 (good to ~10 m over long lines) —
+    dependency-free stand-in for the reference's full geodesic solver."""
+    if lon1 == lon2 and lat1 == lat2:
+        return 0.0
+    # reduced latitudes
+    b1 = math.atan((1 - WGS84_F) * math.tan(math.radians(lat1)))
+    b2 = math.atan((1 - WGS84_F) * math.tan(math.radians(lat2)))
+    # central angle via haversine on reduced latitudes
+    dl = math.radians(lon2 - lon1)
+    a = math.sin((b2 - b1) / 2) ** 2 + \
+        math.cos(b1) * math.cos(b2) * math.sin(dl / 2) ** 2
+    sigma = 2 * math.asin(min(1.0, math.sqrt(a)))
+    if sigma == 0.0:
+        return 0.0
+    P, Q = (b1 + b2) / 2, (b2 - b1) / 2
+    sin_s, cos_s = math.sin(sigma), math.cos(sigma)
+    X = (sigma - sin_s) * (math.sin(P) ** 2 * math.cos(Q) ** 2) / \
+        max(1e-15, math.cos(sigma / 2) ** 2)
+    Y = (sigma + sin_s) * (math.cos(P) ** 2 * math.sin(Q) ** 2) / \
+        max(1e-15, math.sin(sigma / 2) ** 2)
+    return WGS84_A * (sigma - WGS84_F / 2 * (X + Y))
+
+
+def _geom_min_distance(a: Geom, b: Geom, dist_fn) -> float:
+    """Min pairwise vertex distance — exact for points, a documented
+    vertex-level approximation for higher dimensions (reference computes
+    true geodesic edge distance via S2)."""
+    ca, cb = a.all_coords()[:, :2], b.all_coords()[:, :2]
+    best = math.inf
+    for x1, y1 in ca:
+        for x2, y2 in cb:
+            d = dist_fn(x1, y1, x2, y2)
+            if d < best:
+                best = d
+    return best
+
+
+def geodesic_length_m(g: Geom, rings: bool = False) -> float:
+    total = 0.0
+    parts = list(g.rings()) if rings else list(g.lines())
+    for arr in parts:
+        a = np.asarray(arr, dtype=np.float64)[:, :2]
+        for i in range(len(a) - 1):
+            total += haversine_m(a[i, 0], a[i, 1], a[i + 1, 0], a[i + 1, 1])
+    return total
+
+
+def spherical_ring_area_m2(ring: np.ndarray) -> float:
+    """Spherical shoelace (l'Huilier-equivalent line integral):
+    A = R^2 * |sum (lam2-lam1) * (2 + sin(phi1) + sin(phi2)) / 2|."""
+    a = np.radians(np.asarray(ring, dtype=np.float64)[:, :2])
+    lam, phi = a[:, 0], a[:, 1]
+    dlam = np.diff(lam)
+    # wrap antimeridian-crossing edges into [-pi, pi]
+    dlam = np.where(dlam > np.pi, dlam - 2 * np.pi,
+                    np.where(dlam < -np.pi, dlam + 2 * np.pi, dlam))
+    s = np.sum(dlam * (2.0 + np.sin(phi[:-1]) + np.sin(phi[1:]))) / 2.0
+    return abs(s) * EARTH_RADIUS_M ** 2
+
+
+def geodesic_area_m2(g: Geom) -> float:
+    total = 0.0
+    for poly in g.polygons():
+        rings = list(poly)
+        if not rings:
+            continue
+        total += spherical_ring_area_m2(rings[0])
+        for hole in rings[1:]:
+            total -= spherical_ring_area_m2(hole)
+    return abs(total)
+
+
+# ----------------------------------------------------------------------
+# S2-style hierarchical cells (face + Hilbert, 30 levels)
+# ----------------------------------------------------------------------
+
+_MAX_LEVEL = 30
+
+
+def _lonlat_to_xyz(lon, lat):
+    lam, phi = math.radians(lon), math.radians(lat)
+    return (math.cos(phi) * math.cos(lam), math.cos(phi) * math.sin(lam),
+            math.sin(phi))
+
+
+def _xyz_to_face_uv(x, y, z):
+    """Standard S2 cube-face projection (public algorithm description)."""
+    ax, ay, az = abs(x), abs(y), abs(z)
+    if ax >= ay and ax >= az:
+        return (0, y / x, z / x) if x > 0 else (3, z / x, y / x)
+    if ay >= ax and ay >= az:
+        return (1, -x / y, z / y) if y > 0 else (4, z / y, -x / y)
+    return (2, -x / z, -y / z) if z > 0 else (5, -y / z, -x / z)
+
+
+def _uv_to_st(u: float) -> float:
+    """S2's quadratic projection flattening cube-face distortion."""
+    if u >= 0:
+        return 0.5 * math.sqrt(1 + 3 * u)
+    return 1 - 0.5 * math.sqrt(1 - 3 * u)
+
+
+def cell_id_from_point(lon: float, lat: float, level: int = _MAX_LEVEL) -> int:
+    face, u, v = _xyz_to_face_uv(*_lonlat_to_xyz(lon, lat))
+    s, t = _uv_to_st(u), _uv_to_st(v)
+    n = (1 << _MAX_LEVEL) - 1
+    i = min(n, int(s * (1 << _MAX_LEVEL)))
+    j = min(n, int(t * (1 << _MAX_LEVEL)))
+    h = alg2.hilbert_xy2d(i, j, order=_MAX_LEVEL)
+    cell = (face << (2 * _MAX_LEVEL)) | h
+    return cell >> (2 * (_MAX_LEVEL - int(level)))
+
+
+def covering_cell_ids(g: Geom, level: int = 8) -> list[int]:
+    """Approximate covering: distinct cells of a bounded sample grid over
+    the bbox plus every vertex (true S2 coverings refine adaptively)."""
+    from sedona_db_spark.geom import algorithms as alg
+    coords = g.all_coords()[:, :2]
+    if len(coords) == 0:
+        return []
+    cells = {cell_id_from_point(float(x), float(y), level) for x, y in coords}
+    x0, y0, x1, y1 = alg.bounds(g)
+    n = 8
+    for fx in np.linspace(x0, x1, n):
+        for fy in np.linspace(y0, y1, n):
+            p = alg.point_position(np.array([fx, fy]), g) if g.dimension() == 2 else -1
+            if g.gt == POINT or p >= 0:
+                cells.add(cell_id_from_point(float(fx), float(fy), level))
+    return sorted(cells)
+
+
+# ----------------------------------------------------------------------
+# pandas-UDF kernels
+# ----------------------------------------------------------------------
+
+def _pair_metric(dist_fn):
+    def run(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        out = []
+        for a, b in zip(_decode(s1), _decode(s2)):
+            if a is None or b is None:
+                out.append(None)
+            elif a.gt == POINT and b.gt == POINT and not a.is_empty() and not b.is_empty():
+                out.append(dist_fn(float(a.data[0]), float(a.data[1]),
+                                   float(b.data[0]), float(b.data[1])))
+            else:
+                out.append(_geom_min_distance(a, b, dist_fn))
+        return pd.Series(out, dtype=object)
+    return run
+
+
+def k_dwithin_sphere(s1, s2, d) -> pd.Series:
+    D = _coerce(d, len(s1))
+    dist = _pair_metric(haversine_m)(s1, s2)
+    return pd.Series(
+        [None if (v is None or dd is None) else bool(v <= float(dd))
+         for v, dd in zip(dist, D)], dtype=object)
+
+
+def k_area_spheroid(s: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else geodesic_area_m2(g)
+                      for g in _decode(s)], dtype=object)
+
+
+def k_length_spheroid(s: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else geodesic_length_m(g)
+                      for g in _decode(s)], dtype=object)
+
+
+def k_perimeter_spheroid(s: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else geodesic_length_m(g, rings=True)
+                      for g in _decode(s)], dtype=object)
+
+
+def k_s2_cellid(s: pd.Series, level) -> pd.Series:
+    L = _coerce(level, len(s))
+    out = []
+    for g, lv in zip(_decode(s), L):
+        if g is None or g.gt != POINT or g.is_empty() or lv is None:
+            out.append(None)
+        else:
+            out.append(cell_id_from_point(float(g.data[0]), float(g.data[1]),
+                                          int(lv)))
+    return pd.Series(out, dtype=object)
+
+
+def k_s2_covering(s: pd.Series, level) -> pd.Series:
+    L = _coerce(level, len(s))
+    out = []
+    for g, lv in zip(_decode(s), L):
+        if g is None or lv is None:
+            out.append(None)
+        else:
+            out.append(covering_cell_ids(g, int(lv)))
+    return pd.Series(out, dtype=object)
+
+
+KERNELS.update({
+    "ST_DistanceSpheroid": (_pair_metric(spheroid_distance_m), DBL, "gg"),
+    "ST_DWithinSphere": (k_dwithin_sphere, BOOL, "ggd"),
+    "ST_AreaSpheroid": (k_area_spheroid, DBL, "g"),
+    "ST_LengthSpheroid": (k_length_spheroid, DBL, "g"),
+    "ST_PerimeterSpheroid": (k_perimeter_spheroid, DBL, "g"),
+    "S2_CellIDFromPoint": (k_s2_cellid, T.LongType(), "gi"),
+    "S2_CoveringCellIDs": (k_s2_covering, T.ArrayType(T.LongType()), "gi"),
+})
