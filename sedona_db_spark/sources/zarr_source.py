@@ -1,0 +1,133 @@
+"""Zarr v2 datacube source — SURVEY §2.8.
+
+Reference: /root/reference/rust/sedona-raster-zarr (directory-shaped URL
+table producing raster rows; docs/working-with-zarr-ndarray-sedonadb.md).
+This is a from-scratch reader of the public Zarr v2 storage spec
+(`.zarray` JSON + C-order chunk files named "i.j[.k]"), supporting raw,
+zlib and gzip compressors — no zarr-python dependency.
+
+Scale design: chunk decoding happens per-(chunk, band) task — the chunk
+list is parallelized across executors so a petabyte datacube fans out to
+one task per chunk, and each output row is one raster tile struct (the
+same tile-per-row layout RS_Tile produces).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from sedona_db_spark.functions import raster as rs
+
+_DTYPES = {
+    "<f8": ("float64", np.dtype("<f8")), "<f4": ("float32", np.dtype("<f4")),
+    "<i8": ("int64", np.dtype("<i8")), "<i4": ("int32", np.dtype("<i4")),
+    "<i2": ("int16", np.dtype("<i2")), "|u1": ("uint8", np.dtype("|u1")),
+    "<u2": ("uint16", np.dtype("<u2")), "<u4": ("uint32", np.dtype("<u4")),
+}
+
+
+def read_zarray_meta(store: str, array: str = "") -> dict:
+    base = os.path.join(store, array) if array else store
+    with open(os.path.join(base, ".zarray")) as f:
+        meta = json.load(f)
+    if meta.get("zarr_format") != 2:
+        raise ValueError("only Zarr v2 stores are supported")
+    if meta.get("order", "C") != "C":
+        raise ValueError("only C-order chunks are supported")
+    comp = meta.get("compressor")
+    if comp is not None and comp.get("id") not in ("zlib", "gzip"):
+        raise NotImplementedError(
+            f"compressor {comp.get('id')!r} needs numcodecs (zlib/gzip/raw "
+            "are supported natively)")
+    return meta
+
+
+def _decode_chunk(raw: bytes, meta: dict) -> np.ndarray:
+    comp = meta.get("compressor")
+    if comp is not None:
+        raw = zlib.decompress(raw, 47 if comp["id"] == "gzip" else 15)
+    _, npdt = _DTYPES[meta["dtype"]]
+    return np.frombuffer(raw, dtype=npdt).reshape(meta["chunks"])
+
+
+def list_chunks(store: str, array: str = "") -> list[tuple[str, tuple]]:
+    """[(chunk_path, chunk_index)] for every materialized chunk file."""
+    base = os.path.join(store, array) if array else store
+    out = []
+    for name in sorted(os.listdir(base)):
+        if name.startswith("."):
+            continue
+        try:
+            idx = tuple(int(p) for p in name.split("."))
+        except ValueError:
+            continue
+        out.append((os.path.join(base, name), idx))
+    return out
+
+
+def read_zarr(spark: SparkSession, store: str, array: str = "",
+              transform: list[float] | None = None,
+              crs: str = "EPSG:4326") -> DataFrame:
+    """Zarr array -> DataFrame of raster-tile rows (one row per 2-D chunk).
+
+    2-D arrays -> single-band tiles; 3-D arrays (band/time leading axis)
+    -> one band per leading index within the chunk.  `transform` is the
+    whole-array GDAL GeoTransform; per-tile transforms are derived by
+    offsetting the origin to the chunk position.
+    """
+    meta = read_zarray_meta(store, array)
+    shape, chunks = meta["shape"], meta["chunks"]
+    nd = len(shape)
+    if nd not in (2, 3):
+        raise ValueError("only 2-D or 3-D zarr arrays map to raster tiles")
+    t = transform or [0.0, 1.0, 0.0, 0.0, 0.0, -1.0]
+    dtname, _ = _DTYPES[meta["dtype"]]
+    fill = meta.get("fill_value")
+    chunk_list = list_chunks(store, array)
+
+    def one(item):
+        path, idx = item
+        with open(path, "rb") as f:
+            arr = _decode_chunk(f.read(), meta)
+        if nd == 2:
+            cy, cx = idx
+            bands_nd = arr[None, ...]
+        else:
+            cb, cy, cx = idx[0], idx[-2], idx[-1]
+            bands_nd = arr
+        h, w = bands_nd.shape[-2], bands_nd.shape[-1]
+        py0 = cy * chunks[-2]
+        px0 = cx * chunks[-1]
+        # clip partial edge chunks to the array shape
+        h = min(h, shape[-2] - py0)
+        w = min(w, shape[-1] - px0)
+        bands = []
+        for bi in range(bands_nd.shape[0]):
+            name = f"band_{idx[0] * chunks[0] + bi + 1}" if nd == 3 else "band_1"
+            bands.append((name, dtname, np.ascontiguousarray(
+                bands_nd[bi, :h, :w])))
+        row = rs.make_raster_row(
+            w, h,
+            ulx=t[0] + px0 * t[1] + py0 * t[2],
+            uly=t[3] + px0 * t[4] + py0 * t[5],
+            scale_x=t[1], scale_y=t[5], skew_x=t[2], skew_y=t[4],
+            crs=crs, bands=bands)
+        if fill is not None:
+            for b in row["bands"]:
+                b["nodata"] = float(fill)
+        return (path, list(idx), row)
+
+    schema = T.StructType([
+        T.StructField("chunk_path", T.StringType()),
+        T.StructField("chunk_index", T.ArrayType(T.LongType())),
+        T.StructField("raster", rs.RASTER_TYPE),
+    ])
+    rdd = spark.sparkContext.parallelize(
+        chunk_list, max(1, min(len(chunk_list), 256))).map(one)
+    return spark.createDataFrame(rdd, schema)

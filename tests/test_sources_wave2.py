@@ -1,0 +1,163 @@
+"""LAS point-cloud, Zarr v2, and in-memory/text interop sources (§2.8)."""
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sedona_db_spark.sources import interop, las, zarr_source
+
+
+# ----------------------------------------------------------------------
+# LAS
+# ----------------------------------------------------------------------
+
+def test_las_roundtrip(spark, tmp_path):
+    n = 1000
+    rng = np.random.default_rng(42)
+    x = rng.uniform(-100, 100, n).round(3)
+    y = rng.uniform(-50, 50, n).round(3)
+    z = rng.uniform(0, 500, n).round(3)
+    p = str(tmp_path / "pts.las")
+    las.write_las(p, x, y, z)
+    df = las.read_las(spark, p)
+    assert df.count() == n
+    got = df.agg(F.round(F.sum("x"), 2).alias("sx"),
+                 F.round(F.sum("z"), 2).alias("sz"),
+                 F.min("classification").alias("mc")).first()
+    assert got["sx"] == pytest.approx(round(float(x.sum()), 2), abs=0.05)
+    assert got["sz"] == pytest.approx(round(float(z.sum()), 2), abs=0.05)
+    # geometry column is live WKB usable by ST_* kernels
+    inside = df.filter(F.expr(
+        "ST_Within(geometry, ST_MakeEnvelope(-100.0, -50.0, 100.0, 50.0))"))
+    assert inside.count() == n
+
+
+def test_las_header_fields(tmp_path):
+    p = str(tmp_path / "one.las")
+    las.write_las(p, [1.5], [2.5], [3.5])
+    with open(p, "rb") as f:
+        h = las.parse_las_header(f.read())
+    assert h["version"] == (1, 2) and h["n_points"] == 1
+    assert h["format"] == 0 and not h["compressed"]
+
+
+def test_las_format1_gps_time(tmp_path, spark):
+    p = str(tmp_path / "t.las")
+    las.write_las(p, [1.0, 2.0], [3.0, 4.0], [5.0, 6.0], fmt=1)
+    rows = las.read_las(spark, p).orderBy("x").collect()
+    assert rows[0]["x"] == pytest.approx(1.0)
+    assert rows[0]["gps_time"] == 0.0  # written zeroed, parsed from fmt-1 slot
+
+
+# ----------------------------------------------------------------------
+# Zarr v2
+# ----------------------------------------------------------------------
+
+def _write_zarr(store, shape, chunks, dtype="<f8", compressor=None, nd3=False):
+    os.makedirs(store, exist_ok=True)
+    meta = {"zarr_format": 2, "shape": list(shape), "chunks": list(chunks),
+            "dtype": dtype, "compressor": compressor, "fill_value": 0,
+            "order": "C", "filters": None}
+    with open(os.path.join(store, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    full = np.arange(int(np.prod(shape)), dtype=np.dtype(dtype)).reshape(shape)
+    grid = [range((s + c - 1) // c) for s, c in zip(shape, chunks)]
+    import itertools
+    for idx in itertools.product(*grid):
+        sl = tuple(slice(i * c, (i + 1) * c) for i, c in zip(idx, chunks))
+        chunk = np.zeros(chunks, dtype=np.dtype(dtype))
+        sub = full[sl]
+        chunk[tuple(slice(0, s) for s in sub.shape)] = sub
+        raw = chunk.tobytes()
+        if compressor and compressor["id"] == "zlib":
+            raw = zlib.compress(raw)
+        with open(os.path.join(store, ".".join(map(str, idx))), "wb") as f:
+            f.write(raw)
+    return full
+
+
+def test_zarr_2d_tiles(spark, tmp_path):
+    store = str(tmp_path / "z2")
+    full = _write_zarr(store, (6, 8), (3, 4))
+    df = zarr_source.read_zarr(spark, store,
+                               transform=[100.0, 1.0, 0.0, 50.0, 0.0, -1.0])
+    from sedona_db_spark.functions import raster as rs
+    assert df.count() == 4  # 2x2 chunk grid
+    tot = df.select(rs.zonal_stats(
+        F.col("raster"), F.expr("ST_MakeEnvelope(0.0, -100.0, 300.0, 100.0)"),
+        1).alias("z")).agg(F.sum("z.sum").alias("s"),
+                           F.sum("z.count").alias("n")).first()
+    # 47 not 48: fill_value=0 becomes band nodata, masking the value-0 pixel
+    assert tot["n"] == 47 and tot["s"] == float(full.sum())
+
+
+def test_zarr_zlib_and_3d(spark, tmp_path):
+    store = str(tmp_path / "z3")
+    _write_zarr(store, (2, 4, 4), (1, 2, 2), compressor={"id": "zlib"},
+                nd3=True)
+    df = zarr_source.read_zarr(spark, store)
+    from sedona_db_spark.functions import raster as rs
+    assert df.count() == 8  # 2 bands x 2x2 spatial chunks
+    names = df.select(F.explode(F.col("raster.bands")).alias("b")) \
+        .select("b.name").distinct().collect()
+    assert {r["name"] for r in names} == {"band_1", "band_2"}
+
+
+def test_zarr_rejects_unknown_compressor(tmp_path):
+    store = str(tmp_path / "zbad")
+    os.makedirs(store)
+    with open(os.path.join(store, ".zarray"), "w") as f:
+        json.dump({"zarr_format": 2, "shape": [2, 2], "chunks": [2, 2],
+                   "dtype": "<f8", "compressor": {"id": "blosc"},
+                   "fill_value": 0, "order": "C"}, f)
+    with pytest.raises(NotImplementedError):
+        zarr_source.read_zarray_meta(store)
+
+
+# ----------------------------------------------------------------------
+# interop
+# ----------------------------------------------------------------------
+
+def test_geo_interface_ingest(spark):
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {"name": "a"},
+         "geometry": {"type": "Point", "coordinates": [1.0, 2.0]}},
+        {"type": "Feature", "properties": {"name": "b"},
+         "geometry": {"type": "Polygon",
+                      "coordinates": [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]]}},
+    ]}
+    df = interop.create_data_frame(spark, fc)
+    out = df.selectExpr("name", "ST_AsText(geometry) AS wkt",
+                        "round(ST_Area(geometry), 1) AS area") \
+        .orderBy("name").collect()
+    assert out[0]["wkt"] == "POINT (1 2)"
+    assert out[1]["area"] == 16.0
+
+
+def test_pandas_ingest_and_export(spark):
+    import pandas as pd
+    pdf = pd.DataFrame({"k": [1, 2], "v": ["x", "y"]})
+    df = interop.create_data_frame(spark, pdf)
+    back = interop.to_pandas(df.orderBy("k"))
+    assert list(back["k"]) == [1, 2]
+
+
+def test_csv_geometry_roundtrip(spark, tmp_path):
+    df = spark.sql("""
+      SELECT n_nationkey AS k, ST_Point(CAST(n_nationkey AS DOUBLE), 2.0) AS geom
+      FROM nation WHERE n_nationkey < 5
+    """)
+    p = str(tmp_path / "geo_csv")
+    interop.write_csv(df, p, geom_cols=["geom"])
+    back = interop.read_csv(spark, p, geom_cols=["geom"])
+    got = back.selectExpr("k", "ST_X(geom) AS x").orderBy("k").collect()
+    assert [r["x"] for r in got] == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_pyogrio_gated():
+    with pytest.raises(NotImplementedError):
+        interop.read_pyogrio(None, "/tmp/x.shp")
