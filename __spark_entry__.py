@@ -864,6 +864,70 @@ _sql("sd_order_distinct_keys", """
   SELECT count(*) AS n FROM nation
 """)
 
+_sql("setops_intersect", """
+  SELECT c_nationkey FROM customer WHERE c_custkey < 600
+  INTERSECT
+  SELECT c_nationkey FROM customer WHERE c_custkey >= 300 AND c_custkey < 900
+""")
+
+
+def _q_with_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Param placeholders (reference dataframe.py:1294 with_params) via
+    Spark 3.4+ parameterized spark.sql."""
+    return spark.sql(
+        "SELECT c_custkey, c_nationkey FROM customer "
+        "WHERE c_custkey < :lim AND c_nationkey = :nk ORDER BY c_custkey",
+        args={"lim": 500, "nk": 7})
+
+
+_PY["param_placeholders"] = _q_with_params
+_O["param_placeholders"] = """
+  SELECT c_custkey, c_nationkey FROM customer
+  WHERE c_custkey < 500 AND c_nationkey = 7 ORDER BY c_custkey
+"""
+
+
+def _q_random_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded generator (reference sd_random_geometry): deterministic by
+    (seed, id), so repeated runs hash-match themselves; no SQL oracle."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions.table_functions import sd_random_geometry
+    df = sd_random_geometry(spark, {
+        "geom_type": "polygon", "num_rows": 2000, "seed": 42,
+        "bounds": [0.0, 0.0, 80.0, 100.0], "size": [1.0, 15.0]})
+    return df.selectExpr(
+        "count(*) AS n",
+        "round(sum(ST_Area(geom)), 2) AS total_area",
+        "round(avg(ST_NPoints(geom)), 4) AS avg_np")
+
+
+_PY["random_geometry_stats"] = _q_random_geometry
+_ROWS_ONLY.add("random_geometry_stats")
+
+
+def _q_geoparquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoParquet write (bbox covering column + geo footer) then read back
+    with a bbox spatial filter — §2.8 IO + §4.2 pruning end-to-end."""
+    import tempfile
+    from pyspark.sql import functions as F
+    from sedona_db_spark.sources.geoparquet import (
+        read_geoparquet, spatial_filter, write_geoparquet)
+    out = tempfile.mkdtemp(prefix="gpq_") + "/cust"
+    cust = spark.table("cust_pts").select("c_custkey", "geom")
+    write_geoparquet(cust, out, geom_cols={"geom": "EPSG:4326"})
+    back, _meta = read_geoparquet(spark, out)
+    filt = spatial_filter(back, "geom", 20.0, 20.0, 60.0, 60.0)
+    return filt.select("c_custkey")
+
+
+_PY["geoparquet_bbox_roundtrip"] = _q_geoparquet_roundtrip
+_O["geoparquet_bbox_roundtrip"] = """
+  SELECT c_custkey FROM (
+    SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,
+           (c_custkey % 1000) / 10.0 AS py FROM customer) c
+  WHERE px >= 20.0 AND px <= 60.0 AND py >= 20.0 AND py <= 60.0
+"""
+
 _sql("geo_distance_sphere", """
   SELECT c_custkey,
          round(ST_DistanceSphere(ST_Point(px - 50.0, py * 0.8 - 40.0),

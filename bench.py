@@ -37,6 +37,8 @@ HEADLINE = [
     "text_ngram_jaccard_pairs",
     "sim_cosine_topk",
     "sim_label_centroid_dist",
+    "geo_distance_sphere",
+    "raster_zonal_stats",
 ]
 
 
@@ -50,6 +52,15 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+
+    # warmup: JVM codegen, python worker pool, parquet footer reads and the
+    # temp-view prep all happen once, outside the timed region (the same
+    # methodology as pytest-benchmark's warmup in the reference harness,
+    # /root/reference/benchmarks/test_bench_base.py)
+    entrymod._prep(spark, sf_dir)
+    spark.sql("SELECT ST_AsText(ST_Point(1.0, 1.0))").collect()
+    spark.table("lineitem").limit(1).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
