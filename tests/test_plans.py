@@ -1,0 +1,58 @@
+"""Plan-inspection utilities + mechanical scale contracts (§4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sedona_db_spark.plans import inspect as pi
+
+
+def test_pushed_filters_and_pruning(spark):
+    df = spark.table("lineitem").filter("l_quantity < 5") \
+        .select("l_orderkey", "l_quantity")
+    pf = pi.pushed_filters(df)
+    assert any("l_quantity" in f for f in pf)
+    cols = pi.read_schema_columns(df)
+    assert set(cols) <= {"l_orderkey", "l_quantity"}  # column pruning held
+
+
+def test_python_eval_counting(spark):
+    native = spark.table("customer").select("c_custkey")
+    assert pi.python_eval_count(native) == 0
+    udfy = spark.sql("SELECT ST_Point(1.0, 1.0) AS g FROM customer LIMIT 5")
+    assert pi.python_eval_count(udfy) >= 1
+
+
+def test_shuffle_and_join_strategy(spark):
+    agg = spark.table("lineitem").groupBy("l_returnflag").count()
+    assert pi.shuffle_count(agg) >= 1
+    j = spark.table("lineitem").join(
+        F.broadcast(spark.table("nation")),
+        F.col("l_suppkey") % 25 == F.col("n_nationkey"))
+    assert "BroadcastHashJoin" in pi.join_strategies(j)
+    assert pi.broadcast_count(j) >= 1
+
+
+def test_assert_scales_contract(spark):
+    df = spark.table("lineitem").filter("l_quantity < 5") \
+        .groupBy("l_returnflag").count()
+    pi.assert_scales(df, max_shuffles=2, max_python_evals=0,
+                     require_pushed_filter="l_quantity")
+    with pytest.raises(AssertionError):
+        pi.assert_scales(df, max_shuffles=0)
+
+
+def test_spatial_filter_reaches_parquet_scan(spark, tmp_path):
+    """The §4.2 contract: bbox range rewrite must land in PushedFilters."""
+    from sedona_db_spark.sources.geoparquet import (
+        read_geoparquet, spatial_filter, write_geoparquet)
+    cust = spark.sql("""
+      SELECT c_custkey,
+             ST_Point(abs(c_acctbal) % 100.0, (c_custkey % 1000) / 10.0) AS geom
+      FROM customer LIMIT 2000
+    """)
+    out = str(tmp_path / "gpq")
+    write_geoparquet(cust, out, geom_cols={"geom": "EPSG:4326"})
+    back, _ = read_geoparquet(spark, out)
+    filt = spatial_filter(back, "geom", 10.0, 10.0, 30.0, 30.0, exact=False)
+    pi.assert_scales(filt, max_python_evals=0,
+                     require_pushed_filter="bbox.xmin")
