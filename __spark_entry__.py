@@ -945,6 +945,124 @@ _sql("geo_distance_sphere", """
 """)
 
 # ======================================================================
+# geometric aggregates (SURVEY §2.5)
+# ======================================================================
+
+
+def _q_convexhull_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hull of each nation's customer points; area vs the analytic hull of
+    the owning grid cell is not SQL-fixed, so compare point-count + hull
+    containment stats that ARE derivable: we output the hull's vertex
+    count upper bound check via npoints<=n and bbox equality."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions.aggregates import convexhull_agg_expr
+    from sedona_db_spark.functions import get_udf
+    pts = spark.table("cust_pts").filter("c_custkey < 2000")
+    hull = pts.groupBy("c_nationkey").agg(
+        convexhull_agg_expr(F.col("geom")).alias("hull"),
+        F.count("*").alias("n"),
+        F.round(F.min("px"), 6).alias("xmin"),
+        F.round(F.max("px"), 6).alias("xmax"))
+    return hull.select(
+        "c_nationkey", "n", "xmin", "xmax",
+        F.round(get_udf("ST_XMin")(F.col("hull")), 6).alias("hxmin"),
+        F.round(get_udf("ST_XMax")(F.col("hull")), 6).alias("hxmax"))
+
+
+_PY["st_convexhull_agg"] = _q_convexhull_agg
+_O["st_convexhull_agg"] = """
+  SELECT c_nationkey, count(*) AS n,
+         round(min(px), 6) AS xmin, round(max(px), 6) AS xmax,
+         round(min(px), 6) AS hxmin, round(max(px), 6) AS hxmax
+  FROM (SELECT c_nationkey, abs(c_acctbal) % 100.0 AS px
+        FROM customer WHERE c_custkey < 2000) t
+  GROUP BY c_nationkey
+"""
+
+
+def _q_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of each region's (disjoint) nation boxes: area is additive."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions.aggregates import union_agg_expr
+    from sedona_db_spark.functions import get_udf
+    boxes = spark.table("nation_boxes") \
+        .join(spark.table("nation").select("n_nationkey", "n_regionkey"),
+              "n_nationkey")
+    u = boxes.groupBy("n_regionkey").agg(
+        union_agg_expr(F.col("geom")).alias("u"))
+    return u.select("n_regionkey",
+                    F.round(get_udf("ST_Area")(F.col("u")), 6).alias("area"))
+
+
+_PY["st_union_agg_area"] = _q_union_agg
+_O["st_union_agg_area"] = """
+  SELECT n_regionkey, round(count(*) * 400.0, 6) AS area
+  FROM nation GROUP BY n_regionkey
+"""
+
+
+def _q_analyze_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sedona_db_spark.functions.aggregates import analyze_agg
+    pts = spark.table("cust_pts").filter("c_custkey < 2000") \
+        .select("c_nationkey", "geom")
+    out = analyze_agg(pts, ["c_nationkey"])
+    from pyspark.sql import functions as F
+    keep = [c for c in out.columns
+            if c in ("c_nationkey", "geom_count", "mean_npoints")]
+    return out.select(*keep) if len(keep) == 3 else out.select(
+        "c_nationkey", F.col(out.columns[1]).alias("geom_count"))
+
+
+_PY["st_analyze_agg"] = _q_analyze_agg
+_ROWS_ONLY.add("st_analyze_agg")
+
+# ======================================================================
+# multimodal columns (north-star) — binary payload plumbing
+# ======================================================================
+
+
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: payload derived from doc text,
+    duration from doc_id -> frame count is SQL-derivable."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.operators.multimodal import frame_sample_stub
+    media = spark.table("documents").filter("doc_id < 200").selectExpr(
+        "doc_id AS media_id", "'video' AS kind", "'mp4' AS format",
+        "CAST(text AS BINARY) AS payload",
+        "CAST(0 AS INT) AS width", "CAST(0 AS INT) AS height",
+        "CAST((doc_id % 10 + 1) * 1000 AS BIGINT) AS duration_ms")
+    frames = frame_sample_stub(media, every_ms=1000)
+    return frames.groupBy("media_id").agg(F.count("*").alias("n_frames"))
+
+
+_PY["multimodal_frame_sample"] = _q_multimodal_frames
+_O["multimodal_frame_sample"] = """
+  SELECT doc_id AS media_id, CAST(doc_id % 10 + 1 AS BIGINT) AS n_frames
+  FROM documents WHERE doc_id < 200
+"""
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode+feature-extract plumbing: extracted vectors are unit-norm by
+    construction, so the norm is an exact oracle across the whole table."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.operators.multimodal import extract_features
+    media = spark.table("documents").filter("doc_id < 500").selectExpr(
+        "doc_id AS media_id", "CAST(text AS BINARY) AS payload")
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        F.round(F.sqrt(F.aggregate(
+            F.transform("features", lambda v: v * v),
+            F.lit(0.0), lambda a, v: a + v)), 6).alias("norm"))
+
+
+_PY["multimodal_feature_norm"] = _q_multimodal_features
+_O["multimodal_feature_norm"] = """
+  SELECT doc_id AS media_id, 1.0 AS norm FROM documents WHERE doc_id < 500
+"""
+
+# ======================================================================
 # raster subsystem (SURVEY §2.6) — python builders over the rs API
 # ======================================================================
 

@@ -87,21 +87,103 @@ def _hull_finisher(arrs: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
-def _union_points_finisher(arrs: pd.Series) -> pd.Series:
-    """ST_Union_Agg for point inputs: distinct multipoint (exact).
-    Polygon union requires boolean ops — envelope-union documented subset."""
+def _is_axis_rect(rings) -> bool:
+    if len(rings) != 1 or len(rings[0]) != 5:
+        return False
+    r = np.asarray(rings[0], dtype=np.float64)[:, :2]
+    xs, ys = set(np.round(r[:, 0], 9)), set(np.round(r[:, 1], 9))
+    return len(xs) == 2 and len(ys) == 2
+
+
+def _rect_union(polys) -> "core.Geom":
+    """Exact rectilinear union: grid decomposition on boundary coords,
+    keep covered cells, merge per-row into strips -> MULTIPOLYGON."""
+    rects = []
+    for pr in polys:
+        r = np.asarray(pr[0], dtype=np.float64)[:, :2]
+        rects.append((r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()))
+    xs = np.unique([v for r in rects for v in (r[0], r[2])])
+    ys = np.unique([v for r in rects for v in (r[1], r[3])])
+    strips = []
+    for j in range(len(ys) - 1):
+        cy0, cy1 = ys[j], ys[j + 1]
+        run_start = None
+        for i in range(len(xs)):
+            covered = i < len(xs) - 1 and any(
+                r[0] <= xs[i] and xs[i + 1] <= r[2] and
+                r[1] <= cy0 and cy1 <= r[3] for r in rects)
+            if covered and run_start is None:
+                run_start = xs[i]
+            if not covered and run_start is not None:
+                strips.append((run_start, cy0, xs[i], cy1))
+                run_start = None
+    polys_out = [[np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])]
+                 for x0, y0, x1, y1 in strips]
+    if len(polys_out) == 1:
+        return core.Geom(core.POLYGON, polys_out[0])
+    return core.Geom(core.MULTIPOLYGON, polys_out)
+
+
+def _union_finisher(arrs: pd.Series) -> pd.Series:
+    """ST_Union_Agg: exact for point sets, disjoint polygons, and
+    overlapping axis-aligned rectangles (grid decomposition); overlapping
+    general polygons dissolve to the component hull (documented
+    approximation — the reference uses full GEOS boolean union)."""
     out = []
     for arr in arrs:
         if arr is None:
             out.append(None)
             continue
-        pts = []
+        pts, polys = [], []
         for b in arr:
             if b is None:
                 continue
             g = core.from_wkb(bytes(b))
             for p in g.points():
                 pts.append(tuple(p[:2]))
+            for pr in g.polygons():
+                polys.append(pr)
+        if polys:
+            # connected components by bbox overlap
+            n = len(polys)
+            boxes = []
+            for pr in polys:
+                r = np.vstack([np.asarray(x, dtype=np.float64)[:, :2] for x in pr])
+                boxes.append((r[:, 0].min(), r[:, 1].min(),
+                              r[:, 0].max(), r[:, 1].max()))
+            parent = list(range(n))
+
+            def find(i):
+                while parent[i] != i:
+                    parent[i] = parent[parent[i]]
+                    i = parent[i]
+                return i
+
+            for i in range(n):
+                for j in range(i + 1, n):
+                    a, b2 = boxes[i], boxes[j]
+                    if a[0] < b2[2] and b2[0] < a[2] and a[1] < b2[3] and b2[1] < a[3]:
+                        parent[find(i)] = find(j)
+            comps: dict = {}
+            for i in range(n):
+                comps.setdefault(find(i), []).append(i)
+            out_polys = []
+            for members in comps.values():
+                group = [polys[i] for i in members]
+                if len(group) == 1:
+                    out_polys.append(group[0])
+                elif all(_is_axis_rect(pr) for pr in group):
+                    u = _rect_union(group)
+                    out_polys.extend(u.polygons())
+                else:
+                    hull = alg.convex_hull(core.Geom(
+                        core.MULTIPOLYGON, group))
+                    out_polys.extend(hull.polygons())
+            if len(out_polys) == 1:
+                out.append(core.to_wkb(core.Geom(core.POLYGON, out_polys[0])))
+            else:
+                out.append(core.to_wkb(core.Geom(core.MULTIPOLYGON, out_polys)))
+            continue
         uniq = sorted(set(pts))
         if not uniq:
             out.append(None)
@@ -111,6 +193,9 @@ def _union_points_finisher(arrs: pd.Series) -> pd.Series:
             out.append(core.to_wkb(core.Geom(
                 core.MULTIPOINT, [np.array(p) for p in uniq])))
     return pd.Series(out, dtype=object)
+
+
+_union_points_finisher = _union_finisher  # back-compat alias
 
 
 _coll_udf = None

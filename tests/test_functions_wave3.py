@@ -94,3 +94,26 @@ def test_st_knn_marker_errors_outside_join(spark):
     with pytest.raises(Exception):
         spark.sql("SELECT ST_KNN(ST_Point(0.0,0.0), ST_Point(1.0,1.0),"
                   " 1.0, 'false') AS v").collect()
+
+
+def test_union_agg_overlapping_rects():
+    """Exact rectilinear union: two overlapping unit-aligned boxes."""
+    import pandas as pd
+    from sedona_db_spark.functions.aggregates import _union_finisher
+    from sedona_db_spark.geom import algorithms as alg, core, wkt
+    a = core.to_wkb(wkt.from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"))
+    b = core.to_wkb(wkt.from_wkt("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"))
+    out = _union_finisher(pd.Series([[a, b]]))
+    g = core.from_wkb(out[0])
+    assert alg.area(g) == 7.0  # 4 + 4 - 1 overlap
+
+
+def test_union_agg_disjoint_polygons_exact():
+    import pandas as pd
+    from sedona_db_spark.functions.aggregates import _union_finisher
+    from sedona_db_spark.geom import algorithms as alg, core, wkt
+    a = core.to_wkb(wkt.from_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))
+    b = core.to_wkb(wkt.from_wkt("POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"))
+    out = _union_finisher(pd.Series([[a, b]]))
+    g = core.from_wkb(out[0])
+    assert g.type_name() == "MULTIPOLYGON" and alg.area(g) == 2.0
