@@ -944,6 +944,41 @@ _sql("geo_distance_sphere", """
   WHERE c_custkey < 300
 """)
 
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, exact baseline (north-star dedup #5).
+    The LSH-bucketed variant (operators.similarity.embedding_near_dup_pairs)
+    is the scale path; this exact form is the oracle-checkable spec."""
+    from pyspark.sql import functions as F
+    emb = spark.table("embeddings").filter("vec_id < 300") \
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a, b = emb.alias("a"), emb.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+
+    def norm(c):
+        return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
+                                  F.lit(0.0), lambda acc, x: acc + x))
+
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")) \
+        .select(F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                (dot / (norm(F.col("a.v")) * norm(F.col("b.v")))).alias("c"))
+    return pairs.filter("c >= 0.35") \
+        .select("id_a", "id_b", F.round("c", 5).alias("cosine"))
+
+
+_PY["dedup_embedding_cosine"] = _q_embedding_near_dup
+_O["dedup_embedding_cosine"] = """
+  SELECT id_a, id_b, round(c, 5) AS cosine FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) AS c
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 300 AND b.vec_id < 300) t
+  WHERE c >= 0.35
+"""
+
 # ======================================================================
 # geometric aggregates (SURVEY §2.5)
 # ======================================================================
