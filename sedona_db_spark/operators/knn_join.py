@@ -182,8 +182,16 @@ def knn_join(
             wkbs = pdf[query_geom]
             qpts = _fast_points(wkbs)
             decoded = None if qpts is not None else _decode(wkbs)
-            # candidate multiplier when exact refinement is needed
-            kk = k if not data["exact"] else min(max(k * 4, k + 8), len(data["ids"]))
+            # candidate multiplier when exact refinement is needed;
+            # include_ties ranks ALL broadcast objects (exact tie cut —
+            # the broadcast path's object side is small by construction)
+            n_obj = len(data["ids"])
+            if include_ties:
+                kk = n_obj
+            elif data["exact"]:
+                kk = min(max(k * 4, k + 8), n_obj)
+            else:
+                kk = k
             for i in range(len(pdf)):
                 if qpts is not None:
                     q = qpts[i]
@@ -204,9 +212,15 @@ def knn_join(
                     exact = [(oid, alg.distance(qgeom, obj_geoms[oid]) or 0.0)
                              for oid in ids]
                     exact.sort(key=lambda t: (t[1], t[0]))
-                    pairs = exact[:k]
+                    ranked = exact
                 else:
-                    pairs = list(zip(ids[:k], dists[:k]))
+                    ranked = list(zip(ids, dists))
+                if include_ties and len(ranked) > k:
+                    # reference DISTANCE_TOLERANCE (spatial_index.rs:28-60)
+                    kth = ranked[k - 1][1]
+                    pairs = [p for p in ranked if p[1] <= kth + 1e-9]
+                else:
+                    pairs = ranked[:k]
                 qrow = tuple(pdf.iloc[i])
                 for oid, dd in pairs:
                     out_rows.append(qrow + data["rows"][oid] + (float(dd),))

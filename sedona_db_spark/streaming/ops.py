@@ -67,6 +67,46 @@ def streaming_dedup(stream: DataFrame, cols: list[str],
                  .dropDuplicatesWithinWatermark(cols)
 
 
+def stateful_running_stats(stream: DataFrame,
+                           watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, sum, max) maintained in the state store.
+
+    This is the pattern the reference cannot express (batch-only engine);
+    at scale the state store shards by user across executors, each batch
+    updates only touched keys, and the watermark bounds replay."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("m", T.DoubleType()),
+    ])
+
+    def update(key, pdfs, state):
+        n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            if len(pdf):
+                m = max(m, float(pdf["value"].max()))
+        state.update((n, s, m))
+        yield pd.DataFrame([{"user_id": key[0], "n_events": n,
+                             "sum_value": s, "max_value": m}])
+
+    return (stream.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def run_batchlike(stream_df: DataFrame, tmp_dir: str) -> DataFrame:
     """Drain a (bounded) stream to completion into a memory table and
     return the result as a batch DataFrame — test/verify helper."""

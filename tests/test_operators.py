@@ -192,3 +192,42 @@ def test_multimodal_features(spark):
     assert again == first
     frames = mm.frame_sample_stub(media.filter("kind = 'video'"))
     assert frames.count() == media.filter("kind = 'video'").count() * 5
+
+
+def test_knn_join_include_ties(spark):
+    """Reference knn_include_tie_breakers semantics (option.rs): with ties
+    at the k-th distance, include_ties=True returns all tied rows,
+    include_ties=False returns exactly k deterministic rows."""
+    from sedona_db_spark.operators.knn_join import knn_join
+    q = spark.sql("SELECT 1 AS qid, ST_Point(0.0, 0.0) AS geom")
+    # four objects all at distance 1 -> tie at every k
+    objs = spark.sql("""
+      SELECT * FROM VALUES (1), (2), (3), (4) AS t(oid)
+    """).selectExpr("oid", """
+      CASE oid WHEN 1 THEN ST_Point(1.0, 0.0) WHEN 2 THEN ST_Point(-1.0, 0.0)
+               WHEN 3 THEN ST_Point(0.0, 1.0) ELSE ST_Point(0.0, -1.0) END AS geom
+    """)
+    strict = knn_join(q, objs, k=2)
+    assert strict.count() == 2
+    ties = knn_join(q, objs, k=2, include_ties=True)
+    assert ties.count() == 4
+    # deterministic: same 2 rows on re-run
+    a = {r["oid"] for r in strict.collect()}
+    b = {r["oid"] for r in knn_join(q, objs, k=2).collect()}
+    assert a == b
+
+
+def test_knn_join_object_side_filter_after(spark):
+    """Reference optimizer.rs:140-195: object-side filters must apply
+    AFTER the KNN, not before (pre-filtering changes the neighbor set)."""
+    from sedona_db_spark.operators.knn_join import knn_join
+    q = spark.sql("SELECT 1 AS qid, ST_Point(0.0, 0.0) AS geom")
+    objs = spark.sql("""
+      SELECT * FROM VALUES (1, 1.0), (2, 2.0), (3, 3.0) AS t(oid, d)
+    """).selectExpr("oid", "ST_Point(d, 0.0) AS geom")
+    # correct semantics: knn first (k=2 -> oids 1,2), filter oid!=1 after -> {2}
+    after = knn_join(q, objs, k=2).filter("oid != 1")
+    assert {r["oid"] for r in after.collect()} == {2}
+    # pre-filtering would give {2,3} — assert the operator output lets the
+    # caller choose, i.e. knn itself returned {1,2}
+    assert {r["oid"] for r in knn_join(q, objs, k=2).collect()} == {1, 2}

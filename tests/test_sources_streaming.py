@@ -97,3 +97,28 @@ def test_streaming_matches_batch(spark):
         assert sess.count() > 0
         assert set(sess.columns) == {"user_id", "sess_start", "sess_end",
                                      "n_events", "sum_value"}
+
+
+def test_stateful_running_stats_matches_batch(spark):
+    """applyInPandasWithState custom operator == batch groupBy totals."""
+    from sedona_db_spark.streaming import ops as so
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "src")
+        spark.table("events").limit(2000).write.parquet(src)
+        stream = so.event_stream(spark, src, max_files_per_trigger=100)
+        out = so.stateful_running_stats(stream)
+        name = "st" + os.urandom(4).hex()
+        q = (out.writeStream.format("memory").queryName(name)
+             .option("checkpointLocation", os.path.join(td, "ck"))
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        # keep the LAST update per user (running totals are monotone in n)
+        res = (spark.table(name)
+               .groupBy("user_id")
+               .agg(F.max("n_events").alias("n"),
+                    F.max("sum_value").alias("s")))
+        batch = (spark.table("events").limit(2000).groupBy("user_id")
+                 .agg(F.count("*").alias("bn"), F.sum("value").alias("bs")))
+        j = res.join(batch, "user_id")
+        bad = j.filter("n != bn OR abs(s - bs) > 1e-6").count()
+        assert bad == 0 and res.count() == batch.count()
