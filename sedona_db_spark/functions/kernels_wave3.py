@@ -234,6 +234,21 @@ def _force_dims(has_z: bool, has_m: bool, zfill=0.0, mfill=0.0):
 # relate / clearance / linework / triangulation wrappers
 # ----------------------------------------------------------------------
 
+def _tessellate(g: Geom) -> Geom:
+    """Triangulate a polygon: Delaunay over its vertices filtered to
+    triangles whose centroid is interior (drops hole/concavity cover)."""
+    tri = alg2.st_delaunay(g)
+    if g.dimension() != 2:
+        return tri
+    kept = []
+    for t in tri.data:
+        ring = t.data[0]
+        c = ring[:3].mean(axis=0)
+        if alg.point_position(c, g) > 0:
+            kept.append(t)
+    return Geom(GEOMETRYCOLLECTION, kept)
+
+
 def k_relate(s1: pd.Series, s2: pd.Series) -> pd.Series:
     g1s, g2s = _decode(s1), _decode(s2)
     return pd.Series(
@@ -410,6 +425,13 @@ KERNELS.update({
     "ST_MinimumClearance": (k_minclearance, DBL, "g"),
     "ST_MinimumClearanceLine": (k_minclearanceline, BIN, "g"),
     "ST_LongestLine": (k_longestline, BIN, "gg"),
+    # tessellation (reference s2 kernels.rs:194-226): constrained-ish
+    # triangulation — Delaunay of the vertex set, keeping triangles whose
+    # centroid lies inside the input polygon (exact for convex inputs)
+    "ST_TessellateGeom": (_unary_geom(
+        lambda g: _tessellate(g)), BIN, "g"),
+    "ST_TessellateGeog": (_unary_geom(
+        lambda g: _tessellate(g)), BIN, "g"),
     # relate
     "ST_Relate": (k_relate, STR, "gg"),
     "ST_RelateMatch": (k_relatepattern, BOOL, "ggs"),

@@ -117,3 +117,12 @@ def test_union_agg_disjoint_polygons_exact():
     out = _union_finisher(pd.Series([[a, b]]))
     g = core.from_wkb(out[0])
     assert g.type_name() == "MULTIPOLYGON" and alg.area(g) == 2.0
+
+
+def test_tessellate_covers_polygon(spark):
+    rows = spark.sql("""
+      SELECT ST_NumGeometries(t) AS n,
+             round(ST_Area(ST_GeometryN(t, 1)) + ST_Area(ST_GeometryN(t, 2)), 6) AS a
+      FROM (SELECT ST_TessellateGeom(ST_MakeEnvelope(0.0,0.0,4.0,2.0)) AS t)
+    """).first()
+    assert rows["n"] == 2 and rows["a"] == 8.0
