@@ -701,6 +701,24 @@ _O["knn_join_k3"] = """
 """
 
 
+def _q_knn_join_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from sedona_db_spark.operators.knn_join import knn_join_partitioned
+    queries = spark.table("cust_pts").select("c_custkey", "geom").filter("c_custkey < 500")
+    objects = spark.sql("""
+      SELECT n_nationkey,
+             ST_Point(CAST(n_nationkey % 5 AS DOUBLE) * 20.0 + 10.0,
+                      CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 + 10.0) AS geom
+      FROM nation""")
+    out = knn_join_partitioned(queries, objects, k=3)
+    return out.select("c_custkey", "n_nationkey",
+                      F.round("knn_distance", 6).alias("dist"))
+
+
+_PY["knn_join_partitioned_k3"] = _q_knn_join_partitioned
+_O["knn_join_partitioned_k3"] = _O["knn_join_k3"]  # same semantics, same oracle
+
+
 def _q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_db_spark.operators.spatial_join import spatial_join
     a = spark.table("cust_pts").select("c_custkey", "geom").filter("c_custkey < 400")

@@ -10,10 +10,10 @@ Spark design:
   a numpy uniform-grid index is built PER EXECUTOR BATCH inside
   `mapInPandas` (index rebuilt per partition, never shipped — same rule
   the reference applies to its per-partition R-trees).
-- large-large path: grid-cell candidate join with expanding ring search,
-  then exact top-k by window — one shuffle per ring round (2 rounds
-  typical).  v1 ships the broadcast path; the ring path arrives with the
-  partitioned join generalization.
+- large-large path (`knn_join_partitioned`): grid-cell candidate join
+  with a 3x3-neighborhood first round, provable per-query completion
+  bound, and an explicit-radius second round for the remainder — two
+  shuffles total, ranking fully native (window over distance).
 
 Tie-breaking: ties beyond k are dropped deterministically by object id
 unless include_ties=True (reference `knn_include_tie_breakers`).
@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -227,3 +227,157 @@ def knn_join(
             yield pd.DataFrame(out_rows, columns=[f.name for f in out_schema.fields])
 
     return queries.mapInPandas(run, schema=out_schema)
+
+
+# ======================================================================
+# partitioned (large-large) KNN join — two-round bound-then-refine
+# ======================================================================
+
+def knn_join_partitioned(
+    queries: DataFrame,
+    objects: DataFrame,
+    k: int,
+    query_geom: str = "geom",
+    object_geom: str = "geom",
+    grid_cells: int | None = None,
+    include_ties: bool = False,
+) -> DataFrame:
+    """Large-large KNN join: no broadcast, no driver collect.
+
+    Reference analogue: the out-of-core KNN path (SURVEY §2.10 "grid
+    partition + neighbor-ring expansion, or 2-round bound-then-refine").
+
+    Round A: objects hashed to a uniform grid (stats from one tiny agg);
+    each query probes its 3x3 cell neighborhood via an equi-join on cell id
+    and takes a candidate top-k -> upper bound d_k (native window, no
+    Python).  A query is PROVEN done when it found >= k candidates and
+    d_k <= the distance from the query to the edge of its searched block
+    (sides clipped at the grid boundary are safe: the grid covers every
+    object).  Round B: the remaining queries re-probe with an explicit
+    radius (d_k, or the full grid when <k candidates were found — rare,
+    sparse-region queries) and re-rank.  Both rounds are single shuffles
+    keyed by cell; distance math is whole-stage-codegen native.
+
+    Exact for point geometries (the reference's KNN is planar points too:
+    spatial_predicate.rs:254-297); non-point inputs rank by bbox-center
+    distance (documented approximation for this path — use the broadcast
+    `knn_join` for exact non-point ranking).
+    """
+    from sedona_db_spark.operators.spatial_join import bbox_col
+
+    # disambiguate object columns
+    rcols = {c: (f"o_{c}" if c in queries.columns else c) for c in objects.columns}
+    obj = objects.select([F.col(c).alias(a) for c, a in rcols.items()])
+    ogeom = rcols[object_geom]
+    obj_payload = [a for a in rcols.values()]
+
+    q = queries.withColumn("__qid", F.monotonically_increasing_id())
+    qb = q.withColumn("__qb", bbox_col(F.col(query_geom))) \
+          .withColumn("__qx", (F.col("__qb.xmin") + F.col("__qb.xmax")) / 2) \
+          .withColumn("__qy", (F.col("__qb.ymin") + F.col("__qb.ymax")) / 2) \
+          .drop("__qb")
+    ob = obj.withColumn("__ob", bbox_col(F.col(ogeom))) \
+            .withColumn("__ox", (F.col("__ob.xmin") + F.col("__ob.xmax")) / 2) \
+            .withColumn("__oy", (F.col("__ob.ymin") + F.col("__ob.ymax")) / 2) \
+            .drop("__ob")
+
+    stats = ob.agg(F.min("__ox").alias("x0"), F.min("__oy").alias("y0"),
+                   F.max("__ox").alias("x1"), F.max("__oy").alias("y1"),
+                   F.count("*").alias("n")).collect()[0]
+    if stats["n"] == 0:
+        empty_schema = qb.drop("__qid", "__qx", "__qy").schema
+        return queries.sparkSession.createDataFrame([], empty_schema)
+    x0, y0, x1, y1, n_obj = (stats["x0"], stats["y0"], stats["x1"],
+                             stats["y1"], stats["n"])
+    import math as _math
+    if grid_cells is None:
+        grid_cells = min(max(n_obj // 64, 16), 512 * 512)
+    nx = max(int(_math.sqrt(grid_cells)), 2)
+    ny = nx
+    w = max((x1 - x0) / nx, 1e-9)
+    h = max((y1 - y0) / ny, 1e-9)
+
+    def clip(v, hi):
+        return F.least(F.greatest(v, F.lit(0)), F.lit(hi))
+
+    ob2 = ob.withColumn(
+        "__ocell",
+        clip(F.floor((F.col("__ox") - F.lit(x0)) / w), nx - 1) * ny +
+        clip(F.floor((F.col("__oy") - F.lit(y0)) / h), ny - 1))
+
+    qcx = clip(F.floor((F.col("__qx") - F.lit(x0)) / w), nx - 1)
+    qcy = clip(F.floor((F.col("__qy") - F.lit(y0)) / h), ny - 1)
+    qb2 = qb.withColumn("__qcx", qcx).withColumn("__qcy", qcy)
+
+    def neighborhood_cells(radius_cells):
+        cx0 = F.greatest(F.col("__qcx") - radius_cells, F.lit(0))
+        cx1 = F.least(F.col("__qcx") + radius_cells, F.lit(nx - 1))
+        cy0 = F.greatest(F.col("__qcy") - radius_cells, F.lit(0))
+        cy1 = F.least(F.col("__qcy") + radius_cells, F.lit(ny - 1))
+        return F.flatten(F.transform(
+            F.sequence(cx0, cx1),
+            lambda cx: F.transform(F.sequence(cy0, cy1),
+                                   lambda cy: cx * ny + cy)))
+
+    dist = F.sqrt(F.pow(F.col("__qx") - F.col("__ox"), 2) +
+                  F.pow(F.col("__qy") - F.col("__oy"), 2))
+
+    def topk(cand: DataFrame) -> DataFrame:
+        win = Window.partitionBy("__qid").orderBy(
+            F.col("knn_distance"), F.col("__ox"), F.col("__oy"))
+        ranked = cand.withColumn("knn_distance", dist) \
+                     .withColumn("__rn", F.row_number().over(win))
+        if include_ties:
+            kth = Window.partitionBy("__qid")
+            ranked = ranked.withColumn(
+                "__dk", F.max(F.when(F.col("__rn") == k,
+                                     F.col("knn_distance"))).over(kth))
+            return ranked.filter(
+                (F.col("__rn") <= k) |
+                (F.col("__dk").isNotNull() &
+                 (F.col("knn_distance") <= F.col("__dk") + 1e-9))).drop("__dk")
+        return ranked.filter(F.col("__rn") <= k)
+
+    # ---- round A: 3x3 neighborhood ----------------------------------
+    qa = qb2.withColumn("__cell", F.explode(neighborhood_cells(F.lit(1))))
+    cand_a = qa.join(ob2, qa["__cell"] == ob2["__ocell"], "inner")
+    top_a = topk(cand_a)
+
+    # per-query outcome of round A
+    agg_a = top_a.groupBy("__qid").agg(
+        F.count("*").alias("__cnt"), F.max("knn_distance").alias("__dk"))
+    qstat = qb2.join(agg_a, "__qid", "left")
+
+    # margin to the unsearched region (sides at the grid edge are safe)
+    bx0 = F.lit(x0) + (F.col("__qcx") - 1) * w
+    bx1 = F.lit(x0) + (F.col("__qcx") + 2) * w
+    by0 = F.lit(y0) + (F.col("__qcy") - 1) * h
+    by1 = F.lit(y0) + (F.col("__qcy") + 2) * h
+    inf = F.lit(float("inf"))
+    margin = F.least(
+        F.when(F.col("__qcx") - 1 > 0, F.col("__qx") - bx0).otherwise(inf),
+        F.when(F.col("__qcx") + 1 < nx - 1, bx1 - F.col("__qx")).otherwise(inf),
+        F.when(F.col("__qcy") - 1 > 0, F.col("__qy") - by0).otherwise(inf),
+        F.when(F.col("__qcy") + 1 < ny - 1, by1 - F.col("__qy")).otherwise(inf))
+    min_needed = k if not include_ties else k
+    qstat = qstat.withColumn(
+        "__safe", (F.col("__cnt") >= min_needed) & (F.col("__dk") <= margin))
+
+    safe_ids = qstat.filter("__safe").select("__qid")
+    unsafe = qstat.filter(~F.coalesce(F.col("__safe"), F.lit(False)))
+
+    # ---- round B: explicit-radius re-probe for unsafe queries --------
+    rad_cells = F.when(
+        F.col("__dk").isNotNull(),
+        F.ceil(F.col("__dk") / F.lit(min(w, h))) + 1
+    ).otherwise(F.lit(max(nx, ny)))  # <k found: probe the whole grid
+    qb_b = unsafe.withColumn(
+        "__cell", F.explode(neighborhood_cells(rad_cells.cast("int"))))
+    cand_b = qb_b.join(ob2, qb_b["__cell"] == ob2["__ocell"], "inner")
+    top_b = topk(cand_b)
+
+    keep_cols = ([c for c in queries.columns] + ["__qid"]
+                 + obj_payload + ["knn_distance"])
+    out_a = top_a.join(safe_ids, "__qid", "leftsemi").select(*keep_cols)
+    out_b = top_b.select(*keep_cols)
+    return out_a.unionByName(out_b).drop("__qid")

@@ -231,3 +231,36 @@ def test_knn_join_object_side_filter_after(spark):
     # pre-filtering would give {2,3} — assert the operator output lets the
     # caller choose, i.e. knn itself returned {1,2}
     assert {r["oid"] for r in knn_join(q, objs, k=2).collect()} == {1, 2}
+
+
+def test_knn_partitioned_matches_broadcast(spark, cust_pts):
+    """Large-large path must agree with the broadcast path exactly."""
+    from sedona_db_spark.operators.knn_join import knn_join, knn_join_partitioned
+    q = cust_pts.filter("c_custkey < 300").select("c_custkey", "geom")
+    objs = spark.sql("""
+      SELECT n_nationkey,
+             ST_Point(CAST(n_nationkey % 5 AS DOUBLE) * 20.0 + 10.0,
+                      CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 + 10.0) AS geom
+      FROM nation""")
+    b = knn_join(q, objs, k=3).select("c_custkey", "n_nationkey")
+    p = knn_join_partitioned(q, objs, k=3).select("c_custkey", "n_nationkey")
+    sb = {(r["c_custkey"], r["n_nationkey"]) for r in b.collect()}
+    sp = {(r["c_custkey"], r["n_nationkey"]) for r in p.collect()}
+    assert sb == sp
+
+
+def test_knn_partitioned_ties_and_no_python_ranking(spark):
+    from sedona_db_spark.operators.knn_join import knn_join_partitioned
+    from sedona_db_spark.plans import inspect as pi
+    q = spark.sql("SELECT 1 AS qid, ST_Point(0.0, 0.0) AS geom")
+    objs = spark.sql("SELECT * FROM VALUES (1),(2),(3),(4) AS t(oid)") \
+        .selectExpr("oid", """
+          CASE oid WHEN 1 THEN ST_Point(1.0, 0.0) WHEN 2 THEN ST_Point(-1.0, 0.0)
+                   WHEN 3 THEN ST_Point(0.0, 1.0) ELSE ST_Point(0.0, -1.0) END AS geom""")
+    ties = knn_join_partitioned(q, objs, k=2, include_ties=True)
+    assert ties.count() == 4
+    strict = knn_join_partitioned(q, objs, k=2)
+    assert strict.count() == 2
+    # ranking is a native window (row_number over distance), not Python
+    plan = pi.executed_plan(strict)
+    assert "row_number" in plan and "Window" in plan
