@@ -154,3 +154,50 @@ def pairwise_topk_native(df: DataFrame, k: int, vec_col: str = "embedding",
     return (joined.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)
             .select("qid", F.col("cid"), "cosine", "rk"))
+
+
+# ======================================================================
+# IVF (inverted-file) index — k-means coarse quantizer scale path
+# ======================================================================
+
+def ivf_build(df: DataFrame, vec_col: str = "embedding",
+              n_lists: int = 16, seed: int = 7) -> tuple[DataFrame, list]:
+    """Assign every vector to its nearest of `n_lists` k-means centroids.
+
+    Returns (df + `__ivf_list` column, centroids).  The coarse quantizer
+    trains on pyspark.ml KMeans (distributed Lloyd iterations); at 100 TB
+    you train on a sample and assign with one narrow pass.  Persist the
+    assigned table partitioned by `__ivf_list` so probes touch only
+    nprobe/n_lists of the data (the IVF promise).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.withColumn("__features", array_to_vector(
+        F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="__features",
+                predictionCol="__ivf_list")
+    model = km.fit(feat)
+    assigned = model.transform(feat).drop("__features")
+    centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(assigned: DataFrame, centroids: list, query_vec: list[float],
+             k: int = 10, nprobe: int = 4, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k: scan only the `nprobe` lists whose centroids are
+    nearest the query (by cosine), exact native re-rank inside them."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    sims = []
+    for i, c in enumerate(centroids):
+        c = np.asarray(c, dtype=np.float64)
+        denom = (np.linalg.norm(c) * np.linalg.norm(q)) or 1.0
+        sims.append((float(c @ q) / denom, i))
+    probe = [i for _, i in sorted(sims, reverse=True)[:nprobe]]
+    qlit = query_literal(query_vec)
+    return (assigned.filter(F.col("__ivf_list").isin(probe))
+            .select(id_col,
+                    _cosine_expr(F.col(vec_col).cast("array<double>"),
+                                 qlit).alias("cosine"))
+            .orderBy(F.desc("cosine"), id_col).limit(k))

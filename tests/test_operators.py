@@ -264,3 +264,23 @@ def test_knn_partitioned_ties_and_no_python_ranking(spark):
     # ranking is a native window (row_number over distance), not Python
     plan = pi.executed_plan(strict)
     assert "row_number" in plan and "Window" in plan
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with nprobe=n_lists is exhaustive -> equals brute force; with
+    fewer probes, top-1 must survive (its own list is always probed)."""
+    from sedona_db_spark.operators.similarity import (
+        brute_force_topk, ivf_build, ivf_topk)
+    emb = spark.table("embeddings")
+    qv = [float(v) for v in emb.filter("vec_id = 7").first()["embedding"]]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, qv, k=5).collect()]
+    assigned, cents = ivf_build(emb, n_lists=8)
+    assigned = assigned.cache()
+    full = [r["vec_id"] for r in ivf_topk(assigned, cents, qv, k=5,
+                                          nprobe=8).collect()]
+    assert full == exact
+    approx = [r["vec_id"] for r in ivf_topk(assigned, cents, qv, k=5,
+                                            nprobe=2).collect()]
+    assert approx[0] == exact[0] == 7  # self is always found
+    assert len(set(approx) & set(exact)) >= 2
+    assigned.unpersist()
