@@ -57,9 +57,17 @@ def write_geoparquet(
     add_bbox: bool = True,
     embed_footer: bool = True,
     partition_by: list[str] | None = None,
+    sort_spatially: bool = False,
     mode: str = "overwrite",
 ) -> None:
-    """Write a DataFrame with WKB geometry column(s) as GeoParquet."""
+    """Write a DataFrame with WKB geometry column(s) as GeoParquet.
+
+    ``sort_spatially`` range-partitions + sorts by the Hilbert key of the
+    first geometry column (reference writer's ``sort_by`` +
+    ``SD_Order``): rows near in space land in the same row groups, so the
+    bbox min/max stats become tight and row-group pruning (spatial_filter)
+    skips far more data — the single biggest pruning lever at 100 TB.
+    """
     if geom_cols is None:
         geom_cols = {"geom": "EPSG:4326"}
     from sedona_db_spark.operators.spatial_join import bbox_col
@@ -69,6 +77,13 @@ def write_geoparquet(
             bname = "bbox" if len(geom_cols) == 1 else f"{c}_bbox"
             df = df.withColumn(bname, bbox_col(F.col(c)))
             bbox_cols[c] = bname
+    if sort_spatially:
+        from sedona_db_spark.functions import get_udf
+        first_geom = next(iter(geom_cols))
+        df = df.withColumn("__hkey", get_udf("SD_Order")(F.col(first_geom))) \
+               .repartitionByRange("__hkey") \
+               .sortWithinPartitions("__hkey") \
+               .drop("__hkey")
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -161,3 +161,34 @@ def test_csv_geometry_roundtrip(spark, tmp_path):
 def test_pyogrio_gated():
     with pytest.raises(NotImplementedError):
         interop.read_pyogrio(None, "/tmp/x.shp")
+
+
+def test_geoparquet_spatial_sort_clusters(spark, tmp_path):
+    """Hilbert sort_spatially write -> tighter per-file bbox stats."""
+    import pyarrow.parquet as pq, glob as g
+    from sedona_db_spark.sources.geoparquet import write_geoparquet, read_geoparquet, spatial_filter
+    df = spark.sql("""
+      SELECT c_custkey, ST_Point(abs(c_acctbal) % 100.0, (c_custkey % 1000) / 10.0) AS geom
+      FROM customer
+    """)
+    out = str(tmp_path / "sorted")
+    write_geoparquet(df, out, geom_cols={"geom": "EPSG:4326"}, sort_spatially=True)
+    back, _ = read_geoparquet(spark, out)
+    assert back.count() == df.count()
+    got = spatial_filter(back, "geom", 20.0, 20.0, 40.0, 40.0).count()
+    exp = spark.sql("""
+      SELECT count(*) AS n FROM customer
+      WHERE abs(c_acctbal) % 100.0 BETWEEN 20.0 AND 40.0
+        AND (c_custkey % 1000) / 10.0 BETWEEN 20.0 AND 40.0""").first()["n"]
+    assert got == exp
+    # clustering check: per-file bbox x-ranges are narrower than global
+    widths = []
+    for fp in g.glob(out + "/*.parquet"):
+        t = pq.read_table(fp, columns=["bbox"])
+        if t.num_rows == 0:
+            continue
+        xmin = min(t.column("bbox").combine_chunks().field("xmin").to_pylist())
+        xmax = max(t.column("bbox").combine_chunks().field("xmax").to_pylist())
+        widths.append(xmax - xmin)
+    if len(widths) > 2:
+        assert sorted(widths)[len(widths) // 2] < 100.0  # median file < global extent
