@@ -1213,10 +1213,44 @@ def transform_crs(g: Geom, src: str, dst: str) -> Geom:
     if src == dst:
         return g
     fn = _TRANSFORMS.get((src, dst))
-    if fn is None:
-        raise NotImplementedError(f"transform {src} -> {dst} not supported "
-                                  "(supported: EPSG:4326/OGC:CRS84 <-> EPSG:3857)")
-    return transform_coords(g, fn)
+    if fn is not None:
+        return transform_coords(g, fn)
+    # UTM zones (EPSG:326xx/327xx) via native Krüger transverse Mercator;
+    # chains through EPSG:4326 for 3857<->UTM
+    from sedona_db_spark.geom import projections as prj
+    _LL = ("EPSG:4326", "OGC:CRS84")
+    utm_dst = prj.parse_utm_epsg(dst)
+    utm_src = prj.parse_utm_epsg(src)
+    if utm_dst is not None and (src in _LL or src == "EPSG:3857"):
+        if src == "EPSG:3857":
+            g = transform_coords(g, _TRANSFORMS[("EPSG:3857", "EPSG:4326")])
+        zone, north = utm_dst
+
+        def fwd(arr):
+            arr = np.asarray(arr, dtype=np.float64)
+            e, n_ = prj.utm_forward(arr[:, 0], arr[:, 1], zone, north)
+            out = arr.copy()
+            out[:, 0] = e
+            out[:, 1] = n_
+            return out
+        return transform_coords(g, fwd)
+    if utm_src is not None and (dst in _LL or dst == "EPSG:3857"):
+        zone, north = utm_src
+
+        def inv(arr):
+            arr = np.asarray(arr, dtype=np.float64)
+            lon, lat = prj.utm_inverse(arr[:, 0], arr[:, 1], zone, north)
+            out = arr.copy()
+            out[:, 0] = lon
+            out[:, 1] = lat
+            return out
+        g2 = transform_coords(g, inv)
+        if dst == "EPSG:3857":
+            g2 = transform_coords(g2, _TRANSFORMS[("EPSG:4326", "EPSG:3857")])
+        return g2
+    raise NotImplementedError(
+        f"transform {src} -> {dst} not supported (supported: EPSG:4326/"
+        "OGC:CRS84 <-> EPSG:3857 <-> EPSG:326xx/327xx UTM zones)")
 
 
 def haversine(lon1, lat1, lon2, lat2):

@@ -220,3 +220,39 @@ def test_transform_crs_roundtrip():
     with pytest.raises(NotImplementedError):
         alg.transform_crs(g, "EPSG:4326", "EPSG:32633")
     assert alg.transform_crs(g, "EPSG:4326", "epsg:4326") is g
+
+
+def test_utm_projection_known_values():
+    """Krüger-series UTM vs published reference values."""
+    import numpy as np
+    from sedona_db_spark.geom import projections as prj
+    e, n = prj.utm_forward(np.array([3.0]), np.array([0.0]), 31, True)
+    assert abs(e[0] - 500000) < 1e-6 and abs(n[0]) < 1e-6
+    # meridian arc 0->45N (WGS84: 4984944.38 m) scaled by k0
+    e, n = prj.utm_forward(np.array([3.0]), np.array([45.0]), 31, True)
+    assert abs(n[0] - 4984944.38 * 0.9996) < 0.01
+    # roundtrip ~1e-8 deg (mm-level) across the zone
+    rng = np.random.default_rng(1)
+    lon = rng.uniform(0.5, 5.5, 500)
+    lat = rng.uniform(-80, 84, 500)
+    E, N = prj.utm_forward(lon, lat, 31, True)
+    lon2, lat2 = prj.utm_inverse(E, N, 31, True)
+    assert np.abs(lon2 - lon).max() < 1e-8
+    assert np.abs(lat2 - lat).max() < 1e-8
+
+
+def test_st_transform_utm_sql(spark):
+    import pytest as _pt
+    row = spark.sql("""
+      SELECT ST_X(t) AS e, ST_Y(t) AS n FROM (
+        SELECT ST_Transform(ST_Point(2.3522, 48.8566), 'EPSG:4326', 'EPSG:32631') AS t)
+    """).first()
+    assert row["e"] == _pt.approx(452482.53, abs=0.5)
+    assert row["n"] == _pt.approx(5411717.18, abs=0.5)
+    back = spark.sql("""
+      SELECT ST_X(t) AS lon, ST_Y(t) AS lat FROM (
+        SELECT ST_Transform(ST_Transform(ST_Point(2.3522, 48.8566),
+               'EPSG:4326', 'EPSG:32631'), 'EPSG:32631', 'EPSG:4326') AS t)
+    """).first()
+    assert back["lon"] == _pt.approx(2.3522, abs=1e-7)
+    assert back["lat"] == _pt.approx(48.8566, abs=1e-7)
