@@ -217,8 +217,11 @@ def test_transform_crs_roundtrip():
     back = alg.transform_crs(m, "EPSG:3857", "EPSG:4326")
     bx, by = back.all_coords()[0][:2]
     assert abs(bx - 10) < 1e-6 and abs(by - 45) < 1e-6
+    # UTM is now supported natively; an unmapped CRS still raises
+    utm = alg.transform_crs(g, "EPSG:4326", "EPSG:32633")
+    assert utm.all_coords()[0][0] != 10  # projected, not passthrough
     with pytest.raises(NotImplementedError):
-        alg.transform_crs(g, "EPSG:4326", "EPSG:32633")
+        alg.transform_crs(g, "EPSG:4326", "EPSG:27700")
     assert alg.transform_crs(g, "EPSG:4326", "epsg:4326") is g
 
 
