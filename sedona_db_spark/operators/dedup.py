@@ -64,15 +64,24 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
             F.struct(F.lit(b).alias("band"),
                      F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias("bh"))
             for b in range(bands)])).alias("bk"))
-    banded = banded.select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    # band join ships only (id, band, bh) — the 64-long signature arrays
+    # stay out of the shuffle and are joined back for the (far fewer)
+    # deduped candidate pairs
+    banded = banded.select("id", F.col("bk.band").alias("band"),
+                           F.col("bk.bh").alias("bh"))
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (a.join(b, (F.col("a.band") == F.col("b.band")) &
-                    (F.col("a.bh") == F.col("b.bh")) &
-                    (F.col("a.id") < F.col("b.id")))
-             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                     F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
-             .dropDuplicates(["id_a", "id_b"]))
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                   (F.col("a.bh") == F.col("b.bh")) &
+                   (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    sigs = sdf.select(F.col("id"), F.col("sig"))
+    pairs = (cand
+             .join(sigs.select(F.col("id").alias("id_a"),
+                               F.col("sig").alias("sig_a")), "id_a")
+             .join(sigs.select(F.col("id").alias("id_b"),
+                               F.col("sig").alias("sig_b")), "id_b"))
     est = (F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
                            lambda v: v)) / F.lit(float(num_perm)))
     return (pairs.withColumn("est_jaccard", est)
