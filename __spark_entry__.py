@@ -962,6 +962,80 @@ _sql("geo_distance_sphere", """
   WHERE c_custkey < 300
 """)
 
+def _q_las_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAS source: write points derived from customer keys, read back
+    distributed, aggregate — byte-exact math oracle."""
+    import tempfile
+    import numpy as np
+    from pyspark.sql import functions as F
+    from sedona_db_spark.sources import las
+    rows = spark.table("customer").filter("c_custkey < 2000") \
+        .selectExpr("c_custkey", "abs(c_acctbal) % 100.0 AS px",
+                    "(c_custkey % 1000) / 10.0 AS py").orderBy("c_custkey") \
+        .collect()
+    x = np.array([r["px"] for r in rows])
+    y = np.array([r["py"] for r in rows])
+    z = np.array([float(r["c_custkey"] % 50) for r in rows])
+    path = tempfile.mkdtemp(prefix="las_") + "/pts.las"
+    las.write_las(path, x, y, z, scale=0.001)
+    df = las.read_las(spark, path)
+    return df.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("z"), 3).alias("sum_z"),
+        F.round(F.min("x"), 3).alias("min_x"),
+        F.round(F.max("y"), 3).alias("max_y"))
+
+
+_PY["las_roundtrip_agg"] = _q_las_roundtrip
+_O["las_roundtrip_agg"] = """
+  SELECT count(*) AS n,
+         round(sum(CAST(c_custkey % 50 AS DOUBLE)), 3) AS sum_z,
+         round(min(round(abs(c_acctbal) % 100.0, 3)), 3) AS min_x,
+         round(max(round((c_custkey % 1000) / 10.0, 3)), 3) AS max_y
+  FROM customer WHERE c_custkey < 2000
+"""
+
+
+def _q_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zarr v2 source: deterministic array -> chunked store -> raster
+    tiles -> zonal sum; oracle is the closed-form sum."""
+    import json as _json
+    import os as _os
+    import tempfile
+    import numpy as np
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions import raster as rs
+    from sedona_db_spark.sources import zarr_source
+    store = tempfile.mkdtemp(prefix="zarr_")
+    shape, chunks = (16, 16), (8, 8)
+    arr = (np.arange(256, dtype=np.float64) % 97).reshape(shape) + 1.0
+    with open(_os.path.join(store, ".zarray"), "w") as f:
+        _json.dump({"zarr_format": 2, "shape": list(shape),
+                    "chunks": list(chunks), "dtype": "<f8",
+                    "compressor": None, "fill_value": None, "order": "C",
+                    "filters": None}, f)
+    for cy in range(2):
+        for cx in range(2):
+            sub = arr[cy * 8:(cy + 1) * 8, cx * 8:(cx + 1) * 8]
+            with open(_os.path.join(store, f"{cy}.{cx}"), "wb") as f:
+                f.write(np.ascontiguousarray(sub).tobytes())
+    df = zarr_source.read_zarr(spark, store)
+    z = df.select(rs.zonal_stats(
+        F.col("raster"),
+        F.expr("ST_MakeEnvelope(-1000.0, -1000.0, 1000.0, 1000.0)"),
+        1).alias("z"))
+    return z.agg(F.sum("z.count").alias("pix"),
+                 F.round(F.sum("z.sum"), 3).alias("total"))
+
+
+_PY["zarr_roundtrip_agg"] = _q_zarr_roundtrip
+_O["zarr_roundtrip_agg"] = """
+  SELECT CAST(256 AS BIGINT) AS pix,
+         round(sum((v % 97) + 1.0), 3) AS total
+  FROM (SELECT CAST(range AS DOUBLE) AS v FROM range(0, 256)) t
+"""
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, exact baseline (north-star dedup #5).
     The LSH-bucketed variant (operators.similarity.embedding_near_dup_pairs)
