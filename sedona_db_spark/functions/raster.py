@@ -668,3 +668,126 @@ def register(spark: SparkSession) -> None:
     spark.udf.register("RS_Clip", _rs_clip_udf)
     spark.udf.register("RS_Tile", _rs_tile_udf)
     spark.udf.register("RS_AsRaster", _rs_asraster_udf)
+
+
+# ----------------------------------------------------------------------
+# resample / polygonize (GDAL-tier ops implemented natively with numpy)
+# ----------------------------------------------------------------------
+
+@F.pandas_udf(RASTER_TYPE)
+def _rs_resample_udf(rs: pd.Series, new_w: pd.Series,
+                     new_h: pd.Series) -> pd.DataFrame:
+    """Nearest-neighbor resample to (new_w, new_h) — the default GDAL
+    RS_Resample mode; pixel size rescales, extent is preserved."""
+    out = []
+    for r, nw, nh in zip(_iter_struct(rs), new_w, new_h):
+        if r is None or nw is None or nh is None:
+            out.append(None)
+            continue
+        t, w, h = _raster_fields(r)
+        nw, nh = int(nw), int(nh)
+        ys = (np.arange(nh) * (h / nh)).astype(int).clip(0, h - 1)
+        xs = (np.arange(nw) * (w / nw)).astype(int).clip(0, w - 1)
+        bands = []
+        for b in r["bands"]:
+            arr = _band_array(b)
+            if arr is None:
+                continue
+            sub = arr.reshape(h, w)[np.ix_(ys, xs)]
+            bands.append((b["name"], b["datatype"], sub))
+        out.append(make_raster_row(
+            nw, nh, ulx=t[0], uly=t[3],
+            scale_x=t[1] * w / nw, scale_y=t[5] * h / nh,
+            skew_x=t[2], skew_y=t[4], crs=r["crs"], bands=bands))
+    return _struct_out(out)
+
+
+def resample(r, new_w: int, new_h: int) -> Column:
+    return _rs_resample_udf(r, F.lit(new_w).cast("long"),
+                            F.lit(new_h).cast("long"))
+
+
+_POLY_SCHEMA = T.ArrayType(T.StructType([
+    T.StructField("value", T.DoubleType()),
+    T.StructField("geometry", T.BinaryType()),
+]))
+
+
+@F.pandas_udf(_POLY_SCHEMA)
+def _rs_polygonize_udf(rs: pd.Series, band: pd.Series) -> pd.Series:
+    """RS_Polygonize: 4-connected same-value pixel regions -> exact
+    rectilinear polygons (pixel squares merged by strip union).  Pair
+    with F.explode; nodata pixels are skipped."""
+    from sedona_db_spark.functions.aggregates import _rect_union
+    from sedona_db_spark.geom import core
+    out = []
+    for r, b in zip(_iter_struct(rs), band):
+        if r is None or b is None:
+            out.append(None)
+            continue
+        bands = r["bands"]
+        bi = int(b) - 1
+        arr = _band_array(bands[bi]) if 0 <= bi < len(bands) else None
+        if arr is None:
+            out.append(None)
+            continue
+        t, w, h = _raster_fields(r)
+        grid = arr.reshape(h, w)
+        nod = bands[bi]["nodata"]
+        labels = np.full((h, w), -1, dtype=np.int64)
+        nxt = 0
+        regions: list = []
+        for sy in range(h):
+            for sx in range(w):
+                if labels[sy, sx] != -1:
+                    continue
+                v = grid[sy, sx]
+                if nod is not None and v == nod:
+                    labels[sy, sx] = -2
+                    continue
+                stack = [(sy, sx)]
+                labels[sy, sx] = nxt
+                cells = []
+                while stack:
+                    y, x = stack.pop()
+                    cells.append((y, x))
+                    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        yy, xx = y + dy, x + dx
+                        if 0 <= yy < h and 0 <= xx < w and \
+                                labels[yy, xx] == -1 and grid[yy, xx] == v:
+                            labels[yy, xx] = nxt
+                            stack.append((yy, xx))
+                regions.append((float(v), cells))
+                nxt += 1
+        feats = []
+        for v, cells in regions:
+            rects = []
+            for y, x in cells:
+                wx0 = t[0] + x * t[1]
+                wy0 = t[3] + (y + 1) * t[5]
+                wx1 = t[0] + (x + 1) * t[1]
+                wy1 = t[3] + y * t[5]
+                x0, x1 = sorted((wx0, wx1))
+                y0, y1 = sorted((wy0, wy1))
+                rects.append([np.array([[x0, y0], [x1, y0], [x1, y1],
+                                        [x0, y1], [x0, y0]])])
+            u = _rect_union(rects)
+            feats.append({"value": v, "geometry": core.to_wkb(u)})
+        out.append(feats)
+    return pd.Series(out)
+
+
+def polygonize(r, band=1) -> Column:
+    band = F.lit(band) if not isinstance(band, Column) else band
+    return _rs_polygonize_udf(r, band.cast("long"))
+
+
+def metadata(r) -> Column:
+    """RS_Metadata: flat struct of the descriptive fields (native)."""
+    return F.struct(
+        upper_left_x(r).alias("upperleftx"),
+        upper_left_y(r).alias("upperlefty"),
+        width(r).alias("width"), height(r).alias("height"),
+        scale_x(r).alias("scalex"), scale_y(r).alias("scaley"),
+        skew_x(r).alias("skewx"), skew_y(r).alias("skewy"),
+        srid(r).alias("srid"), num_bands(r).alias("numbands"))

@@ -144,3 +144,32 @@ def test_raster_geometry_predicate_joinable(rdf, spark):
 def test_geotiff_stub_gated():
     with pytest.raises(NotImplementedError):
         rs.as_geotiff(None)
+
+
+def test_resample(rdf):
+    small = rdf.select(rs.resample(_R(), 2, 2).alias("r"))
+    out = small.select(rs.width(F.col("r")).alias("w"),
+                       rs.scale_x(F.col("r")).alias("sx"),
+                       rs.value(F.col("r"), 1, 0, 0).alias("v")).first()
+    assert out["w"] == 2 and out["sx"] == 2.0
+    assert out["v"] == 0.0  # nearest-neighbor keeps the top-left sample
+
+
+def test_polygonize_regions(spark):
+    import numpy as np
+    from pyspark.sql import types as T
+    arr = np.array([[1, 1, 2], [1, 2, 2]], dtype=np.float64)
+    row = rs.make_raster_row(3, 2, ulx=0.0, uly=2.0,
+                             bands=[("b", "float64", arr)])
+    df = spark.createDataFrame(
+        [(1, row)], T.StructType([T.StructField("id", T.LongType()),
+                                  T.StructField("rast", rs.RASTER_TYPE)]))
+    feats = df.select(F.explode(rs.polygonize(F.col("rast"))).alias("f")) \
+        .selectExpr("f.value AS v", "round(ST_Area(f.geometry), 6) AS a") \
+        .orderBy("v").collect()
+    assert [(r["v"], r["a"]) for r in feats] == [(1.0, 3.0), (2.0, 3.0)]
+
+
+def test_metadata_struct(rdf):
+    m = rdf.select(rs.metadata(_R()).alias("m")).select("m.*").first()
+    assert m["width"] == 4 and m["numbands"] == 1 and m["srid"] == 4326
