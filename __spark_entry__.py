@@ -962,6 +962,31 @@ _sql("geo_distance_sphere", """
   WHERE c_custkey < 300
 """)
 
+def _q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming windowed agg drained with availableNow over
+    the events table — must equal the batch/oracle answer exactly (the
+    'streaming comes free' claim, verified in the correctness gate)."""
+    import tempfile
+    from pyspark.sql import functions as F
+    from sedona_db_spark.streaming import ops as so
+    td = tempfile.mkdtemp(prefix="stream_")
+    src = td + "/src"
+    spark.table("events").write.mode("overwrite").parquet(src)
+    stream = so.event_stream(spark, src, max_files_per_trigger=1000)
+    res = so.run_batchlike(so.windowed_counts(stream, "1 hour"), td + "/ck")
+    return res.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+        "event_type", "n", F.round("sum_value", 4).alias("sv"))
+
+
+_PY["streaming_windowed_counts"] = _q_streaming_windowed
+_O["streaming_windowed_counts"] = """
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+         event_type, count(*) AS n, round(sum(value), 4) AS sv
+  FROM events GROUP BY 1, 2
+"""
+
+
 def _q_las_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAS source: write points derived from customer keys, read back
     distributed, aggregate — byte-exact math oracle."""

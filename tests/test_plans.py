@@ -56,3 +56,27 @@ def test_spatial_filter_reaches_parquet_scan(spark, tmp_path):
     filt = spatial_filter(back, "geom", 10.0, 10.0, 30.0, 30.0, exact=False)
     pi.assert_scales(filt, max_python_evals=0,
                      require_pushed_filter="bbox.xmin")
+
+
+def test_brute_force_topk_plan_is_takeordered(spark):
+    """Top-k must compile to TakeOrderedAndProject (no full sort/shuffle)."""
+    from sedona_db_spark.operators.similarity import brute_force_topk
+    emb = spark.table("embeddings")
+    qv = [0.1] * len(emb.first()["embedding"])
+    plan = pi.executed_plan(brute_force_topk(emb, qv, k=5))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_spatial_broadcast_join_no_shuffle_of_big_side(spark):
+    """Broadcast spatial join: the big side must not hash-exchange."""
+    from sedona_db_spark.operators.spatial_join import spatial_join
+    cust = spark.sql("""
+      SELECT c_custkey, ST_Point(abs(c_acctbal) % 100.0,
+             (c_custkey % 1000) / 10.0) AS geom FROM customer""")
+    boxes = spark.sql("""
+      SELECT n_nationkey, ST_MakeEnvelope(0.0, 0.0, 20.0, 20.0) AS geom
+      FROM nation""")
+    out = spatial_join(cust, boxes, predicate="within",
+                       broadcast_threshold=10**7)
+    assert pi.broadcast_count(out) >= 1
+    assert pi.shuffle_count(out) == 0  # only the broadcast, no hash exchange
