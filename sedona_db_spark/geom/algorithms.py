@@ -355,6 +355,55 @@ def _all_vertices_position(g: Geom, container: Geom):
     return lo, hi
 
 
+def _interior_reps(g2: Geom):
+    """Representative interior points of g2 (for the II-nonempty witness):
+    polygons -> point_on_surface per part; lines -> segment midpoints;
+    points -> the points themselves."""
+    reps = []
+    if g2.dimension() == 2:
+        from sedona_db_spark.geom import algorithms2 as _a2
+        for pr in g2.polygons():
+            p = _a2.point_on_surface(Geom(POLYGON, list(pr)))
+            if p is not None and p.data is not None:
+                reps.append(np.asarray(p.data[:2], dtype=np.float64))
+    elif g2.dimension() == 1:
+        for a, b in _segments(g2):
+            reps.append(np.array([(a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0]))
+    else:
+        reps = [np.asarray(c[:2], dtype=np.float64) for c in g2.all_coords()]
+    return reps
+
+
+def _gc_contains(g1: Geom, g2: Geom) -> bool:
+    """Contains with a GEOMETRYCOLLECTION on the left.  Union topology:
+    a lower-dimension part lying on/in a higher-dimension part is absorbed
+    into it (its independent interior disappears) — matches GEOS/PostGIS
+    on the reference's test_predicates.py collection cases."""
+    parts = [p for p in g1.geometries() if not p.is_empty()]
+    polys = [p for p in parts if p.dimension() == 2]
+    lines = [p for p in parts if p.dimension() == 1]
+    pts = [p for p in parts if p.dimension() == 0]
+    # coverage: nothing of g2 may fall outside the union of parts
+    if not covers(g1, g2):
+        return False
+    # interior-interior witness
+    for rep in _interior_reps(g2):
+        if any(point_position(rep, poly) > 0 for poly in polys):
+            return True
+        on_poly_closure = any(point_position(rep, poly) >= 0 for poly in polys)
+        if not on_poly_closure:
+            for ln in lines:
+                if point_position(rep, ln) > 0:
+                    return True
+        touched = on_poly_closure or any(
+            point_position(rep, ln) >= 0 for ln in lines)
+        if not touched:
+            for pp in pts:
+                if point_position(rep, pp) > 0:
+                    return True
+    return False
+
+
 def contains(g1: Geom, g2: Geom) -> bool:
     """PostGIS ST_Contains: g2 fully inside g1, interiors must intersect."""
     if g1.is_empty() or g2.is_empty():
@@ -364,6 +413,8 @@ def contains(g1: Geom, g2: Geom) -> bool:
         return False
     if b2[0] < b1[0] - _EPS or b2[1] < b1[1] - _EPS or b2[2] > b1[2] + _EPS or b2[3] > b1[3] + _EPS:
         return False
+    if g1.gt == GEOMETRYCOLLECTION:
+        return _gc_contains(g1, g2)
     if g2.gt == GEOMETRYCOLLECTION:
         return all(contains(g1, s) for s in g2.data if not s.is_empty())
     lo, hi = _all_vertices_position(g2, g1)
@@ -378,6 +429,15 @@ def contains(g1: Geom, g2: Geom) -> bool:
             return False
         if not _midpoints_inside(g2, g1):
             return False
+        if g1.dimension() == 2:
+            # interior-interior witness: some representative interior point
+            # of g2 must be strictly inside g1 (catches hole-boundary
+            # sharing and boundary-only lines), and none strictly outside
+            pos = [point_position(r, g1) for r in _interior_reps(g2)]
+            if any(p < 0 for p in pos):
+                return False
+            if pos and not any(p > 0 for p in pos):
+                return False
     return True
 
 
