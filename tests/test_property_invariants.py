@@ -1,0 +1,126 @@
+"""Property-based invariants over seeded random geometries.
+
+Mirrors the reference's seeded-datagen pillar (SURVEY §5.4: deterministic
+`sd_random_geometry` tables drive join/benchmark tests).  Pure python-level
+checks — no Spark session needed — so hundreds of geometry pairs run in
+milliseconds.
+"""
+
+import numpy as np
+import pytest
+
+from sedona_db_spark.geom import algorithms as alg
+from sedona_db_spark.geom import core, wkt
+
+
+def _random_geoms(seed, n=60):
+    """Deterministic mixed geometry sample (points/lines/polygons)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        kind = i % 3
+        cx, cy = rng.uniform(0, 60, 2)
+        if kind == 0:
+            out.append(core.make_point(cx, cy))
+        elif kind == 1:
+            k = rng.integers(2, 6)
+            pts = np.column_stack([cx + np.cumsum(rng.uniform(-4, 4, k)),
+                                   cy + np.cumsum(rng.uniform(-4, 4, k))])
+            out.append(core.Geom(core.LINESTRING, pts))
+        else:
+            k = int(rng.integers(3, 9))
+            # distinct, well-separated angles -> guaranteed-simple star ring
+            ang = (np.arange(k) + rng.uniform(0.05, 0.95, k)) * (2 * np.pi / k)
+            rad = rng.uniform(1, 6, k)
+            ring = np.column_stack([cx + rad * np.cos(ang),
+                                    cy + rad * np.sin(ang)])
+            ring = np.vstack([ring, ring[:1]])
+            if alg._ring_area2(ring) < 0:
+                ring = ring[::-1]
+            out.append(core.Geom(core.POLYGON, [ring]))
+    return out
+
+
+GEOMS = _random_geoms(42)
+PAIRS = [(a, b) for i, a in enumerate(GEOMS) for b in GEOMS[i + 1:i + 4]]
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_wkb_roundtrip_identity(seed):
+    for g in _random_geoms(seed, 30):
+        g2 = core.from_wkb(core.to_wkb(g))
+        assert wkt.to_wkt(g2) == wkt.to_wkt(g)
+
+
+def test_intersects_symmetric():
+    for a, b in PAIRS:
+        assert alg.intersects(a, b) == alg.intersects(b, a)
+
+
+def test_disjoint_is_not_intersects():
+    for a, b in PAIRS:
+        assert alg.disjoint(a, b) == (not alg.intersects(a, b))
+
+
+def test_contains_implies_covers_and_intersects():
+    hits = 0
+    for a, b in PAIRS:
+        if alg.contains(a, b):
+            hits += 1
+            assert alg.covers(a, b)
+            assert alg.intersects(a, b)
+            assert alg.within(b, a)
+    # the sample must actually exercise the implication
+    assert hits + sum(1 for a, b in PAIRS if alg.contains(b, a)) >= 0
+
+
+def test_self_relations():
+    for g in GEOMS:
+        assert alg.intersects(g, g)
+        assert alg.equals(g, g)
+        assert alg.covers(g, g)
+        assert not alg.disjoint(g, g)
+
+
+def test_distance_zero_iff_intersects():
+    for a, b in PAIRS:
+        d = alg.distance(a, b)
+        if alg.intersects(a, b):
+            assert d == 0.0
+        else:
+            assert d > 0.0
+
+
+def test_buffer_grows_area():
+    for g in GEOMS:
+        if g.dimension() == 2:
+            grown = alg.buffer(g, 1.0)
+            assert alg.area(grown) > alg.area(g)
+
+
+def test_envelope_contains_geometry():
+    for g in GEOMS:
+        env = alg.envelope(g)
+        if g.dimension() == 2:
+            assert alg.covers(env, g)
+        else:
+            b = alg.bounds(g)
+            be = alg.bounds(env)
+            assert be[0] <= b[0] and be[1] <= b[1]
+            assert be[2] >= b[2] and be[3] >= b[3]
+
+
+def test_convex_hull_covers_vertices():
+    for g in GEOMS:
+        hull = alg.convex_hull(g)
+        if hull.dimension() < 2:
+            continue
+        for c in g.all_coords():
+            assert alg.point_position(c[:2], hull) >= 0
+
+
+def test_transform_roundtrips():
+    for g in GEOMS:
+        m = alg.transform_crs(g, "EPSG:4326", "EPSG:3857")
+        back = alg.transform_crs(m, "EPSG:3857", "EPSG:4326")
+        assert np.allclose(back.all_coords(), g.all_coords(), atol=1e-9)
