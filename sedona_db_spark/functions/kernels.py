@@ -721,14 +721,31 @@ KERNELS: dict[str, tuple] = {
 # second wave: dump/points, overlay-subset, nearest, sphere distance
 # ----------------------------------------------------------------------
 
+DUMP_T = T.ArrayType(T.StructType([
+    T.StructField("geom", T.BinaryType()),
+    T.StructField("path", T.ArrayType(T.IntegerType())),
+]))
+
+
 def k_dump(s: pd.Series) -> pd.Series:
-    """array<binary> of the parts (ST_Dump; pair with explode())."""
+    """array<struct{geom, path}> (reference st_dump.rs shape: path is the
+    1-based index chain through nested collections); pair with explode()."""
+    def walk(g, prefix, acc):
+        if g.gt in (core.MULTIPOINT, core.MULTILINESTRING,
+                    core.MULTIPOLYGON, core.GEOMETRYCOLLECTION):
+            for i, part in enumerate(g.geometries(), start=1):
+                walk(part, prefix + [i], acc)
+        else:
+            acc.append({"geom": core.to_wkb(g), "path": prefix})
+
     out = []
     for g in _decode(s):
         if g is None:
             out.append(None)
         else:
-            out.append([core.to_wkb(p) for p in g.geometries()])
+            acc: list = []
+            walk(g, [], acc)
+            out.append(acc)
     return pd.Series(out, dtype=object)
 
 
@@ -863,7 +880,7 @@ def k_transform(s: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
 
 KERNELS.update({
     "ST_Transform": (k_transform, BIN, "gss"),
-    "ST_Dump": (k_dump, T.ArrayType(BIN), "g"),
+    "ST_Dump": (k_dump, DUMP_T, "g"),
     "ST_Points": (k_points, T.ArrayType(BIN), "g"),
     "ST_MakePolygon": (k_makepolygon, BIN, "g"),
     "ST_ClosestPoint": (k_closestpoint, BIN, "gg"),

@@ -126,3 +126,15 @@ def test_tessellate_covers_polygon(spark):
       FROM (SELECT ST_TessellateGeom(ST_MakeEnvelope(0.0,0.0,4.0,2.0)) AS t)
     """).first()
     assert rows["n"] == 2 and rows["a"] == 8.0
+
+
+def test_st_dump_path_struct(spark):
+    rows = spark.sql("""
+      SELECT d.geom AS g, d.path AS p FROM (
+        SELECT explode(ST_Dump(ST_GeomFromWKT(
+          'GEOMETRYCOLLECTION (POINT (1 1), MULTIPOINT ((2 2), (3 3)))'))) AS d)
+    """).selectExpr("ST_AsText(g) AS wkt", "p").collect()
+    got = [(r["wkt"], list(r["p"])) for r in rows]
+    assert got == [("POINT (1 1)", [1]),
+                   ("POINT (2 2)", [2, 1]),
+                   ("POINT (3 3)", [2, 2])]
