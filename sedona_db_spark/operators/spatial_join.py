@@ -137,8 +137,24 @@ def spatial_join(
     """
     if predicate not in _PREDICATES and distance is None:
         raise ValueError(f"unknown spatial predicate {predicate!r}")
-    if how != "inner":
-        raise NotImplementedError("v1 supports inner spatial joins")
+    if how not in ("inner", "left", "left_outer"):
+        raise NotImplementedError(
+            "spatial joins support how='inner' and how='left' "
+            "(flip the sides for a right join)")
+    if how in ("left", "left_outer"):
+        # inner result + left-anti recovery of unmatched rows (the same
+        # shape the reference's SpatialJoinExec uses for outer modes)
+        lid = "__sj_lid"
+        left_tagged = left.withColumn(lid, F.monotonically_increasing_id())
+        inner = spatial_join(left_tagged, right, left_geom, right_geom,
+                             predicate, distance, "inner", grid_cells,
+                             broadcast_threshold)
+        matched = inner.select(lid).distinct()
+        unmatched = left_tagged.join(matched, lid, "left_anti")
+        for c in inner.columns:
+            if c not in unmatched.columns:
+                unmatched = unmatched.withColumn(c, F.lit(None))
+        return inner.unionByName(unmatched.select(inner.columns)).drop(lid)
 
     # disambiguate columns
     rcols = {c: (f"right_{c}" if c in left.columns else c) for c in right.columns}

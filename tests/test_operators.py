@@ -284,3 +284,17 @@ def test_ivf_topk_recall(spark):
     assert approx[0] == exact[0] == 7  # self is always found
     assert len(set(approx) & set(exact)) >= 2
     assigned.unpersist()
+
+
+def test_spatial_join_left_outer(spark, cust_pts, boxes):
+    """Left join keeps unmatched left rows with null right columns."""
+    from sedona_db_spark.operators.spatial_join import spatial_join
+    left = cust_pts.select("c_custkey", "geom").filter("c_custkey < 500")
+    right = boxes.select("n_nationkey", "geom")
+    inner = spatial_join(left, right, predicate="within")
+    louter = spatial_join(left, right, predicate="within", how="left")
+    n_left = left.count()
+    matched_left = inner.select("c_custkey").distinct().count()
+    assert louter.count() == inner.count() + (n_left - matched_left)
+    nulls = louter.filter("n_nationkey IS NULL").count()
+    assert nulls == n_left - matched_left
