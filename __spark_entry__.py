@@ -701,6 +701,29 @@ _O["knn_join_k3"] = """
 """
 
 
+def _q_spatial_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sedona_db_spark.operators.spatial_join import spatial_join
+    cust = spark.table("cust_pts").select("c_custkey", "geom") \
+        .filter("c_custkey < 800")
+    boxes = spark.table("nation_boxes").select("n_nationkey", "geom")
+    out = spatial_join(cust, boxes, predicate="within", how="left")
+    return out.select("c_custkey", "n_nationkey")
+
+
+_PY["spatial_join_left_within"] = _q_spatial_join_left
+_O["spatial_join_left_within"] = """
+  SELECT c.c_custkey, n.n_nationkey FROM
+  (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,
+          (c_custkey % 1000) / 10.0 AS py
+   FROM customer WHERE c_custkey < 800) c
+  LEFT JOIN (SELECT n_nationkey,
+                    CAST(n_nationkey % 5 AS DOUBLE) * 20.0 AS x0,
+                    CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 AS y0
+             FROM nation) n
+  ON c.px > n.x0 AND c.px < n.x0 + 20.0 AND c.py > n.y0 AND c.py < n.y0 + 20.0
+"""
+
+
 def _q_knn_join_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from sedona_db_spark.operators.knn_join import knn_join_partitioned
