@@ -1,0 +1,81 @@
+"""Head-to-head wall-time comparison vs DuckDB on the shared query set.
+
+BASELINE.md designates DuckDB as the local comparison engine (the same role
+it plays in the reference's harness, python/sedonadb/python/sedonadb/
+testing.py:392).  Runs each contract query on Spark (via queries()) and its
+oracle SQL on DuckDB at the same sf, prints per-query seconds + ratio.
+
+Usage: python tools/bench_vs_duckdb.py [sf_dir] [name ...]
+
+Reading the numbers: at sf<=0.1 every query touches <10 MB, so the
+comparison measures ENGINE FIXED OVERHEAD (Spark pays 0.3-1 s per query
+for DAG scheduling, codegen, Arrow python-worker exchange; DuckDB is a
+single in-process call).  Per-row marginal cost is what survives a 1000x
+scale-up, and that favors the distributed plan: watch `ratio` fall as
+sf grows (sf0.01 -> sf0.1 already shows it).  The reference makes the
+same caveat for its own micro-benchmarks (benchmarks/README.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+DEFAULT_SET = [
+    "tpch_q1", "tpch_q3_top10", "tpch_q6_forecast", "window_rownum",
+    "st_contains_point_in_box", "st_distance_pairs", "knn_join_k3",
+    "geo_distance_sphere", "events_hourly_counts", "dedup_exact_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    names = sys.argv[2:] or DEFAULT_SET
+
+    import __spark_entry__ as em
+    from sedona_db_spark import get_spark
+
+    spark = get_spark("bench-vs-duckdb")
+    spark.sparkContext.setLogLevel("ERROR")
+    em._prep(spark, sf_dir)
+    spark.sql("SELECT ST_AsText(ST_Point(1.0, 1.0))").collect()  # warm
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = em.queries()
+    oracles = em.oracle_sql()
+    rows = []
+    for name in names:
+        if name not in qs or name not in oracles:
+            continue
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        t_spark = time.time() - t0
+        t0 = time.time()
+        con.execute(oracles[name]).fetchall()
+        t_duck = time.time() - t0
+        rows.append({"query": name, "spark_sec": round(t_spark, 3),
+                     "duckdb_sec": round(t_duck, 3),
+                     "ratio": round(t_spark / max(t_duck, 1e-9), 2)})
+        print(f"{name:32s} spark {t_spark:7.3f}s  duckdb {t_duck:7.3f}s  "
+              f"ratio {t_spark / max(t_duck, 1e-9):6.2f}x", file=sys.stderr)
+    print(json.dumps({"metric": "spark_vs_duckdb", "sf_dir": sf_dir,
+                      "rows": rows}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
