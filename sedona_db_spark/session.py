@@ -34,6 +34,10 @@ _DEFAULT_CONFS = {
     # and convert to TimestampType in load_tables
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    # local-mode latency: no locality wait (single host), Kryo for the
+    # broadcast/shuffle serialization path
+    "spark.locality.wait": "0s",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
 }
 
 
