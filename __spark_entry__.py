@@ -1176,6 +1176,60 @@ _O["st_union_agg_area"] = """
 """
 
 
+def _q_intersection_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running intersection of nested same-origin envelopes per region:
+    the result is the smallest box, so area = (10 + min(key))^2."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions.aggregates import intersection_agg_expr
+    from sedona_db_spark.functions import get_udf
+    boxes = spark.table("nation").selectExpr(
+        "n_regionkey",
+        "ST_MakeEnvelope(0.0D, 0.0D, 10.0D + n_nationkey, 10.0D + n_nationkey) AS geom")
+    u = boxes.groupBy("n_regionkey").agg(
+        intersection_agg_expr(F.col("geom")).alias("i"))
+    return u.select("n_regionkey",
+                    F.round(get_udf("ST_Area")(F.col("i")), 6).alias("area"))
+
+
+_PY["st_intersection_agg"] = _q_intersection_agg
+_O["st_intersection_agg"] = """
+  SELECT n_regionkey,
+         round((10 + min(n_nationkey)) * (10 + min(n_nationkey)), 6) AS area
+  FROM nation GROUP BY n_regionkey
+"""
+
+
+def _q_polygonize_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygonize each nation's four square-boundary segments: the merged
+    linework closes into one s x s ring, so area = s^2 with
+    s = n_nationkey % 5 + 1."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions.aggregates import polygonize_agg_expr
+    from sedona_db_spark.functions import get_udf
+    segs = spark.sql("""
+      SELECT n_nationkey, seg FROM (
+        SELECT n_nationkey, CAST(n_nationkey % 5 + 1 AS DOUBLE) AS s
+        FROM nation) t
+      LATERAL VIEW explode(array(
+        ST_GeomFromWKT(concat('LINESTRING (0 0, ', s, ' 0)')),
+        ST_GeomFromWKT(concat('LINESTRING (', s, ' 0, ', s, ' ', s, ')')),
+        ST_GeomFromWKT(concat('LINESTRING (', s, ' ', s, ', 0 ', s, ')')),
+        ST_GeomFromWKT(concat('LINESTRING (0 ', s, ', 0 0)')))) e AS seg
+    """)
+    u = segs.groupBy("n_nationkey").agg(
+        polygonize_agg_expr(F.col("seg")).alias("p"))
+    return u.select("n_nationkey",
+                    F.round(get_udf("ST_Area")(F.col("p")), 6).alias("area"))
+
+
+_PY["st_polygonize_agg"] = _q_polygonize_agg
+_O["st_polygonize_agg"] = """
+  SELECT n_nationkey,
+         round((n_nationkey % 5 + 1) * (n_nationkey % 5 + 1), 6) AS area
+  FROM nation
+"""
+
+
 def _q_analyze_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_db_spark.functions.aggregates import analyze_agg
     pts = spark.table("cust_pts").filter("c_custkey < 2000") \

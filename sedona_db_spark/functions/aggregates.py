@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 from sedona_db_spark.functions import get_udf
 from sedona_db_spark.functions.kernels import _decode
 from sedona_db_spark.geom import algorithms as alg
+from sedona_db_spark.geom import algorithms2 as alg2
 from sedona_db_spark.geom import core
 from sedona_db_spark.operators.spatial_join import bbox_col
 
@@ -198,9 +199,53 @@ def _union_finisher(arrs: pd.Series) -> pd.Series:
 _union_points_finisher = _union_finisher  # back-compat alias
 
 
+def _intersection_finisher(arrs: pd.Series) -> pd.Series:
+    """Running intersection of the group (reference
+    rust/sedona-geo/src/st_intersection_agg.rs).  Binary intersection is
+    associative+commutative, so a fold over the collected list matches the
+    reference accumulator; short-circuits on EMPTY."""
+    out = []
+    for arr in arrs:
+        if arr is None:
+            out.append(None)
+            continue
+        geoms = [core.from_wkb(bytes(b)) for b in arr if b is not None]
+        if not geoms:
+            out.append(None)
+            continue
+        acc = geoms[0]
+        for g in geoms[1:]:
+            if acc.is_empty():
+                break
+            acc = alg.intersection(acc, g)
+        out.append(core.to_wkb(acc))
+    return pd.Series(out, dtype=object)
+
+
+def _polygonize_agg_finisher(arrs: pd.Series) -> pd.Series:
+    """Polygonize the group's combined linework (reference
+    c/sedona-geos/src/st_polygonize_agg.rs): merge all collected lines into
+    one collection, then ring-assemble."""
+    out = []
+    for arr in arrs:
+        if arr is None:
+            out.append(None)
+            continue
+        geoms = [core.from_wkb(bytes(b)) for b in arr if b is not None]
+        geoms = [g for g in geoms if not g.is_empty()]
+        if not geoms:
+            out.append(core.to_wkb(core.Geom(core.GEOMETRYCOLLECTION, [])))
+            continue
+        out.append(core.to_wkb(
+            alg2.polygonize(core.Geom(core.GEOMETRYCOLLECTION, geoms))))
+    return pd.Series(out, dtype=object)
+
+
 _coll_udf = None
 _hull_udf = None
 _union_udf = None
+_inter_udf = None
+_polyize_udf = None
 
 
 def collect_agg_expr(geom_col) -> Column:
@@ -222,6 +267,20 @@ def union_agg_expr(geom_col) -> Column:
     if _union_udf is None:
         _union_udf = F.pandas_udf(_union_points_finisher, returnType=T.BinaryType())
     return _union_udf(F.collect_list(geom_col))
+
+
+def intersection_agg_expr(geom_col) -> Column:
+    global _inter_udf
+    if _inter_udf is None:
+        _inter_udf = F.pandas_udf(_intersection_finisher, returnType=T.BinaryType())
+    return _inter_udf(F.collect_list(geom_col))
+
+
+def polygonize_agg_expr(geom_col) -> Column:
+    global _polyize_udf
+    if _polyize_udf is None:
+        _polyize_udf = F.pandas_udf(_polygonize_agg_finisher, returnType=T.BinaryType())
+    return _polyize_udf(F.collect_list(geom_col))
 
 
 def analyze_agg(df: DataFrame, group_cols: list[str], geom: str = "geom") -> DataFrame:

@@ -119,6 +119,41 @@ def test_union_agg_disjoint_polygons_exact():
     assert g.type_name() == "MULTIPOLYGON" and alg.area(g) == 2.0
 
 
+def test_intersection_agg_nested_boxes():
+    import pandas as pd
+    from sedona_db_spark.functions.aggregates import _intersection_finisher
+    from sedona_db_spark.geom import algorithms as alg, core, wkt
+    a = core.to_wkb(wkt.from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
+    b = core.to_wkb(wkt.from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"))
+    c = core.to_wkb(wkt.from_wkt("POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))"))
+    out = _intersection_finisher(pd.Series([[a, b, c], None, [a]]))
+    assert alg.area(core.from_wkb(out[0])) == 4.0  # smallest box wins
+    assert out[1] is None
+    assert alg.area(core.from_wkb(out[2])) == 16.0
+
+
+def test_intersection_agg_disjoint_is_empty():
+    import pandas as pd
+    from sedona_db_spark.functions.aggregates import _intersection_finisher
+    from sedona_db_spark.geom import core, wkt
+    a = core.to_wkb(wkt.from_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))
+    b = core.to_wkb(wkt.from_wkt("POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"))
+    out = _intersection_finisher(pd.Series([[a, b]]))
+    assert core.from_wkb(out[0]).is_empty()
+
+
+def test_polygonize_agg_square_segments():
+    import pandas as pd
+    from sedona_db_spark.functions.aggregates import _polygonize_agg_finisher
+    from sedona_db_spark.geom import algorithms as alg, core, wkt
+    segs = [core.to_wkb(wkt.from_wkt(w)) for w in (
+        "LINESTRING (0 0, 2 0)", "LINESTRING (2 0, 2 2)",
+        "LINESTRING (2 2, 0 2)", "LINESTRING (0 2, 0 0)")]
+    out = _polygonize_agg_finisher(pd.Series([segs]))
+    g = core.from_wkb(out[0])
+    assert alg.area(g) == 4.0
+
+
 def test_tessellate_covers_polygon(spark):
     rows = spark.sql("""
       SELECT ST_NumGeometries(t) AS n,
