@@ -299,6 +299,124 @@ _sql("st_buffer_area", """
   FROM customer WHERE c_custkey < 100
 """)
 
+# Scalar overlay on two axis-aligned squares offset by d: every area has a
+# closed form ((10-d)^2 overlap of two 10x10 squares).
+_sql("st_overlay_rect_pair", """
+  SELECT n_nationkey,
+         round(ST_Area(ST_Intersection(a, b)), 6) AS inter_area,
+         round(ST_Area(ST_Union(a, b)), 6) AS union_area,
+         round(ST_Area(ST_Difference(a, b)), 6) AS diff_area,
+         round(ST_Area(ST_SymDifference(a, b)), 6) AS sym_area
+  FROM (SELECT n_nationkey,
+               ST_MakeEnvelope(0.0D, 0.0D, 10.0D, 10.0D) AS a,
+               ST_MakeEnvelope(CAST(n_nationkey % 8 AS DOUBLE),
+                               CAST(n_nationkey % 8 AS DOUBLE),
+                               CAST(n_nationkey % 8 AS DOUBLE) + 10.0D,
+                               CAST(n_nationkey % 8 AS DOUBLE) + 10.0D) AS b
+        FROM nation) t
+""", """
+  SELECT n_nationkey,
+         round((10 - d) * (10 - d), 6) AS inter_area,
+         round(200 - (10 - d) * (10 - d), 6) AS union_area,
+         round(100 - (10 - d) * (10 - d), 6) AS diff_area,
+         round(200 - 2 * (10 - d) * (10 - d), 6) AS sym_area
+  FROM (SELECT n_nationkey, CAST(n_nationkey % 8 AS DOUBLE) AS d FROM nation) t
+""")
+
+# Douglas-Peucker with tolerance above the zigzag amplitude collapses the
+# line to its endpoints.
+_sql("st_simplify_collapse", """
+  SELECT n_nationkey, CAST(ST_NPoints(s) AS INT) AS np_after,
+         round(ST_Length(s), 6) AS len
+  FROM (SELECT n_nationkey,
+               ST_Simplify(ST_GeomFromWKT(
+                 'LINESTRING (0 0, 2.5 0.2, 5 -0.2, 7.5 0.2, 10 0)'), 1.0) AS s
+        FROM nation) t
+""", """
+  SELECT n_nationkey, CAST(2 AS INT) AS np_after, 10.0 AS len FROM nation
+""")
+
+# Interpolate a fraction along a straight segment, then locate it back.
+_sql("st_line_interp_locate", """
+  SELECT n_nationkey, round(ST_X(p), 6) AS px, round(ST_Y(p), 6) AS py,
+         round(ST_LineLocatePoint(l, p), 6) AS frac
+  FROM (SELECT n_nationkey, l,
+               ST_LineInterpolatePoint(l, CAST(n_nationkey % 10 AS DOUBLE) / 10.0D) AS p
+        FROM (SELECT n_nationkey,
+                     ST_GeomFromWKT('LINESTRING (0 0, 10 20)') AS l
+              FROM nation) s) t
+""", """
+  SELECT n_nationkey, round(10 * f, 6) AS px, round(20 * f, 6) AS py,
+         round(f, 6) AS frac
+  FROM (SELECT n_nationkey, CAST(n_nationkey % 10 AS DOUBLE) / 10.0 AS f
+        FROM nation) t
+""")
+
+# Hausdorff between parallel equal-extent segments = vertical offset h;
+# max vertex distance = hypot(10, h).
+_sql("st_hausdorff_maxdist", """
+  SELECT n_nationkey, round(ST_HausdorffDistance(a, b), 6) AS hd,
+         round(ST_MaxDistance(a, b), 6) AS md
+  FROM (SELECT n_nationkey,
+               ST_GeomFromWKT('LINESTRING (0 0, 10 0)') AS a,
+               ST_GeomFromWKT(concat('LINESTRING (0 ', h, ', 10 ', h, ')')) AS b
+        FROM (SELECT n_nationkey, CAST(n_nationkey % 7 + 1 AS DOUBLE) AS h
+              FROM nation) s) t
+""", """
+  SELECT n_nationkey, round(h, 6) AS hd, round(sqrt(100 + h * h), 6) AS md
+  FROM (SELECT n_nationkey, CAST(n_nationkey % 7 + 1 AS DOUBLE) AS h
+        FROM nation) t
+""")
+
+# Validity flags: bowtie ring self-intersects, envelope is valid, a
+# self-crossing open line is not simple.
+_sql("st_validity_flags", """
+  SELECT n_nationkey, ST_IsValid(bow) AS bow_valid, ST_IsValid(box) AS box_valid,
+         ST_IsSimple(xline) AS xline_simple
+  FROM (SELECT n_nationkey,
+               ST_GeomFromWKT('POLYGON ((0 0, 4 0, 0 4, 4 4, 0 0))') AS bow,
+               ST_MakeEnvelope(0.0D, 0.0D, 4.0D, 4.0D) AS box,
+               ST_GeomFromWKT('LINESTRING (0 0, 4 4, 4 0, 0 4)') AS xline
+        FROM nation) t
+""", """
+  SELECT n_nationkey, false AS bow_valid, true AS box_valid,
+         false AS xline_simple
+  FROM nation
+""")
+
+# Web-Mercator forward transform has a closed form the oracle replicates
+# (sphere radius 6378137, see geom/algorithms.py _lonlat_to_webmercator).
+_sql("st_transform_webmercator", """
+  SELECT n_nationkey, round(ST_X(m), 3) AS mx, round(ST_Y(m), 3) AS my
+  FROM (SELECT n_nationkey,
+               ST_Transform(ST_Point(CAST(n_nationkey * 10 - 120 AS DOUBLE),
+                                     CAST(n_nationkey * 5 - 60 AS DOUBLE)),
+                            'EPSG:4326', 'EPSG:3857') AS m
+        FROM nation) t
+""", """
+  SELECT n_nationkey,
+         round(radians(CAST(n_nationkey * 10 - 120 AS DOUBLE)) * 6378137, 3) AS mx,
+         round(ln(tan(pi() / 4 +
+               radians(CAST(n_nationkey * 5 - 60 AS DOUBLE)) / 2)) * 6378137, 3) AS my
+  FROM nation
+""")
+
+# Segmentize an integer-length segment at max length 1 -> L+1 vertices;
+# ReducePrecision snaps to a 0.01 grid.
+_sql("st_segmentize_snap", """
+  SELECT n_nationkey, CAST(ST_NPoints(ST_Segmentize(l, 1.0)) AS INT) AS np,
+         round(ST_X(ST_ReducePrecision(p, 0.01)), 6) AS rx
+  FROM (SELECT n_nationkey,
+               ST_GeomFromWKT(concat('LINESTRING (0 0, ',
+                                     CAST(n_nationkey % 9 + 1 AS DOUBLE), ' 0)')) AS l,
+               ST_Point(CAST(n_nationkey AS DOUBLE) * 0.123456, 1.0D) AS p
+        FROM nation) t
+""", """
+  SELECT n_nationkey, CAST(n_nationkey % 9 + 2 AS INT) AS np,
+         round(round(n_nationkey * 0.123456 / 0.01) * 0.01, 6) AS rx
+  FROM nation
+""")
+
 # ST_MakeLine over key-sorted collect (deterministic), ST_Centroid is
 # length-weighted; the oracle replicates the weighted-midpoint formula.
 _sql("st_centroid_makeline", """

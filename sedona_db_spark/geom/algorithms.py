@@ -1115,6 +1115,86 @@ def nearest_points(g1: Geom, g2: Geom):
     return (np.asarray(best[1]), np.asarray(best[2]))
 
 
+def _is_rectilinear(g: Geom) -> bool:
+    """True if g is a polygon/multipolygon whose edges are all axis-parallel."""
+    if g.gt not in (POLYGON, MULTIPOLYGON):
+        return False
+    found = False
+    for poly in g.polygons():
+        for r in poly:
+            found = True
+            d = np.diff(np.asarray(r)[:, :2], axis=0)
+            if not np.all((np.abs(d[:, 0]) < 1e-12) | (np.abs(d[:, 1]) < 1e-12)):
+                return False
+    return found
+
+
+def _rectilinear_boolean(g1: Geom, g2: Geom, op: str) -> Geom:
+    """Exact boolean overlay for axis-parallel polygons ('union', 'diff',
+    'xor').  Cut the plane along every input edge line, classify each grid
+    cell by its center (never on an edge, so classification is exact),
+    keep cells per op, then reassemble the kept region's boundary (edges
+    adjacent to exactly one kept cell) with build_area — holes fall out of
+    the ring-containment pass.  O(V^2) cells in the input vertex count:
+    fine for scalar kernels; large dissolves go through union_agg's
+    grouped path instead.  Invariant-checked: if ring assembly ever
+    disagrees with the summed cell area (degree-4 corner contact), fall
+    back to the exact-area cell tessellation."""
+    from sedona_db_spark.geom import algorithms2 as alg2
+
+    if op == "xor":  # two disjoint-interior differences; parts stay parts
+        d1 = _rectilinear_boolean(g1, g2, "diff")
+        d2 = _rectilinear_boolean(g2, g1, "diff")
+        parts = [p for g in (d1, d2) for p in g.polygons()]
+        if not parts:
+            return Geom(GEOMETRYCOLLECTION, [])
+        if len(parts) == 1:
+            return Geom(POLYGON, parts[0])
+        return Geom(MULTIPOLYGON, parts)
+
+    coords = [np.asarray(r)[:, :2] for g in (g1, g2) for poly in g.polygons()
+              for r in poly]
+    allc = np.vstack(coords)
+    xs = np.unique(allc[:, 0])
+    ys = np.unique(allc[:, 1])
+    nx, ny = len(xs) - 1, len(ys) - 1
+    keep = np.zeros((nx, ny), dtype=bool)
+    for i in range(nx):
+        cx = (xs[i] + xs[i + 1]) / 2.0
+        for j in range(ny):
+            cy = (ys[j] + ys[j + 1]) / 2.0
+            a = point_position((cx, cy), g1) > 0
+            b = point_position((cx, cy), g2) > 0
+            keep[i, j] = (a or b) if op == "union" else (a and not b)
+    if not keep.any():
+        return Geom(GEOMETRYCOLLECTION, [])
+
+    segs = []
+    for i in range(nx):
+        for j in range(ny):
+            if not keep[i, j]:
+                continue
+            if j == 0 or not keep[i, j - 1]:   # bottom
+                segs.append([(xs[i], ys[j]), (xs[i + 1], ys[j])])
+            if j == ny - 1 or not keep[i, j + 1]:  # top
+                segs.append([(xs[i], ys[j + 1]), (xs[i + 1], ys[j + 1])])
+            if i == 0 or not keep[i - 1, j]:   # left
+                segs.append([(xs[i], ys[j]), (xs[i], ys[j + 1])])
+            if i == nx - 1 or not keep[i + 1, j]:  # right
+                segs.append([(xs[i + 1], ys[j]), (xs[i + 1], ys[j + 1])])
+    lines = Geom(MULTILINESTRING, [np.array(s, dtype=np.float64) for s in segs])
+    out = alg2.build_area(lines)
+    want = sum((xs[i + 1] - xs[i]) * (ys[j + 1] - ys[j])
+               for i in range(nx) for j in range(ny) if keep[i, j])
+    if abs(area(out) - want) > 1e-9 * max(want, 1.0):
+        cells = [np.array([(xs[i], ys[j]), (xs[i + 1], ys[j]),
+                           (xs[i + 1], ys[j + 1]), (xs[i], ys[j + 1]),
+                           (xs[i], ys[j])], dtype=np.float64)
+                 for i in range(nx) for j in range(ny) if keep[i, j]]
+        return Geom(MULTIPOLYGON, [[c] for c in cells])
+    return out
+
+
 def union2(g1: Geom, g2: Geom) -> Geom:
     """Binary ST_Union — supported cases: any points (dedup), disjoint
     geometries (multi/collection), containment.  Overlapping area-area
@@ -1141,9 +1221,11 @@ def union2(g1: Geom, g2: Geom) -> Geom:
         if gts == {LINESTRING}:
             return Geom(MULTILINESTRING, [p.data for p in parts])
         return Geom(GEOMETRYCOLLECTION, parts)
+    if _is_rectilinear(g1) and _is_rectilinear(g2):
+        return _rectilinear_boolean(g1, g2, "union")
     raise NotImplementedError(
         "overlapping area union requires polygon boolean ops; "
-        "supported: points, disjoint, containment")
+        "supported: points, disjoint, containment, rectilinear polygons")
 
 
 def difference(g1: Geom, g2: Geom) -> Geom:
@@ -1180,14 +1262,19 @@ def difference(g1: Geom, g2: Geom) -> Geom:
         if len(pieces) == 1:
             return Geom(LINESTRING, pieces[0])
         return Geom(MULTILINESTRING, pieces)
+    if _is_rectilinear(g1) and _is_rectilinear(g2):
+        return _rectilinear_boolean(g1, g2, "diff")
     raise NotImplementedError(
         "area-area difference requires polygon boolean ops; "
-        "supported: disjoint, covered, point/line minus area")
+        "supported: disjoint, covered, point/line minus area, "
+        "rectilinear polygons")
 
 
 def sym_difference(g1: Geom, g2: Geom) -> Geom:
     if not intersects(g1, g2):
         return union2(g1, g2)
+    if _is_rectilinear(g1) and _is_rectilinear(g2):
+        return _rectilinear_boolean(g1, g2, "xor")
     d1 = difference(g1, g2)
     d2 = difference(g2, g1)
     if d1.is_empty():

@@ -259,3 +259,52 @@ def test_st_transform_utm_sql(spark):
     """).first()
     assert back["lon"] == _pt.approx(2.3522, abs=1e-7)
     assert back["lat"] == _pt.approx(48.8566, abs=1e-7)
+
+
+# ----------------------------------------------------------------------
+# Rectilinear boolean overlay (union2/difference/sym_difference upgrade)
+# ----------------------------------------------------------------------
+
+def test_rectilinear_overlay_offset_squares():
+    from sedona_db_spark.geom import algorithms as alg, wkt
+    A = wkt.from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    for d in (1, 4, 7):
+        B = wkt.from_wkt(
+            f"POLYGON (({d} {d}, {d+10} {d}, {d+10} {d+10}, {d} {d+10}, {d} {d}))")
+        exp = (10 - d) ** 2
+        assert alg.area(alg.union2(A, B)) == 200 - exp
+        assert alg.area(alg.difference(A, B)) == 100 - exp
+        assert alg.area(alg.sym_difference(A, B)) == 200 - 2 * exp
+
+
+def test_rectilinear_difference_makes_hole():
+    from sedona_db_spark.geom import algorithms as alg, core, wkt
+    A = wkt.from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    B = wkt.from_wkt("POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))")
+    D = alg.difference(A, B)
+    assert alg.area(D) == 96.0
+    assert D.gt == core.POLYGON and len(D.data) == 2  # shell + hole
+
+
+def test_rectilinear_union_lshape():
+    from sedona_db_spark.geom import algorithms as alg, wkt
+    L = wkt.from_wkt("POLYGON ((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))")
+    R = wkt.from_wkt("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")
+    assert alg.area(alg.union2(L, R)) == 21.0
+    assert alg.area(alg.sym_difference(L, R)) == 18.0
+
+
+def test_rectilinear_corner_touch_union_falls_back_exact_area():
+    from sedona_db_spark.geom import algorithms as alg, wkt
+    A = wkt.from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    B = wkt.from_wkt("POLYGON ((10 10, 14 10, 14 14, 10 14, 10 10))")
+    assert alg.area(alg.union2(A, B)) == 116.0
+
+
+def test_non_rectilinear_overlap_still_raises():
+    import pytest
+    from sedona_db_spark.geom import algorithms as alg, wkt
+    A = wkt.from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    T = wkt.from_wkt("POLYGON ((5 -1, 15 5, 5 11, 5 -1))")
+    with pytest.raises(NotImplementedError):
+        alg.union2(A, T)
