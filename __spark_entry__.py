@@ -1349,19 +1349,32 @@ _O["st_polygonize_agg"] = """
 
 
 def _q_analyze_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every analyze_agg statistic over a point table is closed-form:
+    count, bbox = min/max of the generator coords, 1 point per geometry,
+    one distinct type."""
+    from pyspark.sql import functions as F
     from sedona_db_spark.functions.aggregates import analyze_agg
     pts = spark.table("cust_pts").filter("c_custkey < 2000") \
         .select("c_nationkey", "geom")
     out = analyze_agg(pts, ["c_nationkey"])
-    from pyspark.sql import functions as F
-    keep = [c for c in out.columns
-            if c in ("c_nationkey", "geom_count", "mean_npoints")]
-    return out.select(*keep) if len(keep) == 3 else out.select(
-        "c_nationkey", F.col(out.columns[1]).alias("geom_count"))
+    return out.select(
+        "c_nationkey", "geom_count",
+        F.round("xmin", 6).alias("xmin"), F.round("ymin", 6).alias("ymin"),
+        F.round("xmax", 6).alias("xmax"), F.round("ymax", 6).alias("ymax"),
+        F.round("mean_points", 6).alias("mean_points"), "distinct_types")
 
 
 _PY["st_analyze_agg"] = _q_analyze_agg
-_ROWS_ONLY.add("st_analyze_agg")
+_O["st_analyze_agg"] = """
+  SELECT c_nationkey, count(*) AS geom_count,
+         round(min(px), 6) AS xmin, round(min(py), 6) AS ymin,
+         round(max(px), 6) AS xmax, round(max(py), 6) AS ymax,
+         1.0 AS mean_points, CAST(1 AS BIGINT) AS distinct_types
+  FROM (SELECT c_nationkey, abs(c_acctbal) % 100.0 AS px,
+               (c_custkey % 1000) / 10.0 AS py
+        FROM customer WHERE c_custkey < 2000) t
+  GROUP BY c_nationkey
+"""
 
 # ======================================================================
 # multimodal columns (north-star) — binary payload plumbing

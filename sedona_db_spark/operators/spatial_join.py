@@ -165,9 +165,11 @@ def spatial_join(
     rb = right_r.withColumn("__rbox", bbox_col(F.col(rgeom)))
     expand = float(distance) if distance is not None else 0.0
 
+    # Path choice probe: limit-capped count scans at most threshold+1 rows
+    # (a plain count() would be a full pass over the build side at 100 TB).
     n_small = None
     try:
-        n_small = right_r.count()
+        n_small = right_r.limit(broadcast_threshold + 1).count()
     except Exception:
         pass
 
