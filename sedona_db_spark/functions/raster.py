@@ -657,9 +657,97 @@ def from_path(spark: SparkSession, path: str) -> DataFrame:  # pragma: no cover
 
 
 # ----------------------------------------------------------------------
-# SQL registration for the value-level subset (native accessors are
-# Python-API; SQL users reach them through rs_* wrapper views if needed)
+# SQL registration.  Pixel kernels are pandas UDFs; the metadata /
+# geotransform accessors are Spark SQL *scalar functions* (CREATE
+# FUNCTION ... RETURN expr) so SQL callers get the same zero-Python
+# whole-stage-codegen path as the Column API above — mirroring the
+# reference's SQL registration manifest
+# (/root/reference/rust/sedona-raster-functions/src/register.rs:39-92).
 # ----------------------------------------------------------------------
+
+_R = None  # filled lazily: SQL type string for RASTER_TYPE
+
+
+def _sql_accessor_defs():
+    global _R
+    if _R is None:
+        _R = RASTER_TYPE.simpleString()
+    R = _R
+    B = ("NAMED_STRUCT('name', b.name, 'dim_names', b.dim_names, "
+         "'source_shape', b.source_shape, 'datatype', b.datatype, "
+         "'nodata', {nodata}, 'view', b.view, 'outdb_uri', b.outdb_uri, "
+         "'outdb_format', b.outdb_format, 'data', b.data)")
+    mk_raster = ("NAMED_STRUCT('crs', {crs}, 'transform', {transform}, "
+                 "'spatial_dims', r.spatial_dims, 'spatial_shape', "
+                 "r.spatial_shape, 'bands', {bands})")
+    w2r_det = "(r.transform[1] * r.transform[5] - r.transform[2] * r.transform[4])"
+    return [
+        ("RS_NumBands", f"(r {R})", "INT", "size(r.bands)"),
+        ("RS_BandPixelType", f"(r {R}, b INT)", "STRING",
+         "element_at(r.bands, b).datatype"),
+        ("RS_BandNoDataValue", f"(r {R}, b INT)", "DOUBLE",
+         "element_at(r.bands, b).nodata"),
+        ("RS_BandPath", f"(r {R}, b INT)", "STRING",
+         "element_at(r.bands, b).outdb_uri"),
+        ("RS_Width", f"(r {R})", "BIGINT",
+         "element_at(r.spatial_shape, CAST(array_position(r.spatial_dims, 'x') AS INT))"),
+        ("RS_Height", f"(r {R})", "BIGINT",
+         "element_at(r.spatial_shape, CAST(array_position(r.spatial_dims, 'y') AS INT))"),
+        ("RS_UpperLeftX", f"(r {R})", "DOUBLE", "r.transform[0]"),
+        ("RS_ScaleX", f"(r {R})", "DOUBLE", "r.transform[1]"),
+        ("RS_SkewX", f"(r {R})", "DOUBLE", "r.transform[2]"),
+        ("RS_UpperLeftY", f"(r {R})", "DOUBLE", "r.transform[3]"),
+        ("RS_SkewY", f"(r {R})", "DOUBLE", "r.transform[4]"),
+        ("RS_ScaleY", f"(r {R})", "DOUBLE", "r.transform[5]"),
+        ("RS_Rotation", f"(r {R})", "DOUBLE",
+         "atan2(r.transform[4], r.transform[1])"),
+        ("RS_GeoReference", f"(r {R})", "STRING",
+         "concat_ws(chr(10), r.transform[1], r.transform[4], r.transform[2], "
+         "r.transform[5], r.transform[0], r.transform[3])"),
+        ("RS_SRID", f"(r {R})", "INT",
+         "CASE WHEN r.crs LIKE 'EPSG:%' THEN CAST(split(r.crs, ':')[1] AS INT) "
+         "ELSE 0 END"),
+        ("RS_CRS", f"(r {R})", "STRING", "r.crs"),
+        ("RS_NumDimensions", f"(r {R})", "INT", "size(r.spatial_shape)"),
+        ("RS_DimNames", f"(r {R})", "ARRAY<STRING>", "r.spatial_dims"),
+        ("RS_DimSize", f"(r {R}, d STRING)", "BIGINT",
+         "element_at(r.spatial_shape, CAST(array_position(r.spatial_dims, d) AS INT))"),
+        ("RS_Shape", f"(r {R})", "ARRAY<BIGINT>", "r.spatial_shape"),
+        ("RS_IsEmpty", f"(r {R})", "BOOLEAN",
+         "size(r.spatial_shape) = 0 OR exists(r.spatial_shape, s -> s = 0)"),
+        ("RS_RasterToWorldCoordX", f"(r {R}, px DOUBLE, py DOUBLE)", "DOUBLE",
+         "r.transform[0] + px * r.transform[1] + py * r.transform[2]"),
+        ("RS_RasterToWorldCoordY", f"(r {R}, px DOUBLE, py DOUBLE)", "DOUBLE",
+         "r.transform[3] + px * r.transform[4] + py * r.transform[5]"),
+        ("RS_WorldToRasterCoordX", f"(r {R}, wx DOUBLE, wy DOUBLE)", "BIGINT",
+         f"CAST(floor(((wx - r.transform[0]) * r.transform[5] - "
+         f"(wy - r.transform[3]) * r.transform[2]) / {w2r_det}) AS BIGINT)"),
+        ("RS_WorldToRasterCoordY", f"(r {R}, wx DOUBLE, wy DOUBLE)", "BIGINT",
+         f"CAST(floor(((wy - r.transform[3]) * r.transform[1] - "
+         f"(wx - r.transform[0]) * r.transform[4]) / {w2r_det}) AS BIGINT)"),
+        ("RS_SetSRID", f"(r {R}, s INT)", R,
+         mk_raster.format(crs="concat('EPSG:', CAST(s AS STRING))",
+                          transform="r.transform", bands="r.bands")),
+        ("RS_SetCRS", f"(r {R}, c STRING)", R,
+         mk_raster.format(crs="c", transform="r.transform", bands="r.bands")),
+        ("RS_SetGeoReference",
+         f"(r {R}, ulx DOUBLE, sx DOUBLE, kx DOUBLE, uly DOUBLE, ky DOUBLE, sy DOUBLE)",
+         R, mk_raster.format(crs="r.crs",
+                             transform="array(ulx, sx, kx, uly, ky, sy)",
+                             bands="r.bands")),
+        ("RS_SetBandNoDataValue", f"(r {R}, bi INT, v DOUBLE)", R,
+         mk_raster.format(
+             crs="r.crs", transform="r.transform",
+             bands=("transform(r.bands, (b, i) -> IF(i = bi - 1, "
+                    + B.format(nodata="v") + ", b))"))),
+    ]
+
+
+def register_sql_accessors(spark: SparkSession) -> None:
+    for name, args, ret, body in _sql_accessor_defs():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{args} "
+                  f"RETURNS {ret} RETURN {body}")
+
 
 def register(spark: SparkSession) -> None:
     spark.udf.register("RS_Value", _rs_value_udf)
@@ -668,6 +756,7 @@ def register(spark: SparkSession) -> None:
     spark.udf.register("RS_Clip", _rs_clip_udf)
     spark.udf.register("RS_Tile", _rs_tile_udf)
     spark.udf.register("RS_AsRaster", _rs_asraster_udf)
+    register_sql_accessors(spark)
 
 
 # ----------------------------------------------------------------------

@@ -173,3 +173,47 @@ def test_polygonize_regions(spark):
 def test_metadata_struct(rdf):
     m = rdf.select(rs.metadata(_R()).alias("m")).select("m.*").first()
     assert m["width"] == 4 and m["numbands"] == 1 and m["srid"] == 4326
+
+
+def test_sql_accessors_match_column_api(rdf, spark):
+    """Every SQL-registered RS_* accessor (Spark SQL scalar functions,
+    register.rs:39-92 parity) agrees with the native Column API and stays
+    JVM-side (no Python eval in the plan)."""
+    rdf.createOrReplaceTempView("rast_sql")
+    row = spark.sql("""
+      SELECT RS_NumBands(rast) nb, RS_Width(rast) w, RS_Height(rast) h,
+             RS_UpperLeftX(rast) ulx, RS_UpperLeftY(rast) uly,
+             RS_ScaleX(rast) sx, RS_ScaleY(rast) sy, RS_SkewX(rast) kx,
+             RS_Rotation(rast) rot, RS_SRID(rast) srid, RS_CRS(rast) crs,
+             RS_NumDimensions(rast) nd, RS_DimSize(rast, 'x') dx,
+             RS_Shape(rast) shp, RS_IsEmpty(rast) empty,
+             RS_BandPixelType(rast, 1) pt, RS_BandNoDataValue(rast, 1) nod,
+             RS_RasterToWorldCoordX(rast, 2.0, 1.0) wx,
+             RS_RasterToWorldCoordY(rast, 2.0, 1.0) wy,
+             RS_WorldToRasterCoordX(rast, 12.0, 19.0) px,
+             RS_WorldToRasterCoordY(rast, 12.0, 19.0) py
+      FROM rast_sql""").first()
+    assert (row["nb"], row["w"], row["h"]) == (1, 4, 3)
+    assert (row["ulx"], row["uly"], row["sx"], row["sy"]) == (10.0, 20.0, 1.0, -1.0)
+    assert row["kx"] == 0.0 and row["rot"] == 0.0
+    assert (row["srid"], row["crs"]) == (4326, "EPSG:4326")
+    assert (row["nd"], row["dx"], list(row["shp"])) == (2, 4, [3, 4])
+    assert row["empty"] is False and row["pt"] == "float64" and row["nod"] is None
+    assert (row["wx"], row["wy"]) == (12.0, 19.0)
+    assert (row["px"], row["py"]) == (2, 1)
+    plan = spark.sql(
+        "SELECT RS_Width(rast), RS_SRID(rast) FROM rast_sql")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # native scalar functions, not UDFs
+
+
+def test_sql_setters_roundtrip(rdf, spark):
+    rdf.createOrReplaceTempView("rast_sql2")
+    row = spark.sql("""
+      SELECT RS_SRID(RS_SetSRID(rast, 3857)) srid2,
+             RS_CRS(RS_SetCRS(rast, 'OGC:CRS84')) crs2,
+             RS_ScaleX(RS_SetGeoReference(rast, 1.0, 2.0, 0.0, 3.0, 0.0, -2.0)) sx2,
+             RS_BandNoDataValue(RS_SetBandNoDataValue(rast, 1, -9.0), 1) nod2
+      FROM rast_sql2""").first()
+    assert row["srid2"] == 3857 and row["crs2"] == "OGC:CRS84"
+    assert row["sx2"] == 2.0 and row["nod2"] == -9.0
