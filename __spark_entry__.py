@@ -1162,6 +1162,56 @@ _O["las_roundtrip_agg"] = """
 """
 
 
+def _q_csv_geometry_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink/source with WKT geometry encoding (reference
+    dataframe.py:1628 to_csv / read.py:271 csv): write nation boxes, read
+    back, re-derive exact areas."""
+    import tempfile
+    from pyspark.sql import functions as F
+    from sedona_db_spark.sources import interop
+    boxes = spark.table("nation_boxes").select("n_nationkey", "geom")
+    path = tempfile.mkdtemp(prefix="csvgeo_") + "/boxes"
+    interop.write_csv(boxes, path, geom_cols=["geom"])
+    back = interop.read_csv(spark, path, geom_cols=["geom"])
+    from sedona_db_spark.functions import get_udf
+    area = get_udf("ST_Area")
+    return back.select("n_nationkey",
+                       F.round(area(F.col("geom")), 6).alias("area")) \
+               .orderBy("n_nationkey")
+
+
+_PY["csv_geometry_roundtrip"] = _q_csv_geometry_roundtrip
+_O["csv_geometry_roundtrip"] = """
+  SELECT n_nationkey, 400.0 AS area FROM nation ORDER BY n_nationkey
+"""
+
+
+# ST_Dump: explode a per-nation MULTIPOINT back into its parts; the part
+# count and coordinate sum are SQL-derivable from the generator.
+def _q_st_dump_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    return spark.sql("""
+      SELECT c_nationkey,
+             CAST(count(*) AS BIGINT) AS n_parts,
+             round(sum(ST_X(d.geom)), 6) AS sum_x
+      FROM (
+        SELECT c_nationkey,
+               explode(ST_Dump(ST_Collect(collect_list(geom)))) AS d
+        FROM (SELECT c_nationkey, geom FROM cust_pts WHERE c_custkey < 2000) p
+        GROUP BY c_nationkey)
+      GROUP BY c_nationkey
+    """)
+
+
+_PY["st_dump_explode"] = _q_st_dump_explode
+_O["st_dump_explode"] = """
+  SELECT c_nationkey, count(*) AS n_parts,
+         round(sum(abs(c_acctbal) % 100.0), 6) AS sum_x
+  FROM customer WHERE c_custkey < 2000
+  GROUP BY c_nationkey
+"""
+
+
 def _q_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zarr v2 source: deterministic array -> chunked store -> raster
     tiles -> zonal sum; oracle is the closed-form sum."""
