@@ -33,6 +33,10 @@ def _prep(spark: SparkSession, sf_dir: str):
     load_tables(spark, sf_dir)
     _PREPPED[key] = True
     _make_views(spark)
+    try:  # one-time bench table materialization (outside timed regions)
+        _ref_pairs_table(spark)
+    except Exception:
+        pass
 
 
 def _make_views(spark: SparkSession):
@@ -1062,6 +1066,41 @@ def _q_random_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PY["random_geometry_stats"] = _q_random_geometry
 _ROWS_ONLY.add("random_geometry_stats")
+
+
+_REF_PAIRS_PATH = "spark-warehouse/ref_bench_pairs_100k.parquet"
+
+
+def _ref_pairs_table(spark: SparkSession) -> DataFrame:
+    """Reference micro-bench pair table, materialized ONCE per repo
+    (the reference harness also builds its tables in a setup fixture
+    outside the timed region, test_bench_base.py:38-130)."""
+    import os as _os
+    if not _os.path.exists(_REF_PAIRS_PATH):
+        from sedona_db_spark.functions.table_functions import reference_bench_tables
+        a, b = reference_bench_tables(spark, 100_000)
+        a.join(b.withColumnRenamed("geom", "geom2"), "id") \
+            .write.mode("overwrite").parquet(_REF_PAIRS_PATH)
+    return spark.read.parquet(_REF_PAIRS_PATH)
+
+
+def _q_predicates_random_100k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's spatial-predicate micro-benchmark workload
+    (BASELINE.md row 4, /root/reference/benchmarks/test_bench_base.py:38-130):
+    two 100k seeded random polygon sets zipped by id (~2% of pairs
+    intersect), predicates evaluated pairwise.  Deterministic by seed; no
+    SQL oracle (generator PRNG is ours)."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions import get_udf
+    pairs = _ref_pairs_table(spark)
+    inter = get_udf("ST_Intersects")
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(inter(F.col("geom"), F.col("geom2")).cast("long")).alias("n_intersects"))
+
+
+_PY["predicates_random_100k"] = _q_predicates_random_100k
+_ROWS_ONLY.add("predicates_random_100k")
 
 
 def _q_geoparquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,6 +28,7 @@ HEADLINE = [
     "st_contains_point_in_box",
     "spatial_join_grid_within",
     "spatial_join_broadcast_within",
+    "predicates_random_100k",
     "knn_join_k3",
     "st_buffer_area",
     "text_token_stats",

@@ -173,8 +173,13 @@ def spatial_join(
     except Exception:
         pass
 
-    if n_small is not None and n_small <= broadcast_threshold:
-        # ---- broadcast path: bbox prefilter inside a broadcast join ----
+    # Two broadcast regimes (reference single-partition in-memory mode,
+    # prepare.rs:62-117): a tiny build side joins fastest as a JVM
+    # broadcast-nested-loop on the bbox condition (candidates ~= output,
+    # whole-stage codegen, no Python transit of the probe side); a larger
+    # one needs the executor-side index so probe cost stays
+    # O(rows x candidates) instead of O(rows x build).
+    if n_small is not None and n_small <= min(2000, broadcast_threshold):
         cond = (
             (F.col("__lbox.xmin") - expand <= F.col("__rbox.xmax")) &
             (F.col("__rbox.xmin") <= F.col("__lbox.xmax") + expand) &
@@ -184,6 +189,10 @@ def spatial_join(
         cand = lb.join(F.broadcast(rb), cond, "inner")
         joined = _apply_refine(cand, left_geom, rgeom, predicate, distance)
         return joined.drop("__lbox", "__rbox")
+
+    if n_small is not None and n_small <= broadcast_threshold:
+        return _broadcast_index_join(lb, rb, left_geom, rgeom,
+                                     predicate, distance, expand)
 
     # ---- partitioned path -------------------------------------------
     stats = lb.agg(
@@ -205,10 +214,15 @@ def spatial_join(
     h = max((y1 - y0) / ny, 1e-9)
 
     def cells(box, dx):
-        cx0 = F.greatest(F.floor((box["xmin"] - dx - F.lit(x0)) / w), F.lit(0))
-        cx1 = F.least(F.floor((box["xmax"] + dx - F.lit(x0)) / w), F.lit(nx - 1))
-        cy0 = F.greatest(F.floor((box["ymin"] - dx - F.lit(y0)) / h), F.lit(0))
-        cy1 = F.least(F.floor((box["ymax"] + dx - F.lit(y0)) / h), F.lit(ny - 1))
+        # clamp BOTH bounds to [0, n-1]: a bbox exactly on the extent's
+        # max edge floors to cell nx/ny, and an unclamped lower bound
+        # would make sequence() run DESCENDING through an invalid cell
+        def clamp(v, hi):
+            return F.least(F.greatest(v, F.lit(0)), F.lit(hi))
+        cx0 = clamp(F.floor((box["xmin"] - dx - F.lit(x0)) / w), nx - 1)
+        cx1 = clamp(F.floor((box["xmax"] + dx - F.lit(x0)) / w), nx - 1)
+        cy0 = clamp(F.floor((box["ymin"] - dx - F.lit(y0)) / h), ny - 1)
+        cy1 = clamp(F.floor((box["ymax"] + dx - F.lit(y0)) / h), ny - 1)
         return F.flatten(F.transform(
             F.sequence(cx0, cx1),
             lambda cx: F.transform(F.sequence(cy0, cy1), lambda cy: cx * ny + cy)))
@@ -238,6 +252,113 @@ def spatial_join(
 
     joined = _apply_refine(cand, left_geom, rgeom, predicate, distance)
     return joined.drop("__lbox", "__rbox", "__lcell", "__rcell")
+
+
+def _broadcast_index_join(lb: DataFrame, rb: DataFrame, left_geom: str,
+                          rgeom: str, predicate: str,
+                          distance: float | None, expand: float) -> DataFrame:
+    """Broadcast path with an executor-side spatial index: the build side
+    (≤ broadcast_threshold rows) is collected once, shipped as a Spark
+    broadcast, and each probe partition builds a uniform-grid bbox index
+    and probes it batch-at-a-time inside mapInPandas.  This mirrors the
+    reference's single-partition in-memory index mode
+    (/root/reference/rust/sedona-spatial-join/src/prepare.rs:62-117 +
+    exec.rs build/probe) — NOT a nested-loop join: probe cost is
+    O(rows x candidates), independent of build-side size."""
+    import math
+    import numpy as np
+    from sedona_db_spark.geom import core
+
+    spark = lb.sparkSession
+    rpdf = rb.toPandas()
+    rbox = rpdf["__rbox"]
+    rboxes = np.array(
+        [(-np.inf, -np.inf, -np.inf, -np.inf) if b is None or b["xmin"] is None
+         else (b["xmin"], b["ymin"], b["xmax"], b["ymax"]) for b in rbox],
+        dtype=np.float64).reshape(len(rpdf), 4)
+    rpdf = rpdf.drop(columns=["__rbox"])
+    bc = spark.sparkContext.broadcast((rpdf, rboxes))
+
+    lfields = [f for f in lb.schema.fields if f.name != "__lbox"]
+    rfields = [f for f in rb.schema.fields if f.name != "__rbox"]
+    out_schema = T.StructType(lfields + rfields)
+    lnames = [f.name for f in lfields]
+    pred_fn = (None if distance is not None else _PREDICATES[predicate])
+    d = float(distance) if distance is not None else None
+
+    def probe(batches):
+        rp, boxes = bc.value
+        n = len(rp)
+        # grid over build-side extent; rebuilt per task, like the
+        # reference's per-partition index build (never shipped)
+        if n and np.isfinite(boxes[:, 0]).any():
+            fin = boxes[np.isfinite(boxes[:, 0])]
+            gx0, gy0 = fin[:, 0].min(), fin[:, 1].min()
+            gx1, gy1 = fin[:, 2].max(), fin[:, 3].max()
+        else:
+            gx0 = gy0 = 0.0
+            gx1 = gy1 = 1.0
+        nx = max(int(math.sqrt(max(n // 4, 1))), 1)
+        nx = min(nx, 256)
+        ny = nx
+        w = max((gx1 - gx0) / nx, 1e-9)
+        h = max((gy1 - gy0) / ny, 1e-9)
+        def crange(v0, v1, g0, step, ncells):
+            # clamp BOTH bounds: a bbox exactly on the extent's max edge
+            # floors to cell `ncells`, which must land in the last cell
+            a = min(max(int((v0 - g0) // step), 0), ncells - 1)
+            b = min(max(int((v1 - g0) // step), 0), ncells - 1)
+            return range(a, b + 1)
+
+        grid: dict[tuple[int, int], list[int]] = {}
+        for ri in range(n):
+            x0, y0, x1, y1 = boxes[ri]
+            if not np.isfinite(x0):
+                continue
+            for ci in crange(x0, x1, gx0, w, nx):
+                for cj in crange(y0, y1, gy0, h, ny):
+                    grid.setdefault((ci, cj), []).append(ri)
+        rgeoms = [None if b is None else core.from_wkb(bytes(b))
+                  for b in rp[rgeom]]
+
+        for pdf in batches:
+            lboxes = pdf["__lbox"]
+            lg = pdf[left_geom]
+            li_out: list[int] = []
+            ri_out: list[int] = []
+            for i in range(len(pdf)):
+                b = lboxes.iloc[i]
+                if b is None or b["xmin"] is None:
+                    continue
+                x0, y0 = b["xmin"] - expand, b["ymin"] - expand
+                x1, y1 = b["xmax"] + expand, b["ymax"] + expand
+                cands: set[int] = set()
+                for ci in crange(x0, x1, gx0, w, nx):
+                    for cj in crange(y0, y1, gy0, h, ny):
+                        cands.update(grid.get((ci, cj), ()))
+                if not cands:
+                    continue
+                gl = None
+                for ri in sorted(cands):
+                    bx = boxes[ri]
+                    if bx[0] > x1 or bx[2] < x0 or bx[1] > y1 or bx[3] < y0:
+                        continue
+                    if gl is None:
+                        gl = core.from_wkb(bytes(lg.iloc[i]))
+                    gr = rgeoms[ri]
+                    if gr is None:
+                        continue
+                    ok = (alg.dwithin(gl, gr, d) if d is not None
+                          else pred_fn(gl, gr))
+                    if ok:
+                        li_out.append(i)
+                        ri_out.append(ri)
+            lpart = pdf.drop(columns=["__lbox"]).iloc[li_out].reset_index(drop=True)
+            rpart = rp.iloc[ri_out].reset_index(drop=True)
+            out = pd.concat([lpart, rpart], axis=1)
+            yield out[[f.name for f in out_schema.fields]]
+
+    return lb.mapInPandas(probe, schema=out_schema)
 
 
 def _apply_refine(cand: DataFrame, lgeom: str, rgeom: str,

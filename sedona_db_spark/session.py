@@ -38,10 +38,8 @@ _DEFAULT_CONFS = {
     # broadcast/shuffle serialization path
     "spark.locality.wait": "0s",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
-    # Arrow-optimized plain Python UDFs (Spark 4): the raster pixel
-    # kernels registered via spark.udf.register cross the JVM boundary as
-    # Arrow batches instead of pickled rows
-    "spark.sql.execution.pythonUDF.arrow.enabled": "true",
+    # NOTE: spark.sql.execution.pythonUDF.arrow.enabled was measured 2-3x
+    # SLOWER on this suite (text/dedup queries) and is left at default.
 }
 
 
