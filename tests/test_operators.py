@@ -298,3 +298,36 @@ def test_spatial_join_left_outer(spark, cust_pts, boxes):
     assert louter.count() == inner.count() + (n_left - matched_left)
     nulls = louter.filter("n_nationkey IS NULL").count()
     assert nulls == n_left - matched_left
+
+
+def test_broadcast_index_regime_matches_bnl(spark, cust_pts):
+    """Build sides above the BNL cutoff take the executor-side grid-index
+    probe; results must match the tiny-build JVM nested-loop regime."""
+    from sedona_db_spark.operators.spatial_join import spatial_join
+    left = cust_pts.select("c_custkey", "geom").filter("c_custkey < 500")
+    right = cust_pts.select(F.col("c_custkey").alias("k2"), "geom") \
+        .filter("k2 >= 500 AND k2 < 4000")  # 3500 rows > 2000 cutoff
+    idx = spatial_join(left, right, predicate="intersects", distance=3.0,
+                       broadcast_threshold=10**6) \
+        .selectExpr("c_custkey", "k2").toPandas()
+    # grid (partitioned) path as the independent implementation
+    grid = spatial_join(left, right, predicate="intersects", distance=3.0,
+                        broadcast_threshold=0) \
+        .selectExpr("c_custkey", "k2").toPandas()
+    assert set(map(tuple, idx.values)) == set(map(tuple, grid.values))
+    assert len(idx) == len(grid)
+
+
+def test_extent_edge_geometry_not_dropped(spark):
+    """A geometry exactly on the build extent's max corner must still be
+    indexed (regression: unclamped lower cell bound dropped it)."""
+    from sedona_db_spark.operators.spatial_join import spatial_join
+    rows = [(i, float(i % 50), float(i // 50)) for i in range(2500)]
+    df = spark.createDataFrame(rows, "id INT, x DOUBLE, y DOUBLE") \
+        .selectExpr("id", "ST_Point(x, y) AS geom")
+    corner = spark.createDataFrame([(0, 49.0, 49.0)], "cid INT, x DOUBLE, y DOUBLE") \
+        .selectExpr("cid", "ST_Point(x, y) AS geom")
+    # corner point (49, 49) == build extent max; indexed regime (2500 > 2000)
+    out = spatial_join(corner, df, predicate="intersects",
+                       broadcast_threshold=10**6).toPandas()
+    assert len(out) == 1 and out["id"].iloc[0] == 49 * 50 + 49
