@@ -1158,6 +1158,10 @@ def _rectilinear_boolean(g1: Geom, g2: Geom, op: str) -> Geom:
     xs = np.unique(allc[:, 0])
     ys = np.unique(allc[:, 1])
     nx, ny = len(xs) - 1, len(ys) - 1
+    if nx * ny > 250_000:  # pathological vertex counts: refuse, don't OOM
+        raise NotImplementedError(
+            f"rectilinear overlay grid too fine ({nx}x{ny} cells); "
+            "dissolve through union_agg's grouped path instead")
     keep = np.zeros((nx, ny), dtype=bool)
     for i in range(nx):
         cx = (xs[i] + xs[i + 1]) / 2.0
