@@ -34,12 +34,41 @@ _EPS = 1e-12
 # ======================================================================
 
 def bounds(g: Geom):
-    """(xmin, ymin, xmax, ymax) or None for empty."""
-    c = g.all_coords()
-    if len(c) == 0:
-        return None
-    return (float(np.min(c[:, 0])), float(np.min(c[:, 1])),
-            float(np.max(c[:, 0])), float(np.max(c[:, 1])))
+    """(xmin, ymin, xmax, ymax) or None for empty.  Memoized on the Geom
+    (hot path of every bbox prefilter); polygon bounds come from shell
+    rings only — holes are interior by definition — avoiding the
+    all_coords concatenation."""
+    b = g._bounds
+    if b is not None:
+        return b
+    if g.gt == POINT:
+        if g.data is None:
+            return None
+        x, y = float(g.data[0]), float(g.data[1])
+        b = (x, y, x, y)
+    elif g.gt == LINESTRING:
+        if len(g.data) == 0:
+            return None
+        c = g.data
+        mn = c[:, :2].min(axis=0)
+        mx = c[:, :2].max(axis=0)
+        b = (float(mn[0]), float(mn[1]), float(mx[0]), float(mx[1]))
+    elif g.gt == POLYGON:
+        if len(g.data) == 0:
+            return None
+        c = g.data[0]  # shell only
+        mn = c[:, :2].min(axis=0)
+        mx = c[:, :2].max(axis=0)
+        b = (float(mn[0]), float(mn[1]), float(mx[0]), float(mx[1]))
+    else:
+        parts = [bounds(s) for s in g.geometries()]
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return None
+        b = (min(p[0] for p in parts), min(p[1] for p in parts),
+             max(p[2] for p in parts), max(p[3] for p in parts))
+    g._bounds = b
+    return b
 
 
 def envelope(g: Geom) -> Geom:

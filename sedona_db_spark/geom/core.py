@@ -43,7 +43,7 @@ _ST_NAMES = {
 
 
 class Geom:
-    __slots__ = ("gt", "data", "has_z", "has_m", "srid")
+    __slots__ = ("gt", "data", "has_z", "has_m", "srid", "_bounds")
 
     def __init__(self, gt, data, has_z=False, has_m=False, srid=0):
         self.gt = gt
@@ -51,6 +51,8 @@ class Geom:
         self.has_z = has_z
         self.has_m = has_m
         self.srid = srid
+        self._bounds = None  # memoized (xmin, ymin, xmax, ymax); Geoms are
+        # treated as immutable after construction (editors build new ones)
 
     # ---- basic props -------------------------------------------------
     @property
