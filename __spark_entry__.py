@@ -523,9 +523,14 @@ _sql("st_geometry_type_mix", """
 
 _sql("text_token_stats", """
   SELECT doc_id,
-         size(filter(split(lower(trim(text)), '\\\\s+'), t -> t != '')) AS n_tokens,
-         length(text) AS n_chars
-  FROM documents
+         CASE WHEN nlen = 0 THEN 0 ELSE nlen - slen + 1 END AS n_tokens,
+         n_chars
+  FROM (SELECT doc_id, length(norm) AS nlen,
+               length(translate(norm, ' ', '')) AS slen,
+               length(text) AS n_chars
+        FROM (SELECT doc_id, text,
+                     regexp_replace(trim(text), '\\\\s+', ' ') AS norm
+              FROM documents))
 """, """
   SELECT doc_id,
          len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t != '')) AS n_tokens,
@@ -557,11 +562,14 @@ _STOP_EN = "'the','and','of','to','a','in','is','that','it','for'"
 
 _sql("text_stopword_ratio", """
   SELECT doc_id,
-         round(size(filter(split(lower(trim(text)), '\\\\s+'),
-                           t -> t IN ({sw})))
-               / greatest(size(filter(split(lower(trim(text)), '\\\\s+'), t -> t != '')), 1), 6) AS sw_ratio
-  FROM documents
-""".format(sw=_STOP_EN), """
+         round(size(regexp_extract_all(norm,
+                 '(?:^| )(?:the|and|of|to|a|in|is|that|it|for)(?= |$)', 0))
+               / greatest(CASE WHEN length(norm) = 0 THEN 0
+                               ELSE length(norm) - length(translate(norm, ' ', '')) + 1 END,
+                          1), 6) AS sw_ratio
+  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\\\\s+', ' ')) AS norm
+        FROM documents)
+""", """
   SELECT doc_id,
          round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                                t -> list_contains([{sw}], t)))

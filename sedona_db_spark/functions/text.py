@@ -38,8 +38,20 @@ def tokens(col) -> Column:
     return F.filter(F.split(F.lower(F.trim(col)), _TOKEN_SPLIT), lambda t: t != "")
 
 
+def _norm_ws(col) -> Column:
+    """Whitespace-normalized trimmed text (single regex pass)."""
+    return F.regexp_replace(F.trim(col), _TOKEN_SPLIT, " ")
+
+
 def token_count(col) -> Column:
-    return F.size(tokens(col))
+    """Non-empty whitespace-token count WITHOUT materializing a token
+    array: normalize runs of whitespace to single spaces, then
+    tokens = spaces + 1 (0 for empty).  At 100 TB the split-into-array
+    version allocates an array element per word; this stays in codegen
+    with two length() calls."""
+    n = _norm_ws(col)
+    spaces = F.length(n) - F.length(F.translate(n, " ", ""))
+    return F.when(F.length(n) == 0, F.lit(0)).otherwise(spaces + 1)
 
 
 def char_count(col) -> Column:
@@ -57,9 +69,13 @@ def digit_ratio(col) -> Column:
 
 
 def stopword_hits(col, lang: str) -> Column:
-    """Count of tokens that are stopwords of `lang` (native array ops)."""
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t)))
+    """Count of whitespace tokens equal to a stopword of `lang`.
+
+    One regex pass over space-normalized lowered text (lookahead keeps
+    adjacent stopwords like "of the" both matchable) — only the matches
+    are materialized, never the full token array."""
+    pat = "(?:^| )(?:" + "|".join(STOPWORDS[lang]) + ")(?= |$)"
+    return F.size(F.regexp_extract_all(F.lower(_norm_ws(col)), F.lit(pat), F.lit(0)))
 
 
 def stopword_ratio(col, lang: str = "en") -> Column:
