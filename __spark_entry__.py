@@ -327,6 +327,45 @@ _sql("st_overlay_rect_pair", """
   FROM (SELECT n_nationkey, CAST(n_nationkey % 8 AS DOUBLE) AS d FROM nation) t
 """)
 
+# Concave-concave overlay through the Martinez sweep: arrow polygon vs a
+# vertically shifted copy.  Closed form for shift d in [0,2]: the shifted
+# notch tip is always inside the original notch, so int = 12-4d,
+# union = 12+4d, diff = 4d, xor = 8d.
+_sql("st_overlay_concave_pair", """
+  SELECT n_nationkey,
+         round(ST_Area(ST_Intersection(a, b)), 6) AS inter_area,
+         round(ST_Area(ST_Union(a, b)), 6) AS union_area,
+         round(ST_Area(ST_Difference(a, b)), 6) AS diff_area,
+         round(ST_Area(ST_SymDifference(a, b)), 6) AS sym_area
+  FROM (SELECT n_nationkey,
+               ST_GeomFromWKT('POLYGON ((0 0, 4 0, 4 4, 2 2, 0 4, 0 0))') AS a,
+               ST_Translate(ST_GeomFromWKT('POLYGON ((0 0, 4 0, 4 4, 2 2, 0 4, 0 0))'),
+                            0.0D, CAST(n_nationkey % 3 AS DOUBLE)) AS b
+        FROM nation) t
+""", """
+  SELECT n_nationkey,
+         round(12 - 4 * d, 6) AS inter_area,
+         round(12 + 4 * d, 6) AS union_area,
+         round(4 * d, 6) AS diff_area,
+         round(8 * d, 6) AS sym_area
+  FROM (SELECT n_nationkey, CAST(n_nationkey % 3 AS DOUBLE) AS d FROM nation) t
+""")
+
+_sql("st_unary_union_dissolve", """
+  SELECT n_nationkey,
+         round(ST_Area(ST_UnaryUnion(ST_Collect(array(
+           ST_MakeEnvelope(0.0D, 0.0D, 10.0D, 10.0D),
+           ST_MakeEnvelope(CAST(n_nationkey % 8 AS DOUBLE),
+                           CAST(n_nationkey % 8 AS DOUBLE),
+                           CAST(n_nationkey % 8 AS DOUBLE) + 10.0D,
+                           CAST(n_nationkey % 8 AS DOUBLE) + 10.0D))))), 6) AS u_area
+  FROM nation
+""", """
+  SELECT n_nationkey,
+         round(200 - (10 - d) * (10 - d), 6) AS u_area
+  FROM (SELECT n_nationkey, CAST(n_nationkey % 8 AS DOUBLE) AS d FROM nation) t
+""")
+
 # Douglas-Peucker with tolerance above the zigzag amplitude collapses the
 # line to its endpoints.
 _sql("st_simplify_collapse", """

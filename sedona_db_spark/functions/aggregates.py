@@ -126,10 +126,11 @@ def _rect_union(polys) -> "core.Geom":
 
 
 def _union_finisher(arrs: pd.Series) -> pd.Series:
-    """ST_Union_Agg: exact for point sets, disjoint polygons, and
-    overlapping axis-aligned rectangles (grid decomposition); overlapping
-    general polygons dissolve to the component hull (documented
-    approximation — the reference uses full GEOS boolean union)."""
+    """ST_Union_Agg: exact dissolve.  Point sets dedup; disjoint polygons
+    concatenate; overlapping axis-aligned rectangles use the grid
+    decomposition fast path; any other overlapping group goes through
+    tree-folded Martinez sweep unions (geom/clip.py) — same semantics as
+    the reference's GEOS boolean union."""
     out = []
     for arr in arrs:
         if arr is None:
@@ -177,9 +178,9 @@ def _union_finisher(arrs: pd.Series) -> pd.Series:
                     u = _rect_union(group)
                     out_polys.extend(u.polygons())
                 else:
-                    hull = alg.convex_hull(core.Geom(
-                        core.MULTIPOLYGON, group))
-                    out_polys.extend(hull.polygons())
+                    # exact dissolve: tree-folded Martinez unions
+                    u = alg.unary_union(core.Geom(core.MULTIPOLYGON, group))
+                    out_polys.extend(u.polygons())
             if len(out_polys) == 1:
                 out.append(core.to_wkb(core.Geom(core.POLYGON, out_polys[0])))
             else:

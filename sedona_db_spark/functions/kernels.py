@@ -896,7 +896,7 @@ KERNELS.update({
     "ST_SymDifference": (_binary(lambda a, b: core.to_wkb(alg.sym_difference(a, b))), BIN, "gg"),
     # dedupes point collections; lines/areas pass through (dissolve needs
     # boolean ops — documented subset)
-    "ST_UnaryUnion": (_unary_geom(lambda g: alg.union2(g, g)), BIN, "g"),
+    "ST_UnaryUnion": (_unary_geom(alg.unary_union), BIN, "g"),
 })
 
 _SPEC_TYPE = {"g": BIN, "d": DBL, "i": T.LongType(), "s": STR,

@@ -1029,25 +1029,18 @@ def intersection(g1: Geom, g2: Geom) -> Geom:
     if g1.dimension() == 2 and g2.dimension() == 2:
         p1s = list(g1.polygons())
         p2s = list(g2.polygons())
-        out = []
-        for p1 in p1s:
-            for p2 in p2s:
-                clip = None
-                if _is_convex_ring(p2[0]):
-                    clip = _clip_ring_convex(p1[0], p2[0])
-                elif _is_convex_ring(p1[0]):
-                    clip = _clip_ring_convex(p2[0], p1[0])
-                else:
-                    raise NotImplementedError(
-                        "general concave-concave polygon intersection not supported; "
-                        "one input must be convex")
-                if clip is not None:
-                    out.append([clip])
-        if not out:
-            return Geom(GEOMETRYCOLLECTION, [])
-        if len(out) == 1:
-            return Geom(POLYGON, out[0])
-        return Geom(MULTIPOLYGON, out)
+        # fast path: single hole-free convex pair -> Sutherland-Hodgman
+        # (result of convex∩convex is one convex piece, so SH is exact;
+        # anything concave or holed goes through the Martinez sweep)
+        if (len(p1s) == 1 and len(p2s) == 1
+                and len(p1s[0]) == 1 and len(p2s[0]) == 1
+                and _is_convex_ring(p1s[0][0]) and _is_convex_ring(p2s[0][0])):
+            c = _clip_ring_convex(p1s[0][0], p2s[0][0])
+            if c is None:
+                return Geom(GEOMETRYCOLLECTION, [])
+            return Geom(POLYGON, [c])
+        from sedona_db_spark.geom import clip as _mclip
+        return _mclip.polygon_boolean(g1, g2, "intersection")
     # line vs polygon: clip line segments
     line = g1 if g1.dimension() == 1 else g2
     poly = g2 if g1.dimension() == 1 else g1
@@ -1229,9 +1222,9 @@ def _rectilinear_boolean(g1: Geom, g2: Geom, op: str) -> Geom:
 
 
 def union2(g1: Geom, g2: Geom) -> Geom:
-    """Binary ST_Union — supported cases: any points (dedup), disjoint
-    geometries (multi/collection), containment.  Overlapping area-area
-    union requires polygon clipping (unsupported -> error)."""
+    """Binary ST_Union: points dedup; disjoint -> multi/collection;
+    containment short-circuits; overlapping area/area via the exact
+    Martinez sweep (geom/clip.py)."""
     if g1.is_empty():
         return g2
     if g2.is_empty():
@@ -1254,11 +1247,18 @@ def union2(g1: Geom, g2: Geom) -> Geom:
         if gts == {LINESTRING}:
             return Geom(MULTILINESTRING, [p.data for p in parts])
         return Geom(GEOMETRYCOLLECTION, parts)
-    if _is_rectilinear(g1) and _is_rectilinear(g2):
-        return _rectilinear_boolean(g1, g2, "union")
+    if g1.dimension() == 2 and g2.dimension() == 2:
+        from sedona_db_spark.geom import clip as _mclip
+        return _mclip.polygon_boolean(g1, g2, "union")
+    if g1.dimension() == 2 or g2.dimension() == 2:
+        # line/point ∪ area: the area absorbs the covered part
+        poly, other = (g1, g2) if g1.dimension() == 2 else (g2, g1)
+        rest = difference(other, poly)
+        if rest.is_empty():
+            return poly
+        return Geom(GEOMETRYCOLLECTION, poly.geometries() + rest.geometries())
     raise NotImplementedError(
-        "overlapping area union requires polygon boolean ops; "
-        "supported: points, disjoint, containment, rectilinear polygons")
+        "union of overlapping mixed lower-dimension geometries not supported")
 
 
 def difference(g1: Geom, g2: Geom) -> Geom:
@@ -1295,19 +1295,45 @@ def difference(g1: Geom, g2: Geom) -> Geom:
         if len(pieces) == 1:
             return Geom(LINESTRING, pieces[0])
         return Geom(MULTILINESTRING, pieces)
-    if _is_rectilinear(g1) and _is_rectilinear(g2):
-        return _rectilinear_boolean(g1, g2, "diff")
+    if g1.dimension() == 2 and g2.dimension() == 2:
+        from sedona_db_spark.geom import clip as _mclip
+        return _mclip.polygon_boolean(g1, g2, "difference")
+    if g2.dimension() < 2:
+        return g1   # subtracting a lower-dimension geometry leaves g1
     raise NotImplementedError(
-        "area-area difference requires polygon boolean ops; "
-        "supported: disjoint, covered, point/line minus area, "
-        "rectilinear polygons")
+        "difference not supported for this dimension combination")
+
+
+def unary_union(g: Geom) -> Geom:
+    """ST_UnaryUnion: dissolve self-overlaps among a geometry's area
+    parts (tree-folded pairwise Martinez unions — exact).  Non-area
+    parts pass through unchanged alongside the dissolved area."""
+    if g.is_empty():
+        return Geom(GEOMETRYCOLLECTION, [])
+    polys = [Geom(POLYGON, p, g.has_z, g.has_m) for p in g.polygons()]
+    if len(polys) <= 1:
+        return g
+    from sedona_db_spark.geom import clip as _mclip
+    items = polys
+    while len(items) > 1:
+        nxt = [_mclip.polygon_boolean(items[i], items[i + 1], "union")
+               for i in range(0, len(items) - 1, 2)]
+        if len(items) % 2:
+            nxt.append(items[-1])
+        items = nxt
+    dissolved = items[0]
+    others = [s for s in g.geometries() if s.dimension() < 2]
+    if not others:
+        return dissolved
+    return Geom(GEOMETRYCOLLECTION, dissolved.geometries() + others)
 
 
 def sym_difference(g1: Geom, g2: Geom) -> Geom:
     if not intersects(g1, g2):
         return union2(g1, g2)
-    if _is_rectilinear(g1) and _is_rectilinear(g2):
-        return _rectilinear_boolean(g1, g2, "xor")
+    if g1.dimension() == 2 and g2.dimension() == 2:
+        from sedona_db_spark.geom import clip as _mclip
+        return _mclip.polygon_boolean(g1, g2, "xor")
     d1 = difference(g1, g2)
     d2 = difference(g2, g1)
     if d1.is_empty():

@@ -301,10 +301,45 @@ def test_rectilinear_corner_touch_union_falls_back_exact_area():
     assert alg.area(alg.union2(A, B)) == 116.0
 
 
-def test_non_rectilinear_overlap_still_raises():
-    import pytest
+def test_non_rectilinear_overlap_exact_union():
+    # square ∪ triangle via the Martinez sweep: inclusion-exclusion holds
     from sedona_db_spark.geom import algorithms as alg, wkt
     A = wkt.from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
     T = wkt.from_wkt("POLYGON ((5 -1, 15 5, 5 11, 5 -1))")
-    with pytest.raises(NotImplementedError):
-        alg.union2(A, T)
+    ia = alg.area(alg.intersection(A, T))
+    ua = alg.area(alg.union2(A, T))
+    da = alg.area(alg.difference(A, T))
+    xa = alg.area(alg.sym_difference(A, T))
+    assert abs(ua - (alg.area(A) + alg.area(T) - ia)) < 1e-9
+    assert abs(da - (alg.area(A) - ia)) < 1e-9
+    assert abs(xa - (ua - ia)) < 1e-9
+
+
+def test_concave_concave_overlay_closed_form():
+    # arrow ∩ shifted arrow: hand-computed areas (A=12, B=12, int=8)
+    from sedona_db_spark.geom import algorithms as alg, wkt
+    A = wkt.from_wkt("POLYGON ((0 0, 4 0, 4 4, 2 2, 0 4, 0 0))")
+    B = wkt.from_wkt("POLYGON ((0 1, 4 1, 4 5, 2 3, 0 5, 0 1))")
+    assert abs(alg.area(alg.intersection(A, B)) - 8.0) < 1e-9
+    assert abs(alg.area(alg.union2(A, B)) - 16.0) < 1e-9
+    assert abs(alg.area(alg.difference(A, B)) - 4.0) < 1e-9
+    assert abs(alg.area(alg.sym_difference(A, B)) - 8.0) < 1e-9
+
+
+def test_hole_preserved_through_overlay():
+    from sedona_db_spark.geom import algorithms as alg, wkt
+    S = wkt.from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+                     " (4 4, 6 4, 6 6, 4 6, 4 4))")
+    C = wkt.from_wkt("POLYGON ((5 5, 12 5, 12 12, 5 12, 5 5))")
+    assert abs(alg.area(alg.intersection(S, C)) - 24.0) < 1e-9
+    assert abs(alg.area(alg.union2(S, C)) - 121.0) < 1e-9
+    assert abs(alg.area(alg.difference(S, C)) - 72.0) < 1e-9
+
+
+def test_unary_union_dissolves_overlapping_parts():
+    from sedona_db_spark.geom import algorithms as alg, wkt
+    m = wkt.from_wkt("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)),"
+                     " ((2 2, 6 2, 6 6, 2 6, 2 2)),"
+                     " ((10 10, 11 10, 11 11, 10 11, 10 10)))")
+    u = alg.unary_union(m)
+    assert abs(alg.area(u) - (16 + 16 - 4 + 1)) < 1e-9

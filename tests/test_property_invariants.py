@@ -124,3 +124,34 @@ def test_transform_roundtrips():
         m = alg.transform_crs(g, "EPSG:4326", "EPSG:3857")
         back = alg.transform_crs(m, "EPSG:3857", "EPSG:4326")
         assert np.allclose(back.all_coords(), g.all_coords(), atol=1e-9)
+
+
+def test_martinez_overlay_inclusion_exclusion_random():
+    """Random simple concave polygons: the four overlay ops satisfy
+    inclusion-exclusion to float precision (exactness evidence for the
+    Martinez sweep in geom/clip.py)."""
+    import numpy as np
+    from sedona_db_spark.geom.core import Geom, POLYGON
+    from sedona_db_spark.geom import clip
+    from sedona_db_spark.geom.algorithms import area
+
+    def rstar(seed):
+        r = np.random.RandomState(seed)
+        n = r.randint(5, 14)
+        ang = 2 * np.pi * (np.arange(n) + r.uniform(0, 0.8, n)) / n
+        rad = r.uniform(1, 5, n)
+        cx, cy = r.uniform(2, 8, 2)
+        pts = np.c_[cx + rad * np.cos(ang), cy + rad * np.sin(ang)]
+        return Geom(POLYGON, [np.vstack([pts, pts[:1]])])
+
+    for t in range(60):
+        A, B = rstar(t * 2), rstar(t * 2 + 1)
+        aA, aB = area(A), area(B)
+        ai = area(clip.polygon_boolean(A, B, "intersection"))
+        au = area(clip.polygon_boolean(A, B, "union"))
+        ad = area(clip.polygon_boolean(A, B, "difference"))
+        ax = area(clip.polygon_boolean(A, B, "xor"))
+        tol = 1e-9 * max(1.0, au)
+        assert abs(au - (aA + aB - ai)) < tol, t
+        assert abs(ad - (aA - ai)) < tol, t
+        assert abs(ax - (au - ai)) < tol, t
