@@ -467,7 +467,26 @@ def contains(g1: Geom, g2: Geom) -> bool:
                 return False
             if pos and not any(p > 0 for p in pos):
                 return False
+        if g1.dimension() == 2 and g2.dimension() == 2 \
+                and _cover_needs_exact(g1):
+            return _covers_exact_area(g1, g2)
     return True
+
+
+def _cover_needs_exact(g1: Geom) -> bool:
+    """Boundary/midpoint sampling proves area coverage only when g1 is a
+    single hole-free polygon (simply connected: g2's boundary inside g1
+    implies g2 inside g1).  Holes or multiple parts can sit strictly
+    inside g2 without touching its boundary — needs the exact check."""
+    polys = list(g1.polygons())
+    return len(polys) > 1 or any(len(p) > 1 for p in polys)
+
+
+def _covers_exact_area(g1: Geom, g2: Geom) -> bool:
+    """g2's area minus g1's area must be empty (Martinez sweep)."""
+    from sedona_db_spark.geom import clip as _mclip
+    d = _mclip.polygon_boolean(g2, g1, "difference")
+    return d.is_empty() or area(d) == 0.0
 
 
 def _any_proper_cross(g1: Geom, g2: Geom) -> bool:
@@ -509,6 +528,9 @@ def covers(g1: Geom, g2: Geom) -> bool:
             mid = ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)
             if point_position(mid, g1) < 0:
                 return False
+        if g1.dimension() == 2 and g2.dimension() == 2 \
+                and _cover_needs_exact(g1):
+            return _covers_exact_area(g1, g2)
     return True
 
 
@@ -896,62 +918,120 @@ def segmentize(g: Geom, max_len: float) -> Geom:
 
 
 # ======================================================================
-# buffer (point: exact n-gon; line/polygon: sampled approximation)
+# buffer: Minkowski sum with a discretized disc.  Round joins/caps fall
+# out of unioning per-segment capsules (exact up to arc discretization —
+# the same semantics GEOS computes; reference c/sedona-geos/src/st_buffer.rs)
 # ======================================================================
 
-def buffer(g: Geom, dist: float, quad_segs: int = 8) -> Geom:
-    """GEOS-style buffer.  Exact regular 4*quad_segs-gon for points
-    (matches GEOS vertex placement); for lines/polygons a convex-hull
-    approximation of offset samples (documented limitation: concave
-    shapes are approximated — adequate for bbox/convex workloads)."""
-    if dist <= 0:
-        if g.dimension() == 2 and dist < 0:
-            return _erode_approx(g, -dist, quad_segs)
-        return Geom(POLYGON, [])
+_CIRCLE_TABLES: dict = {}
+
+
+def _circle_table(n: int):
+    """cos/sin at the global angle grid j*2π/n — every arc samples THIS
+    table so arcs sharing a center produce bitwise-identical vertices
+    (coincident edges stay exactly coincident through the boolean sweep;
+    1-ulp near-coincidence is what breaks it)."""
+    tab = _CIRCLE_TABLES.get(n)
+    if tab is None:
+        step = 2.0 * math.pi / n
+        tab = [(math.cos(j * step), math.sin(j * step)) for j in range(n)]
+        _CIRCLE_TABLES[n] = tab
+    return tab
+
+
+def _arc_points(c, dist: float, a_from: float, a_to: float, n: int) -> list:
+    """Clockwise arc (decreasing angle a_from -> a_to) around c, sampled
+    on the global n-grid; endpoints snap to grid vertices when aligned."""
+    tab = _circle_table(n)
+    step = 2.0 * math.pi / n
+
+    def ep(a):
+        j = a / step
+        rj = round(j)
+        if abs(j - rj) < 1e-9:
+            co, si = tab[int(rj) % n]
+        else:
+            co, si = math.cos(a), math.sin(a)
+        return (c[0] + dist * co, c[1] + dist * si)
+
+    pts = [ep(a_from)]
+    j = math.floor(a_from / step)
+    while j * step >= a_from - 1e-12 * step:
+        j -= 1
+    while j * step > a_to + 1e-12 * step:
+        co, si = tab[j % n]
+        pts.append((c[0] + dist * co, c[1] + dist * si))
+        j -= 1
+    pts.append(ep(a_to))
+    return pts
+
+
+def _disc_ring(c, dist: float, n: int) -> np.ndarray:
+    c = np.asarray(c, dtype=float)[:2]
+    tab = np.array(_circle_table(n))
+    ring = c + dist * tab
+    return np.vstack([ring, ring[:1]])
+
+
+def _capsule_ring(p0, p1, dist: float, quad_segs: int) -> np.ndarray | None:
+    """CCW boundary of segment ⊕ disc: two straight sides + semicircle
+    caps sampled on the shared angle grid (~quad_segs per quarter)."""
+    p0 = np.asarray(p0, dtype=float)[:2]
+    p1 = np.asarray(p1, dtype=float)[:2]
+    d = p1 - p0
+    L = math.hypot(d[0], d[1])
+    if L == 0.0:
+        return None
+    a = math.atan2(d[1], d[0])
     n = max(4 * quad_segs, 8)
-    ang = np.arange(n) * (2 * math.pi / n)
-    circ = np.column_stack([np.cos(ang), np.sin(ang)]) * dist
+    half = math.pi / 2
+    pts = (_arc_points(p1, dist, a + half, a - half, n)
+           + _arc_points(p0, dist, a - half, a - 3 * half, n))
+    ring = np.asarray(pts[::-1], dtype=float)     # reverse: CCW
+    return np.vstack([ring, ring[:1]])
+
+
+def _boundary_capsules(g: Geom, dist: float, quad_segs: int) -> list:
+    caps = []
+    for arr in list(g.lines()) + list(g.rings()):
+        r = np.asarray(arr, dtype=float)[:, :2]
+        for i in range(len(r) - 1):
+            c = _capsule_ring(r[i], r[i + 1], dist, quad_segs)
+            if c is not None:
+                caps.append([c])
+    return caps
+
+
+def buffer(g: Geom, dist: float, quad_segs: int = 8) -> Geom:
+    """GEOS-style round-join buffer.  Point: exact regular 4*quad_segs-gon
+    (GEOS vertex placement).  Lines/polygons: union of per-segment
+    capsules (+ the polygon itself); negative distance erodes by
+    subtracting the boundary capsules — both exact boolean ops over the
+    discretized disc (geom/clip.py)."""
+    if g.is_empty():
+        return Geom(POLYGON, [])
+    if dist == 0.0:
+        return g if g.dimension() == 2 else Geom(POLYGON, [])
+    n = max(4 * quad_segs, 8)
+    if dist < 0.0:
+        if g.dimension() < 2:
+            return Geom(POLYGON, [])
+        caps = _boundary_capsules(g, -dist, quad_segs)
+        if not caps:
+            return Geom(POLYGON, [])
+        carve = unary_union(Geom(MULTIPOLYGON, caps))
+        out = difference(g, carve)
+        return out if not out.is_empty() else Geom(POLYGON, [])
     pts = list(g.points())
     if g.dimension() == 0 and len(pts) == 1:
-        c = pts[0][:2]
-        ring = circ + c
-        ring = np.vstack([ring, ring[:1]])
-        return Geom(POLYGON, [ring])
-    # sample boundary points, Minkowski with circle, convex hull
-    samples = []
-    for p in pts:
-        samples.append(p[:2].reshape(1, 2))
-    for arr in list(g.lines()) + list(g.rings()):
-        seg = segmentize(Geom(LINESTRING, arr), max(dist / 2.0, 1e-9))
-        samples.append(seg.data[:, :2])
-    if not samples:
+        return Geom(POLYGON, [_disc_ring(pts[0], dist, n)])
+    parts = [[_disc_ring(p, dist, n)] for p in pts]
+    parts += _boundary_capsules(g, dist, quad_segs)
+    parts += [[np.asarray(r, dtype=float)[:, :2] for r in pr]
+              for pr in g.polygons()]
+    if not parts:
         return Geom(POLYGON, [])
-    base = np.concatenate(samples)
-    cloud = (base[:, None, :] + circ[None, :, :]).reshape(-1, 2)
-    return convex_hull(Geom(MULTIPOINT, list(cloud)))
-
-
-def _erode_approx(g: Geom, dist: float, quad_segs: int) -> Geom:
-    """Negative buffer approximation: keep ring vertices whose distance to
-    the boundary exceeds dist (coarse; exact erosion needs boolean ops)."""
-    polys = list(g.polygons())
-    if not polys:
-        return Geom(POLYGON, [])
-    shell = polys[0][0]
-    c = centroid(g)
-    if c is None:
-        return Geom(POLYGON, [])
-    cx, cy = c
-    out = []
-    for p in shell[:, :2]:
-        v = np.array([p[0] - cx, p[1] - cy])
-        norm = np.hypot(*v)
-        if norm > dist:
-            out.append(np.array([cx, cy]) + v * ((norm - dist) / norm))
-    if len(out) < 3:
-        return Geom(POLYGON, [])
-    ring = np.vstack([out, out[:1]])
-    return Geom(POLYGON, [ring])
+    return unary_union(Geom(MULTIPOLYGON, parts))
 
 
 # ======================================================================
@@ -1014,6 +1094,58 @@ def _line_x(p, q, a, b):
     return (x1 + t * (x2 - x1), y1 + t * (y2 - y1))
 
 
+def _clip_line_area(line: Geom, poly: Geom, keep_inside: bool) -> list:
+    """Exact line/area clip: split every line segment at its crossings
+    with the polygon boundary (parametric intersection with each boundary
+    segment), then keep sub-segments whose midpoint is inside (or
+    outside) the area.  Adjacent kept sub-segments are stitched back into
+    maximal paths.  Replaces the former densify-and-sample approximation."""
+    bsegs = list(_segments(poly))
+    pieces: list = []
+    for arr in line.lines():
+        r = np.asarray(arr, dtype=float)[:, :2]
+        path: list = []
+        for i in range(len(r) - 1):
+            a, b = r[i], r[i + 1]
+            dx, dy = b[0] - a[0], b[1] - a[1]
+            if dx == 0.0 and dy == 0.0:
+                continue
+            ts = [0.0, 1.0]
+            for c, d in bsegs:
+                den = dx * (d[1] - c[1]) - dy * (d[0] - c[0])
+                if den == 0.0:
+                    continue
+                u = ((c[0] - a[0]) * (d[1] - c[1])
+                     - (c[1] - a[1]) * (d[0] - c[0])) / den
+                v = ((c[0] - a[0]) * dy - (c[1] - a[1]) * dx) / den
+                if 0.0 <= u <= 1.0 and 0.0 <= v <= 1.0:
+                    ts.append(u)
+            ts = sorted(set(ts))
+            for k in range(len(ts) - 1):
+                t0, t1 = ts[k], ts[k + 1]
+                if t1 - t0 <= 1e-15:
+                    continue
+                tm = 0.5 * (t0 + t1)
+                mid = (a[0] + tm * dx, a[1] + tm * dy)
+                inside = point_position(mid, poly) >= 0
+                if inside == keep_inside:
+                    p0 = (a[0] + t0 * dx, a[1] + t0 * dy)
+                    p1 = (a[0] + t1 * dx, a[1] + t1 * dy)
+                    if path and path[-1] == p0:
+                        path.append(p1)
+                    else:
+                        if len(path) >= 2:
+                            pieces.append(np.asarray(path))
+                        path = [p0, p1]
+                else:
+                    if len(path) >= 2:
+                        pieces.append(np.asarray(path))
+                    path = []
+        if len(path) >= 2:
+            pieces.append(np.asarray(path))
+    return pieces
+
+
 def intersection(g1: Geom, g2: Geom) -> Geom:
     """Overlay subset: exact when one side is convex polygon / point / line."""
     if g1.is_empty() or g2.is_empty() or not intersects(g1, g2):
@@ -1041,23 +1173,10 @@ def intersection(g1: Geom, g2: Geom) -> Geom:
             return Geom(POLYGON, [c])
         from sedona_db_spark.geom import clip as _mclip
         return _mclip.polygon_boolean(g1, g2, "intersection")
-    # line vs polygon: clip line segments
+    # line vs polygon: exact clip (split at boundary crossings)
     line = g1 if g1.dimension() == 1 else g2
     poly = g2 if g1.dimension() == 1 else g1
-    pieces = []
-    for arr in line.lines():
-        cur = []
-        step = max(_path_length(arr) / 256.0, 1e-9)
-        dense = segmentize(Geom(LINESTRING, arr), step).data
-        for p in dense:
-            if point_position(p[:2], poly) >= 0:
-                cur.append(p[:2])
-            else:
-                if len(cur) >= 2:
-                    pieces.append(np.array(cur))
-                cur = []
-        if len(cur) >= 2:
-            pieces.append(np.array(cur))
+    pieces = _clip_line_area(line, poly, keep_inside=True)
     if not pieces:
         return Geom(GEOMETRYCOLLECTION, [])
     if len(pieces) == 1:
@@ -1276,20 +1395,7 @@ def difference(g1: Geom, g2: Geom) -> Geom:
             return Geom(POINT, pts[0])
         return Geom(MULTIPOINT, pts)
     if g1.dimension() == 1 and g2.dimension() == 2:
-        pieces = []
-        for arr in g1.lines():
-            cur = []
-            step = max(_path_length(arr) / 256.0, 1e-9)
-            dense = segmentize(Geom(LINESTRING, arr), step).data
-            for p in dense:
-                if point_position(p[:2], g2) < 0:
-                    cur.append(p[:2])
-                else:
-                    if len(cur) >= 2:
-                        pieces.append(np.array(cur))
-                    cur = []
-            if len(cur) >= 2:
-                pieces.append(np.array(cur))
+        pieces = _clip_line_area(g1, g2, keep_inside=False)
         if not pieces:
             return Geom(GEOMETRYCOLLECTION, [])
         if len(pieces) == 1:

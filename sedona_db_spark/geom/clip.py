@@ -441,25 +441,17 @@ def _pt_in_ring(p, r: np.ndarray) -> bool:
     return bool(np.count_nonzero(cond & (x < xi)) % 2)
 
 
-def _rep_point(r: np.ndarray):
-    """A point strictly inside ring r: horizontal scan between the two
-    nearest distinct vertex-y levels around the ring's mid-height."""
-    ys = np.unique(r[:, 1])
-    if len(ys) == 1:
-        return (float(r[:, 0].mean()), float(ys[0]))
-    mid = 0.5 * (ys[0] + ys[-1])
-    k = int(np.searchsorted(ys, mid))
-    k = min(max(k, 1), len(ys) - 1)
-    y = 0.5 * (ys[k - 1] + ys[k])
-    x0, y0 = r[:-1, 0], r[:-1, 1]
-    x1, y1 = r[1:, 0], r[1:, 1]
-    cond = (y0 <= y) != (y1 <= y)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        xi = x0 + (y - y0) / (y1 - y0) * (x1 - x0)
-    xs = np.sort(xi[cond])
-    if len(xs) >= 2:
-        return (0.5 * (xs[0] + xs[1]), y)
-    return (float(r[:, 0].mean()), y)
+def _ring_rep(r: np.ndarray):
+    """A point ON ring r for ring-in-ring containment tests: the midpoint
+    of its first non-degenerate edge.  Kept cycles never share edges (an
+    in-result edge bounds the result region exactly once), so this point
+    cannot lie on another kept ring except at touch vertices — unlike an
+    interior sample, which can fall inside a sibling hole."""
+    for k in range(len(r) - 1):
+        if r[k, 0] != r[k + 1, 0] or r[k, 1] != r[k + 1, 1]:
+            return (0.5 * (r[k, 0] + r[k + 1, 0]),
+                    0.5 * (r[k, 1] + r[k + 1, 1]))
+    return (float(r[0, 0]), float(r[0, 1]))
 
 
 def _assemble(rings: list) -> Geom:
@@ -471,7 +463,7 @@ def _assemble(rings: list) -> Geom:
             arrs.append(a)
     if not arrs:
         return Geom(GEOMETRYCOLLECTION, [])
-    reps = [_rep_point(a) for a in arrs]
+    reps = [_ring_rep(a) for a in arrs]
     depth = []
     for i, rp in enumerate(reps):
         d = sum(1 for j, a in enumerate(arrs) if j != i and _pt_in_ring(rp, a))

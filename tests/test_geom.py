@@ -176,10 +176,13 @@ def test_intersection_convex_clip():
     b = alg.box_polygon(5, 5, 15, 15)
     out = alg.intersection(a, b)
     assert abs(alg.area(out) - 25.0) < 1e-9
-    # line clip
+    # exact line clip (split at boundary crossings)
     line = W("LINESTRING (-5 5, 15 5)")
-    li = alg.intersection(line, a)
-    assert abs(alg.length(li) - 10.0) < 0.2  # sampled clip tolerance
+    assert alg.length(alg.intersection(line, a)) == 10.0
+    assert alg.length(alg.difference(line, a)) == 10.0
+    holed = W("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+              " (4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert alg.length(alg.intersection(line, holed)) == 8.0
 
 
 def test_validity():
@@ -343,3 +346,39 @@ def test_unary_union_dissolves_overlapping_parts():
                      " ((10 10, 11 10, 11 11, 10 11, 10 10)))")
     u = alg.unary_union(m)
     assert abs(alg.area(u) - (16 + 16 - 4 + 1)) < 1e-9
+
+
+def test_buffer_capsule_semantics():
+    """Round-join buffers via capsule unions: line, polygon, negative,
+    holed, concave — analytic areas within arc-discretization error."""
+    import math
+    from sedona_db_spark.geom import wkt
+    from sedona_db_spark.geom.algorithms import buffer, area
+
+    L = wkt.from_wkt("LINESTRING (0 0, 10 0)")
+    assert abs(area(buffer(L, 2.0)) - (40 + math.pi * 4)) < 0.1
+    S = wkt.from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert abs(area(buffer(S, 2.0)) - (180 + math.pi * 4)) < 0.1
+    assert abs(area(buffer(S, -2.0)) - 36.0) < 1e-9        # exact erosion
+    assert area(buffer(S, -6.0)) == 0.0                    # erodes away
+    H = wkt.from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+                     " (4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert abs(area(buffer(H, 1.5)) - (160 + math.pi * 2.25)) < 0.1
+    assert abs(area(buffer(H, -1.0)) - (64 - 12 - math.pi)) < 0.05
+    C = wkt.from_wkt("POLYGON ((0 0, 8 0, 8 8, 4 4, 0 8, 0 0))")
+    assert 0 < area(buffer(C, -1.0)) < 48.0
+
+
+def test_covers_respects_holes():
+    import numpy as np
+    from sedona_db_spark.geom.core import Geom, POLYGON
+    from sedona_db_spark.geom import wkt
+    from sedona_db_spark.geom.algorithms import covers, contains
+
+    ann = Geom(POLYGON, [
+        np.array([(-2, -2), (12, -2), (12, 12), (-2, 12), (-2, -2)], float),
+        np.array([(2, 2), (8, 2), (8, 8), (2, 8), (2, 2)], float)])
+    S = wkt.from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    small = wkt.from_wkt("POLYGON ((-1 -1, 1 -1, 1 1, -1 1, -1 -1))")
+    assert not covers(ann, S) and not contains(ann, S)
+    assert covers(ann, small) and contains(ann, small)
