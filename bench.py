@@ -66,6 +66,15 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
+        # per-query warmup (pytest-benchmark methodology, as in the
+        # reference harness): compile this query's generated code and
+        # spin up its python workers immediately before its timed run —
+        # warming all queries up front would thrash the codegen cache
+        try:
+            fn(spark, sf_dir).limit(1).write \
+                .mode("overwrite").format("noop").save()
+        except Exception:
+            pass                    # surfaced in the timed run instead
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
