@@ -1189,6 +1189,45 @@ _sql("geo_distance_sphere", """
   WHERE c_custkey < 300
 """)
 
+
+def _q_geo_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical distance join (§2.10 geography join): deterministic
+    lon/lat from keys, supplier side builds (one cell/row), customer
+    side probes; grid equi-join + native haversine refine."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.operators.geography_join import geography_dwithin_join
+    cust = spark.table("customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 360) - 180 + 0.5).cast("double").alias("lon_c"),
+        (((F.col("c_custkey") * 7) % 160) - 80 + 0.5).cast("double").alias("lat_c"))
+    supp = spark.table("supplier").select(
+        "s_suppkey",
+        (((F.col("s_suppkey") * 13) % 360) - 180 + 0.5).cast("double").alias("lon_s"),
+        (((F.col("s_suppkey") * 29) % 160) - 80 + 0.5).cast("double").alias("lat_s"))
+    j = geography_dwithin_join(supp, cust, 1_000_000.0,
+                               build_lon="lon_s", build_lat="lat_s",
+                               probe_lon="lon_c", probe_lat="lat_c")
+    return j.select("c_custkey", "s_suppkey",
+                    F.round(F.col("geo_dist_m") / 1000.0, 3).alias("dist_km"))
+
+
+_PY["geo_dwithin_join"] = _q_geo_dwithin_join
+_O["geo_dwithin_join"] = """
+  WITH c AS (SELECT c_custkey, (c_custkey % 360) - 180 + 0.5 AS lon_c,
+                    ((c_custkey * 7) % 160) - 80 + 0.5 AS lat_c FROM customer),
+  s AS (SELECT s_suppkey, ((s_suppkey * 13) % 360) - 180 + 0.5 AS lon_s,
+               ((s_suppkey * 29) % 160) - 80 + 0.5 AS lat_s FROM supplier),
+  d AS (SELECT c_custkey, s_suppkey,
+          2 * 6371008.8 * asin(sqrt(
+            pow(sin(radians(lat_s - lat_c) / 2), 2) +
+            cos(radians(lat_c)) * cos(radians(lat_s)) *
+            pow(sin(radians(lon_s - lon_c) / 2), 2))) AS dist_m
+        FROM c, s)
+  SELECT c_custkey, s_suppkey, round(dist_m / 1000.0, 3) AS dist_km
+  FROM d WHERE dist_m <= 1000000.0
+"""
+
+
 def _q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming windowed agg drained with availableNow over
     the events table — must equal the batch/oracle answer exactly (the

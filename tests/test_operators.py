@@ -331,3 +331,41 @@ def test_extent_edge_geometry_not_dropped(spark):
     out = spatial_join(corner, df, predicate="intersects",
                        broadcast_threshold=10**6).toPandas()
     assert len(out) == 1 and out["id"].iloc[0] == 49 * 50 + 49
+
+
+def test_geography_dwithin_join_matches_bruteforce(spark):
+    """Grid-partitioned spherical join == brute-force haversine cross
+    join, on points spanning the antimeridian and high latitudes."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from sedona_db_spark.operators.geography_join import (
+        geography_dwithin_join, haversine_m)
+
+    rng = np.random.RandomState(11)
+    n_a, n_b = 120, 80
+    # cluster half the points near ±180° and near the poles on purpose
+    lon_a = np.where(rng.rand(n_a) < 0.5, rng.uniform(-180, 180, n_a),
+                     np.where(rng.rand(n_a) < 0.5,
+                              rng.uniform(170, 180, n_a),
+                              rng.uniform(-180, -170, n_a)))
+    lat_a = np.where(rng.rand(n_a) < 0.3, rng.uniform(75, 89, n_a),
+                     rng.uniform(-85, 85, n_a))
+    lon_b = rng.uniform(-180, 180, n_b)
+    lat_b = np.where(rng.rand(n_b) < 0.3, rng.uniform(-89, -75, n_b),
+                     rng.uniform(-85, 85, n_b))
+    A = spark.createDataFrame(
+        [(int(i), float(lon_a[i]), float(lat_a[i])) for i in range(n_a)],
+        "ida long, lon_a double, lat_a double")
+    B = spark.createDataFrame(
+        [(int(i), float(lon_b[i]), float(lat_b[i])) for i in range(n_b)],
+        "idb long, lon_b double, lat_b double")
+    d = 1_500_000.0
+    fast = geography_dwithin_join(B, A, d,
+                                  build_lon="lon_b", build_lat="lat_b",
+                                  probe_lon="lon_a", probe_lat="lat_a")
+    got = {(r.ida, r.idb) for r in fast.select("ida", "idb").collect()}
+    brute = A.crossJoin(B).where(
+        haversine_m(F.col("lat_a"), F.col("lon_a"),
+                    F.col("lat_b"), F.col("lon_b")) <= d)
+    want = {(r.ida, r.idb) for r in brute.select("ida", "idb").collect()}
+    assert got == want and len(want) > 0
