@@ -351,6 +351,31 @@ _sql("st_overlay_concave_pair", """
   FROM (SELECT n_nationkey, CAST(n_nationkey % 3 AS DOUBLE) AS d FROM nation) t
 """)
 
+# SQL-registered grouped aggregate (grouped-agg pandas UDF): overlapping
+# half-offset unit squares per group; closed-form dissolve areas by which
+# offsets {0, 0.5, 1.0} the group contains.
+_sql("st_union_agg_sql", """
+  SELECT grp, round(ST_Area(ST_Union_Agg(g)), 6) AS ua
+  FROM (SELECT c_custkey % 5 AS grp,
+               ST_MakeEnvelope(CAST(c_custkey % 3 AS DOUBLE) * 0.5,
+                               CAST(c_custkey % 3 AS DOUBLE) * 0.5,
+                               CAST(c_custkey % 3 AS DOUBLE) * 0.5 + 1.0,
+                               CAST(c_custkey % 3 AS DOUBLE) * 0.5 + 1.0) AS g
+        FROM customer WHERE c_custkey < 200)
+  GROUP BY grp
+""", """
+  WITH t AS (SELECT c_custkey % 5 AS grp, c_custkey % 3 AS k
+             FROM customer WHERE c_custkey < 200),
+  p AS (SELECT grp, bool_or(k = 0) AS a, bool_or(k = 1) AS b,
+               bool_or(k = 2) AS c FROM t GROUP BY grp)
+  SELECT grp, round(CASE
+           WHEN a AND b AND c THEN 2.5
+           WHEN (a AND b) OR (b AND c) THEN 1.75
+           WHEN a AND c THEN 2.0
+           ELSE 1.0 END, 6) AS ua
+  FROM p
+""")
+
 _sql("st_unary_union_dissolve", """
   SELECT n_nationkey,
          round(ST_Area(ST_UnaryUnion(ST_Collect(array(

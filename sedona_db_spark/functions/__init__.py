@@ -34,6 +34,9 @@ def register_sql_functions(spark: SparkSession) -> None:
     # raster RS_* SQL subset (metadata accessors are native Column API)
     from sedona_db_spark.functions import raster as _raster
     _raster.register(spark)
+    # geometry aggregates (ST_Union_Agg etc.) as SQL grouped aggregates
+    from sedona_db_spark.functions import aggregates as _aggs
+    _aggs.register(spark)
 
 
 def call(name: str, *cols):

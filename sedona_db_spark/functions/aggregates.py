@@ -284,6 +284,85 @@ def polygonize_agg_expr(geom_col) -> Column:
     return _polyize_udf(F.collect_list(geom_col))
 
 
+def _envelope_finisher(arrs: pd.Series) -> pd.Series:
+    """Group bbox -> envelope polygon WKB (SQL ST_Envelope_Agg path; the
+    DataFrame API keeps the pure-native min/max composition)."""
+    out = []
+    for arr in arrs:
+        if arr is None:
+            out.append(None)
+            continue
+        lo = [np.inf, np.inf]
+        hi = [-np.inf, -np.inf]
+        for b in arr:
+            if b is None:
+                continue
+            g = core.from_wkb(bytes(b))
+            bb = alg.bounds(g)
+            if bb is None:
+                continue
+            lo[0] = min(lo[0], bb[0]); lo[1] = min(lo[1], bb[1])
+            hi[0] = max(hi[0], bb[2]); hi[1] = max(hi[1], bb[3])
+        if lo[0] > hi[0]:
+            out.append(None)
+            continue
+        out.append(core.to_wkb(alg.box_polygon(lo[0], lo[1], hi[0], hi[1])))
+    return pd.Series(out, dtype=object)
+
+
+def _grouped_agg(finisher):
+    """Adapt a collect_list finisher into a grouped-agg pandas UDF
+    (Series of WKB within the group -> one WKB), registrable for SQL:
+    `SELECT ST_Union_Agg(geom) FROM t GROUP BY k`."""
+    def fn(s: pd.Series) -> bytes:
+        return finisher(pd.Series([list(s)]))[0]
+    return fn
+
+
+def register(spark: SparkSession) -> None:
+    """SQL names for the geometry aggregates (reference
+    rust/sedona-functions/src/register.rs:123-128).  Grouped-agg pandas
+    UDFs: no partial aggregation (rows shuffle to their group), which
+    matches the reference's single-node accumulator semantics; the
+    DataFrame-API *_expr builders keep the map-side-combinable
+    collect_list form for the scale path."""
+    for name, fin in (("ST_Union_Agg", _union_finisher),
+                      ("ST_Collect_Agg", _collect_finisher),
+                      ("ST_ConvexHull_Agg", _hull_finisher),
+                      ("ST_Intersection_Agg", _intersection_finisher),
+                      ("ST_Polygonize_Agg", _polygonize_agg_finisher),
+                      ("ST_Envelope_Agg", _envelope_finisher)):
+        spark.udf.register(name, F.pandas_udf(_grouped_agg(fin), T.BinaryType()))
+
+    def _analyze(s: pd.Series) -> str:
+        import json
+        n = 0
+        npts = 0
+        lo = [np.inf, np.inf]
+        hi = [-np.inf, -np.inf]
+        types: dict = {}
+        for b in s:
+            if b is None:
+                continue
+            g = core.from_wkb(bytes(b))
+            n += 1
+            npts += sum(1 for _ in g.points())
+            t = g.type_name() if hasattr(g, "type_name") else str(g.gt)
+            types[t] = types.get(t, 0) + 1
+            bb = alg.bounds(g)
+            if bb is not None:
+                lo[0] = min(lo[0], bb[0]); lo[1] = min(lo[1], bb[1])
+                hi[0] = max(hi[0], bb[2]); hi[1] = max(hi[1], bb[3])
+        return json.dumps({
+            "count": n,
+            "mean_points": (npts / n) if n else 0.0,
+            "bbox": None if lo[0] > hi[0] else [lo[0], lo[1], hi[0], hi[1]],
+            "types": dict(sorted(types.items())),
+        }, sort_keys=True)
+
+    spark.udf.register("ST_Analyze_Agg", F.pandas_udf(_analyze, T.StringType()))
+
+
 def analyze_agg(df: DataFrame, group_cols: list[str], geom: str = "geom") -> DataFrame:
     """Per-column geometry statistics (reference st_analyze_agg.rs:28-40):
     count, bbox, mean points per geometry, type histogram — all native."""
