@@ -351,6 +351,32 @@ _sql("st_overlay_concave_pair", """
   FROM (SELECT n_nationkey, CAST(n_nationkey % 3 AS DOUBLE) AS d FROM nation) t
 """)
 
+# Negative buffer erodes a rectangle to the exact inner rectangle (the
+# boundary-capsule subtraction leaves straight offset sides).
+_sql("st_buffer_negative", """
+  SELECT n_nationkey,
+         round(ST_Area(ST_Buffer(ST_MakeEnvelope(0.0D, 0.0D, 20.0D, 10.0D),
+                                 0.0D - (1.0D + CAST(n_nationkey % 4 AS DOUBLE)))), 6) AS a
+  FROM nation
+""", """
+  SELECT n_nationkey, round((20 - 2 * d) * (10 - 2 * d), 6) AS a
+  FROM (SELECT n_nationkey, 1.0 + (n_nationkey % 4) AS d FROM nation) t
+""")
+
+# A buffered segment is one capsule: rectangle 2dL plus two inscribed
+# semicircle polygons (16 steps each at quad_segs=8) -> closed form
+# 2*d*L + 16*d^2*sin(pi/16), exact to float precision.
+_sql("st_buffer_line_capsule", """
+  SELECT n_nationkey,
+         round(ST_Area(ST_Buffer(ST_GeomFromWKT('LINESTRING (0 0, 10 0)'),
+                                 1.0D + CAST(n_nationkey % 3 AS DOUBLE))), 6) AS a
+  FROM nation
+""", """
+  SELECT n_nationkey,
+         round(2 * d * 10 + 16 * d * d * sin(pi() / 16), 6) AS a
+  FROM (SELECT n_nationkey, 1.0 + (n_nationkey % 3) AS d FROM nation) t
+""")
+
 # SQL-registered grouped aggregate (grouped-agg pandas UDF): overlapping
 # half-offset unit squares per group; closed-form dissolve areas by which
 # offsets {0, 0.5, 1.0} the group contains.
