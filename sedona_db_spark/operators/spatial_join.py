@@ -195,12 +195,9 @@ def spatial_join(
                                      predicate, distance, expand)
 
     # ---- partitioned path -------------------------------------------
-    stats = lb.agg(
-        F.min("__lbox.xmin").alias("x0"), F.min("__lbox.ymin").alias("y0"),
-        F.max("__lbox.xmax").alias("x1"), F.max("__lbox.ymax").alias("y1"),
-    ).collect()[0]
-    x0, y0, x1, y1 = stats["x0"], stats["y0"], stats["x1"], stats["y1"]
-    if x0 is None:
+    if lb.where(F.col("__lbox.xmin").isNotNull()).isEmpty():
+        # no non-empty left geometries: result is empty (LIMIT-1 probe,
+        # not a full extent scan)
         return _apply_refine(
             lb.join(rb, F.lit(False)), left_geom, rgeom, predicate, distance
         ).drop("__lbox", "__rbox")
@@ -210,19 +207,36 @@ def spatial_join(
     import math
     nx = max(int(math.sqrt(grid_cells)), 1)
     ny = nx
-    w = max((x1 - x0) / nx, 1e-9)
-    h = max((y1 - y0) / ny, 1e-9)
+    # Equal-frequency cell edges from approx quantiles of left bbox
+    # centers (Greenwald-Khanna sketch: one distributed pass, bounded
+    # driver state) — a 1-level analogue of the reference's sampled KDB
+    # partitioner (prepare.rs:62-117, option.rs:111-121).  A uniform
+    # grid puts all of a clustered dataset (one metro area of a global
+    # extent) into a handful of hot cells; equal-frequency edges keep
+    # cell occupancy balanced regardless of the data distribution.
+    cq = lb.select(
+        ((F.col("__lbox.xmin") + F.col("__lbox.xmax")) / 2).alias("__cx"),
+        ((F.col("__lbox.ymin") + F.col("__lbox.ymax")) / 2).alias("__cy"))
+    probs = [i / nx for i in range(1, nx)]
+    if probs:
+        qx, qy = cq.approxQuantile(["__cx", "__cy"], probs, 0.01)
+    else:
+        qx, qy = [], []
+    xbreaks = sorted(set(qx))
+    ybreaks = sorted(set(qy))
+    ny = len(ybreaks) + 1
+
+    def _bucket(v, breaks):
+        if not breaks:
+            return F.lit(0).cast("long")
+        arr = F.array(*[F.lit(float(b)) for b in breaks])
+        return F.size(F.filter(arr, lambda b: b <= v)).cast("long")
 
     def cells(box, dx):
-        # clamp BOTH bounds to [0, n-1]: a bbox exactly on the extent's
-        # max edge floors to cell nx/ny, and an unclamped lower bound
-        # would make sequence() run DESCENDING through an invalid cell
-        def clamp(v, hi):
-            return F.least(F.greatest(v, F.lit(0)), F.lit(hi))
-        cx0 = clamp(F.floor((box["xmin"] - dx - F.lit(x0)) / w), nx - 1)
-        cx1 = clamp(F.floor((box["xmax"] + dx - F.lit(x0)) / w), nx - 1)
-        cy0 = clamp(F.floor((box["ymin"] - dx - F.lit(y0)) / h), ny - 1)
-        cy1 = clamp(F.floor((box["ymax"] + dx - F.lit(y0)) / h), ny - 1)
+        cx0 = _bucket(box["xmin"] - dx, xbreaks)
+        cx1 = _bucket(box["xmax"] + dx, xbreaks)
+        cy0 = _bucket(box["ymin"] - dx, ybreaks)
+        cy1 = _bucket(box["ymax"] + dx, ybreaks)
         return F.flatten(F.transform(
             F.sequence(cx0, cx1),
             lambda cx: F.transform(F.sequence(cy0, cy1), lambda cy: cx * ny + cy)))
@@ -245,9 +259,7 @@ def spatial_join(
     # top-left corner of the bbox intersection (expanded by distance)
     rx = F.greatest(F.col("__lbox.xmin") - expand, F.col("__rbox.xmin"))
     ry = F.greatest(F.col("__lbox.ymin") - expand, F.col("__rbox.ymin"))
-    ref_cell = (
-        F.least(F.greatest(F.floor((rx - F.lit(x0)) / w), F.lit(0)), F.lit(nx - 1)) * ny +
-        F.least(F.greatest(F.floor((ry - F.lit(y0)) / h), F.lit(0)), F.lit(ny - 1)))
+    ref_cell = _bucket(rx, xbreaks) * ny + _bucket(ry, ybreaks)
     cand = cand.filter(F.col("__lcell") == ref_cell)
 
     joined = _apply_refine(cand, left_geom, rgeom, predicate, distance)
