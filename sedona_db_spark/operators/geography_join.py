@@ -54,10 +54,16 @@ def geography_dwithin_join(build: DataFrame, probe: DataFrame,
     Pass the SMALLER side as `build` (it stays one-row-per-cell; the
     probe side fans out to its covering cells).  Returns all columns of
     both inputs plus `geo_dist_m`."""
-    cell = dist_m / M_PER_DEG                   # grid step in degrees
+    cell = dist_m / M_PER_DEG                   # grid step in degrees (lat)
     ncx = int(math.ceil(360.0 / cell))          # lon cells wrap modulo ncx
+    # exact-tiling longitude step: ncx * lon_cell == 360 exactly, so
+    # floor((lon+180)/lon_cell) % ncx is seam-consistent.  With the raw
+    # `cell` step, ncx*cell - 360 can approach a full cell and raw indices
+    # pmod'd by ncx misalign across the antimeridian, silently dropping
+    # cross-seam pairs.
+    lon_cell = 360.0 / ncx
     b = build.withColumn("_cx", F.pmod(
-                 F.floor((F.col(build_lon) + 180.0) / cell), F.lit(ncx))) \
+                 F.floor((F.col(build_lon) + 180.0) / lon_cell), F.lit(ncx))) \
              .withColumn("_cy", F.floor(F.col(build_lat) / cell))
     lat, lon = F.col(probe_lat), F.col(probe_lon)
     lat_pad = F.lit(cell)
@@ -74,8 +80,8 @@ def geography_dwithin_join(build: DataFrame, probe: DataFrame,
     # covers cells on both sides; array_distinct guards the full-wrap
     # case (lon_pad = 180°) from emitting a cell twice
     cxs = F.array_distinct(F.transform(
-        F.sequence(F.floor((lon + 180.0 - lon_pad) / cell),
-                   F.floor((lon + 180.0 + lon_pad) / cell)),
+        F.sequence(F.floor((lon + 180.0 - lon_pad) / lon_cell),
+                   F.floor((lon + 180.0 + lon_pad) / lon_cell)),
         lambda x: F.pmod(x, F.lit(ncx))))
     p = (probe
          .withColumn("_cy", F.explode(F.sequence(

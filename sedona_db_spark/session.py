@@ -78,12 +78,49 @@ def register_all(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# Confs that are runtime-settable (plain SQL confs) and must hold even when
+# the caller built a bare SparkSession themselves (e.g. the external driver).
+_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply every runtime-settable engine conf to an existing session.
+
+    The external driver constructs its own bare SparkSession; builder-time
+    confs in ``_DEFAULT_CONFS`` never reach it.  Everything the engine
+    *needs* at query time must therefore be set here via ``spark.conf.set``
+    (all of ``_RUNTIME_CONFS`` are dynamic SQL confs).
+    """
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on some builds; never fail table loading
+    return spark
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Register the driver testdata parquet tables as temp views.
 
     Returns {name: DataFrame}. Views: region nation customer supplier part
     orders lineitem events documents embeddings (TESTDATA.md).
+
+    Self-sufficient on a bare SparkSession: applies runtime confs (notably
+    ``spark.sql.legacy.parquet.nanosAsLong`` — events.parquet carries
+    timestamp[ns] which Spark's parquet reader otherwise rejects with
+    PARQUET_TYPE_ILLEGAL) before the first read.
     """
+    apply_runtime_confs(spark)
     names = [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
@@ -94,10 +131,11 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
         if os.path.exists(path):
             df = spark.read.parquet(path)
             # timestamp[ns] columns arrive as long (nanosAsLong) — convert
+            # with exact integer division (float division rounds at ~1.7e18)
             for field in df.schema.fields:
                 if field.name == "ts" and field.dataType.typeName() in ("long", "bigint"):
                     from pyspark.sql import functions as F
-                    df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+                    df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
             df.createOrReplaceTempView(n)
             out[n] = df
     return out
