@@ -480,8 +480,11 @@ _sql("st_validity_flags", """
 
 # Web-Mercator forward transform has a closed form the oracle replicates
 # (sphere radius 6378137, see geom/algorithms.py _lonlat_to_webmercator).
+# `+ 0` normalizes IEEE -0.0 to +0.0 on both engines (at lat=0 DuckDB's
+# ln(tan(pi/4)) lands a hair below zero and round() keeps the sign bit,
+# which breaks a strict value hash even though -0.0 == 0.0).
 _sql("st_transform_webmercator", """
-  SELECT n_nationkey, round(ST_X(m), 3) AS mx, round(ST_Y(m), 3) AS my
+  SELECT n_nationkey, round(ST_X(m), 3) + 0 AS mx, round(ST_Y(m), 3) + 0 AS my
   FROM (SELECT n_nationkey,
                ST_Transform(ST_Point(CAST(n_nationkey * 10 - 120 AS DOUBLE),
                                      CAST(n_nationkey * 5 - 60 AS DOUBLE)),
@@ -489,9 +492,9 @@ _sql("st_transform_webmercator", """
         FROM nation) t
 """, """
   SELECT n_nationkey,
-         round(radians(CAST(n_nationkey * 10 - 120 AS DOUBLE)) * 6378137, 3) AS mx,
+         round(radians(CAST(n_nationkey * 10 - 120 AS DOUBLE)) * 6378137, 3) + 0 AS mx,
          round(ln(tan(pi() / 4 +
-               radians(CAST(n_nationkey * 5 - 60 AS DOUBLE)) / 2)) * 6378137, 3) AS my
+               radians(CAST(n_nationkey * 5 - 60 AS DOUBLE)) / 2)) * 6378137, 3) + 0 AS my
   FROM nation
 """)
 
@@ -731,7 +734,8 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from sedona_db_spark.functions import text as tx
     docs = spark.table("documents")
-    return docs.select("doc_id", F.round(tx.quality_score(F.col("text")), 4).alias("q"))
+    scored = tx.with_quality_score(docs, "text", out="__q")
+    return scored.select("doc_id", F.round(F.col("__q"), 4).alias("q"))
 
 
 _PY["text_quality_score"] = _q_quality
@@ -850,7 +854,7 @@ _sql("events_sessionization", """
   GROUP BY user_id
 """, """
   SELECT user_id, count(*) AS n_events,
-         1 + sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS n_sessions FROM (
+         CAST(1 + sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions FROM (
     SELECT user_id,
            CAST(epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS gap
     FROM events) t

@@ -102,6 +102,12 @@ def quality_score(col) -> Column:
 
     score = 0.3*length_ok + 0.3*(1-punct_ratio) + 0.2*stopword_sig +
             0.2*word_len_ok — deterministic, SQL-expressible (oracle-able).
+
+    NOTE: as a single Column the whitespace-normalization regex is
+    repeated in every sub-term and codegen compiles each copy (a
+    multi-second Janino hit on wide plans).  In DataFrame pipelines
+    prefer `with_quality_score`, which shares the normalization via a
+    projection barrier.
     """
     n_tok = token_count(col)
     length_ok = F.when((n_tok >= 5) & (n_tok <= 100000), 1.0).otherwise(0.0)
@@ -110,6 +116,45 @@ def quality_score(col) -> Column:
     sw_sig = F.least(stopword_ratio(col, "en") * F.lit(4.0), F.lit(1.0))
     return (F.lit(0.3) * length_ok + F.lit(0.3) * (F.lit(1.0) - punct_ratio(col))
             + F.lit(0.2) * sw_sig + F.lit(0.2) * word_len_ok)
+
+
+def with_quality_score(df, col="text", out="quality_score"):
+    """Append `out` = quality score of `col`, sharing subexpressions.
+
+    The whitespace-normalized text and token count are computed ONCE in
+    an intermediate projection and the score is built from those
+    columns.  CollapseProject keeps the split because the aliased
+    regexes are non-cheap and multiply referenced, so the physical plan
+    carries 3 regexp evaluations instead of ~15 — the generated Java
+    shrinks ~7x and codegen stays sub-second (ref parity:
+    sedona-db exposes quality scoring as a single scalar over utf8).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    nc = F.col("__qs_norm")
+    spaces = F.length(nc) - F.length(F.translate(nc, " ", ""))
+    stage1 = df.withColumns({
+        "__qs_norm": _norm_ws(c),
+        "__qs_len": F.length(c),
+        "__qs_punct": F.length(F.regexp_replace(c, "[^!-/:-@\\[-`{-~]", "")),
+        "__qs_nospace": F.length(F.regexp_replace(c, "\\s+", "")),
+    })
+    pat = "(?:^| )(?:" + "|".join(STOPWORDS["en"]) + ")(?= |$)"
+    stage2 = stage1.withColumns({
+        "__qs_ntok": F.when(F.length(nc) == 0, F.lit(0)).otherwise(spaces + 1),
+        "__qs_sw": F.size(F.regexp_extract_all(F.lower(nc), F.lit(pat), F.lit(0))),
+    })
+    n_tok = F.col("__qs_ntok")
+    length_ok = F.when((n_tok >= 5) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    wl = F.col("__qs_nospace") / F.greatest(n_tok, F.lit(1))
+    word_len_ok = F.when((wl >= 2.0) & (wl <= 12.0), 1.0).otherwise(0.0)
+    sw_sig = F.least(F.col("__qs_sw") / F.greatest(n_tok, F.lit(1)) * F.lit(4.0),
+                     F.lit(1.0))
+    punct = F.col("__qs_punct") / F.greatest(F.col("__qs_len"), F.lit(1))
+    score = (F.lit(0.3) * length_ok + F.lit(0.3) * (F.lit(1.0) - punct)
+             + F.lit(0.2) * sw_sig + F.lit(0.2) * word_len_ok)
+    helper = ["__qs_norm", "__qs_len", "__qs_punct", "__qs_nospace",
+              "__qs_ntok", "__qs_sw"]
+    return stage2.withColumn(out, score).drop(*helper)
 
 
 def doc_fingerprint(col) -> Column:

@@ -54,9 +54,17 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]:
         return False, f"rowcount spark={len(s)} oracle={len(o)}"
     if list(s.columns) != list(o.columns):
         return False, f"columns spark={list(s.columns)} oracle={list(o.columns)}"
+    risks = []
     for c in s.columns:
         a, b = s[c].to_numpy(), o[c].to_numpy()
-        if np.issubdtype(s[c].dtype, np.floating) or np.issubdtype(o[c].dtype, np.floating):
+        s_float = np.issubdtype(s[c].dtype, np.floating)
+        o_float = np.issubdtype(o[c].dtype, np.floating)
+        if s_float or o_float:
+            # A strict value-hash stringifies per-dtype: int64 5 hashes as
+            # "5", float64 5.0 as "5.0". Flag dtype drift even when values
+            # compare equal (e.g. DuckDB HUGEINT sums arriving as float64).
+            if s_float != o_float:
+                risks.append(f"col {c}: dtype drift spark={s[c].dtype} oracle={o[c].dtype}")
             a = a.astype(float)
             b = b.astype(float)
             an, bn = np.isnan(a), np.isnan(b)
@@ -66,13 +74,17 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]:
             if not eq.all():
                 i = int(np.argmin(eq))
                 return False, f"col {c}: value mismatch e.g. {a[~an][i]} vs {b[~bn][i]} ({int((~eq).sum())} rows)"
-            exact = (a[~an] == b[~bn]).all()
-            if not exact:
-                return True, "PASS(tol)"  # flag: rounding wobble, would fail a strict hash
+            if not (a[~an] == b[~bn]).all():
+                risks.append(f"col {c}: rounding wobble")
+            # -0.0 == 0.0 but hashes differently once stringified.
+            if (np.signbit(a[~an]) != np.signbit(b[~bn])).any():
+                risks.append(f"col {c}: signed-zero mismatch")
         else:
             if not (a == b).all():
                 i = int(np.argmin(a == b))
                 return False, f"col {c}: value mismatch e.g. {a[i]!r} vs {b[i]!r}"
+    if risks:
+        return True, "PASS(risk: " + "; ".join(risks) + ")"
     return True, "PASS"
 
 
