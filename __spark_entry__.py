@@ -966,6 +966,41 @@ _PY["knn_join_partitioned_k3"] = _q_knn_join_partitioned
 _O["knn_join_partitioned_k3"] = _O["knn_join_k3"]  # same semantics, same oracle
 
 
+def _q_knn_join_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned KNN with POLYGON objects: exact geometry-distance
+    ranking (point-in-box -> 0), brute-force point-to-rectangle oracle.
+    Mirrors reference benchmarks/test_knn.py:39-88 (buildings x trips)."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.operators.knn_join import knn_join_partitioned
+    queries = spark.table("cust_pts").select("c_custkey", "geom") \
+        .filter("c_custkey < 400")
+    boxes = spark.table("nation_boxes").select("n_nationkey", "geom")
+    out = knn_join_partitioned(queries, boxes, k=2)
+    return out.select("c_custkey", "n_nationkey",
+                      F.round("knn_distance", 6).alias("dist"))
+
+
+_PY["knn_join_polygons_k2"] = _q_knn_join_polygons
+_O["knn_join_polygons_k2"] = """
+  SELECT c_custkey, n_nationkey, round(d, 6) AS dist FROM (
+    SELECT c.c_custkey, n.n_nationkey,
+           sqrt(power(greatest(n.x0 - c.px, c.px - n.x0 - 20.0, 0), 2) +
+                power(greatest(n.y0 - c.py, c.py - n.y0 - 20.0, 0), 2)) AS d,
+           row_number() OVER (PARTITION BY c.c_custkey
+             ORDER BY sqrt(power(greatest(n.x0 - c.px, c.px - n.x0 - 20.0, 0), 2) +
+                           power(greatest(n.y0 - c.py, c.py - n.y0 - 20.0, 0), 2)),
+                      n.n_nationkey) AS rk
+    FROM (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,
+                 (c_custkey % 1000) / 10.0 AS py
+          FROM customer WHERE c_custkey < 400) c
+    CROSS JOIN (SELECT n_nationkey,
+                       CAST(n_nationkey % 5 AS DOUBLE) * 20.0 AS x0,
+                       CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 AS y0
+                FROM nation) n) t
+  WHERE rk <= 2
+"""
+
+
 def _q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_db_spark.operators.spatial_join import spatial_join
     a = spark.table("cust_pts").select("c_custkey", "geom").filter("c_custkey < 400")

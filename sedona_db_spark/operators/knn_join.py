@@ -83,10 +83,10 @@ class _GridIndex:
                     members.append(m)
         return members
 
-    def knn(self, q: np.ndarray, k: int):
-        """(ids, dists) of k nearest objects to q.  Expands rings until the
-        minimum possible distance of the next ring exceeds the kth best —
-        exact, not approximate."""
+    def _collect(self, q: np.ndarray, k: int, pad: float):
+        """Candidate indices collected ring-by-ring until every unseen
+        ring is provably farther (by index-point distance) than the
+        kth-best-so-far + pad."""
         qcx = int(np.clip((q[0] - self.x0) / self.w, 0, self.nx - 1))
         qcy = int(np.clip((q[1] - self.y0) / self.h, 0, self.ny - 1))
         min_cell = min(self.w, self.h)
@@ -94,7 +94,6 @@ class _GridIndex:
         count = 0
         ring = 0
         max_ring = max(self.nx, self.ny)
-        kth_best = np.inf
         while ring <= max_ring:
             members = self._ring_members(qcx, qcy, ring)
             if members:
@@ -105,13 +104,29 @@ class _GridIndex:
                 d = np.hypot(self.pts[idx, 0] - q[0], self.pts[idx, 1] - q[1])
                 kth_best = np.partition(d, k - 1)[k - 1] if len(d) >= k else np.inf
                 # any point in ring r+1 is at least r*min_cell away from q's cell
-                if ring * min_cell > kth_best:
+                if ring * min_cell > kth_best + pad:
                     break
             ring += 1
         if not got:
-            idx = np.arange(len(self.pts))
-        else:
-            idx = np.concatenate(got)
+            return np.arange(len(self.pts))
+        return np.concatenate(got)
+
+    def knn_candidates(self, q: np.ndarray, k: int, pad: float) -> np.ndarray:
+        """Object ids of every candidate whose index point could be within
+        kth-best + pad of q.  With pad >= 2*(query halfdiag + max object
+        halfdiag) the true exact-distance top-k is guaranteed inside this
+        set: exact(q,o) differs from index-point distance by at most
+        (q_hd + o_hd), so an object outside the searched rings has
+        exact >= ring*min_cell - (q_hd+o_hd) > kth_center + pad -
+        (q_hd+o_hd) >= exact kth upper bound."""
+        idx = self._collect(q, k, pad)
+        return self.ids[idx]
+
+    def knn(self, q: np.ndarray, k: int):
+        """(ids, dists) of k nearest objects to q.  Expands rings until the
+        minimum possible distance of the next ring exceeds the kth best —
+        exact, not approximate."""
+        idx = self._collect(q, k, 0.0)
         d = np.hypot(self.pts[idx, 0] - q[0], self.pts[idx, 1] - q[1])
         k_eff = min(k, len(idx))
         sel = np.argpartition(d, k_eff - 1)[:k_eff] if len(idx) > k_eff else np.arange(len(idx))
@@ -127,18 +142,34 @@ def knn_join(
     query_geom: str = "geom",
     object_geom: str = "geom",
     include_ties: bool = False,
+    broadcast_threshold: int = 200_000,
 ) -> DataFrame:
     """Broadcast KNN join.  Output: query columns + object id/geom columns +
     ``knn_distance``, k rows per query (deterministic tie order).
+
+    The object side is probed with a LIMIT-capped count first; above
+    ``broadcast_threshold`` rows the join automatically routes to
+    :func:`knn_join_partitioned` instead of collecting an unbounded
+    object side onto the driver (at cluster scale an oversized build
+    side must become a different plan, not a driver OOM).
     """
     spark = queries.sparkSession
-    # object side must be materialized driver-side once (broadcast path);
-    # non-point objects fall back to bbox-center representative + refine
+    # path-choice probe: scans at most threshold+1 rows, never a full count
+    try:
+        n_small = objects.limit(broadcast_threshold + 1).count()
+    except Exception:
+        n_small = None
+    if n_small is None or n_small > broadcast_threshold:
+        return knn_join_partitioned(queries, objects, k, query_geom,
+                                    object_geom, include_ties=include_ties)
+    # object side fits: materialized driver-side once (broadcast path);
+    # non-point objects are indexed by bbox center and exact-refined below
     obj_rows = objects.collect()
     obj_cols = [c for c in objects.columns]
     gi = obj_cols.index(object_geom)
     pts = []
     geoms = []
+    halfdiag = 0.0
     for r in obj_rows:
         b = r[gi]
         g = core.from_wkb(bytes(b)) if b is not None else None
@@ -148,6 +179,9 @@ def knn_join(
         else:
             bb = alg.bounds(g)
             pts.append(((bb[0] + bb[2]) / 2.0, (bb[1] + bb[3]) / 2.0))
+            halfdiag = max(halfdiag,
+                           float(np.hypot((bb[2] - bb[0]) / 2.0,
+                                          (bb[3] - bb[1]) / 2.0)))
     obj_pts = np.asarray(pts, dtype=np.float64)
     valid = ~np.isnan(obj_pts[:, 0])
     obj_idx = np.arange(len(obj_rows))[valid]
@@ -159,6 +193,7 @@ def knn_join(
         "rows": [tuple(r) for r in obj_rows],
         "geom_wkb": [None if g is None else core.to_wkb(g) for g in geoms],
         "exact": exact_needed,
+        "o_hd_max": halfdiag,
     })
 
     out_schema = T.StructType(
@@ -182,17 +217,11 @@ def knn_join(
             wkbs = pdf[query_geom]
             qpts = _fast_points(wkbs)
             decoded = None if qpts is not None else _decode(wkbs)
-            # candidate multiplier when exact refinement is needed;
             # include_ties ranks ALL broadcast objects (exact tie cut —
             # the broadcast path's object side is small by construction)
             n_obj = len(data["ids"])
-            if include_ties:
-                kk = n_obj
-            elif data["exact"]:
-                kk = min(max(k * 4, k + 8), n_obj)
-            else:
-                kk = k
             for i in range(len(pdf)):
+                q_hd = 0.0
                 if qpts is not None:
                     q = qpts[i]
                     qgeom = None
@@ -202,18 +231,31 @@ def knn_join(
                         continue
                     bb = alg.bounds(qgeom)
                     q = np.array([(bb[0] + bb[2]) / 2.0, (bb[1] + bb[3]) / 2.0])
-                ids, dists = idx.knn(q, kk)
-                if data["exact"]:
+                    q_hd = float(np.hypot((bb[2] - bb[0]) / 2.0,
+                                          (bb[3] - bb[1]) / 2.0))
+                if data["exact"] or q_hd > 0.0:
+                    # exact geometry-distance ranking: collect every
+                    # candidate whose bbox-center could be within
+                    # kth-center + pad (pad = 2*(q_hd + o_hd_max) makes
+                    # the center bound admissible for true distance —
+                    # see _GridIndex.knn_candidates), then refine
                     if obj_geoms is None:
                         obj_geoms = [None if w is None else core.from_wkb(w)
                                      for w in data["geom_wkb"]]
                     if qgeom is None:
                         qgeom = core.Geom(core.POINT, np.asarray(q))
+                    if include_ties:
+                        ids = data["ids"]
+                    else:
+                        pad = 2.0 * (q_hd + data["o_hd_max"])
+                        ids = idx.knn_candidates(q, k, pad)
                     exact = [(oid, alg.distance(qgeom, obj_geoms[oid]) or 0.0)
                              for oid in ids]
                     exact.sort(key=lambda t: (t[1], t[0]))
                     ranked = exact
                 else:
+                    kk = n_obj if include_ties else k
+                    ids, dists = idx.knn(q, kk)
                     ranked = list(zip(ids, dists))
                 if include_ties and len(ranked) > k:
                     # reference DISTANCE_TOLERANCE (spatial_index.rs:28-60)
@@ -251,17 +293,22 @@ def knn_join_partitioned(
     each query probes its 3x3 cell neighborhood via an equi-join on cell id
     and takes a candidate top-k -> upper bound d_k (native window, no
     Python).  A query is PROVEN done when it found >= k candidates and
-    d_k <= the distance from the query to the edge of its searched block
-    (sides clipped at the grid boundary are safe: the grid covers every
-    object).  Round B: the remaining queries re-probe with an explicit
-    radius (d_k, or the full grid when <k candidates were found — rare,
-    sparse-region queries) and re-rank.  Both rounds are single shuffles
-    keyed by cell; distance math is whole-stage-codegen native.
+    d_k <= the distance from the query to the edge of its searched block,
+    shrunk by the query halfdiag + max object halfdiag (sides clipped at
+    the grid boundary are safe: the grid covers every object).  Round B:
+    the remaining queries re-probe with an explicit radius (d_k plus the
+    halfdiag slack, or the full grid when <k candidates were found —
+    rare, sparse-region queries) and re-rank.  Both rounds are single
+    shuffles keyed by cell.
 
-    Exact for point geometries (the reference's KNN is planar points too:
-    spatial_predicate.rs:254-297); non-point inputs rank by bbox-center
-    distance (documented approximation for this path — use the broadcast
-    `knn_join` for exact non-point ranking).
+    Exact for ALL geometry types: point inputs rank on native codegen
+    center distance (both halfdiags are zero so the bound is tight); any
+    non-point input (detected from WKB length — a 2D point is exactly 21
+    bytes) switches the ranking distance to the exact geometry-distance
+    kernel (Arrow-batched, point fast path) while candidate generation
+    stays on the bbox-center grid with the halfdiag-padded completion
+    proof.  Reference semantics: exact geometry distance
+    (spatial_predicate.rs:254-297, index/knn_adapter.rs).
     """
     from sedona_db_spark.operators.spatial_join import bbox_col
 
@@ -275,20 +322,37 @@ def knn_join_partitioned(
     qb = q.withColumn("__qb", bbox_col(F.col(query_geom))) \
           .withColumn("__qx", (F.col("__qb.xmin") + F.col("__qb.xmax")) / 2) \
           .withColumn("__qy", (F.col("__qb.ymin") + F.col("__qb.ymax")) / 2) \
+          .withColumn("__qhd", F.coalesce(
+              F.sqrt(F.pow((F.col("__qb.xmax") - F.col("__qb.xmin")) / 2, 2) +
+                     F.pow((F.col("__qb.ymax") - F.col("__qb.ymin")) / 2, 2)),
+              F.lit(0.0))) \
           .drop("__qb")
     ob = obj.withColumn("__ob", bbox_col(F.col(ogeom))) \
             .withColumn("__ox", (F.col("__ob.xmin") + F.col("__ob.xmax")) / 2) \
             .withColumn("__oy", (F.col("__ob.ymin") + F.col("__ob.ymax")) / 2) \
+            .withColumn("__ohd", F.coalesce(
+                F.sqrt(F.pow((F.col("__ob.xmax") - F.col("__ob.xmin")) / 2, 2) +
+                       F.pow((F.col("__ob.ymax") - F.col("__ob.ymin")) / 2, 2)),
+                F.lit(0.0))) \
             .drop("__ob")
 
     stats = ob.agg(F.min("__ox").alias("x0"), F.min("__oy").alias("y0"),
                    F.max("__ox").alias("x1"), F.max("__oy").alias("y1"),
-                   F.count("*").alias("n")).collect()[0]
+                   F.count("*").alias("n"), F.max("__ohd").alias("ohd"),
+                   F.max(F.length(ogeom)).alias("maxlen")).collect()[0]
     if stats["n"] == 0:
-        empty_schema = qb.drop("__qid", "__qx", "__qy").schema
+        empty_schema = qb.drop("__qid", "__qx", "__qy", "__qhd").schema
         return queries.sparkSession.createDataFrame([], empty_schema)
     x0, y0, x1, y1, n_obj = (stats["x0"], stats["y0"], stats["x1"],
                              stats["y1"], stats["n"])
+    ohd_max = float(stats["ohd"] or 0.0)
+    # a 2D point WKB is exactly 21 bytes; anything else (or Z/M points,
+    # conservatively) flips on the exact-distance kernel.  Column-pruned
+    # native scans, no Python pass.
+    obj_nonpoint = stats["maxlen"] is not None and stats["maxlen"] != 21
+    qlen = queries.agg(F.max(F.length(query_geom))).collect()[0][0]
+    qry_nonpoint = qlen is not None and qlen != 21
+    exact_mode = obj_nonpoint or qry_nonpoint
     import math as _math
     if grid_cells is None:
         grid_cells = min(max(n_obj // 64, 16), 512 * 512)
@@ -319,12 +383,26 @@ def knn_join_partitioned(
             lambda cx: F.transform(F.sequence(cy0, cy1),
                                    lambda cy: cx * ny + cy)))
 
-    dist = F.sqrt(F.pow(F.col("__qx") - F.col("__ox"), 2) +
-                  F.pow(F.col("__qy") - F.col("__oy"), 2))
+    if exact_mode:
+        from sedona_db_spark.functions.kernels import k_distance
+        _dist_udf = F.pandas_udf(k_distance, T.DoubleType())
+        dist = _dist_udf(F.col(query_geom), F.col(ogeom))
+    else:
+        dist = F.sqrt(F.pow(F.col("__qx") - F.col("__ox"), 2) +
+                      F.pow(F.col("__qy") - F.col("__oy"), 2))
+
+    # deterministic tie-break mirroring the broadcast path: distance,
+    # then the object's orderable payload columns (id first by
+    # convention), then center coords as a final fallback
+    orderable = (T.NumericType, T.StringType, T.DateType, T.TimestampType,
+                 T.BooleanType, T.BinaryType)
+    tie_cols = [f.name for f in obj.schema.fields
+                if f.name != ogeom and isinstance(f.dataType, orderable)]
 
     def topk(cand: DataFrame) -> DataFrame:
         win = Window.partitionBy("__qid").orderBy(
-            F.col("knn_distance"), F.col("__ox"), F.col("__oy"))
+            F.col("knn_distance"), *[F.col(c) for c in tie_cols],
+            F.col("__ox"), F.col("__oy"))
         ranked = cand.withColumn("knn_distance", dist) \
                      .withColumn("__rn", F.row_number().over(win))
         if include_ties:
@@ -359,18 +437,25 @@ def knn_join_partitioned(
         F.when(F.col("__qcx") + 1 < nx - 1, bx1 - F.col("__qx")).otherwise(inf),
         F.when(F.col("__qcy") - 1 > 0, F.col("__qy") - by0).otherwise(inf),
         F.when(F.col("__qcy") + 1 < ny - 1, by1 - F.col("__qy")).otherwise(inf))
+    # exact distance to any unsearched object >= center margin minus the
+    # two halfdiags (zero for points, so the point bound stays tight)
     min_needed = k if not include_ties else k
     qstat = qstat.withColumn(
-        "__safe", (F.col("__cnt") >= min_needed) & (F.col("__dk") <= margin))
+        "__safe", (F.col("__cnt") >= min_needed) &
+        (F.col("__dk") <= margin - F.col("__qhd") - F.lit(ohd_max)))
 
     safe_ids = qstat.filter("__safe").select("__qid")
     unsafe = qstat.filter(~F.coalesce(F.col("__safe"), F.lit(False)))
 
     # ---- round B: explicit-radius re-probe for unsafe queries --------
-    rad_cells = F.when(
+    # clamped at the full grid: with a degenerate extent (min(w,h) bottoms
+    # out at 1e-9) the raw cell count overflows, and probing every cell is
+    # always a sound upper bound anyway
+    rad_cells = F.least(F.when(
         F.col("__dk").isNotNull(),
-        F.ceil(F.col("__dk") / F.lit(min(w, h))) + 1
-    ).otherwise(F.lit(max(nx, ny)))  # <k found: probe the whole grid
+        F.ceil((F.col("__dk") + F.col("__qhd") + F.lit(ohd_max)) /
+               F.lit(min(w, h))) + 1
+    ).otherwise(F.lit(max(nx, ny))), F.lit(max(nx, ny)))
     qb_b = unsafe.withColumn(
         "__cell", F.explode(neighborhood_cells(rad_cells.cast("int"))))
     cand_b = qb_b.join(ob2, qb_b["__cell"] == ob2["__ocell"], "inner")

@@ -291,10 +291,16 @@ def _broadcast_index_join(lb: DataFrame, rb: DataFrame, left_geom: str,
     rpdf = rpdf.drop(columns=["__rbox"])
     bc = spark.sparkContext.broadcast((rpdf, rboxes))
 
+    # flatten the probe bbox struct into plain double columns so the
+    # worker reads zero-copy numpy arrays instead of per-row dicts
+    lb2 = lb.withColumns({
+        "__lx0": F.col("__lbox.xmin"), "__ly0": F.col("__lbox.ymin"),
+        "__lx1": F.col("__lbox.xmax"), "__ly1": F.col("__lbox.ymax"),
+    }).drop("__lbox")
+    helper = ["__lx0", "__ly0", "__lx1", "__ly1"]
     lfields = [f for f in lb.schema.fields if f.name != "__lbox"]
     rfields = [f for f in rb.schema.fields if f.name != "__rbox"]
     out_schema = T.StructType(lfields + rfields)
-    lnames = [f.name for f in lfields]
     pred_fn = (None if distance is not None else _PREDICATES[predicate])
     d = float(distance) if distance is not None else None
 
@@ -315,6 +321,7 @@ def _broadcast_index_join(lb: DataFrame, rb: DataFrame, left_geom: str,
         ny = nx
         w = max((gx1 - gx0) / nx, 1e-9)
         h = max((gy1 - gy0) / ny, 1e-9)
+
         def crange(v0, v1, g0, step, ncells):
             # clamp BOTH bounds: a bbox exactly on the extent's max edge
             # floors to cell `ncells`, which must land in the last cell
@@ -322,55 +329,143 @@ def _broadcast_index_join(lb: DataFrame, rb: DataFrame, left_geom: str,
             b = min(max(int((v1 - g0) // step), 0), ncells - 1)
             return range(a, b + 1)
 
-        grid: dict[tuple[int, int], list[int]] = {}
+        # CSR cell index over the build side (bounded by the broadcast
+        # threshold, so this loop is small and runs once per task)
+        cell_keys: list[int] = []
+        cell_membs: list[int] = []
         for ri in range(n):
             x0, y0, x1, y1 = boxes[ri]
             if not np.isfinite(x0):
                 continue
             for ci in crange(x0, x1, gx0, w, nx):
                 for cj in crange(y0, y1, gy0, h, ny):
-                    grid.setdefault((ci, cj), []).append(ri)
-        rgeoms = [None if b is None else core.from_wkb(bytes(b))
-                  for b in rp[rgeom]]
+                    cell_keys.append(ci * ny + cj)
+                    cell_membs.append(ri)
+        if cell_keys:
+            ck = np.asarray(cell_keys, dtype=np.int64)
+            cm = np.asarray(cell_membs, dtype=np.int64)
+            o = np.argsort(ck, kind="stable")
+            ck, cm = ck[o], cm[o]
+            cells_u, starts = np.unique(ck, return_index=True)
+            ends = np.append(starts[1:], len(ck))
+        else:
+            cells_u = np.empty(0, dtype=np.int64)
+            starts = ends = cm = cells_u
+        rvals = list(rp[rgeom]) if n else []
+        try:
+            rpts = (core.wkb_array_to_points(rvals)
+                    if rvals and all(v is not None for v in rvals) else None)
+        except Exception:
+            rpts = None
+        rgeoms = None  # decoded lazily; the all-point fast paths never need it
 
         for pdf in batches:
-            lboxes = pdf["__lbox"]
-            lg = pdf[left_geom]
-            li_out: list[int] = []
-            ri_out: list[int] = []
-            for i in range(len(pdf)):
-                b = lboxes.iloc[i]
-                if b is None or b["xmin"] is None:
-                    continue
-                x0, y0 = b["xmin"] - expand, b["ymin"] - expand
-                x1, y1 = b["xmax"] + expand, b["ymax"] + expand
-                cands: set[int] = set()
-                for ci in crange(x0, x1, gx0, w, nx):
-                    for cj in crange(y0, y1, gy0, h, ny):
-                        cands.update(grid.get((ci, cj), ()))
-                if not cands:
-                    continue
-                gl = None
-                for ri in sorted(cands):
-                    bx = boxes[ri]
-                    if bx[0] > x1 or bx[2] < x0 or bx[1] > y1 or bx[3] < y0:
-                        continue
-                    if gl is None:
-                        gl = core.from_wkb(bytes(lg.iloc[i]))
-                    gr = rgeoms[ri]
+            m = len(pdf)
+            empty = pdf.drop(columns=helper).iloc[[]].reset_index(drop=True)
+            if m == 0 or not len(cells_u):
+                yield pd.concat([empty, rp.iloc[[]].reset_index(drop=True)],
+                                axis=1)[[f.name for f in out_schema.fields]]
+                continue
+            px0 = pdf["__lx0"].to_numpy(dtype=np.float64) - expand
+            py0 = pdf["__ly0"].to_numpy(dtype=np.float64) - expand
+            px1 = pdf["__lx1"].to_numpy(dtype=np.float64) + expand
+            py1 = pdf["__ly1"].to_numpy(dtype=np.float64) + expand
+            ok = np.isfinite(px0)
+            # vectorized cell-range expansion: (row, cell) pairs via repeat
+            ax = np.clip(((px0 - gx0) // w), 0, nx - 1).astype(np.int64)
+            bx = np.clip(((px1 - gx0) // w), 0, nx - 1).astype(np.int64)
+            ay = np.clip(((py0 - gy0) // h), 0, ny - 1).astype(np.int64)
+            by = np.clip(((py1 - gy0) // h), 0, ny - 1).astype(np.int64)
+            ncx = np.where(ok, bx - ax + 1, 0)
+            ncy = np.where(ok, by - ay + 1, 0)
+            per = ncx * ncy
+            rows = np.repeat(np.arange(m), per)
+            base = np.concatenate(([0], np.cumsum(per)[:-1]))
+            off = np.arange(int(per.sum())) - np.repeat(base, per)
+            keys = (ax[rows] + off // ncy[rows]) * ny + (ay[rows] + off % ncy[rows])
+            # binary-search the CSR cell index, then expand member ranges
+            pos = np.searchsorted(cells_u, keys)
+            hit = (pos < len(cells_u)) & (cells_u[np.minimum(pos, len(cells_u) - 1)] == keys)
+            rows2, pos2 = rows[hit], pos[hit]
+            cnt = ends[pos2] - starts[pos2]
+            prow = np.repeat(rows2, cnt)
+            base2 = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            off2 = np.arange(int(cnt.sum())) - np.repeat(base2, cnt)
+            bidx = cm[np.repeat(starts[pos2], cnt) + off2]
+            # dedup (a probe box spanning cells hits a member repeatedly);
+            # unique also sorts (prow, bidx) -> deterministic output order
+            _, ui = np.unique(prow * np.int64(n) + bidx, return_index=True)
+            prow, bidx = prow[ui], bidx[ui]
+            # vectorized bbox prefilter
+            bb = boxes[bidx]
+            keep = ~((bb[:, 0] > px1[prow]) | (bb[:, 2] < px0[prow]) |
+                     (bb[:, 1] > py1[prow]) | (bb[:, 3] < py0[prow]))
+            prow, bidx = prow[keep], bidx[keep]
+
+            lvals = list(pdf[left_geom])
+            try:
+                lpts = (core.wkb_array_to_points(lvals)
+                        if len(prow) and all(v is not None for v in lvals)
+                        else None)
+            except Exception:
+                lpts = None
+
+            if len(prow) == 0:
+                li_out = ri_out = np.empty(0, dtype=np.int64)
+            elif d is not None and lpts is not None and rpts is not None:
+                # all-points distance join: one vectorized hypot
+                dx = lpts[prow, 0] - rpts[bidx, 0]
+                dy = lpts[prow, 1] - rpts[bidx, 1]
+                mask = dx * dx + dy * dy <= d * d
+                li_out, ri_out = prow[mask], bidx[mask]
+            elif (d is None and lpts is not None
+                  and predicate in ("within", "intersects", "covered_by",
+                                    "coveredby")):
+                # point-probe refine: group candidate pairs by build
+                # geometry and run the batched point-position kernel
+                if rgeoms is None:
+                    rgeoms = [None if b is None else core.from_wkb(bytes(b))
+                              for b in rvals]
+                mask = np.zeros(len(prow), dtype=bool)
+                order = np.argsort(bidx, kind="stable")
+                sb = bidx[order]
+                for grp in np.split(order, np.flatnonzero(np.diff(sb)) + 1):
+                    gr = rgeoms[int(bidx[grp[0]])]
                     if gr is None:
                         continue
-                    ok = (alg.dwithin(gl, gr, d) if d is not None
-                          else pred_fn(gl, gr))
-                    if ok:
-                        li_out.append(i)
-                        ri_out.append(ri)
-            lpart = pdf.drop(columns=["__lbox"]).iloc[li_out].reset_index(drop=True)
+                    posn = alg.points_position_batch(lpts[prow[grp]], gr)
+                    hits = posn == 1 if predicate == "within" else posn >= 0
+                    mask[grp[hits]] = True
+                li_out, ri_out = prow[mask], bidx[mask]
+            else:
+                # generic per-pair refine; probe geoms decoded once per row
+                need = np.unique(prow)
+                dec = {int(i): (None if lvals[i] is None
+                                else core.from_wkb(bytes(lvals[i])))
+                       for i in need}
+                if rgeoms is None:
+                    rgeoms = [None if b is None else core.from_wkb(bytes(b))
+                              for b in rvals]
+                li_list: list[int] = []
+                ri_list: list[int] = []
+                for p, ri in zip(prow.tolist(), bidx.tolist()):
+                    gl, gr = dec[p], rgeoms[ri]
+                    if gl is None or gr is None:
+                        continue
+                    hit2 = (alg.dwithin(gl, gr, d) if d is not None
+                            else pred_fn(gl, gr))
+                    if hit2:
+                        li_list.append(p)
+                        ri_list.append(ri)
+                li_out = np.asarray(li_list, dtype=np.int64)
+                ri_out = np.asarray(ri_list, dtype=np.int64)
+
+            lpart = pdf.drop(columns=helper).iloc[li_out].reset_index(drop=True)
             rpart = rp.iloc[ri_out].reset_index(drop=True)
             out = pd.concat([lpart, rpart], axis=1)
             yield out[[f.name for f in out_schema.fields]]
 
-    return lb.mapInPandas(probe, schema=out_schema)
+    return lb2.mapInPandas(probe, schema=out_schema)
 
 
 def _apply_refine(cand: DataFrame, lgeom: str, rgeom: str,

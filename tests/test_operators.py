@@ -266,6 +266,64 @@ def test_knn_partitioned_ties_and_no_python_ranking(spark):
     assert "row_number" in plan and "Window" in plan
 
 
+def test_knn_broadcast_autoroutes_to_partitioned(spark):
+    """Above broadcast_threshold the broadcast entry point must switch to
+    the partitioned plan (native window ranking) instead of collecting
+    the object side onto the driver."""
+    from sedona_db_spark.operators.knn_join import knn_join
+    from sedona_db_spark.plans import inspect as pi
+    q = spark.sql("SELECT 1 AS qid, ST_Point(0.0, 0.0) AS geom")
+    objs = spark.sql("SELECT * FROM VALUES (1),(2),(3),(4) AS t(oid)") \
+        .selectExpr("oid", "ST_Point(CAST(oid AS DOUBLE), 0.0) AS geom")
+    routed = knn_join(q, objs, k=2, broadcast_threshold=2)
+    plan = pi.executed_plan(routed)
+    assert "row_number" in plan and "Window" in plan  # partitioned plan shape
+    assert {r["oid"] for r in routed.collect()} == {1, 2}
+    # under the threshold it stays a broadcast mapInPandas (no window)
+    direct = knn_join(q, objs, k=2, broadcast_threshold=100)
+    assert "row_number" not in pi.executed_plan(direct)
+    assert {r["oid"] for r in direct.collect()} == {1, 2}
+
+
+def test_knn_partitioned_polygon_exact_ranking(spark):
+    """Non-point objects rank by EXACT geometry distance, not bbox-center
+    distance: a tall thin polygon whose center is far but whose edge is
+    near must win over a small near-center box."""
+    from sedona_db_spark.operators.knn_join import knn_join, knn_join_partitioned
+    q = spark.sql("SELECT 1 AS qid, ST_Point(0.0, 0.0) AS geom")
+    objs = spark.sql("SELECT * FROM VALUES (1),(2) AS t(oid)").selectExpr(
+        "oid", """
+        CASE oid
+          WHEN 1 THEN ST_GeomFromWKT('POLYGON ((2 -100, 4 -100, 4 100, 2 100, 2 -100))')
+          ELSE ST_GeomFromWKT('POLYGON ((2.5 0, 3 0, 3 1, 2.5 1, 2.5 0))')
+        END AS geom""")
+    # exact distances: oid 1 -> 2.0 (edge x=2), oid 2 -> 2.5
+    # bbox-center distances: oid 1 -> 3.0, oid 2 -> ~2.79 (wrong order)
+    for fn in (knn_join_partitioned, knn_join):
+        row = fn(q, objs, k=1).collect()
+        assert len(row) == 1 and row[0]["oid"] == 1, fn.__name__
+        assert abs(row[0]["knn_distance"] - 2.0) < 1e-9, fn.__name__
+
+
+def test_knn_partitioned_polygon_queries_exact(spark):
+    """Non-point QUERY geometries also rank exactly (distance measured
+    from the query polygon's boundary, zero when intersecting)."""
+    from sedona_db_spark.operators.knn_join import knn_join_partitioned
+    q = spark.sql(
+        "SELECT 1 AS qid, ST_GeomFromWKT('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))') AS geom")
+    objs = spark.sql("SELECT * FROM VALUES (1),(2),(3) AS t(oid)").selectExpr(
+        "oid", """
+        CASE oid
+          WHEN 1 THEN ST_Point(5.0, 5.0)    -- inside -> 0
+          WHEN 2 THEN ST_Point(12.0, 5.0)   -- 2 right of the edge
+          ELSE ST_Point(30.0, 5.0)          -- 20 right
+        END AS geom""")
+    rows = {r["oid"]: r["knn_distance"]
+            for r in knn_join_partitioned(q, objs, k=2).collect()}
+    assert set(rows) == {1, 2}
+    assert abs(rows[1] - 0.0) < 1e-9 and abs(rows[2] - 2.0) < 1e-9
+
+
 def test_ivf_topk_recall(spark):
     """IVF with nprobe=n_lists is exhaustive -> equals brute force; with
     fewer probes, top-1 must survive (its own list is always probed)."""
