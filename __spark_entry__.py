@@ -1085,6 +1085,25 @@ _sql("st_relate_matrix", """
   WHERE c.c_custkey < 50
 """)
 
+# Exact multi-part DE-9IM: A = two nation boxes side by side (parts share
+# the edge at x0+20), B = a box overlapping the left part.  The matrix is
+# constant per (overlap geometry), so the oracle is a literal: B=[x0+10,
+# x0+30]x[y0, y0+20] overlaps part1 ([x0..x0+20]) and equals part2's span
+# -> B inside closure(A-union) (E(A) cells F), the parts' shared edge
+# x0+20 lies in I(B) (B(A)^I(B)=1), top/bottom edges collinear -> '212111FF2'.
+_sql("st_relate_multipart", """
+  SELECT n_nationkey,
+         ST_Relate(
+           ST_Collect(array(ST_MakeEnvelope(x0, y0, x0 + 20.0D, y0 + 20.0D),
+                            ST_MakeEnvelope(x0 + 20.0D, y0, x0 + 40.0D, y0 + 20.0D))),
+           ST_MakeEnvelope(x0 + 10.0D, y0, x0 + 30.0D, y0 + 20.0D)) AS rel
+  FROM (SELECT n_nationkey, CAST(n_nationkey AS DOUBLE) * 50.0 AS x0,
+               CAST(n_nationkey % 3 AS DOUBLE) * 30.0 AS y0
+        FROM nation) t
+""", """
+  SELECT n_nationkey, '212111FF2' AS rel FROM nation
+""")
+
 _sql("st_pointonsurface_boxes", """
   SELECT n_nationkey,
          round(ST_X(ST_PointOnSurface(geom)), 6) AS cx,

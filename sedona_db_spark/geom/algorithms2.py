@@ -383,8 +383,9 @@ def minimum_clearance(g: Geom, want_line: bool = False):
 
 
 # ----------------------------------------------------------------------
-# DE-9IM relate (case analysis on topological dimension; multi-part
-# geometries take cell-wise max over part pairs — documented approximation)
+# DE-9IM relate (case analysis on topological dimension; exact for
+# homogeneous inputs incl. multi-part — see relate_matrix; heterogeneous
+# collections take cell-wise max over part pairs)
 # ----------------------------------------------------------------------
 
 _DIMRANK = {"F": 0, "0": 1, "1": 2, "2": 3}
@@ -607,9 +608,134 @@ def _transpose(M):
     return [[M[c][r] for c in range(3)] for r in range(3)]
 
 
+def _linework_position_lengths(line: Geom, poly: Geom):
+    """(len_interior, len_boundary, len_exterior) of `line` measured
+    against the whole areal geometry `poly` — exact: every segment is
+    split at its crossings with the polygon boundary and each piece is
+    classified by its midpoint position (split points always exist at
+    class transitions because the adjacent non-collinear boundary
+    segment generates one)."""
+    bsegs = list(alg._segments(poly))
+    acc = [0.0, 0.0, 0.0]  # interior, boundary, exterior
+    for arr in line.lines():
+        r = np.asarray(arr, dtype=np.float64)[:, :2]
+        for i in range(len(r) - 1):
+            a, b = r[i], r[i + 1]
+            dx, dy = b[0] - a[0], b[1] - a[1]
+            if dx == 0.0 and dy == 0.0:
+                continue
+            seg_len = float(np.hypot(dx, dy))
+            ts = [0.0, 1.0]
+            for c, d in bsegs:
+                den = dx * (d[1] - c[1]) - dy * (d[0] - c[0])
+                if den == 0.0:
+                    continue
+                u = ((c[0] - a[0]) * (d[1] - c[1])
+                     - (c[1] - a[1]) * (d[0] - c[0])) / den
+                v = ((c[0] - a[0]) * dy - (c[1] - a[1]) * dx) / den
+                if 0.0 <= u <= 1.0 and 0.0 <= v <= 1.0:
+                    ts.append(u)
+            ts = sorted(set(ts))
+            for k in range(len(ts) - 1):
+                t0, t1 = ts[k], ts[k + 1]
+                if t1 - t0 <= 1e-15:
+                    continue
+                tm = 0.5 * (t0 + t1)
+                mid = (a[0] + tm * dx, a[1] + tm * dy)
+                pos = alg.point_position(mid, poly)
+                acc[1 - pos] += (t1 - t0) * seg_len  # pos 1/0/-1 -> idx 0/1/2
+    return acc[0], acc[1], acc[2]
+
+
+_AREA_TOL = 1e-12
+
+
+def _relate_areal_exact(a: Geom, b: Geom) -> list[list[str]]:
+    """Exact DE-9IM for (multi)polygon x (multi)polygon, computed
+    constructively on the WHOLE geometries (reference GEOS semantics,
+    c/sedona-geos/src/st_relate.rs): open-set cells from Martinez
+    overlay areas, boundary cells from exact clip lengths.  Correct for
+    interacting parts (e.g. two parts of A jointly covering B), where
+    cell-wise max over part pairs is not."""
+    from sedona_db_spark.geom import clip as _mclip
+    M = [["F", "F", "F"], ["F", "F", "F"], ["F", "F", "2"]]
+    ra = Geom(MULTILINESTRING, [np.asarray(r, dtype=np.float64)[:, :2]
+                                for r in a.rings()])
+    rb = Geom(MULTILINESTRING, [np.asarray(r, dtype=np.float64)[:, :2]
+                                for r in b.rings()])
+    # interiors are open 2-D sets: any nonempty intersection with an open
+    # set that a curve/area meets has full dimension, so each open-set
+    # cell is a yes/no measured by overlay area or clip length
+    if alg.area(_mclip.polygon_boolean(a, b, "intersection")) > _AREA_TOL:
+        M[0][0] = "2"
+    if alg.area(_mclip.polygon_boolean(a, b, "difference")) > _AREA_TOL:
+        M[0][2] = "2"
+    if alg.area(_mclip.polygon_boolean(b, a, "difference")) > _AREA_TOL:
+        M[2][0] = "2"
+    bi, bbnd, be = _linework_position_lengths(rb, a)
+    if bi > _AREA_TOL:
+        M[0][1] = "1"
+    if be > _AREA_TOL:
+        M[2][1] = "1"
+    ai, _abnd, ae = _linework_position_lengths(ra, b)
+    if ai > _AREA_TOL:
+        M[1][0] = "1"
+    if ae > _AREA_TOL:
+        M[1][2] = "1"
+    # B(A) n B(B): dim 1 iff the boundaries share collinear length
+    # (measured by the same clip), else 0 iff they meet at all
+    M[1][1] = ("1" if bbnd > _AREA_TOL
+               else ("0" if alg.intersects(ra, rb) else "F"))
+    return M
+
+
+def _boundary_dim_str(g: Geom) -> str:
+    if g.dimension() == 2:
+        return "1"
+    if g.dimension() == 1:
+        return "0" if _line_boundary_points(g) else "F"
+    return "F"
+
+
+def _part_dims(g: Geom) -> set:
+    if g.gt == GEOMETRYCOLLECTION:
+        out: set = set()
+        for p in g.geometries():
+            out |= _part_dims(p)
+        return out
+    return {g.dimension()} if not g.is_empty() else set()
+
+
 def relate_matrix(a: Geom, b: Geom) -> str:
-    """DE-9IM matrix string; multi-part inputs take cell-wise max over
-    part pairs (approximation — exact for disjoint-part multis)."""
+    """DE-9IM matrix string (reference c/sedona-geos/src/st_relate.rs).
+
+    Exact for homogeneous inputs including multi-part: areal x areal is
+    computed constructively on the whole geometries via overlay +
+    boundary-clip (`_relate_areal_exact`); point/line combinations run
+    `_relate_simple` directly on the whole geometry (its primitives —
+    mod-2 boundaries, whole-geometry covers/position — already handle
+    multiple parts).  Only heterogeneous GEOMETRYCOLLECTIONs fall back
+    to cell-wise max over part pairs (documented approximation)."""
+    if a.is_empty() or b.is_empty():
+        M = [["F"] * 3 for _ in range(3)]
+        M[2][2] = "2"
+        if not a.is_empty():
+            M[0][2] = str(a.dimension())
+            M[1][2] = _boundary_dim_str(a)
+        if not b.is_empty():
+            M[2][0] = str(b.dimension())
+            M[2][1] = _boundary_dim_str(b)
+        return "".join(M[r][c] for r in range(3) for c in range(3))
+
+    da, db = _part_dims(a), _part_dims(b)
+    if len(da) == 1 and len(db) == 1:
+        if da == {2} and db == {2}:
+            M = _relate_areal_exact(a, b)
+        else:
+            M = _relate_simple(a, b)
+        return "".join(M[r][c] for r in range(3) for c in range(3))
+
+    # heterogeneous collection: cell-wise max over part pairs
     pa = a.geometries() if a.gt in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON,
                                     GEOMETRYCOLLECTION) else [a]
     pb = b.geometries() if b.gt in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON,

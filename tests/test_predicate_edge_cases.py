@@ -75,3 +75,43 @@ def test_intersects_edge_cases(spark, g1, g2, expected):
     got = spark.sql(
         f"SELECT ST_Intersects({_expr(g1)}, {_expr(g2)}) AS v").first()["v"]
     assert got == expected
+
+
+# DE-9IM matrices verified against PostGIS/GEOS ST_Relate.  The two
+# MULTIPOLYGON rows are the interacting-parts cases where cell-wise max
+# over part pairs is wrong (two parts of A jointly covering B must give
+# E(A)^I(B) = F; a part inside B plus a disjoint part must NOT claim
+# I(A)^B(B)).
+RELATE_CASES = [
+    ("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+     "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))", "212101212"),
+    ("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+     "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "2FFF1FFF2"),
+    ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+     "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))", "212FF1FF2"),
+    ("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+     "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))", "FF2F11212"),
+    ("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+     "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))", "FF2FF1212"),
+    # hole-filling: B equals A's hole -> interiors disjoint, the shared
+    # ring is boundary of BOTH (so E(A)^B(B) = F, not 1)
+    ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))",
+     "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))", "FF2F112F2"),
+    # two parts of A jointly cover B exactly
+    ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((1 0, 2 0, 2 1, 1 1, 1 0)))",
+     "POLYGON ((0 0, 2 0, 2 1, 0 1, 0 0))", "2FF11FFF2"),
+    # one part strictly inside B, one disjoint part
+    ("MULTIPOLYGON (((1 1, 2 1, 2 2, 1 2, 1 1)), ((10 10, 11 10, 11 11, 10 11, 10 10)))",
+     "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))", "2F21F1212"),
+    # multilinestring with shared endpoint (mod-2 boundary) vs line
+    ("MULTILINESTRING ((0 0, 1 0), (1 0, 2 0))",
+     "LINESTRING (0 0, 2 0)", "1FFF0FFF2"),
+]
+
+
+@pytest.mark.parametrize("g1,g2,expected", RELATE_CASES,
+                         ids=[f"relate{i}" for i in range(len(RELATE_CASES))])
+def test_relate_exact_matrices(spark, g1, g2, expected):
+    got = spark.sql(
+        f"SELECT ST_Relate({_expr(g1)}, {_expr(g2)}) AS v").first()["v"]
+    assert got == expected
