@@ -498,6 +498,39 @@ _sql("st_transform_webmercator", """
   FROM nation
 """)
 
+# Lambert-93 (EPSG:2154, LCC 2SP on GRS80) forward transform; the oracle
+# replicates Snyder's closed form with the projection constants inlined
+# as literals (e, n, a*F, rho0 from geom/projections.py).  Ref surface:
+# rust/sedona-functions/src/st_transform.rs:45 (PROJ).
+_sql("st_transform_lambert93", """
+  SELECT n_nationkey, round(ST_X(m), 3) + 0 AS px, round(ST_Y(m), 3) + 0 AS py
+  FROM (SELECT n_nationkey,
+               ST_Transform(ST_Point(CAST(n_nationkey % 10 - 2 AS DOUBLE),
+                                     CAST(44 + n_nationkey % 7 AS DOUBLE)),
+                            'EPSG:4326', 'EPSG:2154') AS m
+        FROM nation) t
+""", """
+  WITH src AS (
+    SELECT n_nationkey,
+           CAST(n_nationkey % 10 - 2 AS DOUBLE) AS lon,
+           CAST(44 + n_nationkey % 7 AS DOUBLE) AS lat
+    FROM nation),
+  c AS (
+    SELECT n_nationkey, lon, lat,
+           11754255.42609601 * power(
+             tan(pi() / 4 - radians(lat) / 2) /
+             power((1 - 0.08181919104281579 * sin(radians(lat))) /
+                   (1 + 0.08181919104281579 * sin(radians(lat))),
+                   0.08181919104281579 / 2),
+             0.7256077650532688) AS rho,
+           0.7256077650532688 * (radians(lon) - radians(3.0)) AS theta
+    FROM src)
+  SELECT n_nationkey,
+         round(700000.0 + rho * sin(theta), 3) + 0 AS px,
+         round(6600000.0 + 6055612.049875991 - rho * cos(theta), 3) + 0 AS py
+  FROM c
+""")
+
 # Segmentize an integer-length segment at max length 1 -> L+1 vertices;
 # ReducePrecision snaps to a 0.01 grid.
 _sql("st_segmentize_snap", """

@@ -1560,9 +1560,45 @@ def transform_crs(g: Geom, src: str, dst: str) -> Geom:
         if dst == "EPSG:3857":
             g2 = transform_coords(g2, _TRANSFORMS[("EPSG:4326", "EPSG:3857")])
         return g2
+
+    # registered conic/azimuthal CRSes (LCC 2SP, Albers, polar stereo,
+    # LAEA — geom/projections.py registry); any pair chains through 4326
+    p_dst = prj.lookup_projection(dst)
+    p_src = prj.lookup_projection(src)
+    if p_src is not None or p_dst is not None:
+        g2 = g
+        if p_src is not None:
+            def inv2(arr, _p=p_src):
+                arr = np.asarray(arr, dtype=np.float64)
+                lon, lat = _p.inverse(arr[:, 0], arr[:, 1])
+                out = arr.copy()
+                out[:, 0] = lon
+                out[:, 1] = lat
+                return out
+            g2 = transform_coords(g2, inv2)
+            cur = "EPSG:4326"
+        else:
+            cur = src
+        if p_dst is not None:
+            if cur not in _LL:
+                g2 = transform_crs(g2, cur, "EPSG:4326")
+
+            def fwd2(arr, _p=p_dst):
+                arr = np.asarray(arr, dtype=np.float64)
+                x, y = _p.forward(arr[:, 0], arr[:, 1])
+                out = arr.copy()
+                out[:, 0] = x
+                out[:, 1] = y
+                return out
+            return transform_coords(g2, fwd2)
+        if dst in _LL:
+            return g2
+        return transform_crs(g2, "EPSG:4326", dst)
     raise NotImplementedError(
         f"transform {src} -> {dst} not supported (supported: EPSG:4326/"
-        "OGC:CRS84 <-> EPSG:3857 <-> EPSG:326xx/327xx UTM zones)")
+        "OGC:CRS84 <-> EPSG:3857 <-> EPSG:326xx/327xx UTM zones, plus "
+        "registered LCC/Albers/polar-stereographic/LAEA codes — see "
+        "geom/projections.py _PROJ_REGISTRY)")
 
 
 def haversine(lon1, lat1, lon2, lat2):

@@ -97,3 +97,261 @@ def parse_utm_epsg(code: str) -> tuple[int, bool] | None:
     if 32701 <= v <= 32760:
         return v - 32700, False
     return None
+
+
+# ======================================================================
+# Conic / azimuthal families (Snyder, "Map Projections — A Working
+# Manual", USGS PP 1395: LCC pp.107-109, Albers pp.101-102, polar
+# stereographic pp.160-162, LAEA pp.187-190).  Reference surface:
+# c/sedona-proj + rust/sedona-functions/src/st_transform.rs:45 (PROJ);
+# PROJ is unavailable here so the families are implemented directly.
+# Ellipsoids are WGS84/GRS80; ETRS89, NAD83, GDA94 and RGF93 are treated
+# as coincident with WGS84 (standard meter-level assumption, no Helmert).
+# ======================================================================
+
+GRS80_A = 6378137.0
+GRS80_F = 1.0 / 298.257222101
+
+
+def _ell(ellps: str):
+    a, f = (GRS80_A, GRS80_F) if ellps == "GRS80" else (WGS84_A, WGS84_F)
+    e2 = f * (2 - f)
+    return a, math.sqrt(e2), e2
+
+
+def _t_snyder(phi, e):
+    s = e * np.sin(phi)
+    return np.tan(np.pi / 4 - phi / 2) / np.power((1 - s) / (1 + s), e / 2)
+
+
+def _m_snyder(phi, e):
+    return np.cos(phi) / np.sqrt(1 - (e * np.sin(phi)) ** 2)
+
+
+def _phi_from_t(t, e, iters: int = 15):
+    """Invert t(phi) by fixed point (converges to ~1e-12 rad in <10)."""
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(iters):
+        s = e * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(t * np.power((1 - s) / (1 + s), e / 2))
+    return phi
+
+
+def _q_snyder(phi, e, e2):
+    s = np.sin(phi)
+    return (1 - e2) * (s / (1 - e2 * s * s)
+                       - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s)))
+
+
+def _phi_from_q(q, e, e2, iters: int = 15):
+    phi = np.arcsin(np.clip(q / 2, -1.0, 1.0))
+    for _ in range(iters):
+        s = np.sin(phi)
+        den = (1 - e2 * s * s) ** 2 / (2 * np.cos(phi))
+        corr = (q / (1 - e2) - s / (1 - e2 * s * s)
+                + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s)))
+        phi = phi + den * corr
+    return phi
+
+
+
+
+def _wrap_lon(lon_deg):
+    """Normalize degrees longitude to [-180, 180)."""
+    return (np.asarray(lon_deg) + 180.0) % 360.0 - 180.0
+
+class LambertConformalConic2SP:
+    def __init__(self, lat0, lon0, sp1, sp2, fe, fn, ellps="GRS80"):
+        self.a, self.e, _ = _ell(ellps)
+        p0, p1, p2 = map(math.radians, (lat0, sp1, sp2))
+        self.lam0 = math.radians(lon0)
+        m1 = float(_m_snyder(np.float64(p1), self.e))
+        m2 = float(_m_snyder(np.float64(p2), self.e))
+        t0 = float(_t_snyder(np.float64(p0), self.e))
+        t1 = float(_t_snyder(np.float64(p1), self.e))
+        t2 = float(_t_snyder(np.float64(p2), self.e))
+        self.n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+        self.F = m1 / (self.n * t1 ** self.n)
+        self.rho0 = self.a * self.F * t0 ** self.n
+        self.fe, self.fn = fe, fn
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        t = _t_snyder(phi, self.e)
+        rho = self.a * self.F * np.power(t, self.n)
+        th = self.n * (lam - self.lam0)
+        return self.fe + rho * np.sin(th), self.fn + self.rho0 - rho * np.cos(th)
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, dtype=np.float64) - self.fe
+        dy = self.rho0 - (np.asarray(y, dtype=np.float64) - self.fn)
+        sign = 1.0 if self.n >= 0 else -1.0
+        rho = sign * np.hypot(dx, dy)
+        t = np.power(rho / (self.a * self.F), 1.0 / self.n)
+        th = np.arctan2(sign * dx, sign * dy)
+        phi = _phi_from_t(t, self.e)
+        return (_wrap_lon(np.degrees(th / self.n + self.lam0)), np.degrees(phi))
+
+
+class AlbersEqualArea2SP:
+    def __init__(self, lat0, lon0, sp1, sp2, fe, fn, ellps="GRS80"):
+        self.a, self.e, self.e2 = _ell(ellps)
+        p0, p1, p2 = map(math.radians, (lat0, sp1, sp2))
+        self.lam0 = math.radians(lon0)
+        m1 = float(_m_snyder(np.float64(p1), self.e))
+        m2 = float(_m_snyder(np.float64(p2), self.e))
+        q0 = float(_q_snyder(np.float64(p0), self.e, self.e2))
+        q1 = float(_q_snyder(np.float64(p1), self.e, self.e2))
+        q2 = float(_q_snyder(np.float64(p2), self.e, self.e2))
+        self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        self.C = m1 * m1 + self.n * q1
+        self.rho0 = self.a * math.sqrt(self.C - self.n * q0) / self.n
+        self.fe, self.fn = fe, fn
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        q = _q_snyder(phi, self.e, self.e2)
+        rho = self.a * np.sqrt(self.C - self.n * q) / self.n
+        th = self.n * (lam - self.lam0)
+        return self.fe + rho * np.sin(th), self.fn + self.rho0 - rho * np.cos(th)
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, dtype=np.float64) - self.fe
+        dy = self.rho0 - (np.asarray(y, dtype=np.float64) - self.fn)
+        sign = 1.0 if self.n >= 0 else -1.0
+        rho = sign * np.hypot(dx, dy)
+        q = (self.C - (rho * self.n / self.a) ** 2) / self.n
+        th = np.arctan2(sign * dx, sign * dy)
+        phi = _phi_from_q(q, self.e, self.e2)
+        return (_wrap_lon(np.degrees(th / self.n + self.lam0)), np.degrees(phi))
+
+
+class PolarStereographic:
+    """Variant B (standard parallel lat_ts), north or south aspect."""
+
+    def __init__(self, lat_ts, lon0, fe, fn, south: bool, ellps="WGS84"):
+        self.a, self.e, _ = _ell(ellps)
+        self.lam0 = math.radians(lon0)
+        self.south = south
+        pts = math.radians(abs(lat_ts))
+        tc = float(_t_snyder(np.float64(pts), self.e))
+        mc = float(_m_snyder(np.float64(pts), self.e))
+        self.k = self.a * mc / tc  # rho = k * t
+        self.fe, self.fn = fe, fn
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        if self.south:
+            lam, phi = -lam, -phi
+            lam0 = -self.lam0
+        else:
+            lam0 = self.lam0
+        t = _t_snyder(phi, self.e)
+        rho = self.k * t
+        x = rho * np.sin(lam - lam0)
+        y = -rho * np.cos(lam - lam0)
+        if self.south:
+            x, y = -x, -y
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, dtype=np.float64) - self.fe
+        dy = np.asarray(y, dtype=np.float64) - self.fn
+        if self.south:
+            dx, dy = -dx, -dy
+            lam0 = -self.lam0
+        else:
+            lam0 = self.lam0
+        rho = np.hypot(dx, dy)
+        t = rho / self.k
+        phi = _phi_from_t(t, self.e)
+        lam = lam0 + np.arctan2(dx, -dy)
+        if self.south:
+            return _wrap_lon(np.degrees(-lam)), np.degrees(-phi)
+        return _wrap_lon(np.degrees(lam)), np.degrees(phi)
+
+
+class LambertAzimuthalEqualArea:
+    def __init__(self, lat0, lon0, fe, fn, ellps="GRS80"):
+        self.a, self.e, self.e2 = _ell(ellps)
+        p0 = math.radians(lat0)
+        self.lam0 = math.radians(lon0)
+        self.qp = float(_q_snyder(np.float64(np.pi / 2), self.e, self.e2))
+        q0 = float(_q_snyder(np.float64(p0), self.e, self.e2))
+        self.b0 = math.asin(q0 / self.qp)
+        self.Rq = self.a * math.sqrt(self.qp / 2)
+        m0 = float(_m_snyder(np.float64(p0), self.e))
+        self.D = self.a * m0 / (self.Rq * math.cos(self.b0))
+        self.fe, self.fn = fe, fn
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        q = _q_snyder(phi, self.e, self.e2)
+        b = np.arcsin(np.clip(q / self.qp, -1.0, 1.0))
+        dl = lam - self.lam0
+        denom = 1 + math.sin(self.b0) * np.sin(b) + math.cos(self.b0) * np.cos(b) * np.cos(dl)
+        B = self.Rq * np.sqrt(2.0 / denom)
+        x = B * self.D * np.cos(b) * np.sin(dl)
+        y = (B / self.D) * (math.cos(self.b0) * np.sin(b)
+                            - math.sin(self.b0) * np.cos(b) * np.cos(dl))
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y):
+        dx = (np.asarray(x, dtype=np.float64) - self.fe) / self.D
+        dy = (np.asarray(y, dtype=np.float64) - self.fn) * self.D
+        rho = np.hypot(dx, dy)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ce = 2 * np.arcsin(np.clip(rho / (2 * self.Rq), -1.0, 1.0))
+            q = self.qp * (np.cos(ce) * math.sin(self.b0)
+                           + dy * np.sin(ce) * math.cos(self.b0) / rho)
+            lam = self.lam0 + np.arctan2(
+                dx * np.sin(ce),
+                rho * math.cos(self.b0) * np.cos(ce)
+                - dy * math.sin(self.b0) * np.sin(ce))
+        # at the projection origin rho == 0: q/lam degenerate -> origin
+        q = np.where(rho == 0, self.qp * math.sin(self.b0), q)
+        lam = np.where(rho == 0, self.lam0, lam)
+        phi = _phi_from_q(q, self.e, self.e2)
+        return _wrap_lon(np.degrees(lam)), np.degrees(phi)
+
+
+# EPSG parameter registry (public EPSG registry values) for widely used
+# projected CRSes on WGS84-coincident datums.
+_PROJ_REGISTRY: dict[str, object] = {}
+
+
+def _register_projections():
+    reg = _PROJ_REGISTRY
+    # France: RGF93 / Lambert-93
+    reg["EPSG:2154"] = LambertConformalConic2SP(
+        46.5, 3.0, 49.0, 44.0, 700000.0, 6600000.0, "GRS80")
+    # USA: NAD83 / Conus Albers
+    reg["EPSG:5070"] = AlbersEqualArea2SP(
+        23.0, -96.0, 29.5, 45.5, 0.0, 0.0, "GRS80")
+    # Australia: GDA94 / Australian Albers
+    reg["EPSG:3577"] = AlbersEqualArea2SP(
+        0.0, 132.0, -18.0, -36.0, 0.0, 0.0, "GRS80")
+    # Europe: ETRS89-extended / LAEA Europe
+    reg["EPSG:3035"] = LambertAzimuthalEqualArea(
+        52.0, 10.0, 4321000.0, 3210000.0, "GRS80")
+    # Antarctic Polar Stereographic
+    reg["EPSG:3031"] = PolarStereographic(
+        -71.0, 0.0, 0.0, 0.0, south=True, ellps="WGS84")
+    # NSIDC Sea Ice Polar Stereographic North
+    reg["EPSG:3413"] = PolarStereographic(
+        70.0, -45.0, 0.0, 0.0, south=False, ellps="WGS84")
+    # USA Contiguous Lambert Conformal Conic (NAD83)
+    reg["EPSG:102004"] = reg["ESRI:102004"] = LambertConformalConic2SP(
+        39.0, -96.0, 33.0, 45.0, 0.0, 0.0, "GRS80")
+
+
+_register_projections()
+
+
+def lookup_projection(code: str):
+    """Projection object for an EPSG/ESRI code, or None."""
+    return _PROJ_REGISTRY.get(code.upper())

@@ -228,6 +228,65 @@ def test_transform_crs_roundtrip():
     assert alg.transform_crs(g, "EPSG:4326", "epsg:4326") is g
 
 
+def test_conic_azimuthal_projections():
+    """LCC/Albers/polar-stereo/LAEA: control points + round-trips +
+    transform_crs chaining through 4326."""
+    import numpy as np
+    from sedona_db_spark.geom import projections as prj
+    # Lambert-93 control point (IGN: Paris city hall)
+    p = prj.lookup_projection("EPSG:2154")
+    x, y = p.forward(np.array([2.3522]), np.array([48.8566]))
+    assert abs(x[0] - 652469.02) < 0.5 and abs(y[0] - 6862035.26) < 0.5
+    # projection origins land on the false easting/northing exactly
+    assert np.allclose(prj.lookup_projection("EPSG:5070").forward(
+        np.array([-96.0]), np.array([23.0])), ([0.0], [0.0]), atol=1e-6)
+    assert np.allclose(prj.lookup_projection("EPSG:3035").forward(
+        np.array([10.0]), np.array([52.0])), ([4321000.0], [3210000.0]), atol=1e-6)
+    # round-trips across all registered codes
+    lons = np.array([2.0, -100.0, 140.0, 15.0, 10.0, -40.0])
+    for code, lats in [("EPSG:2154", [44.0, 49.0, 46.0, 43.5, 48.0, 50.0]),
+                       ("EPSG:5070", [25.0, 45.0, 33.0, 40.0, 29.5, 48.0]),
+                       ("EPSG:3577", [-12.0, -44.0, -25.0, -36.0, -18.0, -30.0]),
+                       ("EPSG:3035", [35.0, 60.0, 45.0, 52.0, 70.0, 40.0]),
+                       ("EPSG:3031", [-60.0, -89.0, -71.0, -75.0, -80.0, -66.0]),
+                       ("EPSG:3413", [60.0, 89.0, 70.0, 75.0, 80.0, 66.0])]:
+        pp = prj.lookup_projection(code)
+        xs, ys = pp.forward(lons, np.array(lats))
+        lo, la = pp.inverse(xs, ys)
+        assert np.abs(lo - lons).max() < 1e-9, code
+        assert np.abs(la - np.array(lats)).max() < 1e-9, code
+    # equal-area property of Albers: a 1-deg cell at sp1 and sp2 has
+    # (nearly) equal projected area scale
+    pa = prj.lookup_projection("EPSG:5070")
+
+    def cell_area(lat):
+        lon_c = np.array([-96.0, -95.0, -95.0, -96.0])
+        lat_c = np.array([lat, lat, lat + 1.0, lat + 1.0])
+        x2, y2 = pa.forward(lon_c, lat_c)
+        return 0.5 * abs(np.dot(x2, np.roll(y2, -1)) - np.dot(y2, np.roll(x2, -1)))
+    # true cell areas differ ~by the cos ratio (spherical approximation
+    # of a 1-deg cell is good to ~0.4%); LCC would be off by >2% here
+    import math as m
+    r = (cell_area(29.0) / m.cos(m.radians(29.5))) / \
+        (cell_area(45.0) / m.cos(m.radians(45.5)))
+    assert abs(r - 1.0) < 5e-3
+    # transform_crs end-to-end, incl. projected -> projected chaining
+    g = W("POINT (2.3522 48.8566)")
+    l93 = alg.transform_crs(g, "EPSG:4326", "EPSG:2154")
+    assert abs(l93.all_coords()[0][0] - 652469.02) < 0.5
+    back = alg.transform_crs(l93, "EPSG:2154", "OGC:CRS84")
+    assert abs(back.all_coords()[0][0] - 2.3522) < 1e-9
+    chained = alg.transform_crs(l93, "EPSG:2154", "EPSG:3035")
+    direct = alg.transform_crs(g, "EPSG:4326", "EPSG:3035")
+    assert np.allclose(chained.all_coords()[0][:2],
+                       direct.all_coords()[0][:2], atol=1e-6)
+    # 3857 -> registered projection chains through 4326 too
+    merc = alg.transform_crs(g, "EPSG:4326", "EPSG:3857")
+    via = alg.transform_crs(merc, "EPSG:3857", "EPSG:2154")
+    assert np.allclose(via.all_coords()[0][:2], l93.all_coords()[0][:2],
+                       atol=1e-6)
+
+
 def test_utm_projection_known_values():
     """Krüger-series UTM vs published reference values."""
     import numpy as np
