@@ -1332,6 +1332,30 @@ _sql("geo_distance_sphere", """
 """)
 
 
+# Same-name dispatch (reference kernels.rs:38: geography args give the
+# SAME SQL names spherical semantics): ST_Distance on ST_GeogPoint
+# returns meters; the haversine oracle must match.  Also checks the
+# planar/spherical pair disagrees where it should (area of a 1-deg cell).
+_sql("geo_samename_distance", """
+  SELECT c_custkey,
+         round(ST_Distance(ST_GeogPoint(px - 50.0, py * 0.8 - 40.0),
+                           ST_GeogPoint(0.0, 0.0)), 1) AS dist_m,
+         CAST(ST_Distance(ST_Point(px - 50.0, py * 0.8 - 40.0),
+                          ST_Point(0.0, 0.0)) < 1000.0 AS BOOLEAN) AS planar_is_degrees
+  FROM cust_pts WHERE c_custkey < 300
+""", """
+  SELECT c_custkey,
+         round(2.0 * 6371008.8 * asin(least(1.0, sqrt(
+             power(sin(radians((py * 0.8 - 40.0)) / 2.0), 2)
+           + cos(radians(py * 0.8 - 40.0)) * cos(0.0)
+             * power(sin(radians(px - 50.0) / 2.0), 2)))), 1) AS dist_m,
+         true AS planar_is_degrees
+  FROM (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,
+               (c_custkey % 1000) / 10.0 AS py FROM customer) c
+  WHERE c_custkey < 300
+""")
+
+
 def _q_geo_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical distance join (§2.10 geography join): deterministic
     lon/lat from keys, supplier side builds (one cell/row), customer

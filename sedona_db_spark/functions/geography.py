@@ -259,3 +259,153 @@ KERNELS.update({
     "S2_CellIDFromPoint": (k_s2_cellid, T.LongType(), "gi"),
     "S2_CoveringCellIDs": (k_s2_covering, T.ArrayType(T.LongType()), "gi"),
 })
+
+
+# ----------------------------------------------------------------------
+# Same-name dispatch: geography-tagged values -> spherical kernels
+# ----------------------------------------------------------------------
+# The reference gives spherical semantics to the SAME SQL names when the
+# argument type is geography (c/sedona-s2geography/src/kernels.rs:38-757,
+# register.rs:30-59).  Spark SQL function resolution is type-blind over
+# BINARY, so the edge tag rides in the value (core._SD_GEOG, set by
+# ST_GeogFrom*/ST_GeogPoint/ST_ToGeography) and the shared kernels below
+# dispatch per row.
+
+from sedona_db_spark.geom import algorithms as _alg  # noqa: E402
+from sedona_db_spark.geom import core as _core  # noqa: E402
+
+
+def _gnomonic_pair(a: Geom, b: Geom):
+    """Project both geometries onto the gnomonic tangent plane at their
+    joint (vector-mean) centroid, scaled to meters.  Great-circle arcs
+    map to straight lines under the gnomonic projection, so PLANAR
+    topological predicates on the projected geometries give exact
+    spherical-edge answers for inputs inside the tangent hemisphere
+    (the reference evaluates the same predicates on S2 shapes,
+    kernels.rs:68-138)."""
+    va = a.all_coords()[:, :2]
+    vb = b.all_coords()[:, :2]
+    allv = np.radians(np.vstack([va, vb]).astype(np.float64))
+    xyz = np.column_stack([
+        np.cos(allv[:, 1]) * np.cos(allv[:, 0]),
+        np.cos(allv[:, 1]) * np.sin(allv[:, 0]),
+        np.sin(allv[:, 1])])
+    c = xyz.mean(axis=0)
+    nrm = float(np.linalg.norm(c))
+    if nrm < 1e-12:  # antipodal degenerate: keep lon/lat plane
+        return a, b
+    c /= nrm
+    lam0 = math.atan2(c[1], c[0])
+    sin0 = c[2]
+    cos0 = math.sqrt(max(1.0 - sin0 * sin0, 0.0))
+
+    def proj(arr):
+        lam = np.radians(arr[:, 0])
+        phi = np.radians(arr[:, 1])
+        cosc = sin0 * np.sin(phi) + cos0 * np.cos(phi) * np.cos(lam - lam0)
+        cosc = np.maximum(cosc, 1e-9)  # clamp beyond-hemisphere points
+        x = EARTH_RADIUS_M * np.cos(phi) * np.sin(lam - lam0) / cosc
+        y = EARTH_RADIUS_M * (cos0 * np.sin(phi)
+                              - sin0 * np.cos(phi) * np.cos(lam - lam0)) / cosc
+        out = arr.copy()
+        out[:, 0] = x
+        out[:, 1] = y
+        return out
+
+    return _alg.transform_coords(a, proj), _alg.transform_coords(b, proj)
+
+
+def _spherical_pred_kernel(pred_name: str):
+    pred = getattr(_alg, pred_name)
+
+    def run(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        out = []
+        for g1, g2 in zip(_decode(s1), _decode(s2)):
+            if g1 is None or g2 is None:
+                out.append(None)
+            elif g1.is_empty() or g2.is_empty():
+                out.append(pred(g1, g2))
+            else:
+                p1, p2 = _gnomonic_pair(g1, g2)
+                out.append(pred(p1, p2))
+        return pd.Series(out, dtype=object)
+    return run
+
+
+def _k_distance_spherical(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    return _pair_metric(haversine_m)(s1, s2)
+
+
+def _k_dwithin_spherical(s1, s2, d) -> pd.Series:
+    return k_dwithin_sphere(s1, s2, d)
+
+
+def _tags2(s1: pd.Series, s2: pd.Series) -> np.ndarray:
+    return np.array([_core.is_geog_wkb(a) and _core.is_geog_wkb(b)
+                     for a, b in zip(s1, s2)], dtype=bool)
+
+
+def _tags1(s: pd.Series) -> np.ndarray:
+    return np.array([_core.is_geog_wkb(v) for v in s], dtype=bool)
+
+
+def _coerce_args(rest, n):
+    return [r.reset_index(drop=True) if isinstance(r, pd.Series) else r
+            for r in rest]
+
+
+def _sub_args(rest, idx):
+    return [r.iloc[idx].reset_index(drop=True) if isinstance(r, pd.Series)
+            else r for r in rest]
+
+
+def _dispatch(planar_fn, spherical_fn, n_geom: int):
+    """Per-batch router: all-planar and all-geography batches go straight
+    to one kernel; mixed batches compute planar everywhere and overwrite
+    the geography rows (rare in practice — a column is one or the other)."""
+
+    def run(*args):
+        geoms, rest = args[:n_geom], list(args[n_geom:])
+        geoms = [g.reset_index(drop=True) for g in geoms]
+        tags = _tags2(*geoms) if n_geom == 2 else _tags1(geoms[0])
+        rest = _coerce_args(rest, len(geoms[0]))
+        if not tags.any():
+            return planar_fn(*geoms, *rest)
+        if tags.all():
+            return spherical_fn(*geoms, *rest)
+        res = planar_fn(*geoms, *rest).reset_index(drop=True)
+        idx = np.flatnonzero(tags)
+        subs = [g.iloc[idx].reset_index(drop=True) for g in geoms]
+        sph = spherical_fn(*subs, *_sub_args(rest, idx))
+        res.iloc[idx] = sph.values
+        return res
+    return run
+
+
+_SAME_NAME_SPHERICAL: dict[str, tuple] = {
+    # predicates (gnomonic reduction -> planar)
+    "ST_Intersects": (_spherical_pred_kernel("intersects"), 2),
+    "ST_Contains": (_spherical_pred_kernel("contains"), 2),
+    "ST_Within": (_spherical_pred_kernel("within"), 2),
+    "ST_Covers": (_spherical_pred_kernel("covers"), 2),
+    "ST_CoveredBy": (_spherical_pred_kernel("covered_by"), 2),
+    "ST_Touches": (_spherical_pred_kernel("touches"), 2),
+    "ST_Crosses": (_spherical_pred_kernel("crosses"), 2),
+    "ST_Overlaps": (_spherical_pred_kernel("overlaps"), 2),
+    "ST_Equals": (_spherical_pred_kernel("equals"), 2),
+    "ST_Disjoint": (lambda s1, s2: pd.Series(
+        [None if v is None else not v
+         for v in _spherical_pred_kernel("intersects")(s1, s2)],
+        dtype=object), 2),
+    # metrics (meters)
+    "ST_Distance": (_k_distance_spherical, 2),
+    "ST_DWithin": (_k_dwithin_spherical, 2),
+    "ST_Area": (k_area_spheroid, 1),
+    "ST_Length": (k_length_spheroid, 1),
+    "ST_Perimeter": (k_perimeter_spheroid, 1),
+}
+
+for _name, (_sph_fn, _n) in _SAME_NAME_SPHERICAL.items():
+    if _name in KERNELS:
+        _planar_fn, _rtype, _sig = KERNELS[_name]
+        KERNELS[_name] = (_dispatch(_planar_fn, _sph_fn, _n), _rtype, _sig)

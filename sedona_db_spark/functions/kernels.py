@@ -599,6 +599,14 @@ def k_boundary(s):
     return _unary_geom(one)(s)
 
 
+def _tag_geog(res: pd.Series) -> pd.Series:
+    """Mark constructor output as geography (spherical edges) by setting
+    the internal type-word tag — same-name functions dispatch on it
+    (reference Edges::Spherical, c/sedona-s2geography/src/kernels.rs:38)."""
+    return pd.Series([None if b is None else core.set_geog_wkb(b)
+                      for b in res], dtype=object)
+
+
 # registry consumed by register_sql_functions -------------------------------
 # name -> (python kernel, return type, arg spec string)
 # arg spec: 'g' geometry, 'd' double, 'i' int, 's' string, 'a' array<binary>
@@ -606,24 +614,33 @@ KERNELS: dict[str, tuple] = {
     # constructors
     "ST_GeomFromWKT": (k_geomfromwkt, BIN, "s"),
     "ST_GeomFromText": (k_geomfromwkt, BIN, "s"),
-    "ST_GeogFromWKT": (k_geomfromwkt, BIN, "s"),
+    "ST_GeogFromWKT": (lambda s: _tag_geog(k_geomfromwkt(s)), BIN, "s"),
     "ST_GeomFromEWKT": (k_geomfromwkt, BIN, "s"),
     "ST_PointFromText": (k_geomfromwkt, BIN, "s"),
     "ST_LineFromText": (k_geomfromwkt, BIN, "s"),
     "ST_PolygonFromText": (k_geomfromwkt, BIN, "s"),
     "ST_GeomFromWKB": (k_geomfromwkb, BIN, "g"),
     "ST_GeomFromEWKB": (k_geomfromwkb, BIN, "g"),
-    "ST_GeogFromWKB": (k_geomfromwkb, BIN, "g"),
+    "ST_GeogFromWKB": (lambda s: _tag_geog(k_geomfromwkb(s)), BIN, "g"),
     "ST_Point": (k_point, BIN, "dd"),
     "ST_MakePoint": (k_point, BIN, "dd"),
-    "ST_GeogPoint": (k_point, BIN, "dd"),
+    "ST_GeogPoint": (lambda x, y: _tag_geog(k_point(x, y)), BIN, "dd"),
     "ST_PointZ": (k_pointz, BIN, "ddd"),
     "ST_MakeEnvelope": (k_makeenvelope, BIN, "dddd"),
     "ST_MakeLine": (k_makeline_agg, BIN, "a"),
     "ST_AsText": (k_astext, STR, "g"),
     "ST_AsEWKT": (k_astext, STR, "g"),
-    "ST_AsBinary": (lambda s: s, BIN, "g"),
-    "ST_AsEWKB": (lambda s: s, BIN, "g"),
+    # strip the internal geography tag (and, for ISO WKB, the srid) on
+    # export so downstream consumers see standard bytes
+    "ST_AsBinary": (lambda s: pd.Series(
+        [None if b is None else
+         (core.to_wkb(core.from_wkb(bytes(b)), srid=0, spherical=False)
+          if (len(b) > 4 and ((b[4] if b[0] == 1 else b[1]) & 0x30))
+          else b) for b in s], dtype=object), BIN, "g"),
+    "ST_AsEWKB": (lambda s: pd.Series(
+        [None if b is None else
+         (core.clear_geog_wkb(b) if core.is_geog_wkb(b) else b)
+         for b in s], dtype=object), BIN, "g"),
     "ST_AsGeoJSON": (k_asgeojson, STR, "g"),
     # accessors
     "ST_X": (k_x, DBL, "g"),

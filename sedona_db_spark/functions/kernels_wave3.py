@@ -410,8 +410,13 @@ KERNELS.update({
     "ST_Force4D": (_unary_geom(_force_dims(True, True)), BIN, "g"),
     # geography tag flips are metadata-only in our model (edges ride column
     # metadata; WKB payload unchanged) — reference st_togeomgeog.rs
-    "ST_ToGeometry": (lambda s: s, BIN, "g"),
-    "ST_ToGeography": (lambda s: s, BIN, "g"),
+    # flip the edges tag (reference st_togeomgeog.rs: metadata rewrite)
+    "ST_ToGeometry": (lambda s: pd.Series(
+        [None if b is None else core.clear_geog_wkb(b) for b in s],
+        dtype=object), BIN, "g"),
+    "ST_ToGeography": (lambda s: pd.Series(
+        [None if b is None else core.set_geog_wkb(b) for b in s],
+        dtype=object), BIN, "g"),
     "ST_SetCRS": (k_setcrs, BIN, "gs"),
     "ST_CRS": (k_crs, STR, "g"),
     # processing

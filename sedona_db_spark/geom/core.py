@@ -43,14 +43,17 @@ _ST_NAMES = {
 
 
 class Geom:
-    __slots__ = ("gt", "data", "has_z", "has_m", "srid", "_bounds")
+    __slots__ = ("gt", "data", "has_z", "has_m", "srid", "spherical",
+                 "_bounds")
 
-    def __init__(self, gt, data, has_z=False, has_m=False, srid=0):
+    def __init__(self, gt, data, has_z=False, has_m=False, srid=0,
+                 spherical=False):
         self.gt = gt
         self.data = data
         self.has_z = has_z
         self.has_m = has_m
         self.srid = srid
+        self.spherical = spherical  # geography edge tag (see _SD_GEOG)
         self._bounds = None  # memoized (xmin, ymin, xmax, ymax); Geoms are
         # treated as immutable after construction (editors build new ones)
 
@@ -197,6 +200,12 @@ def empty(gt=GEOMETRYCOLLECTION):
 _EWKB_Z = 0x80000000
 _EWKB_M = 0x40000000
 _EWKB_SRID = 0x20000000
+# internal edges tag: geography (spherical edges) values carry this bit in
+# the WKB type word.  The reference keeps Edges::Spherical in the Arrow
+# type (rust/sedona-schema/src/datatypes.rs); Spark SQL functions are
+# type-blind over BINARY, so the tag must ride in the value.  0x10000000
+# is unused by both ISO WKB and PostGIS EWKB; ST_AsBinary/AsEWKB strip it.
+_SD_GEOG = 0x10000000
 
 
 def _read_header(buf: BytesIO):
@@ -207,6 +216,8 @@ def _read_header(buf: BytesIO):
     (code,) = struct.unpack(endian + "I", buf.read(4))
     srid = 0
     has_z = has_m = False
+    spherical = bool(code & _SD_GEOG)
+    code &= ~_SD_GEOG
     if code & _EWKB_SRID:
         (srid,) = struct.unpack(endian + "I", buf.read(4))
         code &= ~_EWKB_SRID
@@ -225,7 +236,7 @@ def _read_header(buf: BytesIO):
     elif iso == 3:
         has_z = has_m = True
     base = code % 1000
-    return endian, base, has_z, has_m, srid
+    return endian, base, has_z, has_m, srid, spherical
 
 
 def _read_coords(buf, endian, n, k):
@@ -235,33 +246,34 @@ def _read_coords(buf, endian, n, k):
 
 
 def _parse_body(buf: BytesIO):
-    endian, base, has_z, has_m, srid = _read_header(buf)
+    endian, base, has_z, has_m, srid, sph = _read_header(buf)
     k = 2 + has_z + has_m
     if base == POINT:
         coords = _read_coords(buf, endian, 1, k)[0]
         if np.all(np.isnan(coords)):
-            return Geom(POINT, None, has_z, has_m, srid)
-        return Geom(POINT, coords, has_z, has_m, srid)
+            return Geom(POINT, None, has_z, has_m, srid, sph)
+        return Geom(POINT, coords, has_z, has_m, srid, sph)
     if base == LINESTRING:
         (n,) = struct.unpack(endian + "I", buf.read(4))
-        return Geom(LINESTRING, _read_coords(buf, endian, n, k), has_z, has_m, srid)
+        return Geom(LINESTRING, _read_coords(buf, endian, n, k), has_z, has_m,
+                    srid, sph)
     if base == POLYGON:
         (nr,) = struct.unpack(endian + "I", buf.read(4))
         rings = []
         for _ in range(nr):
             (n,) = struct.unpack(endian + "I", buf.read(4))
             rings.append(_read_coords(buf, endian, n, k))
-        return Geom(POLYGON, rings, has_z, has_m, srid)
+        return Geom(POLYGON, rings, has_z, has_m, srid, sph)
     if base in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
         (np_,) = struct.unpack(endian + "I", buf.read(4))
         subs = [_parse_body(buf) for _ in range(np_)]
         if base == MULTIPOINT:
-            return Geom(MULTIPOINT, [s.data for s in subs], has_z, has_m, srid)
+            return Geom(MULTIPOINT, [s.data for s in subs], has_z, has_m, srid, sph)
         if base == MULTILINESTRING:
-            return Geom(MULTILINESTRING, [s.data for s in subs], has_z, has_m, srid)
+            return Geom(MULTILINESTRING, [s.data for s in subs], has_z, has_m, srid, sph)
         if base == MULTIPOLYGON:
-            return Geom(MULTIPOLYGON, [s.data for s in subs], has_z, has_m, srid)
-        return Geom(GEOMETRYCOLLECTION, subs, has_z, has_m, srid)
+            return Geom(MULTIPOLYGON, [s.data for s in subs], has_z, has_m, srid, sph)
+        return Geom(GEOMETRYCOLLECTION, subs, has_z, has_m, srid, sph)
     raise ValueError(f"unsupported WKB geometry type {base}")
 
 
@@ -273,13 +285,14 @@ def _iso_code(gt, has_z, has_m):
     return gt + 1000 * (1 if has_z and not has_m else 2 if has_m and not has_z else 3 if has_z and has_m else 0)
 
 
-def _write_body(g: Geom, out: bytearray, srid: int = 0):
+def _write_body(g: Geom, out: bytearray, srid: int = 0, spherical: bool = False):
     code = _iso_code(g.gt, g.has_z, g.has_m)
+    tag = _SD_GEOG if spherical else 0
     if srid:
-        out += struct.pack("<BI", 1, (g.gt | _EWKB_SRID | (_EWKB_Z if g.has_z else 0) | (_EWKB_M if g.has_m else 0)))
+        out += struct.pack("<BI", 1, (g.gt | tag | _EWKB_SRID | (_EWKB_Z if g.has_z else 0) | (_EWKB_M if g.has_m else 0)))
         out += struct.pack("<I", srid)
     else:
-        out += struct.pack("<BI", 1, code)
+        out += struct.pack("<BI", 1, code | tag)
     k = g.ndim
     if g.gt == POINT:
         if g.data is None:
@@ -307,10 +320,43 @@ def _write_body(g: Geom, out: bytearray, srid: int = 0):
             _write_body(sub, out)
 
 
-def to_wkb(g: Geom, srid: int = 0) -> bytes:
+def to_wkb(g: Geom, srid: int | None = None, spherical: bool | None = None) -> bytes:
+    """Serialize; srid/spherical default to the Geom's own tags so the
+    geography edge tag survives every kernel's decode->compute->encode
+    cycle (reference carries Edges in the type; pass srid=0/
+    spherical=False explicitly to emit untagged standard WKB)."""
     out = bytearray()
-    _write_body(g, out, srid=srid)
+    _write_body(g, out,
+                srid=(g.srid if srid is None else srid),
+                spherical=(g.spherical if spherical is None else spherical))
     return bytes(out)
+
+
+def is_geog_wkb(b) -> bool:
+    """True if the WKB value carries the internal geography edge tag."""
+    if b is None or len(b) < 5:
+        return False
+    hi = b[4] if b[0] == 1 else b[1]  # high byte of the type word
+    return bool(hi & 0x10)
+
+
+def set_geog_wkb(b) -> bytes:
+    """Set the geography tag by patching the type-word high byte."""
+    ba = bytearray(b)
+    if ba[0] == 1:
+        ba[4] |= 0x10
+    else:
+        ba[1] |= 0x10
+    return bytes(ba)
+
+
+def clear_geog_wkb(b) -> bytes:
+    ba = bytearray(b)
+    if ba[0] == 1:
+        ba[4] &= 0xEF
+    else:
+        ba[1] &= 0xEF
+    return bytes(ba)
 
 
 # ---- vectorized point fast path --------------------------------------

@@ -74,3 +74,56 @@ def test_covering_cells_bucket_join_shape(spark):
     poly_cells = one(spark, "S2_CoveringCellIDs(ST_MakeEnvelope(2.0, 48.0, 3.0, 49.0), 7)")
     pt_cell = one(spark, "S2_CellIDFromPoint(ST_Point(2.35, 48.85), 7)")
     assert pt_cell in poly_cells
+
+
+def test_same_name_dispatch_metrics(spark):
+    """Geography-tagged args give the SAME SQL names spherical semantics
+    (reference kernels.rs:38); untagged stay planar."""
+    r = spark.sql("""
+      SELECT ST_Distance(ST_Point(0.0,0.0), ST_Point(1.0,0.0)) AS pd,
+             ST_Distance(ST_GeogPoint(0.0,0.0), ST_GeogPoint(1.0,0.0)) AS gd,
+             ST_Area(ST_GeomFromWKT('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')) AS pa,
+             ST_Area(ST_GeogFromWKT('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')) AS ga,
+             ST_DWithin(ST_GeogPoint(0.0,0.0), ST_GeogPoint(1.0,0.0), 112000.0) AS gdw,
+             ST_Length(ST_GeogFromWKT('LINESTRING (0 0, 1 0)')) AS gl
+    """).first()
+    assert r["pd"] == pytest.approx(1.0)
+    assert r["gd"] == pytest.approx(111_195, rel=0.01)
+    assert r["pa"] == pytest.approx(1.0)
+    assert r["ga"] == pytest.approx(12.36e9, rel=0.01)
+    assert r["gdw"] is True
+    assert r["gl"] == pytest.approx(111_195, rel=0.01)
+
+
+def test_same_name_dispatch_predicates_great_circle(spark):
+    """Spherical edges bulge poleward: a point above the planar chord at
+    60N is inside the geography polygon but outside the geometry one —
+    the same name must answer differently by edge type."""
+    r = spark.sql("""
+      SELECT ST_Contains(ST_GeogFromWKT('POLYGON ((-10 40, 10 40, 10 60, -10 60, -10 40))'),
+                         ST_GeogPoint(0.0, 60.3)) AS g_in,
+             ST_Contains(ST_GeomFromWKT('POLYGON ((-10 40, 10 40, 10 60, -10 60, -10 40))'),
+                         ST_Point(0.0, 60.3)) AS p_in,
+             ST_Intersects(ST_GeogFromWKT('POLYGON ((0 50, 10 50, 10 60, 0 60, 0 50))'),
+                           ST_GeogFromWKT('LINESTRING (0 55, 10 55)')) AS g_int,
+             ST_Disjoint(ST_GeogPoint(0.0, 0.0), ST_GeogPoint(10.0, 10.0)) AS g_dis
+    """).first()
+    assert r["g_in"] is True and r["p_in"] is False
+    assert r["g_int"] is True and r["g_dis"] is True
+
+
+def test_geography_tag_plumbing(spark):
+    """ToGeography/ToGeometry flip the tag; AsBinary/AsEWKB emit
+    standard untagged bytes; AsText unaffected."""
+    r = spark.sql("""
+      SELECT length(ST_AsBinary(ST_GeogPoint(1.0, 2.0))) AS bl,
+             ST_AsText(ST_GeogPoint(1.0, 2.0)) AS txt,
+             ST_Distance(ST_ToGeometry(ST_GeogPoint(0.0, 0.0)),
+                         ST_ToGeometry(ST_GeogPoint(1.0, 0.0))) AS back_planar,
+             ST_Distance(ST_ToGeography(ST_Point(0.0, 0.0)),
+                         ST_ToGeography(ST_Point(1.0, 0.0))) AS to_sphere
+    """).first()
+    assert r["bl"] == 21  # standard 2-D point WKB, tag stripped
+    assert r["txt"] == "POINT (1 2)"
+    assert r["back_planar"] == pytest.approx(1.0)
+    assert r["to_sphere"] == pytest.approx(111_195, rel=0.01)
