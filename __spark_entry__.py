@@ -1477,6 +1477,34 @@ _O["csv_geometry_roundtrip"] = """
 """
 
 
+def _q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native GeoJSON sink/source (reference reads via pyogrio/GDAL,
+    context.py:313; implemented from RFC 7946 here): write nation boxes
+    as newline-delimited features, read back, re-derive exact areas and
+    vertex counts."""
+    import tempfile
+    from pyspark.sql import functions as F
+    from sedona_db_spark.sources.geojson import read_geojson, write_geojson
+    boxes = spark.table("nation_boxes").select("n_nationkey", "geom")
+    path = tempfile.mkdtemp(prefix="gjgeo_") + "/boxes"
+    write_geojson(boxes, path)
+    back = read_geojson(spark, path)
+    from sedona_db_spark.functions import get_udf
+    area = get_udf("ST_Area")
+    npts = get_udf("ST_NPoints")
+    return back.select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        F.round(area(F.col("geom")), 6).alias("area"),
+        npts(F.col("geom")).cast("int").alias("np"))
+
+
+_PY["geojson_roundtrip"] = _q_geojson_roundtrip
+_O["geojson_roundtrip"] = """
+  SELECT CAST(n_nationkey AS INT) AS n_nationkey, 400.0 AS area, 5 AS np
+  FROM nation
+"""
+
+
 # ST_Dump: explode a per-nation MULTIPOINT back into its parts; the part
 # count and coordinate sum are SQL-derivable from the generator.
 def _q_st_dump_explode(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -192,3 +192,61 @@ def test_geoparquet_spatial_sort_clusters(spark, tmp_path):
         widths.append(xmax - xmin)
     if len(widths) > 2:
         assert sorted(widths)[len(widths) // 2] < 100.0  # median file < global extent
+
+
+def test_geojson_roundtrip_seq_and_collection(spark, tmp_path):
+    """Native GeoJSON source/sink: property schema inference, WKB
+    geometry, both layouts (GeoJSONSeq lines and FeatureCollection)."""
+    from sedona_db_spark.sources.geojson import read_geojson, write_geojson
+    df = spark.sql("""
+      SELECT id, concat('n_', id) AS name, CAST(id * 1.5 AS DOUBLE) AS score,
+             ST_MakeEnvelope(CAST(id AS DOUBLE), 0.0D,
+                             CAST(id + 1 AS DOUBLE), 1.0D) AS geom
+      FROM range(5) t(id)""")
+    p1 = str(tmp_path / "seq")
+    write_geojson(df, p1)
+    back = read_geojson(spark, p1)
+    assert set(back.columns) == {"id", "name", "score", "geom"}
+    rows = {r["id"]: r for r in
+            back.selectExpr("id", "name", "score",
+                            "ST_AsText(geom) AS wkt").collect()}
+    assert len(rows) == 5
+    assert rows[2]["name"] == "n_2" and rows[2]["score"] == 3.0
+    assert rows[2]["wkt"] == "POLYGON ((2 0, 3 0, 3 1, 2 1, 2 0))"
+    # FeatureCollection output: every part file is a valid JSON document
+    import glob
+    import json as _json
+    p2 = str(tmp_path / "fc")
+    write_geojson(df.coalesce(1), p2, feature_collection=True)
+    part = [f for f in glob.glob(p2 + "/part-*") if not f.endswith(".crc")][0]
+    doc = _json.load(open(part))
+    assert doc["type"] == "FeatureCollection" and len(doc["features"]) == 5
+    assert read_geojson(spark, p2).count() == 5
+
+
+def test_geojson_reads_external_featurecollection(spark, tmp_path):
+    """Hand-written FeatureCollection (nulls, mixed property sets,
+    geometry collection) parses; missing properties are null."""
+    import json as _json
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+         "properties": {"a": 1, "b": "x"}},
+        {"type": "Feature", "geometry": None, "properties": {"a": None, "b": "y"}},
+        {"type": "Feature",
+         "geometry": {"type": "GeometryCollection", "geometries": [
+             {"type": "Point", "coordinates": [0.0, 0.0]},
+             {"type": "LineString", "coordinates": [[0.0, 0.0], [1.0, 1.0]]}]},
+         "properties": {"a": 3, "b": None}},
+    ]}
+    d = tmp_path / "ext"
+    d.mkdir()
+    (d / "data.geojson").write_text(_json.dumps(fc))
+    from sedona_db_spark.sources.geojson import read_geojson
+    back = read_geojson(spark, str(d))
+    rows = sorted(back.collect(), key=lambda r: (r["a"] is None, r["a"]))
+    assert [r["a"] for r in rows] == [1, 3, None]
+    assert rows[2]["geom"] is None
+    wkts = {r["a"]: r for r in
+            back.selectExpr("a", "ST_AsText(geom) AS w").collect()}
+    assert wkts[1]["w"] == "POINT (1 2)"
+    assert wkts[3]["w"].startswith("GEOMETRYCOLLECTION")
