@@ -58,6 +58,7 @@ def write_geoparquet(
     embed_footer: bool = True,
     partition_by: list[str] | None = None,
     sort_spatially: bool = False,
+    spatial_partitions: int | None = None,
     mode: str = "overwrite",
 ) -> None:
     """Write a DataFrame with WKB geometry column(s) as GeoParquet.
@@ -80,10 +81,15 @@ def write_geoparquet(
     if sort_spatially:
         from sedona_db_spark.functions import get_udf
         first_geom = next(iter(geom_cols))
-        df = df.withColumn("__hkey", get_udf("SD_Order")(F.col(first_geom))) \
-               .repartitionByRange("__hkey") \
-               .sortWithinPartitions("__hkey") \
-               .drop("__hkey")
+        df = df.withColumn("__hkey", get_udf("SD_Order")(F.col(first_geom)))
+        # explicit partition count bypasses AQE shuffle coalescing so
+        # small datasets still yield per-extent files (file-skip tests);
+        # at scale leave it None and let AQE size the files
+        if spatial_partitions is not None:
+            df = df.repartitionByRange(spatial_partitions, "__hkey")
+        else:
+            df = df.repartitionByRange("__hkey")
+        df = df.sortWithinPartitions("__hkey").drop("__hkey")
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -92,27 +98,102 @@ def write_geoparquet(
     with open(os.path.join(path, SIDECAR), "w") as f:
         json.dump(meta, f)
     if embed_footer:
-        _embed_geo_footer(path, meta)
+        _embed_geo_footer(path, meta, bbox_cols)
 
 
-def _embed_geo_footer(path: str, meta: dict) -> None:
-    """Driver-side post-pass stamping the `geo` key into each footer."""
+def _file_bbox_from_table(t, bbox_cols: dict[str, str]) -> list | None:
+    """[xmin, ymin, xmax, ymax] of one file from its bbox struct column."""
+    if not bbox_cols:
+        return None
+    bname = next(iter(bbox_cols.values()))
+    if bname not in t.column_names:
+        return None
+    col = t.column(bname)
+    try:
+        import pyarrow.compute as pc
+        vals = [pc.min(pc.struct_field(col, f)).as_py() for f in ("xmin", "ymin")]
+        vals += [pc.max(pc.struct_field(col, f)).as_py() for f in ("xmax", "ymax")]
+    except Exception:
+        return None
+    if any(v is None for v in vals):
+        return None
+    return [float(v) for v in vals]
+
+
+def _embed_geo_footer(path: str, meta: dict,
+                      bbox_cols: dict[str, str] | None = None) -> None:
+    """Driver-side post-pass stamping the `geo` key into each footer.
+
+    Each file's footer gets ITS OWN bbox (GeoParquet per-file `bbox`
+    field) computed from the covering column, and the sidecar collects a
+    {relative file: bbox} map — the listing-time index for
+    `read_geoparquet(bbox=...)` file skips (reference layer 1,
+    file_opener.rs:289-313)."""
     import pyarrow.parquet as pq
+    file_boxes: dict[str, list] = {}
     for fp in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
         t = pq.read_table(fp)
+        fmeta = json.loads(json.dumps(meta))  # per-file copy
+        fb = _file_bbox_from_table(t, bbox_cols or {})
+        if fb is not None:
+            for entry in fmeta["columns"].values():
+                entry["bbox"] = fb
+            file_boxes[os.path.relpath(fp, path)] = fb
         md = dict(t.schema.metadata or {})
-        md[b"geo"] = json.dumps(meta).encode()
+        md[b"geo"] = json.dumps(fmeta).encode()
         pq.write_table(t.replace_schema_metadata(md), fp)
         # Hadoop LocalFS checksums are stale after the rewrite
         crc = os.path.join(os.path.dirname(fp), "." + os.path.basename(fp) + ".crc")
         if os.path.exists(crc):
             os.remove(crc)
+    if file_boxes:
+        meta["file_bboxes"] = file_boxes
+        with open(os.path.join(path, SIDECAR), "w") as f:
+            json.dump(meta, f)
 
 
-def read_geoparquet(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+def _prune_files_by_bbox(path: str, meta: dict, bbox) -> list[str] | None:
+    """Listing-time file skip (reference layer 1, file_opener.rs:289-313):
+    keep only files whose footer bbox intersects the query bbox.  Uses
+    the sidecar map when present, else one footer-only read per file.
+    Files with no bbox info are conservatively kept.  Returns None when
+    nothing can be pruned (no per-file info at all)."""
+    xmin, ymin, xmax, ymax = bbox
+    file_boxes = meta.get("file_bboxes")
+    if file_boxes is None:
+        import pyarrow.parquet as pq
+        file_boxes = {}
+        for fp in glob.glob(os.path.join(path, "**", "*.parquet"),
+                            recursive=True):
+            md = pq.read_schema(fp).metadata or {}
+            if b"geo" in md:
+                fm = json.loads(md[b"geo"])
+                for entry in (fm.get("columns") or {}).values():
+                    if "bbox" in entry:
+                        file_boxes[os.path.relpath(fp, path)] = entry["bbox"]
+                        break
+    if not file_boxes:
+        return None
+    kept = []
+    for fp in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        fb = file_boxes.get(os.path.relpath(fp, path))
+        if fb is None or not (fb[0] > xmax or fb[2] < xmin or
+                              fb[1] > ymax or fb[3] < ymin):
+            kept.append(fp)
+    return kept
+
+
+def read_geoparquet(spark: SparkSession, path: str,
+                    bbox: tuple | None = None) -> tuple[DataFrame, dict]:
     """Read (Geo)Parquet; returns (df, geo_metadata).  Geometry columns get
-    Spark column metadata {'udt': 'geometry', 'crs': ...} re-stamped."""
-    df = spark.read.parquet(path)
+    Spark column metadata {'udt': 'geometry', 'crs': ...} re-stamped.
+
+    With ``bbox=(xmin, ymin, xmax, ymax)`` whole files whose footer bbox
+    is disjoint from the query window are skipped BEFORE Spark lists
+    their row groups — at 100 TB the file-level skip (layer 1) removes
+    far more IO than row-group stats alone; combine with
+    ``spatial_filter`` for the row-group (layer 2) + exact (layer 3)
+    refinements."""
     meta = {}
     sidecar = os.path.join(path, SIDECAR)
     if os.path.exists(sidecar):
@@ -125,6 +206,18 @@ def read_geoparquet(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
             md = pq.read_schema(files[0]).metadata or {}
             if b"geo" in md:
                 meta = json.loads(md[b"geo"])
+    if bbox is not None:
+        kept = _prune_files_by_bbox(path, meta, bbox)
+        if kept is not None:
+            if not kept:
+                # all files pruned: empty frame with the dataset schema
+                df = spark.read.parquet(path).limit(0)
+            else:
+                df = spark.read.parquet(*kept)
+        else:
+            df = spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
     for c, entry in (meta.get("columns") or {}).items():
         if c in df.columns:
             df = df.withMetadata(c, {"udt": "geometry",

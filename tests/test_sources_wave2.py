@@ -250,3 +250,33 @@ def test_geojson_reads_external_featurecollection(spark, tmp_path):
             back.selectExpr("a", "ST_AsText(geom) AS w").collect()}
     assert wkts[1]["w"] == "POINT (1 2)"
     assert wkts[3]["w"].startswith("GEOMETRYCOLLECTION")
+
+
+def test_geoparquet_file_level_bbox_skip(spark, tmp_path):
+    """Layer-1 pruning (reference file_opener.rs:289-313): files whose
+    footer bbox is disjoint from the query window are skipped at listing
+    time, before any row group is read."""
+    from sedona_db_spark.sources.geoparquet import (
+        read_geoparquet, spatial_filter, write_geoparquet)
+    df = spark.sql("""
+      SELECT id, ST_Point(CAST(id % 4 AS DOUBLE) * 100.0
+                          + CAST(id AS DOUBLE) / 100.0,
+                          CAST(id % 4 AS DOUBLE) * 100.0) AS geom
+      FROM range(400) t(id)""").repartition(4, "id")
+    p = str(tmp_path / "d")
+    write_geoparquet(df, p, sort_spatially=True, spatial_partitions=4)
+    full, meta = read_geoparquet(spark, p)
+    n_total = len(full.inputFiles())
+    assert n_total >= 2
+    assert len(meta.get("file_bboxes", {})) == n_total  # every file indexed
+    # window over one cluster: fewer files listed, same filtered answer
+    pruned, _ = read_geoparquet(spark, p, bbox=(-10, -10, 50, 50))
+    assert len(pruned.inputFiles()) < n_total
+    got = spatial_filter(pruned, "geom", -10, -10, 50, 50) \
+        .selectExpr("count(*) AS n", "sum(id) AS s").first()
+    exp = spatial_filter(full, "geom", -10, -10, 50, 50) \
+        .selectExpr("count(*) AS n", "sum(id) AS s").first()
+    assert (got["n"], got["s"]) == (exp["n"], exp["s"]) == (100, sum(range(0, 400, 4)))
+    # fully disjoint window: everything pruned, schema preserved
+    none, _ = read_geoparquet(spark, p, bbox=(5000, 5000, 6000, 6000))
+    assert none.count() == 0 and set(none.columns) >= {"id", "geom"}
