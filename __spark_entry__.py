@@ -1849,6 +1849,44 @@ _O["raster_world_coords"] = """
   FROM nation
 """
 
+def _q_raster_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native GeoTIFF codec (sources/geotiff.py; reference does this via
+    GDAL, sedona-raster-gdal/src/lib.rs): rasterize nation boxes, encode
+    to uncompressed GeoTIFF bytes, decode back, and re-read pixel stats +
+    geotransform through the accessors."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions import raster as rs
+    boxes = spark.table("nation_boxes")
+    rast = boxes.select(
+        "n_nationkey", "geom",
+        rs.as_raster(F.col("geom"), 8, 8,
+                     F.col("n_nationkey").cast("double") + 1.0).alias("r"))
+    back = rast.select(
+        "n_nationkey", "geom",
+        rs.from_geotiff(rs.as_geotiff(F.col("r"))).alias("r2"),
+        F.length(rs.as_geotiff(F.col("r"))).alias("nbytes"))
+    r2 = F.col("r2")
+    zs = rs.zonal_stats(r2, F.col("geom"), 1)
+    return back.select(
+        "n_nationkey",
+        rs.width(r2).alias("w"),
+        F.round(rs.scale_x(r2), 6).alias("sx"),
+        F.round(rs.upper_left_x(r2), 6).alias("ulx"),
+        zs["count"].alias("pix_count"),
+        F.round(zs["sum"], 6).alias("pix_sum"),
+        (F.col("nbytes") > 8 * 8 * 8).alias("has_payload"))
+
+
+_PY["raster_geotiff_roundtrip"] = _q_raster_geotiff_roundtrip
+_O["raster_geotiff_roundtrip"] = """
+  SELECT n_nationkey, CAST(8 AS BIGINT) AS w, 2.5 AS sx,
+         round(CAST(n_nationkey % 5 AS DOUBLE) * 20.0, 6) AS ulx,
+         CAST(64 AS BIGINT) AS pix_count,
+         round(64.0 * (n_nationkey + 1.0), 6) AS pix_sum,
+         true AS has_payload
+  FROM nation
+"""
+
 # ======================================================================
 # entry points
 # ======================================================================

@@ -638,22 +638,64 @@ def ensure_loaded(r) -> Column:
     return _rs_ensure_loaded_udf(r)
 
 
-def as_geotiff(r) -> Column:  # pragma: no cover - gated stub
-    """RS_AsGeoTIFF — needs GDAL/rasterio, absent here; plumbing only."""
-    raise NotImplementedError(
-        "RS_AsGeoTIFF requires rasterio/GDAL (not in this container); "
-        "the raster struct + tile/clip plumbing is implemented and tested")
+@F.pandas_udf(T.BinaryType())
+def _rs_as_geotiff_udf(rs: pd.Series) -> pd.Series:
+    from sedona_db_spark.sources.geotiff import encode_geotiff
+    out = []
+    for r in _iter_struct(rs):
+        out.append(None if r is None else encode_geotiff(r))
+    return pd.Series(out, dtype=object)
 
 
-def from_path(spark: SparkSession, path: str) -> DataFrame:  # pragma: no cover
-    """RS_FromPath — gated on rasterio; real plumbing = binaryFile listing
-    + mapInPandas decode so each file decodes executor-side."""
-    try:
-        import rasterio  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "RS_FromPath requires rasterio; on a real cluster this reads "
-            "spark.read.format('binaryFile') and decodes per-executor") from exc
+def as_geotiff(r) -> Column:
+    """RS_AsGeoTIFF: raster struct -> uncompressed GeoTIFF bytes.
+
+    Native codec (sources/geotiff.py) from the public TIFF 6.0 / OGC
+    GeoTIFF specs — the reference shells out to GDAL
+    (rust/sedona-raster-gdal/src/lib.rs:21-35), which is absent here;
+    compressed output still needs GDAL on the cluster."""
+    return _rs_as_geotiff_udf(r)
+
+
+@F.pandas_udf(RASTER_TYPE)
+def _rs_from_geotiff_udf(b: pd.Series) -> pd.DataFrame:
+    from sedona_db_spark.sources.geotiff import decode_geotiff
+    out = []
+    for v in b:
+        out.append(None if v is None else decode_geotiff(bytes(v)))
+    return _struct_out(out)
+
+
+def from_geotiff(b) -> Column:
+    """RS_FromGeoTIFF: GeoTIFF bytes -> raster struct (uncompressed,
+    strip-layout; tiled/compressed raise toward the GDAL path)."""
+    return _rs_from_geotiff_udf(b)
+
+
+def from_path(spark: SparkSession, path: str) -> DataFrame:
+    """RS_FromPath: distributed GeoTIFF directory read.
+
+    Spark lists the files (binaryFile source: path, length, bytes) and
+    each task decodes its files executor-side with the native codec —
+    the same plumbing the reference's GDAL loader would use, with no
+    driver-side IO.  Compressed/tiled files raise; install rasterio on
+    a real cluster and swap the decode in ensure_loaded for those."""
+    files = spark.read.format("binaryFile") \
+        .option("pathGlobFilter", "*.tif*").load(path) \
+        .select("path", "content")
+    out_schema = T.StructType([T.StructField("path", T.StringType())]
+                              + list(RASTER_TYPE.fields))
+
+    def decode(batches):
+        from sedona_db_spark.sources.geotiff import decode_geotiff
+        for pdf in batches:
+            rows = []
+            for p, c in zip(pdf["path"], pdf["content"]):
+                r = decode_geotiff(bytes(c))
+                rows.append({"path": p, **r})
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return files.mapInPandas(decode, schema=out_schema)
 
 
 # ----------------------------------------------------------------------
@@ -756,6 +798,8 @@ def register(spark: SparkSession) -> None:
     spark.udf.register("RS_Clip", _rs_clip_udf)
     spark.udf.register("RS_Tile", _rs_tile_udf)
     spark.udf.register("RS_AsRaster", _rs_asraster_udf)
+    spark.udf.register("RS_AsGeoTIFF", _rs_as_geotiff_udf)
+    spark.udf.register("RS_FromGeoTIFF", _rs_from_geotiff_udf)
     register_sql_accessors(spark)
 
 

@@ -1,0 +1,242 @@
+"""Native GeoTIFF codec (uncompressed baseline TIFF + GeoTIFF tags).
+
+Reference raster IO goes through GDAL
+(/root/reference/rust/sedona-raster-gdal/src/lib.rs:21-35); GDAL and
+rasterio are unavailable in this environment, so the subset that does
+not need a compression library — baseline little-endian TIFF, strip
+layout, uncompressed — is implemented directly from the public TIFF 6.0
+and GeoTIFF 1.1 (OGC 19-008r4) specifications.  Compressed or tiled
+inputs raise with a clear message (the GDAL path remains the scale-out
+answer for exotic files).
+
+Encode: one strip per band plane (PlanarConfiguration=2), SampleFormat/
+BitsPerSample from the numpy dtype, ModelPixelScale+ModelTiepoint (or
+ModelTransformation when the geotransform has skew), minimal GeoKey
+directory carrying the EPSG code.
+
+Decode: first IFD, strip or single-plane data, PlanarConfiguration 1
+(pixel-interleaved) and 2 (planar), geotransform and CRS recovered from
+the GeoTIFF tags.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# TIFF tag ids
+_W, _H = 256, 257
+_BITS, _COMP, _PHOTO = 258, 259, 262
+_STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
+_PLANAR, _SAMPLE_FMT = 284, 339
+_TILE_W = 322
+_MODEL_SCALE, _MODEL_TIEPOINT, _MODEL_TRANSFORM = 33550, 33922, 34264
+_GEO_KEYS = 34735
+
+_TYPE_SHORT, _TYPE_LONG, _TYPE_DOUBLE = 3, 4, 12
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+               10: 8, 11: 4, 12: 8}
+
+_FMT_OF_KIND = {"u": 1, "i": 2, "f": 3}
+_KIND_OF_FMT = {1: "u", 2: "i", 3: "f"}
+
+
+def _geo_keys(crs: str) -> list[int]:
+    code = 0
+    if crs and crs.upper().startswith("EPSG:"):
+        try:
+            code = int(crs.split(":")[1])
+        except ValueError:
+            code = 0
+    geographic = code == 4326
+    keys = [(1025, 0, 1, 1)]  # GTRasterType = PixelIsArea
+    if geographic:
+        keys.insert(0, (1024, 0, 1, 2))        # GTModelType geographic
+        keys.append((2048, 0, 1, code))        # GeographicTypeGeoKey
+    else:
+        keys.insert(0, (1024, 0, 1, 1))        # projected
+        if code:
+            keys.append((3072, 0, 1, code))    # ProjectedCSTypeGeoKey
+    out = [1, 1, 0, len(keys)]
+    for k in keys:
+        out.extend(k)
+    return out
+
+
+def encode_geotiff(row) -> bytes:
+    """Raster struct row (RASTER_TYPE dict) -> uncompressed GeoTIFF bytes."""
+    from sedona_db_spark.functions.raster import _band_array, _raster_fields
+    t, w, h = _raster_fields(row)
+    arrays = []
+    for b in row["bands"]:
+        a = _band_array(b)
+        if a is None:
+            raise ValueError("band has no in-db data (run RS_EnsureLoaded first)")
+        arrays.append(np.ascontiguousarray(a.reshape(h, w)))
+    if not arrays:
+        raise ValueError("raster has no bands")
+    dt = np.result_type(*[a.dtype for a in arrays])
+    if dt.kind not in _FMT_OF_KIND:
+        dt = np.dtype(np.float64)
+    arrays = [a.astype(dt.newbyteorder("<"), copy=False) for a in arrays]
+    n = len(arrays)
+    bits = dt.itemsize * 8
+
+    entries: list[tuple[int, int, list]] = [
+        (_W, _TYPE_LONG, [w]),
+        (_H, _TYPE_LONG, [h]),
+        (_BITS, _TYPE_SHORT, [bits] * n),
+        (_COMP, _TYPE_SHORT, [1]),
+        (_PHOTO, _TYPE_SHORT, [1]),
+        (_STRIP_OFF, _TYPE_LONG, [0] * n),     # patched below
+        (_SPP, _TYPE_SHORT, [n]),
+        (_ROWS_PER_STRIP, _TYPE_LONG, [h]),
+        (_STRIP_CNT, _TYPE_LONG, [w * h * dt.itemsize] * n),
+        (_PLANAR, _TYPE_SHORT, [2]),
+        (_SAMPLE_FMT, _TYPE_SHORT, [_FMT_OF_KIND[dt.kind]] * n),
+    ]
+    ulx, sx, kx, uly, ky, sy = t
+    if kx == 0.0 and ky == 0.0:
+        entries.append((_MODEL_SCALE, _TYPE_DOUBLE, [sx, -sy, 0.0]))
+        entries.append((_MODEL_TIEPOINT, _TYPE_DOUBLE,
+                        [0.0, 0.0, 0.0, ulx, uly, 0.0]))
+    else:
+        entries.append((_MODEL_TRANSFORM, _TYPE_DOUBLE,
+                        [sx, kx, 0.0, ulx, ky, sy, 0.0, uly,
+                         0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]))
+    entries.append((_GEO_KEYS, _TYPE_SHORT, _geo_keys(row["crs"])))
+    entries.sort(key=lambda e: e[0])
+
+    # layout: header(8) | IFD | out-of-line values | strip data.
+    # Pass 1 assigns out-of-line offsets, which fixes data_off, which
+    # gives the strip offsets; pass 2 packs with the real values.
+    ifd_off = 8
+    ifd_size = 2 + len(entries) * 12 + 4
+    val_off = ifd_off + ifd_size
+    for tag, typ, vals in entries:
+        size = _TYPE_SIZES[typ] * len(vals)
+        if size > 4:
+            val_off += size
+    data_off = val_off
+    strip_offsets = []
+    off = data_off
+    for a in arrays:
+        strip_offsets.append(off)
+        off += a.nbytes
+    entries = [(tag, typ, strip_offsets if tag == _STRIP_OFF else vals)
+               for tag, typ, vals in entries]
+
+    packed: list[bytes] = []
+    overflow: list[bytes] = []
+    val_off = ifd_off + ifd_size
+    for tag, typ, vals in entries:
+        fmt = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_DOUBLE: "d"}[typ]
+        raw = struct.pack("<%d%s" % (len(vals), fmt), *vals)
+        if len(raw) <= 4:
+            packed.append(struct.pack("<HHI", tag, typ, len(vals))
+                          + raw.ljust(4, b"\0"))
+        else:
+            packed.append(struct.pack("<HHII", tag, typ, len(vals), val_off))
+            overflow.append(raw)
+            val_off += len(raw)
+
+    out = bytearray()
+    out += b"II*\0" + struct.pack("<I", ifd_off)
+    out += struct.pack("<H", len(entries))
+    out += b"".join(packed)
+    out += struct.pack("<I", 0)  # no next IFD
+    out += b"".join(overflow)
+    for a in arrays:
+        out += a.tobytes()
+    return bytes(out)
+
+
+def _read_entries(data: bytes, en: str, ifd_off: int) -> dict[int, tuple]:
+    (cnt,) = struct.unpack_from(en + "H", data, ifd_off)
+    entries = {}
+    for i in range(cnt):
+        off = ifd_off + 2 + i * 12
+        tag, typ, n = struct.unpack_from(en + "HHI", data, off)
+        size = _TYPE_SIZES.get(typ, 1) * n
+        if size <= 4:
+            voff = off + 8
+        else:
+            (voff,) = struct.unpack_from(en + "I", data, off + 8)
+        entries[tag] = (typ, n, voff)
+    return entries
+
+
+def _read_values(data: bytes, en: str, entry) -> list:
+    typ, n, voff = entry
+    fmt = {1: "B", 3: "H", 4: "I", 12: "d", 2: "c", 8: "h", 9: "i", 11: "f"}.get(typ)
+    if fmt is None:
+        raise ValueError(f"unsupported TIFF value type {typ}")
+    return list(struct.unpack_from(en + str(n) + fmt, data, voff))
+
+
+def decode_geotiff(data: bytes) -> dict:
+    """GeoTIFF bytes -> raster struct row (uncompressed strip layout)."""
+    from sedona_db_spark.functions.raster import make_raster_row
+    data = bytes(data)
+    if data[:2] == b"II":
+        en = "<"
+    elif data[:2] == b"MM":
+        en = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    magic, ifd_off = struct.unpack_from(en + "HI", data, 2)
+    if magic != 42:
+        raise ValueError("not a classic TIFF (BigTIFF unsupported)")
+    e = _read_entries(data, en, ifd_off)
+    if _TILE_W in e:
+        raise NotImplementedError("tiled TIFF needs GDAL/rasterio (strip layout only)")
+    comp = _read_values(data, en, e[_COMP])[0] if _COMP in e else 1
+    if comp != 1:
+        raise NotImplementedError(
+            f"TIFF compression {comp} needs GDAL/rasterio (uncompressed only)")
+    w = _read_values(data, en, e[_W])[0]
+    h = _read_values(data, en, e[_H])[0]
+    spp = _read_values(data, en, e[_SPP])[0] if _SPP in e else 1
+    bits = _read_values(data, en, e[_BITS])[0] if _BITS in e else 8
+    fmt = _read_values(data, en, e[_SAMPLE_FMT])[0] if _SAMPLE_FMT in e else 1
+    planar = _read_values(data, en, e[_PLANAR])[0] if _PLANAR in e else 1
+    dt = np.dtype(en + _KIND_OF_FMT.get(fmt, "u") + str(bits // 8))
+    offs = _read_values(data, en, e[_STRIP_OFF])
+    cnts = _read_values(data, en, e[_STRIP_CNT])
+    raw = b"".join(data[o:o + c] for o, c in zip(offs, cnts))
+    arr = np.frombuffer(raw, dtype=dt).astype(dt.newbyteorder("="))
+    if planar == 2 and spp > 1:
+        planes = arr.reshape(spp, h, w)
+    elif spp > 1:  # pixel-interleaved
+        planes = np.moveaxis(arr.reshape(h, w, spp), 2, 0)
+    else:
+        planes = arr.reshape(1, h, w)
+
+    ulx = uly = 0.0
+    sx, sy, kx, ky = 1.0, -1.0, 0.0, 0.0
+    if _MODEL_TRANSFORM in e:
+        m = _read_values(data, en, e[_MODEL_TRANSFORM])
+        sx, kx, ulx = m[0], m[1], m[3]
+        ky, sy, uly = m[4], m[5], m[7]
+    else:
+        if _MODEL_SCALE in e:
+            s = _read_values(data, en, e[_MODEL_SCALE])
+            sx, sy = s[0], -s[1]
+        if _MODEL_TIEPOINT in e:
+            tp = _read_values(data, en, e[_MODEL_TIEPOINT])
+            # raster point (i,j) maps to model (x,y): ul = model - i*scale
+            ulx = tp[3] - tp[0] * sx
+            uly = tp[4] - tp[1] * sy
+    crs = "EPSG:4326"
+    if _GEO_KEYS in e:
+        keys = _read_values(data, en, e[_GEO_KEYS])
+        kv = {keys[i]: keys[i + 3] for i in range(4, len(keys), 4)}
+        if kv.get(2048):
+            crs = f"EPSG:{kv[2048]}"
+        elif kv.get(3072):
+            crs = f"EPSG:{kv[3072]}"
+    name_dt = str(np.dtype(dt.newbyteorder("=")))
+    bands = [(f"b{i + 1}", name_dt, planes[i]) for i in range(len(planes))]
+    return make_raster_row(w, h, ulx=ulx, uly=uly, scale_x=sx, scale_y=sy,
+                           skew_x=kx, skew_y=ky, crs=crs, bands=bands)

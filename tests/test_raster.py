@@ -141,9 +141,19 @@ def test_raster_geometry_predicate_joinable(rdf, spark):
     assert out["i"] is True and out["c"] is False
 
 
-def test_geotiff_stub_gated():
-    with pytest.raises(NotImplementedError):
-        rs.as_geotiff(None)
+def test_geotiff_compressed_still_gated():
+    """The native codec covers uncompressed strips; compressed or tiled
+    TIFFs still raise toward the GDAL/rasterio path."""
+    import struct
+    from sedona_db_spark.sources.geotiff import decode_geotiff
+    # minimal IFD claiming Deflate compression
+    ifd = struct.pack("<H", 3)
+    for tag, typ, val in [(256, 4, 4), (257, 4, 4), (259, 3, 8)]:
+        ifd += struct.pack("<HHII", tag, typ, 1, val)
+    ifd += struct.pack("<I", 0)
+    data = b"II*\0" + struct.pack("<I", 8) + ifd
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_geotiff(data)
 
 
 def test_resample(rdf):
@@ -217,3 +227,59 @@ def test_sql_setters_roundtrip(rdf, spark):
       FROM rast_sql2""").first()
     assert row["srid2"] == 3857 and row["crs2"] == "OGC:CRS84"
     assert row["sx2"] == 2.0 and row["nod2"] == -9.0
+
+
+def test_geotiff_codec_roundtrip_dtypes():
+    """Native uncompressed GeoTIFF codec: bytes roundtrip across dtypes,
+    multiband, CRS code, and skewed geotransforms."""
+    import numpy as np
+    from sedona_db_spark.functions.raster import make_raster_row, _band_array
+    from sedona_db_spark.sources.geotiff import decode_geotiff, encode_geotiff
+    a1 = np.arange(12, dtype=np.float64).reshape(3, 4)
+    a2 = a1 * 2
+    row = make_raster_row(4, 3, ulx=10.0, uly=20.0, scale_x=0.5,
+                          scale_y=-0.25, crs="EPSG:32631",
+                          bands=[("b1", "float64", a1), ("b2", "float64", a2)])
+    back = decode_geotiff(encode_geotiff(row))
+    assert back["crs"] == "EPSG:32631"
+    assert back["transform"] == [10.0, 0.5, 0.0, 20.0, 0.0, -0.25]
+    assert np.array_equal(_band_array(back["bands"][0]), a1)
+    assert np.array_equal(_band_array(back["bands"][1]), a2)
+    for dtype, arr in [("uint8", np.arange(6, dtype=np.uint8)),
+                       ("int16", (np.arange(6) - 3).astype(np.int16)),
+                       ("float32", np.linspace(0, 1, 6, dtype=np.float32))]:
+        r = make_raster_row(3, 2, bands=[("x", dtype, arr.reshape(2, 3))])
+        b = decode_geotiff(encode_geotiff(r))
+        assert np.array_equal(_band_array(b["bands"][0]), arr.reshape(2, 3)), dtype
+    skew = make_raster_row(4, 3, ulx=5, uly=6, scale_x=1.5, scale_y=-2.0,
+                           skew_x=0.1, skew_y=0.2,
+                           bands=[("x", "float64", a1)])
+    assert decode_geotiff(encode_geotiff(skew))["transform"] == \
+        [5.0, 1.5, 0.1, 6.0, 0.2, -2.0]
+
+
+def test_geotiff_sql_and_from_path(spark, tmp_path):
+    """RS_AsGeoTIFF/RS_FromGeoTIFF SQL + distributed from_path read."""
+    import numpy as np
+    from sedona_db_spark.functions import raster as rs
+    from sedona_db_spark.functions.raster import make_raster_row
+    from sedona_db_spark.sources.geotiff import encode_geotiff
+    r = spark.sql("""
+      SELECT RS_FromGeoTIFF(RS_AsGeoTIFF(
+               RS_AsRaster(ST_MakeEnvelope(0.0D, 0.0D, 8.0D, 8.0D), 4, 4, 7.0D))) AS r
+    """).first()["r"]
+    assert list(r["spatial_shape"]) == [4, 4]
+    assert r["transform"][1] == 2.0  # 8 units / 4 px
+    # distributed directory read
+    d = tmp_path / "tifs"
+    d.mkdir()
+    for i in range(3):
+        row = make_raster_row(4, 2, ulx=i * 10.0,
+                              bands=[("b", "float64",
+                                      np.full((2, 4), float(i)))])
+        (d / f"r{i}.tif").write_bytes(encode_geotiff(row))
+    df = rs.from_path(spark, str(d))
+    rows = df.select("path", rs.upper_left_x(F.struct(
+        *[F.col(f.name) for f in df.schema.fields if f.name != "path"])).alias("ulx")).collect()
+    assert len(rows) == 3
+    assert sorted(r["ulx"] for r in rows) == [0.0, 10.0, 20.0]
