@@ -1849,6 +1849,32 @@ _O["raster_world_coords"] = """
   FROM nation
 """
 
+def _q_shapefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native .shp/.dbf writer + distributed reader (reference consumes
+    shapefiles via pyogrio/GDAL, context.py:313; parsed from the public
+    ESRI/dBase specs here): nation boxes out, attributes + exact areas
+    back."""
+    import tempfile
+    from pyspark.sql import functions as F
+    from sedona_db_spark.sources.shapefile import read_shapefile, write_shapefile
+    boxes = spark.table("nation_boxes").select(
+        F.col("n_nationkey").cast("long").alias("nkey"), "geom")
+    path = tempfile.mkdtemp(prefix="shpgeo_") + "/boxes"
+    write_shapefile(boxes, path)
+    back = read_shapefile(spark, path)
+    from sedona_db_spark.functions import get_udf
+    area = get_udf("ST_Area")
+    return back.select(
+        F.col("nkey").cast("int").alias("n_nationkey"),
+        F.round(area(F.col("geom")), 6).alias("area"))
+
+
+_PY["shapefile_roundtrip"] = _q_shapefile_roundtrip
+_O["shapefile_roundtrip"] = """
+  SELECT CAST(n_nationkey AS INT) AS n_nationkey, 400.0 AS area FROM nation
+"""
+
+
 def _q_raster_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native GeoTIFF codec (sources/geotiff.py; reference does this via
     GDAL, sedona-raster-gdal/src/lib.rs): rasterize nation boxes, encode

@@ -280,3 +280,36 @@ def test_geoparquet_file_level_bbox_skip(spark, tmp_path):
     # fully disjoint window: everything pruned, schema preserved
     none, _ = read_geoparquet(spark, p, bbox=(5000, 5000, 6000, 6000))
     assert none.count() == 0 and set(none.columns) >= {"id", "geom"}
+
+
+def test_shapefile_roundtrip(spark, tmp_path):
+    """Native .shp/.dbf/.shx writer + distributed reader: all 2-D shape
+    classes, hole assembly by winding, dbf types (N int, N dec, C, L)."""
+    from sedona_db_spark.sources.shapefile import read_shapefile, write_shapefile
+    df = spark.sql("""
+      SELECT id, concat('nm_', id) AS name, CAST(id AS DOUBLE) * 1.5 AS score,
+             id % 2 = 0 AS flag,
+             CASE WHEN id = 0 THEN ST_Point(1.0, 2.0)
+                  WHEN id = 1 THEN ST_GeomFromWKT('LINESTRING (0 0, 5 5, 10 0)')
+                  WHEN id = 2 THEN ST_GeomFromWKT(
+                    'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))')
+                  ELSE ST_GeomFromWKT(
+                    'MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((10 10, 14 10, 14 14, 10 14, 10 10)))')
+             END AS geom
+      FROM range(4) t(id)""")
+    p = str(tmp_path / "shp")
+    write_shapefile(df, p)
+    import os
+    assert {f.split(".")[-1] for f in os.listdir(p)} == {"shp", "shx", "dbf"}
+    back = read_shapefile(spark, p)
+    rows = {r["id"]: r for r in back.selectExpr(
+        "id", "name", "score", "flag",
+        "ST_AsText(geom) AS wkt",
+        "round(ST_Area(geom), 6) AS area",
+        "ST_NumInteriorRings(geom) AS nholes").collect()}
+    assert len(rows) == 4
+    assert rows[0]["wkt"] == "POINT (1 2)" and rows[0]["flag"] is True
+    assert rows[1]["wkt"] == "LINESTRING (0 0, 5 5, 10 0)"
+    assert rows[2]["area"] == 96.0 and rows[2]["nholes"] == 1  # 100 - 4 hole
+    assert rows[3]["area"] == 32.0 and rows[3]["wkt"].startswith("MULTIPOLYGON")
+    assert rows[3]["name"] == "nm_3" and rows[3]["score"] == 4.5
