@@ -1875,6 +1875,31 @@ _O["shapefile_roundtrip"] = """
 """
 
 
+def _q_geopackage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native GeoPackage source/sink (stdlib sqlite3 + GP geometry blobs;
+    reference uses pyogrio/GDAL): nation boxes out, exact areas back."""
+    import tempfile
+    from pyspark.sql import functions as F
+    from sedona_db_spark.sources.geopackage import (
+        read_geopackage, write_geopackage)
+    boxes = spark.table("nation_boxes").select(
+        F.col("n_nationkey").cast("long").alias("nkey"), "geom")
+    d = tempfile.mkdtemp(prefix="gpkggeo_")
+    write_geopackage(boxes, d + "/boxes.gpkg", table="boxes")
+    back = read_geopackage(spark, d)
+    from sedona_db_spark.functions import get_udf
+    area = get_udf("ST_Area")
+    return back.select(
+        F.col("nkey").cast("int").alias("n_nationkey"),
+        F.round(area(F.col("geom")), 6).alias("area"))
+
+
+_PY["geopackage_roundtrip"] = _q_geopackage_roundtrip
+_O["geopackage_roundtrip"] = """
+  SELECT CAST(n_nationkey AS INT) AS n_nationkey, 400.0 AS area FROM nation
+"""
+
+
 def _q_raster_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native GeoTIFF codec (sources/geotiff.py; reference does this via
     GDAL, sedona-raster-gdal/src/lib.rs): rasterize nation boxes, encode

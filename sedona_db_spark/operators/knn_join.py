@@ -143,6 +143,7 @@ def knn_join(
     object_geom: str = "geom",
     include_ties: bool = False,
     broadcast_threshold: int = 200_000,
+    use_spheroid: bool = False,
 ) -> DataFrame:
     """Broadcast KNN join.  Output: query columns + object id/geom columns +
     ``knn_distance``, k rows per query (deterministic tie order).
@@ -152,6 +153,14 @@ def knn_join(
     :func:`knn_join_partitioned` instead of collecting an unbounded
     object side onto the driver (at cluster scale an oversized build
     side must become a different plan, not a driver OOM).
+
+    ``use_spheroid=True`` ranks by great-circle meters over lon/lat
+    POINT inputs (reference option surface spatial_predicate.rs:254-297;
+    its refinement is haversine on the mean sphere).  Spherical ranking
+    scans the broadcast object set per query (vectorized) — the planar
+    grid's ring bound is not admissible on the sphere — so it stays a
+    broadcast-only path; non-point inputs or an oversized object side
+    raise rather than silently degrade.
     """
     spark = queries.sparkSession
     # path-choice probe: scans at most threshold+1 rows, never a full count
@@ -160,6 +169,11 @@ def knn_join(
     except Exception:
         n_small = None
     if n_small is None or n_small > broadcast_threshold:
+        if use_spheroid:
+            raise NotImplementedError(
+                "use_spheroid KNN requires the object side to fit the "
+                "broadcast threshold (spherical ranking has no partitioned "
+                "plan yet); raise broadcast_threshold or pre-filter objects")
         return knn_join_partitioned(queries, objects, k, query_geom,
                                     object_geom, include_ties=include_ties)
     # object side fits: materialized driver-side once (broadcast path);
@@ -187,6 +201,10 @@ def knn_join(
     obj_idx = np.arange(len(obj_rows))[valid]
     index_pts = obj_pts[valid]
     exact_needed = any(g is not None and g.gt != core.POINT for g in geoms)
+    if use_spheroid and exact_needed:
+        raise NotImplementedError(
+            "use_spheroid KNN supports POINT geometries only (reference "
+            "spatial_predicate.rs:254-297 validates the same)")
 
     bc = spark.sparkContext.broadcast({
         "pts": index_pts, "ids": obj_idx,
@@ -233,7 +251,23 @@ def knn_join(
                     q = np.array([(bb[0] + bb[2]) / 2.0, (bb[1] + bb[3]) / 2.0])
                     q_hd = float(np.hypot((bb[2] - bb[0]) / 2.0,
                                           (bb[3] - bb[1]) / 2.0))
-                if data["exact"] or q_hd > 0.0:
+                if use_spheroid:
+                    if qpts is None:
+                        raise NotImplementedError(
+                            "use_spheroid KNN supports POINT queries only")
+                    # vectorized haversine against every broadcast object:
+                    # sound everywhere on the sphere (no planar ring bound)
+                    R = 6371008.8
+                    lam1, phi1 = np.radians(q[0]), np.radians(q[1])
+                    lam2 = np.radians(data["pts"][:, 0])
+                    phi2 = np.radians(data["pts"][:, 1])
+                    aa = (np.sin((phi2 - phi1) / 2) ** 2
+                          + np.cos(phi1) * np.cos(phi2)
+                          * np.sin((lam2 - lam1) / 2) ** 2)
+                    dists = 2 * R * np.arcsin(np.minimum(1.0, np.sqrt(aa)))
+                    order = np.lexsort((data["ids"], dists))
+                    ranked = [(data["ids"][j], float(dists[j])) for j in order]
+                elif data["exact"] or q_hd > 0.0:
                     # exact geometry-distance ranking: collect every
                     # candidate whose bbox-center could be within
                     # kth-center + pad (pad = 2*(q_hd + o_hd_max) makes

@@ -427,3 +427,26 @@ def test_geography_dwithin_join_matches_bruteforce(spark):
                     F.col("lat_b"), F.col("lon_b")) <= d)
     want = {(r.ida, r.idb) for r in brute.select("ida", "idb").collect()}
     assert got == want and len(want) > 0
+
+
+def test_knn_use_spheroid(spark):
+    """use_spheroid ranks by great-circle meters: at 60N one degree of
+    longitude is ~half a degree of latitude, flipping the planar order."""
+    import pytest as _pt
+    from sedona_db_spark.operators.knn_join import knn_join
+    q = spark.sql("SELECT 1 AS qid, ST_Point(0.0, 60.0) AS geom")
+    objs = spark.sql("SELECT * FROM VALUES (1),(2) AS t(oid)").selectExpr(
+        "oid", """
+        CASE oid WHEN 1 THEN ST_Point(0.9, 60.0)  -- 0.9 deg lon ~ 50 km
+                 ELSE ST_Point(0.0, 60.7)         -- 0.7 deg lat ~ 78 km
+        END AS geom""")
+    planar = knn_join(q, objs, k=1).collect()[0]
+    sphere = knn_join(q, objs, k=1, use_spheroid=True).collect()[0]
+    assert planar["oid"] == 2          # 0.7 < 0.9 in degrees
+    assert sphere["oid"] == 1          # 50 km < 78 km on the sphere
+    assert 49000 < sphere["knn_distance"] < 51000
+    # option validation mirrors the reference: points only
+    polys = spark.sql(
+        "SELECT 1 AS oid, ST_MakeEnvelope(0.0D, 0.0D, 1.0D, 1.0D) AS geom")
+    with _pt.raises(Exception, match="POINT"):
+        knn_join(q, polys, k=1, use_spheroid=True).collect()

@@ -313,3 +313,32 @@ def test_shapefile_roundtrip(spark, tmp_path):
     assert rows[2]["area"] == 96.0 and rows[2]["nholes"] == 1  # 100 - 4 hole
     assert rows[3]["area"] == 32.0 and rows[3]["wkt"].startswith("MULTIPOLYGON")
     assert rows[3]["name"] == "nm_3" and rows[3]["score"] == 4.5
+
+
+def test_geopackage_roundtrip(spark, tmp_path):
+    """Native GPKG (SQLite + GP blobs via stdlib sqlite3.deserialize):
+    registry tables written, geometry blob header stripped on read."""
+    import sqlite3
+    from sedona_db_spark.sources.geopackage import (
+        read_geopackage, write_geopackage)
+    df = spark.sql("""
+      SELECT id, concat('n_', id) AS name, CAST(id AS DOUBLE) * 2.5 AS score,
+             ST_MakeEnvelope(CAST(id AS DOUBLE), 0.0D,
+                             CAST(id + 1 AS DOUBLE), 1.0D) AS geom
+      FROM range(4) t(id)""")
+    p = str(tmp_path / "data.gpkg")
+    write_geopackage(df, p, table="boxes")
+    # the file is a real GeoPackage: application_id + registry rows
+    con = sqlite3.connect(p)
+    assert con.execute("PRAGMA application_id").fetchone()[0] == 1196444487
+    assert con.execute("SELECT data_type FROM gpkg_contents").fetchone()[0] == "features"
+    assert con.execute("SELECT column_name FROM gpkg_geometry_columns").fetchone()[0] == "geom"
+    con.close()
+    back = read_geopackage(spark, str(tmp_path))
+    rows = {r["id"]: r for r in back.selectExpr(
+        "id", "name", "score", "ST_AsText(geom) AS wkt",
+        "round(ST_Area(geom), 6) AS area").collect()}
+    assert len(rows) == 4
+    assert rows[2]["name"] == "n_2" and rows[2]["score"] == 5.0
+    assert rows[2]["wkt"] == "POLYGON ((2 0, 3 0, 3 1, 2 1, 2 0))"
+    assert all(r["area"] == 1.0 for r in rows.values())
