@@ -409,3 +409,163 @@ for _name, (_sph_fn, _n) in _SAME_NAME_SPHERICAL.items():
     if _name in KERNELS:
         _planar_fn, _rtype, _sig = KERNELS[_name]
         KERNELS[_name] = (_dispatch(_planar_fn, _sph_fn, _n), _rtype, _sig)
+
+
+# ---- spherical editors: Buffer / Segmentize / Simplify -----------------
+# Reference spherical editor set: kernels.rs:177-226 (S2 buffering /
+# simplification).  Here: azimuthal-equidistant local projection for
+# meter-true buffering, great-circle slerp for segmentize, AEQ + planar
+# Douglas-Peucker for simplify — the standard small-geometry reductions.
+
+
+def _aeq_center(g: Geom):
+    v = np.radians(g.all_coords()[:, :2].astype(np.float64))
+    xyz = np.column_stack([np.cos(v[:, 1]) * np.cos(v[:, 0]),
+                           np.cos(v[:, 1]) * np.sin(v[:, 0]),
+                           np.sin(v[:, 1])])
+    c = xyz.mean(axis=0)
+    n = float(np.linalg.norm(c))
+    if n < 1e-12:
+        return 0.0, 0.0
+    c /= n
+    return math.atan2(c[1], c[0]), math.asin(c[2])
+
+
+def _aeq_project(g: Geom):
+    """-> (projected Geom in meters, inverse fn).  Azimuthal equidistant
+    on the mean sphere: distances from the projection center are true,
+    so a planar buffer by d meters is correct at the center and accurate
+    nearby (small-geometry assumption, like S2's cap discretization)."""
+    lam0, phi0 = _aeq_center(g)
+    sin0, cos0 = math.sin(phi0), math.cos(phi0)
+    R = EARTH_RADIUS_M
+
+    def fwd(arr):
+        lam = np.radians(arr[:, 0])
+        phi = np.radians(arr[:, 1])
+        dl = lam - lam0
+        cosc = np.clip(sin0 * np.sin(phi) + cos0 * np.cos(phi) * np.cos(dl),
+                       -1.0, 1.0)
+        c = np.arccos(cosc)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            k = np.where(c > 1e-12, c / np.sin(c), 1.0)
+        x = R * k * np.cos(phi) * np.sin(dl)
+        y = R * k * (cos0 * np.sin(phi) - sin0 * np.cos(phi) * np.cos(dl))
+        out = arr.copy()
+        out[:, 0] = x
+        out[:, 1] = y
+        return out
+
+    def inv(arr):
+        x = arr[:, 0] / R
+        y = arr[:, 1] / R
+        c = np.hypot(x, y)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sc, cc = np.sin(c), np.cos(c)
+            phi = np.arcsin(np.clip(
+                cc * sin0 + np.where(c > 1e-12, y * sc * cos0 / c, 0.0),
+                -1.0, 1.0))
+            lam = lam0 + np.arctan2(
+                x * sc, c * cos0 * cc - y * sin0 * sc)
+        lam = np.where(c <= 1e-12, lam0, lam)
+        phi = np.where(c <= 1e-12, phi0, phi)
+        out = arr.copy()
+        out[:, 0] = (np.degrees(lam) + 180.0) % 360.0 - 180.0
+        out[:, 1] = np.degrees(phi)
+        return out
+
+    return _alg.transform_coords(g, fwd), inv
+
+
+def _sph_editor(planar_op):
+    def run(s: pd.Series, d) -> pd.Series:
+        dv = _coerce(d, len(s))
+        out = []
+        for g, dd in zip(_decode(s), dv):
+            if g is None or dd is None:
+                out.append(None)
+            elif g.is_empty():
+                out.append(_core.to_wkb(g))
+            else:
+                p, inv = _aeq_project(g)
+                res = planar_op(p, float(dd))
+                res = _alg.transform_coords(res, inv)
+                res.spherical = True
+                out.append(_core.to_wkb(res))
+        return pd.Series(out, dtype=object)
+    return run
+
+
+def _k_segmentize_spherical(s: pd.Series, d) -> pd.Series:
+    """Great-circle interpolation: split any segment whose geodesic
+    length exceeds max_m, new vertices by spherical slerp."""
+    dv = _coerce(d, len(s))
+    out = []
+    for g, dd in zip(_decode(s), dv):
+        if g is None or dd is None:
+            out.append(None)
+            continue
+        max_m = float(dd)
+
+        def seg_arr(arr):
+            arr = np.asarray(arr, dtype=np.float64)
+            pieces = [arr[:1]]
+            for i in range(len(arr) - 1):
+                lon1, lat1 = arr[i, :2]
+                lon2, lat2 = arr[i + 1, :2]
+                dist = haversine_m(lon1, lat1, lon2, lat2)
+                n = max(int(math.ceil(dist / max_m)), 1)
+                if n > 1:
+                    a1 = np.radians([lon1, lat1])
+                    a2 = np.radians([lon2, lat2])
+                    v1 = np.array([math.cos(a1[1]) * math.cos(a1[0]),
+                                   math.cos(a1[1]) * math.sin(a1[0]),
+                                   math.sin(a1[1])])
+                    v2 = np.array([math.cos(a2[1]) * math.cos(a2[0]),
+                                   math.cos(a2[1]) * math.sin(a2[0]),
+                                   math.sin(a2[1])])
+                    omega = math.acos(max(-1.0, min(1.0, float(v1 @ v2))))
+                    mids = []
+                    for j in range(1, n):
+                        t = j / n
+                        if omega < 1e-12:
+                            v = v1
+                        else:
+                            v = (math.sin((1 - t) * omega) * v1
+                                 + math.sin(t * omega) * v2) / math.sin(omega)
+                        v = v / np.linalg.norm(v)
+                        mids.append([math.degrees(math.atan2(v[1], v[0])),
+                                     math.degrees(math.asin(v[2]))])
+                    if mids:
+                        pieces.append(np.asarray(mids))
+                pieces.append(arr[i + 1:i + 2])
+            return np.vstack(pieces)
+
+        res = _alg.transform_parts(g, seg_arr) if hasattr(_alg, "transform_parts") \
+            else _segmentize_geom(g, seg_arr)
+        res.spherical = True
+        out.append(_core.to_wkb(res))
+    return pd.Series(out, dtype=object)
+
+
+def _segmentize_geom(g: Geom, seg_arr):
+    from sedona_db_spark.geom.core import (
+        LINESTRING, MULTILINESTRING, MULTIPOLYGON, POLYGON)
+    if g.gt == LINESTRING:
+        return Geom(LINESTRING, seg_arr(g.data))
+    if g.gt == POLYGON:
+        return Geom(POLYGON, [seg_arr(r) for r in g.data])
+    if g.gt == MULTILINESTRING:
+        return Geom(MULTILINESTRING, [seg_arr(l) for l in g.data])
+    if g.gt == MULTIPOLYGON:
+        return Geom(MULTIPOLYGON, [[seg_arr(r) for r in p] for p in g.data])
+    return g
+
+
+for _name2, _sph_fn2 in (
+        ("ST_Buffer", _sph_editor(lambda g, d: _alg.buffer(g, d))),
+        ("ST_Simplify", _sph_editor(lambda g, d: _alg.simplify(g, d))),
+        ("ST_Segmentize", _k_segmentize_spherical)):
+    if _name2 in KERNELS:
+        _pf, _rt, _sg = KERNELS[_name2]
+        KERNELS[_name2] = (_dispatch(_pf, _sph_fn2, 1), _rt, _sg)

@@ -127,3 +127,28 @@ def test_geography_tag_plumbing(spark):
     assert r["txt"] == "POINT (1 2)"
     assert r["back_planar"] == pytest.approx(1.0)
     assert r["to_sphere"] == pytest.approx(111_195, rel=0.01)
+
+
+def test_same_name_dispatch_editors(spark):
+    """Spherical Buffer (meter-true via azimuthal equidistant),
+    Segmentize (great-circle slerp), Simplify (geodesic chord)."""
+    r = spark.sql("""
+      SELECT ST_Area(ST_Buffer(ST_GeogPoint(0.0, 52.0), 10000.0)) AS ga,
+             ST_Area(ST_Buffer(ST_Point(0.0, 52.0), 10000.0)) AS pa,
+             ST_NPoints(ST_Segmentize(
+               ST_GeogFromWKT('LINESTRING (0 50, 10 50)'), 100000.0)) AS gseg,
+             ST_NPoints(ST_Simplify(
+               ST_GeogFromWKT('LINESTRING (0 50, 5 50.0001, 10 50)'), 1000.0)) AS gsimp,
+             ST_NPoints(ST_Simplify(
+               ST_GeomFromWKT('LINESTRING (0 50, 5 50.0001, 10 50)'), 0.01)) AS psimp
+    """).first()
+    # buffer area ~ pi*r^2 in m^2, shy by the 32-gon inscription factor
+    import math
+    expect = math.pi * 10000.0 ** 2
+    assert abs(r["ga"] - expect) / expect < 0.01
+    assert r["pa"] == pytest.approx(expect, rel=0.01)  # planar takes degrees=units
+    # 10 deg lon at 50N ~ 715 km -> 8 great-circle segments
+    assert r["gseg"] == 9
+    # the mid vertex sits ~30 km off the GREAT CIRCLE (the parallel is
+    # not a geodesic), so spherical simplify keeps it; planar drops it
+    assert r["gsimp"] == 3 and r["psimp"] == 2
