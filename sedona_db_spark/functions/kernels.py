@@ -883,6 +883,11 @@ def k_snap(s1: pd.Series, s2: pd.Series, tol) -> pd.Series:
 
 
 def k_transform(s: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
+    """src may be the literal 'item': each value's own embedded SRID
+    (EWKB, set by ST_SetSRID and preserved through every kernel) is the
+    source CRS — the Spark expression of the reference's item-level CRS
+    (rust/sedona-schema/src/datatypes.rs:126-155 new_item_crs).  Outputs
+    are stamped with the destination EPSG code either way."""
     gs = _decode(s)
     n = len(s)
     sv, dv = _coerce(src, n), _coerce(dst, n)
@@ -890,8 +895,21 @@ def k_transform(s: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
     for g, a, b in zip(gs, sv, dv):
         if g is None or a is None or b is None:
             out.append(None)
-        else:
-            out.append(core.to_wkb(alg.transform_crs(g, str(a), str(b))))
+            continue
+        a, b = str(a), str(b)
+        if a.lower() == "item":
+            if not g.srid:
+                raise ValueError(
+                    "ST_Transform(geom, 'item', dst): value carries no "
+                    "SRID (use ST_SetSRID or pass an explicit source CRS)")
+            a = f"EPSG:{g.srid}"
+        res = alg.transform_crs(g, a, b)
+        code = b.upper().replace("OGC:CRS84", "EPSG:4326").replace("EPSG:", "")
+        if res is g:
+            res = core.Geom(g.gt, g.data, g.has_z, g.has_m, g.srid,
+                            g.spherical)
+        res.srid = int(code) if code.isdigit() else 0
+        out.append(core.to_wkb(res))
     return pd.Series(out, dtype=object)
 
 

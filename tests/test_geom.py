@@ -441,3 +441,28 @@ def test_covers_respects_holes():
     small = wkt.from_wkt("POLYGON ((-1 -1, 1 -1, 1 1, -1 1, -1 -1))")
     assert not covers(ann, S) and not contains(ann, S)
     assert covers(ann, small) and contains(ann, small)
+
+
+def test_item_level_crs_transform(spark):
+    """Item-level CRS (reference new_item_crs): the EWKB srid rides in
+    the value, survives kernels, and drives ST_Transform(g,'item',dst)."""
+    r = spark.sql("""
+      SELECT ST_SRID(g) AS srid_in,
+             ST_SRID(ST_Translate(g, 1.0, 0.0)) AS srid_thru,
+             round(ST_X(ST_Transform(g, 'item', 'EPSG:3857')), 3) AS mx,
+             ST_SRID(ST_Transform(g, 'item', 'EPSG:3857')) AS srid_out
+      FROM (SELECT ST_SetSRID(ST_Point(10.0, 45.0), 4326) AS g)
+    """).first()
+    assert r["srid_in"] == 4326
+    assert r["srid_thru"] == 4326       # srid preserved through editors
+    assert abs(r["mx"] - 1113194.908) < 0.01
+    assert r["srid_out"] == 3857        # output stamped with dst code
+    # rows with DIFFERENT item CRSes in one column transform independently
+    rows = spark.sql("""
+      SELECT id, round(ST_X(ST_Transform(g, 'item', 'EPSG:4326')), 6) AS lon
+      FROM (SELECT 1 AS id, ST_SetSRID(ST_Point(1113194.9079, 0.0), 3857) AS g
+            UNION ALL
+            SELECT 2, ST_SetSRID(ST_Point(10.0, 45.0), 4326))
+    """).collect()
+    got = {r2["id"]: r2["lon"] for r2 in rows}
+    assert got == {1: 10.0, 2: 10.0}
