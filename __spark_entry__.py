@@ -1356,6 +1356,73 @@ _sql("geo_samename_distance", """
 """)
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union + window, one shuffle, no Python): every event
+    gets the latest sampled checkpoint (every 10th event) at or before
+    its own timestamp, per user.  DuckDB's native ASOF JOIN is the
+    oracle."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.operators.temporal import asof_join
+    ev = spark.table("events").select("event_id", "user_id", "ts")
+    ckpt = spark.table("events").filter("event_id % 10 = 0") \
+        .select("user_id", F.col("ts").alias("cts"),
+                F.col("value").alias("cval"))
+    out = asof_join(ev, ckpt, on="ts", right_on="cts", by="user_id")
+    return out.select(
+        "event_id", "user_id",
+        F.coalesce(F.unix_micros(F.col("r_ts").cast("timestamp")),
+                   F.lit(-1)).alias("ckpt_us"),
+        F.round(F.coalesce("cval", F.lit(0.0)), 4).alias("ckpt_val"))
+
+
+_PY["asof_join_events"] = _q_asof_join
+_O["asof_join_events"] = """
+  SELECT e.event_id, e.user_id,
+         CAST(coalesce(epoch_us(c.cts), -1) AS BIGINT) AS ckpt_us,
+         round(coalesce(c.cval, 0.0), 4) AS ckpt_val
+  FROM events e
+  ASOF LEFT JOIN (SELECT user_id, ts AS cts, value AS cval
+                  FROM events WHERE event_id % 10 = 0) c
+  ON e.user_id = c.user_id AND e.ts >= c.cts
+"""
+
+
+def _q_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (alternating large/small-star) closing a
+    deterministic pair graph transitively; DuckDB recursive-CTE
+    min-label propagation as the oracle.  Graph: chains of length 4
+    within each 100-customer block (edges i -> i+25 for i%100 < 75)."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.operators.dedup import connected_components
+    edges = spark.sql("""
+      SELECT c_custkey AS id_a, c_custkey + 25 AS id_b
+      FROM customer WHERE c_custkey % 100 < 75 AND c_custkey < 1200
+    """)
+    cc = connected_components(edges)
+    return cc.groupBy("component").agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("node").alias("sum_nodes"))
+
+
+_PY["dedup_transitive_cc"] = _q_dedup_transitive
+_O["dedup_transitive_cc"] = """
+  WITH RECURSIVE e AS (
+    SELECT c_custkey AS u, c_custkey + 25 AS v
+    FROM customer WHERE c_custkey % 100 < 75 AND c_custkey < 1200),
+  sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+  nodes AS (SELECT DISTINCT u AS node FROM sym),
+  r AS (
+    SELECT node, node AS comp FROM nodes
+    UNION
+    SELECT s.v, r.comp FROM r JOIN sym s ON s.u = r.node
+  ),
+  lab AS (SELECT node, min(comp) AS component FROM r GROUP BY node)
+  SELECT component, count(*) AS n_nodes,
+         CAST(sum(node) AS BIGINT) AS sum_nodes
+  FROM lab GROUP BY component
+"""
+
+
 def _q_geo_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical distance join (§2.10 geography join): deterministic
     lon/lat from keys, supplier side builds (one cell/row), customer

@@ -40,6 +40,9 @@ HEADLINE = [
     "sim_label_centroid_dist",
     "geo_distance_sphere",
     "raster_zonal_stats",
+    "asof_join_events",
+    "dedup_transitive_cc",
+    "knn_join_polygons_k2",
 ]
 
 

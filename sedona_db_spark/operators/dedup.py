@@ -155,3 +155,79 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     return (inter.withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+# ----------------------------------------------------------------------
+# Transitive dedup: connected components over candidate pairs
+# ----------------------------------------------------------------------
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """(node, component) with component = min node id reachable.
+
+    Alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): every round is two
+    groupBy/join shuffles over the edge set, converging in O(log n)
+    rounds — the standard way to close dedup pairs transitively at
+    100 TB without driver-side graph state (no collect; the convergence
+    probe is a 1-row checksum agg).
+    """
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+         .filter(F.col("u") != F.col("v")))
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        sym = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("mn", F.col("u")).alias("m"))
+        return (sym.join(m, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .distinct())
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        # orient edges toward the smaller endpoint
+        o = ed.select(F.greatest("u", "v").alias("u"),
+                      F.least("u", "v").alias("v"))
+        m = o.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("mn", F.col("u")).alias("m"))
+        return (o.join(m, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(m.select(F.col("u"), F.col("m").alias("v")))
+                .filter(F.col("u") != F.col("v"))
+                .select(F.least("u", "v").alias("u"),
+                        F.greatest("u", "v").alias("v"))
+                .distinct())
+
+    prev_sum = None
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        row = e.agg(F.count("*").alias("n"),
+                    F.sum(F.col("u") * 31 + F.col("v")).alias("s")).first()
+        cur = (row["n"], row["s"])
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    # final labels: every node points at its component min
+    nodes = e.select(F.col("u").alias("node")) \
+        .union(e.select(F.col("v").alias("node"))).distinct()
+    lab = e.select(F.greatest("u", "v").alias("node"),
+                   F.least("u", "v").alias("comp"))
+    lab = lab.groupBy("node").agg(F.min("comp").alias("component"))
+    return (nodes.join(lab, "node", "left")
+            .select("node",
+                    F.coalesce("component", F.col("node")).alias("component")))
+
+
+def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Transitive near-dup removal: close `pairs` into components and
+    keep the minimum id per component (reference pipelines close LSH
+    candidate pairs the same way).  Rows without any pair survive."""
+    cc = connected_components(pairs, src, dst)
+    keep = cc.filter(F.col("node") == F.col("component")) \
+        .select(F.col("node").alias(id_col))
+    paired = cc.select(F.col("node").alias(id_col))
+    unpaired = df.join(paired, id_col, "left_anti")
+    kept_paired = df.join(keep, id_col, "left_semi")
+    return unpaired.unionByName(kept_paired)

@@ -418,9 +418,25 @@ def knn_join_partitioned(
                                    lambda cy: cx * ny + cy)))
 
     if exact_mode:
-        from sedona_db_spark.functions.kernels import k_distance
-        _dist_udf = F.pandas_udf(k_distance, T.DoubleType())
-        dist = _dist_udf(F.col(query_geom), F.col(ogeom))
+        from sedona_db_spark.functions.kernels import (
+            _decode_cached, _fast_points)
+        from sedona_db_spark.geom import algorithms as _alg
+
+        def _pair_dist(s1: pd.Series, s2: pd.Series) -> pd.Series:
+            p1, p2 = _fast_points(s1), _fast_points(s2)
+            if p1 is not None and p2 is not None:
+                return pd.Series(np.hypot(p1[:, 0] - p2[:, 0],
+                                          p1[:, 1] - p2[:, 1]))
+            # candidate batches repeat the same few objects against many
+            # queries: memoized decode turns O(pairs) parses into
+            # O(distinct geometries)
+            g1s, g2s = _decode_cached(s1), _decode_cached(s2)
+            return pd.Series(
+                [None if (a is None or b is None) else _alg.distance(a, b)
+                 for a, b in zip(g1s, g2s)], dtype=object)
+
+        dist = F.pandas_udf(_pair_dist, T.DoubleType())(
+            F.col(query_geom), F.col(ogeom))
     else:
         dist = F.sqrt(F.pow(F.col("__qx") - F.col("__ox"), 2) +
                       F.pow(F.col("__qy") - F.col("__oy"), 2))

@@ -195,12 +195,6 @@ def spatial_join(
                                      predicate, distance, expand)
 
     # ---- partitioned path -------------------------------------------
-    if lb.where(F.col("__lbox.xmin").isNotNull()).isEmpty():
-        # no non-empty left geometries: result is empty (LIMIT-1 probe,
-        # not a full extent scan)
-        return _apply_refine(
-            lb.join(rb, F.lit(False)), left_geom, rgeom, predicate, distance
-        ).drop("__lbox", "__rbox")
     if grid_cells is None:
         sp = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
         grid_cells = max(sp * 4, 64)
@@ -214,14 +208,27 @@ def spatial_join(
     # grid puts all of a clustered dataset (one metro area of a global
     # extent) into a handful of hot cells; equal-frequency edges keep
     # cell occupancy balanced regardless of the data distribution.
+    # The row count, emptiness probe, and both quantile sketches ride in
+    # ONE agg job (each extra action re-runs the bbox decode pass).
     cq = lb.select(
         ((F.col("__lbox.xmin") + F.col("__lbox.xmax")) / 2).alias("__cx"),
         ((F.col("__lbox.ymin") + F.col("__lbox.ymax")) / 2).alias("__cy"))
     probs = [i / nx for i in range(1, nx)]
     if probs:
-        qx, qy = cq.approxQuantile(["__cx", "__cy"], probs, 0.01)
+        stats_row = cq.agg(
+            F.count("__cx").alias("n"),
+            F.percentile_approx("__cx", probs, 10000).alias("qx"),
+            F.percentile_approx("__cy", probs, 10000).alias("qy")).first()
+        n_left, qx, qy = (stats_row["n"], stats_row["qx"] or [],
+                          stats_row["qy"] or [])
     else:
+        n_left = cq.where(F.col("__cx").isNotNull()).limit(1).count()
         qx, qy = [], []
+    if n_left == 0:
+        # no non-empty left geometries: result is empty
+        return _apply_refine(
+            lb.join(rb, F.lit(False)), left_geom, rgeom, predicate, distance
+        ).drop("__lbox", "__rbox")
     xbreaks = sorted(set(qx))
     ybreaks = sorted(set(qy))
     ny = len(ybreaks) + 1

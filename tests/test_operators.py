@@ -450,3 +450,56 @@ def test_knn_use_spheroid(spark):
         "SELECT 1 AS oid, ST_MakeEnvelope(0.0D, 0.0D, 1.0D, 1.0D) AS geom")
     with _pt.raises(Exception, match="POINT"):
         knn_join(q, polys, k=1, use_spheroid=True).collect()
+
+
+def test_connected_components_and_transitive_dedup(spark):
+    """Large-star/small-star CC closes chains + triangles + bridges;
+    dedup_clusters keeps exactly one doc per component."""
+    from sedona_db_spark.operators.dedup import (
+        connected_components, dedup_clusters)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22),
+         (22, 3), (30, 31)], "id_a long, id_b long")
+    cc = {r["node"]: r["component"]
+          for r in connected_components(edges).collect()}
+    assert all(cc[n] == 1 for n in (1, 2, 3, 4, 20, 21, 22))
+    assert cc[10] == 10 and cc[11] == 10 and cc[30] == 30
+    docs = spark.range(0, 35).selectExpr("id AS doc_id", "concat('d', id) AS text")
+    kept = {r["doc_id"] for r in dedup_clusters(docs, edges).collect()}
+    # one survivor per component (the min), all unpaired rows survive
+    assert {1, 10, 30} <= kept
+    assert kept.isdisjoint({2, 3, 4, 11, 20, 21, 22, 31})
+    assert len(kept) == 35 - 8  # 11 paired nodes -> 3 survivors
+
+
+def test_asof_join_directions_ties_tolerance(spark):
+    from sedona_db_spark.operators.temporal import asof_join
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 205), (3, "a", 50), (4, "b", 100)],
+        "id long, k string, ts long")
+    right = spark.createDataFrame(
+        [("a", 100, "x"), ("a", 200, "y"), ("b", 300, "z")],
+        "k string, ts long, val string")
+    back = {r["id"]: r["val"]
+            for r in asof_join(left, right, on="ts", by="k").collect()}
+    # ties match (100 -> x), later rows take the latest <=, no match -> null
+    assert back == {1: "x", 2: "y", 3: None, 4: None}
+    fwd = {r["id"]: r["val"]
+           for r in asof_join(left, right, on="ts", by="k",
+                              direction="forward").collect()}
+    assert fwd == {1: "x", 2: None, 3: "x", 4: "z"}
+    # plan: one shuffle on the by-keys, window ranking, no Python
+    from sedona_db_spark.plans import inspect as pi
+    plan = pi.executed_plan(asof_join(left, right, on="ts", by="k"))
+    assert "Window" in plan and "mapInPandas" not in plan
+
+
+def test_asof_join_tolerance_seconds(spark):
+    from sedona_db_spark.operators.temporal import asof_join
+    left = spark.sql(
+        "SELECT 1 AS id, TIMESTAMP '2024-01-01 00:10:00' AS ts")
+    right = spark.sql(
+        "SELECT TIMESTAMP '2024-01-01 00:00:00' AS ts, 'x' AS val")
+    hit = asof_join(left, right, on="ts", tolerance=601).collect()[0]
+    miss = asof_join(left, right, on="ts", tolerance=599).collect()[0]
+    assert hit["val"] == "x" and miss["val"] is None
