@@ -1,10 +1,12 @@
-"""Zarr v2 datacube source — SURVEY §2.8.
+"""Zarr v2/v3 datacube source — SURVEY §2.8.
 
 Reference: /root/reference/rust/sedona-raster-zarr (directory-shaped URL
 table producing raster rows; docs/working-with-zarr-ndarray-sedonadb.md).
-This is a from-scratch reader of the public Zarr v2 storage spec
-(`.zarray` JSON + C-order chunk files named "i.j[.k]"), supporting raw,
-zlib and gzip compressors — no zarr-python dependency.
+This is a from-scratch reader of the public Zarr storage specs: v2
+(`.zarray` JSON + dot-named chunk files) and v3 (`zarr.json` + c/-prefixed
+chunk keys, bytes/gzip/zlib codecs), supporting raw, zlib and gzip
+compression — no zarr-python dependency.  Blosc/zstd still gate on
+numcodecs.
 
 Scale design: chunk decoding happens per-(chunk, band) task — the chunk
 list is parallelized across executors so a petabyte datacube fans out to
@@ -32,12 +34,64 @@ _DTYPES = {
 }
 
 
+_V3_DTYPES = {
+    "float64": "<f8", "float32": "<f4", "int64": "<i8", "int32": "<i4",
+    "int16": "<i2", "uint8": "|u1", "uint16": "<u2", "uint32": "<u4",
+}
+
+
+def _normalize_v3(meta: dict) -> dict:
+    """Zarr v3 zarr.json -> the v2-shaped meta dict the reader uses."""
+    grid = meta.get("chunk_grid", {})
+    if grid.get("name") != "regular":
+        raise NotImplementedError("only regular chunk grids are supported")
+    dt = _V3_DTYPES.get(meta.get("data_type"))
+    if dt is None:
+        raise NotImplementedError(f"zarr v3 data_type {meta.get('data_type')!r}")
+    comp = None
+    for codec in meta.get("codecs", []):
+        name = codec.get("name")
+        if name == "bytes":
+            if codec.get("configuration", {}).get("endian", "little") != "little":
+                dt = ">" + dt[1:] if dt[0] in "<|" else dt
+        elif name in ("gzip", "zlib"):
+            comp = {"id": name}
+        elif name == "transpose":
+            raise NotImplementedError("zarr v3 transpose codec unsupported")
+        else:
+            raise NotImplementedError(
+                f"zarr v3 codec {name!r} needs numcodecs (bytes/gzip/zlib "
+                "are supported natively)")
+    key = meta.get("chunk_key_encoding", {"name": "default"})
+    sep = key.get("configuration", {}).get("separator", "/")
+    return {
+        "zarr_format": 3, "shape": meta["shape"],
+        "chunks": grid["configuration"]["chunk_shape"], "dtype": dt,
+        "order": "C", "compressor": comp,
+        "fill_value": meta.get("fill_value"),
+        "_v3_key": (key.get("name", "default"), sep),
+    }
+
+
 def read_zarray_meta(store: str, array: str = "") -> dict:
+    """Array metadata: Zarr v2 `.zarray` or v3 `zarr.json`, normalized
+    to one dict shape (reference surface: rust/sedona-raster-zarr)."""
     base = os.path.join(store, array) if array else store
-    with open(os.path.join(base, ".zarray")) as f:
-        meta = json.load(f)
-    if meta.get("zarr_format") != 2:
-        raise ValueError("only Zarr v2 stores are supported")
+    v2 = os.path.join(base, ".zarray")
+    v3 = os.path.join(base, "zarr.json")
+    if os.path.exists(v2):
+        with open(v2) as f:
+            meta = json.load(f)
+        if meta.get("zarr_format") != 2:
+            raise ValueError("unrecognized .zarray zarr_format")
+    elif os.path.exists(v3):
+        with open(v3) as f:
+            raw = json.load(f)
+        if raw.get("zarr_format") != 3 or raw.get("node_type") != "array":
+            raise ValueError("zarr.json is not a v3 array node")
+        meta = _normalize_v3(raw)
+    else:
+        raise FileNotFoundError(f"no .zarray or zarr.json under {base}")
     if meta.get("order", "C") != "C":
         raise ValueError("only C-order chunks are supported")
     comp = meta.get("compressor")
@@ -56,12 +110,33 @@ def _decode_chunk(raw: bytes, meta: dict) -> np.ndarray:
     return np.frombuffer(raw, dtype=npdt).reshape(meta["chunks"])
 
 
-def list_chunks(store: str, array: str = "") -> list[tuple[str, tuple]]:
-    """[(chunk_path, chunk_index)] for every materialized chunk file."""
+def list_chunks(store: str, array: str = "",
+                meta: dict | None = None) -> list[tuple[str, tuple]]:
+    """[(chunk_path, chunk_index)] for every materialized chunk file.
+
+    v2 keys are dot-joined file names ("1.2"); v3 default encoding nests
+    under a "c" prefix with a separator ("c/1/2"), v2-style encoding in
+    v3 uses dot names."""
     base = os.path.join(store, array) if array else store
     out = []
+    v3key = (meta or {}).get("_v3_key")
+    if v3key is not None and v3key[0] == "default":
+        croot = os.path.join(base, "c")
+        if not os.path.isdir(croot):
+            return []
+        for dirpath, _dirs, files in os.walk(croot):
+            for name in sorted(files):
+                rel = os.path.relpath(os.path.join(dirpath, name), croot)
+                parts = rel.replace(os.sep, "/").split("/")
+                try:
+                    idx = tuple(int(p) for p in parts)
+                except ValueError:
+                    continue
+                out.append((os.path.join(dirpath, name), idx))
+        out.sort(key=lambda t: t[1])
+        return out
     for name in sorted(os.listdir(base)):
-        if name.startswith("."):
+        if name.startswith(".") or name == "zarr.json":
             continue
         try:
             idx = tuple(int(p) for p in name.split("."))
@@ -89,7 +164,7 @@ def read_zarr(spark: SparkSession, store: str, array: str = "",
     t = transform or [0.0, 1.0, 0.0, 0.0, 0.0, -1.0]
     dtname, _ = _DTYPES[meta["dtype"]]
     fill = meta.get("fill_value")
-    chunk_list = list_chunks(store, array)
+    chunk_list = list_chunks(store, array, meta)
 
     def one(item):
         path, idx = item

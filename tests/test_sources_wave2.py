@@ -342,3 +342,42 @@ def test_geopackage_roundtrip(spark, tmp_path):
     assert rows[2]["name"] == "n_2" and rows[2]["score"] == 5.0
     assert rows[2]["wkt"] == "POLYGON ((2 0, 3 0, 3 1, 2 1, 2 0))"
     assert all(r["area"] == 1.0 for r in rows.values())
+
+
+def test_zarr_v3_store(spark, tmp_path):
+    """Zarr v3 (zarr.json + c/-prefixed chunk keys, bytes+gzip codecs)
+    normalizes onto the v2 reader path."""
+    import gzip as _gzip
+    import json as _json
+    import numpy as np
+    from sedona_db_spark.functions.raster import _band_array
+    from sedona_db_spark.sources.zarr_source import read_zarr
+    store = tmp_path / "v3store"
+    (store / "c" / "0").mkdir(parents=True)
+    (store / "c" / "1").mkdir(parents=True)
+    meta = {
+        "zarr_format": 3, "node_type": "array", "shape": [4, 6],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": [2, 3]}},
+        "chunk_key_encoding": {"name": "default",
+                               "configuration": {"separator": "/"}},
+        "fill_value": 0.0,
+        "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+                   {"name": "gzip", "configuration": {"level": 5}}],
+    }
+    (store / "zarr.json").write_text(_json.dumps(meta))
+    full = np.arange(24, dtype="<f8").reshape(4, 6)
+    for cy in range(2):
+        for cx in range(2):
+            chunk = full[cy * 2:(cy + 1) * 2, cx * 3:(cx + 1) * 3]
+            (store / "c" / str(cy) / str(cx)).write_bytes(
+                _gzip.compress(np.ascontiguousarray(chunk).tobytes()))
+    df = read_zarr(spark, str(store))
+    rows = sorted(df.collect(), key=lambda r: tuple(r["chunk_index"]))
+    assert len(rows) == 4
+    assert [tuple(r["chunk_index"]) for r in rows] == \
+        [(0, 0), (0, 1), (1, 0), (1, 1)]
+    got = _band_array(rows[3]["raster"]["bands"][0])
+    assert np.array_equal(got, full[2:4, 3:6])
+    assert rows[0]["raster"]["bands"][0]["nodata"] == 0.0
