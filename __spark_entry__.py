@@ -1942,6 +1942,31 @@ _O["shapefile_roundtrip"] = """
 """
 
 
+def _q_flatgeobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native FlatGeobuf source/sink (minimal flatbuffers runtime;
+    reference uses pyogrio/GDAL): nation boxes out, exact areas back."""
+    import tempfile
+    from pyspark.sql import functions as F
+    from sedona_db_spark.sources.flatgeobuf import (
+        read_flatgeobuf, write_flatgeobuf)
+    boxes = spark.table("nation_boxes").select(
+        F.col("n_nationkey").cast("long").alias("nkey"), "geom")
+    d = tempfile.mkdtemp(prefix="fgbgeo_")
+    write_flatgeobuf(boxes, d + "/boxes.fgb")
+    back = read_flatgeobuf(spark, d)
+    from sedona_db_spark.functions import get_udf
+    area = get_udf("ST_Area")
+    return back.select(
+        F.col("nkey").cast("int").alias("n_nationkey"),
+        F.round(area(F.col("geom")), 6).alias("area"))
+
+
+_PY["flatgeobuf_roundtrip"] = _q_flatgeobuf_roundtrip
+_O["flatgeobuf_roundtrip"] = """
+  SELECT CAST(n_nationkey AS INT) AS n_nationkey, 400.0 AS area FROM nation
+"""
+
+
 def _q_geopackage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native GeoPackage source/sink (stdlib sqlite3 + GP geometry blobs;
     reference uses pyogrio/GDAL): nation boxes out, exact areas back."""

@@ -381,3 +381,37 @@ def test_zarr_v3_store(spark, tmp_path):
     got = _band_array(rows[3]["raster"]["bands"][0])
     assert np.array_equal(got, full[2:4, 3:6])
     assert rows[0]["raster"]["bands"][0]["nodata"] == 0.0
+
+
+def test_flatgeobuf_roundtrip(spark, tmp_path):
+    """Native FGB reader/writer (minimal flatbuffers runtime): all 2-D
+    geometry classes incl. holes/multis/collections, typed properties,
+    null handling."""
+    from sedona_db_spark.sources.flatgeobuf import (
+        read_flatgeobuf, write_flatgeobuf)
+    df = spark.sql("""
+      SELECT id, concat('n_', id) AS name, CAST(id AS DOUBLE) * 2.5 AS score,
+             id % 2 = 0 AS flag,
+             CASE WHEN id = 0 THEN ST_Point(1.0, 2.0)
+                  WHEN id = 1 THEN ST_GeomFromWKT('LINESTRING (0 0, 5 5, 10 0)')
+                  WHEN id = 2 THEN ST_GeomFromWKT(
+                    'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))')
+                  WHEN id = 3 THEN ST_GeomFromWKT(
+                    'MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((10 10, 14 10, 14 14, 10 14, 10 10)))')
+                  ELSE ST_GeomFromWKT(
+                    'GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))')
+             END AS geom
+      FROM range(5) t(id)""")
+    p = str(tmp_path / "data.fgb")
+    write_flatgeobuf(df, p)
+    back = read_flatgeobuf(spark, str(tmp_path))
+    rows = {r["id"]: r for r in back.selectExpr(
+        "id", "name", "score", "flag", "ST_AsText(geom) AS wkt",
+        "round(ST_Area(geom), 6) AS area").collect()}
+    assert len(rows) == 5
+    assert rows[0]["wkt"] == "POINT (1 2)" and rows[0]["flag"] is True
+    assert rows[1]["wkt"] == "LINESTRING (0 0, 5 5, 10 0)"
+    assert rows[2]["area"] == 96.0
+    assert rows[3]["area"] == 32.0
+    assert rows[4]["wkt"].startswith("GEOMETRYCOLLECTION")
+    assert rows[4]["name"] == "n_4" and rows[4]["score"] == 10.0
