@@ -340,13 +340,30 @@ def _k_dwithin_spherical(s1, s2, d) -> pd.Series:
     return k_dwithin_sphere(s1, s2, d)
 
 
-def _tags2(s1: pd.Series, s2: pd.Series) -> np.ndarray:
-    return np.array([_core.is_geog_wkb(a) and _core.is_geog_wkb(b)
-                     for a, b in zip(s1, s2)], dtype=bool)
-
-
 def _tags1(s: pd.Series) -> np.ndarray:
-    return np.array([_core.is_geog_wkb(v) for v in s], dtype=bool)
+    """Vectorized edge-tag scan: one C-level join of the 5-byte WKB
+    heads + a numpy bit test (the per-row Python loop dominated
+    nested-loop predicate joins at millions of pairs)."""
+    vals = list(s)
+    n = len(vals)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    try:
+        head = b"".join(b"\0\0\0\0\0" if v is None
+                        else (v[:5] if len(v) >= 5 else bytes(5))
+                        for v in vals)
+        h = np.frombuffer(head, dtype=np.uint8)
+        if len(h) == 5 * n:
+            h = h.reshape(n, 5)
+            hi = np.where(h[:, 0] == 1, h[:, 4], h[:, 1])
+            return (hi & 0x10) != 0
+    except TypeError:
+        pass
+    return np.array([_core.is_geog_wkb(v) for v in vals], dtype=bool)
+
+
+def _tags2(s1: pd.Series, s2: pd.Series) -> np.ndarray:
+    return _tags1(s1) & _tags1(s2)
 
 
 def _coerce_args(rest, n):
