@@ -315,6 +315,86 @@ def _gnomonic_pair(a: Geom, b: Geom):
     return _alg.transform_coords(a, proj), _alg.transform_coords(b, proj)
 
 
+def _gnomonic_pair_inv(a: Geom, b: Geom):
+    """(projected a, projected b, inverse fn) — like _gnomonic_pair but
+    also returns the inverse mapping so constructive results (overlay
+    outputs) can be carried back to lon/lat."""
+    va = a.all_coords()[:, :2]
+    vb = b.all_coords()[:, :2]
+    allv = np.radians(np.vstack([va, vb]).astype(np.float64))
+    xyz = np.column_stack([
+        np.cos(allv[:, 1]) * np.cos(allv[:, 0]),
+        np.cos(allv[:, 1]) * np.sin(allv[:, 0]),
+        np.sin(allv[:, 1])])
+    c = xyz.mean(axis=0)
+    nrm = float(np.linalg.norm(c))
+    if nrm < 1e-12:
+        return a, b, None
+    c /= nrm
+    lam0 = math.atan2(c[1], c[0])
+    sin0 = c[2]
+    cos0 = math.sqrt(max(1.0 - sin0 * sin0, 0.0))
+    R = EARTH_RADIUS_M
+
+    def proj(arr):
+        lam = np.radians(arr[:, 0])
+        phi = np.radians(arr[:, 1])
+        cosc = sin0 * np.sin(phi) + cos0 * np.cos(phi) * np.cos(lam - lam0)
+        cosc = np.maximum(cosc, 1e-9)
+        x = R * np.cos(phi) * np.sin(lam - lam0) / cosc
+        y = R * (cos0 * np.sin(phi) - sin0 * np.cos(phi) * np.cos(lam - lam0)) / cosc
+        out = arr.copy()
+        out[:, 0] = x
+        out[:, 1] = y
+        return out
+
+    def inv(arr):
+        x = arr[:, 0] / R
+        y = arr[:, 1] / R
+        rho = np.hypot(x, y)
+        cang = np.arctan(rho)  # gnomonic inverse: c = arctan(rho)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sc, cc = np.sin(cang), np.cos(cang)
+            phi = np.arcsin(np.clip(
+                cc * sin0 + np.where(rho > 1e-12, y * sc * cos0 / rho, 0.0),
+                -1.0, 1.0))
+            lam = lam0 + np.arctan2(
+                x * sc, rho * cos0 * cc - y * sin0 * sc)
+        lam = np.where(rho <= 1e-12, lam0, lam)
+        phi = np.where(rho <= 1e-12, math.asin(sin0), phi)
+        out = arr.copy()
+        out[:, 0] = (np.degrees(lam) + 180.0) % 360.0 - 180.0
+        out[:, 1] = np.degrees(phi)
+        return out
+
+    return (_alg.transform_coords(a, proj), _alg.transform_coords(b, proj),
+            inv)
+
+
+def _spherical_overlay_kernel(op_fn):
+    """Geography overlay: gnomonic project (great circles -> lines),
+    exact planar Martinez overlay, inverse-project, re-tag spherical
+    (reference spherical overlay set: kernels.rs:113-118, 524-664)."""
+
+    def run(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        out = []
+        for g1, g2 in zip(_decode(s1), _decode(s2)):
+            if g1 is None or g2 is None:
+                out.append(None)
+                continue
+            if g1.is_empty() or g2.is_empty():
+                res = op_fn(g1, g2)
+            else:
+                p1, p2, inv = _gnomonic_pair_inv(g1, g2)
+                res = op_fn(p1, p2)
+                if inv is not None and not res.is_empty():
+                    res = _alg.transform_coords(res, inv)
+            res.spherical = True
+            out.append(_core.to_wkb(res))
+        return pd.Series(out, dtype=object)
+    return run
+
+
 def _spherical_pred_kernel(pred_name: str):
     pred = getattr(_alg, pred_name)
 
@@ -586,3 +666,15 @@ for _name2, _sph_fn2 in (
     if _name2 in KERNELS:
         _pf, _rt, _sg = KERNELS[_name2]
         KERNELS[_name2] = (_dispatch(_pf, _sph_fn2, 1), _rt, _sg)
+
+
+# spherical overlay dispatch (after the editor loop so _dispatch exists)
+for _name3, _op in (
+        ("ST_Intersection", lambda a, b: _alg.intersection(a, b)),
+        ("ST_Union", lambda a, b: _alg.union2(a, b)),
+        ("ST_Difference", lambda a, b: _alg.difference(a, b)),
+        ("ST_SymDifference", lambda a, b: _alg.sym_difference(a, b))):
+    if _name3 in KERNELS:
+        _pf3, _rt3, _sg3 = KERNELS[_name3]
+        KERNELS[_name3] = (_dispatch(_pf3, _spherical_overlay_kernel(_op), 2),
+                          _rt3, _sg3)

@@ -152,3 +152,28 @@ def test_same_name_dispatch_editors(spark):
     # the mid vertex sits ~30 km off the GREAT CIRCLE (the parallel is
     # not a geodesic), so spherical simplify keeps it; planar drops it
     assert r["gsimp"] == 3 and r["psimp"] == 2
+
+
+def test_same_name_dispatch_overlay(spark):
+    """Spherical overlay via gnomonic round-trip: intersection area in
+    m^2, result contained in both inputs, planar untouched."""
+    r = spark.sql("""
+      SELECT ST_Area(ST_Intersection(
+               ST_GeogFromWKT('POLYGON ((-10 40, 10 40, 10 60, -10 60, -10 40))'),
+               ST_GeogFromWKT('POLYGON ((0 50, 20 50, 20 70, 0 70, 0 50))'))) AS gi,
+             ST_Area(ST_Intersection(
+               ST_GeomFromWKT('POLYGON ((-10 40, 10 40, 10 60, -10 60, -10 40))'),
+               ST_GeomFromWKT('POLYGON ((0 50, 20 50, 20 70, 0 70, 0 50))'))) AS pi,
+             ST_IsEmpty(ST_Difference(
+               ST_GeogFromWKT('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'),
+               ST_GeogFromWKT('POLYGON ((-1 -1, 2 -1, 2 2, -1 2, -1 -1))'))) AS g_diff_empty,
+             round(ST_Area(ST_Union(
+               ST_GeogFromWKT('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'),
+               ST_GeogFromWKT('POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))'))) /
+               ST_Area(ST_GeogFromWKT('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')), 2) AS g_union_ratio
+    """).first()
+    # ~10 deg x 10 deg cell centered ~55N: ~7.0e11 m^2
+    assert 6.5e11 < r["gi"] < 7.5e11
+    assert r["pi"] == pytest.approx(100.0)
+    assert r["g_diff_empty"] is True
+    assert r["g_union_ratio"] == pytest.approx(2.0, abs=0.02)
