@@ -678,3 +678,42 @@ for _name3, _op in (
         _pf3, _rt3, _sg3 = KERNELS[_name3]
         KERNELS[_name3] = (_dispatch(_pf3, _spherical_overlay_kernel(_op), 2),
                           _rt3, _sg3)
+
+
+def _sph_nearest_kernel(as_line: bool):
+    """Spherical ClosestPoint / ShortestLine: gnomonic round-trip of the
+    planar nearest-point witness (kernels.rs ClosestPoint class).  The
+    gnomonic plane preserves which points are closest along great-circle
+    paths only approximately away from the tangent point; for the
+    near-pair use cases (witness of a small min-distance) the tangent
+    sits between the inputs and the witness is exact to float noise."""
+
+    def run(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        from sedona_db_spark.geom.core import LINESTRING
+        out = []
+        for g1, g2 in zip(_decode(s1), _decode(s2)):
+            if g1 is None or g2 is None or g1.is_empty() or g2.is_empty():
+                out.append(None)
+                continue
+            p1, p2, inv = _gnomonic_pair_inv(g1, g2)
+            npair = _alg.nearest_points(p1, p2)
+            if npair is None:
+                out.append(None)
+                continue
+            if as_line:
+                res = Geom(LINESTRING, np.vstack([npair[0], npair[1]]))
+            else:
+                res = Geom(POINT, np.asarray(npair[0], dtype=np.float64))
+            if inv is not None:
+                res = _alg.transform_coords(res, inv)
+            res.spherical = True
+            out.append(_core.to_wkb(res))
+        return pd.Series(out, dtype=object)
+    return run
+
+
+for _name4, _sph4 in (("ST_ClosestPoint", _sph_nearest_kernel(False)),
+                      ("ST_ShortestLine", _sph_nearest_kernel(True))):
+    if _name4 in KERNELS:
+        _pf4, _rt4, _sg4 = KERNELS[_name4]
+        KERNELS[_name4] = (_dispatch(_pf4, _sph4, 2), _rt4, _sg4)

@@ -177,3 +177,23 @@ def test_same_name_dispatch_overlay(spark):
     assert r["pi"] == pytest.approx(100.0)
     assert r["g_diff_empty"] is True
     assert r["g_union_ratio"] == pytest.approx(2.0, abs=0.02)
+
+
+def test_same_name_dispatch_closest_point(spark):
+    """Spherical ClosestPoint sits on the great circle (bulges to
+    ~50.43N at the chord midpoint), not on the planar chord."""
+    r = spark.sql("""
+      SELECT ST_Y(ST_ClosestPoint(
+               ST_GeogFromWKT('LINESTRING (-10 50, 10 50)'),
+               ST_GeogPoint(0.0, 60.0))) AS gy,
+             ST_Y(ST_ClosestPoint(
+               ST_GeomFromWKT('LINESTRING (-10 50, 10 50)'),
+               ST_Point(0.0, 60.0))) AS py,
+             ST_Length(ST_ShortestLine(
+               ST_GeogFromWKT('LINESTRING (-10 50, 10 50)'),
+               ST_GeogPoint(0.0, 60.0))) AS sl
+    """).first()
+    assert r["gy"] == pytest.approx(50.431, abs=0.01)
+    assert r["py"] == pytest.approx(50.0)
+    # geodesic meters from 60N down to the bulge
+    assert r["sl"] == pytest.approx(1.064e6, rel=0.01)
