@@ -717,3 +717,66 @@ for _name4, _sph4 in (("ST_ClosestPoint", _sph_nearest_kernel(False)),
     if _name4 in KERNELS:
         _pf4, _rt4, _sg4 = KERNELS[_name4]
         KERNELS[_name4] = (_dispatch(_pf4, _sph4, 2), _rt4, _sg4)
+
+
+def _slerp(v1: np.ndarray, v2: np.ndarray, t: float) -> np.ndarray:
+    omega = math.acos(max(-1.0, min(1.0, float(v1 @ v2))))
+    so = math.sin(omega)
+    if omega < 1e-12 or so < 1e-9:
+        # coincident or (near-)antipodal: the great circle is undefined
+        # for antipodes — fall back to the normalized chord (stable,
+        # arbitrary-but-deterministic path choice)
+        v = (1 - t) * v1 + t * v2
+        n = float(np.linalg.norm(v))
+        return v1 if n < 1e-9 else v / n
+    v = (math.sin((1 - t) * omega) * v1 + math.sin(t * omega) * v2) / so
+    return v / np.linalg.norm(v)
+
+
+def _k_line_interpolate_spherical(s: pd.Series, f) -> pd.Series:
+    """Point at `fraction` of the GEODESIC length along a lon/lat line,
+    interpolated on the great circle (reference kernels.rs:596)."""
+    fv = _coerce(f, len(s))
+    out = []
+    for g, fr in zip(_decode(s), fv):
+        if g is None or fr is None or g.is_empty():
+            out.append(None)
+            continue
+        lines = list(g.lines())
+        if not lines:
+            out.append(None)
+            continue
+        arr = np.asarray(lines[0], dtype=np.float64)[:, :2]
+        seg = np.array([haversine_m(arr[i, 0], arr[i, 1],
+                                    arr[i + 1, 0], arr[i + 1, 1])
+                        for i in range(len(arr) - 1)])
+        total = float(seg.sum())
+        target = min(max(float(fr), 0.0), 1.0) * total
+        acc = 0.0
+        px, py = arr[-1, 0], arr[-1, 1]
+        for i, sl in enumerate(seg):
+            if acc + sl >= target or i == len(seg) - 1:
+                t = 0.0 if sl == 0 else (target - acc) / sl
+                a1 = np.radians(arr[i])
+                a2 = np.radians(arr[i + 1])
+                v1 = np.array([math.cos(a1[1]) * math.cos(a1[0]),
+                               math.cos(a1[1]) * math.sin(a1[0]),
+                               math.sin(a1[1])])
+                v2 = np.array([math.cos(a2[1]) * math.cos(a2[0]),
+                               math.cos(a2[1]) * math.sin(a2[0]),
+                               math.sin(a2[1])])
+                v = _slerp(v1, v2, min(max(t, 0.0), 1.0))
+                px = math.degrees(math.atan2(v[1], v[0]))
+                py = math.degrees(math.asin(v[2]))
+                break
+            acc += sl
+        res = Geom(POINT, np.array([px, py]))
+        res.spherical = True
+        out.append(_core.to_wkb(res))
+    return pd.Series(out, dtype=object)
+
+
+if "ST_LineInterpolatePoint" in KERNELS:
+    _pf5, _rt5, _sg5 = KERNELS["ST_LineInterpolatePoint"]
+    KERNELS["ST_LineInterpolatePoint"] = (
+        _dispatch(_pf5, _k_line_interpolate_spherical, 1), _rt5, _sg5)

@@ -197,3 +197,19 @@ def test_same_name_dispatch_closest_point(spark):
     assert r["py"] == pytest.approx(50.0)
     # geodesic meters from 60N down to the bulge
     assert r["sl"] == pytest.approx(1.064e6, rel=0.01)
+
+
+def test_same_name_dispatch_line_interpolate(spark):
+    """Spherical interpolation follows the great circle: the midpoint of
+    (-90 30)->(90 30) crosses the north pole, not the parallel."""
+    r = spark.sql("""
+      SELECT ST_Y(ST_LineInterpolatePoint(
+               ST_GeogFromWKT('LINESTRING (-90 30, 90 30)'), 0.5)) AS gy,
+             ST_Y(ST_LineInterpolatePoint(
+               ST_GeomFromWKT('LINESTRING (-90 30, 90 30)'), 0.5)) AS py,
+             ST_X(ST_LineInterpolatePoint(
+               ST_GeogFromWKT('LINESTRING (-90 0, 0 0)'), 0.5)) AS qx
+    """).first()
+    assert r["gy"] == pytest.approx(90.0, abs=1e-6)
+    assert r["py"] == pytest.approx(30.0)
+    assert r["qx"] == pytest.approx(-45.0, abs=1e-6)
