@@ -378,3 +378,37 @@ def analyze_agg(df: DataFrame, group_cols: list[str], geom: str = "geom") -> Dat
         F.avg("__np").alias("mean_points"),
         F.count_distinct("__t").alias("distinct_types"),
     )
+
+
+def envelope_agg_geography(df: DataFrame, group_cols: list[str],
+                           geom: str = "geom") -> DataFrame:
+    """Per-group lon/lat envelope with antimeridian awareness (reference
+    geography ST_Envelope_Agg, sedona-s2geography).
+
+    Fully native: aggregate BOTH longitude framings — raw [-180, 180]
+    and shifted [0, 360) — and keep the narrower interval.  A cluster
+    straddling the antimeridian (177E..-178E) gets the tight wrapped box
+    (xmin > xmax in PostGIS convention) instead of a near-global one.
+    One shuffle, no Python beyond the bbox decode and constructor."""
+    b = df.withColumn("__b", bbox_col(F.col(geom)))
+    shift = lambda c: (F.col(c) + 360.0) % 360.0  # noqa: E731
+    agg = b.groupBy(*group_cols).agg(
+        F.min("__b.xmin").alias("rx0"), F.max("__b.xmax").alias("rx1"),
+        F.min(shift("__b.xmin")).alias("sx0"),
+        F.max(shift("__b.xmax")).alias("sx1"),
+        F.min("__b.ymin").alias("ymin"), F.max("__b.ymax").alias("ymax"))
+    raw_w = F.col("rx1") - F.col("rx0")
+    shf_w = F.col("sx1") - F.col("sx0")
+    use_shift = shf_w < raw_w
+    xmin = F.when(use_shift,
+                  ((F.col("sx0") + 180.0) % 360.0) - 180.0).otherwise(F.col("rx0"))
+    xmax = F.when(use_shift,
+                  ((F.col("sx1") + 180.0) % 360.0) - 180.0).otherwise(F.col("rx1"))
+    mk = get_udf("ST_MakeEnvelope")
+    out = agg.withColumn("xmin", xmin).withColumn("xmax", xmax)
+    # wrapped envelopes (xmin > xmax) keep the numeric columns; the
+    # polygon constructor gets the unwrapped shifted box for a valid ring
+    env = mk(F.least("xmin", "xmax"), F.col("ymin"),
+             F.greatest("xmin", "xmax"), F.col("ymax"))
+    return out.select(*group_cols, "xmin", "ymin", "xmax", "ymax",
+                      env.alias("envelope"))

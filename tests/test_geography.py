@@ -213,3 +213,24 @@ def test_same_name_dispatch_line_interpolate(spark):
     assert r["gy"] == pytest.approx(90.0, abs=1e-6)
     assert r["py"] == pytest.approx(30.0)
     assert r["qx"] == pytest.approx(-45.0, abs=1e-6)
+
+
+def test_envelope_agg_geography_antimeridian(spark):
+    """A cluster straddling 180E gets the tight wrapped interval
+    (xmin > xmax), not the naive near-global box."""
+    from sedona_db_spark.functions.aggregates import envelope_agg_geography
+    df = spark.sql("""
+      SELECT CASE WHEN id < 3 THEN 'wrap' ELSE 'plain' END AS grp,
+             CASE id WHEN 0 THEN ST_GeogPoint(177.0, 10.0)
+                     WHEN 1 THEN ST_GeogPoint(179.5, 12.0)
+                     WHEN 2 THEN ST_GeogPoint(-178.0, 11.0)
+                     WHEN 3 THEN ST_GeogPoint(10.0, 40.0)
+                     ELSE ST_GeogPoint(20.0, 50.0) END AS geom
+      FROM range(5) t(id)""")
+    rows = {r["grp"]: r for r in
+            envelope_agg_geography(df, ["grp"]).collect()}
+    w = rows["wrap"]
+    assert w["xmin"] == pytest.approx(177.0) and w["xmax"] == pytest.approx(-178.0)
+    assert w["ymin"] == 10.0 and w["ymax"] == 12.0
+    p = rows["plain"]
+    assert p["xmin"] == 10.0 and p["xmax"] == 20.0
