@@ -125,3 +125,51 @@ def run_batchlike(stream_df: DataFrame, tmp_dir: str) -> DataFrame:
 def _has_agg(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().logical().toString()
     return "Aggregate" in plan
+
+
+def geofence_join(stream: DataFrame, zones: DataFrame,
+                  stream_geom: str = "geom", zone_geom: str = "geom",
+                  predicate: str = "within",
+                  window: str | None = None,
+                  watermark: str = "2 hours") -> DataFrame:
+    """Streaming geofence: tag each streamed point with the static zone
+    containing it (stream-static broadcast join), optionally rolled up
+    into windowed per-zone counts.
+
+    Scale design: the static zone side is broadcast once (zones are
+    small by nature); the join condition is a NATIVE bbox range check so
+    Catalyst keeps it in the broadcast hash/nested-loop stage, and the
+    exact predicate runs as an Arrow-batched refine filter after the
+    join — the streaming micro-batch plan is the same shape as the
+    batch broadcast spatial join.  The reference has no streaming
+    surface (SURVEY: batch-only); this is the north-star extension."""
+    from sedona_db_spark.functions import get_udf
+    from sedona_db_spark.operators.spatial_join import _PREDICATES, bbox_col
+    if predicate not in _PREDICATES:
+        raise ValueError(f"unsupported predicate {predicate!r}")
+    stx = get_udf("ST_X")
+    sty = get_udf("ST_Y")
+    s = stream.withColumn("__px", stx(F.col(stream_geom))) \
+              .withColumn("__py", sty(F.col(stream_geom)))
+    zcols = {c: (f"zone_{c}" if c in stream.columns else c)
+             for c in zones.columns}
+    z = zones.select([F.col(c).alias(a) for c, a in zcols.items()])
+    z = z.withColumn("__zb", bbox_col(F.col(zcols[zone_geom])))
+    cond = ((F.col("__px") >= F.col("__zb.xmin")) &
+            (F.col("__px") <= F.col("__zb.xmax")) &
+            (F.col("__py") >= F.col("__zb.ymin")) &
+            (F.col("__py") <= F.col("__zb.ymax")))
+    from sedona_db_spark.operators.spatial_join import _refine_udf
+    joined = s.join(F.broadcast(z), cond, "inner")
+    refine = _refine_udf(predicate, False)
+    joined = joined.filter(
+        refine(F.col(stream_geom), F.col(zcols[zone_geom])))
+    joined = joined.drop("__px", "__py", "__zb")
+    if window is None:
+        return joined
+    return (joined.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("win"),
+                     *[a for c, a in zcols.items() if c != zone_geom])
+            .agg(F.count("*").alias("n"))
+            .select(F.col("win.start").alias("win_start"),
+                    *[a for c, a in zcols.items() if c != zone_geom], "n"))

@@ -122,3 +122,41 @@ def test_stateful_running_stats_matches_batch(spark):
         j = res.join(batch, "user_id")
         bad = j.filter("n != bn OR abs(s - bs) > 1e-6").count()
         assert bad == 0 and res.count() == batch.count()
+
+
+def test_streaming_geofence_matches_batch(spark):
+    """Streaming geofence join == batch spatial join on the same data:
+    points derived from the event stream tagged with containing zones,
+    then windowed per-zone counts."""
+    from sedona_db_spark.streaming import ops as so
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "src")
+        pts = spark.table("events").limit(500).selectExpr(
+            "event_id", "ts", "user_id", "event_type", "value", "props")
+        pts.write.parquet(src)
+        zones = spark.sql("""
+          SELECT n_nationkey AS zone_id,
+                 ST_MakeEnvelope(CAST(n_nationkey % 5 AS DOUBLE) * 20.0, 0.0D,
+                                 CAST(n_nationkey % 5 AS DOUBLE) * 20.0 + 20.0,
+                                 100.0D) AS geom
+          FROM nation WHERE n_nationkey < 5""")
+        stream = so.event_stream(spark, src, max_files_per_trigger=100) \
+            .selectExpr("*", "ST_Point(CAST(user_id % 100 AS DOUBLE), "
+                             "CAST(value % 100 AS DOUBLE)) AS geom")
+        tagged = so.geofence_join(stream, zones, predicate="within")
+        res = so.run_batchlike(tagged, os.path.join(td, "ck"))
+        batch = spark.read.parquet(src).selectExpr(
+            "*", "ST_Point(CAST(user_id % 100 AS DOUBLE), "
+                 "CAST(value % 100 AS DOUBLE)) AS geom")
+        from sedona_db_spark.operators.spatial_join import spatial_join
+        exp = spatial_join(batch, zones.withColumnRenamed("zone_id", "zid"),
+                           predicate="within")
+        assert res.count() == exp.count() > 0
+        # windowed rollup variant produces per-zone counts
+        rolled = so.run_batchlike(
+            so.geofence_join(stream, zones, predicate="within",
+                             window="6 hours"),
+            os.path.join(td, "ck2"))
+        assert rolled.count() > 0
+        assert {"win_start", "zone_id", "n"} <= set(rolled.columns)
+        assert rolled.agg(F.sum("n")).first()[0] == exp.count()
