@@ -155,3 +155,67 @@ def test_martinez_overlay_inclusion_exclusion_random():
         assert abs(au - (aA + aB - ai)) < tol, t
         assert abs(ad - (aA - ai)) < tol, t
         assert abs(ax - (au - ai)) < tol, t
+
+
+def test_relate_transpose_and_self_invariants():
+    """DE-9IM invariants on random (multi)polygons: relate(A,A) is the
+    equality matrix; relate(A,B) is the transpose of relate(B,A)."""
+    import numpy as np
+    from sedona_db_spark.geom import wkt
+    from sedona_db_spark.geom.algorithms2 import relate_matrix
+    rng = np.random.RandomState(7)
+
+    def rand_box(cx, cy, s):
+        return (f"POLYGON (({cx} {cy}, {cx+s} {cy}, {cx+s} {cy+s}, "
+                f"{cx} {cy+s}, {cx} {cy}))")
+
+    def transpose(m):
+        return "".join(m[c * 3 + r] for r in range(3) for c in range(3))
+
+    for _ in range(25):
+        ax, ay, asz = rng.uniform(0, 10), rng.uniform(0, 10), rng.uniform(1, 5)
+        bx, by, bsz = rng.uniform(0, 10), rng.uniform(0, 10), rng.uniform(1, 5)
+        a = wkt.from_wkt(rand_box(ax, ay, asz))
+        b = wkt.from_wkt(rand_box(bx, by, bsz))
+        assert relate_matrix(a, a) == "2FFF1FFF2"
+        assert relate_matrix(a, b) == transpose(relate_matrix(b, a))
+        # multipolygon of two far-apart parts keeps the invariants
+        m = wkt.from_wkt(
+            f"MULTIPOLYGON ((({ax} {ay}, {ax+asz} {ay}, {ax+asz} {ay+asz}, "
+            f"{ax} {ay+asz}, {ax} {ay})), ((100 100, 101 100, 101 101, "
+            f"100 101, 100 100)))")
+        assert relate_matrix(m, m) == "2FFF1FFF2"
+        assert relate_matrix(m, b) == transpose(relate_matrix(b, m))
+
+
+def test_spherical_predicates_agree_with_planar_for_tiny_geoms(spark):
+    """At ~1 km scales near the equator, curvature is negligible:
+    spherical (gnomonic) and planar predicates must agree on random
+    tiny box/point pairs."""
+    import numpy as np
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(60):
+        cx = float(rng.uniform(-20, 20))
+        cy = float(rng.uniform(-20, 20))
+        s = float(rng.uniform(0.002, 0.01))
+        px = cx + float(rng.uniform(-0.015, 0.015))
+        py = cy + float(rng.uniform(-0.015, 0.015))
+        rows.append((i, cx, cy, cx + s, cy + s, px, py))
+    df = spark.createDataFrame(
+        rows, "id long, x0 double, y0 double, x1 double, y1 double,"
+              "px double, py double")
+    df.createOrReplaceTempView("tiny")
+    r = spark.sql("""
+      SELECT sum(CASE WHEN
+        ST_Contains(ST_ToGeography(ST_MakeEnvelope(x0, y0, x1, y1)),
+                    ST_GeogPoint(px, py)) =
+        ST_Contains(ST_MakeEnvelope(x0, y0, x1, y1), ST_Point(px, py))
+        THEN 0 ELSE 1 END) AS mismatches,
+        sum(CASE WHEN
+        ST_Intersects(ST_ToGeography(ST_MakeEnvelope(x0, y0, x1, y1)),
+                      ST_GeogPoint(px, py)) =
+        ST_Intersects(ST_MakeEnvelope(x0, y0, x1, y1), ST_Point(px, py))
+        THEN 0 ELSE 1 END) AS mismatches2
+      FROM tiny""").first()
+    assert r["mismatches"] == 0 and r["mismatches2"] == 0
