@@ -54,7 +54,7 @@ def _normalize_v3(meta: dict) -> dict:
         if name == "bytes":
             if codec.get("configuration", {}).get("endian", "little") != "little":
                 dt = ">" + dt[1:] if dt[0] in "<|" else dt
-        elif name in ("gzip", "zlib"):
+        elif name in ("gzip", "zlib", "blosc"):
             comp = {"id": name}
         elif name == "transpose":
             raise NotImplementedError("zarr v3 transpose codec unsupported")
@@ -95,17 +95,20 @@ def read_zarray_meta(store: str, array: str = "") -> dict:
     if meta.get("order", "C") != "C":
         raise ValueError("only C-order chunks are supported")
     comp = meta.get("compressor")
-    if comp is not None and comp.get("id") not in ("zlib", "gzip"):
+    if comp is not None and comp.get("id") not in ("zlib", "gzip", "blosc"):
         raise NotImplementedError(
-            f"compressor {comp.get('id')!r} needs numcodecs (zlib/gzip/raw "
-            "are supported natively)")
+            f"compressor {comp.get('id')!r} needs numcodecs "
+            "(zlib/gzip/blosc-lz4/raw are supported natively)")
     return meta
 
 
 def _decode_chunk(raw: bytes, meta: dict) -> np.ndarray:
     comp = meta.get("compressor")
     if comp is not None:
-        raw = zlib.decompress(raw, 47 if comp["id"] == "gzip" else 15)
+        if comp["id"] == "blosc":
+            raw = blosc_decompress(raw)
+        else:
+            raw = zlib.decompress(raw, 47 if comp["id"] == "gzip" else 15)
     _, npdt = _DTYPES[meta["dtype"]]
     return np.frombuffer(raw, dtype=npdt).reshape(meta["chunks"])
 
@@ -206,3 +209,95 @@ def read_zarr(spark: SparkSession, store: str, array: str = "",
     rdd = spark.sparkContext.parallelize(
         chunk_list, max(1, min(len(chunk_list), 256))).map(one)
     return spark.createDataFrame(rdd, schema)
+
+
+# ----------------------------------------------------------------------
+# Blosc container + LZ4 block codec (native) — the zarr-python default
+# compressor (blosc cname='lz4' + byte shuffle), implemented from the
+# public c-blosc container layout and LZ4 block format descriptions.
+# Inner codecs supported: lz4, zlib, memcpyed/raw blocks; blosclz/zstd
+# still raise toward numcodecs.
+# ----------------------------------------------------------------------
+
+def lz4_block_decompress(src: bytes, dst_size: int) -> bytes:
+    """LZ4 *block* format decoder (token / literals / offset+match)."""
+    out = bytearray()
+    pos = 0
+    n = len(src)
+    while pos < n and len(out) < dst_size:
+        token = src[pos]
+        pos += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[pos]
+                pos += 1
+                lit += b
+                if b != 255:
+                    break
+        out += src[pos:pos + lit]
+        pos += lit
+        if pos >= n:
+            break  # last sequence: literals only
+        offset = src[pos] | (src[pos + 1] << 8)
+        pos += 2
+        mlen = (token & 0xF) + 4
+        if (token & 0xF) == 15:
+            while True:
+                b = src[pos]
+                pos += 1
+                mlen += b
+                if b != 255:
+                    break
+        start = len(out) - offset
+        if offset == 0:
+            raise ValueError("corrupt LZ4 stream (zero offset)")
+        for i in range(mlen):  # byte-wise: overlapping copies are the point
+            out.append(out[start + i])
+    return bytes(out)
+
+
+def _unshuffle(raw: bytes, typesize: int) -> bytes:
+    if typesize <= 1 or len(raw) % typesize:
+        return raw
+    n = len(raw) // typesize
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(typesize, n)
+    return np.ascontiguousarray(arr.T).tobytes()
+
+
+def blosc_decompress(src: bytes) -> bytes:
+    """Blosc1 chunk -> raw bytes (header, optional bstarts-indexed
+    blocks, byte-unshuffle)."""
+    import struct as _st
+    if len(src) < 16:
+        raise ValueError("truncated blosc chunk")
+    _version, _versionlz, flags, typesize = src[0], src[1], src[2], src[3]
+    nbytes, blocksize, _cbytes = _st.unpack_from("<III", src, 4)
+    codec = flags >> 5
+    shuffled = bool(flags & 0x1)
+    if flags & 0x4:
+        raise NotImplementedError("blosc bit-shuffle needs numcodecs")
+    if flags & 0x2:  # memcpyed: payload is raw
+        raw = src[16:16 + nbytes]
+    else:
+        nblocks = (nbytes + blocksize - 1) // blocksize if blocksize else 1
+        bstarts = _st.unpack_from("<%dI" % nblocks, src, 16)
+        raw = bytearray()
+        for i, off in enumerate(bstarts):
+            (bcb,) = _st.unpack_from("<i", src, off)
+            block_nb = min(blocksize, nbytes - i * blocksize)
+            payload = src[off + 4:off + 4 + abs(bcb)]
+            if bcb == block_nb:  # stored uncompressed
+                raw += payload
+            elif codec == 1:     # lz4 / lz4hc
+                raw += lz4_block_decompress(payload, block_nb)
+            elif codec == 4:     # zlib
+                raw += zlib.decompress(payload)
+            else:
+                raise NotImplementedError(
+                    f"blosc inner codec {codec} needs numcodecs "
+                    "(lz4/zlib/raw supported natively)")
+        raw = bytes(raw)
+    if shuffled:
+        raw = _unshuffle(raw, typesize)
+    return raw

@@ -108,11 +108,12 @@ def test_zarr_zlib_and_3d(spark, tmp_path):
 
 
 def test_zarr_rejects_unknown_compressor(tmp_path):
+    # blosc now decodes natively; zstd still gates on numcodecs
     store = str(tmp_path / "zbad")
     os.makedirs(store)
     with open(os.path.join(store, ".zarray"), "w") as f:
         json.dump({"zarr_format": 2, "shape": [2, 2], "chunks": [2, 2],
-                   "dtype": "<f8", "compressor": {"id": "blosc"},
+                   "dtype": "<f8", "compressor": {"id": "zstd"},
                    "fill_value": 0, "order": "C"}, f)
     with pytest.raises(NotImplementedError):
         zarr_source.read_zarray_meta(store)
@@ -415,3 +416,48 @@ def test_flatgeobuf_roundtrip(spark, tmp_path):
     assert rows[3]["area"] == 32.0
     assert rows[4]["wkt"].startswith("GEOMETRYCOLLECTION")
     assert rows[4]["name"] == "n_4" and rows[4]["score"] == 10.0
+
+
+def test_zarr_blosc_lz4_chunks(spark, tmp_path):
+    """Blosc-contained chunks (the zarr-python default) decode natively:
+    memcpyed + byte-shuffle and lz4 blocks."""
+    import json as _json
+    import struct as _struct
+    import numpy as np
+    from sedona_db_spark.functions.raster import _band_array
+    from sedona_db_spark.sources.zarr_source import read_zarr
+    store = tmp_path / "bstore"
+    store.mkdir()
+    meta = {"zarr_format": 2, "shape": [2, 6], "chunks": [2, 3],
+            "dtype": "<f8", "order": "C", "fill_value": None,
+            "compressor": {"id": "blosc", "cname": "lz4",
+                           "clevel": 5, "shuffle": 1}}
+    (store / ".zarray").write_text(_json.dumps(meta))
+    full = np.arange(12, dtype="<f8").reshape(2, 6)
+
+    def blosc_memcpy_shuffled(data: bytes, tsz: int) -> bytes:
+        n = len(data) // tsz
+        shuf = np.frombuffer(data, np.uint8).reshape(n, tsz).T.copy().tobytes()
+        hdr = bytes([2, 1, 0x1 | 0x2, tsz]) + _struct.pack(
+            "<III", len(data), len(data), len(data) + 16)
+        return hdr + shuf
+
+    def blosc_lz4(data: bytes, tsz: int) -> bytes:
+        lit = len(data)
+        assert lit >= 15
+        lz = bytes([0xF0, lit - 15]) + data  # literals-only LZ4 sequence
+        hdr = bytes([2, 1, (1 << 5), tsz]) + _struct.pack(
+            "<III", lit, lit, 0)
+        return hdr + _struct.pack("<I", 20) + _struct.pack("<i", len(lz)) + lz
+
+    c0 = np.ascontiguousarray(full[:, :3]).tobytes()
+    c1 = np.ascontiguousarray(full[:, 3:]).tobytes()
+    (store / "0.0").write_bytes(blosc_memcpy_shuffled(c0, 8))
+    (store / "0.1").write_bytes(blosc_lz4(c1, 8))
+    df = read_zarr(spark, str(store))
+    rows = sorted(df.collect(), key=lambda r: tuple(r["chunk_index"]))
+    assert len(rows) == 2
+    a0 = _band_array(rows[0]["raster"]["bands"][0])
+    a1 = _band_array(rows[1]["raster"]["bands"][0])
+    assert np.array_equal(a0, full[:, :3])
+    assert np.array_equal(a1, full[:, 3:])
