@@ -800,6 +800,8 @@ def register(spark: SparkSession) -> None:
     spark.udf.register("RS_AsRaster", _rs_asraster_udf)
     spark.udf.register("RS_AsGeoTIFF", _rs_as_geotiff_udf)
     spark.udf.register("RS_FromGeoTIFF", _rs_from_geotiff_udf)
+    spark.udf.register("RS_Values", _rs_values_udf)
+    spark.udf.register("RS_ReprojectMatch", _rs_reproject_match_udf)
     register_sql_accessors(spark)
 
 
@@ -924,3 +926,96 @@ def metadata(r) -> Column:
         scale_x(r).alias("scalex"), scale_y(r).alias("scaley"),
         skew_x(r).alias("skewx"), skew_y(r).alias("skewy"),
         srid(r).alias("srid"), num_bands(r).alias("numbands"))
+
+
+@F.pandas_udf(T.ArrayType(T.DoubleType()))
+def _rs_values_udf(rs: pd.Series, pts: pd.Series, band: pd.Series) -> pd.Series:
+    """RS_Values (rs_values.rs): sample the band at each point of a
+    MultiPoint; out-of-bounds points yield null."""
+    from sedona_db_spark.geom import core as _geocore
+    out = []
+    for r, pw, b in zip(_iter_struct(rs), pts, band):
+        if r is None or pw is None or b is None:
+            out.append(None)
+            continue
+        g = _geocore.from_wkb(bytes(pw))
+        coords = g.all_coords()[:, :2]
+        t, w, h = _raster_fields(r)
+        arr = _band_array(r["bands"][int(b) - 1])
+        if arr is None:
+            out.append(None)
+            continue
+        ulx, sx, kx, uly, ky, sy = t
+        det = sx * sy - kx * ky
+        vals = []
+        for x, y in coords:
+            dx, dy = x - ulx, y - uly
+            col = (dx * sy - dy * kx) / det
+            row = (dy * sx - dx * ky) / det
+            ci, ri = int(col), int(row)
+            if 0 <= ci < w and 0 <= ri < h:
+                vals.append(float(arr[ri, ci]))
+            else:
+                vals.append(None)
+        out.append(vals)
+    return pd.Series(out, dtype=object)
+
+
+def values(r, pts, band=1) -> Column:
+    b = F.lit(band) if isinstance(band, int) else band
+    return _rs_values_udf(r, pts, b.cast("long"))
+
+
+@F.pandas_udf(RASTER_TYPE)
+def _rs_reproject_match_udf(rs: pd.Series, ref: pd.Series) -> pd.DataFrame:
+    """RS_ReprojectMatch (rs_reproject_match.rs / rioxarray
+    reproject_match): warp the input raster onto the REFERENCE raster's
+    grid — output extent, resolution, dimensions and CRS come from the
+    reference, pixel values from the input (nearest-neighbor), cells
+    outside the input footprint filled with NaN.  CRS pairs resolve
+    through the native projection registry (no GDAL)."""
+    from sedona_db_spark.geom import algorithms as _alg
+    from sedona_db_spark.geom.core import MULTIPOINT, Geom as _G
+    out = []
+    for r, rf in zip(_iter_struct(rs), _iter_struct(ref)):
+        if r is None or rf is None:
+            out.append(None)
+            continue
+        t_in, w_in, h_in = _raster_fields(r)
+        t_rf, w_rf, h_rf = _raster_fields(rf)
+        # reference-grid pixel centers in reference CRS
+        cols, rows = np.meshgrid(np.arange(w_rf) + 0.5,
+                                 np.arange(h_rf) + 0.5)
+        xs = t_rf[0] + cols * t_rf[1] + rows * t_rf[2]
+        ys = t_rf[3] + cols * t_rf[4] + rows * t_rf[5]
+        pts = np.column_stack([xs.ravel(), ys.ravel()])
+        src_crs, dst_crs = str(rf["crs"] or ""), str(r["crs"] or "")
+        if src_crs and dst_crs and src_crs.upper() != dst_crs.upper():
+            moved = _alg.transform_crs(
+                _G(MULTIPOINT, [p for p in pts]), src_crs, dst_crs)
+            pts = np.vstack([p[:2] for p in moved.data])
+        # invert the input geotransform for pixel lookup
+        ulx, sx, kx, uly, ky, sy = t_in
+        det = sx * sy - kx * ky
+        dx, dy = pts[:, 0] - ulx, pts[:, 1] - uly
+        col = np.floor((dx * sy - dy * kx) / det).astype(np.int64)
+        row = np.floor((dy * sx - dx * ky) / det).astype(np.int64)
+        inside = (col >= 0) & (col < w_in) & (row >= 0) & (row < h_in)
+        bands = []
+        for b in r["bands"]:
+            arr = _band_array(b)
+            if arr is None:
+                continue
+            vals = np.full(len(pts), np.nan)
+            vals[inside] = arr[row[inside], col[inside]].astype(np.float64)
+            bands.append((b["name"], "float64",
+                          vals.reshape(h_rf, w_rf)))
+        out.append(make_raster_row(
+            w_rf, h_rf, ulx=t_rf[0], uly=t_rf[3], scale_x=t_rf[1],
+            scale_y=t_rf[5], skew_x=t_rf[2], skew_y=t_rf[4],
+            crs=rf["crs"], bands=bands))
+    return _struct_out(out)
+
+
+def reproject_match(r, ref) -> Column:
+    return _rs_reproject_match_udf(r, ref)

@@ -283,3 +283,52 @@ def test_geotiff_sql_and_from_path(spark, tmp_path):
         *[F.col(f.name) for f in df.schema.fields if f.name != "path"])).alias("ulx")).collect()
     assert len(rows) == 3
     assert sorted(r["ulx"] for r in rows) == [0.0, 10.0, 20.0]
+
+
+def test_rs_values_multipoint(spark):
+    """RS_Values (rs_values.rs): per-point sampling, out-of-bounds null."""
+    v = spark.sql("""
+      SELECT RS_Values(RS_AsRaster(ST_MakeEnvelope(0.0D, 0.0D, 4.0D, 4.0D),
+                                   4, 4, 9.0D),
+                       ST_GeomFromWKT('MULTIPOINT ((1 1), (3.5 3.5), (10 10))'),
+                       1) AS v
+    """).first()["v"]
+    assert v == [9.0, 9.0, None]
+
+
+def test_rs_reproject_match_grid_and_crs(spark):
+    """RS_ReprojectMatch (rioxarray semantics): output takes the
+    REFERENCE grid; values resampled nearest from the input, including
+    across a CRS change through the native projection registry."""
+    import numpy as np
+    from sedona_db_spark.functions.raster import (
+        _band_array, make_raster_row)
+    inp = make_raster_row(4, 4, ulx=0, uly=8, scale_x=2, scale_y=-2,
+                          bands=[("b", "float64",
+                                  np.arange(16, dtype=float).reshape(4, 4))])
+    ref = make_raster_row(8, 8, ulx=0, uly=8, scale_x=1, scale_y=-1,
+                          bands=[("r", "float64", np.zeros((8, 8)))])
+    schema = T.StructType([T.StructField("a", rs.RASTER_TYPE),
+                           T.StructField("b", rs.RASTER_TYPE)])
+    df = spark.createDataFrame([(inp, ref)], schema=schema)
+    out = df.select(rs.reproject_match(F.col("a"), F.col("b")).alias("m")) \
+        .first()["m"]
+    arr = _band_array(out["bands"][0])
+    assert arr.shape == (8, 8)
+    assert arr[0, 0] == 0.0 and arr[2, 2] == 5.0  # 2x nearest upsample
+    assert list(out["transform"]) == [0.0, 1.0, 0.0, 8.0, 0.0, -1.0]
+    # CRS change: input in web mercator, reference grid in lon/lat
+    m = make_raster_row(4, 4, ulx=0, uly=445640.0,
+                        scale_x=111410.0, scale_y=-111410.0,
+                        crs="EPSG:3857",
+                        bands=[("b", "float64",
+                                np.arange(16, dtype=float).reshape(4, 4))])
+    ll = make_raster_row(4, 4, ulx=0, uly=4.0, scale_x=1.0, scale_y=-1.0,
+                         crs="EPSG:4326",
+                         bands=[("r", "float64", np.zeros((4, 4)))])
+    df2 = spark.createDataFrame([(m, ll)], schema=schema)
+    out2 = df2.select(rs.reproject_match(F.col("a"), F.col("b")).alias("m")) \
+        .first()["m"]
+    a2 = _band_array(out2["bands"][0])
+    assert out2["crs"] == "EPSG:4326" and a2.shape == (4, 4)
+    assert np.isfinite(a2).all()  # whole lon/lat window inside the input
