@@ -802,6 +802,8 @@ def register(spark: SparkSession) -> None:
     spark.udf.register("RS_FromGeoTIFF", _rs_from_geotiff_udf)
     spark.udf.register("RS_Values", _rs_values_udf)
     spark.udf.register("RS_ReprojectMatch", _rs_reproject_match_udf)
+    spark.udf.register("RS_DimToBand", _rs_dimtoband_udf)
+    spark.udf.register("RS_BandToDim", _rs_bandtodim_udf)
     register_sql_accessors(spark)
 
 
@@ -1019,3 +1021,86 @@ def _rs_reproject_match_udf(rs: pd.Series, ref: pd.Series) -> pd.DataFrame:
 
 def reproject_match(r, ref) -> Column:
     return _rs_reproject_match_udf(r, ref)
+
+
+def _band_dict(name, dims, shape, dtype, data, nodata=None):
+    return {"name": name, "dim_names": list(dims),
+            "source_shape": [int(s) for s in shape], "datatype": dtype,
+            "nodata": nodata, "view": None, "outdb_uri": None,
+            "outdb_format": None, "data": data}
+
+
+@F.pandas_udf(RASTER_TYPE)
+def _rs_dimtoband_udf(rs: pd.Series, dim: pd.Series) -> pd.DataFrame:
+    """RS_DimToBand (rs_dim_band.rs): expand the named NON-spatial
+    dimension of each band into one band per index along it; bands
+    without that dimension pass through."""
+    out = []
+    for r, d in zip(_iter_struct(rs), dim):
+        if r is None or d is None:
+            out.append(None)
+            continue
+        d = str(d)
+        if d in ("x", "y"):
+            raise ValueError("spatial dimensions cannot be expanded")
+        new_bands = []
+        for b in r["bands"]:
+            dims = list(b["dim_names"]) if b["dim_names"] is not None and len(b["dim_names"]) else []
+            if d not in dims:
+                new_bands.append(_band_dict(
+                    b["name"], dims, b["source_shape"], b["datatype"],
+                    b["data"], b["nodata"]))
+                continue
+            ax = dims.index(d)
+            arr = _band_array(b)
+            rest_dims = dims[:ax] + dims[ax + 1:]
+            for i in range(arr.shape[ax]):
+                sub = np.ascontiguousarray(np.take(arr, i, axis=ax))
+                new_bands.append(_band_dict(
+                    f"{b['name']}[{d}={i}]", rest_dims, sub.shape,
+                    b["datatype"], sub.tobytes(), b["nodata"]))
+        out.append({"crs": r["crs"], "transform": list(r["transform"]),
+                    "spatial_dims": list(r["spatial_dims"]),
+                    "spatial_shape": [int(v) for v in r["spatial_shape"]],
+                    "bands": new_bands})
+    return _struct_out(out)
+
+
+@F.pandas_udf(RASTER_TYPE)
+def _rs_bandtodim_udf(rs: pd.Series, dim: pd.Series) -> pd.DataFrame:
+    """RS_BandToDim: stack all (same-shape, same-dtype) bands into ONE
+    band with a new leading dimension named `dim` — the inverse of
+    RS_DimToBand."""
+    out = []
+    for r, d in zip(_iter_struct(rs), dim):
+        if r is None or d is None:
+            out.append(None)
+            continue
+        d = str(d)
+        arrs = [_band_array(b) for b in r["bands"]]
+        if not arrs or any(a is None for a in arrs):
+            out.append(None)
+            continue
+        if len({a.shape for a in arrs}) != 1 or \
+                len({str(a.dtype) for a in arrs}) != 1:
+            raise ValueError("RS_BandToDim requires uniform band shapes/dtypes")
+        stacked = np.ascontiguousarray(np.stack(arrs, axis=0))
+        b0 = r["bands"][0]
+        dims = [d] + (list(b0["dim_names"]) if b0["dim_names"] is not None and len(b0["dim_names"]) else [])
+        out.append({"crs": r["crs"], "transform": list(r["transform"]),
+                    "spatial_dims": list(r["spatial_dims"]),
+                    "spatial_shape": [int(v) for v in r["spatial_shape"]],
+                    "bands": [_band_dict(b0["name"], dims, stacked.shape,
+                                         b0["datatype"], stacked.tobytes(),
+                                         b0["nodata"])]})
+    return _struct_out(out)
+
+
+def dim_to_band(r, dim) -> Column:
+    d = F.lit(dim) if isinstance(dim, str) else dim
+    return _rs_dimtoband_udf(r, d)
+
+
+def band_to_dim(r, dim) -> Column:
+    d = F.lit(dim) if isinstance(dim, str) else dim
+    return _rs_bandtodim_udf(r, d)

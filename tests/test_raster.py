@@ -332,3 +332,25 @@ def test_rs_reproject_match_grid_and_crs(spark):
     a2 = _band_array(out2["bands"][0])
     assert out2["crs"] == "EPSG:4326" and a2.shape == (4, 4)
     assert np.isfinite(a2).all()  # whole lon/lat window inside the input
+
+
+def test_dim_band_roundtrip(spark):
+    """RS_BandToDim stacks bands under a new leading dim;
+    RS_DimToBand expands it back (rs_dim_band.rs)."""
+    import numpy as np
+    a1 = np.arange(6, dtype=float).reshape(2, 3)
+    a2 = a1 + 10
+    row = rs.make_raster_row(3, 2, bands=[("b", "float64", a1),
+                                          ("b2", "float64", a2)])
+    schema = T.StructType([T.StructField("r", rs.RASTER_TYPE)])
+    df = spark.createDataFrame([(row,)], schema)
+    cube = df.select(rs.band_to_dim(F.col("r"), "time").alias("c"))
+    c = cube.first()["c"]
+    assert len(c["bands"]) == 1
+    assert list(c["bands"][0]["dim_names"]) == ["time", "y", "x"]
+    assert list(c["bands"][0]["source_shape"]) == [2, 2, 3]
+    back = cube.select(rs.dim_to_band(F.col("c"), "time").alias("r2")).first()["r2"]
+    assert [b["name"] for b in back["bands"]] == ["b[time=0]", "b[time=1]"]
+    from sedona_db_spark.functions.raster import _band_array
+    assert np.array_equal(_band_array(back["bands"][0]), a1)
+    assert np.array_equal(_band_array(back["bands"][1]), a2)
