@@ -61,6 +61,12 @@ def main() -> None:
     for name in names:
         if name not in qs or name not in oracles:
             continue
+        # one untimed pass per ENGINE (Spark: Janino/codegen + worker
+        # spin-up; DuckDB: catalog/buffer warm-up) so the timed run
+        # measures marginal throughput on both sides symmetrically —
+        # the same protocol bench.py uses
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        con.execute(oracles[name]).fetchall()
         t0 = time.time()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         t_spark = time.time() - t0
