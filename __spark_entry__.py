@@ -125,6 +125,66 @@ _sql("tpch_q6_forecast", """
   WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
 """)
 
+# TPC-H Q4 shape: EXISTS-correlated subquery (priority counts for orders
+# with at least one late-ish lineitem).
+_sql("tpch_q4_priority", """
+  SELECT o_orderpriority, count(*) AS order_count
+  FROM orders o
+  WHERE o_orderdate >= DATE '1994-01-01'
+    AND EXISTS (SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate)
+  GROUP BY o_orderpriority
+""")
+
+# TPC-H Q10 shape: returned-item revenue per customer, top 20.
+_sql("tpch_q10_returns", """
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY c.c_custkey, c.c_name, n.n_name
+  ORDER BY revenue DESC, c_custkey LIMIT 20
+""")
+
+# TPC-H Q12 shape: two-bucket CASE aggregation by date predicate.
+_sql("tpch_q12_shipmode", """
+  SELECT l_linestatus,
+         CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE l_shipdate >= o_orderdate
+  GROUP BY l_linestatus
+""")
+
+# TPC-H Q14 shape: conditional revenue share (promo ratio over parts).
+_sql("tpch_q14_promo", """
+  SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%%'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0.0 END)
+               / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+""")
+
+# Q22-ish shape: customers above the positive-balance average with no
+# orders (anti-join + scalar subquery).
+_sql("tpch_q22_idle_rich", """
+  SELECT c_nationkey,
+         count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+  FROM customer
+  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                     WHERE c_acctbal > 0.0)
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_totalprice > 400000.0)
+  GROUP BY c_nationkey
+""")
+
 _sql("agg_distinct", """
   SELECT o_orderstatus,
          count(DISTINCT o_custkey) AS n_cust,
