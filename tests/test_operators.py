@@ -503,3 +503,49 @@ def test_asof_join_tolerance_seconds(spark):
     hit = asof_join(left, right, on="ts", tolerance=601).collect()[0]
     miss = asof_join(left, right, on="ts", tolerance=599).collect()[0]
     assert hit["val"] == "x" and miss["val"] is None
+
+
+def test_multimodal_real_decoders(spark):
+    """PCM WAV, netpbm and BMP payloads decode for REAL (stdlib/numpy);
+    unknown formats fall back to the deterministic fake and say so."""
+    import io
+    import struct
+    import wave
+    import numpy as np
+    from sedona_db_spark.operators.multimodal import (
+        decode_bmp, decode_ppm, decode_wav, extract_features_real)
+    # WAV: 440 Hz sine, 16-bit mono
+    t = np.arange(8000) / 8000.0
+    sig = (np.sin(2 * np.pi * 440 * t) * 30000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(sig.tobytes())
+    wav = buf.getvalue()
+    s, rate = decode_wav(wav)
+    assert rate == 8000 and abs(float(np.max(s)) - 30000 / 32768) < 1e-3
+    # PPM: 2x2 RGB
+    ppm = b"P6\n2 2\n255\n" + bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    img = decode_ppm(ppm)
+    assert img.shape == (2, 2, 3) and tuple(img[0, 0]) == (255, 0, 0)
+    # BMP: 1x1 24-bit blue pixel (bottom-up, padded row)
+    bmp = (b"BM" + struct.pack("<IHHI", 58, 0, 0, 54)
+           + struct.pack("<Iii", 40, 1, 1) + struct.pack("<HH", 1, 24)
+           + struct.pack("<IIiiII", 0, 4, 0, 0, 0, 0)
+           + bytes([255, 0, 0, 0]))  # BGR + pad
+    assert tuple(decode_bmp(bmp)[0, 0]) == (0, 0, 255)
+    # end-to-end through the Arrow pipeline
+    rows = [(1, "audio", "wav", bytearray(wav), None, None, 1000),
+            (2, "image", "ppm", bytearray(ppm), 2, 2, None),
+            (3, "video", "mp4", bytearray(b"\x00fakefake"), None, None, 99)]
+    from sedona_db_spark.operators.multimodal import MEDIA_SCHEMA
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in
+           extract_features_real(df).select("media_id", "decoded",
+                                            "features").collect()}
+    assert out[1]["decoded"] is True and out[2]["decoded"] is True
+    assert out[3]["decoded"] is False  # gated format -> deterministic fake
+    assert all(len(out[i]["features"]) == 64 for i in (1, 2, 3))
+    assert abs(sum(v * v for v in out[1]["features"]) - 1.0) < 1e-9
