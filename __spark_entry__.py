@@ -1604,6 +1604,51 @@ _O["csv_geometry_roundtrip"] = """
 """
 
 
+def _q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode (PCM WAV + netpbm, no external libs):
+    deterministic payloads per nation, unit-norm features, decoded flag.
+    Oracle is literal because the decoders are exact."""
+    import io
+    import wave
+    import numpy as np
+    from pyspark.sql import functions as F
+    from sedona_db_spark.operators.multimodal import (
+        MEDIA_SCHEMA, extract_features_real)
+    rows = []
+    for k in range(25):
+        if k % 2 == 0:
+            t = np.arange(2000) / 8000.0
+            sig = (np.sin(2 * np.pi * (200 + 20 * k) * t) * 20000).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(sig.tobytes())
+            rows.append((k, "audio", "wav", bytearray(buf.getvalue()),
+                         None, None, 250))
+        else:
+            px = bytes([(k * 37 + i) % 256 for i in range(12)])
+            rows.append((k, "image", "ppm",
+                         bytearray(b"P6\n2 2\n255\n" + px), 2, 2, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_features_real(df)
+    norm = F.aggregate(F.col("features"), F.lit(0.0),
+                       lambda a, v: a + v * v)
+    return out.select(
+        F.col("media_id").cast("int").alias("media_id"), "kind", "decoded",
+        F.round(norm, 6).alias("feat_norm2"))
+
+
+_PY["multimodal_real_decode"] = _q_multimodal_real_decode
+_O["multimodal_real_decode"] = """
+  SELECT CAST(n_nationkey AS INT) AS media_id,
+         CASE WHEN n_nationkey % 2 = 0 THEN 'audio' ELSE 'image' END AS kind,
+         true AS decoded, 1.0 AS feat_norm2
+  FROM nation
+"""
+
+
 def _q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native GeoJSON sink/source (reference reads via pyogrio/GDAL,
     context.py:313; implemented from RFC 7946 here): write nation boxes
