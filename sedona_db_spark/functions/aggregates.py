@@ -391,12 +391,18 @@ def envelope_agg_geography(df: DataFrame, group_cols: list[str],
     (xmin > xmax in PostGIS convention) instead of a near-global one.
     One shuffle, no Python beyond the bbox decode and constructor."""
     b = df.withColumn("__b", bbox_col(F.col(geom)))
-    shift = lambda c: (F.col(c) + 360.0) % 360.0  # noqa: E731
-    agg = b.groupBy(*group_cols).agg(
+    # Shift each box AS A UNIT: sxmin = wrap(xmin), sxmax = sxmin + width.
+    # Aggregating min(wrap(xmin)) / max(wrap(xmax)) independently breaks a
+    # box whose raw extent crosses lon 0 (xmin wraps to ~359 while xmax
+    # wraps to ~1, an inconsistent interval that can collapse the group
+    # envelope and silently drop geometry).
+    sxmin = (F.col("__b.xmin") + 360.0) % 360.0
+    sxmax = sxmin + (F.col("__b.xmax") - F.col("__b.xmin"))
+    agg = (b.withColumn("__sx0", sxmin).withColumn("__sx1", sxmax)
+            .groupBy(*group_cols).agg(
         F.min("__b.xmin").alias("rx0"), F.max("__b.xmax").alias("rx1"),
-        F.min(shift("__b.xmin")).alias("sx0"),
-        F.max(shift("__b.xmax")).alias("sx1"),
-        F.min("__b.ymin").alias("ymin"), F.max("__b.ymax").alias("ymax"))
+        F.min("__sx0").alias("sx0"), F.max("__sx1").alias("sx1"),
+        F.min("__b.ymin").alias("ymin"), F.max("__b.ymax").alias("ymax")))
     raw_w = F.col("rx1") - F.col("rx0")
     shf_w = F.col("sx1") - F.col("sx0")
     use_shift = shf_w < raw_w

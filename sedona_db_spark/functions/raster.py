@@ -954,7 +954,10 @@ def _rs_values_udf(rs: pd.Series, pts: pd.Series, band: pd.Series) -> pd.Series:
             dx, dy = x - ulx, y - uly
             col = (dx * sy - dy * kx) / det
             row = (dy * sx - dx * ky) / det
-            ci, ri = int(col), int(row)
+            # floor, not int(): int() truncates toward zero, so points up
+            # to one pixel left/above the origin (col in (-1,0)) would
+            # alias onto index 0 instead of falling out of bounds
+            ci, ri = math.floor(col), math.floor(row)
             if 0 <= ci < w and 0 <= ri < h:
                 vals.append(float(arr[ri, ci]))
             else:

@@ -142,9 +142,14 @@ def _packed_rtree_size(num_items: int, node_size: int) -> int:
         return 0
     n = num_items
     total = n
-    while n != 1:
+    # spec uses do-while: even num_items == 1 gets a root level (leaf +
+    # root = 80 bytes), otherwise a single-feature indexed file would
+    # mis-offset the feature stream by 40 bytes
+    while True:
         n = math.ceil(n / node_size)
         total += n
+        if n == 1:
+            break
     return total * 40
 
 

@@ -213,7 +213,10 @@ def read_geoparquet(spark: SparkSession, path: str,
                 # all files pruned: empty frame with the dataset schema
                 df = spark.read.parquet(path).limit(0)
             else:
-                df = spark.read.parquet(*kept)
+                # basePath keeps hive partition-column discovery working
+                # when reading a pruned subset of a partition_by dataset —
+                # without it the partition columns vanish from the schema
+                df = spark.read.option("basePath", path).parquet(*kept)
         else:
             df = spark.read.parquet(path)
     else:

@@ -234,3 +234,20 @@ def test_envelope_agg_geography_antimeridian(spark):
     assert w["ymin"] == 10.0 and w["ymax"] == 12.0
     p = rows["plain"]
     assert p["xmin"] == 10.0 and p["xmax"] == 20.0
+
+
+def test_envelope_agg_geography_box_crossing_lon0(spark):
+    """A member bbox spanning lon 0 (e.g. [-1, 1]) must not produce an
+    inconsistent shifted interval: group {line -1..1, point 20} has raw
+    width 21; the independent-shift bug gave shifted width 0 and collapsed
+    the envelope to [20, 20], silently excluding the line."""
+    from sedona_db_spark.functions.aggregates import envelope_agg_geography
+    df = spark.sql("""
+      SELECT 'g' AS grp,
+             CASE id WHEN 0 THEN ST_GeogFromWKT('LINESTRING (-1 5, 1 6)')
+                     ELSE ST_GeogPoint(20.0, 40.0) END AS geom
+      FROM range(2) t(id)""")
+    r = envelope_agg_geography(df, ["grp"]).first()
+    assert r["xmin"] == pytest.approx(-1.0)
+    assert r["xmax"] == pytest.approx(20.0)
+    assert r["ymin"] == pytest.approx(5.0) and r["ymax"] == pytest.approx(40.0)

@@ -296,6 +296,19 @@ def test_rs_values_multipoint(spark):
     assert v == [9.0, 9.0, None]
 
 
+def test_rs_values_no_truncation_aliasing(spark):
+    """Points within one pixel LEFT/ABOVE the origin (world col/row in
+    (-1, 0)) must be null, not aliased onto pixel 0 by int() truncation."""
+    v = spark.sql("""
+      SELECT RS_Values(RS_AsRaster(ST_MakeEnvelope(0.0D, 0.0D, 4.0D, 4.0D),
+                                   4, 4, 9.0D),
+                       ST_GeomFromWKT(
+                         'MULTIPOINT ((-0.5 1), (1 4.5), (0.5 0.5))'),
+                       1) AS v
+    """).first()["v"]
+    assert v == [None, None, 9.0]
+
+
 def test_rs_reproject_match_grid_and_crs(spark):
     """RS_ReprojectMatch (rioxarray semantics): output takes the
     REFERENCE grid; values resampled nearest from the input, including

@@ -283,6 +283,30 @@ def test_geoparquet_file_level_bbox_skip(spark, tmp_path):
     assert none.count() == 0 and set(none.columns) >= {"id", "geom"}
 
 
+def test_geoparquet_bbox_prune_keeps_hive_partition_columns(spark, tmp_path):
+    """Pruned reads of a partition_by dataset must recover the hive
+    partition columns from the kept file paths (basePath option) so the
+    pruned schema/values match the unpruned read."""
+    from sedona_db_spark.sources.geoparquet import (
+        read_geoparquet, write_geoparquet)
+    df = spark.sql("""
+      SELECT id, id % 2 AS bucket,
+             ST_Point(CAST(id % 2 AS DOUBLE) * 1000.0 + CAST(id AS DOUBLE),
+                      0.0) AS geom
+      FROM range(40) t(id)""")
+    p = str(tmp_path / "hive")
+    write_geoparquet(df, p, partition_by=["bucket"])
+    full, _ = read_geoparquet(spark, p)
+    assert "bucket" in full.columns
+    pruned, _ = read_geoparquet(spark, p, bbox=(-10, -10, 500, 10))
+    assert "bucket" in pruned.columns          # was lost without basePath
+    rows = pruned.selectExpr("count(*) AS n",
+                             "count(DISTINCT bucket) AS b").first()
+    assert rows["n"] >= 20 and rows["b"] >= 1
+    got = {r["id"]: r["bucket"] for r in pruned.select("id", "bucket").collect()}
+    assert all(v == k % 2 for k, v in got.items())
+
+
 def test_shapefile_roundtrip(spark, tmp_path):
     """Native .shp/.dbf/.shx writer + distributed reader: all 2-D shape
     classes, hole assembly by winding, dbf types (N int, N dec, C, L)."""
@@ -416,6 +440,19 @@ def test_flatgeobuf_roundtrip(spark, tmp_path):
     assert rows[3]["area"] == 32.0
     assert rows[4]["wkt"].startswith("GEOMETRYCOLLECTION")
     assert rows[4]["name"] == "n_4" and rows[4]["score"] == 10.0
+
+
+def test_flatgeobuf_packed_rtree_size_matches_spec():
+    """The spec computes level sizes with a do-while, so num_items == 1
+    still gets a root level (leaf + root = 80 bytes).  The while-loop
+    version returned 40 and mis-offset the feature stream of externally
+    written single-feature indexed files."""
+    from sedona_db_spark.sources.flatgeobuf import _packed_rtree_size
+    assert _packed_rtree_size(1, 16) == 80
+    assert _packed_rtree_size(2, 16) == 120       # 2 leaves + 1 root
+    assert _packed_rtree_size(17, 16) == 800      # 17 + 2 + 1
+    assert _packed_rtree_size(0, 16) == 0
+    assert _packed_rtree_size(5, 0) == 0          # index_node_size=0: none
 
 
 def test_zarr_blosc_lz4_chunks(spark, tmp_path):
