@@ -273,6 +273,7 @@ KERNELS.update({
 
 from sedona_db_spark.geom import algorithms as _alg  # noqa: E402
 from sedona_db_spark.geom import core as _core  # noqa: E402
+from sedona_db_spark.geom import sphere as _sphere  # noqa: E402
 
 
 def _gnomonic_pair(a: Geom, b: Geom):
@@ -303,7 +304,15 @@ def _gnomonic_pair(a: Geom, b: Geom):
         lam = np.radians(arr[:, 0])
         phi = np.radians(arr[:, 1])
         cosc = sin0 * np.sin(phi) + cos0 * np.cos(phi) * np.cos(lam - lam0)
-        cosc = np.maximum(cosc, 1e-9)  # clamp beyond-hemisphere points
+        if float(np.min(cosc)) < 1e-6:
+            # beyond the tangent hemisphere the projection folds; raising
+            # (callers fall back to the exact 3-D path or propagate)
+            # replaced the old silent clamp that returned plausible-but-
+            # wrong answers for hemisphere-spanning inputs
+            raise _sphere.HemisphereError(
+                "input spans more than a hemisphere; gnomonic reduction "
+                "is not valid (exact 3-D path handles "
+                "intersects/contains/within/covers/covered_by)")
         x = EARTH_RADIUS_M * np.cos(phi) * np.sin(lam - lam0) / cosc
         y = EARTH_RADIUS_M * (cos0 * np.sin(phi)
                               - sin0 * np.cos(phi) * np.cos(lam - lam0)) / cosc
@@ -340,7 +349,10 @@ def _gnomonic_pair_inv(a: Geom, b: Geom):
         lam = np.radians(arr[:, 0])
         phi = np.radians(arr[:, 1])
         cosc = sin0 * np.sin(phi) + cos0 * np.cos(phi) * np.cos(lam - lam0)
-        cosc = np.maximum(cosc, 1e-9)
+        if float(np.min(cosc)) < 1e-6:
+            raise _sphere.HemisphereError(
+                "input spans more than a hemisphere; spherical overlay "
+                "construction requires hemisphere-contained geometries")
         x = R * np.cos(phi) * np.sin(lam - lam0) / cosc
         y = R * (cos0 * np.sin(phi) - sin0 * np.cos(phi) * np.cos(lam - lam0)) / cosc
         out = arr.copy()
@@ -397,6 +409,7 @@ def _spherical_overlay_kernel(op_fn):
 
 def _spherical_pred_kernel(pred_name: str):
     pred = getattr(_alg, pred_name)
+    exact = _sphere.EXACT_PREDICATES.get(pred_name)
 
     def run(s1: pd.Series, s2: pd.Series) -> pd.Series:
         out = []
@@ -406,8 +419,16 @@ def _spherical_pred_kernel(pred_name: str):
             elif g1.is_empty() or g2.is_empty():
                 out.append(pred(g1, g2))
             else:
-                p1, p2 = _gnomonic_pair(g1, g2)
-                out.append(pred(p1, p2))
+                try:
+                    p1, p2 = _gnomonic_pair(g1, g2)
+                    out.append(pred(p1, p2))
+                except _sphere.HemisphereError:
+                    # hemisphere-spanning inputs: exact 3-D edge tests
+                    # (S2 EdgeCrosser construction) for the predicates
+                    # that have a global path; the rest raise honestly
+                    if exact is None:
+                        raise
+                    out.append(bool(exact(g1, g2)))
         return pd.Series(out, dtype=object)
     return run
 

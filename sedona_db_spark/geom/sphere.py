@@ -1,0 +1,346 @@
+"""Globally-exact spherical predicates on unit-sphere geometry.
+
+The gnomonic reduction in functions/geography.py is exact only for inputs
+contained in a single hemisphere (great-circle arcs map to straight lines
+inside the tangent hemisphere; beyond it the projection folds).  This
+module provides the global path used when inputs exceed a hemisphere:
+
+- vertices become 3-D unit vectors;
+- edge/edge crossing is the S2 ``SimpleCrossing`` construction — four
+  sign-of-triple-product tests (reference evaluates the same predicates on
+  S2 shapes, c/sedona-s2geography/src/kernels.rs:38-138);
+- point-in-ring is winding-angle based with the *smaller-region* interior
+  convention (a simple ring divides the sphere in two; the region with
+  area < 2*pi steradians is the interior — matches the planar-sourced
+  data model and PostGIS geography expectations, orientation-ignored);
+- signed ring area comes from the van Oosterom-Strackee solid-angle
+  formula summed over a fan (Girard excess, vectorized).
+
+Supported here: intersects / contains / within / covers / covered_by for
+every POINT/LINESTRING/POLYGON (+multi/collection) combination.  The
+finer DE-9IM relations (touches/crosses/overlaps/equals) and overlay
+construction still require the hemisphere gnomonic path and raise
+``HemisphereError`` beyond it rather than silently folding.
+
+Known limit (documented, exotic): a ring whose *smaller* region contains
+an antipodal point pair (e.g. a slit annulus hugging a full great circle)
+can misclassify points whose antipode shares their region.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sedona_db_spark.geom.core import (
+    GEOMETRYCOLLECTION, LINESTRING, MULTILINESTRING, MULTIPOINT,
+    MULTIPOLYGON, POINT, POLYGON, Geom)
+
+_EPS_ANG = 1e-9          # angular tolerance (radians) for on-boundary
+_EPS_DET = 1e-15         # triple-product zero threshold
+
+
+class HemisphereError(NotImplementedError):
+    """Inputs exceed one hemisphere and the requested operation has no
+    global path yet.  Raised instead of returning a folded (wrong)
+    gnomonic answer — wrong-answer-silently is the worst failure mode."""
+
+
+def xyz_of(coords: np.ndarray) -> np.ndarray:
+    """(n, >=2) lon/lat degrees -> (n, 3) unit vectors."""
+    lam = np.radians(np.asarray(coords, dtype=np.float64)[:, 0])
+    phi = np.radians(np.asarray(coords, dtype=np.float64)[:, 1])
+    return np.column_stack([np.cos(phi) * np.cos(lam),
+                            np.cos(phi) * np.sin(lam),
+                            np.sin(phi)])
+
+
+def _det3(a, b, c):
+    """Triple product det[a; b; c] with numpy broadcasting."""
+    return np.sum(np.cross(a, b) * c, axis=-1)
+
+
+def simple_crossing(a, b, c, d) -> np.ndarray:
+    """True where arc (a,b) and arc (c,d) cross at an interior point.
+
+    S2 SimpleCrossing: all four triple products must share a sign.
+    Shapes broadcast; shared endpoints / tangencies return False (they
+    are handled by the on-arc tests)."""
+    ab = np.cross(a, b)
+    acb = -np.sum(ab * c, axis=-1)
+    bda = np.sum(ab * d, axis=-1)
+    cd = np.cross(c, d)
+    cbd = -np.sum(cd * b, axis=-1)
+    dac = np.sum(cd * a, axis=-1)
+    return ((acb * bda > _EPS_DET) & (acb * cbd > _EPS_DET)
+            & (acb * dac > _EPS_DET))
+
+
+def on_arc(p, a, b) -> np.ndarray:
+    """True where point p lies on the (minor) arc a->b, endpoints
+    included.  p broadcasts against edge arrays."""
+    n = np.cross(a, b)
+    nn = np.linalg.norm(n, axis=-1)
+    degenerate = nn < 1e-15          # a == b (or antipodal): treat as point
+    with np.errstate(invalid="ignore", divide="ignore"):
+        off_plane = np.abs(np.sum(n * p, axis=-1)) / np.where(nn, nn, 1.0)
+    ang = lambda u, v: np.arccos(np.clip(np.sum(u * v, axis=-1), -1, 1))  # noqa: E731
+    within = ang(a, p) + ang(p, b) <= ang(a, b) + _EPS_ANG
+    same_as_a = ang(a, p) < _EPS_ANG
+    return np.where(degenerate, same_as_a,
+                    (off_plane < _EPS_ANG) & within)
+
+
+def ring_edges(ring_xyz: np.ndarray):
+    """(a, b) edge endpoint arrays for a closed ring (last == first not
+    required; closure edge added when missing)."""
+    r = ring_xyz
+    if len(r) and np.linalg.norm(r[0] - r[-1]) > 1e-12:
+        r = np.vstack([r, r[:1]])
+    return r[:-1], r[1:]
+
+
+def fan_area(ring_xyz: np.ndarray) -> float:
+    """Signed enclosed area (mod 4*pi, mapped to (-2*pi, 2*pi)) via the
+    van Oosterom-Strackee signed solid angle summed over a fan from v0.
+    Positive => the LEFT region of the traversal is the smaller one."""
+    a, b = ring_edges(ring_xyz)
+    v0 = ring_xyz[0]
+    det = _det3(np.broadcast_to(v0, a.shape), a, b)
+    denom = (1.0 + a @ v0 + b @ v0 + np.sum(a * b, axis=-1))
+    return float(np.sum(2.0 * np.arctan2(det, denom)))
+
+
+def winding(p: np.ndarray, ring_xyz: np.ndarray) -> float:
+    """Total azimuth angle swept by the ring around p (radians):
+    +-2*pi when p and its antipode lie in different regions (sign says
+    which side), ~0 when they share a region."""
+    k = np.array([0.0, 0.0, 1.0])
+    if abs(float(p @ k)) > 0.99:
+        k = np.array([0.0, 1.0, 0.0])
+    ex = np.cross(k, p)
+    ex /= np.linalg.norm(ex)
+    ey = np.cross(p, ex)
+    r = ring_xyz
+    if len(r) and np.linalg.norm(r[0] - r[-1]) > 1e-12:
+        r = np.vstack([r, r[:1]])
+    az = np.arctan2(r @ ey, r @ ex)
+    d = np.diff(az)
+    d = (d + np.pi) % (2.0 * np.pi) - np.pi
+    return float(np.sum(d))
+
+
+def classify_point_ring(p: np.ndarray, ring_xyz: np.ndarray,
+                        ring_fan: float | None = None) -> int:
+    """+1 p strictly inside the ring's smaller region, 0 on the
+    boundary, -1 outside."""
+    a, b = ring_edges(ring_xyz)
+    if len(a) == 0:
+        return -1
+    if bool(np.any(on_arc(p, a, b))):
+        return 0
+    f = fan_area(ring_xyz) if ring_fan is None else ring_fan
+    w = winding(p, ring_xyz)
+    if abs(w) > np.pi:                       # p / antipode separated
+        in_left = w > 0
+        smaller_is_left = f > 0
+        return 1 if in_left == smaller_is_left else -1
+    return -1                                # shares region with antipode
+
+
+def classify_point_poly(p: np.ndarray, rings_xyz: list[np.ndarray]) -> int:
+    """+1 interior of (outer minus holes), 0 boundary, -1 outside."""
+    if not rings_xyz:
+        return -1
+    c = classify_point_ring(p, rings_xyz[0])
+    if c <= 0:
+        return c
+    for hole in rings_xyz[1:]:
+        hc = classify_point_ring(p, hole)
+        if hc == 0:
+            return 0
+        if hc > 0:
+            return -1
+    return 1
+
+
+# ----------------------------------------------------------------------
+# geometry decomposition
+# ----------------------------------------------------------------------
+
+def _parts(g: Geom):
+    """(points_xyz(list of (3,)), lines_xyz(list of (n,3)),
+    polys_xyz(list of [rings]))."""
+    pts = [xyz_of(np.asarray(p, dtype=np.float64).reshape(1, -1))[0]
+           for p in g.points()]
+    lines = [xyz_of(l) for l in g.lines() if len(l) > 0]
+    polys = [[xyz_of(r) for r in rings if len(r) > 0]
+             for rings in g.polygons()]
+    return pts, lines, [pl for pl in polys if pl]
+
+
+def _all_edges(lines, polys):
+    """Concatenate every edge of lines + polygon rings -> (a, b)."""
+    segs_a, segs_b = [], []
+    for l in lines:
+        if len(l) >= 2:
+            segs_a.append(l[:-1]); segs_b.append(l[1:])
+    for rings in polys:
+        for r in rings:
+            a, b = ring_edges(r)
+            if len(a):
+                segs_a.append(a); segs_b.append(b)
+    if not segs_a:
+        z = np.zeros((0, 3))
+        return z, z
+    return np.concatenate(segs_a), np.concatenate(segs_b)
+
+
+def _point_touches(g_pts, g_lines, g_polys, p) -> bool:
+    """p intersects the closure of the decomposed geometry."""
+    for q in g_pts:
+        if float(q @ p) > 1.0 - _EPS_ANG * _EPS_ANG / 2:
+            if np.arccos(np.clip(float(q @ p), -1, 1)) < _EPS_ANG:
+                return True
+    a, b = _all_edges(g_lines, [])
+    if len(a) and bool(np.any(on_arc(p, a, b))):
+        return True
+    for rings in g_polys:
+        if classify_point_poly(p, rings) >= 0:
+            return True
+    return False
+
+
+def _any_cross(lines1, polys1, lines2, polys2) -> bool:
+    a, b = _all_edges(lines1, polys1)
+    c, d = _all_edges(lines2, polys2)
+    if len(a) == 0 or len(c) == 0:
+        return False
+    # outer broadcast (m x n); contract-scale pair batches stay small —
+    # join operators bound candidates long before this kernel runs
+    A = a[:, None, :]; B = b[:, None, :]
+    C = c[None, :, :]; D = d[None, :, :]
+    return bool(np.any(simple_crossing(A, B, C, D)))
+
+
+def intersects_exact(g1: Geom, g2: Geom) -> bool:
+    """Global spherical intersects for any point/line/polygon combo."""
+    p1, l1, po1 = _parts(g1)
+    p2, l2, po2 = _parts(g2)
+    for p in p1:
+        if _point_touches(p2, l2, po2, p):
+            return True
+    for p in p2:
+        if _point_touches(p1, l1, po1, p):
+            return True
+    # vertex-in-other (covers line-in-poly, poly-in-poly, shared verts)
+    for l in l1:
+        for v in l:
+            if _point_touches([], l2, po2, v):
+                return True
+    for l in l2:
+        for v in l:
+            if _point_touches([], l1, po1, v):
+                return True
+    for rings in po1:
+        for v in rings[0]:
+            if _point_touches([], l2, po2, v):
+                return True
+    for rings in po2:
+        for v in rings[0]:
+            if _point_touches([], l1, po1, v):
+                return True
+    return _any_cross(l1, po1, l2, po2)
+
+
+def _probe_points(g_pts, g_lines, g_polys):
+    """Representative test points: vertices + edge midpoints (+ ring
+    midpoints).  Midpoints catch a chord that exits between two boundary
+    touches."""
+    out = list(g_pts)
+    a, b = _all_edges(g_lines, g_polys)
+    for arr in g_lines:
+        out.extend(arr)
+    for rings in g_polys:
+        for r in rings:
+            out.extend(r)
+    if len(a):
+        mids = a + b
+        nrm = np.linalg.norm(mids, axis=-1, keepdims=True)
+        ok = nrm[:, 0] > 1e-12
+        mids = mids[ok] / nrm[ok]
+        out.extend(mids)
+    return out
+
+
+def covers_exact(gA: Geom, gB: Geom) -> bool:
+    """Every point of gB lies in the closure of gA (global spherical)."""
+    pA, lA, poA = _parts(gA)
+    pB, lB, poB = _parts(gB)
+    if poB and not poA:
+        return False                     # area can't fit in lines/points
+    if lB and not (lA or poA):
+        return False
+    for p in _probe_points(pB, lB, poB):
+        if not _point_touches(pA, lA, poA, p):
+            return False
+    # a proper boundary crossing means part of B escapes A
+    if _any_cross(lB, poB, lA, poA):
+        return False
+    # a hole of A poking into a polygon of B breaks coverage
+    for ringsA in poA:
+        for hole in ringsA[1:]:
+            ha, hb = ring_edges(hole)
+            if len(ha) == 0:
+                continue
+            hm = ha[0] + hb[0]
+            n = np.linalg.norm(hm)
+            if n < 1e-12:
+                continue
+            hm = hm / n
+            for ringsB in poB:
+                if classify_point_poly(hm, ringsB) > 0 and \
+                        classify_point_poly(hm, ringsA) < 0:
+                    return False
+    return True
+
+
+def contains_exact(gA: Geom, gB: Geom) -> bool:
+    """covers + at least one point of gB interior to gA (planar-style
+    contains where a boundary-only relationship is excluded)."""
+    if not covers_exact(gA, gB):
+        return False
+    pA, lA, poA = _parts(gA)
+    pB, lB, poB = _parts(gB)
+    if poA:
+        for p in _probe_points(pB, lB, poB):
+            if any(classify_point_poly(p, rings) > 0 for rings in poA):
+                return True
+        return False
+    if lA:          # line contains line/point: interior = non-endpoint
+        for p in _probe_points(pB, lB, poB):
+            a, b = _all_edges(lA, [])
+            hit = on_arc(p, a, b)
+            if bool(np.any(hit)):
+                ends = np.concatenate([a[:1], b[-1:]])
+                if not any(np.arccos(np.clip(float(e @ p), -1, 1)) < _EPS_ANG
+                           for e in ends):
+                    return True
+        return bool(pB) and not lB and not poB
+    return covers_exact(gA, gB)          # point covers point
+
+
+def within_exact(gA: Geom, gB: Geom) -> bool:
+    return contains_exact(gB, gA)
+
+
+def covered_by_exact(gA: Geom, gB: Geom) -> bool:
+    return covers_exact(gB, gA)
+
+
+EXACT_PREDICATES = {
+    "intersects": intersects_exact,
+    "contains": contains_exact,
+    "within": within_exact,
+    "covers": covers_exact,
+    "covered_by": covered_by_exact,
+}

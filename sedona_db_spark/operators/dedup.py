@@ -27,7 +27,6 @@ def exact_dedup(df: DataFrame, cols: list[str] | None = None,
     if cols is None:
         cols = [c for c in df.columns if c != id_col]
     key = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]))
-    w = Window.partitionBy(key.alias("__k") if False else key).orderBy(F.col(id_col))
     return (df.withColumn("__rn", F.row_number().over(
         Window.partitionBy(key).orderBy(F.col(id_col))))
         .filter(F.col("__rn") == 1).drop("__rn"))

@@ -384,8 +384,13 @@ def knn_join_partitioned(
     # conservatively) flips on the exact-distance kernel.  Column-pruned
     # native scans, no Python pass.
     obj_nonpoint = stats["maxlen"] is not None and stats["maxlen"] != 21
-    qlen = queries.agg(F.max(F.length(query_geom))).collect()[0][0]
-    qry_nonpoint = qlen is not None and qlen != 21
+    # LIMIT-probe, not a full agg: a max(length) over the query side is an
+    # extra complete scan of a possibly-100TB table before any real work.
+    # The probe decides the PLAN; a per-row guard in the native branch
+    # below keeps correctness if a non-point row hides past the probe.
+    qprobe = [r[0] for r in queries.select(F.length(query_geom))
+              .limit(4096).collect()]
+    qry_nonpoint = any(l is not None and l != 21 for l in qprobe)
     exact_mode = obj_nonpoint or qry_nonpoint
     import math as _math
     if grid_cells is None:
@@ -438,8 +443,18 @@ def knn_join_partitioned(
         dist = F.pandas_udf(_pair_dist, T.DoubleType())(
             F.col(query_geom), F.col(ogeom))
     else:
-        dist = F.sqrt(F.pow(F.col("__qx") - F.col("__ox"), 2) +
-                      F.pow(F.col("__qy") - F.col("__oy"), 2))
+        # native fast path assumes every query is a 2-D point (probe said
+        # so); the guard makes a probe miss fail loudly instead of
+        # silently ranking a polygon by its bbox center
+        native = F.sqrt(F.pow(F.col("__qx") - F.col("__ox"), 2) +
+                        F.pow(F.col("__qy") - F.col("__oy"), 2))
+        qlen_c = F.length(F.col(query_geom))
+        dist = F.when(qlen_c.isNull() | (qlen_c == 21), native) \
+                .otherwise(F.raise_error(F.lit(
+                    "knn_join_partitioned: non-point query geometry "
+                    "appeared beyond the plan probe; re-run with exact "
+                    "mode (any non-point row in the first 4096 triggers "
+                    "it automatically)")).cast("double"))
 
     # deterministic tie-break mirroring the broadcast path: distance,
     # then the object's orderable payload columns (id first by

@@ -62,15 +62,24 @@ def _pack_bits(bitsv: np.ndarray) -> int:
 
 def lsh_signature_udf(dim: int, bits: int = _SIG_BITS, seed: int = 7):
     planes = _hyperplanes(dim, bits, seed)
+    weights = np.uint64(1) << np.arange(bits, dtype=np.uint64)
 
     def sig(vs: pd.Series) -> pd.Series:
-        out = []
-        for v in vs:
-            if v is None:
-                out.append(None)
-                continue
-            x = np.asarray(v, dtype=np.float64)
-            out.append(_pack_bits(planes @ x > 0))
+        # one (batch x dim) @ (dim x bits) matmul per Arrow batch — the
+        # per-row Python loop this replaces was ~10-50x slower and sat in
+        # front of every ANN / near-dup job.  Nulls masked afterward.
+        n = len(vs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        mask = vs.isna().to_numpy()
+        if mask.all():
+            return pd.Series([None] * n, dtype=object)
+        fill = np.zeros(dim, dtype=np.float64)
+        X = np.stack([fill if m else np.asarray(v, dtype=np.float64)
+                      for v, m in zip(vs, mask)])
+        sigs = ((X @ planes.T) > 0).astype(np.uint64) @ weights
+        out = sigs.astype(np.int64).astype(object)
+        out[mask] = None
         return pd.Series(out, dtype=object)
     return F.pandas_udf(sig, returnType=T.LongType())
 

@@ -74,6 +74,18 @@ def register_all(spark: SparkSession) -> SparkSession:
     """
     from sedona_db_spark.functions import register_sql_functions
 
+    # Spark 4.1 ships built-ins for a handful of ST_* names (st_srid,
+    # st_geomfromwkb, ...); replacing them with this engine's kernels is
+    # intended, so mute the per-name "replaced a previously registered
+    # function" WARN that would otherwise greet every session.
+    try:
+        jvm = spark.sparkContext._jvm
+        lvl = jvm.org.apache.logging.log4j.Level.ERROR
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry",
+            lvl)
+    except Exception:
+        pass  # logging backend differs: the warning is cosmetic anyway
     register_sql_functions(spark)
     return spark
 

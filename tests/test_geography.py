@@ -236,6 +236,62 @@ def test_envelope_agg_geography_antimeridian(spark):
     assert p["xmin"] == 10.0 and p["xmax"] == 20.0
 
 
+_BAND_WKT = ("POLYGON ((-170 0, -90 0, 0 0, 90 0, 170 0, "
+             "170 10, 90 10, 0 10, -90 10, -170 10, -170 0))")
+
+
+def test_spherical_predicates_beyond_hemisphere(spark):
+    """A near-global band (340 degrees of longitude — no hemisphere
+    contains it) routes to the exact 3-D edge path instead of the folded
+    gnomonic plane.  The old clamp returned plausible-but-wrong answers
+    here; now containment is globally correct."""
+    rows = spark.sql(f"""
+      SELECT ST_Contains(ST_GeogFromWKT('{_BAND_WKT}'),
+                         ST_GeogPoint(0.0, 5.0)) AS in_band,
+             ST_Contains(ST_GeogFromWKT('{_BAND_WKT}'),
+                         ST_GeogPoint(180.0, 5.0)) AS in_gap,
+             ST_Contains(ST_GeogFromWKT('{_BAND_WKT}'),
+                         ST_GeogPoint(0.0, 50.0)) AS north,
+             ST_Intersects(ST_GeogFromWKT('{_BAND_WKT}'),
+                           ST_GeogFromWKT('LINESTRING (5 -20, 5 20)')) AS crossed,
+             ST_Intersects(ST_GeogFromWKT('{_BAND_WKT}'),
+                           ST_GeogFromWKT('LINESTRING (180 -20, 180 20)')) AS gap_line,
+             ST_Within(ST_GeogPoint(90.0, 3.0),
+                       ST_GeogFromWKT('{_BAND_WKT}')) AS pt_within,
+             ST_Covers(ST_GeogFromWKT('{_BAND_WKT}'),
+                       ST_GeogPoint(90.0, 0.0)) AS boundary_cover
+    """).first()
+    assert rows["in_band"] is True
+    assert rows["in_gap"] is False
+    assert rows["north"] is False
+    assert rows["crossed"] is True
+    assert rows["gap_line"] is False
+    assert rows["pt_within"] is True
+    assert rows["boundary_cover"] is True
+
+
+def test_spherical_unsupported_beyond_hemisphere_raises(spark):
+    """Predicates without a global path must raise, not fold silently."""
+    import py4j.protocol
+    with pytest.raises(Exception) as ei:
+        spark.sql(f"""
+          SELECT ST_Touches(ST_GeogFromWKT('{_BAND_WKT}'),
+                            ST_GeogPoint(0.0, 0.0)) AS t
+        """).collect()
+    assert "hemisphere" in str(ei.value).lower()
+
+
+def test_spherical_small_geometries_unchanged(spark):
+    """Hemisphere-contained inputs keep the exact gnomonic DE-9IM path."""
+    r = spark.sql("""
+      SELECT ST_Contains(ST_GeogFromWKT('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'),
+                         ST_GeogPoint(5.0, 5.0)) AS c,
+             ST_Touches(ST_GeogFromWKT('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'),
+                        ST_GeogPoint(10.0, 5.0)) AS t
+    """).first()
+    assert r["c"] is True and r["t"] is True
+
+
 def test_envelope_agg_geography_box_crossing_lon0(spark):
     """A member bbox spanning lon 0 (e.g. [-1, 1]) must not produce an
     inconsistent shifted interval: group {line -1..1, point 20} has raw
