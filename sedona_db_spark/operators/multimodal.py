@@ -4,13 +4,13 @@ Design copied from the geometry type decision (SURVEY.md §1.3): opaque
 `binary` payload + typed metadata struct riding column metadata.
 
 Decode is REAL where the format allows without external libraries —
-PCM WAV (stdlib `wave`), netpbm P5/P6 and uncompressed BMP (direct
-parse) — with per-window audio features (RMS + zero-crossing rate) and
-grid mean-pool image features.  PNG/JPEG/MP4 remain gated on
-PIL/ffmpeg behind a sniffing registry (`extract_features_real` falls
-back to the deterministic fake and reports `decoded=false`); the Spark
-plumbing (schema, Arrow batching, mapInPandas shape) is identical
-either way.
+PCM WAV (stdlib `wave`), netpbm P5/P6, uncompressed BMP, and PNG
+(native zlib + 5-filter codec, 8-bit gray/palette/RGB/RGBA) — with
+per-window audio features (RMS + zero-crossing rate) and grid
+mean-pool image features.  JPEG/MP4 remain gated on PIL/ffmpeg behind
+a sniffing registry (`extract_features_real` falls back to the
+deterministic fake and reports `decoded=false`); the Spark plumbing
+(schema, Arrow batching, mapInPandas shape) is identical either way.
 """
 
 from __future__ import annotations
@@ -204,19 +204,134 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img[::-1].copy() if flip else img.copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Native PNG decode: stdlib zlib inflate + the five scanline filters
+    (None/Sub/Up/Average/Paeth).  Supports 8-bit gray / gray+alpha /
+    RGB / RGBA / palette, non-interlaced (the overwhelmingly common
+    encoder output).  Adam7 and 16-bit raise.
+
+    Reference ships image decode via its Python/GDAL layer; here the
+    codec is from the PNG spec (RFC 2083) directly — no PIL."""
+    import struct as _st
+    import zlib
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    w = h = None
+    bit_depth = color_type = interlace = None
+    palette = None
+    while pos + 8 <= len(payload):
+        (ln,) = _st.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln                       # len + type + data + crc
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = \
+                _st.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    if bit_depth != 8:
+        raise NotImplementedError(f"PNG bit depth {bit_depth} unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"PNG color type {color_type} invalid")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = channels
+    for y in range(h):
+        off = y * (stride + 1)
+        ft = raw[off]
+        line = np.frombuffer(raw, np.uint8, count=stride,
+                             offset=off + 1).astype(np.int32)
+        if ft == 0:                          # None
+            cur = line
+        elif ft == 2:                        # Up
+            cur = (line + prev) & 0xFF
+        elif ft == 1:                        # Sub (sequential per pixel)
+            cur = line.copy()
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ft == 3:                        # Average
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:                        # Paeth
+            cur = line.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ft} invalid")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    img = out.reshape(h, w, channels)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        img = palette[img[:, :, 0]]
+    return img if img.shape[2] > 1 else img[:, :, 0]
+
+
+def encode_png(img: np.ndarray, compress_level: int = 6) -> bytes:
+    """Native PNG encode (filter 0 scanlines + zlib): (h, w[, c]) uint8
+    gray/gray+alpha/RGB/RGBA -> PNG bytes.  Used for fixtures and as the
+    write half of the image roundtrip."""
+    import struct as _st
+    import zlib
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (_st.pack(">I", len(data)) + ctype + data
+                + _st.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = _st.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, compress_level))
+            + chunk(b"IEND", b""))
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniff + decode: netpbm/BMP natively; PNG/JPEG gate on PIL."""
+    """Sniff + decode: netpbm/BMP/PNG natively; JPEG gates on PIL."""
     if payload[:2] in (b"P5", b"P6"):
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     try:
         from PIL import Image  # noqa (absent in this container)
         import io
         return np.asarray(Image.open(io.BytesIO(payload)))
     except ImportError as exc:
         raise NotImplementedError(
-            "PNG/JPEG decode needs PIL (netpbm/BMP/WAV decode natively)"
+            "JPEG decode needs PIL (netpbm/BMP/PNG/WAV decode natively)"
         ) from exc
 
 
@@ -281,7 +396,7 @@ def extract_features_real(df: DataFrame, payload_col: str = "payload",
                         feats.append(list(map(float, f / n if n else f)))
                         real.append(True)
                         continue
-                    if b[:2] in (b"P5", b"P6", b"BM"):
+                    if b[:2] in (b"P5", b"P6", b"BM") or b[:8] == _PNG_SIG:
                         feats.append(list(map(float,
                                               image_features(decode_image(b), dim))))
                         real.append(True)
