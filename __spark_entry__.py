@@ -1521,6 +1521,61 @@ _O["geo_dwithin_join"] = """
 """
 
 
+def _q_knn_spheroid_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned great-circle KNN join (operators/knn_join.py
+    knn_join_spheroid_partitioned): object side above the (overridden)
+    broadcast threshold, modular-lon grid candidates, geodesic completion
+    bound, native haversine ranking.  Oracle = brute-force cross join +
+    window in DuckDB.  Coordinates carry key-dependent jitter so no two
+    distances tie within double precision."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.operators.knn_join import knn_join
+    cust = spark.table("customer").selectExpr(
+        "c_custkey",
+        "ST_Point((c_custkey * 7919 % 3600) / 10.0 - 180 "
+        "         + (c_custkey % 97) * 1e-3, "
+        "         (c_custkey * 104729 % 1700) / 10.0 - 85 "
+        "         + (c_custkey % 89) * 1e-3) AS geom")
+    supp = spark.table("supplier").selectExpr(
+        "s_suppkey",
+        "ST_Point((s_suppkey * 6397 % 3600) / 10.0 - 180 "
+        "         + (s_suppkey % 83) * 1e-3, "
+        "         (s_suppkey * 9973 % 1700) / 10.0 - 85 "
+        "         + (s_suppkey % 79) * 1e-3) AS geom")
+    out = knn_join(supp, cust, k=3, use_spheroid=True,
+                   broadcast_threshold=64)   # force the partitioned plan
+    return out.select("s_suppkey", "c_custkey",
+                      F.round(F.col("knn_distance") / 1000.0, 3)
+                      .alias("dist_km"))
+
+
+_PY["knn_join_spheroid_partitioned"] = _q_knn_spheroid_partitioned
+_O["knn_join_spheroid_partitioned"] = """
+  WITH s AS (SELECT s_suppkey,
+               (s_suppkey * 6397 % 3600) / 10.0 - 180
+                 + (s_suppkey % 83) * 1e-3 AS qlon,
+               (s_suppkey * 9973 % 1700) / 10.0 - 85
+                 + (s_suppkey % 79) * 1e-3 AS qlat FROM supplier),
+  c AS (SELECT c_custkey,
+               (c_custkey * 7919 % 3600) / 10.0 - 180
+                 + (c_custkey % 97) * 1e-3 AS olon,
+               (c_custkey * 104729 % 1700) / 10.0 - 85
+                 + (c_custkey % 89) * 1e-3 AS olat FROM customer),
+  d AS (SELECT s_suppkey, c_custkey,
+          2 * 6371008.8 * asin(sqrt(
+            pow(sin(radians(olat - qlat) / 2), 2) +
+            cos(radians(qlat)) * cos(radians(olat)) *
+            pow(sin(radians(olon - qlon) / 2), 2))) AS dist_m
+        FROM s, c),
+  r AS (SELECT s_suppkey, c_custkey, dist_m,
+               row_number() OVER (PARTITION BY s_suppkey
+                                  ORDER BY dist_m, c_custkey) AS rk
+        FROM d)
+  SELECT s_suppkey, c_custkey, round(dist_m / 1000.0, 3) AS dist_km
+  FROM r WHERE rk <= 3
+"""
+
+
 def _q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming windowed agg drained with availableNow over
     the events table — must equal the batch/oracle answer exactly (the

@@ -156,11 +156,12 @@ def knn_join(
 
     ``use_spheroid=True`` ranks by great-circle meters over lon/lat
     POINT inputs (reference option surface spatial_predicate.rs:254-297;
-    its refinement is haversine on the mean sphere).  Spherical ranking
-    scans the broadcast object set per query (vectorized) — the planar
-    grid's ring bound is not admissible on the sphere — so it stays a
-    broadcast-only path; non-point inputs or an oversized object side
-    raise rather than silently degrade.
+    its refinement is haversine on the mean sphere).  Under the
+    broadcast threshold the ranking scans the broadcast object set per
+    query (vectorized); above it the join routes to
+    :func:`knn_join_spheroid_partitioned` (modular-lon grid + geodesic
+    completion bound).  Non-point inputs raise rather than silently
+    degrade.
     """
     spark = queries.sparkSession
     # path-choice probe: scans at most threshold+1 rows, never a full count
@@ -170,10 +171,9 @@ def knn_join(
         n_small = None
     if n_small is None or n_small > broadcast_threshold:
         if use_spheroid:
-            raise NotImplementedError(
-                "use_spheroid KNN requires the object side to fit the "
-                "broadcast threshold (spherical ranking has no partitioned "
-                "plan yet); raise broadcast_threshold or pre-filter objects")
+            return knn_join_spheroid_partitioned(
+                queries, objects, k, query_geom, object_geom,
+                include_ties=include_ties)
         return knn_join_partitioned(queries, objects, k, query_geom,
                                     object_geom, include_ties=include_ties)
     # object side fits: materialized driver-side once (broadcast path);
@@ -527,6 +527,197 @@ def knn_join_partitioned(
     top_b = topk(cand_b)
 
     keep_cols = ([c for c in queries.columns] + ["__qid"]
+                 + obj_payload + ["knn_distance"])
+    out_a = top_a.join(safe_ids, "__qid", "leftsemi").select(*keep_cols)
+    out_b = top_b.select(*keep_cols)
+    return out_a.unionByName(out_b).drop("__qid")
+
+
+def knn_join_spheroid_partitioned(
+    queries: DataFrame,
+    objects: DataFrame,
+    k: int,
+    query_geom: str = "geom",
+    object_geom: str = "geom",
+    include_ties: bool = False,
+    cell_deg: float | None = None,
+    max_lat: float = 88.0,
+) -> DataFrame:
+    """Partitioned great-circle KNN join for lon/lat POINT inputs.
+
+    Scale path for ``use_spheroid=True`` when the object side exceeds the
+    broadcast threshold (reference option surface
+    spatial_predicate.rs:254-297; refinement is haversine on the mean
+    sphere, matching the broadcast spheroid path).  Plan shape mirrors
+    :func:`knn_join_partitioned` but on the sphere:
+
+    - equal-angle grid with MODULAR longitude cells (the geography
+      join's construction, operators/geography_join.py): no seam at the
+      antimeridian, no planar edge in longitude;
+    - round A probes the query's 3x3 cell neighborhood; a query is
+      complete when its kth distance is below the geodesic margin to the
+      unsearched region: min over the lat-circle distances (exact
+      meridian arc) and the lon-meridian great-circle distances
+      ``R*asin(sin(dlon)*cos(lat))`` — both LOWER bounds on any object
+      beyond that boundary, so the completion proof is admissible;
+    - round B re-probes the remainder with an explicit geodesic radius
+      (per-row latitude-aware lon padding, the exact
+      ``2*asin(sin(r/2)/cos(lat))`` bound) or the full lat band when
+      round A found fewer than k.
+
+    Ranking and refine are native codegen haversine — zero Python.
+    POINT-only: any non-point WKB in the LIMIT probe (or the guarded
+    native expression) raises.
+    """
+    from sedona_db_spark.operators.geography_join import (
+        M_PER_DEG, R_EARTH_M, haversine_m)
+    from sedona_db_spark.operators.spatial_join import bbox_col
+
+    rcols = {c: (f"o_{c}" if c in queries.columns else c) for c in objects.columns}
+    obj = objects.select([F.col(c).alias(a) for c, a in rcols.items()])
+    ogeom = rcols[object_geom]
+    obj_payload = list(rcols.values())
+
+    def pts_of(df, gcol, px, py):
+        probe = [r[0] for r in df.select(F.length(gcol)).limit(4096).collect()]
+        if any(l is not None and l != 21 for l in probe):
+            raise NotImplementedError(
+                "spheroid KNN supports 2-D POINT geometries only "
+                "(reference spatial_predicate.rs:254-297 validates the same)")
+        b = bbox_col(F.col(gcol))
+        guard = F.length(F.col(gcol))
+        lon = F.when(guard.isNull() | (guard == 21), b["xmin"]) \
+               .otherwise(F.raise_error(F.lit(
+                   "spheroid KNN: non-point geometry beyond the probe"))
+                   .cast("double"))
+        return df.withColumn(px, lon).withColumn(py, b["ymin"])
+
+    q = pts_of(queries.withColumn("__qid", F.monotonically_increasing_id()),
+               query_geom, "__qlon", "__qlat")
+    ob = pts_of(obj, ogeom, "__olon", "__olat")
+
+    n_obj = ob.count()
+    if n_obj == 0:
+        return queries.sparkSession.createDataFrame(
+            [], q.drop("__qid", "__qlon", "__qlat").schema)
+    import math as _math
+    if cell_deg is None:
+        # ~64 objects per occupied cell if uniformly spread over the globe
+        cell_deg = _math.sqrt(64800.0 * 64.0 / max(n_obj, 1))
+        cell_deg = min(max(cell_deg, 0.05), 45.0)
+    ncx = int(_math.ceil(360.0 / cell_deg))
+    lon_cell = 360.0 / ncx                      # exact-tiling (seam-safe)
+    ncy = int(_math.ceil(180.0 / cell_deg))
+
+    def cy_of(lat):
+        return F.least(F.floor((lat + 90.0) / cell_deg), F.lit(ncy - 1))
+
+    def cx_of(lon):
+        return F.pmod(F.floor((lon + 180.0) / lon_cell), F.lit(ncx))
+
+    ob2 = ob.withColumn("__ocx", cx_of(F.col("__olon"))) \
+            .withColumn("__ocy", cy_of(F.col("__olat")))
+    qb = q.withColumn("__qcx", cx_of(F.col("__qlon"))) \
+          .withColumn("__qcy", cy_of(F.col("__qlat")))
+
+    dist = haversine_m(F.col("__qlat"), F.col("__qlon"),
+                       F.col("__olat"), F.col("__olon"))
+    tie_break = (T.NumericType, T.StringType, T.DateType, T.TimestampType,
+                 T.BooleanType, T.BinaryType)
+    tie_cols = [f.name for f in obj.schema.fields
+                if f.name != ogeom and isinstance(f.dataType, tie_break)]
+
+    def topk(cand: DataFrame) -> DataFrame:
+        win = Window.partitionBy("__qid").orderBy(
+            F.col("knn_distance"), *[F.col(c) for c in tie_cols],
+            F.col("__olon"), F.col("__olat"))
+        ranked = cand.withColumn("knn_distance", dist) \
+                     .withColumn("__rn", F.row_number().over(win))
+        if include_ties:
+            kth = Window.partitionBy("__qid")
+            ranked = ranked.withColumn(
+                "__dk", F.max(F.when(F.col("__rn") == k,
+                                     F.col("knn_distance"))).over(kth))
+            return ranked.filter(
+                (F.col("__rn") <= k) |
+                (F.col("__dk").isNotNull() &
+                 (F.col("knn_distance") <= F.col("__dk") + 1e-6))).drop("__dk")
+        return ranked.filter(F.col("__rn") <= k)
+
+    # ---- round A: 3x3 neighborhood (lon cells modular) ----------------
+    acx = F.flatten(F.transform(
+        F.sequence(F.col("__qcx") - 1, F.col("__qcx") + 1),
+        lambda cx: F.transform(
+            F.sequence(F.greatest(F.col("__qcy") - 1, F.lit(0)),
+                       F.least(F.col("__qcy") + 1, F.lit(ncy - 1))),
+            lambda cy: F.pmod(cx, F.lit(ncx)) * ncy + cy)))
+    qa = qb.withColumn("__cell", F.explode(F.array_distinct(acx)))
+    cand_a = qa.join(
+        ob2.withColumn("__cell", F.col("__ocx") * ncy + F.col("__ocy")),
+        "__cell", "inner")
+    top_a = topk(cand_a)
+
+    agg_a = top_a.groupBy("__qid").agg(
+        F.count("*").alias("__cnt"), F.max("knn_distance").alias("__dk"))
+    qstat = qb.join(agg_a, "__qid", "left")
+
+    # geodesic margin to the unsearched region beyond the 3x3 block:
+    # lat sides = exact meridian arc to the lat circle (edge rows at the
+    # poles are safe: nothing beyond ±90); lon sides = distance to the
+    # boundary meridian great circle (lower bound of the segment)
+    lat_lo = (F.col("__qcy") - 1) * cell_deg - 90.0
+    lat_hi = (F.col("__qcy") + 2) * cell_deg - 90.0
+    inf = F.lit(float("inf"))
+    m_lat_lo = F.when(lat_lo > -90.0,
+                      (F.col("__qlat") - lat_lo) * M_PER_DEG).otherwise(inf)
+    m_lat_hi = F.when(lat_hi < 90.0,
+                      (lat_hi - F.col("__qlat")) * M_PER_DEG).otherwise(inf)
+
+    def meridian_dist(dlon_deg):
+        s = F.abs(F.sin(F.radians(dlon_deg))) * F.cos(F.radians(F.col("__qlat")))
+        return F.lit(R_EARTH_M) * F.asin(F.least(s, F.lit(1.0)))
+
+    lon_w = F.col("__qlon") + 180.0 - (F.col("__qcx") - 1) * lon_cell
+    lon_e = (F.col("__qcx") + 2) * lon_cell - (F.col("__qlon") + 180.0)
+    # when the 3x3 block already wraps every lon cell there is no lon side
+    full_wrap = F.lit(ncx <= 3)
+    m_lon = F.when(full_wrap, inf).otherwise(
+        F.least(meridian_dist(lon_w), meridian_dist(lon_e)))
+    margin = F.least(m_lat_lo, m_lat_hi, m_lon)
+
+    qstat = qstat.withColumn(
+        "__safe", (F.col("__cnt") >= k) & (F.col("__dk") <= margin))
+    safe_ids = qstat.filter("__safe").select("__qid")
+    unsafe = qstat.filter(~F.coalesce(F.col("__safe"), F.lit(False)))
+
+    # ---- round B: explicit geodesic radius re-probe --------------------
+    rad_m = F.when(F.col("__dk").isNotNull() & (F.col("__cnt") >= k),
+                   F.col("__dk") * 1.0000001 + 1.0) \
+             .otherwise(F.lit(_math.pi * R_EARTH_M))   # found <k: whole globe
+    lat_pad = rad_m / M_PER_DEG
+    r_ang = rad_m / R_EARTH_M
+    wl = F.radians(F.least(F.abs(F.col("__qlat")) + lat_pad, F.lit(max_lat)))
+    arg = F.sin(r_ang / 2.0) / F.cos(wl)
+    lon_pad = F.when(arg >= 1.0, F.lit(180.0)) \
+               .otherwise(F.degrees(2.0 * F.asin(arg)))
+    cy0 = F.greatest(F.floor((F.col("__qlat") - lat_pad + 90.0) / cell_deg),
+                     F.lit(0))
+    cy1 = F.least(F.floor((F.col("__qlat") + lat_pad + 90.0) / cell_deg),
+                  F.lit(ncy - 1))
+    bcx = F.array_distinct(F.transform(
+        F.sequence(F.floor((F.col("__qlon") + 180.0 - lon_pad) / lon_cell),
+                   F.floor((F.col("__qlon") + 180.0 + lon_pad) / lon_cell)),
+        lambda x: F.pmod(x, F.lit(ncx))))
+    bcells = F.flatten(F.transform(
+        bcx, lambda cx: F.transform(F.sequence(cy0, cy1),
+                                    lambda cy: cx * ncy + cy)))
+    qb_b = unsafe.withColumn("__cell", F.explode(F.array_distinct(bcells)))
+    cand_b = qb_b.join(
+        ob2.withColumn("__cell", F.col("__ocx") * ncy + F.col("__ocy")),
+        "__cell", "inner")
+    top_b = topk(cand_b)
+
+    keep_cols = (list(queries.columns) + ["__qid"]
                  + obj_payload + ["knn_distance"])
     out_a = top_a.join(safe_ids, "__qid", "leftsemi").select(*keep_cols)
     out_b = top_b.select(*keep_cols)

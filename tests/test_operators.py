@@ -452,6 +452,42 @@ def test_knn_use_spheroid(spark):
         knn_join(q, polys, k=1, use_spheroid=True).collect()
 
 
+def test_knn_spheroid_partitioned_matches_brute_force(spark):
+    """Partitioned great-circle KNN (modular-lon grid + geodesic margin)
+    is exact vs the brute-force haversine oracle, including antimeridian
+    and high-latitude queries."""
+    from pyspark.sql import Window as W
+    from sedona_db_spark.operators.geography_join import haversine_m
+    from sedona_db_spark.operators.knn_join import (
+        knn_join, knn_join_spheroid_partitioned)
+    obj = spark.range(800).selectExpr(
+        "id AS oid",
+        "(id * 7919 % 3600) / 10.0 - 180 + (id % 97) * 1e-3 AS olon",
+        "(id * 104729 % 1700) / 10.0 - 85 + (id % 89) * 1e-3 AS olat")
+    q = spark.range(30).selectExpr(
+        "id AS qid",
+        "CASE WHEN id % 3 = 0 THEN 178.0 + (id % 37) / 10.0 "
+        "     ELSE (id * 6397 % 3600) / 10.0 - 180 END AS qlon",
+        "CASE WHEN id % 3 = 1 THEN 82.0 + (id % 70) / 10.0 "
+        "     ELSE (id * 9973 % 1700) / 10.0 - 85 END AS qlat")
+    objg = obj.selectExpr("oid", "ST_Point(olon, olat) AS geom")
+    qg = q.selectExpr("qid", "ST_Point(qlon, qlat) AS geom")
+    out = knn_join_spheroid_partitioned(qg, objg, 3, cell_deg=4.0)
+    got = {(r["qid"], r["oid"]) for r in out.collect()}
+    pairs = q.crossJoin(obj).withColumn(
+        "d", haversine_m(F.col("qlat"), F.col("qlon"),
+                         F.col("olat"), F.col("olon")))
+    w = W.partitionBy("qid").orderBy("d", "oid")
+    exp = {(r["qid"], r["oid"]) for r in
+           pairs.withColumn("rn", F.row_number().over(w))
+                .filter("rn <= 3").collect()}
+    assert got == exp
+    # the broadcast entrypoint routes here above the threshold
+    routed = knn_join(qg, objg, 3, use_spheroid=True,
+                      broadcast_threshold=100)
+    assert {(r["qid"], r["oid"]) for r in routed.collect()} == exp
+
+
 def test_connected_components_and_transitive_dedup(spark):
     """Large-star/small-star CC closes chains + triangles + bridges;
     dedup_clusters keeps exactly one doc per component."""
