@@ -2243,6 +2243,50 @@ _O["raster_geotiff_roundtrip"] = """
   FROM nation
 """
 
+
+def _q_geotiff_deflate_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESS=DEFLATE GeoTIFF (sources/geotiff.py: stdlib-zlib strips,
+    predictor-2 differencing; reference covers this via GDAL,
+    rust/sedona-raster-gdal/src/lib.rs): encode each nation raster with
+    deflate, decode back, verify pixels + geotransform survive and the
+    compressed payload is SMALLER than the uncompressed encoding."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions import raster as rs
+    boxes = spark.table("nation_boxes")
+    rast = boxes.select(
+        "n_nationkey", "geom",
+        rs.as_raster(F.col("geom"), 8, 8,
+                     F.col("n_nationkey").cast("double") + 1.0).alias("r"))
+    enc = rast.select(
+        "n_nationkey", "geom",
+        rs.as_geotiff(F.col("r"), compress="deflate").alias("tif"),
+        F.length(rs.as_geotiff(F.col("r"))).alias("raw_bytes"))
+    back = enc.select(
+        "n_nationkey", "geom", "raw_bytes",
+        F.length("tif").alias("z_bytes"),
+        rs.from_geotiff(F.col("tif")).alias("r2"))
+    r2 = F.col("r2")
+    zs = rs.zonal_stats(r2, F.col("geom"), 1)
+    return back.select(
+        "n_nationkey",
+        rs.width(r2).alias("w"),
+        F.round(rs.scale_x(r2), 6).alias("sx"),
+        F.round(rs.upper_left_x(r2), 6).alias("ulx"),
+        zs["count"].alias("pix_count"),
+        F.round(zs["sum"], 6).alias("pix_sum"),
+        (F.col("z_bytes") < F.col("raw_bytes")).alias("compressed"))
+
+
+_PY["geotiff_deflate_roundtrip"] = _q_geotiff_deflate_roundtrip
+_O["geotiff_deflate_roundtrip"] = """
+  SELECT n_nationkey, CAST(8 AS BIGINT) AS w, 2.5 AS sx,
+         round(CAST(n_nationkey % 5 AS DOUBLE) * 20.0, 6) AS ulx,
+         CAST(64 AS BIGINT) AS pix_count,
+         round(64.0 * (n_nationkey + 1.0), 6) AS pix_sum,
+         true AS compressed
+  FROM nation
+"""
+
 # ======================================================================
 # entry points
 # ======================================================================

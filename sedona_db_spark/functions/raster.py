@@ -647,13 +647,26 @@ def _rs_as_geotiff_udf(rs: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
-def as_geotiff(r) -> Column:
-    """RS_AsGeoTIFF: raster struct -> uncompressed GeoTIFF bytes.
+@F.pandas_udf(T.BinaryType())
+def _rs_as_geotiff_deflate_udf(rs: pd.Series) -> pd.Series:
+    from sedona_db_spark.sources.geotiff import encode_geotiff
+    out = []
+    for r in _iter_struct(rs):
+        out.append(None if r is None
+                   else encode_geotiff(r, compress="deflate"))
+    return pd.Series(out, dtype=object)
+
+
+def as_geotiff(r, compress: str = "none") -> Column:
+    """RS_AsGeoTIFF: raster struct -> GeoTIFF bytes.
 
     Native codec (sources/geotiff.py) from the public TIFF 6.0 / OGC
     GeoTIFF specs — the reference shells out to GDAL
-    (rust/sedona-raster-gdal/src/lib.rs:21-35), which is absent here;
-    compressed output still needs GDAL on the cluster."""
+    (rust/sedona-raster-gdal/src/lib.rs:21-35), which is absent here.
+    ``compress='deflate'`` writes COMPRESS=DEFLATE strips (stdlib zlib,
+    predictor 2 for integer samples); LZW/JPEG still need GDAL."""
+    if compress == "deflate":
+        return _rs_as_geotiff_deflate_udf(r)
     return _rs_as_geotiff_udf(r)
 
 
@@ -667,8 +680,9 @@ def _rs_from_geotiff_udf(b: pd.Series) -> pd.DataFrame:
 
 
 def from_geotiff(b) -> Column:
-    """RS_FromGeoTIFF: GeoTIFF bytes -> raster struct (uncompressed,
-    strip-layout; tiled/compressed raise toward the GDAL path)."""
+    """RS_FromGeoTIFF: GeoTIFF bytes -> raster struct.  Handles strip
+    and tile layouts, uncompressed and DEFLATE (predictor 1/2);
+    LZW/JPEG raise toward the GDAL path."""
     return _rs_from_geotiff_udf(b)
 
 
@@ -799,6 +813,7 @@ def register(spark: SparkSession) -> None:
     spark.udf.register("RS_Tile", _rs_tile_udf)
     spark.udf.register("RS_AsRaster", _rs_asraster_udf)
     spark.udf.register("RS_AsGeoTIFF", _rs_as_geotiff_udf)
+    spark.udf.register("RS_AsGeoTIFFDeflate", _rs_as_geotiff_deflate_udf)
     spark.udf.register("RS_FromGeoTIFF", _rs_from_geotiff_udf)
     spark.udf.register("RS_Values", _rs_values_udf)
     spark.udf.register("RS_ReprojectMatch", _rs_reproject_match_udf)

@@ -1,22 +1,24 @@
-"""Native GeoTIFF codec (uncompressed baseline TIFF + GeoTIFF tags).
+"""Native GeoTIFF codec (baseline + DEFLATE TIFF + GeoTIFF tags).
 
 Reference raster IO goes through GDAL
 (/root/reference/rust/sedona-raster-gdal/src/lib.rs:21-35); GDAL and
-rasterio are unavailable in this environment, so the subset that does
-not need a compression library — baseline little-endian TIFF, strip
-layout, uncompressed — is implemented directly from the public TIFF 6.0
-and GeoTIFF 1.1 (OGC 19-008r4) specifications.  Compressed or tiled
-inputs raise with a clear message (the GDAL path remains the scale-out
-answer for exotic files).
+rasterio are unavailable in this environment, so the subset that is
+implementable from the public TIFF 6.0 and GeoTIFF 1.1 (OGC 19-008r4)
+specifications with the stdlib is done directly:
 
-Encode: one strip per band plane (PlanarConfiguration=2), SampleFormat/
+- layouts: strips AND tiles, PlanarConfiguration 1 (pixel-interleaved)
+  and 2 (planar);
+- compression: 1 (none) and 8/32946 (DEFLATE via stdlib zlib — the most
+  common compressed GeoTIFF in the wild, GDAL's COMPRESS=DEFLATE), with
+  predictor 1 (none) and 2 (horizontal differencing, integer samples);
+- LZW/JPEG/float-predictor inputs raise with a clear message (the GDAL
+  path remains the scale-out answer for exotic files).
+
+Encode: one strip per band plane (PlanarConfiguration=2), optional
+``compress='deflate'`` (+ predictor 2 for integer dtypes), SampleFormat/
 BitsPerSample from the numpy dtype, ModelPixelScale+ModelTiepoint (or
 ModelTransformation when the geotransform has skew), minimal GeoKey
 directory carrying the EPSG code.
-
-Decode: first IFD, strip or single-plane data, PlanarConfiguration 1
-(pixel-interleaved) and 2 (planar), geotransform and CRS recovered from
-the GeoTIFF tags.
 """
 
 from __future__ import annotations
@@ -30,9 +32,12 @@ _W, _H = 256, 257
 _BITS, _COMP, _PHOTO = 258, 259, 262
 _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
 _PLANAR, _SAMPLE_FMT = 284, 339
-_TILE_W = 322
+_PREDICTOR = 317
+_TILE_W, _TILE_H, _TILE_OFF, _TILE_CNT = 322, 323, 324, 325
 _MODEL_SCALE, _MODEL_TIEPOINT, _MODEL_TRANSFORM = 33550, 33922, 34264
 _GEO_KEYS = 34735
+
+_COMP_NONE, _COMP_DEFLATE, _COMP_DEFLATE_OLD = 1, 8, 32946
 
 _TYPE_SHORT, _TYPE_LONG, _TYPE_DOUBLE = 3, 4, 12
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
@@ -64,9 +69,15 @@ def _geo_keys(crs: str) -> list[int]:
     return out
 
 
-def encode_geotiff(row) -> bytes:
-    """Raster struct row (RASTER_TYPE dict) -> uncompressed GeoTIFF bytes."""
+def encode_geotiff(row, compress: str = "none") -> bytes:
+    """Raster struct row (RASTER_TYPE dict) -> GeoTIFF bytes.
+
+    ``compress='deflate'`` writes COMPRESS=DEFLATE strips (zlib) with
+    horizontal-differencing predictor 2 for integer samples."""
+    import zlib
     from sedona_db_spark.functions.raster import _band_array, _raster_fields
+    if compress not in ("none", "deflate"):
+        raise ValueError(f"unsupported compression {compress!r}")
     t, w, h = _raster_fields(row)
     arrays = []
     for b in row["bands"]:
@@ -83,19 +94,33 @@ def encode_geotiff(row) -> bytes:
     n = len(arrays)
     bits = dt.itemsize * 8
 
+    deflate = compress == "deflate"
+    predictor = 2 if deflate and dt.kind in "ui" else 1
+    plane_bytes: list[bytes] = []
+    for a in arrays:
+        if predictor == 2:
+            d = a.astype(np.int64)
+            d[:, 1:] = d[:, 1:] - d[:, :-1]          # per-row differencing
+            raw = (d & ((1 << bits) - 1)).astype(dt.newbyteorder("<")).tobytes()
+        else:
+            raw = a.tobytes()
+        plane_bytes.append(zlib.compress(raw, 6) if deflate else raw)
+
     entries: list[tuple[int, int, list]] = [
         (_W, _TYPE_LONG, [w]),
         (_H, _TYPE_LONG, [h]),
         (_BITS, _TYPE_SHORT, [bits] * n),
-        (_COMP, _TYPE_SHORT, [1]),
+        (_COMP, _TYPE_SHORT, [_COMP_DEFLATE if deflate else _COMP_NONE]),
         (_PHOTO, _TYPE_SHORT, [1]),
         (_STRIP_OFF, _TYPE_LONG, [0] * n),     # patched below
         (_SPP, _TYPE_SHORT, [n]),
         (_ROWS_PER_STRIP, _TYPE_LONG, [h]),
-        (_STRIP_CNT, _TYPE_LONG, [w * h * dt.itemsize] * n),
+        (_STRIP_CNT, _TYPE_LONG, [len(pb) for pb in plane_bytes]),
         (_PLANAR, _TYPE_SHORT, [2]),
         (_SAMPLE_FMT, _TYPE_SHORT, [_FMT_OF_KIND[dt.kind]] * n),
     ]
+    if predictor == 2:
+        entries.append((_PREDICTOR, _TYPE_SHORT, [2]))
     ulx, sx, kx, uly, ky, sy = t
     if kx == 0.0 and ky == 0.0:
         entries.append((_MODEL_SCALE, _TYPE_DOUBLE, [sx, -sy, 0.0]))
@@ -121,9 +146,9 @@ def encode_geotiff(row) -> bytes:
     data_off = val_off
     strip_offsets = []
     off = data_off
-    for a in arrays:
+    for pb in plane_bytes:
         strip_offsets.append(off)
-        off += a.nbytes
+        off += len(pb)
     entries = [(tag, typ, strip_offsets if tag == _STRIP_OFF else vals)
                for tag, typ, vals in entries]
 
@@ -147,8 +172,8 @@ def encode_geotiff(row) -> bytes:
     out += b"".join(packed)
     out += struct.pack("<I", 0)  # no next IFD
     out += b"".join(overflow)
-    for a in arrays:
-        out += a.tobytes()
+    for pb in plane_bytes:
+        out += pb
     return bytes(out)
 
 
@@ -188,13 +213,17 @@ def decode_geotiff(data: bytes) -> dict:
     magic, ifd_off = struct.unpack_from(en + "HI", data, 2)
     if magic != 42:
         raise ValueError("not a classic TIFF (BigTIFF unsupported)")
+    import zlib
     e = _read_entries(data, en, ifd_off)
-    if _TILE_W in e:
-        raise NotImplementedError("tiled TIFF needs GDAL/rasterio (strip layout only)")
     comp = _read_values(data, en, e[_COMP])[0] if _COMP in e else 1
-    if comp != 1:
+    if comp not in (_COMP_NONE, _COMP_DEFLATE, _COMP_DEFLATE_OLD):
         raise NotImplementedError(
-            f"TIFF compression {comp} needs GDAL/rasterio (uncompressed only)")
+            f"TIFF compression {comp} needs GDAL/rasterio "
+            "(uncompressed and DEFLATE supported natively)")
+    predictor = _read_values(data, en, e[_PREDICTOR])[0] if _PREDICTOR in e else 1
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF predictor {predictor} unsupported (1/2 only)")
     w = _read_values(data, en, e[_W])[0]
     h = _read_values(data, en, e[_H])[0]
     spp = _read_values(data, en, e[_SPP])[0] if _SPP in e else 1
@@ -202,16 +231,63 @@ def decode_geotiff(data: bytes) -> dict:
     fmt = _read_values(data, en, e[_SAMPLE_FMT])[0] if _SAMPLE_FMT in e else 1
     planar = _read_values(data, en, e[_PLANAR])[0] if _PLANAR in e else 1
     dt = np.dtype(en + _KIND_OF_FMT.get(fmt, "u") + str(bits // 8))
-    offs = _read_values(data, en, e[_STRIP_OFF])
-    cnts = _read_values(data, en, e[_STRIP_CNT])
-    raw = b"".join(data[o:o + c] for o, c in zip(offs, cnts))
-    arr = np.frombuffer(raw, dtype=dt).astype(dt.newbyteorder("="))
-    if planar == 2 and spp > 1:
-        planes = arr.reshape(spp, h, w)
-    elif spp > 1:  # pixel-interleaved
-        planes = np.moveaxis(arr.reshape(h, w, spp), 2, 0)
+    if predictor == 2 and dt.kind not in "ui":
+        raise NotImplementedError("predictor 2 on non-integer samples")
+    inflate = (lambda b: zlib.decompress(b)) if comp != _COMP_NONE \
+        else (lambda b: b)
+    spp_chunk = 1 if (planar == 2 and spp > 1) else spp
+
+    def unpredict(block: np.ndarray) -> np.ndarray:
+        """Undo horizontal differencing: cumsum per scanline per sample
+        channel, wrapping at the sample width."""
+        if predictor != 2:
+            return block
+        wide = block.astype(np.int64)
+        wide = wide.reshape(wide.shape[0], -1, spp_chunk)
+        wide = np.cumsum(wide, axis=1)
+        return (wide & ((1 << bits) - 1)).reshape(block.shape).astype(
+            block.dtype)
+
+    if _TILE_W in e:
+        tw = _read_values(data, en, e[_TILE_W])[0]
+        th = _read_values(data, en, e[_TILE_H])[0]
+        offs = _read_values(data, en, e[_TILE_OFF])
+        cnts = _read_values(data, en, e[_TILE_CNT])
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        planes = np.zeros((spp, h, w), dtype=dt.newbyteorder("="))
+        for ti, (o, c) in enumerate(zip(offs, cnts)):
+            raw = inflate(data[o:o + c])
+            tile = np.frombuffer(raw, dtype=dt, count=tw * th * spp_chunk) \
+                     .astype(dt.newbyteorder("=")) \
+                     .reshape(th, tw * spp_chunk)
+            tile = unpredict(tile).reshape(th, tw, spp_chunk)
+            plane_i, rem = divmod(ti, across * down)
+            ty, tx = divmod(rem, across)
+            y0, x0 = ty * th, tx * tw
+            ch, cw = min(th, h - y0), min(tw, w - x0)
+            if planar == 2 and spp > 1:
+                planes[plane_i, y0:y0 + ch, x0:x0 + cw] = tile[:ch, :cw, 0]
+            else:
+                for s in range(spp):
+                    planes[s, y0:y0 + ch, x0:x0 + cw] = tile[:ch, :cw, s]
     else:
-        planes = arr.reshape(1, h, w)
+        offs = _read_values(data, en, e[_STRIP_OFF])
+        cnts = _read_values(data, en, e[_STRIP_CNT])
+        chunks = []
+        for o, c in zip(offs, cnts):
+            raw = inflate(data[o:o + c])
+            strip = np.frombuffer(raw, dtype=dt).astype(dt.newbyteorder("="))
+            rows = len(strip) // (w * spp_chunk)
+            strip = unpredict(strip.reshape(rows, w * spp_chunk))
+            chunks.append(strip.ravel())
+        arr = np.concatenate(chunks) if chunks else np.zeros(0, dt)
+        if planar == 2 and spp > 1:
+            planes = arr.reshape(spp, h, w)
+        elif spp > 1:  # pixel-interleaved
+            planes = np.moveaxis(arr.reshape(h, w, spp), 2, 0)
+        else:
+            planes = arr.reshape(1, h, w)
 
     ulx = uly = 0.0
     sx, sy, kx, ky = 1.0, -1.0, 0.0, 0.0

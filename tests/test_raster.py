@@ -141,19 +141,98 @@ def test_raster_geometry_predicate_joinable(rdf, spark):
     assert out["i"] is True and out["c"] is False
 
 
-def test_geotiff_compressed_still_gated():
-    """The native codec covers uncompressed strips; compressed or tiled
-    TIFFs still raise toward the GDAL/rasterio path."""
+def test_geotiff_lzw_still_gated():
+    """The native codec covers uncompressed + DEFLATE; LZW/JPEG TIFFs
+    still raise toward the GDAL/rasterio path."""
     import struct
     from sedona_db_spark.sources.geotiff import decode_geotiff
-    # minimal IFD claiming Deflate compression
+    # minimal IFD claiming LZW compression
     ifd = struct.pack("<H", 3)
-    for tag, typ, val in [(256, 4, 4), (257, 4, 4), (259, 3, 8)]:
+    for tag, typ, val in [(256, 4, 4), (257, 4, 4), (259, 3, 5)]:
         ifd += struct.pack("<HHII", tag, typ, 1, val)
     ifd += struct.pack("<I", 0)
     data = b"II*\0" + struct.pack("<I", 8) + ifd
     with pytest.raises(NotImplementedError, match="compression"):
         decode_geotiff(data)
+
+
+def test_geotiff_deflate_roundtrip_and_tiled_decode():
+    """DEFLATE strips roundtrip (predictor 2 for ints, none for floats)
+    and an externally-shaped TILED pixel-interleaved deflate+predictor-2
+    file decodes to the exact pixels."""
+    import struct
+    import zlib
+    import numpy as np
+    from sedona_db_spark.functions.raster import _band_array, make_raster_row
+    from sedona_db_spark.sources.geotiff import decode_geotiff, encode_geotiff
+    for dtname, vals in [("int32", np.arange(96).reshape(8, 12) * 7 - 50),
+                         ("uint8", (np.arange(96).reshape(8, 12) * 11) % 256),
+                         ("float64", np.linspace(-5, 5, 96).reshape(8, 12))]:
+        arr = vals.astype(dtname)
+        row = make_raster_row(12, 8, ulx=10, uly=20, scale_x=0.5,
+                              scale_y=-0.5, crs="EPSG:32633",
+                              bands=[("b1", dtname, arr)])
+        enc = encode_geotiff(row, compress="deflate")
+        dec = decode_geotiff(enc)
+        assert np.array_equal(_band_array(dec["bands"][0]).reshape(8, 12), arr)
+        assert dec["crs"] == "EPSG:32633"
+        assert len(enc) < len(encode_geotiff(row))   # actually compressed
+
+    # externally-written shape: tiled, pixel-interleaved, predictor 2
+    w, h, tw, th, spp = 10, 6, 8, 4, 3
+    img = ((np.arange(h * w * spp).reshape(h, w, spp) * 13) % 256).astype(np.uint8)
+    across, down = (w + tw - 1) // tw, (h + th - 1) // th
+    tiles = []
+    for ty in range(down):
+        for tx in range(across):
+            t = np.zeros((th, tw, spp), np.uint8)
+            y0, x0 = ty * th, tx * tw
+            ch, cw = min(th, h - y0), min(tw, w - x0)
+            t[:ch, :cw] = img[y0:y0 + ch, x0:x0 + cw]
+            d = t.astype(np.int64)
+            d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
+            tiles.append(zlib.compress((d & 0xFF).astype(np.uint8).tobytes()))
+    entries = [(256, 4, [w]), (257, 4, [h]), (258, 3, [8] * spp),
+               (259, 3, [8]), (262, 3, [2]), (277, 3, [spp]),
+               (284, 3, [1]), (317, 3, [2]), (322, 3, [tw]), (323, 3, [th]),
+               (324, 4, [0] * len(tiles)), (325, 4, [len(t) for t in tiles]),
+               (339, 3, [1] * spp),
+               (33550, 12, [1.0, 1.0, 0.0]),
+               (33922, 12, [0, 0, 0, 100.0, 200.0, 0])]
+    entries.sort()
+    ts = {3: 2, 4: 4, 12: 8}
+    ifd_off, ifd_size = 8, 2 + len(entries) * 12 + 4
+    val_off = ifd_off + ifd_size
+    for tag, typ, vals in entries:
+        if ts[typ] * len(vals) > 4:
+            val_off += ts[typ] * len(vals)
+    offs, off = [], val_off
+    for t in tiles:
+        offs.append(off)
+        off += len(t)
+    entries = [(tag, typ, offs if tag == 324 else vals)
+               for tag, typ, vals in entries]
+    packed, overflow, val_off = [], [], ifd_off + ifd_size
+    for tag, typ, vals in entries:
+        raw = struct.pack("<%d%s" % (len(vals), {3: "H", 4: "I", 12: "d"}[typ]), *vals)
+        if len(raw) <= 4:
+            packed.append(struct.pack("<HHI", tag, typ, len(vals))
+                          + raw.ljust(4, b"\0"))
+        else:
+            packed.append(struct.pack("<HHII", tag, typ, len(vals), val_off))
+            overflow.append(raw)
+            val_off += len(raw)
+    blob = bytearray(b"II*\0" + struct.pack("<I", ifd_off))
+    blob += struct.pack("<H", len(entries)) + b"".join(packed) + struct.pack("<I", 0)
+    blob += b"".join(overflow)
+    for t in tiles:
+        blob += t
+    dec = decode_geotiff(bytes(blob))
+    assert dec["spatial_shape"] == [h, w]
+    assert dec["transform"][0] == 100.0 and dec["transform"][3] == 200.0
+    for s in range(spp):
+        assert np.array_equal(_band_array(dec["bands"][s]).reshape(h, w),
+                              img[:, :, s])
 
 
 def test_resample(rdf):
