@@ -49,6 +49,18 @@ def _fast_points(s: pd.Series):
         return None
 
 
+def _fast_ragged(s: pd.Series, base):
+    """Ragged (coords, counts) when the batch is uniform LE 2-D single-part
+    geometries of `base` type, else None.  See core.wkb_batch_ragged."""
+    vals = s.to_numpy(dtype=object)
+    if any(v is None for v in vals):
+        return None
+    try:
+        return core.wkb_batch_ragged(list(vals), base)
+    except Exception:
+        return None
+
+
 def _unary(fn, out_null=None):
     def run(s: pd.Series) -> pd.Series:
         out = [out_null if g is None else fn(g) for g in _decode(s)]
@@ -289,11 +301,24 @@ def k_y(s: pd.Series) -> pd.Series:
          for g in _decode(s)], dtype=object)
 
 
+def _fast_bounds(s: pd.Series):
+    """(xmin, ymin, xmax, ymax) column arrays via the ragged fast path,
+    or None.  Points degenerate to their own coordinate."""
+    pts = _fast_points(s)
+    if pts is not None:
+        return pts[:, 0], pts[:, 1], pts[:, 0], pts[:, 1]
+    for base in (core.POLYGON, core.LINESTRING):
+        r = _fast_ragged(s, base)
+        if r is not None:
+            return core.ragged_bounds(*r)
+    return None
+
+
 def _minmax(idx, op):
     def run(s: pd.Series) -> pd.Series:
-        pts = _fast_points(s)
-        if pts is not None:
-            return pd.Series(pts[:, idx])
+        fb = _fast_bounds(s)
+        if fb is not None:
+            return pd.Series(fb[idx if op == "min" else idx + 2])
         out = []
         for g in _decode(s):
             b = None if g is None else alg.bounds(g)
@@ -307,20 +332,8 @@ def _minmax(idx, op):
 
 k_xmin = _minmax(0, "min")
 k_ymin = _minmax(1, "min")
-
-
-def k_xmax(s):
-    pts = _fast_points(s)
-    if pts is not None:
-        return pd.Series(pts[:, 0])
-    return pd.Series([None if g is None or alg.bounds(g) is None else alg.bounds(g)[2] for g in _decode(s)], dtype=object)
-
-
-def k_ymax(s):
-    pts = _fast_points(s)
-    if pts is not None:
-        return pd.Series(pts[:, 1])
-    return pd.Series([None if g is None or alg.bounds(g) is None else alg.bounds(g)[3] for g in _decode(s)], dtype=object)
+k_xmax = _minmax(0, "max")
+k_ymax = _minmax(1, "max")
 
 
 # ----------------------------------------------------------------------
@@ -565,7 +578,34 @@ def k_isvalidreason(s):
     return _unary(one)(s)
 
 
+def k_area(s: pd.Series) -> pd.Series:
+    r = _fast_ragged(s, core.POLYGON)
+    if r is not None:
+        area, _, _ = core.ragged_ring_area_centroid(*r)
+        return pd.Series(area)
+    return _unary(alg.area)(s)
+
+
+def k_length_fast(s: pd.Series) -> pd.Series:
+    r = _fast_ragged(s, core.LINESTRING)
+    if r is not None:
+        return pd.Series(core.ragged_length(*r))
+    return _unary(alg.length)(s)
+
+
+def k_perimeter_fast(s: pd.Series) -> pd.Series:
+    r = _fast_ragged(s, core.POLYGON)
+    if r is not None:
+        return pd.Series(core.ragged_length(*r))
+    return _unary(alg.perimeter)(s)
+
+
 def k_centroid(s):
+    r = _fast_ragged(s, core.POLYGON)
+    if r is not None:
+        _, cx, cy = core.ragged_ring_area_centroid(*r)
+        return pd.Series(list(core.points_to_wkb_array(cx, cy)), dtype=object)
+
     def one(g):
         c = alg.centroid(g)
         if c is None:
@@ -574,11 +614,28 @@ def k_centroid(s):
     return _unary_geom(one)(s)
 
 
+def k_envelope(s: pd.Series) -> pd.Series:
+    for base in (core.POLYGON, core.LINESTRING):
+        r = _fast_ragged(s, base)
+        if r is not None:
+            x0, y0, x1, y1 = core.ragged_bounds(*r)
+            nondegen = (x0 != x1) & (y0 != y1)
+            if np.all(nondegen):
+                return pd.Series(list(core.boxes_to_wkb_array(x0, y0, x1, y1)),
+                                 dtype=object)
+            break  # degenerate boxes need the point/line special cases
+    return _unary_geom(alg.envelope)(s)
+
+
 def k_numgeometries(s):
     return _unary(lambda g: 0 if g.is_empty() else len(g.geometries()))(s)
 
 
 def k_npoints(s):
+    for base in (core.POLYGON, core.LINESTRING):
+        r = _fast_ragged(s, base)
+        if r is not None:
+            return pd.Series(r[1].astype(np.int64))
     return _unary(lambda g: int(len(g.all_coords())))(s)
 
 
@@ -649,7 +706,7 @@ KERNELS: dict[str, tuple] = {
     "ST_YMin": (k_ymin, DBL, "g"),
     "ST_XMax": (k_xmax, DBL, "g"),
     "ST_YMax": (k_ymax, DBL, "g"),
-    "ST_Envelope": (_unary_geom(alg.envelope), BIN, "g"),
+    "ST_Envelope": (k_envelope, BIN, "g"),
     "ST_Dimension": (_unary(lambda g: int(g.dimension())), INT, "g"),
     "ST_GeometryType": (_unary(lambda g: g.st_type_name()), STR, "g"),
     "ST_IsEmpty": (_unary(lambda g: bool(g.is_empty())), BOOL, "g"),
@@ -696,9 +753,9 @@ KERNELS: dict[str, tuple] = {
     "ST_Disjoint": (_pred(alg.disjoint), BOOL, "gg"),
     "ST_DWithin": (k_dwithin, BOOL, "ggd"),
     # measures
-    "ST_Area": (_unary(alg.area), DBL, "g"),
-    "ST_Length": (_unary(alg.length), DBL, "g"),
-    "ST_Perimeter": (_unary(alg.perimeter), DBL, "g"),
+    "ST_Area": (k_area, DBL, "g"),
+    "ST_Length": (k_length_fast, DBL, "g"),
+    "ST_Perimeter": (k_perimeter_fast, DBL, "g"),
     "ST_Distance": (k_distance, DBL, "gg"),
     "ST_MaxDistance": (_binary(alg.max_distance), DBL, "gg"),
     "ST_HausdorffDistance": (_binary(alg.hausdorff), DBL, "gg"),

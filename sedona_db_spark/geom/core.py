@@ -376,6 +376,120 @@ def points_to_wkb_array(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     return np.array([raw[i * POINT_WKB_LEN:(i + 1) * POINT_WKB_LEN] for i in range(n)], dtype=object)
 
 
+def wkb_batch_ragged(vals, base):
+    """Vectorized ragged decode for uniform little-endian 2-D batches.
+
+    Covers the two shapes that dominate generated/columnar data:
+      base=LINESTRING  — every value ``01 02000000 <n:u32> <n*16B coords>``
+      base=POLYGON     — single-ring: ``01 03000000 01000000 <n:u32> <coords>``
+    On success returns ``(coords, counts)`` where ``coords`` is the (N, 2)
+    float64 concatenation of every vertex and ``counts`` the per-row vertex
+    counts; per-row starts are ``np.cumsum(counts) - counts``.  Returns None
+    whenever any value deviates (multi-ring, Z/M, EWKB SRID, geography tag,
+    big-endian, nulls — caller screens nulls), in which case callers fall
+    back to the per-row parser.  No per-row Python objects are created: the
+    whole batch is one frombuffer + fancy-index, which is the ragged
+    analogue of ``wkb_array_to_points`` and removes the structural
+    throughput ceiling flagged for non-point batches.
+    """
+    n_rows = len(vals)
+    if n_rows == 0:
+        return None
+    header = 13 if base == POLYGON else 9
+    lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=n_rows)
+    if np.any(lens < header + 32) or np.any((lens - header) % 16 != 0):
+        return None
+    joined = b"".join(vals)
+    u8 = np.frombuffer(joined, dtype=np.uint8)
+    offsets = np.empty(n_rows, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(lens[:-1], out=offsets[1:])
+    # headers: byte-order 1, type word == base (bytes 2..4 zero also rejects
+    # Z/M/EWKB-SRID flags and the internal geography tag in the high byte)
+    if not (np.all(u8[offsets] == 1) and np.all(u8[offsets + 1] == base)
+            and np.all(u8[offsets + 2] == 0) and np.all(u8[offsets + 3] == 0)
+            and np.all(u8[offsets + 4] == 0)):
+        return None
+    if base == POLYGON:
+        if not (np.all(u8[offsets + 5] == 1) and np.all(u8[offsets + 6] == 0)
+                and np.all(u8[offsets + 7] == 0) and np.all(u8[offsets + 8] == 0)):
+            return None
+    counts = (lens - header) // 16
+    c0 = offsets + header - 4
+    stored = (u8[c0].astype(np.int64) | (u8[c0 + 1].astype(np.int64) << 8)
+              | (u8[c0 + 2].astype(np.int64) << 16)
+              | (u8[c0 + 3].astype(np.int64) << 24))
+    if not np.array_equal(stored, counts):
+        return None
+    keep = np.ones(len(u8), dtype=bool)
+    keep[(offsets[:, None] + np.arange(header)).ravel()] = False
+    coords = u8[keep].copy().view("<f8").reshape(-1, 2)
+    return coords, counts
+
+
+def ragged_bounds(coords, counts):
+    """Per-row (xmin, ymin, xmax, ymax) columns from a ragged batch."""
+    starts = np.cumsum(counts) - counts
+    x, y = coords[:, 0], coords[:, 1]
+    return (np.minimum.reduceat(x, starts), np.minimum.reduceat(y, starts),
+            np.maximum.reduceat(x, starts), np.maximum.reduceat(y, starts))
+
+
+def ragged_length(coords, counts):
+    """Per-row polyline length (rings: perimeter) from a ragged batch."""
+    x, y = coords[:, 0], coords[:, 1]
+    seg = np.hypot(np.diff(x), np.diff(y))
+    ends = np.cumsum(counts)
+    seg[ends[:-1] - 1] = 0.0  # zero the inter-row phantom segments
+    return np.add.reduceat(seg, ends - counts)
+
+
+def ragged_ring_area_centroid(coords, counts):
+    """Per-row (area, cx, cy) for closed single rings (shoelace).
+
+    counts are vertex counts including the closing vertex; rows are assumed
+    valid rings (caller guarantees via the polygon batch decoder).
+    """
+    x, y = coords[:, 0], coords[:, 1]
+    cr = x[:-1] * y[1:] - x[1:] * y[:-1]
+    ends = np.cumsum(counts)
+    cr_row_zero = ends[:-1] - 1
+    sx = (x[:-1] + x[1:]) * cr
+    sy = (y[:-1] + y[1:]) * cr
+    cr[cr_row_zero] = 0.0
+    sx[cr_row_zero] = 0.0
+    sy[cr_row_zero] = 0.0
+    starts = ends - counts
+    a2 = np.add.reduceat(cr, starts)
+    sxs = np.add.reduceat(sx, starts)
+    sys_ = np.add.reduceat(sy, starts)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cx = np.where(a2 != 0, sxs / (3.0 * a2), x[starts])
+        cy = np.where(a2 != 0, sys_ / (3.0 * a2), y[starts])
+    return np.abs(a2) / 2.0, cx, cy
+
+
+_BOX_WKB_LEN = 13 + 5 * 16
+_BOX_PREFIX = struct.pack("<BIII", 1, POLYGON, 1, 5)
+
+
+def boxes_to_wkb_array(xmin, ymin, xmax, ymax) -> np.ndarray:
+    """Vectorized (xmin, ymin, xmax, ymax) -> single-ring box polygon WKB."""
+    n = len(xmin)
+    buf = np.empty((n, _BOX_WKB_LEN), dtype=np.uint8)
+    buf[:, :13] = np.frombuffer(_BOX_PREFIX, dtype=np.uint8)
+    ring = np.empty((n, 10), dtype="<f8")
+    ring[:, 0], ring[:, 1] = xmin, ymin
+    ring[:, 2], ring[:, 3] = xmax, ymin
+    ring[:, 4], ring[:, 5] = xmax, ymax
+    ring[:, 6], ring[:, 7] = xmin, ymax
+    ring[:, 8], ring[:, 9] = xmin, ymin
+    buf[:, 13:] = ring.view(np.uint8).reshape(n, 80)
+    raw = buf.tobytes()
+    return np.array([raw[i * _BOX_WKB_LEN:(i + 1) * _BOX_WKB_LEN]
+                     for i in range(n)], dtype=object)
+
+
 def wkb_array_to_points(vals) -> "np.ndarray | None":
     """If every element is a 21-byte LE 2-D point WKB, return (n, 2) float64.
 

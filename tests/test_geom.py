@@ -466,3 +466,33 @@ def test_item_level_crs_transform(spark):
     """).collect()
     got = {r2["id"]: r2["lon"] for r2 in rows}
     assert got == {1: 10.0, 2: 10.0}
+
+
+def test_ragged_batch_fast_path_matches_scalar(spark):
+    """The uniform polygon/line ragged numpy decode (core.wkb_batch_ragged)
+    must agree with the per-row parser for Area/Perimeter/Length/Envelope/
+    Centroid/NPoints on a batch of varied single-ring polygons."""
+    rows = spark.sql("""
+      SELECT n_nationkey AS k,
+             ST_MakeEnvelope(CAST(n_nationkey AS DOUBLE), 0.0D,
+                             CAST(n_nationkey AS DOUBLE) * 2.0D + 3.0D,
+                             CAST(n_nationkey % 7 AS DOUBLE) + 1.0D) AS g
+      FROM parquet.`/root/testdata/sf0.001/nation.parquet`
+    """).selectExpr(
+        "k",
+        "round(ST_Area(g), 9) AS area",
+        "round(ST_Perimeter(g), 9) AS perim",
+        "round(ST_Length(g), 9) AS len",
+        "ST_NPoints(g) AS np",
+        "round(ST_X(ST_Centroid(g)), 9) AS cx",
+        "round(ST_XMin(g), 9) AS x0", "round(ST_XMax(ST_Envelope(g)), 9) AS x1",
+    ).collect()
+    for r in rows:
+        k = r["k"]
+        w, h = (2 * k + 3) - k, (k % 7) + 1
+        assert abs(r["area"] - w * h) < 1e-6
+        assert abs(r["perim"] - 2 * (w + h)) < 1e-6
+        assert r["len"] == 0.0  # ST_Length is lineal-only (polygons -> 0)
+        assert r["np"] == 5
+        assert abs(r["cx"] - (k + (2 * k + 3)) / 2.0) < 1e-6
+        assert abs(r["x0"] - k) < 1e-9 and abs(r["x1"] - (2 * k + 3)) < 1e-9
