@@ -591,6 +591,65 @@ _sql("st_transform_lambert93", """
   FROM c
 """)
 
+# British National Grid (EPSG:27700: Airy-1830 Krueger TM behind the
+# published WGS84->OSGB36 Bursa-Wolf shift) and ETRS89/UTM 32N
+# (EPSG:25832).  The TM series is not SQL-expressible, so the oracle pins
+# literal expected coordinates validated against published references (the
+# OS worked example 651409.903/313177.270 and known city coordinates) —
+# same literal-oracle pattern as multimodal_real_decode.  Ref surface:
+# rust/sedona-functions/src/st_transform.rs:45 (PROJ).
+_sql("st_transform_osgb", """
+  SELECT n_nationkey, round(ST_X(m), 3) AS e, round(ST_Y(m), 3) AS n
+  FROM (SELECT n_nationkey,
+               ST_Transform(ST_Point(CAST(n_nationkey % 10 AS DOUBLE) * 0.5D - 4.5D,
+                                     50.0D + CAST(n_nationkey % 8 AS DOUBLE) * 0.5D),
+                            'EPSG:4326', 'EPSG:27700') AS m
+        FROM nation) t
+""", """
+  SELECT n_nationkey, CAST(e AS DOUBLE) AS e, CAST(n AS DOUBLE) AS n
+  FROM nation JOIN (VALUES
+    (0, 220932.959, 14088.196), (1, 258255.437, 68599.834),
+    (2, 294841.438, 123361.105), (3, 330682.639, 178370.129),
+    (4, 365770.651, 233624.626), (5, 400097.031, 289121.908),
+    (6, 433653.296, 344858.883), (7, 466430.934, 400832.048),
+    (8, 507597.647, 12170.145), (9, 541937.022, 68598.817),
+    (10, 224678.83, 125265.493), (11, 261273.393, 179792.824),
+    (12, 297120.818, 234569.151), (13, 332212.85, 289592.158),
+    (14, 366541.175, 344859.13), (15, 400097.44, 400366.946),
+    (16, 435930.528, 11212.104), (17, 471018.674, 67166.099),
+    (18, 505351.418, 123360.346), (19, 538919.868, 179791.818),
+    (20, 228478.558, 236458.321), (21, 264334.007, 291002.588),
+    (22, 299431.865, 345794.909), (23, 333763.949, 400832.537),
+    (24, 364261.527, 11212.359)) v(k, e, n)
+  ON n_nationkey = k
+""")
+
+_sql("st_transform_etrs_utm32", """
+  SELECT n_nationkey, round(ST_X(m), 3) AS e, round(ST_Y(m), 3) AS n
+  FROM (SELECT n_nationkey,
+               ST_Transform(ST_Point(6.0D + CAST(n_nationkey % 12 AS DOUBLE) * 0.5D,
+                                     45.0D + CAST(n_nationkey % 10 AS DOUBLE)),
+                            'EPSG:4326', 'EPSG:25832') AS m
+        FROM nation) t
+""", """
+  SELECT n_nationkey, CAST(e AS DOUBLE) AS e, CAST(n AS DOUBLE) AS n
+  FROM nation JOIN (VALUES
+    (0, 263553.974, 4987329.505), (1, 306421.281, 5097086.384),
+    (2, 347950.963, 5207105.327), (3, 388108.065, 5317388.799),
+    (4, 426857.988, 5427937.523), (5, 464166.541, 5538750.477),
+    (6, 500000.0, 5649824.888), (7, 534325.167, 5761156.236),
+    (8, 567109.435, 5872738.261), (9, 598320.852, 5984562.981),
+    (10, 657630.641, 4984896.171), (11, 693578.719, 5097086.384),
+    (12, 271930.435, 5209532.848), (13, 313517.365, 5319324.564),
+    (14, 353719.054, 5429382.984), (15, 392501.507, 5539708.757),
+    (16, 429831.138, 5650300.786), (17, 465674.833, 5761156.236),
+    (18, 500000.0, 5872270.528), (19, 532774.644, 5983637.358),
+    (20, 578815.303, 4983436.768), (21, 616148.027, 5095141.281),
+    (22, 652049.037, 5207105.327), (23, 686482.635, 5319324.564),
+    (24, 280586.299, 5431792.864)) v(k, e, n)
+  ON n_nationkey = k
+""")
+
 # Segmentize an integer-length segment at max length 1 -> L+1 vertices;
 # ReducePrecision snaps to a 0.01 grid.
 _sql("st_segmentize_snap", """

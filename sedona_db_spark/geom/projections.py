@@ -319,6 +319,139 @@ class LambertAzimuthalEqualArea:
         return _wrap_lon(np.degrees(lam)), np.degrees(phi)
 
 
+class TransverseMercator:
+    """General Krüger-series TM (any ellipsoid / lat0 / k0 / false origin) —
+    the same math as the UTM fast path above but fully parameterized, for
+    national grids (OSGB 27700, NZTM 2193) and the ETRS89/NAD83 UTM ranges."""
+
+    def __init__(self, lat0, lon0, k0, fe, fn, a, f):
+        self.a_ell, self.f_ell = a, f
+        n = f / (2.0 - f)
+        self.A = a / (1 + n) * (1 + n ** 2 / 4 + n ** 4 / 64)
+        self.e = math.sqrt(f * (2 - f))
+        self.alpha = (
+            n / 2 - 2 * n ** 2 / 3 + 5 * n ** 3 / 16,
+            13 * n ** 2 / 48 - 3 * n ** 3 / 5,
+            61 * n ** 3 / 240,
+        )
+        self.beta = (
+            n / 2 - 2 * n ** 2 / 3 + 37 * n ** 3 / 96,
+            n ** 2 / 48 + n ** 3 / 15,
+            17 * n ** 3 / 480,
+        )
+        self.delta = (
+            2 * n - 2 * n ** 2 / 3 - 2 * n ** 3,
+            7 * n ** 2 / 3 - 8 * n ** 3 / 5,
+            56 * n ** 3 / 15,
+        )
+        self.lam0 = math.radians(lon0)
+        self.k0, self.fe, self.fn = k0, fe, fn
+        # meridian arc to the latitude of false origin
+        self.xi0 = self._xi_of_lat(math.radians(lat0)) if lat0 else 0.0
+
+    def _xi_of_lat(self, phi):
+        s = math.sin(phi)
+        t = math.sinh(math.atanh(s) - self.e * math.atanh(self.e * s))
+        xi_p = math.atan(t)
+        xi = xi_p
+        for j, a in enumerate(self.alpha, start=1):
+            xi += a * math.sin(2 * j * xi_p)
+        return xi
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64)) - self.lam0
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        s = np.sin(phi)
+        t = np.sinh(np.arctanh(s) - self.e * np.arctanh(self.e * s))
+        xi_p = np.arctan2(t, np.cos(lam))
+        eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+        xi, eta = xi_p.copy(), eta_p.copy()
+        for j, a in enumerate(self.alpha, start=1):
+            xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+            eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+        return (self.fe + self.k0 * self.A * eta,
+                self.fn + self.k0 * self.A * (xi - self.xi0))
+
+    def inverse(self, x, y):
+        xi = (np.asarray(y, dtype=np.float64) - self.fn) / (self.k0 * self.A) + self.xi0
+        eta = (np.asarray(x, dtype=np.float64) - self.fe) / (self.k0 * self.A)
+        xi_p, eta_p = xi.copy(), eta.copy()
+        for j, b in enumerate(self.beta, start=1):
+            xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        chi = np.arcsin(np.clip(np.sin(xi_p) / np.cosh(eta_p), -1.0, 1.0))
+        phi = chi.copy()
+        for j, d in enumerate(self.delta, start=1):
+            phi += d * np.sin(2 * j * chi)
+        lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+        return _wrap_lon(np.degrees(lam + self.lam0)), np.degrees(phi)
+
+
+# ---- Helmert 7-parameter datum shift (Bursa-Wolf, small-angle) --------
+
+def _geodetic_to_ecef(lon_deg, lat_deg, a, e2):
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    s, c = np.sin(phi), np.cos(phi)
+    nu = a / np.sqrt(1 - e2 * s * s)
+    return nu * c * np.cos(lam), nu * c * np.sin(lam), nu * (1 - e2) * s
+
+
+def _ecef_to_geodetic(X, Y, Z, a, e2, iters=8):
+    lam = np.arctan2(Y, X)
+    p = np.hypot(X, Y)
+    phi = np.arctan2(Z, p * (1 - e2))
+    for _ in range(iters):
+        s = np.sin(phi)
+        nu = a / np.sqrt(1 - e2 * s * s)
+        phi = np.arctan2(Z + e2 * nu * s, p)
+    return np.degrees(lam), np.degrees(phi)
+
+
+class HelmertTM:
+    """TM projection on a non-WGS84 datum, reached from WGS84 lon/lat via a
+    Bursa-Wolf 7-parameter shift (the grid-free path PROJ uses when no
+    NTv2/OSTN grids are installed; ~5 m vs the grid for OSGB)."""
+
+    def __init__(self, tm: TransverseMercator, t, r_arcsec, s_ppm):
+        self.tm = tm
+        self.t = t
+        self.r = tuple(math.radians(v / 3600.0) for v in r_arcsec)
+        self.s = 1.0 + s_ppm * 1e-6
+        self.e2_dst = tm.f_ell * (2 - tm.f_ell)
+
+    def _shift(self, X, Y, Z, invert=False):
+        tx, ty, tz = self.t
+        rx, ry, rz = self.r
+        if invert:
+            Xp = (X - tx) / self.s
+            Yp = (Y - ty) / self.s
+            Zp = (Z - tz) / self.s
+            # inverse small-angle rotation (transpose)
+            return (Xp + rz * Yp - ry * Zp,
+                    -rz * Xp + Yp + rx * Zp,
+                    ry * Xp - rx * Yp + Zp)
+        return (tx + self.s * (X - rz * Y + ry * Z),
+                ty + self.s * (rz * X + Y - rx * Z),
+                tz + self.s * (-ry * X + rx * Y + Z))
+
+    def forward(self, lon, lat):
+        X, Y, Z = _geodetic_to_ecef(lon, lat, WGS84_A, WGS84_F * (2 - WGS84_F))
+        X, Y, Z = self._shift(X, Y, Z)
+        lon2, lat2 = _ecef_to_geodetic(X, Y, Z, self.tm.a_ell, self.e2_dst)
+        return self.tm.forward(lon2, lat2)
+
+    def inverse(self, x, y):
+        lon2, lat2 = self.tm.inverse(x, y)
+        X, Y, Z = _geodetic_to_ecef(lon2, lat2, self.tm.a_ell, self.e2_dst)
+        X, Y, Z = self._shift(X, Y, Z, invert=True)
+        return _ecef_to_geodetic(X, Y, Z, WGS84_A, WGS84_F * (2 - WGS84_F))
+
+
+AIRY_A = 6377563.396
+AIRY_F = 1.0 / 299.3249646
+
+
 # EPSG parameter registry (public EPSG registry values) for widely used
 # projected CRSes on WGS84-coincident datums.
 _PROJ_REGISTRY: dict[str, object] = {}
@@ -347,6 +480,31 @@ def _register_projections():
     # USA Contiguous Lambert Conformal Conic (NAD83)
     reg["EPSG:102004"] = reg["ESRI:102004"] = LambertConformalConic2SP(
         39.0, -96.0, 33.0, 45.0, 0.0, 0.0, "GRS80")
+    # ETRS89 / UTM zones 28N-38N (Europe's standard grid) and the NAD83
+    # UTM range — GRS80 TM, standard UTM constants
+    for z in range(28, 39):
+        reg[f"EPSG:258{z:02d}"] = TransverseMercator(
+            0.0, utm_zone_central_meridian(z), K0, E0, 0.0, GRS80_A, GRS80_F)
+    for z in range(3, 24):
+        reg[f"EPSG:269{z:02d}"] = TransverseMercator(
+            0.0, utm_zone_central_meridian(z), K0, E0, 0.0, GRS80_A, GRS80_F)
+    # Great Britain: OSGB36 / British National Grid (Airy 1830 TM behind
+    # the published WGS84->OSGB36 Bursa-Wolf shift)
+    reg["EPSG:27700"] = HelmertTM(
+        TransverseMercator(49.0, -2.0, 0.9996012717, 400000.0, -100000.0,
+                           AIRY_A, AIRY_F),
+        t=(-446.448, 125.157, -542.060),
+        r_arcsec=(-0.1502, -0.2470, -0.8421), s_ppm=20.4894)
+    # New Zealand: NZGD2000 / NZTM2000 (GRS80, NZGD2000 ~ WGS84)
+    reg["EPSG:2193"] = TransverseMercator(
+        0.0, 173.0, 0.9996, 1600000.0, 10000000.0, GRS80_A, GRS80_F)
+    # US State Plane (meter-based zones): NAD83 / Maryland (LCC 2SP)
+    reg["EPSG:26985"] = LambertConformalConic2SP(
+        37.0 + 40.0 / 60.0, -77.0, 39.45, 38.3, 400000.0, 0.0, "GRS80")
+    # NAD83 / New York Long Island (LCC 2SP)
+    reg["EPSG:32118"] = LambertConformalConic2SP(
+        40.0 + 10.0 / 60.0, -74.0, 41.0 + 2.0 / 60.0, 40.0 + 40.0 / 60.0,
+        300000.0, 0.0, "GRS80")
 
 
 _register_projections()

@@ -223,8 +223,9 @@ def test_transform_crs_roundtrip():
     # UTM is now supported natively; an unmapped CRS still raises
     utm = alg.transform_crs(g, "EPSG:4326", "EPSG:32633")
     assert utm.all_coords()[0][0] != 10  # projected, not passthrough
+    # 27700 is now registered (Airy TM + Helmert); Belgian Lambert 72 is not
     with pytest.raises(NotImplementedError):
-        alg.transform_crs(g, "EPSG:4326", "EPSG:27700")
+        alg.transform_crs(g, "EPSG:4326", "EPSG:31370")
     assert alg.transform_crs(g, "EPSG:4326", "epsg:4326") is g
 
 
@@ -496,3 +497,42 @@ def test_ragged_batch_fast_path_matches_scalar(spark):
         assert r["np"] == 5
         assert abs(r["cx"] - (k + (2 * k + 3)) / 2.0) < 1e-6
         assert abs(r["x0"] - k) < 1e-9 and abs(r["x1"] - (2 * k + 3)) < 1e-9
+
+
+def test_new_crs_registry_families():
+    """OSGB 27700 (Airy TM + Bursa-Wolf), ETRS89/NAD83 UTM ranges, NZTM,
+    and meter-based state-plane LCC zones: published-value + roundtrip."""
+    import numpy as np
+    from sedona_db_spark.geom import projections as prj
+
+    # OS worked example (OSGB36 geodetic -> grid), sub-cm
+    tm = prj.lookup_projection("EPSG:27700").tm
+    e, n = tm.forward(np.array([1 + 43 / 60 + 4.5177 / 3600]),
+                      np.array([52 + 39 / 60 + 27.2531 / 3600]))
+    assert abs(e[0] - 651409.903) < 0.01 and abs(n[0] - 313177.270) < 0.01
+    # full WGS84 path roundtrips and lands on known central-London grid
+    h = prj.lookup_projection("EPSG:27700")
+    x, y = h.forward(np.array([-0.1276]), np.array([51.5072]))
+    assert 529900 < x[0] < 530200 and 180200 < y[0] < 180500
+    lon2, lat2 = h.inverse(x, y)
+    assert abs(lon2[0] + 0.1276) < 1e-7 and abs(lat2[0] - 51.5072) < 1e-7
+
+    # ETRS89/UTM 32N matches the WGS84 UTM fast path to sub-mm
+    t32 = prj.lookup_projection("EPSG:25832")
+    e1, n1 = t32.forward(np.array([10.0]), np.array([50.0]))
+    e2, n2 = prj.utm_forward(np.array([10.0]), np.array([50.0]), 32, True)
+    assert abs(e1[0] - e2[0]) < 1e-3 and abs(n1[0] - n2[0]) < 1e-3
+    assert prj.lookup_projection("EPSG:26918") is not None  # NAD83 UTM 18N
+
+    # NZTM Wellington (published ~1748735 E, 5427917 N)
+    nz = prj.lookup_projection("EPSG:2193")
+    e, n = nz.forward(np.array([174.7762]), np.array([-41.2865]))
+    assert abs(e[0] - 1748735.6) < 1.0 and abs(n[0] - 5427916.5) < 1.0
+
+    # state-plane LCC zones roundtrip at 1e-9 deg
+    for code, lon, lat in (("EPSG:26985", -76.6122, 39.2904),
+                           ("EPSG:32118", -73.9857, 40.7484)):
+        p = prj.lookup_projection(code)
+        x, y = p.forward(np.array([lon]), np.array([lat]))
+        lon2, lat2 = p.inverse(x, y)
+        assert abs(lon2[0] - lon) < 1e-9 and abs(lat2[0] - lat) < 1e-9
