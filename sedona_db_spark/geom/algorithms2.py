@@ -735,20 +735,137 @@ def relate_matrix(a: Geom, b: Geom) -> str:
             M = _relate_simple(a, b)
         return "".join(M[r][c] for r in range(3) for c in range(3))
 
-    # heterogeneous collection: cell-wise max over part pairs
-    pa = a.geometries() if a.gt in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON,
-                                    GEOMETRYCOLLECTION) else [a]
-    pb = b.geometries() if b.gt in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON,
-                                    GEOMETRYCOLLECTION) else [b]
+    # heterogeneous collection: exact via I/B/E decomposition of the union
+    M = _relate_mixed_exact(a, b)
+    return "".join(M[r][c] for r in range(3) for c in range(3))
+
+
+class _MixedSide:
+    """I/B/E decomposition of a (possibly heterogeneous) geometry, using
+    the union point-set semantics GEOS RelateNG exposes for collections
+    (observed in the reference's PostGIS-parity expectations,
+    python/sedonadb/tests/functions/test_predicates.py:45-90):
+      B = boundary(union of areal parts) U mod-2 endpoints of line parts
+      I = (union of all part point-sets) \\ B, with areal interior taking
+          priority (a line endpoint inside a polygon interior is interior)
+      element interiors do NOT absorb boundary points (a POINT part at a
+      line endpoint stays boundary).
+    """
+
+    def __init__(self, g: Geom):
+        import functools
+        polys = [Geom(POLYGON, p) for p in g.polygons()]
+        self.P = None
+        if polys:
+            self.P = functools.reduce(alg.union2, polys) if len(polys) > 1 else polys[0]
+        self.lines = [np.asarray(l, dtype=np.float64)[:, :2]
+                      for l in g.lines() if len(l) >= 2]
+        self.mod2 = {_pt_key(p) for p in _line_boundary_points(
+            Geom(MULTILINESTRING, self.lines))} if self.lines else set()
+        self.tpts = [np.asarray(p, dtype=np.float64)[:2] for p in g.points()]
+        self.tkeys = {_pt_key(p) for p in self.tpts}
+
+    def loc(self, p) -> int:
+        """0 = interior, 1 = boundary, 2 = exterior."""
+        p = np.asarray(p, dtype=np.float64)[:2]
+        pos = alg.point_position(p, self.P) if self.P is not None else -1
+        if pos > 0:
+            return 0
+        if pos == 0 or _pt_key(p) in self.mod2:
+            return 1
+        if _pt_key(p) in self.tkeys:
+            return 0
+        for arr in self.lines:
+            for i in range(len(arr) - 1):
+                if alg._on_segment(p, arr[i], arr[i + 1]):
+                    return 0
+        return 2
+
+    def segments(self):
+        if self.P is not None:
+            for ring in self.P.rings():
+                arr = np.asarray(ring, dtype=np.float64)[:, :2]
+                for i in range(len(arr) - 1):
+                    yield arr[i], arr[i + 1]
+        for arr in self.lines:
+            for i in range(len(arr) - 1):
+                yield arr[i], arr[i + 1]
+
+
+def _seg_break_ts(a0, a1, b0, b1) -> list:
+    """Params t in (0,1) along a where b crosses/overlaps a."""
+    d = a1 - a0
+    L2 = float(d @ d)
+    if L2 <= 0:
+        return []
+    o0 = alg._orient(a0, a1, b0)
+    o1 = alg._orient(a0, a1, b1)
+    eps = 1e-12 * max(1.0, math.sqrt(L2))
+    out = []
+    if abs(o0) <= eps and abs(o1) <= eps:  # collinear: overlap endpoints
+        for q in (b0, b1):
+            t = float((q - a0) @ d) / L2
+            if 1e-12 < t < 1 - 1e-12:
+                out.append(t)
+        return out
+    if abs(o0) <= eps or abs(o1) <= eps or (o0 > 0) != (o1 > 0):
+        ob0 = alg._orient(b0, b1, a0)
+        ob1 = alg._orient(b0, b1, a1)
+        if abs(ob0) <= eps or abs(ob1) <= eps or (ob0 > 0) != (ob1 > 0):
+            denom = o0 - o1
+            if abs(denom) > 0:
+                t_on_b = o0 / denom  # intersection param along b
+                q = b0 + t_on_b * (b1 - b0)
+                t = float((q - a0) @ d) / L2
+                if 1e-12 < t < 1 - 1e-12:
+                    out.append(t)
+    return out
+
+
+def _relate_mixed_exact(a: Geom, b: Geom) -> list[list[str]]:
+    """Exact DE-9IM for heterogeneous collections: areal overlay for the
+    dim-2 cells, global segment noding + midpoint location for dim-1, and
+    candidate-point location for dim-0."""
+    A, B = _MixedSide(a), _MixedSide(b)
     M = [["F"] * 3 for _ in range(3)]
     M[2][2] = "2"
-    for ga in pa:
-        for gb in pb:
-            S = _relate_simple(ga, gb)
-            for r in range(3):
-                for c in range(3):
-                    M[r][c] = _cell_max(M[r][c], S[r][c])
-    return "".join(M[r][c] for r in range(3) for c in range(3))
+
+    def setc(r, c, v):
+        M[r][c] = _cell_max(M[r][c], v)
+
+    # dim-2 cells from the areal unions (open sets: minus the other side's
+    # measure-zero lines/points they keep a dim-2 subset)
+    if A.P is not None and B.P is not None:
+        if alg.area(alg.intersection(A.P, B.P)) > 1e-24:
+            setc(0, 0, "2")
+        if alg.area(alg.difference(A.P, B.P)) > 1e-24:
+            setc(0, 2, "2")
+        if alg.area(alg.difference(B.P, A.P)) > 1e-24:
+            setc(2, 0, "2")
+    elif A.P is not None and alg.area(A.P) > 0:
+        setc(0, 2, "2")
+    elif B.P is not None and alg.area(B.P) > 0:
+        setc(2, 0, "2")
+
+    # global noding: split every segment at crossings/overlap endpoints
+    segs = [(p0, p1) for p0, p1 in A.segments()] + \
+           [(p0, p1) for p0, p1 in B.segments()]
+    pts0: list = [p for p in A.tpts] + [p for p in B.tpts]
+    for i, (a0, a1) in enumerate(segs):
+        ts = [0.0, 1.0]
+        for j, (b0, b1) in enumerate(segs):
+            if i != j:
+                ts.extend(_seg_break_ts(a0, a1, b0, b1))
+        ts = sorted(set(ts))
+        for t0, t1 in zip(ts[:-1], ts[1:]):
+            mid = a0 + ((t0 + t1) / 2.0) * (a1 - a0)
+            setc(A.loc(mid), B.loc(mid), "1")
+            pts0.append(a0 + t0 * (a1 - a0))
+        pts0.append(a1)
+
+    for p in pts0:
+        setc(A.loc(p), B.loc(p), "0")
+    return M
 
 
 def relate_pattern(a: Geom, b: Geom, pattern: str) -> bool:

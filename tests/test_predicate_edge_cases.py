@@ -115,3 +115,64 @@ def test_relate_exact_matrices(spark, g1, g2, expected):
     got = spark.sql(
         f"SELECT ST_Relate({_expr(g1)}, {_expr(g2)}) AS v").first()["v"]
     assert got == expected
+
+
+# Heterogeneous GEOMETRYCOLLECTION semantics — expectations mirror the
+# reference's PostGIS-parity suite
+# (/root/reference/python/sedonadb/tests/functions/test_predicates.py:45-90):
+# B(GC) = boundary(areal union) + mod-2 line endpoints; element interiors
+# never absorb boundary points; areal interior has priority.
+MIXED_GC_CONTAINS = [
+    ("GEOMETRYCOLLECTION (POINT (0 0))", "POINT (0 0)", True),
+    # point part at a line endpoint stays boundary
+    ("GEOMETRYCOLLECTION (POINT (0 0), LINESTRING (0 0, 0 1))",
+     "POINT (0 0)", False),
+    ("GEOMETRYCOLLECTION (POINT (0 0), LINESTRING (0 0, 0 1))",
+     "POINT (0 0.5)", True),
+    ("GEOMETRYCOLLECTION (POINT (-1 -1), LINESTRING (0 0, 0 1))",
+     "POINT (-1 -1)", True),
+    # point part on a polygon-part boundary stays boundary
+    ("GEOMETRYCOLLECTION (POINT (0 0), POLYGON ((0 0, 0 1, 1 0, 0 0)))",
+     "POINT (0 0)", False),
+    ("GEOMETRYCOLLECTION (POINT (0 0), POLYGON ((0 0, 0 1, 1 0, 0 0)))",
+     "POINT (0.25 0.25)", True),
+    # line part lying on the polygon edge is absorbed into the boundary
+    ("GEOMETRYCOLLECTION (LINESTRING (0 0, 0 1), POLYGON ((0 0, 0 1, 1 0, 0 0)))",
+     "LINESTRING (0 0, 0 1)", False),
+    ("GEOMETRYCOLLECTION (LINESTRING (0 0, 0 1), POLYGON ((0 0, 0 1, 1 0, 0 0)))",
+     "LINESTRING (0 0, 0.25 0.25)", True),
+]
+
+
+@pytest.mark.parametrize("g1,g2,expected", MIXED_GC_CONTAINS,
+                         ids=[f"gc{i}" for i in range(len(MIXED_GC_CONTAINS))])
+def test_mixed_gc_contains(spark, g1, g2, expected):
+    got = spark.sql(
+        f"SELECT ST_Contains({_expr(g1)}, {_expr(g2)}) AS v").first()["v"]
+    assert got == expected
+
+
+def test_mixed_gc_covered_by(spark):
+    got = spark.sql(
+        "SELECT ST_CoveredBy(ST_GeomFromWKT('POINT (1 1)'), ST_GeomFromWKT("
+        "'GEOMETRYCOLLECTION (POINT (0 0), POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)),"
+        " LINESTRING (0 0, 1 1))')) AS v").first()["v"]
+    assert got is True
+
+
+def test_mixed_gc_relate_matrices():
+    """Direct matrix checks for absorption cases (no Spark round-trip)."""
+    from sedona_db_spark.geom import wkt
+    from sedona_db_spark.geom.algorithms2 import relate_matrix
+    W = wkt.from_wkt
+    # line endpoint inside a polygon interior -> interior (area priority)
+    m = relate_matrix(
+        W("GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)),"
+          " LINESTRING (2 2, 6 2))"),
+        W("POINT (2 2)"))
+    assert m[0] == "0" and m[3] == "F"  # I(A) cap I(B), not boundary
+    # mixed GC vs mixed GC: point-vs-line-interior crossing
+    m2 = relate_matrix(
+        W("GEOMETRYCOLLECTION (POINT (5 5), LINESTRING (0 0, 2 0))"),
+        W("GEOMETRYCOLLECTION (POINT (5 5), LINESTRING (1 -1, 1 1))"))
+    assert m2[0] == "0"   # shared isolated point + line crossing
