@@ -28,7 +28,13 @@ _DEFAULT_CONFS = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.filterPushdown": "true",
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # 24 MB: small dims (nation/region/customer at bench SFs) still
+    # broadcast, but AQE can no longer convert a multi-million-row fact
+    # side into a driver-built hash relation (observed: 6M-row lineitem
+    # broadcast at 64 MB turned TPC-H Q3 into a 6 s driver stall).
+    # Operators that KNOW a side is small use explicit F.broadcast(),
+    # which bypasses this threshold.
+    "spark.sql.autoBroadcastJoinThreshold": str(24 * 1024 * 1024),
     "spark.ui.enabled": "false",
     # driver testdata events.parquet carries timestamp[ns]; read as long
     # and convert to TimestampType in load_tables
@@ -101,7 +107,13 @@ _RUNTIME_CONFS = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.filterPushdown": "true",
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # 24 MB: small dims (nation/region/customer at bench SFs) still
+    # broadcast, but AQE can no longer convert a multi-million-row fact
+    # side into a driver-built hash relation (observed: 6M-row lineitem
+    # broadcast at 64 MB turned TPC-H Q3 into a 6 s driver stall).
+    # Operators that KNOW a side is small use explicit F.broadcast(),
+    # which bypasses this threshold.
+    "spark.sql.autoBroadcastJoinThreshold": str(24 * 1024 * 1024),
 }
 
 

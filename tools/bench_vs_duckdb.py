@@ -53,7 +53,8 @@ def main() -> None:
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     qs = em.queries()
     oracles = em.oracle_sql()
