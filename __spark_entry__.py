@@ -650,6 +650,45 @@ _sql("st_transform_etrs_utm32", """
   ON n_nationkey = k
 """)
 
+# Bitwise-exact s2geometry cell IDs (signed-int64 SQL convention). DuckDB
+# has no S2, so the oracle pins literals; the generator is validated
+# against the reference's own vectors (c/sedona-s2geography/src/
+# utils.rs:218-230: (0,0)->1152921504606846977, (0,1)->1153451514845492609).
+_sql("s2_cellid_points", """
+  SELECT n_nationkey, S2_CellIDFromPoint(
+           ST_Point(CAST(n_nationkey % 10 AS DOUBLE) * 36.0D - 179.5D,
+                    CAST(n_nationkey % 8 AS DOUBLE) * 22.0D - 76.75D), 12) AS cid
+  FROM nation
+""", """
+  SELECT n_nationkey, cid FROM nation JOIN (VALUES
+    (0, CAST(-6518975647623151616 AS BIGINT)),
+    (1, CAST(-6830605967676145664 AS BIGINT)),
+    (2, CAST(-7412661172580646912 AS BIGINT)),
+    (3, CAST(-7965074093756121088 AS BIGINT)),
+    (4, CAST(695309919087230976 AS BIGINT)),
+    (5, CAST(1332836172807798784 AS BIGINT)),
+    (6, CAST(5101107162533330944 AS BIGINT)),
+    (7, CAST(4961846043416199168 AS BIGINT)),
+    (8, CAST(-5893258835979665408 AS BIGINT)),
+    (9, CAST(-6241447917656211456 AS BIGINT)),
+    (10, CAST(8248586465513046016 AS BIGINT)),
+    (11, CAST(8525470843738783744 AS BIGINT)),
+    (12, CAST(-8907771861350219776 AS BIGINT)),
+    (13, CAST(-8530506194677137408 AS BIGINT)),
+    (14, CAST(5287695935034359808 AS BIGINT)),
+    (15, CAST(5010106907294171136 AS BIGINT)),
+    (16, CAST(-5694784892538191872 AS BIGINT)),
+    (17, CAST(-5500542144718307328 AS BIGINT)),
+    (18, CAST(2987646527465324544 AS BIGINT)),
+    (19, CAST(7613594173777641472 AS BIGINT)),
+    (20, CAST(8875182611580846080 AS BIGINT)),
+    (21, CAST(9202819621911003136 AS BIGINT)),
+    (22, CAST(6029125212946038784 AS BIGINT)),
+    (23, CAST(5635867561963814912 AS BIGINT)),
+    (24, CAST(-5019272573662265344 AS BIGINT))) v(k, cid)
+  ON n_nationkey = k
+""")
+
 # Segmentize an integer-length segment at max length 1 -> L+1 vertices;
 # ReducePrecision snaps to a 0.01 grid.
 _sql("st_segmentize_snap", """

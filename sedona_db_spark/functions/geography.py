@@ -127,10 +127,39 @@ def geodesic_area_m2(g: Geom) -> float:
 
 
 # ----------------------------------------------------------------------
-# S2-style hierarchical cells (face + Hilbert, 30 levels)
+# S2 hierarchical cells — bitwise-identical to the s2geometry library
+# (public algorithm: cube-face + quadratic ST projection + Hilbert curve
+# via 4-bit lookup tables; validated against the reference's vectors in
+# c/sedona-s2geography/src/utils.rs:218-230).  IDs are uint64 reinterpreted
+# as signed int64 (the BigQuery/Sedona SQL convention), so faces 4-5 are
+# negative — joins against externally produced S2 ids now match bit-for-bit.
 # ----------------------------------------------------------------------
 
 _MAX_LEVEL = 30
+_LOOKUP_BITS = 4
+_SWAP, _INVERT = 1, 2
+_POS_TO_IJ = ((0, 1, 3, 2), (0, 2, 3, 1), (3, 2, 0, 1), (3, 1, 0, 2))
+_POS_TO_ORIENT = (_SWAP, 0, 0, _INVERT | _SWAP)
+_LOOKUP_POS = np.zeros(1 << (2 * _LOOKUP_BITS + 2), dtype=np.uint64)
+
+
+def _init_lookup(level, i, j, orig_orient, orient, pos):
+    if level == _LOOKUP_BITS:
+        ij = (i << _LOOKUP_BITS) + j
+        _LOOKUP_POS[(ij << 2) + orig_orient] = (pos << 2) + orient
+        return
+    level += 1
+    i <<= 1
+    j <<= 1
+    pos <<= 2
+    r = _POS_TO_IJ[orient]
+    for idx in range(4):
+        _init_lookup(level, i + (r[idx] >> 1), j + (r[idx] & 1),
+                     orig_orient, orient ^ _POS_TO_ORIENT[idx], pos + idx)
+
+
+for _o in range(4):
+    _init_lookup(0, 0, 0, _o, _o, 0)
 
 
 def _lonlat_to_xyz(lon, lat):
@@ -156,15 +185,39 @@ def _uv_to_st(u: float) -> float:
     return 1 - 0.5 * math.sqrt(1 - 3 * u)
 
 
+def _cellid_from_face_ij(face: int, i: int, j: int) -> int:
+    """Leaf (level-30) cell id from face + 30-bit (i, j), as uint64."""
+    n = face << 60  # kPosBits - 1 = 60
+    bits = face & _SWAP
+    mask = (1 << _LOOKUP_BITS) - 1
+    for k in range(7, -1, -1):
+        bits += ((i >> (k * _LOOKUP_BITS)) & mask) << (_LOOKUP_BITS + 2)
+        bits += ((j >> (k * _LOOKUP_BITS)) & mask) << 2
+        bits = int(_LOOKUP_POS[bits])
+        n |= (bits >> 2) << (k * 2 * _LOOKUP_BITS)
+        bits &= (_SWAP | _INVERT)
+    return n * 2 + 1
+
+
 def cell_id_from_point(lon: float, lat: float, level: int = _MAX_LEVEL) -> int:
+    """s2geometry-exact cell id (uint64 value) containing the point."""
     face, u, v = _xyz_to_face_uv(*_lonlat_to_xyz(lon, lat))
     s, t = _uv_to_st(u), _uv_to_st(v)
-    n = (1 << _MAX_LEVEL) - 1
-    i = min(n, int(s * (1 << _MAX_LEVEL)))
-    j = min(n, int(t * (1 << _MAX_LEVEL)))
-    h = alg2.hilbert_xy2d(i, j, order=_MAX_LEVEL)
-    cell = (face << (2 * _MAX_LEVEL)) | h
-    return cell >> (2 * (_MAX_LEVEL - int(level)))
+    limit = 1 << _MAX_LEVEL
+    i = max(0, min(limit - 1, int(math.floor(s * limit))))
+    j = max(0, min(limit - 1, int(math.floor(t * limit))))
+    leaf = _cellid_from_face_ij(face, i, j)
+    level = int(level)
+    if level >= _MAX_LEVEL:
+        return leaf
+    lsb = 1 << (2 * (_MAX_LEVEL - level))
+    return (leaf & ~(lsb - 1)) | lsb
+
+
+def cell_id_signed(cid: int) -> int:
+    """uint64 cell id -> signed int64 (two's complement), the SQL LongType
+    representation used by BigQuery and the reference."""
+    return cid - (1 << 64) if cid >= (1 << 63) else cid
 
 
 def covering_cell_ids(g: Geom, level: int = 8) -> list[int]:
@@ -182,7 +235,7 @@ def covering_cell_ids(g: Geom, level: int = 8) -> list[int]:
             p = alg.point_position(np.array([fx, fy]), g) if g.dimension() == 2 else -1
             if g.gt == POINT or p >= 0:
                 cells.add(cell_id_from_point(float(fx), float(fy), level))
-    return sorted(cells)
+    return sorted(cell_id_signed(c) for c in cells)
 
 
 # ----------------------------------------------------------------------
@@ -234,8 +287,8 @@ def k_s2_cellid(s: pd.Series, level) -> pd.Series:
         if g is None or g.gt != POINT or g.is_empty() or lv is None:
             out.append(None)
         else:
-            out.append(cell_id_from_point(float(g.data[0]), float(g.data[1]),
-                                          int(lv)))
+            out.append(cell_id_signed(cell_id_from_point(
+                float(g.data[0]), float(g.data[1]), int(lv))))
     return pd.Series(out, dtype=object)
 
 

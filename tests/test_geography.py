@@ -40,14 +40,26 @@ def test_spherical_polygon_area():
 
 
 def test_cell_hierarchy():
+    # bitwise parity with s2geometry: the reference's own vectors
+    # (c/sedona-s2geography/src/utils.rs:218-230)
+    assert geo.cell_id_from_point(0.0, 0.0) == 1152921504606846977
+    assert geo.cell_id_from_point(0.0, 1.0) == 1153451514845492609
     c30 = geo.cell_id_from_point(2.35, 48.85, 30)
     c10 = geo.cell_id_from_point(2.35, 48.85, 10)
-    assert c30 >> (2 * 20) == c10                # parent is a prefix
+    # S2 parent semantics: same high bits above the level-10 sentinel lsb
+    lsb10 = 1 << (2 * (30 - 10))
+    assert c10 & lsb10                              # sentinel bit set
+    assert (c30 & ~(2 * lsb10 - 1)) == (c10 & ~(2 * lsb10 - 1))
+    # level encoding from the lsb (reference test_geog_s2.py helper)
+    assert 30 - ((c10 & -c10).bit_length() - 1) // 2 == 10
     # nearby points share coarse cells, far points don't
     assert geo.cell_id_from_point(2.36, 48.86, 8) == \
         geo.cell_id_from_point(2.35, 48.85, 8)
     assert geo.cell_id_from_point(100.0, -30.0, 8) != \
         geo.cell_id_from_point(2.35, 48.85, 8)
+    # faces 4-5 exceed int64: SQL surface reinterprets as signed
+    south = geo.cell_id_from_point(0.0, -90.0)
+    assert south == 0xB000000000000001 and geo.cell_id_signed(south) < 0
 
 
 def test_sql_surface(spark):
