@@ -4,9 +4,10 @@ Reference: /root/reference/rust/sedona-raster-zarr (directory-shaped URL
 table producing raster rows; docs/working-with-zarr-ndarray-sedonadb.md).
 This is a from-scratch reader of the public Zarr storage specs: v2
 (`.zarray` JSON + dot-named chunk files) and v3 (`zarr.json` + c/-prefixed
-chunk keys, bytes/gzip/zlib codecs), supporting raw, zlib and gzip
-compression — no zarr-python dependency.  Blosc/zstd still gate on
-numcodecs.
+chunk keys, bytes/gzip/zlib codecs), supporting raw, zlib, gzip, zstd
+(libzstd via ctypes when present, else the pure-python RFC 8878 decoder in
+zstd_native.py), blosc-lz4 and blosc-zstd — no zarr-python dependency.
+Only blosclz/snappy inner codecs and bit-shuffle still gate on numcodecs.
 
 Scale design: chunk decoding happens per-(chunk, band) task — the chunk
 list is parallelized across executors so a petabyte datacube fans out to
@@ -54,14 +55,14 @@ def _normalize_v3(meta: dict) -> dict:
         if name == "bytes":
             if codec.get("configuration", {}).get("endian", "little") != "little":
                 dt = ">" + dt[1:] if dt[0] in "<|" else dt
-        elif name in ("gzip", "zlib", "blosc"):
+        elif name in ("gzip", "zlib", "blosc", "zstd"):
             comp = {"id": name}
         elif name == "transpose":
             raise NotImplementedError("zarr v3 transpose codec unsupported")
         else:
             raise NotImplementedError(
-                f"zarr v3 codec {name!r} needs numcodecs (bytes/gzip/zlib "
-                "are supported natively)")
+                f"zarr v3 codec {name!r} needs numcodecs (bytes/gzip/zlib/"
+                "zstd/blosc are supported natively)")
     key = meta.get("chunk_key_encoding", {"name": "default"})
     sep = key.get("configuration", {}).get("separator", "/")
     return {
@@ -95,10 +96,11 @@ def read_zarray_meta(store: str, array: str = "") -> dict:
     if meta.get("order", "C") != "C":
         raise ValueError("only C-order chunks are supported")
     comp = meta.get("compressor")
-    if comp is not None and comp.get("id") not in ("zlib", "gzip", "blosc"):
+    if comp is not None and comp.get("id") not in ("zlib", "gzip", "blosc",
+                                                   "zstd"):
         raise NotImplementedError(
             f"compressor {comp.get('id')!r} needs numcodecs "
-            "(zlib/gzip/blosc-lz4/raw are supported natively)")
+            "(zlib/gzip/zstd/blosc-lz4/blosc-zstd/raw are supported natively)")
     return meta
 
 
@@ -107,6 +109,9 @@ def _decode_chunk(raw: bytes, meta: dict) -> np.ndarray:
     if comp is not None:
         if comp["id"] == "blosc":
             raw = blosc_decompress(raw)
+        elif comp["id"] == "zstd":
+            from sedona_db_spark.sources.zstd_native import zstd_decompress
+            raw = zstd_decompress(raw)
         else:
             raw = zlib.decompress(raw, 47 if comp["id"] == "gzip" else 15)
     _, npdt = _DTYPES[meta["dtype"]]
@@ -293,10 +298,13 @@ def blosc_decompress(src: bytes) -> bytes:
                 raw += lz4_block_decompress(payload, block_nb)
             elif codec == 4:     # zlib
                 raw += zlib.decompress(payload)
+            elif codec == 5:     # zstd
+                from sedona_db_spark.sources.zstd_native import zstd_decompress
+                raw += zstd_decompress(payload, block_nb)
             else:
                 raise NotImplementedError(
                     f"blosc inner codec {codec} needs numcodecs "
-                    "(lz4/zlib/raw supported natively)")
+                    "(lz4/zlib/zstd/raw supported natively)")
         raw = bytes(raw)
     if shuffled:
         raw = _unshuffle(raw, typesize)

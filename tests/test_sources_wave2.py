@@ -57,7 +57,8 @@ def test_las_format1_gps_time(tmp_path, spark):
 # Zarr v2
 # ----------------------------------------------------------------------
 
-def _write_zarr(store, shape, chunks, dtype="<f8", compressor=None, nd3=False):
+def _write_zarr(store, shape, chunks, dtype="<f8", compressor=None, nd3=False,
+                compress_fn=None):
     os.makedirs(store, exist_ok=True)
     meta = {"zarr_format": 2, "shape": list(shape), "chunks": list(chunks),
             "dtype": dtype, "compressor": compressor, "fill_value": 0,
@@ -75,6 +76,8 @@ def _write_zarr(store, shape, chunks, dtype="<f8", compressor=None, nd3=False):
         raw = chunk.tobytes()
         if compressor and compressor["id"] == "zlib":
             raw = zlib.compress(raw)
+        elif compressor and compress_fn is not None:
+            raw = compress_fn(raw)
         with open(os.path.join(store, ".".join(map(str, idx))), "wb") as f:
             f.write(raw)
     return full
@@ -108,15 +111,72 @@ def test_zarr_zlib_and_3d(spark, tmp_path):
 
 
 def test_zarr_rejects_unknown_compressor(tmp_path):
-    # blosc now decodes natively; zstd still gates on numcodecs
+    # zstd/blosc decode natively now; lzma still gates on numcodecs
     store = str(tmp_path / "zbad")
     os.makedirs(store)
     with open(os.path.join(store, ".zarray"), "w") as f:
         json.dump({"zarr_format": 2, "shape": [2, 2], "chunks": [2, 2],
-                   "dtype": "<f8", "compressor": {"id": "zstd"},
+                   "dtype": "<f8", "compressor": {"id": "lzma"},
                    "fill_value": 0, "order": "C"}, f)
     with pytest.raises(NotImplementedError):
         zarr_source.read_zarray_meta(store)
+
+
+def test_zstd_native_roundtrip_vs_libzstd():
+    """Pure-python RFC 8878 decoder must invert libzstd across levels and
+    data shapes (Huffman 1/4-stream, FSE weights, sequences, multi-block)."""
+    from sedona_db_spark.sources import zstd_native as Z
+    if Z._libzstd() is None:
+        pytest.skip("libzstd unavailable to generate fixtures")
+    rng = np.random.RandomState(11)
+    cases = [
+        b"zarr chunk " * 3000,
+        bytes(rng.randint(0, 256, 80000, dtype=np.uint16).astype(np.uint8)),
+        bytes(rng.randint(65, 71, 40000, dtype=np.uint16).astype(np.uint8)),
+        np.arange(30000, dtype="<f8").tobytes(),
+        np.sin(np.linspace(0, 50, 200000)).astype("<f4").tobytes(),  # >128KB
+        b"", b"x",
+    ]
+    for lvl in (1, 3, 19):
+        for data in cases:
+            comp = Z.zstd_compress(data, lvl)
+            assert Z.decompress_native(comp) == data
+
+
+def test_zarr_zstd_chunks(spark, tmp_path):
+    """Zarr v2 store with zstd-compressed chunks reads natively."""
+    from sedona_db_spark.sources.zstd_native import zstd_compress, _libzstd
+    if _libzstd() is None:
+        pytest.skip("libzstd unavailable to write the fixture")
+    store = str(tmp_path / "zzstd")
+    full = _write_zarr(store, (6, 8), (3, 4), compressor={"id": "zstd"},
+                       compress_fn=zstd_compress)
+    df = zarr_source.read_zarr(spark, store,
+                               transform=[100.0, 1.0, 0.0, 50.0, 0.0, -1.0])
+    from sedona_db_spark.functions import raster as rs
+    assert df.count() == 4
+    tot = df.select(rs.zonal_stats(
+        F.col("raster"), F.expr("ST_MakeEnvelope(0.0, -100.0, 300.0, 100.0)"),
+        1).alias("z")).agg(F.sum("z.sum").alias("s")).first()
+    assert tot["s"] == float(full.sum())  # fill 0 masked, sum unaffected
+
+
+def test_blosc_zstd_chunks(spark, tmp_path):
+    """Blosc container with inner zstd blocks (cname='zstd') decodes."""
+    from sedona_db_spark.sources.zstd_native import zstd_compress, _libzstd
+    from sedona_db_spark.sources.zarr_source import blosc_decompress
+    if _libzstd() is None:
+        pytest.skip("libzstd unavailable to write the fixture")
+    import struct as _st
+    payload = np.arange(600, dtype="<f8").tobytes()
+    comp = zstd_compress(payload, 3)
+    # blosc1 header: version, versionlz, flags(codec 5 << 5), typesize,
+    # nbytes, blocksize, cbytes; single block with a bstarts entry
+    hdr = bytes([2, 1, 5 << 5, 8]) + _st.pack(
+        "<III", len(payload), len(payload), 16 + 4 + 4 + len(comp))
+    bstarts = _st.pack("<I", 16 + 4)
+    block = _st.pack("<i", len(comp)) + comp
+    assert blosc_decompress(hdr + bstarts + block) == payload
 
 
 # ----------------------------------------------------------------------
