@@ -8,11 +8,12 @@ specifications with the stdlib is done directly:
 
 - layouts: strips AND tiles, PlanarConfiguration 1 (pixel-interleaved)
   and 2 (planar);
-- compression: 1 (none) and 8/32946 (DEFLATE via stdlib zlib — the most
-  common compressed GeoTIFF in the wild, GDAL's COMPRESS=DEFLATE), with
-  predictor 1 (none) and 2 (horizontal differencing, integer samples);
-- LZW/JPEG/float-predictor inputs raise with a clear message (the GDAL
-  path remains the scale-out answer for exotic files).
+- compression: 1 (none), 8/32946 (DEFLATE via stdlib zlib, GDAL's
+  COMPRESS=DEFLATE) and 5 (LZW, from-scratch TIFF 6.0 coder validated
+  against libtiff in both directions), with predictor 1 (none) and 2
+  (horizontal differencing, integer samples);
+- JPEG/float-predictor inputs raise with a clear message (the GDAL path
+  remains the scale-out answer for exotic files).
 
 Encode: one strip per band plane (PlanarConfiguration=2), optional
 ``compress='deflate'`` (+ predictor 2 for integer dtypes), SampleFormat/
@@ -38,6 +39,100 @@ _MODEL_SCALE, _MODEL_TIEPOINT, _MODEL_TRANSFORM = 33550, 33922, 34264
 _GEO_KEYS = 34735
 
 _COMP_NONE, _COMP_DEFLATE, _COMP_DEFLATE_OLD = 1, 8, 32946
+_COMP_LZW = 5
+
+
+def _lzw_decompress(src: bytes) -> bytes:
+    """TIFF 6.0 LZW (MSB-first codes, 9->12 bits, early change)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    acc = nbits = 0
+    pos = 0
+    n = len(src)
+    prev = b""
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = b""
+
+    reset()
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)
+            acc = (acc << 8) | src[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            return bytes(out)
+        if not prev:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        prev = entry
+        # early change: width grows one code before the table fills
+        if len(table) >= (1 << width) - 1 and width < 12:
+            width += 1
+
+
+def _lzw_compress(src: bytes) -> bytes:
+    """TIFF 6.0 LZW encoder (early change) — for the writer and tests."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    width = 9
+    emit(CLEAR, width)
+    cur = b""
+    for byte in src:
+        cand = cur + bytes([byte])
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur], width)
+        table[cand] = nxt
+        nxt += 1
+        # switch point verified against libtiff both directions
+        if nxt == (1 << width):
+            width += 1
+        if width > 12:
+            emit(CLEAR, 12)
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
 
 _TYPE_SHORT, _TYPE_LONG, _TYPE_DOUBLE = 3, 4, 12
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
@@ -76,7 +171,7 @@ def encode_geotiff(row, compress: str = "none") -> bytes:
     horizontal-differencing predictor 2 for integer samples."""
     import zlib
     from sedona_db_spark.functions.raster import _band_array, _raster_fields
-    if compress not in ("none", "deflate"):
+    if compress not in ("none", "deflate", "lzw"):
         raise ValueError(f"unsupported compression {compress!r}")
     t, w, h = _raster_fields(row)
     arrays = []
@@ -95,7 +190,8 @@ def encode_geotiff(row, compress: str = "none") -> bytes:
     bits = dt.itemsize * 8
 
     deflate = compress == "deflate"
-    predictor = 2 if deflate and dt.kind in "ui" else 1
+    lzw = compress == "lzw"
+    predictor = 2 if (deflate or lzw) and dt.kind in "ui" else 1
     plane_bytes: list[bytes] = []
     for a in arrays:
         if predictor == 2:
@@ -104,13 +200,15 @@ def encode_geotiff(row, compress: str = "none") -> bytes:
             raw = (d & ((1 << bits) - 1)).astype(dt.newbyteorder("<")).tobytes()
         else:
             raw = a.tobytes()
-        plane_bytes.append(zlib.compress(raw, 6) if deflate else raw)
+        plane_bytes.append(zlib.compress(raw, 6) if deflate
+                           else _lzw_compress(raw) if lzw else raw)
 
     entries: list[tuple[int, int, list]] = [
         (_W, _TYPE_LONG, [w]),
         (_H, _TYPE_LONG, [h]),
         (_BITS, _TYPE_SHORT, [bits] * n),
-        (_COMP, _TYPE_SHORT, [_COMP_DEFLATE if deflate else _COMP_NONE]),
+        (_COMP, _TYPE_SHORT, [_COMP_DEFLATE if deflate
+                              else _COMP_LZW if lzw else _COMP_NONE]),
         (_PHOTO, _TYPE_SHORT, [1]),
         (_STRIP_OFF, _TYPE_LONG, [0] * n),     # patched below
         (_SPP, _TYPE_SHORT, [n]),
@@ -216,10 +314,10 @@ def decode_geotiff(data: bytes) -> dict:
     import zlib
     e = _read_entries(data, en, ifd_off)
     comp = _read_values(data, en, e[_COMP])[0] if _COMP in e else 1
-    if comp not in (_COMP_NONE, _COMP_DEFLATE, _COMP_DEFLATE_OLD):
+    if comp not in (_COMP_NONE, _COMP_DEFLATE, _COMP_DEFLATE_OLD, _COMP_LZW):
         raise NotImplementedError(
             f"TIFF compression {comp} needs GDAL/rasterio "
-            "(uncompressed and DEFLATE supported natively)")
+            "(uncompressed, DEFLATE and LZW supported natively)")
     predictor = _read_values(data, en, e[_PREDICTOR])[0] if _PREDICTOR in e else 1
     if predictor not in (1, 2):
         raise NotImplementedError(
@@ -233,8 +331,12 @@ def decode_geotiff(data: bytes) -> dict:
     dt = np.dtype(en + _KIND_OF_FMT.get(fmt, "u") + str(bits // 8))
     if predictor == 2 and dt.kind not in "ui":
         raise NotImplementedError("predictor 2 on non-integer samples")
-    inflate = (lambda b: zlib.decompress(b)) if comp != _COMP_NONE \
-        else (lambda b: b)
+    if comp == _COMP_NONE:
+        inflate = lambda b: b
+    elif comp == _COMP_LZW:
+        inflate = _lzw_decompress
+    else:
+        inflate = lambda b: zlib.decompress(b)
     spp_chunk = 1 if (planar == 2 and spp > 1) else spp
 
     def unpredict(block: np.ndarray) -> np.ndarray:

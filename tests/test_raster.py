@@ -141,14 +141,14 @@ def test_raster_geometry_predicate_joinable(rdf, spark):
     assert out["i"] is True and out["c"] is False
 
 
-def test_geotiff_lzw_still_gated():
-    """The native codec covers uncompressed + DEFLATE; LZW/JPEG TIFFs
+def test_geotiff_jpeg_still_gated():
+    """The native codec covers uncompressed + DEFLATE + LZW; JPEG TIFFs
     still raise toward the GDAL/rasterio path."""
     import struct
     from sedona_db_spark.sources.geotiff import decode_geotiff
-    # minimal IFD claiming LZW compression
+    # minimal IFD claiming JPEG compression
     ifd = struct.pack("<H", 3)
-    for tag, typ, val in [(256, 4, 4), (257, 4, 4), (259, 3, 5)]:
+    for tag, typ, val in [(256, 4, 4), (257, 4, 4), (259, 3, 7)]:
         ifd += struct.pack("<HHII", tag, typ, 1, val)
     ifd += struct.pack("<I", 0)
     data = b"II*\0" + struct.pack("<I", 8) + ifd
@@ -446,3 +446,92 @@ def test_dim_band_roundtrip(spark):
     from sedona_db_spark.functions.raster import _band_array
     assert np.array_equal(_band_array(back["bands"][0]), a1)
     assert np.array_equal(_band_array(back["bands"][1]), a2)
+
+
+def test_geotiff_lzw_roundtrip_and_libtiff_parity():
+    """LZW strips roundtrip through the native codec; when libtiff is
+    loadable, cross-validate BOTH directions (libtiff-written file decodes
+    natively; natively-written file reads back through libtiff)."""
+    import ctypes
+    import numpy as np
+    from sedona_db_spark.functions.raster import _band_array, make_raster_row
+    from sedona_db_spark.sources.geotiff import (
+        _lzw_compress, _lzw_decompress, decode_geotiff, encode_geotiff)
+
+    rng = np.random.RandomState(5)
+    for dtname, vals in [("uint16", (np.cumsum(rng.randint(0, 9, (8, 12)),
+                                               axis=1) % 5000)),
+                         ("float32", np.linspace(-5, 5, 96).reshape(8, 12))]:
+        arr = vals.astype(dtname)
+        row = make_raster_row(12, 8, ulx=10, uly=20, scale_x=0.5,
+                              scale_y=-0.5, crs="EPSG:32633",
+                              bands=[("b1", dtname, arr)])
+        dec = decode_geotiff(encode_geotiff(row, compress="lzw"))
+        assert np.array_equal(_band_array(dec["bands"][0]).reshape(8, 12), arr)
+
+    # raw stream roundtrips incl. width growth + 12-bit reset
+    low = bytes(rng.randint(0, 8, 300000, dtype=np.uint16).astype(np.uint8))
+    assert _lzw_decompress(_lzw_compress(low)) == low
+
+    try:
+        lib = ctypes.CDLL("libtiff.so.6")
+    except OSError:
+        pytest.skip("libtiff unavailable for cross-validation")
+    import os
+    import struct
+    import tempfile
+    lib.TIFFOpen.restype = ctypes.c_void_p
+    lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.TIFFReadScanline.restype = ctypes.c_int
+    lib.TIFFReadScanline.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_uint32, ctypes.c_uint16]
+    lib.TIFFWriteScanline.restype = ctypes.c_int
+    lib.TIFFWriteScanline.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_uint32, ctypes.c_uint16]
+    lib.TIFFClose.argtypes = [ctypes.c_void_p]
+    u32, u16 = ctypes.c_uint32, ctypes.c_uint16
+
+    # libtiff -> native
+    h, w = 64, 80
+    arr = (np.cumsum(rng.randint(0, 9, (h, w)), axis=1) % 5000).astype("<u2")
+    p = tempfile.mktemp(suffix=".tif")
+    tif = lib.TIFFOpen(p.encode(), b"w")
+    for tag, val in [(256, u32(w)), (257, u32(h)), (258, u16(16)),
+                     (259, u16(5)), (262, u16(1)), (277, u16(1)),
+                     (278, u32(h)), (284, u16(1)), (339, u16(1)),
+                     (317, u16(2))]:
+        lib.TIFFSetField(ctypes.c_void_p(tif), u32(tag), val)
+    for r in range(h):
+        rb = ctypes.create_string_buffer(arr[r].tobytes(), w * 2)
+        assert lib.TIFFWriteScanline(tif, rb, r, 0) == 1
+    lib.TIFFClose(tif)
+    dec = decode_geotiff(open(p, "rb").read())
+    got = _band_array(dec["bands"][0]).reshape(h, w).astype(np.uint16)
+    assert np.array_equal(got, arr)
+    os.unlink(p)
+
+    # native -> libtiff (single-strip uint8 minimal file)
+    arr8 = (np.cumsum(rng.randint(0, 9, (h, w)), axis=1) % 250).astype(np.uint8)
+    payload = _lzw_compress(arr8.tobytes())
+    entries = [(256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8), (259, 3, 1, 5),
+               (262, 3, 1, 1), (273, 4, 1, 0), (277, 3, 1, 1), (278, 4, 1, h),
+               (279, 4, 1, len(payload)), (339, 3, 1, 1)]
+    data_off = 8 + 2 + len(entries) * 12 + 4
+    blob = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    blob += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        blob += struct.pack("<HHII", tag, typ, cnt,
+                            data_off if tag == 273 else val)
+    blob += struct.pack("<I", 0) + payload
+    p2 = tempfile.mktemp(suffix=".tif")
+    open(p2, "wb").write(blob)
+    tif = lib.TIFFOpen(p2.encode(), b"r")
+    assert tif
+    out = np.zeros((h, w), dtype=np.uint8)
+    rb = ctypes.create_string_buffer(w)
+    for r in range(h):
+        assert lib.TIFFReadScanline(tif, rb, r, 0) == 1
+        out[r] = np.frombuffer(rb.raw, dtype=np.uint8)
+    lib.TIFFClose(tif)
+    assert np.array_equal(out, arr8)
+    os.unlink(p2)
