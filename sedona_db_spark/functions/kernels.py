@@ -128,32 +128,24 @@ def _pred_fast(name: str):
         poly_s, pt_s = (s2, s1) if flip_needed else (s1, s2)
         pts = _fast_points(pt_s)
         if pts is not None:
-            vals = poly_s.to_numpy(dtype=object)
-            distinct = set()
-            ok = True
-            for v in vals:
-                if v is None:
-                    ok = False
-                    break
-                distinct.add(v)
-                if len(distinct) > 64:
-                    ok = False
-                    break
-            if ok:
-                cache = {}
+            # one C-speed factorize pass instead of a Python equality scan
+            # per distinct polygon (the spatial-join shape: few polygons
+            # against many points)
+            codes, uniques = pd.factorize(poly_s)
+            if len(uniques) <= 64 and not (codes < 0).any():
+                cache = []
                 good = True
-                for b in distinct:
+                for b in uniques:
                     g = core.from_wkb(b)
                     if (g.dimension() != 2 or list(g.lines()) or list(g.points())
                             or not list(g.polygons())):
                         good = False
                         break
-                    cache[b] = g
+                    cache.append(g)
                 if good:
                     res = np.empty(len(pt_s), dtype=bool)
-                    for b, g in cache.items():
-                        mask = np.fromiter((v == b for v in vals), dtype=bool,
-                                           count=len(vals))
+                    for k, g in enumerate(cache):
+                        mask = codes == k
                         pos = alg2.points_position_batch(pts[mask], g)
                         res[mask] = pos >= min_pos
                     return pd.Series(res)
