@@ -3,7 +3,8 @@
 Reference: /root/reference/rust/sedona-pointcloud/src/las/format.rs:58,132
 (LAS registered as a read-only file format producing point rows with a
 geometry column).  This is a from-scratch reader of the public ASPRS LAS
-1.2-1.4 spec (point record formats 0-3) — no laspy dependency.
+1.2-1.4 spec (point record formats 0-10; wave-packet tails skipped) — no
+laspy dependency.
 
 Scale design: `spark.read.format("binaryFile")` lists and reads the files
 distributed (one task per file, executors do the IO), and a `mapInPandas`
@@ -40,16 +41,31 @@ LAS_SCHEMA = T.StructType([
     T.StructField("geometry", T.BinaryType()),
 ])
 
-# point-record numpy dtypes per LAS point data format id (formats 0-3)
+# point-record numpy dtypes per LAS point data format id.
+# Formats 0-5: legacy 20-byte core (flags: return# in bits 0-2).
+# Formats 6-10: LAS 1.4 30-byte core (returns: return# in bits 0-3,
+# 16-bit scan angle, gps_time always present); RGB in 7/8/10, NIR in 8/10.
+# Wave-packet tails (4/5/9/10) are skipped via the core-dtype prefix.
 _BASE = [("X", "<i4"), ("Y", "<i4"), ("Z", "<i4"), ("intensity", "<u2"),
          ("flags", "u1"), ("classification", "u1"), ("scan_angle", "i1"),
          ("user_data", "u1"), ("point_source_id", "<u2")]
+_RGB = [("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]
+_BASE14 = [("X", "<i4"), ("Y", "<i4"), ("Z", "<i4"), ("intensity", "<u2"),
+           ("flags", "u1"), ("flags2", "u1"), ("classification", "u1"),
+           ("user_data", "u1"), ("scan_angle", "<i2"),
+           ("point_source_id", "<u2"), ("gps_time", "<f8")]
 _FMT_DTYPES = {
     0: np.dtype(_BASE),
     1: np.dtype(_BASE + [("gps_time", "<f8")]),
-    2: np.dtype(_BASE + [("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]),
-    3: np.dtype(_BASE + [("gps_time", "<f8"),
-                         ("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]),
+    2: np.dtype(_BASE + _RGB),
+    3: np.dtype(_BASE + [("gps_time", "<f8")] + _RGB),
+    4: np.dtype(_BASE + [("gps_time", "<f8")]),          # + wave tail
+    5: np.dtype(_BASE + [("gps_time", "<f8")] + _RGB),   # + wave tail
+    6: np.dtype(_BASE14),
+    7: np.dtype(_BASE14 + _RGB),
+    8: np.dtype(_BASE14 + _RGB + [("nir", "<u2")]),
+    9: np.dtype(_BASE14),                                # + wave tail
+    10: np.dtype(_BASE14 + _RGB + [("nir", "<u2")]),     # + wave tail
 }
 
 
@@ -100,7 +116,9 @@ def parse_las_points(buf: bytes) -> pd.DataFrame:
         "y": pts["Y"] * sy + oy,
         "z": pts["Z"] * sz + oz,
         "intensity": pts["intensity"].astype(np.int32),
-        "return_number": (pts["flags"] & 0x07).astype(np.int32),
+        "return_number": (pts["flags"]
+                          & (0x0F if h["format"] >= 6 else 0x07))
+        .astype(np.int32),
         "classification": pts["classification"].astype(np.int32),
         "point_source_id": pts["point_source_id"].astype(np.int32),
         "gps_time": pts["gps_time"] if "gps_time" in dt.names else

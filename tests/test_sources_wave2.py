@@ -558,3 +558,38 @@ def test_zarr_blosc_lz4_chunks(spark, tmp_path):
     a1 = _band_array(rows[1]["raster"]["bands"][0])
     assert np.array_equal(a0, full[:, :3])
     assert np.array_equal(a1, full[:, 3:])
+
+
+def test_las14_point_format6(spark):
+    """LAS 1.4 point format 6 (30-byte core, 16-bit scan angle, 4-bit
+    return number): parses to the exact coordinates the upstream fixture
+    generator wrote (two chunks at 0.5 and 1.0)."""
+    import os.path
+    from sedona_db_spark.sources.las import (
+        parse_las_header, parse_las_points, read_las)
+    path = "/root/reference/rust/sedona-pointcloud/tests/data/large.las"
+    if not os.path.exists(path):
+        pytest.skip("reference fixture unavailable")
+    buf = open(path, "rb").read()
+    h = parse_las_header(buf)
+    assert h["format"] == 6 and h["n_points"] == 100000
+    pdf = parse_las_points(buf)
+    assert np.allclose(pdf["x"][:50000], 0.5)
+    assert np.allclose(pdf["x"][50000:], 1.0)
+    # distributed read through the Spark surface
+    df = read_las(spark, path)
+    agg = df.agg(F.count("*").alias("n"), F.round(F.sum("z"), 3).alias("sz")).first()
+    assert agg["n"] == 100000 and agg["sz"] == 0.5 * 50000 + 1.0 * 50000
+
+
+def test_las14_extra_bytes_prefix(spark):
+    """Format-6 records with 126 trailing extra bytes: the core-prefix
+    parse ignores the extra dims and yields the single fixture point."""
+    import os.path
+    from sedona_db_spark.sources.las import parse_las_points
+    path = "/root/reference/rust/sedona-pointcloud/tests/data/extra.las"
+    if not os.path.exists(path):
+        pytest.skip("reference fixture unavailable")
+    pdf = parse_las_points(open(path, "rb").read())
+    assert len(pdf) == 1
+    assert abs(pdf["x"][0] - 0.5) < 1e-9 and abs(pdf["z"][0] - 0.5) < 1e-9
