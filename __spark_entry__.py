@@ -2457,6 +2457,14 @@ _PRIORITY: list[str] = [
     "geotiff_deflate_roundtrip",
 ]
 
+# raster_world_coords (accessor-level; raster is still driver-covered by
+# zonal_stats + both geotiff roundtrips) and geo_distance_sphere (geodesic
+# metric also exercised by geo_dwithin_join) yield their window slots to
+# the round-4 exactness claims: the Airy-TM+Helmert national-grid
+# transform and bitwise-exact S2 cell ids.
+_PRIORITY[_PRIORITY.index("raster_world_coords")] = "st_transform_osgb"
+_PRIORITY[_PRIORITY.index("geo_distance_sphere")] = "s2_cellid_points"
+
 
 def _ordered_names() -> list[str]:
     registered = list(_Q) + [n for n in _PY if n not in _Q]

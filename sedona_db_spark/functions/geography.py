@@ -78,17 +78,19 @@ def spheroid_distance_m(lon1, lat1, lon2, lat2) -> float:
 
 
 def _geom_min_distance(a: Geom, b: Geom, dist_fn) -> float:
-    """Min pairwise vertex distance — exact for points, a documented
-    vertex-level approximation for higher dimensions (reference computes
-    true geodesic edge distance via S2)."""
-    ca, cb = a.all_coords()[:, :2], b.all_coords()[:, :2]
-    best = math.inf
-    for x1, y1 in ca:
-        for x2, y2 in cb:
-            d = dist_fn(x1, y1, x2, y2)
-            if d < best:
-                best = d
-    return best
+    """Exact great-circle geometry distance: the spherical closest pair
+    (vertex-to-arc projections + exact intersection test, geom/sphere.py)
+    is computed on the unit sphere, then `dist_fn` (haversine or the
+    spheroid solver) is evaluated at that pair — matching the reference's
+    S2 edge distance (c/sedona-s2geography) instead of the former
+    vertex-to-vertex approximation."""
+    from sedona_db_spark.geom import sphere
+    ang, p1, p2 = sphere.closest_pair_rad(a, b)
+    if ang == 0.0:
+        return 0.0
+    lon1, lat1 = sphere.lonlat_of(p1)
+    lon2, lat2 = sphere.lonlat_of(p2)
+    return dist_fn(lon1, lat1, lon2, lat2)
 
 
 def geodesic_length_m(g: Geom, rings: bool = False) -> float:

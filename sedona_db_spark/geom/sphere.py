@@ -344,3 +344,85 @@ EXACT_PREDICATES = {
     "covers": covers_exact,
     "covered_by": covered_by_exact,
 }
+
+
+# ----------------------------------------------------------------------
+# exact great-circle minimum distance (point-to-arc closest pair)
+# ----------------------------------------------------------------------
+
+def _angles(u, v):
+    """Angular distance(s) between unit vectors (broadcasting, stable
+    near 0 and pi via atan2 of cross/dot)."""
+    cr = np.linalg.norm(np.cross(u, v), axis=-1)
+    dt = np.sum(u * v, axis=-1)
+    return np.arctan2(cr, dt)
+
+
+def _pts_to_arc(V, a, b):
+    """Min angular distance from each row of V (n,3) to the minor arc
+    a->b, exact: foot-of-perpendicular when it falls on the arc, else the
+    nearer endpoint.  Returns (dists (n,), points (n,3))."""
+    n = np.cross(a, b)
+    nn = np.linalg.norm(n)
+    da = _angles(V, a)
+    db = _angles(V, b)
+    ends = np.where((da <= db)[:, None], np.broadcast_to(a, V.shape),
+                    np.broadcast_to(b, V.shape))
+    dends = np.minimum(da, db)
+    if nn < 1e-15:
+        return dends, ends
+    nh = n / nn
+    dot = V @ nh
+    C = V - np.outer(dot, nh)
+    Cn = np.linalg.norm(C, axis=1)
+    ok = Cn > 1e-15
+    C[ok] = C[ok] / Cn[ok][:, None]
+    foot_on = ok & on_arc(C, a, b)
+    d_foot = np.abs(np.arcsin(np.clip(dot, -1.0, 1.0)))
+    dists = np.where(foot_on, d_foot, dends)
+    pts = np.where(foot_on[:, None], C, ends)
+    return dists, pts
+
+
+def closest_pair_rad(g1: Geom, g2: Geom):
+    """Exact spherical closest pair: (angle_rad, p1_xyz, p2_xyz).
+
+    angle 0 with p1=p2 when the geometries intersect (exact predicate);
+    otherwise the minimum over vertex-to-arc projections in both
+    directions (which subsumes vertex-vertex).  This is the true
+    great-circle geometry distance the reference gets from S2
+    (c/sedona-s2geography), replacing the vertex-only approximation."""
+    if intersects_exact(g1, g2):
+        p = next(iter(xyz_of(g1.all_coords()[:1, :2])), np.array([1.0, 0, 0]))
+        return 0.0, p, p
+    V1 = xyz_of(g1.all_coords()[:, :2])
+    V2 = xyz_of(g2.all_coords()[:, :2])
+    p1_pts, l1, po1 = _parts(g1)
+    p2_pts, l2, po2 = _parts(g2)
+    A1, B1 = _all_edges(l1, po1)
+    A2, B2 = _all_edges(l2, po2)
+    best = np.inf
+    bp1 = V1[0] if len(V1) else np.array([1.0, 0, 0])
+    bp2 = V2[0] if len(V2) else np.array([1.0, 0, 0])
+    # vertex(1) -> arcs(2) and vertex(2) -> arcs(1); plus vertex-vertex
+    d0 = _angles(V1[:, None, :], V2[None, :, :])
+    i, j = np.unravel_index(np.argmin(d0), d0.shape) if d0.size else (0, 0)
+    if d0.size and d0[i, j] < best:
+        best, bp1, bp2 = float(d0[i, j]), V1[i], V2[j]
+    for k in range(len(A2)):
+        d, pts = _pts_to_arc(V1, A2[k], B2[k])
+        m = int(np.argmin(d)) if len(d) else 0
+        if len(d) and d[m] < best:
+            best, bp1, bp2 = float(d[m]), V1[m], pts[m]
+    for k in range(len(A1)):
+        d, pts = _pts_to_arc(V2, A1[k], B1[k])
+        m = int(np.argmin(d)) if len(d) else 0
+        if len(d) and d[m] < best:
+            best, bp1, bp2 = float(d[m]), pts[m], V2[m]
+    return best, bp1, bp2
+
+
+def lonlat_of(p: np.ndarray) -> tuple[float, float]:
+    """Unit vector -> (lon, lat) degrees."""
+    return (float(np.degrees(np.arctan2(p[1], p[0]))),
+            float(np.degrees(np.arcsin(np.clip(p[2], -1.0, 1.0)))))
