@@ -757,31 +757,26 @@ for _name3, _op in (
 
 
 def _sph_nearest_kernel(as_line: bool):
-    """Spherical ClosestPoint / ShortestLine: gnomonic round-trip of the
-    planar nearest-point witness (kernels.rs ClosestPoint class).  The
-    gnomonic plane preserves which points are closest along great-circle
-    paths only approximately away from the tangent point; for the
-    near-pair use cases (witness of a small min-distance) the tangent
-    sits between the inputs and the witness is exact to float noise."""
+    """Spherical ClosestPoint / ShortestLine via the exact great-circle
+    closest pair (geom/sphere.closest_pair_rad: intersection test +
+    vertex-to-arc projections), globally valid — no gnomonic hemisphere
+    assumption (kernels.rs ClosestPoint class parity)."""
 
     def run(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        from sedona_db_spark.geom import sphere
         from sedona_db_spark.geom.core import LINESTRING
         out = []
         for g1, g2 in zip(_decode(s1), _decode(s2)):
             if g1 is None or g2 is None or g1.is_empty() or g2.is_empty():
                 out.append(None)
                 continue
-            p1, p2, inv = _gnomonic_pair_inv(g1, g2)
-            npair = _alg.nearest_points(p1, p2)
-            if npair is None:
-                out.append(None)
-                continue
+            _ang, p1, p2 = sphere.closest_pair_rad(g1, g2)
+            c1 = np.array(sphere.lonlat_of(p1), dtype=np.float64)
+            c2 = np.array(sphere.lonlat_of(p2), dtype=np.float64)
             if as_line:
-                res = Geom(LINESTRING, np.vstack([npair[0], npair[1]]))
+                res = Geom(LINESTRING, np.vstack([c1, c2]))
             else:
-                res = Geom(POINT, np.asarray(npair[0], dtype=np.float64))
-            if inv is not None:
-                res = _alg.transform_coords(res, inv)
+                res = Geom(POINT, c1)
             res.spherical = True
             out.append(_core.to_wkb(res))
         return pd.Series(out, dtype=object)

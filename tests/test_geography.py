@@ -319,3 +319,26 @@ def test_envelope_agg_geography_box_crossing_lon0(spark):
     assert r["xmin"] == pytest.approx(-1.0)
     assert r["xmax"] == pytest.approx(20.0)
     assert r["ymin"] == pytest.approx(5.0) and r["ymax"] == pytest.approx(40.0)
+
+
+def test_spherical_closest_point_global(spark):
+    """ClosestPoint/ShortestLine on geographies: exact foot-of-
+    perpendicular witness, valid even when the inputs span more than a
+    hemisphere (the old gnomonic path could not represent this pair)."""
+    r = spark.sql("""
+      SELECT ST_AsText(ST_ClosestPoint(
+               ST_GeogFromWKT('LINESTRING (0 0, 10 0)'),
+               ST_GeogFromWKT('POINT (5 1)'))) AS cp,
+             round(ST_Length(ST_ShortestLine(
+               ST_GeogFromWKT('POINT (5 1)'),
+               ST_GeogFromWKT('LINESTRING (0 0, 10 0)'))) / 1000, 1) AS km,
+             ST_AsText(ST_ClosestPoint(
+               ST_GeogFromWKT('LINESTRING (170 0, -170 0)'),
+               ST_GeogFromWKT('POINT (179 20)'))) AS antimeridian_cp
+    """).first()
+    # the witness on the line for POINT(5 1) is the foot (5, 0)
+    assert "POINT (5.00" in r["cp"] or "POINT (5 0" in r["cp"] \
+        or "POINT (4.99" in r["cp"]
+    assert abs(r["km"] - 111.2) < 0.5
+    # arc 170..-170 crosses the antimeridian; foot for (179,20) is (179,0)
+    assert "179" in r["antimeridian_cp"]
