@@ -308,8 +308,14 @@ def pixel_as_polygon(r, px, py) -> Column:
     return get_udf("ST_GeomFromWKT")(wkt)
 
 
-# raster-vs-geometry predicates (rs_spatial_predicates.rs — join-eligible:
-# compose with operators.spatial_join by materializing envelope() first)
+# raster-vs-geometry predicates over the FOOTPRINT polygon (the affine
+# image of the raster's four corners — skew-correct, matching the
+# reference's join semantics, sedona-spatial-join-raster/src/lib.rs:20-33).
+# Join-eligible: compose with operators.spatial_join by materializing
+# envelope() first.  Same-CRS comparison as in the reference's same-CRS
+# path; cross-CRS inputs should be aligned first (ST_Transform /
+# RS_ReprojectMatch) — the reference's densified reprojection covers that
+# case, antimeridian/geodesic edges are unmodeled in both engines.
 def intersects(r, geom) -> Column:
     return get_udf("ST_Intersects")(envelope(r), geom)
 
@@ -773,6 +779,26 @@ def _sql_accessor_defs():
          "size(r.spatial_shape) = 0 OR exists(r.spatial_shape, s -> s = 0)"),
         ("RS_RasterToWorldCoordX", f"(r {R}, px DOUBLE, py DOUBLE)", "DOUBLE",
          "r.transform[0] + px * r.transform[1] + py * r.transform[2]"),
+        # footprint polygon (affine image of the 4 corners; skew-correct —
+        # reference join semantics, sedona-spatial-join-raster/src/lib.rs)
+        ("RS_Envelope", f"(r {R})", "BINARY",
+         "ST_GeomFromWKT(concat('POLYGON ((', " + ", ', ', ".join(
+             "concat_ws(' ', "
+             f"r.transform[0] + {px} * r.transform[1] + {py} * r.transform[2], "
+             f"r.transform[3] + {px} * r.transform[4] + {py} * r.transform[5])"
+             for px, py in (
+                 ("0.0D", "0.0D"),
+                 ("CAST(RS_Width(r) AS DOUBLE)", "0.0D"),
+                 ("CAST(RS_Width(r) AS DOUBLE)", "CAST(RS_Height(r) AS DOUBLE)"),
+                 ("0.0D", "CAST(RS_Height(r) AS DOUBLE)"),
+                 ("0.0D", "0.0D"))) + ", '))'))"),
+        ("RS_ConvexHull", f"(r {R})", "BINARY", "RS_Envelope(r)"),
+        ("RS_Intersects", f"(r {R}, g BINARY)", "BOOLEAN",
+         "ST_Intersects(RS_Envelope(r), g)"),
+        ("RS_Contains", f"(r {R}, g BINARY)", "BOOLEAN",
+         "ST_Contains(RS_Envelope(r), g)"),
+        ("RS_Within", f"(r {R}, g BINARY)", "BOOLEAN",
+         "ST_Within(RS_Envelope(r), g)"),
         ("RS_RasterToWorldCoordY", f"(r {R}, px DOUBLE, py DOUBLE)", "DOUBLE",
          "r.transform[3] + px * r.transform[4] + py * r.transform[5]"),
         ("RS_WorldToRasterCoordX", f"(r {R}, wx DOUBLE, wy DOUBLE)", "BIGINT",

@@ -535,3 +535,28 @@ def test_geotiff_lzw_roundtrip_and_libtiff_parity():
     lib.TIFFClose(tif)
     assert np.array_equal(out, arr8)
     os.unlink(p2)
+
+
+def test_rs_predicates_skewed_footprint(spark):
+    """RS_Intersects/Contains operate on the affine FOOTPRINT (a rotated
+    parallelogram under skew), not the axis-aligned bbox: a point inside
+    the bbox but outside the sheared footprint must NOT intersect."""
+    from sedona_db_spark.functions import raster as rs
+    from sedona_db_spark.functions.raster import make_raster_row
+    import numpy as np
+    row = make_raster_row(4, 4, ulx=0.0, uly=0.0, scale_x=1.0, scale_y=1.0,
+                          skew_x=1.0, skew_y=0.0, crs="EPSG:3857",
+                          bands=[("b1", "float64", np.zeros((4, 4)))])
+    df = spark.createDataFrame([(row,)], T.StructType(
+        [T.StructField("rast", rs.RASTER_TYPE)]))
+    df.createOrReplaceTempView("sk")
+    got = spark.sql("""
+      SELECT RS_Intersects(rast, ST_Point(0.5, 3.5)) AS near_origin_corner,
+             RS_Intersects(rast, ST_Point(3.5, 0.5)) AS sheared_in,
+             RS_Contains(rast, ST_Point(4.0, 2.0)) AS center_in
+      FROM sk
+    """).first()
+    # footprint corners: (0,0),(4,0),(8,4),(4,4) — x sheared by +1 per row
+    assert got["near_origin_corner"] is False   # inside bbox, outside footprint
+    assert got["sheared_in"] is True
+    assert got["center_in"] is True
