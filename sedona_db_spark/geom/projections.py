@@ -113,8 +113,21 @@ GRS80_A = 6378137.0
 GRS80_F = 1.0 / 298.257222101
 
 
+INTL24_A = 6378388.0           # International 1924 (Hayford)
+INTL24_F = 1.0 / 297.0
+AIRY_A = 6377563.396
+AIRY_F = 1.0 / 299.3249646
+
+_ELLIPSOIDS = {
+    "GRS80": (GRS80_A, GRS80_F),
+    "WGS84": (WGS84_A, WGS84_F),
+    "INTL24": (INTL24_A, INTL24_F),
+    "AIRY": (AIRY_A, AIRY_F),
+}
+
+
 def _ell(ellps: str):
-    a, f = (GRS80_A, GRS80_F) if ellps == "GRS80" else (WGS84_A, WGS84_F)
+    a, f = _ELLIPSOIDS.get(ellps, (WGS84_A, WGS84_F))
     e2 = f * (2 - f)
     return a, math.sqrt(e2), e2
 
@@ -448,8 +461,33 @@ class HelmertTM:
         return _ecef_to_geodetic(X, Y, Z, WGS84_A, WGS84_F * (2 - WGS84_F))
 
 
-AIRY_A = 6377563.396
-AIRY_F = 1.0 / 299.3249646
+class HelmertProj:
+    """Any projection on a non-WGS84 datum behind a Bursa-Wolf shift.
+
+    `proj` must expose forward/inverse plus `a`/`e` (its ellipsoid), as
+    the conic classes do; params are the dst-from-WGS84 7 parameters."""
+
+    def __init__(self, proj, t, r_arcsec, s_ppm):
+        self.proj = proj
+        self.t = t
+        self.r = tuple(math.radians(v / 3600.0) for v in r_arcsec)
+        self.s = 1.0 + s_ppm * 1e-6
+        self.e2_dst = float(proj.e) ** 2
+        self.a_dst = float(proj.a)
+
+    _shift = HelmertTM._shift
+
+    def forward(self, lon, lat):
+        X, Y, Z = _geodetic_to_ecef(lon, lat, WGS84_A, WGS84_F * (2 - WGS84_F))
+        X, Y, Z = self._shift(X, Y, Z)
+        lon2, lat2 = _ecef_to_geodetic(X, Y, Z, self.a_dst, self.e2_dst)
+        return self.proj.forward(lon2, lat2)
+
+    def inverse(self, x, y):
+        lon2, lat2 = self.proj.inverse(x, y)
+        X, Y, Z = _geodetic_to_ecef(lon2, lat2, self.a_dst, self.e2_dst)
+        X, Y, Z = self._shift(X, Y, Z, invert=True)
+        return _ecef_to_geodetic(X, Y, Z, WGS84_A, WGS84_F * (2 - WGS84_F))
 
 
 # EPSG parameter registry (public EPSG registry values) for widely used
@@ -505,6 +543,17 @@ def _register_projections():
     reg["EPSG:32118"] = LambertConformalConic2SP(
         40.0 + 10.0 / 60.0, -74.0, 41.0 + 2.0 / 60.0, 40.0 + 40.0 / 60.0,
         300000.0, 0.0, "GRS80")
+    # Belgium: BD72 / Belgian Lambert 72 (LCC 2SP on International 1924
+    # behind the published BD72<->WGS84 Bursa-Wolf shift, negated to give
+    # the WGS84->BD72 direction)
+    reg["EPSG:31370"] = HelmertProj(
+        LambertConformalConic2SP(
+            90.0, 4.0 + 22.0 / 60.0 + 2.952 / 3600.0,
+            51.0 + 10.0 / 60.0 + 0.00204 / 3600.0,
+            49.0 + 50.0 / 60.0 + 0.00204 / 3600.0,
+            150000.013, 5400088.438, "INTL24"),
+        t=(106.8686, -52.2978, 103.7239),
+        r_arcsec=(-0.3366, 0.457, -1.8422), s_ppm=1.2747)
 
 
 _register_projections()

@@ -223,9 +223,9 @@ def test_transform_crs_roundtrip():
     # UTM is now supported natively; an unmapped CRS still raises
     utm = alg.transform_crs(g, "EPSG:4326", "EPSG:32633")
     assert utm.all_coords()[0][0] != 10  # projected, not passthrough
-    # 27700 is now registered (Airy TM + Helmert); Belgian Lambert 72 is not
+    # 27700/31370 are now registered; Swiss LV95 (oblique Mercator) is not
     with pytest.raises(NotImplementedError):
-        alg.transform_crs(g, "EPSG:4326", "EPSG:31370")
+        alg.transform_crs(g, "EPSG:4326", "EPSG:2056")
     assert alg.transform_crs(g, "EPSG:4326", "epsg:4326") is g
 
 
@@ -536,3 +536,22 @@ def test_new_crs_registry_families():
         x, y = p.forward(np.array([lon]), np.array([lat]))
         lon2, lat2 = p.inverse(x, y)
         assert abs(lon2[0] - lon) < 1e-9 and abs(lat2[0] - lat) < 1e-9
+
+
+def test_belgian_lambert72():
+    """EPSG:31370 (LCC 2SP on International 1924 + Bursa-Wolf): the NGI
+    worked example must reproduce to mm on the projection core, and the
+    full WGS84 path must roundtrip."""
+    import numpy as np
+    from sedona_db_spark.geom import projections as prj
+    p = prj.lookup_projection("EPSG:31370")
+    # projection core (BD72 geodetic -> grid), NGI worked example
+    lat = 50 + 40 / 60 + 46.461 / 3600
+    lon = 5 + 48 / 60 + 26.533 / 3600
+    x, y = p.proj.forward(np.array([lon]), np.array([lat]))
+    assert abs(x[0] - 251763.204) < 0.01 and abs(y[0] - 153034.174) < 0.01
+    # WGS84 path: Brussels lands in the right 1km cell and roundtrips
+    x, y = p.forward(np.array([4.35247]), np.array([50.84673]))
+    assert 148000 < x[0] < 150000 and 170000 < y[0] < 172000
+    lon2, lat2 = p.inverse(x, y)
+    assert abs(lon2[0] - 4.35247) < 1e-7 and abs(lat2[0] - 50.84673) < 1e-7
