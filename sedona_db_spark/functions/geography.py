@@ -222,22 +222,79 @@ def cell_id_signed(cid: int) -> int:
     return cid - (1 << 64) if cid >= (1 << 63) else cid
 
 
+def _st_to_uv(s: float) -> float:
+    """Inverse of the quadratic ST projection."""
+    if s >= 0.5:
+        return (4.0 * s * s - 1.0) / 3.0
+    return (1.0 - 4.0 * (1.0 - s) * (1.0 - s)) / 3.0
+
+
+# face (u, v) -> xyz: x = u-axis, y = v-axis, z = face normal (S2 layout)
+_FACE_UVW = (
+    ((0, 1, 0), (0, 0, 1), (1, 0, 0)),     # face 0: +x
+    ((-1, 0, 0), (0, 0, 1), (0, 1, 0)),    # face 1: +y
+    ((-1, 0, 0), (0, -1, 0), (0, 0, 1)),   # face 2: +z
+    ((0, 0, -1), (0, -1, 0), (-1, 0, 0)),  # face 3: -x
+    ((0, 0, -1), (1, 0, 0), (0, -1, 0)),   # face 4: -y
+    ((0, 1, 0), (1, 0, 0), (0, 0, -1)),    # face 5: -z
+)
+
+
+def _face_uv_lonlat(face: int, u: float, v: float) -> tuple[float, float]:
+    ua, va, wa = (np.array(a, dtype=np.float64) for a in _FACE_UVW[face])
+    p = ua * u + va * v + wa
+    p /= np.linalg.norm(p)
+    return (math.degrees(math.atan2(p[1], p[0])),
+            math.degrees(math.asin(max(-1.0, min(1.0, p[2])))))
+
+
+def _cell_polygon(face: int, i0: int, j0: int, size: int) -> Geom:
+    """Spherical quad of the cell [i0, i0+size) x [j0, j0+size) on a face
+    (cell edges are great-circle arcs: u/v = const planes through 0)."""
+    lim = float(1 << _MAX_LEVEL)
+    corners = []
+    for di, dj in ((0, 0), (size, 0), (size, size), (0, size), (0, 0)):
+        u = _st_to_uv((i0 + di) / lim)
+        v = _st_to_uv((j0 + dj) / lim)
+        corners.append(_face_uv_lonlat(face, u, v))
+    from sedona_db_spark.geom.core import POLYGON as _POLY
+    return Geom(_POLY, [np.asarray(corners, dtype=np.float64)])
+
+
 def covering_cell_ids(g: Geom, level: int = 8) -> list[int]:
-    """Approximate covering: distinct cells of a bounded sample grid over
-    the bbox plus every vertex (true S2 coverings refine adaptively)."""
-    from sedona_db_spark.geom import algorithms as alg
-    coords = g.all_coords()[:, :2]
-    if len(coords) == 0:
+    """S2 RegionCoverer-style covering at a fixed level: hierarchical
+    descent from the 6 face cells, keeping every level-`level` cell whose
+    spherical quad intersects the geometry (exact predicates,
+    geom/sphere.py).  Complete by construction — every point of `g` lies
+    in some emitted cell — which is what the S2-bucketed equi-join
+    requires (the former bounded-grid sampling could miss slivers)."""
+    from sedona_db_spark.geom import sphere
+    if g.is_empty():
         return []
-    cells = {cell_id_from_point(float(x), float(y), level) for x, y in coords}
-    x0, y0, x1, y1 = alg.bounds(g)
-    n = 8
-    for fx in np.linspace(x0, x1, n):
-        for fy in np.linspace(y0, y1, n):
-            p = alg.point_position(np.array([fx, fy]), g) if g.dimension() == 2 else -1
-            if g.gt == POINT or p >= 0:
-                cells.add(cell_id_from_point(float(fx), float(fy), level))
-    return sorted(cell_id_signed(c) for c in cells)
+    level = max(0, min(int(level), _MAX_LEVEL))
+    out: set = set()
+    lim = 1 << _MAX_LEVEL
+
+    def descend(face: int, i0: int, j0: int, size: int, lvl: int):
+        cell = _cell_polygon(face, i0, j0, size)
+        try:
+            hit = sphere.intersects_exact(cell, g)
+        except Exception:
+            hit = True  # conservative: keep on predicate failure
+        if not hit:
+            return
+        if lvl == level:
+            leaf = _cellid_from_face_ij(face, i0 + size // 2, j0 + size // 2)
+            lsb = 1 << (2 * (_MAX_LEVEL - level))
+            out.add((leaf & ~(lsb - 1)) | lsb)
+            return
+        h = size // 2
+        for di, dj in ((0, 0), (h, 0), (0, h), (h, h)):
+            descend(face, i0 + di, j0 + dj, h, lvl + 1)
+
+    for face in range(6):
+        descend(face, 0, 0, lim, 0)
+    return sorted(cell_id_signed(c) for c in out)
 
 
 # ----------------------------------------------------------------------

@@ -342,3 +342,21 @@ def test_spherical_closest_point_global(spark):
     assert abs(r["km"] - 111.2) < 0.5
     # arc 170..-170 crosses the antimeridian; foot for (179,20) is (179,0)
     assert "179" in r["antimeridian_cp"]
+
+
+def test_covering_complete_never_misses(spark):
+    """RegionCoverer-style covering is complete: the level-L cell of ANY
+    point inside the geometry appears in the covering (the former grid
+    sampling could miss slivers between sample points)."""
+    import numpy as np
+    from sedona_db_spark.geom import wkt
+    rng = np.random.RandomState(7)
+    # thin diagonal sliver — the adversarial case for grid sampling
+    g = wkt.from_wkt("POLYGON ((0 0, 10 0.05, 10 0.15, 0 0.1, 0 0))")
+    cells = set(geo.covering_cell_ids(g, 9))
+    for _ in range(300):
+        t = rng.uniform(0.01, 0.99)
+        lon = 10 * t
+        lat = rng.uniform(0.001 + 0.05 * t, 0.099 + 0.05 * t)
+        cid = geo.cell_id_signed(geo.cell_id_from_point(lon, lat, 9))
+        assert cid in cells, (lon, lat)
