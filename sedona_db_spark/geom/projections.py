@@ -490,6 +490,75 @@ class HelmertProj:
         return _ecef_to_geodetic(X, Y, Z, WGS84_A, WGS84_F * (2 - WGS84_F))
 
 
+class SwissObliqueMercator:
+    """CH1903+/LV95 (EPSG:2056): swisstopo's conformal double projection —
+    Bessel ellipsoid -> conformal sphere -> equator rotation -> Mercator
+    (public swisstopo 'Formulas and constants' document, rigorous path)."""
+
+    BESSEL_A = 6377397.155
+    BESSEL_F = 1.0 / 299.1528128
+
+    def __init__(self, fe=2600000.0, fn=1200000.0):
+        self.a = self.BESSEL_A
+        e2 = self.BESSEL_F * (2 - self.BESSEL_F)
+        self.e = math.sqrt(e2)
+        b0 = math.radians(46.0 + 57.0 / 60.0 + 8.66 / 3600.0)   # Bern lat
+        self.lam0 = math.radians(7.0 + 26.0 / 60.0 + 22.50 / 3600.0)
+        s0 = math.sin(b0)
+        self.R = self.a * math.sqrt(1 - e2) / (1 - e2 * s0 * s0)
+        self.alpha = math.sqrt(1 + e2 / (1 - e2) * math.cos(b0) ** 4)
+        self.b0s = math.asin(s0 / self.alpha)   # sphere latitude of origin
+        self.K = (math.log(math.tan(math.pi / 4 + self.b0s / 2))
+                  - self.alpha * math.log(math.tan(math.pi / 4 + b0 / 2))
+                  + self.alpha * self.e / 2
+                  * math.log((1 + self.e * s0) / (1 - self.e * s0)))
+        self.fe, self.fn = fe, fn
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        s = np.sin(phi)
+        # ellipsoid -> conformal sphere
+        S = (self.alpha * np.log(np.tan(np.pi / 4 + phi / 2))
+             - self.alpha * self.e / 2
+             * np.log((1 + self.e * s) / (1 - self.e * s)) + self.K)
+        b = 2 * (np.arctan(np.exp(S)) - np.pi / 4)
+        l = self.alpha * (lam - self.lam0)
+        # rotation to the pseudo-equator system
+        lb = np.arctan2(np.sin(l), np.sin(self.b0s) * np.tan(b)
+                        + np.cos(self.b0s) * np.cos(l))
+        bb = np.arcsin(np.clip(np.cos(self.b0s) * np.sin(b)
+                               - np.sin(self.b0s) * np.cos(b) * np.cos(l),
+                               -1.0, 1.0))
+        E = self.fe + self.R * lb
+        N = self.fn + self.R / 2 * np.log((1 + np.sin(bb)) / (1 - np.sin(bb)))
+        return E, N
+
+    def inverse(self, x, y):
+        lb = (np.asarray(x, dtype=np.float64) - self.fe) / self.R
+        bb = 2 * (np.arctan(np.exp(
+            (np.asarray(y, dtype=np.float64) - self.fn) / self.R)) - np.pi / 4)
+        b = np.arcsin(np.clip(np.cos(self.b0s) * np.sin(bb)
+                              + np.sin(self.b0s) * np.cos(bb) * np.cos(lb),
+                              -1.0, 1.0))
+        l = np.arctan2(np.sin(lb), np.cos(self.b0s) * np.cos(lb)
+                       - np.sin(self.b0s) * np.tan(bb))
+        lam = self.lam0 + l / self.alpha
+        # conformal sphere -> ellipsoid latitude (fixed point)
+        phi = b.copy()
+        for _ in range(12):
+            s = np.sin(phi)
+            S = (np.log(np.tan(np.pi / 4 + b / 2)) - self.K) / self.alpha \
+                + self.e / 2 * np.log((1 + self.e * s) / (1 - self.e * s))
+            phi = 2 * (np.arctan(np.exp(S)) - np.pi / 4)
+        return _wrap_lon(np.degrees(lam)), np.degrees(phi)
+
+    # ellipsoid hooks for HelmertProj
+    @property
+    def e_(self):
+        return self.e
+
+
 # EPSG parameter registry (public EPSG registry values) for widely used
 # projected CRSes on WGS84-coincident datums.
 _PROJ_REGISTRY: dict[str, object] = {}
@@ -554,6 +623,13 @@ def _register_projections():
             150000.013, 5400088.438, "INTL24"),
         t=(106.8686, -52.2978, 103.7239),
         r_arcsec=(-0.3366, 0.457, -1.8422), s_ppm=1.2747)
+    # Switzerland: CH1903+/LV95 — swisstopo double projection on Bessel
+    # behind the pure translation ETRS89->CH1903+ (swisstopo GRANIT87
+    # values, no rotations)
+    reg["EPSG:2056"] = HelmertProj(
+        SwissObliqueMercator(),
+        t=(-674.374, -15.056, -405.346), r_arcsec=(0.0, 0.0, 0.0),
+        s_ppm=0.0)
 
 
 _register_projections()

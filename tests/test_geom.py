@@ -223,9 +223,9 @@ def test_transform_crs_roundtrip():
     # UTM is now supported natively; an unmapped CRS still raises
     utm = alg.transform_crs(g, "EPSG:4326", "EPSG:32633")
     assert utm.all_coords()[0][0] != 10  # projected, not passthrough
-    # 27700/31370 are now registered; Swiss LV95 (oblique Mercator) is not
+    # 27700/31370/2056 are registered; Dutch RD (double stereographic) is not
     with pytest.raises(NotImplementedError):
-        alg.transform_crs(g, "EPSG:4326", "EPSG:2056")
+        alg.transform_crs(g, "EPSG:4326", "EPSG:28992")
     assert alg.transform_crs(g, "EPSG:4326", "epsg:4326") is g
 
 
@@ -555,3 +555,18 @@ def test_belgian_lambert72():
     assert 148000 < x[0] < 150000 and 170000 < y[0] < 172000
     lon2, lat2 = p.inverse(x, y)
     assert abs(lon2[0] - 4.35247) < 1e-7 and abs(lat2[0] - 50.84673) < 1e-7
+
+
+def test_swiss_lv95():
+    """EPSG:2056: swisstopo double projection — origin lands exactly on
+    (2600000, 1200000); Zurich in the right km cell; 1e-7 deg roundtrip."""
+    import numpy as np
+    from sedona_db_spark.geom import projections as prj
+    p = prj.lookup_projection("EPSG:2056")
+    x, y = p.proj.forward(np.array([7 + 26 / 60 + 22.50 / 3600]),
+                          np.array([46 + 57 / 60 + 8.66 / 3600]))
+    assert abs(x[0] - 2600000) < 0.001 and abs(y[0] - 1200000) < 0.001
+    x, y = p.forward(np.array([8.5417]), np.array([47.3769]))
+    assert 2682000 < x[0] < 2685000 and 1246500 < y[0] < 1248500
+    lon2, lat2 = p.inverse(x, y)
+    assert abs(lon2[0] - 8.5417) < 1e-7 and abs(lat2[0] - 47.3769) < 1e-7
