@@ -559,6 +559,79 @@ class SwissObliqueMercator:
         return self.e
 
 
+class ObliqueStereographic:
+    """EPSG method 9809 (Roussilhe oblique stereographic via the Gauss
+    conformal sphere) — the Dutch RD projection (published EPSG Guidance
+    Note 7-2 formulas, validated on its worked example)."""
+
+    def __init__(self, lat0, lon0, k0, fe, fn, a, f):
+        self.a, self.f = a, f
+        e2 = f * (2 - f)
+        self.e = math.sqrt(e2)
+        p0 = math.radians(lat0)
+        self.lam0 = math.radians(lon0)
+        s0 = math.sin(p0)
+        self.n = math.sqrt(1 + e2 * math.cos(p0) ** 4 / (1 - e2))
+        S1 = (1 + s0) / (1 - s0)
+        S2 = (1 - self.e * s0) / (1 + self.e * s0)
+        w1 = (S1 * S2 ** self.e) ** self.n
+        sin_chi0 = (w1 - 1) / (w1 + 1)
+        self.c = ((self.n + s0) * (1 - sin_chi0)
+                  / ((self.n - s0) * (1 + sin_chi0)))
+        w2 = self.c * w1
+        self.chi0 = math.asin((w2 - 1) / (w2 + 1))
+        rho0 = a * (1 - e2) / (1 - e2 * s0 * s0) ** 1.5
+        nu0 = a / math.sqrt(1 - e2 * s0 * s0)
+        self.R = math.sqrt(rho0 * nu0)
+        self.k0, self.fe, self.fn = k0, fe, fn
+
+    def _chi_lam(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        s = np.sin(phi)
+        w = self.c * ((1 + s) / (1 - s)
+                      * ((1 - self.e * s) / (1 + self.e * s)) ** self.e) ** self.n
+        chi = np.arcsin(np.clip((w - 1) / (w + 1), -1.0, 1.0))
+        return chi, self.n * (lam - self.lam0)
+
+    def forward(self, lon, lat):
+        chi, dl = self._chi_lam(lon, lat)
+        B = (1 + np.sin(chi) * math.sin(self.chi0)
+             + np.cos(chi) * math.cos(self.chi0) * np.cos(dl))
+        x = self.fe + 2 * self.R * self.k0 * np.cos(chi) * np.sin(dl) / B
+        y = self.fn + 2 * self.R * self.k0 * (
+            np.sin(chi) * math.cos(self.chi0)
+            - np.cos(chi) * math.sin(self.chi0) * np.cos(dl)) / B
+        return x, y
+
+    def inverse(self, x, y):
+        gx = (np.asarray(x, dtype=np.float64) - self.fe) / (2 * self.R * self.k0)
+        gy = (np.asarray(y, dtype=np.float64) - self.fn) / (2 * self.R * self.k0)
+        rho = np.hypot(gx, gy)
+        cc = 2 * np.arctan(rho)
+        sin_cc, cos_cc = np.sin(cc), np.cos(cc)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            chi = np.where(rho == 0, self.chi0, np.arcsin(np.clip(
+                cos_cc * math.sin(self.chi0)
+                + gy * sin_cc * math.cos(self.chi0) / np.where(rho, rho, 1.0),
+                -1.0, 1.0)))
+            dl = np.where(rho == 0, 0.0, np.arctan2(
+                gx * sin_cc,
+                rho * math.cos(self.chi0) * cos_cc
+                - gy * math.sin(self.chi0) * sin_cc))
+        lam = dl / self.n + self.lam0
+        # invert the conformal-sphere latitude by fixed point
+        sin_chi = np.sin(chi)
+        w = (1 + sin_chi) / (1 - sin_chi)
+        phi = chi.copy()
+        for _ in range(15):
+            s = np.sin(phi)
+            inner = (w / self.c) ** (1.0 / self.n) \
+                * ((1 + self.e * s) / (1 - self.e * s)) ** self.e
+            phi = np.arcsin(np.clip((inner - 1) / (inner + 1), -1.0, 1.0))
+        return _wrap_lon(np.degrees(lam)), np.degrees(phi)
+
+
 # EPSG parameter registry (public EPSG registry values) for widely used
 # projected CRSes on WGS84-coincident datums.
 _PROJ_REGISTRY: dict[str, object] = {}
@@ -630,6 +703,16 @@ def _register_projections():
         SwissObliqueMercator(),
         t=(-674.374, -15.056, -405.346), r_arcsec=(0.0, 0.0, 0.0),
         s_ppm=0.0)
+    # Netherlands: Amersfoort / RD New — oblique stereographic on Bessel
+    # behind the inverse of the published Amersfoort->WGS84 Bursa-Wolf
+    reg["EPSG:28992"] = HelmertProj(
+        ObliqueStereographic(
+            52.0 + 9.0 / 60.0 + 22.178 / 3600.0,
+            5.0 + 23.0 / 60.0 + 15.5 / 3600.0,
+            0.9999079, 155000.0, 463000.0,
+            SwissObliqueMercator.BESSEL_A, SwissObliqueMercator.BESSEL_F),
+        t=(-565.417, -50.3319, -465.552),
+        r_arcsec=(0.398957, -0.343988, 1.87740), s_ppm=-4.0772)
 
 
 _register_projections()

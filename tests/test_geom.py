@@ -223,9 +223,9 @@ def test_transform_crs_roundtrip():
     # UTM is now supported natively; an unmapped CRS still raises
     utm = alg.transform_crs(g, "EPSG:4326", "EPSG:32633")
     assert utm.all_coords()[0][0] != 10  # projected, not passthrough
-    # 27700/31370/2056 are registered; Dutch RD (double stereographic) is not
+    # 27700/31370/2056/28992 are registered; Irish grid is not
     with pytest.raises(NotImplementedError):
-        alg.transform_crs(g, "EPSG:4326", "EPSG:28992")
+        alg.transform_crs(g, "EPSG:4326", "EPSG:29902")
     assert alg.transform_crs(g, "EPSG:4326", "epsg:4326") is g
 
 
@@ -570,3 +570,18 @@ def test_swiss_lv95():
     assert 2682000 < x[0] < 2685000 and 1246500 < y[0] < 1248500
     lon2, lat2 = p.inverse(x, y)
     assert abs(lon2[0] - 8.5417) < 1e-7 and abs(lat2[0] - 47.3769) < 1e-7
+
+
+def test_dutch_rd_new():
+    """EPSG:28992 (oblique stereographic, EPSG method 9809): reproduces
+    the EPSG Guidance Note worked example (53N 6E -> 196105.283,
+    557057.739) to sub-mm; WGS84 path roundtrips."""
+    import numpy as np
+    from sedona_db_spark.geom import projections as prj
+    p = prj.lookup_projection("EPSG:28992")
+    x, y = p.proj.forward(np.array([6.0]), np.array([53.0]))
+    assert abs(x[0] - 196105.283) < 0.01 and abs(y[0] - 557057.739) < 0.01
+    x, y = p.forward(np.array([4.9041]), np.array([52.3676]))
+    assert 120000 < x[0] < 123000 and 486000 < y[0] < 489000
+    lon2, lat2 = p.inverse(x, y)
+    assert abs(lon2[0] - 4.9041) < 1e-7 and abs(lat2[0] - 52.3676) < 1e-7
