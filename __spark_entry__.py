@@ -1855,6 +1855,53 @@ _O["multimodal_png_decode"] = """
 """
 
 
+def _q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL native baseline JPEG decode (operators/jpeg_native.py: T.81
+    Huffman + float IDCT, cross-validated against libjpeg in
+    tests/test_jpeg_native.py).  Deterministic gradients per nation,
+    encoded with the native encoder at q92; the oracle pins literal
+    feature statistics computed through the validated codec (JPEG is
+    lossy, so the stats are regression pins, not closed forms)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from sedona_db_spark.operators.jpeg_native import encode_jpeg
+    from sedona_db_spark.operators.multimodal import (
+        MEDIA_SCHEMA, extract_features_real)
+    rows = []
+    for k in range(25):
+        base = (16 * k) % 200
+        img = (base + np.arange(64).reshape(8, 8) * 55 // 63).astype(np.uint8)
+        rows.append((k, "image", "jpeg", bytearray(encode_jpeg(img, 92)),
+                     8, 8, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_features_real(df)
+    norm2 = F.aggregate(F.col("features"), F.lit(0.0), lambda a, v: a + v * v)
+    mor = F.aggregate(F.col("features"), F.lit(0.0),
+                      lambda a, v: a + v) / F.lit(8.0)
+    return out.select(
+        F.col("media_id").cast("int").alias("media_id"), "decoded",
+        F.round(norm2, 6).alias("feat_norm2"),
+        F.round(mor, 6).alias("mean_over_rms"))
+
+
+_PY["multimodal_jpeg_decode"] = _q_multimodal_jpeg_decode
+_O["multimodal_jpeg_decode"] = """
+  SELECT CAST(k AS INT) AS media_id, true AS decoded,
+         CAST(n2 AS DOUBLE) AS feat_norm2, CAST(m AS DOUBLE) AS mean_over_rms
+  FROM nation JOIN (VALUES
+    (0, 1.0, 0.85835), (1, 1.0, 0.935425), (2, 1.0, 0.964302),
+    (3, 1.0, 0.977446), (4, 1.0, 0.984455), (5, 1.0, 0.98873),
+    (6, 1.0, 0.991426), (7, 1.0, 0.993252), (8, 1.0, 0.994581),
+    (9, 1.0, 0.995535), (10, 1.0, 0.996256), (11, 1.0, 0.99683),
+    (12, 1.0, 0.99727), (13, 1.0, 0.907485), (14, 1.0, 0.953091),
+    (15, 1.0, 0.971857), (16, 1.0, 0.981476), (17, 1.0, 0.986861),
+    (18, 1.0, 0.990185), (19, 1.0, 0.992438), (20, 1.0, 0.993973),
+    (21, 1.0, 0.99508), (22, 1.0, 0.995929), (23, 1.0, 0.996561),
+    (24, 1.0, 0.997056)) v(k, n2, m)
+  ON n_nationkey = k
+"""
+
+
 def _q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native GeoJSON sink/source (reference reads via pyogrio/GDAL,
     context.py:313; implemented from RFC 7946 here): write nation boxes

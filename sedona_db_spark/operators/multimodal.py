@@ -318,21 +318,25 @@ def encode_png(img: np.ndarray, compress_level: int = 6) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniff + decode: netpbm/BMP/PNG natively; JPEG gates on PIL."""
+    """Sniff + decode: netpbm/BMP/PNG/baseline-JPEG natively; anything
+    else (progressive JPEG, webp, ...) gates on PIL."""
     if payload[:2] in (b"P5", b"P6"):
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xFF\xD8":
+        from sedona_db_spark.operators.jpeg_native import decode_jpeg
+        return decode_jpeg(payload)  # NotImplementedError on progressive
     try:
         from PIL import Image  # noqa (absent in this container)
         import io
         return np.asarray(Image.open(io.BytesIO(payload)))
     except ImportError as exc:
         raise NotImplementedError(
-            "JPEG decode needs PIL (netpbm/BMP/PNG/WAV decode natively)"
-        ) from exc
+            "unrecognized image format needs PIL (netpbm/BMP/PNG/"
+            "baseline-JPEG decode natively)") from exc
 
 
 def image_resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
@@ -396,7 +400,8 @@ def extract_features_real(df: DataFrame, payload_col: str = "payload",
                         feats.append(list(map(float, f / n if n else f)))
                         real.append(True)
                         continue
-                    if b[:2] in (b"P5", b"P6", b"BM") or b[:8] == _PNG_SIG:
+                    if (b[:2] in (b"P5", b"P6", b"BM", b"\xFF\xD8")
+                            or b[:8] == _PNG_SIG):
                         feats.append(list(map(float,
                                               image_features(decode_image(b), dim))))
                         real.append(True)
