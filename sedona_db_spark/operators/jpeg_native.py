@@ -475,6 +475,11 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, ri):
         full.append(p[:h, :w])
     if len(full) == 1:
         return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    # component ids R/G/B (0x52/0x47/0x42, e.g. libtiff photometric=RGB)
+    # mean the stream carries RGB directly — no color transform
+    ids = tuple(c["id"] for c in frame["comps"])
+    if ids == (0x52, 0x47, 0x42):
+        return np.clip(np.round(np.stack(full, axis=-1)), 0, 255).astype(np.uint8)
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr

@@ -9,11 +9,13 @@ specifications with the stdlib is done directly:
 - layouts: strips AND tiles, PlanarConfiguration 1 (pixel-interleaved)
   and 2 (planar);
 - compression: 1 (none), 8/32946 (DEFLATE via stdlib zlib, GDAL's
-  COMPRESS=DEFLATE) and 5 (LZW, from-scratch TIFF 6.0 coder validated
-  against libtiff in both directions), with predictor 1 (none) and 2
-  (horizontal differencing, integer samples);
-- JPEG/float-predictor inputs raise with a clear message (the GDAL path
-  remains the scale-out answer for exotic files).
+  COMPRESS=DEFLATE), 5 (LZW, from-scratch TIFF 6.0 coder validated
+  against libtiff in both directions) and 7 (baseline JPEG via the
+  native T.81 codec incl. the JPEGTables tag, RGB-direct and YCbCr
+  photometrics, libtiff-written fixtures as oracle), with predictor 1
+  (none) and 2 (horizontal differencing, integer samples);
+- CCITT-fax/float-predictor inputs raise with a clear message (the GDAL
+  path remains the scale-out answer for exotic files).
 
 Encode: one strip per band plane (PlanarConfiguration=2), optional
 ``compress='deflate'`` (+ predictor 2 for integer dtypes), SampleFormat/
@@ -40,6 +42,8 @@ _GEO_KEYS = 34735
 
 _COMP_NONE, _COMP_DEFLATE, _COMP_DEFLATE_OLD = 1, 8, 32946
 _COMP_LZW = 5
+_COMP_JPEG = 7
+_JPEG_TABLES = 347
 
 
 def _lzw_decompress(src: bytes) -> bytes:
@@ -292,7 +296,8 @@ def _read_entries(data: bytes, en: str, ifd_off: int) -> dict[int, tuple]:
 
 def _read_values(data: bytes, en: str, entry) -> list:
     typ, n, voff = entry
-    fmt = {1: "B", 3: "H", 4: "I", 12: "d", 2: "c", 8: "h", 9: "i", 11: "f"}.get(typ)
+    fmt = {1: "B", 3: "H", 4: "I", 12: "d", 2: "c", 7: "B",
+           8: "h", 9: "i", 11: "f"}.get(typ)
     if fmt is None:
         raise ValueError(f"unsupported TIFF value type {typ}")
     return list(struct.unpack_from(en + str(n) + fmt, data, voff))
@@ -314,10 +319,12 @@ def decode_geotiff(data: bytes) -> dict:
     import zlib
     e = _read_entries(data, en, ifd_off)
     comp = _read_values(data, en, e[_COMP])[0] if _COMP in e else 1
-    if comp not in (_COMP_NONE, _COMP_DEFLATE, _COMP_DEFLATE_OLD, _COMP_LZW):
+    if comp not in (_COMP_NONE, _COMP_DEFLATE, _COMP_DEFLATE_OLD, _COMP_LZW,
+                    _COMP_JPEG):
         raise NotImplementedError(
             f"TIFF compression {comp} needs GDAL/rasterio "
-            "(uncompressed, DEFLATE and LZW supported natively)")
+            "(uncompressed, DEFLATE, LZW and baseline JPEG supported "
+            "natively)")
     predictor = _read_values(data, en, e[_PREDICTOR])[0] if _PREDICTOR in e else 1
     if predictor not in (1, 2):
         raise NotImplementedError(
@@ -335,6 +342,29 @@ def decode_geotiff(data: bytes) -> dict:
         inflate = lambda b: b
     elif comp == _COMP_LZW:
         inflate = _lzw_decompress
+    elif comp == _COMP_JPEG:
+        # new-style JPEG-in-TIFF: each strip/tile is a JFIF stream; shared
+        # DQT/DHT segments may live in the JPEGTables tag (347) and are
+        # spliced in after the strip's SOI before decoding
+        from sedona_db_spark.operators.jpeg_native import decode_jpeg
+        if dt != np.dtype(en + "u1"):
+            raise NotImplementedError("JPEG TIFF must be 8-bit")
+        tables = b""
+        if _JPEG_TABLES in e:
+            tb = bytes(bytearray(_read_values(data, en, e[_JPEG_TABLES])))
+            if tb[:2] == b"\xFF\xD8" and tb[-2:] == b"\xFF\xD9":
+                tables = tb[2:-2]
+
+        def inflate(b, _tables=tables):
+            if b[:2] != b"\xFF\xD8":
+                raise ValueError("JPEG strip without SOI")
+            stream = b"\xFF\xD8" + _tables + b[2:]
+            img = decode_jpeg(stream)
+            if img.ndim == 2:
+                img = img[:, :, None]
+            if img.shape[2] != spp_chunk:
+                raise ValueError("JPEG component count mismatch")
+            return np.ascontiguousarray(img).tobytes()
     else:
         inflate = lambda b: zlib.decompress(b)
     spp_chunk = 1 if (planar == 2 and spp > 1) else spp

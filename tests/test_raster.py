@@ -141,14 +141,14 @@ def test_raster_geometry_predicate_joinable(rdf, spark):
     assert out["i"] is True and out["c"] is False
 
 
-def test_geotiff_jpeg_still_gated():
-    """The native codec covers uncompressed + DEFLATE + LZW; JPEG TIFFs
-    still raise toward the GDAL/rasterio path."""
+def test_geotiff_ccitt_still_gated():
+    """The native codec covers uncompressed/DEFLATE/LZW/baseline-JPEG;
+    CCITT fax TIFFs still raise toward the GDAL/rasterio path."""
     import struct
     from sedona_db_spark.sources.geotiff import decode_geotiff
-    # minimal IFD claiming JPEG compression
+    # minimal IFD claiming CCITT G4 compression
     ifd = struct.pack("<H", 3)
-    for tag, typ, val in [(256, 4, 4), (257, 4, 4), (259, 3, 7)]:
+    for tag, typ, val in [(256, 4, 4), (257, 4, 4), (259, 3, 4)]:
         ifd += struct.pack("<HHII", tag, typ, 1, val)
     ifd += struct.pack("<I", 0)
     data = b"II*\0" + struct.pack("<I", 8) + ifd
@@ -560,3 +560,62 @@ def test_rs_predicates_skewed_footprint(spark):
     assert got["near_origin_corner"] is False   # inside bbox, outside footprint
     assert got["sheared_in"] is True
     assert got["center_in"] is True
+
+
+def test_geotiff_jpeg_compression_native():
+    """JPEG-in-TIFF (compression 7, JPEGTables tag): libtiff-written
+    files decode natively — RGB-direct (photometric 2) exactly within
+    q95 loss, and YCbCr 4:2:0 (photometric 6) within subsampling loss."""
+    import ctypes
+    import os
+    import tempfile
+    import numpy as np
+    from sedona_db_spark.functions.raster import _band_array
+    from sedona_db_spark.sources.geotiff import decode_geotiff
+    try:
+        lib = ctypes.CDLL("libtiff.so.6")
+    except OSError:
+        pytest.skip("libtiff unavailable")
+    lib.TIFFOpen.restype = ctypes.c_void_p
+    lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.TIFFWriteEncodedStrip.restype = ctypes.c_long
+    lib.TIFFWriteEncodedStrip.argtypes = [ctypes.c_void_p, ctypes.c_uint32,
+                                          ctypes.c_void_p, ctypes.c_long]
+    lib.TIFFClose.argtypes = [ctypes.c_void_p]
+    u32, u16 = ctypes.c_uint32, ctypes.c_uint16
+    h, w, rps = 32, 48, 16
+    rng = np.random.RandomState(2)
+    arr = np.clip(np.cumsum(np.cumsum(rng.randn(h, w, 3), 0), 1) * 3 + 128,
+                  0, 255).astype(np.uint8)
+
+    # photometric 6 tolerances absorb 4:2:0 chroma subsampling loss on
+    # noise content (the subsampling itself, not decoder error)
+    for photo, ycbcr_mode, tol_max, tol_mean in ((2, None, 12, 2.0),
+                                                 (6, 1, 64, 7.0)):
+        p = tempfile.mktemp(suffix=".tif")
+        tif = lib.TIFFOpen(p.encode(), b"w")
+        for tag, val in [(256, u32(w)), (257, u32(h)), (258, u16(8)),
+                         (259, u16(7)), (262, u16(photo)), (277, u16(3)),
+                         (278, u32(rps)), (284, u16(1)), (339, u16(1))]:
+            lib.TIFFSetField(ctypes.c_void_p(tif), u32(tag), val)
+        lib.TIFFSetField(ctypes.c_void_p(tif), u32(65537), ctypes.c_int(95))
+        if ycbcr_mode is not None:  # JPEGCOLORMODE_RGB: RGB in, YCbCr stored
+            lib.TIFFSetField(ctypes.c_void_p(tif), u32(65538),
+                             ctypes.c_int(ycbcr_mode))
+        ok = True
+        for s in range(h // rps):
+            chunk = arr[s * rps:(s + 1) * rps].tobytes()
+            rb = ctypes.create_string_buffer(chunk, len(chunk))
+            if lib.TIFFWriteEncodedStrip(tif, s, rb, len(chunk)) <= 0:
+                ok = False
+        lib.TIFFClose(tif)
+        if not ok:
+            os.unlink(p)
+            continue  # this libtiff build cannot write the variant
+        row = decode_geotiff(open(p, "rb").read())
+        got = np.stack([_band_array(b).reshape(h, w) for b in row["bands"]],
+                       axis=-1)
+        d = np.abs(got.astype(int) - arr.astype(int))
+        assert d.max() <= tol_max and d.mean() < tol_mean, \
+            (photo, d.max(), d.mean())
+        os.unlink(p)
