@@ -10,10 +10,11 @@ specifications with the stdlib is done directly:
   and 2 (planar);
 - compression: 1 (none), 8/32946 (DEFLATE via stdlib zlib, GDAL's
   COMPRESS=DEFLATE), 5 (LZW, from-scratch TIFF 6.0 coder validated
-  against libtiff in both directions) and 7 (baseline JPEG via the
+  against libtiff in both directions) 7 (baseline JPEG via the
   native T.81 codec incl. the JPEGTables tag, RGB-direct and YCbCr
-  photometrics, libtiff-written fixtures as oracle), with predictor 1
-  (none) and 2 (horizontal differencing, integer samples);
+  photometrics, libtiff-written fixtures as oracle) and 32773
+  (PackBits RLE), with predictor 1 (none) and 2 (horizontal
+  differencing, integer samples);
 - CCITT-fax/float-predictor inputs raise with a clear message (the GDAL
   path remains the scale-out answer for exotic files).
 
@@ -43,7 +44,26 @@ _GEO_KEYS = 34735
 _COMP_NONE, _COMP_DEFLATE, _COMP_DEFLATE_OLD = 1, 8, 32946
 _COMP_LZW = 5
 _COMP_JPEG = 7
+_COMP_PACKBITS = 32773
 _JPEG_TABLES = 347
+
+
+def _packbits_decompress(src: bytes) -> bytes:
+    """TIFF PackBits (Apple RLE): n in 0..127 -> copy n+1 literals;
+    n in -127..-1 -> repeat next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    ln = len(src)
+    while i < ln:
+        n = src[i]
+        i += 1
+        if n < 128:
+            out += src[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([src[i]]) * (257 - n)
+            i += 1
+    return bytes(out)
 
 
 def _lzw_decompress(src: bytes) -> bytes:
@@ -320,7 +340,7 @@ def decode_geotiff(data: bytes) -> dict:
     e = _read_entries(data, en, ifd_off)
     comp = _read_values(data, en, e[_COMP])[0] if _COMP in e else 1
     if comp not in (_COMP_NONE, _COMP_DEFLATE, _COMP_DEFLATE_OLD, _COMP_LZW,
-                    _COMP_JPEG):
+                    _COMP_JPEG, _COMP_PACKBITS):
         raise NotImplementedError(
             f"TIFF compression {comp} needs GDAL/rasterio "
             "(uncompressed, DEFLATE, LZW and baseline JPEG supported "
@@ -342,6 +362,8 @@ def decode_geotiff(data: bytes) -> dict:
         inflate = lambda b: b
     elif comp == _COMP_LZW:
         inflate = _lzw_decompress
+    elif comp == _COMP_PACKBITS:
+        inflate = _packbits_decompress
     elif comp == _COMP_JPEG:
         # new-style JPEG-in-TIFF: each strip/tile is a JFIF stream; shared
         # DQT/DHT segments may live in the JPEGTables tag (347) and are

@@ -619,3 +619,41 @@ def test_geotiff_jpeg_compression_native():
         assert d.max() <= tol_max and d.mean() < tol_mean, \
             (photo, d.max(), d.mean())
         os.unlink(p)
+
+
+def test_geotiff_packbits_native():
+    """PackBits (32773) strips from libtiff decode natively, exactly."""
+    import ctypes
+    import os
+    import tempfile
+    import numpy as np
+    from sedona_db_spark.functions.raster import _band_array
+    from sedona_db_spark.sources.geotiff import decode_geotiff
+    try:
+        lib = ctypes.CDLL("libtiff.so.6")
+    except OSError:
+        pytest.skip("libtiff unavailable")
+    lib.TIFFOpen.restype = ctypes.c_void_p
+    lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.TIFFWriteScanline.restype = ctypes.c_int
+    lib.TIFFWriteScanline.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_uint32, ctypes.c_uint16]
+    lib.TIFFClose.argtypes = [ctypes.c_void_p]
+    u32, u16 = ctypes.c_uint32, ctypes.c_uint16
+    h, w = 30, 44
+    rng = np.random.RandomState(4)
+    arr = np.repeat(rng.randint(0, 256, (h, 11)), 4, axis=1).astype(np.uint8)
+    p = tempfile.mktemp(suffix=".tif")
+    tif = lib.TIFFOpen(p.encode(), b"w")
+    for tag, val in [(256, u32(w)), (257, u32(h)), (258, u16(8)),
+                     (259, u16(32773)), (262, u16(1)), (277, u16(1)),
+                     (278, u32(h)), (284, u16(1)), (339, u16(1))]:
+        lib.TIFFSetField(ctypes.c_void_p(tif), u32(tag), val)
+    for r in range(h):
+        rb = ctypes.create_string_buffer(arr[r].tobytes(), w)
+        assert lib.TIFFWriteScanline(tif, rb, r, 0) == 1
+    lib.TIFFClose(tif)
+    row = decode_geotiff(open(p, "rb").read())
+    got = _band_array(row["bands"][0]).reshape(h, w).astype(np.uint8)
+    assert np.array_equal(got, arr)
+    os.unlink(p)
