@@ -43,6 +43,10 @@ HEADLINE = [
     "asof_join_events",
     "dedup_transitive_cc",
     "knn_join_polygons_k2",
+    # round-4 additions
+    "st_transform_osgb",
+    "s2_cellid_points",
+    "multimodal_jpeg_decode",
 ]
 
 
