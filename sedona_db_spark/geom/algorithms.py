@@ -641,6 +641,31 @@ def _collect_segments(g: Geom):
     return np.concatenate(a_list), np.concatenate(b_list)
 
 
+def points_to_polygon_distance_batch(pts: np.ndarray, g: Geom) -> np.ndarray:
+    """Vectorized distance from each point to an areal geometry: 0 for
+    covered points (incl. boundary; holes handled by point_position),
+    else the min distance to any ring segment.  One numpy pass per
+    segment — the KNN-refine shape (few polygons against many points)."""
+    pts = np.asarray(pts, dtype=np.float64)[:, :2]
+    d = np.full(len(pts), np.inf)
+    for ring in g.rings():
+        arr = np.asarray(ring, dtype=np.float64)[:, :2]
+        a, b = arr[:-1], arr[1:]
+        for i in range(len(a)):
+            dv = b[i] - a[i]
+            L2 = float(dv @ dv)
+            if L2 <= 0.0:
+                dd = np.hypot(pts[:, 0] - a[i, 0], pts[:, 1] - a[i, 1])
+            else:
+                t = np.clip(((pts - a[i]) @ dv) / L2, 0.0, 1.0)
+                proj = a[i] + t[:, None] * dv
+                dd = np.hypot(pts[:, 0] - proj[:, 0], pts[:, 1] - proj[:, 1])
+            np.minimum(d, dd, out=d)
+    pos = points_position_batch(pts, g)
+    d[pos >= 0] = 0.0
+    return d
+
+
 def distance(g1: Geom, g2: Geom):
     if g1.is_empty() or g2.is_empty():
         return None

@@ -432,6 +432,24 @@ def knn_join_partitioned(
             if p1 is not None and p2 is not None:
                 return pd.Series(np.hypot(p1[:, 0] - p2[:, 0],
                                           p1[:, 1] - p2[:, 1]))
+            # point-vs-areal batches (the polygon-KNN shape): factorize
+            # the areal side and run the vectorized segment-distance
+            # kernel per distinct polygon — no per-pair Python geometry
+            if p1 is not None or p2 is not None:
+                pts, poly_s = (p1, s2) if p1 is not None else (p2, s1)
+                codes, uniques = pd.factorize(poly_s)
+                if 0 < len(uniques) <= 256 and not (codes < 0).any():
+                    from sedona_db_spark.geom import core as _core
+                    geoms = [_core.from_wkb(u) for u in uniques]
+                    if all(g.dimension() == 2 and not list(g.lines())
+                           and not list(g.points()) and list(g.polygons())
+                           for g in geoms):
+                        out = np.empty(len(codes))
+                        for kdx, g in enumerate(geoms):
+                            m = codes == kdx
+                            out[m] = _alg.points_to_polygon_distance_batch(
+                                pts[m], g)
+                        return pd.Series(out)
             # candidate batches repeat the same few objects against many
             # queries: memoized decode turns O(pairs) parses into
             # O(distinct geometries)
