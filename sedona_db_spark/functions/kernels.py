@@ -332,20 +332,42 @@ k_ymax = _minmax(1, "max")
 # predicates / measures with point-point fast paths
 # ----------------------------------------------------------------------
 
-def k_distance(s1: pd.Series, s2: pd.Series) -> pd.Series:
+def _pts_vs_areal_distance(s1: pd.Series, s2: pd.Series):
+    """Vectorized distances when one side is uniform points and the other
+    has few distinct areal WKBs (the distance-join shape), else None."""
     p1, p2 = _fast_points(s1), _fast_points(s2)
     if p1 is not None and p2 is not None:
-        return pd.Series(np.hypot(p1[:, 0] - p2[:, 0], p1[:, 1] - p2[:, 1]))
+        return np.hypot(p1[:, 0] - p2[:, 0], p1[:, 1] - p2[:, 1])
+    if p1 is None and p2 is None:
+        return None
+    pts, poly_s = (p1, s2) if p1 is not None else (p2, s1)
+    codes, uniques = pd.factorize(poly_s)
+    if not (0 < len(uniques) <= 256) or (codes < 0).any():
+        return None
+    geoms = [core.from_wkb(u) for u in uniques]
+    if not all(g.dimension() == 2 and not list(g.lines())
+               and not list(g.points()) and list(g.polygons())
+               for g in geoms):
+        return None
+    out = np.empty(len(codes))
+    for kdx, g in enumerate(geoms):
+        m = codes == kdx
+        out[m] = alg.points_to_polygon_distance_batch(pts[m], g)
+    return out
+
+
+def k_distance(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    fast = _pts_vs_areal_distance(s1, s2)
+    if fast is not None:
+        return pd.Series(fast)
     return _binary(alg.distance)(s1, s2)
 
 
 def k_dwithin(s1: pd.Series, s2: pd.Series, d) -> pd.Series:
-    p1, p2 = _fast_points(s1), _fast_points(s2)
     dv = _coerce(d, len(s1)).to_numpy(dtype=np.float64)
-    if p1 is not None and p2 is not None:
-        dx = p1[:, 0] - p2[:, 0]
-        dy = p1[:, 1] - p2[:, 1]
-        return pd.Series(dx * dx + dy * dy <= dv * dv)
+    fast = _pts_vs_areal_distance(s1, s2)
+    if fast is not None:
+        return pd.Series(fast <= dv)
     g1s, g2s = _decode(s1), _decode(s2)
     return pd.Series(
         [None if (a is None or b is None) else alg.dwithin(a, b, dv[i])
