@@ -283,6 +283,10 @@ def covering_cell_ids(g: Geom, level: int = 8) -> list[int]:
             hit = True  # conservative: keep on predicate failure
         if not hit:
             return
+        if len(out) > 65536:
+            raise ValueError(
+                "covering exceeds 65536 cells — use a coarser level "
+                "(S2 RegionCoverer max_cells semantics)")
         if lvl == level:
             leaf = _cellid_from_face_ij(face, i0 + size // 2, j0 + size // 2)
             lsb = 1 << (2 * (_MAX_LEVEL - level))

@@ -585,3 +585,14 @@ def test_dutch_rd_new():
     assert 120000 < x[0] < 123000 and 486000 < y[0] < 489000
     lon2, lat2 = p.inverse(x, y)
     assert abs(lon2[0] - 4.9041) < 1e-7 and abs(lat2[0] - 52.3676) < 1e-7
+
+
+def test_points_to_polygon_distance_batch_matches_scalar():
+    rng = np.random.RandomState(3)
+    pts = rng.uniform(-5, 15, size=(300, 2))
+    for g in (POLY, W("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)),"
+                      " ((6 6, 9 6, 9 9, 6 9, 6 6)))")):
+        batch = alg.points_to_polygon_distance_batch(pts, g)
+        for i, p in enumerate(pts):
+            ref = alg.distance(core.make_point(p[0], p[1]), g)
+            assert abs(batch[i] - ref) < 1e-9
