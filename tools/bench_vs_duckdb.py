@@ -34,6 +34,11 @@ DEFAULT_SET = [
     "tpch_q1", "tpch_q3_top10", "tpch_q6_forecast", "window_rownum",
     "st_contains_point_in_box", "st_distance_pairs", "knn_join_k3",
     "geo_distance_sphere", "events_hourly_counts", "dedup_exact_fingerprint",
+    # broader operator families (round 4): joins, aggregates, dedup,
+    # temporal, text, transforms
+    "spatial_join_grid_within", "knn_join_polygons_k2", "st_union_agg_sql",
+    "st_envelope_agg", "dedup_transitive_cc", "asof_join_events",
+    "text_quality_score", "st_transform_osgb", "s2_cellid_points",
 ]
 
 
