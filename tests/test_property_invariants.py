@@ -219,3 +219,76 @@ def test_spherical_predicates_agree_with_planar_for_tiny_geoms(spark):
         THEN 0 ELSE 1 END) AS mismatches2
       FROM tiny""").first()
     assert r["mismatches"] == 0 and r["mismatches2"] == 0
+
+
+def test_s2_cell_covering_consistency_random():
+    """For random points and levels: the point's cell is in any covering
+    of a box containing it; parent bits nest; ids match signed range."""
+    import numpy as np
+    from sedona_db_spark.functions import geography as geo
+    from sedona_db_spark.geom import wkt
+    rng = np.random.RandomState(12)
+    for _ in range(40):
+        lon = float(rng.uniform(-179, 179))
+        lat = float(rng.uniform(-85, 85))
+        lvl = int(rng.randint(3, 11))
+        cid = geo.cell_id_from_point(lon, lat, lvl)
+        leaf = geo.cell_id_from_point(lon, lat, 30)
+        lsb = 1 << (2 * (30 - lvl))
+        assert (leaf & ~(2 * lsb - 1)) == (cid & ~(2 * lsb - 1))
+        d = 0.5
+        box = wkt.from_wkt(
+            f"POLYGON (({lon-d} {lat-d}, {lon+d} {lat-d}, {lon+d} {lat+d},"
+            f" {lon-d} {lat+d}, {lon-d} {lat-d}))")
+        cells = geo.covering_cell_ids(box, lvl)
+        assert geo.cell_id_signed(cid) in cells, (lon, lat, lvl)
+
+
+def test_spherical_closest_pair_invariants_random():
+    """Symmetry; closest-pair distance never exceeds the vertex-to-vertex
+    minimum; zero iff intersecting (on random segment pairs)."""
+    import numpy as np
+    from sedona_db_spark.geom import sphere, wkt
+    rng = np.random.RandomState(5)
+    for _ in range(40):
+        lon1, lat1 = rng.uniform(-170, 170), rng.uniform(-80, 80)
+        lon2, lat2 = lon1 + rng.uniform(-20, 20), np.clip(
+            lat1 + rng.uniform(-20, 20), -89, 89)
+        lon3, lat3 = rng.uniform(-170, 170), rng.uniform(-80, 80)
+        lon4, lat4 = lon3 + rng.uniform(-20, 20), np.clip(
+            lat3 + rng.uniform(-20, 20), -89, 89)
+        g1 = wkt.from_wkt(f"LINESTRING ({lon1} {lat1}, {lon2} {lat2})")
+        g2 = wkt.from_wkt(f"LINESTRING ({lon3} {lat3}, {lon4} {lat4})")
+        a12, p, q = sphere.closest_pair_rad(g1, g2)
+        a21, _, _ = sphere.closest_pair_rad(g2, g1)
+        assert abs(a12 - a21) < 1e-9
+        # vertex-to-vertex bound
+        V1 = sphere.xyz_of(g1.all_coords()[:, :2])
+        V2 = sphere.xyz_of(g2.all_coords()[:, :2])
+        vv = min(float(np.arctan2(np.linalg.norm(np.cross(u, v)), u @ v))
+                 for u in V1 for v in V2)
+        assert a12 <= vv + 1e-12
+        inter = sphere.intersects_exact(g1, g2)
+        assert (a12 == 0.0) == bool(inter)
+
+
+def test_lzw_roundtrip_random():
+    """TIFF LZW self-roundtrip across alphabet sizes and run shapes."""
+    import numpy as np
+    from sedona_db_spark.sources.geotiff import _lzw_compress, _lzw_decompress
+    rng = np.random.RandomState(9)
+    for _ in range(25):
+        n = int(rng.randint(1, 60000))
+        alpha = int(rng.randint(2, 257))
+        data = bytes(rng.randint(0, alpha, n, dtype=np.uint16).astype(np.uint8))
+        assert _lzw_decompress(_lzw_compress(data)) == data
+
+
+def test_jpeg_decoder_tolerates_all_gray_levels():
+    """Every uniform gray level decodes to within 1 LSB (DC-only path)."""
+    import numpy as np
+    from sedona_db_spark.operators.jpeg_native import decode_jpeg, encode_jpeg
+    for g in (0, 1, 17, 128, 200, 254, 255):
+        img = np.full((8, 16), g, dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, 95))
+        assert np.all(np.abs(dec.astype(int) - g) <= 1), g
