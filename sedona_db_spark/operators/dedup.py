@@ -55,7 +55,12 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     sig = tx.minhash_udf(num_perm=num_perm, shingle_k=shingle_k)
-    sdf = df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("sig"))
+    # persist the signatures: they are referenced three times (banding +
+    # both sides of the candidate join-back) and Catalyst would otherwise
+    # re-run the shingle/minhash UDF for each reference.  ~300 B/doc
+    # (MEMORY_AND_DISK), far smaller than the text it replaces.
+    sdf = df.select(F.col(id_col).alias("id"),
+                    sig(F.col(text_col)).alias("sig")).persist()
     # band hash: native slice + hash of the slice
     banded = sdf.select(
         "id", "sig",
