@@ -112,7 +112,9 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     from sedona_db_spark.functions.text import simhash64_kernel
     import pandas as pd
     sim = F.pandas_udf(simhash64_kernel, returnType="long")
-    sdf = df.select(F.col(id_col).alias("id"), sim(F.col(text_col)).alias("sh"))
+    # persist: the banded self-join would re-run the simhash UDF per side
+    sdf = df.select(F.col(id_col).alias("id"),
+                    sim(F.col(text_col)).alias("sh")).persist()
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk"),
                  F.shiftrightunsigned(F.col("sh"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"))

@@ -118,9 +118,10 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
             [], "id_a long, id_b long, cosine double")
     dim = len(first[0])
     sig_udf = lsh_signature_udf(dim, bits, seed)
+    # persist: the banded self-join would re-run the signature UDF per side
     sdf = df.select(F.col(id_col).alias("id"),
                     F.col(vec_col).cast("array<double>").alias("v")) \
-            .withColumn("sig", sig_udf(F.col("v")))
+            .withColumn("sig", sig_udf(F.col("v"))).persist()
     nbands = bits // band_bits
     mask = (1 << band_bits) - 1
     bandc = F.array(*[
