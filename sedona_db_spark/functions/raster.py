@@ -810,6 +810,33 @@ def _sql_accessor_defs():
         ("RS_SetSRID", f"(r {R}, s INT)", R,
          mk_raster.format(crs="concat('EPSG:', CAST(s AS STRING))",
                           transform="r.transform", bands="r.bands")),
+        # pixel geometries + combined coordinate forms
+        # (rs_pixel_geometry.rs / rs_coords.rs SQL names)
+        ("RS_RasterToWorldCoord", f"(r {R}, px DOUBLE, py DOUBLE)", "BINARY",
+         "ST_Point(RS_RasterToWorldCoordX(r, px, py), "
+         "RS_RasterToWorldCoordY(r, px, py))"),
+        ("RS_WorldToRasterCoord", f"(r {R}, wx DOUBLE, wy DOUBLE)", "BINARY",
+         "ST_Point(CAST(RS_WorldToRasterCoordX(r, wx, wy) AS DOUBLE), "
+         "CAST(RS_WorldToRasterCoordY(r, wx, wy) AS DOUBLE))"),
+        ("RS_PixelAsPoint", f"(r {R}, px DOUBLE, py DOUBLE)", "BINARY",
+         "RS_RasterToWorldCoord(r, px, py)"),
+        ("RS_PixelAsCentroid", f"(r {R}, px DOUBLE, py DOUBLE)", "BINARY",
+         "RS_RasterToWorldCoord(r, px + 0.5D, py + 0.5D)"),
+        ("RS_PixelAsPolygon", f"(r {R}, px DOUBLE, py DOUBLE)", "BINARY",
+         "ST_GeomFromWKT(concat('POLYGON ((', "
+         "concat_ws(' ', RS_RasterToWorldCoordX(r, px, py), "
+         "RS_RasterToWorldCoordY(r, px, py)), ', ', "
+         "concat_ws(' ', RS_RasterToWorldCoordX(r, px + 1.0D, py), "
+         "RS_RasterToWorldCoordY(r, px + 1.0D, py)), ', ', "
+         "concat_ws(' ', RS_RasterToWorldCoordX(r, px + 1.0D, py + 1.0D), "
+         "RS_RasterToWorldCoordY(r, px + 1.0D, py + 1.0D)), ', ', "
+         "concat_ws(' ', RS_RasterToWorldCoordX(r, px, py + 1.0D), "
+         "RS_RasterToWorldCoordY(r, px, py + 1.0D)), ', ', "
+         "concat_ws(' ', RS_RasterToWorldCoordX(r, px, py), "
+         "RS_RasterToWorldCoordY(r, px, py)), '))'))"),
+        ("RS_SliceRange", f"(r {R}, s INT, e INT)", R,
+         mk_raster.format(crs="r.crs", transform="r.transform",
+                          bands="slice(r.bands, s, e - s + 1)")),
         ("RS_SetCRS", f"(r {R}, c STRING)", R,
          mk_raster.format(crs="c", transform="r.transform", bands="r.bands")),
         ("RS_SetGeoReference",

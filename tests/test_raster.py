@@ -657,3 +657,24 @@ def test_geotiff_packbits_native():
     got = _band_array(row["bands"][0]).reshape(h, w).astype(np.uint8)
     assert np.array_equal(got, arr)
     os.unlink(p)
+
+
+def test_rs_pixel_geometry_sql_names(rdf, spark):
+    """RS_PixelAsPoint/Centroid/Polygon, combined coord forms, SliceRange
+    — SQL names at parity with the reference's raster register list."""
+    rdf.createOrReplaceTempView("rast_px")
+    r = spark.sql("""
+      SELECT ST_AsText(RS_PixelAsPoint(rast, 0.0, 0.0)) AS p,
+             ST_AsText(RS_PixelAsCentroid(rast, 0.0, 0.0)) AS c,
+             round(ST_Area(RS_PixelAsPolygon(rast, 1.0, 1.0)), 6) AS a,
+             ST_AsText(RS_RasterToWorldCoord(rast, 2.0, 1.0)) AS r2w,
+             ST_AsText(RS_WorldToRasterCoord(rast, 12.5, 19.0)) AS w2r,
+             RS_NumBands(RS_SliceRange(rast, 1, 1)) AS nb
+      FROM rast_px
+    """).first()
+    assert r["p"] == "POINT (10 20)"
+    assert r["c"] == "POINT (10.5 19.5)"
+    assert r["a"] == 1.0
+    assert r["r2w"] == "POINT (12 19)"
+    assert r["w2r"] == "POINT (2 1)"
+    assert r["nb"] == 1
