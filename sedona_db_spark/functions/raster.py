@@ -837,6 +837,16 @@ def _sql_accessor_defs():
         ("RS_SliceRange", f"(r {R}, s INT, e INT)", R,
          mk_raster.format(crs="r.crs", transform="r.transform",
                           bands="slice(r.bands, s, e - s + 1)")),
+        ("RS_Metadata", f"(r {R})",
+         "STRUCT<upperleftx DOUBLE, upperlefty DOUBLE, width BIGINT, "
+         "height BIGINT, scalex DOUBLE, scaley DOUBLE, skewx DOUBLE, "
+         "skewy DOUBLE, srid INT, numbands INT>",
+         "NAMED_STRUCT('upperleftx', r.transform[0], "
+         "'upperlefty', r.transform[3], 'width', RS_Width(r), "
+         "'height', RS_Height(r), 'scalex', r.transform[1], "
+         "'scaley', r.transform[5], 'skewx', r.transform[2], "
+         "'skewy', r.transform[4], 'srid', RS_SRID(r), "
+         "'numbands', RS_NumBands(r))"),
         ("RS_SetCRS", f"(r {R}, c STRING)", R,
          mk_raster.format(crs="c", transform="r.transform", bands="r.bands")),
         ("RS_SetGeoReference",

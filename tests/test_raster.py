@@ -678,3 +678,11 @@ def test_rs_pixel_geometry_sql_names(rdf, spark):
     assert r["r2w"] == "POINT (12 19)"
     assert r["w2r"] == "POINT (2 1)"
     assert r["nb"] == 1
+
+
+def test_rs_metadata_sql(rdf, spark):
+    rdf.createOrReplaceTempView("rast_m")
+    m = spark.sql("SELECT RS_Metadata(rast) AS m FROM rast_m").first()["m"]
+    assert (m["upperleftx"], m["upperlefty"]) == (10.0, 20.0)
+    assert (m["width"], m["height"], m["numbands"]) == (4, 3, 1)
+    assert (m["scalex"], m["scaley"], m["srid"]) == (1.0, -1.0, 4326)
