@@ -882,6 +882,8 @@ def register(spark: SparkSession) -> None:
     spark.udf.register("RS_ReprojectMatch", _rs_reproject_match_udf)
     spark.udf.register("RS_DimToBand", _rs_dimtoband_udf)
     spark.udf.register("RS_BandToDim", _rs_bandtodim_udf)
+    spark.udf.register("RS_Resample", _rs_resample_udf)
+    spark.udf.register("RS_Polygonize", _rs_polygonize_udf)
     register_sql_accessors(spark)
 
 
