@@ -13,10 +13,10 @@ S2-style cell functions S2_CellIDFromPoint / S2_CoveringCellIDs
 
 All kernels assume lon/lat degrees (EPSG:4326 axis order lon, lat).
 
-Cell IDs: hierarchical face+Hilbert scheme with the same *shape* as S2
-(6 faces x 4^level cells, parent = child >> 2*(30-level)) built from public
-descriptions of the S2 decomposition; IDs are deterministic and
-prefix-hierarchical but not bitwise-identical to the s2geometry library.
+Cell IDs are bitwise-identical to the s2geometry library (cube face +
+quadratic ST + Hilbert lookup tables, validated on the reference's own
+vectors); SQL surfaces them as signed int64.  Coverings are sound
+RegionCoverer-style hierarchical descents (complete by construction).
 """
 
 from __future__ import annotations
