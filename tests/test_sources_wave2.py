@@ -593,3 +593,27 @@ def test_las14_extra_bytes_prefix(spark):
     pdf = parse_las_points(open(path, "rb").read())
     assert len(pdf) == 1
     assert abs(pdf["x"][0] - 0.5) < 1e-9 and abs(pdf["z"][0] - 0.5) < 1e-9
+
+
+def test_lz4_block_decoder_vs_liblz4():
+    """The native LZ4 block decoder must invert liblz4's compressor
+    (ecosystem oracle for the blosc-lz4 Zarr path)."""
+    import ctypes
+    from sedona_db_spark.sources.zarr_source import lz4_block_decompress
+    try:
+        lib = ctypes.CDLL("liblz4.so.1")
+    except OSError:
+        pytest.skip("liblz4 unavailable")
+    lib.LZ4_compressBound.restype = ctypes.c_int
+    lib.LZ4_compress_default.restype = ctypes.c_int
+    rng = np.random.RandomState(8)
+    cases = [b"hello world " * 2000,
+             bytes(rng.randint(0, 256, 50000, dtype=np.uint16).astype(np.uint8)),
+             bytes(rng.randint(0, 5, 80000, dtype=np.uint16).astype(np.uint8)),
+             np.arange(10000, dtype="<f8").tobytes(), b"x"]
+    for d in cases:
+        bound = lib.LZ4_compressBound(len(d))
+        dst = ctypes.create_string_buffer(bound)
+        n = lib.LZ4_compress_default(d, dst, len(d), bound)
+        assert n > 0
+        assert lz4_block_decompress(dst.raw[:n], len(d)) == d
