@@ -80,3 +80,12 @@ def test_spatial_broadcast_join_no_shuffle_of_big_side(spark):
                        broadcast_threshold=10**7)
     assert pi.broadcast_count(out) >= 1
     assert pi.shuffle_count(out) == 0  # only the broadcast, no hash exchange
+
+
+def test_broadcast_threshold_is_cluster_sane(spark):
+    """The 10x-scale regression: at 64 MB AQE converted a 6M-row fact side
+    into a driver-built broadcast hash relation (TPC-H Q3 6s stall).
+    Pin the threshold at 24 MB so small dims broadcast but fact tables
+    never do; explicit F.broadcast() hints still bypass it."""
+    v = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    assert v == 24 * 1024 * 1024
