@@ -1784,7 +1784,8 @@ def _q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             px = bytes([(k * 37 + i) % 256 for i in range(12)])
             rows.append((k, "image", "ppm",
                          bytearray(b"P6\n2 2\n255\n" + px), 2, 2, None))
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1)
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), MEDIA_SCHEMA)
     out = extract_features_real(df)
     norm = F.aggregate(F.col("features"), F.lit(0.0),
                        lambda a, v: a + v * v)
@@ -1820,7 +1821,8 @@ def _q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         img = (base + np.arange(64).reshape(8, 8) * 55 // 63).astype(np.uint8)
         rows.append((k, "image", "png", bytearray(encode_png(img)),
                      8, 8, None))
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1)
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), MEDIA_SCHEMA)
     out = extract_features_real(df)
     norm2 = F.aggregate(F.col("features"), F.lit(0.0), lambda a, v: a + v * v)
     # features = unit-norm 8x8 mean-pool of the image itself (dim=64 ->
@@ -1873,7 +1875,8 @@ def _q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         img = (base + np.arange(64).reshape(8, 8) * 55 // 63).astype(np.uint8)
         rows.append((k, "image", "jpeg", bytearray(encode_jpeg(img, 92)),
                      8, 8, None))
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1)
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), MEDIA_SCHEMA)
     out = extract_features_real(df)
     norm2 = F.aggregate(F.col("features"), F.lit(0.0), lambda a, v: a + v * v)
     mor = F.aggregate(F.col("features"), F.lit(0.0),
