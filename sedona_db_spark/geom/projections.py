@@ -461,6 +461,43 @@ class HelmertTM:
         return _ecef_to_geodetic(X, Y, Z, WGS84_A, WGS84_F * (2 - WGS84_F))
 
 
+class LambertConformalConic1SP:
+    """EPSG method 9801 (LCC with one standard parallel + scale factor),
+    e.g. the legacy French NTF Lambert zones and Jamaica grids."""
+
+    def __init__(self, lat0, lon0, k0, fe, fn, a, f):
+        self.a, self.f = a, f
+        e2 = f * (2 - f)
+        self.e = math.sqrt(e2)
+        p0 = math.radians(lat0)
+        self.lam0 = math.radians(lon0)
+        m0 = float(_m_snyder(np.float64(p0), self.e))
+        t0 = float(_t_snyder(np.float64(p0), self.e))
+        self.n = math.sin(p0)
+        self.F = m0 / (self.n * t0 ** self.n)
+        self.rho0 = a * self.F * t0 ** self.n * k0
+        self.aFk = a * self.F * k0
+        self.fe, self.fn = fe, fn
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        t = _t_snyder(phi, self.e)
+        rho = self.aFk * np.power(t, self.n)
+        th = self.n * (lam - self.lam0)
+        return self.fe + rho * np.sin(th), self.fn + self.rho0 - rho * np.cos(th)
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, dtype=np.float64) - self.fe
+        dy = self.rho0 - (np.asarray(y, dtype=np.float64) - self.fn)
+        sign = 1.0 if self.n >= 0 else -1.0
+        rho = sign * np.hypot(dx, dy)
+        t = np.power(rho / self.aFk, 1.0 / self.n)
+        th = np.arctan2(sign * dx, sign * dy)
+        phi = _phi_from_t(t, self.e)
+        return _wrap_lon(np.degrees(th / self.n + self.lam0)), np.degrees(phi)
+
+
 class HelmertProj:
     """Any projection on a non-WGS84 datum behind a Bursa-Wolf shift.
 
@@ -702,6 +739,22 @@ def _register_projections():
     reg["EPSG:2056"] = HelmertProj(
         SwissObliqueMercator(),
         t=(-674.374, -15.056, -405.346), r_arcsec=(0.0, 0.0, 0.0),
+        s_ppm=0.0)
+    # Ireland: TM65/Irish Grid (EPSG:29902) and IRENET-era 29903 — TM on
+    # Airy Modified (k0 = 1.000035) behind the published OSi/OSNI
+    # WGS84->Ireland65 Bursa-Wolf
+    _irish_tm = TransverseMercator(
+        53.5, -8.0, 1.000035, 200000.0, 250000.0, 6377340.189, AIRY_F)
+    reg["EPSG:29902"] = reg["EPSG:29903"] = HelmertTM(
+        _irish_tm, t=(-482.53, 130.596, -564.557),
+        r_arcsec=(1.042, 0.214, 0.631), s_ppm=-8.15)
+    # France (legacy): NTF / Lambert zone II (EPSG:27572) — LCC 1SP on
+    # Clarke 1880 IGN behind the NTF->WGS84 pure translation (negated)
+    _ntf_l2 = LambertConformalConic1SP(
+        46.8, 2.0 + 20.0 / 60.0 + 14.025 / 3600.0, 0.99987742,
+        600000.0, 2200000.0, 6378249.2, 1.0 / 293.4660212936269)
+    reg["EPSG:27572"] = HelmertProj(
+        _ntf_l2, t=(168.0, 60.0, -320.0), r_arcsec=(0.0, 0.0, 0.0),
         s_ppm=0.0)
     # Netherlands: Amersfoort / RD New — oblique stereographic on Bessel
     # behind the inverse of the published Amersfoort->WGS84 Bursa-Wolf

@@ -223,9 +223,9 @@ def test_transform_crs_roundtrip():
     # UTM is now supported natively; an unmapped CRS still raises
     utm = alg.transform_crs(g, "EPSG:4326", "EPSG:32633")
     assert utm.all_coords()[0][0] != 10  # projected, not passthrough
-    # 27700/31370/2056/28992 are registered; Irish grid is not
+    # national grids are registered; Czech Krovak (oblique conic) is not
     with pytest.raises(NotImplementedError):
-        alg.transform_crs(g, "EPSG:4326", "EPSG:29902")
+        alg.transform_crs(g, "EPSG:4326", "EPSG:5514")
     assert alg.transform_crs(g, "EPSG:4326", "epsg:4326") is g
 
 
@@ -596,3 +596,23 @@ def test_points_to_polygon_distance_batch_matches_scalar():
         for i, p in enumerate(pts):
             ref = alg.distance(core.make_point(p[0], p[1]), g)
             assert abs(batch[i] - ref) < 1e-9
+
+
+def test_irish_grid_and_ntf_lambert():
+    """EPSG:29902 (TM on Airy Modified, k0=1.000035 + OSi Bursa-Wolf) and
+    EPSG:27572 (LCC 1SP on Clarke 1880 IGN + NTF translation)."""
+    import numpy as np
+    from sedona_db_spark.geom import projections as prj
+    ir = prj.lookup_projection("EPSG:29902")
+    x, y = ir.tm.forward(np.array([-8.0]), np.array([53.5]))
+    assert abs(x[0] - 200000) < 1e-6 and abs(y[0] - 250000) < 1e-6
+    x, y = ir.forward(np.array([-6.2603]), np.array([53.3498]))  # Dublin GPO
+    assert abs(x[0] - 315904) < 30 and abs(y[0] - 234671) < 30
+    lon2, lat2 = ir.inverse(x, y)
+    assert abs(lon2[0] + 6.2603) < 1e-7
+
+    fr = prj.lookup_projection("EPSG:27572")
+    x, y = fr.forward(np.array([2.3522]), np.array([48.8566]))   # Paris
+    assert 598000 < x[0] < 604000 and 2425000 < y[0] < 2432000
+    lon2, lat2 = fr.inverse(x, y)
+    assert abs(lon2[0] - 2.3522) < 1e-7 and abs(lat2[0] - 48.8566) < 1e-7
