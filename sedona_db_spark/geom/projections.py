@@ -498,6 +498,81 @@ class LambertConformalConic1SP:
         return _wrap_lon(np.degrees(th / self.n + self.lam0)), np.degrees(phi)
 
 
+class Krovak:
+    """EPSG method 9819 (Krovak oblique conformal conic, S-JTSK) in the
+    East-North orientation of EPSG:5514 (east = -westing, north =
+    -southing).  Constants and flow follow the published EPSG Guidance
+    Note 7-2 formulas; validated on its worked example."""
+
+    def __init__(self):
+        a, f = 6377397.155, 1.0 / 299.1528128   # Bessel 1841
+        self.a = a
+        e2 = f * (2 - f)
+        self.e = math.sqrt(e2)
+        phi_c = math.radians(49.5)               # projection centre latitude
+        # 42d30' east of Ferro == 24d50' east of Greenwich
+        self.lam0 = math.radians(24.0 + 50.0 / 60.0)
+        self.alpha = math.radians(30.0 + 17.0 / 60.0 + 17.3031 / 3600.0)
+        phi_1 = math.radians(78.5)               # pseudo standard parallel
+        k_p = 0.9999
+        self.B = math.sqrt(1 + e2 * math.cos(phi_c) ** 4 / (1 - e2))
+        A_ = a * math.sqrt(1 - e2) / (1 - e2 * math.sin(phi_c) ** 2)
+        self.gamma0 = math.asin(math.sin(phi_c) / self.B)
+        self.t0 = (math.tan(math.pi / 4 + self.gamma0 / 2)
+                   * ((1 + self.e * math.sin(phi_c))
+                      / (1 - self.e * math.sin(phi_c))) ** (self.e * self.B / 2)
+                   / math.tan(math.pi / 4 + phi_c / 2) ** self.B)
+        self.n = math.sin(phi_1)
+        self.r0 = k_p * A_ / math.tan(phi_1)
+        self.tan_p1 = math.tan(phi_1 / 2 + math.pi / 4)
+
+    def _gamma(self, phi):
+        s = np.sin(phi)
+        return 2 * (np.arctan(
+            self.t0 * np.tan(phi / 2 + np.pi / 4) ** self.B
+            / ((1 + self.e * s) / (1 - self.e * s)) ** (self.e * self.B / 2))
+            - np.pi / 4)
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        U = self._gamma(phi)
+        V = self.B * (self.lam0 - lam)
+        T = np.arcsin(np.clip(math.cos(self.alpha) * np.sin(U)
+                              + math.sin(self.alpha) * np.cos(U) * np.cos(V),
+                              -1.0, 1.0))
+        D = np.arcsin(np.clip(np.cos(U) * np.sin(V) / np.cos(T), -1.0, 1.0))
+        theta = self.n * D
+        r = self.r0 * self.tan_p1 ** self.n \
+            / np.tan(T / 2 + np.pi / 4) ** self.n
+        southing = r * np.cos(theta)
+        westing = r * np.sin(theta)
+        return -westing, -southing   # EPSG:5514 East-North
+
+    def inverse(self, x, y):
+        westing = -np.asarray(x, dtype=np.float64)
+        southing = -np.asarray(y, dtype=np.float64)
+        r = np.hypot(westing, southing)
+        theta = np.arctan2(westing, southing)
+        D = theta / self.n
+        T = 2 * (np.arctan((self.r0 * self.tan_p1 ** self.n / r)
+                           ** (1.0 / self.n)) - np.pi / 4)
+        U = np.arcsin(np.clip(math.cos(self.alpha) * np.sin(T)
+                              - math.sin(self.alpha) * np.cos(T) * np.cos(D),
+                              -1.0, 1.0))
+        V = np.arcsin(np.clip(np.cos(T) * np.sin(D) / np.cos(U), -1.0, 1.0))
+        lam = self.lam0 - V / self.B
+        # invert the conformal latitude by fixed point
+        phi = U.copy()
+        for _ in range(15):
+            s = np.sin(phi)
+            phi = 2 * (np.arctan(
+                (np.tan(U / 2 + np.pi / 4) / self.t0
+                 * ((1 + self.e * s) / (1 - self.e * s))
+                 ** (self.e * self.B / 2)) ** (1.0 / self.B)) - np.pi / 4)
+        return _wrap_lon(np.degrees(lam)), np.degrees(phi)
+
+
 class HelmertProj:
     """Any projection on a non-WGS84 datum behind a Bursa-Wolf shift.
 
@@ -756,6 +831,11 @@ def _register_projections():
     reg["EPSG:27572"] = HelmertProj(
         _ntf_l2, t=(168.0, 60.0, -320.0), r_arcsec=(0.0, 0.0, 0.0),
         s_ppm=0.0)
+    # Czechia/Slovakia: S-JTSK / Krovak East North (EPSG:5514) behind the
+    # inverse of the published S-JTSK->WGS84 Bursa-Wolf
+    reg["EPSG:5514"] = HelmertProj(
+        Krovak(), t=(-570.8, -85.7, -462.8),
+        r_arcsec=(-4.998, -1.587, -5.261), s_ppm=-3.56)
     # Netherlands: Amersfoort / RD New — oblique stereographic on Bessel
     # behind the inverse of the published Amersfoort->WGS84 Bursa-Wolf
     reg["EPSG:28992"] = HelmertProj(

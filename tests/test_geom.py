@@ -223,9 +223,9 @@ def test_transform_crs_roundtrip():
     # UTM is now supported natively; an unmapped CRS still raises
     utm = alg.transform_crs(g, "EPSG:4326", "EPSG:32633")
     assert utm.all_coords()[0][0] != 10  # projected, not passthrough
-    # national grids are registered; Czech Krovak (oblique conic) is not
+    # national grids are registered; Hungarian EOV is not
     with pytest.raises(NotImplementedError):
-        alg.transform_crs(g, "EPSG:4326", "EPSG:5514")
+        alg.transform_crs(g, "EPSG:4326", "EPSG:23700")
     assert alg.transform_crs(g, "EPSG:4326", "epsg:4326") is g
 
 
@@ -616,3 +616,20 @@ def test_irish_grid_and_ntf_lambert():
     assert 598000 < x[0] < 604000 and 2425000 < y[0] < 2432000
     lon2, lat2 = fr.inverse(x, y)
     assert abs(lon2[0] - 2.3522) < 1e-7 and abs(lat2[0] - 48.8566) < 1e-7
+
+
+def test_krovak_5514():
+    """EPSG:5514 (Krovak oblique conformal conic, method 9819):
+    reproduces the EPSG worked example (southing 1050538.643, westing
+    568990.997) to sub-cm; Prague lands on its known S-JTSK cell."""
+    import numpy as np
+    from sedona_db_spark.geom import projections as prj
+    p = prj.lookup_projection("EPSG:5514")
+    lat = 50 + 12 / 60 + 32.4416 / 3600
+    lon = 16 + 50 / 60 + 59.1790 / 3600
+    x, y = p.proj.forward(np.array([lon]), np.array([lat]))
+    assert abs(-y[0] - 1050538.643) < 0.01 and abs(-x[0] - 568990.997) < 0.01
+    x, y = p.forward(np.array([14.4208]), np.array([50.0875]))
+    assert -746000 < x[0] < -740000 and -1046000 < y[0] < -1041000
+    lon2, lat2 = p.inverse(x, y)
+    assert abs(lon2[0] - 14.4208) < 1e-7 and abs(lat2[0] - 50.0875) < 1e-7
