@@ -1621,8 +1621,10 @@ def transform_crs(g: Geom, src: str, dst: str) -> Geom:
         return transform_crs(g2, "EPSG:4326", dst)
     raise NotImplementedError(
         f"transform {src} -> {dst} not supported (supported: EPSG:4326/"
-        "OGC:CRS84 <-> EPSG:3857 <-> EPSG:326xx/327xx UTM zones, plus "
-        "registered LCC/Albers/polar-stereographic/LAEA codes — see "
+        "OGC:CRS84 <-> EPSG:3857 <-> UTM zones (WGS84/ETRS89/NAD83), plus "
+        "registered national grids — OSGB 27700, Irish 29902/3, Belgian "
+        "31370, Swiss 2056, Dutch 28992, Czech/Slovak 5514, NTF 27572, "
+        "Lambert-93, NZTM, Albers/LAEA/polar-stereo/state-plane codes — see "
         "geom/projections.py _PROJ_REGISTRY)")
 
 
