@@ -283,13 +283,13 @@ def covering_cell_ids(g: Geom, level: int = 8) -> list[int]:
             hit = True  # conservative: keep on predicate failure
         if not hit:
             return
-        if len(out) > 65536:
-            raise ValueError(
-                "covering exceeds 65536 cells — use a coarser level "
-                "(S2 RegionCoverer max_cells semantics)")
-        if lvl == level:
+        # At the cap, emit the current (coarser) ancestor cell instead of
+        # descending further: the covering stays complete — S2
+        # RegionCoverer max_cells semantics — rather than hard-failing the
+        # query.  Result may therefore mix levels once the cap is hit.
+        if lvl == level or len(out) >= 65536:
             leaf = _cellid_from_face_ij(face, i0 + size // 2, j0 + size // 2)
-            lsb = 1 << (2 * (_MAX_LEVEL - level))
+            lsb = 1 << (2 * (_MAX_LEVEL - lvl))
             out.add((leaf & ~(lsb - 1)) | lsb)
             return
         h = size // 2

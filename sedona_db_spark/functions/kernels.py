@@ -615,16 +615,27 @@ def k_perimeter_fast(s: pd.Series) -> pd.Series:
 
 
 def k_centroid(s):
-    r = _fast_ragged(s, core.POLYGON)
-    if r is not None:
-        _, cx, cy = core.ragged_ring_area_centroid(*r)
-        return pd.Series(list(core.points_to_wkb_array(cx, cy)), dtype=object)
-
     def one(g):
         c = alg.centroid(g)
         if c is None:
             return Geom(core.POINT, None)
         return make_point(c[0], c[1])
+
+    r = _fast_ragged(s, core.POLYGON)
+    if r is not None:
+        area, cx, cy = core.ragged_ring_area_centroid(*r)
+        out = pd.Series(list(core.points_to_wkb_array(cx, cy)), dtype=object)
+        # zero-area (degenerate) rings: the shoelace centroid is undefined,
+        # and falling back to the first vertex diverges from the per-row
+        # path (alg.centroid = PostGIS length-weighted semantics).  Route
+        # exactly those rows through the slow path so results don't depend
+        # on batch composition.
+        zero = np.flatnonzero(area == 0.0)
+        if len(zero):
+            slow = _unary_geom(one)(
+                s.iloc[zero].reset_index(drop=True))
+            out.iloc[zero] = slow.to_numpy(dtype=object)
+        return out
     return _unary_geom(one)(s)
 
 

@@ -384,16 +384,70 @@ def _pts_to_arc(V, a, b):
     return dists, pts
 
 
+def _shared_point(g1: Geom, g2: Geom) -> np.ndarray:
+    """An actual point common to both geometries (assumes they intersect).
+
+    Mirrors the detection order of intersects_exact — a vertex of one
+    touching the other, else a great-circle edge-edge crossing point — so
+    whenever intersects_exact is True a genuine witness exists here."""
+    p1, l1, po1 = _parts(g1)
+    p2, l2, po2 = _parts(g2)
+    for p in p1:
+        if _point_touches(p2, l2, po2, p):
+            return p
+    for p in p2:
+        if _point_touches(p1, l1, po1, p):
+            return p
+    for l in l1:
+        for v in l:
+            if _point_touches([], l2, po2, v):
+                return v
+    for l in l2:
+        for v in l:
+            if _point_touches([], l1, po1, v):
+                return v
+    for rings in po1:
+        for v in rings[0]:
+            if _point_touches([], l2, po2, v):
+                return v
+    for rings in po2:
+        for v in rings[0]:
+            if _point_touches([], l1, po1, v):
+                return v
+    # proper interior crossing: intersect the two great circles and pick
+    # the hemisphere candidate that lies on both arcs
+    a, b = _all_edges(l1, po1)
+    c, d = _all_edges(l2, po2)
+    if len(a) and len(c):
+        A = a[:, None, :]; B = b[:, None, :]
+        C = c[None, :, :]; D = d[None, :, :]
+        hits = np.argwhere(simple_crossing(A, B, C, D))
+        for i, j in hits:
+            x = np.cross(np.cross(a[i], b[i]), np.cross(c[j], d[j]))
+            n = np.linalg.norm(x)
+            if n < 1e-15:
+                continue
+            x = x / n
+            for cand in (x, -x):
+                if bool(on_arc(cand, a[i:i + 1], b[i:i + 1])[0]) and \
+                        bool(on_arc(cand, c[j:j + 1], d[j:j + 1])[0]):
+                    return cand
+    # unreachable when intersects_exact held; degrade to a vertex
+    ac = g1.all_coords()
+    return xyz_of(ac[:1, :2])[0] if len(ac) else np.array([1.0, 0, 0])
+
+
 def closest_pair_rad(g1: Geom, g2: Geom):
     """Exact spherical closest pair: (angle_rad, p1_xyz, p2_xyz).
 
-    angle 0 with p1=p2 when the geometries intersect (exact predicate);
-    otherwise the minimum over vertex-to-arc projections in both
-    directions (which subsumes vertex-vertex).  This is the true
-    great-circle geometry distance the reference gets from S2
-    (c/sedona-s2geography), replacing the vertex-only approximation."""
+    angle 0 with p1=p2=an actual shared point when the geometries
+    intersect (exact predicate); otherwise the minimum over
+    vertex-to-arc projections in both directions (which subsumes
+    vertex-vertex).  This is the true great-circle geometry distance the
+    reference gets from S2 (c/sedona-s2geography), replacing the
+    vertex-only approximation."""
     if intersects_exact(g1, g2):
-        p = next(iter(xyz_of(g1.all_coords()[:1, :2])), np.array([1.0, 0, 0]))
+        p = _shared_point(g1, g2)
         return 0.0, p, p
     V1 = xyz_of(g1.all_coords()[:, :2])
     V2 = xyz_of(g2.all_coords()[:, :2])

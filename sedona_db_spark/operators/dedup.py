@@ -61,6 +61,18 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     # (MEMORY_AND_DISK), far smaller than the text it replaces.
     sdf = df.select(F.col(id_col).alias("id"),
                     sig(F.col(text_col)).alias("sig")).persist()
+    try:
+        return _minhash_pairs_plan(sdf, num_perm, bands, rows_per_band,
+                                   threshold).localCheckpoint(eager=True)
+    finally:
+        # release the cached signature blocks as soon as the (far smaller)
+        # pair set is materialized — repeated invocations in a long-lived
+        # session must not accumulate MEMORY_AND_DISK blocks
+        sdf.unpersist()
+
+
+def _minhash_pairs_plan(sdf: DataFrame, num_perm: int, bands: int,
+                        rows_per_band: int, threshold: float) -> DataFrame:
     # band hash: native slice + hash of the slice
     banded = sdf.select(
         "id", "sig",
@@ -115,6 +127,13 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # persist: the banded self-join would re-run the simhash UDF per side
     sdf = df.select(F.col(id_col).alias("id"),
                     sim(F.col(text_col)).alias("sh")).persist()
+    try:
+        return _simhash_pairs_plan(sdf, max_hamming).localCheckpoint(eager=True)
+    finally:
+        sdf.unpersist()
+
+
+def _simhash_pairs_plan(sdf: DataFrame, max_hamming: int) -> DataFrame:
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk"),
                  F.shiftrightunsigned(F.col("sh"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"))

@@ -297,6 +297,12 @@ class _BitReader:
                 self.acc = (self.acc << 8) & 0xFFFFFFFF
                 self.n += 8
                 continue
+            if self.pos >= len(d) or (d[self.pos] == 0xFF
+                                      and self.pos + 1 >= len(d)):
+                # truncated entropy-coded segment (no trailing marker):
+                # surface the decoder's documented error contract, not an
+                # IndexError from deep inside the bit machinery
+                raise ValueError("truncated JPEG stream")
             b = d[self.pos]
             if b == 0xFF:
                 nb = d[self.pos + 1]
@@ -433,6 +439,8 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, ri):
                     # skip to the marker position and consume it
                     while data[br.pos] != 0xFF or not (0xD0 <= data[br.pos + 1] <= 0xD7):
                         br.pos += 1
+                        if br.pos + 1 >= len(data):
+                            raise ValueError("truncated JPEG stream")
                     br.restart()
                     pred = [0] * len(scan)
             for si, sc in enumerate(scan):

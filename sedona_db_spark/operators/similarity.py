@@ -104,24 +104,14 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
             .limit(k))
 
 
-def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
-                             vec_col: str = "embedding", id_col: str = "vec_id",
-                             bits: int = _SIG_BITS, band_bits: int = 8,
-                             seed: int = 7) -> DataFrame:
-    """(id_a, id_b, cosine) pairs with cosine >= threshold.
+def _near_dup_candidates(sdf: DataFrame, bits: int, band_bits: int) -> DataFrame:
+    """Deduped (id_a, id_b) candidate pairs from a (id, v, sig) frame.
 
-    LSH bucket join on signature bands (pigeonhole over hamming radius),
-    exact native cosine verification on candidates only."""
-    first = df.select(vec_col).first()
-    if first is None:
-        return df.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, cosine double")
-    dim = len(first[0])
-    sig_udf = lsh_signature_udf(dim, bits, seed)
-    # persist: the banded self-join would re-run the signature UDF per side
-    sdf = df.select(F.col(id_col).alias("id"),
-                    F.col(vec_col).cast("array<double>").alias("v")) \
-            .withColumn("sig", sig_udf(F.col("v"))).persist()
+    The band explode + self-join ships ONLY (id, band, bh) — the embedding
+    vectors stay out of the banded exchange (at 768-dim float64 that's
+    ~12 KB/row x nbands saved on the wire) and are joined back afterward
+    for the far smaller surviving candidate set, mirroring
+    dedup.minhash_candidate_pairs."""
     nbands = bits // band_bits
     mask = (1 << band_bits) - 1
     bandc = F.array(*[
@@ -129,20 +119,61 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                  F.shiftrightunsigned(F.col("sig"), c * band_bits)
                  .bitwiseAND(F.lit(mask)).alias("bh"))
         for c in range(nbands)])
-    banded = sdf.select("id", "v", F.explode(bandc).alias("b")) \
-                .select("id", "v", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    banded = sdf.select("id", F.explode(bandc).alias("b")) \
+                .select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
     a, b = banded.alias("a"), banded.alias("b")
-    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+    return (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                   (F.col("a.bh") == F.col("b.bh")) &
+                   (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+
+
+def _near_dup_pairs_plan(sdf: DataFrame, threshold: float,
+                         bits: int, band_bits: int) -> DataFrame:
+    """Lazy plan: banded candidates -> vector join-back -> exact cosine."""
+    cand = _near_dup_candidates(sdf, bits, band_bits)
+    vecs = sdf.select("id", "v")
+    pairs = (cand
+             .join(vecs.select(F.col("id").alias("id_a"),
+                               F.col("v").alias("va")), "id_a")
+             .join(vecs.select(F.col("id").alias("id_b"),
+                               F.col("v").alias("vb")), "id_b"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
                                         F.lit(0.0), lambda acc, x: acc + x))
-    pairs = (a.join(b, (F.col("a.band") == F.col("b.band")) &
-                    (F.col("a.bh") == F.col("b.bh")) &
-                    (F.col("a.id") < F.col("b.id")))
-             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                     (dot / (norm(F.col("a.v")) * norm(F.col("b.v")))).alias("cosine"))
-             .dropDuplicates(["id_a", "id_b"]))
-    return pairs.filter(F.col("cosine") >= threshold)
+    return (pairs.select("id_a", "id_b",
+                         (dot / (norm(F.col("va")) * norm(F.col("vb")))).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                             vec_col: str = "embedding", id_col: str = "vec_id",
+                             bits: int = _SIG_BITS, band_bits: int = 8,
+                             seed: int = 7) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine >= threshold.
+
+    LSH bucket join on signature bands (pigeonhole over hamming radius),
+    exact native cosine verification on candidates only.  The result is
+    materialized eagerly (localCheckpoint) so the persisted signature
+    frame can be released immediately — no cached blocks outlive the call."""
+    first = df.select(vec_col).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double")
+    dim = len(first[0])
+    sig_udf = lsh_signature_udf(dim, bits, seed)
+    # persist: the banded self-join and the two join-backs would otherwise
+    # re-run the signature UDF per reference
+    sdf = df.select(F.col(id_col).alias("id"),
+                    F.col(vec_col).cast("array<double>").alias("v")) \
+            .withColumn("sig", sig_udf(F.col("v"))).persist()
+    try:
+        return _near_dup_pairs_plan(sdf, threshold, bits, band_bits) \
+            .localCheckpoint(eager=True)
+    finally:
+        sdf.unpersist()
 
 
 def pairwise_topk_native(df: DataFrame, k: int, vec_col: str = "embedding",

@@ -396,9 +396,15 @@ def _spark_col_type(dt: T.DataType) -> int:
 
 
 def write_flatgeobuf(df: DataFrame, path: str, geom_col: str = "geom",
-                     name: str = "layer") -> None:
+                     name: str = "layer", max_rows: int | None = None) -> None:
     """Driver-side single-file FGB export, no spatial index
-    (index_node_size=0 — spec-legal, what GDAL calls SPATIAL_INDEX=NO)."""
+    (index_node_size=0 — spec-legal, what GDAL calls SPATIAL_INDEX=NO).
+    Guarded: raises beyond the driver-safe row cap — pass max_rows to
+    override."""
+    from sedona_db_spark.sources.guards import (
+        DEFAULT_MAX_DRIVER_ROWS, guard_driver_collect)
+    guard_driver_collect(df, "FlatGeobuf",
+                         DEFAULT_MAX_DRIVER_ROWS if max_rows is None else max_rows)
     rows = df.collect()
     attrs = [(f.name, _spark_col_type(f.dataType))
              for f in df.schema.fields if f.name != geom_col]

@@ -114,9 +114,17 @@ def read_geopackage(spark: SparkSession, path: str, table: str | None = None,
 
 
 def write_geopackage(df: DataFrame, path: str, table: str = "layer",
-                     geom_col: str = "geom", srs_id: int = 4326) -> None:
-    """Driver-side single-file GPKG export with the required registry."""
+                     geom_col: str = "geom", srs_id: int = 4326,
+                     max_rows: int | None = None) -> None:
+    """Driver-side single-file GPKG export with the required registry.
+
+    Guarded: raises (steering to GeoParquet) beyond the driver-safe row
+    cap — pass max_rows to override."""
     import os
+    from sedona_db_spark.sources.guards import (
+        DEFAULT_MAX_DRIVER_ROWS, guard_driver_collect)
+    guard_driver_collect(df, "GeoPackage",
+                         DEFAULT_MAX_DRIVER_ROWS if max_rows is None else max_rows)
     rows = df.collect()
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     if os.path.exists(path):

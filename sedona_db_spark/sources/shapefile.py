@@ -263,11 +263,17 @@ def _shape_record(g: Geom | None) -> bytes:
             + offsets.tobytes() + allp.astype("<f8").tobytes())
 
 
-def write_shapefile(df: DataFrame, path: str, geom_col: str = "geom") -> None:
+def write_shapefile(df: DataFrame, path: str, geom_col: str = "geom",
+                    max_rows: int | None = None) -> None:
     """Single-file shapefile write (driver-side assembly — the format's
     2 GB limit and single-header layout make it a small-data export
-    format; large outputs belong in GeoParquet)."""
+    format; large outputs belong in GeoParquet).  Guarded: raises beyond
+    the driver-safe row cap — pass max_rows to override."""
     import os
+    from sedona_db_spark.sources.guards import (
+        DEFAULT_MAX_DRIVER_ROWS, guard_driver_collect)
+    guard_driver_collect(df, "Shapefile",
+                         DEFAULT_MAX_DRIVER_ROWS if max_rows is None else max_rows)
     rows = df.collect()
     os.makedirs(path, exist_ok=True)
     base = os.path.join(path, "layer")

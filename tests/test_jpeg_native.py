@@ -144,3 +144,14 @@ def test_progressive_rejected():
            + bytes([1, 0x11, 0]) + b"\xFF\xD9")
     with pytest.raises(NotImplementedError):
         J.decode_jpeg(bad)
+
+
+def test_truncated_stream_raises_valueerror():
+    """A truncated entropy-coded segment must surface the decoder's
+    ValueError contract, not an IndexError from the bit machinery."""
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (24, 24), dtype=np.uint8)
+    enc = J.encode_jpeg(img, 90)
+    for cut in (len(enc) - 8, len(enc) - 30, len(enc) // 2 + 40):
+        with pytest.raises((ValueError, NotImplementedError)):
+            J.decode_jpeg(enc[:cut])

@@ -82,6 +82,28 @@ def test_spatial_broadcast_join_no_shuffle_of_big_side(spark):
     assert pi.shuffle_count(out) == 0  # only the broadcast, no hash exchange
 
 
+def test_near_dup_band_shuffle_carries_no_vectors(spark):
+    """The banded LSH candidate join must ship only (id, band, bh) — the
+    embedding vectors (array<double>, ~12 KB/row at 768-dim) stay out of
+    the band explode/exchange and are joined back post-dedup."""
+    from sedona_db_spark.operators.similarity import (
+        _near_dup_candidates, lsh_signature_udf)
+    emb = spark.table("embeddings").limit(50)
+    dim = len(emb.first()["embedding"])
+    sdf = emb.select(F.col("vec_id").alias("id"),
+                     F.col("embedding").cast("array<double>").alias("v")) \
+             .withColumn("sig", lsh_signature_udf(dim)(F.col("v"))).persist()
+    try:
+        plan = pi.executed_plan(_near_dup_candidates(sdf, 16, 8))
+        banded_lines = [ln for ln in plan.splitlines()
+                        if "Generate" in ln or "InMemoryTableScan" in ln
+                        or "Exchange" in ln]
+        assert banded_lines  # the banded path exists in the plan
+        assert all(" v#" not in ln and "(v#" not in ln for ln in banded_lines)
+    finally:
+        sdf.unpersist()
+
+
 def test_broadcast_threshold_is_cluster_sane(spark):
     """The 10x-scale regression: at 64 MB AQE converted a 6M-row fact side
     into a driver-built broadcast hash relation (TPC-H Q3 6s stall).

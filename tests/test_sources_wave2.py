@@ -617,3 +617,20 @@ def test_lz4_block_decoder_vs_liblz4():
         n = lib.LZ4_compress_default(d, dst, len(d), bound)
         assert n > 0
         assert lz4_block_decompress(dst.raw[:n], len(d)) == d
+
+
+def test_driver_writer_guard_raises_and_knob(spark, tmp_path):
+    """Single-file writers must refuse driver-OOM-sized inputs with a
+    GeoParquet steer, and honor an explicit max_rows override."""
+    from sedona_db_spark.sources.flatgeobuf import write_flatgeobuf
+    from sedona_db_spark.sources.geopackage import write_geopackage
+    from sedona_db_spark.sources.shapefile import write_shapefile
+    df = spark.sql(
+        "SELECT id, ST_Point(CAST(id AS DOUBLE), 1.0) AS geom "
+        "FROM range(10) AS t(id)")
+    for name, writer in [("gpkg", write_geopackage), ("shp", write_shapefile),
+                         ("fgb", write_flatgeobuf)]:
+        with pytest.raises(ValueError, match="GeoParquet"):
+            writer(df, str(tmp_path / ("no_" + name)), max_rows=5)
+    # override: raising the cap lets the same input through
+    write_flatgeobuf(df, str(tmp_path / "ok.fgb"), max_rows=10)
