@@ -47,6 +47,11 @@ HEADLINE = [
     "st_transform_osgb",
     "s2_cellid_points",
     "multimodal_jpeg_decode",
+    # round-5: bulk variants whose work grows with SF (the fixed-window
+    # micro-queries above measure the scheduling floor; these measure
+    # marginal throughput — the number that matters at 100 TB)
+    "st_distance_pairs_bulk",
+    "geo_distance_sphere_bulk",
 ]
 
 

@@ -1619,13 +1619,17 @@ def transform_crs(g: Geom, src: str, dst: str) -> Geom:
         if dst in _LL:
             return g2
         return transform_crs(g2, "EPSG:4326", dst)
+    unknown = dst if (prj.lookup_projection(dst) is None
+                      and prj.parse_utm_epsg(dst) is None
+                      and dst not in _LL and dst != "EPSG:3857") else src
+    near = ", ".join(prj.nearest_supported(unknown))
     raise NotImplementedError(
-        f"transform {src} -> {dst} not supported (supported: EPSG:4326/"
-        "OGC:CRS84 <-> EPSG:3857 <-> UTM zones (WGS84/ETRS89/NAD83), plus "
-        "registered national grids — OSGB 27700, Irish 29902/3, Belgian "
-        "31370, Swiss 2056, Dutch 28992, Czech/Slovak 5514, NTF 27572, "
-        "Lambert-93, NZTM, Albers/LAEA/polar-stereo/state-plane codes — see "
-        "geom/projections.py _PROJ_REGISTRY)")
+        f"transform {src} -> {dst} not supported: {unknown} is not in the "
+        f"parameter registry (nearest supported codes: {near}). Supported: "
+        "EPSG:4326/OGC:CRS84 <-> EPSG:3857 <-> all WGS84 UTM zones "
+        "326xx/327xx, ETRS89/NAD83 UTM, GDA94/GDA2020 MGA, SIRGAS2000 UTM "
+        "18S-25S, ~45 US State Plane NAD83 zones, and the national grids "
+        "in geom/projections.py _PROJ_REGISTRY")
 
 
 def haversine(lon1, lat1, lon2, lat2):

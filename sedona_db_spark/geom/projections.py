@@ -848,9 +848,126 @@ def _register_projections():
         r_arcsec=(0.398957, -0.343988, 1.87740), s_ppm=-4.0772)
 
 
+def _dms(d: float, m: float = 0.0, s: float = 0.0) -> float:
+    sign = -1.0 if d < 0 else 1.0
+    return sign * (abs(d) + m / 60.0 + s / 3600.0)
+
+
+# US State Plane NAD83 (meter-based EPSG codes), public EPSG registry
+# parameters (SPCS83, NOAA NGS 13).  Two method families feed the
+# existing projection classes as pure parameter data:
+#   LCC rows: (code, lat0, lon0, sp1, sp2, FE, FN)
+#   TM rows:  (code, lat0, lon0, k0, FE, FN)
+_SPCS83_LCC = [
+    # California zones 1-6
+    (26941, _dms(39, 20), _dms(-122, 0), _dms(41, 40), _dms(40, 0), 2000000.0, 500000.0),
+    (26942, _dms(37, 40), _dms(-122, 0), _dms(39, 50), _dms(38, 20), 2000000.0, 500000.0),
+    (26943, _dms(36, 30), _dms(-120, 30), _dms(38, 26), _dms(37, 4), 2000000.0, 500000.0),
+    (26944, _dms(35, 20), _dms(-119, 0), _dms(37, 15), _dms(36, 0), 2000000.0, 500000.0),
+    (26945, _dms(33, 30), _dms(-118, 0), _dms(35, 28), _dms(34, 2), 2000000.0, 500000.0),
+    (26946, _dms(32, 10), _dms(-116, 15), _dms(33, 53), _dms(32, 47), 2000000.0, 500000.0),
+    # Texas North / North Central / Central / South Central / South
+    (32137, _dms(34, 0), _dms(-101, 30), _dms(36, 11), _dms(34, 39), 200000.0, 1000000.0),
+    (32138, _dms(31, 40), _dms(-98, 30), _dms(33, 58), _dms(32, 8), 600000.0, 2000000.0),
+    (32139, _dms(29, 40), _dms(-100, 20), _dms(31, 53), _dms(30, 7), 700000.0, 3000000.0),
+    (32140, _dms(27, 50), _dms(-99, 0), _dms(30, 17), _dms(28, 23), 600000.0, 4000000.0),
+    (32141, _dms(25, 40), _dms(-98, 30), _dms(27, 50), _dms(26, 10), 300000.0, 5000000.0),
+    # Washington N/S, Oregon N/S
+    (32148, _dms(47, 0), _dms(-120, 50), _dms(48, 44), _dms(47, 30), 500000.0, 0.0),
+    (32149, _dms(45, 20), _dms(-120, 30), _dms(47, 20), _dms(45, 50), 500000.0, 0.0),
+    (32126, _dms(43, 40), _dms(-120, 30), _dms(46, 0), _dms(44, 20), 2500000.0, 0.0),
+    (32127, _dms(41, 40), _dms(-120, 30), _dms(44, 0), _dms(42, 20), 1500000.0, 0.0),
+    # Colorado N/C/S (exact-meter conversions of the 3,000,000/1,000,000
+    # US-survey-foot false origin)
+    (26953, _dms(39, 20), _dms(-105, 30), _dms(40, 47), _dms(39, 43), 914401.8289, 304800.6096),
+    (26954, _dms(37, 50), _dms(-105, 30), _dms(39, 45), _dms(38, 27), 914401.8289, 304800.6096),
+    (26955, _dms(36, 40), _dms(-105, 30), _dms(38, 26), _dms(37, 14), 914401.8289, 304800.6096),
+    # Pennsylvania N/S, Virginia N/S, North Carolina, Tennessee, Ohio N/S
+    (32128, _dms(40, 10), _dms(-77, 45), _dms(41, 57), _dms(40, 53), 600000.0, 0.0),
+    (32129, _dms(39, 20), _dms(-77, 45), _dms(40, 58), _dms(39, 56), 600000.0, 0.0),
+    (32146, _dms(37, 40), _dms(-78, 30), _dms(39, 12), _dms(38, 2), 3500000.0, 2000000.0),
+    (32147, _dms(36, 20), _dms(-78, 30), _dms(37, 58), _dms(36, 46), 3500000.0, 1000000.0),
+    (32119, _dms(33, 45), _dms(-79, 0), _dms(36, 10), _dms(34, 20), 609601.22, 0.0),
+    (32136, _dms(34, 20), _dms(-86, 0), _dms(36, 25), _dms(35, 15), 600000.0, 0.0),
+    (32122, _dms(39, 40), _dms(-82, 30), _dms(41, 42), _dms(40, 26), 600000.0, 0.0),
+    (32123, _dms(38, 0), _dms(-82, 30), _dms(40, 2), _dms(38, 44), 600000.0, 0.0),
+    # Massachusetts Mainland, Utah Central, Louisiana South
+    (26986, _dms(41, 0), _dms(-71, 30), _dms(42, 41), _dms(41, 43), 200000.0, 750000.0),
+    (32143, _dms(38, 20), _dms(-111, 30), _dms(40, 39), _dms(39, 1), 500000.0, 2000000.0),
+    (26982, _dms(28, 30), _dms(-91, 20), _dms(30, 42), _dms(29, 18), 1000000.0, 0.0),
+]
+
+_SPCS83_TM = [
+    # New Jersey / New York East (same parameters, two codes)
+    (32111, _dms(38, 50), _dms(-74, 30), 0.9999, 150000.0, 0.0),
+    (32115, _dms(38, 50), _dms(-74, 30), 0.9999, 150000.0, 0.0),
+    # Florida East / West
+    (26958, _dms(24, 20), _dms(-81, 0), 1.0 - 1.0 / 17000.0, 200000.0, 0.0),
+    (26959, _dms(24, 20), _dms(-82, 0), 1.0 - 1.0 / 17000.0, 200000.0, 0.0),
+    # Georgia East / West
+    (26966, _dms(30, 0), _dms(-82, 10), 0.9999, 200000.0, 0.0),
+    (26967, _dms(30, 0), _dms(-84, 10), 0.9999, 700000.0, 0.0),
+    # Alabama East, Illinois East / West
+    (26929, _dms(30, 30), _dms(-85, 50), 0.99996, 200000.0, 0.0),
+    (26971, _dms(36, 40), _dms(-88, 20), 1.0 - 1.0 / 40000.0, 300000.0, 0.0),
+    (26972, _dms(36, 40), _dms(-90, 10), 1.0 - 1.0 / 17000.0, 700000.0, 0.0),
+    # Arizona East / Central / West (false easting in exact meters of
+    # 700,000 international feet = 213,360 m)
+    (26948, _dms(31, 0), _dms(-110, 10), 0.9999, 213360.0, 0.0),
+    (26949, _dms(31, 0), _dms(-111, 55), 0.9999, 213360.0, 0.0),
+    (26950, _dms(31, 0), _dms(-113, 45), 1.0 - 1.0 / 15000.0, 213360.0, 0.0),
+]
+
+
+def _register_generated():
+    """Parameter-table-driven registrations: the math classes above are
+    complete; breadth is data.  All NAD83/GDA94/GDA2020/SIRGAS2000
+    datums are treated as WGS84-coincident (meter-level, standard
+    assumption — same as the existing ETRS89/NAD83 UTM entries)."""
+    reg = _PROJ_REGISTRY
+    for code, lat0, lon0, sp1, sp2, fe, fn in _SPCS83_LCC:
+        reg[f"EPSG:{code}"] = LambertConformalConic2SP(
+            lat0, lon0, sp1, sp2, fe, fn, "GRS80")
+    for code, lat0, lon0, k0, fe, fn in _SPCS83_TM:
+        reg[f"EPSG:{code}"] = TransverseMercator(
+            lat0, lon0, k0, fe, fn, GRS80_A, GRS80_F)
+    # NAD83 / UTM zones 1-2 (extends the 3-23 range above to the full set)
+    for z in (1, 2):
+        reg[f"EPSG:269{z:02d}"] = TransverseMercator(
+            0.0, utm_zone_central_meridian(z), K0, E0, 0.0, GRS80_A, GRS80_F)
+    # Australia: GDA94 / MGA zones 49-56 and GDA2020 / MGA zones 49-56
+    # (southern hemisphere: 10,000,000 m false northing)
+    for z in range(49, 57):
+        tm = TransverseMercator(0.0, utm_zone_central_meridian(z), K0, E0,
+                                10000000.0, GRS80_A, GRS80_F)
+        reg[f"EPSG:283{z:02d}"] = tm       # GDA94 / MGA
+        reg[f"EPSG:78{z:02d}"] = tm        # GDA2020 / MGA
+    # Brazil: SIRGAS 2000 / UTM zones 18S-25S
+    for z in range(18, 26):
+        reg[f"EPSG:319{60 + z}"] = TransverseMercator(
+            0.0, utm_zone_central_meridian(z), K0, E0, 10000000.0,
+            GRS80_A, GRS80_F)
+
+
 _register_projections()
+_register_generated()
 
 
 def lookup_projection(code: str):
     """Projection object for an EPSG/ESRI code, or None."""
     return _PROJ_REGISTRY.get(code.upper())
+
+
+def nearest_supported(code: str, n: int = 5) -> list[str]:
+    """The n numerically-nearest registered codes to an unsupported EPSG
+    code — for actionable NotImplementedError messages."""
+    c = code.upper().replace("EPSG:", "").replace("ESRI:", "")
+    if not c.isdigit():
+        return sorted(_PROJ_REGISTRY)[:n]
+    v = int(c)
+    return sorted(
+        set(_PROJ_REGISTRY)
+        | {f"EPSG:{32600 + z}" for z in range(1, 61)}
+        | {f"EPSG:{32700 + z}" for z in range(1, 61)},
+        key=lambda k: (abs(int(k.split(":")[1]) - v)
+                       if k.split(":")[1].isdigit() else 10**9))[:n]

@@ -134,6 +134,80 @@ class _GridIndex:
         sel = sel[np.lexsort((self.ids[idx[sel]], d[sel]))]
         return self.ids[idx[sel]], d[sel]
 
+    def knn_batch(self, Q: np.ndarray, k: int):
+        """Exact KNN for a whole batch of query points at once.
+
+        Vectorized analogue of :meth:`knn` (same completion bound, same
+        (distance, id) tie order) using the CSR square-probe pattern from
+        spatial_join.py — no per-query Python loop.  Each pass probes a
+        (2r+1)^2 cell square for every still-active query, takes a
+        per-query top-k by lexsort + group ranks, and retires queries
+        whose kth distance is provably inside the searched square; the
+        radius doubles for the remainder.  Returns (qrow, object_id,
+        dist) arrays sorted by (qrow, dist, id)."""
+        M = len(Q)
+        if M == 0 or len(self.pts) == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, np.empty(0, dtype=np.float64)
+        qcx = np.clip(((Q[:, 0] - self.x0) / self.w), 0, self.nx - 1)
+        qcy = np.clip(((Q[:, 1] - self.y0) / self.h), 0, self.ny - 1)
+        bad = ~(np.isfinite(qcx) & np.isfinite(qcy))   # empty/NaN queries
+        qcx = np.where(bad, 0, qcx).astype(np.int64)
+        qcy = np.where(bad, 0, qcy).astype(np.int64)
+        min_cell = min(self.w, self.h)
+        active = np.flatnonzero(~bad)
+        out_q: list[np.ndarray] = []
+        out_o: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        r = max(int(np.ceil(np.sqrt(k / 8.0))), 1)
+        while len(active):
+            ax = np.clip(qcx[active] - r, 0, self.nx - 1)
+            bx = np.clip(qcx[active] + r, 0, self.nx - 1)
+            ay = np.clip(qcy[active] - r, 0, self.ny - 1)
+            by = np.clip(qcy[active] + r, 0, self.ny - 1)
+            ncx = bx - ax + 1
+            ncy = by - ay + 1
+            per = ncx * ncy
+            rows = np.repeat(np.arange(len(active)), per)
+            base = np.concatenate(([0], np.cumsum(per)[:-1]))
+            off = np.arange(int(per.sum())) - np.repeat(base, per)
+            keys = (ax[rows] + off // ncy[rows]) * self.ny \
+                + (ay[rows] + off % ncy[rows])
+            s = self.starts[keys]
+            cnt = self.ends[keys] - s
+            prow = np.repeat(rows, cnt)
+            base2 = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            off2 = np.arange(int(cnt.sum())) - np.repeat(base2, cnt)
+            midx = self.order[np.repeat(s, cnt) + off2]
+            qi = active[prow]
+            d = np.hypot(self.pts[midx, 0] - Q[qi, 0],
+                         self.pts[midx, 1] - Q[qi, 1])
+            o = np.lexsort((self.ids[midx], d, prow))
+            prow_s, midx_s, d_s = prow[o], midx[o], d[o]
+            grp = np.arange(len(active))
+            gs = np.searchsorted(prow_s, grp)
+            ge = np.searchsorted(prow_s, grp, side="right")
+            counts = ge - gs
+            safe_kth = np.minimum(gs + k - 1, max(len(d_s) - 1, 0))
+            kth = np.where(counts >= k,
+                           d_s[safe_kth] if len(d_s) else np.inf, np.inf)
+            whole = ((ax == 0) & (ay == 0) & (bx == self.nx - 1)
+                     & (by == self.ny - 1))
+            done = whole | ((counts >= k) & (r * min_cell > kth))
+            if done.any():
+                rank = np.arange(len(prow_s)) - np.repeat(gs, counts)
+                take = (rank < k) & np.repeat(done, counts)
+                out_q.append(active[prow_s[take]])
+                out_o.append(self.ids[midx_s[take]])
+                out_d.append(d_s[take])
+            active = active[~done]
+            r *= 2
+        qr = np.concatenate(out_q) if out_q else np.empty(0, dtype=np.int64)
+        oi = np.concatenate(out_o) if out_o else np.empty(0, dtype=np.int64)
+        dd = np.concatenate(out_d) if out_d else np.empty(0, dtype=np.float64)
+        o = np.lexsort((oi, dd, qr))
+        return qr[o], oi[o], dd[o]
+
 
 def knn_join(
     queries: DataFrame,
@@ -227,6 +301,7 @@ def knn_join(
         data = bc.value
         idx = _GridIndex(data["pts"], data["ids"]) if len(data["pts"]) else None
         obj_geoms = None
+        obj_pdf = None
         for pdf in iterator:
             if idx is None:
                 yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
@@ -235,6 +310,21 @@ def knn_join(
             wkbs = pdf[query_geom]
             qpts = _fast_points(wkbs)
             decoded = None if qpts is not None else _decode(wkbs)
+            if (qpts is not None and not use_spheroid and not data["exact"]
+                    and not include_ties):
+                # all-point fast path: whole-batch vectorized KNN — no
+                # per-query Python loop (the probe loop was the broadcast
+                # path's throughput cap in the mid-size regime)
+                if obj_pdf is None:
+                    obj_pdf = pd.DataFrame(data["rows"],
+                                           columns=obj_out_names)
+                qrow, oids, dists = idx.knn_batch(qpts, k)
+                qpart = pdf.iloc[qrow].reset_index(drop=True)
+                opart = obj_pdf.iloc[oids].reset_index(drop=True)
+                out = pd.concat([qpart, opart], axis=1)
+                out["knn_distance"] = dists
+                yield out[[f.name for f in out_schema.fields]]
+                continue
             # include_ties ranks ALL broadcast objects (exact tie cut —
             # the broadcast path's object side is small by construction)
             n_obj = len(data["ids"])
@@ -309,6 +399,11 @@ def knn_join(
 # partitioned (large-large) KNN join — two-round bound-then-refine
 # ======================================================================
 
+# most-recent partitioned-KNN object cache (see persist note in the
+# function body); holds at most one entry
+_PARTITIONED_CACHE: dict = {}
+
+
 def knn_join_partitioned(
     queries: DataFrame,
     objects: DataFrame,
@@ -370,6 +465,20 @@ def knn_join_partitioned(
                 F.lit(0.0))) \
             .drop("__ob")
 
+    # One materialization of the bbox-augmented object side serves the
+    # stats agg AND both candidate rounds: without the cache, the Python
+    # bbox pass over the full object table ran three times (stats, round
+    # A, round B) — at 100 TB that is two full scans too many.  The
+    # stats collect() below fills the cache eagerly; the previous call's
+    # cache (if any) is released so long-lived sessions hold at most one.
+    prev = _PARTITIONED_CACHE.pop("ob", None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    ob = ob.persist()
+    _PARTITIONED_CACHE["ob"] = ob
     stats = ob.agg(F.min("__ox").alias("x0"), F.min("__oy").alias("y0"),
                    F.max("__ox").alias("x1"), F.max("__oy").alias("y1"),
                    F.count("*").alias("n"), F.max("__ohd").alias("ohd"),

@@ -173,3 +173,63 @@ def test_st_dump_path_struct(spark):
     assert got == [("POINT (1 1)", [1]),
                    ("POINT (2 2)", [2, 1]),
                    ("POINT (3 3)", [2, 2])]
+
+
+# ----------------------------------------------------------------------
+# round 5: generated EPSG parameter registry (SPCS83, MGA, SIRGAS, UTM-S)
+# ----------------------------------------------------------------------
+
+def test_generated_registry_origin_and_roundtrip():
+    """Every generated zone maps its grid origin to exactly (FE, FN) and
+    round-trips forward/inverse to < 1e-8 deg (sub-mm) — the properties
+    that validate the projection MATH independently of the pinned
+    contract-query literals (which then gate the parameter DATA)."""
+    import numpy as np
+    from sedona_db_spark.geom import projections as prj
+    rng = np.random.RandomState(0)
+    for code, lat0, lon0, sp1, sp2, fe, fn in prj._SPCS83_LCC:
+        p = prj.lookup_projection(f"EPSG:{code}")
+        x, y = p.forward(np.array([lon0]), np.array([lat0]))
+        assert abs(x[0] - fe) < 1e-6 and abs(y[0] - fn) < 1e-6, code
+    for code, lat0, lon0, k0, fe, fn in prj._SPCS83_TM:
+        p = prj.lookup_projection(f"EPSG:{code}")
+        x, y = p.forward(np.array([lon0]), np.array([lat0]))
+        assert abs(x[0] - fe) < 1e-6 and abs(y[0] - fn) < 1e-6, code
+    zones = ([(c, la, lo) for c, la, lo, *_ in prj._SPCS83_LCC]
+             + [(c, la, lo) for c, la, lo, *_ in prj._SPCS83_TM]
+             + [(28356, -33.0, 153.0), (31983, -15.0, -45.0),
+                (7850, -32.0, 117.0)])
+    for code, lat0, lon0 in zones:
+        p = prj.lookup_projection(f"EPSG:{code}")
+        lons = lon0 + rng.uniform(-2, 2, 40)
+        lats = lat0 + rng.uniform(-1, 3, 40)
+        x, y = p.forward(lons, lats)
+        lo, la = p.inverse(x, y)
+        assert np.max(np.abs(lo - lons)) < 1e-8, code
+        assert np.max(np.abs(la - lats)) < 1e-8, code
+
+
+def test_utm_south_mirror_identity():
+    """South-zone UTM is the exact mirror of the north zone: same
+    easting, northing = 10,000,000 - N_north — a mathematical identity
+    of the false-northing construction, so it gates the hemisphere
+    plumbing without circular reference to our own forward."""
+    import numpy as np
+    from sedona_db_spark.geom import projections as prj
+    rng = np.random.RandomState(1)
+    lons = 150.0 + rng.uniform(-2, 2, 50)
+    lats = rng.uniform(5.0, 70.0, 50)
+    E_n, N_n = prj.utm_forward(lons, lats, 56, True)
+    E_s, N_s = prj.utm_forward(lons, -lats, 56, False)
+    assert np.max(np.abs(E_n - E_s)) < 1e-9
+    assert np.max(np.abs((10000000.0 - N_n) - N_s)) < 1e-6
+
+
+def test_unregistered_code_error_lists_nearest():
+    import numpy as np
+    import pytest
+    from sedona_db_spark.geom import algorithms as alg
+    from sedona_db_spark.geom.core import Geom, POINT
+    g = Geom(POINT, np.array([1.0, 2.0]))
+    with pytest.raises(NotImplementedError, match="nearest supported"):
+        alg.transform_crs(g, "EPSG:4326", "EPSG:29155")

@@ -39,6 +39,8 @@ DEFAULT_SET = [
     "spatial_join_grid_within", "knn_join_polygons_k2", "st_union_agg_sql",
     "st_envelope_agg", "dedup_transitive_cc", "asof_join_events",
     "text_quality_score", "st_transform_osgb", "s2_cellid_points",
+    # round-5 bulk variants: work grows with SF (marginal throughput)
+    "st_distance_pairs_bulk", "geo_distance_sphere_bulk",
 ]
 
 
