@@ -1276,6 +1276,51 @@ _O["knn_join_polygons_k2"] = """
 """
 
 
+def _q_knn_join_polygons_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-growing polygon KNN (every customer point vs a 625-box 4x4
+    tiling of the domain, partitioned path, k=2), aggregated output.
+    knn_join_polygons_k2 pins the partitioned plan's CORRECTNESS on a
+    fixed 400-row input (pure fixed-cost there); this one's work grows
+    linearly with SF so it measures the plan's marginal throughput — the
+    number that matters at 100 TB, where DuckDB's brute-force rank over
+    n_points x 625 boxes grows quadratically-ish and Spark's grid rounds
+    stay linear."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.operators.knn_join import knn_join_partitioned
+    queries = spark.table("cust_pts").select("c_custkey", "geom")
+    boxes = spark.sql("""
+      SELECT p_partkey AS box_id,
+             ST_MakeEnvelope(CAST(p_partkey % 25 AS DOUBLE) * 4.0,
+                             CAST(CAST(floor(p_partkey / 25) AS INT) AS DOUBLE) * 4.0,
+                             CAST(p_partkey % 25 AS DOUBLE) * 4.0 + 4.0,
+                             CAST(CAST(floor(p_partkey / 25) AS INT) AS DOUBLE) * 4.0 + 4.0) AS geom
+      FROM part WHERE p_partkey < 625
+    """)
+    out = knn_join_partitioned(queries, boxes, k=2)
+    return out.agg(F.count("*").alias("n"),
+                   F.round(F.sum(F.round("knn_distance", 6)), 3).alias("sum_d"))
+
+
+_PY["knn_join_polygons_bulk"] = _q_knn_join_polygons_bulk
+_O["knn_join_polygons_bulk"] = """
+  SELECT count(*) AS n, round(sum(round(d, 6)), 3) AS sum_d FROM (
+    SELECT c.c_custkey, b.box_id,
+           sqrt(power(greatest(b.x0 - c.px, c.px - b.x0 - 4.0, 0), 2) +
+                power(greatest(b.y0 - c.py, c.py - b.y0 - 4.0, 0), 2)) AS d,
+           row_number() OVER (PARTITION BY c.c_custkey
+             ORDER BY sqrt(power(greatest(b.x0 - c.px, c.px - b.x0 - 4.0, 0), 2) +
+                           power(greatest(b.y0 - c.py, c.py - b.y0 - 4.0, 0), 2)),
+                      b.box_id) AS rk
+    FROM (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,
+                 (c_custkey % 1000) / 10.0 AS py FROM customer) c
+    CROSS JOIN (SELECT p_partkey AS box_id,
+                       CAST(p_partkey % 25 AS DOUBLE) * 4.0 AS x0,
+                       CAST(CAST(floor(p_partkey / 25) AS INT) AS DOUBLE) * 4.0 AS y0
+                FROM part WHERE p_partkey < 625) b) t
+  WHERE rk <= 2
+"""
+
+
 def _q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_db_spark.operators.spatial_join import spatial_join
     a = spark.table("cust_pts").select("c_custkey", "geom").filter("c_custkey < 400")
@@ -2287,23 +2332,56 @@ _O["st_analyze_agg"] = """
 
 
 def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plumbing: payload derived from doc text,
-    duration from doc_id -> frame count is SQL-derivable."""
+    """REAL video frame sampling (round 5, upgraded from the synthetic
+    stub): each row's payload is a genuine MJPEG AVI built executor-side
+    (RIFF container + native baseline JPEG); frame_sample demuxes the
+    container, picks frames on the 500 ms grid (4 fps -> every other
+    frame), and decodes each sampled frame's pixels.  `ok` gates the
+    decoded mean intensity against the encoder's input (JPEG-lossy
+    tolerance +-4) — an encode -> mux -> demux -> decode roundtrip with
+    a frame-count+timestamp oracle DuckDB derives arithmetically."""
+    import numpy as _np
+    import pandas as _pd
     from pyspark.sql import functions as F
-    from sedona_db_spark.operators.multimodal import frame_sample_stub
-    media = spark.table("documents").filter("doc_id < 200").selectExpr(
-        "doc_id AS media_id", "'video' AS kind", "'mp4' AS format",
-        "CAST(text AS BINARY) AS payload",
-        "CAST(0 AS INT) AS width", "CAST(0 AS INT) AS height",
-        "CAST((doc_id % 10 + 1) * 1000 AS BIGINT) AS duration_ms")
-    frames = frame_sample_stub(media, every_ms=1000)
-    return frames.groupBy("media_id").agg(F.count("*").alias("n_frames"))
+    from sedona_db_spark.operators import multimodal as mm
+    base = spark.table("documents").filter("doc_id < 40") \
+        .selectExpr("doc_id AS media_id")
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["media_id"]:
+                n = int(d) % 5 + 2
+                frames = [
+                    _np.full((16, 16), (int(d) * 3 + i * 7) % 256, _np.uint8)
+                    for i in range(n)]
+                payloads.append(mm.encode_mjpeg_avi(frames, fps=4,
+                                                    quality=92))
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            yield pdf
+
+    media = base.mapInPandas(
+        gen, schema="media_id bigint, payload binary")
+    frames = mm.frame_sample(media, every_ms=500, decode_pixels=True)
+    expected = (F.col("media_id") * 3
+                + (F.col("frame_ms") / 250).cast("long") * 7) % 256
+    return frames.select(
+        "media_id", "frame_ms",
+        F.when(F.abs(F.col("frame_mean") - expected) < 4.0, F.lit(1))
+         .otherwise(F.lit(0)).alias("ok"))
 
 
 _PY["multimodal_frame_sample"] = _q_multimodal_frames
+# every other 250ms frame of (doc_id%5 + 2) frames -> k = 0..(n-1)/2,
+# frame_ms = 500k; decoded intensity always within JPEG tolerance -> ok=1
 _O["multimodal_frame_sample"] = """
-  SELECT doc_id AS media_id, CAST(doc_id % 10 + 1 AS BIGINT) AS n_frames
-  FROM documents WHERE doc_id < 200
+  SELECT d.doc_id AS media_id, CAST(500 * g.g AS BIGINT) AS frame_ms,
+         1 AS ok
+  FROM documents d
+  JOIN (VALUES (0), (1), (2)) g(g)
+    ON g.g <= floor((d.doc_id % 5 + 1) / 2.0)
+  WHERE d.doc_id < 40
 """
 
 

@@ -52,6 +52,7 @@ HEADLINE = [
     # marginal throughput — the number that matters at 100 TB)
     "st_distance_pairs_bulk",
     "geo_distance_sphere_bulk",
+    "knn_join_polygons_bulk",
 ]
 
 

@@ -499,12 +499,19 @@ def _gnomonic_pair_inv(a: Geom, b: Geom):
             inv)
 
 
-def _spherical_overlay_kernel(op_fn):
+def _spherical_overlay_kernel(op_fn, op_name: str | None = None):
     """Geography overlay: gnomonic project (great circles -> lines),
     exact planar Martinez overlay, inverse-project, re-tag spherical
-    (reference spherical overlay set: kernels.rs:113-118, 524-664)."""
+    (reference spherical overlay set: kernels.rs:113-118, 524-664).
+
+    Hemisphere-spanning polygon inputs no longer raise: the global
+    3-D trace overlay (geom/sphere_overlay.py — great-circle edge
+    splitting + winding classification + cycle stitching) takes over
+    when the gnomonic reduction is invalid.  Hemisphere-spanning LINE
+    overlays still raise (no global path yet)."""
 
     def run(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        from sedona_db_spark.geom.sphere_overlay import spherical_overlay
         out = []
         for g1, g2 in zip(_decode(s1), _decode(s2)):
             if g1 is None or g2 is None:
@@ -513,10 +520,16 @@ def _spherical_overlay_kernel(op_fn):
             if g1.is_empty() or g2.is_empty():
                 res = op_fn(g1, g2)
             else:
-                p1, p2, inv = _gnomonic_pair_inv(g1, g2)
-                res = op_fn(p1, p2)
-                if inv is not None and not res.is_empty():
-                    res = _alg.transform_coords(res, inv)
+                try:
+                    p1, p2, inv = _gnomonic_pair_inv(g1, g2)
+                    res = op_fn(p1, p2)
+                    if inv is not None and not res.is_empty():
+                        res = _alg.transform_coords(res, inv)
+                except _sphere.HemisphereError:
+                    if op_name is None or not (list(g1.polygons())
+                                               and list(g2.polygons())):
+                        raise
+                    res = spherical_overlay(g1, g2, op_name)
             res.spherical = True
             out.append(_core.to_wkb(res))
         return pd.Series(out, dtype=object)
@@ -806,15 +819,16 @@ for _name2, _sph_fn2 in (
 
 
 # spherical overlay dispatch (after the editor loop so _dispatch exists)
-for _name3, _op in (
-        ("ST_Intersection", lambda a, b: _alg.intersection(a, b)),
-        ("ST_Union", lambda a, b: _alg.union2(a, b)),
-        ("ST_Difference", lambda a, b: _alg.difference(a, b)),
-        ("ST_SymDifference", lambda a, b: _alg.sym_difference(a, b))):
+for _name3, _op, _opname in (
+        ("ST_Intersection", lambda a, b: _alg.intersection(a, b), "intersection"),
+        ("ST_Union", lambda a, b: _alg.union2(a, b), "union"),
+        ("ST_Difference", lambda a, b: _alg.difference(a, b), "difference"),
+        ("ST_SymDifference", lambda a, b: _alg.sym_difference(a, b), "sym_difference")):
     if _name3 in KERNELS:
         _pf3, _rt3, _sg3 = KERNELS[_name3]
-        KERNELS[_name3] = (_dispatch(_pf3, _spherical_overlay_kernel(_op), 2),
-                          _rt3, _sg3)
+        KERNELS[_name3] = (
+            _dispatch(_pf3, _spherical_overlay_kernel(_op, _opname), 2),
+            _rt3, _sg3)
 
 
 def _sph_nearest_kernel(as_line: bool):

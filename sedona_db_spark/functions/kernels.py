@@ -342,7 +342,7 @@ def _pts_vs_areal_distance(s1: pd.Series, s2: pd.Series):
         return None
     pts, poly_s = (p1, s2) if p1 is not None else (p2, s1)
     codes, uniques = pd.factorize(poly_s)
-    if not (0 < len(uniques) <= 256) or (codes < 0).any():
+    if not (0 < len(uniques) <= 2048) or (codes < 0).any():
         return None
     geoms = [core.from_wkb(u) for u in uniques]
     if not all(g.dimension() == 2 and not list(g.lines())

@@ -22,9 +22,11 @@ finer DE-9IM relations (touches/crosses/overlaps/equals) and overlay
 construction still require the hemisphere gnomonic path and raise
 ``HemisphereError`` beyond it rather than silently folding.
 
-Known limit (documented, exotic): a ring whose *smaller* region contains
-an antipodal point pair (e.g. a slit annulus hugging a full great circle)
-can misclassify points whose antipode shares their region.
+Point classification is winding-based with an edge-crossing-parity
+fallback for the antipodal-pair case (a point whose antipode shares its
+region has winding ~0; parity against a reference point epsilon-left of
+a ring edge decides it) — this closed the former known limit where
+hemisphere-spanning rings misclassified exactly those points.
 """
 
 from __future__ import annotations
@@ -110,6 +112,29 @@ def fan_area(ring_xyz: np.ndarray) -> float:
     return float(np.sum(2.0 * np.arctan2(det, denom)))
 
 
+def left_smaller(ring_xyz: np.ndarray) -> bool:
+    """True when the region on the LEFT of the traversal is the smaller
+    of the two regions the ring bounds.
+
+    Uses the spherical shoelace line integral in lon/lat (the same
+    formula as geography.spherical_ring_area_m2), which is unambiguous
+    for rings of ANY size — the van Oosterom fan sum is only defined
+    mod 4*pi and silently misclassifies rings whose fan origin sees
+    vertices beyond its antipode (hemisphere-spanning bands), which is
+    exactly the regime the global overlay runs in."""
+    r = ring_xyz
+    if len(r) and np.linalg.norm(r[0] - r[-1]) > 1e-12:
+        r = np.vstack([r, r[:1]])
+    lam = np.arctan2(r[:, 1], r[:, 0])
+    phi = np.arcsin(np.clip(r[:, 2], -1.0, 1.0))
+    dlam = np.diff(lam)
+    dlam = np.where(dlam > np.pi, dlam - 2.0 * np.pi,
+                    np.where(dlam < -np.pi, dlam + 2.0 * np.pi, dlam))
+    s = float(np.sum(dlam * (2.0 + np.sin(phi[:-1]) + np.sin(phi[1:])))) / 2.0
+    right_area = s % (4.0 * np.pi)
+    return right_area > 2.0 * np.pi
+
+
 def winding(p: np.ndarray, ring_xyz: np.ndarray) -> float:
     """Total azimuth angle swept by the ring around p (radians):
     +-2*pi when p and its antipode lie in different regions (sign says
@@ -138,13 +163,55 @@ def classify_point_ring(p: np.ndarray, ring_xyz: np.ndarray,
         return -1
     if bool(np.any(on_arc(p, a, b))):
         return 0
-    f = fan_area(ring_xyz) if ring_fan is None else ring_fan
+    smaller_is_left = left_smaller(ring_xyz) if ring_fan is None \
+        else ring_fan > 0
     w = winding(p, ring_xyz)
     if abs(w) > np.pi:                       # p / antipode separated
         in_left = w > 0
-        smaller_is_left = f > 0
         return 1 if in_left == smaller_is_left else -1
-    return -1                                # shares region with antipode
+    # p and its antipode share a region (winding ~ 0): decide by edge-
+    # crossing parity against a reference point epsilon-left of a ring
+    # edge.  This closes the former known limit where a large ring whose
+    # smaller region contains an antipodal point pair misclassified
+    # exactly those points (the full-sphere overlay lives in that regime).
+    in_left = _in_left_by_parity(p, ring_xyz)
+    if in_left is None:
+        return -1                            # degenerate ring: outside
+    return 1 if in_left == smaller_is_left else -1
+
+
+def _in_left_by_parity(p: np.ndarray, ring_xyz: np.ndarray):
+    """True/False: is p in the LEFT region of the (closed, simple) ring?
+    Counts great-circle arc crossings from p to a point just left of a
+    ring edge (the parity flips once per boundary crossing).  Tries
+    several reference edges for robustness against near-degenerate
+    crossing tests; None when no usable reference edge exists."""
+    a, b = ring_edges(ring_xyz)
+    n_edges = len(a)
+    step = max(n_edges // 3, 1)
+    for k in list(range(0, n_edges, step))[:5]:
+        m = a[k] + b[k]
+        nm = np.linalg.norm(m)
+        n = np.cross(a[k], b[k])
+        nn = np.linalg.norm(n)
+        if nm < 1e-9 or nn < 1e-12:
+            continue
+        m = m / nm
+        # walking a->b on the outside of the sphere, LEFT is the a x b
+        # direction at the edge midpoint
+        r = m + 1e-5 * (n / nn)
+        r = r / np.linalg.norm(r)
+        if float(p @ r) < -1.0 + 1e-12:      # p ~ antipodal to r: arc undefined
+            continue
+        cr = simple_crossing(p[None, :], r[None, :], a, b)
+        cnt = int(np.sum(cr))
+        # reject references where the probe arc grazes a ring vertex (an
+        # endpoint touch is not counted by simple_crossing and would
+        # silently flip parity)
+        if bool(np.any(on_arc(ring_xyz, p[None, :], r[None, :]))):
+            continue
+        return cnt % 2 == 0
+    return None
 
 
 def classify_point_poly(p: np.ndarray, rings_xyz: list[np.ndarray]) -> int:

@@ -1,0 +1,278 @@
+"""Full-sphere boolean overlay on spherical polygons.
+
+Closes the last geography construction gap: the gnomonic fast path
+(functions/geography.py) is exact only for hemisphere-contained inputs
+and used to raise HemisphereError beyond that; this module provides the
+global path, so spherical ST_Intersection / ST_Union / ST_Difference /
+ST_SymDifference work anywhere on the sphere (reference: S2 boolean
+operations, c/sedona-s2geography/src/kernels.rs:113-118,524-664).
+
+Algorithm — the classic trace overlay, entirely on the unit sphere:
+
+1. rings -> unit-vector chains; every edge of A is split at its
+   great-circle intersection points with every edge of B (S2
+   SimpleCrossing sign tests locate crossing pairs; the crossing point
+   is +-normalize(cross(n_a, n_b)) with the sign that lies on both
+   minor arcs), and vice versa;
+2. each sub-edge is wholly inside or outside the other polygon, so one
+   winding-number classification of its midpoint (geom/sphere.py
+   classify_point_poly — globally valid, smaller-region interior
+   convention) labels it;
+3. the boolean op selects sub-edges (intersection: A-in-B + B-in-A;
+   union: A-out-B + B-out-A; difference: A-out-B + reversed B-in-A);
+4. selected sub-edges are stitched into closed cycles by quantized
+   endpoint matching; cycles nested inside another cycle become holes.
+
+Generic-position algorithm: shared/collinear boundary segments are
+resolved by the midpoint classification's boundary answer (treated as
+inside for intersection/difference-subtrahend, outside for union),
+which yields the regularized result for the common cases.  The
+hemisphere gnomonic path remains the default (faster, Martinez-exact);
+this path runs only when that raises.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sedona_db_spark.geom import sphere
+from sedona_db_spark.geom.core import (
+    MULTIPOLYGON, POLYGON, Geom, empty as geom_empty)
+
+_QUANT = 1e-9
+
+
+def _rings_xyz(g: Geom) -> list[list[np.ndarray]]:
+    """Polygon parts -> list of [outer, hole...] rings as (n,3) unit
+    vectors (closing vertex dropped)."""
+    parts = []
+    for rings in g.polygons():
+        part = []
+        for r in rings:
+            r = np.asarray(r, dtype=np.float64)
+            if len(r) and np.allclose(r[0, :2], r[-1, :2]):
+                r = r[:-1]
+            if len(r) >= 3:
+                part.append(sphere.xyz_of(r[:, :2]))
+        if part:
+            parts.append(part)
+    return parts
+
+
+def _arc_inters(a, b, C, D):
+    """Intersection points of arc (a,b) with edge arrays (C,D) -> list of
+    unit vectors strictly interior to arc (a,b)."""
+    if len(C) == 0:
+        return []
+    cross = sphere.simple_crossing(a[None, :], b[None, :], C, D)
+    out = []
+    n1 = np.cross(a, b)
+    for j in np.flatnonzero(cross):
+        x = np.cross(n1, np.cross(C[j], D[j]))
+        nn = np.linalg.norm(x)
+        if nn < 1e-15:
+            continue
+        x = x / nn
+        for cand in (x, -x):
+            if bool(sphere.on_arc(cand, a[None, :], b[None, :])[0]) and \
+                    bool(sphere.on_arc(cand, C[j:j + 1], D[j:j + 1])[0]):
+                out.append(cand)
+                break
+    return out
+
+
+def _split_edges(rings: list[np.ndarray], other_a, other_b):
+    """Split every ring edge at crossings with the other polygon's edge
+    set.  Returns a list of (start_xyz, end_xyz) sub-edges, ring order
+    preserved."""
+    subs = []
+    for ring in rings:
+        a_arr, b_arr = sphere.ring_edges(ring)
+        for a, b in zip(a_arr, b_arr):
+            cuts = _arc_inters(a, b, other_a, other_b)
+            if not cuts:
+                subs.append((a, b))
+                continue
+            # order cut points by angle from the start vertex
+            angs = [float(np.arctan2(np.linalg.norm(np.cross(a, c)),
+                                     float(a @ c))) for c in cuts]
+            chain = [a] + [c for _, c in sorted(zip(angs, cuts),
+                                                key=lambda t: t[0])] + [b]
+            for u, v in zip(chain[:-1], chain[1:]):
+                if float(u @ v) < 1.0 - 1e-16 or \
+                        np.linalg.norm(u - v) > 1e-12:
+                    subs.append((u, v))
+    return subs
+
+
+def _mid(u, v):
+    m = u + v
+    n = np.linalg.norm(m)
+    if n < 1e-12:          # antipodal sub-edge midpoint: perturb via cross
+        m = np.cross(u, np.array([0.0, 0.0, 1.0]))
+        n = np.linalg.norm(m)
+        if n < 1e-12:
+            m = np.cross(u, np.array([0.0, 1.0, 0.0]))
+            n = np.linalg.norm(m)
+    return m / n
+
+
+def _classify_sub(subs, poly_parts):
+    """-1 outside / 0 boundary / +1 inside of the (multi)polygon for each
+    sub-edge midpoint."""
+    out = []
+    for u, v in subs:
+        m = _mid(u, v)
+        best = -1
+        for part in poly_parts:
+            c = sphere.classify_point_poly(m, part)
+            best = max(best, c)
+        out.append(best)
+    return out
+
+
+def _key(p):
+    return (round(float(p[0]) / _QUANT), round(float(p[1]) / _QUANT),
+            round(float(p[2]) / _QUANT))
+
+
+def _stitch(edges):
+    """Stitch (start, end) sub-edges into closed xyz cycles."""
+    from collections import defaultdict
+    adj = defaultdict(list)
+    for i, (u, v) in enumerate(edges):
+        adj[_key(u)].append(i)
+    used = [False] * len(edges)
+    cycles = []
+    for i in range(len(edges)):
+        if used[i]:
+            continue
+        chain = [edges[i][0]]
+        cur = i
+        used[i] = True
+        start_key = _key(edges[i][0])
+        guard = 0
+        while guard <= len(edges):
+            guard += 1
+            end = edges[cur][1]
+            ek = _key(end)
+            if ek == start_key:
+                if len(chain) >= 3:
+                    cycles.append(np.asarray(chain))
+                break
+            nxts = [j for j in adj[ek] if not used[j]]
+            if not nxts:
+                break                      # open chain: drop (degenerate)
+            cur = nxts[0]
+            used[cur] = True
+            chain.append(edges[cur][0])
+    return cycles
+
+
+def _to_lonlat(ring_xyz: np.ndarray) -> np.ndarray:
+    lon = np.degrees(np.arctan2(ring_xyz[:, 1], ring_xyz[:, 0]))
+    lat = np.degrees(np.arcsin(np.clip(ring_xyz[:, 2], -1.0, 1.0)))
+    out = np.column_stack([lon, lat])
+    return np.vstack([out, out[:1]])      # close the ring
+
+
+def _assemble(cycles) -> Geom:
+    """Cycles -> POLYGON / MULTIPOLYGON; a cycle whose interior point
+    lies inside another cycle becomes that cycle's hole."""
+    if not cycles:
+        return geom_empty(POLYGON)
+    n = len(cycles)
+    parent = [-1] * n
+    for i in range(n):
+        # representative interior point of cycle i: midpoint of first
+        # edge pushed slightly to the smaller-region side — use the
+        # cycle's own fan test on a nearby probe
+        for j in range(n):
+            if i == j:
+                continue
+            p = _mid(cycles[i][0], cycles[i][1])
+            if sphere.classify_point_poly(p, [cycles[j]]) > 0:
+                parent[i] = j if parent[i] == -1 else parent[i]
+    parts = []
+    for i in range(n):
+        if parent[i] == -1:
+            rings = [_to_lonlat(cycles[i])]
+            for j in range(n):
+                if parent[j] == i:
+                    rings.append(_to_lonlat(cycles[j]))
+            parts.append(rings)
+    if not parts:
+        parts = [[_to_lonlat(c)] for c in cycles]
+    if len(parts) == 1:
+        return Geom(POLYGON, parts[0])
+    return Geom(MULTIPOLYGON, parts)
+
+
+def _all_edges_of(parts):
+    a_l, b_l = [], []
+    for part in parts:
+        for ring in part:
+            a, b = sphere.ring_edges(ring)
+            if len(a):
+                a_l.append(a)
+                b_l.append(b)
+    if not a_l:
+        z = np.zeros((0, 3))
+        return z, z
+    return np.concatenate(a_l), np.concatenate(b_l)
+
+
+def spherical_overlay(g1: Geom, g2: Geom, op: str) -> Geom:
+    """Boolean overlay of two spherical polygons anywhere on the sphere.
+
+    op: 'intersection' | 'union' | 'difference' | 'sym_difference'.
+    Non-polygon inputs are not handled here (the gnomonic path covers
+    line/point overlays; a hemisphere-spanning LINE overlay remains
+    unsupported and raises)."""
+    p1 = _rings_xyz(g1)
+    p2 = _rings_xyz(g2)
+    if not p1 or not p2:
+        if op == "intersection":
+            return geom_empty(POLYGON)
+        if op == "difference":
+            return g1 if p1 else geom_empty(POLYGON)
+        return g1 if p1 else (g2 if p2 else geom_empty(POLYGON))
+    if op == "sym_difference":
+        d1 = spherical_overlay(g1, g2, "difference")
+        d2 = spherical_overlay(g2, g1, "difference")
+        parts = [r for r in d1.polygons()] + [r for r in d2.polygons()]
+        parts = [[np.asarray(r) for r in rings] for rings in parts]
+        if not parts:
+            return geom_empty(POLYGON)
+        if len(parts) == 1:
+            return Geom(POLYGON, parts[0])
+        return Geom(MULTIPOLYGON, parts)
+
+    a2, b2 = _all_edges_of(p2)
+    a1, b1 = _all_edges_of(p1)
+    subs1 = []
+    for part in p1:
+        subs1.extend(_split_edges(part, a2, b2))
+    subs2 = []
+    for part in p2:
+        subs2.extend(_split_edges(part, a1, b1))
+    c1 = _classify_sub(subs1, p2)   # A sub-edges vs B
+    c2 = _classify_sub(subs2, p1)   # B sub-edges vs A
+
+    sel = []
+    if op == "intersection":
+        sel += [e for e, c in zip(subs1, c1) if c >= 0]
+        sel += [e for e, c in zip(subs2, c2) if c > 0]
+    elif op == "union":
+        sel += [e for e, c in zip(subs1, c1) if c < 0]
+        sel += [e for e, c in zip(subs2, c2) if c < 0]
+    elif op == "difference":
+        sel += [e for e, c in zip(subs1, c1) if c < 0]
+        sel += [(v, u) for (u, v), c in zip(subs2, c2) if c > 0]
+    else:
+        raise ValueError(f"unknown overlay op {op!r}")
+
+    cycles = _stitch(sel)
+    res = _assemble(cycles)
+    res.spherical = True
+    return res

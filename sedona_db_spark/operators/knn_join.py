@@ -325,6 +325,49 @@ def knn_join(
                 out["knn_distance"] = dists
                 yield out[[f.name for f in out_schema.fields]]
                 continue
+            if (qpts is not None and not use_spheroid and not include_ties
+                    and data["exact"] and len(data["ids"]) <= 256):
+                # point queries vs a small exact-geometry object side
+                # (the polygon-KNN shape: k nearest polygons per point):
+                # one vectorized point-to-polygon distance column per
+                # object + per-row argsort — no per-query Python loop.
+                if obj_geoms is None:
+                    obj_geoms = [None if w is None else core.from_wkb(w)
+                                 for w in data["geom_wkb"]]
+                areal_ok = all(
+                    (g is not None and not g.is_empty()
+                     and ((g.gt == core.POINT and g.data is not None)
+                          or (g.dimension() == 2 and not list(g.lines())
+                              and not list(g.points()))))
+                    for g in (obj_geoms[o] for o in data["ids"]))
+                if areal_ok:
+                    if obj_pdf is None:
+                        obj_pdf = pd.DataFrame(data["rows"],
+                                               columns=obj_out_names)
+                    m = len(pdf)
+                    n_o = len(data["ids"])
+                    D = np.empty((m, n_o))
+                    for col, oid in enumerate(data["ids"]):
+                        g = obj_geoms[oid]
+                        if g.gt == core.POINT:
+                            D[:, col] = np.hypot(qpts[:, 0] - g.data[0],
+                                                 qpts[:, 1] - g.data[1])
+                        else:
+                            D[:, col] = alg.points_to_polygon_distance_batch(
+                                qpts, g)
+                    kk = min(k, n_o)
+                    # stable argsort: equal distances break by column
+                    # order == ascending object id (ids are arange-built)
+                    ordc = np.argsort(D, axis=1, kind="stable")[:, :kk]
+                    rows = np.repeat(np.arange(m), kk)
+                    cols = ordc.ravel()
+                    qpart = pdf.iloc[rows].reset_index(drop=True)
+                    opart = obj_pdf.iloc[data["ids"][cols]] \
+                        .reset_index(drop=True)
+                    out = pd.concat([qpart, opart], axis=1)
+                    out["knn_distance"] = D[rows, cols]
+                    yield out[[f.name for f in out_schema.fields]]
+                    continue
             # include_ties ranks ALL broadcast objects (exact tie cut —
             # the broadcast path's object side is small by construction)
             n_obj = len(data["ids"])
@@ -547,7 +590,7 @@ def knn_join_partitioned(
             if p1 is not None or p2 is not None:
                 pts, poly_s = (p1, s2) if p1 is not None else (p2, s1)
                 codes, uniques = pd.factorize(poly_s)
-                if 0 < len(uniques) <= 256 and not (codes < 0).any():
+                if 0 < len(uniques) <= 2048 and not (codes < 0).any():
                     from sedona_db_spark.geom import core as _core
                     geoms = [_core.from_wkb(u) for u in uniques]
                     if all(g.dimension() == 2 and not list(g.lines())
@@ -611,7 +654,19 @@ def knn_join_partitioned(
     # ---- round A: 3x3 neighborhood ----------------------------------
     qa = qb2.withColumn("__cell", F.explode(neighborhood_cells(F.lit(1))))
     cand_a = qa.join(ob2, qa["__cell"] == ob2["__ocell"], "inner")
-    top_a = topk(cand_a)
+    # persist round A's top-k: its lineage feeds the per-query outcome
+    # agg, the safe/unsafe split AND the final output — uncached, the
+    # candidate join + window would re-execute three to four times (a
+    # full re-shuffle of the big side each time at 100 TB).  Result-sized
+    # (n_queries x k rows), so the cache is small relative to the join.
+    prev_a = _PARTITIONED_CACHE.pop("top_a", None)
+    if prev_a is not None:
+        try:
+            prev_a.unpersist()
+        except Exception:
+            pass
+    top_a = topk(cand_a).persist()
+    _PARTITIONED_CACHE["top_a"] = top_a
 
     # per-query outcome of round A
     agg_a = top_a.groupBy("__qid").agg(

@@ -651,3 +651,31 @@ def test_png_codec_native(spark):
     r = extract_features_real(df).select("decoded", "features").first()
     assert r["decoded"] is True
     assert abs(sum(v * v for v in r["features"]) - 1.0) < 1e-9
+
+
+def test_mjpeg_avi_frame_sample_real(spark):
+    """Round 5: real MJPEG-AVI demux + native JPEG decode through the
+    frame_sample operator (upgraded from the synthetic stub)."""
+    import numpy as np
+    from sedona_db_spark.operators import multimodal as mm
+    vids = []
+    for vid in range(4):
+        n = vid + 2
+        frames = [np.full((16, 16), (vid * 11 + i * 13) % 256, np.uint8)
+                  for i in range(n)]
+        vids.append((vid, mm.encode_mjpeg_avi(frames, fps=4, quality=92)))
+    df = spark.createDataFrame(vids, "media_id int, payload binary")
+    out = mm.frame_sample(df, every_ms=500, decode_pixels=True).collect()
+    # 4 fps => 250 ms/frame; 500 ms grid picks every other frame
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r["media_id"], []).append(r)
+    for vid in range(4):
+        n = vid + 2
+        rows = sorted(by_vid[vid], key=lambda r: r["frame_ms"])
+        assert [r["frame_ms"] for r in rows] == \
+            [500 * k for k in range((n - 1) // 2 + 1)]
+        for r in rows:
+            i = r["frame_ms"] // 250
+            assert abs(r["frame_mean"] - ((vid * 11 + i * 13) % 256)) < 4
+            assert bytes(r["frame_payload"])[:2] == b"\xFF\xD8"

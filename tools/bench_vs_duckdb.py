@@ -41,6 +41,7 @@ DEFAULT_SET = [
     "text_quality_score", "st_transform_osgb", "s2_cellid_points",
     # round-5 bulk variants: work grows with SF (marginal throughput)
     "st_distance_pairs_bulk", "geo_distance_sphere_bulk",
+    "knn_join_polygons_bulk",
 ]
 
 
