@@ -104,16 +104,47 @@ def geodesic_length_m(g: Geom, rings: bool = False) -> float:
 
 
 def spherical_ring_area_m2(ring: np.ndarray) -> float:
-    """Spherical shoelace (l'Huilier-equivalent line integral):
-    A = R^2 * |sum (lam2-lam1) * (2 + sin(phi1) + sin(phi2)) / 2|."""
-    a = np.radians(np.asarray(ring, dtype=np.float64)[:, :2])
-    lam, phi = a[:, 0], a[:, 1]
-    dlam = np.diff(lam)
-    # wrap antimeridian-crossing edges into [-pi, pi]
-    dlam = np.where(dlam > np.pi, dlam - 2 * np.pi,
-                    np.where(dlam < -np.pi, dlam + 2 * np.pi, dlam))
-    s = np.sum(dlam * (2.0 + np.sin(phi[:-1]) + np.sin(phi[1:]))) / 2.0
-    return abs(s) * EARTH_RADIUS_M ** 2
+    """EXACT spherical ring area via the Girard turning-angle excess:
+    area of the enclosed region = (2*pi - sum of exterior turn angles)
+    * R^2, computed from great-circle edge tangents at each vertex.
+
+    The previous trapezoid line integral (sum dlam*(2+sin(phi))/2) is
+    the rhumb-ish approximation — exact only when sin(phi) varies
+    linearly with lam along an edge; an octant polygon came out 50% low
+    (caught by the round-5 golden file).  Girard is exact for
+    great-circle edges of ANY length.  The smaller of the two bounded
+    regions is returned (the engine's orientation-ignored interior
+    convention, geom/sphere.py)."""
+    a = np.asarray(ring, dtype=np.float64)[:, :2]
+    if len(a) >= 2 and np.allclose(a[0], a[-1]):
+        a = a[:-1]
+    if len(a) < 3:
+        return 0.0
+    lam = np.radians(a[:, 0])
+    phi = np.radians(a[:, 1])
+    v = np.column_stack([np.cos(phi) * np.cos(lam),
+                         np.cos(phi) * np.sin(lam), np.sin(phi)])
+    # drop consecutive duplicates (zero-length edges break tangents)
+    keep = np.ones(len(v), dtype=bool)
+    keep[1:] = np.linalg.norm(np.diff(v, axis=0), axis=1) > 1e-14
+    v = v[keep]
+    n = len(v)
+    if n < 3:
+        return 0.0
+    prev = np.roll(v, 1, axis=0)
+    nxt = np.roll(v, -1, axis=0)
+    t_in = np.cross(np.cross(prev, v), v)
+    t_out = np.cross(np.cross(v, nxt), v)
+    ni = np.linalg.norm(t_in, axis=1, keepdims=True)
+    no = np.linalg.norm(t_out, axis=1, keepdims=True)
+    ok = (ni[:, 0] > 1e-14) & (no[:, 0] > 1e-14)
+    t_in = np.where(ni > 1e-14, t_in / np.where(ni > 0, ni, 1.0), t_in)
+    t_out = np.where(no > 1e-14, t_out / np.where(no > 0, no, 1.0), t_out)
+    sin_t = np.einsum("ij,ij->i", np.cross(t_in, t_out), v)
+    cos_t = np.einsum("ij,ij->i", t_in, t_out)
+    turns = np.where(ok, np.arctan2(sin_t, cos_t), 0.0)
+    left = (2.0 * np.pi - float(np.sum(turns))) % (4.0 * np.pi)
+    return min(left, 4.0 * np.pi - left) * EARTH_RADIUS_M ** 2
 
 
 def geodesic_area_m2(g: Geom) -> float:

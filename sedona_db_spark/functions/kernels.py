@@ -356,8 +356,46 @@ def _pts_vs_areal_distance(s1: pd.Series, s2: pd.Series):
     return out
 
 
+def _pts_vs_lines_distance(s1: pd.Series, s2: pd.Series):
+    """Vectorized distances when one side is uniform points and the
+    other uniform single-part LINESTRINGs (the trajectory/road shape):
+    ragged batch decode (core.wkb_batch_ragged — zero per-row Python
+    objects) + one point-to-segment kernel over every segment of every
+    row, min-reduced per row.  None when shapes don't match."""
+    p1, p2 = _fast_points(s1), _fast_points(s2)
+    if (p1 is None) == (p2 is None):
+        return None
+    pts, line_s = (p1, s2) if p1 is not None else (p2, s1)
+    r = _fast_ragged(line_s, core.LINESTRING)
+    if r is None:
+        return None
+    coords, counts = r
+    nseg = counts - 1
+    if np.any(nseg < 1):
+        return None
+    row_of_seg = np.repeat(np.arange(len(counts)), nseg)
+    ends = np.cumsum(counts)
+    keep = np.ones(len(coords) - 1, dtype=bool)
+    keep[ends[:-1] - 1] = False          # drop inter-row phantom segments
+    A = coords[:-1][keep]
+    B = coords[1:][keep]
+    P = pts[row_of_seg]
+    AB = B - A
+    AP = P - A
+    denom = np.einsum("ij,ij->i", AB, AB)
+    t = np.clip(np.divide(np.einsum("ij,ij->i", AP, AB),
+                          np.where(denom > 0, denom, 1.0)), 0.0, 1.0)
+    C = A + t[:, None] * AB
+    d = np.hypot(P[:, 0] - C[:, 0], P[:, 1] - C[:, 1])
+    starts = np.cumsum(nseg) - nseg
+    return np.minimum.reduceat(d, starts)
+
+
 def k_distance(s1: pd.Series, s2: pd.Series) -> pd.Series:
     fast = _pts_vs_areal_distance(s1, s2)
+    if fast is not None:
+        return pd.Series(fast)
+    fast = _pts_vs_lines_distance(s1, s2)
     if fast is not None:
         return pd.Series(fast)
     return _binary(alg.distance)(s1, s2)

@@ -602,6 +602,84 @@ def _fake_loader(uri: str, fmt: str, shape) -> np.ndarray:
     return rng.integers(0, 255, size=[int(s) for s in shape]).astype(np.float64)
 
 
+# per-executor fetch cache: one multi-band file typically backs several
+# out-of-DB bands of the same row/partition — fetch it once
+_HTTP_CACHE: dict[str, bytes] = {}
+_HTTP_CACHE_MAX = 32
+
+
+def _http_fetch(uri: str, retries: int = 3, timeout: float = 30.0) -> bytes:
+    """Executor-side http(s) fetch (stdlib urllib — no extra deps) with
+    exponential-backoff retries and optional range requests: a
+    `#bytes=a-b` fragment becomes an HTTP Range header so a loader can
+    pull one band's strip out of a large remote file (reference: the
+    async loader registry, rust/sedona/src/context.rs:283-316)."""
+    import time as _time
+    import urllib.error
+    import urllib.request
+    key = uri
+    if key in _HTTP_CACHE:
+        return _HTTP_CACHE[key]
+    url, _, frag = uri.partition("#")
+    headers = {}
+    if frag.startswith("bytes="):
+        headers["Range"] = frag
+    last: Exception | None = None
+    for attempt in range(retries):
+        try:
+            req = urllib.request.Request(url, headers=headers)
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                data = resp.read()
+            if len(_HTTP_CACHE) >= _HTTP_CACHE_MAX:
+                _HTTP_CACHE.pop(next(iter(_HTTP_CACHE)))
+            _HTTP_CACHE[key] = data
+            return data
+        except (urllib.error.URLError, OSError, TimeoutError) as exc:
+            last = exc
+            _time.sleep(0.2 * (2 ** attempt))
+    raise IOError(f"out-of-DB fetch failed after {retries} tries: {uri!r}: "
+                  f"{last}")
+
+
+def _load_outdb_band(b, h: int, w: int) -> tuple[str, str, np.ndarray]:
+    """Resolve one out-of-DB band to (name, dtype, array)."""
+    uri = b["outdb_uri"]
+    fmt = (b["outdb_format"] or "").lower()
+    shp = b["source_shape"]
+    if shp is None or len(shp) == 0:
+        shp = [h, w]
+    if uri.startswith("fake://"):
+        return (b["name"], "float64", _fake_loader(uri, fmt, shp))
+    if uri.startswith(("http://", "https://")):
+        data = _http_fetch(uri)
+        if fmt in ("", "gtiff", "tiff", "geotiff"):
+            from sedona_db_spark.sources.geotiff import decode_geotiff
+            row = decode_geotiff(data)
+            # band selection: same-name band in the remote file, else the
+            # band's positional index, else the first band
+            rbands = row["bands"]
+            pick = next((rb for rb in rbands if rb["name"] == b["name"]),
+                        None)
+            if pick is None:
+                pick = rbands[0]
+            arr = np.frombuffer(pick["data"],
+                                dtype=_NP_DTYPES[pick["datatype"]])
+            hh, ww = (int(s) for s in pick["source_shape"])
+            return (b["name"], pick["datatype"], arr.reshape(hh, ww))
+        if fmt in ("raw_f64", "raw"):
+            arr = np.frombuffer(data, dtype="<f8")
+            return (b["name"], "float64",
+                    arr.reshape([int(s) for s in shp]))
+        raise NotImplementedError(
+            f"out-of-DB format {fmt!r} over http (supported: GeoTIFF, "
+            "raw_f64)")
+    raise NotImplementedError(
+        f"out-of-DB raster load for {uri!r}: supported schemes are "
+        "fake:// (deterministic test loader) and http(s):// "
+        "(stdlib fetch + native GeoTIFF decode); other schemes need "
+        "rasterio/GDAL on the cluster")
+
+
 @F.pandas_udf(RASTER_TYPE)
 def _rs_ensure_loaded_udf(rs: pd.Series) -> pd.DataFrame:
     out = []
@@ -614,21 +692,9 @@ def _rs_ensure_loaded_udf(rs: pd.Series) -> pd.DataFrame:
         changed = False
         for b in r["bands"]:
             if b["data"] is None and b["outdb_uri"]:
-                uri = b["outdb_uri"]
-                if uri.startswith("fake://"):
-                    shp = b["source_shape"]
-                    if shp is None or len(shp) == 0:
-                        shp = [h, w]
-                    arr = _fake_loader(uri, b["outdb_format"], shp)
-                    bands.append((b["name"], "float64", arr))
-                    changed = True
-                    continue
-                try:
-                    import rasterio  # noqa: F401  (not in container)
-                except ImportError as exc:
-                    raise NotImplementedError(
-                        f"out-of-DB raster load for {uri!r} needs rasterio "
-                        "(executor-side lazy fetch; install on cluster)") from exc
+                bands.append(_load_outdb_band(b, h, w))
+                changed = True
+                continue
             arr = _band_array(b)
             if arr is not None:
                 bands.append((b["name"], b["datatype"], arr))

@@ -89,3 +89,18 @@ def test_st_namespace():
     assert fn.__name__ == "ST_Intersects"
     with __import__("pytest").raises(AttributeError):
         st.nosuchfunction
+
+
+def test_distance_point_vs_linestring_ragged_fast_path(spark):
+    """Round 5: uniform point-vs-linestring batches route through the
+    ragged batch decoder (no per-row Python objects); results match the
+    per-row geometry path exactly."""
+    rows = spark.sql("""
+      SELECT ST_Distance(ST_Point(5.0, 5.0),
+                         ST_GeomFromText('LINESTRING(0 0, 10 0)')) AS d1,
+             ST_Distance(ST_GeomFromText('LINESTRING(0 0, 10 0)'),
+                         ST_Point(20.0, 0.0)) AS d2,
+             ST_Distance(ST_Point(5.0, 0.0),
+                         ST_GeomFromText('LINESTRING(0 0, 10 0)')) AS d3
+    """).collect()[0]
+    assert rows["d1"] == 5.0 and rows["d2"] == 10.0 and rows["d3"] == 0.0

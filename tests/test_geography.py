@@ -451,3 +451,32 @@ def test_geography_sql_overlay_spans_hemisphere(spark):
             ST_GeogFromWKT('POLYGON(({b_pts}, {b_top}, -60 20))'))) AS a
     """).collect()[0]
     assert row["a"] is not None and row["a"] > 0
+
+
+def test_geography_golden_file(spark):
+    """Committed golden values (tests/golden/geography_golden.yml): every
+    expected value is closed-form (R*pi fractions, Girard excess,
+    perpendicular arcs) or an exact boolean — an engine-independent
+    oracle for spherical behavior at antipodes, poles, and the
+    antimeridian (mirrors the reference's bigquery_cache.yml pattern)."""
+    import os
+
+    import yaml
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "geography_golden.yml")
+    with open(path) as f:
+        entries = yaml.safe_load(f)
+    assert len(entries) >= 25
+    fails = []
+    for e in entries:
+        got = spark.sql(f"SELECT {e['sql']} AS v").collect()[0]["v"]
+        tol = e["tol"]
+        expect = e["expect"]
+        if tol == 0:
+            ok = got == expect
+        else:
+            ok = got is not None and \
+                abs(got - expect) <= tol * max(abs(expect), 1.0)
+        if not ok:
+            fails.append((e["name"], got, expect))
+    assert not fails, fails

@@ -686,3 +686,90 @@ def test_rs_metadata_sql(rdf, spark):
     assert (m["upperleftx"], m["upperlefty"]) == (10.0, 20.0)
     assert (m["width"], m["height"], m["numbands"]) == (4, 3, 1)
     assert (m["scalex"], m["scaley"], m["srid"]) == (1.0, -1.0, 4326)
+
+
+def _start_http_fixture(payload_map):
+    """Tiny in-process HTTP server serving bytes from a dict (daemon
+    thread); returns its base URL.  Range requests honored."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            data = payload_map.get(self.path)
+            if data is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            rng = self.headers.get("Range")
+            if rng and rng.startswith("bytes="):
+                a, _, b = rng[6:].partition("-")
+                a = int(a)
+                b = int(b) if b else len(data) - 1
+                body = data[a:b + 1]
+                self.send_response(206)
+            else:
+                body = data
+                self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+def test_outdb_http_geotiff_loader(rdf, spark):
+    """Round 5: REAL executor-side http fetch for out-of-DB bands — the
+    band lives behind an http:// URI as a GeoTIFF; RS_EnsureLoaded pulls
+    and decodes it, and zonal stats over the loaded raster match the
+    source array exactly."""
+    import numpy as np
+    from sedona_db_spark.sources.geotiff import encode_geotiff
+    arr = np.arange(12, dtype=np.float64).reshape(3, 4) * 2.0 + 1.0
+    remote = rs.make_raster_row(4, 3, ulx=0.0, uly=3.0,
+                                bands=[("remote", "float64", arr)])
+    base = _start_http_fixture({"/tile.tif": encode_geotiff(remote)})
+    row = rs.make_raster_row(4, 3, ulx=0.0, uly=3.0, bands=[])
+    row["bands"] = [{
+        "name": "remote", "dim_names": ["y", "x"], "source_shape": [3, 4],
+        "datatype": "float64", "nodata": None, "view": None,
+        "outdb_uri": f"{base}/tile.tif", "outdb_format": "GTiff",
+        "data": None}]
+    df = spark.createDataFrame([(1, row)], rdf.schema)
+    z = df.select(rs.ensure_loaded(F.col("rast")).alias("r")) \
+        .select(rs.zonal_stats(
+            F.col("r"), F.expr("ST_MakeEnvelope(0.0,0.0,4.0,3.0)")).alias("z")) \
+        .select("z.*").first()
+    assert z["count"] == 12
+    assert abs(z["mean"] - arr.mean()) < 1e-9
+    assert abs(z["max"] - arr.max()) < 1e-9
+    # range-request path: the remote file holds TWO concatenated raw
+    # float64 bands; the Range fragment pulls only the second band's
+    # 96 bytes out of the file
+    other = np.zeros_like(arr)
+    raw = other.tobytes() + arr.tobytes()
+    base2 = _start_http_fixture({"/bands.raw": raw})
+    row2 = rs.make_raster_row(4, 3, bands=[])
+    row2["bands"] = [{
+        "name": "r2", "dim_names": ["y", "x"], "source_shape": [3, 4],
+        "datatype": "float64", "nodata": None, "view": None,
+        "outdb_uri": f"{base2}/bands.raw#bytes=96-191",
+        "outdb_format": "raw_f64", "data": None}]
+    df2 = spark.createDataFrame([(1, row2)], rdf.schema)
+    v = df2.select(rs.ensure_loaded(F.col("rast")).alias("r")) \
+        .select(rs.value(F.col("r"), 1, 2, 0).alias("v")).first()
+    assert v["v"] == arr.ravel()[2]
+    # missing resource surfaces an IOError after retries
+    import pytest
+    row3 = rs.make_raster_row(4, 3, bands=[])
+    row3["bands"] = [dict(row2["bands"][0],
+                          outdb_uri=f"{base2}/nope.raw", name="r3")]
+    df3 = spark.createDataFrame([(1, row3)], rdf.schema)
+    with pytest.raises(Exception, match="fetch failed|IOError|404|HTTP"):
+        df3.select(rs.ensure_loaded(F.col("rast")).alias("r")) \
+           .select(rs.value(F.col("r"), 1, 0, 0).alias("v")).collect()
