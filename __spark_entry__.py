@@ -708,6 +708,33 @@ _sql("st_transform_utm_south", """
   ON n_nationkey = k
 """)
 
+# Item-level CRS (reference datatypes.rs:126-155 new_item_crs): each
+# VALUE carries its own CRS (EWKB SRID survives every kernel); the
+# literal 'item' source resolves per row.  Mixed 4326/3857 rows in one
+# column -> one transform call normalizes them; web-mercator inverse is
+# closed-form so DuckDB is a true oracle.
+_sql("st_transform_item_crs", """
+  SELECT n_nationkey,
+         round(ST_X(ST_Transform(g, 'item', 'EPSG:4326')), 6) AS lon,
+         round(ST_Y(ST_Transform(g, 'item', 'EPSG:4326')), 6) AS lat
+  FROM (SELECT n_nationkey,
+               CASE WHEN n_nationkey % 2 = 0
+                    THEN ST_SetSRID(ST_Point(CAST(n_nationkey AS DOUBLE),
+                                             CAST(n_nationkey AS DOUBLE) / 2.0), 4326)
+                    ELSE ST_SetSRID(ST_Point(CAST(n_nationkey AS DOUBLE) * 100000.0,
+                                             CAST(n_nationkey AS DOUBLE) * 80000.0), 3857)
+               END AS g
+        FROM nation) t
+""", """
+  SELECT n_nationkey,
+         round(CASE WHEN n_nationkey % 2 = 0 THEN CAST(n_nationkey AS DOUBLE)
+               ELSE degrees(n_nationkey * 100000.0 / 6378137.0) END, 6) AS lon,
+         round(CASE WHEN n_nationkey % 2 = 0 THEN n_nationkey / 2.0
+               ELSE degrees(2.0 * atan(exp(n_nationkey * 80000.0 / 6378137.0)) - pi() / 2.0)
+               END, 6) AS lat
+  FROM nation
+""")
+
 _sql("st_transform_etrs_utm32", """
   SELECT n_nationkey, round(ST_X(m), 3) AS e, round(ST_Y(m), 3) AS n
   FROM (SELECT n_nationkey,
