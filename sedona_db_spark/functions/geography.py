@@ -557,10 +557,23 @@ def _spherical_overlay_kernel(op_fn, op_name: str | None = None):
                     if inv is not None and not res.is_empty():
                         res = _alg.transform_coords(res, inv)
                 except _sphere.HemisphereError:
-                    if op_name is None or not (list(g1.polygons())
-                                               and list(g2.polygons())):
+                    if op_name is None:
                         raise
-                    res = spherical_overlay(g1, g2, op_name)
+                    p1, p2 = list(g1.polygons()), list(g2.polygons())
+                    l1, l2 = list(g1.lines()), list(g2.lines())
+                    if p1 and p2:
+                        res = spherical_overlay(g1, g2, op_name)
+                    elif l1 and p2 and not p1 and \
+                            op_name in ("intersection", "difference"):
+                        from sedona_db_spark.geom.sphere_overlay import \
+                            spherical_line_clip
+                        res = spherical_line_clip(g1, g2, op_name)
+                    elif l2 and p1 and not p2 and op_name == "intersection":
+                        from sedona_db_spark.geom.sphere_overlay import \
+                            spherical_line_clip
+                        res = spherical_line_clip(g2, g1, op_name)
+                    else:
+                        raise
             res.spherical = True
             out.append(_core.to_wkb(res))
         return pd.Series(out, dtype=object)

@@ -222,6 +222,82 @@ def _all_edges_of(parts):
     return np.concatenate(a_l), np.concatenate(b_l)
 
 
+def _lines_xyz(g: Geom) -> list[np.ndarray]:
+    out = []
+    for l in g.lines():
+        a = np.asarray(l, dtype=np.float64)
+        if len(a) >= 2:
+            out.append(sphere.xyz_of(a[:, :2]))
+    return out
+
+
+def _chain_subs(subs):
+    """Merge consecutive (start, end) sub-edges into polylines."""
+    chains = []
+    cur: list[np.ndarray] = []
+    for u, v in subs:
+        if cur and np.linalg.norm(cur[-1] - u) < 1e-12:
+            cur.append(v)
+        else:
+            if len(cur) >= 2:
+                chains.append(np.asarray(cur))
+            cur = [u, v]
+    if len(cur) >= 2:
+        chains.append(np.asarray(cur))
+    return chains
+
+
+def _lonlat_open(chain_xyz: np.ndarray) -> np.ndarray:
+    lon = np.degrees(np.arctan2(chain_xyz[:, 1], chain_xyz[:, 0]))
+    lat = np.degrees(np.arcsin(np.clip(chain_xyz[:, 2], -1.0, 1.0)))
+    return np.column_stack([lon, lat])
+
+
+def spherical_line_clip(g_line: Geom, g_poly: Geom, op: str) -> Geom:
+    """Global line-vs-polygon overlay: split the line's great-circle
+    edges at polygon-boundary crossings, keep the sub-edges whose
+    midpoint classification matches the op (intersection: inside or on
+    the boundary; difference: strictly outside), merge consecutive
+    sub-edges back into polylines."""
+    from sedona_db_spark.geom.core import LINESTRING, MULTILINESTRING
+    lines = _lines_xyz(g_line)
+    parts = _rings_xyz(g_poly)
+    if not lines:
+        return geom_empty(LINESTRING)
+    if not parts:
+        if op == "intersection":
+            return geom_empty(LINESTRING)
+        return g_line
+    pa, pb = _all_edges_of(parts)
+    keep = (lambda c: c >= 0) if op == "intersection" else (lambda c: c < 0)
+    chains = []
+    for line in lines:
+        subs = []
+        for a, b in zip(line[:-1], line[1:]):
+            cuts = _arc_inters(a, b, pa, pb)
+            if not cuts:
+                subs.append((a, b))
+                continue
+            angs = [float(np.arctan2(np.linalg.norm(np.cross(a, c)),
+                                     float(a @ c))) for c in cuts]
+            chain = [a] + [c for _, c in sorted(zip(angs, cuts),
+                                                key=lambda t: t[0])] + [b]
+            for u, v in zip(chain[:-1], chain[1:]):
+                if np.linalg.norm(u - v) > 1e-12:
+                    subs.append((u, v))
+        cls = _classify_sub(subs, parts)
+        chains.extend(_chain_subs(
+            [e for e, c in zip(subs, cls) if keep(c)]))
+    if not chains:
+        return geom_empty(LINESTRING)
+    if len(chains) == 1:
+        res = Geom(LINESTRING, _lonlat_open(chains[0]))
+    else:
+        res = Geom(MULTILINESTRING, [_lonlat_open(c) for c in chains])
+    res.spherical = True
+    return res
+
+
 def spherical_overlay(g1: Geom, g2: Geom, op: str) -> Geom:
     """Boolean overlay of two spherical polygons anywhere on the sphere.
 

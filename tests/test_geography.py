@@ -480,3 +480,33 @@ def test_geography_golden_file(spark):
         if not ok:
             fails.append((e["name"], got, expect))
     assert not fails, fails
+
+
+def test_full_sphere_line_polygon_clip(spark):
+    """>180-deg-span LINE x polygon overlay (the last overlay guard):
+    clipped + residual lengths partition the total exactly."""
+    import numpy as np
+    from sedona_db_spark.functions.geography import (
+        EARTH_RADIUS_M, geodesic_length_m)
+    from sedona_db_spark.geom.core import Geom, LINESTRING, POLYGON
+    from sedona_db_spark.geom.sphere_overlay import spherical_line_clip
+    line = Geom(LINESTRING, np.array(
+        [[float(l), 0.0] for l in range(-150, 151, 30)]))
+    ring = np.array([[-60.0, -20.0], [0.0, -20.0], [60.0, -20.0],
+                     [60.0, 20.0], [0.0, 20.0], [-60.0, 20.0],
+                     [-60.0, -20.0]])
+    poly = Geom(POLYGON, [ring])
+    li = geodesic_length_m(spherical_line_clip(line, poly, "intersection"))
+    ld = geodesic_length_m(spherical_line_clip(line, poly, "difference"))
+    assert abs(li / EARTH_RADIUS_M - np.radians(120)) < 1e-6
+    assert abs(ld / EARTH_RADIUS_M - np.radians(180)) < 1e-6
+    # SQL surface: hemisphere-spanning geography line x polygon no longer
+    # raises
+    pts = ", ".join(f"{lon} 0" for lon in range(-150, 151, 30))
+    row = spark.sql(f"""
+        SELECT ST_Length(ST_Intersection(
+            ST_GeogFromWKT('LINESTRING({pts})'),
+            ST_GeogFromWKT('POLYGON((-60 -20, 0 -20, 60 -20, 60 20,
+                                     0 20, -60 20, -60 -20))'))) AS l
+    """).collect()[0]
+    assert row["l"] is not None and row["l"] > 0
