@@ -325,9 +325,10 @@ _sql("st_distance_pairs", """
 # throughput measurement rather than a result-transfer one.
 _sql("st_distance_pairs_bulk", """
   SELECT count(*) AS n,
-         round(avg(ST_Distance(a.geom, b.geom)), 4) AS avg_d,
-         round(max(ST_Distance(a.geom, b.geom)), 4) AS max_d
-  FROM cust_pts a JOIN cust_pts b ON b.c_custkey = a.c_custkey + 1
+         round(avg(d), 4) AS avg_d,
+         round(max(d), 4) AS max_d
+  FROM (SELECT ST_Distance(a.geom, b.geom) AS d
+        FROM cust_pts a JOIN cust_pts b ON b.c_custkey = a.c_custkey + 1)
 """, """
   SELECT count(*) AS n,
          round(avg(sqrt(power(a.px - b.px, 2) + power(a.py - b.py, 2))), 4) AS avg_d,
@@ -1650,11 +1651,11 @@ _sql("geo_distance_sphere", """
 # over every customer point, aggregated — marginal-throughput measurement.
 _sql("geo_distance_sphere_bulk", """
   SELECT count(*) AS n,
-         round(avg(ST_DistanceSphere(ST_Point(px - 50.0, py * 0.8 - 40.0),
-                                     ST_Point(0.0, 0.0))) / 1000.0, 3) AS avg_km,
-         round(max(ST_DistanceSphere(ST_Point(px - 50.0, py * 0.8 - 40.0),
-                                     ST_Point(0.0, 0.0))) / 1000.0, 3) AS max_km
-  FROM cust_pts
+         round(avg(d) / 1000.0, 3) AS avg_km,
+         round(max(d) / 1000.0, 3) AS max_km
+  FROM (SELECT ST_DistanceSphere(ST_Point(px - 50.0, py * 0.8 - 40.0),
+                                 ST_Point(0.0, 0.0)) AS d
+        FROM cust_pts)
 """, """
   SELECT count(*) AS n,
          round(avg(2.0 * 6371008.8 * asin(least(1.0, sqrt(

@@ -187,7 +187,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 # ----------------------------------------------------------------------
 
 def connected_components(edges: DataFrame, src: str = "id_a",
-                         dst: str = "id_b", max_iter: int = 25) -> DataFrame:
+                         dst: str = "id_b", max_iter: int = 25,
+                         driver_threshold: int = 100_000) -> DataFrame:
     """(node, component) with component = min node id reachable.
 
     Alternating large-star/small-star (Kiveris et al., "Connected
@@ -196,10 +197,44 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     rounds — the standard way to close dedup pairs transitively at
     100 TB without driver-side graph state (no collect; the convergence
     probe is a 1-row checksum agg).
-    """
+
+    Small-graph fast path: when a LIMIT probe shows at most
+    `driver_threshold` edges, a driver-side union-find answers in one
+    job instead of ~6 rounds x (2 shuffles + checkpoint + probe) — the
+    iterative machinery's fixed cost dominates tiny graphs, while the
+    candidate-pair edge set of a dedup pipeline is almost always orders
+    smaller than the document table it came from.  Pass
+    driver_threshold=0 to force the distributed path."""
     e = (edges.select(F.col(src).cast("long").alias("u"),
                       F.col(dst).cast("long").alias("v"))
          .filter(F.col("u") != F.col("v")))
+
+    if driver_threshold:
+        probe = e.limit(driver_threshold + 1).count()
+        if probe <= driver_threshold:
+            rows = e.collect()
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in rows:
+                u, v = r["u"], r["v"]
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union by smaller root id keeps component = min id
+                    if ru < rv:
+                        parent[rv] = ru
+                    else:
+                        parent[ru] = rv
+            out = [(n, find(n)) for n in parent]
+            return edges.sparkSession.createDataFrame(
+                out, "node long, component long")
 
     def large_star(ed: DataFrame) -> DataFrame:
         sym = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))

@@ -679,3 +679,19 @@ def test_mjpeg_avi_frame_sample_real(spark):
             i = r["frame_ms"] // 250
             assert abs(r["frame_mean"] - ((vid * 11 + i * 13) % 256)) < 4
             assert bytes(r["frame_payload"])[:2] == b"\xFF\xD8"
+
+
+def test_connected_components_driver_path_matches_distributed(spark):
+    """The small-graph union-find fast path must agree exactly with the
+    large-star/small-star distributed path."""
+    import numpy as np
+    from sedona_db_spark.operators.dedup import connected_components
+    rng = np.random.RandomState(7)
+    edges = [(int(rng.randint(0, 120)), int(rng.randint(0, 120)))
+             for _ in range(150)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {(r["node"], r["component"])
+            for r in connected_components(df).collect()}
+    slow = {(r["node"], r["component"])
+            for r in connected_components(df, driver_threshold=0).collect()}
+    assert fast == slow and len(fast) > 0
