@@ -2823,6 +2823,13 @@ _PRIORITY[_PRIORITY.index("geo_distance_sphere")] = "s2_cellid_points"
 # the JPEG decode in the bench suite).
 _PRIORITY[_PRIORITY.index("csv_geometry_roundtrip")] = "st_transform_stateplane"
 _PRIORITY[_PRIORITY.index("multimodal_real_decode")] = "st_transform_utm_south"
+# Two more round-5 window slots: real http out-of-DB raster loading and
+# the scale-growing partitioned polygon KNN replace two of the five
+# vector-format roundtrips (GeoJSON, FlatGeobuf, LAS, GeoParquet and
+# GeoTIFF stay in-window; Shapefile/GeoPackage remain green in the
+# local replica and pytest).
+_PRIORITY[_PRIORITY.index("shapefile_roundtrip")] = "raster_http_outdb"
+_PRIORITY[_PRIORITY.index("geopackage_roundtrip")] = "knn_join_polygons_bulk"
 
 
 def _ordered_names() -> list[str]:
