@@ -215,12 +215,21 @@ def spatial_join(
         ((F.col("__lbox.ymin") + F.col("__lbox.ymax")) / 2).alias("__cy"))
     probs = [i / nx for i in range(1, nx)]
     if probs:
-        stats_row = cq.agg(
+        # quantile edges from a 10% SAMPLE: edge placement only affects
+        # balance, never correctness, and the full-table pass here was
+        # a second complete python bbox decode of the left side (the
+        # join pass below is the first) — at 100 TB that second pass is
+        # the single largest avoidable cost in this operator.  An empty
+        # sample of a non-empty table falls back to a LIMIT probe.
+        samp = cq.sample(fraction=0.1, seed=7)
+        stats_row = samp.agg(
             F.count("__cx").alias("n"),
             F.percentile_approx("__cx", probs, 10000).alias("qx"),
             F.percentile_approx("__cy", probs, 10000).alias("qy")).first()
         n_left, qx, qy = (stats_row["n"], stats_row["qx"] or [],
                           stats_row["qy"] or [])
+        if n_left == 0:
+            n_left = cq.where(F.col("__cx").isNotNull()).limit(1).count()
     else:
         n_left = cq.where(F.col("__cx").isNotNull()).limit(1).count()
         qx, qy = [], []
