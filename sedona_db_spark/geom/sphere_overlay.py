@@ -351,4 +351,61 @@ def spherical_overlay(g1: Geom, g2: Geom, op: str) -> Geom:
     cycles = _stitch(sel)
     res = _assemble(cycles)
     res.spherical = True
+    _verify_interior(res, sel, subs1, c1, p1, p2, op)
     return res
+
+
+def _verify_interior(res, sel, subs1, c1, p1, p2, op) -> None:
+    """Post-assembly sanity probe: a point epsilon-inside the result
+    (derived from a selected boundary edge and the SOURCE polygon's own
+    interior side) must classify inside the assembled polygon.
+
+    This catches the one construction the engine's polygon model cannot
+    express: a result region girdling the sphere (e.g. the union of two
+    bands whose longitudes jointly wrap 360 degrees) is bounded by two
+    cycles neither of which contains the other — under the
+    smaller-region orientation-ignored convention (geom/sphere.py) no
+    ring assembly represents it, so raise rather than return a polygon
+    that classifies its own interior as outside."""
+    if res.is_empty() or not sel:
+        return
+    # prefer an A-sourced edge: for every op the result interior lies on
+    # the A-interior side of a selected A sub-edge
+    probe = None
+    sel_a = [e for e, c in zip(subs1, c1)
+             if (op == "intersection" and c >= 0)
+             or (op != "intersection" and c < 0)]
+    for u, v in sel_a[:8]:
+        m = _mid(u, v)
+        n = np.cross(u, v)
+        nn = np.linalg.norm(n)
+        if nn < 1e-12:
+            continue
+        n = n / nn
+        for cand in (m + 1e-5 * n, m - 1e-5 * n):
+            cand = cand / np.linalg.norm(cand)
+            in_a = max((sphere.classify_point_poly(cand, part)
+                        for part in p1), default=-1) > 0
+            if in_a:
+                if op == "intersection":
+                    # must also be inside B, else the probe sits in
+                    # A-minus-B and is not interior to the result
+                    in_b = max((sphere.classify_point_poly(cand, part)
+                                for part in p2), default=-1) > 0
+                    if not in_b:
+                        continue
+                probe = cand
+                break
+        if probe is not None:
+            break
+    if probe is None:
+        return
+    got = max((sphere.classify_point_poly(probe, [np.asarray(
+        sphere.xyz_of(np.asarray(r)[:, :2])) for r in rings])
+        for rings in res.polygons()), default=-1)
+    if got < 0:
+        raise NotImplementedError(
+            "spherical overlay result girdles the sphere (boundary cycles "
+            "that do not nest) — not representable under the "
+            "smaller-region polygon convention; split the inputs so no "
+            "result region wraps a full 360 degrees of longitude")

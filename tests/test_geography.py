@@ -510,3 +510,57 @@ def test_full_sphere_line_polygon_clip(spark):
                                      0 20, -60 20, -60 -20))'))) AS l
     """).collect()[0]
     assert row["l"] is not None and row["l"] > 0
+
+
+def test_full_sphere_overlay_randomized_membership():
+    """Randomized >hemisphere band pairs (irrational-ish offsets keep
+    generic position): pointwise membership law checked per op."""
+    import numpy as np
+    from sedona_db_spark.geom import sphere
+    from sedona_db_spark.geom.sphere_overlay import (
+        _rings_xyz, spherical_overlay)
+    rng = np.random.RandomState(13)
+
+    def member(g, pts):
+        parts = _rings_xyz(g)
+        return np.array([
+            max((sphere.classify_point_poly(p, part) for part in parts),
+                default=-1) for p in pts])
+
+    v = rng.standard_normal((1500, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    for trial in range(3):
+        # B's lon range nested inside A's so the union never girdles the
+        # sphere (a 360-degree-wrapping result region is unrepresentable
+        # under the smaller-region convention and raises by design —
+        # covered by test_full_sphere_overlay_girdling_raises)
+        lo1 = -160.0 + trial * 7.3
+        A = _lon_band(lo1, lo1 + 290.0, -5.7 + trial, 27.3 + trial, 19.4)
+        lo2 = lo1 + 45.7
+        B = _lon_band(lo2, lo2 + 198.0, 11.9 - trial, 44.1 - trial, 23.1)
+        mA, mB = member(A, v), member(B, v)
+        for op, expect in [("intersection", (mA > 0) & (mB > 0)),
+                           ("union", (mA > 0) | (mB > 0)),
+                           ("difference", (mA > 0) & (mB < 0))]:
+            res = spherical_overlay(A, B, op)
+            mR = member(res, v)
+            clear = (mA != 0) & (mB != 0) & (mR != 0)
+            bad = int(np.sum(((mR > 0) != expect) & clear))
+            assert bad == 0, (trial, op, bad)
+
+
+def test_full_sphere_overlay_girdling_raises():
+    """A union whose longitudes jointly wrap 360 degrees is an annulus
+    around the sphere — two boundary cycles that do not nest, which the
+    smaller-region polygon convention cannot represent.  The overlay
+    must detect this via its interior probe and raise, never return a
+    polygon that classifies its own interior as outside."""
+    import pytest
+    from sedona_db_spark.geom.sphere_overlay import spherical_overlay
+    A = _lon_band(-160.0, 130.0, -5.7, 27.3, 19.4)
+    B = _lon_band(-76.3, 193.7, 11.9, 44.1, 23.1)
+    with pytest.raises(NotImplementedError, match="girdles"):
+        spherical_overlay(A, B, "union")
+    # the same pair's intersection does not girdle and must still work
+    inter = spherical_overlay(A, B, "intersection")
+    assert not inter.is_empty()

@@ -695,3 +695,28 @@ def test_connected_components_driver_path_matches_distributed(spark):
     slow = {(r["node"], r["component"])
             for r in connected_components(df, driver_threshold=0).collect()}
     assert fast == slow and len(fast) > 0
+
+
+def test_grid_knn_batch_matches_per_row():
+    """knn_batch (vectorized CSR probe) must equal the per-row expanding
+    -ring knn exactly — ids AND distances, including tie order — over
+    random point sets and several k."""
+    import numpy as np
+    from sedona_db_spark.operators.knn_join import _GridIndex
+    rng = np.random.RandomState(11)
+    for trial in range(5):
+        n_obj = int(rng.randint(5, 400))
+        pts = rng.uniform(0, 100, (n_obj, 2))
+        ids = np.arange(n_obj) * 3 + 1          # non-contiguous ids
+        idx = _GridIndex(pts, ids)
+        Q = rng.uniform(-10, 110, (60, 2))
+        for k in (1, 3, 7):
+            qr, oi, dd = idx.knn_batch(Q, k)
+            for qi in range(len(Q)):
+                m = qr == qi
+                got = list(zip(oi[m], dd[m]))
+                ids_ref, d_ref = idx.knn(Q[qi], k)
+                ref = list(zip(ids_ref, d_ref))
+                assert len(got) == len(ref) == min(k, n_obj), (trial, k, qi)
+                for (a, da), (b, db) in zip(got, ref):
+                    assert a == b and abs(da - db) < 1e-12, (trial, k, qi)
