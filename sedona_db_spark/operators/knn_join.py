@@ -160,6 +160,7 @@ class _GridIndex:
         out_o: list[np.ndarray] = []
         out_d: list[np.ndarray] = []
         r = max(int(np.ceil(np.sqrt(k / 8.0))), 1)
+        MAX_KEYS = 8_000_000   # bound per-pass materialization (memory)
         while len(active):
             ax = np.clip(qcx[active] - r, 0, self.nx - 1)
             bx = np.clip(qcx[active] + r, 0, self.nx - 1)
@@ -168,6 +169,21 @@ class _GridIndex:
             ncx = bx - ax + 1
             ncy = by - ay + 1
             per = ncx * ncy
+            if int(per.sum()) > MAX_KEYS and len(active) > 1:
+                # a late wide-radius pass over many sparse-region queries
+                # would materialize active x (2r+1)^2 keys at once; defer
+                # half the active set to the next (larger-radius) pass —
+                # skipping a radius only widens that half's probe square,
+                # it never weakens the completion bound, and the
+                # whole-grid clamp guarantees termination
+                half = len(active) // 2
+                rest = active[half:]
+                active = active[:half]
+                ax, bx = ax[:half], bx[:half]
+                ay, by = ay[:half], by[:half]
+                ncx, ncy, per = ncx[:half], ncy[:half], per[:half]
+            else:
+                rest = None
             rows = np.repeat(np.arange(len(active)), per)
             base = np.concatenate(([0], np.cumsum(per)[:-1]))
             off = np.arange(int(per.sum())) - np.repeat(base, per)
@@ -201,6 +217,8 @@ class _GridIndex:
                 out_o.append(self.ids[midx_s[take]])
                 out_d.append(d_s[take])
             active = active[~done]
+            if rest is not None:
+                active = np.concatenate([active, rest])
             r *= 2
         qr = np.concatenate(out_q) if out_q else np.empty(0, dtype=np.int64)
         oi = np.concatenate(out_o) if out_o else np.empty(0, dtype=np.int64)
