@@ -630,9 +630,12 @@ def _http_fetch(uri: str, retries: int = 3, timeout: float = 30.0) -> bytes:
             req = urllib.request.Request(url, headers=headers)
             with urllib.request.urlopen(req, timeout=timeout) as resp:
                 data = resp.read()
-            if len(_HTTP_CACHE) >= _HTTP_CACHE_MAX:
-                _HTTP_CACHE.pop(next(iter(_HTTP_CACHE)))
-            _HTTP_CACHE[key] = data
+            # cache small payloads only: 32 entries of multi-GB rasters
+            # would pin executor memory
+            if len(data) <= 64 * 1024 * 1024:
+                if len(_HTTP_CACHE) >= _HTTP_CACHE_MAX:
+                    _HTTP_CACHE.pop(next(iter(_HTTP_CACHE)))
+                _HTTP_CACHE[key] = data
             return data
         except (urllib.error.URLError, OSError, TimeoutError) as exc:
             last = exc
