@@ -116,23 +116,42 @@ def left_smaller(ring_xyz: np.ndarray) -> bool:
     """True when the region on the LEFT of the traversal is the smaller
     of the two regions the ring bounds.
 
-    Uses the spherical shoelace line integral in lon/lat (the same
-    formula as geography.spherical_ring_area_m2), which is unambiguous
-    for rings of ANY size — the van Oosterom fan sum is only defined
-    mod 4*pi and silently misclassifies rings whose fan origin sees
-    vertices beyond its antipode (hemisphere-spanning bands), which is
-    exactly the regime the global overlay runs in."""
+    Computed from the EXACT Girard turning-angle excess (the same
+    construction as geography.spherical_ring_area_m2): the area of the
+    left region is (2*pi - sum of signed exterior turn angles) mod 4*pi,
+    which is exact for great-circle edges of ANY length.  The former
+    lon/lat trapezoid line integral was only a rhumb-ish approximation
+    and flipped the interior convention on ~11% of random triangles
+    with edges over ~90 deg (advisor-found regression, round 6); the
+    van Oosterom fan sum is only defined mod 4*pi and fails on
+    hemisphere-spanning bands — fan_area remains only as the fallback
+    when a vertex has degenerate tangents (antipodal neighbours)."""
     r = ring_xyz
     if len(r) and np.linalg.norm(r[0] - r[-1]) > 1e-12:
         r = np.vstack([r, r[:1]])
-    lam = np.arctan2(r[:, 1], r[:, 0])
-    phi = np.arcsin(np.clip(r[:, 2], -1.0, 1.0))
-    dlam = np.diff(lam)
-    dlam = np.where(dlam > np.pi, dlam - 2.0 * np.pi,
-                    np.where(dlam < -np.pi, dlam + 2.0 * np.pi, dlam))
-    s = float(np.sum(dlam * (2.0 + np.sin(phi[:-1]) + np.sin(phi[1:])))) / 2.0
-    right_area = s % (4.0 * np.pi)
-    return right_area > 2.0 * np.pi
+    v = r[:-1]
+    if len(v) >= 1:
+        keep = np.ones(len(v), dtype=bool)
+        keep[1:] = np.linalg.norm(np.diff(v, axis=0), axis=1) > 1e-14
+        v = v[keep]
+    if len(v) < 3:
+        return fan_area(ring_xyz) > 0
+    prev = np.roll(v, 1, axis=0)
+    nxt = np.roll(v, -1, axis=0)
+    t_in = np.cross(np.cross(prev, v), v)
+    t_out = np.cross(np.cross(v, nxt), v)
+    ni = np.linalg.norm(t_in, axis=1)
+    no = np.linalg.norm(t_out, axis=1)
+    if np.any(ni <= 1e-14) or np.any(no <= 1e-14):
+        # antipodal neighbours: tangent undefined -> legacy fan fallback
+        return fan_area(ring_xyz) > 0
+    t_in = t_in / ni[:, None]
+    t_out = t_out / no[:, None]
+    sin_t = np.einsum("ij,ij->i", np.cross(t_in, t_out), v)
+    cos_t = np.einsum("ij,ij->i", t_in, t_out)
+    turns = np.arctan2(sin_t, cos_t)
+    left_area = (2.0 * np.pi - float(np.sum(turns))) % (4.0 * np.pi)
+    return left_area < 2.0 * np.pi
 
 
 def winding(p: np.ndarray, ring_xyz: np.ndarray) -> float:

@@ -564,3 +564,48 @@ def test_full_sphere_overlay_girdling_raises():
     # the same pair's intersection does not girdle and must still work
     inter = spherical_overlay(A, B, "intersection")
     assert not inter.is_empty()
+
+
+def test_left_smaller_girard_exact_random_triangles():
+    """Round-6 advisor regression: left_smaller() previously used the
+    lon/lat trapezoid line integral, flipping the interior convention on
+    ~10% of random simple triangles with edges beyond ~90 deg — which
+    inverted classify_point_ring for the whole ring (a point inside a
+    1-steradian triangle classified outside, and ST_DistanceSphere
+    returned thousands of km instead of 0).  Girard turning-angle excess
+    is exact for great-circle edges of any length."""
+    import numpy as np
+    from sedona_db_spark.geom.sphere import classify_point_ring
+
+    rng = np.random.default_rng(42)
+    bad = 0
+    tot = 0
+    for _ in range(500):
+        c = rng.normal(size=3)
+        c /= np.linalg.norm(c)
+        k = (np.array([0.0, 0.0, 1.0]) if abs(c[2]) < 0.9
+             else np.array([0.0, 1.0, 0.0]))
+        ex = np.cross(k, c)
+        ex /= np.linalg.norm(ex)
+        ey = np.cross(c, ex)
+        pts = []
+        for _j in range(3):
+            ang = rng.uniform(0, np.radians(65))
+            az = rng.uniform(0, 2 * np.pi)
+            pts.append(np.cos(ang) * c
+                       + np.sin(ang) * (np.cos(az) * ex + np.sin(az) * ey))
+        tri = np.array(pts)
+        if np.linalg.norm(np.cross(tri[1] - tri[0], tri[2] - tri[0])) < 1e-3:
+            continue
+        centroid = tri.sum(axis=0)
+        n = np.linalg.norm(centroid)
+        if n < 1e-6:
+            continue
+        centroid /= n
+        tot += 1
+        if classify_point_ring(centroid, tri) != 1:
+            bad += 1
+        if classify_point_ring(-centroid, tri) != -1:
+            bad += 1
+    assert tot > 400
+    assert bad == 0, f"{bad} misclassifications in {tot} triangles"
