@@ -177,30 +177,37 @@ def _to_lonlat(ring_xyz: np.ndarray) -> np.ndarray:
 
 
 def _assemble(cycles) -> Geom:
-    """Cycles -> POLYGON / MULTIPOLYGON; a cycle whose interior point
-    lies inside another cycle becomes that cycle's hole."""
+    """Cycles -> POLYGON / MULTIPOLYGON by containment DEPTH: a cycle
+    contained by an even number of other cycles is the outer ring of a
+    new part; odd depth makes it a hole of its immediate (depth-1)
+    container.  The former first-container parenting collapsed depth-2
+    nests — an island inside a hole (e.g. difference against a
+    polygon-with-hole) was silently emitted as a second hole of the
+    outer instead of its own part (round-6 advisor finding)."""
     if not cycles:
         return geom_empty(POLYGON)
     n = len(cycles)
-    parent = [-1] * n
+    containers: list[list[int]] = [[] for _ in range(n)]
     for i in range(n):
-        # representative interior point of cycle i: midpoint of first
-        # edge pushed slightly to the smaller-region side — use the
-        # cycle's own fan test on a nearby probe
+        # representative boundary point of cycle i (midpoint of its
+        # first edge) probed against every other cycle's smaller region
+        p = _mid(cycles[i][0], cycles[i][1])
         for j in range(n):
-            if i == j:
-                continue
-            p = _mid(cycles[i][0], cycles[i][1])
-            if sphere.classify_point_poly(p, [cycles[j]]) > 0:
-                parent[i] = j if parent[i] == -1 else parent[i]
-    parts = []
+            if i != j and sphere.classify_point_poly(p, [cycles[j]]) > 0:
+                containers[i].append(j)
+    depth = [len(c) for c in containers]
+    part_rings: dict[int, list[int]] = {
+        i: [i] for i in range(n) if depth[i] % 2 == 0}
     for i in range(n):
-        if parent[i] == -1:
-            rings = [_to_lonlat(cycles[i])]
-            for j in range(n):
-                if parent[j] == i:
-                    rings.append(_to_lonlat(cycles[j]))
-            parts.append(rings)
+        if depth[i] % 2 == 1:
+            par = next((j for j in containers[i]
+                        if depth[j] == depth[i] - 1), None)
+            if par is not None and par in part_rings:
+                part_rings[par].append(i)
+            else:                      # inconsistent probe: own part
+                part_rings[i] = [i]
+    parts = [[_to_lonlat(cycles[k]) for k in ring_ids]
+             for ring_ids in part_rings.values()]
     if not parts:
         parts = [[_to_lonlat(c)] for c in cycles]
     if len(parts) == 1:

@@ -62,8 +62,16 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     sdf = df.select(F.col(id_col).alias("id"),
                     sig(F.col(text_col)).alias("sig")).persist()
     try:
-        return _minhash_pairs_plan(sdf, num_perm, bands, rows_per_band,
-                                   threshold).localCheckpoint(eager=True)
+        # persist (NOT localCheckpoint) the pair set: persisted blocks
+        # stay recomputable through lineage if an executor dies, whereas
+        # localCheckpoint truncates lineage into non-replicated
+        # executor-local blocks — losing one executor made the result
+        # permanently unrecomputable (round-6 advisor).  count() eagerly
+        # materializes it so the signature cache can be released below.
+        pairs = _minhash_pairs_plan(sdf, num_perm, bands, rows_per_band,
+                                    threshold).persist()
+        pairs.count()
+        return pairs
     finally:
         # release the cached signature blocks as soon as the (far smaller)
         # pair set is materialized — repeated invocations in a long-lived
@@ -128,7 +136,11 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     sdf = df.select(F.col(id_col).alias("id"),
                     sim(F.col(text_col)).alias("sh")).persist()
     try:
-        return _simhash_pairs_plan(sdf, max_hamming).localCheckpoint(eager=True)
+        # persist + eager count, not localCheckpoint — see the
+        # fault-tolerance note in minhash_candidate_pairs
+        pairs = _simhash_pairs_plan(sdf, max_hamming).persist()
+        pairs.count()
+        return pairs
     finally:
         sdf.unpersist()
 
@@ -261,6 +273,15 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 
     prev_sum = None
     for _ in range(max_iter):
+        # iterative lineage truncation: without it the plan doubles per
+        # round (exponential analysis time).  localCheckpoint is the
+        # right tool HERE because each round is immediately consumed by
+        # the convergence agg below and superseded next round — unlike
+        # the pair-set results above, no truncated frame outlives the
+        # loop, so executor loss costs one re-run of the job, not a
+        # permanently unrecomputable result.  On a cluster with a
+        # configured checkpoint dir, spark.sparkContext.setCheckpointDir
+        # + .checkpoint() is the durable alternative.
         e = small_star(large_star(e)).localCheckpoint(eager=True)
         row = e.agg(F.count("*").alias("n"),
                     F.sum(F.col("u") * 31 + F.col("v")).alias("s")).first()

@@ -33,6 +33,7 @@ from sedona_db_spark.geom import core
 
 
 class _GridIndex:
+    MAX_KEYS = 8_000_000   # per-pass key/member materialization bound
     """Uniform-grid point index with expanding-ring KNN (numpy)."""
 
     def __init__(self, pts: np.ndarray, ids: np.ndarray, target_per_cell: int = 8):
@@ -160,7 +161,7 @@ class _GridIndex:
         out_o: list[np.ndarray] = []
         out_d: list[np.ndarray] = []
         r = max(int(np.ceil(np.sqrt(k / 8.0))), 1)
-        MAX_KEYS = 8_000_000   # bound per-pass materialization (memory)
+        MAX_KEYS = self.MAX_KEYS
         while len(active):
             ax = np.clip(qcx[active] - r, 0, self.nx - 1)
             bx = np.clip(qcx[active] + r, 0, self.nx - 1)
@@ -169,21 +170,23 @@ class _GridIndex:
             ncx = bx - ax + 1
             ncy = by - ay + 1
             per = ncx * ncy
+            # a late wide-radius pass over many sparse-region queries
+            # would materialize active x (2r+1)^2 keys at once; keep only
+            # the cumsum-bounded PREFIX of the active set this pass and
+            # defer the rest to the next (larger-radius) pass — skipping
+            # a radius only widens the deferred queries' probe square, it
+            # never weakens the completion bound, and the whole-grid
+            # clamp guarantees termination.  (The former single halving
+            # could still exceed the cap 10x; round-6 advisor.)
+            rest = None
             if int(per.sum()) > MAX_KEYS and len(active) > 1:
-                # a late wide-radius pass over many sparse-region queries
-                # would materialize active x (2r+1)^2 keys at once; defer
-                # half the active set to the next (larger-radius) pass —
-                # skipping a radius only widens that half's probe square,
-                # it never weakens the completion bound, and the
-                # whole-grid clamp guarantees termination
-                half = len(active) // 2
-                rest = active[half:]
-                active = active[:half]
-                ax, bx = ax[:half], bx[:half]
-                ay, by = ay[:half], by[:half]
-                ncx, ncy, per = ncx[:half], ncy[:half], per[:half]
-            else:
-                rest = None
+                nkeep = max(int(np.searchsorted(
+                    np.cumsum(per), MAX_KEYS, side="right")), 1)
+                rest = active[nkeep:]
+                active = active[:nkeep]
+                ax, bx = ax[:nkeep], bx[:nkeep]
+                ay, by = ay[:nkeep], by[:nkeep]
+                ncx, ncy, per = ncx[:nkeep], ncy[:nkeep], per[:nkeep]
             rows = np.repeat(np.arange(len(active)), per)
             base = np.concatenate(([0], np.cumsum(per)[:-1]))
             off = np.arange(int(per.sum())) - np.repeat(base, per)
@@ -191,6 +194,22 @@ class _GridIndex:
                 + (ay[rows] + off % ncy[rows])
             s = self.starts[keys]
             cnt = self.ends[keys] - s
+            # second budget: the member expansion (np.repeat(s, cnt) and
+            # the distance arrays) is cnt.sum()-sized — bound it the same
+            # way, deferring the suffix of queries past the budget
+            mem_per_q = np.add.reduceat(cnt, base) if len(cnt) else per * 0
+            if int(mem_per_q.sum()) > MAX_KEYS and len(active) > 1:
+                nkeep = max(int(np.searchsorted(
+                    np.cumsum(mem_per_q), MAX_KEYS, side="right")), 1)
+                deferred = active[nkeep:]
+                rest = (deferred if rest is None
+                        else np.concatenate([deferred, rest]))
+                active = active[:nkeep]
+                ax, bx = ax[:nkeep], bx[:nkeep]
+                ay, by = ay[:nkeep], by[:nkeep]
+                ncut = int(base[nkeep]) if nkeep < len(per) else len(keys)
+                rows, keys = rows[:ncut], keys[:ncut]
+                s, cnt = s[:ncut], cnt[:ncut]
             prow = np.repeat(rows, cnt)
             base2 = np.concatenate(([0], np.cumsum(cnt)[:-1]))
             off2 = np.arange(int(cnt.sum())) - np.repeat(base2, cnt)
@@ -219,7 +238,10 @@ class _GridIndex:
             active = active[~done]
             if rest is not None:
                 active = np.concatenate([active, rest])
-            r *= 2
+            # clamp at whole-grid radius: the probe square is already the
+            # entire grid, and unbounded doubling overflows int64 when
+            # budget deferrals stretch the pass count
+            r = min(r * 2, max(self.nx, self.ny))
         qr = np.concatenate(out_q) if out_q else np.empty(0, dtype=np.int64)
         oi = np.concatenate(out_o) if out_o else np.empty(0, dtype=np.int64)
         dd = np.concatenate(out_d) if out_d else np.empty(0, dtype=np.float64)
@@ -460,9 +482,35 @@ def knn_join(
 # partitioned (large-large) KNN join — two-round bound-then-refine
 # ======================================================================
 
-# most-recent partitioned-KNN object cache (see persist note in the
-# function body); holds at most one entry
-_PARTITIONED_CACHE: dict = {}
+# Bounded cache of persisted partitioned-KNN frames (see persist note in
+# the function body).  Keeps the TWO most recent calls' frames persisted
+# (2 frames per call) so a previous call's still-lazy result DataFrame is
+# not silently de-cached the moment a second join starts — the former
+# single-slot dict unpersisted frames the previous result still
+# referenced, losing its caching on interleaved calls, and was not
+# thread-safe (round-6 advisor).  Frames older than that are unpersisted:
+# their dependent results recompute correctly, just without the cache.
+import threading as _threading
+from collections import deque as _deque
+
+_PARTITIONED_CACHE: _deque = _deque()
+_PARTITIONED_CACHE_LOCK = _threading.Lock()
+_PARTITIONED_KEEP_FRAMES = 4          # 2 frames/call x 2 recent calls
+
+
+def _cache_persist(df: DataFrame) -> DataFrame:
+    """persist() df and enroll it in the bounded FIFO, releasing the
+    oldest frames past the retention window."""
+    df = df.persist()
+    with _PARTITIONED_CACHE_LOCK:
+        _PARTITIONED_CACHE.append(df)
+        while len(_PARTITIONED_CACHE) > _PARTITIONED_KEEP_FRAMES:
+            old = _PARTITIONED_CACHE.popleft()
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+    return df
 
 
 def knn_join_partitioned(
@@ -530,16 +578,9 @@ def knn_join_partitioned(
     # stats agg AND both candidate rounds: without the cache, the Python
     # bbox pass over the full object table ran three times (stats, round
     # A, round B) — at 100 TB that is two full scans too many.  The
-    # stats collect() below fills the cache eagerly; the previous call's
-    # cache (if any) is released so long-lived sessions hold at most one.
-    prev = _PARTITIONED_CACHE.pop("ob", None)
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass
-    ob = ob.persist()
-    _PARTITIONED_CACHE["ob"] = ob
+    # stats collect() below fills the cache eagerly; frames from older
+    # calls are released by the bounded FIFO in _cache_persist.
+    ob = _cache_persist(ob)
     stats = ob.agg(F.min("__ox").alias("x0"), F.min("__oy").alias("y0"),
                    F.max("__ox").alias("x1"), F.max("__oy").alias("y1"),
                    F.count("*").alias("n"), F.max("__ohd").alias("ohd"),
@@ -684,14 +725,7 @@ def knn_join_partitioned(
     # candidate join + window would re-execute three to four times (a
     # full re-shuffle of the big side each time at 100 TB).  Result-sized
     # (n_queries x k rows), so the cache is small relative to the join.
-    prev_a = _PARTITIONED_CACHE.pop("top_a", None)
-    if prev_a is not None:
-        try:
-            prev_a.unpersist()
-        except Exception:
-            pass
-    top_a = topk(cand_a).persist()
-    _PARTITIONED_CACHE["top_a"] = top_a
+    top_a = _cache_persist(topk(cand_a))
 
     # per-query outcome of round A
     agg_a = top_a.groupBy("__qid").agg(

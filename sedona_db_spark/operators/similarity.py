@@ -156,8 +156,10 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
 
     LSH bucket join on signature bands (pigeonhole over hamming radius),
     exact native cosine verification on candidates only.  The result is
-    materialized eagerly (localCheckpoint) so the persisted signature
-    frame can be released immediately — no cached blocks outlive the call."""
+    materialized eagerly (persist + count) so the persisted signature
+    frame can be released immediately — no cached blocks outlive the
+    call, and the pair set stays lineage-recomputable on executor loss
+    (localCheckpoint blocks are not; round-6 advisor)."""
     first = df.select(vec_col).first()
     if first is None:
         return df.sparkSession.createDataFrame(
@@ -170,8 +172,10 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                     F.col(vec_col).cast("array<double>").alias("v")) \
             .withColumn("sig", sig_udf(F.col("v"))).persist()
     try:
-        return _near_dup_pairs_plan(sdf, threshold, bits, band_bits) \
-            .localCheckpoint(eager=True)
+        pairs = _near_dup_pairs_plan(sdf, threshold, bits, band_bits) \
+            .persist()
+        pairs.count()
+        return pairs
     finally:
         sdf.unpersist()
 

@@ -609,3 +609,34 @@ def test_left_smaller_girard_exact_random_triangles():
             bad += 1
     assert tot > 400
     assert bad == 0, f"{bad} misclassifications in {tot} triangles"
+
+
+def test_full_sphere_overlay_island_in_hole():
+    """Round-6 advisor: depth-2 nesting — difference against a
+    polygon-with-hole must emit the island inside the hole as its own
+    polygon part, not as a second hole of the outer ring."""
+    import numpy as np
+    from sedona_db_spark.geom import core, sphere
+    from sedona_db_spark.geom.core import Geom
+    from sedona_db_spark.geom.sphere_overlay import spherical_overlay
+
+    def poly(*rings):
+        return Geom(core.POLYGON, [np.array(r, dtype=float) for r in rings])
+
+    A = poly([[-40, -40], [40, -40], [40, 40], [-40, 40], [-40, -40]])
+    B = poly([[-20, -20], [20, -20], [20, 20], [-20, 20], [-20, -20]],
+             [[-5, -5], [5, -5], [5, 5], [-5, 5], [-5, -5]])
+    res = spherical_overlay(A, B, "difference")
+    parts = list(res.polygons())
+    assert len(parts) == 2
+    assert sorted(len(rings) for rings in parts) == [1, 2]
+
+    def member(g, lon, lat):
+        p = sphere.xyz_of(np.array([[lon, lat]]))[0]
+        return max((sphere.classify_point_poly(
+            p, [sphere.xyz_of(np.asarray(r)[:, :2]) for r in rings])
+            for rings in g.polygons()), default=-1)
+
+    assert member(res, 0, 0) > 0        # island (B's hole) is in A-B
+    assert member(res, 10, 10) < 0      # B's annulus is not
+    assert member(res, 30, 30) > 0      # A outside B is

@@ -720,3 +720,33 @@ def test_grid_knn_batch_matches_per_row():
                 assert len(got) == len(ref) == min(k, n_obj), (trial, k, qi)
                 for (a, da), (b, db) in zip(got, ref):
                     assert a == b and abs(da - db) < 1e-12, (trial, k, qi)
+
+
+def test_grid_knn_batch_tiny_budget_matches_per_row():
+    """Round-6 advisor: the MAX_KEYS bound is now enforced by looping
+    cumsum-prefix splits on BOTH the key and member materialization —
+    with a pathologically tiny budget (forcing a split nearly every
+    pass) the batch result must still equal the per-row path exactly."""
+    import numpy as np
+    from sedona_db_spark.operators.knn_join import _GridIndex
+    rng = np.random.RandomState(7)
+    n_obj = 300
+    # clustered objects: many members per cell makes the member budget
+    # bind even when the key budget does not
+    pts = np.vstack([rng.normal(20, 1.0, (n_obj // 2, 2)),
+                     rng.uniform(0, 100, (n_obj - n_obj // 2, 2))])
+    ids = np.arange(n_obj) * 2 + 5
+    idx = _GridIndex(pts, ids)
+    old = _GridIndex.MAX_KEYS
+    try:
+        _GridIndex.MAX_KEYS = 16
+        Q = rng.uniform(-5, 105, (80, 2))
+        for k in (1, 4):
+            qr, oi, dd = idx.knn_batch(Q, k)
+            for qi in range(len(Q)):
+                m = qr == qi
+                ids_ref, d_ref = idx.knn(Q[qi], k)
+                assert list(oi[m]) == list(ids_ref), (k, qi)
+                assert np.allclose(dd[m], d_ref), (k, qi)
+    finally:
+        _GridIndex.MAX_KEYS = old
