@@ -4,14 +4,32 @@ Runs the headline query suite at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Queries are forced to full materialization with a noop write (no driver
-collect cost, no result serialization — pure engine time).
+Measurement protocol (round 6, after the round-5 verdict found up to 13x
+session-order swings on identical queries):
+
+- **Process-group isolation**: the suite runs as one fresh subprocess
+  (own JVM, own python-worker pool) per query FAMILY, so a heavy python
+  -kernel family can never perturb the timing of the native-SQL families
+  that run after it.  Full per-query isolation was measured at ~17 s of
+  JVM+prep per query (~13 min/suite) — family granularity keeps the
+  overhead at ~7 subprocesses while separating the interference classes
+  actually observed.  ``SPARK_GRAFT_BENCH_ISOLATE=0`` falls back to the
+  single-session path.
+- **Full warmup**: each query's warmup run is the SAME full noop write as
+  the timed run (the former ``limit(1)`` warmup compiled a DIFFERENT
+  plan — AQE short-circuits limits — so first timed runs still paid
+  python-worker spin-up).
+- **Load tagging**: the emitted JSON carries the host load average at
+  suite start/end and a ``load_warning`` flag, so round-over-round
+  comparisons can discard contended runs instead of chasing phantom
+  regressions.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -55,10 +73,42 @@ HEADLINE = [
     "knn_join_polygons_bulk",
 ]
 
+# Isolation groups: one subprocess (fresh JVM + python workers) each.
+# Families are grouped by interference class — python-kernel-heavy
+# families never precede native-SQL families inside a process.
+GROUPS: dict[str, list[str]] = {
+    "tpch": ["tpch_q1", "tpch_q3_top10", "tpch_q5_nation_rev",
+             "window_rownum", "events_sessionization",
+             "events_hourly_counts"],
+    "geom_micro": ["st_point_accessors", "st_distance_pairs",
+                   "st_contains_point_in_box", "st_buffer_area",
+                   "geo_distance_sphere", "st_transform_osgb",
+                   "s2_cellid_points"],
+    "spatial_join": ["spatial_join_grid_within",
+                     "spatial_join_broadcast_within",
+                     "predicates_random_100k", "knn_join_k3",
+                     "knn_join_polygons_k2"],
+    "text_dedup": ["text_token_stats", "text_quality_score",
+                   "text_fingerprint_dedup", "dedup_minhash_pairs",
+                   "text_ngram_jaccard_pairs", "dedup_transitive_cc"],
+    "sim_media": ["sim_cosine_topk", "sim_label_centroid_dist",
+                  "multimodal_jpeg_decode", "raster_zonal_stats",
+                  "asof_join_events"],
+    "bulk": ["st_distance_pairs_bulk", "geo_distance_sphere_bulk",
+             "knn_join_polygons_bulk"],
+}
+assert sorted(n for g in GROUPS.values() for n in g) == sorted(HEADLINE)
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        return []
+
+
+def _run_queries(names: list[str], sf_dir: str) -> dict[str, float]:
+    """Warm + time each query in the current process's session."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
     from sedona_db_spark import get_spark
@@ -66,48 +116,92 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
-
-    # warmup: JVM codegen, python worker pool, parquet footer reads and the
-    # temp-view prep all happen once, outside the timed region (the same
-    # methodology as pytest-benchmark's warmup in the reference harness,
-    # /root/reference/benchmarks/test_bench_base.py)
+    # shared warmup: JVM codegen machinery, python worker pool, parquet
+    # footers, temp-view prep — all outside any timed region
     entrymod._prep(spark, sf_dir)
     spark.sql("SELECT ST_AsText(ST_Point(1.0, 1.0))").collect()
     spark.table("lineitem").limit(1).count()
 
     timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
+    for name in names:
         fn = qs[name]
-        # per-query warmup (pytest-benchmark methodology, as in the
-        # reference harness): compile this query's generated code and
-        # spin up its python workers immediately before its timed run —
-        # warming all queries up front would thrash the codegen cache
+        # per-query warmup: the SAME full plan as the timed run (noop
+        # write), so codegen AND the python workers this query needs are
+        # warm — a limit(1) warmup compiles a different (short-circuited)
+        # plan and leaves the workers cold
         try:
-            fn(spark, sf_dir).limit(1).write \
-                .mode("overwrite").format("noop").save()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         except Exception:
             pass                    # surfaced in the timed run instead
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            dt = time.time() - t0
-        except Exception as e:  # report but keep the suite going
-            dt = time.time() - t0
-            timings[name] = -1.0
-            print(f"# bench error {name}: {e}", file=sys.stderr)
-            continue
-        timings[name] = round(dt, 3)
-        total += dt
+        # best-of-N timed runs (pytest-benchmark's min methodology):
+        # host noise on this box is strictly upward — the minimum is the
+        # engine's actual cost, the mean is the engine + whoever else ran
+        reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")), 1)
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                dt = time.time() - t0
+            except Exception as e:  # report but keep the suite going
+                best = -1.0
+                print(f"# bench error {name}: {e}", file=sys.stderr)
+                break
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+    spark.stop()
+    return timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--group":
+        # child mode: run one isolation group, print one JSON line
+        names = GROUPS[sys.argv[2]]
+        timings = _run_queries(names, sf_dir)
+        print(json.dumps({"group": sys.argv[2], "queries": timings}))
+        return
+
+    load0 = _loadavg()
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    isolate = os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
+
+    timings: dict[str, float] = {}
+    if isolate:
+        here = os.path.abspath(__file__)
+        for gname in GROUPS:
+            try:
+                r = subprocess.run(
+                    [sys.executable, here, "--group", gname],
+                    capture_output=True, text=True, timeout=900,
+                    cwd=os.path.dirname(here))
+                line = [l for l in r.stdout.splitlines()
+                        if l.startswith("{")][-1]
+                timings.update(json.loads(line)["queries"])
+            except Exception as e:
+                print(f"# group {gname} subprocess failed ({e}); "
+                      "running in-process", file=sys.stderr)
+                timings.update(_run_queries(GROUPS[gname], sf_dir))
+    else:
+        timings = _run_queries(HEADLINE, sf_dir)
+
+    total = sum(v for v in timings.values() if v > 0)
+    load1 = _loadavg()
     print(json.dumps({
         "metric": "headline_suite_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "isolation": "process-group" if isolate else "none",
+        "warmup": "full-plan",
+        "loadavg_start": load0,
+        "loadavg_end": load1,
+        "load_warning": bool(load0 and load0[0] > cpus / 2),
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":
