@@ -323,13 +323,28 @@ _sql("st_distance_pairs", """
 # ratio measures pure scheduling floor, not marginal throughput — see
 # COVERAGE.md's scale table).  Aggregated output keeps the timing a
 # throughput measurement rather than a result-transfer one.
-_sql("st_distance_pairs_bulk", """
-  SELECT count(*) AS n,
-         round(avg(d), 4) AS avg_d,
-         round(max(d), 4) AS max_d
-  FROM (SELECT ST_Distance(a.geom, b.geom) AS d
-        FROM cust_pts a JOIN cust_pts b ON b.c_custkey = a.c_custkey + 1)
-""", """
+def _q_st_distance_pairs_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk pairwise ST_Distance, width-guarded: customer-scale tables
+    are small on disk (1-5 parquet splits) but CPU-heavy through the
+    kernels, so the scan-width the file splitter picks starves the
+    cluster — repartition to full parallelism first IF the input is big
+    enough to amortize the shuffle (plans/width.py; round-6 verdict #1:
+    the pandas-UDF stages ran 5 tasks with 27 cores idle at sf10)."""
+    from sedona_db_spark.plans.width import widen_if_starved
+    widen_if_starved(spark.table("cust_pts")) \
+        .createOrReplaceTempView("cust_pts_wide")
+    return spark.sql("""
+      SELECT count(*) AS n,
+             round(avg(d), 4) AS avg_d,
+             round(max(d), 4) AS max_d
+      FROM (SELECT ST_Distance(a.geom, b.geom) AS d
+            FROM cust_pts_wide a
+            JOIN cust_pts_wide b ON b.c_custkey = a.c_custkey + 1)
+    """)
+
+
+_PY["st_distance_pairs_bulk"] = _q_st_distance_pairs_bulk
+_O["st_distance_pairs_bulk"] = """
   SELECT count(*) AS n,
          round(avg(sqrt(power(a.px - b.px, 2) + power(a.py - b.py, 2))), 4) AS avg_d,
          round(max(sqrt(power(a.px - b.px, 2) + power(a.py - b.py, 2))), 4) AS max_d
@@ -338,7 +353,7 @@ _sql("st_distance_pairs_bulk", """
   JOIN (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,
                (c_custkey % 1000) / 10.0 AS py FROM customer) b
     ON b.c_custkey = a.c_custkey + 1
-""")
+"""
 
 _sql("st_dwithin_join_count", """
   SELECT count(*) AS n
@@ -1649,14 +1664,25 @@ _sql("geo_distance_sphere", """
 
 # Bulk geodesic variant (see st_distance_pairs_bulk rationale): haversine
 # over every customer point, aggregated — marginal-throughput measurement.
-_sql("geo_distance_sphere_bulk", """
-  SELECT count(*) AS n,
-         round(avg(d) / 1000.0, 3) AS avg_km,
-         round(max(d) / 1000.0, 3) AS max_km
-  FROM (SELECT ST_DistanceSphere(ST_Point(px - 50.0, py * 0.8 - 40.0),
-                                 ST_Point(0.0, 0.0)) AS d
-        FROM cust_pts)
-""", """
+def _q_geo_distance_sphere_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Width-guarded like st_distance_pairs_bulk: with no join anywhere
+    in this plan there is no shuffle to rescue the width — the haversine
+    kernel inherits the scan's 1-5 partitions outright."""
+    from sedona_db_spark.plans.width import widen_if_starved
+    widen_if_starved(spark.table("cust_pts")) \
+        .createOrReplaceTempView("cust_pts_wide_g")
+    return spark.sql("""
+      SELECT count(*) AS n,
+             round(avg(d) / 1000.0, 3) AS avg_km,
+             round(max(d) / 1000.0, 3) AS max_km
+      FROM (SELECT ST_DistanceSphere(ST_Point(px - 50.0, py * 0.8 - 40.0),
+                                     ST_Point(0.0, 0.0)) AS d
+            FROM cust_pts_wide_g)
+    """)
+
+
+_PY["geo_distance_sphere_bulk"] = _q_geo_distance_sphere_bulk
+_O["geo_distance_sphere_bulk"] = """
   SELECT count(*) AS n,
          round(avg(2.0 * 6371008.8 * asin(least(1.0, sqrt(
              power(sin(radians((py * 0.8 - 40.0)) / 2.0), 2)
@@ -1668,7 +1694,7 @@ _sql("geo_distance_sphere_bulk", """
              * power(sin(radians(px - 50.0) / 2.0), 2))))) / 1000.0, 3) AS max_km
   FROM (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,
                (c_custkey % 1000) / 10.0 AS py FROM customer) c
-""")
+"""
 
 
 # Same-name dispatch (reference kernels.rs:38: geography args give the

@@ -39,12 +39,14 @@ def _decode(s: pd.Series) -> list:
 
 
 def _fast_points(s: pd.Series):
-    """(n,2) float array if batch is all 21-byte 2D points, else None."""
+    """(n,2) float array if batch is all 21-byte 2D points, else None.
+
+    No pre-scan for nulls: the O(n) python ``any()`` generator cost half
+    the parse time; a None in the batch raises TypeError inside the
+    C-level join and lands in the same fallback."""
     vals = s.to_numpy(dtype=object)
-    if any(v is None for v in vals):
-        return None
     try:
-        return core.wkb_array_to_points(list(vals))
+        return core.wkb_array_to_points(vals)
     except Exception:
         return None
 
@@ -198,7 +200,7 @@ def k_point(xs: pd.Series, ys: pd.Series) -> pd.Series:
     if mask.any():
         arr = arr.copy()
         arr[mask] = None
-    return pd.Series(list(arr), dtype=object)
+    return pd.Series(arr, dtype=object)
 
 
 def k_pointz(xs, ys, zs) -> pd.Series:
@@ -662,7 +664,7 @@ def k_centroid(s):
     r = _fast_ragged(s, core.POLYGON)
     if r is not None:
         area, cx, cy = core.ragged_ring_area_centroid(*r)
-        out = pd.Series(list(core.points_to_wkb_array(cx, cy)), dtype=object)
+        out = pd.Series(core.points_to_wkb_array(cx, cy), dtype=object)
         # zero-area (degenerate) rings: the shoelace centroid is undefined,
         # and falling back to the first vertex diverges from the per-row
         # path (alg.centroid = PostGIS length-weighted semantics).  Route

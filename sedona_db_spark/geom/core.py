@@ -366,14 +366,21 @@ _POINT_PREFIX = struct.pack("<BI", 1, POINT)
 
 
 def points_to_wkb_array(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
-    """Vectorized (x, y) -> WKB bytes, no per-row Python struct calls."""
+    """Vectorized (x, y) -> WKB bytes, no per-row Python struct calls.
+
+    The per-row bytes objects are cut out of one contiguous buffer with a
+    C-level regex findall — ~1.5x the python slicing loop at 1.5M rows
+    (the bytes-object creation itself is the irreducible cost)."""
+    import re as _re
     n = len(xs)
     buf = np.empty((n, POINT_WKB_LEN), dtype=np.uint8)
     buf[:, :5] = np.frombuffer(_POINT_PREFIX, dtype=np.uint8)
     buf[:, 5:13] = np.asarray(xs, dtype="<f8").reshape(n, 1).view(np.uint8)
     buf[:, 13:21] = np.asarray(ys, dtype="<f8").reshape(n, 1).view(np.uint8)
     raw = buf.tobytes()
-    return np.array([raw[i * POINT_WKB_LEN:(i + 1) * POINT_WKB_LEN] for i in range(n)], dtype=object)
+    arr = np.empty(n, dtype=object)
+    arr[:] = _re.findall(b"(?s).{%d}" % POINT_WKB_LEN, raw)
+    return arr
 
 
 def wkb_batch_ragged(vals, base):
@@ -499,13 +506,14 @@ def wkb_array_to_points(vals) -> "np.ndarray | None":
     n = len(vals)
     if n == 0:
         return np.empty((0, 2))
-    joined = b"".join(vals)
+    joined = b"".join(vals)          # TypeError on None -> caller's fallback
     if len(joined) != n * POINT_WKB_LEN:
         return None
     raw = np.frombuffer(joined, dtype=np.uint8).reshape(n, POINT_WKB_LEN)
     prefix = np.frombuffer(_POINT_PREFIX, dtype=np.uint8)
     if not np.all(raw[:, :5] == prefix):
         return None
-    xs = raw[:, 5:13].copy().view("<f8").reshape(n)
-    ys = raw[:, 13:21].copy().view("<f8").reshape(n)
-    return np.column_stack([xs, ys])
+    # bytes 5..21 are (x, y) little-endian contiguous: one copy + view
+    # yields the (n, 2) float64 directly (the former per-column copy +
+    # column_stack did three passes over the batch)
+    return raw[:, 5:POINT_WKB_LEN].copy().view("<f8").reshape(n, 2)

@@ -35,6 +35,13 @@ _DEFAULT_CONFS = {
     # Operators that KNOW a side is small use explicit F.broadcast(),
     # which bypasses this threshold.
     "spark.sql.autoBroadcastJoinThreshold": str(24 * 1024 * 1024),
+    # 512 KB open-cost (default 4 MB): the 4 MB floor forced small-on-disk
+    # CPU-heavy tables (a 14 MB point table is 1.5M rows of kernel work)
+    # into 2-5 scan splits with the rest of the cluster idle; with the
+    # floor at 512 KB the splitter's total/minPartitionNum term wins and
+    # scans target defaultParallelism splits.  Large tables are unaffected
+    # (their size/parallelism term already exceeds both floors).
+    "spark.sql.files.openCostInBytes": str(512 * 1024),
     "spark.ui.enabled": "false",
     # driver testdata events.parquet carries timestamp[ns]; read as long
     # and convert to TimestampType in load_tables
@@ -100,6 +107,8 @@ def register_all(spark: SparkSession) -> SparkSession:
 # the caller built a bare SparkSession themselves (e.g. the external driver).
 _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # see the open-cost note in _DEFAULT_CONFS (runtime-settable SQL conf)
+    "spark.sql.files.openCostInBytes": str(512 * 1024),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -76,12 +76,19 @@ def main() -> None:
         # the same protocol bench.py uses
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         con.execute(oracles[name]).fetchall()
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        t_spark = time.time() - t0
-        t0 = time.time()
-        con.execute(oracles[name]).fetchall()
-        t_duck = time.time() - t0
+        # best-of-N both sides: this host shows episodic multi-second
+        # stalls (even on pure-JVM plans) — the minimum is the engine's
+        # cost, the mean includes whoever else ran (same min methodology
+        # as bench.py / pytest-benchmark)
+        reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
+        t_spark = t_duck = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            t_spark = min(t_spark, time.time() - t0)
+            t0 = time.time()
+            con.execute(oracles[name]).fetchall()
+            t_duck = min(t_duck, time.time() - t0)
         rows.append({"query": name, "spark_sec": round(t_spark, 3),
                      "duckdb_sec": round(t_duck, 3),
                      "ratio": round(t_spark / max(t_duck, 1e-9), 2)})

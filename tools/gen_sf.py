@@ -55,7 +55,12 @@ def _write_chunked(dst: str, name: str, total: int, make_chunk) -> None:
     for lo in range(0, total, CHUNK):
         hi = min(lo + CHUNK, total)
         tab = make_chunk(lo, hi, ci)
-        pq.write_table(tab, os.path.join(ddir, f"part-{ci:04d}.parquet"))
+        # ~128k-row row groups: real large-scale parquet carries many row
+        # groups per file, and Spark's scan parallelism within a file is
+        # bounded by row-group count — 1M-row groups made a 1.5M-row table
+        # unsplittable beyond 2 tasks regardless of split tuning
+        pq.write_table(tab, os.path.join(ddir, f"part-{ci:04d}.parquet"),
+                       row_group_size=131072)
         ci += 1
     print(name, total, f"({ci} files)")
 
