@@ -55,12 +55,16 @@ def _write_chunked(dst: str, name: str, total: int, make_chunk) -> None:
     for lo in range(0, total, CHUNK):
         hi = min(lo + CHUNK, total)
         tab = make_chunk(lo, hi, ci)
-        # ~128k-row row groups: real large-scale parquet carries many row
-        # groups per file, and Spark's scan parallelism within a file is
-        # bounded by row-group count — 1M-row groups made a 1.5M-row table
-        # unsplittable beyond 2 tasks regardless of split tuning
+        # byte-aware row groups (~8 MB, 8k-128k rows): real large-scale
+        # parquet carries many row groups per file, and Spark's scan
+        # parallelism within a file is bounded by row-group count — 1M-row
+        # groups made a 1.5M-row table unsplittable beyond 2 tasks, and
+        # fixed 128k rows left wide tables (embeddings: 64 floats/row) at
+        # 33 MB groups, capping their scans at 2 tasks
+        row_bytes = max(tab.nbytes // max(len(tab), 1), 1)
+        rg = int(max(8192, min(131072, (8 << 20) // row_bytes)))
         pq.write_table(tab, os.path.join(ddir, f"part-{ci:04d}.parquet"),
-                       row_group_size=131072)
+                       row_group_size=rg)
         ci += 1
     print(name, total, f"({ci} files)")
 
