@@ -2508,8 +2508,12 @@ def _http_raster_base() -> str:
     for k in range(25):
         arr = np.full((6, 6), float(k * 2 + 3))
         arr[0, 0] = float(k)          # deterministic, SQL-derivable stats
-        payloads[f"/n{k}.tif"] = encode_geotiff(make_raster_row(
+        tif = encode_geotiff(make_raster_row(
             6, 6, ulx=0.0, uly=6.0, bands=[("b1", "float64", arr)]))
+        payloads[f"/n{k}.tif"] = tif
+        # path-style S3 layout for the s3:// loader-hook contract query:
+        # s3://rasters/n{k}.tif resolves to {endpoint}/rasters/n{k}.tif
+        payloads[f"/rasters/n{k}.tif"] = tif
 
     class H(BaseHTTPRequestHandler):
         def do_GET(self):
@@ -2567,6 +2571,50 @@ def _q_raster_http_outdb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PY["raster_http_outdb"] = _q_raster_http_outdb
+
+
+def _q_raster_s3_outdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s3-scheme out-of-DB loading (round 6): bands live behind
+    s3://rasters/... URIs; register_s3_endpoint maps the bucket onto the
+    loopback http fixture (path-style, the S3-compatible convention) and
+    the registration rides to the executors in the ensure_loaded UDF
+    closure.  Same pixel oracle as raster_http_outdb (reference loader
+    registry surface: rust/sedona/src/context.rs:283-316)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from sedona_db_spark.functions import raster as rs
+    from sedona_db_spark.functions.raster import (
+        RASTER_TYPE, make_raster_row, register_s3_endpoint)
+    register_s3_endpoint(_http_raster_base(), bucket="rasters")
+    rows = []
+    for k in range(25):
+        row = make_raster_row(6, 6, ulx=0.0, uly=6.0, bands=[])
+        row["bands"] = [{
+            "name": "b1", "dim_names": ["y", "x"], "source_shape": [6, 6],
+            "datatype": "float64", "nodata": None, "view": None,
+            "outdb_uri": f"s3://rasters/n{k}.tif", "outdb_format": "GTiff",
+            "data": None}]
+        rows.append((k, row))
+    df = spark.createDataFrame(
+        rows, T.StructType([T.StructField("n_nationkey", T.IntegerType()),
+                            T.StructField("rast", RASTER_TYPE)]))
+    z = df.select("n_nationkey",
+                  rs.zonal_stats(rs.ensure_loaded(F.col("rast")),
+                                 F.expr("ST_MakeEnvelope(0.0,0.0,6.0,6.0)"),
+                                 1).alias("z"))
+    return z.select("n_nationkey",
+                    F.col("z.count").alias("pix_count"),
+                    F.round(F.col("z.sum"), 6).alias("pix_sum"),
+                    F.round(F.col("z.min"), 6).alias("pix_min"))
+
+
+_PY["raster_s3_outdb"] = _q_raster_s3_outdb
+_O["raster_s3_outdb"] = """
+  SELECT n_nationkey, CAST(36 AS BIGINT) AS pix_count,
+         round(35.0 * (2.0 * n_nationkey + 3.0) + n_nationkey, 6) AS pix_sum,
+         round(CAST(n_nationkey AS DOUBLE), 6) AS pix_min
+  FROM nation
+"""
 # 36 pixels of (2k+3) with pixel (0,0) overwritten to k:
 # sum = 36*(2k+3) - (2k+3) + k = 35*(2k+3) + k, min = k
 _O["raster_http_outdb"] = """
@@ -2856,6 +2904,10 @@ _PRIORITY[_PRIORITY.index("multimodal_real_decode")] = "st_transform_utm_south"
 # local replica and pytest).
 _PRIORITY[_PRIORITY.index("shapefile_roundtrip")] = "raster_http_outdb"
 _PRIORITY[_PRIORITY.index("geopackage_roundtrip")] = "knn_join_polygons_bulk"
+# Round 6: the s3-scheme loader hook takes the las_roundtrip_agg slot
+# (LAS stays green in the local replica + pytest; the out-of-DB loader
+# family now proves both url schemes through the driver gate).
+_PRIORITY[_PRIORITY.index("las_roundtrip_agg")] = "raster_s3_outdb"
 
 
 def _ordered_names() -> list[str]:

@@ -603,12 +603,76 @@ def _fake_loader(uri: str, fmt: str, shape) -> np.ndarray:
 
 
 # per-executor fetch cache: one multi-band file typically backs several
-# out-of-DB bands of the same row/partition — fetch it once
-_HTTP_CACHE: dict[str, bytes] = {}
+# out-of-DB bands of the same row/partition — fetch it once.  True LRU
+# (hits move to the back, eviction pops the front) under BOTH an entry
+# cap and a total-byte budget — the former first-key eviction was
+# insertion-ordered, and 32 x 64 MB could pin 2 GB per executor.
+from collections import OrderedDict as _OrderedDict
+
+_HTTP_CACHE: "_OrderedDict[str, bytes]" = _OrderedDict()
 _HTTP_CACHE_MAX = 32
+_HTTP_CACHE_ENTRY_MAX = 64 * 1024 * 1024     # never cache payloads above
+_HTTP_CACHE_BYTES_MAX = 256 * 1024 * 1024    # total budget per executor
+_HTTP_CACHE_BYTES = 0
 
 
-def _http_fetch(uri: str, retries: int = 3, timeout: float = 30.0) -> bytes:
+def _cache_put(key: str, data: bytes) -> None:
+    global _HTTP_CACHE_BYTES
+    if len(data) > _HTTP_CACHE_ENTRY_MAX:
+        return
+    old = _HTTP_CACHE.pop(key, None)
+    if old is not None:
+        _HTTP_CACHE_BYTES -= len(old)
+    _HTTP_CACHE[key] = data
+    _HTTP_CACHE_BYTES += len(data)
+    while _HTTP_CACHE and (len(_HTTP_CACHE) > _HTTP_CACHE_MAX
+                           or _HTTP_CACHE_BYTES > _HTTP_CACHE_BYTES_MAX):
+        _, evicted = _HTTP_CACHE.popitem(last=False)
+        _HTTP_CACHE_BYTES -= len(evicted)
+
+
+# s3-scheme loader hook: maps s3://bucket/key onto an http(s) endpoint
+# (path-style, the S3-compatible convention) + static headers, so the
+# existing executor-side http fetcher serves object stores too — the
+# role of the reference's pluggable loader registry
+# (rust/sedona/src/context.rs:283-316).  Configure per-process with
+# register_s3_endpoint() or the SPARK_GRAFT_S3_ENDPOINT /
+# SPARK_GRAFT_S3_HEADERS (JSON) environment variables, which executors
+# inherit from the session environment.
+_S3_ENDPOINTS: dict[str, tuple[str, dict]] = {}
+
+
+def register_s3_endpoint(endpoint: str, bucket: str = "*",
+                         headers: dict | None = None) -> None:
+    """Route ``s3://bucket/...`` fetches through ``endpoint`` (an
+    http(s) base URL); bucket "*" is the wildcard fallback."""
+    _S3_ENDPOINTS[bucket] = (endpoint.rstrip("/"), dict(headers or {}))
+
+
+def _s3_resolve(uri: str) -> tuple[str, dict]:
+    """s3://bucket/key[#frag] -> (http url with frag, headers)."""
+    import json as _json
+    import os as _os
+    rest = uri[len("s3://"):]
+    bucket, _, key = rest.partition("/")
+    ep = _S3_ENDPOINTS.get(bucket) or _S3_ENDPOINTS.get("*")
+    if ep is None:
+        env = _os.environ.get("SPARK_GRAFT_S3_ENDPOINT")
+        if env:
+            hdrs = _json.loads(_os.environ.get("SPARK_GRAFT_S3_HEADERS", "{}"))
+            ep = (env.rstrip("/"), hdrs)
+    if ep is None:
+        raise NotImplementedError(
+            f"s3 out-of-DB load for {uri!r}: no endpoint registered — call "
+            "register_s3_endpoint(endpoint[, bucket, headers]) or set "
+            "SPARK_GRAFT_S3_ENDPOINT (path-style S3-compatible http(s) "
+            "base URL)")
+    base, headers = ep
+    return f"{base}/{bucket}/{key}", dict(headers)
+
+
+def _http_fetch(uri: str, retries: int = 3, timeout: float = 30.0,
+                extra_headers: dict | None = None) -> bytes:
     """Executor-side http(s) fetch (stdlib urllib — no extra deps) with
     exponential-backoff retries and optional range requests: a
     `#bytes=a-b` fragment becomes an HTTP Range header so a loader can
@@ -618,10 +682,12 @@ def _http_fetch(uri: str, retries: int = 3, timeout: float = 30.0) -> bytes:
     import urllib.error
     import urllib.request
     key = uri
-    if key in _HTTP_CACHE:
-        return _HTTP_CACHE[key]
+    cached = _HTTP_CACHE.get(key)
+    if cached is not None:
+        _HTTP_CACHE.move_to_end(key)         # LRU hit
+        return cached
     url, _, frag = uri.partition("#")
-    headers = {}
+    headers = dict(extra_headers or {})
     if frag.startswith("bytes="):
         headers["Range"] = frag
     last: Exception | None = None
@@ -630,12 +696,7 @@ def _http_fetch(uri: str, retries: int = 3, timeout: float = 30.0) -> bytes:
             req = urllib.request.Request(url, headers=headers)
             with urllib.request.urlopen(req, timeout=timeout) as resp:
                 data = resp.read()
-            # cache small payloads only: 32 entries of multi-GB rasters
-            # would pin executor memory
-            if len(data) <= 64 * 1024 * 1024:
-                if len(_HTTP_CACHE) >= _HTTP_CACHE_MAX:
-                    _HTTP_CACHE.pop(next(iter(_HTTP_CACHE)))
-                _HTTP_CACHE[key] = data
+            _cache_put(key, data)
             return data
         except (urllib.error.URLError, OSError, TimeoutError) as exc:
             last = exc
@@ -653,8 +714,12 @@ def _load_outdb_band(b, h: int, w: int) -> tuple[str, str, np.ndarray]:
         shp = [h, w]
     if uri.startswith("fake://"):
         return (b["name"], "float64", _fake_loader(uri, fmt, shp))
-    if uri.startswith(("http://", "https://")):
-        data = _http_fetch(uri)
+    if uri.startswith(("http://", "https://", "s3://")):
+        if uri.startswith("s3://"):
+            url, hdrs = _s3_resolve(uri)
+            data = _http_fetch(url, extra_headers=hdrs)
+        else:
+            data = _http_fetch(uri)
         if fmt in ("", "gtiff", "tiff", "geotiff"):
             from sedona_db_spark.sources.geotiff import decode_geotiff
             row = decode_geotiff(data)
@@ -678,13 +743,13 @@ def _load_outdb_band(b, h: int, w: int) -> tuple[str, str, np.ndarray]:
             "raw_f64)")
     raise NotImplementedError(
         f"out-of-DB raster load for {uri!r}: supported schemes are "
-        "fake:// (deterministic test loader) and http(s):// "
-        "(stdlib fetch + native GeoTIFF decode); other schemes need "
+        "fake:// (deterministic test loader), http(s):// (stdlib fetch "
+        "+ native GeoTIFF decode) and s3:// (endpoint-mapped onto the "
+        "http fetcher — see register_s3_endpoint); other schemes need "
         "rasterio/GDAL on the cluster")
 
 
-@F.pandas_udf(RASTER_TYPE)
-def _rs_ensure_loaded_udf(rs: pd.Series) -> pd.DataFrame:
+def _ensure_loaded_batch(rs: pd.Series) -> pd.DataFrame:
     out = []
     for r in _iter_struct(rs):
         if r is None:
@@ -709,8 +774,34 @@ def _rs_ensure_loaded_udf(rs: pd.Series) -> pd.DataFrame:
     return _struct_out(out)
 
 
+@F.pandas_udf(RASTER_TYPE)
+def _rs_ensure_loaded_udf(rs: pd.Series) -> pd.DataFrame:
+    return _ensure_loaded_batch(rs)
+
+
 def ensure_loaded(r) -> Column:
-    return _rs_ensure_loaded_udf(r)
+    """Materialize out-of-DB bands (executor-side fetch + decode).
+
+    Built per call so driver-side ``register_s3_endpoint()`` entries ride
+    to the executors in the UDF closure — module state set on the driver
+    after the JVM launched would otherwise never reach the python
+    workers (env vars are inherited only at JVM start)."""
+    snapshot = dict(_S3_ENDPOINTS)
+    if not snapshot:
+        return _rs_ensure_loaded_udf(r)
+
+    @F.pandas_udf(RASTER_TYPE)
+    def _udf(rs: pd.Series) -> pd.DataFrame:
+        # import the module explicitly: cloudpickle captures a nested
+        # function's global refs BY VALUE, so mutating the name
+        # `_S3_ENDPOINTS` here would populate a detached pickled copy —
+        # the module-level functions the loader actually calls resolve
+        # the executor module's own dict
+        from sedona_db_spark.functions import raster as _r
+        for k, v in snapshot.items():
+            _r._S3_ENDPOINTS.setdefault(k, v)
+        return _ensure_loaded_batch(rs)
+    return _udf(r)
 
 
 @F.pandas_udf(T.BinaryType())
