@@ -316,16 +316,32 @@ def pixel_as_polygon(r, px, py) -> Column:
 # path; cross-CRS inputs should be aligned first (ST_Transform /
 # RS_ReprojectMatch) — the reference's densified reprojection covers that
 # case, antimeridian/geodesic edges are unmodeled in both engines.
-def intersects(r, geom) -> Column:
-    return get_udf("ST_Intersects")(envelope(r), geom)
+def envelope_in(r, crs) -> Column:
+    """Raster footprint reprojected into ``crs`` (WKB): corner ring
+    densified (20 vertices per edge) in pixel space, affine-transformed
+    to world, then routed through the projection registry when the
+    raster's CRS differs — the reference's densified-reprojection path
+    for cross-CRS raster predicates (rs_spatial_predicates.rs:203-205).
+    Same-CRS rows skip the transform and stay exact."""
+    crs = F.lit(crs) if not isinstance(crs, Column) else crs
+    return _rs_footprint_in_udf(r, crs)
 
 
-def contains(r, geom) -> Column:
-    return get_udf("ST_Contains")(envelope(r), geom)
+def intersects(r, geom, geom_crs=None) -> Column:
+    """RS_Intersects.  With ``geom_crs`` set, the footprint is densified
+    and reprojected into the geometry's CRS first (cross-CRS path)."""
+    fp = envelope(r) if geom_crs is None else envelope_in(r, geom_crs)
+    return get_udf("ST_Intersects")(fp, geom)
 
 
-def within(r, geom) -> Column:
-    return get_udf("ST_Within")(envelope(r), geom)
+def contains(r, geom, geom_crs=None) -> Column:
+    fp = envelope(r) if geom_crs is None else envelope_in(r, geom_crs)
+    return get_udf("ST_Contains")(fp, geom)
+
+
+def within(r, geom, geom_crs=None) -> Column:
+    fp = envelope(r) if geom_crs is None else envelope_in(r, geom_crs)
+    return get_udf("ST_Within")(fp, geom)
 
 
 def slice_bands(r, start: int, stop: int) -> Column:
@@ -802,6 +818,34 @@ def ensure_loaded(r) -> Column:
             _r._S3_ENDPOINTS.setdefault(k, v)
         return _ensure_loaded_batch(rs)
     return _udf(r)
+
+
+@F.pandas_udf(T.BinaryType())
+def _rs_footprint_in_udf(rs: pd.Series, to_crs: pd.Series) -> pd.Series:
+    """Densified footprint ring, reprojected when raster CRS != target."""
+    from sedona_db_spark.geom import algorithms as alg
+    from sedona_db_spark.geom import core
+    out = []
+    N = 20                                   # vertices per edge
+    frac = np.arange(N) / float(N)
+    for r, dst in zip(_iter_struct(rs), to_crs):
+        if r is None or dst is None:
+            out.append(None)
+            continue
+        t, w, h = _raster_fields(r)
+        fw, fh = float(w), float(h)
+        px = np.concatenate([frac * fw, np.full(N, fw),
+                             fw - frac * fw, np.zeros(N), [0.0]])
+        py = np.concatenate([np.zeros(N), frac * fh,
+                             np.full(N, fh), fh - frac * fh, [0.0]])
+        wx = t[0] + t[1] * px + t[2] * py
+        wy = t[3] + t[4] * px + t[5] * py
+        g = core.Geom(core.POLYGON, [np.column_stack([wx, wy])])
+        src = r["crs"]
+        if src and dst and str(src).upper() != str(dst).upper():
+            g = alg.transform_crs(g, str(src), str(dst))
+        out.append(core.to_wkb(g))
+    return pd.Series(out, dtype=object)
 
 
 @F.pandas_udf(T.BinaryType())
