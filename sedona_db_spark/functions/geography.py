@@ -530,6 +530,19 @@ def _gnomonic_pair_inv(a: Geom, b: Geom):
             inv)
 
 
+def _line_poly_union(g_line, g_poly):
+    """Global line ∪ polygon: GEOMETRYCOLLECTION(polygon, line − polygon)
+    — the polygon absorbs the covered line portion; the remainder keeps
+    its dimension (regularized mixed-dimension union)."""
+    from sedona_db_spark.geom.sphere_overlay import spherical_line_clip
+    outside = spherical_line_clip(g_line, g_poly, "difference")
+    if outside.is_empty():
+        return g_poly
+    res = _core.Geom(_core.GEOMETRYCOLLECTION, [g_poly, outside])
+    res.spherical = True
+    return res
+
+
 def _spherical_overlay_kernel(op_fn, op_name: str | None = None):
     """Geography overlay: gnomonic project (great circles -> lines),
     exact planar Martinez overlay, inverse-project, re-tag spherical
@@ -568,10 +581,18 @@ def _spherical_overlay_kernel(op_fn, op_name: str | None = None):
                         from sedona_db_spark.geom.sphere_overlay import \
                             spherical_line_clip
                         res = spherical_line_clip(g1, g2, op_name)
+                    elif l1 and p2 and not p1 and op_name == "union":
+                        # mixed-dimension union (round 6): polygon plus
+                        # the line portion OUTSIDE it, as a collection —
+                        # the reference's S2 union emits the same
+                        # mixed-dimension result (kernels.rs:524-664)
+                        res = _line_poly_union(g1, g2)
                     elif l2 and p1 and not p2 and op_name == "intersection":
                         from sedona_db_spark.geom.sphere_overlay import \
                             spherical_line_clip
                         res = spherical_line_clip(g2, g1, op_name)
+                    elif l2 and p1 and not p2 and op_name == "union":
+                        res = _line_poly_union(g2, g1)
                     else:
                         raise
             res.spherical = True

@@ -44,16 +44,27 @@ _QUANT = 1e-9
 
 def _rings_xyz(g: Geom) -> list[list[np.ndarray]]:
     """Polygon parts -> list of [outer, hole...] rings as (n,3) unit
-    vectors (closing vertex dropped)."""
+    vectors (closing vertex dropped), orientation CANONICALIZED: outer
+    rings traverse with their smaller region (the interior) on the
+    RIGHT, holes with theirs on the LEFT — i.e. the part interior is on
+    the right of every boundary walk.  The trace stitcher selects
+    sub-edges in traversal order, so without this normalization a
+    reversed input ring made every cycle fail to close and the overlay
+    silently returned EMPTY (latent orientation dependence found while
+    building the lune splitter, round 6)."""
     parts = []
     for rings in g.polygons():
         part = []
-        for r in rings:
+        for i, r in enumerate(rings):
             r = np.asarray(r, dtype=np.float64)
             if len(r) and np.allclose(r[0, :2], r[-1, :2]):
                 r = r[:-1]
             if len(r) >= 3:
-                part.append(sphere.xyz_of(r[:, :2]))
+                xyz = sphere.xyz_of(r[:, : 2])
+                want_left = i > 0           # holes: smaller region on left
+                if sphere.left_smaller(xyz) != want_left:
+                    xyz = xyz[::-1].copy()
+                part.append(xyz)
         if part:
             parts.append(part)
     return parts
@@ -305,13 +316,46 @@ def spherical_line_clip(g_line: Geom, g_poly: Geom, op: str) -> Geom:
     return res
 
 
-def spherical_overlay(g1: Geom, g2: Geom, op: str) -> Geom:
+def _girdling_union(g1: Geom, g2: Geom) -> Geom:
+    """Representable girdling results (round-6 verdict #3): a result
+    region wrapping 360 degrees of longitude is bounded by two cycles
+    neither containing the other, which no single smaller-region ring
+    expresses.  Only UNION can produce one from representable inputs —
+    intersection and difference results are subsets of input A, so they
+    girdle only if A itself does (and a girdling input is not
+    expressible as a Geom in the first place).  The union decomposes as
+    A ⊎ (B − A): interiors are disjoint, so the multipolygon of A's
+    parts plus (B−A)'s parts covers exactly A ∪ B — a seam
+    representation whose parts meet along ∂A ∩ B; membership (max over
+    parts) and total area are unchanged, and no degenerate
+    shared-boundary overlay is ever computed (B−A uses the original
+    generic-position inputs)."""
+    d = spherical_overlay(g2, g1, "difference", _seamed=True)
+    parts = [[np.asarray(r, dtype=np.float64) for r in rings]
+             for rings in g1.polygons()]
+    parts += [[np.asarray(r, dtype=np.float64) for r in rings]
+              for rings in d.polygons()]
+    if not parts:
+        return geom_empty(POLYGON)
+    res = Geom(POLYGON, parts[0]) if len(parts) == 1 \
+        else Geom(MULTIPOLYGON, parts)
+    res.spherical = True
+    return res
+
+
+def spherical_overlay(g1: Geom, g2: Geom, op: str,
+                      _seamed: bool = False) -> Geom:
     """Boolean overlay of two spherical polygons anywhere on the sphere.
 
     op: 'intersection' | 'union' | 'difference' | 'sym_difference'.
+    Girdling results (a region wrapping 360 degrees of longitude) are
+    returned as the disjoint-part decomposition A ⊎ (B−A) — a
+    multipolygon whose parts meet along internal seams (see
+    _girdling_union); ``_seamed`` marks that recursive pass, where a
+    second girdling detection is a real failure and re-raises.
     Non-polygon inputs are not handled here (the gnomonic path covers
-    line/point overlays; a hemisphere-spanning LINE overlay remains
-    unsupported and raises)."""
+    line/point overlays; the line-vs-polygon global paths live in
+    spherical_line_clip)."""
     p1 = _rings_xyz(g1)
     p2 = _rings_xyz(g2)
     if not p1 or not p2:
@@ -358,7 +402,14 @@ def spherical_overlay(g1: Geom, g2: Geom, op: str) -> Geom:
     cycles = _stitch(sel)
     res = _assemble(cycles)
     res.spherical = True
-    _verify_interior(res, sel, subs1, c1, p1, p2, op)
+    try:
+        _verify_interior(res, sel, subs1, c1, p1, p2, op)
+    except NotImplementedError:
+        if _seamed or op != "union":
+            raise               # only a union of representable inputs
+            # can girdle; anything else here is a genuine assembly
+            # failure, not a representability limit — surface it
+        return _girdling_union(g1, g2)
     return res
 
 

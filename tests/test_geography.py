@@ -549,21 +549,67 @@ def test_full_sphere_overlay_randomized_membership():
             assert bad == 0, (trial, op, bad)
 
 
-def test_full_sphere_overlay_girdling_raises():
-    """A union whose longitudes jointly wrap 360 degrees is an annulus
-    around the sphere — two boundary cycles that do not nest, which the
-    smaller-region polygon convention cannot represent.  The overlay
-    must detect this via its interior probe and raise, never return a
-    polygon that classifies its own interior as outside."""
-    import pytest
+def test_full_sphere_overlay_girdling_representable():
+    """Round 6: a union whose longitudes jointly wrap 360 degrees (an
+    annulus around the sphere — two non-nesting boundary cycles) is no
+    longer a raise: it comes back as the disjoint-part decomposition
+    A ⊎ (B−A), a multipolygon whose parts meet along internal seams.
+    Membership-sampled against the inputs and area-checked via
+    inclusion-exclusion to machine precision."""
+    import numpy as np
+    from sedona_db_spark.functions.geography import geodesic_area_m2
+    from sedona_db_spark.geom import sphere
     from sedona_db_spark.geom.sphere_overlay import spherical_overlay
+
     A = _lon_band(-160.0, 130.0, -5.7, 27.3, 19.4)
     B = _lon_band(-76.3, 193.7, 11.9, 44.1, 23.1)
-    with pytest.raises(NotImplementedError, match="girdles"):
-        spherical_overlay(A, B, "union")
-    # the same pair's intersection does not girdle and must still work
-    inter = spherical_overlay(A, B, "intersection")
-    assert not inter.is_empty()
+    U = spherical_overlay(A, B, "union")
+    assert len(list(U.polygons())) >= 2
+
+    def member(g, lon, lat):
+        p = sphere.xyz_of(np.array([[lon, lat]]))[0]
+        return max((sphere.classify_point_poly(
+            p, [sphere.xyz_of(np.asarray(r)[:, :2]) for r in rings])
+            for rings in g.polygons()), default=-1)
+
+    rng = np.random.default_rng(3)
+    bad = tot = 0
+    for _ in range(200):
+        lon = float(rng.uniform(-180, 180))
+        lat = float(rng.uniform(-85, 85))
+        got = member(U, lon, lat)
+        if got == 0:
+            continue            # on an internal seam: ambiguous by design
+        tot += 1
+        want = member(A, lon, lat) > 0 or member(B, lon, lat) > 0
+        bad += (got > 0) != want
+    assert tot > 150 and bad == 0, (bad, tot)
+    aU, aI = geodesic_area_m2(U), geodesic_area_m2(
+        spherical_overlay(A, B, "intersection"))
+    aA, aB = geodesic_area_m2(A), geodesic_area_m2(B)
+    assert abs(aU - (aA + aB - aI)) / aU < 1e-12
+
+
+def test_full_sphere_overlay_orientation_free():
+    """Reversing an input ring's traversal direction must not change any
+    overlay result (the engine's interior convention is
+    orientation-ignored) — a reversed ring used to make the trace
+    stitcher silently return EMPTY (round-6 fix: canonicalized ring
+    orientation in _rings_xyz)."""
+    import numpy as np
+    from sedona_db_spark.functions.geography import geodesic_area_m2
+    from sedona_db_spark.geom import core
+    from sedona_db_spark.geom.core import Geom
+    from sedona_db_spark.geom.sphere_overlay import spherical_overlay
+
+    A = _lon_band(-160.0, 130.0, -5.7, 27.3, 19.4)
+    Ar = Geom(core.POLYGON,
+              [np.asarray(list(A.polygons())[0][0])[::-1].copy()])
+    B = _lon_band(-76.3, 193.7, 11.9, 44.1, 23.1)
+    for op in ("intersection", "difference"):
+        a1 = geodesic_area_m2(spherical_overlay(A, B, op))
+        a2 = geodesic_area_m2(spherical_overlay(Ar, B, op))
+        assert a1 > 0 and abs(a1 - a2) / a1 < 1e-12, op
 
 
 def test_left_smaller_girard_exact_random_triangles():
@@ -640,3 +686,26 @@ def test_full_sphere_overlay_island_in_hole():
     assert member(res, 0, 0) > 0        # island (B's hole) is in A-B
     assert member(res, 10, 10) < 0      # B's annulus is not
     assert member(res, 30, 30) > 0      # A outside B is
+
+
+def test_geography_line_union_polygon_collection(spark):
+    """Round 6: hemisphere-spanning line UNION polygon returns a
+    GEOMETRYCOLLECTION(polygon, line-outside-polygon) instead of
+    raising; the covered line portion is absorbed by the polygon."""
+    row = spark.sql("""
+      SELECT ST_AsText(ST_Union(
+        ST_ToGeography(ST_GeomFromText(
+          'LINESTRING (-170 5, -60 5, 60 5, 170 5)')),
+        ST_ToGeography(ST_GeomFromText(
+          'POLYGON ((-30 -20, 30 -20, 30 20, -30 20, -30 -20))'))
+      )) AS wkt
+    """).first()
+    wkt = row["wkt"]
+    assert wkt.startswith("GEOMETRYCOLLECTION")
+    assert "POLYGON" in wkt and "LINESTRING" in wkt
+    # the line portion inside the polygon (lon -30..30 at lat 5) is gone:
+    # no vertex of the remaining line lies strictly inside lon (-29, 29)
+    import re
+    nums = [float(x) for x in re.findall(r"(-?\d+\.?\d*) -?\d+\.?\d*",
+                                         wkt.split("LINESTRING", 1)[1])]
+    assert all(not (-29.0 < lon < 29.0) for lon in nums), nums
