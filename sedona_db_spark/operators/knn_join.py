@@ -475,7 +475,10 @@ def knn_join(
                     out_rows.append(qrow + data["rows"][oid] + (float(dd),))
             yield pd.DataFrame(out_rows, columns=[f.name for f in out_schema.fields])
 
-    return queries.mapInPandas(run, schema=out_schema)
+    # width guard (round-6): the probe side otherwise inherits the scan's
+    # 1-5 splits for the whole CPU-heavy index-probe stage
+    from sedona_db_spark.plans.width import widen_if_starved
+    return widen_if_starved(queries).mapInPandas(run, schema=out_schema)
 
 
 # ======================================================================
@@ -555,6 +558,11 @@ def knn_join_partitioned(
     obj = objects.select([F.col(c).alias(a) for c, a in rcols.items()])
     ogeom = rcols[object_geom]
     obj_payload = [a for a in rcols.values()]
+
+    # width guard (round-6): both sides feed CPU-heavy bbox kernels next
+    from sedona_db_spark.plans.width import widen_if_starved
+    obj = widen_if_starved(obj)
+    queries = widen_if_starved(queries)
 
     q = queries.withColumn("__qid", F.monotonically_increasing_id())
     qb = q.withColumn("__qb", bbox_col(F.col(query_geom))) \

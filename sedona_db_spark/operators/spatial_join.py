@@ -161,6 +161,13 @@ def spatial_join(
     right_r = right.select([F.col(c).alias(a) for c, a in rcols.items()])
     rgeom = rcols[right_geom]
 
+    # width guard (round-6 verdict #1): a small-on-disk input otherwise
+    # runs every downstream bbox/refine kernel on its 1-5 scan splits
+    # with the rest of the cluster idle; no-op when already wide or tiny
+    from sedona_db_spark.plans.width import widen_if_starved
+    left = widen_if_starved(left)
+    right_r = widen_if_starved(right_r)
+
     lb = left.withColumn("__lbox", bbox_col(F.col(left_geom)))
     rb = right_r.withColumn("__rbox", bbox_col(F.col(rgeom)))
     expand = float(distance) if distance is not None else 0.0
