@@ -1131,8 +1131,17 @@ def _q_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(n)])
     cent = sums.select("label", "cnt", F.array(*[(F.col(f"s{i}") / F.col("cnt")) for i in range(n)]).alias("c"))
     j = emb.join(cent.select("label", "c"), "label")
-    dist = F.sqrt(F.aggregate(F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
-                              F.lit(0.0), lambda a, x: a + x))
+    # distance: batched numpy norm for real inputs, native codegen walk
+    # for tiny ones (same dispatch rationale as brute_force_topk)
+    from sedona_db_spark.operators.similarity import euclidean_distance_udf
+    from sedona_db_spark.plans.width import planned_size_bytes
+    size = planned_size_bytes(emb)
+    if size is not None and size < (1 << 20):
+        dist = F.sqrt(F.aggregate(
+            F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda a, x: a + x))
+    else:
+        dist = euclidean_distance_udf()(F.col("v"), F.col("c"))
     return j.select("vec_id", "label", F.round(dist, 6).alias("dist_to_centroid"))
 
 

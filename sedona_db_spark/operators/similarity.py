@@ -68,6 +68,32 @@ def cosine_scores_udf(query_vec: list[float]):
     return F.pandas_udf(scores, returnType=T.DoubleType())
 
 
+def euclidean_distance_udf():
+    """Batched pairwise euclidean distance between two array columns:
+    one stack + vectorized norm per Arrow batch (same rationale as
+    cosine_scores_udf — the element-wise aggregate(zip_with) codegen
+    walk costs ~5-7x more per row)."""
+    def dist(v1: pd.Series, v2: pd.Series) -> pd.Series:
+        n = len(v1)
+        if n == 0:
+            return pd.Series([], dtype=np.float64)
+        mask = (v1.isna() | v2.isna()).to_numpy()
+        if mask.all():
+            return pd.Series([None] * n, dtype=object)
+        dim = len(next(v for v, m in zip(v1, mask) if not m))
+        fill = np.zeros(dim, dtype=np.float64)
+        X = np.stack([fill if m else np.asarray(v, dtype=np.float64)
+                      for v, m in zip(v1, mask)])
+        Y = np.stack([fill if m else np.asarray(v, dtype=np.float64)
+                      for v, m in zip(v2, mask)])
+        out = pd.Series(np.linalg.norm(X - Y, axis=1))
+        if mask.any():
+            out = out.astype(object)
+            out[mask] = None
+        return out
+    return F.pandas_udf(dist, returnType=T.DoubleType())
+
+
 def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact cosine top-k against one query vector.
