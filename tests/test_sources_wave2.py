@@ -634,3 +634,46 @@ def test_driver_writer_guard_raises_and_knob(spark, tmp_path):
             writer(df, str(tmp_path / ("no_" + name)), max_rows=5)
     # override: raising the cap lets the same input through
     write_flatgeobuf(df, str(tmp_path / "ok.fgb"), max_rows=10)
+
+
+def test_external_format_registry_roundtrip(spark, tmp_path):
+    """Round 6: the pluggable external-format protocol (reference
+    ExternalFormatSpec, datasource.py:25-123) — named dispatch,
+    extension sniffing (longest match wins), custom registration, and a
+    roundtrip through two built-in formats via the uniform API."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.sources import external as X
+
+    assert {"geojson", "shapefile", "geopackage", "flatgeobuf",
+            "geoparquet", "las", "zarr", "csv"} <= set(
+        X.registered_formats())
+    assert X.format_for_path("a/b.GeoJSON").name == "geojson"
+    assert X.format_for_path("x.json").name == "geojson"  # longest ext rule
+    assert X.format_for_path("x.fgb").name == "flatgeobuf"
+    assert X.format_for_path("x.unknown") is None
+
+    df = spark.sql("""
+      SELECT id, ST_Point(CAST(id AS DOUBLE), CAST(id * 2 AS DOUBLE)) AS geom
+      FROM range(5) t(id)""")
+    p = str(tmp_path / "pts.geojson")
+    X.write_external(df, "geojson", p)
+    back = X.read_external(spark, p)            # extension-sniffed
+    assert back.count() == 5
+    back2 = X.read_external(spark, "geojson", p)  # named
+    assert sorted(r["id"] for r in back2.collect()) == [0, 1, 2, 3, 4]
+
+    # custom format registration
+    def my_reader(sp, path, **opts):
+        return sp.range(3).withColumnRenamed("id", "n")
+    X.register_format(X.ExternalFormat(
+        name="threes", reader=my_reader, extensions=(".three",)))
+    try:
+        got = X.read_external(spark, "demo.three")
+        assert got.count() == 3 and got.columns == ["n"]
+        import pytest
+        with pytest.raises(NotImplementedError, match="read-only"):
+            X.write_external(df, "threes", "/tmp/nope")
+        with pytest.raises(KeyError, match="no external format"):
+            X.lookup_format("nope")
+    finally:
+        X.unregister_format("threes")
