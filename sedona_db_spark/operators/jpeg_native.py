@@ -358,6 +358,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, tuple] = {}
     frame = None
     restart_interval = 0
+    coefs = None                 # progressive: per-component coef planes
     n = len(data)
     while pos < n:
         if data[pos] != 0xFF:
@@ -400,9 +401,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, sf, tq = seg[6 + 3 * ci], seg[7 + 3 * ci], seg[8 + 3 * ci]
                 comps.append({"id": cid, "h": sf >> 4, "v": sf & 0xF, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif m == 0xC2:
+            prec, fh, fw, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if prec != 8:
+                raise NotImplementedError("12-bit JPEG")
+            comps = []
+            for ci in range(nc):
+                cid, sf, tq = seg[6 + 3 * ci], seg[7 + 3 * ci], seg[8 + 3 * ci]
+                comps.append({"id": cid, "h": sf >> 4, "v": sf & 0xF, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps, "progressive": True}
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline sequential JPEG")
+            raise NotImplementedError(
+                "only baseline sequential and progressive (SOF2) JPEG")
         elif m == 0xDD:
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif m == 0xDA:
@@ -412,9 +423,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs, tt = seg[1 + 2 * ci], seg[2 + 2 * ci]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append({"comp": comp, "dc": tt >> 4, "ac": tt & 0xF})
-            return _decode_scan(data, pos + seglen, frame, scan, qt,
-                                huff_dc, huff_ac, restart_interval)
+            if not frame.get("progressive"):
+                return _decode_scan(data, pos + seglen, frame, scan, qt,
+                                    huff_dc, huff_ac, restart_interval)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if coefs is None:
+                coefs = _alloc_coefs(frame)
+            pos = _decode_progressive_scan(
+                data, pos + seglen, frame, scan, coefs, huff_dc, huff_ac,
+                ss, se, ahal >> 4, ahal & 0xF, restart_interval)
+            # skip any entropy padding up to the next true marker
+            while pos + 1 < n and not (data[pos] == 0xFF
+                                       and data[pos + 1] not in (0x00,)):
+                pos += 1
+            continue
         pos += seglen
+    if frame is not None and frame.get("progressive") and coefs is not None:
+        return _finish_coefs(frame, coefs, qt)
     raise ValueError("no scan found")
 
 
@@ -474,11 +500,35 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, ri):
                         x0 = (mx * c["h"] + bxi) * 8
                         planes[frame["comps"].index(c)][y0:y0 + 8, x0:x0 + 8] = blk
             mcu_count += 1
-    # upsample to full resolution and crop
+    return _planes_to_image(frame, planes, hmax, vmax)
+
+
+def _fancy2x(p: np.ndarray, axis: int) -> np.ndarray:
+    """Triangular 2x upsample along one axis (libjpeg's 'fancy'
+    h2v1/h2v2 filter, float form): each output sample is 3/4 the nearer
+    input + 1/4 the farther, edges replicated."""
+    p = np.moveaxis(p, axis, 0)
+    prev = np.concatenate([p[:1], p[:-1]], axis=0)
+    nxt = np.concatenate([p[1:], p[-1:]], axis=0)
+    out = np.empty((p.shape[0] * 2,) + p.shape[1:], dtype=np.float64)
+    out[0::2] = 0.75 * p + 0.25 * prev
+    out[1::2] = 0.75 * p + 0.25 * nxt
+    return np.moveaxis(out, 0, axis)
+
+
+def _planes_to_image(frame, planes, hmax, vmax) -> np.ndarray:
+    """Component planes -> uint8 image: upsample, crop, color-convert."""
+    h, w = frame["h"], frame["w"]
     full = []
     for c, p in zip(frame["comps"], planes):
         ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
+        while ry > 1 and ry % 2 == 0:          # triangular for 2x steps
+            p = _fancy2x(p, 0)
+            ry //= 2
+        while rx > 1 and rx % 2 == 0:
+            p = _fancy2x(p, 1)
+            rx //= 2
+        if ry > 1 or rx > 1:                   # odd ratios: nearest
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
@@ -493,3 +543,185 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, ri):
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+# ----------------------------------------------------------------------
+# progressive (SOF2) decoding — ITU-T T.81 G.2: coefficients accumulate
+# across scans (spectral selection Ss..Se, successive approximation
+# Ah/Al), then one dequantize + IDCT pass at EOI.  Fixture validation:
+# streams produced by libjpeg's jpeg_simple_progression (the canonical
+# 10-scan script incl. AC refinement) must decode identically to
+# libjpeg's own decompressor (tests/test_jpeg_native.py).
+# ----------------------------------------------------------------------
+
+def _alloc_coefs(frame):
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    frame["_hmax"], frame["_vmax"] = hmax, vmax
+    frame["_mcux"], frame["_mcuy"] = mcux, mcuy
+    return [np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+            for c in frame["comps"]]
+
+
+def _decode_progressive_scan(data, pos, frame, scan, coefs, huff_dc,
+                             huff_ac, ss, se, ah, al, ri):
+    br = _BitReader(data, pos)
+    comps = frame["comps"]
+    mcux, mcuy = frame["_mcux"], frame["_mcuy"]
+    state = {"eobrun": 0, "pred": [0] * len(scan), "mcu": 0}
+
+    def maybe_restart():
+        if ri and state["mcu"] and state["mcu"] % ri == 0:
+            if br.marker is None:
+                br._fill()
+            if br.marker is not None and 0xD0 <= br.marker <= 0xD7:
+                while data[br.pos] != 0xFF or not (
+                        0xD0 <= data[br.pos + 1] <= 0xD7):
+                    br.pos += 1
+                    if br.pos + 1 >= len(data):
+                        raise ValueError("truncated JPEG stream")
+                br.restart()
+                state["pred"] = [0] * len(scan)
+                state["eobrun"] = 0
+
+    if len(scan) > 1 or (ss == 0 and len(scan) == len(comps)):
+        # interleaved DC scan over the MCU grid
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for si, sc in enumerate(scan):
+                    c = sc["comp"]
+                    ci = comps.index(c)
+                    for byi in range(c["v"]):
+                        for bxi in range(c["h"]):
+                            blk = coefs[ci][my * c["v"] + byi,
+                                            mx * c["h"] + bxi]
+                            if ah == 0:
+                                s = br.decode_huff(huff_dc[sc["dc"]])
+                                diff = _extend(br.read(s), s) if s else 0
+                                state["pred"][si] += diff
+                                blk[0] = state["pred"][si] << al
+                            else:
+                                if br.read(1):
+                                    blk[0] |= 1 << al
+                state["mcu"] += 1
+        return br.pos
+
+    # single-component scan (all AC scans; also 1-component DC): blocks
+    # in raster order over the COMPONENT's own (unpadded) block grid
+    sc = scan[0]
+    c = sc["comp"]
+    ci = comps.index(c)
+    hmax, vmax = frame["_hmax"], frame["_vmax"]
+    cw = -(-frame["w"] * c["h"] // hmax)     # ceil component sample dims
+    ch = -(-frame["h"] * c["v"] // vmax)
+    bw, bh = -(-cw // 8), -(-ch // 8)
+    for by in range(bh):
+        for bx in range(bw):
+            maybe_restart()
+            blk = coefs[ci][by, bx]
+            if ss == 0:
+                if ah == 0:
+                    s = br.decode_huff(huff_dc[sc["dc"]])
+                    diff = _extend(br.read(s), s) if s else 0
+                    state["pred"][0] += diff
+                    blk[0] = state["pred"][0] << al
+                elif br.read(1):
+                    blk[0] |= 1 << al
+            elif ah == 0:
+                state["eobrun"] = _ac_first(
+                    br, blk, huff_ac[sc["ac"]], ss, se, al,
+                    state["eobrun"])
+            else:
+                state["eobrun"] = _ac_refine(
+                    br, blk, huff_ac[sc["ac"]], ss, se, al,
+                    state["eobrun"])
+            state["mcu"] += 1
+    return br.pos
+
+
+def _ac_first(br, blk, huff, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.decode_huff(huff)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read(r)
+                break
+            k += 16                       # ZRL
+            continue
+        k += r
+        if k > 63:
+            raise ValueError("AC index overflow")
+        blk[k] = _extend(br.read(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(br, blk, huff, ss, se, al, eobrun):
+    """Successive-approximation AC refinement (T.81 G.2 / the
+    decode_mcu_AC_refine construction): new coefficients arrive as
+    +-1<<al; already-nonzero coefficients receive correction bits."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.decode_huff(huff)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:
+                    # NOTE: unlike the first-scan EOB (which excludes the
+                    # current block up front), refinement keeps the
+                    # current block IN the run: the tail below applies
+                    # its correction bits, then decrements
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                val = 0                   # ZRL: pass 16 zero-history slots
+            else:
+                val = p1 if br.read(1) else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if br.read(1) and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _finish_coefs(frame, coefs, qt):
+    """Accumulated zigzag coefficients -> image (one vectorized
+    dequantize + batched IDCT per component)."""
+    planes = []
+    for c, zz in zip(frame["comps"], coefs):
+        q = qt[c["tq"]].astype(np.float64)
+        nat = np.zeros_like(zz, dtype=np.float64)
+        nat[..., ZIGZAG] = zz * q[ZIGZAG]
+        bh, bw = zz.shape[:2]
+        blocks = nat.reshape(bh, bw, 8, 8)
+        # batched IDCT: C.T @ coef @ C
+        out = np.einsum("ij,xyjk,kl->xyil", _C.T, blocks, _C) + 128.0
+        plane = out.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        planes.append(plane)
+    return _planes_to_image(frame, planes, frame["_hmax"], frame["_vmax"])

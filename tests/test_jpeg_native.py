@@ -138,12 +138,14 @@ def test_cross_validate_against_libjpeg():
         assert d.mean() <= 1.0 and d.max() <= 8, (d.mean(), d.max())
 
 
-def test_progressive_rejected():
-    # minimal stream claiming SOF2 (progressive)
-    bad = (b"\xFF\xD8\xFF\xC2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
-           + bytes([1, 0x11, 0]) + b"\xFF\xD9")
-    with pytest.raises(NotImplementedError):
-        J.decode_jpeg(bad)
+def test_arithmetic_and_hierarchical_rejected():
+    # progressive (SOF2) is supported since round 6; the still-gated
+    # frame types (arithmetic SOF9, hierarchical SOF5) must keep raising
+    for sof in (b"\xFF\xC9", b"\xFF\xC5"):
+        bad = (b"\xFF\xD8" + sof + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+               + bytes([1, 0x11, 0]) + b"\xFF\xD9")
+        with pytest.raises(NotImplementedError):
+            J.decode_jpeg(bad)
 
 
 def test_truncated_stream_raises_valueerror():
@@ -155,3 +157,92 @@ def test_truncated_stream_raises_valueerror():
     for cut in (len(enc) - 8, len(enc) - 30, len(enc) // 2 + 40):
         with pytest.raises((ValueError, NotImplementedError)):
             J.decode_jpeg(enc[:cut])
+
+
+_COMPRESS_WORKER = r'''
+import ctypes, struct, sys
+import numpy as np
+raw = open(sys.argv[1], "rb").read()
+h, w, nc, quality = struct.unpack(">HHBB", raw[:6])
+img = np.frombuffer(raw[6:], dtype=np.uint8).reshape(h, w, nc)
+lib = ctypes.CDLL("libjpeg.so.62")
+lib.jpeg_std_error.restype = ctypes.c_void_p
+err = ctypes.create_string_buffer(1024)
+errp = lib.jpeg_std_error(err)
+cinfo = ctypes.create_string_buffer(1024)
+ctypes.cast(cinfo, ctypes.POINTER(ctypes.c_void_p))[0] = errp
+lib.jpeg_CreateCompress(cinfo, 62, 520)
+outbuf = ctypes.c_void_p(0)
+outsize = ctypes.c_ulong(0)
+lib.jpeg_mem_dest(cinfo, ctypes.byref(outbuf), ctypes.byref(outsize))
+# LP64 jpeg_compress_struct: image_width @48, height @52,
+# input_components @56, in_color_space @60 (common fields 40B + dest ptr)
+struct.pack_into("<I", cinfo, 48, w)
+struct.pack_into("<I", cinfo, 52, h)
+struct.pack_into("<i", cinfo, 56, nc)
+struct.pack_into("<i", cinfo, 60, 1 if nc == 1 else 2)
+lib.jpeg_set_defaults(cinfo)
+lib.jpeg_set_quality(cinfo, quality, 1)
+lib.jpeg_simple_progression(cinfo)
+lib.jpeg_start_compress(cinfo, 1)
+data = np.ascontiguousarray(img).tobytes()
+rb = w * nc
+for y in range(h):
+    row = ctypes.create_string_buffer(data[y*rb:(y+1)*rb], rb)
+    ptr = (ctypes.c_void_p * 1)(ctypes.addressof(row))
+    assert lib.jpeg_write_scanlines(cinfo, ptr, 1) == 1
+lib.jpeg_finish_compress(cinfo)
+sys.stdout.buffer.write(ctypes.string_at(outbuf, outsize.value))
+'''
+
+
+def _libjpeg_encode_progressive(img, quality=90):
+    """Progressive JPEG bytes via libjpeg's own compressor
+    (jpeg_simple_progression: the canonical 10-scan script with AC
+    successive approximation) — the independent fixture source."""
+    img = np.atleast_3d(img)
+    h, w, nc = img.shape
+    f1 = tempfile.mktemp()
+    try:
+        with open(f1, "wb") as f:
+            f.write(struct.pack(">HHBB", h, w, nc, quality))
+            f.write(np.ascontiguousarray(img).tobytes())
+        r = subprocess.run([sys.executable, "-c", _COMPRESS_WORKER, f1],
+                           capture_output=True, timeout=60)
+        if r.returncode != 0:
+            return None
+        return r.stdout
+    finally:
+        if os.path.exists(f1):
+            os.unlink(f1)
+
+
+def test_progressive_decode_cross_validated_against_libjpeg():
+    """Round 6: progressive (SOF2) decoding — libjpeg-compressed
+    progressive streams (spectral selection + successive approximation,
+    incl. the AC refinement scans) must decode identically (to IDCT
+    tolerance) to libjpeg's own decompressor."""
+    try:
+        import ctypes
+        ctypes.CDLL("libjpeg.so.62")
+    except OSError:
+        pytest.skip("libjpeg unavailable")
+    rng = np.random.RandomState(3)
+    h, w = 48, 64
+    x = np.linspace(0, 255, w)[None, :].repeat(h, 0)
+    gray = (x + rng.randint(0, 40, (h, w))).clip(0, 255).astype(np.uint8)
+    rgb = np.stack([x, x[::-1], rng.randint(0, 255, (h, w))],
+                   axis=-1).astype(np.uint8)
+    for img, q in [(gray, 90), (gray, 55), (rgb, 90), (rgb, 75)]:
+        enc = _libjpeg_encode_progressive(img, q)
+        if enc is None:
+            pytest.skip("libjpeg compress harness failed on this build")
+        assert b"\xff\xc2" in enc          # really progressive
+        ref = _libjpeg_decode(enc, w, h)
+        if ref is None:
+            pytest.skip("libjpeg decode harness failed on this build")
+        got = J.decode_jpeg(enc)
+        assert got.shape == ref.shape
+        diff = np.abs(got.astype(int) - ref.astype(int))
+        assert diff.mean() < 1.0 and diff.max() <= 4, (
+            img.shape, q, diff.mean(), diff.max())
