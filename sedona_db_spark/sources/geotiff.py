@@ -45,7 +45,9 @@ _COMP_NONE, _COMP_DEFLATE, _COMP_DEFLATE_OLD = 1, 8, 32946
 _COMP_LZW = 5
 _COMP_JPEG = 7
 _COMP_PACKBITS = 32773
+_COMP_CCITT_RLE, _COMP_G3, _COMP_G4 = 2, 3, 4
 _JPEG_TABLES = 347
+_T4_OPTIONS, _T6_OPTIONS = 292, 293
 
 
 def _packbits_decompress(src: bytes) -> bytes:
@@ -195,7 +197,8 @@ def encode_geotiff(row, compress: str = "none") -> bytes:
     horizontal-differencing predictor 2 for integer samples."""
     import zlib
     from sedona_db_spark.functions.raster import _band_array, _raster_fields
-    if compress not in ("none", "deflate", "lzw"):
+    if compress not in ("none", "deflate", "lzw",
+                        "ccitt_g4", "ccitt_g3", "ccitt_rle"):
         raise ValueError(f"unsupported compression {compress!r}")
     t, w, h = _raster_fields(row)
     arrays = []
@@ -215,25 +218,42 @@ def encode_geotiff(row, compress: str = "none") -> bytes:
 
     deflate = compress == "deflate"
     lzw = compress == "lzw"
+    fax = compress.startswith("ccitt")
     predictor = 2 if (deflate or lzw) and dt.kind in "ui" else 1
-    plane_bytes: list[bytes] = []
-    for a in arrays:
-        if predictor == 2:
-            d = a.astype(np.int64)
-            d[:, 1:] = d[:, 1:] - d[:, :-1]          # per-row differencing
-            raw = (d & ((1 << bits) - 1)).astype(dt.newbyteorder("<")).tobytes()
-        else:
-            raw = a.tobytes()
-        plane_bytes.append(zlib.compress(raw, 6) if deflate
-                           else _lzw_compress(raw) if lzw else raw)
+    if fax:
+        if n != 1:
+            raise ValueError("CCITT compression requires a single band")
+        if not np.isin(arrays[0], (0, 1)).all():
+            raise ValueError("CCITT compression requires 0/1 pixel values")
+        from sedona_db_spark.sources.ccitt import (g3_encode, g4_encode,
+                                                   mh_encode)
+        enc = {"ccitt_g4": g4_encode, "ccitt_g3": g3_encode,
+               "ccitt_rle": mh_encode}[compress]
+        plane_bytes = [enc(arrays[0].astype(np.uint8))]
+        bits = 1
+        predictor = 1
+    else:
+        plane_bytes = []
+        for a in arrays:
+            if predictor == 2:
+                d = a.astype(np.int64)
+                d[:, 1:] = d[:, 1:] - d[:, :-1]      # per-row differencing
+                raw = (d & ((1 << bits) - 1)).astype(
+                    dt.newbyteorder("<")).tobytes()
+            else:
+                raw = a.tobytes()
+            plane_bytes.append(zlib.compress(raw, 6) if deflate
+                               else _lzw_compress(raw) if lzw else raw)
 
     entries: list[tuple[int, int, list]] = [
         (_W, _TYPE_LONG, [w]),
         (_H, _TYPE_LONG, [h]),
         (_BITS, _TYPE_SHORT, [bits] * n),
-        (_COMP, _TYPE_SHORT, [_COMP_DEFLATE if deflate
-                              else _COMP_LZW if lzw else _COMP_NONE]),
-        (_PHOTO, _TYPE_SHORT, [1]),
+        (_COMP, _TYPE_SHORT, [{"deflate": _COMP_DEFLATE, "lzw": _COMP_LZW,
+                               "ccitt_g4": _COMP_G4, "ccitt_g3": _COMP_G3,
+                               "ccitt_rle": _COMP_CCITT_RLE}.get(
+                                   compress, _COMP_NONE)]),
+        (_PHOTO, _TYPE_SHORT, [0 if fax else 1]),
         (_STRIP_OFF, _TYPE_LONG, [0] * n),     # patched below
         (_SPP, _TYPE_SHORT, [n]),
         (_ROWS_PER_STRIP, _TYPE_LONG, [h]),
@@ -323,6 +343,50 @@ def _read_values(data: bytes, en: str, entry) -> list:
     return list(struct.unpack_from(en + str(n) + fmt, data, voff))
 
 
+def _decode_bilevel(data: bytes, en: str, e: dict, comp: int, inflate,
+                    w: int, h: int, spp: int) -> np.ndarray:
+    """1-bit strips -> (1, h, w) uint8 plane of raw sample values.
+
+    CCITT fax payloads (compressions 2/3/4) decode through the native
+    T.4/T.6 coders (``sources/ccitt.py``, libtiff-cross-validated);
+    plain 1-bit strips (none/DEFLATE/LZW/PackBits) unpack row-aligned
+    bits.  Fax streams code white/black runs, so their pixel values
+    depend on PhotometricInterpretation: MinIsWhite (0, the fax
+    default) stores black as 1, MinIsBlack stores black as 0."""
+    if _TILE_W in e:
+        raise NotImplementedError("tiled 1-bit TIFF unsupported (strips only)")
+    if spp != 1:
+        raise NotImplementedError("1-bit TIFF must have 1 sample/pixel")
+    photo = _read_values(data, en, e[_PHOTO])[0] if _PHOTO in e else 0
+    rps = (_read_values(data, en, e[_ROWS_PER_STRIP])[0]
+           if _ROWS_PER_STRIP in e else h)
+    offs = _read_values(data, en, e[_STRIP_OFF])
+    cnts = _read_values(data, en, e[_STRIP_CNT])
+    from sedona_db_spark.sources.ccitt import g3_decode, g4_decode, mh_decode
+    blocks = []
+    for si, (o, c) in enumerate(zip(offs, cnts)):
+        nrows = min(rps, h - si * rps)
+        raw = data[o:o + c]
+        if comp == _COMP_G4:
+            block = g4_decode(raw, w, nrows)
+        elif comp == _COMP_G3:
+            t4 = (_read_values(data, en, e[_T4_OPTIONS])[0]
+                  if _T4_OPTIONS in e else 0)
+            block = g3_decode(raw, w, nrows, two_d=bool(t4 & 1))
+        elif comp == _COMP_CCITT_RLE:
+            block = mh_decode(raw, w, nrows)
+        else:
+            bytes_per_row = (w + 7) // 8
+            rowbytes = np.frombuffer(inflate(raw), np.uint8)
+            blocks.append(np.unpackbits(
+                rowbytes.reshape(nrows, bytes_per_row), axis=1)[:, :w])
+            continue
+        if photo == 1:  # MinIsBlack: fax black run -> sample value 0
+            block = 1 - block
+        blocks.append(block)
+    return np.concatenate(blocks)[None, :, :].astype(np.uint8)
+
+
 def decode_geotiff(data: bytes) -> dict:
     """GeoTIFF bytes -> raster struct row (uncompressed strip layout)."""
     from sedona_db_spark.functions.raster import make_raster_row
@@ -340,11 +404,12 @@ def decode_geotiff(data: bytes) -> dict:
     e = _read_entries(data, en, ifd_off)
     comp = _read_values(data, en, e[_COMP])[0] if _COMP in e else 1
     if comp not in (_COMP_NONE, _COMP_DEFLATE, _COMP_DEFLATE_OLD, _COMP_LZW,
-                    _COMP_JPEG, _COMP_PACKBITS):
+                    _COMP_JPEG, _COMP_PACKBITS, _COMP_CCITT_RLE, _COMP_G3,
+                    _COMP_G4):
         raise NotImplementedError(
             f"TIFF compression {comp} needs GDAL/rasterio "
-            "(uncompressed, DEFLATE, LZW and baseline JPEG supported "
-            "natively)")
+            "(uncompressed, DEFLATE, LZW, baseline JPEG, PackBits and "
+            "CCITT G3/G4 fax supported natively)")
     predictor = _read_values(data, en, e[_PREDICTOR])[0] if _PREDICTOR in e else 1
     if predictor not in (1, 2):
         raise NotImplementedError(
@@ -355,7 +420,13 @@ def decode_geotiff(data: bytes) -> dict:
     bits = _read_values(data, en, e[_BITS])[0] if _BITS in e else 8
     fmt = _read_values(data, en, e[_SAMPLE_FMT])[0] if _SAMPLE_FMT in e else 1
     planar = _read_values(data, en, e[_PLANAR])[0] if _PLANAR in e else 1
-    dt = np.dtype(en + _KIND_OF_FMT.get(fmt, "u") + str(bits // 8))
+    if bits == 1:
+        dt = np.dtype("u1")  # bilevel rows expand to one byte per pixel
+    else:
+        if comp in (_COMP_CCITT_RLE, _COMP_G3, _COMP_G4):
+            raise NotImplementedError(
+                "CCITT fax compression requires 1 bit/sample")
+        dt = np.dtype(en + _KIND_OF_FMT.get(fmt, "u") + str(bits // 8))
     if predictor == 2 and dt.kind not in "ui":
         raise NotImplementedError("predictor 2 on non-integer samples")
     if comp == _COMP_NONE:
@@ -387,6 +458,8 @@ def decode_geotiff(data: bytes) -> dict:
             if img.shape[2] != spp_chunk:
                 raise ValueError("JPEG component count mismatch")
             return np.ascontiguousarray(img).tobytes()
+    elif comp in (_COMP_CCITT_RLE, _COMP_G3, _COMP_G4):
+        inflate = None  # handled by the bilevel branch below
     else:
         inflate = lambda b: zlib.decompress(b)
     spp_chunk = 1 if (planar == 2 and spp > 1) else spp
@@ -402,7 +475,9 @@ def decode_geotiff(data: bytes) -> dict:
         return (wide & ((1 << bits) - 1)).reshape(block.shape).astype(
             block.dtype)
 
-    if _TILE_W in e:
+    if bits == 1:
+        planes = _decode_bilevel(data, en, e, comp, inflate, w, h, spp)
+    elif _TILE_W in e:
         tw = _read_values(data, en, e[_TILE_W])[0]
         th = _read_values(data, en, e[_TILE_H])[0]
         offs = _read_values(data, en, e[_TILE_OFF])

@@ -888,3 +888,98 @@ def test_cross_crs_raster_predicates(spark):
     # mismatched-CRS comparison without the cross-CRS path: meters vs
     # degrees never meet — documents why geom_crs matters
     assert not got["same_crs_miss"]
+
+
+def test_geotiff_ccitt_fax_roundtrip_and_libtiff_parity():
+    """CCITT G4/G3/MH bilevel TIFFs roundtrip through the native fax
+    coders (sources/ccitt.py, from the public ITU-T T.4/T.6 specs;
+    reference reads fax TIFFs through GDAL) and cross-validate against
+    libtiff in both directions: libtiff-written fax files decode
+    natively, natively-written files read back via TIFFReadScanline."""
+    import ctypes
+    import os
+    import tempfile
+    import numpy as np
+    from sedona_db_spark.functions.raster import _band_array, make_raster_row
+    from sedona_db_spark.sources.ccitt import (
+        g3_decode, g3_encode, g4_decode, g4_encode, mh_decode, mh_encode)
+    from sedona_db_spark.sources.geotiff import decode_geotiff, encode_geotiff
+
+    rng = np.random.RandomState(41)
+    h, w = 48, 101
+    art = np.zeros((h, w), np.uint8)
+    for _ in range(12):
+        y, x = rng.randint(0, h), rng.randint(0, w)
+        art[y:y + rng.randint(1, 20), x:x + rng.randint(1, 40)] = 1
+    art[20] = rng.randint(0, 2, w)  # one noisy row exercises long code runs
+
+    # pure-codec roundtrips (incl. the G3 2-D tagged mode)
+    for dec, enc, kw in [(g4_decode, g4_encode, {}),
+                         (mh_decode, mh_encode, {}),
+                         (g3_decode, g3_encode, {})]:
+        assert np.array_equal(dec(enc(art, **kw), w, h), art)
+    assert np.array_equal(
+        g3_decode(g3_encode(art, two_d=True, k=4), w, h, two_d=True), art)
+
+    # GeoTIFF writer/reader roundtrip for all three compressions
+    row = make_raster_row(w, h, ulx=10, uly=20, scale_x=0.5, scale_y=-0.5,
+                          crs="EPSG:32633", bands=[("b1", "uint8", art)])
+    blobs = {}
+    for comp in ("ccitt_g4", "ccitt_g3", "ccitt_rle"):
+        blobs[comp] = encode_geotiff(row, compress=comp)
+        dec = decode_geotiff(blobs[comp])
+        assert np.array_equal(
+            _band_array(dec["bands"][0]).reshape(h, w), art), comp
+        assert dec["crs"] == "EPSG:32633"
+
+    try:
+        lib = ctypes.CDLL("libtiff.so.6")
+    except OSError:
+        pytest.skip("libtiff unavailable for cross-validation")
+    lib.TIFFOpen.restype = ctypes.c_void_p
+    lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.TIFFReadScanline.restype = ctypes.c_int
+    lib.TIFFReadScanline.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_uint32, ctypes.c_uint16]
+    lib.TIFFWriteScanline.restype = ctypes.c_int
+    lib.TIFFWriteScanline.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_uint32, ctypes.c_uint16]
+    lib.TIFFClose.argtypes = [ctypes.c_void_p]
+    u32, u16 = ctypes.c_uint32, ctypes.c_uint16
+
+    # native -> libtiff (the full GeoTIFF files written above)
+    for comp, blob in blobs.items():
+        p = tempfile.mktemp(suffix=".tif")
+        open(p, "wb").write(blob)
+        tif = lib.TIFFOpen(p.encode(), b"r")
+        assert tif, comp
+        out = np.zeros((h, w), np.uint8)
+        rb = ctypes.create_string_buffer((w + 7) // 8)
+        for r in range(h):
+            assert lib.TIFFReadScanline(tif, rb, r, 0) == 1
+            out[r] = np.unpackbits(np.frombuffer(rb.raw, np.uint8))[:w]
+        lib.TIFFClose(tif)
+        os.unlink(p)
+        assert np.array_equal(out, art), (comp, "libtiff readback")
+
+    # libtiff -> native, incl. the 2-D G3 variant (T4Options=1) and
+    # plain packed 1-bit strips (compression 1)
+    for comp, extra in [(4, []), (3, []), (3, [(292, u32(1))]), (2, []),
+                        (1, [])]:
+        p = tempfile.mktemp(suffix=".tif")
+        tif = lib.TIFFOpen(p.encode(), b"w")
+        for tag, val in ([(256, u32(w)), (257, u32(h)), (258, u16(1)),
+                          (259, u16(comp)), (262, u16(0)), (277, u16(1)),
+                          (278, u32(16 if comp == 1 else h)), (284, u16(1))]
+                         + extra):
+            lib.TIFFSetField(ctypes.c_void_p(tif), u32(tag), val)
+        packed = np.packbits(art, axis=1)
+        for r in range(h):
+            rb = ctypes.create_string_buffer(packed[r].tobytes(),
+                                             packed.shape[1])
+            assert lib.TIFFWriteScanline(tif, rb, r, 0) == 1
+        lib.TIFFClose(tif)
+        dec = decode_geotiff(open(p, "rb").read())
+        os.unlink(p)
+        assert np.array_equal(
+            _band_array(dec["bands"][0]).reshape(h, w), art), (comp, extra)
