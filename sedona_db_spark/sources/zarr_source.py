@@ -6,8 +6,11 @@ This is a from-scratch reader of the public Zarr storage specs: v2
 (`.zarray` JSON + dot-named chunk files) and v3 (`zarr.json` + c/-prefixed
 chunk keys, bytes/gzip/zlib codecs), supporting raw, zlib, gzip, zstd
 (libzstd via ctypes when present, else the pure-python RFC 8878 decoder in
-zstd_native.py), blosc-lz4 and blosc-zstd — no zarr-python dependency.
-Only blosclz/snappy inner codecs and bit-shuffle still gate on numcodecs.
+zstd_native.py), lzma/bz2 (stdlib), and blosc containers per the public
+c-blosc layout (split sub-streams, per-block byte-shuffle; inner codecs
+lz4, snappy via the pyarrow-validated native decoder, zlib, zstd) — no
+zarr-python dependency.  Only the blosclz inner codec and the
+bit-shuffle filter still gate on numcodecs.
 
 Scale design: chunk decoding happens per-(chunk, band) task — the chunk
 list is parallelized across executors so a petabyte datacube fans out to
@@ -97,10 +100,10 @@ def read_zarray_meta(store: str, array: str = "") -> dict:
         raise ValueError("only C-order chunks are supported")
     comp = meta.get("compressor")
     if comp is not None and comp.get("id") not in ("zlib", "gzip", "blosc",
-                                                   "zstd"):
+                                                   "zstd", "lzma", "bz2"):
         raise NotImplementedError(
-            f"compressor {comp.get('id')!r} needs numcodecs "
-            "(zlib/gzip/zstd/blosc-lz4/blosc-zstd/raw are supported natively)")
+            f"compressor {comp.get('id')!r} needs numcodecs (zlib/gzip/zstd/"
+            "lzma/bz2/blosc-{lz4,snappy,zlib,zstd}/raw are native)")
     return meta
 
 
@@ -112,6 +115,12 @@ def _decode_chunk(raw: bytes, meta: dict) -> np.ndarray:
         elif comp["id"] == "zstd":
             from sedona_db_spark.sources.zstd_native import zstd_decompress
             raw = zstd_decompress(raw)
+        elif comp["id"] == "lzma":
+            import lzma
+            raw = lzma.decompress(raw)
+        elif comp["id"] == "bz2":
+            import bz2
+            raw = bz2.decompress(raw)
         else:
             raw = zlib.decompress(raw, 47 if comp["id"] == "gzip" else 15)
     _, npdt = _DTYPES[meta["dtype"]]
@@ -271,8 +280,18 @@ def _unshuffle(raw: bytes, typesize: int) -> bytes:
 
 
 def blosc_decompress(src: bytes) -> bytes:
-    """Blosc1 chunk -> raw bytes (header, optional bstarts-indexed
-    blocks, byte-unshuffle)."""
+    """Blosc1 chunk -> raw bytes, per the public c-blosc container spec
+    (README_HEADER.rst + blosc.c):
+
+    - flags bit 0 byte-shuffle, bit 1 pure-memcpy, bit 2 bit-shuffle,
+      bit 4 blocks-not-split, bits 5-7 compressor code
+      (0 blosclz, 1 lz4/lz4hc, 2 snappy, 3 zlib, 4 zstd);
+    - memcpyed chunks store the ORIGINAL buffer (no filters applied);
+    - each block is independently filtered: split into ``typesize``
+      sub-streams (unless bit 4 set or it is the partial last block),
+      each sub-stream prefixed by an int32 compressed-size (equal to
+      the sub-stream size when stored raw), and byte-unshuffled PER
+      BLOCK after reassembly."""
     import struct as _st
     if len(src) < 16:
         raise ValueError("truncated blosc chunk")
@@ -280,32 +299,47 @@ def blosc_decompress(src: bytes) -> bytes:
     nbytes, blocksize, _cbytes = _st.unpack_from("<III", src, 4)
     codec = flags >> 5
     shuffled = bool(flags & 0x1)
+    dont_split = bool(flags & 0x10)
     if flags & 0x4:
-        raise NotImplementedError("blosc bit-shuffle needs numcodecs")
-    if flags & 0x2:  # memcpyed: payload is raw
-        raw = src[16:16 + nbytes]
-    else:
-        nblocks = (nbytes + blocksize - 1) // blocksize if blocksize else 1
-        bstarts = _st.unpack_from("<%dI" % nblocks, src, 16)
-        raw = bytearray()
-        for i, off in enumerate(bstarts):
-            (bcb,) = _st.unpack_from("<i", src, off)
-            block_nb = min(blocksize, nbytes - i * blocksize)
-            payload = src[off + 4:off + 4 + abs(bcb)]
-            if bcb == block_nb:  # stored uncompressed
-                raw += payload
-            elif codec == 1:     # lz4 / lz4hc
-                raw += lz4_block_decompress(payload, block_nb)
-            elif codec == 4:     # zlib
-                raw += zlib.decompress(payload)
-            elif codec == 5:     # zstd
-                from sedona_db_spark.sources.zstd_native import zstd_decompress
-                raw += zstd_decompress(payload, block_nb)
-            else:
-                raise NotImplementedError(
-                    f"blosc inner codec {codec} needs numcodecs "
-                    "(lz4/zlib/zstd/raw supported natively)")
-        raw = bytes(raw)
-    if shuffled:
-        raw = _unshuffle(raw, typesize)
-    return raw
+        raise NotImplementedError(
+            "blosc bit-shuffle filter unsupported natively (byte-shuffle "
+            "and unfiltered chunks are)")
+    if flags & 0x2:  # memcpyed: payload is the raw original buffer
+        return src[16:16 + nbytes]
+
+    def inner(payload: bytes, out_size: int) -> bytes:
+        if codec == 1:       # lz4 / lz4hc
+            return lz4_block_decompress(payload, out_size)
+        if codec == 2:       # snappy (raw block format)
+            from sedona_db_spark.sources.snappy_native import (
+                snappy_decompress)
+            return snappy_decompress(payload)
+        if codec == 3:       # zlib
+            return zlib.decompress(payload)
+        if codec == 4:       # zstd
+            from sedona_db_spark.sources.zstd_native import zstd_decompress
+            return zstd_decompress(payload, out_size)
+        raise NotImplementedError(
+            f"blosc inner codec {codec} unsupported natively "
+            "(lz4/snappy/zlib/zstd/raw are; blosclz is not)")
+
+    nblocks = (nbytes + blocksize - 1) // blocksize if blocksize else 1
+    bstarts = _st.unpack_from("<%dI" % nblocks, src, 16)
+    raw = bytearray()
+    for i, off in enumerate(bstarts):
+        block_nb = min(blocksize, nbytes - i * blocksize)
+        leftover = block_nb != blocksize
+        nsplits = (typesize if (not dont_split and not leftover
+                                and typesize > 1) else 1)
+        neblock = block_nb // nsplits
+        block = bytearray()
+        for _ in range(nsplits):
+            (scb,) = _st.unpack_from("<i", src, off)
+            off += 4
+            payload = src[off:off + scb]
+            off += scb
+            block += payload if scb == neblock else inner(payload, neblock)
+        if shuffled:
+            block = _unshuffle(bytes(block), typesize)
+        raw += block
+    return bytes(raw)

@@ -111,12 +111,12 @@ def test_zarr_zlib_and_3d(spark, tmp_path):
 
 
 def test_zarr_rejects_unknown_compressor(tmp_path):
-    # zstd/blosc decode natively now; lzma still gates on numcodecs
+    # zstd/blosc/lzma/bz2 decode natively now; zfpy still gates
     store = str(tmp_path / "zbad")
     os.makedirs(store)
     with open(os.path.join(store, ".zarray"), "w") as f:
         json.dump({"zarr_format": 2, "shape": [2, 2], "chunks": [2, 2],
-                   "dtype": "<f8", "compressor": {"id": "lzma"},
+                   "dtype": "<f8", "compressor": {"id": "zfpy"},
                    "fill_value": 0, "order": "C"}, f)
     with pytest.raises(NotImplementedError):
         zarr_source.read_zarray_meta(store)
@@ -161,6 +161,107 @@ def test_zarr_zstd_chunks(spark, tmp_path):
     assert tot["s"] == float(full.sum())  # fill 0 masked, sum unaffected
 
 
+def _blosc_ref_encode(data: bytes, tsz: int, blocksize: int, codec_id: int,
+                      compress_fn, split: bool) -> bytes:
+    """Reference blosc1 writer following the public c-blosc layout:
+    per-block byte-shuffle, optional per-typesize split sub-streams each
+    prefixed by an int32 (== sub-stream length when stored raw), bstarts
+    index, flags bits 0/4 and the compressor code in bits 5-7."""
+    import struct as _st
+    import numpy as np
+    nbytes = len(data)
+    nblocks = (nbytes + blocksize - 1) // blocksize
+    flags = 0x1 | (codec_id << 5) | (0 if split else 0x10)
+    body = bytearray()
+    bstarts = []
+    base = 16 + 4 * nblocks
+    for i in range(nblocks):
+        bstarts.append(base + len(body))
+        block = data[i * blocksize:(i + 1) * blocksize]
+        leftover = len(block) != blocksize
+        n = len(block) // tsz
+        shuf = (np.frombuffer(block, np.uint8).reshape(n, tsz)
+                .T.copy().tobytes())
+        nsplits = tsz if (split and not leftover and tsz > 1) else 1
+        neblock = len(block) // nsplits
+        for s in range(nsplits):
+            sub = shuf[s * neblock:(s + 1) * neblock]
+            comp = compress_fn(sub)
+            if len(comp) >= neblock:
+                body += _st.pack("<i", neblock) + sub
+            else:
+                body += _st.pack("<i", len(comp)) + comp
+    hdr = bytes([2, 1, flags, tsz]) + _st.pack(
+        "<III", nbytes, blocksize, base + len(body))
+    return hdr + b"".join(_st.pack("<I", o) for o in bstarts) + bytes(body)
+
+
+def test_blosc_split_blocks_and_snappy(spark):
+    """Multi-block blosc chunks decode per the c-blosc container spec:
+    per-BLOCK byte-unshuffle, typesize-split lz4 sub-streams (real
+    pyarrow lz4_raw payloads, cross-validating the native lz4 block
+    decoder), partial unsplit last block, stored-raw sub-streams, and
+    the snappy inner codec (code 2) through the native snappy decoder."""
+    import numpy as np
+    import pyarrow as pa
+    from sedona_db_spark.sources.zarr_source import blosc_decompress
+
+    rng = np.random.RandomState(17)
+    # compressible data with structure per byte-plane after shuffle
+    vals = (np.cumsum(rng.randint(-3, 4, 3000)) % 1000).astype("<f8")
+    data = vals.tobytes()  # 24000 bytes
+
+    lz4 = pa.Codec("lz4_raw")
+    # 2 full blocks of 9600 + partial 4800 block; split per typesize
+    blob = _blosc_ref_encode(data, 8, 9600, 1,
+                             lambda b: lz4.compress(b, asbytes=True),
+                             split=True)
+    assert blosc_decompress(blob) == data
+
+    snappy = pa.Codec("snappy")
+    # snappy never splits in c-blosc (dont_split set), two blocks
+    blob = _blosc_ref_encode(data, 8, 12000, 2,
+                             lambda b: snappy.compress(b, asbytes=True),
+                             split=False)
+    assert blosc_decompress(blob) == data
+
+    # incompressible data forces stored-raw sub-streams
+    noise = rng.bytes(4096)
+    blob = _blosc_ref_encode(noise, 4, 2048, 1,
+                             lambda b: lz4.compress(b, asbytes=True),
+                             split=True)
+    assert blosc_decompress(blob) == noise
+
+
+def test_zarr_lzma_bz2_chunks(spark, tmp_path):
+    """Zarr v2 chunks with numcodecs lzma/bz2 compressors decode through
+    the stdlib (numcodecs LZMA default = xz container; BZ2 = bz2)."""
+    import bz2 as _bz2
+    import json as _json
+    import lzma as _lzma
+    import numpy as np
+    from sedona_db_spark.functions.raster import _band_array
+    from sedona_db_spark.sources.zarr_source import read_zarr
+    full = np.arange(12, dtype="<f8").reshape(2, 6)
+    for cid, compress in [("lzma", _lzma.compress), ("bz2", _bz2.compress)]:
+        store = tmp_path / f"store_{cid}"
+        store.mkdir()
+        meta = {"zarr_format": 2, "shape": [2, 6], "chunks": [2, 3],
+                "dtype": "<f8", "order": "C", "fill_value": None,
+                "compressor": {"id": cid}}
+        (store / ".zarray").write_text(_json.dumps(meta))
+        (store / "0.0").write_bytes(
+            compress(np.ascontiguousarray(full[:, :3]).tobytes()))
+        (store / "0.1").write_bytes(
+            compress(np.ascontiguousarray(full[:, 3:]).tobytes()))
+        rows = sorted(read_zarr(spark, str(store)).collect(),
+                      key=lambda r: tuple(r["chunk_index"]))
+        assert np.array_equal(_band_array(rows[0]["raster"]["bands"][0]),
+                              full[:, :3]), cid
+        assert np.array_equal(_band_array(rows[1]["raster"]["bands"][0]),
+                              full[:, 3:]), cid
+
+
 def test_blosc_zstd_chunks(spark, tmp_path):
     """Blosc container with inner zstd blocks (cname='zstd') decodes."""
     from sedona_db_spark.sources.zstd_native import zstd_compress, _libzstd
@@ -170,9 +271,10 @@ def test_blosc_zstd_chunks(spark, tmp_path):
     import struct as _st
     payload = np.arange(600, dtype="<f8").tobytes()
     comp = zstd_compress(payload, 3)
-    # blosc1 header: version, versionlz, flags(codec 5 << 5), typesize,
-    # nbytes, blocksize, cbytes; single block with a bstarts entry
-    hdr = bytes([2, 1, 5 << 5, 8]) + _st.pack(
+    # blosc1 header: version, versionlz, flags(codec 4 << 5 per the
+    # c-blosc spec, + 0x10 blocks-not-split as c-blosc emits for zstd),
+    # typesize, nbytes, blocksize, cbytes; single block + bstarts entry
+    hdr = bytes([2, 1, (4 << 5) | 0x10, 8]) + _st.pack(
         "<III", len(payload), len(payload), 16 + 4 + 4 + len(comp))
     bstarts = _st.pack("<I", 16 + 4)
     block = _st.pack("<i", len(comp)) + comp
@@ -533,17 +635,17 @@ def test_zarr_blosc_lz4_chunks(spark, tmp_path):
     full = np.arange(12, dtype="<f8").reshape(2, 6)
 
     def blosc_memcpy_shuffled(data: bytes, tsz: int) -> bytes:
-        n = len(data) // tsz
-        shuf = np.frombuffer(data, np.uint8).reshape(n, tsz).T.copy().tobytes()
+        # memcpyed chunks store the ORIGINAL buffer; a still-set shuffle
+        # bit must be ignored by the decoder (blosc.c memcpy fast path)
         hdr = bytes([2, 1, 0x1 | 0x2, tsz]) + _struct.pack(
             "<III", len(data), len(data), len(data) + 16)
-        return hdr + shuf
+        return hdr + data
 
     def blosc_lz4(data: bytes, tsz: int) -> bytes:
         lit = len(data)
         assert lit >= 15
         lz = bytes([0xF0, lit - 15]) + data  # literals-only LZ4 sequence
-        hdr = bytes([2, 1, (1 << 5), tsz]) + _struct.pack(
+        hdr = bytes([2, 1, (1 << 5) | 0x10, tsz]) + _struct.pack(
             "<III", lit, lit, 0)
         return hdr + _struct.pack("<I", 20) + _struct.pack("<i", len(lz)) + lz
 
