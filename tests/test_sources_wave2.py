@@ -196,6 +196,73 @@ def _blosc_ref_encode(data: bytes, tsz: int, blocksize: int, codec_id: int,
     return hdr + b"".join(_st.pack("<I", o) for o in bstarts) + bytes(body)
 
 
+def test_blosc_bitshuffle_filter():
+    """The bitshuffle filter (blosc flags bit 2) matches a faithful
+    translation of the public bitshuffle scalar kernels (byte-transpose
+    + TRANS_BIT_8X8 + bitrow regroup), roundtrips with non-multiple-of-8
+    leftovers, and decodes inside a full blosc chunk."""
+    import struct as _struct
+    import numpy as np
+    from sedona_db_spark.sources.zarr_source import (
+        _bit_unshuffle, bit_shuffle, blosc_decompress)
+
+    def trans_bit_8x8(x):
+        t = (x ^ (x >> 7)) & 0x00AA00AA00AA00AA
+        x = x ^ t ^ (t << 7)
+        t = (x ^ (x >> 14)) & 0x0000CCCC0000CCCC
+        x = x ^ t ^ (t << 14)
+        t = (x ^ (x >> 28)) & 0x00000000F0F0F0F0
+        x = x ^ t ^ (t << 28)
+        return x & 0xFFFFFFFFFFFFFFFF
+
+    def scalar_chain(buf, elem):
+        size = len(buf) // elem
+        a = (np.frombuffer(buf, np.uint8).reshape(size, elem)
+             .T.copy().reshape(-1))
+        nbr = a.size // 8
+        tmp = np.zeros(a.size, np.uint8)
+        for ii in range(nbr):
+            x = trans_bit_8x8(int.from_bytes(a[ii*8:(ii+1)*8].tobytes(),
+                                             "little"))
+            for kk in range(8):
+                tmp[kk * nbr + ii] = (x >> (8 * kk)) & 0xFF
+        sbr = size // 8
+        tin = tmp.reshape(elem * 8, sbr)
+        out = np.empty_like(tin)
+        for ii in range(elem):       # bshuf_trans_bitrow_eight
+            for jj in range(8):
+                out[ii * 8 + jj] = tin[jj * elem + ii]
+        return out.reshape(-1).tobytes()
+
+    rng = np.random.RandomState(23)
+    for elem in (1, 2, 4, 8):
+        for n in (8, 24, 64):
+            buf = rng.bytes(n * elem)
+            assert bit_shuffle(buf, elem) == scalar_chain(buf, elem), \
+                (elem, n)
+            assert _bit_unshuffle(bit_shuffle(buf, elem), elem) == buf
+    # leftover elements (n % 8 != 0) pass through unfiltered at the tail
+    buf = rng.bytes(21 * 4)
+    assert _bit_unshuffle(bit_shuffle(buf, 4), 4) == buf
+    assert bit_shuffle(buf, 4)[16 * 4:] == buf[16 * 4:]
+
+    # full chunk: bitshuffle + zlib inner codec, two blocks
+    import zlib as _zlib
+    data = (np.arange(4000, dtype="<u4") % 97).astype("<u4").tobytes()
+    nbytes, blocksize = len(data), 8000
+    body, bstarts = bytearray(), []
+    base = 16 + 4 * 2
+    for i in range(2):
+        bstarts.append(base + len(body))
+        block = bit_shuffle(data[i*blocksize:(i+1)*blocksize], 4)
+        comp = _zlib.compress(block)
+        body += _struct.pack("<i", len(comp)) + comp
+    hdr = bytes([2, 1, 0x4 | 0x10 | (3 << 5), 4]) + _struct.pack(
+        "<III", nbytes, blocksize, base + len(body))
+    blob = hdr + b"".join(_struct.pack("<I", o) for o in bstarts) + bytes(body)
+    assert blosc_decompress(blob) == data
+
+
 def test_blosc_split_blocks_and_snappy(spark):
     """Multi-block blosc chunks decode per the c-blosc container spec:
     per-BLOCK byte-unshuffle, typesize-split lz4 sub-streams (real
