@@ -172,11 +172,13 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         toks.append(payload[start:pos])
     pos += 1  # single whitespace after maxval
     w, h, maxv = int(toks[0]), int(toks[1]), int(toks[2])
-    if maxv > 255:
-        raise NotImplementedError("16-bit netpbm unsupported")
     depth = 3 if payload[:2] == b"P6" else 1
-    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * depth,
-                        offset=pos)
+    if maxv > 255:  # 16-bit netpbm: big-endian 2-byte samples (spec)
+        arr = np.frombuffer(payload, dtype=">u2", count=w * h * depth,
+                            offset=pos).astype(np.uint16)
+    else:
+        arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * depth,
+                            offset=pos)
     return arr.reshape((h, w, 3) if depth == 3 else (h, w)).copy()
 
 
@@ -207,11 +209,77 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, PNG spec §8.2
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_defilter(raw: bytes, pos: int, height: int, rowbytes: int,
+                  bpp: int) -> tuple[np.ndarray, int]:
+    """Undo the five PNG scanline filters over ``height`` rows starting
+    at byte ``pos`` of the inflated stream; returns (rows, next_pos)."""
+    out = np.zeros((height, rowbytes), dtype=np.uint8)
+    prev = np.zeros(rowbytes, dtype=np.int32)
+    for y in range(height):
+        ft = raw[pos]
+        line = np.frombuffer(raw, np.uint8, count=rowbytes,
+                             offset=pos + 1).astype(np.int32)
+        pos += rowbytes + 1
+        if ft == 0:                          # None
+            cur = line
+        elif ft == 2:                        # Up
+            cur = (line + prev) & 0xFF
+        elif ft == 1:                        # Sub (sequential per pixel)
+            cur = line.copy()
+            for i in range(bpp, rowbytes):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ft == 3:                        # Average
+            cur = line.copy()
+            for i in range(rowbytes):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:                        # Paeth
+            cur = line.copy()
+            for i in range(rowbytes):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ft} invalid")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out, pos
+
+
+def _png_rows_to_samples(rows: np.ndarray, width: int, channels: int,
+                         bit_depth: int) -> np.ndarray:
+    """Filtered rows -> (h, width, channels) sample array (uint8/uint16)."""
+    h = rows.shape[0]
+    if bit_depth == 8:
+        return rows[:, :width * channels].reshape(h, width, channels)
+    if bit_depth == 16:
+        u16 = rows.view(">u2").astype(np.uint16)
+        return u16[:, :width * channels].reshape(h, width, channels)
+    # 1/2/4-bit (gray or palette indices): MSB-first sub-byte samples
+    bits = np.unpackbits(rows, axis=1)
+    n = bits.shape[1] // bit_depth
+    vals = np.zeros((h, n), dtype=np.uint8)
+    for b in range(bit_depth):
+        vals = (vals << 1) | bits[:, b::bit_depth][:, :n]
+    return vals[:, :width].reshape(h, width, 1)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """Native PNG decode: stdlib zlib inflate + the five scanline filters
-    (None/Sub/Up/Average/Paeth).  Supports 8-bit gray / gray+alpha /
-    RGB / RGBA / palette, non-interlaced (the overwhelmingly common
-    encoder output).  Adam7 and 16-bit raise.
+    (None/Sub/Up/Average/Paeth).  Supports gray / gray+alpha / RGB /
+    RGBA / palette at bit depths 1/2/4/8/16, non-interlaced AND
+    Adam7-interlaced streams (cross-validated against libpng's
+    simplified read API in tests/test_operators.py).  16-bit returns
+    uint16; sub-byte gray is scaled to 8-bit as libpng presents it.
 
     Reference ships image decode via its Python/GDAL layer; here the
     codec is from the PNG spec (RFC 2083) directly — no PIL."""
@@ -224,6 +292,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     w = h = None
     bit_depth = color_type = interlace = None
     palette = None
+    trns = None
     while pos + 8 <= len(payload):
         (ln,) = _st.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4:pos + 8]
@@ -234,73 +303,74 @@ def decode_png(payload: bytes) -> np.ndarray:
                 _st.unpack(">IIBBBBB", data)
         elif ctype == b"PLTE":
             palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, np.uint8)
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG unsupported")
-    if bit_depth != 8:
-        raise NotImplementedError(f"PNG bit depth {bit_depth} unsupported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"PNG color type {color_type} invalid")
+    valid_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                    4: (8, 16), 6: (8, 16)}[color_type]
+    if bit_depth not in valid_depths:
+        raise ValueError(
+            f"PNG bit depth {bit_depth} invalid for color type {color_type}")
     raw = zlib.decompress(bytes(idat))
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        raise ValueError("PNG pixel data truncated")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    bpp = channels
-    for y in range(h):
-        off = y * (stride + 1)
-        ft = raw[off]
-        line = np.frombuffer(raw, np.uint8, count=stride,
-                             offset=off + 1).astype(np.int32)
-        if ft == 0:                          # None
-            cur = line
-        elif ft == 2:                        # Up
-            cur = (line + prev) & 0xFF
-        elif ft == 1:                        # Sub (sequential per pixel)
-            cur = line.copy()
-            for i in range(bpp, stride):
-                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
-        elif ft == 3:                        # Average
-            cur = line.copy()
-            for i in range(stride):
-                left = cur[i - bpp] if i >= bpp else 0
-                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ft == 4:                        # Paeth
-            cur = line.copy()
-            for i in range(stride):
-                a = cur[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (cur[i] + pred) & 0xFF
-        else:
-            raise ValueError(f"PNG filter type {ft} invalid")
-        out[y] = cur.astype(np.uint8)
-        prev = cur
-    img = out.reshape(h, w, channels)
+    bpp = max(1, channels * bit_depth // 8)
+
+    def rowbytes(width: int) -> int:
+        return (width * channels * bit_depth + 7) // 8
+
+    if interlace == 0:
+        rows, _ = _png_defilter(raw, 0, h, rowbytes(w), bpp)
+        img = _png_rows_to_samples(rows, w, channels, bit_depth)
+    elif interlace == 1:                     # Adam7
+        dt = np.uint16 if bit_depth == 16 else np.uint8
+        img = np.zeros((h, w, channels), dtype=dt)
+        pos = 0
+        for (x0, y0, dx, dy) in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, pos = _png_defilter(raw, pos, ph, rowbytes(pw), bpp)
+            img[y0::dy, x0::dx] = _png_rows_to_samples(
+                rows, pw, channels, bit_depth)
+    else:
+        raise ValueError(f"PNG interlace method {interlace} invalid")
+
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
-        img = palette[img[:, :, 0]]
+        idx = img[:, :, 0]
+        if trns is not None:                 # palette alpha -> RGBA
+            alpha = np.full(len(palette), 255, np.uint8)
+            alpha[:len(trns)] = trns
+            img = np.dstack([palette[idx], alpha[idx]])
+        else:
+            img = palette[idx]
+    elif color_type == 0 and bit_depth < 8:
+        # scale sub-byte gray to full 8-bit range (libpng presentation)
+        img = (img.astype(np.uint16) * 255 // ((1 << bit_depth) - 1)) \
+            .astype(np.uint8)
     return img if img.shape[2] > 1 else img[:, :, 0]
 
 
-def encode_png(img: np.ndarray, compress_level: int = 6) -> bytes:
+def encode_png(img: np.ndarray, compress_level: int = 6,
+               interlace: bool = False) -> bytes:
     """Native PNG encode (filter 0 scanlines + zlib): (h, w[, c]) uint8
-    gray/gray+alpha/RGB/RGBA -> PNG bytes.  Used for fixtures and as the
-    write half of the image roundtrip."""
+    or uint16 gray/gray+alpha/RGB/RGBA -> PNG bytes, optionally
+    Adam7-interlaced.  Used for fixtures and as the write half of the
+    image roundtrip."""
     import struct as _st
     import zlib
-    arr = np.asarray(img, dtype=np.uint8)
+    arr = np.asarray(img)
+    depth = 16 if arr.dtype == np.uint16 else 8
+    arr = arr.astype(np.uint16 if depth == 16 else np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
@@ -310,8 +380,19 @@ def encode_png(img: np.ndarray, compress_level: int = 6) -> bytes:
         return (_st.pack(">I", len(data)) + ctype + data
                 + _st.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
-    ihdr = _st.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    def rows(a: np.ndarray) -> bytes:
+        if depth == 16:
+            a = a.astype(">u2")
+        return b"".join(b"\x00" + a[y].tobytes() for y in range(a.shape[0]))
+
+    if interlace:
+        raw = b"".join(rows(arr[y0::dy, x0::dx])
+                       for (x0, y0, dx, dy) in _ADAM7
+                       if arr[y0::dy, x0::dx].size)
+    else:
+        raw = rows(arr)
+    ihdr = _st.pack(">IIBBBBB", w, h, depth, color_type, 0, 0,
+                    1 if interlace else 0)
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw, compress_level))
             + chunk(b"IEND", b""))
