@@ -409,15 +409,18 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_png(payload)
     if payload[:2] == b"\xFF\xD8":
         from sedona_db_spark.operators.jpeg_native import decode_jpeg
-        return decode_jpeg(payload)  # NotImplementedError on progressive
+        return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from sedona_db_spark.operators.gif_native import decode_gif
+        return decode_gif(payload)[0][0][:, :, :3]  # first frame RGB
     try:
         from PIL import Image  # noqa (absent in this container)
         import io
         return np.asarray(Image.open(io.BytesIO(payload)))
     except ImportError as exc:
         raise NotImplementedError(
-            "unrecognized image format needs PIL (netpbm/BMP/PNG/"
-            "baseline-JPEG decode natively)") from exc
+            "unrecognized image format needs PIL (netpbm/BMP/PNG/GIF/"
+            "JPEG decode natively)") from exc
 
 
 def image_resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
@@ -590,13 +593,13 @@ def decode_avi_frames(payload: bytes):
 def frame_sample(df: DataFrame, every_ms: int = 1000,
                  payload_col: str = "payload",
                  decode_pixels: bool = False) -> DataFrame:
-    """REAL video frame sampling over MJPEG-AVI payloads: one output row
-    per sampled frame; frame_ms is the frame's actual container
-    timestamp, frame_payload its JPEG bytes (decodable by the native
-    JPEG decoder; decode_pixels=True adds mean pixel intensity as a
-    cheap content check).  Non-AVI payloads raise ValueError — route
-    them to frame_sample_stub explicitly if synthetic plumbing is
-    wanted."""
+    """REAL video frame sampling over MJPEG-AVI and animated-GIF
+    payloads: one output row per sampled frame; frame_ms is the frame's
+    actual container timestamp, frame_payload its JPEG bytes (AVI) or a
+    PNG re-encode of the composited frame (GIF); decode_pixels=True adds
+    mean pixel intensity as a cheap content check.  Other payloads raise
+    ValueError — route them to frame_sample_stub explicitly if synthetic
+    plumbing is wanted."""
     from sedona_db_spark.operators.jpeg_native import decode_jpeg
     fields = (list(df.schema.fields)
               + [T.StructField("frame_ms", T.LongType()),
@@ -612,7 +615,23 @@ def frame_sample(df: DataFrame, every_ms: int = 1000,
                 payload = r[payload_col]
                 if payload is None:
                     continue
-                jpegs, ms_per = decode_avi_frames(bytes(payload))
+                payload = bytes(payload)
+                if payload[:6] in (b"GIF87a", b"GIF89a"):
+                    from sedona_db_spark.operators.gif_native import (
+                        decode_gif)
+                    t = next_t = 0.0
+                    for img, delay_cs in decode_gif(payload):
+                        if t + 1e-9 >= next_t:
+                            rgb = img[:, :, :3]
+                            row = tuple(r) + (int(round(t)),
+                                              encode_png(rgb))
+                            if decode_pixels:
+                                row = row + (float(rgb.mean()),)
+                            rows.append(row)
+                            next_t += every_ms
+                        t += delay_cs * 10.0
+                    continue
+                jpegs, ms_per = decode_avi_frames(payload)
                 next_t = 0.0
                 for i, j in enumerate(jpegs):
                     t = i * ms_per

@@ -810,6 +810,147 @@ def test_mjpeg_avi_frame_sample_real(spark):
             assert bytes(r["frame_payload"])[:2] == b"\xFF\xD8"
 
 
+def test_gif_codec_giflib_parity_and_frame_sample(spark):
+    """Round 6: native GIF87a/89a codec (GIF-variant LZW, interlace,
+    animation) cross-validated against giflib in both directions, plus
+    animated-GIF sampling through the frame_sample operator."""
+    import ctypes
+    import os
+    import tempfile
+    import numpy as np
+    from sedona_db_spark.operators.gif_native import decode_gif, encode_gif
+    from sedona_db_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(8)
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, (19, 23), dtype=np.uint8)
+
+    # self roundtrip, single and multi frame
+    got = decode_gif(encode_gif([idx], pal))
+    assert len(got) == 1 and np.array_equal(got[0][0][:, :, :3], pal[idx])
+    frs = [rng.randint(0, 16, (9, 11), dtype=np.uint8) for _ in range(3)]
+    got = decode_gif(encode_gif(frs, pal, delays=[5, 6, 7]))
+    assert [d for _, d in got] == [5, 6, 7]
+    for (img, _), fr in zip(got, frs):
+        assert np.array_equal(img[:, :, :3], pal[fr])
+
+    try:
+        lib = ctypes.CDLL("libgif.so.7")
+    except OSError:
+        lib = None
+
+    if lib is not None:
+        class GifColorType(ctypes.Structure):
+            _fields_ = [("Red", ctypes.c_ubyte), ("Green", ctypes.c_ubyte),
+                        ("Blue", ctypes.c_ubyte)]
+
+        class ColorMapObject(ctypes.Structure):
+            _fields_ = [("ColorCount", ctypes.c_int),
+                        ("BitsPerPixel", ctypes.c_int),
+                        ("SortFlag", ctypes.c_bool),
+                        ("Colors", ctypes.POINTER(GifColorType))]
+
+        class GifImageDesc(ctypes.Structure):
+            _fields_ = [("Left", ctypes.c_int), ("Top", ctypes.c_int),
+                        ("Width", ctypes.c_int), ("Height", ctypes.c_int),
+                        ("Interlace", ctypes.c_bool),
+                        ("ColorMap", ctypes.POINTER(ColorMapObject))]
+
+        class SavedImage(ctypes.Structure):
+            _fields_ = [("ImageDesc", GifImageDesc),
+                        ("RasterBits", ctypes.POINTER(ctypes.c_ubyte)),
+                        ("ExtensionBlockCount", ctypes.c_int),
+                        ("ExtensionBlocks", ctypes.c_void_p)]
+
+        class GifFileType(ctypes.Structure):
+            _fields_ = [("SWidth", ctypes.c_int), ("SHeight", ctypes.c_int),
+                        ("SColorResolution", ctypes.c_int),
+                        ("SBackGroundColor", ctypes.c_int),
+                        ("AspectByte", ctypes.c_ubyte),
+                        ("SColorMap", ctypes.POINTER(ColorMapObject)),
+                        ("ImageCount", ctypes.c_int),
+                        ("Image", GifImageDesc),
+                        ("SavedImages", ctypes.POINTER(SavedImage)),
+                        ("ExtensionBlockCount", ctypes.c_int),
+                        ("ExtensionBlocks", ctypes.c_void_p),
+                        ("Error", ctypes.c_int),
+                        ("UserData", ctypes.c_void_p),
+                        ("Private", ctypes.c_void_p)]
+
+        lib.DGifOpenFileName.restype = ctypes.POINTER(GifFileType)
+        lib.DGifOpenFileName.argtypes = [ctypes.c_char_p,
+                                         ctypes.POINTER(ctypes.c_int)]
+        lib.DGifSlurp.argtypes = [ctypes.POINTER(GifFileType)]
+        lib.DGifCloseFile.argtypes = [ctypes.POINTER(GifFileType),
+                                      ctypes.POINTER(ctypes.c_int)]
+        lib.EGifOpenFileName.restype = ctypes.POINTER(GifFileType)
+        lib.EGifOpenFileName.argtypes = [ctypes.c_char_p, ctypes.c_bool,
+                                         ctypes.POINTER(ctypes.c_int)]
+        lib.GifMakeMapObject.restype = ctypes.POINTER(ColorMapObject)
+        lib.GifMakeMapObject.argtypes = [ctypes.c_int,
+                                         ctypes.POINTER(GifColorType)]
+        lib.EGifPutScreenDesc.argtypes = ([ctypes.POINTER(GifFileType)]
+                                          + [ctypes.c_int] * 4
+                                          + [ctypes.POINTER(ColorMapObject)])
+        lib.EGifPutImageDesc.argtypes = ([ctypes.POINTER(GifFileType)]
+                                         + [ctypes.c_int] * 4
+                                         + [ctypes.c_bool,
+                                            ctypes.POINTER(ColorMapObject)])
+        lib.EGifPutLine.argtypes = [ctypes.POINTER(GifFileType),
+                                    ctypes.POINTER(ctypes.c_ubyte),
+                                    ctypes.c_int]
+        lib.EGifCloseFile.argtypes = [ctypes.POINTER(GifFileType),
+                                      ctypes.POINTER(ctypes.c_int)]
+        err = ctypes.c_int(0)
+
+        # giflib -> native, sequential and interlaced row order
+        for inter in (False, True):
+            h, w = idx.shape
+            p = tempfile.mktemp(suffix=".gif")
+            gif = lib.EGifOpenFileName(p.encode(), False, ctypes.byref(err))
+            colors = (GifColorType * len(pal))(
+                *[GifColorType(*map(int, c)) for c in pal])
+            cmap = lib.GifMakeMapObject(len(pal), colors)
+            assert lib.EGifPutScreenDesc(gif, w, h, 8, 0, cmap) == 1
+            assert lib.EGifPutImageDesc(gif, 0, 0, w, h, inter, None) == 1
+            order = ([r for (s, j) in [(0, 8), (4, 8), (2, 4), (1, 2)]
+                      for r in range(s, h, j)] if inter else range(h))
+            for r in order:
+                buf = (ctypes.c_ubyte * w)(*idx[r].tolist())
+                assert lib.EGifPutLine(gif, buf, w) == 1
+            assert lib.EGifCloseFile(gif, ctypes.byref(err)) == 1
+            frames = decode_gif(open(p, "rb").read())
+            os.unlink(p)
+            assert np.array_equal(frames[0][0][:, :, :3], pal[idx]), inter
+
+        # native multiframe -> giflib
+        p = tempfile.mktemp(suffix=".gif")
+        open(p, "wb").write(encode_gif(frs, pal, delays=[5, 6, 7]))
+        gif = lib.DGifOpenFileName(p.encode(), ctypes.byref(err))
+        assert gif and lib.DGifSlurp(gif) == 1
+        g = gif.contents
+        assert g.ImageCount == 3
+        for k in range(3):
+            rb = np.ctypeslib.as_array(
+                g.SavedImages[k].RasterBits, shape=(9 * 11,)).reshape(9, 11)
+            assert np.array_equal(rb, frs[k]), k
+        lib.DGifCloseFile(gif, ctypes.byref(err))
+        os.unlink(p)
+
+    # animated GIF through frame_sample: 4 frames at 50 ms, sample 100 ms
+    anim = encode_gif([rng.randint(0, 16, (8, 8), dtype=np.uint8)
+                       for _ in range(4)], pal, delays=[5, 5, 5, 5])
+    df = spark.createDataFrame([(1, bytearray(anim))], "id INT, payload BINARY")
+    out = mm.frame_sample(df, every_ms=100, decode_pixels=True) \
+            .orderBy("frame_ms").collect()
+    assert [r["frame_ms"] for r in out] == [0, 100]
+    first = mm.decode_png(bytes(out[0]["frame_payload"]))
+    assert first.shape == (8, 8, 3)
+    assert abs(out[0]["frame_mean"] - float(first.mean())) < 1e-9
+    # decode_image sniffs GIF and returns the first frame's RGB
+    assert mm.decode_image(anim).shape == (8, 8, 3)
+
+
 def test_connected_components_driver_path_matches_distributed(spark):
     """The small-graph union-find fast path must agree exactly with the
     large-star/small-star distributed path."""
