@@ -2820,6 +2820,124 @@ _O["geotiff_deflate_roundtrip"] = """
   FROM nation
 """
 
+
+def _q_geotiff_ccitt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCITT Group-4 fax GeoTIFF (round 6, sources/ccitt.py: from-scratch
+    ITU-T T.4/T.6 coders, libtiff-cross-validated; reference reads fax
+    TIFFs via GDAL, rust/sedona-raster-gdal/src/lib.rs): per-nation
+    16x16 bilevel pattern ((row*col + k) % 3 == 0), encoded ccitt_g4
+    driver-side, decoded executor-side through RS_FromGeoTIFF; the
+    zonal pixel sum over the raster envelope recovers the exact
+    SQL-derivable ones count, and the fax payload must be smaller than
+    the packed-raw encoding of the same raster."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions import raster as rs
+    from sedona_db_spark.functions.raster import make_raster_row
+    from sedona_db_spark.sources.geotiff import encode_geotiff
+    rows = []
+    for k in range(25):
+        grid = np.arange(16)
+        pattern = (((grid[:, None] * grid[None, :]) + k) % 3 == 0) \
+            .astype(np.uint8)
+        row = make_raster_row(16, 16, ulx=0.0, uly=16.0, scale_x=1.0,
+                              scale_y=-1.0, crs="EPSG:3857",
+                              bands=[("b1", "uint8", pattern)])
+        tif = encode_geotiff(row, compress="ccitt_g4")
+        raw = encode_geotiff(row)
+        rows.append((k, bytearray(tif), len(tif) < len(raw)))
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "n_key INT, tif BINARY, compressed BOOLEAN")
+    r2 = rs.from_geotiff(F.col("tif"))
+    zs = rs.zonal_stats(r2, rs.envelope(r2), 1)
+    return df.select(
+        "n_key",
+        rs.width(r2).alias("w"),
+        zs["count"].alias("pix_count"),
+        F.round(zs["sum"], 6).alias("ones"),
+        "compressed")
+
+
+_PY["geotiff_ccitt_roundtrip"] = _q_geotiff_ccitt_roundtrip
+_O["geotiff_ccitt_roundtrip"] = """
+  SELECT n_nationkey AS n_key, CAST(16 AS BIGINT) AS w,
+         CAST(256 AS BIGINT) AS pix_count,
+         round(sum(CASE WHEN ((i // 16) * (i % 16) + n_nationkey) % 3 = 0
+                        THEN 1.0 ELSE 0.0 END), 6) AS ones,
+         true AS compressed
+  FROM nation CROSS JOIN range(256) t(i)
+  GROUP BY n_nationkey
+"""
+
+
+def _q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL native GIF decode (round 6, operators/gif_native.py:
+    GIF-variant LZW + interlace + palette, giflib-cross-validated; the
+    reference's GDAL GIF driver is the parity surface).  Same
+    deterministic gradient as multimodal_png_decode, stored as palette
+    indices against an identity gray palette — the scale-invariant
+    mean/rms of the decoded luminance must match the generator
+    exactly.  Odd nations are written INTERLACED to pin the 4-pass row
+    order in-window."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from sedona_db_spark.operators.gif_native import encode_gif
+    from sedona_db_spark.operators.multimodal import (
+        MEDIA_SCHEMA, extract_features_real)
+    pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    rows = []
+    for k in range(25):
+        base = (16 * k) % 200
+        img = (base + np.arange(64).reshape(8, 8) * 55 // 63) \
+            .astype(np.uint8)
+        gif = encode_gif([img], pal)
+        if k % 2 == 1:  # re-pack the frame interlaced via the raw writer
+            from sedona_db_spark.operators.gif_native import (
+                _INTERLACE_PASSES, _lzw_encode_gif)
+            import struct as _st
+            rows_inter = np.concatenate(
+                [img[s::j] for (s, j) in _INTERLACE_PASSES])
+            lzw = _lzw_encode_gif(rows_inter.ravel(), 8)
+            out = bytearray(b"GIF89a")
+            out += _st.pack("<HHBBB", 8, 8, 0x80 | 7, 0, 0) + pal.tobytes()
+            out += _st.pack("<BHHHHB", 0x2C, 0, 0, 8, 8, 0x40)
+            out.append(8)
+            for i in range(0, len(lzw), 255):
+                chunk = lzw[i:i + 255]
+                out.append(len(chunk))
+                out += chunk
+            out += b"\x00\x3B"
+            gif = bytes(out)
+        rows.append((k, "image", "gif", bytearray(gif), 8, 8, None))
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), MEDIA_SCHEMA)
+    out = extract_features_real(df)
+    norm2 = F.aggregate(F.col("features"), F.lit(0.0), lambda a, v: a + v * v)
+    mean_over_rms = F.aggregate(F.col("features"), F.lit(0.0),
+                                lambda a, v: a + v) / F.lit(8.0)
+    return out.select(
+        F.col("media_id").cast("int").alias("media_id"), "decoded",
+        F.round(norm2, 6).alias("feat_norm2"),
+        F.round(mean_over_rms, 6).alias("mean_over_rms"))
+
+
+_PY["multimodal_gif_decode"] = _q_multimodal_gif_decode
+_O["multimodal_gif_decode"] = """
+  SELECT CAST(media_id AS INT) AS media_id, true AS decoded,
+         1.0 AS feat_norm2, round(mean_v / rms_v, 6) AS mean_over_rms
+  FROM (
+    SELECT n_nationkey AS media_id,
+           avg(CAST((16 * n_nationkey) % 200 + (i * 55) // 63 AS DOUBLE))
+             AS mean_v,
+           sqrt(avg(CAST((16 * n_nationkey) % 200 + (i * 55) // 63 AS DOUBLE)
+                    * CAST((16 * n_nationkey) % 200 + (i * 55) // 63
+                           AS DOUBLE))) AS rms_v
+    FROM nation CROSS JOIN range(64) t(i)
+    GROUP BY n_nationkey
+  )
+"""
+
 # ======================================================================
 # entry points
 # ======================================================================
@@ -2917,6 +3035,16 @@ _PRIORITY[_PRIORITY.index("geopackage_roundtrip")] = "knn_join_polygons_bulk"
 # (LAS stays green in the local replica + pytest; the out-of-DB loader
 # family now proves both url schemes through the driver gate).
 _PRIORITY[_PRIORITY.index("las_roundtrip_agg")] = "raster_s3_outdb"
+# Round-6 codec slots: CCITT G4 fax GeoTIFF (libtiff-cross-validated
+# T.4/T.6 coders) replaces the deflate roundtrip (same family, superset
+# plumbing — deflate stays green in replica + pytest), and the native
+# GIF decoder (giflib-cross-validated, interlace pinned on odd keys)
+# replaces the southern-UTM transform (transform family keeps
+# osgb + stateplane in-window; utm_south stays in the replica).
+_PRIORITY[_PRIORITY.index("geotiff_deflate_roundtrip")] = \
+    "geotiff_ccitt_roundtrip"
+_PRIORITY[_PRIORITY.index("st_transform_utm_south")] = \
+    "multimodal_gif_decode"
 
 
 def _ordered_names() -> list[str]:

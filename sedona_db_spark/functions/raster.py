@@ -867,17 +867,29 @@ def _rs_as_geotiff_deflate_udf(rs: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+_AS_GEOTIFF_UDFS = {"none": _rs_as_geotiff_udf,
+                    "deflate": _rs_as_geotiff_deflate_udf}
+
+
 def as_geotiff(r, compress: str = "none") -> Column:
     """RS_AsGeoTIFF: raster struct -> GeoTIFF bytes.
 
     Native codec (sources/geotiff.py) from the public TIFF 6.0 / OGC
     GeoTIFF specs — the reference shells out to GDAL
     (rust/sedona-raster-gdal/src/lib.rs:21-35), which is absent here.
-    ``compress='deflate'`` writes COMPRESS=DEFLATE strips (stdlib zlib,
-    predictor 2 for integer samples); LZW/JPEG still need GDAL."""
-    if compress == "deflate":
-        return _rs_as_geotiff_deflate_udf(r)
-    return _rs_as_geotiff_udf(r)
+    Compressions: 'deflate' (zlib strips, predictor 2 for integer
+    samples), 'lzw', and 'ccitt_g4'/'ccitt_g3'/'ccitt_rle' for 0/1
+    bilevel single-band rasters."""
+    udf = _AS_GEOTIFF_UDFS.get(compress)
+    if udf is None:
+        @F.pandas_udf(T.BinaryType())
+        def _udf(rs: pd.Series, _c=compress) -> pd.Series:
+            from sedona_db_spark.sources.geotiff import encode_geotiff
+            return pd.Series([None if r is None
+                              else encode_geotiff(r, compress=_c)
+                              for r in _iter_struct(rs)], dtype=object)
+        udf = _AS_GEOTIFF_UDFS[compress] = _udf
+    return udf(r)
 
 
 @F.pandas_udf(RASTER_TYPE)
@@ -891,8 +903,9 @@ def _rs_from_geotiff_udf(b: pd.Series) -> pd.DataFrame:
 
 def from_geotiff(b) -> Column:
     """RS_FromGeoTIFF: GeoTIFF bytes -> raster struct.  Handles strip
-    and tile layouts, uncompressed and DEFLATE (predictor 1/2);
-    LZW/JPEG raise toward the GDAL path."""
+    and tile layouts; compressions: none, DEFLATE (predictor 1/2), LZW,
+    PackBits, baseline+progressive JPEG, CCITT G3/G4 fax + packed
+    1-bit strips."""
     return _rs_from_geotiff_udf(b)
 
 

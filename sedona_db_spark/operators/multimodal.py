@@ -485,7 +485,8 @@ def extract_features_real(df: DataFrame, payload_col: str = "payload",
                         real.append(True)
                         continue
                     if (b[:2] in (b"P5", b"P6", b"BM", b"\xFF\xD8")
-                            or b[:8] == _PNG_SIG):
+                            or b[:8] == _PNG_SIG
+                            or b[:6] in (b"GIF87a", b"GIF89a")):
                         feats.append(list(map(float,
                                               image_features(decode_image(b), dim))))
                         real.append(True)
