@@ -10,8 +10,10 @@ Scale design: `spark.read.format("binaryFile")` lists and reads the files
 distributed (one task per file, executors do the IO), and a `mapInPandas`
 kernel parses each file with a numpy structured dtype — zero-copy
 `np.frombuffer` over the point block, so a 1000-executor cluster parses
-1000 files concurrently.  LAZ (compressed) requires lazrs/laszip and is
-import-gated.
+1000 files concurrently.  LAZ (compressed) decodes natively through
+sources/laz.py (layered-chunked compressor, PDRF 6-10 + extra bytes,
+pinned bit-exact against the reference's own las/laz fixture pairs);
+legacy point-format LAZ (compressor 2) still raises.
 """
 
 from __future__ import annotations
@@ -93,19 +95,19 @@ def parse_las_header(buf: bytes) -> dict:
 def parse_las_points(buf: bytes) -> pd.DataFrame:
     """Whole-file bytes -> DataFrame of scaled points (vectorized)."""
     h = parse_las_header(buf)
-    if h["compressed"]:
-        try:
-            import lazrs  # noqa: F401
-        except ImportError as exc:
-            raise NotImplementedError(
-                "LAZ decompression requires lazrs/laszip (not in this "
-                "container); plain LAS parses natively") from exc
     dt = _FMT_DTYPES.get(h["format"])
     if dt is None:
         raise ValueError(f"unsupported LAS point format {h['format']}")
     n = h["n_points"]
-    raw = np.frombuffer(buf, dtype=np.uint8,
-                        count=n * h["rec_len"], offset=h["offset"])
+    if h["compressed"]:
+        # native LAZ decode (sources/laz.py): layered-chunked compressor
+        # covering PDRF 6-10 + extra bytes, pinned against the reference
+        # repo's paired las/laz fixtures
+        from sedona_db_spark.sources.laz import laz_decompress_points
+        raw = np.frombuffer(laz_decompress_points(buf, h), dtype=np.uint8)
+    else:
+        raw = np.frombuffer(buf, dtype=np.uint8,
+                            count=n * h["rec_len"], offset=h["offset"])
     # records may carry trailing extra bytes: keep the core-dtype prefix
     core = raw.reshape(n, h["rec_len"])[:, :dt.itemsize].tobytes()
     pts = np.frombuffer(core, dtype=dt)

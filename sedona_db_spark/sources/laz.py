@@ -1,0 +1,1311 @@
+"""LAZ (LASzip) point-cloud codec — compressor 3 "layered chunked".
+
+The reference bundles las-rs + laz-rs
+(rust/sedona-pointcloud/src/las/format.rs:58); neither laszip nor any
+LAZ library exists in this container, so the codec is implemented from
+the public LAZ Specification 1.4 R1 (rapidlasso) and the published
+FastAC arithmetic-coder algorithm (Amir Said, "Introducing Efficient
+Parallelization into the Arithmetic Coding Framework" / laszip's
+documented coder), both of which the spec reproduces.
+
+Scope and validation (see tests/test_sources_wave2.py):
+
+- entropy coder, adaptive models, IntegerCompressor, streaming median,
+  chunk framing (raw first point + per-layer byte counts) and the chunk
+  table are PINNED against the reference repo's own paired fixtures
+  (large.las/large.laz, extra.las/extra.laz — real laspy/laz-rs
+  output);
+- the full field space (intensity, classification, flags, scan angle,
+  user data, point source, gps time, extra bytes) is verified by
+  encoder/decoder roundtrip on randomized data;
+- files whose RETURN NUMBERS or SCANNER CHANNEL change mid-chunk
+  depend on the spec's number_return_map context tables, which cannot
+  be cross-validated in this environment — such files raise
+  NotImplementedError rather than risk a silently wrong decode (for
+  constant-return files the context index is constant, making the
+  decode provably table-independent).
+
+Decode only needs numpy; the writer half exists for fixtures and
+roundtrip tests.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+AC_MAX_LENGTH = 0xFFFFFFFF
+AC_MIN_LENGTH = 0x01000000
+DM_LENGTH_SHIFT = 15
+DM_MAX_COUNT = 1 << DM_LENGTH_SHIFT
+BM_LENGTH_SHIFT = 13
+BM_MAX_COUNT = 1 << BM_LENGTH_SHIFT
+
+
+class ArithmeticModel:
+    """FastAC adaptive data model (decoder-table variant included)."""
+
+    __slots__ = ("nsym", "compress", "distribution", "symbol_count",
+                 "decoder_table", "table_size", "table_shift",
+                 "total_count", "update_cycle", "symbols_until_update",
+                 "last_symbol")
+
+    def __init__(self, nsym: int, compress: bool):
+        self.nsym = nsym
+        self.compress = compress
+        self.last_symbol = nsym - 1
+        if not compress and nsym > 16:
+            table_bits = 3
+            while nsym > (1 << (table_bits + 2)):
+                table_bits += 1
+            self.table_size = 1 << table_bits
+            self.table_shift = DM_LENGTH_SHIFT - table_bits
+            self.decoder_table = [0] * (self.table_size + 2)
+        else:
+            self.decoder_table = None
+            self.table_size = self.table_shift = 0
+        self.distribution = [0] * nsym
+        self.init()
+
+    def init(self):
+        self.total_count = 0
+        self.update_cycle = self.nsym
+        self.symbol_count = [1] * self.nsym
+        self.update()
+        self.symbols_until_update = self.update_cycle = (self.nsym + 6) >> 1
+
+    def update(self):
+        self.total_count += self.update_cycle
+        if self.total_count > DM_MAX_COUNT:
+            self.total_count = 0
+            for n in range(self.nsym):
+                self.symbol_count[n] = (self.symbol_count[n] + 1) >> 1
+                self.total_count += self.symbol_count[n]
+        scale = 0x80000000 // self.total_count
+        if self.compress or self.table_size == 0:
+            s = 0
+            for k in range(self.nsym):
+                self.distribution[k] = (scale * s) >> (31 - DM_LENGTH_SHIFT)
+                s += self.symbol_count[k]
+        else:
+            s = 0
+            t = 0
+            for k in range(self.nsym):
+                self.distribution[k] = (scale * s) >> (31 - DM_LENGTH_SHIFT)
+                s += self.symbol_count[k]
+                w = self.distribution[k] >> self.table_shift
+                while t < w:
+                    t += 1
+                    self.decoder_table[t] = k - 1
+            self.decoder_table[0] = 0
+            while t <= self.table_size:
+                t += 1
+                self.decoder_table[t] = self.nsym - 1
+        self.update_cycle = min((5 * self.update_cycle) >> 2,
+                                (self.nsym + 6) << 3)
+        self.symbols_until_update = self.update_cycle
+
+
+class ArithmeticBitModel:
+    """FastAC adaptive binary model."""
+
+    __slots__ = ("bit_0_prob", "bit_0_count", "bit_count",
+                 "update_cycle", "bits_until_update")
+
+    def __init__(self):
+        self.init()
+
+    def init(self):
+        self.bit_0_count = 1
+        self.bit_count = 2
+        self.bit_0_prob = 1 << (BM_LENGTH_SHIFT - 1)
+        self.update_cycle = self.bits_until_update = 4
+
+    def update(self):
+        self.bit_count += self.update_cycle
+        if self.bit_count > BM_MAX_COUNT:
+            self.bit_count = (self.bit_count + 1) >> 1
+            self.bit_0_count = (self.bit_0_count + 1) >> 1
+            if self.bit_0_count == self.bit_count:
+                self.bit_count += 1
+        scale = 0x80000000 // self.bit_count
+        self.bit_0_prob = (self.bit_0_count * scale) >> (31 - BM_LENGTH_SHIFT)
+        self.update_cycle = min((5 * self.update_cycle) >> 2, 64)
+        self.bits_until_update = self.update_cycle
+
+
+class ArithmeticDecoder:
+    """FastAC range decoder over a byte buffer (reads past the end as
+    zero bytes, matching the encoder's flush semantics)."""
+
+    __slots__ = ("buf", "pos", "value", "length")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 4
+        b = buf[:4].ljust(4, b"\0")
+        self.value = (b[0] << 24) | (b[1] << 16) | (b[2] << 8) | b[3]
+        self.length = AC_MAX_LENGTH
+
+    def _in_byte(self) -> int:
+        b = self.buf[self.pos] if self.pos < len(self.buf) else 0
+        self.pos += 1
+        return b
+
+    def _renorm(self):
+        while True:
+            self.value = ((self.value << 8) | self._in_byte()) & 0xFFFFFFFF
+            self.length = (self.length << 8) & 0xFFFFFFFF
+            if self.length >= AC_MIN_LENGTH:
+                break
+
+    def decode_bit(self, m: ArithmeticBitModel) -> int:
+        x = m.bit_0_prob * (self.length >> BM_LENGTH_SHIFT)
+        if self.value < x:
+            sym = 0
+            self.length = x
+            m.bit_0_count += 1
+        else:
+            sym = 1
+            self.value -= x
+            self.length -= x
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+        m.bits_until_update -= 1
+        if m.bits_until_update == 0:
+            m.update()
+        return sym
+
+    def decode_symbol(self, m: ArithmeticModel) -> int:
+        y = self.length
+        if m.decoder_table is not None:
+            self.length >>= DM_LENGTH_SHIFT
+            dv = self.value // self.length
+            t = dv >> m.table_shift
+            sym = m.decoder_table[t]
+            n = m.decoder_table[t + 1] + 1
+            while n > sym + 1:
+                k = (sym + n) >> 1
+                if m.distribution[k] > dv:
+                    n = k
+                else:
+                    sym = k
+            x = m.distribution[sym] * self.length
+            if sym != m.last_symbol:
+                y = m.distribution[sym + 1] * self.length
+        else:
+            x = sym = 0
+            self.length >>= DM_LENGTH_SHIFT
+            n = m.nsym
+            k = n >> 1
+            while True:
+                z = self.length * m.distribution[k]
+                if z > self.value:
+                    n = k
+                    y = z
+                else:
+                    sym = k
+                    x = z
+                k = (sym + n) >> 1
+                if k == sym:
+                    break
+        self.value -= x
+        self.length = y - x
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+        m.symbol_count[sym] += 1
+        m.symbols_until_update -= 1
+        if m.symbols_until_update == 0:
+            m.update()
+        return sym
+
+    def read_bits(self, bits: int) -> int:
+        if bits > 19:
+            low = self.read_bits(16)
+            hi = self.read_bits(bits - 16)
+            return (hi << 16) | low
+        self.length >>= bits
+        sym = self.value // self.length
+        self.value -= self.length * sym
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+        return sym
+
+    def read_byte(self) -> int:
+        return self.read_bits(8)
+
+
+class ArithmeticEncoder:
+    """FastAC range encoder (writer half, for fixtures/roundtrips)."""
+
+    __slots__ = ("out", "base", "length")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.base = 0
+        self.length = AC_MAX_LENGTH
+
+    def _propagate_carry(self):
+        i = len(self.out) - 1
+        while i >= 0 and self.out[i] == 0xFF:
+            self.out[i] = 0
+            i -= 1
+        if i >= 0:
+            self.out[i] += 1
+
+    def _renorm(self):
+        while True:
+            self.out.append((self.base >> 24) & 0xFF)
+            self.base = (self.base << 8) & 0xFFFFFFFF
+            self.length = (self.length << 8) & 0xFFFFFFFF
+            if self.length >= AC_MIN_LENGTH:
+                break
+
+    def encode_bit(self, m: ArithmeticBitModel, bit: int):
+        x = m.bit_0_prob * (self.length >> BM_LENGTH_SHIFT)
+        if bit == 0:
+            self.length = x
+            m.bit_0_count += 1
+        else:
+            init_base = self.base
+            self.base = (self.base + x) & 0xFFFFFFFF
+            self.length -= x
+            if init_base > self.base:
+                self._propagate_carry()
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+        m.bits_until_update -= 1
+        if m.bits_until_update == 0:
+            m.update()
+
+    def encode_symbol(self, m: ArithmeticModel, sym: int):
+        init_base = self.base
+        if sym == m.last_symbol:
+            x = m.distribution[sym] * (self.length >> DM_LENGTH_SHIFT)
+            self.base = (self.base + x) & 0xFFFFFFFF
+            self.length -= x
+        else:
+            self.length >>= DM_LENGTH_SHIFT
+            x = m.distribution[sym] * self.length
+            self.base = (self.base + x) & 0xFFFFFFFF
+            self.length = m.distribution[sym + 1] * self.length - x
+        if init_base > self.base:
+            self._propagate_carry()
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+        m.symbol_count[sym] += 1
+        m.symbols_until_update -= 1
+        if m.symbols_until_update == 0:
+            m.update()
+
+    def write_bits(self, bits: int, value: int):
+        if bits > 19:
+            self.write_bits(16, value & 0xFFFF)
+            self.write_bits(bits - 16, value >> 16)
+            return
+        init_base = self.base
+        self.length >>= bits
+        self.base = (self.base + value * self.length) & 0xFFFFFFFF
+        if init_base > self.base:
+            self._propagate_carry()
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+
+    def write_byte(self, b: int):
+        self.write_bits(8, b)
+
+    def done(self) -> bytes:
+        init_base = self.base
+        if self.length > 2 * AC_MIN_LENGTH:
+            self.base = (self.base + AC_MIN_LENGTH) & 0xFFFFFFFF
+            self.length = AC_MIN_LENGTH >> 1
+        else:
+            self.base = (self.base + (AC_MIN_LENGTH >> 1)) & 0xFFFFFFFF
+            self.length = AC_MIN_LENGTH >> 9
+        if init_base > self.base:
+            self._propagate_carry()
+        self._renorm()
+        self.out += b"\0\0\0"
+        return bytes(self.out)
+
+
+class StreamingMedian5:
+    """laszip's 5-value streaming median (alternating high/low insert)."""
+
+    __slots__ = ("v", "high")
+
+    def __init__(self):
+        self.v = [0, 0, 0, 0, 0]
+        self.high = True
+
+    def add(self, x: int):
+        v = self.v
+        if self.high:
+            if x < v[2]:
+                v[4] = v[3]
+                v[3] = v[2]
+                if x < v[0]:
+                    v[2] = v[1]
+                    v[1] = v[0]
+                    v[0] = x
+                elif x < v[1]:
+                    v[2] = v[1]
+                    v[1] = x
+                else:
+                    v[2] = x
+            else:
+                if x < v[3]:
+                    v[4] = v[3]
+                    v[3] = x
+                else:
+                    v[4] = x
+                self.high = False
+        else:
+            if v[2] < x:
+                v[0] = v[1]
+                v[1] = v[2]
+                if v[4] < x:
+                    v[2] = v[3]
+                    v[3] = v[4]
+                    v[4] = x
+                elif v[3] < x:
+                    v[2] = v[3]
+                    v[3] = x
+                else:
+                    v[2] = x
+            else:
+                if v[1] < x:
+                    v[0] = v[1]
+                    v[1] = x
+                else:
+                    v[0] = x
+                self.high = True
+
+    def get(self) -> int:
+        return self.v[2]
+
+
+def _u32(x: int) -> int:
+    return x & 0xFFFFFFFF
+
+
+def _i32(x: int) -> int:
+    x &= 0xFFFFFFFF
+    return x - 0x100000000 if x >= 0x80000000 else x
+
+
+class IntegerCompressor:
+    """laszip's k-bit corrector coder over an entropy coder."""
+
+    def __init__(self, coder, bits: int = 32, contexts: int = 1,
+                 bits_high: int = 8, rng: int = 0, decompress: bool = True):
+        self.coder = coder
+        self.bits_high = bits_high
+        self.k = 0
+        if rng:
+            self.corr_bits = 0
+            self.corr_range = rng
+            while rng:
+                rng >>= 1
+                self.corr_bits += 1
+            if self.corr_range == (1 << (self.corr_bits - 1)):
+                self.corr_bits -= 1
+            self.corr_min = -(self.corr_range // 2)
+        elif bits and bits < 32:
+            self.corr_bits = bits
+            self.corr_range = 1 << bits
+            self.corr_min = -(self.corr_range // 2)
+        else:
+            self.corr_bits = 32
+            self.corr_range = 0
+            self.corr_min = -0x80000000
+        compress = not decompress
+        self.m_bits = [ArithmeticModel(self.corr_bits + 1, compress)
+                       for _ in range(contexts)]
+        self.m_corr0 = ArithmeticBitModel()
+        self.m_corr = [None]
+        for i in range(1, self.corr_bits):
+            self.m_corr.append(ArithmeticModel(
+                1 << min(i, bits_high), compress))
+
+    # ---- decode ----
+    def decompress(self, pred: int, context: int = 0) -> int:
+        real = pred + self._read_corrector(self.m_bits[context])
+        if self.corr_range:
+            if real < 0:
+                real += self.corr_range
+            elif real >= self.corr_range:
+                real -= self.corr_range
+            return real
+        return _i32(real)
+
+    def _read_corrector(self, model) -> int:
+        dec = self.coder
+        self.k = dec.decode_symbol(model)
+        k = self.k
+        if k:
+            if k < 32:
+                if k <= self.bits_high:
+                    c = dec.decode_symbol(self.m_corr[k])
+                else:
+                    k1 = k - self.bits_high
+                    c = dec.decode_symbol(self.m_corr[k])
+                    c1 = dec.read_bits(k1)
+                    c = (c << k1) | c1
+                if c >= (1 << (k - 1)):
+                    c += 1
+                else:
+                    c -= (1 << k) - 1
+            else:
+                c = self.corr_min
+        else:
+            c = dec.decode_bit(self.m_corr0)
+        return c
+
+    # ---- encode ----
+    def compress(self, pred: int, real: int, context: int = 0):
+        corr = real - pred
+        if self.corr_range:
+            if corr < self.corr_min:
+                corr += self.corr_range
+            elif corr > self.corr_min + self.corr_range - 1:
+                corr -= self.corr_range
+        else:
+            corr = _i32(corr)
+        self._write_corrector(corr, self.m_bits[context])
+
+    def _write_corrector(self, c: int, model):
+        """Exact inverse of _read_corrector: k=0 covers {0,1}; k>=1
+        covers [-(2^k-1), -2^(k-1)] u [2^(k-1)+1, 2^k]; k=32 is the
+        corr_min sentinel of the unbounded 32-bit case."""
+        enc = self.coder
+        if 0 <= c <= 1:
+            self.k = 0
+            enc.encode_symbol(model, 0)
+            enc.encode_bit(self.m_corr0, c)
+            return
+        if c > 1:
+            k = (c - 1).bit_length()
+            cc = c - 1
+        else:
+            k = (-c).bit_length()
+            cc = c + ((1 << k) - 1)
+        if k >= 32:
+            self.k = 32
+            enc.encode_symbol(model, 32)
+            return
+        self.k = k
+        enc.encode_symbol(model, k)
+        if k <= self.bits_high:
+            enc.encode_symbol(self.m_corr[k], cc)
+        else:
+            k1 = k - self.bits_high
+            enc.encode_symbol(self.m_corr[k], cc >> k1)
+            enc.write_bits(k1, cc & ((1 << k1) - 1))
+
+
+# ----------------------------------------------------------------------
+# POINT14 (PDRF 6-10 core, 30 bytes) layered compressor, item version 3
+# ----------------------------------------------------------------------
+
+GPSTIME_MULTI = 500
+GPSTIME_MULTI_MINUS = -10
+GPSTIME_MULTI_UNCHANGED = GPSTIME_MULTI - GPSTIME_MULTI_MINUS + 1   # 511
+GPSTIME_MULTI_CODE_FULL = GPSTIME_MULTI - GPSTIME_MULTI_MINUS + 2   # 512
+GPSTIME_MULTI_TOTAL = GPSTIME_MULTI - GPSTIME_MULTI_MINUS + 6       # 516
+
+_LAYER_NAMES = ["channel_returns_XY", "Z", "classification", "flags",
+                "intensity", "scan_angle", "user_data", "point_source",
+                "gps_time"]
+
+
+def _return_map(n: int, r: int) -> int:
+    """Reconstructed 6-context (n, r) classification (single / first /
+    last / intermediate buckets).  Any CONSTANT mapping is provably
+    equivalent while (n, r) never changes within a chunk — the only
+    regime this build decodes (see module docstring); the writer half
+    uses the same table, keeping roundtrips exact."""
+    if n <= 1:
+        return 0 if r <= 1 else 1
+    if r == 1:
+        return 2
+    if r >= n:
+        return 3
+    return 4 if r == 2 else 5
+
+
+def _return_level(n: int, r: int) -> int:
+    d = min(abs(n - r), 3)
+    return min((0 if n <= 1 else 4) + d, 7)
+
+
+class _Point14:
+    __slots__ = ("x", "y", "z", "intensity", "return_number",
+                 "number_of_returns", "classification_flags",
+                 "scanner_channel", "scan_direction", "edge",
+                 "classification", "user_data", "scan_angle",
+                 "point_source", "gps_time_bits", "gps_time_change")
+
+    def copy(self):
+        p = _Point14()
+        for s in self.__slots__:
+            setattr(p, s, getattr(self, s))
+        return p
+
+
+def parse_point14(raw: bytes) -> _Point14:
+    """LAS PDRF6 on-disk 30 bytes -> fields."""
+    p = _Point14()
+    p.x, p.y, p.z = struct.unpack_from("<iii", raw, 0)
+    (p.intensity,) = struct.unpack_from("<H", raw, 12)
+    rb = raw[14]
+    p.return_number = rb & 0x0F
+    p.number_of_returns = rb >> 4
+    fb = raw[15]
+    p.classification_flags = fb & 0x0F
+    p.scanner_channel = (fb >> 4) & 0x3
+    p.scan_direction = (fb >> 6) & 0x1
+    p.edge = (fb >> 7) & 0x1
+    p.classification = raw[16]
+    p.user_data = raw[17]
+    (p.scan_angle,) = struct.unpack_from("<h", raw, 18)
+    (p.point_source,) = struct.unpack_from("<H", raw, 20)
+    (p.gps_time_bits,) = struct.unpack_from("<q", raw, 22)
+    p.gps_time_change = False
+    return p
+
+
+def pack_point14(p: _Point14) -> bytes:
+    return struct.pack(
+        "<iiiHBBBBhHq", p.x, p.y, p.z, p.intensity,
+        (p.number_of_returns << 4) | p.return_number,
+        (p.edge << 7) | (p.scan_direction << 6)
+        | (p.scanner_channel << 4) | p.classification_flags,
+        p.classification, p.user_data, p.scan_angle, p.point_source,
+        p.gps_time_bits)
+
+
+class _ChannelCtx:
+    """Per-scanner-channel model set + prediction state (spec contexts)."""
+
+    def __init__(self, coders, first: _Point14, decompress: bool):
+        enc = not decompress
+        c = coders
+        self.m_changed_values = [ArithmeticModel(128, enc) for _ in range(8)]
+        self.m_scanner_channel = ArithmeticModel(3, enc)
+        self.m_number_of_returns = [None] * 16
+        self.m_return_number = [None] * 16
+        self.m_return_number_gps_same = ArithmeticModel(13, enc)
+        self.ic_dX = IntegerCompressor(c[0], 32, 2, decompress=decompress)
+        self.ic_dY = IntegerCompressor(c[0], 32, 22, decompress=decompress)
+        self.ic_Z = IntegerCompressor(c[1], 32, 20, decompress=decompress)
+        self.m_classification = [None] * 64
+        self.m_flags = [None] * 64
+        self.m_user_data = [None] * 64
+        self.ic_intensity = IntegerCompressor(c[4], 16, 4,
+                                              decompress=decompress)
+        self.ic_scan_angle = IntegerCompressor(c[5], 16, 2,
+                                               decompress=decompress)
+        self.ic_point_source = IntegerCompressor(c[7], 16,
+                                                 decompress=decompress)
+        self.m_gpstime_multi = ArithmeticModel(GPSTIME_MULTI_TOTAL, enc)
+        self.m_gpstime_0diff = ArithmeticModel(6, enc)
+        self.ic_gpstime = IntegerCompressor(c[8], 32, 9,
+                                            decompress=decompress)
+        self.last_X_diff_median5 = [StreamingMedian5() for _ in range(12)]
+        self.last_Y_diff_median5 = [StreamingMedian5() for _ in range(12)]
+        self.last_Z = [first.z] * 8
+        self.last_intensity = [first.intensity] * 4
+        self.last_gpstime = [first.gps_time_bits & 0xFFFFFFFFFFFFFFFF,
+                             0, 0, 0]
+        self.last_gpstime_diff = [0, 0, 0, 0]
+        self.multi_extreme_counter = [0, 0, 0, 0]
+        self.last = 0
+        self.next = 0
+        self.last_item = first.copy()
+        self.last_item.gps_time_change = False
+        self.enc = enc
+
+
+class Point14v3:
+    """Shared reader/writer state machine for item POINT14 version 3.
+
+    ``coders`` is a list of 9 entropy coders, one per layer (decoders
+    for reading, encoders for writing)."""
+
+    def __init__(self, coders, first: _Point14, decompress: bool,
+                 strict: bool = True):
+        self.coders = coders
+        self.decomp = decompress
+        self.strict = strict
+        self.ctx = [None] * 4
+        self.cc = first.scanner_channel
+        self.ctx[self.cc] = _ChannelCtx(coders, first, decompress)
+        # layer-presence flags (reader: byte counts; writer: tracked)
+        self.changed = {name: True for name in _LAYER_NAMES}
+
+    # ------------------------------------------------------------------
+    def read(self) -> _Point14:
+        (dXY, dZ, dCls, dFlg, dInt, dAng, dUsr, dSrc, dGps) = self.coders
+        ctx = self.ctx[self.cc]
+        last = ctx.last_item
+        lpr = (1 if last.return_number == 1 else 0) \
+            + (2 if last.return_number >= last.number_of_returns else 0) \
+            + (4 if last.gps_time_change else 0)
+        changed_values = dXY.decode_symbol(ctx.m_changed_values[lpr])
+        point_source_change = gps_time_change = scan_angle_change = False
+        if changed_values:
+            if changed_values & (1 << 6):
+                diff = dXY.decode_symbol(ctx.m_scanner_channel)
+                sc = (self.cc + diff + 1) % 4
+                if self.ctx[sc] is None:
+                    self.ctx[sc] = _ChannelCtx(self.coders, last,
+                                               self.decomp)
+                self.cc = sc
+                ctx = self.ctx[sc]
+                last = ctx.last_item
+                last.scanner_channel = sc
+            point_source_change = bool(changed_values & (1 << 5))
+            gps_time_change = bool(changed_values & (1 << 4))
+            scan_angle_change = bool(changed_values & (1 << 3))
+            if changed_values & 0x7 and self.strict:
+                raise NotImplementedError(
+                    "LAZ point with changing return numbers: the spec's "
+                    "number_return context tables cannot be "
+                    "cross-validated in this environment (constant-return "
+                    "files decode exactly; pass strict=False to accept)")
+            if changed_values & (1 << 2):
+                ln = last.number_of_returns
+                if ctx.m_number_of_returns[ln] is None:
+                    ctx.m_number_of_returns[ln] = ArithmeticModel(
+                        16, ctx.enc)
+                last.number_of_returns = dXY.decode_symbol(
+                    ctx.m_number_of_returns[ln])
+            rbits = changed_values & 3
+            if rbits == 1:
+                last.return_number = (last.return_number + 1) % 16
+            elif rbits == 2:
+                last.return_number = (last.return_number + 15) % 16
+            elif rbits == 3:
+                lr = last.return_number
+                if gps_time_change:
+                    if ctx.m_return_number[lr] is None:
+                        ctx.m_return_number[lr] = ArithmeticModel(
+                            16, ctx.enc)
+                    last.return_number = dXY.decode_symbol(
+                        ctx.m_return_number[lr])
+                else:
+                    sym = dXY.decode_symbol(ctx.m_return_number_gps_same)
+                    last.return_number = (lr + sym + 2) % 16
+        n = last.number_of_returns
+        r = last.return_number
+        m = _return_map(n, r)
+        lvl = _return_level(n, r)
+        cpr = (2 if r == 1 else 0) + (1 if r >= n else 0)
+        gtc = 1 if gps_time_change else 0
+
+        med = ctx.last_X_diff_median5[(m << 1) | gtc]
+        diff = ctx.ic_dX.decompress(med.get(), 1 if n == 1 else 0)
+        last.x = _i32(last.x + diff)
+        med.add(diff)
+
+        med = ctx.last_Y_diff_median5[(m << 1) | gtc]
+        kb = ctx.ic_dX.k
+        diff = ctx.ic_dY.decompress(
+            med.get(), (1 if n == 1 else 0) + ((kb & ~1) if kb < 20 else 20))
+        last.y = _i32(last.y + diff)
+        med.add(diff)
+
+        if self.changed["Z"]:
+            kb = (ctx.ic_dX.k + ctx.ic_dY.k) // 2
+            last.z = ctx.ic_Z.decompress(
+                ctx.last_Z[lvl],
+                (1 if n == 1 else 0) + ((kb & ~1) if kb < 18 else 18))
+            ctx.last_Z[lvl] = last.z
+
+        if self.changed["classification"]:
+            ccc = ((last.classification & 0x1F) << 1) + (
+                1 if cpr == 3 else 0)
+            if ctx.m_classification[ccc] is None:
+                ctx.m_classification[ccc] = ArithmeticModel(256, ctx.enc)
+            last.classification = dCls.decode_symbol(
+                ctx.m_classification[ccc])
+
+        if self.changed["flags"]:
+            lf = (last.edge << 5) | (last.scan_direction << 4) \
+                | last.classification_flags
+            if ctx.m_flags[lf] is None:
+                ctx.m_flags[lf] = ArithmeticModel(64, ctx.enc)
+            f = dFlg.decode_symbol(ctx.m_flags[lf])
+            last.edge = (f >> 5) & 1
+            last.scan_direction = (f >> 4) & 1
+            last.classification_flags = f & 0x0F
+
+        if self.changed["intensity"]:
+            last.intensity = ctx.ic_intensity.decompress(
+                ctx.last_intensity[cpr], cpr)
+            ctx.last_intensity[cpr] = last.intensity
+
+        if self.changed["scan_angle"] and scan_angle_change:
+            v = ctx.ic_scan_angle.decompress(last.scan_angle & 0xFFFF, gtc)
+            last.scan_angle = struct.unpack(
+                "<h", struct.pack("<H", v & 0xFFFF))[0]
+
+        if self.changed["user_data"]:
+            ud = last.user_data // 4
+            if ctx.m_user_data[ud] is None:
+                ctx.m_user_data[ud] = ArithmeticModel(256, ctx.enc)
+            last.user_data = dUsr.decode_symbol(ctx.m_user_data[ud])
+
+        if self.changed["point_source"] and point_source_change:
+            last.point_source = ctx.ic_point_source.decompress(
+                last.point_source)
+
+        if self.changed["gps_time"] and gps_time_change:
+            self._read_gps(ctx, dGps)
+            last.gps_time_bits = struct.unpack(
+                "<q", struct.pack("<Q", ctx.last_gpstime[ctx.last]))[0]
+        last.gps_time_change = gps_time_change
+        return last.copy()
+
+    def _read_gps(self, ctx, dec):
+        if ctx.last_gpstime_diff[ctx.last] == 0:
+            multi = dec.decode_symbol(ctx.m_gpstime_0diff)
+            if multi == 0:
+                d = ctx.ic_gpstime.decompress(0, 0)
+                ctx.last_gpstime_diff[ctx.last] = d
+                ctx.last_gpstime[ctx.last] = (
+                    ctx.last_gpstime[ctx.last] + d) & 0xFFFFFFFFFFFFFFFF
+                ctx.multi_extreme_counter[ctx.last] = 0
+            elif multi == 1:
+                ctx.next = (ctx.next + 1) & 3
+                hi = ctx.ic_gpstime.decompress(
+                    _i32(ctx.last_gpstime[ctx.last] >> 32), 8)
+                v = (_u32(hi) << 32) | dec.read_bits(32)
+                ctx.last_gpstime[ctx.next] = v
+                ctx.last = ctx.next
+                ctx.last_gpstime_diff[ctx.last] = 0
+                ctx.multi_extreme_counter[ctx.last] = 0
+            else:
+                ctx.last = (ctx.last + multi - 1) & 3
+                self._read_gps(ctx, dec)
+        else:
+            multi = dec.decode_symbol(ctx.m_gpstime_multi)
+            if multi == 1:
+                d = ctx.ic_gpstime.decompress(
+                    ctx.last_gpstime_diff[ctx.last], 1)
+                ctx.last_gpstime[ctx.last] = (
+                    ctx.last_gpstime[ctx.last] + d) & 0xFFFFFFFFFFFFFFFF
+                ctx.last_gpstime_diff[ctx.last] = d
+                ctx.multi_extreme_counter[ctx.last] = 0
+            elif multi < GPSTIME_MULTI_UNCHANGED:
+                if multi == 0:
+                    d = ctx.ic_gpstime.decompress(0, 7)
+                    ctx.multi_extreme_counter[ctx.last] += 1
+                    if ctx.multi_extreme_counter[ctx.last] > 3:
+                        ctx.last_gpstime_diff[ctx.last] = d
+                        ctx.multi_extreme_counter[ctx.last] = 0
+                elif multi < GPSTIME_MULTI:
+                    ctxi = 2 if multi < 10 else 3
+                    d = ctx.ic_gpstime.decompress(
+                        _i32(multi * ctx.last_gpstime_diff[ctx.last]), ctxi)
+                elif multi == GPSTIME_MULTI:
+                    d = ctx.ic_gpstime.decompress(
+                        _i32(GPSTIME_MULTI
+                             * ctx.last_gpstime_diff[ctx.last]), 4)
+                    ctx.multi_extreme_counter[ctx.last] += 1
+                    if ctx.multi_extreme_counter[ctx.last] > 3:
+                        ctx.last_gpstime_diff[ctx.last] = d
+                        ctx.multi_extreme_counter[ctx.last] = 0
+                else:
+                    neg = GPSTIME_MULTI - multi            # -1 .. -10
+                    if neg > GPSTIME_MULTI_MINUS:
+                        d = ctx.ic_gpstime.decompress(
+                            _i32(neg * ctx.last_gpstime_diff[ctx.last]), 5)
+                    else:
+                        d = ctx.ic_gpstime.decompress(
+                            _i32(GPSTIME_MULTI_MINUS
+                                 * ctx.last_gpstime_diff[ctx.last]), 6)
+                        ctx.multi_extreme_counter[ctx.last] += 1
+                        if ctx.multi_extreme_counter[ctx.last] > 3:
+                            ctx.last_gpstime_diff[ctx.last] = d
+                            ctx.multi_extreme_counter[ctx.last] = 0
+                ctx.last_gpstime[ctx.last] = (
+                    ctx.last_gpstime[ctx.last] + d) & 0xFFFFFFFFFFFFFFFF
+            elif multi == GPSTIME_MULTI_CODE_FULL:
+                ctx.next = (ctx.next + 1) & 3
+                hi = ctx.ic_gpstime.decompress(
+                    _i32(ctx.last_gpstime[ctx.last] >> 32), 8)
+                v = (_u32(hi) << 32) | dec.read_bits(32)
+                ctx.last_gpstime[ctx.next] = v
+                ctx.last = ctx.next
+                ctx.last_gpstime_diff[ctx.last] = 0
+                ctx.multi_extreme_counter[ctx.last] = 0
+            else:
+                ctx.last = (ctx.last + multi - GPSTIME_MULTI_CODE_FULL) & 3
+                self._read_gps(ctx, dec)
+
+
+# ----------------------------------------------------------------------
+# BYTE14 (extra bytes) layered item, version 3: one layer per byte
+# ----------------------------------------------------------------------
+
+class Byte14v3:
+    def __init__(self, coders, first: bytes, decompress: bool):
+        self.coders = coders                     # one per extra byte
+        self.last = bytearray(first)
+        self.m = [[None] * 256 for _ in range(len(first))]
+        self.enc = not decompress
+        self.changed = [True] * len(first)
+
+    def read(self) -> bytes:
+        for i, dec in enumerate(self.coders):
+            if not self.changed[i]:
+                continue
+            if self.m[i][0] is None:
+                self.m[i][0] = ArithmeticModel(256, self.enc)
+            sym = dec.decode_symbol(self.m[i][0])
+            self.last[i] = (self.last[i] + sym) & 0xFF
+        return bytes(self.last)
+
+    def write(self, enc_coders, cur: bytes):
+        for i, enc in enumerate(enc_coders):
+            if self.m[i][0] is None:
+                self.m[i][0] = ArithmeticModel(256, True)
+            sym = (cur[i] - self.last[i]) & 0xFF
+            enc.encode_symbol(self.m[i][0], sym)
+            self.last[i] = cur[i]
+
+
+# ----------------------------------------------------------------------
+# LAZ file-level decode: laszip VLR + layered chunks -> raw LAS records
+# ----------------------------------------------------------------------
+
+def parse_laszip_vlr(buf: bytes, header: dict) -> dict:
+    """Find and parse the laszip VLR (user 'laszip encoded', record
+    22204) following the LAS public header."""
+    pos = header["header_size"]
+    for _ in range(struct.unpack_from("<I", buf, 100)[0]):
+        rid, reclen = struct.unpack_from("<HH", buf, pos + 18)
+        user = buf[pos + 2:pos + 18].rstrip(b"\0")
+        body = buf[pos + 54:pos + 54 + reclen]
+        pos += 54 + reclen
+        if user == b"laszip encoded" and rid == 22204:
+            (compressor, coder, vmaj, vmin, vrev, options, chunk_size,
+             noev, nocv, nitems) = struct.unpack_from("<HHBBHIiqqH", body, 0)
+            items = [struct.unpack_from("<HHH", body, 34 + k * 6)
+                     for k in range(nitems)]
+            return {"compressor": compressor, "coder": coder,
+                    "version": (vmaj, vmin, vrev), "chunk_size": chunk_size,
+                    "items": items}
+    raise ValueError("LAZ file without a laszip VLR")
+
+
+def read_chunk_table(buf: bytes, offset: int, pos_end: int) -> list[int]:
+    """Chunk table: i64 pointer at point-data start -> [version u32,
+    nchunks u32, IC-coded byte sizes]."""
+    (table_off,) = struct.unpack_from("<q", buf, offset)
+    version, nchunks = struct.unpack_from("<II", buf, table_off)
+    if version != 0:
+        raise ValueError(f"unknown LAZ chunk table version {version}")
+    dec = ArithmeticDecoder(buf[table_off + 8:])
+    ic = IntegerCompressor(dec, 32, 2)
+    sizes = []
+    pred = 0
+    for _ in range(nchunks):
+        pred = ic.decompress(pred, 1)
+        sizes.append(pred)
+    return sizes
+
+
+def laz_decompress_points(buf: bytes, header: dict,
+                          strict: bool = True) -> bytes:
+    """LAZ whole-file bytes -> concatenated raw LAS point records
+    (n_points x rec_len), for the compressor-3 'layered chunked'
+    variant covering PDRF 6-10 (+ extra bytes)."""
+    vlr = parse_laszip_vlr(buf, header)
+    if vlr["compressor"] != 3:
+        raise NotImplementedError(
+            f"LAZ compressor {vlr['compressor']} unsupported (3 = layered "
+            "chunked, the LAS-1.4 PDRF 6-10 variant, decodes natively)")
+    item_types = [t for (t, _s, _v) in vlr["items"]]
+    # laszip item enum: 10 POINT14, 11 RGB14, 12 RGBNIR14,
+    # 13 WAVEPACKET14, 14 BYTE14
+    for (t, _s, v) in vlr["items"]:
+        if t not in (10, 14) or v not in (3, 4):
+            raise NotImplementedError(
+                f"LAZ item type {t} v{v} unsupported (POINT14/BYTE14 v3 "
+                "decode natively; RGB14/NIR/wavepacket layers do not yet)")
+    extra = sum(s for (t, s, _v) in vlr["items"] if t == 14)
+    chunk_size = vlr["chunk_size"]
+    if chunk_size == 0xFFFFFFFF:
+        raise NotImplementedError("variable-size LAZ chunking unsupported")
+    n = header["n_points"]
+    rec_len = header["rec_len"]
+    offset = header["offset"]
+    pos = offset + 8                       # skip chunk table pointer
+    out = bytearray()
+    remaining = n
+    while remaining > 0:
+        in_chunk = min(chunk_size, remaining)
+        # raw first point
+        first_raw = buf[pos:pos + rec_len]
+        pos += rec_len
+        (count,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        if count != in_chunk:
+            in_chunk = count               # short final chunk
+        # layer byte counts: 9 for POINT14 + one per extra byte
+        nlayers = 9 + extra
+        sizes = struct.unpack_from("<%dI" % nlayers, buf, pos)
+        pos += 4 * nlayers
+        layers = []
+        for s in sizes:
+            layers.append(buf[pos:pos + s])
+            pos += s
+        coders = [ArithmeticDecoder(layers[i]) for i in range(9)]
+        first_pt = parse_point14(first_raw[:30])
+        p14 = Point14v3(coders, first_pt, decompress=True, strict=strict)
+        for i, name in enumerate(_LAYER_NAMES):
+            p14.changed[name] = sizes[i] > 0
+        b14 = None
+        if extra:
+            bcoders = [ArithmeticDecoder(layers[9 + i])
+                       for i in range(extra)]
+            b14 = Byte14v3(bcoders, first_raw[30:30 + extra],
+                           decompress=True)
+            for i in range(extra):
+                b14.changed[i] = sizes[9 + i] > 0
+        out += first_raw
+        for _ in range(in_chunk - 1):
+            p = p14.read()
+            rec = pack_point14(p)
+            if extra:
+                rec += b14.read()
+            out += rec
+        remaining -= in_chunk
+    return bytes(out)
+
+
+# ----------------------------------------------------------------------
+# Writer half (fixtures/roundtrips): mirrors read() decision-for-decision
+# ----------------------------------------------------------------------
+
+def _i32_quantize(f: float) -> int:
+    f = np.float32(f)
+    return int(np.float32(f + np.float32(0.5)) if f >= 0
+               else np.float32(f - np.float32(0.5)))
+
+
+class Point14v3Writer(Point14v3):
+    def __init__(self, coders, first: _Point14):
+        super().__init__(coders, first, decompress=False, strict=False)
+
+    def write(self, p: _Point14):
+        (eXY, eZ, eCls, eFlg, eInt, eAng, eUsr, eSrc, eGps) = self.coders
+        ctx = self.ctx[self.cc]
+        last = ctx.last_item
+        lpr = (1 if last.return_number == 1 else 0) \
+            + (2 if last.return_number >= last.number_of_returns else 0) \
+            + (4 if last.gps_time_change else 0)
+
+        sc_change = p.scanner_channel != self.cc
+        # change flags compare against the TARGET channel's last item when
+        # switching to an already-used channel (the reader resumes that
+        # context's state), else against the current one
+        cmp_last = last
+        if sc_change and self.ctx[p.scanner_channel] is not None:
+            cmp_last = self.ctx[p.scanner_channel].last_item
+        point_source_change = p.point_source != cmp_last.point_source
+        gps_time_change = p.gps_time_bits != cmp_last.gps_time_bits
+        scan_angle_change = p.scan_angle != cmp_last.scan_angle
+        n_change = p.number_of_returns != cmp_last.number_of_returns
+        rdiff = (p.return_number - cmp_last.return_number) % 16
+        rbits = {0: 0, 1: 1, 15: 2}.get(rdiff, 3)
+        changed_values = ((64 if sc_change else 0)
+                          | (32 if point_source_change else 0)
+                          | (16 if gps_time_change else 0)
+                          | (8 if scan_angle_change else 0)
+                          | (4 if n_change else 0) | rbits)
+        eXY.encode_symbol(ctx.m_changed_values[lpr], changed_values)
+        if sc_change:
+            diff = (p.scanner_channel - self.cc - 1) % 4
+            eXY.encode_symbol(ctx.m_scanner_channel, diff)
+            sc = p.scanner_channel
+            if self.ctx[sc] is None:
+                self.ctx[sc] = _ChannelCtx(self.coders, last,
+                                           decompress=False)
+            self.cc = sc
+            ctx = self.ctx[sc]
+            last = ctx.last_item
+            last.scanner_channel = sc
+        if n_change:
+            ln = last.number_of_returns
+            if ctx.m_number_of_returns[ln] is None:
+                ctx.m_number_of_returns[ln] = ArithmeticModel(16, True)
+            eXY.encode_symbol(ctx.m_number_of_returns[ln],
+                              p.number_of_returns)
+            last.number_of_returns = p.number_of_returns
+        if rbits == 3:
+            lr = last.return_number
+            if gps_time_change:
+                if ctx.m_return_number[lr] is None:
+                    ctx.m_return_number[lr] = ArithmeticModel(16, True)
+                eXY.encode_symbol(ctx.m_return_number[lr], p.return_number)
+            else:
+                sym = (p.return_number - lr - 2) % 16
+                eXY.encode_symbol(ctx.m_return_number_gps_same, sym)
+        last.return_number = p.return_number
+
+        n = last.number_of_returns
+        r = last.return_number
+        m = _return_map(n, r)
+        lvl = _return_level(n, r)
+        cpr = (2 if r == 1 else 0) + (1 if r >= n else 0)
+        gtc = 1 if gps_time_change else 0
+
+        med = ctx.last_X_diff_median5[(m << 1) | gtc]
+        diff = _i32(p.x - last.x)
+        ctx.ic_dX.compress(med.get(), diff, 1 if n == 1 else 0)
+        last.x = p.x
+        med.add(diff)
+
+        med = ctx.last_Y_diff_median5[(m << 1) | gtc]
+        kb = ctx.ic_dX.k
+        diff = _i32(p.y - last.y)
+        ctx.ic_dY.compress(
+            med.get(), diff,
+            (1 if n == 1 else 0) + ((kb & ~1) if kb < 20 else 20))
+        last.y = p.y
+        med.add(diff)
+
+        kb = (ctx.ic_dX.k + ctx.ic_dY.k) // 2
+        ctx.ic_Z.compress(
+            ctx.last_Z[lvl], p.z,
+            (1 if n == 1 else 0) + ((kb & ~1) if kb < 18 else 18))
+        ctx.last_Z[lvl] = p.z
+        last.z = p.z
+
+        ccc = ((last.classification & 0x1F) << 1) + (1 if cpr == 3 else 0)
+        if ctx.m_classification[ccc] is None:
+            ctx.m_classification[ccc] = ArithmeticModel(256, True)
+        eCls.encode_symbol(ctx.m_classification[ccc], p.classification)
+        last.classification = p.classification
+
+        lf = (last.edge << 5) | (last.scan_direction << 4) \
+            | last.classification_flags
+        if ctx.m_flags[lf] is None:
+            ctx.m_flags[lf] = ArithmeticModel(64, True)
+        f = (p.edge << 5) | (p.scan_direction << 4) | p.classification_flags
+        eFlg.encode_symbol(ctx.m_flags[lf], f)
+        last.edge, last.scan_direction = p.edge, p.scan_direction
+        last.classification_flags = p.classification_flags
+
+        ctx.ic_intensity.compress(ctx.last_intensity[cpr], p.intensity, cpr)
+        ctx.last_intensity[cpr] = p.intensity
+        last.intensity = p.intensity
+
+        if scan_angle_change:
+            ctx.ic_scan_angle.compress(last.scan_angle & 0xFFFF,
+                                       p.scan_angle & 0xFFFF, gtc)
+        last.scan_angle = p.scan_angle
+
+        ud = last.user_data // 4
+        if ctx.m_user_data[ud] is None:
+            ctx.m_user_data[ud] = ArithmeticModel(256, True)
+        eUsr.encode_symbol(ctx.m_user_data[ud], p.user_data)
+        last.user_data = p.user_data
+
+        if point_source_change:
+            ctx.ic_point_source.compress(last.point_source, p.point_source)
+        last.point_source = p.point_source
+
+        if gps_time_change:
+            self._write_gps(ctx, eGps,
+                            p.gps_time_bits & 0xFFFFFFFFFFFFFFFF)
+        last.gps_time_bits = p.gps_time_bits
+        last.gps_time_change = gps_time_change
+
+    def _write_gps(self, ctx, enc, gps_u64: int):
+        def i64(u):
+            return u - (1 << 64) if u >= (1 << 63) else u
+        if ctx.last_gpstime_diff[ctx.last] == 0:
+            d64 = i64(gps_u64) - i64(ctx.last_gpstime[ctx.last])
+            if -(1 << 31) <= d64 < (1 << 31):
+                enc.encode_symbol(ctx.m_gpstime_0diff, 0)
+                ctx.ic_gpstime.compress(0, d64, 0)
+                ctx.last_gpstime_diff[ctx.last] = d64
+                ctx.multi_extreme_counter[ctx.last] = 0
+                ctx.last_gpstime[ctx.last] = gps_u64
+            else:
+                for i in range(1, 4):
+                    o = i64(gps_u64) - i64(ctx.last_gpstime[(ctx.last + i) & 3])
+                    if -(1 << 31) <= o < (1 << 31):
+                        enc.encode_symbol(ctx.m_gpstime_0diff, i + 1)
+                        ctx.last = (ctx.last + i) & 3
+                        self._write_gps(ctx, enc, gps_u64)
+                        return
+                enc.encode_symbol(ctx.m_gpstime_0diff, 1)
+                ctx.ic_gpstime.compress(
+                    _i32(ctx.last_gpstime[ctx.last] >> 32),
+                    _i32(gps_u64 >> 32), 8)
+                enc.write_bits(32, gps_u64 & 0xFFFFFFFF)
+                ctx.next = (ctx.next + 1) & 3
+                ctx.last = ctx.next
+                ctx.last_gpstime_diff[ctx.last] = 0
+                ctx.multi_extreme_counter[ctx.last] = 0
+                ctx.last_gpstime[ctx.last] = gps_u64
+        else:
+            d64 = i64(gps_u64) - i64(ctx.last_gpstime[ctx.last])
+            if -(1 << 31) <= d64 < (1 << 31):
+                multi = _i32_quantize(
+                    float(d64) / float(ctx.last_gpstime_diff[ctx.last]))
+                if multi == 1:
+                    enc.encode_symbol(ctx.m_gpstime_multi, 1)
+                    ctx.ic_gpstime.compress(
+                        ctx.last_gpstime_diff[ctx.last], d64, 1)
+                    ctx.last_gpstime_diff[ctx.last] = d64
+                    ctx.multi_extreme_counter[ctx.last] = 0
+                elif multi > 0:
+                    if multi < GPSTIME_MULTI:
+                        enc.encode_symbol(ctx.m_gpstime_multi, multi)
+                        ctx.ic_gpstime.compress(
+                            _i32(multi * ctx.last_gpstime_diff[ctx.last]),
+                            d64, 2 if multi < 10 else 3)
+                    else:
+                        enc.encode_symbol(ctx.m_gpstime_multi, GPSTIME_MULTI)
+                        ctx.ic_gpstime.compress(
+                            _i32(GPSTIME_MULTI
+                                 * ctx.last_gpstime_diff[ctx.last]), d64, 4)
+                        ctx.multi_extreme_counter[ctx.last] += 1
+                        if ctx.multi_extreme_counter[ctx.last] > 3:
+                            ctx.last_gpstime_diff[ctx.last] = d64
+                            ctx.multi_extreme_counter[ctx.last] = 0
+                elif multi < 0:
+                    if multi > GPSTIME_MULTI_MINUS:
+                        enc.encode_symbol(ctx.m_gpstime_multi,
+                                          GPSTIME_MULTI - multi)
+                        ctx.ic_gpstime.compress(
+                            _i32(multi * ctx.last_gpstime_diff[ctx.last]),
+                            d64, 5)
+                    else:
+                        enc.encode_symbol(
+                            ctx.m_gpstime_multi,
+                            GPSTIME_MULTI - GPSTIME_MULTI_MINUS)
+                        ctx.ic_gpstime.compress(
+                            _i32(GPSTIME_MULTI_MINUS
+                                 * ctx.last_gpstime_diff[ctx.last]), d64, 6)
+                        ctx.multi_extreme_counter[ctx.last] += 1
+                        if ctx.multi_extreme_counter[ctx.last] > 3:
+                            ctx.last_gpstime_diff[ctx.last] = d64
+                            ctx.multi_extreme_counter[ctx.last] = 0
+                else:
+                    enc.encode_symbol(ctx.m_gpstime_multi, 0)
+                    ctx.ic_gpstime.compress(0, d64, 7)
+                    ctx.multi_extreme_counter[ctx.last] += 1
+                    if ctx.multi_extreme_counter[ctx.last] > 3:
+                        ctx.last_gpstime_diff[ctx.last] = d64
+                        ctx.multi_extreme_counter[ctx.last] = 0
+                ctx.last_gpstime[ctx.last] = gps_u64
+            else:
+                for i in range(1, 4):
+                    o = i64(gps_u64) - i64(ctx.last_gpstime[(ctx.last + i) & 3])
+                    if -(1 << 31) <= o < (1 << 31):
+                        enc.encode_symbol(ctx.m_gpstime_multi,
+                                          GPSTIME_MULTI_CODE_FULL + i)
+                        ctx.last = (ctx.last + i) & 3
+                        self._write_gps(ctx, enc, gps_u64)
+                        return
+                enc.encode_symbol(ctx.m_gpstime_multi,
+                                  GPSTIME_MULTI_CODE_FULL)
+                ctx.ic_gpstime.compress(
+                    _i32(ctx.last_gpstime[ctx.last] >> 32),
+                    _i32(gps_u64 >> 32), 8)
+                enc.write_bits(32, gps_u64 & 0xFFFFFFFF)
+                ctx.next = (ctx.next + 1) & 3
+                ctx.last = ctx.next
+                ctx.last_gpstime_diff[ctx.last] = 0
+                ctx.multi_extreme_counter[ctx.last] = 0
+                ctx.last_gpstime[ctx.last] = gps_u64
+
+
+def laz_compress_points(records: bytes, rec_len: int,
+                        chunk_size: int = 50000) -> tuple[bytes, dict]:
+    """Raw LAS PDRF6+ records -> layered-chunk LAZ point-data bytes
+    (incl. leading chunk-table pointer and trailing chunk table).
+    Returns (bytes, laszip VLR body dict fields) for the file writer."""
+    n = len(records) // rec_len
+    extra = rec_len - 30
+    out = bytearray(b"\0" * 8)             # chunk table pointer, patched
+    chunk_byte_sizes = []
+    i = 0
+    while i < n:
+        cnt = min(chunk_size, n - i)
+        start_len = len(out)
+        first = records[i * rec_len:(i + 1) * rec_len]
+        out += first
+        encs = [ArithmeticEncoder() for _ in range(9)]
+        w = Point14v3Writer(encs, parse_point14(first[:30]))
+        bencs = [ArithmeticEncoder() for _ in range(extra)]
+        b14 = Byte14v3(bencs, first[30:], decompress=False) if extra else None
+        for j in range(i + 1, i + cnt):
+            rec = records[j * rec_len:(j + 1) * rec_len]
+            w.write(parse_point14(rec[:30]))
+            if extra:
+                b14.write(bencs, rec[30:])
+        layers = [e.done() for e in encs] + [e.done() for e in bencs]
+        out += struct.pack("<I", cnt)
+        out += struct.pack("<%dI" % len(layers), *[len(b) for b in layers])
+        for b in layers:
+            out += b
+        chunk_byte_sizes.append(len(out) - start_len)
+        i += cnt
+    table_off = len(out)
+    struct.pack_into("<q", out, 0, table_off)
+    out += struct.pack("<II", 0, len(chunk_byte_sizes))
+    enc = ArithmeticEncoder()
+    ic = IntegerCompressor(enc, 32, 2, decompress=False)
+    pred = 0
+    for s in chunk_byte_sizes:
+        ic.compress(pred, s, 1)
+        pred = s
+    out += enc.done()
+    items = [(10, 30, 3)] + ([(14, extra, 3)] if extra else [])
+    return bytes(out), {"compressor": 3, "coder": 0, "chunk_size": chunk_size,
+                        "items": items}
+
+
+def write_laz_bytes(records: bytes, rec_len: int, fmt: int = 6,
+                    scale=(0.001, 0.001, 0.001), origin=(0.0, 0.0, 0.0),
+                    chunk_size: int = 50000) -> bytes:
+    """Raw PDRF6+ records -> complete LAZ file bytes (LAS 1.4 header +
+    laszip VLR + layered chunks + chunk table)."""
+    n = len(records) // rec_len
+    pd, vlr = laz_compress_points(records, rec_len, chunk_size)
+    items = vlr["items"]
+    body = struct.pack("<HHBBHIiqqH", 3, 0, 3, 4, 3, 0, chunk_size,
+                       -1, -1, len(items))
+    for (t, s, v) in items:
+        body += struct.pack("<HHH", t, s, v)
+    vlr_rec = (struct.pack("<H", 0) + b"laszip encoded".ljust(16, b"\0")
+               + struct.pack("<HH", 22204, len(body))
+               + b"native laz".ljust(32, b"\0") + body)
+    header_size = 375
+    offset = header_size + len(vlr_rec)
+    hdr = bytearray(header_size)
+    hdr[0:4] = b"LASF"
+    hdr[24], hdr[25] = 1, 4
+    struct.pack_into("<H", hdr, 94, header_size)
+    struct.pack_into("<I", hdr, 96, offset)
+    struct.pack_into("<I", hdr, 100, 1)               # one VLR
+    hdr[104] = fmt | 0x80
+    struct.pack_into("<H", hdr, 105, rec_len)
+    struct.pack_into("<I", hdr, 107, 0)               # legacy count
+    struct.pack_into("<6d", hdr, 131, *scale, *origin)
+    struct.pack_into("<Q", hdr, 247, n)
+    # patch the chunk-table pointer to an absolute file offset
+    pd = bytearray(pd)
+    (rel,) = struct.unpack_from("<q", pd, 0)
+    struct.pack_into("<q", pd, 0, rel + offset)
+    return bytes(hdr) + vlr_rec + bytes(pd)

@@ -846,3 +846,113 @@ def test_external_format_registry_roundtrip(spark, tmp_path):
             X.lookup_format("nope")
     finally:
         X.unregister_format("threes")
+
+
+def _laz_make_records(rng, n, extra=0, multi_return=False,
+                      vary_channel=False):
+    import struct as _st
+    from sedona_db_spark.sources.laz import _Point14, pack_point14
+    recs = bytearray()
+    x = y = z = 0
+    gps = 123456.789
+    for i in range(n):
+        p = _Point14()
+        x += int(rng.randint(-50, 51))
+        y += int(rng.randint(-50, 51))
+        z += int(rng.randint(-10, 11))
+        p.x, p.y, p.z = x, y, z
+        p.intensity = int(rng.randint(0, 3000))
+        if multi_return:
+            p.number_of_returns = int(rng.randint(1, 5))
+            p.return_number = int(rng.randint(1, p.number_of_returns + 1))
+        else:
+            p.number_of_returns = p.return_number = 1
+        p.classification_flags = int(rng.randint(0, 16))
+        p.scanner_channel = int(rng.randint(0, 4)) if vary_channel else 0
+        p.scan_direction = int(rng.randint(0, 2))
+        p.edge = int(rng.randint(0, 2))
+        p.classification = int(rng.randint(0, 32))
+        p.user_data = int(rng.randint(0, 256))
+        p.scan_angle = int(rng.randint(-15000, 15000))
+        p.point_source = int(rng.randint(0, 5))
+        gps += float(rng.choice([0.0, 0.0001, 0.0001, 5.0, -2.0]))
+        p.gps_time_bits = _st.unpack("<q", _st.pack("<d", gps))[0]
+        rec = pack_point14(p)
+        if extra:
+            rec += bytes(rng.randint(0, 256, extra, dtype=np.uint8))
+        recs += rec
+    return bytes(recs)
+
+
+def test_laz_fixture_parity_and_roundtrip(spark, tmp_path):
+    """Round 6: native LAZ (LASzip layered-chunked compressor 3) codec.
+
+    The reference repo ships PAIRED las/laz fixtures written by real
+    laspy/laz-rs — decoding the .laz must reproduce the .las records
+    BIT-EXACTLY, which pins the FastAC coder, adaptive models,
+    IntegerCompressor, chunk framing and chunk table against genuine
+    laszip output.  The full field space (returns, channels, gps time
+    sequences, extra bytes) is covered by encoder/decoder roundtrips;
+    multi-return decode under strict mode raises (context tables not
+    cross-validatable here)."""
+    import os.path
+    from sedona_db_spark.sources import laz as L
+    from sedona_db_spark.sources.las import parse_las_header, read_las
+    from sedona_db_spark.sources.laz import (
+        laz_compress_points, laz_decompress_points, write_laz_bytes)
+
+    data_dir = "/root/reference/rust/sedona-pointcloud/tests/data"
+    if not os.path.exists(os.path.join(data_dir, "large.laz")):
+        pytest.skip("reference laz fixtures unavailable")
+    for name in ("large", "extra"):
+        lazb = open(os.path.join(data_dir, f"{name}.laz"), "rb").read()
+        lasb = open(os.path.join(data_dir, f"{name}.las"), "rb").read()
+        hz = parse_las_header(lazb)
+        hs = parse_las_header(lasb)
+        got = laz_decompress_points(lazb, hz)
+        want = lasb[hs["offset"]:hs["offset"]
+                    + hs["n_points"] * hs["rec_len"]]
+        assert got == want, f"{name}.laz decode != {name}.las records"
+
+    rng = np.random.RandomState(42)
+
+    def decode(blob, vlr, header, strict):
+        orig = L.parse_laszip_vlr
+        L.parse_laszip_vlr = lambda buf, h: vlr
+        try:
+            return L.laz_decompress_points(blob, header, strict=strict)
+        finally:
+            L.parse_laszip_vlr = orig
+
+    for kw, rec_len in [({}, 30), ({"extra": 7}, 37),
+                        ({"multi_return": True}, 30),
+                        ({"vary_channel": True}, 30),
+                        ({"extra": 3, "multi_return": True,
+                          "vary_channel": True}, 33)]:
+        recs = _laz_make_records(rng, 1500, **kw)
+        blob, vlr = laz_compress_points(recs, rec_len, chunk_size=600)
+        header = {"n_points": 1500, "rec_len": rec_len, "offset": 0,
+                  "header_size": 0}
+        assert decode(blob, vlr, header, strict=False) == recs, kw
+        assert len(blob) < len(recs)
+
+    # strict mode refuses table-dependent multi-return decode
+    recs = _laz_make_records(rng, 100, multi_return=True)
+    blob, vlr = laz_compress_points(recs, 30, chunk_size=50)
+    with pytest.raises(NotImplementedError):
+        decode(blob, vlr, {"n_points": 100, "rec_len": 30, "offset": 0,
+                           "header_size": 0}, strict=True)
+
+    # whole-file path: written .laz reads back through the Spark source
+    recs = _laz_make_records(rng, 4000)
+    p = tmp_path / "pts.laz"
+    p.write_bytes(write_laz_bytes(recs, 30, chunk_size=1500))
+    df = read_las(spark, str(p), with_geometry=False)
+    assert df.count() == 4000
+    # and the reference laz reads distributed, matching its las twin
+    a = read_las(spark, os.path.join(data_dir, "large.laz"),
+                 with_geometry=False)
+    import pyspark.sql.functions as F
+    row = a.agg(F.count("*").alias("n"), F.round(F.sum("x"), 3).alias("sx"),
+                F.round(F.sum("z"), 3).alias("sz")).first()
+    assert row["n"] == 100000 and row["sx"] == 75000.0 == row["sz"]
