@@ -1949,6 +1949,68 @@ _O["las_roundtrip_agg"] = """
 """
 
 
+def _q_laz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native LAZ (round 6, sources/laz.py: from-scratch LASzip layered
+    compressor — FastAC coder + IntegerCompressor + POINT14 v3 layers,
+    pinned bit-exact against the reference's own las/laz fixture pairs):
+    compress customer-derived PDRF6 points into a .laz, read it back
+    distributed through the same read_las surface, recover the exact
+    sums; the compressed file must be smaller than the raw records."""
+    import struct as _st
+    import tempfile
+    from pyspark.sql import functions as F
+    from sedona_db_spark.sources import las
+    from sedona_db_spark.sources.laz import (_Point14, pack_point14,
+                                             write_laz_bytes)
+    rows = spark.table("customer").filter("c_custkey < 2000") \
+        .selectExpr("c_custkey", "abs(c_acctbal) % 100.0 AS px",
+                    "(c_custkey % 1000) / 10.0 AS py").orderBy("c_custkey") \
+        .collect()
+    recs = bytearray()
+    for r in rows:
+        p = _Point14()
+        p.x = int(round(r["px"] * 1000))
+        p.y = int(round(r["py"] * 1000))
+        p.z = int(r["c_custkey"] % 50) * 1000
+        p.intensity = int(r["c_custkey"] % 1000)
+        p.return_number = p.number_of_returns = 1
+        p.classification_flags = p.scanner_channel = 0
+        p.scan_direction = p.edge = 0
+        p.classification = int(r["c_custkey"] % 20)
+        p.user_data = 0
+        p.scan_angle = 0
+        p.point_source = int(r["c_custkey"] % 4)
+        p.gps_time_bits = _st.unpack(
+            "<q", _st.pack("<d", float(r["c_custkey"])))[0]
+        recs += pack_point14(p)
+    blob = write_laz_bytes(bytes(recs), 30, chunk_size=500)
+    path = tempfile.mkdtemp(prefix="laz_") + "/pts.laz"
+    with open(path, "wb") as f:
+        f.write(blob)
+    df = las.read_las(spark, path)
+    return df.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("z"), 3).alias("sum_z"),
+        F.round(F.min("x"), 3).alias("min_x"),
+        F.round(F.max("y"), 3).alias("max_y"),
+        F.round(F.sum("intensity").cast("double"), 3).alias("sum_int"),
+        F.round(F.sum("gps_time"), 3).alias("sum_gps"),
+        F.lit(len(blob) < len(recs)).alias("compressed"))
+
+
+_PY["laz_roundtrip_agg"] = _q_laz_roundtrip
+_O["laz_roundtrip_agg"] = """
+  SELECT count(*) AS n,
+         round(sum(CAST(c_custkey % 50 AS DOUBLE)), 3) AS sum_z,
+         round(min(round(abs(c_acctbal) % 100.0, 3)), 3) AS min_x,
+         round(max(round((c_custkey % 1000) / 10.0, 3)), 3) AS max_y,
+         round(CAST(sum(c_custkey % 1000) AS DOUBLE), 3) AS sum_int,
+         round(sum(CAST(c_custkey AS DOUBLE)), 3) AS sum_gps,
+         true AS compressed
+  FROM customer WHERE c_custkey < 2000
+"""
+
+
 def _q_csv_geometry_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink/source with WKT geometry encoding (reference
     dataframe.py:1628 to_csv / read.py:271 csv): write nation boxes, read
