@@ -933,10 +933,11 @@ def laz_decompress_points(buf: bytes, header: dict,
     # laszip item enum: 10 POINT14, 11 RGB14, 12 RGBNIR14,
     # 13 WAVEPACKET14, 14 BYTE14
     for (t, _s, v) in vlr["items"]:
-        if t not in (10, 14) or v not in (3, 4):
+        if t not in (10, 11, 14) or v not in (3, 4):
             raise NotImplementedError(
-                f"LAZ item type {t} v{v} unsupported (POINT14/BYTE14 v3 "
-                "decode natively; RGB14/NIR/wavepacket layers do not yet)")
+                f"LAZ item type {t} v{v} unsupported (POINT14/RGB14/BYTE14 "
+                "v3 decode natively; NIR/wavepacket layers do not yet)")
+    has_rgb = 11 in item_types
     extra = sum(s for (t, s, _v) in vlr["items"] if t == 14)
     chunk_size = vlr["chunk_size"]
     if chunk_size == 0xFFFFFFFF:
@@ -956,8 +957,9 @@ def laz_decompress_points(buf: bytes, header: dict,
         pos += 4
         if count != in_chunk:
             in_chunk = count               # short final chunk
-        # layer byte counts: 9 for POINT14 + one per extra byte
-        nlayers = 9 + extra
+        # layer byte counts: 9 for POINT14 [+ 1 RGB14] + one per extra byte
+        nrgb = 1 if has_rgb else 0
+        nlayers = 9 + nrgb + extra
         sizes = struct.unpack_from("<%dI" % nlayers, buf, pos)
         pos += 4 * nlayers
         layers = []
@@ -969,18 +971,27 @@ def laz_decompress_points(buf: bytes, header: dict,
         p14 = Point14v3(coders, first_pt, decompress=True, strict=strict)
         for i, name in enumerate(_LAYER_NAMES):
             p14.changed[name] = sizes[i] > 0
+        rgb14 = None
+        if has_rgb:
+            first_rgb = struct.unpack_from("<HHH", first_raw, 30)
+            rgb14 = Rgb14v3(ArithmeticDecoder(layers[9]), first_rgb,
+                            decompress=True)
+            rgb14.changed = sizes[9] > 0
         b14 = None
         if extra:
-            bcoders = [ArithmeticDecoder(layers[9 + i])
+            base = 30 + 6 * nrgb
+            bcoders = [ArithmeticDecoder(layers[9 + nrgb + i])
                        for i in range(extra)]
-            b14 = Byte14v3(bcoders, first_raw[30:30 + extra],
+            b14 = Byte14v3(bcoders, first_raw[base:base + extra],
                            decompress=True)
             for i in range(extra):
-                b14.changed[i] = sizes[9 + i] > 0
+                b14.changed[i] = sizes[9 + nrgb + i] > 0
         out += first_raw
         for _ in range(in_chunk - 1):
             p = p14.read()
             rec = pack_point14(p)
+            if has_rgb:
+                rec += struct.pack("<HHH", *rgb14.read())
             if extra:
                 rec += b14.read()
             out += rec
@@ -1231,12 +1242,15 @@ class Point14v3Writer(Point14v3):
 
 
 def laz_compress_points(records: bytes, rec_len: int,
-                        chunk_size: int = 50000) -> tuple[bytes, dict]:
+                        chunk_size: int = 50000,
+                        rgb: bool = False) -> tuple[bytes, dict]:
     """Raw LAS PDRF6+ records -> layered-chunk LAZ point-data bytes
     (incl. leading chunk-table pointer and trailing chunk table).
+    ``rgb`` marks PDRF-7 records (u16 RGB triple at offset 30).
     Returns (bytes, laszip VLR body dict fields) for the file writer."""
     n = len(records) // rec_len
-    extra = rec_len - 30
+    nrgb = 6 if rgb else 0
+    extra = rec_len - 30 - nrgb
     out = bytearray(b"\0" * 8)             # chunk table pointer, patched
     chunk_byte_sizes = []
     i = 0
@@ -1247,14 +1261,23 @@ def laz_compress_points(records: bytes, rec_len: int,
         out += first
         encs = [ArithmeticEncoder() for _ in range(9)]
         w = Point14v3Writer(encs, parse_point14(first[:30]))
+        rgb_enc = ArithmeticEncoder() if rgb else None
+        r14 = (Rgb14v3(rgb_enc, struct.unpack_from("<HHH", first, 30),
+                       decompress=False) if rgb else None)
         bencs = [ArithmeticEncoder() for _ in range(extra)]
-        b14 = Byte14v3(bencs, first[30:], decompress=False) if extra else None
+        b14 = (Byte14v3(bencs, first[30 + nrgb:], decompress=False)
+               if extra else None)
         for j in range(i + 1, i + cnt):
             rec = records[j * rec_len:(j + 1) * rec_len]
             w.write(parse_point14(rec[:30]))
+            if rgb:
+                r14.write(struct.unpack_from("<HHH", rec, 30))
             if extra:
-                b14.write(bencs, rec[30:])
-        layers = [e.done() for e in encs] + [e.done() for e in bencs]
+                b14.write(bencs, rec[30 + nrgb:])
+        layers = [e.done() for e in encs]
+        if rgb:
+            layers.append(rgb_enc.done())
+        layers += [e.done() for e in bencs]
         out += struct.pack("<I", cnt)
         out += struct.pack("<%dI" % len(layers), *[len(b) for b in layers])
         for b in layers:
@@ -1271,7 +1294,8 @@ def laz_compress_points(records: bytes, rec_len: int,
         ic.compress(pred, s, 1)
         pred = s
     out += enc.done()
-    items = [(10, 30, 3)] + ([(14, extra, 3)] if extra else [])
+    items = [(10, 30, 3)] + ([(11, 6, 3)] if rgb else []) \
+        + ([(14, extra, 3)] if extra else [])
     return bytes(out), {"compressor": 3, "coder": 0, "chunk_size": chunk_size,
                         "items": items}
 
@@ -1282,7 +1306,8 @@ def write_laz_bytes(records: bytes, rec_len: int, fmt: int = 6,
     """Raw PDRF6+ records -> complete LAZ file bytes (LAS 1.4 header +
     laszip VLR + layered chunks + chunk table)."""
     n = len(records) // rec_len
-    pd, vlr = laz_compress_points(records, rec_len, chunk_size)
+    pd, vlr = laz_compress_points(records, rec_len, chunk_size,
+                                  rgb=fmt in (7, 8))
     items = vlr["items"]
     body = struct.pack("<HHBBHIiqqH", 3, 0, 3, 4, 3, 0, chunk_size,
                        -1, -1, len(items))
@@ -1309,3 +1334,118 @@ def write_laz_bytes(records: bytes, rec_len: int, fmt: int = 6,
     (rel,) = struct.unpack_from("<q", pd, 0)
     struct.pack_into("<q", pd, 0, rel + offset)
     return bytes(hdr) + vlr_rec + bytes(pd)
+
+
+# ----------------------------------------------------------------------
+# RGB14 (PDRF 7/8 color, 6 bytes) layered item, version 3 — the RGB12
+# byte-difference scheme (7-bit used-mask, clamped cross-channel
+# prediction) inside its own layer.  Roundtrip-verified; real-file
+# decode shares the oracle-pinned framing/coder but the per-byte
+# prediction chain itself has no local cross-validation oracle.
+# ----------------------------------------------------------------------
+
+def _u8_clamp(x: int) -> int:
+    return 0 if x < 0 else (255 if x > 255 else x)
+
+
+def _c_div2(x: int) -> int:
+    """C integer division by 2 (truncates toward zero)."""
+    return -((-x) // 2) if x < 0 else x // 2
+
+
+class Rgb14v3:
+    def __init__(self, coder, first_rgb, decompress: bool):
+        enc = not decompress
+        self.coder = coder
+        self.m_byte_used = ArithmeticModel(128, enc)
+        self.m_diff = [ArithmeticModel(256, enc) for _ in range(6)]
+        self.last = list(first_rgb)          # (r, g, b) u16
+        self.changed = True
+
+    def read(self):
+        if not self.changed:
+            return tuple(self.last)
+        dec = self.coder
+        lr, lg, lb = self.last
+        sym = dec.decode_symbol(self.m_byte_used)
+        if sym & 1:
+            corr = dec.decode_symbol(self.m_diff[0])
+            r = (corr + (lr & 255)) & 255
+        else:
+            r = lr & 255
+        if sym & 2:
+            corr = dec.decode_symbol(self.m_diff[1])
+            r |= ((corr + (lr >> 8)) & 255) << 8
+        else:
+            r |= lr & 0xFF00
+        if sym & 64:
+            diff = (r & 255) - (lr & 255)
+            if sym & 4:
+                corr = dec.decode_symbol(self.m_diff[2])
+                g = (corr + _u8_clamp(diff + (lg & 255))) & 255
+            else:
+                g = lg & 255
+            if sym & 16:
+                corr = dec.decode_symbol(self.m_diff[4])
+                d2 = _c_div2(diff + ((g & 255) - (lg & 255)))
+                b = (corr + _u8_clamp(d2 + (lb & 255))) & 255
+            else:
+                b = lb & 255
+            diff = (r >> 8) - (lr >> 8)
+            if sym & 8:
+                corr = dec.decode_symbol(self.m_diff[3])
+                g |= ((corr + _u8_clamp(diff + (lg >> 8))) & 255) << 8
+            else:
+                g |= lg & 0xFF00
+            if sym & 32:
+                corr = dec.decode_symbol(self.m_diff[5])
+                d2 = _c_div2(diff + ((g >> 8) - (lg >> 8)))
+                b |= ((corr + _u8_clamp(d2 + (lb >> 8))) & 255) << 8
+            else:
+                b |= lb & 0xFF00
+        else:
+            g = b = r
+        self.last = [r, g, b]
+        return r, g, b
+
+    def write(self, rgb):
+        enc = self.coder
+        r, g, b = rgb
+        lr, lg, lb = self.last
+        sym = ((1 if (r & 255) != (lr & 255) else 0)
+               | (2 if (r >> 8) != (lr >> 8) else 0))
+        same_gb = (g & 255) == (r & 255) and (b & 255) == (r & 255) \
+            and (g >> 8) == (r >> 8) and (b >> 8) == (r >> 8)
+        if not same_gb:
+            sym |= 64
+            sym |= 4 if (g & 255) != (lg & 255) else 0
+            sym |= 8 if (g >> 8) != (lg >> 8) else 0
+            sym |= 16 if (b & 255) != (lb & 255) else 0
+            sym |= 32 if (b >> 8) != (lb >> 8) else 0
+        enc.encode_symbol(self.m_byte_used, sym)
+        if sym & 1:
+            enc.encode_symbol(self.m_diff[0], ((r & 255) - (lr & 255)) & 255)
+        if sym & 2:
+            enc.encode_symbol(self.m_diff[1], ((r >> 8) - (lr >> 8)) & 255)
+        if sym & 64:
+            diff = (r & 255) - (lr & 255)
+            if sym & 4:
+                enc.encode_symbol(
+                    self.m_diff[2],
+                    ((g & 255) - _u8_clamp(diff + (lg & 255))) & 255)
+            if sym & 16:
+                d2 = _c_div2(diff + ((g & 255) - (lg & 255)))
+                enc.encode_symbol(
+                    self.m_diff[4],
+                    ((b & 255) - _u8_clamp(d2 + (lb & 255))) & 255)
+            diff = (r >> 8) - (lr >> 8)
+            if sym & 8:
+                enc.encode_symbol(
+                    self.m_diff[3],
+                    ((g >> 8) - _u8_clamp(diff + (lg >> 8))) & 255)
+            if sym & 32:
+                d2 = _c_div2(diff + ((g >> 8) - (lg >> 8)))
+                enc.encode_symbol(
+                    self.m_diff[5],
+                    ((b >> 8) - _u8_clamp(d2 + (lb >> 8))) & 255)
+        self.last = [r, g, b]

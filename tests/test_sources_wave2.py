@@ -936,6 +936,25 @@ def test_laz_fixture_parity_and_roundtrip(spark, tmp_path):
         assert decode(blob, vlr, header, strict=False) == recs, kw
         assert len(blob) < len(recs)
 
+    # PDRF-7 RGB14 layer roundtrip (correlated 16-bit color incl. gray)
+    import struct as _st
+    core = _laz_make_records(rng, 1200)
+    recs = bytearray()
+    for i in range(1200):
+        recs += core[i * 30:(i + 1) * 30]
+        r16 = int(rng.randint(0, 65536))
+        if rng.rand() < 0.3:
+            g16 = b16 = r16
+        else:
+            g16 = (r16 + int(rng.randint(-300, 300))) % 65536
+            b16 = (g16 + int(rng.randint(-300, 300))) % 65536
+        recs += _st.pack("<HHH", r16, g16, b16)
+    recs = bytes(recs)
+    blob, vlr = laz_compress_points(recs, 36, chunk_size=500, rgb=True)
+    assert decode(blob, vlr, {"n_points": 1200, "rec_len": 36,
+                              "offset": 0, "header_size": 0},
+                  strict=True) == recs
+
     # strict mode refuses table-dependent multi-return decode
     recs = _laz_make_records(rng, 100, multi_return=True)
     blob, vlr = laz_compress_points(recs, 30, chunk_size=50)
