@@ -933,11 +933,12 @@ def laz_decompress_points(buf: bytes, header: dict,
     # laszip item enum: 10 POINT14, 11 RGB14, 12 RGBNIR14,
     # 13 WAVEPACKET14, 14 BYTE14
     for (t, _s, v) in vlr["items"]:
-        if t not in (10, 11, 14) or v not in (3, 4):
+        if t not in (10, 11, 12, 14) or v not in (3, 4):
             raise NotImplementedError(
-                f"LAZ item type {t} v{v} unsupported (POINT14/RGB14/BYTE14 "
-                "v3 decode natively; NIR/wavepacket layers do not yet)")
-    has_rgb = 11 in item_types
+                f"LAZ item type {t} v{v} unsupported (POINT14/RGB14/"
+                "RGBNIR14/BYTE14 v3 decode natively; wavepacket does not)")
+    has_rgb = 11 in item_types or 12 in item_types
+    has_nir = 12 in item_types
     extra = sum(s for (t, s, _v) in vlr["items"] if t == 14)
     chunk_size = vlr["chunk_size"]
     if chunk_size == 0xFFFFFFFF:
@@ -957,9 +958,10 @@ def laz_decompress_points(buf: bytes, header: dict,
         pos += 4
         if count != in_chunk:
             in_chunk = count               # short final chunk
-        # layer byte counts: 9 for POINT14 [+ 1 RGB14] + one per extra byte
-        nrgb = 1 if has_rgb else 0
-        nlayers = 9 + nrgb + extra
+        # layer byte counts: 9 for POINT14 [+ RGB14 [+ NIR]] + one per
+        # extra byte
+        ncolor = (1 if has_rgb else 0) + (1 if has_nir else 0)
+        nlayers = 9 + ncolor + extra
         sizes = struct.unpack_from("<%dI" % nlayers, buf, pos)
         pos += 4 * nlayers
         layers = []
@@ -971,27 +973,34 @@ def laz_decompress_points(buf: bytes, header: dict,
         p14 = Point14v3(coders, first_pt, decompress=True, strict=strict)
         for i, name in enumerate(_LAYER_NAMES):
             p14.changed[name] = sizes[i] > 0
-        rgb14 = None
+        rgb14 = nir14 = None
         if has_rgb:
             first_rgb = struct.unpack_from("<HHH", first_raw, 30)
             rgb14 = Rgb14v3(ArithmeticDecoder(layers[9]), first_rgb,
                             decompress=True)
             rgb14.changed = sizes[9] > 0
+        if has_nir:
+            (first_nir,) = struct.unpack_from("<H", first_raw, 36)
+            nir14 = Nir14v3(ArithmeticDecoder(layers[10]), first_nir,
+                            decompress=True)
+            nir14.changed = sizes[10] > 0
         b14 = None
         if extra:
-            base = 30 + 6 * nrgb
-            bcoders = [ArithmeticDecoder(layers[9 + nrgb + i])
+            base = 30 + 6 * (1 if has_rgb else 0) + 2 * (1 if has_nir else 0)
+            bcoders = [ArithmeticDecoder(layers[9 + ncolor + i])
                        for i in range(extra)]
             b14 = Byte14v3(bcoders, first_raw[base:base + extra],
                            decompress=True)
             for i in range(extra):
-                b14.changed[i] = sizes[9 + nrgb + i] > 0
+                b14.changed[i] = sizes[9 + ncolor + i] > 0
         out += first_raw
         for _ in range(in_chunk - 1):
             p = p14.read()
             rec = pack_point14(p)
             if has_rgb:
                 rec += struct.pack("<HHH", *rgb14.read())
+            if has_nir:
+                rec += struct.pack("<H", nir14.read())
             if extra:
                 rec += b14.read()
             out += rec
@@ -1242,14 +1251,16 @@ class Point14v3Writer(Point14v3):
 
 
 def laz_compress_points(records: bytes, rec_len: int,
-                        chunk_size: int = 50000,
-                        rgb: bool = False) -> tuple[bytes, dict]:
+                        chunk_size: int = 50000, rgb: bool = False,
+                        nir: bool = False) -> tuple[bytes, dict]:
     """Raw LAS PDRF6+ records -> layered-chunk LAZ point-data bytes
     (incl. leading chunk-table pointer and trailing chunk table).
-    ``rgb`` marks PDRF-7 records (u16 RGB triple at offset 30).
+    ``rgb`` marks PDRF-7 records (u16 RGB triple at offset 30); ``nir``
+    adds the PDRF-8 u16 NIR channel at offset 36 (implies rgb).
     Returns (bytes, laszip VLR body dict fields) for the file writer."""
     n = len(records) // rec_len
-    nrgb = 6 if rgb else 0
+    rgb = rgb or nir
+    nrgb = (6 if rgb else 0) + (2 if nir else 0)
     extra = rec_len - 30 - nrgb
     out = bytearray(b"\0" * 8)             # chunk table pointer, patched
     chunk_byte_sizes = []
@@ -1264,6 +1275,9 @@ def laz_compress_points(records: bytes, rec_len: int,
         rgb_enc = ArithmeticEncoder() if rgb else None
         r14 = (Rgb14v3(rgb_enc, struct.unpack_from("<HHH", first, 30),
                        decompress=False) if rgb else None)
+        nir_enc = ArithmeticEncoder() if nir else None
+        n14 = (Nir14v3(nir_enc, struct.unpack_from("<H", first, 36)[0],
+                       decompress=False) if nir else None)
         bencs = [ArithmeticEncoder() for _ in range(extra)]
         b14 = (Byte14v3(bencs, first[30 + nrgb:], decompress=False)
                if extra else None)
@@ -1272,11 +1286,15 @@ def laz_compress_points(records: bytes, rec_len: int,
             w.write(parse_point14(rec[:30]))
             if rgb:
                 r14.write(struct.unpack_from("<HHH", rec, 30))
+            if nir:
+                n14.write(struct.unpack_from("<H", rec, 36)[0])
             if extra:
                 b14.write(bencs, rec[30 + nrgb:])
         layers = [e.done() for e in encs]
         if rgb:
             layers.append(rgb_enc.done())
+        if nir:
+            layers.append(nir_enc.done())
         layers += [e.done() for e in bencs]
         out += struct.pack("<I", cnt)
         out += struct.pack("<%dI" % len(layers), *[len(b) for b in layers])
@@ -1294,8 +1312,13 @@ def laz_compress_points(records: bytes, rec_len: int,
         ic.compress(pred, s, 1)
         pred = s
     out += enc.done()
-    items = [(10, 30, 3)] + ([(11, 6, 3)] if rgb else []) \
-        + ([(14, extra, 3)] if extra else [])
+    items = [(10, 30, 3)]
+    if nir:
+        items.append((12, 8, 3))
+    elif rgb:
+        items.append((11, 6, 3))
+    if extra:
+        items.append((14, extra, 3))
     return bytes(out), {"compressor": 3, "coder": 0, "chunk_size": chunk_size,
                         "items": items}
 
@@ -1307,7 +1330,7 @@ def write_laz_bytes(records: bytes, rec_len: int, fmt: int = 6,
     laszip VLR + layered chunks + chunk table)."""
     n = len(records) // rec_len
     pd, vlr = laz_compress_points(records, rec_len, chunk_size,
-                                  rgb=fmt in (7, 8))
+                                  rgb=fmt in (7, 8, 10), nir=fmt in (8, 10))
     items = vlr["items"]
     body = struct.pack("<HHBBHIiqqH", 3, 0, 3, 4, 3, 0, chunk_size,
                        -1, -1, len(items))
@@ -1449,3 +1472,47 @@ class Rgb14v3:
                     self.m_diff[5],
                     ((b >> 8) - _u8_clamp(d2 + (lb >> 8))) & 255)
         self.last = [r, g, b]
+
+
+class Nir14v3:
+    """NIR14 layered item (PDRF 8): 2-bit used-mask + per-byte
+    difference models, the RGB lower/upper byte scheme for one u16."""
+
+    def __init__(self, coder, first_nir: int, decompress: bool):
+        enc = not decompress
+        self.coder = coder
+        self.m_used = ArithmeticModel(4, enc)
+        self.m_diff = [ArithmeticModel(256, enc) for _ in range(2)]
+        self.last = first_nir
+        self.changed = True
+
+    def read(self) -> int:
+        if not self.changed:
+            return self.last
+        dec = self.coder
+        sym = dec.decode_symbol(self.m_used)
+        if sym & 1:
+            corr = dec.decode_symbol(self.m_diff[0])
+            nir = (corr + (self.last & 255)) & 255
+        else:
+            nir = self.last & 255
+        if sym & 2:
+            corr = dec.decode_symbol(self.m_diff[1])
+            nir |= ((corr + (self.last >> 8)) & 255) << 8
+        else:
+            nir |= self.last & 0xFF00
+        self.last = nir
+        return nir
+
+    def write(self, nir: int):
+        enc = self.coder
+        sym = ((1 if (nir & 255) != (self.last & 255) else 0)
+               | (2 if (nir >> 8) != (self.last >> 8) else 0))
+        enc.encode_symbol(self.m_used, sym)
+        if sym & 1:
+            enc.encode_symbol(self.m_diff[0],
+                              ((nir & 255) - (self.last & 255)) & 255)
+        if sym & 2:
+            enc.encode_symbol(self.m_diff[1],
+                              ((nir >> 8) - (self.last >> 8)) & 255)
+        self.last = nir

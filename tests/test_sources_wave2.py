@@ -955,6 +955,23 @@ def test_laz_fixture_parity_and_roundtrip(spark, tmp_path):
                               "offset": 0, "header_size": 0},
                   strict=True) == recs
 
+    # PDRF-8 (RGB + NIR) + extra bytes roundtrip
+    core = _laz_make_records(rng, 800)
+    recs = bytearray()
+    for i in range(800):
+        recs += core[i * 30:(i + 1) * 30]
+        r16 = int(rng.randint(0, 65536))
+        recs += _st.pack("<HHHH", r16,
+                         (r16 + int(rng.randint(-300, 300))) % 65536,
+                         (r16 + int(rng.randint(-300, 300))) % 65536,
+                         (r16 + int(rng.randint(-500, 500))) % 65536)
+        recs += bytes([int(rng.randint(0, 256))])
+    recs = bytes(recs)
+    blob, vlr = laz_compress_points(recs, 39, chunk_size=300, nir=True)
+    assert decode(blob, vlr, {"n_points": 800, "rec_len": 39,
+                              "offset": 0, "header_size": 0},
+                  strict=True) == recs
+
     # strict mode refuses table-dependent multi-return decode
     recs = _laz_make_records(rng, 100, multi_return=True)
     blob, vlr = laz_compress_points(recs, 30, chunk_size=50)
