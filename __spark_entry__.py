@@ -2953,24 +2953,7 @@ def _q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = (16 * k) % 200
         img = (base + np.arange(64).reshape(8, 8) * 55 // 63) \
             .astype(np.uint8)
-        gif = encode_gif([img], pal)
-        if k % 2 == 1:  # re-pack the frame interlaced via the raw writer
-            from sedona_db_spark.operators.gif_native import (
-                _INTERLACE_PASSES, _lzw_encode_gif)
-            import struct as _st
-            rows_inter = np.concatenate(
-                [img[s::j] for (s, j) in _INTERLACE_PASSES])
-            lzw = _lzw_encode_gif(rows_inter.ravel(), 8)
-            out = bytearray(b"GIF89a")
-            out += _st.pack("<HHBBB", 8, 8, 0x80 | 7, 0, 0) + pal.tobytes()
-            out += _st.pack("<BHHHHB", 0x2C, 0, 0, 8, 8, 0x40)
-            out.append(8)
-            for i in range(0, len(lzw), 255):
-                chunk = lzw[i:i + 255]
-                out.append(len(chunk))
-                out += chunk
-            out += b"\x00\x3B"
-            gif = bytes(out)
+        gif = encode_gif([img], pal, interlace=(k % 2 == 1))
         rows.append((k, "image", "gif", bytearray(gif), 8, 8, None))
     df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), MEDIA_SCHEMA)

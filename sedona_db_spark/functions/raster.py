@@ -880,6 +880,9 @@ def as_geotiff(r, compress: str = "none") -> Column:
     Compressions: 'deflate' (zlib strips, predictor 2 for integer
     samples), 'lzw', and 'ccitt_g4'/'ccitt_g3'/'ccitt_rle' for 0/1
     bilevel single-band rasters."""
+    if compress not in ("none", "deflate", "lzw",
+                        "ccitt_g4", "ccitt_g3", "ccitt_rle"):
+        raise ValueError(f"unsupported GeoTIFF compression {compress!r}")
     udf = _AS_GEOTIFF_UDFS.get(compress)
     if udf is None:
         @F.pandas_udf(T.BinaryType())

@@ -209,9 +209,11 @@ def decode_gif(payload: bytes):
     return frames
 
 
-def encode_gif(frames, palette: np.ndarray, delays=None) -> bytes:
+def encode_gif(frames, palette: np.ndarray, delays=None,
+               interlace: bool = False) -> bytes:
     """Palette-indexed frames [(h, w) uint8 arrays] + (n, 3) palette ->
-    animated GIF89a bytes (global color table, no transparency)."""
+    animated GIF89a bytes (global color table, no transparency);
+    ``interlace`` stores rows in the 4-pass order."""
     import struct as _st
     palette = np.asarray(palette, np.uint8)
     if palette.ndim != 2 or palette.shape[1] != 3:
@@ -228,13 +230,17 @@ def encode_gif(frames, palette: np.ndarray, delays=None) -> bytes:
     min_code = max(2, nbits)
     for fr, delay in zip(frames, delays):
         fr = np.asarray(fr, np.uint8)
-        if fr.max(initial=0) >= len(pal):
+        if fr.max(initial=0) >= len(palette):
             raise ValueError("frame index outside palette")
         if len(frames) > 1:
             out += _st.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, delay, 0, 0)
-        out += _st.pack("<BHHHHB", 0x2C, 0, 0, fr.shape[1], fr.shape[0], 0)
+        out += _st.pack("<BHHHHB", 0x2C, 0, 0, fr.shape[1], fr.shape[0],
+                        0x40 if interlace else 0)
         out.append(min_code)
-        lzw = _lzw_encode_gif(fr.ravel(), min_code)
+        rows = (np.concatenate([fr[s::j] for (s, j) in _INTERLACE_PASSES
+                                if fr[s::j].size])
+                if interlace else fr)
+        lzw = _lzw_encode_gif(rows.ravel(), min_code)
         for i in range(0, len(lzw), 255):
             chunk = lzw[i:i + 255]
             out.append(len(chunk))

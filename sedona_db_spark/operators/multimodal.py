@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import hashlib
 
+import struct
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -218,6 +220,8 @@ def _png_defilter(raw: bytes, pos: int, height: int, rowbytes: int,
                   bpp: int) -> tuple[np.ndarray, int]:
     """Undo the five PNG scanline filters over ``height`` rows starting
     at byte ``pos`` of the inflated stream; returns (rows, next_pos)."""
+    if len(raw) < pos + height * (rowbytes + 1):
+        raise ValueError("PNG pixel data truncated")
     out = np.zeros((height, rowbytes), dtype=np.uint8)
     prev = np.zeros(rowbytes, dtype=np.int32)
     for y in range(height):
@@ -491,7 +495,10 @@ def extract_features_real(df: DataFrame, payload_col: str = "payload",
                                               image_features(decode_image(b), dim))))
                         real.append(True)
                         continue
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, IndexError,
+                        struct.error):
+                    # truncated/corrupt payloads degrade to the fake
+                    # decode instead of killing the task
                     pass
                 feats.append(list(map(float, _fake_decode(b, dim))))
                 real.append(False)

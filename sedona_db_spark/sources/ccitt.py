@@ -260,13 +260,14 @@ def _decode_row_2d(br: _BitReader, ref: list[int], width: int) -> list[int]:
     cur: list[int] = []
     a0 = -1
     color_white = True
+    nref = len(ref)
+    base = 0                # monotone scan pointer (a0 never decreases)
     while a0 < width:
         # b1: first reference transition > a0 whose parity matches the
         # next transition to be coded (even index = white->black)
-        idx = 0
-        nref = len(ref)
-        while idx < nref and ref[idx] <= a0:
-            idx += 1
+        while base < nref and ref[base] <= a0:
+            base += 1
+        idx = base
         if (idx & 1) != (len(cur) & 1):
             idx += 1
         b1 = ref[idx] if idx < nref else width
@@ -359,22 +360,20 @@ def _encode_row_2d(bw: _BitWriter, cur: list[int], ref: list[int],
                    width: int) -> None:
     a0 = -1
     color_white = True
-    ncur = len(ref)  # placeholder, reassigned below
-    ci = 0           # index of next coding transition > a0 with parity
+    ncur = len(cur)
+    nref = len(ref)
+    ci = 0           # monotone pointers: a0 never decreases
+    rbase = 0
     while a0 < width:
-        # a1: next transition on the coding line beyond a0
-        ci = 0
-        ncur = len(cur)
+        # a1: next transition on the coding line beyond a0; transitions
+        # alternate colours, so no parity fix-up is needed on cur
         while ci < ncur and cur[ci] <= a0:
             ci += 1
-        # transitions alternate colours; the next one is always the change
-        # out of the current colour, so no parity fix-up is needed on cur
         a1 = cur[ci] if ci < ncur else width
         a2 = cur[ci + 1] if ci + 1 < ncur else width
-        idx = 0
-        nref = len(ref)
-        while idx < nref and ref[idx] <= a0:
-            idx += 1
+        while rbase < nref and ref[rbase] <= a0:
+            rbase += 1
+        idx = rbase
         if (idx & 1) != (ci & 1):
             idx += 1
         b1 = ref[idx] if idx < nref else width

@@ -13,7 +13,8 @@ kernel parses each file with a numpy structured dtype — zero-copy
 1000 files concurrently.  LAZ (compressed) decodes natively through
 sources/laz.py (layered-chunked compressor, PDRF 6-10 + extra bytes,
 pinned bit-exact against the reference's own las/laz fixture pairs);
-legacy point-format LAZ (compressor 2) still raises.
+legacy point-format LAZ (compressor 2) still raises; pass
+laz_strict=False to read_las to opt into unverified multi-return decode.
 """
 
 from __future__ import annotations
@@ -92,8 +93,12 @@ def parse_las_header(buf: bytes) -> dict:
             "origin": (ox, oy, oz), "compressed": compressed}
 
 
-def parse_las_points(buf: bytes) -> pd.DataFrame:
-    """Whole-file bytes -> DataFrame of scaled points (vectorized)."""
+def parse_las_points(buf: bytes, laz_strict: bool = True) -> pd.DataFrame:
+    """Whole-file bytes -> DataFrame of scaled points (vectorized).
+
+    ``laz_strict=False`` opts into decoding LAZ files whose return
+    numbers change mid-chunk (context tables unverified — see
+    sources/laz.py)."""
     h = parse_las_header(buf)
     dt = _FMT_DTYPES.get(h["format"])
     if dt is None:
@@ -104,7 +109,8 @@ def parse_las_points(buf: bytes) -> pd.DataFrame:
         # covering PDRF 6-10 + extra bytes, pinned against the reference
         # repo's paired las/laz fixtures
         from sedona_db_spark.sources.laz import laz_decompress_points
-        raw = np.frombuffer(laz_decompress_points(buf, h), dtype=np.uint8)
+        raw = np.frombuffer(laz_decompress_points(buf, h, strict=laz_strict),
+                            dtype=np.uint8)
     else:
         raw = np.frombuffer(buf, dtype=np.uint8,
                             count=n * h["rec_len"], offset=h["offset"])
@@ -165,7 +171,8 @@ def write_las(path: str, x, y, z, fmt: int = 0, scale: float = 0.001) -> None:
 
 
 def read_las(spark: SparkSession, path: str,
-             with_geometry: bool = True) -> DataFrame:
+             with_geometry: bool = True,
+             laz_strict: bool = True) -> DataFrame:
     """Distributed LAS read: binaryFile listing + per-file numpy parse.
 
     At 100 TB the file listing shards across executors and each file is
@@ -179,7 +186,8 @@ def read_las(spark: SparkSession, path: str,
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, row in pdf.iterrows():
-                out = parse_las_points(bytes(row["content"]))
+                out = parse_las_points(bytes(row["content"]),
+                                       laz_strict=laz_strict)
                 out.insert(0, "path", row["path"])
                 if with_geometry:
                     out["geometry"] = list(core.points_to_wkb_array(

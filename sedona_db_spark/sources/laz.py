@@ -893,7 +893,7 @@ def parse_laszip_vlr(buf: bytes, header: dict) -> dict:
         pos += 54 + reclen
         if user == b"laszip encoded" and rid == 22204:
             (compressor, coder, vmaj, vmin, vrev, options, chunk_size,
-             noev, nocv, nitems) = struct.unpack_from("<HHBBHIiqqH", body, 0)
+             noev, nocv, nitems) = struct.unpack_from("<HHBBHIIqqH", body, 0)
             items = [struct.unpack_from("<HHH", body, 34 + k * 6)
                      for k in range(nitems)]
             return {"compressor": compressor, "coder": coder,
@@ -902,7 +902,7 @@ def parse_laszip_vlr(buf: bytes, header: dict) -> dict:
     raise ValueError("LAZ file without a laszip VLR")
 
 
-def read_chunk_table(buf: bytes, offset: int, pos_end: int) -> list[int]:
+def read_chunk_table(buf: bytes, offset: int) -> list[int]:
     """Chunk table: i64 pointer at point-data start -> [version u32,
     nchunks u32, IC-coded byte sizes]."""
     (table_off,) = struct.unpack_from("<q", buf, offset)
@@ -946,10 +946,19 @@ def laz_decompress_points(buf: bytes, header: dict,
     n = header["n_points"]
     rec_len = header["rec_len"]
     offset = header["offset"]
-    pos = offset + 8                       # skip chunk table pointer
+    pos = offset + 8                       # chunk table pointer (i64)
+    # decode the chunk table up front and cross-check every chunk's
+    # byte advance against it (catches truncation/corruption early)
+    table_sizes = None
+    try:
+        table_sizes = read_chunk_table(buf, offset)
+    except (ValueError, IndexError, struct.error):
+        table_sizes = None                 # absent/odd table: stay sequential
     out = bytearray()
     remaining = n
+    chunk_idx = 0
     while remaining > 0:
+        chunk_start = pos
         in_chunk = min(chunk_size, remaining)
         # raw first point
         first_raw = buf[pos:pos + rec_len]
@@ -1004,6 +1013,12 @@ def laz_decompress_points(buf: bytes, header: dict,
             if extra:
                 rec += b14.read()
             out += rec
+        if table_sizes is not None and chunk_idx < len(table_sizes) \
+                and pos - chunk_start != table_sizes[chunk_idx]:
+            raise ValueError(
+                f"LAZ chunk {chunk_idx} decoded {pos - chunk_start} bytes "
+                f"but the chunk table records {table_sizes[chunk_idx]}")
+        chunk_idx += 1
         remaining -= in_chunk
     return bytes(out)
 
@@ -1332,7 +1347,7 @@ def write_laz_bytes(records: bytes, rec_len: int, fmt: int = 6,
     pd, vlr = laz_compress_points(records, rec_len, chunk_size,
                                   rgb=fmt in (7, 8, 10), nir=fmt in (8, 10))
     items = vlr["items"]
-    body = struct.pack("<HHBBHIiqqH", 3, 0, 3, 4, 3, 0, chunk_size,
+    body = struct.pack("<HHBBHIIqqH", 3, 0, 3, 4, 3, 0, chunk_size,
                        -1, -1, len(items))
     for (t, s, v) in items:
         body += struct.pack("<HHH", t, s, v)

@@ -66,8 +66,11 @@ def snappy_decompress(src: bytes) -> bytes:
         if offset == 0 or offset > len(out):
             raise ValueError("corrupt snappy stream (bad offset)")
         start = len(out) - offset
-        for i in range(length):                    # overlap-safe copy
-            out.append(out[start + i])
+        if offset >= length:                       # non-overlapping: slice
+            out += out[start:start + length]
+        else:
+            for i in range(length):                # overlap-safe byte copy
+                out.append(out[start + i])
     if len(out) != n:
         raise ValueError(
             f"snappy length mismatch: got {len(out)}, expected {n}")
