@@ -11,10 +11,11 @@ distributed (one task per file, executors do the IO), and a `mapInPandas`
 kernel parses each file with a numpy structured dtype — zero-copy
 `np.frombuffer` over the point block, so a 1000-executor cluster parses
 1000 files concurrently.  LAZ (compressed) decodes natively through
-sources/laz.py (layered-chunked compressor, PDRF 6-10 + extra bytes,
-pinned bit-exact against the reference's own las/laz fixture pairs);
-legacy point-format LAZ (compressor 2) still raises; pass
-laz_strict=False to read_las to opt into unverified multi-return decode.
+sources/laz.py — BOTH the layered compressor 3 (PDRF 6-10 + extra
+bytes, pinned bit-exact against the reference's own las/laz fixture
+pairs) and the legacy pointwise compressor 2 (PDRF 0-5); pass
+laz_strict=False to read_las to opt into unverified multi-return
+decode.
 """
 
 from __future__ import annotations

@@ -1,4 +1,4 @@
-"""LAZ (LASzip) point-cloud codec — compressor 3 "layered chunked".
+"""LAZ (LASzip) point-cloud codec — compressors 2 and 3.
 
 The reference bundles las-rs + laz-rs
 (rust/sedona-pointcloud/src/las/format.rs:58); neither laszip nor any
@@ -25,8 +25,12 @@ Scope and validation (see tests/test_sources_wave2.py):
   constant-return files the context index is constant, making the
   decode provably table-independent).
 
-Decode only needs numpy; the writer half exists for fixtures and
-roundtrip tests.
+Round-6 second wave adds the legacy compressor 2 (pointwise chunked,
+LAS 1.0-1.3 PDRF 0-5: POINT10/GPSTIME11/RGB12/BYTE v2 over one coder
+per chunk) with the same validation story: the entropy machinery is
+fixture-pinned, the item algorithms roundtrip-verified, the
+number_return tables strict-guarded.  Decode only needs numpy; the
+writer half exists for fixtures and roundtrip tests.
 """
 
 from __future__ import annotations
@@ -770,15 +774,26 @@ class Point14v3:
         return last.copy()
 
     def _read_gps(self, ctx, dec):
+        _gps_read(ctx, dec)
+
+
+def _gps_read(ctx, dec):
+    """GPSTIME11 state machine (shared verbatim by the POINT14 v3 layer
+    and the legacy v2 item, as in laszip): 0diff symbols 0 unchanged /
+    1 32-bit diff / 2 full / 3-5 sequence switch; multi symbols 0-510
+    multipliers, 511 unchanged, 512 full, 513-515 sequence switch."""
+    if True:
         if ctx.last_gpstime_diff[ctx.last] == 0:
             multi = dec.decode_symbol(ctx.m_gpstime_0diff)
             if multi == 0:
+                pass                               # unchanged
+            elif multi == 1:
                 d = ctx.ic_gpstime.decompress(0, 0)
                 ctx.last_gpstime_diff[ctx.last] = d
                 ctx.last_gpstime[ctx.last] = (
                     ctx.last_gpstime[ctx.last] + d) & 0xFFFFFFFFFFFFFFFF
                 ctx.multi_extreme_counter[ctx.last] = 0
-            elif multi == 1:
+            elif multi == 2:
                 ctx.next = (ctx.next + 1) & 3
                 hi = ctx.ic_gpstime.decompress(
                     _i32(ctx.last_gpstime[ctx.last] >> 32), 8)
@@ -788,8 +803,8 @@ class Point14v3:
                 ctx.last_gpstime_diff[ctx.last] = 0
                 ctx.multi_extreme_counter[ctx.last] = 0
             else:
-                ctx.last = (ctx.last + multi - 1) & 3
-                self._read_gps(ctx, dec)
+                ctx.last = (ctx.last + multi - 2) & 3
+                _gps_read(ctx, dec)
         else:
             multi = dec.decode_symbol(ctx.m_gpstime_multi)
             if multi == 1:
@@ -833,6 +848,8 @@ class Point14v3:
                             ctx.multi_extreme_counter[ctx.last] = 0
                 ctx.last_gpstime[ctx.last] = (
                     ctx.last_gpstime[ctx.last] + d) & 0xFFFFFFFFFFFFFFFF
+            elif multi == GPSTIME_MULTI_UNCHANGED:
+                pass                               # unchanged
             elif multi == GPSTIME_MULTI_CODE_FULL:
                 ctx.next = (ctx.next + 1) & 3
                 hi = ctx.ic_gpstime.decompress(
@@ -844,7 +861,7 @@ class Point14v3:
                 ctx.multi_extreme_counter[ctx.last] = 0
             else:
                 ctx.last = (ctx.last + multi - GPSTIME_MULTI_CODE_FULL) & 3
-                self._read_gps(ctx, dec)
+                _gps_read(ctx, dec)
 
 
 # ----------------------------------------------------------------------
@@ -925,10 +942,12 @@ def laz_decompress_points(buf: bytes, header: dict,
     (n_points x rec_len), for the compressor-3 'layered chunked'
     variant covering PDRF 6-10 (+ extra bytes)."""
     vlr = parse_laszip_vlr(buf, header)
+    if vlr["compressor"] == 2:
+        return laz2_decompress_points(buf, header, vlr, strict=strict)
     if vlr["compressor"] != 3:
         raise NotImplementedError(
-            f"LAZ compressor {vlr['compressor']} unsupported (3 = layered "
-            "chunked, the LAS-1.4 PDRF 6-10 variant, decodes natively)")
+            f"LAZ compressor {vlr['compressor']} unsupported (2 = pointwise "
+            "and 3 = layered chunked decode natively)")
     item_types = [t for (t, _s, _v) in vlr["items"]]
     # laszip item enum: 10 POINT14, 11 RGB14, 12 RGBNIR14,
     # 13 WAVEPACKET14, 14 BYTE14
@@ -1163,12 +1182,20 @@ class Point14v3Writer(Point14v3):
         last.gps_time_change = gps_time_change
 
     def _write_gps(self, ctx, enc, gps_u64: int):
+        _gps_write(ctx, enc, gps_u64)
+
+
+def _gps_write(ctx, enc, gps_u64: int):
+    if True:
         def i64(u):
             return u - (1 << 64) if u >= (1 << 63) else u
         if ctx.last_gpstime_diff[ctx.last] == 0:
+            if gps_u64 == ctx.last_gpstime[ctx.last]:
+                enc.encode_symbol(ctx.m_gpstime_0diff, 0)   # unchanged
+                return
             d64 = i64(gps_u64) - i64(ctx.last_gpstime[ctx.last])
             if -(1 << 31) <= d64 < (1 << 31):
-                enc.encode_symbol(ctx.m_gpstime_0diff, 0)
+                enc.encode_symbol(ctx.m_gpstime_0diff, 1)
                 ctx.ic_gpstime.compress(0, d64, 0)
                 ctx.last_gpstime_diff[ctx.last] = d64
                 ctx.multi_extreme_counter[ctx.last] = 0
@@ -1177,11 +1204,11 @@ class Point14v3Writer(Point14v3):
                 for i in range(1, 4):
                     o = i64(gps_u64) - i64(ctx.last_gpstime[(ctx.last + i) & 3])
                     if -(1 << 31) <= o < (1 << 31):
-                        enc.encode_symbol(ctx.m_gpstime_0diff, i + 1)
+                        enc.encode_symbol(ctx.m_gpstime_0diff, i + 2)
                         ctx.last = (ctx.last + i) & 3
-                        self._write_gps(ctx, enc, gps_u64)
+                        _gps_write(ctx, enc, gps_u64)
                         return
-                enc.encode_symbol(ctx.m_gpstime_0diff, 1)
+                enc.encode_symbol(ctx.m_gpstime_0diff, 2)
                 ctx.ic_gpstime.compress(
                     _i32(ctx.last_gpstime[ctx.last] >> 32),
                     _i32(gps_u64 >> 32), 8)
@@ -1192,6 +1219,10 @@ class Point14v3Writer(Point14v3):
                 ctx.multi_extreme_counter[ctx.last] = 0
                 ctx.last_gpstime[ctx.last] = gps_u64
         else:
+            if gps_u64 == ctx.last_gpstime[ctx.last]:
+                enc.encode_symbol(ctx.m_gpstime_multi,
+                                  GPSTIME_MULTI_UNCHANGED)
+                return
             d64 = i64(gps_u64) - i64(ctx.last_gpstime[ctx.last])
             if -(1 << 31) <= d64 < (1 << 31):
                 multi = _i32_quantize(
@@ -1250,7 +1281,7 @@ class Point14v3Writer(Point14v3):
                         enc.encode_symbol(ctx.m_gpstime_multi,
                                           GPSTIME_MULTI_CODE_FULL + i)
                         ctx.last = (ctx.last + i) & 3
-                        self._write_gps(ctx, enc, gps_u64)
+                        _gps_write(ctx, enc, gps_u64)
                         return
                 enc.encode_symbol(ctx.m_gpstime_multi,
                                   GPSTIME_MULTI_CODE_FULL)
@@ -1341,32 +1372,40 @@ def laz_compress_points(records: bytes, rec_len: int,
 def write_laz_bytes(records: bytes, rec_len: int, fmt: int = 6,
                     scale=(0.001, 0.001, 0.001), origin=(0.0, 0.0, 0.0),
                     chunk_size: int = 50000) -> bytes:
-    """Raw PDRF6+ records -> complete LAZ file bytes (LAS 1.4 header +
-    laszip VLR + layered chunks + chunk table)."""
+    """Raw point records -> complete LAZ file bytes: PDRF 6-10 via the
+    layered compressor 3 (LAS 1.4 header), PDRF 0-5 via the legacy
+    pointwise compressor 2 (LAS 1.2 header)."""
     n = len(records) // rec_len
-    pd, vlr = laz_compress_points(records, rec_len, chunk_size,
-                                  rgb=fmt in (7, 8, 10), nir=fmt in (8, 10))
+    if fmt >= 6:
+        pd, vlr = laz_compress_points(records, rec_len, chunk_size,
+                                      rgb=fmt in (7, 8, 10),
+                                      nir=fmt in (8, 10))
+    else:
+        pd, vlr = laz2_compress_points(records, rec_len, fmt, chunk_size)
     items = vlr["items"]
-    body = struct.pack("<HHBBHIIqqH", 3, 0, 3, 4, 3, 0, chunk_size,
-                       -1, -1, len(items))
+    body = struct.pack("<HHBBHIIqqH", vlr["compressor"], 0, 3, 4, 3, 0,
+                       chunk_size, -1, -1, len(items))
     for (t, s, v) in items:
         body += struct.pack("<HHH", t, s, v)
     vlr_rec = (struct.pack("<H", 0) + b"laszip encoded".ljust(16, b"\0")
                + struct.pack("<HH", 22204, len(body))
                + b"native laz".ljust(32, b"\0") + body)
-    header_size = 375
+    header_size = 375 if fmt >= 6 else 227
     offset = header_size + len(vlr_rec)
     hdr = bytearray(header_size)
     hdr[0:4] = b"LASF"
-    hdr[24], hdr[25] = 1, 4
+    hdr[24], hdr[25] = (1, 4) if fmt >= 6 else (1, 2)
     struct.pack_into("<H", hdr, 94, header_size)
     struct.pack_into("<I", hdr, 96, offset)
     struct.pack_into("<I", hdr, 100, 1)               # one VLR
     hdr[104] = fmt | 0x80
     struct.pack_into("<H", hdr, 105, rec_len)
-    struct.pack_into("<I", hdr, 107, 0)               # legacy count
     struct.pack_into("<6d", hdr, 131, *scale, *origin)
-    struct.pack_into("<Q", hdr, 247, n)
+    if fmt >= 6:
+        struct.pack_into("<I", hdr, 107, 0)           # legacy count unused
+        struct.pack_into("<Q", hdr, 247, n)
+    else:
+        struct.pack_into("<I", hdr, 107, n)
     # patch the chunk-table pointer to an absolute file offset
     pd = bytearray(pd)
     (rel,) = struct.unpack_from("<q", pd, 0)
@@ -1531,3 +1570,364 @@ class Nir14v3:
             enc.encode_symbol(self.m_diff[1],
                               ((nir >> 8) - (self.last >> 8)) & 255)
         self.last = nir
+
+
+# ----------------------------------------------------------------------
+# Legacy compressor 2 ("pointwise chunked"): LAS 1.0-1.3 / PDRF 0-5.
+# POINT10 v2 + GPSTIME11 v2 + RGB12 v2 + BYTE v2 items share ONE
+# entropy coder per chunk (no layers).  Validation: encoder/decoder
+# roundtrip on randomized data over the fixture-pinned coder/IC
+# machinery; the 8x8 number_return context tables are reconstructed
+# (same strict-mode guard as POINT14 — constant-return decode is
+# table-independent).
+# ----------------------------------------------------------------------
+
+def _return_map10(n: int, r: int) -> int:
+    if n <= 1:
+        return 0 if r <= 1 else 1
+    if r == 1:
+        return 2
+    if r >= n:
+        return 3
+    return 4 if r == 2 else 5
+
+
+def _return_level10(n: int, r: int) -> int:
+    d = min(abs(n - r), 3)
+    return min((0 if n <= 1 else 4) + d, 7)
+
+
+class _Point10:
+    __slots__ = ("x", "y", "z", "intensity", "bit_byte", "classification",
+                 "scan_angle_rank", "user_data", "point_source")
+
+    def copy(self):
+        p = _Point10()
+        for k in self.__slots__:
+            setattr(p, k, getattr(self, k))
+        return p
+
+
+def parse_point10(raw: bytes) -> _Point10:
+    p = _Point10()
+    p.x, p.y, p.z = struct.unpack_from("<iii", raw, 0)
+    (p.intensity,) = struct.unpack_from("<H", raw, 12)
+    p.bit_byte = raw[14]
+    p.classification = raw[15]
+    p.scan_angle_rank = raw[16]
+    p.user_data = raw[17]
+    (p.point_source,) = struct.unpack_from("<H", raw, 18)
+    return p
+
+
+def pack_point10(p: _Point10) -> bytes:
+    return struct.pack("<iiiHBBBBH", p.x, p.y, p.z, p.intensity,
+                       p.bit_byte, p.classification, p.scan_angle_rank,
+                       p.user_data, p.point_source)
+
+
+class Point10v2:
+    """POINT10 item version 2 over a shared per-chunk coder."""
+
+    def __init__(self, coder, first: _Point10, decompress: bool,
+                 strict: bool = True):
+        enc = not decompress
+        self.coder = coder
+        self.strict = strict
+        self.m_changed_values = ArithmeticModel(64, enc)
+        self.ic_intensity = IntegerCompressor(coder, 16, 4,
+                                              decompress=decompress)
+        self.m_scan_angle_rank = [ArithmeticModel(256, enc)
+                                  for _ in range(2)]
+        self.ic_point_source = IntegerCompressor(coder, 16,
+                                                 decompress=decompress)
+        self.m_bit_byte = [None] * 256
+        self.m_classification = [None] * 256
+        self.m_user_data = [None] * 256
+        self.ic_dx = IntegerCompressor(coder, 32, 2, decompress=decompress)
+        self.ic_dy = IntegerCompressor(coder, 32, 22, decompress=decompress)
+        self.ic_z = IntegerCompressor(coder, 32, 20, decompress=decompress)
+        self.last_x_diff_median5 = [StreamingMedian5() for _ in range(16)]
+        self.last_y_diff_median5 = [StreamingMedian5() for _ in range(16)]
+        self.last_intensity = [first.intensity] * 16
+        self.last_height = [first.z] * 8
+        self.last = first.copy()
+        self.enc = enc
+
+    def _model(self, bank, idx):
+        if bank[idx] is None:
+            bank[idx] = ArithmeticModel(256, self.enc)
+        return bank[idx]
+
+    def read(self) -> _Point10:
+        dec = self.coder
+        last = self.last
+        changed = dec.decode_symbol(self.m_changed_values)
+        old_rn = last.bit_byte & 0x3F
+        if changed & 32:
+            last.bit_byte = dec.decode_symbol(
+                self._model(self.m_bit_byte, last.bit_byte))
+            if self.strict and (last.bit_byte & 0x3F) != old_rn:
+                raise NotImplementedError(
+                    "LAZ POINT10 with changing return counts: the 8x8 "
+                    "number_return tables cannot be cross-validated here "
+                    "(constant-return files decode exactly; pass "
+                    "strict=False to accept)")
+        r = last.bit_byte & 7
+        n = (last.bit_byte >> 3) & 7
+        m = _return_map10(n, r)
+        lvl = _return_level10(n, r)
+        if changed & 16:
+            self.last_intensity[m] = self.ic_intensity.decompress(
+                self.last_intensity[m], m if m < 3 else 3)
+        last.intensity = self.last_intensity[m]
+        if changed & 8:
+            last.classification = dec.decode_symbol(
+                self._model(self.m_classification, last.classification))
+        if changed & 4:
+            sdf = (last.bit_byte >> 6) & 1
+            val = dec.decode_symbol(self.m_scan_angle_rank[sdf])
+            last.scan_angle_rank = (val + last.scan_angle_rank) & 0xFF
+        if changed & 2:
+            last.user_data = dec.decode_symbol(
+                self._model(self.m_user_data, last.user_data))
+        if changed & 1:
+            last.point_source = self.ic_point_source.decompress(
+                last.point_source)
+        med = self.last_x_diff_median5[m]
+        diff = self.ic_dx.decompress(med.get(), 1 if n == 1 else 0)
+        last.x = _i32(last.x + diff)
+        med.add(diff)
+        med = self.last_y_diff_median5[m]
+        kb = self.ic_dx.k
+        diff = self.ic_dy.decompress(
+            med.get(), (1 if n == 1 else 0) + (kb if kb < 20 else 20))
+        last.y = _i32(last.y + diff)
+        med.add(diff)
+        kb = (self.ic_dx.k + self.ic_dy.k) // 2
+        last.z = self.ic_z.decompress(
+            self.last_height[lvl],
+            (1 if n == 1 else 0) + (kb if kb < 18 else 18))
+        self.last_height[lvl] = last.z
+        return last.copy()
+
+    def write(self, p: _Point10):
+        enc = self.coder
+        last = self.last
+        r = p.bit_byte & 7
+        n = (p.bit_byte >> 3) & 7
+        m = _return_map10(n, r)
+        changed = ((32 if p.bit_byte != last.bit_byte else 0)
+                   | (16 if p.intensity != self.last_intensity[m] else 0)
+                   | (8 if p.classification != last.classification else 0)
+                   | (4 if p.scan_angle_rank != last.scan_angle_rank else 0)
+                   | (2 if p.user_data != last.user_data else 0)
+                   | (1 if p.point_source != last.point_source else 0))
+        enc.encode_symbol(self.m_changed_values, changed)
+        if changed & 32:
+            enc.encode_symbol(self._model(self.m_bit_byte, last.bit_byte),
+                              p.bit_byte)
+            last.bit_byte = p.bit_byte
+        lvl = _return_level10(n, r)
+        if changed & 16:
+            self.ic_intensity.compress(self.last_intensity[m], p.intensity,
+                                       m if m < 3 else 3)
+            self.last_intensity[m] = p.intensity
+        last.intensity = p.intensity
+        if changed & 8:
+            enc.encode_symbol(
+                self._model(self.m_classification, last.classification),
+                p.classification)
+            last.classification = p.classification
+        if changed & 4:
+            sdf = (last.bit_byte >> 6) & 1
+            enc.encode_symbol(
+                self.m_scan_angle_rank[sdf],
+                (p.scan_angle_rank - last.scan_angle_rank) & 0xFF)
+            last.scan_angle_rank = p.scan_angle_rank
+        if changed & 2:
+            enc.encode_symbol(self._model(self.m_user_data, last.user_data),
+                              p.user_data)
+            last.user_data = p.user_data
+        if changed & 1:
+            self.ic_point_source.compress(last.point_source, p.point_source)
+            last.point_source = p.point_source
+        med = self.last_x_diff_median5[m]
+        diff = _i32(p.x - last.x)
+        self.ic_dx.compress(med.get(), diff, 1 if n == 1 else 0)
+        last.x = p.x
+        med.add(diff)
+        med = self.last_y_diff_median5[m]
+        kb = self.ic_dx.k
+        diff = _i32(p.y - last.y)
+        self.ic_dy.compress(
+            med.get(), diff, (1 if n == 1 else 0) + (kb if kb < 20 else 20))
+        last.y = p.y
+        med.add(diff)
+        kb = (self.ic_dx.k + self.ic_dy.k) // 2
+        self.ic_z.compress(
+            self.last_height[lvl], p.z,
+            (1 if n == 1 else 0) + (kb if kb < 18 else 18))
+        self.last_height[lvl] = p.z
+        last.z = p.z
+
+
+class GpsTime11v2:
+    """GPSTIME11 item version 2: the 4-sequence gps coder over the
+    shared chunk coder (same state machine the POINT14 layer uses)."""
+
+    def __init__(self, coder, first_bits: int, decompress: bool):
+        enc = not decompress
+        self.coder = coder
+        self.m_gpstime_multi = ArithmeticModel(GPSTIME_MULTI_TOTAL, enc)
+        self.m_gpstime_0diff = ArithmeticModel(6, enc)
+        self.ic_gpstime = IntegerCompressor(coder, 32, 9,
+                                            decompress=decompress)
+        self.last_gpstime = [first_bits & 0xFFFFFFFFFFFFFFFF, 0, 0, 0]
+        self.last_gpstime_diff = [0, 0, 0, 0]
+        self.multi_extreme_counter = [0, 0, 0, 0]
+        self.last = 0
+        self.next = 0
+
+    def read(self) -> int:
+        _gps_read(self, self.coder)
+        v = self.last_gpstime[self.last]
+        return struct.unpack("<q", struct.pack("<Q", v))[0]
+
+    def write(self, bits: int):
+        _gps_write(self, self.coder, bits & 0xFFFFFFFFFFFFFFFF)
+
+
+def laz2_decompress_points(buf: bytes, header: dict, vlr: dict,
+                           strict: bool = True) -> bytes:
+    """Compressor-2 (pointwise chunked) decode: PDRF 0-5 records from
+    POINT10/GPSTIME11/RGB12/BYTE v2 items over one coder per chunk."""
+    for (t, _s, v) in vlr["items"]:
+        if (t, v) not in ((6, 2), (7, 2), (8, 2), (0, 2)):
+            raise NotImplementedError(
+                f"LAZ v2 item type {t} v{v} unsupported (POINT10/GPSTIME11/"
+                "RGB12/BYTE v2 decode natively; wavepacket13 does not)")
+    item_types = [t for (t, _s, _v) in vlr["items"]]
+    has_gps = 7 in item_types
+    has_rgb = 8 in item_types
+    extra = sum(s for (t, s, _v) in vlr["items"] if t == 0)
+    chunk_size = vlr["chunk_size"]
+    if chunk_size == 0xFFFFFFFF:
+        raise NotImplementedError("variable-size LAZ chunking unsupported")
+    n = header["n_points"]
+    rec_len = header["rec_len"]
+    offset = header["offset"]
+    try:
+        table = read_chunk_table(buf, offset)
+    except (ValueError, IndexError, struct.error):
+        table = None
+    if table is None and n > chunk_size:
+        raise ValueError("multi-chunk LAZ v2 without a readable chunk table")
+    pos = offset + 8
+    out = bytearray()
+    remaining = n
+    ci = 0
+    while remaining > 0:
+        in_chunk = min(chunk_size, remaining)
+        chunk_start = pos
+        first = buf[pos:pos + rec_len]
+        pos += rec_len
+        end = (chunk_start + table[ci]) if table else len(buf)
+        dec = ArithmeticDecoder(buf[pos:end])
+        p10 = Point10v2(dec, parse_point10(first[:20]), decompress=True,
+                        strict=strict)
+        off = 20
+        gps = rgb = b14 = None
+        if has_gps:
+            (bits,) = struct.unpack_from("<q", first, off)
+            gps = GpsTime11v2(dec, bits, decompress=True)
+            off += 8
+        if has_rgb:
+            rgb = Rgb14v3(dec, struct.unpack_from("<HHH", first, off),
+                          decompress=True)
+            off += 6
+        if extra:
+            b14 = Byte14v3([dec] * extra, first[off:off + extra],
+                           decompress=True)
+        out += first
+        for _ in range(in_chunk - 1):
+            rec = pack_point10(p10.read())
+            if has_gps:
+                rec += struct.pack("<q", gps.read())
+            if has_rgb:
+                rec += struct.pack("<HHH", *rgb.read())
+            if extra:
+                rec += b14.read()
+            out += rec
+        pos = end if table else pos + (dec.pos - 4)
+        ci += 1
+        remaining -= in_chunk
+    return bytes(out)
+
+
+def laz2_compress_points(records: bytes, rec_len: int, fmt: int,
+                         chunk_size: int = 50000) -> tuple[bytes, dict]:
+    """PDRF 0-5 records -> compressor-2 point-data bytes + VLR fields."""
+    has_gps = fmt in (1, 3, 4, 5)
+    has_rgb = fmt in (2, 3, 5)
+    core = 20 + (8 if has_gps else 0) + (6 if has_rgb else 0)
+    extra = rec_len - core
+    n = len(records) // rec_len
+    out = bytearray(b"\0" * 8)
+    chunk_byte_sizes = []
+    i = 0
+    while i < n:
+        cnt = min(chunk_size, n - i)
+        start_len = len(out)
+        first = records[i * rec_len:(i + 1) * rec_len]
+        out += first
+        enc = ArithmeticEncoder()
+        p10 = Point10v2(enc, parse_point10(first[:20]), decompress=False,
+                        strict=False)
+        off = 20
+        gps = rgb = b14 = None
+        if has_gps:
+            (bits,) = struct.unpack_from("<q", first, off)
+            gps = GpsTime11v2(enc, bits, decompress=False)
+            off += 8
+        if has_rgb:
+            rgb = Rgb14v3(enc, struct.unpack_from("<HHH", first, off),
+                          decompress=False)
+            off += 6
+        if extra:
+            b14 = Byte14v3([enc] * extra, first[off:off + extra],
+                           decompress=False)
+        for j in range(i + 1, i + cnt):
+            rec = records[j * rec_len:(j + 1) * rec_len]
+            p10.write(parse_point10(rec[:20]))
+            o = 20
+            if has_gps:
+                gps.write(struct.unpack_from("<q", rec, o)[0])
+                o += 8
+            if has_rgb:
+                rgb.write(struct.unpack_from("<HHH", rec, o))
+                o += 6
+            if extra:
+                b14.write([enc] * extra, rec[o:o + extra])
+        out += enc.done()
+        chunk_byte_sizes.append(len(out) - start_len)
+        i += cnt
+    table_off = len(out)
+    struct.pack_into("<q", out, 0, table_off)
+    out += struct.pack("<II", 0, len(chunk_byte_sizes))
+    enc = ArithmeticEncoder()
+    ic = IntegerCompressor(enc, 32, 2, decompress=False)
+    pred = 0
+    for sz in chunk_byte_sizes:
+        ic.compress(pred, sz, 1)
+        pred = sz
+    out += enc.done()
+    items = [(6, 20, 2)]
+    if has_gps:
+        items.append((7, 8, 2))
+    if has_rgb:
+        items.append((8, 6, 2))
+    if extra:
+        items.append((0, extra, 2))
+    return bytes(out), {"compressor": 2, "coder": 0,
+                        "chunk_size": chunk_size, "items": items}

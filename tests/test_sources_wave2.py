@@ -992,3 +992,86 @@ def test_laz_fixture_parity_and_roundtrip(spark, tmp_path):
     row = a.agg(F.count("*").alias("n"), F.round(F.sum("x"), 3).alias("sx"),
                 F.round(F.sum("z"), 3).alias("sz")).first()
     assert row["n"] == 100000 and row["sx"] == 75000.0 == row["sz"]
+
+
+def test_laz_legacy_v2_roundtrip(spark, tmp_path):
+    """Round 6: legacy LAZ compressor 2 (pointwise chunked, LAS 1.0-1.3
+    PDRF 0-5): POINT10/GPSTIME11/RGB12/BYTE v2 items over one coder per
+    chunk.  Roundtrip-verified across formats and multi-chunk layouts
+    over the fixture-pinned coder/IC machinery; the 8x8 number_return
+    tables carry the same strict-mode guard as POINT14."""
+    import struct as _st
+    from sedona_db_spark.sources import laz as L
+    from sedona_db_spark.sources.las import parse_las_points
+    from sedona_db_spark.sources.laz import (
+        _Point10, laz2_compress_points, pack_point10, write_laz_bytes)
+
+    rng = np.random.RandomState(6)
+
+    def make(n, fmt, extra=0, multi_return=False):
+        recs = bytearray()
+        x = y = z = 0
+        gps = 100000.0
+        for i in range(n):
+            p = _Point10()
+            x += int(rng.randint(-30, 31))
+            y += int(rng.randint(-30, 31))
+            z += int(rng.randint(-8, 9))
+            p.x, p.y, p.z = x, y, z
+            p.intensity = int(rng.randint(0, 800))
+            if multi_return:
+                nr = int(rng.randint(1, 6))
+                r = int(rng.randint(1, nr + 1))
+            else:
+                nr = r = 1
+            p.bit_byte = (r | (nr << 3) | (int(rng.randint(0, 2)) << 6)
+                          | (int(rng.randint(0, 2)) << 7))
+            p.classification = int(rng.randint(0, 12))
+            p.scan_angle_rank = int(rng.randint(0, 256))
+            p.user_data = int(rng.randint(0, 40))
+            p.point_source = int(rng.randint(0, 6))
+            rec = pack_point10(p)
+            if fmt in (1, 3):
+                gps += float(rng.choice([0.0, 0.0002, 0.0002, 3.0]))
+                rec += _st.pack("<q", _st.unpack(
+                    "<q", _st.pack("<d", gps))[0])
+            if fmt in (2, 3):
+                r16 = int(rng.randint(0, 65536))
+                rec += _st.pack("<HHH", r16, (r16 + 50) % 65536,
+                                (r16 + 90) % 65536)
+            if extra:
+                rec += bytes(rng.randint(0, 256, extra, dtype=np.uint8))
+            recs += rec
+        return bytes(recs)
+
+    def decode(blob, vlr, header, strict):
+        orig = L.parse_laszip_vlr
+        L.parse_laszip_vlr = lambda buf, h: vlr
+        try:
+            return L.laz_decompress_points(blob, header, strict=strict)
+        finally:
+            L.parse_laszip_vlr = orig
+
+    for fmt, extra, rl, mr in [(0, 0, 20, False), (1, 0, 28, False),
+                               (2, 0, 26, False), (3, 0, 34, False),
+                               (3, 4, 38, False), (1, 0, 28, True)]:
+        recs = make(1500, fmt, extra, multi_return=mr)
+        blob, vlr = laz2_compress_points(recs, rl, fmt, chunk_size=600)
+        hdr = {"n_points": 1500, "rec_len": rl, "offset": 0,
+               "header_size": 0}
+        assert decode(blob, vlr, hdr, strict=not mr) == recs, (fmt, extra)
+        assert len(blob) < len(recs)
+
+    recs = make(200, 0, multi_return=True)
+    blob, vlr = laz2_compress_points(recs, 20, 0, chunk_size=100)
+    with pytest.raises(NotImplementedError):
+        decode(blob, vlr, {"n_points": 200, "rec_len": 20, "offset": 0,
+                           "header_size": 0}, strict=True)
+
+    # whole legacy file (LAS 1.2 header + compressor-2 VLR) through the
+    # standard read path
+    recs = make(3000, 1)
+    blob = write_laz_bytes(recs, 28, fmt=1, chunk_size=1200)
+    df = parse_las_points(blob)
+    assert len(df) == 3000
+    assert df["gps_time"].notna().all()
