@@ -3,14 +3,18 @@
 Design copied from the geometry type decision (SURVEY.md §1.3): opaque
 `binary` payload + typed metadata struct riding column metadata.
 
-Decode is REAL where the format allows without external libraries —
-PCM WAV (stdlib `wave`), netpbm P5/P6, uncompressed BMP, and PNG
-(native zlib + 5-filter codec, 8-bit gray/palette/RGB/RGBA) — with
-per-window audio features (RMS + zero-crossing rate) and grid
-mean-pool image features.  JPEG/MP4 remain gated on PIL/ffmpeg behind
-a sniffing registry (`extract_features_real` falls back to the
-deterministic fake and reports `decoded=false`); the Spark plumbing
-(schema, Arrow batching, mapInPandas shape) is identical either way.
+Decode is REAL without external libraries: PCM WAV (stdlib `wave`),
+netpbm P5/P6 incl. 16-bit, uncompressed BMP, PNG (all color types,
+depths 1-16, Adam7 — libpng-parity-tested), JPEG (baseline +
+progressive, libjpeg-cross-validated native codec) and GIF incl.
+animations (giflib-parity-tested), with per-window audio features
+(RMS + zero-crossing rate) and grid mean-pool image features.
+WebP-lossless decodes through the libwebp-parity-tested native VP8L
+codec.  Unrecognized containers (MP4, lossy WebP ...) fall back behind
+the sniffing
+registry to the deterministic fake with `decoded=false`; the Spark
+plumbing (schema, Arrow batching, mapInPandas shape) is identical
+either way.
 """
 
 from __future__ import annotations
@@ -417,6 +421,9 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         from sedona_db_spark.operators.gif_native import decode_gif
         return decode_gif(payload)[0][0][:, :, :3]  # first frame RGB
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from sedona_db_spark.operators.vp8l_native import decode_webp
+        return decode_webp(payload)  # lossless; VP8 lossy raises
     try:
         from PIL import Image  # noqa (absent in this container)
         import io
@@ -479,6 +486,11 @@ def extract_features_real(df: DataFrame, payload_col: str = "payload",
                     continue
                 b = bytes(p)
                 try:
+                    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                        feats.append(list(map(float, image_features(
+                            decode_image(b), dim))))
+                        real.append(True)
+                        continue
                     if b[:4] == b"RIFF":
                         s, rate = decode_wav(b)
                         v = audio_features(s, rate)
