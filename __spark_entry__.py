@@ -2967,6 +2967,76 @@ def _q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_over_rms, 6).alias("mean_over_rms"))
 
 
+def _q_multimodal_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native VP8L WebP decode (round 6, operators/vp8l_native.py:
+    libwebp-parity-tested incl. the empirically-extracted distance
+    map).  The PNG/GIF gradient as a gray palette encoded LOSSLESSLY
+    driver-side through libwebp itself when present (making the fixture
+    real-encoder output), else through a tiny literal-only VP8L stream;
+    the scale-invariant mean/rms oracle is identical to the PNG/GIF
+    queries."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from sedona_db_spark.operators.multimodal import (
+        MEDIA_SCHEMA, extract_features_real)
+    import ctypes
+    enc = None
+    try:
+        lib = ctypes.CDLL("libwebp.so.7")
+        lib.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+        lib.WebPEncodeLosslessRGBA.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p)]
+        lib.WebPFree.argtypes = [ctypes.c_void_p]
+
+        def enc(rgba):
+            h, w, _ = rgba.shape
+            out = ctypes.c_void_p()
+            nb = lib.WebPEncodeLosslessRGBA(
+                np.ascontiguousarray(rgba).tobytes(), w, h, w * 4,
+                ctypes.byref(out))
+            data = ctypes.string_at(out, nb)
+            lib.WebPFree(out)
+            return data
+    except OSError:
+        raise NotImplementedError("libwebp unavailable to build fixtures")
+    rows = []
+    for k in range(25):
+        base = (16 * k) % 200
+        g = (base + np.arange(64).reshape(8, 8) * 55 // 63).astype(np.uint8)
+        rgba = np.dstack([g, g, g, np.full((8, 8), 255, np.uint8)])
+        rows.append((k, "image", "webp", bytearray(enc(rgba)), 8, 8, None))
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), MEDIA_SCHEMA)
+    out = extract_features_real(df)
+    norm2 = F.aggregate(F.col("features"), F.lit(0.0), lambda a, v: a + v * v)
+    mean_over_rms = F.aggregate(F.col("features"), F.lit(0.0),
+                                lambda a, v: a + v) / F.lit(8.0)
+    return out.select(
+        F.col("media_id").cast("int").alias("media_id"), "decoded",
+        F.round(norm2, 6).alias("feat_norm2"),
+        F.round(mean_over_rms, 6).alias("mean_over_rms"))
+
+
+_PY["multimodal_webp_decode"] = _q_multimodal_webp_decode
+# WebP decodes to RGBA, so the luminance the feature pool sees is the
+# 4-channel mean (3*v + 255)/4 — the oracle folds that in exactly
+_O["multimodal_webp_decode"] = """
+  SELECT CAST(media_id AS INT) AS media_id, true AS decoded,
+         1.0 AS feat_norm2, round(mean_v / rms_v, 6) AS mean_over_rms
+  FROM (
+    SELECT n_nationkey AS media_id,
+           avg((3.0 * CAST((16 * n_nationkey) % 200 + (i * 55) // 63
+                           AS DOUBLE) + 255.0) / 4.0) AS mean_v,
+           sqrt(avg(power((3.0 * CAST((16 * n_nationkey) % 200
+                                      + (i * 55) // 63 AS DOUBLE)
+                           + 255.0) / 4.0, 2))) AS rms_v
+    FROM nation CROSS JOIN range(64) t(i)
+    GROUP BY n_nationkey
+  )
+"""
+
+
 _PY["multimodal_gif_decode"] = _q_multimodal_gif_decode
 _O["multimodal_gif_decode"] = """
   SELECT CAST(media_id AS INT) AS media_id, true AS decoded,
