@@ -292,3 +292,108 @@ def test_jpeg_decoder_tolerates_all_gray_levels():
         img = np.full((8, 16), g, dtype=np.uint8)
         dec = decode_jpeg(encode_jpeg(img, 95))
         assert np.all(np.abs(dec.astype(int) - g) <= 1), g
+
+
+# ----------------------------------------------------------------------
+# Round-6 codec property invariants (hypothesis): every from-scratch
+# codec must roundtrip arbitrary valid inputs, not just the seeded
+# cases the parity tests use.
+# ----------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=4000))
+def test_snappy_roundtrip_any_bytes(data):
+    from sedona_db_spark.sources.snappy_native import (snappy_compress,
+                                                       snappy_decompress)
+    assert snappy_decompress(snappy_compress(data)) == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 120), st.integers(0, 2 ** 32 - 1))
+def test_ccitt_g4_roundtrip_any_bilevel(h, w, seed):
+    from sedona_db_spark.sources.ccitt import g4_decode, g4_encode
+    rng = np.random.RandomState(seed % (2 ** 31))
+    a = (rng.rand(h, w) < rng.rand()).astype(np.uint8)
+    assert np.array_equal(g4_decode(g4_encode(a), w, h), a)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 30), st.integers(1, 40), st.integers(2, 256),
+       st.integers(0, 2 ** 32 - 1))
+def test_gif_roundtrip_any_palette(h, w, ncol, seed):
+    from sedona_db_spark.operators.gif_native import decode_gif, encode_gif
+    rng = np.random.RandomState(seed % (2 ** 31))
+    pal = rng.randint(0, 256, (ncol, 3), dtype=np.uint8)
+    fr = rng.randint(0, ncol, (h, w)).astype(np.uint8)
+    got = decode_gif(encode_gif([fr], pal))[0][0]
+    assert np.array_equal(got[:, :, :3], pal[fr])
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 24), st.integers(1, 24),
+       st.sampled_from([1, 2, 3, 4]), st.booleans(),
+       st.integers(0, 2 ** 32 - 1))
+def test_png_roundtrip_any_8bit(h, w, channels, interlace, seed):
+    from sedona_db_spark.operators.multimodal import decode_png, encode_png
+    rng = np.random.RandomState(seed % (2 ** 31))
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    img = rng.randint(0, 256, shape, dtype=np.uint8)
+    got = decode_png(encode_png(img, interlace=interlace))
+    exp = img if channels != 1 else img.reshape(h, w)
+    assert np.array_equal(got, exp)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.integers(2, 400), st.integers(0, 2 ** 32 - 1),
+       st.sampled_from([1, 2, 4, 8]))
+def test_blosc_bitshuffle_roundtrip(nelem, seed, tsz):
+    from sedona_db_spark.sources.zarr_source import (_bit_unshuffle,
+                                                     bit_shuffle)
+    rng = np.random.RandomState(seed % (2 ** 31))
+    data = rng.bytes(nelem * tsz)
+    assert _bit_unshuffle(bit_shuffle(data, tsz), tsz) == data
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(1, 600), st.integers(0, 2 ** 32 - 1))
+def test_laz_point14_roundtrip_random_fields(n, seed):
+    import struct as _st
+    from sedona_db_spark.sources import laz as L
+    rng = np.random.RandomState(seed % (2 ** 31))
+    recs = bytearray()
+    x = y = z = 0
+    for i in range(n):
+        p = L._Point14()
+        x += int(rng.randint(-1000, 1001))
+        y += int(rng.randint(-1000, 1001))
+        z += int(rng.randint(-100, 101))
+        p.x, p.y, p.z = x, y, z
+        p.intensity = int(rng.randint(0, 65536))
+        p.number_of_returns = int(rng.randint(1, 16))
+        p.return_number = int(rng.randint(1, 16))
+        p.classification_flags = int(rng.randint(0, 16))
+        p.scanner_channel = int(rng.randint(0, 4))
+        p.scan_direction = int(rng.randint(0, 2))
+        p.edge = int(rng.randint(0, 2))
+        p.classification = int(rng.randint(0, 256))
+        p.user_data = int(rng.randint(0, 256))
+        p.scan_angle = int(rng.randint(-30000, 30001))
+        p.point_source = int(rng.randint(0, 65536))
+        p.gps_time_bits = _st.unpack("<q", _st.pack(
+            "<d", float(rng.uniform(-1e9, 1e9))))[0]
+        recs += L.pack_point14(p)
+    recs = bytes(recs)
+    blob, vlr = L.laz_compress_points(recs, 30, chunk_size=max(2, n // 3))
+    orig = L.parse_laszip_vlr
+    L.parse_laszip_vlr = lambda buf, h: vlr
+    try:
+        got = L.laz_decompress_points(
+            recs[:0] + blob, {"n_points": n, "rec_len": 30, "offset": 0,
+                              "header_size": 0}, strict=False)
+    finally:
+        L.parse_laszip_vlr = orig
+    assert got == recs
