@@ -58,33 +58,45 @@ _DISTANCE_MAP = [
 
 
 class _BitReader:
-    """LSB-first bit reader."""
+    """LSB-first bit reader with a buffered peek window (the prefix-code
+    fast path reads 8 bits at a time through a root lookup table)."""
 
-    __slots__ = ("data", "pos", "bit")
+    __slots__ = ("data", "pos", "buf", "n")
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
-        self.bit = 0
+        self.buf = 0
+        self.n = 0
 
-    def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            if self.pos >= len(self.data):
+    def _fill(self):
+        data = self.data
+        while self.n <= 48 and self.pos < len(data):
+            self.buf |= data[self.pos] << self.n
+            self.pos += 1
+            self.n += 8
+
+    def read(self, k: int) -> int:
+        if self.n < k:
+            self._fill()
+            if self.n < k:
                 raise ValueError("truncated VP8L stream")
-            v |= ((self.data[self.pos] >> self.bit) & 1) << i
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.pos += 1
+        v = self.buf & ((1 << k) - 1)
+        self.buf >>= k
+        self.n -= k
         return v
+
+    def peek8(self) -> int:
+        if self.n < 8:
+            self._fill()
+        return self.buf & 0xFF
 
 
 class _Huffman:
     """Canonical prefix code (DEFLATE-style assignment), decoded by
     walking stream bits MSB-of-code-first."""
 
-    __slots__ = ("table", "single")
+    __slots__ = ("table", "single", "root")
 
     def __init__(self, lengths):
         nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
@@ -93,6 +105,7 @@ class _Huffman:
         if len(nz) == 1:
             self.single = nz[0][1]
             self.table = None
+            self.root = None
             return
         self.single = None
         # canonical assignment: increasing length, then symbol order
@@ -108,10 +121,31 @@ class _Huffman:
         if code != (1 << prev_len):
             raise ValueError("invalid prefix code (not full)")
         self.table = table
+        # root lookup: next 8 stream bits (LSB-first) -> (sym, len) for
+        # codes of length <= 8 (code bits arrive MSB-of-code-first, so
+        # the stream pattern is the bit-reversed code, low-filled)
+        root = [None] * 256
+        for (ln, cd), sym in table.items():
+            if ln <= 8:
+                rev = 0
+                for i in range(ln):
+                    rev |= ((cd >> i) & 1) << (ln - 1 - i)
+                for hi in range(1 << (8 - ln)):
+                    root[rev | (hi << ln)] = (sym, ln)
+        self.root = root
 
     def decode(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        hit = self.root[br.peek8()]
+        if hit is not None:
+            sym, ln = hit
+            if br.n >= ln:
+                br.buf >>= ln
+                br.n -= ln
+                return sym
+            br.read(ln)
+            return sym
         acc = 0
         ln = 0
         table = self.table
