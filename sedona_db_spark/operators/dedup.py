@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sedona_db_spark.functions import text as tx
+from sedona_db_spark.operators.result_cache import PAIR_RESULT_POOL
 
 
 def exact_dedup(df: DataFrame, cols: list[str] | None = None,
@@ -68,8 +69,9 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
         # executor-local blocks — losing one executor made the result
         # permanently unrecomputable (round-6 advisor).  count() eagerly
         # materializes it so the signature cache can be released below.
-        pairs = _minhash_pairs_plan(sdf, num_perm, bands, rows_per_band,
-                                    threshold).persist()
+        pairs = PAIR_RESULT_POOL.persist(
+            _minhash_pairs_plan(sdf, num_perm, bands, rows_per_band,
+                                threshold))
         pairs.count()
         return pairs
     finally:
@@ -138,7 +140,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     try:
         # persist + eager count, not localCheckpoint — see the
         # fault-tolerance note in minhash_candidate_pairs
-        pairs = _simhash_pairs_plan(sdf, max_hamming).persist()
+        pairs = PAIR_RESULT_POOL.persist(_simhash_pairs_plan(sdf, max_hamming))
         pairs.count()
         return pairs
     finally:

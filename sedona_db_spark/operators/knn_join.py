@@ -33,8 +33,9 @@ from sedona_db_spark.geom import core
 
 
 class _GridIndex:
-    MAX_KEYS = 8_000_000   # per-pass key/member materialization bound
     """Uniform-grid point index with expanding-ring KNN (numpy)."""
+
+    MAX_KEYS = 8_000_000   # per-pass key/member materialization bound
 
     def __init__(self, pts: np.ndarray, ids: np.ndarray, target_per_cell: int = 8):
         self.pts = pts
@@ -493,27 +494,16 @@ def knn_join(
 # referenced, losing its caching on interleaved calls, and was not
 # thread-safe (round-6 advisor).  Frames older than that are unpersisted:
 # their dependent results recompute correctly, just without the cache.
-import threading as _threading
-from collections import deque as _deque
+from sedona_db_spark.operators.result_cache import BoundedPersistPool
 
-_PARTITIONED_CACHE: _deque = _deque()
-_PARTITIONED_CACHE_LOCK = _threading.Lock()
-_PARTITIONED_KEEP_FRAMES = 4          # 2 frames/call x 2 recent calls
+# 2 frames/call x 2 recent calls
+_PARTITIONED_POOL = BoundedPersistPool(keep=4)
 
 
 def _cache_persist(df: DataFrame) -> DataFrame:
     """persist() df and enroll it in the bounded FIFO, releasing the
     oldest frames past the retention window."""
-    df = df.persist()
-    with _PARTITIONED_CACHE_LOCK:
-        _PARTITIONED_CACHE.append(df)
-        while len(_PARTITIONED_CACHE) > _PARTITIONED_KEEP_FRAMES:
-            old = _PARTITIONED_CACHE.popleft()
-            try:
-                old.unpersist()
-            except Exception:
-                pass
-    return df
+    return _PARTITIONED_POOL.persist(df)
 
 
 def knn_join_partitioned(

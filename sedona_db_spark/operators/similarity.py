@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from sedona_db_spark.operators.result_cache import PAIR_RESULT_POOL
+
 
 def _cosine_expr(vec_col, qlit):
     """Native cosine similarity between an array column and a literal."""
@@ -225,9 +227,11 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     LSH bucket join on signature bands (pigeonhole over hamming radius),
     exact native cosine verification on candidates only.  The result is
     materialized eagerly (persist + count) so the persisted signature
-    frame can be released immediately — no cached blocks outlive the
-    call, and the pair set stays lineage-recomputable on executor loss
-    (localCheckpoint blocks are not; round-6 advisor)."""
+    frame can be released immediately.  The returned pair set itself is
+    persisted and enrolled in a bounded FIFO (result_cache.PAIR_RESULT_POOL):
+    repeated calls release older results automatically, and the pair set
+    stays lineage-recomputable on executor loss (localCheckpoint blocks
+    are not; round-6 advisor)."""
     first = df.select(vec_col).first()
     if first is None:
         return df.sparkSession.createDataFrame(
@@ -240,8 +244,8 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                     F.col(vec_col).cast("array<double>").alias("v")) \
             .withColumn("sig", sig_udf(F.col("v"))).persist()
     try:
-        pairs = _near_dup_pairs_plan(sdf, threshold, bits, band_bits) \
-            .persist()
+        pairs = PAIR_RESULT_POOL.persist(
+            _near_dup_pairs_plan(sdf, threshold, bits, band_bits))
         pairs.count()
         return pairs
     finally:

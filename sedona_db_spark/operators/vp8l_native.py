@@ -448,7 +448,8 @@ def _pix_select(t: int, l: int, tl: int) -> int:
         p = ((l >> sh) & 0xFF) + ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
         pa += abs(p - ((l >> sh) & 0xFF))
         pb += abs(p - ((t >> sh) & 0xFF))
-    return l if pa <= pb else t
+    # libwebp returns T unless pa is strictly less than pb (ties -> T).
+    return l if pa < pb else t
 
 
 def _inverse_predictor(img: np.ndarray, bits: int,
@@ -505,7 +506,9 @@ def _inverse_predictor(img: np.ndarray, bits: int,
                     for sh in (24, 16, 8, 0):
                         a = (ave >> sh) & 0xFF
                         c = (TL >> sh) & 0xFF
-                        v = a + (a - c) // 2
+                        # C truncating division (toward zero), not floor.
+                        d = a - c
+                        v = a + (-((-d) // 2) if d < 0 else d // 2)
                         v = 0 if v < 0 else (255 if v > 255 else v)
                         out_v |= v << sh
                     pred = out_v
