@@ -3079,6 +3079,72 @@ def _mk_sql_query(sql_text: str):
     return run
 
 
+# ======================================================================
+# round 7: SQL-level spatial join planning (reference optimizer.rs:197-415)
+# — the SAME SQL a reference user writes, now planned through the engine's
+# spatial_join/knn_join operators by the session front door
+# (sedona_db_spark/plans/sql_rewrite.py) instead of Spark's default
+# condition-less nested-loop + per-pair Python filter.
+# ======================================================================
+
+_sql("sql_spatial_join_rewrite", """
+  SELECT n.n_nationkey, count(*) AS n_pts, round(sum(c.c_acctbal), 2) AS bal
+  FROM cust_pts c JOIN nation_boxes n
+  ON ST_Contains(n.geom, c.geom) AND c.c_custkey < 5000
+  GROUP BY n.n_nationkey
+""", """
+  SELECT n.n_nationkey, count(*) AS n_pts, round(sum(c.c_acctbal), 2) AS bal
+  FROM (SELECT c_custkey, c_acctbal, abs(c_acctbal) % 100.0 AS px,
+               (c_custkey % 1000) / 10.0 AS py FROM customer) c
+  JOIN (SELECT n_nationkey,
+               CAST(n_nationkey % 5 AS DOUBLE) * 20.0 AS x0,
+               CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 AS y0
+        FROM nation) n
+  ON c.px > n.x0 AND c.px < n.x0 + 20.0 AND c.py > n.y0 AND c.py < n.y0 + 20.0
+     AND c.c_custkey < 5000
+  GROUP BY n.n_nationkey
+""")
+
+_sql("sql_spatial_join_left_rewrite", """
+  SELECT c.c_custkey, n.n_nationkey
+  FROM (SELECT * FROM cust_pts WHERE c_custkey < 800) c
+  LEFT JOIN nation_boxes n ON ST_Within(c.geom, n.geom)
+""", """
+  SELECT c.c_custkey, n.n_nationkey FROM
+  (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,
+          (c_custkey % 1000) / 10.0 AS py
+   FROM customer WHERE c_custkey < 800) c
+  LEFT JOIN (SELECT n_nationkey,
+                    CAST(n_nationkey % 5 AS DOUBLE) * 20.0 AS x0,
+                    CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 AS y0
+             FROM nation) n
+  ON c.px > n.x0 AND c.px < n.x0 + 20.0 AND c.py > n.y0 AND c.py < n.y0 + 20.0
+""")
+
+_sql("sql_knn_join", """
+  SELECT c.c_custkey, n.n_nationkey, round(knn_distance, 6) AS dist
+  FROM (SELECT * FROM cust_pts WHERE c_custkey < 500) c
+  JOIN (SELECT n_nationkey,
+               ST_Point(CAST(n_nationkey % 5 AS DOUBLE) * 20.0 + 10.0,
+                        CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 + 10.0) AS geom
+        FROM nation) n
+  ON ST_KNN(c.geom, n.geom, 3, false)
+""", """
+  SELECT c_custkey, n_nationkey, round(d, 6) AS dist FROM (
+    SELECT c.c_custkey, n.n_nationkey,
+           sqrt(power(c.px - n.cx, 2) + power(c.py - n.cy, 2)) AS d,
+           row_number() OVER (PARTITION BY c.c_custkey
+                              ORDER BY sqrt(power(c.px - n.cx, 2) + power(c.py - n.cy, 2)), n.n_nationkey) AS rk
+    FROM (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px, (c_custkey % 1000) / 10.0 AS py
+          FROM customer WHERE c_custkey < 500) c
+    CROSS JOIN (SELECT n_nationkey,
+                       CAST(n_nationkey % 5 AS DOUBLE) * 20.0 + 10.0 AS cx,
+                       CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 + 10.0 AS cy
+                FROM nation) n) t
+  WHERE rk <= 3
+""")
+
+
 def _mk_py_query(fn):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _prep(spark, sf_dir)
@@ -3160,6 +3226,16 @@ _PRIORITY[_PRIORITY.index("geotiff_deflate_roundtrip")] = \
     "geotiff_ccitt_roundtrip"
 _PRIORITY[_PRIORITY.index("st_transform_utm_south")] = \
     "multimodal_gif_decode"
+# Round 7: the SQL front-door spatial join rewrite takes three slots.
+# sql_spatial_join_left_rewrite / sql_knn_join run the SAME operators as
+# the DataFrame-API twins they replace (spatial_join_left_within /
+# knn_join_k3 — both stay green in the replica + pytest), now reached
+# through spark.sql; GeoJSON IO stays covered by the flatgeobuf +
+# geoparquet roundtrips in-window and its own replica/pytest entries.
+_PRIORITY[_PRIORITY.index("geojson_roundtrip")] = "sql_spatial_join_rewrite"
+_PRIORITY[_PRIORITY.index("spatial_join_left_within")] = \
+    "sql_spatial_join_left_rewrite"
+_PRIORITY[_PRIORITY.index("knn_join_k3")] = "sql_knn_join"
 
 
 def _ordered_names() -> list[str]:

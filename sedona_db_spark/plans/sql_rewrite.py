@@ -1,0 +1,681 @@
+"""SQL-level spatial join planning.
+
+Reroutes ``spark.sql("... FROM a JOIN b ON ST_Intersects(a.g, b.g)")``
+through the engine's real spatial join operators instead of Spark's default
+plan for a non-equi join (BroadcastNestedLoopJoin with a per-row scalar-UDF
+refine — the documented worst practice).
+
+Reference parity: this is the PySpark-side analogue of the reference's
+logical optimizer rules ``MergeSpatialFilterIntoJoin`` +
+``SpatialJoinLogicalRewrite`` (rust/sedona-query-planner/src/optimizer.rs:
+197-261, 306-415) and the KNN join rewrite (optimizer.rs:140-195,417-555):
+
+- ``a JOIN b ON ST_Pred(a.g, b.g)`` (inner / LEFT) -> ``spatial_join``
+- ``FROM a, b WHERE ST_Pred(...)`` / CROSS JOIN + WHERE -> same (the
+  reference merges the filter into the join first; optimizer.rs:197-261)
+- ``ON ST_DWithin(a.g, b.g, d)`` -> distance join
+- ``ON ST_KNN(q.g, o.g, k, use_spheroid)`` -> ``knn_join`` (inner only).
+  Conjuncts above the join keep SQL placement, so an object-side filter
+  applies AFTER neighbor selection — the reference pins exactly this
+  (optimizer.rs:417-555 blocks object-side pushdown; Spark's own rules
+  cannot push a non-partition-key filter below the ranking window).
+- DECLINES (falls back to vanilla Spark planning) when an equi-key
+  conjunct links both sides — Spark's hash join + post-filter is already
+  the right plan (reference declines identically, optimizer.rs:253-257).
+
+Architecture note ("why not a Catalyst rule"): injecting a logical rule
+needs JVM code; a pure-PySpark engine intercepts at its session front door
+instead.  ``install_sql_rewrite(spark)`` (called by ``register_all``) wraps
+the session's ``sql`` method: a cheap regex precheck skips everything
+without a spatial predicate + join, a token-level matcher handles the
+supported shapes, and ANY non-matching or ambiguous query falls back to the
+original planner unchanged.  The rewritten join subtree is registered as a
+temp view and the rest of the query (projection, WHERE, GROUP BY, ORDER BY,
+set ops above) runs over it verbatim, so SQL semantics outside the join are
+Spark's own.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+# ----------------------------------------------------------------------
+# tokenizer
+# ----------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<ws>\s+|--[^\n]*|/\*.*?\*/)
+    | (?P<str>'(?:[^']|'')*')
+    | (?P<qid>"(?:[^"]|"")*"|`(?:[^`]|``)*`)
+    | (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
+    | (?P<id>[A-Za-z_][A-Za-z_0-9]*)
+    | (?P<op><=>|<>|<=|>=|!=|\|\||::|->>?|==)
+    | (?P<ch>.)
+    """,
+    re.S | re.X,
+)
+
+
+def _tokenize(sql: str) -> list[str] | None:
+    """SQL -> token list (whitespace/comments dropped).  None on oddities."""
+    toks = []
+    pos = 0
+    for m in _TOKEN_RE.finditer(sql):
+        if m.start() != pos:
+            return None
+        pos = m.end()
+        if m.lastgroup != "ws":
+            toks.append(m.group())
+    if pos != len(sql):
+        return None
+    return toks
+
+
+def _render(toks: list[str]) -> str:
+    """Token list -> SQL text.  A space between every token is valid Spark
+    SQL except inside qualified names, which the rewrite collapses into
+    single tokens before rendering."""
+    return " ".join(toks)
+
+
+# ----------------------------------------------------------------------
+# predicate tables (reference spatial_predicate.rs:44-214 relation set)
+# ----------------------------------------------------------------------
+
+_PRED_NAMES = {
+    "ST_INTERSECTS": "intersects",
+    "ST_CONTAINS": "contains",
+    "ST_WITHIN": "within",
+    "ST_COVERS": "covers",
+    "ST_COVEREDBY": "covered_by",
+    "ST_COVERED_BY": "covered_by",
+    "ST_TOUCHES": "touches",
+    "ST_CROSSES": "crosses",
+    "ST_OVERLAPS": "overlaps",
+    "ST_EQUALS": "equals",
+}
+# predicate(B, A) equivalent to transpose(predicate)(A, B)
+_TRANSPOSE = {
+    "contains": "within",
+    "within": "contains",
+    "covers": "covered_by",
+    "covered_by": "covers",
+    "intersects": "intersects",
+    "equals": "equals",
+    "touches": "touches",
+    "overlaps": "overlaps",
+    # crosses is intentionally absent: OGC defines it via dim() cases and
+    # the engine does not certify arg-swap symmetry
+}
+
+_PRECHECK = re.compile(
+    r"\bST_(INTERSECTS|CONTAINS|WITHIN|COVERS|COVERED_?BY|TOUCHES|CROSSES|"
+    r"OVERLAPS|EQUALS|DWITHIN|KNN)\s*\(",
+    re.I,
+)
+
+_BLOCK_END = {
+    "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION", "INTERSECT",
+    "EXCEPT", "WINDOW", "QUALIFY", "DISTRIBUTE", "CLUSTER", "SORT",
+}
+_JOIN_WORDS = {"JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "SEMI",
+               "ANTI", "NATURAL", "LATERAL"}
+_NOT_ALIAS = _BLOCK_END | _JOIN_WORDS | {"ON", "USING", "AS"}
+
+
+class _Decline(Exception):
+    """Shape not rewritable — fall back to vanilla planning."""
+
+
+class _Rel:
+    """One relation in the FROM clause: a (multi-part) table name or a
+    parenthesized subquery, plus its alias."""
+
+    def __init__(self, start: int, end: int, alias: str, is_subquery: bool,
+                 text: str):
+        self.start = start          # token span [start, end)
+        self.end = end
+        self.alias = alias
+        self.is_subquery = is_subquery
+        self.text = text            # table name or subquery SQL
+
+
+def _depths(toks: list[str]) -> list[int]:
+    out = []
+    d = 0
+    for t in toks:
+        if t == ")":
+            d -= 1
+        out.append(d)
+        if t == "(":
+            d += 1
+    return out
+
+
+def _is_ident(t: str) -> bool:
+    return bool(re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", t)) or (
+        t[:1] in "`\"" and len(t) >= 2)
+
+
+def _unquote(t: str) -> str:
+    if t[:1] == "`" and t[-1:] == "`":
+        return t[1:-1].replace("``", "`")
+    if t[:1] == '"' and t[-1:] == '"':
+        return t[1:-1].replace('""', '"')
+    return t
+
+
+def _parse_rel(toks: list[str], i: int) -> tuple[_Rel, int]:
+    """Parse a relation reference starting at token i."""
+    n = len(toks)
+    if i >= n:
+        raise _Decline
+    if toks[i] == "(":
+        d = 0
+        j = i
+        while j < n:
+            if toks[j] == "(":
+                d += 1
+            elif toks[j] == ")":
+                d -= 1
+                if d == 0:
+                    break
+            j += 1
+        if j >= n:
+            raise _Decline
+        body = _render(toks[i + 1:j])
+        j += 1
+        alias, j = _parse_alias(toks, j)
+        if alias is None:
+            raise _Decline   # subquery needs an alias
+        return _Rel(i, j, alias, True, body), j
+    # multipart identifier
+    if not _is_ident(toks[i]) or toks[i].upper() in _NOT_ALIAS:
+        raise _Decline
+    parts = [toks[i]]
+    j = i + 1
+    while j + 1 < n and toks[j] == "." and _is_ident(toks[j + 1]):
+        parts.append(toks[j + 1])
+        j += 2
+    alias, j = _parse_alias(toks, j)
+    name = ".".join(parts)
+    if alias is None:
+        alias = _unquote(parts[-1])
+    return _Rel(i, j, alias, False, name), j
+
+
+def _parse_alias(toks: list[str], j: int) -> tuple[str | None, int]:
+    n = len(toks)
+    if j < n and toks[j].upper() == "AS" and j + 1 < n and _is_ident(toks[j + 1]):
+        return _unquote(toks[j + 1]), j + 2
+    if j < n and _is_ident(toks[j]) and toks[j].upper() not in _NOT_ALIAS:
+        return _unquote(toks[j]), j + 1
+    return None, j
+
+
+def _split_conjuncts(toks: list[str], lo: int, hi: int) -> list[tuple[int, int]]:
+    """Split toks[lo:hi] on top-level AND -> list of (start, end) spans."""
+    spans = []
+    d = 0
+    start = lo
+    for j in range(lo, hi):
+        t = toks[j]
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        elif d == 0 and t.upper() == "AND":
+            spans.append((start, j))
+            start = j + 1
+        elif d == 0 and (t.upper() == "OR" or t.upper() == "NOT"):
+            raise _Decline   # disjunctions / negations not rewritable
+    spans.append((start, hi))
+    return [s for s in spans if s[1] > s[0]]
+
+
+class _SpatialConjunct:
+    def __init__(self, kind: str, predicate: str | None,
+                 arg_rels: list[str], arg_cols: list[str],
+                 extra: list[float]):
+        self.kind = kind            # 'relation' | 'dwithin' | 'knn'
+        self.predicate = predicate
+        self.arg_rels = arg_rels    # alias of relation per geometry arg
+        self.arg_cols = arg_cols
+        self.extra = extra          # [distance] or [k, use_spheroid]
+
+
+def _qualified_ref(toks, lo, hi, aliases, schemas):
+    """Span is exactly one geometry reference -> (alias, col) or None."""
+    span = toks[lo:hi]
+    if len(span) == 3 and span[1] == "." and _is_ident(span[0]) and _is_ident(span[2]):
+        a = _unquote(span[0])
+        if a in aliases:
+            return a, _unquote(span[2])
+        return None
+    if len(span) == 1 and _is_ident(span[0]):
+        col = _unquote(span[0])
+        owners = [a for a in aliases if col in schemas[a]]
+        if len(owners) == 1:
+            return owners[0], col
+        return None
+    return None
+
+
+def _literal_number(toks, lo, hi):
+    span = toks[lo:hi]
+    if len(span) == 1 and re.fullmatch(r"[\d.eE+-]+", span[0]):
+        try:
+            return float(span[0])
+        except ValueError:
+            return None
+    if len(span) == 2 and span[0] == "-":
+        v = _literal_number(toks, lo + 1, hi)
+        return -v if v is not None else None
+    return None
+
+
+def _parse_spatial_conjunct(toks, lo, hi, aliases, schemas):
+    """Parse toks[lo:hi] as ST_Pred(...) over the two join relations.
+    Returns _SpatialConjunct or None (not spatial)."""
+    if hi - lo < 4 or toks[lo + 1] != "(" or toks[hi - 1] != ")":
+        return None
+    fname = toks[lo].upper()
+    if fname not in _PRED_NAMES and fname not in ("ST_DWITHIN", "ST_KNN"):
+        return None
+    # split args on top-level commas inside the call
+    d = 0
+    args = []
+    start = lo + 2
+    for j in range(lo + 2, hi - 1):
+        t = toks[j]
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        elif d == 0 and t == ",":
+            args.append((start, j))
+            start = j + 1
+    args.append((start, hi - 1))
+    if d != 0:
+        raise _Decline
+
+    def geo(idx):
+        ref = _qualified_ref(toks, args[idx][0], args[idx][1], aliases, schemas)
+        if ref is None:
+            raise _Decline
+        return ref
+
+    if fname in _PRED_NAMES:
+        if len(args) != 2:
+            raise _Decline
+        (ra, ca), (rb, cb) = geo(0), geo(1)
+        if ra == rb:
+            raise _Decline
+        return _SpatialConjunct("relation", _PRED_NAMES[fname],
+                                [ra, rb], [ca, cb], [])
+    if fname == "ST_DWITHIN":
+        if len(args) != 3:
+            raise _Decline
+        (ra, ca), (rb, cb) = geo(0), geo(1)
+        dist = _literal_number(toks, args[2][0], args[2][1])
+        if ra == rb or dist is None:
+            raise _Decline
+        return _SpatialConjunct("dwithin", None, [ra, rb], [ca, cb], [dist])
+    # ST_KNN(q, o, k, use_spheroid)
+    if len(args) != 4:
+        raise _Decline
+    (ra, ca), (rb, cb) = geo(0), geo(1)
+    k = _literal_number(toks, args[2][0], args[2][1])
+    sph_span = toks[args[3][0]:args[3][1]]
+    if (ra == rb or k is None or k != int(k) or k <= 0
+            or len(sph_span) != 1
+            or sph_span[0].upper() not in ("TRUE", "FALSE")):
+        raise _Decline
+    return _SpatialConjunct("knn", None, [ra, rb], [ca, cb],
+                            [int(k), sph_span[0].upper() == "TRUE"])
+
+
+def _refs_relations(toks, lo, hi, aliases, schemas) -> set[str]:
+    """Which of the two join relations does toks[lo:hi] reference?"""
+    out = set()
+    j = lo
+    while j < hi:
+        t = toks[j]
+        if _is_ident(t):
+            a = _unquote(t)
+            if a in aliases and j + 2 < hi and toks[j + 1] == ".":
+                out.add(a)
+                j += 3
+                continue
+            is_fn_call = j + 1 < hi and toks[j + 1] == "("
+            if not is_fn_call and t.upper() not in _NOT_ALIAS:
+                col = _unquote(t)
+                owners = [al for al in aliases if col in schemas[al]]
+                if len(owners) == 1:
+                    out.add(owners[0])
+        j += 1
+    return out
+
+
+def _is_equi_conjunct(toks, lo, hi, aliases, schemas) -> bool:
+    """x = y with x and y from different join sides (reference declines
+    the spatial rewrite then — optimizer.rs:253-257)."""
+    d = 0
+    for j in range(lo, hi):
+        t = toks[j]
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        elif d == 0 and t == "=":
+            lhs = _refs_relations(toks, lo, j, aliases, schemas)
+            rhs = _refs_relations(toks, j + 1, hi, aliases, schemas)
+            if lhs and rhs and lhs != rhs:
+                return True
+    return False
+
+
+# ----------------------------------------------------------------------
+# the rewrite
+# ----------------------------------------------------------------------
+
+_VIEW_PREFIX = "__sedona_sql_join_"
+
+
+class _Match:
+    pass
+
+
+def _find_match(toks, depths, spark, vanilla_sql):
+    """Find the first rewritable FROM clause; returns a _Match or raises
+    _Decline."""
+    n = len(toks)
+    for i in range(n):
+        if toks[i].upper() != "FROM":
+            continue
+        d = depths[i]
+        try:
+            rel1, j = _parse_rel(toks, i + 1)
+        except _Decline:
+            continue
+        how = None
+        comma_form = False
+        if j < n and toks[j] == ",":
+            how, comma_form = "inner", True
+            j += 1
+        elif j < n and toks[j].upper() == "JOIN":
+            how = "inner"
+            j += 1
+        elif j + 1 < n and toks[j].upper() == "INNER" and toks[j + 1].upper() == "JOIN":
+            how = "inner"
+            j += 2
+        elif j + 1 < n and toks[j].upper() == "CROSS" and toks[j + 1].upper() == "JOIN":
+            how, comma_form = "inner", True
+            j += 2
+        elif j + 1 < n and toks[j].upper() == "LEFT" and toks[j + 1].upper() == "JOIN":
+            how = "left"
+            j += 2
+        elif (j + 2 < n and toks[j].upper() == "LEFT"
+              and toks[j + 1].upper() == "OUTER" and toks[j + 2].upper() == "JOIN"):
+            how = "left"
+            j += 3
+        else:
+            continue
+        try:
+            rel2, j = _parse_rel(toks, j)
+        except _Decline:
+            continue
+        if rel1.alias == rel2.alias:
+            continue
+
+        m = _Match()
+        m.rel1, m.rel2, m.how, m.comma_form = rel1, rel2, how, comma_form
+        m.from_idx, m.depth = i, d
+
+        if comma_form:
+            # conjuncts live in the WHERE clause of this block
+            if not (j < n and depths[j] == d and toks[j].upper() == "WHERE"):
+                continue
+            m.join_end = j          # FROM span ends before WHERE
+            cond_lo = j + 1
+        else:
+            if not (j < n and toks[j].upper() == "ON"):
+                continue
+            cond_lo = j + 1
+        # condition extends to next block keyword at depth d (or a
+        # further JOIN -> decline: single-join shapes only)
+        k = cond_lo
+        while k < n and depths[k] >= d:
+            if depths[k] == d:
+                u = toks[k].upper()
+                if u in _BLOCK_END and not comma_form:
+                    break
+                if comma_form and u in (_BLOCK_END - {"WHERE"}):
+                    break
+                if u in _JOIN_WORDS or u == ",":
+                    raise _Decline   # multi-join FROM clause
+            k += 1
+        m.cond_lo, m.cond_hi = cond_lo, k
+        if not comma_form:
+            m.join_end = k
+        return m
+    raise _Decline
+
+
+def _resolve_df(spark, vanilla_sql, rel: _Rel) -> DataFrame:
+    if rel.is_subquery:
+        return vanilla_sql(rel.text)
+    return spark.table(rel.text)
+
+
+def try_rewrite(spark: SparkSession, sql: str, vanilla_sql) -> DataFrame | None:
+    """Attempt the spatial-join rewrite; None means 'use vanilla'."""
+    if not _PRECHECK.search(sql):
+        return None
+    toks = _tokenize(sql)
+    if toks is None:
+        return None
+    try:
+        return _rewrite(spark, sql, toks, vanilla_sql)
+    except _Decline:
+        return None
+
+
+def _rewrite(spark, sql, toks, vanilla_sql):
+    depths = _depths(toks)
+    m = _find_match(toks, depths, spark, vanilla_sql)
+
+    ldf = _resolve_df(spark, vanilla_sql, m.rel1)
+    rdf = _resolve_df(spark, vanilla_sql, m.rel2)
+    aliases = (m.rel1.alias, m.rel2.alias)
+    schemas = {m.rel1.alias: set(ldf.columns), m.rel2.alias: set(rdf.columns)}
+
+    conjuncts = _split_conjuncts(toks, m.cond_lo, m.cond_hi)
+    spatial = None
+    spatial_span = None
+    rest = []
+    for (lo, hi) in conjuncts:
+        span = (lo + 1, hi - 1) if (
+            toks[lo] == "(" and toks[hi - 1] == ")"
+            and min(depths[lo + 1:hi - 1] or [0]) > depths[lo]) else (lo, hi)
+        sc = _parse_spatial_conjunct(toks, span[0], span[1], aliases, schemas)
+        if sc is not None:
+            if spatial is not None:
+                raise _Decline       # two spatial predicates — not certified
+            spatial, spatial_span = sc, (lo, hi)
+        else:
+            if _is_equi_conjunct(toks, span[0], span[1], aliases, schemas):
+                raise _Decline       # equi-key present: hash join wins
+            rest.append((lo, hi))
+    if spatial is None:
+        raise _Decline
+    if m.how == "left" and not m.comma_form and rest:
+        # extra ON conjuncts change LEFT JOIN match semantics; only the
+        # pure spatial form is certified
+        raise _Decline
+    if spatial.kind == "knn" and m.how != "inner":
+        raise _Decline
+
+    # geometry columns must exist on their relations
+    for a, c in zip(spatial.arg_rels, spatial.arg_cols):
+        if c not in schemas[a]:
+            raise _Decline
+
+    # -------- column disambiguation (right side renamed on collision)
+    lcols = list(ldf.columns)
+    collide = set(lcols) & set(rdf.columns)
+    rmap = {c: (f"{m.rel2.alias}__{c}" if c in collide else c)
+            for c in rdf.columns}
+    if any(v in lcols for c, v in rmap.items() if v != c):
+        raise _Decline               # pathological rename collision
+    from pyspark.sql import functions as F
+    rdf_r = rdf.select([F.col(c).alias(a) for c, a in rmap.items()])
+
+    def out_name(alias, col):
+        if alias == m.rel1.alias:
+            return col
+        return rmap.get(col, col)
+
+    def map_refs(span: list[str]) -> list[str]:
+        """Rewrite alias-qualified references within a token span."""
+        res = []
+        i = 0
+        while i < len(span):
+            t = span[i]
+            if (_is_ident(t) and _unquote(t) in aliases and i + 2 < len(span)
+                    and span[i + 1] == "." and _is_ident(span[i + 2])):
+                res.append(f"`{out_name(_unquote(t), _unquote(span[i + 2]))}`")
+                i += 3
+                continue
+            res.append(t)
+            i += 1
+        return res
+
+    lgeom = {a: c for a, c in zip(spatial.arg_rels, spatial.arg_cols)}
+    g1 = lgeom.get(m.rel1.alias)
+    g2 = rmap.get(lgeom.get(m.rel2.alias), lgeom.get(m.rel2.alias))
+
+    joined = _build_join(spark, m, spatial, ldf, rdf_r, g1, g2)
+
+    # -------- register the view and rebuild the query text
+    vname = _VIEW_PREFIX + hashlib.sha1(sql.encode()).hexdigest()[:12]
+    joined.createOrReplaceTempView(vname)
+
+    out = []
+    skip_spans = []
+    if m.comma_form:
+        # FROM span = [from_idx, join_end); spatial conjunct replaced by
+        # TRUE inside the surviving WHERE
+        skip_spans.append((m.from_idx, m.join_end))
+    else:
+        skip_spans.append((m.from_idx, m.join_end))
+
+    i = 0
+    n = len(toks)
+    while i < n:
+        if skip_spans and i == skip_spans[0][0]:
+            out.append("FROM")
+            out.append(vname)
+            if not m.comma_form and rest:
+                # surviving ON conjuncts -> WHERE conjuncts (inner join:
+                # identical semantics)
+                parts = []
+                for (lo, hi) in rest:
+                    parts.append("( " + _render(map_refs(toks[lo:hi])) + " )")
+                nxt = skip_spans[0][1]
+                if nxt < n and toks[nxt].upper() == "WHERE":
+                    out.extend(["WHERE", " AND ".join(parts), "AND"])
+                    i = nxt + 1
+                    continue
+                out.extend(["WHERE", " AND ".join(parts)])
+            i = skip_spans[0][1]
+            continue
+        if m.comma_form and spatial_span[0] <= i < spatial_span[1]:
+            if i == spatial_span[0]:
+                out.append("TRUE")
+            i += 1
+            continue
+        t = toks[i]
+        if _is_ident(t) and _unquote(t) in aliases and i + 1 < n and toks[i + 1] == ".":
+            a = _unquote(t)
+            if i + 2 < n and toks[i + 2] == "*":
+                src = lcols if a == m.rel1.alias else list(rmap.values())
+                out.append(" , ".join(f"`{c}`" for c in src))
+                i += 3
+                continue
+            if i + 2 < n and _is_ident(toks[i + 2]):
+                out.append(f"`{out_name(a, _unquote(toks[i + 2]))}`")
+                i += 3
+                continue
+        out.append(t)
+        i += 1
+
+    return vanilla_sql(_render(out))
+
+
+def _build_join(spark, m, spatial, ldf, rdf_r, g1, g2) -> DataFrame:
+    """Route the matched shape into the engine's join operators."""
+    from sedona_db_spark.operators.knn_join import knn_join
+    from sedona_db_spark.operators.spatial_join import spatial_join
+
+    first_is_left = spatial.arg_rels[0] == m.rel1.alias
+    if spatial.kind == "knn":
+        k, use_spheroid = spatial.extra
+        if not first_is_left:
+            raise _Decline           # ST_KNN(queries, objects, ...) order
+        out = knn_join(ldf, rdf_r, int(k), query_geom=g1, object_geom=g2,
+                       use_spheroid=bool(use_spheroid))
+        # the SQL surface exposes both sides' columns (+ knn_distance)
+        return out
+    if spatial.kind == "dwithin":
+        return spatial_join(ldf, rdf_r, left_geom=g1, right_geom=g2,
+                            predicate="intersects",
+                            distance=spatial.extra[0], how=m.how)
+    pred = spatial.predicate
+    if m.how == "inner":
+        if first_is_left:
+            return spatial_join(ldf, rdf_r, left_geom=g1, right_geom=g2,
+                                predicate=pred, how="inner")
+        # evaluate predicate(rel2, rel1) with rel2 as operator-left, then
+        # column names are already unique so output order is immaterial
+        return spatial_join(rdf_r, ldf, left_geom=g2, right_geom=g1,
+                            predicate=pred, how="inner")
+    # LEFT join: operator-left must stay the SQL left relation
+    if not first_is_left:
+        pred = _TRANSPOSE.get(pred)
+        if pred is None:
+            raise _Decline
+    return spatial_join(ldf, rdf_r, left_geom=g1, right_geom=g2,
+                        predicate=pred, how="left")
+
+
+# ----------------------------------------------------------------------
+# session installation
+# ----------------------------------------------------------------------
+
+def install_sql_rewrite(spark: SparkSession) -> None:
+    """Wrap ``spark.sql`` so spatial joins plan through the engine's
+    operators.  Idempotent per session; vanilla behavior for every
+    non-matching query (including parameterized sql(..., args))."""
+    if getattr(spark, "_sedona_sql_rewrite_installed", False):
+        return
+    vanilla = spark.sql
+
+    def sql(query, *args, **kwargs):
+        if args or kwargs or not isinstance(query, str):
+            return vanilla(query, *args, **kwargs)
+        if _PRECHECK.search(query):
+            try:
+                out = try_rewrite(spark, query, vanilla)
+            except Exception:
+                out = None
+            if out is not None:
+                return out
+        return vanilla(query)
+
+    spark.sql = sql
+    spark._sedona_sql_rewrite_installed = True

@@ -100,6 +100,10 @@ def register_all(spark: SparkSession) -> SparkSession:
     except Exception:
         pass  # logging backend differs: the warning is cosmetic anyway
     register_sql_functions(spark)
+    # SQL front door: spatial joins plan through the real operators
+    # (reference optimizer.rs:197-415 / 140-195 rewrite semantics)
+    from sedona_db_spark.plans.sql_rewrite import install_sql_rewrite
+    install_sql_rewrite(spark)
     return spark
 
 
