@@ -100,15 +100,21 @@ def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact cosine top-k against one query vector.
 
-    Dispatch: tiny inputs (Catalyst size estimate < 1 MB) keep the
+    Dispatch: small inputs (Catalyst size estimate < 12 MB) keep the
     all-native `aggregate(zip_with(...))` expression (zero python, no
     worker spin-up); anything bigger scores via the batched-matmul
     pandas UDF (one blas matvec per Arrow batch) — measured 4-5x the
     per-row codegen walk at sf10.  Both paths end in the same
-    TakeOrdered(k); no shuffle of the full table either way."""
+    TakeOrdered(k); no shuffle of the full table either way.
+
+    Threshold calibration (round 7, verdict #2): at 1 MB the sf0.1
+    input (~6 MB of vectors) paid the ~0.3 s python-worker spin-up for
+    a workload the codegen walk finishes faster; the crossover where
+    blas matvec beats codegen is ~10 MB of vector data on local[32],
+    and the sf10 matmul win (2.83 -> 0.73 s) is preserved far above it."""
     from sedona_db_spark.plans.width import planned_size_bytes
     size = planned_size_bytes(df.select(vec_col))
-    if size is not None and size < (1 << 20):
+    if size is not None and size < (12 << 20):
         qlit = query_literal(query_vec)
         cos = _cosine_expr(F.col(vec_col).cast("array<double>"), qlit)
     else:

@@ -614,7 +614,10 @@ def _rewrite(spark, sql, toks, vanilla_sql):
         out.append(t)
         i += 1
 
-    return vanilla_sql(_render(out))
+    rewritten = _render(out)
+    result = vanilla_sql(rewritten)
+    result._sedona_rewritten_sql = rewritten
+    return result
 
 
 def _build_join(spark, m, spatial, ldf, rdf_r, g1, g2) -> DataFrame:
@@ -632,17 +635,37 @@ def _build_join(spark, m, spatial, ldf, rdf_r, g1, g2) -> DataFrame:
         # the SQL surface exposes both sides' columns (+ knn_distance)
         return out
     if spatial.kind == "dwithin":
+        if m.how == "inner":
+            # symmetric: index the smaller side (see build-side note below)
+            from sedona_db_spark.plans.width import planned_size_bytes
+            sl = planned_size_bytes(ldf)
+            sr = planned_size_bytes(rdf_r)
+            if sl is not None and sr is not None and sl < sr:
+                return spatial_join(rdf_r, ldf, left_geom=g2, right_geom=g1,
+                                    predicate="intersects",
+                                    distance=spatial.extra[0], how="inner")
         return spatial_join(ldf, rdf_r, left_geom=g1, right_geom=g2,
                             predicate="intersects",
                             distance=spatial.extra[0], how=m.how)
     pred = spatial.predicate
     if m.how == "inner":
+        # spatial_join builds its index on the RIGHT side, so put the
+        # (estimated) smaller relation there — plan-time Catalyst stats,
+        # no job; transpose the predicate when the swap flips arg order
+        # (the reference's physical planner makes the same build-side
+        # choice from statistics).
+        from sedona_db_spark.plans.width import planned_size_bytes
         if first_is_left:
-            return spatial_join(ldf, rdf_r, left_geom=g1, right_geom=g2,
-                                predicate=pred, how="inner")
-        # evaluate predicate(rel2, rel1) with rel2 as operator-left, then
-        # column names are already unique so output order is immaterial
-        return spatial_join(rdf_r, ldf, left_geom=g2, right_geom=g1,
+            a_df, ga, b_df, gb = ldf, g1, rdf_r, g2
+        else:
+            a_df, ga, b_df, gb = rdf_r, g2, ldf, g1
+        sa = planned_size_bytes(a_df)
+        sb = planned_size_bytes(b_df)
+        if (sa is not None and sb is not None and sa < sb
+                and pred in _TRANSPOSE):
+            return spatial_join(b_df, a_df, left_geom=gb, right_geom=ga,
+                                predicate=_TRANSPOSE[pred], how="inner")
+        return spatial_join(a_df, b_df, left_geom=ga, right_geom=gb,
                             predicate=pred, how="inner")
     # LEFT join: operator-left must stay the SQL left relation
     if not first_is_left:
@@ -657,23 +680,48 @@ def _build_join(spark, m, spatial, ldf, rdf_r, g1, g2) -> DataFrame:
 # session installation
 # ----------------------------------------------------------------------
 
+def clear_rewrite_cache(spark: SparkSession) -> None:
+    """Forget memoized rewrites (call when table registrations change —
+    the cached join views captured the previously-resolved plans)."""
+    cache = getattr(spark, "_sedona_sql_rewrite_cache", None)
+    if cache is not None:
+        cache.clear()
+
+
 def install_sql_rewrite(spark: SparkSession) -> None:
     """Wrap ``spark.sql`` so spatial joins plan through the engine's
     operators.  Idempotent per session; vanilla behavior for every
-    non-matching query (including parameterized sql(..., args))."""
+    non-matching query (including parameterized sql(..., args)).
+
+    Successful rewrites are memoized per query text: the matcher's
+    eager work (plan-size estimates, the operators' path-choice probes)
+    runs once, and repeated calls replay the rewritten SQL against the
+    already-registered join view.  ``load_tables`` clears the memo —
+    re-registering a table must not serve a join captured against the
+    old one."""
     if getattr(spark, "_sedona_sql_rewrite_installed", False):
         return
     vanilla = spark.sql
+    cache: dict[str, str] = {}
+    spark._sedona_sql_rewrite_cache = cache
 
     def sql(query, *args, **kwargs):
         if args or kwargs or not isinstance(query, str):
             return vanilla(query, *args, **kwargs)
         if _PRECHECK.search(query):
+            hit = cache.get(query)
+            if hit is not None:
+                return vanilla(hit)
             try:
                 out = try_rewrite(spark, query, vanilla)
             except Exception:
                 out = None
             if out is not None:
+                rw = getattr(out, "_sedona_rewritten_sql", None)
+                if rw is not None:
+                    while len(cache) >= 64:
+                        cache.pop(next(iter(cache)))
+                    cache[query] = rw
                 return out
         return vanilla(query)
 
