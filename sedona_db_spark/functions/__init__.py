@@ -25,9 +25,28 @@ def get_udf(name: str):
     return _REGISTERED_UDFS[name]
 
 
+# reference-parity SQL aliases (round 7, register.rs diff): names the
+# reference registers for kernels this engine carries under the
+# canonical name
+_SQL_ALIASES = {
+    "ST_AsWKB": "ST_AsBinary",
+    "ST_AsWKT": "ST_AsText",
+    "ST_GeogFromText": "ST_GeogFromWKT",
+    "ST_GeometryFromText": "ST_GeomFromWKT",
+    "ST_LineStringFromText": "ST_LineFromText",
+}
+
+
 def register_sql_functions(spark: SparkSession) -> None:
     for name in KERNELS:
         spark.udf.register(name, get_udf(name))
+    for alias, target in _SQL_ALIASES.items():
+        spark.udf.register(alias, get_udf(target))
+    # SD_SimplifyStorage (sd_simplifystorage.rs): strips Arrow view/
+    # dictionary/run-end encodings from storage.  Spark SQL's type system
+    # never surfaces those encodings, so over this engine's WKB storage
+    # model the function is the identity — registered for source parity.
+    spark.udf.register("SD_SimplifyStorage", lambda b: b, "binary")
     # pipeline (text/dedup/similarity) SQL functions
     from sedona_db_spark.functions import text as _text
     _text.register(spark)
