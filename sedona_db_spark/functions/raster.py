@@ -19,9 +19,12 @@ rust/sedona-raster-gdal/src/lib.rs:21-35):
 2. Pixel ops (value lookup, rasterize, zonal stats, clip, tile) are
    Arrow-batched pandas UDFs decoding the binary band payload with numpy.
 
-GDAL/rasterio is not available in this container: encoders to external
-formats (`as_geotiff`, `from_path`) are import-gated stubs with real Spark
-plumbing (schema + partitioning) and a deterministic fake loader for tests.
+GDAL/rasterio is not needed for GeoTIFF IO: `as_geotiff` / `from_geotiff` /
+`from_path` / `RS_FromGDALRaster` run on the repo's native codecs
+(DEFLATE/LZW/PackBits/JPEG baseline+progressive/CCITT G3-G4, libtiff- and
+libjpeg-cross-validated both directions, sources/geotiff.py).  Out-of-DB
+band loading fetches http(s)/s3 executor-side; the `fake://` scheme is a
+deterministic loader kept for tests only.
 
 GeoTransform convention (GDAL): t = [ulx, scale_x, skew_x, uly, skew_y,
 scale_y]; world_x = t0 + px*t1 + py*t2, world_y = t3 + px*t4 + py*t5.
@@ -652,44 +655,73 @@ def _cache_put(key: str, data: bytes) -> None:
         _HTTP_CACHE_BYTES -= len(evicted)
 
 
-# s3-scheme loader hook: maps s3://bucket/key onto an http(s) endpoint
-# (path-style, the S3-compatible convention) + static headers, so the
-# existing executor-side http fetcher serves object stores too — the
-# role of the reference's pluggable loader registry
+# object-store loader hooks: map scheme://bucket/key onto an http(s)
+# endpoint (path-style convention) + static headers, so the existing
+# executor-side http fetcher serves object stores too — the role of the
+# reference's pluggable loader registry
 # (rust/sedona/src/context.rs:283-316).  Configure per-process with
-# register_s3_endpoint() or the SPARK_GRAFT_S3_ENDPOINT /
-# SPARK_GRAFT_S3_HEADERS (JSON) environment variables, which executors
-# inherit from the session environment.
-_S3_ENDPOINTS: dict[str, tuple[str, dict]] = {}
+# register_s3_endpoint()/register_gs_endpoint()/
+# register_object_store_endpoint(), or the SPARK_GRAFT_{SCHEME}_ENDPOINT /
+# SPARK_GRAFT_{SCHEME}_HEADERS (JSON) environment variables, which
+# executors inherit from the session environment.  gs:// additionally
+# falls back to the public GCS XML endpoint
+# (https://storage.googleapis.com/<bucket>/<key>), which serves
+# public-read objects with no credentials.
+_OBJSTORE_ENDPOINTS: dict[str, dict[str, tuple[str, dict]]] = {}
+_OBJSTORE_DEFAULTS = {"gs": "https://storage.googleapis.com"}
+# back-compat: the s3 table is the scheme entry itself (callers snapshot it)
+_S3_ENDPOINTS: dict[str, tuple[str, dict]] = \
+    _OBJSTORE_ENDPOINTS.setdefault("s3", {})
+
+
+def register_object_store_endpoint(scheme: str, endpoint: str,
+                                   bucket: str = "*",
+                                   headers: dict | None = None) -> None:
+    """Route ``<scheme>://bucket/...`` fetches through ``endpoint`` (an
+    http(s) base URL, path-style); bucket "*" is the wildcard fallback."""
+    _OBJSTORE_ENDPOINTS.setdefault(scheme.lower(), {})[bucket] = (
+        endpoint.rstrip("/"), dict(headers or {}))
 
 
 def register_s3_endpoint(endpoint: str, bucket: str = "*",
                          headers: dict | None = None) -> None:
-    """Route ``s3://bucket/...`` fetches through ``endpoint`` (an
-    http(s) base URL); bucket "*" is the wildcard fallback."""
-    _S3_ENDPOINTS[bucket] = (endpoint.rstrip("/"), dict(headers or {}))
+    register_object_store_endpoint("s3", endpoint, bucket, headers)
+
+
+def register_gs_endpoint(endpoint: str, bucket: str = "*",
+                         headers: dict | None = None) -> None:
+    register_object_store_endpoint("gs", endpoint, bucket, headers)
+
+
+def _objstore_resolve(uri: str) -> tuple[str, dict]:
+    """scheme://bucket/key[#frag] -> (http url with frag, headers)."""
+    import json as _json
+    import os as _os
+    scheme, _, rest = uri.partition("://")
+    scheme = scheme.lower()
+    bucket, _, key = rest.partition("/")
+    table = _OBJSTORE_ENDPOINTS.get(scheme, {})
+    ep = table.get(bucket) or table.get("*")
+    if ep is None:
+        env = _os.environ.get(f"SPARK_GRAFT_{scheme.upper()}_ENDPOINT")
+        if env:
+            hdrs = _json.loads(_os.environ.get(
+                f"SPARK_GRAFT_{scheme.upper()}_HEADERS", "{}"))
+            ep = (env.rstrip("/"), hdrs)
+    if ep is None and scheme in _OBJSTORE_DEFAULTS:
+        ep = (_OBJSTORE_DEFAULTS[scheme], {})
+    if ep is None:
+        raise NotImplementedError(
+            f"{scheme} out-of-DB load for {uri!r}: no endpoint registered — "
+            f"call register_object_store_endpoint({scheme!r}, endpoint"
+            f"[, bucket, headers]) or set SPARK_GRAFT_{scheme.upper()}"
+            "_ENDPOINT (path-style http(s) base URL)")
+    base, headers = ep
+    return f"{base}/{bucket}/{key}", dict(headers)
 
 
 def _s3_resolve(uri: str) -> tuple[str, dict]:
-    """s3://bucket/key[#frag] -> (http url with frag, headers)."""
-    import json as _json
-    import os as _os
-    rest = uri[len("s3://"):]
-    bucket, _, key = rest.partition("/")
-    ep = _S3_ENDPOINTS.get(bucket) or _S3_ENDPOINTS.get("*")
-    if ep is None:
-        env = _os.environ.get("SPARK_GRAFT_S3_ENDPOINT")
-        if env:
-            hdrs = _json.loads(_os.environ.get("SPARK_GRAFT_S3_HEADERS", "{}"))
-            ep = (env.rstrip("/"), hdrs)
-    if ep is None:
-        raise NotImplementedError(
-            f"s3 out-of-DB load for {uri!r}: no endpoint registered — call "
-            "register_s3_endpoint(endpoint[, bucket, headers]) or set "
-            "SPARK_GRAFT_S3_ENDPOINT (path-style S3-compatible http(s) "
-            "base URL)")
-    base, headers = ep
-    return f"{base}/{bucket}/{key}", dict(headers)
+    return _objstore_resolve(uri)
 
 
 def _http_fetch(uri: str, retries: int = 3, timeout: float = 30.0,
@@ -735,9 +767,9 @@ def _load_outdb_band(b, h: int, w: int) -> tuple[str, str, np.ndarray]:
         shp = [h, w]
     if uri.startswith("fake://"):
         return (b["name"], "float64", _fake_loader(uri, fmt, shp))
-    if uri.startswith(("http://", "https://", "s3://")):
-        if uri.startswith("s3://"):
-            url, hdrs = _s3_resolve(uri)
+    if uri.startswith(("http://", "https://", "s3://", "gs://", "az://")):
+        if uri.startswith(("s3://", "gs://", "az://")):
+            url, hdrs = _objstore_resolve(uri)
             data = _http_fetch(url, extra_headers=hdrs)
         else:
             data = _http_fetch(uri)
@@ -807,7 +839,7 @@ def ensure_loaded(r) -> Column:
     to the executors in the UDF closure — module state set on the driver
     after the JVM launched would otherwise never reach the python
     workers (env vars are inherited only at JVM start)."""
-    snapshot = dict(_S3_ENDPOINTS)
+    snapshot = {sc: dict(tbl) for sc, tbl in _OBJSTORE_ENDPOINTS.items() if tbl}
     if not snapshot:
         return _rs_ensure_loaded_udf(r)
 
@@ -819,8 +851,10 @@ def ensure_loaded(r) -> Column:
         # the module-level functions the loader actually calls resolve
         # the executor module's own dict
         from sedona_db_spark.functions import raster as _r
-        for k, v in snapshot.items():
-            _r._S3_ENDPOINTS.setdefault(k, v)
+        for sc, tbl in snapshot.items():
+            dst = _r._OBJSTORE_ENDPOINTS.setdefault(sc, {})
+            for k, v in tbl.items():
+                dst.setdefault(k, v)
         return _ensure_loaded_batch(rs)
     return _udf(r)
 
@@ -1206,8 +1240,8 @@ def _fetch_uri_bytes(uri: str) -> bytes:
             return f.read()
     if uri.startswith(("http://", "https://")):
         return _http_fetch(uri)
-    if uri.startswith("s3://"):
-        url, headers = _s3_resolve(uri)
+    if uri.startswith(("s3://", "gs://", "az://")):
+        url, headers = _objstore_resolve(uri)
         return _http_fetch(url, extra_headers=headers)
     if "://" not in uri:
         with open(uri, "rb") as f:

@@ -53,7 +53,7 @@ def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return v / np.linalg.norm(v)
 
 
-def extract_features(df: DataFrame, payload_col: str = "payload",
+def extract_features_synthetic(df: DataFrame, payload_col: str = "payload",
                      dim: int = FEATURE_DIM) -> DataFrame:
     """Append `features array<double>` via Arrow-batched mapInPandas.
 
@@ -74,7 +74,7 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(run, schema=out_schema)
 
 
-def resize_stub(df: DataFrame, width: int, height: int,
+def resize_synthetic(df: DataFrame, width: int, height: int,
                 payload_col: str = "payload") -> DataFrame:
     """Image resize plumbing: passes payload through a mapInPandas stage and
     rewrites the metadata dims (real impl: PIL resize in the same loop)."""
@@ -89,7 +89,7 @@ def resize_stub(df: DataFrame, width: int, height: int,
     return df.mapInPandas(run, schema=df.schema)
 
 
-def frame_sample_stub(df: DataFrame, every_ms: int = 1000,
+def frame_sample_synthetic(df: DataFrame, every_ms: int = 1000,
                       payload_col: str = "payload") -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled frame
     (explode on computed frame offsets); frame payload stubbed as a
@@ -113,6 +113,14 @@ def frame_sample_stub(df: DataFrame, every_ms: int = 1000,
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# deterministic-synthetic variants above are TEST SURFACES: the real
+# decode/feature/resize/frame-sample path is extract_features_real /
+# image_resize_nearest / frame_sample over the native codecs below.
+extract_features = extract_features_synthetic  # back-compat alias
+resize_stub = resize_synthetic                 # back-compat alias
+frame_sample_stub = frame_sample_synthetic     # back-compat alias
 
 
 def make_demo_media(spark, n: int = 64) -> DataFrame:
@@ -525,7 +533,7 @@ def extract_features_real(df: DataFrame, payload_col: str = "payload",
 # ----------------------------------------------------------------------
 # REAL video frame sampling: MJPEG-in-AVI (RIFF container walk + the
 # native baseline-JPEG codec in operators/jpeg_native.py).  Replaces the
-# synthetic frame_sample_stub for AVI payloads; other containers (MP4
+# synthetic frame_sample_synthetic for AVI payloads; other containers (MP4
 # etc.) still raise — their demuxers aren't in this environment.
 # Reference surface: video decode in the multimodal ingestion path.
 # ----------------------------------------------------------------------
@@ -618,7 +626,7 @@ def frame_sample(df: DataFrame, every_ms: int = 1000,
     actual container timestamp, frame_payload its JPEG bytes (AVI) or a
     PNG re-encode of the composited frame (GIF); decode_pixels=True adds
     mean pixel intensity as a cheap content check.  Other payloads raise
-    ValueError — route them to frame_sample_stub explicitly if synthetic
+    ValueError — route them to frame_sample_synthetic explicitly if synthetic
     plumbing is wanted."""
     from sedona_db_spark.operators.jpeg_native import decode_jpeg
     fields = (list(df.schema.fields)

@@ -60,6 +60,9 @@ def write_geoparquet(
     sort_spatially: bool = False,
     spatial_partitions: int | None = None,
     mode: str = "overwrite",
+    bucket_by: tuple[int, list[str]] | None = None,
+    sort_by: list[str] | None = None,
+    table_name: str | None = None,
 ) -> None:
     """Write a DataFrame with WKB geometry column(s) as GeoParquet.
 
@@ -68,6 +71,13 @@ def write_geoparquet(
     ``SD_Order``): rows near in space land in the same row groups, so the
     bbox min/max stats become tight and row-group pruning (spatial_filter)
     skips far more data — the single biggest pruning lever at 100 TB.
+
+    ``bucket_by=(n, cols)`` (requires ``table_name``; Spark stores the
+    bucket spec in the catalog, so bucketed data must be written with
+    saveAsTable) hash-clusters + optionally ``sort_by``-sorts the files:
+    equi-joins and aggregations on the bucket columns then plan with
+    ZERO exchange — the layout lever that deletes a per-query shuffle
+    at 100 TB.  ``path`` becomes the table location's sidecar root.
     """
     if geom_cols is None:
         geom_cols = {"geom": "EPSG:4326"}
@@ -93,7 +103,18 @@ def write_geoparquet(
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    if bucket_by is not None:
+        if table_name is None:
+            raise ValueError(
+                "bucket_by requires table_name: Spark persists the bucket "
+                "spec in the catalog (plain .parquet() files would lose it)")
+        n, cols = bucket_by
+        writer = writer.format("parquet").bucketBy(int(n), *cols)
+        if sort_by:
+            writer = writer.sortBy(*sort_by)
+        writer.option("path", path).saveAsTable(table_name)
+    else:
+        writer.parquet(path)
     meta = _geo_meta(geom_cols, bbox_cols)
     with open(os.path.join(path, SIDECAR), "w") as f:
         json.dump(meta, f)

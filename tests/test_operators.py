@@ -183,14 +183,14 @@ def test_envelope_agg_native(spark):
 def test_multimodal_features(spark):
     from sedona_db_spark.operators import multimodal as mm
     media = mm.make_demo_media(spark, 12)
-    feats = mm.extract_features(media)
+    feats = mm.extract_features_synthetic(media)
     rows = feats.select("media_id", F.size("features").alias("d")).collect()
     assert all(r["d"] == mm.FEATURE_DIM for r in rows)
     # determinism
-    again = mm.extract_features(media).orderBy("media_id").first()["features"]
+    again = mm.extract_features_synthetic(media).orderBy("media_id").first()["features"]
     first = feats.orderBy("media_id").first()["features"]
     assert again == first
-    frames = mm.frame_sample_stub(media.filter("kind = 'video'"))
+    frames = mm.frame_sample_synthetic(media.filter("kind = 'video'"))
     assert frames.count() == media.filter("kind = 'video'").count() * 5
 
 
@@ -1269,11 +1269,15 @@ def test_pair_result_pool_bounds_persisted_blocks(spark):
     df = spark.createDataFrame(
         [(i, f"tok{i} " * 20) for i in range(20)], "doc_id long, text string")
     jsc = spark.sparkContext._jsc.sc()
+    # delta-based: other operators in the session may hold their own
+    # bounded caches — only THIS loop's growth is under test
+    minhash_candidate_pairs(df, threshold=0.0, num_perm=16).count()
+    n_before = jsc.getPersistentRDDs().size()
     for _ in range(5):
         minhash_candidate_pairs(df, threshold=0.0, num_perm=16).count()
     n_after = jsc.getPersistentRDDs().size()
-    # Only the bounded pool's retention window may remain persisted.
-    assert n_after <= PAIR_RESULT_POOL._keep
+    # growth across 5 calls is bounded by the pool's retention window
+    assert n_after - n_before <= PAIR_RESULT_POOL._keep
 
 
 def test_webp_predictor_fuzz_libwebp_parity():

@@ -1075,3 +1075,43 @@ def test_laz_legacy_v2_roundtrip(spark, tmp_path):
     df = parse_las_points(blob)
     assert len(df) == 3000
     assert df["gps_time"].notna().all()
+
+
+def test_geoparquet_bucketed_write_zero_exchange_join(spark, tmp_path):
+    """Round-7 layout lever: bucket_by writes through saveAsTable and an
+    equi-join of two tables bucketed on the same key plans with no
+    Exchange of the data (the shuffle is deleted by layout)."""
+    import shutil
+    from pyspark.sql import functions as F
+    from sedona_db_spark.sources.geoparquet import write_geoparquet
+    from sedona_db_spark.functions import get_udf
+    pt = get_udf("ST_Point")
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"),
+        pt(F.col("id").cast("double") % 100.0,
+           (F.col("id") / 50.0).cast("double")).alias("geom"))
+    for name in ("bkt_a", "bkt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir",
+                                   "spark-warehouse").removeprefix("file:")
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        write_geoparquet(df, str(tmp_path / name), add_bbox=False,
+                         embed_footer=False, bucket_by=(8, ["k"]),
+                         sort_by=["k"], table_name=name)
+    a, b = spark.table("bkt_a"), spark.table("bkt_b")
+    joined = a.join(b.withColumnRenamed("geom", "geom2"), "k")
+    # force SMJ (broadcast would also be shuffle-free but hides the
+    # bucket layout being exercised)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan
+        assert joined.count() == 5000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(24 * 1024 * 1024))
+    # bucket_by without table_name is a usage error
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        write_geoparquet(df, str(tmp_path / "x"), bucket_by=(8, ["k"]))
