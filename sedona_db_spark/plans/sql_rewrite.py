@@ -494,6 +494,28 @@ def _rewrite(spark, sql, toks, vanilla_sql):
     aliases = (m.rel1.alias, m.rel2.alias)
     schemas = {m.rel1.alias: set(ldf.columns), m.rel2.alias: set(rdf.columns)}
 
+    # column pruning through the rewrite boundary: the join view would
+    # otherwise drag every source column through the operator's Arrow/
+    # python stages (any SQL column reference appears as its literal
+    # identifier token, so keeping every mentioned name is safe).
+    # `SELECT *` keeps both sides whole, `alias.*` keeps that side whole;
+    # `count(*)`-style stars (token directly after "(") don't block.
+    star_sides = set()
+    for i, t in enumerate(toks):
+        if t != "*" or (i > 0 and toks[i - 1] == "("):
+            continue
+        if i > 0 and toks[i - 1] == "." and i >= 2 and _is_ident(toks[i - 2]):
+            star_sides.add(_unquote(toks[i - 2]))
+        else:
+            star_sides.update(aliases)
+    mentioned = {_unquote(t) for t in toks if _is_ident(t)}
+    if m.rel1.alias not in star_sides:
+        ldf = ldf.select([c for c in ldf.columns if c in mentioned])
+    if m.rel2.alias not in star_sides:
+        rdf = rdf.select([c for c in rdf.columns if c in mentioned])
+    schemas = {m.rel1.alias: set(ldf.columns),
+               m.rel2.alias: set(rdf.columns)}
+
     conjuncts = _split_conjuncts(toks, m.cond_lo, m.cond_hi)
     spatial = None
     spatial_span = None
