@@ -8,9 +8,10 @@ chunk keys, bytes/gzip/zlib codecs), supporting raw, zlib, gzip, zstd
 (libzstd via ctypes when present, else the pure-python RFC 8878 decoder in
 zstd_native.py), lzma/bz2 (stdlib), and blosc containers per the public
 c-blosc layout (split sub-streams, per-block byte-shuffle; inner codecs
-lz4, snappy via the pyarrow-validated native decoder, zlib, zstd) — no
-zarr-python dependency.  Only the blosclz inner codec and the
-bit-shuffle filter still gate on numcodecs.
+blosclz, lz4, snappy via the pyarrow-validated native decoder, zlib,
+zstd) — no zarr-python or numcodecs dependency.  blosclz is decoded by
+the repo's own FastLZ-derivative coder (sources/blosclz_native.py; see
+its oracle-status note — no in-container blosclz producer exists).
 
 Scale design: chunk decoding happens per-(chunk, band) task — the chunk
 list is parallelized across executors so a petabyte datacube fans out to
@@ -229,8 +230,8 @@ def read_zarr(spark: SparkSession, store: str, array: str = "",
 # Blosc container + LZ4 block codec (native) — the zarr-python default
 # compressor (blosc cname='lz4' + byte shuffle), implemented from the
 # public c-blosc container layout and LZ4 block format descriptions.
-# Inner codecs supported: lz4, zlib, memcpyed/raw blocks; blosclz/zstd
-# still raise toward numcodecs.
+# Inner codecs supported: blosclz, lz4, zlib, zstd, snappy,
+# memcpyed/raw blocks.
 # ----------------------------------------------------------------------
 
 def lz4_block_decompress(src: bytes, dst_size: int) -> bytes:
@@ -344,6 +345,10 @@ def blosc_decompress(src: bytes) -> bytes:
         return src[16:16 + nbytes]
 
     def inner(payload: bytes, out_size: int) -> bytes:
+        if codec == 0:       # blosclz
+            from sedona_db_spark.sources.blosclz_native import (
+                blosclz_decompress)
+            return blosclz_decompress(payload, out_size)
         if codec == 1:       # lz4 / lz4hc
             return lz4_block_decompress(payload, out_size)
         if codec == 2:       # snappy (raw block format)
@@ -356,8 +361,8 @@ def blosc_decompress(src: bytes) -> bytes:
             from sedona_db_spark.sources.zstd_native import zstd_decompress
             return zstd_decompress(payload, out_size)
         raise NotImplementedError(
-            f"blosc inner codec {codec} unsupported natively "
-            "(lz4/snappy/zlib/zstd/raw are; blosclz is not)")
+            f"unknown blosc inner codec id {codec} "
+            "(blosclz/lz4/snappy/zlib/zstd/raw are supported)")
 
     nblocks = (nbytes + blocksize - 1) // blocksize if blocksize else 1
     bstarts = _st.unpack_from("<%dI" % nblocks, src, 16)

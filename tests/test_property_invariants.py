@@ -397,3 +397,22 @@ def test_laz_point14_roundtrip_random_fields(n, seed):
     finally:
         L.parse_laszip_vlr = orig
     assert got == recs
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=6000), st.integers(0, 2 ** 31 - 1))
+def test_blosclz_roundtrip_property(data, seed):
+    """Round-7: blosclz encode->decode is the identity over arbitrary
+    bytes, including structured variants derived from the seed (runs and
+    repeats exercise the match paths)."""
+    import numpy as np
+    from sedona_db_spark.sources.blosclz_native import (
+        blosclz_compress, blosclz_decompress)
+    rng = np.random.RandomState(seed % (2 ** 31))
+    variants = [
+        data,
+        data * (1 + seed % 4),
+        bytes(rng.randint(0, 4, len(data) or 1, dtype=np.uint8)),
+    ]
+    for v in variants:
+        assert blosclz_decompress(blosclz_compress(v), len(v)) == v
