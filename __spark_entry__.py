@@ -1998,12 +1998,16 @@ def _q_laz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned bit-exact against the reference's own las/laz fixture pairs):
     compress customer-derived PDRF6 points into a .laz, read it back
     distributed through the same read_las surface, recover the exact
-    sums; the compressed file must be smaller than the raw records."""
+    sums; the compressed file must be smaller than the raw records.
+    Round 7 adds a second leg: a legacy compressor-2 PDRF-1 file with
+    CHANGING return numbers per point, decoded strict through the exact
+    published 8x8 number_return tables (sources/laz.py)."""
     import struct as _st
     import tempfile
     from pyspark.sql import functions as F
     from sedona_db_spark.sources import las
-    from sedona_db_spark.sources.laz import (_Point14, pack_point14,
+    from sedona_db_spark.sources.laz import (_Point10, _Point14,
+                                             pack_point10, pack_point14,
                                              write_laz_bytes)
     rows = spark.table("customer").filter("c_custkey < 2000") \
         .selectExpr("c_custkey", "abs(c_acctbal) % 100.0 AS px",
@@ -2031,7 +2035,7 @@ def _q_laz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(path, "wb") as f:
         f.write(blob)
     df = las.read_las(spark, path)
-    return df.agg(
+    agg = df.agg(
         F.count("*").alias("n"),
         F.round(F.sum("z"), 3).alias("sum_z"),
         F.round(F.min("x"), 3).alias("min_x"),
@@ -2039,6 +2043,33 @@ def _q_laz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("intensity").cast("double"), 3).alias("sum_int"),
         F.round(F.sum("gps_time"), 3).alias("sum_gps"),
         F.lit(len(blob) < len(recs)).alias("compressed"))
+    # leg 2: multi-return legacy v2 (PDRF 1) — return counts change on
+    # every point, so this exercises the published context tables
+    recs2 = bytearray()
+    for r in rows:
+        k = int(r["c_custkey"])
+        p = _Point10()
+        p.x = int(round(r["px"] * 1000))
+        p.y = int(round(r["py"] * 1000))
+        p.z = (k % 50) * 1000
+        p.intensity = k % 1000
+        nr = 1 + k % 5
+        p.bit_byte = (1 + k % nr) | (nr << 3)
+        p.classification = k % 20
+        p.scan_angle_rank = k % 90
+        p.user_data = 0
+        p.point_source = k % 4
+        recs2 += pack_point10(p) + _st.pack(
+            "<q", _st.unpack("<q", _st.pack("<d", float(k)))[0])
+    blob2 = write_laz_bytes(bytes(recs2), 28, fmt=1, chunk_size=400)
+    path2 = tempfile.mkdtemp(prefix="laz2_") + "/pts_mr.laz"
+    with open(path2, "wb") as f:
+        f.write(blob2)
+    agg2 = las.read_las(spark, path2).agg(
+        F.count("*").alias("n_mr"),
+        F.round(F.sum("return_number").cast("double"), 3).alias("sum_rn"),
+        F.round(F.sum("gps_time"), 3).alias("sum_gps_mr"))
+    return agg.crossJoin(agg2)
 
 
 _PY["laz_roundtrip_agg"] = _q_laz_roundtrip
@@ -2049,7 +2080,11 @@ _O["laz_roundtrip_agg"] = """
          round(max(round((c_custkey % 1000) / 10.0, 3)), 3) AS max_y,
          round(CAST(sum(c_custkey % 1000) AS DOUBLE), 3) AS sum_int,
          round(sum(CAST(c_custkey AS DOUBLE)), 3) AS sum_gps,
-         true AS compressed
+         true AS compressed,
+         count(*) AS n_mr,
+         round(CAST(sum(1 + (c_custkey % (1 + (c_custkey % 5))))
+                    AS DOUBLE), 3) AS sum_rn,
+         round(sum(CAST(c_custkey AS DOUBLE)), 3) AS sum_gps_mr
   FROM customer WHERE c_custkey < 2000
 """
 

@@ -28,9 +28,11 @@ Scope and validation (see tests/test_sources_wave2.py):
 Round-6 second wave adds the legacy compressor 2 (pointwise chunked,
 LAS 1.0-1.3 PDRF 0-5: POINT10/GPSTIME11/RGB12/BYTE v2 over one coder
 per chunk) with the same validation story: the entropy machinery is
-fixture-pinned, the item algorithms roundtrip-verified, the
-number_return tables strict-guarded.  Decode only needs numpy; the
-writer half exists for fixtures and roundtrip tests.
+fixture-pinned, the item algorithms roundtrip-verified, and (round 7)
+the POINT10 path uses the exact published 8x8 number_return tables, so
+multi-return PDRF 0-5 files decode without any strict gate.  Decode
+only needs numpy; the writer half exists for fixtures and roundtrip
+tests.
 """
 
 from __future__ import annotations
@@ -1577,24 +1579,39 @@ class Nir14v3:
 # POINT10 v2 + GPSTIME11 v2 + RGB12 v2 + BYTE v2 items share ONE
 # entropy coder per chunk (no layers).  Validation: encoder/decoder
 # roundtrip on randomized data over the fixture-pinned coder/IC
-# machinery; the 8x8 number_return context tables are reconstructed
-# (same strict-mode guard as POINT14 — constant-return decode is
-# table-independent).
+# machinery; the 8x8 number_return context tables below are the exact
+# published ones (round 7), so no strict gate applies to POINT10.
 # ----------------------------------------------------------------------
 
+# The published POINT10 v2 context tables (LASzip paper, "LASzip:
+# lossless compression of LiDAR data", Isenburg 2013; identical bytes in
+# every public implementation: LASzip lasreaditemcompressed_v2, laz-perf,
+# laz-rs).  Indexed [number_of_returns][return_number]; the map clusters
+# the 64 (n, r) combinations into 16 contexts with rare/degenerate pairs
+# sharing high indices, the level is the |n - r| distance band.  With
+# these exact tables, multi-return PDRF 0-5 files interop with laszip
+# output (round 7 — the previous build used a reduced 6-context
+# reconstruction that was only valid for constant-return chunks).
+_NUMBER_RETURN_MAP10 = (
+    (15, 14, 13, 12, 11, 10, 9, 8),
+    (14, 0, 1, 3, 6, 10, 10, 9),
+    (13, 1, 2, 4, 7, 11, 11, 10),
+    (12, 3, 4, 5, 8, 12, 12, 11),
+    (11, 6, 7, 8, 9, 13, 13, 12),
+    (10, 10, 11, 12, 13, 14, 14, 13),
+    (9, 10, 11, 12, 13, 14, 15, 14),
+    (8, 9, 10, 11, 12, 13, 14, 15),
+)
+_NUMBER_RETURN_LEVEL10 = tuple(
+    tuple(abs(n - r) for r in range(8)) for n in range(8))
+
+
 def _return_map10(n: int, r: int) -> int:
-    if n <= 1:
-        return 0 if r <= 1 else 1
-    if r == 1:
-        return 2
-    if r >= n:
-        return 3
-    return 4 if r == 2 else 5
+    return _NUMBER_RETURN_MAP10[n & 7][r & 7]
 
 
 def _return_level10(n: int, r: int) -> int:
-    d = min(abs(n - r), 3)
-    return min((0 if n <= 1 else 4) + d, 7)
+    return _NUMBER_RETURN_LEVEL10[n & 7][r & 7]
 
 
 class _Point10:
@@ -1663,16 +1680,12 @@ class Point10v2:
         dec = self.coder
         last = self.last
         changed = dec.decode_symbol(self.m_changed_values)
-        old_rn = last.bit_byte & 0x3F
         if changed & 32:
+            # round 7: changing return counts decode through the exact
+            # published 8x8 context tables (_NUMBER_RETURN_MAP10) — the
+            # former strict-mode gate is gone for POINT10
             last.bit_byte = dec.decode_symbol(
                 self._model(self.m_bit_byte, last.bit_byte))
-            if self.strict and (last.bit_byte & 0x3F) != old_rn:
-                raise NotImplementedError(
-                    "LAZ POINT10 with changing return counts: the 8x8 "
-                    "number_return tables cannot be cross-validated here "
-                    "(constant-return files decode exactly; pass "
-                    "strict=False to accept)")
         r = last.bit_byte & 7
         n = (last.bit_byte >> 3) & 7
         m = _return_map10(n, r)

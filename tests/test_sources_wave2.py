@@ -998,8 +998,9 @@ def test_laz_legacy_v2_roundtrip(spark, tmp_path):
     """Round 6: legacy LAZ compressor 2 (pointwise chunked, LAS 1.0-1.3
     PDRF 0-5): POINT10/GPSTIME11/RGB12/BYTE v2 items over one coder per
     chunk.  Roundtrip-verified across formats and multi-chunk layouts
-    over the fixture-pinned coder/IC machinery; the 8x8 number_return
-    tables carry the same strict-mode guard as POINT14."""
+    over the fixture-pinned coder/IC machinery; round 7 replaced the
+    reduced number_return reconstruction with the exact published 8x8
+    tables, so multi-return decodes under strict mode too."""
     import struct as _st
     from sedona_db_spark.sources import laz as L
     from sedona_db_spark.sources.las import parse_las_points
@@ -1059,14 +1060,15 @@ def test_laz_legacy_v2_roundtrip(spark, tmp_path):
         blob, vlr = laz2_compress_points(recs, rl, fmt, chunk_size=600)
         hdr = {"n_points": 1500, "rec_len": rl, "offset": 0,
                "header_size": 0}
-        assert decode(blob, vlr, hdr, strict=not mr) == recs, (fmt, extra)
+        assert decode(blob, vlr, hdr, strict=True) == recs, (fmt, extra)
         assert len(blob) < len(recs)
 
+    # multi-return with every (r, n) combination hammered through the
+    # published tables, strict mode on, across a chunk boundary
     recs = make(200, 0, multi_return=True)
     blob, vlr = laz2_compress_points(recs, 20, 0, chunk_size=100)
-    with pytest.raises(NotImplementedError):
-        decode(blob, vlr, {"n_points": 200, "rec_len": 20, "offset": 0,
-                           "header_size": 0}, strict=True)
+    assert decode(blob, vlr, {"n_points": 200, "rec_len": 20, "offset": 0,
+                              "header_size": 0}, strict=True) == recs
 
     # whole legacy file (LAS 1.2 header + compressor-2 VLR) through the
     # standard read path
