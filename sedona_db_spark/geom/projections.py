@@ -124,6 +124,10 @@ _ELLIPSOIDS = {
     "INTL24": (INTL24_A, INTL24_F),
     "AIRY": (AIRY_A, AIRY_F),
     "WGS72": (6378135.0, 1.0 / 298.26),
+    # legacy national ellipsoids for the round-7 registry families
+    "BESSEL": (6377397.155, 1.0 / 299.1528128),      # Bessel 1841
+    "CLARKE66": (6378206.4, 1.0 / 294.9786982139006),  # Clarke 1866
+    "KRASS": (6378245.0, 1.0 / 298.3),               # Krassowsky 1940
 }
 
 
@@ -411,7 +415,7 @@ def _geodetic_to_ecef(lon_deg, lat_deg, a, e2):
     return nu * c * np.cos(lam), nu * c * np.sin(lam), nu * (1 - e2) * s
 
 
-def _ecef_to_geodetic(X, Y, Z, a, e2, iters=8):
+def _ecef_to_geodetic(X, Y, Z, a, e2, iters=15):
     lam = np.arctan2(Y, X)
     p = np.hypot(X, Y)
     phi = np.arctan2(Z, p * (1 - e2))
@@ -433,6 +437,12 @@ class HelmertTM:
         self.r = tuple(math.radians(v / 3600.0) for v in r_arcsec)
         self.s = 1.0 + s_ppm * 1e-6
         self.e2_dst = tm.f_ell * (2 - tm.f_ell)
+        # the exact inverse of the linearized rotation actually applied
+        # in forward (the transpose is only O(r^2)-accurate: ~4 mm for
+        # the 5" MGI rotations)
+        rx, ry, rz = self.r
+        m = np.array([[1.0, -rz, ry], [rz, 1.0, -rx], [-ry, rx, 1.0]])
+        self._minv = np.linalg.inv(m)
 
     def _shift(self, X, Y, Z, invert=False):
         tx, ty, tz = self.t
@@ -441,10 +451,10 @@ class HelmertTM:
             Xp = (X - tx) / self.s
             Yp = (Y - ty) / self.s
             Zp = (Z - tz) / self.s
-            # inverse small-angle rotation (transpose)
-            return (Xp + rz * Yp - ry * Zp,
-                    -rz * Xp + Yp + rx * Zp,
-                    ry * Xp - rx * Yp + Zp)
+            m = self._minv
+            return (m[0, 0] * Xp + m[0, 1] * Yp + m[0, 2] * Zp,
+                    m[1, 0] * Xp + m[1, 1] * Yp + m[1, 2] * Zp,
+                    m[2, 0] * Xp + m[2, 1] * Yp + m[2, 2] * Zp)
         return (tx + self.s * (X - rz * Y + ry * Z),
                 ty + self.s * (rz * X + Y - rx * Z),
                 tz + self.s * (-ry * X + rx * Y + Z))
@@ -587,6 +597,9 @@ class HelmertProj:
         self.s = 1.0 + s_ppm * 1e-6
         self.e2_dst = float(proj.e) ** 2
         self.a_dst = float(proj.a)
+        rx, ry, rz = self.r
+        m = np.array([[1.0, -rz, ry], [rz, 1.0, -rx], [-ry, rx, 1.0]])
+        self._minv = np.linalg.inv(m)
 
     _shift = HelmertTM._shift
 
@@ -788,6 +801,146 @@ class MercatorEllipsoidal:
         t = np.exp(-np.asarray(y, dtype=np.float64) / self.a)
         lat = np.degrees(_phi_from_t(t, self.e))
         return lon, lat
+
+
+class EquirectangularSphere:
+    """EPSG:32662 WGS 84 / Plate Carrée (and the modern EPSG:4087 World
+    Equidistant Cylindrical): spherical equirectangular on the WGS84
+    major axis — x = a*lam, y = a*phi (radians).  PROJ's +proj=eqc."""
+
+    def __init__(self):
+        self.a = WGS84_A
+
+    def forward(self, lon, lat):
+        return (self.a * np.radians(np.asarray(lon, dtype=np.float64)),
+                self.a * np.radians(np.asarray(lat, dtype=np.float64)))
+
+    def inverse(self, x, y):
+        return (np.degrees(np.asarray(x, dtype=np.float64) / self.a),
+                np.degrees(np.asarray(y, dtype=np.float64) / self.a))
+
+
+class MollweideSphere:
+    """ESRI:54009 World Mollweide: equal-area pseudocylindrical on the
+    sphere of radius a (PROJ's +proj=moll is spherical-only; es is
+    forced to 0).  Snyder 31-1..31-8: solve 2t + sin 2t = pi sin phi,
+    x = (2 sqrt2 / pi) a lam cos t, y = sqrt2 a sin t."""
+
+    def __init__(self):
+        self.a = WGS84_A
+
+    def _theta(self, phi):
+        rhs = np.pi * np.sin(phi)
+        t = phi.copy()
+        for _ in range(12):
+            f = 2.0 * t + np.sin(2.0 * t) - rhs
+            t = t - f / (2.0 + 2.0 * np.cos(2.0 * t) + 1e-300)
+        return t
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        phi = np.radians(np.clip(np.asarray(lat, dtype=np.float64),
+                                 -90.0, 90.0))
+        t = self._theta(phi)
+        return (2.0 * math.sqrt(2.0) / np.pi * self.a * lam * np.cos(t),
+                math.sqrt(2.0) * self.a * np.sin(t))
+
+    def inverse(self, x, y):
+        t = np.arcsin(np.clip(
+            np.asarray(y, dtype=np.float64) / (math.sqrt(2.0) * self.a),
+            -1.0, 1.0))
+        phi = np.arcsin(np.clip((2.0 * t + np.sin(2.0 * t)) / np.pi,
+                                -1.0, 1.0))
+        c = np.cos(t)
+        lam = np.where(
+            np.abs(c) < 1e-12, 0.0,
+            np.pi * np.asarray(x, dtype=np.float64)
+            / (2.0 * math.sqrt(2.0) * self.a * np.where(c == 0, 1.0, c)))
+        return np.degrees(lam), np.degrees(phi)
+
+
+class SinusoidalEllipsoidal:
+    """ESRI:54008 World Sinusoidal: equal-area pseudocylindrical,
+    ellipsoidal form (Snyder 30-8/30-9): x = a cos(phi) dlam / W,
+    y = M(phi) with W = sqrt(1 - e2 sin2 phi) and M the meridian arc.
+    The arc and its inverse reuse the Krüger series (A*xi == M)."""
+
+    def __init__(self, ellps: str = "WGS84"):
+        a, f = _ELLIPSOIDS[ellps]
+        self._tm = TransverseMercator(0.0, 0.0, 1.0, 0.0, 0.0, a, f)
+        self.a = a
+        self.e2 = f * (2.0 - f)
+
+    def _arc(self, phi):
+        s = np.sin(phi)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.sinh(np.arctanh(s)
+                        - self._tm.e * np.arctanh(self._tm.e * s))
+        xi_p = np.arctan(t)              # arctan(+-inf) = +-pi/2 at poles
+        xi = xi_p.copy()
+        for j, al in enumerate(self._tm.alpha, start=1):
+            xi += al * np.sin(2 * j * xi_p)
+        return self._tm.A * xi
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        w = np.sqrt(1.0 - self.e2 * np.sin(phi) ** 2)
+        return self.a * np.cos(phi) * lam / w, self._arc(phi)
+
+    def inverse(self, x, y):
+        xi = np.asarray(y, dtype=np.float64) / self._tm.A
+        xi_p = xi.copy()
+        for j, b in enumerate(self._tm.beta, start=1):
+            xi_p -= b * np.sin(2 * j * xi)
+        chi = xi_p
+        phi = chi.copy()
+        for j, d in enumerate(self._tm.delta, start=1):
+            phi += d * np.sin(2 * j * chi)
+        w = np.sqrt(1.0 - self.e2 * np.sin(phi) ** 2)
+        c = np.cos(phi)
+        lam = np.where(np.abs(c) < 1e-12, 0.0,
+                       np.asarray(x, dtype=np.float64) * w
+                       / (self.a * np.where(c == 0, 1.0, c)))
+        return np.degrees(lam), np.degrees(phi)
+
+
+class GeographicCRS:
+    """A geographic (lon/lat degree) CRS on a possibly non-WGS84 datum.
+    forward() takes WGS84 lon/lat and returns lon/lat in the local datum
+    (coordinates ARE the degrees — the identity 'projection'); inverse()
+    returns to WGS84.  shift is the WGS84->local Bursa-Wolf 7-tuple or
+    None for WGS84-coincident datums (ETRS89/NAD83/GDA-class)."""
+
+    def __init__(self, ellps: str = "WGS84", shift=None):
+        a, f = _ELLIPSOIDS[ellps]
+        self.a, self.e2 = a, f * (2.0 - f)
+        if shift is None:
+            self._h = None
+        else:
+            t, r, s = shift[:3], shift[3:6], shift[6]
+            self._h = HelmertTM(
+                TransverseMercator(0.0, 0.0, 1.0, 0.0, 0.0, a, f),
+                t=t, r_arcsec=r, s_ppm=s)
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        if self._h is None:
+            return lon.copy(), lat.copy()
+        X, Y, Z = _geodetic_to_ecef(lon, lat,
+                                    WGS84_A, WGS84_F * (2 - WGS84_F))
+        X, Y, Z = self._h._shift(X, Y, Z)
+        return _ecef_to_geodetic(X, Y, Z, self.a, self.e2)
+
+    def inverse(self, x, y):
+        if self._h is None:
+            return (np.asarray(x, dtype=np.float64).copy(),
+                    np.asarray(y, dtype=np.float64).copy())
+        X, Y, Z = _geodetic_to_ecef(x, y, self.a, self.e2)
+        X, Y, Z = self._h._shift(X, Y, Z, invert=True)
+        return _ecef_to_geodetic(X, Y, Z,
+                                 WGS84_A, WGS84_F * (2 - WGS84_F))
 
 
 _PROJ_REGISTRY: dict[str, object] = {}
@@ -1042,6 +1195,15 @@ def _register_from_table():
     for code, kind in D.MERC_ROWS:
         reg[f"EPSG:{code}"] = (WebMercator() if kind == "sphere"
                                else MercatorEllipsoidal())
+    for code, ellps, shift in D.GEOG_ROWS:
+        reg[f"EPSG:{code}"] = GeographicCRS(ellps, shift)
+    for code, kind in D.WORLD_ROWS:
+        obj = {"eqc": EquirectangularSphere,
+               "moll": MollweideSphere,
+               "sinu": SinusoidalEllipsoidal}[kind]()
+        reg[f"EPSG:{code}"] = obj
+        if code >= 54000:                   # ESRI world range
+            reg[f"ESRI:{code}"] = obj
 
 
 _register_projections()
