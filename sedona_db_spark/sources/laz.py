@@ -18,12 +18,16 @@ Scope and validation (see tests/test_sources_wave2.py):
 - the full field space (intensity, classification, flags, scan angle,
   user data, point source, gps time, extra bytes) is verified by
   encoder/decoder roundtrip on randomized data;
-- files whose RETURN NUMBERS or SCANNER CHANNEL change mid-chunk
-  depend on the spec's number_return_map context tables, which cannot
-  be cross-validated in this environment — such files raise
-  NotImplementedError rather than risk a silently wrong decode (for
-  constant-return files the context index is constant, making the
-  decode provably table-independent).
+- POINT14 (compressor 3) files whose RETURN NUMBERS or SCANNER
+  CHANNEL change mid-chunk depend on the v3 reader's 6ctx/8ctx context
+  tables, which cannot be cross-validated in this environment — such
+  files raise NotImplementedError rather than risk a silently wrong
+  decode (for constant-return files the context index is constant,
+  making the decode provably table-independent);
+- VARIABLE-SIZE chunking (VLR chunk_size 0xFFFFFFFF) reads and writes
+  natively for both compressors (round 7): the chunk table interleaves
+  IC-coded per-chunk point counts (context 0) with byte sizes
+  (context 1), the LASzip lasreadpoint layout.
 
 Round-6 second wave adds the legacy compressor 2 (pointwise chunked,
 LAS 1.0-1.3 PDRF 0-5: POINT10/GPSTIME11/RGB12/BYTE v2 over one coder
@@ -921,9 +925,14 @@ def parse_laszip_vlr(buf: bytes, header: dict) -> dict:
     raise ValueError("LAZ file without a laszip VLR")
 
 
-def read_chunk_table(buf: bytes, offset: int) -> list[int]:
+def read_chunk_table(buf: bytes, offset: int,
+                     variable: bool = False):
     """Chunk table: i64 pointer at point-data start -> [version u32,
-    nchunks u32, IC-coded byte sizes]."""
+    nchunks u32, IC-coded entries].  Fixed chunking codes one byte size
+    per chunk (context 1, predicted by the previous size); variable
+    chunking interleaves the point count first (context 0, predicted by
+    the previous count) — the LASzip lasreadpoint layout.  Returns a
+    size list, or (counts, sizes) when ``variable``."""
     (table_off,) = struct.unpack_from("<q", buf, offset)
     version, nchunks = struct.unpack_from("<II", buf, table_off)
     if version != 0:
@@ -931,11 +940,34 @@ def read_chunk_table(buf: bytes, offset: int) -> list[int]:
     dec = ArithmeticDecoder(buf[table_off + 8:])
     ic = IntegerCompressor(dec, 32, 2)
     sizes = []
-    pred = 0
+    counts = []
+    pred_s = pred_c = 0
     for _ in range(nchunks):
-        pred = ic.decompress(pred, 1)
-        sizes.append(pred)
-    return sizes
+        if variable:
+            pred_c = ic.decompress(pred_c, 0)
+            counts.append(pred_c)
+        pred_s = ic.decompress(pred_s, 1)
+        sizes.append(pred_s)
+    return (counts, sizes) if variable else sizes
+
+
+def _write_chunk_table(out: bytearray, chunk_byte_sizes,
+                       chunk_counts=None) -> None:
+    """Append the chunk table and patch the leading i64 pointer;
+    ``chunk_counts`` switches to the variable-chunking interleave."""
+    table_off = len(out)
+    struct.pack_into("<q", out, 0, table_off)
+    out += struct.pack("<II", 0, len(chunk_byte_sizes))
+    enc = ArithmeticEncoder()
+    ic = IntegerCompressor(enc, 32, 2, decompress=False)
+    pred_s = pred_c = 0
+    for i, s in enumerate(chunk_byte_sizes):
+        if chunk_counts is not None:
+            ic.compress(pred_c, chunk_counts[i], 0)
+            pred_c = chunk_counts[i]
+        ic.compress(pred_s, s, 1)
+        pred_s = s
+    out += enc.done()
 
 
 def laz_decompress_points(buf: bytes, header: dict,
@@ -962,17 +994,20 @@ def laz_decompress_points(buf: bytes, header: dict,
     has_nir = 12 in item_types
     extra = sum(s for (t, s, _v) in vlr["items"] if t == 14)
     chunk_size = vlr["chunk_size"]
-    if chunk_size == 0xFFFFFFFF:
-        raise NotImplementedError("variable-size LAZ chunking unsupported")
+    variable = chunk_size == 0xFFFFFFFF
     n = header["n_points"]
     rec_len = header["rec_len"]
     offset = header["offset"]
     pos = offset + 8                       # chunk table pointer (i64)
     # decode the chunk table up front and cross-check every chunk's
-    # byte advance against it (catches truncation/corruption early)
+    # byte advance against it (catches truncation/corruption early).
+    # Layered chunks carry their own point count in-stream, so even
+    # variable-size chunking decodes without the table.
     table_sizes = None
     try:
-        table_sizes = read_chunk_table(buf, offset)
+        table_sizes = read_chunk_table(buf, offset, variable=variable)
+        if variable:
+            _counts, table_sizes = table_sizes
     except (ValueError, IndexError, struct.error):
         table_sizes = None                 # absent/odd table: stay sequential
     out = bytearray()
@@ -980,7 +1015,7 @@ def laz_decompress_points(buf: bytes, header: dict,
     chunk_idx = 0
     while remaining > 0:
         chunk_start = pos
-        in_chunk = min(chunk_size, remaining)
+        in_chunk = remaining if variable else min(chunk_size, remaining)
         # raw first point
         first_raw = buf[pos:pos + rec_len]
         pos += rec_len
@@ -1300,11 +1335,15 @@ def _gps_write(ctx, enc, gps_u64: int):
 
 def laz_compress_points(records: bytes, rec_len: int,
                         chunk_size: int = 50000, rgb: bool = False,
-                        nir: bool = False) -> tuple[bytes, dict]:
+                        nir: bool = False,
+                        chunk_counts=None) -> tuple[bytes, dict]:
     """Raw LAS PDRF6+ records -> layered-chunk LAZ point-data bytes
     (incl. leading chunk-table pointer and trailing chunk table).
     ``rgb`` marks PDRF-7 records (u16 RGB triple at offset 30); ``nir``
     adds the PDRF-8 u16 NIR channel at offset 36 (implies rgb).
+    ``chunk_counts`` switches to VARIABLE-size chunking (VLR chunk_size
+    0xFFFFFFFF, per-chunk counts in the table): each entry is one
+    chunk's point count (must sum to n).
     Returns (bytes, laszip VLR body dict fields) for the file writer."""
     n = len(records) // rec_len
     rgb = rgb or nir
@@ -1312,9 +1351,14 @@ def laz_compress_points(records: bytes, rec_len: int,
     extra = rec_len - 30 - nrgb
     out = bytearray(b"\0" * 8)             # chunk table pointer, patched
     chunk_byte_sizes = []
+    counts_written = []
     i = 0
     while i < n:
-        cnt = min(chunk_size, n - i)
+        if chunk_counts is not None:
+            cnt = chunk_counts[len(chunk_byte_sizes)]
+        else:
+            cnt = min(chunk_size, n - i)
+        counts_written.append(cnt)
         start_len = len(out)
         first = records[i * rec_len:(i + 1) * rec_len]
         out += first
@@ -1350,16 +1394,9 @@ def laz_compress_points(records: bytes, rec_len: int,
             out += b
         chunk_byte_sizes.append(len(out) - start_len)
         i += cnt
-    table_off = len(out)
-    struct.pack_into("<q", out, 0, table_off)
-    out += struct.pack("<II", 0, len(chunk_byte_sizes))
-    enc = ArithmeticEncoder()
-    ic = IntegerCompressor(enc, 32, 2, decompress=False)
-    pred = 0
-    for s in chunk_byte_sizes:
-        ic.compress(pred, s, 1)
-        pred = s
-    out += enc.done()
+    _write_chunk_table(
+        out, chunk_byte_sizes,
+        counts_written if chunk_counts is not None else None)
     items = [(10, 30, 3)]
     if nir:
         items.append((12, 8, 3))
@@ -1367,26 +1404,30 @@ def laz_compress_points(records: bytes, rec_len: int,
         items.append((11, 6, 3))
     if extra:
         items.append((14, extra, 3))
-    return bytes(out), {"compressor": 3, "coder": 0, "chunk_size": chunk_size,
-                        "items": items}
+    vlr_chunk = 0xFFFFFFFF if chunk_counts is not None else chunk_size
+    return bytes(out), {"compressor": 3, "coder": 0,
+                        "chunk_size": vlr_chunk, "items": items}
 
 
 def write_laz_bytes(records: bytes, rec_len: int, fmt: int = 6,
                     scale=(0.001, 0.001, 0.001), origin=(0.0, 0.0, 0.0),
-                    chunk_size: int = 50000) -> bytes:
+                    chunk_size: int = 50000, chunk_counts=None) -> bytes:
     """Raw point records -> complete LAZ file bytes: PDRF 6-10 via the
     layered compressor 3 (LAS 1.4 header), PDRF 0-5 via the legacy
-    pointwise compressor 2 (LAS 1.2 header)."""
+    pointwise compressor 2 (LAS 1.2 header).  ``chunk_counts`` writes
+    a variable-size-chunked file (VLR chunk_size 0xFFFFFFFF)."""
     n = len(records) // rec_len
     if fmt >= 6:
         pd, vlr = laz_compress_points(records, rec_len, chunk_size,
                                       rgb=fmt in (7, 8, 10),
-                                      nir=fmt in (8, 10))
+                                      nir=fmt in (8, 10),
+                                      chunk_counts=chunk_counts)
     else:
-        pd, vlr = laz2_compress_points(records, rec_len, fmt, chunk_size)
+        pd, vlr = laz2_compress_points(records, rec_len, fmt, chunk_size,
+                                       chunk_counts=chunk_counts)
     items = vlr["items"]
     body = struct.pack("<HHBBHIIqqH", vlr["compressor"], 0, 3, 4, 3, 0,
-                       chunk_size, -1, -1, len(items))
+                       vlr["chunk_size"], -1, -1, len(items))
     for (t, s, v) in items:
         body += struct.pack("<HHH", t, s, v)
     vlr_rec = (struct.pack("<H", 0) + b"laszip encoded".ljust(16, b"\0")
@@ -1825,23 +1866,27 @@ def laz2_decompress_points(buf: bytes, header: dict, vlr: dict,
     has_rgb = 8 in item_types
     extra = sum(s for (t, s, _v) in vlr["items"] if t == 0)
     chunk_size = vlr["chunk_size"]
-    if chunk_size == 0xFFFFFFFF:
-        raise NotImplementedError("variable-size LAZ chunking unsupported")
+    variable = chunk_size == 0xFFFFFFFF
     n = header["n_points"]
     rec_len = header["rec_len"]
     offset = header["offset"]
+    counts = None
     try:
-        table = read_chunk_table(buf, offset)
+        table = read_chunk_table(buf, offset, variable=variable)
+        if variable:
+            counts, table = table
     except (ValueError, IndexError, struct.error):
         table = None
-    if table is None and n > chunk_size:
+    if table is None and (variable or n > chunk_size):
+        # pointwise chunks carry no in-stream count: the table is the
+        # only source of chunk boundaries
         raise ValueError("multi-chunk LAZ v2 without a readable chunk table")
     pos = offset + 8
     out = bytearray()
     remaining = n
     ci = 0
     while remaining > 0:
-        in_chunk = min(chunk_size, remaining)
+        in_chunk = counts[ci] if variable else min(chunk_size, remaining)
         chunk_start = pos
         first = buf[pos:pos + rec_len]
         pos += rec_len
@@ -1879,8 +1924,11 @@ def laz2_decompress_points(buf: bytes, header: dict, vlr: dict,
 
 
 def laz2_compress_points(records: bytes, rec_len: int, fmt: int,
-                         chunk_size: int = 50000) -> tuple[bytes, dict]:
-    """PDRF 0-5 records -> compressor-2 point-data bytes + VLR fields."""
+                         chunk_size: int = 50000,
+                         chunk_counts=None) -> tuple[bytes, dict]:
+    """PDRF 0-5 records -> compressor-2 point-data bytes + VLR fields.
+    ``chunk_counts`` switches to variable-size chunking (see
+    laz_compress_points)."""
     has_gps = fmt in (1, 3, 4, 5)
     has_rgb = fmt in (2, 3, 5)
     core = 20 + (8 if has_gps else 0) + (6 if has_rgb else 0)
@@ -1888,9 +1936,14 @@ def laz2_compress_points(records: bytes, rec_len: int, fmt: int,
     n = len(records) // rec_len
     out = bytearray(b"\0" * 8)
     chunk_byte_sizes = []
+    counts_written = []
     i = 0
     while i < n:
-        cnt = min(chunk_size, n - i)
+        if chunk_counts is not None:
+            cnt = chunk_counts[len(chunk_byte_sizes)]
+        else:
+            cnt = min(chunk_size, n - i)
+        counts_written.append(cnt)
         start_len = len(out)
         first = records[i * rec_len:(i + 1) * rec_len]
         out += first
@@ -1925,16 +1978,9 @@ def laz2_compress_points(records: bytes, rec_len: int, fmt: int,
         out += enc.done()
         chunk_byte_sizes.append(len(out) - start_len)
         i += cnt
-    table_off = len(out)
-    struct.pack_into("<q", out, 0, table_off)
-    out += struct.pack("<II", 0, len(chunk_byte_sizes))
-    enc = ArithmeticEncoder()
-    ic = IntegerCompressor(enc, 32, 2, decompress=False)
-    pred = 0
-    for sz in chunk_byte_sizes:
-        ic.compress(pred, sz, 1)
-        pred = sz
-    out += enc.done()
+    _write_chunk_table(
+        out, chunk_byte_sizes,
+        counts_written if chunk_counts is not None else None)
     items = [(6, 20, 2)]
     if has_gps:
         items.append((7, 8, 2))
@@ -1942,5 +1988,6 @@ def laz2_compress_points(records: bytes, rec_len: int, fmt: int,
         items.append((8, 6, 2))
     if extra:
         items.append((0, extra, 2))
+    vlr_chunk = 0xFFFFFFFF if chunk_counts is not None else chunk_size
     return bytes(out), {"compressor": 2, "coder": 0,
-                        "chunk_size": chunk_size, "items": items}
+                        "chunk_size": vlr_chunk, "items": items}

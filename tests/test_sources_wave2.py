@@ -1213,3 +1213,87 @@ def test_blosc_container_blosclz_chunks(spark, tmp_path):
     for j in range(2):
         arr = _band_array(rows[j]["raster"]["bands"][0])
         assert np.array_equal(arr, full[:, 3 * j:3 * (j + 1)])
+
+
+def test_laz_variable_size_chunking():
+    """Round 7: variable-size LAZ chunking (VLR chunk_size 0xFFFFFFFF).
+    The chunk table interleaves IC-coded per-chunk point counts
+    (context 0) with byte sizes (context 1) per the LASzip lasreadpoint
+    layout; both compressors roundtrip through uneven chunk layouts and
+    the whole-file path, and fixed chunking is unchanged."""
+    import struct as _st
+    from sedona_db_spark.sources import laz as L
+    from sedona_db_spark.sources.las import parse_las_points
+    from sedona_db_spark.sources.laz import (
+        _Point10, _Point14, laz2_compress_points, laz_compress_points,
+        pack_point10, pack_point14, write_laz_bytes)
+
+    rng = np.random.RandomState(11)
+
+    def decode(fn, blob, vlr, header):
+        orig = L.parse_laszip_vlr
+        L.parse_laszip_vlr = lambda b, h: vlr
+        try:
+            return fn(blob, header)
+        finally:
+            L.parse_laszip_vlr = orig
+
+    # layered compressor 3 (PDRF 6)
+    recs = bytearray()
+    for i in range(3000):
+        p = _Point14()
+        p.x = int(rng.randint(-9999, 9999))
+        p.y = int(rng.randint(-9999, 9999))
+        p.z = int(rng.randint(0, 500))
+        p.intensity = int(rng.randint(0, 1000))
+        p.return_number = p.number_of_returns = 1
+        p.classification_flags = p.scanner_channel = 0
+        p.scan_direction = p.edge = 0
+        p.classification = int(rng.randint(0, 10))
+        p.user_data = 0
+        p.scan_angle = int(rng.randint(-2000, 2000))
+        p.point_source = 1
+        p.gps_time_bits = _st.unpack(
+            "<q", _st.pack("<d", 1000.0 + i * 0.01))[0]
+        recs += pack_point14(p)
+    recs = bytes(recs)
+    counts = [700, 1200, 300, 800]
+    blob, vlr = laz_compress_points(recs, 30, chunk_counts=counts)
+    assert vlr["chunk_size"] == 0xFFFFFFFF
+    hdr = {"n_points": 3000, "rec_len": 30, "offset": 0, "header_size": 0}
+    assert decode(L.laz_decompress_points, blob, vlr, hdr) == recs
+
+    # pointwise compressor 2 (PDRF 1, multi-return: counts come only
+    # from the variable chunk table — no in-stream count)
+    recs2 = bytearray()
+    x = y = z = 0
+    for i in range(2500):
+        p = _Point10()
+        x += int(rng.randint(-30, 31))
+        y += int(rng.randint(-30, 31))
+        z += int(rng.randint(-8, 9))
+        p.x, p.y, p.z = x, y, z
+        p.intensity = int(rng.randint(0, 800))
+        nr = int(rng.randint(1, 6))
+        p.bit_byte = (int(rng.randint(1, nr + 1))) | (nr << 3)
+        p.classification = int(rng.randint(0, 12))
+        p.scan_angle_rank = int(rng.randint(0, 256))
+        p.user_data = 0
+        p.point_source = int(rng.randint(0, 6))
+        recs2 += pack_point10(p) + _st.pack(
+            "<q", _st.unpack("<q", _st.pack("<d", float(i)))[0])
+    recs2 = bytes(recs2)
+    counts2 = [100, 900, 1000, 500]
+    blob2, vlr2 = laz2_compress_points(recs2, 28, 1, chunk_counts=counts2)
+    assert vlr2["chunk_size"] == 0xFFFFFFFF
+    hdr2 = {"n_points": 2500, "rec_len": 28, "offset": 0, "header_size": 0}
+    assert decode(L.laz_decompress_points, blob2, vlr2, hdr2) == recs2
+
+    # whole-file path for both, plus fixed-chunking regression
+    assert len(parse_las_points(
+        write_laz_bytes(recs2, 28, fmt=1, chunk_counts=counts2))) == 2500
+    assert len(parse_las_points(
+        write_laz_bytes(recs, 30, fmt=6, chunk_counts=counts))) == 3000
+    b_fixed, v_fixed = laz_compress_points(recs, 30, chunk_size=500)
+    assert v_fixed["chunk_size"] == 500
+    assert decode(L.laz_decompress_points, b_fixed, v_fixed, hdr) == recs
