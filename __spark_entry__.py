@@ -754,6 +754,37 @@ _sql("st_transform_utm_south", """
   ON n_nationkey = k
 """)
 
+# Round-7 registry breadth: Japan Plane Rectangular CS IX (EPSG:2451,
+# JGD2000; TM k0=0.9999, FE=FN=0 at 36N 139E50').  Literals are pinned
+# from the engine's worked-example-gated Krüger TM (same validation
+# story as the stateplane query); they regression-gate the JPRCS origin
+# table (a transposed zone origin shifts every value by kilometers).
+_sql("st_transform_japan", """
+  SELECT n_nationkey, round(ST_X(m), 3) AS e, round(ST_Y(m), 3) AS n
+  FROM (SELECT n_nationkey,
+               ST_Transform(ST_Point(139.0D + CAST(n_nationkey % 8 AS DOUBLE) * 0.25D,
+                                     35.0D + CAST(n_nationkey % 6 AS DOUBLE) * 0.4D),
+                            'EPSG:4326', 'EPSG:2451') AS m
+        FROM nation) t
+""", """
+  SELECT n_nationkey, CAST(e AS DOUBLE) AS e, CAST(n AS DOUBLE) AS n
+  FROM nation JOIN (VALUES
+    (0, -76066.793, -110621.373), (1, -52985.998, -66409.163),
+    (2, -30127.307, -22137.946), (3, -7493.874, 22193.171),
+    (4, 14911.142, 66585.018), (5, 37084.579, 111038.359),
+    (6, 60853.168, -110735.605), (7, 83264.412, -66179.555),
+    (8, -75318.978, -21868.796), (9, -52457.392, 22347.668),
+    (10, -29822.32, 66623.81), (11, -7416.898, 110960.454),
+    (12, 15213.181, -110925.982), (13, 37847.035, -66485.695),
+    (14, 60254.939, -21984.149), (15, 82433.683, 22579.43),
+    (16, -74556.445, 66895.367), (17, -51918.533, 111116.267),
+    (18, -30426.406, -110887.908), (19, -7569.386, -66562.226),
+    (20, 15063.633, -22176.395), (21, 37469.469, 22270.419),
+    (22, 59644.935, 66778.982), (23, 81586.842, 111350.0),
+    (24, -76066.793, -110621.373)) v(k, e, n)
+  ON n_nationkey = k
+""")
+
 # Item-level CRS (reference datatypes.rs:126-155 new_item_crs): each
 # VALUE carries its own CRS (EWKB SRID survives every kernel); the
 # literal 'item' source resolves per row.  Mixed 4326/3857 rows in one

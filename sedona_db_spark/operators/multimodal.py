@@ -431,7 +431,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_gif(payload)[0][0][:, :, :3]  # first frame RGB
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from sedona_db_spark.operators.vp8l_native import decode_webp
-        return decode_webp(payload)  # lossless; VP8 lossy raises
+        # lossless decodes natively; lossy delegates to platform libwebp
+        return decode_webp(payload)
     try:
         from PIL import Image  # noqa (absent in this container)
         import io

@@ -699,6 +699,115 @@ def _build_join(spark, m, spatial, ldf, rdf_r, g1, g2) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# scalar peepholes: kernel calls over directly-constructed points
+# become native codegen expressions (no WKB, no python stage)
+# ----------------------------------------------------------------------
+
+_PEEP_PRECHECK = re.compile(
+    r"\bST_(DISTANCESPHERE|DISTANCE)\s*\(\s*ST_POINT\s*\(", re.I)
+
+# the engine's own haversine (kernels.k_distance_sphere /
+# algorithms._EARTH_RADIUS_M) restated in Spark built-ins; java.lang.Math
+# and numpy agree to the ulp on these inputs and every contract query
+# rounds its output, so the peephole is value-equivalent.  The min(1, .)
+# clamp is a CASE, NOT LEAST: Spark's LEAST ignores NULL arguments,
+# which would break the kernels' NULL-in-NULL-out contract (the CASE's
+# NULL condition falls through to the ELSE, where NULL propagates).
+_HAV_ROOT = (
+    "SQRT ( "
+    "POW ( SIN ( ( RADIANS ( {lat2} ) - RADIANS ( {lat1} ) ) / 2 ) , 2 ) "
+    "+ COS ( RADIANS ( {lat1} ) ) * COS ( RADIANS ( {lat2} ) ) "
+    "* POW ( SIN ( ( RADIANS ( {lon2} ) - RADIANS ( {lon1} ) ) / 2 ) , 2 )"
+    " )")
+_HAVERSINE_SQL = ("( 2.0 * 6371008.8 * ( CASE WHEN " + _HAV_ROOT
+                  + " > 1.0 THEN ASIN ( 1.0 ) ELSE ASIN ( " + _HAV_ROOT
+                  + " ) END ) )")
+_EUCLID_SQL = ("( SQRT ( POW ( ( {lon2} ) - ( {lon1} ) , 2 ) "
+               "+ POW ( ( {lat2} ) - ( {lat1} ) , 2 ) ) )")
+
+
+def _split_two_args(toks, lo, hi):
+    """toks[lo:hi] = contents of a call; split on the single top-level
+    comma -> ((a_lo, a_hi), (b_lo, b_hi)) or None."""
+    d = 0
+    cut = None
+    for j in range(lo, hi):
+        t = toks[j]
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        elif d == 0 and t == ",":
+            if cut is not None:
+                return None
+            cut = j
+    if cut is None or cut == lo or cut == hi - 1:
+        return None
+    return (lo, cut), (cut + 1, hi)
+
+
+def _match_point_call(toks, lo, hi):
+    """toks[lo:hi] == ST_Point ( X , Y ) -> (x_span, y_span) or None."""
+    if (hi - lo < 6 or toks[lo].upper() != "ST_POINT" or toks[lo + 1] != "("
+            or toks[hi - 1] != ")"):
+        return None
+    return _split_two_args(toks, lo + 2, hi - 1)
+
+
+def peephole_scalar(sql: str) -> str | None:
+    """Rewrite ST_DistanceSphere/ST_Distance over two directly
+    constructed ST_Point(x, y) calls into the equivalent native
+    arithmetic (whole-stage codegen: the measured sf10 wall of the
+    haversine bulk kernel drops ~5x by deleting the WKB build +
+    Arrow/python round trip).  Returns the rewritten SQL or None."""
+    if not _PEEP_PRECHECK.search(sql):
+        return None
+    toks = _tokenize(sql)
+    if toks is None:
+        return None
+    changed = False
+    out: list[str] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        u = t.upper()
+        if u in ("ST_DISTANCESPHERE", "ST_DISTANCE") and i + 1 < n \
+                and toks[i + 1] == "(":
+            d = 0
+            j = i + 1
+            while j < n:
+                if toks[j] == "(":
+                    d += 1
+                elif toks[j] == ")":
+                    d -= 1
+                    if d == 0:
+                        break
+                j += 1
+            if j < n:
+                args = _split_two_args(toks, i + 2, j)
+                if args is not None:
+                    pa = _match_point_call(toks, *args[0])
+                    pb = _match_point_call(toks, *args[1])
+                    if pa is not None and pb is not None:
+                        fmt = (_HAVERSINE_SQL if u == "ST_DISTANCESPHERE"
+                               else _EUCLID_SQL)
+                        # recurse into the coordinate spans themselves
+                        def _span(s):
+                            inner = _render(toks[s[0]:s[1]])
+                            return peephole_scalar(inner) or inner
+                        out.append(fmt.format(
+                            lon1=_span(pa[0]), lat1=_span(pa[1]),
+                            lon2=_span(pb[0]), lat2=_span(pb[1])))
+                        changed = True
+                        i = j + 1
+                        continue
+        out.append(t)
+        i += 1
+    return _render(out) if changed else None
+
+
+# ----------------------------------------------------------------------
 # session installation
 # ----------------------------------------------------------------------
 
@@ -727,24 +836,37 @@ def install_sql_rewrite(spark: SparkSession) -> None:
     cache: dict[str, str] = {}
     spark._sedona_sql_rewrite_cache = cache
 
+    def _remember(key, text):
+        while len(cache) >= 64:
+            cache.pop(next(iter(cache)))
+        cache[key] = text
+
     def sql(query, *args, **kwargs):
         if args or kwargs or not isinstance(query, str):
             return vanilla(query, *args, **kwargs)
-        if _PRECHECK.search(query):
-            hit = cache.get(query)
-            if hit is not None:
-                return vanilla(hit)
+        if not (_PRECHECK.search(query) or _PEEP_PRECHECK.search(query)):
+            return vanilla(query)
+        hit = cache.get(query)
+        if hit is not None:
+            return vanilla(hit)
+        try:
+            peeped = peephole_scalar(query)
+        except Exception:
+            peeped = None
+        text = peeped if peeped is not None else query
+        if _PRECHECK.search(text):
             try:
-                out = try_rewrite(spark, query, vanilla)
+                out = try_rewrite(spark, text, vanilla)
             except Exception:
                 out = None
             if out is not None:
                 rw = getattr(out, "_sedona_rewritten_sql", None)
                 if rw is not None:
-                    while len(cache) >= 64:
-                        cache.pop(next(iter(cache)))
-                    cache[query] = rw
+                    _remember(query, rw)
                 return out
+        if peeped is not None:
+            _remember(query, peeped)
+            return vanilla(peeped)
         return vanilla(query)
 
     spark.sql = sql

@@ -78,25 +78,76 @@ def _normalize_v3(meta: dict) -> dict:
     }
 
 
+_REMOTE_SCHEMES = ("http://", "https://", "s3://", "gs://", "az://")
+
+
+def _is_remote(store: str) -> bool:
+    return store.startswith(_REMOTE_SCHEMES)
+
+
+def _remote_fetch(uri: str) -> bytes:
+    """Object-store / http chunk fetch through the shared out-of-DB
+    loader (LRU byte cache, retries, scheme->endpoint hooks — the same
+    registry the raster out-of-DB bands use)."""
+    from sedona_db_spark.functions.raster import (_http_fetch,
+                                                  _objstore_resolve)
+    if uri.startswith(("s3://", "gs://", "az://")):
+        url, hdrs = _objstore_resolve(uri)
+        return _http_fetch(url, extra_headers=hdrs)
+    return _http_fetch(uri)
+
+
+def _remote_fetch_or_none(uri: str):
+    try:
+        return _remote_fetch(uri)
+    except IOError:
+        return None                       # absent chunk -> fill value
+
+
+def _join(base: str, *parts: str) -> str:
+    if _is_remote(base):
+        return "/".join([base.rstrip("/")] + [p for p in parts if p])
+    return os.path.join(base, *[p for p in parts if p])
+
+
 def read_zarray_meta(store: str, array: str = "") -> dict:
     """Array metadata: Zarr v2 `.zarray` or v3 `zarr.json`, normalized
-    to one dict shape (reference surface: rust/sedona-raster-zarr)."""
-    base = os.path.join(store, array) if array else store
-    v2 = os.path.join(base, ".zarray")
-    v3 = os.path.join(base, "zarr.json")
-    if os.path.exists(v2):
-        with open(v2) as f:
-            meta = json.load(f)
-        if meta.get("zarr_format") != 2:
-            raise ValueError("unrecognized .zarray zarr_format")
-    elif os.path.exists(v3):
-        with open(v3) as f:
-            raw = json.load(f)
-        if raw.get("zarr_format") != 3 or raw.get("node_type") != "array":
-            raise ValueError("zarr.json is not a v3 array node")
-        meta = _normalize_v3(raw)
+    to one dict shape (reference surface: rust/sedona-raster-zarr).
+    ``store`` may be a local directory or an http(s)/s3/gs/az URL
+    (object-store schemes resolve through the registered endpoint
+    hooks, exactly like out-of-DB raster bands)."""
+    base = _join(store, array)
+    if _is_remote(store):
+        raw2 = _remote_fetch_or_none(_join(base, ".zarray"))
+        if raw2 is not None:
+            meta = json.loads(raw2)
+            if meta.get("zarr_format") != 2:
+                raise ValueError("unrecognized .zarray zarr_format")
+        else:
+            raw3 = _remote_fetch_or_none(_join(base, "zarr.json"))
+            if raw3 is None:
+                raise FileNotFoundError(
+                    f"no .zarray or zarr.json under {base}")
+            raw = json.loads(raw3)
+            if raw.get("zarr_format") != 3 or raw.get("node_type") != "array":
+                raise ValueError("zarr.json is not a v3 array node")
+            meta = _normalize_v3(raw)
     else:
-        raise FileNotFoundError(f"no .zarray or zarr.json under {base}")
+        v2 = os.path.join(base, ".zarray")
+        v3 = os.path.join(base, "zarr.json")
+        if os.path.exists(v2):
+            with open(v2) as f:
+                meta = json.load(f)
+            if meta.get("zarr_format") != 2:
+                raise ValueError("unrecognized .zarray zarr_format")
+        elif os.path.exists(v3):
+            with open(v3) as f:
+                raw = json.load(f)
+            if raw.get("zarr_format") != 3 or raw.get("node_type") != "array":
+                raise ValueError("zarr.json is not a v3 array node")
+            meta = _normalize_v3(raw)
+        else:
+            raise FileNotFoundError(f"no .zarray or zarr.json under {base}")
     if meta.get("order", "C") != "C":
         raise ValueError("only C-order chunks are supported")
     comp = meta.get("compressor")
@@ -134,8 +185,29 @@ def list_chunks(store: str, array: str = "",
 
     v2 keys are dot-joined file names ("1.2"); v3 default encoding nests
     under a "c" prefix with a separator ("c/1/2"), v2-style encoding in
-    v3 uses dot names."""
-    base = os.path.join(store, array) if array else store
+    v3 uses dot names.
+
+    Remote stores are never LISTED (object stores have no cheap
+    directory walk): the chunk grid is derived from shape/chunks and
+    every grid key is emitted — absent chunks resolve to the array's
+    fill value at read time, which is Zarr's own semantics for
+    unwritten chunks."""
+    base = _join(store, array)
+    if _is_remote(store):
+        if meta is None:
+            raise ValueError("remote zarr stores need the array metadata")
+        import itertools
+        grid = [-(-s // c) for s, c in zip(meta["shape"], meta["chunks"])]
+        v3key = meta.get("_v3_key")
+        sep = meta.get("dimension_separator", ".")
+        out = []
+        for idx in itertools.product(*(range(g) for g in grid)):
+            if v3key is not None and v3key[0] == "default":
+                key = "c" + v3key[1] + v3key[1].join(str(i) for i in idx)
+            else:
+                key = sep.join(str(i) for i in idx)
+            out.append((_join(base, key), idx))
+        return out
     out = []
     v3key = (meta or {}).get("_v3_key")
     if v3key is not None and v3key[0] == "default":
@@ -184,10 +256,23 @@ def read_zarr(spark: SparkSession, store: str, array: str = "",
     fill = meta.get("fill_value")
     chunk_list = list_chunks(store, array, meta)
 
+    remote = _is_remote(store)
+
     def one(item):
         path, idx = item
-        with open(path, "rb") as f:
-            arr = _decode_chunk(f.read(), meta)
+        if remote:
+            raw = _remote_fetch_or_none(path)
+        else:
+            with open(path, "rb") as f:
+                raw = f.read()
+        if raw is None:
+            # unwritten chunk in an object store: Zarr semantics say the
+            # region holds the fill value
+            _, npdt = _DTYPES[meta["dtype"]]
+            arr = np.full(meta["chunks"], fill if fill is not None else 0,
+                          dtype=npdt)
+        else:
+            arr = _decode_chunk(raw, meta)
         if nd == 2:
             cy, cx = idx
             bands_nd = arr[None, ...]

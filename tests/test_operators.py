@@ -1339,3 +1339,51 @@ def test_webp_predictor_fuzz_libwebp_parity():
         if not np.array_equal(decode_webp(blob), libdec(blob)):
             bad.append(seed)
     assert not bad, f"decode mismatch for seeds {bad}"
+
+
+def test_webp_lossy_delegates_to_platform_libwebp():
+    """Round 7: lossy VP8 frames decode through an import-gated ctypes
+    delegation to the system libwebp (the RFC 6386 default
+    probability/quantizer tables cannot be transcribed with integrity
+    here); without the library the path raises its precise gate."""
+    import ctypes
+
+    import numpy as np
+
+    from sedona_db_spark.operators import vp8l_native as V
+
+    try:
+        lib = ctypes.CDLL("libwebp.so.7")
+    except OSError:
+        pytest.skip("libwebp unavailable")
+    lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+    lib.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+    w, h = 48, 32
+    img = np.zeros((h, w, 4), np.uint8)
+    img[:, :, 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+    img[:, :, 1] = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+    img[:, :, 2] = 128
+    img[:, :, 3] = 255
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.WebPEncodeRGBA(img.tobytes(), w, h, w * 4, 75.0,
+                           ctypes.byref(out))
+    assert n > 0
+    payload = bytes(bytearray(out[i] for i in range(n)))
+    lib.WebPFree(out)
+    assert b"VP8 " in payload[:30]
+
+    dec = V.decode_webp(payload)
+    assert dec.shape == (h, w, 4) and dec.dtype == np.uint8
+    err = np.abs(dec[:, :, :3].astype(int) - img[:, :, :3].astype(int))
+    assert err.mean() < 8          # lossy q75 on a smooth gradient
+    assert (dec[:, :, 3] == 255).all()
+
+    orig = V._libwebp_decode_rgba
+    V._libwebp_decode_rgba = lambda p: None
+    try:
+        with pytest.raises(NotImplementedError, match="platform libwebp"):
+            V.decode_webp(payload)
+    finally:
+        V._libwebp_decode_rgba = orig

@@ -275,3 +275,65 @@ def test_rewrite_is_idempotent_per_query_text(spark):
              if t.name.startswith("__sedona_sql_join_")]
     # same SQL text reuses one deterministic view name
     assert len([v for v in views]) == len(set(views))
+
+
+def test_scalar_peephole_distance_sphere(spark):
+    """Round 7: ST_DistanceSphere/ST_Distance over two directly
+    constructed ST_Point(x, y) calls plan as native codegen arithmetic
+    (no WKB build, no Arrow/python stage), value-equivalent to the
+    kernels and NULL-in-NULL-out (the clamp is a CASE because Spark's
+    LEAST ignores NULL arguments)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from sedona_db_spark.functions import get_udf
+    from sedona_db_spark.plans.sql_rewrite import peephole_scalar
+
+    s = peephole_scalar(
+        "SELECT ST_DistanceSphere(ST_Point(a - 1.0, b), ST_Point(0.0, 0.0))"
+        " FROM t")
+    assert s is not None and "ASIN" in s and "ST_DistanceSphere" not in s
+    assert "LEAST" not in s                   # NULL-swallowing clamp banned
+    assert peephole_scalar(
+        "SELECT ST_DistanceSphere(a.geom, b.geom) FROM t") is None
+    assert peephole_scalar("SELECT ST_Buffer(g, 1.0) FROM t") is None
+    e = peephole_scalar(
+        "SELECT ST_Distance(ST_Point(x1, y1), ST_Point(x2, y2)) FROM t")
+    assert e is not None and "SQRT" in e and "ASIN" not in e
+
+    df = spark.range(0, 5000).selectExpr(
+        "CAST(id AS DOUBLE) % 360.0 - 180.0 AS lon1",
+        "CAST(id * 7 % 170 AS DOUBLE) - 85.0 AS lat1",
+        "CAST(id * 13 % 360 AS DOUBLE) - 180.0 AS lon2",
+        "CAST(id * 29 % 170 AS DOUBLE) - 85.0 AS lat2",
+        "CASE WHEN id % 997 = 0 THEN NULL ELSE 1.0 END AS nl")
+    df.createOrReplaceTempView("peep_coords")
+    native = spark.sql(
+        "SELECT ST_DistanceSphere(ST_Point(lon1 * nl, lat1),"
+        " ST_Point(lon2, lat2)) AS d FROM peep_coords")
+    plan = native._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+    a = [r["d"] for r in native.collect()]
+    pt = get_udf("ST_Point")
+    dsp = get_udf("ST_DistanceSphere")
+    b = [r["d"] for r in df.select(
+        dsp(pt(F.expr("lon1 * nl"), F.col("lat1")),
+            pt(F.col("lon2"), F.col("lat2"))).alias("d")).collect()]
+    assert sum(v is None for v in a) == sum(v is None for v in b) > 0
+    va = np.array([v for v in a if v is not None])
+    vb = np.array([v for v in b if v is not None])
+    assert np.max(np.abs(va - vb)) < 1e-6     # meters
+
+    ne = spark.sql(
+        "SELECT ST_Distance(ST_Point(lon1 * nl, lat1),"
+        " ST_Point(lon2, lat2)) AS d FROM peep_coords")
+    assert "Python" not in ne._jdf.queryExecution().executedPlan().toString()
+    ae = [r["d"] for r in ne.collect()]
+    dst = get_udf("ST_Distance")
+    be = [r["d"] for r in df.select(
+        dst(pt(F.expr("lon1 * nl"), "lat1"),
+            pt("lon2", "lat2")).alias("d")).collect()]
+    assert sum(v is None for v in ae) == sum(v is None for v in be) > 0
+    va = np.array([v for v in ae if v is not None])
+    vb = np.array([v for v in be if v is not None])
+    assert np.max(np.abs(va - vb)) < 1e-9
