@@ -2694,6 +2694,24 @@ def _http_raster_base() -> str:
         # path-style S3 layout for the s3:// loader-hook contract query:
         # s3://rasters/n{k}.tif resolves to {endpoint}/rasters/n{k}.tif
         payloads[f"/rasters/n{k}.tif"] = tif
+    # a Zarr v2 store under /zcube for the remote-datacube contract
+    # query: shape (6, 8), chunks (3, 4), zlib, values arange(48);
+    # chunk 1.1 is deliberately ABSENT (object-store unwritten-chunk
+    # semantics: reads as the fill value)
+    import json as _json
+    import zlib as _zlib
+    payloads["/zcube/.zarray"] = _json.dumps(
+        {"zarr_format": 2, "shape": [6, 8], "chunks": [3, 4],
+         "dtype": "<f8", "compressor": {"id": "zlib"}, "fill_value": 0,
+         "order": "C", "filters": None}).encode()
+    _full = np.arange(48, dtype="<f8").reshape(6, 8)
+    for cy in range(2):
+        for cx in range(2):
+            if (cy, cx) == (1, 1):
+                continue
+            chunk = _full[cy * 3:(cy + 1) * 3, cx * 4:(cx + 1) * 4]
+            payloads[f"/zcube/{cy}.{cx}"] = _zlib.compress(
+                np.ascontiguousarray(chunk).tobytes())
 
     class H(BaseHTTPRequestHandler):
         def do_GET(self):
@@ -2794,6 +2812,40 @@ _O["raster_s3_outdb"] = """
          round(35.0 * (2.0 * n_nationkey + 3.0) + n_nationkey, 6) AS pix_sum,
          round(CAST(n_nationkey AS DOUBLE), 6) AS pix_min
   FROM nation
+"""
+
+
+def _q_zarr_http_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remote Zarr datacube (round 7): the store lives behind http://
+    (loopback fixture), is never LISTED — the chunk grid derives from
+    shape/chunks — and one chunk is deliberately absent, reading as the
+    fill value per Zarr's unwritten-chunk semantics (fill 0 == band
+    nodata, so the absent chunk contributes zero pixels to the stats).
+    Reference surface: rust/sedona-raster-zarr + the object-store
+    loader registry (context.rs:283-316)."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions import raster as rs
+    from sedona_db_spark.sources import zarr_source
+    base = _http_raster_base()
+    df = zarr_source.read_zarr(spark, f"{base}/zcube")
+    z = df.select(rs.zonal_stats(
+        F.col("raster"),
+        F.expr("ST_MakeEnvelope(0.0, -6.0, 8.0, 0.0)"), 1).alias("z"))
+    return z.agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.coalesce(F.col("z.count"), F.lit(0))).alias("pix_count"),
+        F.round(F.sum(F.coalesce(F.col("z.sum"), F.lit(0.0))), 6)
+         .alias("pix_sum"))
+
+
+_PY["zarr_http_roundtrip"] = _q_zarr_http_roundtrip
+# values arange(48) on a (6, 8)/(3, 4) grid; absent chunk (1, 1) covers
+# rows 3-5 x cols 4-7 (sum 450); value-0 pixel masked by fill==nodata:
+# count = 48 - 12 - 1 = 35, sum = 1128 - 450 = 678
+_O["zarr_http_roundtrip"] = """
+  SELECT CAST(4 AS BIGINT) AS n_chunks,
+         CAST(35 AS BIGINT) AS pix_count,
+         round(678.0, 6) AS pix_sum
 """
 
 

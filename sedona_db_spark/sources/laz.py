@@ -435,7 +435,11 @@ class IntegerCompressor:
                        for _ in range(contexts)]
         self.m_corr0 = ArithmeticBitModel()
         self.m_corr = [None]
-        for i in range(1, self.corr_bits):
+        # laszip allocates corrector models for i = 1..=corr_bits
+        # INCLUSIVE: a bounded IC's corrector can need k == corr_bits
+        # (e.g. corr == corr_min on a 16-bit corrector); only the
+        # unbounded 32-bit case uses k = 32 as a model-less sentinel
+        for i in range(1, self.corr_bits + 1):
             self.m_corr.append(ArithmeticModel(
                 1 << min(i, bits_high), compress))
 

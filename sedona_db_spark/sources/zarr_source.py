@@ -257,10 +257,26 @@ def read_zarr(spark: SparkSession, store: str, array: str = "",
     chunk_list = list_chunks(store, array, meta)
 
     remote = _is_remote(store)
+    # ship the driver's object-store endpoint registrations to the
+    # executors in the map closure (same pattern as raster.ensure_loaded:
+    # driver-side register_*_endpoint() calls after JVM launch would
+    # otherwise never reach the python workers)
+    if remote:
+        from sedona_db_spark.functions.raster import _OBJSTORE_ENDPOINTS
+        ep_snapshot = {sc: dict(tbl)
+                       for sc, tbl in _OBJSTORE_ENDPOINTS.items() if tbl}
+    else:
+        ep_snapshot = None
 
     def one(item):
         path, idx = item
         if remote:
+            if ep_snapshot:
+                from sedona_db_spark.functions import raster as _r
+                for sc, tbl in ep_snapshot.items():
+                    dst = _r._OBJSTORE_ENDPOINTS.setdefault(sc, {})
+                    for bucket, ep in tbl.items():
+                        dst.setdefault(bucket, ep)
             raw = _remote_fetch_or_none(path)
         else:
             with open(path, "rb") as f:
