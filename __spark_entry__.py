@@ -3439,6 +3439,11 @@ _PRIORITY[_PRIORITY.index("geojson_roundtrip")] = "sql_spatial_join_rewrite"
 _PRIORITY[_PRIORITY.index("spatial_join_left_within")] = \
     "sql_spatial_join_left_rewrite"
 _PRIORITY[_PRIORITY.index("knn_join_k3")] = "sql_knn_join"
+# Round 7, second wave: remote (object-store) Zarr takes the http
+# out-of-DB raster slot — the loader family stays in-window via
+# raster_s3_outdb (same endpoint hooks, same executor-side fetch), and
+# raster_http_outdb stays green in the replica + pytest.
+_PRIORITY[_PRIORITY.index("raster_http_outdb")] = "zarr_http_roundtrip"
 
 
 def _ordered_names() -> list[str]:
