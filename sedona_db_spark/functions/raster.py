@@ -955,13 +955,18 @@ def from_path(spark: SparkSession, path: str) -> DataFrame:
     """RS_FromPath: distributed GeoTIFF directory read.
 
     Spark lists the files (binaryFile source: path, length, bytes) and
-    each task decodes its files executor-side with the native codec —
-    the same plumbing the reference's GDAL loader would use, with no
-    driver-side IO.  Compressed/tiled files raise; install rasterio on
-    a real cluster and swap the decode in ensure_loaded for those."""
-    files = spark.read.format("binaryFile") \
-        .option("pathGlobFilter", "*.tif*").load(path) \
-        .select("path", "content")
+    each task decodes its files executor-side with the native codec
+    (strips/tiles; DEFLATE/LZW/PackBits/JPEG/CCITT — the same decoder
+    RS_FromGeoTIFF uses), with no driver-side IO.  Remote URIs
+    (http(s)/s3/gs/az, single or list) fetch through the object-store
+    endpoint hooks instead of the binaryFile listing."""
+    from sedona_db_spark.sources.remote import is_remote, read_binary_remote
+    if is_remote(path):
+        files = read_binary_remote(spark, path)
+    else:
+        files = spark.read.format("binaryFile") \
+            .option("pathGlobFilter", "*.tif*").load(path) \
+            .select("path", "content")
     out_schema = T.StructType([T.StructField("path", T.StringType())]
                               + list(RASTER_TYPE.fields))
 

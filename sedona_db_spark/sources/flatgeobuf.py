@@ -469,8 +469,12 @@ _CT_SPARK = {_CT_BOOL: T.BooleanType(), _CT_LONG: T.LongType(),
 def read_flatgeobuf(spark: SparkSession, path: str,
                     geom_col: str = "geom") -> DataFrame:
     """Distributed FGB read: (property columns..., geom WKB)."""
-    files = spark.read.format("binaryFile") \
-        .option("pathGlobFilter", "*.fgb").load(path).select("content")
+    from sedona_db_spark.sources.remote import is_remote, read_binary_remote
+    if is_remote(path):
+        files = read_binary_remote(spark, path).select("content")
+    else:
+        files = spark.read.format("binaryFile") \
+            .option("pathGlobFilter", "*.fgb").load(path).select("content")
     head = files.limit(1).collect()
     if not head:
         raise FileNotFoundError(f"no .fgb files under {path}")

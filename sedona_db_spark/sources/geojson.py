@@ -122,7 +122,12 @@ def _infer_type(values) -> T.DataType:
 def read_geojson(spark: SparkSession, path: str, geom_col: str = "geom",
                  sample_features: int = 200) -> DataFrame:
     """Distributed GeoJSON read: (inferred property columns..., geom WKB)."""
-    files = spark.read.format("text").option("wholetext", "true").load(path)
+    from sedona_db_spark.sources.remote import is_remote, read_binary_remote
+    if is_remote(path):
+        files = read_binary_remote(spark, path, text=True).select("value")
+    else:
+        files = spark.read.format("text").option("wholetext", "true") \
+            .load(path)
     # schema inference from the first file only (single driver fetch)
     head = files.limit(1).collect()
     props: dict[str, list] = {}

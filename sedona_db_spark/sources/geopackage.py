@@ -74,8 +74,12 @@ def _sqlite_spark_type(decl: str) -> T.DataType:
 def read_geopackage(spark: SparkSession, path: str, table: str | None = None,
                     geom_col: str = "geom") -> DataFrame:
     """Distributed GPKG read: (attribute columns..., geom WKB)."""
-    files = spark.read.format("binaryFile") \
-        .option("pathGlobFilter", "*.gpkg").load(path).select("content")
+    from sedona_db_spark.sources.remote import is_remote, read_binary_remote
+    if is_remote(path):
+        files = read_binary_remote(spark, path).select("content")
+    else:
+        files = spark.read.format("binaryFile") \
+            .option("pathGlobFilter", "*.gpkg").load(path).select("content")
     head = files.limit(1).collect()
     if not head:
         raise FileNotFoundError(f"no .gpkg files under {path}")

@@ -177,12 +177,18 @@ def read_las(spark: SparkSession, path: str,
     """Distributed LAS read: binaryFile listing + per-file numpy parse.
 
     At 100 TB the file listing shards across executors and each file is
-    parsed where it is read; no driver-side IO at all.
+    parsed where it is read; no driver-side IO at all.  Remote URIs
+    (http(s)/s3/gs/az, single or list) fetch executor-side through the
+    object-store endpoint hooks (sources/remote.py).
     """
     from sedona_db_spark.geom import core
+    from sedona_db_spark.sources.remote import is_remote, read_binary_remote
 
-    files = spark.read.format("binaryFile").load(path) \
-        .select("path", "content")
+    if is_remote(path):
+        files = read_binary_remote(spark, path)
+    else:
+        files = spark.read.format("binaryFile").load(path) \
+            .select("path", "content")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

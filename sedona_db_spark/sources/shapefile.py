@@ -187,15 +187,30 @@ def parse_shp(data: bytes):
 
 def read_shapefile(spark: SparkSession, path: str,
                    geom_col: str = "geom") -> DataFrame:
-    """Distributed shapefile read: (dbf attribute columns..., geom WKB)."""
-    shp = spark.read.format("binaryFile").option("pathGlobFilter", "*.shp") \
-        .load(path).selectExpr(
+    """Distributed shapefile read: (dbf attribute columns..., geom WKB).
+
+    Remote: pass the ``.shp`` URI(s); the ``.dbf`` sibling is fetched
+    by extension swap (object stores are never listed)."""
+    from sedona_db_spark.sources.remote import is_remote, read_binary_remote
+    if is_remote(path):
+        uris = [str(p) for p in (path if isinstance(path, (list, tuple))
+                                 else [path])]
+        shp = read_binary_remote(spark, uris).selectExpr(
             "regexp_replace(path, '\\\\.shp$', '') AS stem",
             "content AS shp")
-    dbf = spark.read.format("binaryFile").option("pathGlobFilter", "*.dbf") \
-        .load(path).selectExpr(
+        dbf = read_binary_remote(
+            spark, [u[:-4] + ".dbf" for u in uris]).selectExpr(
             "regexp_replace(path, '\\\\.dbf$', '') AS stem",
             "content AS dbf")
+    else:
+        shp = spark.read.format("binaryFile") \
+            .option("pathGlobFilter", "*.shp").load(path).selectExpr(
+                "regexp_replace(path, '\\\\.shp$', '') AS stem",
+                "content AS shp")
+        dbf = spark.read.format("binaryFile") \
+            .option("pathGlobFilter", "*.dbf").load(path).selectExpr(
+                "regexp_replace(path, '\\\\.dbf$', '') AS stem",
+                "content AS dbf")
     pairs = shp.join(dbf, "stem", "left")
 
     # schema from one driver-fetched dbf header

@@ -1342,3 +1342,74 @@ def test_zarr_remote_object_store(spark, tmp_path):
     kept = np.frombuffer(got[(0, 0)]["raster"]["bands"][0]["data"],
                          dtype="<f8")
     assert kept.sum() == float(full[:3, :4].sum())
+
+
+def test_remote_binary_sources(spark, tmp_path):
+    """Round 7: the binary file readers serve remote URIs (http(s) and
+    registered s3/gs/az hooks) executor-side — each format is written
+    locally, served from an http fixture, and read back identical to
+    the local read.  Remote reads take explicit URIs: object stores are
+    never listed (same contract as the reference's url readers)."""
+    import pyspark.sql.functions as F
+    from tests.test_raster import _start_http_fixture
+    from sedona_db_spark.functions.raster import _HTTP_CACHE
+    from sedona_db_spark.sources.flatgeobuf import (read_flatgeobuf,
+                                                    write_flatgeobuf)
+    from sedona_db_spark.sources.geojson import read_geojson, write_geojson
+    from sedona_db_spark.sources.geopackage import (read_geopackage,
+                                                    write_geopackage)
+    from sedona_db_spark.sources.las import read_las, write_las
+    from sedona_db_spark.sources.shapefile import (read_shapefile,
+                                                   write_shapefile)
+
+    df = spark.sql("""
+      SELECT id, concat('nm_', id) AS name,
+             ST_Point(CAST(id AS DOUBLE), CAST(id AS DOUBLE) * 2.0) AS geom
+      FROM range(5) t(id)""")
+    d = str(tmp_path)
+    write_geojson(df.coalesce(1), d + "/gj", feature_collection=True)
+    write_flatgeobuf(df.coalesce(1), d + "/fgb")
+    write_geopackage(df.coalesce(1), d + "/gp", table="pts")
+    write_shapefile(df.coalesce(1), d + "/shp")
+    write_las(d + "/pts.las", [1.0, 2.0, 3.0], [4.0, 5.0, 6.0],
+              [7.0, 8.0, 9.0])
+
+    exts = {"gj": ".geojson", "fgb": ".fgb", "gp": ".gpkg", "shp": ".shp"}
+    payload = {}
+    for sub, ext in exts.items():
+        base = os.path.join(d, sub)
+        entries = ([(n, os.path.join(base, n)) for n in os.listdir(base)]
+                   if os.path.isdir(base) else [(sub + ext, base)])
+        for name, full in entries:
+            if name.startswith(("_", ".")) or name.endswith(".crc") \
+                    or os.path.isdir(full):
+                continue
+            payload_name = name if "." in name else name + ext
+            with open(full, "rb") as f:
+                payload[f"/data/{sub}_{payload_name}"] = f.read()
+    with open(d + "/pts.las", "rb") as f:
+        payload["/data/pts.las"] = f.read()
+    url = _start_http_fixture(payload)
+    _HTTP_CACHE.clear()
+
+    def one(prefix, ext):
+        names = [p for p in payload if p.startswith(f"/data/{prefix}_")
+                 and p.endswith(ext)]
+        assert len(names) == 1, (prefix, ext, names)
+        return url + names[0]
+
+    gj_keys = [p for p in payload if p.startswith("/data/gj_part")]
+    assert len(gj_keys) == 1
+    gj = read_geojson(spark, url + gj_keys[0])
+    assert gj.count() == 5
+    fgb = read_flatgeobuf(spark, one("fgb", ".fgb"))
+    assert fgb.count() == 5
+    gp = read_geopackage(spark, one("gp", ".gpkg"), table="pts")
+    assert gp.count() == 5
+    shp = read_shapefile(spark, one("shp", ".shp"))
+    rows = {r["id"]: r for r in shp.selectExpr(
+        "CAST(id AS INT) AS id", "name", "ST_AsText(geom) AS wkt").collect()}
+    assert rows[3]["wkt"] == "POINT (3 6)" and rows[3]["name"] == "nm_3"
+    las = read_las(spark, url + "/data/pts.las", with_geometry=False)
+    got = las.agg(F.sum("x").alias("sx"), F.count("*").alias("n")).first()
+    assert got["n"] == 3 and abs(got["sx"] - 6.0) < 1e-9
