@@ -78,30 +78,20 @@ def _normalize_v3(meta: dict) -> dict:
     }
 
 
-_REMOTE_SCHEMES = ("http://", "https://", "s3://", "gs://", "az://")
-
-
 def _is_remote(store: str) -> bool:
-    return store.startswith(_REMOTE_SCHEMES)
+    from sedona_db_spark.sources.remote import is_remote
+    return is_remote(store)
 
 
-def _remote_fetch(uri: str) -> bytes:
+def _remote_fetch_or_none(uri: str, snapshot=None):
     """Object-store / http chunk fetch through the shared out-of-DB
-    loader (LRU byte cache, retries, scheme->endpoint hooks — the same
-    registry the raster out-of-DB bands use)."""
-    from sedona_db_spark.functions.raster import (_http_fetch,
-                                                  _objstore_resolve)
-    if uri.startswith(("s3://", "gs://", "az://")):
-        url, hdrs = _objstore_resolve(uri)
-        return _http_fetch(url, extra_headers=hdrs)
-    return _http_fetch(uri)
-
-
-def _remote_fetch_or_none(uri: str):
+    loader (sources/remote.py: LRU byte cache, retries,
+    scheme->endpoint hooks); None for absent chunks (-> fill value)."""
+    from sedona_db_spark.sources.remote import _fetch_with
     try:
-        return _remote_fetch(uri)
+        return _fetch_with(snapshot, uri)
     except IOError:
-        return None                       # absent chunk -> fill value
+        return None
 
 
 def _join(base: str, *parts: str) -> str:
@@ -271,13 +261,7 @@ def read_zarr(spark: SparkSession, store: str, array: str = "",
     def one(item):
         path, idx = item
         if remote:
-            if ep_snapshot:
-                from sedona_db_spark.functions import raster as _r
-                for sc, tbl in ep_snapshot.items():
-                    dst = _r._OBJSTORE_ENDPOINTS.setdefault(sc, {})
-                    for bucket, ep in tbl.items():
-                        dst.setdefault(bucket, ep)
-            raw = _remote_fetch_or_none(path)
+            raw = _remote_fetch_or_none(path, ep_snapshot)
         else:
             with open(path, "rb") as f:
                 raw = f.read()

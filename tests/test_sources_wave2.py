@@ -1328,12 +1328,15 @@ def test_zarr_remote_object_store(spark, tmp_path):
         assert (rows[idx]["raster"]["bands"][0]["data"]
                 == local[idx]["raster"]["bands"][0]["data"]), idx
 
-    # s3:// scheme through a registered endpoint; drop one chunk to
-    # exercise the 404 -> fill-value path
-    del payload["/cube/1.1"]
+    # s3:// scheme through a registered endpoint; a SEPARATE key space
+    # without one chunk exercises the 404 -> fill-value path (reusing
+    # /cube minus a chunk would violate the executor-side LRU's
+    # same-key-same-content assumption)
+    payload.update({p.replace("/cube/", "/cube2/", 1): v
+                    for p, v in payload.items() if p != "/cube/1.1"})
     _HTTP_CACHE.clear()
-    register_s3_endpoint(base, bucket="cube")
-    df2 = zarr_source.read_zarr(spark, "s3://cube")
+    register_s3_endpoint(base, bucket="cube2")
+    df2 = zarr_source.read_zarr(spark, "s3://cube2")
     got = {tuple(r["chunk_index"]): r for r in df2.collect()}
     assert set(got) == {(0, 0), (0, 1), (1, 0), (1, 1)}
     filled = np.frombuffer(got[(1, 1)]["raster"]["bands"][0]["data"],
