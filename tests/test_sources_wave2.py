@@ -1416,3 +1416,44 @@ def test_remote_binary_sources(spark, tmp_path):
     las = read_las(spark, url + "/data/pts.las", with_geometry=False)
     got = las.agg(F.sum("x").alias("sx"), F.count("*").alias("n")).first()
     assert got["n"] == 3 and abs(got["sx"] - 6.0) < 1e-9
+
+
+def test_laz2_point10_all_return_pairs_exhaustive():
+    """Every one of the 64 (return_number, number_of_returns) byte
+    combinations cycles inside ONE chunk — the strongest self-check of
+    the published 8x8 number_return tables (any transposed entry breaks
+    the roundtrip because encoder and decoder index different context
+    models at different times)."""
+    from sedona_db_spark.sources import laz as L
+    from sedona_db_spark.sources.laz import (_Point10, laz2_compress_points,
+                                             pack_point10)
+
+    rng = np.random.RandomState(13)
+    recs = bytearray()
+    x = y = z = 0
+    n_pts = 64 * 4
+    for i in range(n_pts):
+        p = _Point10()
+        x += int(rng.randint(-50, 51))
+        y += int(rng.randint(-50, 51))
+        z += int(rng.randint(-9, 10))
+        p.x, p.y, p.z = x, y, z
+        p.intensity = int(rng.randint(0, 2000))
+        combo = i % 64
+        p.bit_byte = (combo & 7) | ((combo >> 3) << 3)   # r 0-7, n 0-7
+        p.classification = int(rng.randint(0, 32))
+        p.scan_angle_rank = int(rng.randint(0, 256))
+        p.user_data = int(rng.randint(0, 8))
+        p.point_source = int(rng.randint(0, 10))
+        recs += pack_point10(p)
+    recs = bytes(recs)
+    blob, vlr = laz2_compress_points(recs, 20, 0, chunk_size=n_pts)
+    orig = L.parse_laszip_vlr
+    L.parse_laszip_vlr = lambda b, h: vlr
+    try:
+        got = L.laz_decompress_points(
+            blob, {"n_points": n_pts, "rec_len": 20, "offset": 0,
+                   "header_size": 0}, strict=True)
+    finally:
+        L.parse_laszip_vlr = orig
+    assert got == recs
