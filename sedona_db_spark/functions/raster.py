@@ -751,6 +751,15 @@ def _http_fetch(uri: str, retries: int = 3, timeout: float = 30.0,
                 data = resp.read()
             _cache_put(key, data)
             return data
+        except urllib.error.HTTPError as exc:
+            if exc.code in (404, 410):
+                # definitive absence: no retry, and a DISTINCT type so
+                # callers with absent-is-ok semantics (zarr fill chunks,
+                # optional shapefile .dbf) never conflate it with a
+                # timeout/5xx/auth failure (which must stay errors)
+                raise FileNotFoundError(f"{uri!r}: HTTP {exc.code}") from exc
+            last = exc
+            _time.sleep(0.2 * (2 ** attempt))
         except (urllib.error.URLError, OSError, TimeoutError) as exc:
             last = exc
             _time.sleep(0.2 * (2 ** attempt))

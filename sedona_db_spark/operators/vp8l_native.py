@@ -571,6 +571,12 @@ def _libwebp_decode_rgba(payload: bytes):
     finally:
         if hasattr(lib, "WebPFree"):
             lib.WebPFree(ptr)
+        else:
+            # pre-0.5 libwebp has no WebPFree; the documented contract
+            # is plain free() — without this every decode leaks w*h*4
+            libc = ctypes.CDLL(None)
+            libc.free.argtypes = [ctypes.c_void_p]
+            libc.free(ctypes.cast(ptr, ctypes.c_void_p))
     return arr.reshape(h.value, w.value, 4)
 
 

@@ -1026,6 +1026,10 @@ def laz_decompress_points(buf: bytes, header: dict,
         (count,) = struct.unpack_from("<I", buf, pos)
         pos += 4
         if count != in_chunk:
+            if not 1 <= count <= remaining:
+                raise ValueError(
+                    f"LAZ chunk {chunk_idx} declares {count} points with "
+                    f"{remaining} remaining — corrupt chunk header")
             in_chunk = count               # short final chunk
         # layer byte counts: 9 for POINT14 [+ RGB14 [+ NIR]] + one per
         # extra byte
@@ -1693,9 +1697,11 @@ class Point10v2:
 
     def __init__(self, coder, first: _Point10, decompress: bool,
                  strict: bool = True):
+        # ``strict`` is accepted for call-site symmetry with Point14v3
+        # but has no effect: POINT10 uses the exact published tables,
+        # so there is no unverifiable path left to gate
         enc = not decompress
         self.coder = coder
-        self.strict = strict
         self.m_changed_values = ArithmeticModel(64, enc)
         self.ic_intensity = IntegerCompressor(coder, 16, 4,
                                               decompress=decompress)
@@ -1885,6 +1891,10 @@ def laz2_decompress_points(buf: bytes, header: dict, vlr: dict,
         # pointwise chunks carry no in-stream count: the table is the
         # only source of chunk boundaries
         raise ValueError("multi-chunk LAZ v2 without a readable chunk table")
+    if variable and (any(c < 1 for c in counts) or sum(counts) != n):
+        raise ValueError(
+            f"LAZ v2 variable chunk counts {counts} do not partition "
+            f"{n} points — corrupt chunk table")
     pos = offset + 8
     out = bytearray()
     remaining = n

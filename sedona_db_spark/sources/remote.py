@@ -21,9 +21,17 @@ SCHEMES = ("http://", "https://", "s3://", "gs://", "az://")
 
 
 def is_remote(path) -> bool:
-    """True when path (or every path in a list) is a remote URI."""
+    """True when path (or every path in a list) is a remote URI; a MIXED
+    local/remote list raises rather than silently routing the remote
+    URIs into the binaryFile source (whose Hadoop scheme error would be
+    unrecognizable)."""
     if isinstance(path, (list, tuple)):
-        return bool(path) and all(str(p).startswith(SCHEMES) for p in path)
+        flags = [str(p).startswith(SCHEMES) for p in path]
+        if any(flags) and not all(flags):
+            raise ValueError(
+                "mixed local and remote paths in one read are not "
+                "supported — split the call per scheme")
+        return bool(path) and all(flags)
     return str(path).startswith(SCHEMES)
 
 
@@ -43,24 +51,37 @@ def _fetch_with(snapshot, uri: str) -> bytes:
     return _r._http_fetch(uri)
 
 
-def read_binary_remote(spark: SparkSession, path,
-                       text: bool = False) -> DataFrame:
+def read_binary_remote(spark: SparkSession, path, text: bool = False,
+                       missing_ok: bool = False) -> DataFrame:
     """URI or list of URIs -> DataFrame[(path, content)] (or [(path,
     value)] string column in ``text`` mode) with one partition per
-    object, fetched executor-side."""
+    object, fetched executor-side.  ``missing_ok`` maps a definitive
+    HTTP 404/410 to a NULL content value (optional sidecars); every
+    other failure propagates."""
     uris = [str(p) for p in (path if isinstance(path, (list, tuple))
                              else [path])]
     from sedona_db_spark.functions.raster import _OBJSTORE_ENDPOINTS
     snapshot = {sc: dict(tbl)
                 for sc, tbl in _OBJSTORE_ENDPOINTS.items() if tbl}
+
+    def fetch(u):
+        if missing_ok:
+            try:
+                return _fetch_with(snapshot, u)
+            except FileNotFoundError:
+                return None
+        return _fetch_with(snapshot, u)
+
     if text:
         schema = T.StructType([T.StructField("path", T.StringType()),
                                T.StructField("value", T.StringType())])
         rdd = spark.sparkContext.parallelize(uris, len(uris)).map(
-            lambda u: (u, _fetch_with(snapshot, u).decode("utf-8")))
+            lambda u: (u, (lambda b: None if b is None
+                           else b.decode("utf-8"))(fetch(u))))
     else:
         schema = T.StructType([T.StructField("path", T.StringType()),
                                T.StructField("content", T.BinaryType())])
         rdd = spark.sparkContext.parallelize(uris, len(uris)).map(
-            lambda u: (u, bytearray(_fetch_with(snapshot, u))))
+            lambda u: (u, (lambda b: None if b is None
+                           else bytearray(b))(fetch(u))))
     return spark.createDataFrame(rdd, schema)

@@ -195,12 +195,19 @@ def read_shapefile(spark: SparkSession, path: str,
     if is_remote(path):
         uris = [str(p) for p in (path if isinstance(path, (list, tuple))
                                  else [path])]
+        for u in uris:
+            if not u.lower().endswith(".shp"):
+                raise ValueError(
+                    f"remote shapefile read takes .shp URIs, got {u!r}")
         shp = read_binary_remote(spark, uris).selectExpr(
-            "regexp_replace(path, '\\\\.shp$', '') AS stem",
+            "regexp_replace(path, '(?i)\\\\.shp$', '') AS stem",
             "content AS shp")
+        # .dbf sibling is OPTIONAL (attributes-less shapefiles are
+        # legal): a 404 yields null attributes, like the local left join
         dbf = read_binary_remote(
-            spark, [u[:-4] + ".dbf" for u in uris]).selectExpr(
-            "regexp_replace(path, '\\\\.dbf$', '') AS stem",
+            spark, [u[:-4] + ".dbf" for u in uris],
+            missing_ok=True).selectExpr(
+            "regexp_replace(path, '(?i)\\\\.dbf$', '') AS stem",
             "content AS dbf")
     else:
         shp = spark.read.format("binaryFile") \
@@ -214,7 +221,7 @@ def read_shapefile(spark: SparkSession, path: str,
     pairs = shp.join(dbf, "stem", "left")
 
     # schema from one driver-fetched dbf header
-    head = dbf.limit(1).collect()
+    head = dbf.where("dbf IS NOT NULL").limit(1).collect()
     fields: list = []
     if head:
         _, _, _, dbf_fields = parse_dbf_header(bytes(head[0]["dbf"]))

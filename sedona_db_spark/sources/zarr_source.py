@@ -86,11 +86,14 @@ def _is_remote(store: str) -> bool:
 def _remote_fetch_or_none(uri: str, snapshot=None):
     """Object-store / http chunk fetch through the shared out-of-DB
     loader (sources/remote.py: LRU byte cache, retries,
-    scheme->endpoint hooks); None for absent chunks (-> fill value)."""
+    scheme->endpoint hooks); None ONLY for a definitive HTTP 404/410
+    (absent chunk -> fill value).  Timeouts, 5xx and auth failures
+    PROPAGATE — substituting fill values for transient errors would
+    silently corrupt the cube."""
     from sedona_db_spark.sources.remote import _fetch_with
     try:
         return _fetch_with(snapshot, uri)
-    except IOError:
+    except FileNotFoundError:
         return None
 
 
@@ -107,37 +110,28 @@ def read_zarray_meta(store: str, array: str = "") -> dict:
     (object-store schemes resolve through the registered endpoint
     hooks, exactly like out-of-DB raster bands)."""
     base = _join(store, array)
-    if _is_remote(store):
-        raw2 = _remote_fetch_or_none(_join(base, ".zarray"))
-        if raw2 is not None:
-            meta = json.loads(raw2)
-            if meta.get("zarr_format") != 2:
-                raise ValueError("unrecognized .zarray zarr_format")
-        else:
-            raw3 = _remote_fetch_or_none(_join(base, "zarr.json"))
-            if raw3 is None:
-                raise FileNotFoundError(
-                    f"no .zarray or zarr.json under {base}")
-            raw = json.loads(raw3)
-            if raw.get("zarr_format") != 3 or raw.get("node_type") != "array":
-                raise ValueError("zarr.json is not a v3 array node")
-            meta = _normalize_v3(raw)
+
+    def load(name):
+        if _is_remote(store):
+            raw = _remote_fetch_or_none(_join(base, name))
+            return None if raw is None else json.loads(raw)
+        p = os.path.join(base, name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    meta = load(".zarray")
+    if meta is not None:
+        if meta.get("zarr_format") != 2:
+            raise ValueError("unrecognized .zarray zarr_format")
     else:
-        v2 = os.path.join(base, ".zarray")
-        v3 = os.path.join(base, "zarr.json")
-        if os.path.exists(v2):
-            with open(v2) as f:
-                meta = json.load(f)
-            if meta.get("zarr_format") != 2:
-                raise ValueError("unrecognized .zarray zarr_format")
-        elif os.path.exists(v3):
-            with open(v3) as f:
-                raw = json.load(f)
-            if raw.get("zarr_format") != 3 or raw.get("node_type") != "array":
-                raise ValueError("zarr.json is not a v3 array node")
-            meta = _normalize_v3(raw)
-        else:
+        raw = load("zarr.json")
+        if raw is None:
             raise FileNotFoundError(f"no .zarray or zarr.json under {base}")
+        if raw.get("zarr_format") != 3 or raw.get("node_type") != "array":
+            raise ValueError("zarr.json is not a v3 array node")
+        meta = _normalize_v3(raw)
     if meta.get("order", "C") != "C":
         raise ValueError("only C-order chunks are supported")
     comp = meta.get("compressor")

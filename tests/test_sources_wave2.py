@@ -1420,10 +1420,12 @@ def test_remote_binary_sources(spark, tmp_path):
 
 def test_laz2_point10_all_return_pairs_exhaustive():
     """Every one of the 64 (return_number, number_of_returns) byte
-    combinations cycles inside ONE chunk — the strongest self-check of
-    the published 8x8 number_return tables (any transposed entry breaks
-    the roundtrip because encoder and decoder index different context
-    models at different times)."""
+    combinations cycles inside ONE chunk, exercising every context slot
+    the 8x8 tables can select.  This pins encoder/decoder CONSISTENCY
+    (both sides index the same models), not the table values themselves
+    — a symmetric transposition would still roundtrip; the values rest
+    on the published-table transcription (laz.py cites the sources) and
+    the constant-return fixture parity."""
     from sedona_db_spark.sources import laz as L
     from sedona_db_spark.sources.laz import (_Point10, laz2_compress_points,
                                              pack_point10)
@@ -1457,3 +1459,130 @@ def test_laz2_point10_all_return_pairs_exhaustive():
     finally:
         L.parse_laszip_vlr = orig
     assert got == recs
+
+
+def test_remote_error_semantics(spark, tmp_path):
+    """Review findings (round 7): only a definitive HTTP 404/410 means
+    'absent' — a 5xx must RAISE, never substitute the Zarr fill value;
+    a remote shapefile without its .dbf sibling yields null attributes
+    (legal) instead of failing; mixed local/remote path lists raise at
+    the API boundary."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import pytest as _pytest
+
+    from sedona_db_spark.functions.raster import _HTTP_CACHE
+    from sedona_db_spark.sources.remote import is_remote
+    from sedona_db_spark.sources.shapefile import (read_shapefile,
+                                                   write_shapefile)
+
+    store = str(tmp_path / "z5")
+    _write_zarr(store, (6, 8), (3, 4))
+    payload = {}
+    for name in os.listdir(store):
+        with open(os.path.join(store, name), "rb") as f:
+            payload[f"/cube/{name}"] = f.read()
+    del payload["/cube/1.0"]              # -> 404 (fill, ok)
+    broken = {"/cube/1.1"}                # -> 500 (must raise)
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path in broken:
+                self.send_response(500)
+                self.end_headers()
+                return
+            data = payload.get(self.path)
+            if data is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    _HTTP_CACHE.clear()
+
+    df = zarr_source.read_zarr(spark, f"{base}/cube")
+    with _pytest.raises(Exception, match="(?i)fetch failed|500"):
+        df.collect()                      # the 500 chunk must surface
+    broken.clear()                        # now only the 404 remains
+    _HTTP_CACHE.clear()
+    got = {tuple(r["chunk_index"]): r
+           for r in zarr_source.read_zarr(spark, f"{base}/cube").collect()}
+    filled = np.frombuffer(got[(1, 0)]["raster"]["bands"][0]["data"],
+                           dtype="<f8")
+    assert (filled == 0.0).all()          # 404 -> fill, everything else read
+
+    # shapefile without .dbf: null attributes, not a job failure
+    df2 = spark.sql(
+        "SELECT ST_Point(CAST(id AS DOUBLE), 1.0) AS geom FROM range(3) t(id)")
+    d2 = str(tmp_path / "shponly")
+    write_shapefile(df2.coalesce(1), d2)
+    shp_payload = {}
+    for name in os.listdir(d2):
+        if name.endswith(".shp"):
+            with open(os.path.join(d2, name), "rb") as f:
+                shp_payload[f"/s/{name}"] = f.read()
+    payload.update(shp_payload)
+    (key,) = list(shp_payload)
+    back = read_shapefile(spark, base + key)
+    rows = back.selectExpr("ST_AsText(geom) AS wkt").collect()
+    assert len(rows) == 3 and rows[0]["wkt"].startswith("POINT")
+
+    with _pytest.raises(ValueError, match="mixed local and remote"):
+        is_remote(["/local/a.las", "https://host/b.las"])
+
+
+def test_laz_corrupt_chunk_counts_raise():
+    """Review finding (round 7): hostile/corrupt chunk counts raise a
+    precise ValueError instead of emitting phantom records or dying on
+    a bare IndexError."""
+    from sedona_db_spark.sources import laz as L
+    from sedona_db_spark.sources.laz import (_Point10, laz2_compress_points,
+                                             pack_point10)
+
+    rng = np.random.RandomState(5)
+    recs = bytearray()
+    for i in range(40):
+        p = _Point10()
+        p.x, p.y, p.z = i, i, i
+        p.intensity = int(rng.randint(0, 100))
+        p.bit_byte = 1 | (1 << 3)
+        p.classification = p.scan_angle_rank = 0
+        p.user_data = p.point_source = 0
+        recs += pack_point10(p)
+    recs = bytes(recs)
+    blob, vlr = laz2_compress_points(recs, 20, 0, chunk_counts=[10, 30])
+    # rewrite the chunk table with counts that do not partition n
+    from sedona_db_spark.sources.laz import (ArithmeticEncoder,
+                                             IntegerCompressor)
+    import struct as _st
+    (table_off,) = _st.unpack_from("<q", blob, 0)
+    bad = bytearray(blob[:table_off])
+    bad += _st.pack("<II", 0, 2)
+    enc = ArithmeticEncoder()
+    ic = IntegerCompressor(enc, 32, 2, decompress=False)
+    pc = ps = 0
+    (_, sizes) = L.read_chunk_table(blob, 0, variable=True)
+    for cnt, sz in zip([0, 40], sizes):   # zero-count chunk
+        ic.compress(pc, cnt, 0)
+        ic.compress(ps, sz, 1)
+        pc, ps = cnt, sz
+    bad += enc.done()
+    orig = L.parse_laszip_vlr
+    L.parse_laszip_vlr = lambda b, h: vlr
+    try:
+        with pytest.raises(ValueError, match="do not partition"):
+            L.laz2_decompress_points(
+                bytes(bad), {"n_points": 40, "rec_len": 20, "offset": 0,
+                             "header_size": 0}, vlr)
+    finally:
+        L.parse_laszip_vlr = orig
