@@ -214,7 +214,16 @@ def read_geoparquet(spark: SparkSession, path: str,
     their row groups — at 100 TB the file-level skip (layer 1) removes
     far more IO than row-group stats alone; combine with
     ``spatial_filter`` for the row-group (layer 2) + exact (layer 3)
-    refinements."""
+    refinements.
+
+    Remote URIs (http(s)/s3/gs/az, single or list of .parquet objects)
+    fetch executor-side and decode via pyarrow; there is no listing and
+    no file-level bbox prune remotely (apply ``spatial_filter`` for the
+    in-plan layers), matching the explicit-URI contract of the other
+    remote sources."""
+    from sedona_db_spark.sources.remote import is_remote
+    if is_remote(path):
+        return _read_geoparquet_remote(spark, path)
     meta = {}
     sidecar = os.path.join(path, SIDECAR)
     if os.path.exists(sidecar):
@@ -242,6 +251,45 @@ def read_geoparquet(spark: SparkSession, path: str,
             df = spark.read.parquet(path)
     else:
         df = spark.read.parquet(path)
+    for c, entry in (meta.get("columns") or {}).items():
+        if c in df.columns:
+            df = df.withMetadata(c, {"udt": "geometry",
+                                     "crs": entry.get("crs", "EPSG:4326"),
+                                     "edges": "planar"})
+    return df, meta
+
+
+def _read_geoparquet_remote(spark: SparkSession, path):
+    """Remote leg of read_geoparquet: per-object fetch + pyarrow decode
+    executor-side; schema and the geo footer come from one driver-side
+    fetch of the first object."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sedona_db_spark.sources.remote import read_binary_remote
+
+    uris = [str(p) for p in (path if isinstance(path, (list, tuple))
+                             else [path])]
+    from sedona_db_spark.functions.raster import _OBJSTORE_ENDPOINTS
+    from sedona_db_spark.sources.remote import _fetch_with
+    snapshot = {sc: dict(tbl)
+                for sc, tbl in _OBJSTORE_ENDPOINTS.items() if tbl}
+    first = _fetch_with(snapshot, uris[0])
+    tbl0 = pq.read_table(pa.BufferReader(first))
+    md = tbl0.schema.metadata or {}
+    meta = json.loads(md[b"geo"]) if b"geo" in md else {}
+    from pyspark.sql.pandas.types import from_arrow_schema
+    schema = from_arrow_schema(tbl0.schema)
+
+    files = read_binary_remote(spark, uris)
+
+    def parse(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                yield pq.read_table(
+                    pa.BufferReader(bytes(content))).to_pandas()
+
+    df = files.mapInPandas(parse, schema)
     for c, entry in (meta.get("columns") or {}).items():
         if c in df.columns:
             df = df.withMetadata(c, {"udt": "geometry",

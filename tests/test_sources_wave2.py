@@ -1586,3 +1586,46 @@ def test_laz_corrupt_chunk_counts_raise():
                              "header_size": 0}, vlr)
     finally:
         L.parse_laszip_vlr = orig
+
+
+def test_remote_geoparquet(spark, tmp_path):
+    """Round 7: GeoParquet over remote URIs — per-object pyarrow decode
+    executor-side, geo footer + geometry metadata preserved, values
+    equal to the local read."""
+    import glob as _glob
+
+    import pyspark.sql.functions as F
+    from tests.test_raster import _start_http_fixture
+    from sedona_db_spark.functions.raster import _HTTP_CACHE
+    from sedona_db_spark.sources.geoparquet import (read_geoparquet,
+                                                    write_geoparquet)
+
+    df = spark.sql("""
+      SELECT id, CAST(id AS DOUBLE) * 1.5 AS v,
+             ST_Point(CAST(id AS DOUBLE), CAST(id % 7 AS DOUBLE)) AS geom
+      FROM range(100) t(id)""")
+    d = str(tmp_path / "gpq")
+    write_geoparquet(df.repartition(3), d)
+    parts = sorted(_glob.glob(d + "/**/*.parquet", recursive=True))
+    assert len(parts) >= 2
+    payload = {}
+    for i, p in enumerate(parts):
+        with open(p, "rb") as f:
+            payload[f"/pq/part{i}.parquet"] = f.read()
+    base = _start_http_fixture(payload)
+    _HTTP_CACHE.clear()
+
+    remote, meta = read_geoparquet(
+        spark, [f"{base}/pq/part{i}.parquet" for i in range(len(parts))])
+    local, _ = read_geoparquet(spark, d)
+    a = remote.agg(F.count("*").alias("n"), F.sum("id").alias("s"),
+                   F.round(F.sum("v"), 6).alias("sv")).first()
+    b = local.agg(F.count("*").alias("n"), F.sum("id").alias("s"),
+                  F.round(F.sum("v"), 6).alias("sv")).first()
+    assert (a["n"], a["s"], a["sv"]) == (b["n"], b["s"], b["sv"]) \
+        and a["n"] == 100
+    assert "geom" in (meta.get("columns") or {})
+    # geometry column works through the kernels after the remote read
+    area = remote.selectExpr(
+        "round(sum(ST_X(geom)), 6) AS sx").first()["sx"]
+    assert area == float(sum(range(100)))
