@@ -337,3 +337,29 @@ def test_scalar_peephole_distance_sphere(spark):
     va = np.array([v for v in ae if v is not None])
     vb = np.array([v for v in be if v is not None])
     assert np.max(np.abs(va - vb)) < 1e-9
+
+
+def test_knn_self_join_doc_shape(spark):
+    """The reference's sql-joins.md KNN example is a SELF join with
+    aliases (cities_l/cities_r over one table); the rewrite must route
+    it through knn_join with the right-side columns disambiguated."""
+    spark.sql("""
+      SELECT id, concat('city_', id) AS name,
+             ST_Point(CAST(id % 10 AS DOUBLE), CAST(id DIV 10 AS DOUBLE))
+               AS geometry
+      FROM range(50) t(id)""").createOrReplaceTempView("cities_self")
+    df = spark.sql("""
+      SELECT cities_l.name AS city, cities_r.name AS nearest_neighbor
+      FROM cities_self AS cities_l
+      INNER JOIN cities_self AS cities_r
+        ON ST_KNN(cities_l.geometry, cities_r.geometry, 3, false)
+    """)
+    rows = df.collect()
+    assert len(rows) == 150                      # 50 queries x k=3
+    # every query's neighbor set includes itself at distance 0 (the
+    # operator semantics for self joins); each city appears as a query
+    by_city = {}
+    for r in rows:
+        by_city.setdefault(r["city"], []).append(r["nearest_neighbor"])
+    assert len(by_city) == 50
+    assert all(c in ns for c, ns in by_city.items())
