@@ -704,7 +704,7 @@ def _build_join(spark, m, spatial, ldf, rdf_r, g1, g2) -> DataFrame:
 # ----------------------------------------------------------------------
 
 _PEEP_PRECHECK = re.compile(
-    r"\bST_(DISTANCESPHERE|DISTANCE)\s*\(\s*ST_POINT\s*\(", re.I)
+    r"\bST_(DISTANCESPHERE|DISTANCE|DWITHIN)\s*\(\s*ST_POINT\s*\(", re.I)
 
 # the engine's own haversine (kernels.k_distance_sphere /
 # algorithms._EARTH_RADIUS_M) restated in Spark built-ins; java.lang.Math
@@ -746,6 +746,27 @@ def _split_two_args(toks, lo, hi):
     return (lo, cut), (cut + 1, hi)
 
 
+def _split_args(toks, lo, hi):
+    """toks[lo:hi] = call contents; split on top-level commas -> list of
+    (a_lo, a_hi) spans (no arity constraint), or None when empty."""
+    d = 0
+    spans = []
+    start = lo
+    for j in range(lo, hi):
+        t = toks[j]
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        elif d == 0 and t == ",":
+            spans.append((start, j))
+            start = j + 1
+    spans.append((start, hi))
+    if any(s[1] <= s[0] for s in spans):
+        return None
+    return spans
+
+
 def _match_point_call(toks, lo, hi):
     """toks[lo:hi] == ST_Point ( X , Y ) -> (x_span, y_span) or None."""
     if (hi - lo < 6 or toks[lo].upper() != "ST_POINT" or toks[lo + 1] != "("
@@ -772,8 +793,8 @@ def peephole_scalar(sql: str) -> str | None:
     while i < n:
         t = toks[i]
         u = t.upper()
-        if u in ("ST_DISTANCESPHERE", "ST_DISTANCE") and i + 1 < n \
-                and toks[i + 1] == "(":
+        if u in ("ST_DISTANCESPHERE", "ST_DISTANCE", "ST_DWITHIN") \
+                and i + 1 < n and toks[i + 1] == "(":
             d = 0
             j = i + 1
             while j < n:
@@ -785,23 +806,39 @@ def peephole_scalar(sql: str) -> str | None:
                         break
                 j += 1
             if j < n:
-                args = _split_two_args(toks, i + 2, j)
-                if args is not None:
-                    pa = _match_point_call(toks, *args[0])
-                    pb = _match_point_call(toks, *args[1])
-                    if pa is not None and pb is not None:
-                        fmt = (_HAVERSINE_SQL if u == "ST_DISTANCESPHERE"
-                               else _EUCLID_SQL)
-                        # recurse into the coordinate spans themselves
-                        def _span(s):
-                            inner = _render(toks[s[0]:s[1]])
-                            return peephole_scalar(inner) or inner
-                        out.append(fmt.format(
-                            lon1=_span(pa[0]), lat1=_span(pa[1]),
-                            lon2=_span(pb[0]), lat2=_span(pb[1])))
-                        changed = True
-                        i = j + 1
-                        continue
+                def _span(s):
+                    inner = _render(toks[s[0]:s[1]])
+                    return peephole_scalar(inner) or inner
+
+                repl = None
+                if u == "ST_DWITHIN":
+                    parts = _split_args(toks, i + 2, j)
+                    if parts is not None and len(parts) == 3:
+                        pa = _match_point_call(toks, *parts[0])
+                        pb = _match_point_call(toks, *parts[1])
+                        if pa is not None and pb is not None:
+                            dist = _span(parts[2])
+                            repl = ("( " + _EUCLID_SQL.format(
+                                lon1=_span(pa[0]), lat1=_span(pa[1]),
+                                lon2=_span(pb[0]), lat2=_span(pb[1]))
+                                + f" <= ( {dist} ) )")
+                else:
+                    args = _split_two_args(toks, i + 2, j)
+                    if args is not None:
+                        pa = _match_point_call(toks, *args[0])
+                        pb = _match_point_call(toks, *args[1])
+                        if pa is not None and pb is not None:
+                            fmt = (_HAVERSINE_SQL
+                                   if u == "ST_DISTANCESPHERE"
+                                   else _EUCLID_SQL)
+                            repl = fmt.format(
+                                lon1=_span(pa[0]), lat1=_span(pa[1]),
+                                lon2=_span(pb[0]), lat2=_span(pb[1]))
+                if repl is not None:
+                    out.append(repl)
+                    changed = True
+                    i = j + 1
+                    continue
         out.append(t)
         i += 1
     return _render(out) if changed else None

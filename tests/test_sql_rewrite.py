@@ -363,3 +363,36 @@ def test_knn_self_join_doc_shape(spark):
         by_city.setdefault(r["city"], []).append(r["nearest_neighbor"])
     assert len(by_city) == 50
     assert all(c in ns for c, ns in by_city.items())
+
+
+def test_scalar_peephole_dwithin(spark):
+    """ST_DWithin over two constructed points -> native comparison
+    (no python stage), boolean+NULL equivalent to the kernel."""
+    import pyspark.sql.functions as F
+
+    from sedona_db_spark.functions import get_udf
+    from sedona_db_spark.plans.sql_rewrite import peephole_scalar
+
+    s = peephole_scalar(
+        "SELECT ST_DWithin(ST_Point(a, b), ST_Point(c, d), 5.0) FROM t")
+    assert s is not None and "<=" in s and "ST_DWithin" not in s
+    assert peephole_scalar("SELECT ST_DWithin(g1, g2, 5.0) FROM t") is None
+
+    df = spark.range(0, 3000).selectExpr(
+        "CAST(id % 100 AS DOUBLE) AS x1", "CAST(id % 37 AS DOUBLE) AS y1",
+        "CAST(id % 91 AS DOUBLE) AS x2", "CAST(id % 53 AS DOUBLE) AS y2",
+        "CASE WHEN id % 499 = 0 THEN NULL ELSE 1.0 END AS nl")
+    df.createOrReplaceTempView("dw_pts")
+    native = spark.sql(
+        "SELECT ST_DWithin(ST_Point(x1 * nl, y1), ST_Point(x2, y2), 20.0)"
+        " AS w FROM dw_pts")
+    assert "Python" not in \
+        native._jdf.queryExecution().executedPlan().toString()
+    a = [r["w"] for r in native.collect()]
+    pt, dw = get_udf("ST_Point"), get_udf("ST_DWithin")
+    b = [r["w"] for r in df.select(
+        dw(pt(F.expr("x1 * nl"), "y1"), pt("x2", "y2"),
+           F.lit(20.0)).alias("w")).collect()]
+    assert a == b
+    assert (sum(v is None for v in a) > 0 and sum(v is True for v in a) > 0
+            and sum(v is False for v in a) > 0)
