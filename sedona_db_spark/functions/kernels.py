@@ -407,7 +407,9 @@ def k_dwithin(s1: pd.Series, s2: pd.Series, d) -> pd.Series:
     dv = _coerce(d, len(s1)).to_numpy(dtype=np.float64)
     fast = _pts_vs_areal_distance(s1, s2)
     if fast is not None:
-        return pd.Series(fast <= dv)
+        # same boundary tolerance as the scalar path (algorithms.dwithin
+        # r <= d + _EPS) — the two paths must agree at exact radii
+        return pd.Series(fast <= dv + 1e-12)
     g1s, g2s = _decode(s1), _decode(s2)
     return pd.Series(
         [None if (a is None or b is None) else alg.dwithin(a, b, dv[i])

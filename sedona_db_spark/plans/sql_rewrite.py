@@ -51,7 +51,7 @@ _TOKEN_RE = re.compile(
       (?P<ws>\s+|--[^\n]*|/\*.*?\*/)
     | (?P<str>'(?:[^']|'')*')
     | (?P<qid>"(?:[^"]|"")*"|`(?:[^`]|``)*`)
-    | (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
+    | (?P<num>(?:\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)(?:[dDlLfFsSyY]|[bB][dD])?(?![A-Za-z_0-9]))
     | (?P<id>[A-Za-z_][A-Za-z_0-9]*)
     | (?P<op><=>|<>|<=|>=|!=|\|\||::|->>?|==)
     | (?P<ch>.)
@@ -818,10 +818,13 @@ def peephole_scalar(sql: str) -> str | None:
                         pb = _match_point_call(toks, *parts[1])
                         if pa is not None and pb is not None:
                             dist = _span(parts[2])
+                            # the kernel compares r <= d + 1e-12
+                            # (algorithms.dwithin _EPS): keep the
+                            # boundary semantics identical
                             repl = ("( " + _EUCLID_SQL.format(
                                 lon1=_span(pa[0]), lat1=_span(pa[1]),
                                 lon2=_span(pb[0]), lat2=_span(pb[1]))
-                                + f" <= ( {dist} ) )")
+                                + f" <= ( ( {dist} ) + 1e-12 ) )")
                 else:
                     args = _split_two_args(toks, i + 2, j)
                     if args is not None:

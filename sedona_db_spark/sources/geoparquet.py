@@ -223,6 +223,11 @@ def read_geoparquet(spark: SparkSession, path: str,
     remote sources."""
     from sedona_db_spark.sources.remote import is_remote
     if is_remote(path):
+        if bbox is not None:
+            raise ValueError(
+                "bbox file pruning needs a listable store — for remote "
+                "URIs read without bbox and apply spatial_filter (the "
+                "in-plan bbox layers) instead")
         return _read_geoparquet_remote(spark, path)
     meta = {}
     sidecar = os.path.join(path, SIDECAR)
@@ -259,27 +264,47 @@ def read_geoparquet(spark: SparkSession, path: str,
     return df, meta
 
 
-def _read_geoparquet_remote(spark: SparkSession, path):
-    """Remote leg of read_geoparquet: per-object fetch + pyarrow decode
-    executor-side; schema and the geo footer come from one driver-side
-    fetch of the first object."""
+def _parquet_schema_remote(snapshot, uri: str):
+    """Arrow schema of a remote parquet object from a Range request for
+    its tail (the footer lives at the end; a few KB instead of the
+    whole object on the driver).  Falls back to a full fetch when the
+    server lacks suffix-Range support or the footer is oversized."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from sedona_db_spark.sources.remote import read_binary_remote
-
-    uris = [str(p) for p in (path if isinstance(path, (list, tuple))
-                             else [path])]
-    from sedona_db_spark.functions.raster import _OBJSTORE_ENDPOINTS
     from sedona_db_spark.sources.remote import _fetch_with
-    snapshot = {sc: dict(tbl)
-                for sc, tbl in _OBJSTORE_ENDPOINTS.items() if tbl}
-    first = _fetch_with(snapshot, uris[0])
-    tbl0 = pq.read_table(pa.BufferReader(first))
-    md = tbl0.schema.metadata or {}
+    try:
+        tail = _fetch_with(snapshot, uri + "#bytes=-65536")
+        if len(tail) >= 8 and tail[-4:] == b"PAR1":
+            flen = int.from_bytes(tail[-8:-4], "little")
+            if flen + 8 <= len(tail):
+                # a synthetic [PAR1][footer][len][PAR1] file parses for
+                # schema purposes (column offsets are not dereferenced)
+                fake = b"PAR1" + tail[-(flen + 8):]
+                return pq.read_schema(pa.BufferReader(fake))
+    except Exception:
+        pass
+    return pq.read_schema(pa.BufferReader(_fetch_with(snapshot, uri)))
+
+
+def _read_geoparquet_remote(spark: SparkSession, path):
+    """Remote leg of read_geoparquet: per-object fetch + pyarrow decode
+    executor-side; schema and the geo footer come from one driver-side
+    footer Range request on the first object."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sedona_db_spark.sources.remote import (endpoint_snapshot,
+                                                read_binary_remote,
+                                                uri_list)
+
+    uris = uri_list(path)
+    snapshot = endpoint_snapshot()
+    arrow_schema = _parquet_schema_remote(snapshot, uris[0])
+    md = arrow_schema.metadata or {}
     meta = json.loads(md[b"geo"]) if b"geo" in md else {}
     from pyspark.sql.pandas.types import from_arrow_schema
-    schema = from_arrow_schema(tbl0.schema)
+    schema = from_arrow_schema(arrow_schema)
 
     files = read_binary_remote(spark, uris)
 

@@ -21,31 +21,50 @@ SCHEMES = ("http://", "https://", "s3://", "gs://", "az://")
 
 
 def is_remote(path) -> bool:
-    """True when path (or every path in a list) is a remote URI; a MIXED
-    local/remote list raises rather than silently routing the remote
-    URIs into the binaryFile source (whose Hadoop scheme error would be
+    """True when path (or every path in a list) is a remote URI (scheme
+    matched case-insensitively, RFC 3986); a MIXED local/remote list
+    raises rather than silently routing the remote URIs into the
+    binaryFile source (whose Hadoop scheme error would be
     unrecognizable)."""
+    def one(p) -> bool:
+        return str(p).lower().startswith(SCHEMES)
+
     if isinstance(path, (list, tuple)):
-        flags = [str(p).startswith(SCHEMES) for p in path]
+        flags = [one(p) for p in path]
         if any(flags) and not all(flags):
             raise ValueError(
                 "mixed local and remote paths in one read are not "
                 "supported — split the call per scheme")
         return bool(path) and all(flags)
-    return str(path).startswith(SCHEMES)
+    return one(path)
+
+
+def endpoint_snapshot() -> dict:
+    """Driver-side copy of the object-store endpoint registrations, for
+    shipping to executors in a closure (the ensure_loaded pattern)."""
+    from sedona_db_spark.functions.raster import _OBJSTORE_ENDPOINTS
+    return {sc: dict(tbl) for sc, tbl in _OBJSTORE_ENDPOINTS.items() if tbl}
+
+
+def uri_list(path) -> list[str]:
+    """Normalize a scalar-or-list path argument to a list of URIs."""
+    return [str(p) for p in (path if isinstance(path, (list, tuple))
+                             else [path])]
 
 
 def _fetch_with(snapshot, uri: str) -> bytes:
     """Executor-side fetch: install the driver's endpoint registrations
-    (they ride in the closure — the ensure_loaded pattern) then pull the
-    object through the shared retrying/LRU fetch."""
+    (they ride in the closure) then pull the object through the shared
+    retrying/LRU fetch.  The snapshot REPLACES executor entries — a
+    re-registered endpoint or refreshed auth headers must win over
+    whatever a long-lived worker cached from an earlier job."""
     from sedona_db_spark.functions import raster as _r
     if snapshot:
         for sc, tbl in snapshot.items():
             dst = _r._OBJSTORE_ENDPOINTS.setdefault(sc, {})
-            for bucket, ep in tbl.items():
-                dst.setdefault(bucket, ep)
-    if uri.startswith(("s3://", "gs://", "az://")):
+            dst.update(tbl)
+    low = uri.lower()
+    if low.startswith(("s3://", "gs://", "az://")):
         url, hdrs = _r._objstore_resolve(uri)
         return _r._http_fetch(url, extra_headers=hdrs)
     return _r._http_fetch(uri)
@@ -58,11 +77,8 @@ def read_binary_remote(spark: SparkSession, path, text: bool = False,
     object, fetched executor-side.  ``missing_ok`` maps a definitive
     HTTP 404/410 to a NULL content value (optional sidecars); every
     other failure propagates."""
-    uris = [str(p) for p in (path if isinstance(path, (list, tuple))
-                             else [path])]
-    from sedona_db_spark.functions.raster import _OBJSTORE_ENDPOINTS
-    snapshot = {sc: dict(tbl)
-                for sc, tbl in _OBJSTORE_ENDPOINTS.items() if tbl}
+    uris = uri_list(path)
+    snapshot = endpoint_snapshot()
 
     def fetch(u):
         if missing_ok:

@@ -203,9 +203,12 @@ def read_shapefile(spark: SparkSession, path: str,
             "regexp_replace(path, '(?i)\\\\.shp$', '') AS stem",
             "content AS shp")
         # .dbf sibling is OPTIONAL (attributes-less shapefiles are
-        # legal): a 404 yields null attributes, like the local left join
+        # legal): a 404 yields null attributes, like the local left
+        # join.  Object stores are case-sensitive, so the sibling
+        # mirrors the .shp extension's case (ROADS.SHP -> ROADS.DBF)
         dbf = read_binary_remote(
-            spark, [u[:-4] + ".dbf" for u in uris],
+            spark, [u[:-4] + (".DBF" if u[-4:].isupper() else ".dbf")
+                    for u in uris],
             missing_ok=True).selectExpr(
             "regexp_replace(path, '(?i)\\\\.dbf$', '') AS stem",
             "content AS dbf")

@@ -704,9 +704,12 @@ def _start_http_fixture(payload_map):
             rng = self.headers.get("Range")
             if rng and rng.startswith("bytes="):
                 a, _, b = rng[6:].partition("-")
-                a = int(a)
-                b = int(b) if b else len(data) - 1
-                body = data[a:b + 1]
+                if a == "":                      # suffix range: bytes=-N
+                    body = data[-int(b):] if b else data
+                else:
+                    a = int(a)
+                    b = int(b) if b else len(data) - 1
+                    body = data[a:b + 1]
                 self.send_response(206)
             else:
                 body = data

@@ -396,3 +396,25 @@ def test_scalar_peephole_dwithin(spark):
     assert a == b
     assert (sum(v is None for v in a) > 0 and sum(v is True for v in a) > 0
             and sum(v is False for v in a) > 0)
+
+
+def test_dwithin_peephole_boundary_epsilon(spark):
+    """Review finding: the peephole must keep the kernel's r <= d + 1e-12
+    boundary tolerance — an exact-radius pair whose float distance lands
+    one ulp above d is TRUE on both paths."""
+    import pyspark.sql.functions as F
+
+    from sedona_db_spark.functions import get_udf
+
+    # sqrt(0.1^2 + 0.2^2) = 0.22360679774997896; d one ulp below it —
+    # a naive <= is FALSE, the kernel's epsilon makes it TRUE
+    d_edge = 0.22360679774997894
+    df = spark.sql("SELECT 0.1D AS dx, 0.2D AS dy")
+    df.createOrReplaceTempView("eps_pt")
+    native = spark.sql(
+        "SELECT ST_DWithin(ST_Point(0.0D, 0.0D), ST_Point(dx, dy), "
+        f"{d_edge!r}D) AS w FROM eps_pt").first()["w"]
+    pt, dw = get_udf("ST_Point"), get_udf("ST_DWithin")
+    kern = df.select(dw(pt(F.lit(0.0), F.lit(0.0)), pt("dx", "dy"),
+                        F.lit(d_edge)).alias("w")).first()["w"]
+    assert native is True and kern is True
