@@ -3347,6 +3347,27 @@ _sql("sql_knn_join", """
   WHERE rk <= 3
 """)
 
+# ST_Distance(a,b) < d comparison form (reference sedona-expr utils.rs
+# parse_distance_predicate: Lt/LtEq with the call on either side) — plans
+# through the distance join with the strict comparison kept as an exact
+# refine, so the boundary semantics stay bit-faithful to the SQL.
+_sql("sql_distance_cmp_join", """
+  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+  FROM (SELECT * FROM cust_pts WHERE c_custkey < 400) a
+  JOIN (SELECT * FROM cust_pts WHERE c_custkey < 400) b
+  ON ST_Distance(a.geom, b.geom) < 5.0 AND a.c_custkey < b.c_custkey
+""", """
+  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+  FROM (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,
+               (c_custkey % 1000) / 10.0 AS py
+        FROM customer WHERE c_custkey < 400) a
+  JOIN (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,
+               (c_custkey % 1000) / 10.0 AS py
+        FROM customer WHERE c_custkey < 400) b
+  ON sqrt(power(a.px - b.px, 2) + power(a.py - b.py, 2)) < 5.0
+     AND a.c_custkey < b.c_custkey
+""")
+
 
 def _mk_py_query(fn):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:

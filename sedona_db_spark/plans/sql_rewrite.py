@@ -114,7 +114,7 @@ _TRANSPOSE = {
 
 _PRECHECK = re.compile(
     r"\bST_(INTERSECTS|CONTAINS|WITHIN|COVERS|COVERED_?BY|TOUCHES|CROSSES|"
-    r"OVERLAPS|EQUALS|DWITHIN|KNN)\s*\(",
+    r"OVERLAPS|EQUALS|DWITHIN|KNN|DISTANCE)\s*\(",
     re.I,
 )
 
@@ -246,6 +246,11 @@ class _SpatialConjunct:
         self.arg_rels = arg_rels    # alias of relation per geometry arg
         self.arg_cols = arg_cols
         self.extra = extra          # [distance] or [k, use_spheroid]
+        # comparison-form conjuncts (ST_Distance(a,b) < d) drive the join
+        # via the dwithin operator but must ALSO survive verbatim as an
+        # exact refine over the join output (strict-vs-inclusive boundary
+        # and the dwithin kernel's 1e-12 tolerance both stay exact)
+        self.keep_refine = False
 
 
 def _qualified_ref(toks, lo, hi, aliases, schemas):
@@ -278,14 +283,58 @@ def _literal_number(toks, lo, hi):
     return None
 
 
+def _parse_distance_comparison(toks, lo, hi, aliases, schemas):
+    """``ST_Distance(g1, g2) < d`` / ``<= d`` and the reversed
+    ``d > ST_Distance(g1, g2)`` / ``>= ...`` forms — the reference
+    accepts exactly these as distance-join predicates
+    (sedona-expr/src/utils.rs parse_distance_predicate; Lt/LtEq with the
+    call on either side).  Returns a dwithin _SpatialConjunct with
+    ``keep_refine`` set, or None."""
+    depth = 0
+    for j in range(lo, hi):
+        t = toks[j]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and t in ("<", "<=", ">", ">="):
+            if t in ("<", "<="):
+                fn_lo, fn_hi, num_lo, num_hi = lo, j, j + 1, hi
+            else:
+                fn_lo, fn_hi, num_lo, num_hi = j + 1, hi, lo, j
+            if (fn_hi - fn_lo < 4 or toks[fn_lo].upper() != "ST_DISTANCE"
+                    or toks[fn_lo + 1] != "(" or toks[fn_hi - 1] != ")"):
+                return None
+            dist = _literal_number(toks, num_lo, num_hi)
+            if dist is None or dist < 0:
+                return None
+            args = _split_args(toks, fn_lo + 2, fn_hi - 1)
+            if args is None or len(args) != 2:
+                return None
+            ref_a = _qualified_ref(toks, args[0][0], args[0][1],
+                                   aliases, schemas)
+            ref_b = _qualified_ref(toks, args[1][0], args[1][1],
+                                   aliases, schemas)
+            if ref_a is None or ref_b is None:
+                return None
+            (ra, ca), (rb, cb) = ref_a, ref_b
+            if ra == rb:
+                return None
+            sc = _SpatialConjunct("dwithin", None, [ra, rb], [ca, cb],
+                                  [dist])
+            sc.keep_refine = True
+            return sc
+    return None
+
+
 def _parse_spatial_conjunct(toks, lo, hi, aliases, schemas):
     """Parse toks[lo:hi] as ST_Pred(...) over the two join relations.
     Returns _SpatialConjunct or None (not spatial)."""
     if hi - lo < 4 or toks[lo + 1] != "(" or toks[hi - 1] != ")":
-        return None
+        return _parse_distance_comparison(toks, lo, hi, aliases, schemas)
     fname = toks[lo].upper()
     if fname not in _PRED_NAMES and fname not in ("ST_DWITHIN", "ST_KNN"):
-        return None
+        return _parse_distance_comparison(toks, lo, hi, aliases, schemas)
     # split args on top-level commas inside the call
     d = 0
     args = []
@@ -535,6 +584,13 @@ def _rewrite(spark, sql, toks, vanilla_sql):
             rest.append((lo, hi))
     if spatial is None:
         raise _Decline
+    if spatial.keep_refine:
+        # comparison form: inner joins only — the exact refine survives
+        # as a WHERE conjunct, which would break LEFT match semantics
+        if m.how != "inner":
+            raise _Decline
+        if not m.comma_form:
+            rest.append(spatial_span)
     if m.how == "left" and not m.comma_form and rest:
         # extra ON conjuncts change LEFT JOIN match semantics; only the
         # pure spatial form is certified
@@ -616,7 +672,8 @@ def _rewrite(spark, sql, toks, vanilla_sql):
                 out.extend(["WHERE", " AND ".join(parts)])
             i = skip_spans[0][1]
             continue
-        if m.comma_form and spatial_span[0] <= i < spatial_span[1]:
+        if (m.comma_form and not spatial.keep_refine
+                and spatial_span[0] <= i < spatial_span[1]):
             if i == spatial_span[0]:
                 out.append("TRUE")
             i += 1
@@ -873,11 +930,12 @@ def install_sql_rewrite(spark: SparkSession) -> None:
     if getattr(spark, "_sedona_sql_rewrite_installed", False):
         return
     vanilla = spark.sql
-    cache: dict[str, str] = {}
+    cache: dict[str, str | None] = {}
     spark._sedona_sql_rewrite_cache = cache
+    _MISS = object()
 
     def _remember(key, text):
-        while len(cache) >= 64:
+        while len(cache) >= 256:
             cache.pop(next(iter(cache)))
         cache[key] = text
 
@@ -886,9 +944,12 @@ def install_sql_rewrite(spark: SparkSession) -> None:
             return vanilla(query, *args, **kwargs)
         if not (_PRECHECK.search(query) or _PEEP_PRECHECK.search(query)):
             return vanilla(query)
-        hit = cache.get(query)
-        if hit is not None:
-            return vanilla(hit)
+        hit = cache.get(query, _MISS)
+        if hit is not _MISS:
+            # None memoizes a DECLINE: the matcher's eager work (plan
+            # resolution, stats probes) runs once per query text, not
+            # per call — scalar ST_Distance queries hit this path
+            return vanilla(query if hit is None else hit)
         try:
             peeped = peephole_scalar(query)
         except Exception:
@@ -907,6 +968,7 @@ def install_sql_rewrite(spark: SparkSession) -> None:
         if peeped is not None:
             _remember(query, peeped)
             return vanilla(peeped)
+        _remember(query, None)
         return vanilla(query)
 
     spark.sql = sql

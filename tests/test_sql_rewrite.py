@@ -418,3 +418,79 @@ def test_dwithin_peephole_boundary_epsilon(spark):
     kern = df.select(dw(pt(F.lit(0.0), F.lit(0.0)), pt("dx", "dy"),
                         F.lit(d_edge)).alias("w")).first()["w"]
     assert native is True and kern is True
+
+
+def _mk_cmp_views(spark):
+    spark.sql("SELECT 1 AS qid, ST_Point(0.0D, 0.0D) AS geom") \
+        .createOrReplaceTempView("cmp_q")
+    spark.sql("""
+      SELECT id2, ST_Point(x, y) AS geom FROM VALUES
+        (10, 3.0D, 4.0D),        -- distance exactly 5
+        (11, 0.0D, 5.0D),        -- distance exactly 5
+        (12, 0.0D, 5.00001D),    -- just outside
+        (13, 1.0D, 1.0D)         -- well inside
+      AS t(id2, x, y)
+    """).createOrReplaceTempView("cmp_o")
+
+
+def test_distance_comparison_join_rewrite(spark):
+    """ST_Distance(a,b) <= d in a join condition plans through the
+    distance join (reference utils.rs parse_distance_predicate) with the
+    original comparison surviving as an exact refine."""
+    _prep(spark)
+    _mk_cmp_views(spark)
+    q = """
+      SELECT a.qid, b.id2 FROM cmp_q a JOIN cmp_o b
+      ON ST_Distance(a.geom, b.geom) <= 5.0
+    """
+    df = spark.sql(q)
+    _assert_no_pair_explosion(df)
+    got = _rows(df, ["qid", "id2"])
+    assert got == [(1, 10), (1, 11), (1, 13)]
+    assert got == _rows(_vanilla(spark, q), ["qid", "id2"])
+
+
+def test_distance_comparison_strict_boundary(spark):
+    """Strict < excludes the exact-radius pairs the inclusive <= keeps —
+    the refine preserves the comparison operator exactly (the reference
+    folds Lt and LtEq together; this engine stays bit-faithful to SQL)."""
+    _prep(spark)
+    _mk_cmp_views(spark)
+    q = """
+      SELECT a.qid, b.id2 FROM cmp_q a JOIN cmp_o b
+      ON ST_Distance(a.geom, b.geom) < 5.0
+    """
+    df = spark.sql(q)
+    _assert_no_pair_explosion(df)
+    assert _rows(df, ["qid", "id2"]) == [(1, 13)]
+
+
+def test_distance_comparison_reversed_literal_first(spark):
+    """d >= ST_Distance(a,b) (literal first, Gt/GtEq) matches too."""
+    _prep(spark)
+    _mk_cmp_views(spark)
+    q = """
+      SELECT a.qid, b.id2 FROM cmp_q a, cmp_o b
+      WHERE 5.0 >= ST_Distance(a.geom, b.geom)
+    """
+    df = spark.sql(q)
+    _assert_no_pair_explosion(df)
+    got = _rows(df, ["qid", "id2"])
+    assert got == [(1, 10), (1, 11), (1, 13)]
+    assert got == _rows(_vanilla(spark, q), ["qid", "id2"])
+
+
+def test_distance_comparison_with_extra_conjunct(spark):
+    """A non-spatial ON conjunct co-exists with the comparison form."""
+    _prep(spark)
+    q = """
+      SELECT a.c_custkey AS ka, b.c_custkey AS kb
+      FROM (SELECT * FROM cust_pts WHERE c_custkey < 60) a
+      JOIN (SELECT * FROM cust_pts WHERE c_custkey < 60) b
+      ON ST_Distance(a.geom, b.geom) < 2.0 AND a.c_custkey < b.c_custkey
+    """
+    df = spark.sql(q)
+    _assert_no_pair_explosion(df)
+    got = _rows(df, ["ka", "kb"])
+    assert got == _rows(_vanilla(spark, q), ["ka", "kb"])
+    assert len(got) > 0
