@@ -1139,6 +1139,93 @@ _O["text_quality_score"] = """
   FROM m
 """
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals — exact per-row native array math
+    (dup-token fraction; top-bigram fraction via sort + run-length fold),
+    zero shuffle, zero Python."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions import text as tx
+    docs = spark.table("documents")
+    return docs.select(
+        "doc_id",
+        F.round(tx.dup_token_ratio(F.col("text")), 4).alias("dup_tok"),
+        F.round(tx.top_bigram_ratio(F.col("text")), 4).alias("top_bigram"))
+
+
+_PY["text_repetition_signals"] = _q_repetition
+_O["text_repetition_signals"] = """
+  WITH s AS (
+    SELECT doc_id,
+      list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                  t -> t != '') AS toks
+    FROM documents),
+  bg AS (
+    SELECT doc_id,
+      unnest(list_transform(generate_series(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i + 1])) AS b
+    FROM s WHERE len(toks) >= 2),
+  m AS (
+    SELECT doc_id, max(c) AS topc, sum(c) AS nb FROM (
+      SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+    GROUP BY doc_id)
+  SELECT s.doc_id,
+    round(CASE WHEN len(toks) > 0
+               THEN (len(toks) - len(list_distinct(toks))) * 1.0 / len(toks)
+               ELSE 0.0 END, 4) AS dup_tok,
+    round(coalesce(m.topc * 1.0 / m.nb, 0.0), 4) AS top_bigram
+  FROM s LEFT JOIN m USING (doc_id)
+"""
+
+
+def _q_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction signals.  The documents table carries no
+    PII, so both sides augment each row with deterministic synthetic
+    email / IPv4 / phone strings derived from doc_id, then count and
+    redact — exercising the real regex machinery on non-trivial input.
+    (A dotted IPv4 also matches the broader phone shape by design;
+    counts are independent per pattern.)"""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions import text as tx
+    docs = spark.table("documents").filter("doc_id < 300")
+    aug = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com at 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0.1 tel +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" end"))
+    return docs.select(
+        "doc_id",
+        tx.pii_count(aug, "email").cast("long").alias("n_email"),
+        tx.pii_count(aug, "ipv4").cast("long").alias("n_ipv4"),
+        tx.pii_count(aug, "phone").cast("long").alias("n_phone"),
+        tx.redact_pii(aug).alias("redacted"))
+
+
+_PY["text_pii_redact"] = _q_pii
+_O["text_pii_redact"] = """
+  WITH a AS (
+    SELECT doc_id,
+      substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+      || '@mail.example.com at 10.' || CAST(doc_id % 200 AS VARCHAR)
+      || '.0.1 tel +1 (555) 010-'
+      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      || ' end' AS aug
+    FROM documents WHERE doc_id < 300)
+  SELECT doc_id,
+    len(regexp_extract_all(aug,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+    len(regexp_extract_all(aug, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ipv4,
+    len(regexp_extract_all(aug, '\\+?\\d[\\d().\\- ]{7,}\\d')) AS n_phone,
+    regexp_replace(regexp_replace(regexp_replace(aug,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IPV4>', 'g'),
+      '\\+?\\d[\\d().\\- ]{7,}\\d', '<PHONE>', 'g') AS redacted
+  FROM a
+"""
+
+
 # ======================================================================
 # similarity / embeddings
 # ======================================================================

@@ -165,6 +165,102 @@ def doc_fingerprint(col) -> Column:
 
 
 # ----------------------------------------------------------------------
+# repetition signals (Gopher-style quality filters) — native expressions
+# ----------------------------------------------------------------------
+
+
+def dup_token_ratio(col) -> Column:
+    """Fraction of token occurrences that are repeats of an earlier token
+    (0 for empty docs).  Pure per-row array math: no shuffle, scales
+    embarrassingly at 100 TB."""
+    t = tokens(col)
+    n = F.size(t)
+    return F.when(n > 0,
+                  (n - F.size(F.array_distinct(t))) / n.cast("double")
+                  ).otherwise(F.lit(0.0))
+
+
+def _bigrams(t: Column) -> Column:
+    """Adjacent word-bigram array of a token array (native).  Guarded for
+    n < 2 because Spark's sequence(1, 0) DESCENDS instead of returning
+    empty."""
+    n = F.size(t)
+    mk = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)))
+    return F.when(n >= 2, mk).otherwise(F.array().cast("array<string>"))
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a sorted array — a
+    single native aggregate() fold, so the most-common-element count is
+    O(n log n) per row with zero Python and zero shuffle."""
+    acc0 = F.struct(F.lit("").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("best"))
+
+    def merge(acc, x):
+        run = F.when(x == acc["prev"],
+                     acc["run"] + F.lit(1).cast("long")
+                     ).otherwise(F.lit(1).cast("long"))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    return F.aggregate(sorted_arr, acc0, merge, lambda acc: acc["best"])
+
+
+def top_bigram_ratio(col) -> Column:
+    """Fraction of all adjacent word bigrams taken by the most frequent
+    one — the Gopher "top n-gram" repetition signal.  Exact (sort +
+    run-length fold), per-row native, no shuffle."""
+    bg = _bigrams(tokens(col))
+    nb = F.size(bg)
+    return F.when(nb > 0,
+                  _max_run(F.array_sort(bg)).cast("double") / nb
+                  ).otherwise(F.lit(0.0))
+
+
+def repetition_signals(df, col="text", prefix="rep_"):
+    """Append `{prefix}dup_tok` and `{prefix}top_bigram` repetition
+    columns (both in [0, 1]; high values flag boilerplate / spam docs in
+    a training-data pipeline)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return df.withColumns({f"{prefix}dup_tok": dup_token_ratio(c),
+                           f"{prefix}top_bigram": top_bigram_ratio(c)})
+
+
+# ----------------------------------------------------------------------
+# PII detection / redaction — native regexes (Java and RE2 dialect-safe)
+# ----------------------------------------------------------------------
+
+# Order matters for redact_pii: emails go first (their local parts can
+# contain digits), then IPv4 (dotted digit runs would otherwise match the
+# phone pattern), then phones.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d().\- ]{7,}\d",
+}
+
+
+def pii_count(col, kind: str) -> Column:
+    """Occurrences of one PII pattern in the raw text (native regex).
+    Counts are independent per pattern: a dotted number matches both
+    `ipv4` and the broader `phone` shape by design — these are filter
+    signals, not an entity extractor."""
+    return F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS[kind]), F.lit(0)))
+
+
+def redact_pii(col) -> Column:
+    """Replace emails / IPv4s / phone-shaped digit runs with typed
+    placeholders, in overlap-safe order (native regexp_replace chain)."""
+    out = col
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
+# ----------------------------------------------------------------------
 # MinHash / SimHash kernels (pandas UDFs, numpy-vectorized)
 # ----------------------------------------------------------------------
 

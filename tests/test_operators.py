@@ -1387,3 +1387,58 @@ def test_webp_lossy_delegates_to_platform_libwebp():
             V.decode_webp(payload)
     finally:
         V._libwebp_decode_rgba = orig
+
+
+# ----------------------------------------------------------------------
+# repetition signals + PII (round 7: Gopher-style quality filters)
+# ----------------------------------------------------------------------
+
+
+def test_repetition_signals_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.functions import text as tx
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"),          # dup: 4/6; bigrams: [a b, b a]*: 'a b' x3 of 5
+         (2, "u v w x y"),            # all unique: dup 0; every bigram once: 1/4
+         (3, "solo"),                 # no bigrams
+         (4, "")],                    # empty
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in df.select(
+        "doc_id",
+        F.round(tx.dup_token_ratio("text"), 6).alias("dup"),
+        F.round(tx.top_bigram_ratio("text"), 6).alias("top")).collect()}
+    assert rows[1].dup == round(4 / 6, 6) and rows[1].top == 0.6  # 3 of 5
+    assert rows[2].dup == 0.0 and rows[2].top == 0.25
+    assert rows[3].dup == 0.0 and rows[3].top == 0.0
+    assert rows[4].dup == 0.0 and rows[4].top == 0.0
+
+
+def test_repetition_signals_native_plan(spark):
+    """Both signals must stay pure Catalyst expressions — no python
+    workers, no exchanges (per-row math survives any repartitioning)."""
+    from sedona_db_spark.functions import text as tx
+    df = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
+    out = tx.repetition_signals(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_pii_count_and_redact(spark):
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.functions import text as tx
+    s = ("write to jane.doe+spam@corp.example.org or admin@a.io, "
+         "server 192.168.0.12, call +44 20 7946 0958 now")
+    df = spark.createDataFrame([(s,)], "text string")
+    row = df.select(
+        tx.pii_count("text", "email").alias("e"),
+        tx.pii_count("text", "ipv4").alias("i"),
+        tx.pii_count("text", "phone").alias("p"),
+        tx.redact_pii(F.col("text")).alias("red")).first()
+    assert row.e == 2 and row.i == 1
+    assert row.p >= 1          # the dotted IP also matches the phone shape
+    red = row.red
+    assert "<EMAIL>" in red and "<IPV4>" in red and "<PHONE>" in red
+    assert "jane.doe" not in red and "192.168.0.12" not in red \
+        and "7946" not in red
