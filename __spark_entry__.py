@@ -1139,6 +1139,45 @@ _O["text_quality_score"] = """
   FROM m
 """
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style corpus line dedup.  The documents table has no
+    newlines, so both sides deterministically split each doc at ' the '
+    (frequent in the synthetic soup) into pseudo-lines first; lines
+    occurring >= 3 times corpus-wide are removed and the docs
+    reassembled in order."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.operators.dedup import remove_duplicate_lines
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text"))
+    out = remove_duplicate_lines(docs, min_count=3)
+    return out.select(
+        "doc_id", F.md5("text").alias("h"),
+        F.when(F.length("text") == 0, F.lit(0)).otherwise(
+            F.size(F.split("text", "\n", -1))).cast("long").alias("n_lines"))
+
+
+_PY["dedup_lines_corpus"] = _q_line_dedup
+_O["dedup_lines_corpus"] = """
+  WITH d AS (
+    SELECT doc_id,
+           string_split(replace(text, ' the ', chr(10)), chr(10)) AS ls
+    FROM documents),
+  l AS (
+    SELECT doc_id, unnest(ls) AS line,
+           unnest(generate_series(1, len(ls))) AS pos
+    FROM d),
+  dup AS (SELECT line FROM l GROUP BY line HAVING count(*) >= 3),
+  keep AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM dup)),
+  r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        FROM keep GROUP BY doc_id)
+  SELECT d.doc_id, md5(coalesce(r.text, '')) AS h,
+         CASE WHEN r.text IS NULL OR len(r.text) = 0 THEN 0
+              ELSE len(string_split(r.text, chr(10))) END AS n_lines
+  FROM d LEFT JOIN r USING (doc_id)
+"""
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals — exact per-row native array math
     (dup-token fraction; top-bigram fraction via sort + run-length fold),
@@ -3552,6 +3591,24 @@ _PRIORITY[_PRIORITY.index("knn_join_k3")] = "sql_knn_join"
 # raster_s3_outdb (same endpoint hooks, same executor-side fetch), and
 # raster_http_outdb stays green in the replica + pytest.
 _PRIORITY[_PRIORITY.index("raster_http_outdb")] = "zarr_http_roundtrip"
+# Round 7, third wave — every window row becomes oracle-backed:
+# the minhash/simhash signature pair-sets are probabilistic (rows-only
+# by design, no DuckDB equivalent) and their EXACT downstream consumers
+# dedup_transitive_cc / dedup_embedding_cosine stay in-window, so their
+# two slots go to the new oracle-green LLM-pipeline operators
+# (repetition signals, PII redaction); the pair-sets stay covered by the
+# local replica + pytest.  The ST_Distance comparison-form SQL rewrite
+# replaces its own DataFrame-API twin (same distance-join operator,
+# now proven through the SQL front door), the from-scratch VP8L WebP
+# decode replaces round-6's GIF slot, and the Japan JPRCS transform
+# family replaces stateplane (osgb keeps the national-grid family
+# in-window; gif/stateplane/distance-join twins stay green in replica
+# + pytest).
+_PRIORITY[_PRIORITY.index("dedup_minhash_pairs")] = "text_repetition_signals"
+_PRIORITY[_PRIORITY.index("dedup_simhash_pairs")] = "text_pii_redact"
+_PRIORITY[_PRIORITY.index("spatial_distance_join")] = "sql_distance_cmp_join"
+_PRIORITY[_PRIORITY.index("multimodal_gif_decode")] = "multimodal_webp_decode"
+_PRIORITY[_PRIORITY.index("st_transform_stateplane")] = "st_transform_japan"
 
 
 def _ordered_names() -> list[str]:

@@ -15,6 +15,8 @@ Not in the geospatial reference; designed Spark-first for 100 TB:
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -42,6 +44,44 @@ def fingerprint_dedup(df: DataFrame, text_col: str = "text",
             .withColumn("__rn", F.row_number().over(
                 Window.partitionBy("__fp").orderBy(F.col(id_col))))
             .filter(F.col("__rn") == 1).drop("__rn", "__fp"))
+
+
+def remove_duplicate_lines(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", min_count: int = 2,
+                           sep: str = "\n") -> DataFrame:
+    """C4/RefinedWeb-style corpus line dedup: drop every line whose exact
+    text occurs >= min_count times ACROSS the corpus, then reassemble
+    each document from its surviving lines in original order.
+
+    Output = input columns with `text_col` replaced by the cleaned text
+    (documents whose lines all vanish keep an empty string).
+
+    Scale shape (100 TB): posexplode -> one groupBy shuffle on the line
+    (map-side partial counts collapse the boilerplate lines that
+    dominate real corpora) -> frequency equi-join back -> one groupBy
+    per doc reassembling via array_sort over (pos, line) structs.  No
+    window over the whole corpus, no driver collect; every stage is
+    native codegen."""
+    others = [c for c in df.columns if c != text_col]
+    lines = df.select(
+        *others,
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1))
+        .alias("__pos", "__line"))
+    counts = (lines.groupBy("__line")
+              .agg(F.count(F.lit(1)).alias("__n"))
+              .filter(F.col("__n") >= min_count)
+              .select("__line"))
+    keep = lines.join(counts, "__line", "left_anti")
+    rebuilt = (keep.groupBy(*others)
+               .agg(F.concat_ws(sep, F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct(F.col("__pos"), F.col("__line")))),
+                   lambda s: s["__line"])).alias(text_col)))
+    # docs that lost every line still belong in the output (empty text)
+    survivors = df.select(*others).join(
+        rebuilt.select(*others), others, "left_anti") \
+        .withColumn(text_col, F.lit(""))
+    return rebuilt.unionByName(survivors).select(*df.columns)
 
 
 def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",

@@ -1442,3 +1442,34 @@ def test_pii_count_and_redact(spark):
     assert "<EMAIL>" in red and "<IPV4>" in red and "<PHONE>" in red
     assert "jane.doe" not in red and "192.168.0.12" not in red \
         and "7946" not in red
+
+
+def test_remove_duplicate_lines_corpus(spark):
+    from sedona_db_spark.operators.dedup import remove_duplicate_lines
+    df = spark.createDataFrame(
+        [(1, "keep me\nboilerplate\nunique one"),
+         (2, "boilerplate\nanother keeper"),
+         (3, "boilerplate\nthird text"),
+         (4, "boilerplate")],          # loses its only line -> empty
+        "doc_id long, text string")
+    out = {r.doc_id: r.text
+           for r in remove_duplicate_lines(df, min_count=3).collect()}
+    assert out[1] == "keep me\nunique one"
+    assert out[2] == "another keeper"
+    assert out[3] == "third text"
+    assert out[4] == ""
+    # min_count above corpus frequency keeps everything
+    full = {r.doc_id: r.text
+            for r in remove_duplicate_lines(df, min_count=5).collect()}
+    assert full == {r.doc_id: r.text for r in df.collect()}
+
+
+def test_remove_duplicate_lines_order_and_custom_sep(spark):
+    from sedona_db_spark.operators.dedup import remove_duplicate_lines
+    df = spark.createDataFrame(
+        [(1, "z|dup|a|dup|m"), (2, "dup|q")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.text
+           for r in remove_duplicate_lines(df, min_count=2, sep="|").collect()}
+    assert out[1] == "z|a|m"      # original order preserved
+    assert out[2] == "q"
