@@ -1302,6 +1302,37 @@ _O["sim_cosine_topk"] = """
 """
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN path end-to-end (k-means coarse quantizer -> probed list
+    scan -> exact native re-rank).  With nprobe = n_lists the probe is
+    exhaustive, so the result equals brute-force top-k EXACTLY whatever
+    the clustering did — which makes the whole IVF machinery
+    hash-checkable against the DuckDB oracle.  The approximate regime
+    (nprobe < n_lists) is pinned by pytest recall tests."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.operators.similarity import ivf_build, ivf_topk
+    emb = spark.table("embeddings")
+    key = ("ivf", id(spark._jsparkSession), sf_dir)
+    plan = _QVEC_MEMO.get(key)
+    if plan is None:
+        qv = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
+        assigned, cents = ivf_build(emb, n_lists=8)
+        top = ivf_topk(assigned, cents, qv, k=20, nprobe=8)
+        plan = top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+        _QVEC_MEMO[key] = plan
+    return plan
+
+
+_PY["sim_ivf_topk"] = _q_ivf_topk
+_O["sim_ivf_topk"] = """
+  WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings ORDER BY vec_id LIMIT 1)
+  SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 6) AS cosine
+  FROM embeddings
+  ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) DESC, vec_id
+  LIMIT 20
+"""
+
+
 def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     emb = spark.table("embeddings")
