@@ -3504,6 +3504,30 @@ _sql("sql_knn_join", """
   WHERE rk <= 3
 """)
 
+# Multi-join FROM chain: dim equi-join + spatial join in ONE query — the
+# chain rewriter joins the spatial pair through the native operator and
+# leaves the equi join to Catalyst's hash join (all-inner chains are
+# WHERE-equivalent, so the transformation is exact).
+_sql("sql_chain_spatial_join", """
+  SELECT t.n_name, count(*) AS n_pts, round(sum(c.c_acctbal), 2) AS bal
+  FROM nation t
+  JOIN nation_boxes n ON t.n_nationkey = n.n_nationkey
+  JOIN cust_pts c ON ST_Contains(n.geom, c.geom)
+  GROUP BY t.n_name
+""", """
+  SELECT t.n_name, count(*) AS n_pts, round(sum(c.c_acctbal), 2) AS bal
+  FROM nation t
+  JOIN (SELECT n_nationkey,
+               CAST(n_nationkey % 5 AS DOUBLE) * 20.0 AS x0,
+               CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 AS y0
+        FROM nation) n ON t.n_nationkey = n.n_nationkey
+  JOIN (SELECT c_custkey, c_acctbal, abs(c_acctbal) % 100.0 AS px,
+               (c_custkey % 1000) / 10.0 AS py FROM customer) c
+    ON c.px > n.x0 AND c.px < n.x0 + 20.0
+   AND c.py > n.y0 AND c.py < n.y0 + 20.0
+  GROUP BY t.n_name
+""")
+
 # ST_Distance(a,b) < d comparison form (reference sedona-expr utils.rs
 # parse_distance_predicate: Lt/LtEq with the call on either side) — plans
 # through the distance join with the strict comparison kept as an exact

@@ -531,6 +531,10 @@ def try_rewrite(spark: SparkSession, sql: str, vanilla_sql) -> DataFrame | None:
     try:
         return _rewrite(spark, sql, toks, vanilla_sql)
     except _Decline:
+        pass
+    try:
+        return _rewrite_chain(spark, sql, toks, vanilla_sql)
+    except _Decline:
         return None
 
 
@@ -753,6 +757,287 @@ def _build_join(spark, m, spatial, ldf, rdf_r, g1, g2) -> DataFrame:
             raise _Decline
     return spatial_join(ldf, rdf_r, left_geom=g1, right_geom=g2,
                         predicate=pred, how="left")
+
+
+# ----------------------------------------------------------------------
+# multi-join FROM chains: the common reference shape
+#   FROM dims d JOIN facts f ON d.k = f.k JOIN zones z ON ST_Pred(f.g, z.g)
+# For an ALL-INNER chain every ON conjunct is equivalent to a WHERE
+# conjunct (inner joins commute and associate), so the one spatial pair
+# can be joined by the native operator and re-inserted as a view into a
+# comma-form FROM — Catalyst re-derives the hash joins for the surviving
+# equi conjuncts.  The single-join path above stays untouched; this path
+# only fires for 3+ relations, declines any outer/semi/anti join word,
+# a second spatial conjunct, a bare ``SELECT *`` (relation order changes
+# the output column order), or an equi key between the SPATIAL pair
+# itself (reference optimizer.rs:253-257 — hash join wins then).
+# ----------------------------------------------------------------------
+
+
+def _rewrite_chain(spark, sql, toks, vanilla_sql):
+    depths = _depths(toks)
+    n = len(toks)
+    for i in range(n):
+        if toks[i].upper() != "FROM":
+            continue
+        d = depths[i]
+        rels, ons = [], []
+        try:
+            rel, j = _parse_rel(toks, i + 1)
+        except _Decline:
+            continue
+        rels.append(rel)
+        ok = True
+        while ok and j < n and depths[j] >= d:
+            if depths[j] != d:
+                ok = False
+                break
+            u = toks[j].upper()
+            if u == ",":
+                try:
+                    rel, j = _parse_rel(toks, j + 1)
+                except _Decline:
+                    ok = False
+                    break
+                rels.append(rel)
+                ons.append(None)
+                continue
+            if u == "JOIN" or (u in ("INNER", "CROSS") and j + 1 < n
+                               and toks[j + 1].upper() == "JOIN"):
+                cross = u == "CROSS"
+                j2 = j + (1 if u == "JOIN" else 2)
+                try:
+                    rel, j2 = _parse_rel(toks, j2)
+                except _Decline:
+                    ok = False
+                    break
+                if cross:
+                    rels.append(rel)
+                    ons.append(None)
+                    j = j2
+                    continue
+                if not (j2 < n and toks[j2].upper() == "ON"):
+                    ok = False
+                    break
+                k = j2 + 1
+                while k < n and depths[k] >= d:
+                    if depths[k] == d:
+                        uu = toks[k].upper()
+                        if uu in _BLOCK_END or uu in _JOIN_WORDS or uu == ",":
+                            break
+                    k += 1
+                rels.append(rel)
+                ons.append((j2 + 1, k))
+                j = k
+                continue
+            if u in _JOIN_WORDS:
+                ok = False       # outer / semi / anti / natural: not certified
+                break
+            break                # WHERE / GROUP / ... ends the chain
+        if not ok or len(rels) < 3:
+            continue
+        from_end = j
+        where_span = None
+        if j < n and depths[j] == d and toks[j].upper() == "WHERE":
+            k = j + 1
+            while k < n and depths[k] >= d:
+                if depths[k] == d and toks[k].upper() in (_BLOCK_END - {"WHERE"}):
+                    break
+                k += 1
+            where_span = (j + 1, k)
+        try:
+            return _chain_rewrite(spark, toks, depths, i, rels, ons,
+                                  from_end, where_span, vanilla_sql)
+        except _Decline:
+            continue
+    raise _Decline
+
+
+def _chain_rewrite(spark, toks, depths, from_idx, rels, ons, from_end,
+                   where_span, vanilla_sql):
+    from pyspark.sql import functions as F
+
+    aliases = [r.alias for r in rels]
+    if len(set(aliases)) != len(aliases):
+        raise _Decline
+
+    def _in_rel_span(ii):
+        return any(r.start <= ii < r.end for r in rels)
+
+    for ii, t in enumerate(toks):
+        if (t == "*" and (ii == 0 or toks[ii - 1] not in (".", "("))
+                and not _in_rel_span(ii)):
+            raise _Decline       # bare * output order depends on rel order
+    dfs = {r.alias: _resolve_df(spark, vanilla_sql, r) for r in rels}
+    schemas = {a: set(df.columns) for a, df in dfs.items()}
+
+    conjuncts = []
+    for span in ons:
+        if span is not None:
+            conjuncts += _split_conjuncts(toks, span[0], span[1])
+    if where_span is not None:
+        conjuncts += _split_conjuncts(toks, *where_span)
+
+    spatial = None
+    spatial_span = None
+    rest = []
+    for (lo, hi) in conjuncts:
+        span = (lo + 1, hi - 1) if (
+            toks[lo] == "(" and toks[hi - 1] == ")"
+            and min(depths[lo + 1:hi - 1] or [0]) > depths[lo]) else (lo, hi)
+        sc = _parse_spatial_conjunct(toks, span[0], span[1], aliases, schemas)
+        if sc is not None:
+            if spatial is not None:
+                raise _Decline
+            spatial, spatial_span = sc, (lo, hi)
+        else:
+            rest.append((lo, hi))
+    if spatial is None:
+        raise _Decline
+    pa, qa = spatial.arg_rels
+    # decline only on an equi key between the SPATIAL pair; equi keys
+    # touching other relations are exactly what this path exists to keep
+    for (lo, hi) in rest:
+        dd = 0
+        for jj in range(lo, hi):
+            t = toks[jj]
+            if t == "(":
+                dd += 1
+            elif t == ")":
+                dd -= 1
+            elif dd == 0 and t == "=":
+                lhs = _refs_relations(toks, lo, jj, aliases, schemas)
+                rhs = _refs_relations(toks, jj + 1, hi, aliases, schemas)
+                if lhs and rhs and lhs != rhs and (lhs | rhs) <= {pa, qa}:
+                    raise _Decline
+    if spatial.keep_refine:
+        rest.append(spatial_span)
+
+    order = {a: ix for ix, a in enumerate(aliases)}
+    first_alias, second_alias = (pa, qa) if order[pa] < order[qa] else (qa, pa)
+    ldf, rdf = dfs[first_alias], dfs[second_alias]
+
+    star_sides = set()
+    for ii, t in enumerate(toks):
+        if (t == "*" and ii >= 2 and toks[ii - 1] == "."
+                and _is_ident(toks[ii - 2]) and not _in_rel_span(ii)):
+            star_sides.add(_unquote(toks[ii - 2]))
+    mentioned = {_unquote(t) for t in toks if _is_ident(t)}
+    if first_alias not in star_sides:
+        ldf = ldf.select([c for c in ldf.columns if c in mentioned])
+    if second_alias not in star_sides:
+        rdf = rdf.select([c for c in rdf.columns if c in mentioned])
+    pair_schemas = {first_alias: set(ldf.columns),
+                    second_alias: set(rdf.columns)}
+    for a, c in zip(spatial.arg_rels, spatial.arg_cols):
+        if c not in pair_schemas[a]:
+            raise _Decline
+
+    lcols = list(ldf.columns)
+    collide = set(lcols) & set(rdf.columns)
+    rmap = {c: (f"{second_alias}__{c}" if c in collide else c)
+            for c in rdf.columns}
+    if any(v in lcols for c, v in rmap.items() if v != c):
+        raise _Decline
+    rdf_r = rdf.select([F.col(c).alias(a) for c, a in rmap.items()])
+
+    m = _Match()
+    m.rel1 = rels[order[first_alias]]
+    m.rel2 = rels[order[second_alias]]
+    m.how, m.comma_form = "inner", False
+    lgeom = {a: c for a, c in zip(spatial.arg_rels, spatial.arg_cols)}
+    g1 = lgeom.get(first_alias)
+    g2 = rmap.get(lgeom.get(second_alias), lgeom.get(second_alias))
+
+    joined = _build_join(spark, m, spatial, ldf, rdf_r, g1, g2)
+
+    vname = _VIEW_PREFIX + hashlib.sha1(
+        ("chain:" + _render(toks)).encode()).hexdigest()[:12]
+    joined.createOrReplaceTempView(vname)
+
+    pair = {first_alias, second_alias}
+
+    def out_name(alias, col):
+        if alias == first_alias:
+            return col
+        return rmap.get(col, col)
+
+    def map_span(span):
+        # view-qualified (unlike the single-join path, other relations
+        # survive in the FROM, so bare column names could be ambiguous)
+        res, k2 = [], 0
+        while k2 < len(span):
+            t = span[k2]
+            if (_is_ident(t) and _unquote(t) in pair and k2 + 2 < len(span)
+                    and span[k2 + 1] == "." and _is_ident(span[k2 + 2])):
+                res.append(
+                    f"`{vname}`.`{out_name(_unquote(t), _unquote(span[k2 + 2]))}`")
+                k2 += 3
+                continue
+            res.append(t)
+            k2 += 1
+        return res
+
+    surviving = [r for r in rels if r.alias not in pair]
+    skip_hi = where_span[1] if where_span else from_end
+    # select-list span of the matched block: unadorned pair references
+    # whose view column was rename-disambiguated get an AS back to their
+    # original name, so the output schema matches vanilla planning
+    sel_lo = None
+    for k2 in range(from_idx - 1, -1, -1):
+        if depths[k2] == depths[from_idx] and toks[k2].upper() == "SELECT":
+            sel_lo = k2
+            break
+    out = []
+    k = 0
+    n = len(toks)
+    while k < n:
+        if k == from_idx:
+            out.append("FROM")
+            parts = [_render(toks[r.start:r.end]) for r in surviving]
+            parts.append(vname)
+            out.append(" , ".join(parts))
+            wparts = ["( " + _render(map_span(toks[lo:hi])) + " )"
+                      for (lo, hi) in rest]
+            if wparts:
+                out.append("WHERE")
+                out.append(" AND ".join(wparts))
+            k = skip_hi
+            continue
+        t = toks[k]
+        in_select = sel_lo is not None and sel_lo < k < from_idx
+        if (_is_ident(t) and _unquote(t) in pair and k + 1 < n
+                and toks[k + 1] == "."):
+            a = _unquote(t)
+            if k + 2 < n and toks[k + 2] == "*":
+                if a == first_alias:
+                    pairs_ = [(c, c) for c in lcols]
+                else:
+                    pairs_ = [(c, rmap[c]) for c in rmap]
+                out.append(" , ".join(
+                    f"`{vname}`.`{v}`" + (f" AS `{c}`" if in_select and v != c
+                                          else "")
+                    for c, v in pairs_))
+                k += 3
+                continue
+            if k + 2 < n and _is_ident(toks[k + 2]):
+                col = _unquote(toks[k + 2])
+                out_col = out_name(a, col)
+                ref = f"`{vname}`.`{out_col}`"
+                nxt = toks[k + 3] if k + 3 < n else None
+                if (in_select and out_col != col
+                        and (nxt == "," or k + 3 == from_idx)):
+                    ref += f" AS `{col}`"
+                out.append(ref)
+                k += 3
+                continue
+        out.append(t)
+        k += 1
+
+    rewritten = _render(out)
+    result = vanilla_sql(rewritten)
+    result._sedona_rewritten_sql = rewritten
+    return result
 
 
 # ----------------------------------------------------------------------

@@ -494,3 +494,86 @@ def test_distance_comparison_with_extra_conjunct(spark):
     got = _rows(df, ["ka", "kb"])
     assert got == _rows(_vanilla(spark, q), ["ka", "kb"])
     assert len(got) > 0
+
+
+CHAIN_Q = """
+  SELECT t.n_name, count(*) AS n_pts
+  FROM nation t
+  JOIN nation_boxes n ON t.n_nationkey = n.n_nationkey
+  JOIN cust_pts c ON ST_Contains(n.geom, c.geom)
+  GROUP BY t.n_name
+"""
+
+
+def test_chain_rewrite_three_tables(spark):
+    """dim equi-join + spatial join in one FROM chain: the spatial pair
+    plans through the operator, the equi join survives as a hash join."""
+    _prep(spark)
+    df = spark.sql(CHAIN_Q)
+    _assert_no_pair_explosion(df)
+    assert getattr(df, "_sedona_rewritten_sql", None) is not None
+    got = _rows(df, ["n_name", "n_pts"])
+    want = _rows(_vanilla(spark, CHAIN_Q), ["n_name", "n_pts"])
+    assert got == want and len(got) > 0
+
+
+def test_chain_rewrite_where_form_and_order(spark):
+    """Comma-form chain; spatial pair NOT adjacent in the FROM list."""
+    _prep(spark)
+    q = """
+      SELECT c.c_custkey, n.n_nationkey, t.n_name
+      FROM cust_pts c, nation t, nation_boxes n
+      WHERE ST_Within(c.geom, n.geom) AND t.n_nationkey = n.n_nationkey
+        AND c.c_custkey < 300
+    """
+    df = spark.sql(q)
+    _assert_no_pair_explosion(df)
+    assert getattr(df, "_sedona_rewritten_sql", None) is not None
+    got = _rows(df, ["c_custkey", "n_nationkey", "n_name"])
+    assert got == _rows(_vanilla(spark, q), ["c_custkey", "n_nationkey", "n_name"])
+    assert len(got) > 0
+
+
+def test_chain_equi_key_on_spatial_pair_declines(spark):
+    """An equi key between the spatial pair itself -> hash join wins,
+    whole rewrite declines (reference optimizer.rs:253-257)."""
+    _prep(spark)
+    q = """
+      SELECT count(*) AS n
+      FROM nation t
+      JOIN nation_boxes n ON t.n_nationkey = n.n_nationkey
+      JOIN cust_pts c ON ST_Contains(n.geom, c.geom)
+         AND n.n_nationkey = c.c_custkey
+    """
+    df = spark.sql(q)
+    assert getattr(df, "_sedona_rewritten_sql", None) is None
+    assert df.first()["n"] == _vanilla(spark, q).first()["n"]
+
+
+def test_chain_outer_join_declines(spark):
+    _prep(spark)
+    q = """
+      SELECT count(*) AS n
+      FROM nation t
+      LEFT JOIN nation_boxes n ON t.n_nationkey = n.n_nationkey
+      JOIN cust_pts c ON ST_Contains(n.geom, c.geom)
+    """
+    df = spark.sql(q)
+    assert getattr(df, "_sedona_rewritten_sql", None) is None
+    assert df.first()["n"] == _vanilla(spark, q).first()["n"]
+
+
+def test_chain_distance_comparison_form(spark):
+    _prep(spark)
+    q = """
+      SELECT t.n_name, b.c_custkey
+      FROM (SELECT * FROM cust_pts WHERE c_custkey < 25) q1
+      JOIN (SELECT * FROM cust_pts WHERE c_custkey >= 25 AND c_custkey < 60) b
+        ON ST_Distance(q1.geom, b.geom) < 2.0
+      JOIN nation t ON t.n_nationkey = b.c_custkey % 25
+    """
+    df = spark.sql(q)
+    _assert_no_pair_explosion(df)
+    got = _rows(df, ["n_name", "c_custkey"])
+    assert got == _rows(_vanilla(spark, q), ["n_name", "c_custkey"])
+    assert len(got) > 0
