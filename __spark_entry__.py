@@ -785,6 +785,36 @@ _sql("st_transform_japan", """
   ON n_nationkey = k
 """)
 
+# Universal Polar Stereographic (EPSG:32661, Variant A k0 = 0.994) —
+# the projection math is pinned in pytest by the EPSG Guidance 7-2
+# Variant A worked example (73N 44E -> 3320416.75 E, 632668.43 N); the
+# literal table here pins the registered registry row end-to-end.
+_sql("st_transform_ups", """
+  SELECT n_nationkey, round(ST_X(m), 3) AS e, round(ST_Y(m), 3) AS n
+  FROM (SELECT n_nationkey,
+               ST_Transform(ST_Point(-180.0D + CAST(n_nationkey % 10 AS DOUBLE) * 36.0D,
+                                     70.0D + CAST(n_nationkey % 5 AS DOUBLE) * 3.5D),
+                            'EPSG:4326', 'EPSG:32661') AS m
+        FROM nation) t
+""", """
+  SELECT n_nationkey, CAST(e AS DOUBLE) AS e, CAST(n AS DOUBLE) AS n
+  FROM nation JOIN (VALUES
+    (0, 2000000.0, 4242389.769), (1, 916037.401, 3491946.524),
+    (2, 621649.799, 2447853.129), (3, 994684.219, 1673353.102),
+    (4, 1608107.288, 1460605.957), (5, 2000000.0, -242389.769),
+    (6, 3083962.599, 508053.476), (7, 3378350.201, 1552146.871),
+    (8, 3005315.781, 2326646.898), (9, 2391892.712, 2539394.043),
+    (10, 2000000.0, 4242389.769), (11, 916037.401, 3491946.524),
+    (12, 621649.799, 2447853.129), (13, 994684.219, 1673353.102),
+    (14, 1608107.288, 1460605.957), (15, 2000000.0, -242389.769),
+    (16, 3083962.599, 508053.476), (17, 3378350.201, 1552146.871),
+    (18, 3005315.781, 2326646.898), (19, 2391892.712, 2539394.043),
+    (20, 2000000.0, 4242389.769), (21, 916037.401, 3491946.524),
+    (22, 621649.799, 2447853.129), (23, 994684.219, 1673353.102),
+    (24, 1608107.288, 1460605.957)) v(k, e, n)
+  ON n_nationkey = k
+""")
+
 # Item-level CRS (reference datatypes.rs:126-155 new_item_crs): each
 # VALUE carries its own CRS (EWKB SRID survives every kernel); the
 # literal 'item' source resolves per row.  Mixed 4326/3857 rows in one
@@ -3660,6 +3690,12 @@ _PRIORITY[_PRIORITY.index("raster_http_outdb")] = "zarr_http_roundtrip"
 # in-window; gif/stateplane/distance-join twins stay green in replica
 # + pytest).
 _PRIORITY[_PRIORITY.index("dedup_minhash_pairs")] = "text_repetition_signals"
+# The multi-join chain rewrite (equi dim join + spatial join in one
+# query) replaces the plain broadcast twin — the broadcast path stays
+# exercised by the rewrite family's stats-chosen build sides and by the
+# replica + pytest.
+_PRIORITY[_PRIORITY.index("spatial_join_broadcast_within")] = \
+    "sql_chain_spatial_join"
 _PRIORITY[_PRIORITY.index("dedup_simhash_pairs")] = "text_pii_redact"
 _PRIORITY[_PRIORITY.index("spatial_distance_join")] = "sql_distance_cmp_join"
 _PRIORITY[_PRIORITY.index("multimodal_gif_decode")] = "multimodal_webp_decode"

@@ -247,7 +247,11 @@ class AlbersEqualArea2SP:
 
 
 class PolarStereographic:
-    """Variant B (standard parallel lat_ts), north or south aspect."""
+    """Variant B (standard parallel lat_ts), north or south aspect.
+    ``variant_a`` builds the EPSG Variant A form (scale factor k0 at the
+    pole — UPS): identical mapping with rho = 2 a k0 t /
+    sqrt((1+e)^(1+e) (1-e)^(1-e)) (Snyder eq. 21-33), so only the
+    precomputed rho/t constant differs."""
 
     def __init__(self, lat_ts, lon0, fe, fn, south: bool, ellps="WGS84"):
         self.a, self.e, _ = _ell(ellps)
@@ -258,6 +262,15 @@ class PolarStereographic:
         mc = float(_m_snyder(np.float64(pts), self.e))
         self.k = self.a * mc / tc  # rho = k * t
         self.fe, self.fn = fe, fn
+
+    @classmethod
+    def variant_a(cls, k0, lon0, fe, fn, south: bool, ellps="WGS84"):
+        # any non-polar lat_ts works: the constant is overwritten below
+        self = cls(71.0, lon0, fe, fn, south, ellps)
+        e = self.e
+        self.k = (2.0 * self.a * k0
+                  / math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e)))
+        return self
 
     def forward(self, lon, lat):
         lam = np.radians(np.asarray(lon, dtype=np.float64))
@@ -977,6 +990,31 @@ def _register_projections():
     for z in range(3, 24):
         reg[f"EPSG:269{z:02d}"] = TransverseMercator(
             0.0, utm_zone_central_meridian(z), K0, E0, 0.0, GRS80_A, GRS80_F)
+    # Universal Polar Stereographic (EPSG Variant A: k0 = 0.994 at the
+    # pole, FE = FN = 2,000,000) — pinned by the EPSG Guidance 7-2
+    # Variant A worked example (73N 44E -> 3320416.75 E, 632668.43 N)
+    _ups_n = PolarStereographic.variant_a(
+        0.994, 0.0, 2000000.0, 2000000.0, south=False)
+    _ups_s = PolarStereographic.variant_a(
+        0.994, 0.0, 2000000.0, 2000000.0, south=True)
+    reg["EPSG:32661"] = reg["EPSG:5041"] = _ups_n
+    reg["EPSG:32761"] = reg["EPSG:5042"] = _ups_s
+    # Ireland: IRENET95 / Irish Transverse Mercator (GRS80, ~WGS84)
+    reg["EPSG:2157"] = TransverseMercator(
+        53.5, -8.0, 0.99982, 600000.0, 750000.0, GRS80_A, GRS80_F)
+    # Korea 2000 / Unified CS and the 2010 belt set (GRS80, ~WGS84)
+    reg["EPSG:5179"] = TransverseMercator(
+        38.0, 127.5, 0.9996, 1000000.0, 2000000.0, GRS80_A, GRS80_F)
+    for _code, _lon0 in ((5185, 125.0), (5186, 127.0),
+                         (5187, 129.0), (5188, 131.0)):
+        reg[f"EPSG:{_code}"] = TransverseMercator(
+            38.0, _lon0, 1.0, 200000.0, 600000.0, GRS80_A, GRS80_F)
+    # Australia: GDA94 / Geoscience Australia Lambert
+    reg["EPSG:3112"] = LambertConformalConic2SP(
+        0.0, 134.0, -18.0, -36.0, 0.0, 0.0, "GRS80")
+    # Europe: ETRS89-extended / LCC Europe
+    reg["EPSG:3034"] = LambertConformalConic2SP(
+        52.0, 10.0, 35.0, 65.0, 4000000.0, 2800000.0, "GRS80")
     # Great Britain: OSGB36 / British National Grid (Airy 1830 TM behind
     # the published WGS84->OSGB36 Bursa-Wolf shift)
     reg["EPSG:27700"] = HelmertTM(

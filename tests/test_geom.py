@@ -633,3 +633,64 @@ def test_krovak_5514():
     assert -746000 < x[0] < -740000 and -1046000 < y[0] < -1041000
     lon2, lat2 = p.inverse(x, y)
     assert abs(lon2[0] - 14.4208) < 1e-7 and abs(lat2[0] - 50.0875) < 1e-7
+
+
+def test_ups_and_new_national_grids():
+    """Round-7 EPSG additions.  UPS is pinned by the EPSG Guidance 7-2
+    Polar Stereographic Variant A worked example; the TM/LCC rows by
+    their origin/false-offset and scale/parallel invariants."""
+    import numpy as np
+
+    from sedona_db_spark.geom import projections as prj
+
+    # UPS North: 73N 44E -> E 3320416.75, N 632668.43 (EPSG worked ex.)
+    ups = prj.lookup_projection("EPSG:32661")
+    E, N = ups.forward(np.array([44.0]), np.array([73.0]))
+    assert abs(E[0] - 3320416.75) < 0.01 and abs(N[0] - 632668.43) < 0.01
+    lon, lat = ups.inverse(E, N)
+    assert abs(lon[0] - 44.0) < 1e-9 and abs(lat[0] - 73.0) < 1e-9
+    alias = prj.lookup_projection("EPSG:5041")
+    Ea, Na = alias.forward(np.array([44.0]), np.array([73.0]))
+    assert abs(Ea[0] - E[0]) < 1e-9 and abs(Na[0] - N[0]) < 1e-9
+    # UPS South mirrors the aspect
+    ups_s = prj.lookup_projection("EPSG:32761")
+    lon, lat = ups_s.inverse(*ups_s.forward(np.array([44.0]),
+                                            np.array([-73.0])))
+    assert abs(lon[0] - 44.0) < 1e-9 and abs(lat[0] + 73.0) < 1e-9
+
+    # natural-origin -> false-offset pins lat0/lon0/FE/FN; a 1-arcsec
+    # finite difference along the central meridian pins k0
+    for code, lon0, lat0, fe, fn, k0 in (
+            ("EPSG:2157", -8.0, 53.5, 600000.0, 750000.0, 0.99982),
+            ("EPSG:5179", 127.5, 38.0, 1000000.0, 2000000.0, 0.9996),
+            ("EPSG:5186", 127.0, 38.0, 200000.0, 600000.0, 1.0)):
+        p = prj.lookup_projection(code)
+        E, N = p.forward(np.array([lon0]), np.array([lat0]))
+        assert abs(E[0] - fe) < 1e-6 and abs(N[0] - fn) < 1e-6, code
+        d = 1.0 / 3600.0
+        E2, N2 = p.forward(np.array([lon0]), np.array([lat0 + d]))
+        # meridional arc length for 1 arcsec on GRS80 at these latitudes
+        from sedona_db_spark.geom.projections import GRS80_A, GRS80_F
+        e2 = GRS80_F * (2 - GRS80_F)
+        phi = np.radians(lat0)
+        M = GRS80_A * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+        arc = M * np.radians(d)
+        assert abs((N2[0] - N[0]) / arc - k0) < 1e-6, code
+
+    # LCC rows: origin -> false offsets; scale = 1 on both parallels
+    for code, lat0, lon0, sp1, sp2, fe, fn in (
+            ("EPSG:3112", 0.0, 134.0, -18.0, -36.0, 0.0, 0.0),
+            ("EPSG:3034", 52.0, 10.0, 35.0, 65.0, 4000000.0, 2800000.0)):
+        p = prj.lookup_projection(code)
+        E, N = p.forward(np.array([lon0]), np.array([lat0]))
+        assert abs(E[0] - fe) < 1e-6 and abs(N[0] - fn) < 1e-6, code
+        for sp in (sp1, sp2):
+            d = 1.0 / 3600.0
+            (xa, ya) = p.forward(np.array([lon0 - d / 2]), np.array([sp]))
+            (xb, yb) = p.forward(np.array([lon0 + d / 2]), np.array([sp]))
+            ground = (np.radians(d)
+                      * prj.GRS80_A * np.cos(np.radians(sp))
+                      / np.sqrt(1 - (prj.GRS80_F * (2 - prj.GRS80_F))
+                                * np.sin(np.radians(sp)) ** 2))
+            grid = float(np.hypot(xb - xa, yb - ya))
+            assert abs(grid / ground - 1.0) < 1e-7, code
