@@ -3558,6 +3558,38 @@ _sql("sql_chain_spatial_join", """
   GROUP BY t.n_name
 """)
 
+# Geography (spherical) join through the SQL front door: the rewrite
+# probes the in-band edge tags and routes point ST_DWithin to the native
+# grid-partitioned great-circle join (reference parity with the
+# dedicated geography join planner), refined by the same dispatched
+# kernel vanilla SQL runs.
+_sql("sql_geo_dwithin_join", """
+  SELECT a.c_custkey, b.s_suppkey,
+         round(ST_Distance(a.g, b.g) / 1000.0, 3) AS dist_km
+  FROM (SELECT c_custkey,
+               ST_GeogPoint(CAST(c_custkey % 360 AS DOUBLE) - 179.5,
+                            CAST((c_custkey * 7) % 160 AS DOUBLE) - 79.5) AS g
+        FROM customer) a
+  JOIN (SELECT s_suppkey,
+               ST_GeogPoint(CAST((s_suppkey * 13) % 360 AS DOUBLE) - 179.5,
+                            CAST((s_suppkey * 29) % 160 AS DOUBLE) - 79.5) AS g
+        FROM supplier) b
+  ON ST_DWithin(a.g, b.g, 1000000.0)
+""", """
+  WITH c AS (SELECT c_custkey, (c_custkey % 360) - 179.5 AS lon_c,
+                    ((c_custkey * 7) % 160) - 79.5 AS lat_c FROM customer),
+  s AS (SELECT s_suppkey, ((s_suppkey * 13) % 360) - 179.5 AS lon_s,
+               ((s_suppkey * 29) % 160) - 79.5 AS lat_s FROM supplier),
+  d AS (SELECT c_custkey, s_suppkey,
+          2 * 6371008.8 * asin(sqrt(
+            pow(sin(radians(lat_s - lat_c) / 2), 2) +
+            cos(radians(lat_c)) * cos(radians(lat_s)) *
+            pow(sin(radians(lon_s - lon_c) / 2), 2))) AS dist_m
+        FROM c, s)
+  SELECT c_custkey, s_suppkey, round(dist_m / 1000.0, 3) AS dist_km
+  FROM d WHERE dist_m <= 1000000.0
+""")
+
 # ST_Distance(a,b) < d comparison form (reference sedona-expr utils.rs
 # parse_distance_predicate: Lt/LtEq with the call on either side) — plans
 # through the distance join with the strict comparison kept as an exact

@@ -55,7 +55,59 @@ _BBOX_T = T.StructType([
 ])
 
 
+def _wkb_is_geography(v) -> bool:
+    """True when a WKB value carries the engine's geography edge tag
+    (core._SD_GEOG = 0x10000000 in the type word; byte 4 for LE, byte 1
+    for BE encodings)."""
+    return (v is not None and len(v) >= 5
+            and ((v[0] == 1 and v[4] & 0x10) or (v[0] == 0 and v[1] & 0x10)))
+
+
+def _geog_point_xy_kernel(s: pd.Series) -> pd.DataFrame:
+    """lon/lat of uniformly tagged geography POINTs; raises loud on any
+    planar or non-point row (the SQL front door's geography dwithin
+    route is only certified for that shape)."""
+    from sedona_db_spark.geom import core
+    lons, lats = [], []
+    for g in _decode(s):
+        if g is None:
+            lons.append(None)
+            lats.append(None)
+            continue
+        if not g.spherical or g.gt != core.POINT or g.data is None:
+            raise ValueError(
+                "geography dwithin join route requires uniformly tagged "
+                "POINT geography values; found a planar or non-point row "
+                "past the plan-time probe")
+        lons.append(float(g.data[0]))
+        lats.append(float(g.data[1]))
+    return pd.DataFrame({"lon": lons, "lat": lats})
+
+
+_GEOG_XY_T = T.StructType([T.StructField("lon", T.DoubleType()),
+                           T.StructField("lat", T.DoubleType())])
+_geog_xy_udf = None
+
+
+def geog_point_xy_col(geom: Column) -> Column:
+    global _geog_xy_udf
+    if _geog_xy_udf is None:
+        _geog_xy_udf = F.pandas_udf(_geog_point_xy_kernel,
+                                    returnType=_GEOG_XY_T)
+    return _geog_xy_udf(geom)
+
+
 def _bbox_kernel(s: pd.Series) -> pd.DataFrame:
+    if any(_wkb_is_geography(v) for v in s):
+        # planar candidate pruning (degree-space bboxes, planar refine)
+        # silently returns WRONG pairs for spherical-edge values; fail
+        # loud instead.  The SQL front door probes for the tag and routes
+        # geography joins to the geography operator / vanilla dispatch.
+        raise ValueError(
+            "geography (spherical-edge) values reached the planar spatial "
+            "join; use operators.geography_join.geography_dwithin_join or "
+            "the per-row ST_* kernels (spark.sql), which dispatch "
+            "spherically")
     pts = _fast_points(s)
     if pts is not None:
         return pd.DataFrame({"xmin": pts[:, 0], "ymin": pts[:, 1],

@@ -703,10 +703,75 @@ def _rewrite(spark, sql, toks, vanilla_sql):
     return result
 
 
+def _probe_geography(df, col, n=64):
+    """(tagged_count, probed_count) over the first n non-null geometries.
+    The engine's geography values carry their edge tag in the VALUE
+    (same-name dispatch), so plan-time routing can only probe — the
+    planar operator's bbox stage re-checks every row and fails loud if
+    tagged values hide past the probe depth."""
+    from sedona_db_spark.operators.spatial_join import _wkb_is_geography
+    vals = [r[0] for r in df.select(col).limit(n).collect()
+            if r[0] is not None]
+    return sum(1 for v in vals if _wkb_is_geography(v)), len(vals)
+
+
+def _build_geography_dwithin(spark, ldf, rdf_r, g1, g2, dist) -> DataFrame:
+    """Geography ST_DWithin join: extract point lon/lat (raising loud on
+    non-point or untagged rows — the route is only certified for
+    uniformly tagged points), run the native grid-partitioned
+    great-circle join with a hair of slack, then refine with the SAME
+    dispatched ST_DWithin kernel vanilla SQL would run — bit-identical
+    boundary semantics by construction.  Reference parity: the dedicated
+    geography join planner registered after the default spatial planner
+    (rust/sedona-spatial-join-geography, context.rs:163-172)."""
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.functions import get_udf
+    from sedona_db_spark.operators.geography_join import \
+        geography_dwithin_join
+    from sedona_db_spark.operators.spatial_join import geog_point_xy_col
+
+    l2 = ldf.withColumn("__gxy", geog_point_xy_col(F.col(g1))) \
+            .withColumn("__llon", F.col("__gxy.lon")) \
+            .withColumn("__llat", F.col("__gxy.lat")).drop("__gxy")
+    r2 = rdf_r.withColumn("__gxy", geog_point_xy_col(F.col(g2))) \
+              .withColumn("__rlon", F.col("__gxy.lon")) \
+              .withColumn("__rlat", F.col("__gxy.lat")).drop("__gxy")
+    # build on the (estimated) smaller side; slack keeps the operator cut
+    # a superset of the kernel's boundary before the exact refine
+    from sedona_db_spark.plans.width import planned_size_bytes
+    slack = float(dist) * (1.0 + 1e-9) + 1e-6
+    sl, sr = planned_size_bytes(l2), planned_size_bytes(r2)
+    if sl is not None and sr is not None and sl < sr:
+        out = geography_dwithin_join(l2, r2, slack,
+                                     build_lon="__llon", build_lat="__llat",
+                                     probe_lon="__rlon", probe_lat="__rlat")
+    else:
+        out = geography_dwithin_join(r2, l2, slack,
+                                     build_lon="__rlon", build_lat="__rlat",
+                                     probe_lon="__llon", probe_lat="__llat")
+    dw = get_udf("ST_DWithin")
+    out = out.filter(dw(F.col(g1), F.col(g2), F.lit(float(dist))))
+    return out.select(list(ldf.columns) + list(rdf_r.columns))
+
+
 def _build_join(spark, m, spatial, ldf, rdf_r, g1, g2) -> DataFrame:
     """Route the matched shape into the engine's join operators."""
     from sedona_db_spark.operators.knn_join import knn_join
     from sedona_db_spark.operators.spatial_join import spatial_join
+
+    # geography values (in-band edge tags) make the planar operators
+    # numerically wrong: probe and route.  Tagged point dwithin gets the
+    # native geography join; every other tagged shape declines to
+    # vanilla, whose per-row kernels dispatch spherically.
+    nt1, n1 = _probe_geography(ldf, g1)
+    nt2, n2 = _probe_geography(rdf_r, g2)
+    if nt1 or nt2:
+        if (spatial.kind == "dwithin" and m.how == "inner"
+                and nt1 == n1 and nt2 == n2 and not spatial.keep_refine):
+            return _build_geography_dwithin(spark, ldf, rdf_r, g1, g2,
+                                            spatial.extra[0])
+        raise _Decline
 
     first_is_left = spatial.arg_rels[0] == m.rel1.alias
     if spatial.kind == "knn":

@@ -577,3 +577,69 @@ def test_chain_distance_comparison_form(spark):
     got = _rows(df, ["n_name", "c_custkey"])
     assert got == _rows(_vanilla(spark, q), ["n_name", "c_custkey"])
     assert len(got) > 0
+
+
+def test_geography_dwithin_sql_join_routes_spherically(spark):
+    """Geography-tagged columns through the SQL front door must NOT get
+    the planar distance join (degree-space bboxes + planar refine are
+    numerically wrong for meters): the probe routes point dwithin to the
+    native geography join, refined by the SAME dispatched kernel vanilla
+    runs — results identical to vanilla."""
+    _prep(spark)
+    spark.sql("""
+      SELECT c_custkey AS ka,
+             ST_GeogPoint(CAST(c_custkey % 360 AS DOUBLE) - 180.0 + 0.5,
+                          CAST((c_custkey * 7) % 160 AS DOUBLE) - 80.0 + 0.5) AS g
+      FROM customer WHERE c_custkey < 120
+    """).createOrReplaceTempView("geo_a")
+    spark.sql("""
+      SELECT c_custkey AS kb,
+             ST_GeogPoint(CAST((c_custkey * 13) % 360 AS DOUBLE) - 180.0 + 0.5,
+                          CAST((c_custkey * 29) % 160 AS DOUBLE) - 80.0 + 0.5) AS g
+      FROM customer WHERE c_custkey < 120
+    """).createOrReplaceTempView("geo_b")
+    q = """
+      SELECT a.ka, b.kb FROM geo_a a JOIN geo_b b
+      ON ST_DWithin(a.g, b.g, 1000000.0)
+    """
+    df = spark.sql(q)
+    assert getattr(df, "_sedona_rewritten_sql", None) is not None
+    got = _rows(df, ["ka", "kb"])
+    want = _rows(_vanilla(spark, q), ["ka", "kb"])
+    assert got == want and len(got) > 0
+    # spherical correctness is pinned by the vanilla comparison above:
+    # vanilla evaluates the dispatched (spherical) kernel per pair
+
+
+def test_geography_predicate_join_declines_to_vanilla(spark):
+    """Tagged values with a topological predicate -> no planar operator;
+    vanilla per-row gnomonic dispatch handles it."""
+    _prep(spark)
+    spark.sql("""
+      SELECT n_nationkey AS k,
+             ST_ToGeography(ST_Point(CAST(n_nationkey AS DOUBLE),
+                                     CAST(n_nationkey AS DOUBLE))) AS g
+      FROM nation
+    """).createOrReplaceTempView("geo_pts")
+    q = """
+      SELECT a.k AS ka, b.k AS kb FROM geo_pts a JOIN geo_pts b
+      ON ST_Intersects(a.g, b.g)
+    """
+    df = spark.sql(q)
+    assert getattr(df, "_sedona_rewritten_sql", None) is None
+    got = _rows(df, ["ka", "kb"])
+    assert got == [(k, k) for k in range(25)]
+
+
+def test_planar_operator_rejects_geography_loud(spark):
+    """Direct spatial_join on tagged values must fail LOUD, not return
+    planar-wrong pairs."""
+    import pytest as _pytest
+
+    from sedona_db_spark.operators.spatial_join import spatial_join
+    _prep(spark)
+    a = spark.sql("SELECT 1 AS id, ST_GeogPoint(10.0D, 20.0D) AS geom")
+    b = spark.sql("SELECT 2 AS id2, ST_GeogPoint(11.0D, 20.0D) AS geom")
+    out = spatial_join(a, b, distance=50000.0)
+    with _pytest.raises(Exception, match="geography|spherical"):
+        out.collect()
