@@ -98,16 +98,6 @@ def geog_point_xy_col(geom: Column) -> Column:
 
 
 def _bbox_kernel(s: pd.Series) -> pd.DataFrame:
-    if any(_wkb_is_geography(v) for v in s):
-        # planar candidate pruning (degree-space bboxes, planar refine)
-        # silently returns WRONG pairs for spherical-edge values; fail
-        # loud instead.  The SQL front door probes for the tag and routes
-        # geography joins to the geography operator / vanilla dispatch.
-        raise ValueError(
-            "geography (spherical-edge) values reached the planar spatial "
-            "join; use operators.geography_join.geography_dwithin_join or "
-            "the per-row ST_* kernels (spark.sql), which dispatch "
-            "spherically")
     pts = _fast_points(s)
     if pts is not None:
         return pd.DataFrame({"xmin": pts[:, 0], "ymin": pts[:, 1],
@@ -119,12 +109,39 @@ def _bbox_kernel(s: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
 
 
+def _bbox_kernel_planar_only(s: pd.Series) -> pd.DataFrame:
+    if any(_wkb_is_geography(v) for v in s):
+        # planar candidate pruning (degree-space bboxes, planar refine)
+        # silently returns WRONG pairs for spherical-edge values; fail
+        # loud instead.  The SQL front door probes for the tag and routes
+        # geography joins to the geography operator / vanilla dispatch.
+        raise ValueError(
+            "geography (spherical-edge) values reached the planar spatial "
+            "join; use operators.geography_join.geography_dwithin_join or "
+            "the per-row ST_* kernels (spark.sql), which dispatch "
+            "spherically")
+    return _bbox_kernel(s)
+
+
 _bbox_udf = None
+_bbox_udf_planar = None
 
 
-def bbox_col(geom: Column) -> Column:
-    """Vectorized bbox struct for a WKB geometry column."""
-    global _bbox_udf
+def bbox_col(geom: Column, planar_only: bool = False) -> Column:
+    """Vectorized bbox struct for a WKB geometry column.
+
+    ``planar_only=True`` (the spatial-join pruning path) fails loud on
+    geography-tagged values — degree-space boxes + planar refine would
+    silently return wrong pairs for spherical edges.  The default accepts
+    geography: lon/lat vertex bounds are the documented convention for
+    envelope aggregates, GeoParquet covering columns, and stats.
+    """
+    global _bbox_udf, _bbox_udf_planar
+    if planar_only:
+        if _bbox_udf_planar is None:
+            _bbox_udf_planar = F.pandas_udf(_bbox_kernel_planar_only,
+                                            returnType=_BBOX_T)
+        return _bbox_udf_planar(geom)
     if _bbox_udf is None:
         _bbox_udf = F.pandas_udf(_bbox_kernel, returnType=_BBOX_T)
     return _bbox_udf(geom)
@@ -220,8 +237,8 @@ def spatial_join(
     left = widen_if_starved(left)
     right_r = widen_if_starved(right_r)
 
-    lb = left.withColumn("__lbox", bbox_col(F.col(left_geom)))
-    rb = right_r.withColumn("__rbox", bbox_col(F.col(rgeom)))
+    lb = left.withColumn("__lbox", bbox_col(F.col(left_geom), planar_only=True))
+    rb = right_r.withColumn("__rbox", bbox_col(F.col(rgeom), planar_only=True))
     expand = float(distance) if distance is not None else 0.0
 
     # Path choice probe: limit-capped count scans at most threshold+1 rows
