@@ -1208,6 +1208,47 @@ _O["dedup_lines_corpus"] = """
 """
 
 
+def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/PaLM 13-gram eval-overlap rule).
+    The benchmark set is derived deterministically on both sides: every
+    50th doc contributes its tokens 5..17 as one benchmark passage; any
+    corpus doc sharing a 13-gram with a passage is flagged."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions import text as tx
+    from sedona_db_spark.operators.dedup import decontaminate
+    docs = spark.table("documents").select("doc_id", "text")
+    toks = tx.tokens(F.col("text"))
+    bench = (docs.filter((F.col("doc_id") % 50) == 0)
+                 .filter(F.size(toks) >= 17)
+                 .select(F.concat_ws(" ", F.slice(toks, 5, 13)).alias("text")))
+    out = decontaminate(docs, bench, n=13, mode="flag")
+    return out.select("doc_id", "contaminated")
+
+
+_PY["decontam_ngram"] = _q_decontam
+_O["decontam_ngram"] = """
+  WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       t -> t != '') AS tk
+    FROM documents),
+  bench AS (
+    SELECT DISTINCT array_to_string(list_slice(tk, 5, 17), ' ') AS g
+    FROM toks WHERE doc_id % 50 = 0 AND len(tk) >= 17),
+  idx AS (
+    SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 12)) AS i
+    FROM toks WHERE len(tk) >= 13),
+  grams AS (
+    SELECT doc_id,
+           array_to_string(list_slice(tk, CAST(i AS INT),
+                                      CAST(i AS INT) + 12), ' ') AS g
+    FROM idx),
+  hits AS (SELECT DISTINCT gr.doc_id FROM grams gr JOIN bench b USING (g))
+  SELECT t.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+  FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
+"""
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals — exact per-row native array math
     (dup-token fraction; top-bigram fraction via sort + run-length fold),

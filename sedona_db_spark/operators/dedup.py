@@ -84,6 +84,60 @@ def remove_duplicate_lines(df: DataFrame, text_col: str = "text",
     return rebuilt.unionByName(survivors).select(*df.columns)
 
 
+def _gram_hashes(toks, n: int):
+    """xxhash64 of every token n-gram of an array column — fully native
+    (sequence -> slice -> concat_ws -> xxhash64), one value per window."""
+    count = F.size(toks) - (n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))))
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str | None = None, mode: str = "remove",
+                  broadcast_threshold: int = 500_000) -> DataFrame:
+    """Benchmark decontamination: drop (``mode='remove'``) or flag
+    (``mode='flag'``, adds a boolean ``contaminated`` column) every
+    training document sharing at least one token ``n``-gram with the
+    benchmark set — the GPT-3/PaLM eval-overlap rule (13-gram default).
+
+    Scale shape (100 TB corpus vs KB-MB eval sets): benchmark n-grams are
+    hashed, deduplicated and — when a LIMIT-capped probe confirms the set
+    is small — broadcast, so the corpus side streams through scan ->
+    native gram hashing -> broadcast semi-join -> distinct doc ids with
+    NO shuffle of text or gram strings; only 64-bit hashes and ids move.
+    A benchmark too large to broadcast degrades to one hash equi-join.
+    No Python anywhere."""
+    if mode not in ("remove", "flag"):
+        raise ValueError(f"mode must be 'remove' or 'flag', got {mode!r}")
+    btc = bench_text_col or text_col
+    bgrams = (benchmark
+              .select(F.explode(_gram_hashes(tx.tokens(F.col(btc)), n))
+                      .alias("__g"))
+              .distinct())
+    try:
+        small = (benchmark.limit(broadcast_threshold + 1).count()
+                 <= broadcast_threshold)
+    except Exception:
+        small = False
+    if small:
+        bgrams = F.broadcast(bgrams)
+    dgrams = docs.select(
+        id_col, F.explode(_gram_hashes(tx.tokens(F.col(text_col)), n))
+        .alias("__g"))
+    hit = dgrams.join(bgrams, "__g", "left_semi").select(id_col).distinct()
+    if mode == "remove":
+        return docs.join(hit, id_col, "left_anti")
+    return (docs.join(hit.withColumn("__hit", F.lit(True)), id_col, "left")
+                .withColumn("contaminated",
+                            F.coalesce(F.col("__hit"), F.lit(False)))
+                .drop("__hit"))
+
+
 def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", num_perm: int = 64,
                             bands: int = 16, shingle_k: int = 3,

@@ -1473,3 +1473,36 @@ def test_remove_duplicate_lines_order_and_custom_sep(spark):
            for r in remove_duplicate_lines(df, min_count=2, sep="|").collect()}
     assert out[1] == "z|a|m"      # original order preserved
     assert out[2] == "q"
+
+
+def test_decontaminate_flag_and_remove(spark):
+    from sedona_db_spark.operators.dedup import decontaminate
+    # 5-token docs; benchmark passage matches docs 1 and 3 (shared 3-gram)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "zeta eta theta iota kappa"),
+         (3, "x alpha beta gamma y"),
+         (4, "al pha be ta gamma"),      # tokens differ -> clean
+         (5, "too short")],              # fewer tokens than n -> clean
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [("alpha beta gamma",)], "text string")
+    flagged = {r.doc_id: r.contaminated
+               for r in decontaminate(docs, bench, n=3, mode="flag").collect()}
+    assert flagged == {1: True, 2: False, 3: True, 4: False, 5: False}
+    kept = sorted(r.doc_id
+                  for r in decontaminate(docs, bench, n=3).collect())
+    assert kept == [2, 4, 5]
+    # n larger than every doc: nothing flagged, nothing removed
+    assert decontaminate(docs, bench, n=10).count() == 5
+
+
+def test_decontaminate_case_and_whitespace_normalized(spark):
+    from sedona_db_spark.operators.dedup import decontaminate
+    docs = spark.createDataFrame(
+        [(1, "The  Quick\tBrown fox"), (2, "slow brown fox here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([("the quick brown",)], "text string")
+    out = {r.doc_id: r.contaminated
+           for r in decontaminate(docs, bench, n=3, mode="flag").collect()}
+    assert out == {1: True, 2: False}
