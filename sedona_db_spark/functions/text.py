@@ -351,3 +351,38 @@ def register(spark: SparkSession) -> None:
     spark.udf.register("MinHashSignature", minhash_udf())
     simhash_udf = F.pandas_udf(simhash64_kernel, returnType=T.LongType())
     spark.udf.register("SimHash64", simhash_udf)
+
+
+def lm_bigram_scores(df, text_col: str = "text", id_col: str = "doc_id",
+                     alpha: float = 1.0):
+    """CCNet-style LM quality signal, self-trained on the corpus: score
+    each document by the mean negative log-likelihood of its word
+    bigrams under an add-alpha bigram model whose counts come from the
+    corpus itself (outlier nll = unusual/garbled text; very low nll =
+    template/boilerplate).  Output: ``id_col, nll, n_bigrams`` for every
+    document with at least one bigram.
+
+    Scale shape (100 TB): two counting shuffles (unigram, bigram — both
+    collapse via map-side partial aggregation exactly like word-count),
+    one equi-join of the pair stream against each count table, a
+    broadcast of the single-row vocabulary count, and a final per-doc
+    agg.  Every expression is native codegen; no Python, no windows, no
+    driver state."""
+    toks = tokens(F.col(text_col))
+    t = df.select(id_col, toks.alias("__tk"))
+    pairs = (t.select(id_col, F.explode(_bigrams(F.col("__tk"))).alias("__bg"))
+              .withColumn("__w1", F.split_part(F.col("__bg"), F.lit(" "),
+                                               F.lit(1))))
+    uni = (t.select(F.explode("__tk").alias("__w1"))
+            .groupBy("__w1").agg(F.count(F.lit(1)).alias("__c1")))
+    vocab = uni.agg(F.count(F.lit(1)).alias("__V"))
+    big = pairs.groupBy("__bg").agg(F.count(F.lit(1)).alias("__c2"))
+    lp = (pairs.join(big, "__bg")
+               .join(uni, "__w1")
+               .crossJoin(F.broadcast(vocab))
+               .select(id_col, F.log(
+                   (F.col("__c2") + F.lit(alpha)) /
+                   (F.col("__c1") + F.lit(alpha) * F.col("__V"))).alias("__lp")))
+    return lp.groupBy(id_col).agg(
+        (-F.avg("__lp")).alias("nll"),
+        F.count(F.lit(1)).alias("n_bigrams"))

@@ -1506,3 +1506,20 @@ def test_decontaminate_case_and_whitespace_normalized(spark):
     out = {r.doc_id: r.contaminated
            for r in decontaminate(docs, bench, n=3, mode="flag").collect()}
     assert out == {1: True, 2: False}
+
+
+def test_lm_bigram_scores_hand_computed(spark):
+    import math
+    from sedona_db_spark.functions.text import lm_bigram_scores
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a"), (3, "solo")],
+        "doc_id long, text string")
+    # counts: uni a=4, b=2, solo=1 (V=3); big 'a b'=2, 'b a'=1, 'a a'=1
+    # alpha=1: doc1 = -(ln(3/7)+ln(2/5)+ln(3/7))/3; doc2 = -ln(2/7)
+    out = {r.doc_id: (r.nll, r.n_bigrams)
+           for r in lm_bigram_scores(df).collect()}
+    assert 3 not in out                      # no bigram -> not scored
+    assert out[1][1] == 3 and out[2][1] == 1
+    exp1 = -(2 * math.log(3 / 7) + math.log(2 / 5)) / 3
+    assert abs(out[1][0] - exp1) < 1e-12
+    assert abs(out[2][0] - math.log(7 / 2)) < 1e-12
