@@ -1288,6 +1288,72 @@ _O["text_lm_score"] = """
 """
 
 
+def _q_pipeline_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style composite curation pipeline in ONE lazy plan:
+    quality gate (>= 0.85) -> benchmark decontamination (13-gram remove)
+    -> exact fingerprint dedup -> per-doc token count.  Exercises that
+    the pipeline operators COMPOSE: one DataFrame flows through all
+    three with no materialization between stages."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions import text as tx
+    from sedona_db_spark.operators.dedup import decontaminate, fingerprint_dedup
+    docs = spark.table("documents").select("doc_id", "text")
+    scored = tx.with_quality_score(docs, "text", out="__q")
+    good = scored.filter(F.round(F.col("__q"), 4) >= 0.85).drop("__q")
+    toks = tx.tokens(F.col("text"))
+    bench = (docs.filter((F.col("doc_id") % 50) == 0)
+                 .filter(F.size(toks) >= 17)
+                 .select(F.concat_ws(" ", F.slice(toks, 5, 13)).alias("text")))
+    clean = decontaminate(good, bench, n=13, mode="remove")
+    kept = fingerprint_dedup(clean)
+    return kept.select(
+        "doc_id", F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tok"))
+
+
+_PY["pipeline_c4_compose"] = _q_pipeline_c4
+_O["pipeline_c4_compose"] = """
+  WITH s AS (
+    SELECT doc_id, text,
+      list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                  t -> t != '') AS tk
+    FROM documents),
+  m AS (
+    SELECT doc_id, text, tk,
+      round(0.3 * (CASE WHEN len(tk) >= 5 AND len(tk) <= 100000
+                        THEN 1.0 ELSE 0.0 END)
+          + 0.3 * (1.0 - len(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
+                         * 1.0 / greatest(len(text), 1))
+          + 0.2 * least(len(list_filter(tk, t -> list_contains(
+                  ['the','and','of','to','a','in','is','that','it','for'], t)))
+                  * 4.0 / greatest(len(tk), 1), 1.0)
+          + 0.2 * (CASE WHEN len(regexp_replace(text, '\\s+', '', 'g'))
+                             * 1.0 / greatest(len(tk), 1) BETWEEN 2.0 AND 12.0
+                        THEN 1.0 ELSE 0.0 END), 4) AS q
+    FROM s),
+  good AS (SELECT doc_id, text, tk FROM m WHERE q >= 0.85),
+  bench AS (
+    SELECT DISTINCT array_to_string(list_slice(tk, 5, 17), ' ') AS g
+    FROM s WHERE doc_id % 50 = 0 AND len(tk) >= 17),
+  idx AS (
+    SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 12)) AS i
+    FROM good WHERE len(tk) >= 13),
+  grams AS (
+    SELECT doc_id, array_to_string(list_slice(tk, CAST(i AS INT),
+                                   CAST(i AS INT) + 12), ' ') AS g
+    FROM idx),
+  hits AS (SELECT DISTINCT gr.doc_id FROM grams gr JOIN bench b USING (g)),
+  clean AS (
+    SELECT g.doc_id, g.text, g.tk FROM good g
+    LEFT JOIN hits h ON g.doc_id = h.doc_id WHERE h.doc_id IS NULL),
+  winner AS (
+    SELECT doc_id, tk, row_number() OVER (
+      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      ORDER BY doc_id) AS rn
+    FROM clean)
+  SELECT doc_id, len(tk) AS n_tok FROM winner WHERE rn = 1
+"""
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals — exact per-row native array math
     (dup-token fraction; top-bigram fraction via sort + run-length fold),
@@ -3822,6 +3888,11 @@ _PRIORITY[_PRIORITY.index("knn_join_polygons_k2")] = "decontam_ngram"
 # six TPC-H slots: q4 keeps the EXISTS/correlated-subquery family pinned
 # in-window, q22 stays green in the replica + pytest.
 _PRIORITY[_PRIORITY.index("tpch_q22_idle_rich")] = "text_lm_score"
+# The composite curation pipeline (quality gate -> decontamination ->
+# exact dedup in ONE lazy plan) replaces the plain distinct-agg demo;
+# aggregation stays pinned in-window by tpch_q1, grouping_sets_mix and
+# window_running_sum, and agg_distinct stays green in replica + pytest.
+_PRIORITY[_PRIORITY.index("agg_distinct")] = "pipeline_c4_compose"
 
 
 def _ordered_names() -> list[str]:
