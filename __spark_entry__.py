@@ -1298,8 +1298,11 @@ def _q_pipeline_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_db_spark.functions import text as tx
     from sedona_db_spark.operators.dedup import decontaminate, fingerprint_dedup
     docs = spark.table("documents").select("doc_id", "text")
-    scored = tx.with_quality_score(docs, "text", out="__q")
-    good = scored.filter(F.round(F.col("__q"), 4) >= 0.85).drop("__q")
+    # quality gate via the substitution-safe CELL form: predicate pushdown
+    # copies it as a unit, so the regexes run once per row (the staged
+    # with_quality_score form inflates to ~20 regex evals inside a filter)
+    good = docs.filter(
+        F.round(tx.quality_score_cell(F.col("text")), 4) >= 0.85)
     toks = tx.tokens(F.col("text"))
     bench = (docs.filter((F.col("doc_id") % 50) == 0)
                  .filter(F.size(toks) >= 17)

@@ -386,3 +386,45 @@ def lm_bigram_scores(df, text_col: str = "text", id_col: str = "doc_id",
     return lp.groupBy(id_col).agg(
         (-F.avg("__lp")).alias("nll"),
         F.count(F.lit(1)).alias("n_bigrams"))
+
+
+def quality_score_cell(col) -> Column:
+    """quality_score as a single substitution-safe CELL.
+
+    Catalyst's predicate pushdown substitutes projected aliases into
+    filter conditions with NO duplication guard (unlike CollapseProject),
+    so `filter(with_quality_score(...))` explodes to ~20 regex
+    evaluations per row (measured 58.7 s vs 18.5 s at sf10).  Wrapping
+    the score in nested one-element `transform` lets makes the whole
+    computation one opaque expression: pushdown copies the cell as a
+    unit and every signal still evaluates exactly once per row.  Use
+    this form in FILTERS; `with_quality_score` stays optimal for
+    projections."""
+    c = F.col(col) if isinstance(col, str) else col
+    pat = "(?:^| )(?:" + "|".join(STOPWORDS["en"]) + ")(?= |$)"
+    # inner let: whitespace-normalized text evaluated once, yielding the
+    # two norm-dependent signals as one struct
+    norm_sig = F.transform(F.array(_norm_ws(c)), lambda nc: F.struct(
+        F.when(F.length(nc) == 0, F.lit(0)).otherwise(
+            F.length(nc) - F.length(F.translate(nc, " ", "")) + 1
+        ).alias("ntok"),
+        F.size(F.regexp_extract_all(F.lower(nc), F.lit(pat), F.lit(0)))
+        .alias("sw")))[0]
+
+    def formula(s):
+        n_tok = s["ns"]["ntok"]
+        length_ok = F.when((n_tok >= 5) & (n_tok <= 100000), 1.0).otherwise(0.0)
+        wl = s["nospace"] / F.greatest(n_tok, F.lit(1))
+        word_len_ok = F.when((wl >= 2.0) & (wl <= 12.0), 1.0).otherwise(0.0)
+        sw_sig = F.least(s["ns"]["sw"] / F.greatest(n_tok, F.lit(1))
+                         * F.lit(4.0), F.lit(1.0))
+        punct = s["punct"] / F.greatest(s["len"], F.lit(1))
+        return (F.lit(0.3) * length_ok
+                + F.lit(0.3) * (F.lit(1.0) - punct)
+                + F.lit(0.2) * sw_sig + F.lit(0.2) * word_len_ok)
+
+    return F.transform(F.array(F.struct(
+        F.length(c).alias("len"),
+        F.length(F.regexp_replace(c, "[^!-/:-@\\[-`{-~]", "")).alias("punct"),
+        F.length(F.regexp_replace(c, "\\s+", "")).alias("nospace"),
+        norm_sig.alias("ns"))), formula)[0]

@@ -1523,3 +1523,26 @@ def test_lm_bigram_scores_hand_computed(spark):
     exp1 = -(2 * math.log(3 / 7) + math.log(2 / 5)) / 3
     assert abs(out[1][0] - exp1) < 1e-12
     assert abs(out[2][0] - math.log(7 / 2)) < 1e-12
+
+
+def test_quality_score_cell_matches_staged_form(spark):
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions import text as tx
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again"),
+         (2, "!!! ??? ### $$$ %%%"),
+         (3, ""),
+         (4, "a b"),
+         (5, "  spaced   out\ttabs\nand newlines for the and of it  ")],
+        "doc_id long, text string")
+    staged = {r.doc_id: r.q for r in tx.with_quality_score(df, "text", out="q")
+              .select("doc_id", F.round("q", 10).alias("q")).collect()}
+    cell = {r.doc_id: r.q for r in df.select(
+        "doc_id", F.round(tx.quality_score_cell(F.col("text")), 10).alias("q"))
+        .collect()}
+    assert staged == cell
+    # the reason the cell form exists: a FILTER on it must not inflate
+    # the regex count (predicate pushdown copies the cell as one unit)
+    filt = df.filter(F.round(tx.quality_score_cell(F.col("text")), 4) >= 0.5)
+    plan = filt._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("regexp_replace") <= 5
