@@ -173,3 +173,30 @@ def geofence_join(stream: DataFrame, zones: DataFrame,
             .agg(F.count("*").alias("n"))
             .select(F.col("win.start").alias("win_start"),
                     *[a for c, a in zcols.items() if c != zone_geom], "n"))
+
+
+def curate_stream(stream: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", min_quality: float = 0.85,
+                  n: int = 13, bench_text_col: str | None = None) -> DataFrame:
+    """Streaming curation: quality gate + benchmark decontamination.
+
+    Both stages are STATELESS per-row ops (the quality score is one
+    substitution-safe native cell; contamination is a membership kernel
+    over the collected benchmark gram-hash set), so the pipeline runs
+    under ``readStream`` with no state store and no watermark — each
+    micro-batch is curated independently, exactly matching the batch
+    operators' row-level semantics.  The benchmark side is a STATIC
+    DataFrame, hashed once at plan time."""
+    from sedona_db_spark.functions.text import quality_score_cell
+    from sedona_db_spark.operators.dedup import (_gram_hash_kernel,
+                                                 _gram_member_kernel)
+    btc = bench_text_col or text_col
+    gh = F.pandas_udf(_gram_hash_kernel(n), "array<long>")
+    bset = frozenset(
+        r["__g"] for r in benchmark
+        .select(F.explode(gh(F.col(btc))).alias("__g")).distinct().collect())
+    member = F.pandas_udf(_gram_member_kernel(n, bset), "boolean")
+    return (stream
+            .filter(F.round(quality_score_cell(F.col(text_col)), 4)
+                    >= min_quality)
+            .filter(~member(F.col(text_col))))

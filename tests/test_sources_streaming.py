@@ -160,3 +160,33 @@ def test_streaming_geofence_matches_batch(spark):
         assert rolled.count() > 0
         assert {"win_start", "zone_id", "n"} <= set(rolled.columns)
         assert rolled.agg(F.sum("n")).first()[0] == exp.count()
+
+
+def test_streaming_curation_matches_batch(spark):
+    """curate_stream under readStream == the batch quality+decontam
+    stages, row for row (both are stateless per-row ops)."""
+    import tempfile
+    from pyspark.sql import types as T
+    from sedona_db_spark.streaming import ops as so
+    from sedona_db_spark.functions.text import quality_score_cell
+    from sedona_db_spark.operators.dedup import decontaminate
+
+    docs = spark.table("documents").select("doc_id", "text").limit(200)
+    bench = spark.createDataFrame(
+        [("key agg row scan slow fast table value part hash value table part",)],
+        "text string")
+    batch = decontaminate(
+        docs.filter(F.round(quality_score_cell(F.col("text")), 4) >= 0.85),
+        bench, n=13, mode="remove")
+    expected = sorted(r.doc_id for r in batch.collect())
+
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "src")
+        docs.write.parquet(src)
+        schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                               T.StructField("text", T.StringType())])
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = so.run_batchlike(so.curate_stream(stream, bench),
+                               os.path.join(td, "ck"))
+        got = sorted(r.doc_id for r in out.collect())
+    assert got == expected and len(expected) > 0
