@@ -1406,10 +1406,15 @@ _O["pack_sequences_gpt"] = """
   FROM c
 """.format(tok=_TOKCOUNT_DUCK)
 
-# The engine-portable 31-bit LCG keep/order hash (operators/batching.py):
-# pure int64 %,*,+ — DuckDB evaluates it bit-identically.
-_LCG_DUCK = ("(((({k} % 2147483648) * 1103515245 + 12345 + ({s} % 2147483648))"
-             " % 2147483648) * 1103515245 + 12345) % 2147483648")
+# The engine-portable 31-bit keep/order hash (operators/batching.py):
+# LCG + xor-shift rounds over int64 %,*,+,xor,// — DuckDB evaluates it
+# bit-identically.  (Pure-LCG compositions are affine and order like a
+# modular stride; the xor-shift rounds break that.)
+_LCG_DUCK = (
+    "xor(x3, x3 // 65536)"
+    .replace("x3", "((xor(x1, x1 // 8192) * 1103515245) % 2147483648)")
+    .replace("x1", "((({k} % 2147483648) * 1103515245 + 12345"
+                   " + ({s} % 2147483648)) % 2147483648)"))
 
 
 def _q_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:

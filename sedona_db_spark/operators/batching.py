@@ -59,23 +59,34 @@ def _col(c) -> Column:
 
 
 def lcg_hash(key, seed: int = 0) -> Column:
-    """Deterministic 31-bit mix of an integer key: two LCG rounds.
+    """Deterministic 31-bit mix of an integer key: LCG + xor-shift rounds
+    (splitmix-style).
 
-    Engine-portable by construction — only ``%``, ``*``, ``+`` on int64
-    (max intermediate ``2^31 * 1103515245 + 2^32 < 2^62``), so a DuckDB /
-    ANSI-SQL oracle reproduces it bit-for-bit:
+    Engine-portable by construction — only ``%``, ``*``, ``+``, bitwise
+    xor and power-of-two integer division (= right shift for the
+    non-negative intermediates here) on int64, so a DuckDB / ANSI-SQL
+    oracle reproduces it bit-for-bit:
 
-        ((((key % 2147483648) * 1103515245 + 12345 + (seed % 2147483648))
-           % 2147483648) * 1103515245 + 12345) % 2147483648
+        x1 = ((key % 2147483648) * 1103515245 + 12345
+              + (seed % 2147483648)) % 2147483648
+        x2 = xor(x1, x1 // 8192)
+        x3 = (x2 * 1103515245) % 2147483648
+        h  = xor(x3, x3 // 65536)
 
-    The seed enters BEFORE the final multiply: a seed folded in only by
-    the last addition would shift every hash by the same constant,
-    leaving the induced ordering (seeded_shuffle) seed-invariant except
-    at the wraparound point.
+    Design notes, both caught by test:
+    - the seed enters BEFORE a multiply — folded in only by a final
+      addition it would shift every hash by a constant, leaving the
+      induced ordering (seeded_shuffle) seed-invariant;
+    - the xor-shift rounds are essential: any composition of pure LCG
+      rounds is a single AFFINE map ``a*key + b (mod 2^31)``, whose
+      induced ordering is a modular stride — consecutive shuffle
+      positions would hold keys in arithmetic progression.
     """
     k = F.pmod(_col(key).cast("long"), F.lit(_M31))
-    h1 = F.pmod(k * F.lit(_A) + F.lit(_C + int(seed) % _M31), F.lit(_M31))
-    return F.pmod(h1 * F.lit(_A) + F.lit(_C), F.lit(_M31))
+    x1 = F.pmod(k * F.lit(_A) + F.lit(_C + int(seed) % _M31), F.lit(_M31))
+    x2 = x1.bitwiseXOR(F.shiftright(x1, 13))
+    x3 = F.pmod(x2 * F.lit(_A), F.lit(_M31))
+    return x3.bitwiseXOR(F.shiftright(x3, 16))
 
 
 def _npart_default(df: DataFrame) -> int:

@@ -27,8 +27,10 @@ def _mkdocs(spark, n=227, seed=3, sparse_ids=False):
 
 
 def _lcg(key, seed=0):
-    h1 = ((int(key) % B._M31) * B._A + B._C + (seed % B._M31)) % B._M31
-    return (h1 * B._A + B._C) % B._M31
+    x1 = ((int(key) % B._M31) * B._A + B._C + (seed % B._M31)) % B._M31
+    x2 = x1 ^ (x1 // 8192)
+    x3 = (x2 * B._A) % B._M31
+    return x3 ^ (x3 // 65536)
 
 
 # ---------------------------------------------------------------- scan
@@ -130,6 +132,18 @@ def test_seeded_shuffle_is_permutation_and_deterministic(spark):
     c = B.seeded_shuffle(df, seed=43, npart=5).toPandas()
     m2 = a.merge(c, on="doc_id", suffixes=("_a", "_c"))
     assert (m2["pos_a"] != m2["pos_c"]).any()
+
+
+def test_seeded_shuffle_not_affine(spark):
+    # a pure-LCG hash orders sequential ids as a modular stride:
+    # consecutive positions then hold ids in arithmetic progression.
+    # The xor-shift rounds must break that — the diffs between ids at
+    # consecutive positions should take many distinct values.
+    df = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    a = (B.seeded_shuffle(df, seed=5, npart=4).toPandas()
+         .sort_values("pos"))
+    diffs = np.diff(a["doc_id"].to_numpy())
+    assert len(set(diffs.tolist())) > 50, set(diffs.tolist())
 
 
 # ------------------------------------------------------- sample / mix
