@@ -1491,6 +1491,27 @@ _O["curriculum_batches"] = """
 """.format(tok=_TOKCOUNT_DUCK)
 
 
+def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE (functions/bpe.py): learn 60 merges from the
+    corpus word-frequency table (one partial-combined word-count shuffle
+    + bounded TakeOrdered — the driver only ever sees the top-K words),
+    then encode with the broadcast merge ranks in an Arrow-batched UDF.
+    Training is iterative/non-SQL-expressible -> rows-only contract; the
+    algorithm itself is pinned by tests/test_bpe.py (classic Sennrich
+    worked example + independent naive-recount equivalence)."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions.bpe import bpe_encode, bpe_train
+    docs = spark.table("documents")
+    merges = bpe_train(docs, num_merges=60, max_words=2000)
+    return (bpe_encode(docs, merges)
+            .select("doc_id",
+                    F.size("bpe_tokens").cast("long").alias("n_bpe")))
+
+
+_PY["bpe_token_stats"] = _q_bpe_tokens
+_ROWS_ONLY.add("bpe_token_stats")
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals — exact per-row native array math
     (dup-token fraction; top-bigram fraction via sort + run-length fold),
