@@ -1491,6 +1491,93 @@ _O["curriculum_batches"] = """
 """.format(tok=_TOKCOUNT_DUCK)
 
 
+# Shared boilerplate appended to every 7th document: its interior
+# 13-grams then occur ~70x corpus-wide, exercising cross-document span
+# detection; the junction grams (doc tail + boiler head) occur once each
+# and must NOT be marked — a boundary case both engines must agree on.
+_BOILER = ("this boilerplate legal disclaimer footer text is appended to "
+           "many documents in the corpus so that exact substring spans "
+           "repeat across them")
+
+
+def _q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022): remove every token 13-gram
+    span occurring >= 2 times corpus-wide, merging overlaps into maximal
+    spans (running-max-of-end window per doc), rebuilding the remaining
+    tokens natively.  Only (id, pos, hash64) triples shuffle for
+    detection — never text (operators/dedup.py exact_substring_dedup)."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.operators.dedup import exact_substring_dedup
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" " + _BOILER)))
+         .otherwise(F.col("text")).alias("text"))
+    out = exact_substring_dedup(docs, n=13, min_count=2)
+    return out.select("doc_id", "text",
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      "n_removed")
+
+
+_PY["dedup_exact_substring"] = _q_exact_substring
+_O["dedup_exact_substring"] = """
+  WITH aug AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' {boiler}'
+                ELSE text END AS text
+    FROM documents),
+  tk AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       t -> t != '') AS tk
+    FROM aug),
+  idx AS (
+    SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 12)) AS i
+    FROM tk WHERE len(tk) >= 13),
+  grams AS (
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+           array_to_string(list_slice(tk, CAST(i AS INT),
+                                      CAST(i AS INT) + 12), ' ') AS g
+    FROM idx),
+  dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+  marked AS (
+    SELECT doc_id, pos, pos + 13 AS e FROM grams JOIN dup USING (g)),
+  opened AS (
+    SELECT doc_id, pos, e,
+           CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS o
+    FROM marked),
+  grp AS (
+    SELECT doc_id, pos, e,
+           SUM(o) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM opened),
+  spans AS (
+    SELECT doc_id, min(pos) AS s, max(e) AS e
+    FROM grp GROUP BY doc_id, grp),
+  rm AS (
+    SELECT doc_id, unnest(generate_series(s, e - 1)) AS rpos FROM spans),
+  tok AS (
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tk[CAST(i AS INT)] AS tok
+    FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+          FROM tk)),
+  kept AS (
+    SELECT t.doc_id, t.pos, t.tok
+    FROM tok t LEFT JOIN rm ON t.doc_id = rm.doc_id AND t.pos = rm.rpos
+    WHERE rm.doc_id IS NULL),
+  reb AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ctext,
+           count(*) AS nk
+    FROM kept GROUP BY doc_id)
+  SELECT k.doc_id, coalesce(r.ctext, '') AS text,
+         CAST(len(k.tk) AS BIGINT) AS n_tokens,
+         CAST(len(k.tk) - coalesce(r.nk, 0) AS BIGINT) AS n_removed
+  FROM tk k LEFT JOIN reb r USING (doc_id)
+""".format(boiler=_BOILER)
+
+
 def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE (functions/bpe.py): learn 60 merges from the
     corpus word-frequency table (one partial-combined word-count shuffle
@@ -4059,6 +4146,10 @@ _PRIORITY[_PRIORITY.index("agg_distinct")] = "pipeline_c4_compose"
 # and collect stay green in the local replica + pytest.
 _PRIORITY[_PRIORITY.index("st_convexhull_agg")] = "pack_sequences_gpt"
 _PRIORITY[_PRIORITY.index("st_collect_per_region")] = "mix_domains_sample"
+# ExactSubstr dedup (Lee et al. 2022) — the corpus-wide duplicated-span
+# remover — takes the envelope-agg slot (bounds stay pinned in-window by
+# st_analyze_agg; envelope_agg stays green in replica + pytest).
+_PRIORITY[_PRIORITY.index("st_envelope_agg")] = "dedup_exact_substring"
 
 
 def _ordered_names() -> list[str]:

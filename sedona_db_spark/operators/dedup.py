@@ -491,3 +491,79 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     unpaired = df.join(paired, id_col, "left_anti")
     kept_paired = df.join(keep, id_col, "left_semi")
     return unpaired.unionByName(kept_paired)
+
+
+def exact_substring_spans(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 20,
+                          min_count: int = 2) -> DataFrame:
+    """Merged duplicated-substring spans per document (ExactSubstr, Lee
+    et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better"): every token n-gram occurring >= min_count times anywhere in
+    the corpus (across documents or repeated within one) marks its
+    [pos, pos+n) token span; overlapping marks merge into maximal spans.
+
+    Scale shape: gram hashes come from the Arrow flat-batch kernel
+    (positions = array index, one vectorized hash per batch); duplicate
+    detection is one (hash -> count) aggregation with map-side partial
+    combine + a LEFT SEMI join — only (id, pos, hash64) triples ever
+    shuffle, never text.  Span merging is the classic
+    running-max-of-end window per document (parallel in the id shuffle):
+    a mark opens a new span iff its start exceeds every previous end.
+    Returns (id, span_start, span_end) with token-index half-open spans.
+    """
+    gram = F.pandas_udf(_gram_hash_kernel(n), "array<long>")
+    occ = (df.select(F.col(id_col), gram(F.col(text_col)).alias("__gh"))
+             .select(id_col, F.posexplode("__gh").alias("pos", "h")))
+    dup = (occ.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+              .where(F.col("c") >= int(min_count)).select("h"))
+    marked = (occ.join(dup, "h", "left_semi")
+                 .select(id_col, F.col("pos"),
+                         (F.col("pos") + n).alias("end")))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runmax = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    opens = F.when(runmax.isNull() | (F.col("pos") > runmax),
+                   F.lit(1)).otherwise(F.lit(0))
+    grp = F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (marked.withColumn("__grp", grp)
+            .groupBy(id_col, "__grp")
+            .agg(F.min("pos").alias("span_start"),
+                 F.max("end").alias("span_end"))
+            .drop("__grp"))
+
+
+def exact_substring_dedup(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 20,
+                          min_count: int = 2) -> DataFrame:
+    """Remove every duplicated-substring span (ALL occurrences, the Lee
+    et al. deployment for memorization reduction) and reassemble the
+    remaining tokens in order.  Returns (id, text, n_tokens,
+    n_removed) where ``text`` is the cleaned document.
+
+    Rebuild is fully native: explode token positions, LEFT ANTI join the
+    exploded span indexes, and re-aggregate with
+    array_sort(collect_list(struct(pos, tok))) — order restored inside
+    the aggregate, no second window.
+    """
+    toks = tx.tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__tk"))
+    spans = exact_substring_spans(df, text_col, id_col, n, min_count)
+    rm = spans.select(
+        id_col,
+        F.explode(F.sequence(F.col("span_start"),
+                             F.col("span_end") - 1)).alias("pos"))
+    tokpos = base.select(id_col,
+                         F.posexplode("__tk").alias("pos", "tok"))
+    kept = tokpos.join(rm, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+            lambda s: s["tok"])).alias("__clean"),
+        F.count(F.lit(1)).alias("__n_kept"))
+    out = (base.select(id_col, F.size("__tk").alias("n_tokens"))
+           .join(rebuilt, id_col, "left"))
+    return out.select(
+        id_col,
+        F.coalesce("__clean", F.lit("")).alias(text_col),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0)))
+        .cast("long").alias("n_removed"))
