@@ -122,9 +122,19 @@ def prefix_scan(df: DataFrame, part_col: str, order_cols: list[str],
     d = (df
          .withColumn("__rn_in", F.row_number().over(w_in))
          .withColumn("__sum_in", F.sum(value_col).over(w_in)))
-    totals = df.groupBy(part_col).agg(
-        F.count(F.lit(1)).alias("__pn"),
-        F.sum(value_col).alias("__psum"))
+    # Per-bucket totals are read off the WINDOW OUTPUT (count = max row
+    # number; total = running sum at the last row via max_by), not from a
+    # separate aggregation of the input: both consumers of `d` then share
+    # one canonical subtree, so the scan + any expensive projection under
+    # it (e.g. tokenization) + the shuffle + the window evaluate ONCE per
+    # action via exchange/stage reuse.  A separate input-side aggregate
+    # gets its own column-pruned subtree and recomputes the projection
+    # (measured: 2x the tokenize cost in pack_sequences at sf10).
+    # Correctness never depends on the reuse — both forms are
+    # deterministic; max_by (not max) keeps negative values correct.
+    totals = d.groupBy(part_col).agg(
+        F.max("__rn_in").alias("__pn"),
+        F.max_by("__sum_in", "__rn_in").alias("__psum"))
     # <= npart rows: the single-partition window here is tiny by
     # construction (one row per bucket), not a scale hazard.
     w_tot = (Window.orderBy(part_col)
