@@ -1468,6 +1468,44 @@ _O["mix_domains_sample"] = """
 """.format(h=_LCG_DUCK.format(k="d.doc_id", s="11"))
 
 
+def _q_repeat_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch upsampling (factors 2.5 / 1.0 / 0.25 on three
+    sources, pass-through elsewhere): pure codegen CASE + explode over a
+    per-key deterministic copy count — no join, no shuffle
+    (operators/batching.py repeat_oversample)."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.operators.batching import repeat_oversample
+    docs = spark.table("documents")
+    up = repeat_oversample(docs, {"src1": 2.5, "src7": 1.0, "src18": 0.25},
+                           seed=2)
+    return up.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("doc_id") * (F.col("epoch") + 1))
+         .cast("long").alias("wsum"))
+
+
+_PY["repeat_oversample_mix"] = _q_repeat_oversample
+# thresholds: int(frac * 2^31) for frac .5 / .0 / .25 — exact doubles,
+# identical in any engine; domains outside the table keep factor 1.
+_O["repeat_oversample_mix"] = """
+  WITH f(source, base, thr) AS (VALUES
+        ('src1', 2, {t_half}), ('src7', 1, 0), ('src18', 0, {t_quarter})),
+  n AS (
+    SELECT d.source, d.doc_id,
+           CASE WHEN f.source IS NULL THEN 1
+                ELSE f.base + (CASE WHEN {h} < f.thr THEN 1 ELSE 0 END)
+           END AS nc
+    FROM documents d LEFT JOIN f ON d.source = f.source),
+  x AS (
+    SELECT source, doc_id, unnest(generate_series(0, nc - 1)) AS epoch
+    FROM n WHERE nc > 0)
+  SELECT source, count(*) AS n_rows,
+         CAST(sum(doc_id * (epoch + 1)) AS BIGINT) AS wsum
+  FROM x GROUP BY source
+""".format(t_half=int(0.5 * 2147483648), t_quarter=int(0.25 * 2147483648),
+           h=_LCG_DUCK.format(k="d.doc_id", s="2"))
+
+
 def _q_curriculum_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batch assignment (64-token-wide buckets, batches
     of 8): rank-within-bucket comes from the global prefix scan over the

@@ -46,6 +46,7 @@ __all__ = [
     "seeded_shuffle",
     "hash_sample",
     "mix_domains",
+    "repeat_oversample",
     "length_bucketed_batches",
 ]
 
@@ -287,6 +288,43 @@ def mix_domains(df: DataFrame, weights: dict[str, float],
         thr = branch if thr is None else thr.when(
             F.col(domain_col) == F.lit(d), F.lit(t))
     return df.where(h < thr.otherwise(F.lit(0)))
+
+
+def repeat_oversample(df: DataFrame, factors: dict[str, float],
+                      domain_col: str = "source", key_col: str = "doc_id",
+                      seed: int = 2) -> DataFrame:
+    """Epoch-style upsampling to fractional repeat factors (the other
+    half of domain mixing: ``mix_domains`` only downsamples).
+
+    A factor of 2.3 gives every row 2 copies plus a third for the
+    deterministic 30% of keys with ``lcg_hash(key, seed) < 0.3 * 2^31``
+    — the standard "fractional epochs" treatment of data-constrained
+    mixes.  Rows gain an ``epoch`` column (0-based copy index) so a
+    downstream ``seeded_shuffle`` over (key, epoch) decorrelates copies.
+    Pure codegen: a CASE over the factor table + ``explode(sequence)``;
+    no join, no shuffle.  Domains absent from ``factors`` pass through
+    with factor 1.0.
+    """
+    h = lcg_hash(key_col, seed)
+    n_copies = None
+    for d, f in sorted(factors.items()):
+        if f < 0:
+            raise ValueError(f"negative factor for {d!r}")
+        base, frac = int(f), float(f) - int(f)
+        thr = int(frac * _M31)
+        cnt = (F.lit(base) +
+               F.when(h < F.lit(thr), F.lit(1)).otherwise(F.lit(0)))
+        cond = F.col(domain_col) == F.lit(d)
+        n_copies = (F.when(cond, cnt) if n_copies is None
+                    else n_copies.when(cond, cnt))
+    n_copies = (F.lit(1) if n_copies is None
+                else n_copies.otherwise(F.lit(1)))
+    return (df.withColumn("__n", n_copies)
+              .where(F.col("__n") > 0)
+              .withColumn("epoch",
+                          F.explode(F.sequence(F.lit(0),
+                                               F.col("__n") - 1)))
+              .drop("__n"))
 
 
 def length_bucketed_batches(df: DataFrame, batch_size: int,

@@ -209,3 +209,31 @@ def test_lcg_hash_matches_python_reference(spark):
     got = df.select("k", B.lcg_hash("k", 123).alias("h")).toPandas()
     for _, r in got.iterrows():
         assert r["h"] == _lcg(r["k"], 123)
+
+
+def test_repeat_oversample_factors(spark):
+    df, pdf = _mkdocs(spark, n=3000)
+    up = B.repeat_oversample(df, {"web": 2.5, "code": 0.25, "books": 1.0},
+                             seed=6).toPandas()
+    counts = pdf.groupby("source").size()
+    got = up.groupby("source").size()
+    # integer part exact + fractional part via the hash rule
+    for dom, f in [("web", 2.5), ("code", 0.25), ("books", 1.0)]:
+        keys = pdf.loc[pdf["source"] == dom, "doc_id"]
+        base, frac = int(f), f - int(f)
+        thr = int(frac * B._M31)
+        expect = sum(base + (1 if _lcg(k, 6) < thr else 0) for k in keys)
+        assert got.get(dom, 0) == expect
+    # unlisted domain passes through once
+    assert got["wiki"] == counts["wiki"]
+    # epochs are 0..n-1 per key
+    w = up[up["source"] == "web"].groupby("doc_id")["epoch"].agg(["min", "max", "count"])
+    assert (w["min"] == 0).all()
+    assert (w["max"] == w["count"] - 1).all()
+
+
+def test_repeat_oversample_zero_factor_drops(spark):
+    df, pdf = _mkdocs(spark)
+    up = B.repeat_oversample(df, {"web": 0.0}).toPandas()
+    assert "web" not in set(up["source"])
+    assert set(up["source"]) == set(pdf["source"]) - {"web"}
