@@ -1637,6 +1637,24 @@ _PY["bpe_token_stats"] = _q_bpe_tokens
 _ROWS_ONLY.add("bpe_token_stats")
 
 
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means clusters bound the pairwise
+    pass; within-cluster cosine groups >= threshold close transitively
+    (large-star/small-star CC) and keep the least-centroid-similar
+    member (operators/similarity.py semantic_dedup).  K-means is
+    iterative -> rows-only contract; the keep rule and pair set are
+    property-pinned against a numpy replica in tests/test_semdedup.py."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.operators.similarity import semantic_dedup
+    emb = spark.table("embeddings")
+    kept = semantic_dedup(emb, threshold=0.40, n_lists=8)
+    return kept.select("vec_id", F.col("label").cast("long").alias("label"))
+
+
+_PY["semdedup_keep"] = _q_semdedup
+_ROWS_ONLY.add("semdedup_keep")
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals — exact per-row native array math
     (dup-token fraction; top-bigram fraction via sort + run-length fold),

@@ -324,3 +324,80 @@ def ivf_topk(assigned: DataFrame, centroids: list, query_vec: list[float],
                     _cosine_expr(F.col(vec_col).cast("array<double>"),
                                  qlit).alias("cosine"))
             .orderBy(F.desc("cosine"), id_col).limit(k))
+
+
+# ======================================================================
+# SemDeDup — semantic deduplication (Abbas et al. 2023)
+# ======================================================================
+
+def semantic_dup_pairs(assigned: DataFrame, threshold: float,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Within-cluster cosine pairs >= threshold over an ivf_build()
+    assignment.  The equi-join on the cluster id is the distributed form
+    of the paper's per-cluster pairwise pass: candidate work is
+    O(sum c_i^2) bounded by cluster granularity (n_lists), never a
+    corpus cross join."""
+    a = assigned.select(F.col(id_col).alias("id_a"),
+                        F.col("__ivf_list").alias("__l"),
+                        F.col(vec_col).cast("array<double>").alias("__va"))
+    b = assigned.select(F.col(id_col).alias("id_b"),
+                        F.col("__ivf_list").alias("__l"),
+                        F.col(vec_col).cast("array<double>").alias("__vb"))
+    dot = F.aggregate(F.zip_with("__va", "__vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return (a.join(b, "__l")
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine",
+                        dot / (nrm(F.col("__va")) * nrm(F.col("__vb"))))
+            .where(F.col("cosine") >= float(threshold))
+            .select("id_a", "id_b", "cosine"))
+
+
+def semantic_dedup(df: DataFrame, threshold: float = 0.92,
+                   n_lists: int = 16, vec_col: str = "embedding",
+                   id_col: str = "vec_id", seed: int = 7) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings
+    (ivf_build's distributed Lloyd quantizer), find within-cluster
+    cosine duplicates >= threshold, close them transitively, and keep
+    ONE survivor per duplicate group — the member LEAST similar to its
+    cluster centroid (the paper's keep-most-atypical rule; ties by id).
+    Docs in no duplicate group survive unchanged.  Returns the kept rows
+    of ``df``.
+
+    Scale: clustering bounds the pairwise pass (the paper's point);
+    transitive closure is the log-round large-star/small-star CC; the
+    centroid table is broadcast (n_lists rows).  Nothing driver-side
+    grows with the corpus.
+    """
+    from sedona_db_spark.operators.dedup import connected_components
+
+    assigned, centroids = ivf_build(df, vec_col, n_lists, seed)
+    pairs = semantic_dup_pairs(assigned, threshold, vec_col, id_col)
+    cc = connected_components(pairs.select("id_a", "id_b"))
+
+    spark = df.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "__l int, __cv array<double>")
+    dot = F.aggregate(F.zip_with("__v", "__cv", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    csim = (assigned.select(F.col(id_col).alias("node"),
+                            F.col("__ivf_list").alias("__l"),
+                            F.col(vec_col).cast("array<double>").alias("__v"))
+            .join(F.broadcast(cent), "__l")
+            .select("node",
+                    (dot / (nrm(F.col("__v")) * nrm(F.col("__cv"))))
+                    .alias("__csim")))
+    keep = (cc.join(csim, "node")
+            .groupBy("component")
+            .agg(F.min_by("node", F.struct("__csim", "node"))
+                 .alias("__keep")))
+    removed = (cc.join(keep.withColumnRenamed("__keep", "node"),
+                       ["component", "node"], "left_anti")
+               .select(F.col("node").alias(id_col)))
+    return df.join(removed, id_col, "left_anti")

@@ -1,0 +1,116 @@
+"""SemDeDup (Abbas et al. 2023): property-pinned against a numpy
+replica of the spec on the real embeddings table."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from sedona_db_spark.operators.similarity import (ivf_build,
+                                                  semantic_dedup,
+                                                  semantic_dup_pairs)
+
+THRESHOLD = 0.97
+N_LISTS = 6
+
+
+def _load(spark):
+    """The raw table has no near-duplicates (max pairwise cosine 0.48),
+    so augment it: every 5th vector gains a slightly-perturbed copy
+    (id + 10^6) and every 20th a second copy (id + 2*10^6) — duplicate
+    groups of size 2 and 3 with cosine ~0.9995, far above THRESHOLD,
+    while unrelated pairs stay below 0.5."""
+    base = spark.table("embeddings").toPandas()
+    vecs = np.array([np.asarray(v, dtype=np.float64)
+                     for v in base["embedding"]])
+    rows = list(zip(base["vec_id"].astype(int), vecs))
+    rng = np.random.RandomState(17)
+    for k, (i, v) in enumerate(list(rows)):
+        if k % 5 == 0:
+            rows.append((i + 1_000_000,
+                         v + 0.02 * rng.standard_normal(v.shape)))
+        if k % 20 == 0:
+            rows.append((i + 2_000_000,
+                         v + 0.02 * rng.standard_normal(v.shape)))
+    ids = np.array([r[0] for r in rows])
+    vecs = np.array([r[1] for r in rows])
+    pdf = pd.DataFrame({"vec_id": ids,
+                        "embedding": [list(map(float, v)) for v in vecs],
+                        "label": 0})
+    df = spark.createDataFrame(pdf)
+    return df, ids, vecs
+
+
+def test_semantic_dup_pairs_match_numpy(spark):
+    df, ids, vecs = _load(spark)
+    assigned, centroids = ivf_build(df, n_lists=N_LISTS)
+    got = semantic_dup_pairs(assigned, THRESHOLD).toPandas()
+    lists = assigned.select("vec_id", "__ivf_list").toPandas() \
+        .set_index("vec_id")["__ivf_list"].to_dict()
+    norms = np.linalg.norm(vecs, axis=1)
+    expect = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if lists[ids[i]] != lists[ids[j]]:
+                continue
+            cos = vecs[i] @ vecs[j] / (norms[i] * norms[j])
+            if cos >= THRESHOLD:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                expect.add((a, b))
+    assert set(zip(got["id_a"], got["id_b"])) == expect
+
+
+def test_semantic_dedup_properties(spark):
+    df, ids, vecs = _load(spark)
+    kept = semantic_dedup(df, threshold=THRESHOLD, n_lists=N_LISTS) \
+        .toPandas()
+    kept_ids = set(kept["vec_id"])
+    assigned, centroids = ivf_build(df, n_lists=N_LISTS)
+    pairs = semantic_dup_pairs(assigned, THRESHOLD).toPandas()
+
+    # union-find closure of the duplicate graph
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for x in list(parent):
+        comps.setdefault(find(x), set()).add(x)
+
+    lists = assigned.select("vec_id", "__ivf_list").toPandas() \
+        .set_index("vec_id")["__ivf_list"].to_dict()
+    cents = {i: np.asarray(c) for i, c in enumerate(centroids)}
+    vec_by_id = {int(i): v for i, v in zip(ids, vecs)}
+
+    def csim(n):
+        v, c = vec_by_id[n], cents[lists[n]]
+        return v @ c / (np.linalg.norm(v) * np.linalg.norm(c))
+
+    # exactly one survivor per component: the least-centroid-similar
+    for comp in comps.values():
+        surv = comp & kept_ids
+        assert len(surv) == 1, comp
+        expect = min(comp, key=lambda n: (csim(n), n))
+        assert surv == {expect}
+    # every non-component doc survives
+    in_comp = set().union(*comps.values()) if comps else set()
+    assert kept_ids | in_comp == set(int(i) for i in ids)
+    # the test is vacuous unless some duplicates exist at this threshold
+    assert comps, "raise THRESHOLD produced no duplicate groups"
+
+
+def test_semantic_dedup_no_dups_identity(spark):
+    pdf = pd.DataFrame({
+        "vec_id": [1, 2, 3],
+        "embedding": [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.1]]})
+    df = spark.createDataFrame(pdf)
+    kept = semantic_dedup(df, threshold=0.99, n_lists=2)
+    assert kept.count() == 3
