@@ -1616,6 +1616,106 @@ _O["dedup_exact_substring"] = """
 """.format(boiler=_BOILER)
 
 
+def _q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining batch assembly in ONE lazy plan: quality
+    gate (>= 0.85) -> ExactSubstr span removal accounting (13-gram,
+    corpus-wide over the survivors) -> GPT-style sequence packing of the
+    cleaned token counts (budget 512).  The pack stage's bucket stats
+    probe the BASE table's min/max (id_bounds), not the composed
+    pipeline — bounds only steer balance, so the expensive upstream
+    never executes twice."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions import text as tx
+    from sedona_db_spark.operators.batching import pack_sequences
+    from sedona_db_spark.operators.dedup import exact_substring_spans
+    docs = spark.table("documents").select("doc_id", "text")
+    good = docs.filter(
+        F.round(tx.quality_score_cell(F.col("text")), 4) >= 0.85)
+    spans = exact_substring_spans(good, n=13, min_count=2)
+    removed = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start")).alias("__nr"))
+    clean = (good.select("doc_id",
+                         tx.token_count(F.col("text")).cast("long")
+                         .alias("__nt"))
+             .join(removed, "doc_id", "left")
+             .select("doc_id",
+                     (F.col("__nt") - F.coalesce("__nr", F.lit(0)))
+                     .cast("long").alias("n_tokens")))
+    bounds = spark.table("documents").agg(
+        F.min("doc_id"), F.max("doc_id")).first()
+    packed = pack_sequences(clean, 512,
+                            id_bounds=(bounds[0], bounds[1]))
+    return packed.select("doc_id", "n_tokens", "start_offset",
+                         "seq_first", "seq_last")
+
+
+_PY["pipeline_pretrain_pack"] = _q_pipeline_pretrain
+_O["pipeline_pretrain_pack"] = """
+  WITH s AS (
+    SELECT doc_id, text,
+      list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                  t -> t != '') AS tk
+    FROM documents),
+  m AS (
+    SELECT doc_id, text, tk,
+      round(0.3 * (CASE WHEN len(tk) >= 5 AND len(tk) <= 100000
+                        THEN 1.0 ELSE 0.0 END)
+          + 0.3 * (1.0 - len(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
+                         * 1.0 / greatest(len(text), 1))
+          + 0.2 * least(len(list_filter(tk, t -> list_contains(
+                  ['the','and','of','to','a','in','is','that','it','for'], t)))
+                  * 4.0 / greatest(len(tk), 1), 1.0)
+          + 0.2 * (CASE WHEN len(regexp_replace(text, '\\s+', '', 'g'))
+                             * 1.0 / greatest(len(tk), 1) BETWEEN 2.0 AND 12.0
+                        THEN 1.0 ELSE 0.0 END), 4) AS q
+    FROM s),
+  good AS (SELECT doc_id, tk FROM m WHERE q >= 0.85),
+  idx AS (
+    SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 12)) AS i
+    FROM good WHERE len(tk) >= 13),
+  grams AS (
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+           array_to_string(list_slice(tk, CAST(i AS INT),
+                                      CAST(i AS INT) + 12), ' ') AS g
+    FROM idx),
+  dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+  marked AS (
+    SELECT doc_id, pos, pos + 13 AS e FROM grams JOIN dup USING (g)),
+  opened AS (
+    SELECT doc_id, pos, e,
+           CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS o
+    FROM marked),
+  grp AS (
+    SELECT doc_id, pos, e,
+           SUM(o) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM opened),
+  spans AS (
+    SELECT doc_id, min(pos) AS ps, max(e) AS pe
+    FROM grp GROUP BY doc_id, grp),
+  rmcnt AS (
+    SELECT doc_id, CAST(sum(pe - ps) AS BIGINT) AS nr
+    FROM spans GROUP BY doc_id),
+  clean AS (
+    SELECT g.doc_id,
+           CAST(len(g.tk) - coalesce(r.nr, 0) AS BIGINT) AS n_tokens
+    FROM good g LEFT JOIN rmcnt r USING (doc_id)),
+  c2 AS (
+    SELECT doc_id, n_tokens,
+           coalesce(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0) AS start_offset
+    FROM clean)
+  SELECT doc_id, n_tokens, start_offset,
+         start_offset // 512 AS seq_first,
+         (start_offset + greatest(n_tokens, 1) - 1) // 512 AS seq_last
+  FROM c2
+"""
+
+
 def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE (functions/bpe.py): learn 60 merges from the
     corpus word-frequency table (one partial-combined word-count shuffle
@@ -4206,6 +4306,12 @@ _PRIORITY[_PRIORITY.index("st_collect_per_region")] = "mix_domains_sample"
 # remover — takes the envelope-agg slot (bounds stay pinned in-window by
 # st_analyze_agg; envelope_agg stays green in replica + pytest).
 _PRIORITY[_PRIORITY.index("st_envelope_agg")] = "dedup_exact_substring"
+# The composed pretraining pipeline (quality gate -> ExactSubstr spans
+# -> sequence packing, one lazy plan) takes one of the two union-agg
+# slots; the union family stays in-window via st_union_agg_sql +
+# st_intersection_agg + st_polygonize_agg, and union_area stays green in
+# replica + pytest.
+_PRIORITY[_PRIORITY.index("st_union_agg_area")] = "pipeline_pretrain_pack"
 
 
 def _ordered_names() -> list[str]:

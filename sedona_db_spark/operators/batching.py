@@ -157,7 +157,8 @@ def prefix_scan(df: DataFrame, part_col: str, order_cols: list[str],
 
 def pack_sequences(df: DataFrame, budget: int,
                    token_col: str = "n_tokens", id_col: str = "doc_id",
-                   npart: int | None = None) -> DataFrame:
+                   npart: int | None = None,
+                   id_bounds: tuple[int, int] | None = None) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing.
 
     Documents are concatenated in ``id_col`` order into one token stream
@@ -172,13 +173,20 @@ def pack_sequences(df: DataFrame, budget: int,
     buckets are equal-width ranges over the observed [min, max] of
     ``id_col`` (one tiny stats job at build time), which are balanced for
     the dense id spaces document stores produce.  Pass ``npart`` to match
-    the cluster; skewed sparse id spaces can pre-map ids.
+    the cluster; skewed sparse id spaces can pre-map ids.  When ``df`` is
+    the tail of an expensive composed pipeline, pass ``id_bounds`` (any
+    range COVERING the ids — e.g. the base table's min/max) so the stats
+    job probes cheap base statistics instead of executing the pipeline
+    twice; bounds only steer bucket balance, never correctness.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
     npart = npart or _npart_default(df)
-    stats = df.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
-                   ).first()
+    if id_bounds is not None:
+        stats = {"lo": int(id_bounds[0]), "hi": int(id_bounds[1])}
+    else:
+        stats = df.agg(F.min(id_col).alias("lo"),
+                       F.max(id_col).alias("hi")).first()
     if stats["lo"] is None:   # empty input: keep schema, no jobs downstream
         base = df.select(F.col(id_col),
                          F.col(token_col).cast("long").alias(token_col))
