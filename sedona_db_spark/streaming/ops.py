@@ -200,3 +200,29 @@ def curate_stream(stream: DataFrame, benchmark: DataFrame,
             .filter(F.round(quality_score_cell(F.col(text_col)), 4)
                     >= min_quality)
             .filter(~member(F.col(text_col))))
+
+
+def mix_stream(stream: DataFrame, thresholds: dict[str, int],
+               domain_col: str = "source", key_col: str = "doc_id",
+               seed: int = 1) -> DataFrame:
+    """Streaming domain mixing with PRECOMPUTED keep thresholds.
+
+    The batch ``mix_domains`` derives thresholds from a corpus count —
+    unavailable midstream — so the streaming form takes them explicitly
+    (from ``domain_mix_rates`` on a profile batch, the production
+    pattern: rates are a deployment artifact, per-row keep is pure).
+    The keep rule is the same deterministic LCG filter: stateless, no
+    watermark, batch == stream row for row.  ``hash_sample`` and
+    ``repeat_oversample`` (operators/batching.py) are already stateless
+    column expressions and run under readStream unchanged.
+    """
+    from sedona_db_spark.operators.batching import lcg_hash
+    h = lcg_hash(key_col, seed)
+    thr = None
+    for d, t in sorted(thresholds.items()):
+        cond = F.col(domain_col) == F.lit(d)
+        thr = (F.when(cond, F.lit(int(t))) if thr is None
+               else thr.when(cond, F.lit(int(t))))
+    if thr is None:
+        return stream.where(F.lit(False))
+    return stream.where(h < thr.otherwise(F.lit(0)))

@@ -190,3 +190,45 @@ def test_streaming_curation_matches_batch(spark):
                                os.path.join(td, "ck"))
         got = sorted(r.doc_id for r in out.collect())
     assert got == expected and len(expected) > 0
+
+
+def test_streaming_batch_assembly_matches_batch(spark):
+    """hash_sample / repeat_oversample run under readStream unchanged;
+    mix_stream with thresholds from domain_mix_rates == batch
+    mix_domains, row for row."""
+    import tempfile
+    from pyspark.sql import types as T
+    from sedona_db_spark.streaming import ops as so
+    from sedona_db_spark.operators import batching as B
+
+    docs = spark.table("documents").select("doc_id", "source").limit(300)
+    weights = {"src1": 1.0, "src2": 1.0, "src3": 0.5}
+    rates = B.domain_mix_rates(docs, weights)
+    thresholds = {d: t for d, (t, _r) in rates.items()}
+
+    b_mix = sorted(r.doc_id for r in
+                   B.mix_domains(docs, weights, seed=1).collect())
+    b_samp = sorted(r.doc_id for r in
+                    B.hash_sample(docs, 0.4, seed=3).collect())
+    b_over = sorted((r.doc_id, r.epoch) for r in
+                    B.repeat_oversample(docs, {"src1": 2.5},
+                                        seed=2).collect())
+
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "src")
+        docs.write.parquet(src)
+        schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                               T.StructField("source", T.StringType())])
+        stream = spark.readStream.schema(schema).parquet(src)
+        s_mix = sorted(r.doc_id for r in so.run_batchlike(
+            so.mix_stream(stream, thresholds, seed=1),
+            os.path.join(td, "c1")).collect())
+        s_samp = sorted(r.doc_id for r in so.run_batchlike(
+            B.hash_sample(stream, 0.4, seed=3),
+            os.path.join(td, "c2")).collect())
+        s_over = sorted((r.doc_id, r.epoch) for r in so.run_batchlike(
+            B.repeat_oversample(stream, {"src1": 2.5}, seed=2),
+            os.path.join(td, "c3")).collect())
+    assert s_mix == b_mix and len(b_mix) > 0
+    assert s_samp == b_samp and len(b_samp) > 0
+    assert s_over == b_over and len(b_over) > 0
