@@ -1434,6 +1434,48 @@ _O["seeded_shuffle_order"] = """
 """.format(h=_LCG_DUCK.format(k="doc_id", s="2024"))
 
 
+def _q_materialize_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized training sequences (budget 512): the token streams
+    themselves, assembled by one token-level shuffle keyed on
+    seq_id = global_pos div budget (groups bounded by the budget, so the
+    assembly cannot skew); global offsets from the distributed prefix
+    scan (operators/batching.py materialize_sequences)."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions import text as tx
+    from sedona_db_spark.operators.batching import materialize_sequences
+    docs = spark.table("documents").select(
+        "doc_id", tx.tokens(F.col("text")).alias("tokens"))
+    return materialize_sequences(docs, 512)
+
+
+_PY["materialize_sequences_512"] = _q_materialize_sequences
+_O["materialize_sequences_512"] = """
+  WITH t AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> x != '') AS tk
+    FROM documents),
+  c AS (
+    SELECT doc_id, tk,
+           coalesce(CAST(SUM(len(tk)) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0) AS start_off
+    FROM t),
+  x AS (
+    SELECT doc_id, start_off + i - 1 AS gpos, tk[CAST(i AS INT)] AS tok
+    FROM (SELECT doc_id, tk, start_off,
+                 unnest(generate_series(1, len(tk))) AS i
+          FROM c)),
+  s AS (
+    SELECT gpos // 512 AS seq_id, gpos % 512 AS sp, tok, doc_id FROM x)
+  SELECT seq_id,
+         string_agg(tok, ' ' ORDER BY sp) AS seq_text,
+         count(*) AS n_tokens,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM s GROUP BY seq_id
+"""
+
+
 def _q_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain mixing to target proportions 2:1:0.5 over
     three sources: per-domain keep thresholds from one tiny count

@@ -43,6 +43,7 @@ __all__ = [
     "lcg_hash",
     "prefix_scan",
     "pack_sequences",
+    "materialize_sequences",
     "seeded_shuffle",
     "hash_sample",
     "mix_domains",
@@ -296,6 +297,62 @@ def mix_domains(df: DataFrame, weights: dict[str, float],
         thr = branch if thr is None else thr.when(
             F.col(domain_col) == F.lit(d), F.lit(t))
     return df.where(h < thr.otherwise(F.lit(0)))
+
+
+def materialize_sequences(df: DataFrame, budget: int,
+                          tokens_col: str = "tokens",
+                          id_col: str = "doc_id",
+                          npart: int | None = None,
+                          id_bounds: tuple[int, int] | None = None
+                          ) -> DataFrame:
+    """Materialize the packed training sequences themselves: one row per
+    sequence of exactly ``budget`` tokens (the final one ragged), each
+    carrying its token array in stream order plus provenance counts.
+
+    This is the artifact a trainer consumes — ``pack_sequences`` maps
+    docs to sequence SPANS; this op assembles the token streams.  Plan:
+    prefix-scan the per-doc token counts for global start offsets
+    (narrow), then posexplode tokens once and shuffle them by
+    ``seq_id = global_pos div budget`` — the one unavoidable token-level
+    shuffle, and it IS the output layout (training shards).  Groups are
+    bounded by ``budget`` tokens, so the assembly aggregate cannot skew
+    whatever the document length distribution.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    counts = df.select(F.col(id_col), F.col(tokens_col),
+                       F.size(tokens_col).cast("long").alias("__nt"))
+    if id_bounds is not None:
+        lo, hi = int(id_bounds[0]), int(id_bounds[1])
+    else:
+        stats = df.agg(F.min(id_col).alias("lo"),
+                       F.max(id_col).alias("hi")).first()
+        if stats["lo"] is None:
+            return df.sparkSession.createDataFrame(
+                [], f"seq_id long, seq_text string, n_tokens long, "
+                    f"n_docs long")
+        lo, hi = int(stats["lo"]), int(stats["hi"])
+    npart = npart or _npart_default(df)
+    narrow = counts.withColumn("__part",
+                               _range_bucket(id_col, lo, hi, npart))
+    scanned = prefix_scan(narrow, "__part", [id_col], "__nt",
+                          out_pos="__pos", out_run="__start")
+    toks = (scanned
+            .select(id_col, F.col("__start"),
+                    F.posexplode(tokens_col).alias("__tp", "__tok"))
+            .withColumn("__gpos", F.col("__start") + F.col("__tp"))
+            .withColumn("seq_id",
+                        F.floor(F.col("__gpos") / F.lit(int(budget)))
+                        .cast("long"))
+            .withColumn("__sp",
+                        F.pmod(F.col("__gpos"), F.lit(int(budget)))))
+    return (toks.groupBy("seq_id")
+            .agg(F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("__sp", "__tok"))),
+                     lambda s: s["__tok"])).alias("seq_text"),
+                 F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.countDistinct(id_col).cast("long").alias("n_docs")))
 
 
 def repeat_oversample(df: DataFrame, factors: dict[str, float],

@@ -237,3 +237,48 @@ def test_repeat_oversample_zero_factor_drops(spark):
     up = B.repeat_oversample(df, {"web": 0.0}).toPandas()
     assert "web" not in set(up["source"])
     assert set(up["source"]) == set(pdf["source"]) - {"web"}
+
+
+# --------------------------------------------------- materialization
+
+def test_materialize_sequences_reconstructs_stream(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "tokens": [["a"] * 5, ["b"] * 3, ["c"] * 7, ["d"] * 2]})
+    df = spark.createDataFrame(pdf).repartition(3)
+    out = (B.materialize_sequences(df, 4)
+           .toPandas().sort_values("seq_id").reset_index(drop=True))
+    stream = ["a"] * 5 + ["b"] * 3 + ["c"] * 7 + ["d"] * 2
+    chunks = [stream[i:i + 4] for i in range(0, len(stream), 4)]
+    assert list(out["seq_text"]) == [" ".join(c) for c in chunks]
+    assert list(out["n_tokens"]) == [len(c) for c in chunks]
+    # doc 1 fills seq0 + 1 token of seq1 etc.
+    assert out.loc[0, "n_docs"] == 1
+    assert out.loc[1, "n_docs"] == 2
+
+
+def test_materialize_agrees_with_pack_spans(spark):
+    df, pdf = _mkdocs(spark, n=80)
+    # sequence(1, 0) is DESCENDING in Spark — guard the zero-token docs
+    toks = df.withColumn(
+        "tokens", F.when(
+            F.col("n_tokens") > 0,
+            F.transform(F.sequence(F.lit(1), F.col("n_tokens")),
+                        lambda i: F.concat(F.lit("t"), F.col("doc_id"))))
+        .otherwise(F.array().cast("array<string>")))
+    seqs = B.materialize_sequences(
+        toks.select("doc_id", "tokens"), 256).toPandas()
+    packed = B.pack_sequences(df.select("doc_id", "n_tokens"),
+                              256).toPandas()
+    # total tokens conserved and the last sequence id agrees
+    assert seqs["n_tokens"].sum() == pdf["n_tokens"].sum()
+    nz = packed[packed["n_tokens"] > 0]
+    assert seqs["seq_id"].max() == nz["seq_last"].max()
+    # every sequence except the last holds exactly the budget
+    full = seqs.sort_values("seq_id").iloc[:-1]
+    assert (full["n_tokens"] == 256).all()
+
+
+def test_materialize_empty(spark):
+    empty = spark.createDataFrame([], "doc_id long, tokens array<string>")
+    assert B.materialize_sequences(empty, 64).count() == 0
