@@ -1758,6 +1758,55 @@ _O["pipeline_pretrain_pack"] = """
 """
 
 
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty (fraction of the doc's 13-grams not
+    duplicated corpus-wide; boilerplate induced on every 7th doc by the
+    shared footer so the signal is non-trivial).  Same shuffle shape as
+    ExactSubstr detection: only (id, pos, hash64) ever moves."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.operators.dedup import ngram_novelty_scores
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" " + _BOILER)))
+         .otherwise(F.col("text")).alias("text"))
+    return ngram_novelty_scores(docs, n=13)
+
+
+_PY["text_ngram_novelty"] = _q_ngram_novelty
+_O["text_ngram_novelty"] = """
+  WITH aug AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' {boiler}'
+                ELSE text END AS text
+    FROM documents),
+  tk AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       t -> t != '') AS tk
+    FROM aug),
+  grams AS (
+    SELECT doc_id,
+           array_to_string(list_slice(tk, CAST(i AS INT),
+                                      CAST(i AS INT) + 12), ' ') AS g
+    FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 12)) AS i
+          FROM tk WHERE len(tk) >= 13)),
+  dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+  per AS (
+    SELECT gr.doc_id, count(*) AS ng,
+           count(d.g) AS nd
+    FROM grams gr LEFT JOIN dup d USING (g)
+    GROUP BY gr.doc_id)
+  SELECT t.doc_id,
+         coalesce(p.ng, 0) AS n_grams,
+         coalesce(p.nd, 0) AS n_dup_grams,
+         round(CASE WHEN coalesce(p.ng, 0) = 0 THEN 1.0
+                    ELSE 1.0 - coalesce(p.nd, 0) * 1.0 / p.ng END, 6)
+           AS novelty
+  FROM tk t LEFT JOIN per p USING (doc_id)
+""".format(boiler=_BOILER)
+
+
 def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE (functions/bpe.py): learn 60 merges from the
     corpus word-frequency table (one partial-combined word-count shuffle

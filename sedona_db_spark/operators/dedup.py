@@ -567,3 +567,32 @@ def exact_substring_dedup(df: DataFrame, text_col: str = "text",
         "n_tokens",
         (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0)))
         .cast("long").alias("n_removed"))
+
+
+def ngram_novelty_scores(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 13,
+                         min_count: int = 2) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's token
+    n-grams that are NOT duplicated corpus-wide (RefinedWeb-style
+    repetition-against-the-corpus signal — low novelty = boilerplate).
+    Same plan skeleton as exact_substring_spans: flat-batch gram hashes,
+    one counted aggregate, LEFT SEMI membership — only (id, pos, hash64)
+    shuffles.  Docs shorter than n score 1.0 (vacuously novel).
+    Returns (id, n_grams, n_dup_grams, novelty)."""
+    gram = F.pandas_udf(_gram_hash_kernel(n), "array<long>")
+    occ = (df.select(F.col(id_col), gram(F.col(text_col)).alias("__gh"))
+             .select(id_col, F.posexplode("__gh").alias("pos", "h")))
+    dup = (occ.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+              .where(F.col("c") >= int(min_count)).select("h"))
+    dup_per_doc = (occ.join(dup, "h", "left_semi")
+                   .groupBy(id_col)
+                   .agg(F.count(F.lit(1)).alias("__nd")))
+    tot = occ.groupBy(id_col).agg(F.count(F.lit(1)).alias("__ng"))
+    base = df.select(id_col).join(tot, id_col, "left") \
+             .join(dup_per_doc, id_col, "left")
+    ng = F.coalesce("__ng", F.lit(0)).cast("long")
+    nd = F.coalesce("__nd", F.lit(0)).cast("long")
+    return base.select(
+        id_col, ng.alias("n_grams"), nd.alias("n_dup_grams"),
+        F.round(F.when(ng == 0, F.lit(1.0))
+                 .otherwise(1.0 - nd / ng), 6).alias("novelty"))
