@@ -71,6 +71,13 @@ HEADLINE = [
     "st_distance_pairs_bulk",
     "geo_distance_sphere_bulk",
     "knn_join_polygons_bulk",
+    # round-7: batch-assembly family (work grows with SF).  NOTE for
+    # round-over-round comparison: these three are NEW in r7 — the suite
+    # total is no longer comparable to BENCH_r06's 32-query total;
+    # compare per-query.
+    "pack_sequences_gpt",
+    "dedup_exact_substring",
+    "materialize_sequences_512",
 ]
 
 # Isolation groups: one subprocess (fresh JVM + python workers) each.
@@ -96,6 +103,8 @@ GROUPS: dict[str, list[str]] = {
                   "asof_join_events"],
     "bulk": ["st_distance_pairs_bulk", "geo_distance_sphere_bulk",
              "knn_join_polygons_bulk"],
+    "assembly": ["pack_sequences_gpt", "dedup_exact_substring",
+                 "materialize_sequences_512"],
 }
 assert sorted(n for g in GROUPS.values() for n in g) == sorted(HEADLINE)
 

@@ -282,3 +282,32 @@ def test_materialize_agrees_with_pack_spans(spark):
 def test_materialize_empty(spark):
     empty = spark.createDataFrame([], "doc_id long, tokens array<string>")
     assert B.materialize_sequences(empty, 64).count() == 0
+
+
+# ------------------------------------------------------ property tests
+
+def test_prefix_scan_property_random_shapes(spark):
+    """Randomized sizes / values / bucket counts / input partitionings:
+    the scan must equal the naive cumsum every time."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.integers(1, 60), st.integers(1, 9), st.integers(2, 11),
+           st.integers(0, 2**31 - 1))
+    def run(n, npart, inparts, seed):
+        rng = np.random.RandomState(seed)
+        ids = np.sort(rng.choice(np.arange(n * 3), size=n, replace=False))
+        vals = rng.randint(-50, 500, size=n)   # negatives too
+        pdf = pd.DataFrame({"k": ids, "v": vals})
+        df = spark.createDataFrame(pdf).repartition(inparts)
+        lo, hi = int(ids.min()), int(ids.max())
+        narrow = df.withColumn("__part",
+                               B._range_bucket("k", lo, hi, npart))
+        out = (B.prefix_scan(narrow, "__part", ["k"], "v")
+               .toPandas().sort_values("k").reset_index(drop=True))
+        ref = pdf.sort_values("k").reset_index(drop=True)
+        assert (out["pos"].to_numpy() == np.arange(n)).all()
+        excl = np.concatenate([[0], np.cumsum(ref["v"].to_numpy())[:-1]])
+        assert (out["run_before"].to_numpy() == excl).all()
+
+    run()
