@@ -1846,6 +1846,32 @@ _PY["semdedup_keep"] = _q_semdedup
 _ROWS_ONLY.add("semdedup_keep")
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter (functions/quality_model.py): pyspark.ml
+    LogisticRegression over the engine's native text signals, trained
+    reference-vs-corpus style with the heuristic gate as the reference
+    label; scoring is one narrow broadcast-coefficients pass.  L-BFGS is
+    iterative -> rows-only; accuracy/generalization/stability pinned in
+    tests/test_quality_model.py."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions import quality_model as QM
+    from sedona_db_spark.functions.text import quality_score_cell
+    docs = spark.table("documents").select("doc_id", "text")
+    lab = docs.withColumn(
+        "label",
+        (F.round(quality_score_cell(F.col("text")), 4) >= 0.85)
+        .cast("int"))
+    model = QM.train_quality_classifier(lab, "label")
+    return (QM.score_quality(docs, model)
+            .select("doc_id",
+                    (F.col("quality_prob") >= 0.5).cast("long")
+                    .alias("pred_high_quality")))
+
+
+_PY["quality_classifier_score"] = _q_quality_classifier
+_ROWS_ONLY.add("quality_classifier_score")
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals — exact per-row native array math
     (dup-token fraction; top-bigram fraction via sort + run-length fold),
