@@ -1846,6 +1846,37 @@ _PY["semdedup_keep"] = _q_semdedup
 _ROWS_ONLY.add("semdedup_keep")
 
 
+def _q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: remove corpus rows
+    with cosine >= 0.45 to ANY benchmark embedding (benchmark = every
+    40th vector, so its members remove themselves via self-similarity
+    1.0 and near-neighbors go with them).  Broadcast benchmark + native
+    dot/norm fold + LEFT ANTI — one narrow corpus pass, exact
+    (operators/similarity.py semantic_decontaminate)."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.operators.similarity import semantic_decontaminate
+    emb = spark.table("embeddings")
+    bench = emb.where("vec_id % 40 = 0").select("embedding")
+    kept = semantic_decontaminate(emb, bench, threshold=0.45)
+    return kept.select("vec_id", F.col("label").cast("long").alias("label"))
+
+
+_PY["semantic_decontam"] = _q_semantic_decontam
+_O["semantic_decontam"] = """
+  WITH b AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS bv
+    FROM embeddings WHERE vec_id % 40 = 0),
+  hits AS (
+    SELECT DISTINCT c.vec_id
+    FROM embeddings c, b
+    WHERE list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), bv)
+          >= 0.45)
+  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label
+  FROM embeddings e LEFT JOIN hits h ON e.vec_id = h.vec_id
+  WHERE h.vec_id IS NULL
+"""
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality filter (functions/quality_model.py): pyspark.ml
     LogisticRegression over the engine's native text signals, trained

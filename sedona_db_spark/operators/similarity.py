@@ -401,3 +401,42 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.92,
                        ["component", "node"], "left_anti")
                .select(F.col("node").alias(id_col)))
     return df.join(removed, id_col, "left_anti")
+
+
+def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                           threshold: float = 0.95,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           mode: str = "remove") -> DataFrame:
+    """Embedding-space benchmark decontamination: drop (or flag) every
+    corpus row whose embedding has cosine >= threshold to ANY benchmark
+    embedding — the semantic complement of the 13-gram textual rule
+    (dedup.decontaminate), catching paraphrased eval leakage n-grams
+    miss.
+
+    Eval sets are small by nature, so the benchmark side broadcasts and
+    the plan is one narrow pass over the corpus: broadcast equi-less
+    join + native dot/norm fold + LEFT ANTI (``mode='remove'``) or a
+    boolean flag (``mode='flag'``).  Exact — no LSH, no clustering —
+    and therefore fully SQL-oracle-able.
+    """
+    if mode not in ("remove", "flag"):
+        raise ValueError("mode must be 'remove' or 'flag'")
+    b = benchmark.select(
+        F.col(vec_col).cast("array<double>").alias("__bv"))
+    dot = F.aggregate(F.zip_with("__cv", "__bv", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    hits = (corpus.select(F.col(id_col),
+                          F.col(vec_col).cast("array<double>").alias("__cv"))
+            .join(F.broadcast(b))
+            .where(dot / (nrm(F.col("__cv")) * nrm(F.col("__bv")))
+                   >= float(threshold))
+            .select(id_col).distinct())
+    if mode == "remove":
+        return corpus.join(hits, id_col, "left_anti")
+    return corpus.join(hits.withColumn("__hit", F.lit(True)),
+                       id_col, "left") \
+        .withColumn("contaminated", F.coalesce("__hit", F.lit(False))) \
+        .drop("__hit")

@@ -114,3 +114,19 @@ def test_semantic_dedup_no_dups_identity(spark):
     df = spark.createDataFrame(pdf)
     kept = semantic_dedup(df, threshold=0.99, n_lists=2)
     assert kept.count() == 3
+
+
+def test_semantic_decontaminate_modes(spark):
+    import pandas as pd
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [1, 2, 3],
+        "embedding": [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0]]}))
+    bench = spark.createDataFrame(pd.DataFrame({
+        "embedding": [[1.0, 0.05]]}))
+    from sedona_db_spark.operators.similarity import semantic_decontaminate
+    kept = semantic_decontaminate(corpus, bench, threshold=0.95).toPandas()
+    assert set(kept["vec_id"]) == {3}          # 1 and 2 are near the bench
+    flagged = semantic_decontaminate(corpus, bench, threshold=0.95,
+                                     mode="flag").toPandas()
+    assert dict(zip(flagged["vec_id"], flagged["contaminated"])) == \
+        {1: True, 2: True, 3: False}
