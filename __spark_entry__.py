@@ -1904,16 +1904,20 @@ _ROWS_ONLY.add("quality_classifier_score")
 
 
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition signals — exact per-row native array math
-    (dup-token fraction; top-bigram fraction via sort + run-length fold),
-    zero shuffle, zero Python."""
+    """Gopher-style repetition signals via the Arrow flat-batch kernel
+    (one UDF evaluation for both exact ratios; zero shuffle).  The
+    native-expression twins (dup_token_ratio / top_bigram_ratio) are the
+    executable spec — pinned value-equal by pytest — but their lambda
+    higher-order functions run on Spark's INTERPRETED expression path
+    (measured 126 s vs ~3 s for the kernel on 500k docs at sf10)."""
     from pyspark.sql import functions as F
     from sedona_db_spark.functions import text as tx
     docs = spark.table("documents")
-    return docs.select(
+    rep = tx.repetition_signals(docs, "text", prefix="__r_")
+    return rep.select(
         "doc_id",
-        F.round(tx.dup_token_ratio(F.col("text")), 4).alias("dup_tok"),
-        F.round(tx.top_bigram_ratio(F.col("text")), 4).alias("top_bigram"))
+        F.round(F.col("__r_dup_tok"), 4).alias("dup_tok"),
+        F.round(F.col("__r_top_bigram"), 4).alias("top_bigram"))
 
 
 _PY["text_repetition_signals"] = _q_repetition

@@ -214,11 +214,17 @@ def main() -> None:
         timings = _run_queries(HEADLINE, sf_dir)
 
     total = sum(v for v in timings.values() if v > 0)
+    # round-over-round comparability: the r7 assembly additions are NEW —
+    # core32_sec is the sum over exactly BENCH_r06's 32-query set, the
+    # number comparable to value=23.921 there.
+    r7_new = set(GROUPS["assembly"])
+    core32 = sum(v for k, v in timings.items() if v > 0 and k not in r7_new)
     load1 = _loadavg()
     print(json.dumps({
         "metric": "headline_suite_wall",
         "value": round(total, 3),
         "unit": "sec",
+        "core32_sec": round(core32, 3),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "isolation": "process-group" if isolate else "none",

@@ -403,25 +403,85 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.92,
     return df.join(removed, id_col, "left_anti")
 
 
+def _max_cosine_hit_kernel(bench_hat: np.ndarray, threshold: float):
+    """Per-batch contamination test: max cosine of each corpus vector
+    against the (pre-normalized) benchmark matrix via blocked BLAS
+    matmul.  ``max_b cos(x, b) = max_b (x . b_hat) / |x|`` because |x|
+    is constant across benchmark rows; benchmark blocks of <= 2048 rows
+    bound the per-batch intermediate to ~batch x 2048 doubles."""
+
+    def run(v: pd.Series) -> pd.Series:
+        valid = [(i, x) for i, x in enumerate(v)
+                 if x is not None and len(x) == bench_hat.shape[1]]
+        out = np.zeros(len(v), dtype=bool)     # null/ragged -> never a hit
+        if not valid or not bench_hat.size:
+            return pd.Series(out)
+        idx = np.fromiter((i for i, _ in valid), dtype=np.int64)
+        X = np.asarray([x for _, x in valid], dtype=np.float64)
+        best = np.full(len(X), -np.inf)
+        for j in range(0, bench_hat.shape[0], 2048):
+            blk = X @ bench_hat[j:j + 2048].T
+            np.maximum(best, blk.max(axis=1), out=best)
+        xn = np.linalg.norm(X, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = best / xn                    # zero-norm -> nan -> False
+        out[idx] = cos >= threshold
+        return pd.Series(out)
+    return run
+
+
 def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
                            threshold: float = 0.95,
                            vec_col: str = "embedding",
                            id_col: str = "vec_id",
-                           mode: str = "remove") -> DataFrame:
+                           mode: str = "remove",
+                           broadcast_threshold: int = 200_000) -> DataFrame:
     """Embedding-space benchmark decontamination: drop (or flag) every
     corpus row whose embedding has cosine >= threshold to ANY benchmark
     embedding — the semantic complement of the 13-gram textual rule
     (dedup.decontaminate), catching paraphrased eval leakage n-grams
-    miss.
+    miss.  Exact — no LSH, no clustering — and therefore fully
+    SQL-oracle-able.
 
-    Eval sets are small by nature, so the benchmark side broadcasts and
-    the plan is one narrow pass over the corpus: broadcast equi-less
-    join + native dot/norm fold + LEFT ANTI (``mode='remove'``) or a
-    boolean flag (``mode='flag'``).  Exact — no LSH, no clustering —
-    and therefore fully SQL-oracle-able.
+    Eval sets are small by nature, so the benchmark matrix is collected
+    ONCE (LIMIT-capped: rows beyond the cap flip to the join plan
+    instead of truncating, which would silently under-flag),
+    L2-normalized, and closed over by an Arrow kernel that computes
+    each batch's max cosine with blocked float64 BLAS matmuls — one
+    narrow corpus pass, no joined-row materialization.  Formulating the
+    cosine as a native dot/norm fold instead runs on Spark's
+    INTERPRETED higher-order-function path over the n x m joined rows
+    (measured: the sf10 contract query, 200k x 5k pairs at dim 64, sat
+    >5 min interpreted vs ~2 s here).  Zero-norm and zero-norm-paired
+    cosines are NaN on both paths and never hit.  A benchmark too large
+    to collect degrades to the broadcast equi-less join + LEFT ANTI /
+    flag plan.
     """
     if mode not in ("remove", "flag"):
         raise ValueError("mode must be 'remove' or 'flag'")
+    cap = max(int(broadcast_threshold), 1)
+    bench_rows = (benchmark
+                  .select(F.col(vec_col).cast("array<double>").alias("__bv"))
+                  .where(F.col("__bv").isNotNull())
+                  .limit(cap + 1).collect())
+    if len(bench_rows) <= cap:
+        dims = {len(r["__bv"]) for r in bench_rows}
+        if len(dims) <= 1:
+            B = (np.asarray([r["__bv"] for r in bench_rows],
+                            dtype=np.float64)
+                 if bench_rows else np.zeros((0, 0)))
+            if B.size:
+                bn = np.linalg.norm(B, axis=1)
+                B = B[bn > 0] / bn[bn > 0, None]   # zero bench vec: NaN
+            hit = F.pandas_udf(_max_cosine_hit_kernel(B, float(threshold)),
+                               "boolean")
+            if mode == "remove":
+                return corpus.filter(~hit(F.col(vec_col)
+                                          .cast("array<double>")))
+            return corpus.withColumn(
+                "contaminated", hit(F.col(vec_col).cast("array<double>")))
+    # fallback: benchmark too large for the driver (or mixed dims —
+    # the join path compares element-wise and NULLs out ragged pairs)
     b = benchmark.select(
         F.col(vec_col).cast("array<double>").alias("__bv"))
     dot = F.aggregate(F.zip_with("__cv", "__bv", lambda x, y: x * y),

@@ -1414,14 +1414,48 @@ def test_repetition_signals_known_values(spark):
     assert rows[4].dup == 0.0 and rows[4].top == 0.0
 
 
-def test_repetition_signals_native_plan(spark):
-    """Both signals must stay pure Catalyst expressions — no python
-    workers, no exchanges (per-row math survives any repartitioning)."""
+def test_repetition_signals_plan_shape(spark):
+    """The df helper rides the Arrow kernel: exactly ONE python-worker
+    evaluation for both signals, and still zero exchanges (per-row math
+    survives any repartitioning)."""
     from sedona_db_spark.functions import text as tx
     df = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
     out = tx.repetition_signals(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Python" not in plan and "Exchange" not in plan
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_repetition_kernel_matches_native_expressions(spark):
+    """The Arrow kernel is value-identical to the native-expression spec
+    (dup_token_ratio / top_bigram_ratio) on adversarial tokenization
+    inputs: tabs/newlines (Spark trim strips SPACE only, so a leading
+    tab yields a leading EMPTY token), repeated runs, single tokens,
+    empty and NULL text."""
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.functions import text as tx
+    texts = [
+        "a b a b a b", "u v w x y", "solo", "", None,
+        "\ta b a",                    # leading tab -> leading empty token
+        "x  x  x",                    # double spaces
+        "  padded  ",                 # trim strips these
+        "A B a b",                    # case folding
+        "w1 w2 w1 w2 w1 w2 w1 w2",
+        "tail newline\n",             # trailing \n survives trim
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    native = df.select(
+        "doc_id",
+        tx.dup_token_ratio("text").alias("d"),
+        tx.top_bigram_ratio("text").alias("t"))
+    kern = tx.repetition_signals(df, "text", prefix="k_") \
+        .select("doc_id", F.col("k_dup_tok").alias("d"),
+                F.col("k_top_bigram").alias("t"))
+    n = {r.doc_id: (r.d, r.t) for r in native.collect()}
+    k = {r.doc_id: (r.d, r.t) for r in kern.collect()}
+    assert n == k
 
 
 def test_pii_count_and_redact(spark):
