@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import re as _re
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -531,6 +532,35 @@ def exact_substring_spans(df: DataFrame, text_col: str = "text",
             .drop("__grp"))
 
 
+def _span_rebuild_kernel(s_text: pd.Series, s_spans: pd.Series) -> pd.DataFrame:
+    """Per-doc span removal + text rebuild, one Python pass per Arrow
+    batch.  Tokenization is the _batch_gram_strings convention (Java-\\s
+    split, empties filtered) — identical to functions.text.tokens()'s
+    observable token list, so the rebuilt text equals the old
+    posexplode/anti-join/collect_list plan token for token."""
+    clean: list = []
+    n_tok = np.zeros(len(s_text), dtype=np.int64)
+    n_kept = np.zeros(len(s_text), dtype=np.int64)
+    for i, (txt, spans) in enumerate(zip(s_text, s_spans)):
+        if not isinstance(txt, str):
+            clean.append("")
+            continue
+        tk = [t for t in _JAVA_WS_RE.split(txt.lower()) if t]
+        n_tok[i] = len(tk)
+        if spans is None or len(spans) == 0:
+            clean.append(" ".join(tk))
+            n_kept[i] = len(tk)
+            continue
+        drop = np.zeros(len(tk), dtype=bool)
+        for sp in spans:
+            drop[int(sp["span_start"]):int(sp["span_end"])] = True
+        kept = [t for t, d in zip(tk, drop) if not d]
+        clean.append(" ".join(kept))
+        n_kept[i] = len(kept)
+    return pd.DataFrame({"clean": clean, "n_tokens": n_tok,
+                         "n_kept": n_kept})
+
+
 def exact_substring_dedup(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", n: int = 20,
                           min_count: int = 2) -> DataFrame:
@@ -539,33 +569,29 @@ def exact_substring_dedup(df: DataFrame, text_col: str = "text",
     remaining tokens in order.  Returns (id, text, n_tokens,
     n_removed) where ``text`` is the cleaned document.
 
-    Rebuild is fully native: explode token positions, LEFT ANTI join the
-    exploded span indexes, and re-aggregate with
-    array_sort(collect_list(struct(pos, tok))) — order restored inside
-    the aggregate, no second window.
+    Rebuild: the merged spans (few per doc by construction) aggregate
+    to one array per document and join back to the text; an Arrow
+    kernel drops the marked token ranges and re-joins in a single pass.
+    The previous formulation posexploded EVERY token of EVERY document
+    through an anti-join and a collect_list shuffle to delete a few
+    ranges — at sf10 that token-level shuffle was most of the
+    operator's 30 s wall; here only the span table (small) shuffles
+    beyond the gram-hash pass itself.
     """
-    toks = tx.tokens(F.col(text_col))
-    base = df.select(F.col(id_col), toks.alias("__tk"))
     spans = exact_substring_spans(df, text_col, id_col, n, min_count)
-    rm = spans.select(
-        id_col,
-        F.explode(F.sequence(F.col("span_start"),
-                             F.col("span_end") - 1)).alias("pos"))
-    tokpos = base.select(id_col,
-                         F.posexplode("__tk").alias("pos", "tok"))
-    kept = tokpos.join(rm, [id_col, "pos"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.concat_ws(" ", F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-            lambda s: s["tok"])).alias("__clean"),
-        F.count(F.lit(1)).alias("__n_kept"))
-    out = (base.select(id_col, F.size("__tk").alias("n_tokens"))
-           .join(rebuilt, id_col, "left"))
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans"))
+    rebuild = F.pandas_udf(
+        _span_rebuild_kernel,
+        "struct<clean: string, n_tokens: long, n_kept: long>")
+    out = (df.select(F.col(id_col), F.col(text_col))
+           .join(per_doc, id_col, "left")
+           .withColumn("__rb", rebuild(F.col(text_col), F.col("__spans"))))
     return out.select(
         id_col,
-        F.coalesce("__clean", F.lit("")).alias(text_col),
-        "n_tokens",
-        (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0)))
+        F.col("__rb.clean").alias(text_col),
+        F.col("__rb.n_tokens").alias("n_tokens"),
+        (F.col("__rb.n_tokens") - F.col("__rb.n_kept"))
         .cast("long").alias("n_removed"))
 
 
