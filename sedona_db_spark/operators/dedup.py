@@ -515,9 +515,15 @@ def exact_substring_spans(df: DataFrame, text_col: str = "text",
     gram = F.pandas_udf(_gram_hash_kernel(n), "array<long>")
     occ = (df.select(F.col(id_col), gram(F.col(text_col)).alias("__gh"))
              .select(id_col, F.posexplode("__gh").alias("pos", "h")))
-    dup = (occ.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
-              .where(F.col("c") >= int(min_count)).select("h"))
-    marked = (occ.join(dup, "h", "left_semi")
+    # duplicate detection as count-over-hash WINDOW, not groupBy + semi
+    # join: the agg/join formulation evaluates `occ` (the gram kernel +
+    # whatever pipeline feeds df) once per branch and pays a second
+    # shuffle for the join; the window marks occurrences in the SAME
+    # single shuffle of (id, pos, h) — composed pipelines upstream of
+    # this operator evaluate exactly once.
+    wc = Window.partitionBy("h")
+    marked = (occ.withColumn("__c", F.count(F.lit(1)).over(wc))
+                 .where(F.col("__c") >= int(min_count))
                  .select(id_col, F.col("pos"),
                          (F.col("pos") + n).alias("end")))
     w = Window.partitionBy(id_col).orderBy("pos")
