@@ -4210,6 +4210,78 @@ _sql("sql_spatial_join_left_rewrite", """
   ON c.px > n.x0 AND c.px < n.x0 + 20.0 AND c.py > n.y0 AND c.py < n.y0 + 20.0
 """)
 
+# round 8: the full join-type lattice through the SQL front door
+# (reference SpatialJoinExec join types, exec.rs:235-240).  Vanilla Spark
+# cannot plan outer joins over a Python-UDF ON clause at all
+# (UNSUPPORTED_FEATURE.PYTHON_UDF_IN_ON_CLAUSE) — these shapes only run
+# through the rewrite.
+_sql("sql_spatial_join_right", """
+  SELECT c.c_custkey, n.n_nationkey
+  FROM (SELECT * FROM cust_pts WHERE c_custkey < 800) c
+  RIGHT JOIN nation_boxes n ON ST_Within(c.geom, n.geom)
+""", """
+  SELECT c.c_custkey, n.n_nationkey FROM
+  (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,
+          (c_custkey % 1000) / 10.0 AS py
+   FROM customer WHERE c_custkey < 800) c
+  RIGHT JOIN (SELECT n_nationkey,
+                    CAST(n_nationkey % 5 AS DOUBLE) * 20.0 AS x0,
+                    CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 AS y0
+             FROM nation) n
+  ON c.px > n.x0 AND c.px < n.x0 + 20.0 AND c.py > n.y0 AND c.py < n.y0 + 20.0
+""")
+
+_sql("sql_spatial_join_full", """
+  SELECT c.c_custkey, n.n_nationkey
+  FROM (SELECT * FROM cust_pts WHERE c_custkey < 800) c
+  FULL OUTER JOIN (SELECT * FROM nation_boxes WHERE n_nationkey < 20) n
+  ON ST_Within(c.geom, n.geom)
+""", """
+  SELECT c.c_custkey, n.n_nationkey FROM
+  (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,
+          (c_custkey % 1000) / 10.0 AS py
+   FROM customer WHERE c_custkey < 800) c
+  FULL OUTER JOIN (SELECT n_nationkey,
+                    CAST(n_nationkey % 5 AS DOUBLE) * 20.0 AS x0,
+                    CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 AS y0
+             FROM nation WHERE n_nationkey < 20) n
+  ON c.px > n.x0 AND c.px < n.x0 + 20.0 AND c.py > n.y0 AND c.py < n.y0 + 20.0
+""")
+
+_sql("sql_spatial_join_semi", """
+  SELECT c.c_custkey
+  FROM (SELECT * FROM cust_pts WHERE c_custkey < 800) c
+  LEFT SEMI JOIN nation_boxes n ON ST_Within(c.geom, n.geom)
+""", """
+  SELECT c.c_custkey FROM
+  (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,
+          (c_custkey % 1000) / 10.0 AS py
+   FROM customer WHERE c_custkey < 800) c
+  WHERE EXISTS (
+    SELECT 1 FROM (SELECT n_nationkey,
+                    CAST(n_nationkey % 5 AS DOUBLE) * 20.0 AS x0,
+                    CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 AS y0
+             FROM nation) n
+    WHERE c.px > n.x0 AND c.px < n.x0 + 20.0 AND c.py > n.y0 AND c.py < n.y0 + 20.0)
+""")
+
+_sql("sql_spatial_join_anti", """
+  SELECT c.c_custkey
+  FROM (SELECT * FROM cust_pts WHERE c_custkey < 800) c
+  LEFT ANTI JOIN nation_boxes n ON ST_Within(c.geom, n.geom)
+""", """
+  SELECT c.c_custkey FROM
+  (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,
+          (c_custkey % 1000) / 10.0 AS py
+   FROM customer WHERE c_custkey < 800) c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM (SELECT n_nationkey,
+                    CAST(n_nationkey % 5 AS DOUBLE) * 20.0 AS x0,
+                    CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 AS y0
+             FROM nation) n
+    WHERE c.px > n.x0 AND c.px < n.x0 + 20.0 AND c.py > n.y0 AND c.py < n.y0 + 20.0)
+""")
+
 _sql("sql_knn_join", """
   SELECT c.c_custkey, n.n_nationkey, round(knn_distance, 6) AS dist
   FROM (SELECT * FROM cust_pts WHERE c_custkey < 500) c

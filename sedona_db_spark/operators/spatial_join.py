@@ -248,24 +248,81 @@ def spatial_join(
     """
     if predicate not in _PREDICATES and distance is None:
         raise ValueError(f"unknown spatial predicate {predicate!r}")
-    if how not in ("inner", "left", "left_outer"):
-        raise NotImplementedError(
-            "spatial joins support how='inner' and how='left' "
-            "(flip the sides for a right join)")
-    if how in ("left", "left_outer"):
-        # inner result + left-anti recovery of unmatched rows (the same
-        # shape the reference's SpatialJoinExec uses for outer modes)
-        lid = "__sj_lid"
-        left_tagged = left.withColumn(lid, F.monotonically_increasing_id())
-        inner = spatial_join(left_tagged, right, left_geom, right_geom,
+    how = {
+        "left_outer": "left", "right_outer": "right", "outer": "full",
+        "full_outer": "full", "semi": "left_semi", "anti": "left_anti",
+        "leftsemi": "left_semi", "leftanti": "left_anti",
+    }.get(how, how)
+    if how not in ("inner", "left", "right", "full",
+                   "left_semi", "left_anti", "right_semi", "right_anti"):
+        raise NotImplementedError(f"unsupported spatial join how={how!r}")
+    if how != "inner":
+        # Non-inner modes = inner core + row-id bookkeeping, the same
+        # shape the reference's SpatialJoinExec uses: its probe-side
+        # visited-bitmap marks matched rows and outer/semi/anti emit
+        # from the bitmap after the probe pass
+        # (/root/reference/rust/sedona-spatial-join/src/exec.rs:235-240,
+        #  src/utils/join_utils.rs:60-80).  Here the "bitmap" is a
+        # distinct row-id set recovered from the inner result — a
+        # shuffle-sized structure, never driver state, so the mode
+        # lattice inherits the inner path's 100 TB story unchanged.
+        lid, rid = "__sj_lid", "__sj_rid"
+        need_l = how in ("left", "full", "left_semi", "left_anti")
+        need_r = how in ("right", "full", "right_semi", "right_anti")
+        left_t = (left.withColumn(lid, F.monotonically_increasing_id())
+                  if need_l else left)
+        right_t = (right.withColumn(rid, F.monotonically_increasing_id())
+                   if need_r else right)
+        inner = spatial_join(left_t, right_t, left_geom, right_geom,
                              predicate, distance, "inner", grid_cells,
                              broadcast_threshold)
-        matched = inner.select(lid).distinct()
-        unmatched = left_tagged.join(matched, lid, "left_anti")
-        for c in inner.columns:
-            if c not in unmatched.columns:
-                unmatched = unmatched.withColumn(c, F.lit(None))
-        return inner.unionByName(unmatched.select(inner.columns)).drop(lid)
+        if how == "left_semi":
+            # distinct-on-id = reference "emit probe row once however
+            # many build rows matched" (join_utils.rs:60-80)
+            return left_t.join(inner.select(lid).distinct(), lid,
+                               "left_semi").drop(lid)
+        if how == "left_anti":
+            return left_t.join(inner.select(lid).distinct(), lid,
+                               "left_anti").drop(lid)
+        # right-side id may have been prefixed on collision — resolve
+        rid_out = rid if rid in inner.columns else f"right_{rid}"
+        if how == "right_semi":
+            return right_t.join(
+                inner.select(F.col(rid_out).alias(rid)).distinct(), rid,
+                "left_semi").drop(rid)
+        if how == "right_anti":
+            return right_t.join(
+                inner.select(F.col(rid_out).alias(rid)).distinct(), rid,
+                "left_anti").drop(rid)
+
+        def _pad(df: DataFrame) -> DataFrame:
+            for c in inner.columns:
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None))
+            return df.select(inner.columns)
+
+        parts = [inner]
+        if how in ("left", "full"):
+            unmatched = left_t.join(inner.select(lid).distinct(), lid,
+                                    "left_anti")
+            parts.append(_pad(unmatched))
+        if how in ("right", "full"):
+            # unmatched right rows re-use the inner result's collision
+            # renames so the union lines up by name
+            rcols_t = {c: (f"right_{c}" if c in left_t.columns else c)
+                       for c in right_t.columns}
+            unmatched = right_t.select(
+                [F.col(c).alias(a) for c, a in rcols_t.items()])
+            unmatched = unmatched.join(
+                inner.select(F.col(rid_out).alias(rid_out)).distinct(),
+                rid_out, "left_anti")
+            parts.append(_pad(unmatched))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        drop = [c for c in (lid if need_l else None,
+                            rid_out if need_r else None) if c]
+        return out.drop(*drop)
 
     # disambiguate columns
     rcols = {c: (f"right_{c}" if c in left.columns else c) for c in right.columns}

@@ -10,7 +10,10 @@ logical optimizer rules ``MergeSpatialFilterIntoJoin`` +
 ``SpatialJoinLogicalRewrite`` (rust/sedona-query-planner/src/optimizer.rs:
 197-261, 306-415) and the KNN join rewrite (optimizer.rs:140-195,417-555):
 
-- ``a JOIN b ON ST_Pred(a.g, b.g)`` (inner / LEFT) -> ``spatial_join``
+- ``a JOIN b ON ST_Pred(a.g, b.g)`` -> ``spatial_join`` — the whole
+  join-type lattice: INNER / LEFT / RIGHT / FULL [OUTER] / [LEFT] SEMI /
+  [LEFT] ANTI (reference SpatialJoinExec join types,
+  rust/sedona-spatial-join/src/exec.rs:235-240)
 - ``FROM a, b WHERE ST_Pred(...)`` / CROSS JOIN + WHERE -> same (the
   reference merges the filter into the join first; optimizer.rs:197-261)
 - ``ON ST_DWithin(a.g, b.g, d)`` -> distance join
@@ -472,6 +475,37 @@ def _find_match(toks, depths, spark, vanilla_sql):
               and toks[j + 1].upper() == "OUTER" and toks[j + 2].upper() == "JOIN"):
             how = "left"
             j += 3
+        # full join-type lattice (reference SpatialJoinExec supports
+        # Left/Right/Full/LeftSemi/LeftAnti/RightSemi/RightAnti,
+        # rust/sedona-spatial-join/src/exec.rs:235-240)
+        elif j + 1 < n and toks[j].upper() == "RIGHT" and toks[j + 1].upper() == "JOIN":
+            how = "right"
+            j += 2
+        elif (j + 2 < n and toks[j].upper() == "RIGHT"
+              and toks[j + 1].upper() == "OUTER" and toks[j + 2].upper() == "JOIN"):
+            how = "right"
+            j += 3
+        elif j + 1 < n and toks[j].upper() == "FULL" and toks[j + 1].upper() == "JOIN":
+            how = "full"
+            j += 2
+        elif (j + 2 < n and toks[j].upper() == "FULL"
+              and toks[j + 1].upper() == "OUTER" and toks[j + 2].upper() == "JOIN"):
+            how = "full"
+            j += 3
+        elif (j + 2 < n and toks[j].upper() == "LEFT"
+              and toks[j + 1].upper() == "SEMI" and toks[j + 2].upper() == "JOIN"):
+            how = "left_semi"
+            j += 3
+        elif j + 1 < n and toks[j].upper() == "SEMI" and toks[j + 1].upper() == "JOIN":
+            how = "left_semi"
+            j += 2
+        elif (j + 2 < n and toks[j].upper() == "LEFT"
+              and toks[j + 1].upper() == "ANTI" and toks[j + 2].upper() == "JOIN"):
+            how = "left_anti"
+            j += 3
+        elif j + 1 < n and toks[j].upper() == "ANTI" and toks[j + 1].upper() == "JOIN":
+            how = "left_anti"
+            j += 2
         else:
             continue
         try:
@@ -595,9 +629,9 @@ def _rewrite(spark, sql, toks, vanilla_sql):
             raise _Decline
         if not m.comma_form:
             rest.append(spatial_span)
-    if m.how == "left" and not m.comma_form and rest:
-        # extra ON conjuncts change LEFT JOIN match semantics; only the
-        # pure spatial form is certified
+    if m.how != "inner" and not m.comma_form and rest:
+        # extra ON conjuncts change outer/semi/anti match semantics;
+        # only the pure spatial form is certified
         raise _Decline
     if spatial.kind == "knn" and m.how != "inner":
         raise _Decline
@@ -815,13 +849,16 @@ def _build_join(spark, m, spatial, ldf, rdf_r, g1, g2) -> DataFrame:
                                 predicate=_TRANSPOSE[pred], how="inner")
         return spatial_join(a_df, b_df, left_geom=ga, right_geom=gb,
                             predicate=pred, how="inner")
-    # LEFT join: operator-left must stay the SQL left relation
+    # outer/semi/anti modes: operator-left must stay the SQL left
+    # relation (the mode lattice is side-sensitive), so when the
+    # predicate's first argument is the right relation the predicate is
+    # transposed instead of swapping sides
     if not first_is_left:
         pred = _TRANSPOSE.get(pred)
         if pred is None:
             raise _Decline
     return spatial_join(ldf, rdf_r, left_geom=g1, right_geom=g2,
-                        predicate=pred, how="left")
+                        predicate=pred, how=m.how)
 
 
 # ----------------------------------------------------------------------

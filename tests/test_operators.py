@@ -358,6 +358,55 @@ def test_spatial_join_left_outer(spark, cust_pts, boxes):
     assert nulls == n_left - matched_left
 
 
+def test_spatial_join_type_lattice(spark, cust_pts, boxes):
+    """Right/full/semi/anti modes agree with the inner core + row-id
+    accounting (reference SpatialJoinExec join-type lattice,
+    rust/sedona-spatial-join/src/exec.rs:235-240)."""
+    from sedona_db_spark.operators.spatial_join import spatial_join
+    left = cust_pts.select("c_custkey", "geom").filter("c_custkey < 500")
+    right = boxes.select("n_nationkey", "geom")
+    inner = spatial_join(left, right, predicate="within")
+    n_left, n_right, n_inner = left.count(), right.count(), inner.count()
+    matched_l = inner.select("c_custkey").distinct().count()
+    matched_r = inner.select("n_nationkey").distinct().count()
+
+    router = spatial_join(left, right, predicate="within", how="right")
+    assert router.count() == n_inner + (n_right - matched_r)
+    assert router.filter("c_custkey IS NULL").count() == n_right - matched_r
+
+    fouter = spatial_join(left, right, predicate="within", how="full")
+    assert fouter.count() == (n_inner + (n_left - matched_l)
+                              + (n_right - matched_r))
+
+    semi = spatial_join(left, right, predicate="within", how="left_semi")
+    assert semi.columns == left.columns
+    assert semi.count() == matched_l
+    anti = spatial_join(left, right, predicate="within", how="left_anti")
+    assert anti.columns == left.columns
+    assert anti.count() == n_left - matched_l
+    rsemi = spatial_join(left, right, predicate="within", how="right_semi")
+    assert rsemi.columns == right.columns
+    assert rsemi.count() == matched_r
+    ranti = spatial_join(left, right, predicate="within", how="right_anti")
+    assert ranti.count() == n_right - matched_r
+
+
+def test_spatial_join_semi_emits_once_per_probe_row(spark, cust_pts):
+    """A left row matching MULTIPLE right rows emits exactly once in SEMI
+    (reference probe-side match bitmap, join_utils.rs:60-80)."""
+    from sedona_db_spark.operators.spatial_join import spatial_join
+    left = cust_pts.select("c_custkey", "geom").filter("c_custkey < 300")
+    overlapping = spark.sql("""
+      SELECT n_nationkey, ST_MakeEnvelope(0.0, 0.0, 100.0, 100.0) AS geom
+      FROM nation WHERE n_nationkey < 3
+    """)
+    semi = spatial_join(left, overlapping, predicate="within",
+                        how="left_semi")
+    assert semi.count() == semi.select("c_custkey").distinct().count()
+    inner = spatial_join(left, overlapping, predicate="within")
+    assert inner.count() == 3 * semi.count()
+
+
 def test_broadcast_index_regime_matches_bnl(spark, cust_pts):
     """Build sides above the BNL cutoff take the executor-side grid-index
     probe; results must match the tiny-build JVM nested-loop regime."""

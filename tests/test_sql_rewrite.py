@@ -643,3 +643,82 @@ def test_planar_operator_rejects_geography_loud(spark):
     out = spatial_join(a, b, distance=50000.0)
     with _pytest.raises(Exception, match="geography|spherical"):
         out.collect()
+
+
+# ----------------------------------------------------------------------
+# round 8: full join-type lattice through the SQL front door (reference
+# SpatialJoinExec join types, rust/sedona-spatial-join/src/exec.rs:235-240).
+# Vanilla Spark cannot even plan these shapes (UNSUPPORTED_FEATURE
+# PYTHON_UDF_IN_ON_CLAUSE for outer joins over a UDF predicate), so the
+# oracle is the arithmetic point-in-box twin of the fixture geometry.
+# ----------------------------------------------------------------------
+
+_LAT_L = ("(SELECT * FROM cust_pts WHERE c_custkey < 800) c")
+_LAT_R = ("(SELECT * FROM nation_boxes WHERE n_nationkey < 20) n")
+_ARITH_L = ("(SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,"
+            " (c_custkey % 1000) / 10.0 AS py"
+            " FROM customer WHERE c_custkey < 800) c")
+_ARITH_R = ("(SELECT n_nationkey, CAST(n_nationkey % 5 AS DOUBLE) * 20.0 AS x0,"
+            " CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 AS y0"
+            " FROM nation WHERE n_nationkey < 20) n")
+_ARITH_COND = ("c.px > n.x0 AND c.px < n.x0 + 20.0 AND"
+               " c.py > n.y0 AND c.py < n.y0 + 20.0")
+
+
+def _rows_nullsafe(df, cols):
+    return sorted(tuple((r[c] is None, r[c] if r[c] is not None else 0)
+                        for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("kw", ["RIGHT JOIN", "RIGHT OUTER JOIN",
+                                "FULL JOIN", "FULL OUTER JOIN"])
+def test_outer_lattice_join_rewrite(spark, kw):
+    _prep(spark)
+    q = (f"SELECT c.c_custkey, n.n_nationkey FROM {_LAT_L} {kw} {_LAT_R} "
+         "ON ST_Within(c.geom, n.geom)")
+    oq = (f"SELECT c.c_custkey, n.n_nationkey FROM {_ARITH_L} {kw} {_ARITH_R} "
+          f"ON {_ARITH_COND}")
+    df = spark.sql(q)
+    assert getattr(df, "_sedona_rewritten_sql", None) is not None
+    _assert_no_pair_explosion(df)
+    assert _rows_nullsafe(df, ["c_custkey", "n_nationkey"]) == \
+        _rows_nullsafe(_vanilla(spark, oq), ["c_custkey", "n_nationkey"])
+
+
+@pytest.mark.parametrize("kw,exists", [("LEFT SEMI JOIN", "EXISTS"),
+                                       ("SEMI JOIN", "EXISTS"),
+                                       ("LEFT ANTI JOIN", "NOT EXISTS"),
+                                       ("ANTI JOIN", "NOT EXISTS")])
+def test_semi_anti_lattice_join_rewrite(spark, kw, exists):
+    _prep(spark)
+    q = (f"SELECT c.c_custkey FROM {_LAT_L} {kw} {_LAT_R} "
+         "ON ST_Within(c.geom, n.geom)")
+    oq = (f"SELECT c.c_custkey FROM {_ARITH_L} WHERE {exists} "
+          f"(SELECT 1 FROM {_ARITH_R} WHERE {_ARITH_COND})")
+    df = spark.sql(q)
+    assert getattr(df, "_sedona_rewritten_sql", None) is not None
+    _assert_no_pair_explosion(df)
+    assert _rows_nullsafe(df, ["c_custkey"]) == \
+        _rows_nullsafe(_vanilla(spark, oq), ["c_custkey"])
+
+
+def test_lattice_right_join_reversed_predicate_transposes(spark):
+    _prep(spark)
+    q = (f"SELECT c.c_custkey, n.n_nationkey FROM {_LAT_L} RIGHT JOIN "
+         f"{_LAT_R} ON ST_Contains(n.geom, c.geom)")
+    oq = (f"SELECT c.c_custkey, n.n_nationkey FROM {_ARITH_L} RIGHT JOIN "
+          f"{_ARITH_R} ON {_ARITH_COND}")
+    df = spark.sql(q)
+    assert getattr(df, "_sedona_rewritten_sql", None) is not None
+    _assert_no_pair_explosion(df)
+    assert _rows_nullsafe(df, ["c_custkey", "n_nationkey"]) == \
+        _rows_nullsafe(_vanilla(spark, oq), ["c_custkey", "n_nationkey"])
+
+
+def test_lattice_extra_on_conjunct_declines(spark):
+    """Outer/semi/anti modes certify only the pure spatial ON form."""
+    _prep(spark)
+    q = (f"SELECT c.c_custkey FROM {_LAT_L} LEFT ANTI JOIN {_LAT_R} "
+         "ON ST_Within(c.geom, n.geom) AND n.n_nationkey > 2")
+    df = spark.sql(q)
+    assert getattr(df, "_sedona_rewritten_sql", None) is None
