@@ -1609,7 +1609,9 @@ _O["dedup_exact_substring"] = """
   tk AS (
     SELECT doc_id,
            list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                       t -> t != '') AS tk
+                       t -> t != '') AS tk,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       t -> t != '') AS tko
     FROM aug),
   idx AS (
     SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 12)) AS i
@@ -1640,8 +1642,11 @@ _O["dedup_exact_substring"] = """
   rm AS (
     SELECT doc_id, unnest(generate_series(s, e - 1)) AS rpos FROM spans),
   tok AS (
-    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tk[CAST(i AS INT)] AS tok
-    FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+    -- rebuild from ORIGINAL-cased tokens (tko): detection is case-
+    -- insensitive over tk, the cut preserves casing (mirrors the
+    -- Spark kernel after the round-8 lossy-lowercase fix)
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tko[CAST(i AS INT)] AS tok
+    FROM (SELECT doc_id, tko, unnest(generate_series(1, len(tko))) AS i
           FROM tk)),
   kept AS (
     SELECT t.doc_id, t.pos, t.tok

