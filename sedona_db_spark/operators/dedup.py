@@ -286,6 +286,9 @@ def _minhash_pairs_plan(sdf: DataFrame, num_perm: int, bands: int,
                                F.col("sig").alias("sig_a")), "id_a")
              .join(sigs.select(F.col("id").alias("id_b"),
                                F.col("sig").alias("sig_b")), "id_b"))
+    # HOF-audit: interpreted zip_with over CANDIDATE pairs only
+    # (band-collision-bounded, 64-long signatures) — never a full-corpus
+    # pass; fine while candidates stay sparse relative to the table
     est = (F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
                            lambda v: v)) / F.lit(float(num_perm)))
     return (pairs.withColumn("est_jaccard", est)

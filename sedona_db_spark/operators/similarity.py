@@ -2,9 +2,13 @@
 
 `embeddings` table: vec_id bigint, embedding array<float>, label int.
 
-- brute_force_topk: exact cosine top-k, 100% native Catalyst expressions
-  (F.zip_with/F.aggregate compile to JVM codegen — no Python in the hot
-  path).  One TakeOrderedAndProject, no shuffle of the full table.
+- brute_force_topk: exact cosine top-k.  The hot path is an Arrow-batched
+  BLAS matvec kernel (cosine_scores_udf); Spark's lambda higher-order
+  functions (F.zip_with / F.aggregate) run on the INTERPRETED expression
+  path, 10-100x slower, so every surviving HOF site in this module is a
+  labeled small-scale oracle or an over-cap fallback — never a
+  full-corpus pass.  One TakeOrderedAndProject, no shuffle of the full
+  table.
 - cosine_self_join_topk: exact k-NN graph per vector at small scale
   (window over grid-free join) — used as the correctness oracle.
 - lsh_topk: random-hyperplane (sign) LSH — signature via a seeded numpy
@@ -26,7 +30,13 @@ from sedona_db_spark.operators.result_cache import PAIR_RESULT_POOL
 
 
 def _cosine_expr(vec_col, qlit):
-    """Native cosine similarity between an array column and a literal."""
+    """Native cosine similarity between an array column and a literal.
+
+    HOF-audit: lambda HOFs evaluate INTERPRETED — callers must keep
+    this off full-corpus paths.  Surviving call sites: the
+    brute_force_topk <12 MB dispatch arm (python-worker spin-up costs
+    more than the walk there), lsh_topk's bucket-bounded re-rank, and
+    ivf_topk's pruned-list scoring — all candidate- or size-bounded."""
     dot = F.aggregate(F.zip_with(vec_col, qlit, lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
     n1 = F.sqrt(F.aggregate(F.transform(vec_col, lambda a: a * a),
@@ -207,7 +217,14 @@ def _near_dup_candidates(sdf: DataFrame, bits: int, band_bits: int) -> DataFrame
 
 def _near_dup_pairs_plan(sdf: DataFrame, threshold: float,
                          bits: int, band_bits: int) -> DataFrame:
-    """Lazy plan: banded candidates -> vector join-back -> exact cosine."""
+    """Lazy plan: banded candidates -> vector join-back -> exact cosine.
+
+    HOF-audit: the interpreted aggregate(zip_with) below runs over the
+    LSH CANDIDATE pairs only (band-collision-bounded), never the corpus
+    cross product — acceptable while candidates stay a small fraction
+    of the table; if a workload's band tuning produces candidate sets
+    rivaling the corpus, port the verify to the blocked-BLAS batch
+    kernel first."""
     cand = _near_dup_candidates(sdf, bits, band_bits)
     vecs = sdf.select("id", "v")
     pairs = (cand
@@ -418,20 +435,39 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.92,
     pairs = semantic_dup_pairs(assigned, threshold, vec_col, id_col)
     cc = connected_components(pairs.select("id_a", "id_b"))
 
-    spark = df.sparkSession
-    cent = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "__l int, __cv array<double>")
-    dot = F.aggregate(F.zip_with("__v", "__cv", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    nrm = lambda c: F.sqrt(F.aggregate(
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    # Per-row centroid similarity as a vectorized Arrow kernel: the
+    # centroid table (n_lists x dim, tiny) rides in the UDF closure,
+    # pre-normalized, and each batch is ONE gather + row-wise einsum.
+    # The previous native `F.aggregate(F.zip_with(...))` fold ran this
+    # over the FULL corpus on Spark's interpreted higher-order-function
+    # path — the 10-100x pathology this repo measured and fixed in every
+    # other full-corpus vector pass (round-7 verdict #2).
+    C = np.asarray([[float(x) for x in c] for c in centroids],
+                   dtype=np.float64)
+    if C.size:
+        cn = np.linalg.norm(C, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            C_hat = C / cn[:, None]            # zero-norm centroid -> nan
+    else:
+        C_hat = C.reshape((0, 0))
+
+    def _centroid_csim(l: pd.Series, v: pd.Series) -> pd.Series:
+        out = np.full(len(v), np.nan)
+        valid = v.notna().to_numpy()
+        if valid.any() and C_hat.size:
+            X = np.asarray(v[valid].tolist(), dtype=np.float64)
+            xn = np.linalg.norm(X, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[valid] = np.einsum(
+                    "ij,ij->i", X,
+                    C_hat[l[valid].to_numpy(np.int64)]) / xn
+        return pd.Series(out)
+
+    csim_udf = F.pandas_udf(_centroid_csim, "double")
     csim = (assigned.select(F.col(id_col).alias("node"),
                             F.col("__ivf_list").alias("__l"),
                             F.col(vec_col).cast("array<double>").alias("__v"))
-            .join(F.broadcast(cent), "__l")
-            .select("node",
-                    (dot / (nrm(F.col("__v")) * nrm(F.col("__cv"))))
+            .select("node", csim_udf(F.col("__l"), F.col("__v"))
                     .alias("__csim")))
     keep = (cc.join(csim, "node")
             .groupBy("component")
