@@ -4310,6 +4310,32 @@ _sql("sql_knn_join", """
   WHERE rk <= 3
 """)
 
+# round 8: column-valued distance join (reference DistancePredicate
+# distance_side, rust/sedona-expr/src/spatial_predicate.rs:44-99): the
+# per-row radius lives on the left relation; the rewrite cuts candidates
+# at the column's exact MAX and keeps the original conjunct as the
+# per-row refine.
+_sql("sql_dwithin_column_radius", """
+  SELECT a.c_custkey, b.s_suppkey
+  FROM (SELECT c_custkey, geom, (c_custkey % 7) * 2.0 AS radius
+        FROM cust_pts WHERE c_custkey < 400) a
+  JOIN (SELECT s_suppkey,
+               ST_Point(abs(s_acctbal) % 100.0,
+                        (s_suppkey % 1000) / 10.0) AS geom
+        FROM supplier) b
+  ON ST_DWithin(a.geom, b.geom, a.radius)
+""", """
+  SELECT a.c_custkey, b.s_suppkey
+  FROM (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,
+               (c_custkey % 1000) / 10.0 AS py,
+               (c_custkey % 7) * 2.0 AS radius
+        FROM customer WHERE c_custkey < 400) a
+  JOIN (SELECT s_suppkey, abs(s_acctbal) % 100.0 AS px,
+               (s_suppkey % 1000) / 10.0 AS py
+        FROM supplier) b
+  ON sqrt(power(a.px - b.px, 2) + power(a.py - b.py, 2)) <= a.radius
+""")
+
 # Multi-join FROM chain: dim equi-join + spatial join in ONE query — the
 # chain rewriter joins the spatial pair through the native operator and
 # leaves the equi join to Catalyst's hash join (all-inner chains are

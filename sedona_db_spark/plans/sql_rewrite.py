@@ -254,6 +254,12 @@ class _SpatialConjunct:
         # exact refine over the join output (strict-vs-inclusive boundary
         # and the dwithin kernel's 1e-12 tolerance both stay exact)
         self.keep_refine = False
+        # column-valued distance (reference DistancePredicate
+        # distance_side, rust/sedona-expr/src/spatial_predicate.rs:44-99):
+        # (alias, col) of the per-row radius; the join's candidate cut
+        # uses the column's MAX and the original conjunct survives as the
+        # exact per-row refine (keep_refine forced on)
+        self.dist_col: tuple[str, str] | None = None
 
 
 def _qualified_ref(toks, lo, hi, aliases, schemas):
@@ -309,8 +315,14 @@ def _parse_distance_comparison(toks, lo, hi, aliases, schemas):
                     or toks[fn_lo + 1] != "(" or toks[fn_hi - 1] != ")"):
                 return None
             dist = _literal_number(toks, num_lo, num_hi)
+            dref = None
             if dist is None or dist < 0:
-                return None
+                # column-valued bound: ST_Distance(a.g, b.g) < a.radius
+                # (reference distance_side, spatial_predicate.rs:44-99)
+                dref = _qualified_ref(toks, num_lo, num_hi,
+                                      aliases, schemas)
+                if dref is None or dref[1] not in schemas[dref[0]]:
+                    return None
             args = _split_args(toks, fn_lo + 2, fn_hi - 1)
             if args is None or len(args) != 2:
                 return None
@@ -325,6 +337,7 @@ def _parse_distance_comparison(toks, lo, hi, aliases, schemas):
                 return None
             sc = _SpatialConjunct("dwithin", None, [ra, rb], [ca, cb],
                                   [dist])
+            sc.dist_col = dref
             sc.keep_refine = True
             return sc
     return None
@@ -373,10 +386,26 @@ def _parse_spatial_conjunct(toks, lo, hi, aliases, schemas):
         if len(args) != 3:
             raise _Decline
         (ra, ca), (rb, cb) = geo(0), geo(1)
-        dist = _literal_number(toks, args[2][0], args[2][1])
-        if ra == rb or dist is None:
+        if ra == rb:
             raise _Decline
-        return _SpatialConjunct("dwithin", None, [ra, rb], [ca, cb], [dist])
+        dist = _literal_number(toks, args[2][0], args[2][1])
+        if dist is not None:
+            return _SpatialConjunct("dwithin", None, [ra, rb], [ca, cb],
+                                    [dist])
+        # column-valued radius: ST_DWithin(a.g, b.g, a.radius) — the
+        # reference's distance_side handling
+        # (rust/sedona-expr/src/spatial_predicate.rs:44-99).  The
+        # radius must live on exactly ONE side; an expression mixing
+        # both sides has no single owning relation to max over ->
+        # decline to vanilla.
+        dref = _qualified_ref(toks, args[2][0], args[2][1],
+                              aliases, schemas)
+        if dref is None or dref[1] not in schemas[dref[0]]:
+            raise _Decline
+        sc = _SpatialConjunct("dwithin", None, [ra, rb], [ca, cb], [None])
+        sc.dist_col = dref
+        sc.keep_refine = True     # original conjunct = exact per-row refine
+        return sc
     # ST_KNN(q, o, k, use_spheroid)
     if len(args) != 4:
         raise _Decline
@@ -675,6 +704,10 @@ def _rewrite(spark, sql, toks, vanilla_sql):
     g1 = lgeom.get(m.rel1.alias)
     g2 = rmap.get(lgeom.get(m.rel2.alias), lgeom.get(m.rel2.alias))
 
+    if spatial.dist_col is not None:
+        da, dc = spatial.dist_col
+        spatial.dist_col_resolved = (da, out_name(da, dc))
+
     joined = _build_join(spark, m, spatial, ldf, rdf_r, g1, g2)
 
     # -------- register the view and rebuild the query text
@@ -817,6 +850,24 @@ def _build_join(spark, m, spatial, ldf, rdf_r, g1, g2) -> DataFrame:
         # the SQL surface exposes both sides' columns (+ knn_distance)
         return out
     if spatial.kind == "dwithin":
+        dist = spatial.extra[0]
+        if spatial.dist_col is not None:
+            # column-valued radius: the candidate cut expands every bbox
+            # by the column's exact MAX (one pushdown-friendly column
+            # agg — a sampled max could undercut and silently drop
+            # pairs), and the ORIGINAL conjunct survives as the exact
+            # per-row refine (keep_refine).  Reference distance_side,
+            # spatial_predicate.rs:44-99.
+            from pyspark.sql import functions as F
+            da, dcn = spatial.dist_col_resolved
+            side = ldf if da == m.rel1.alias else rdf_r
+            mx = side.agg(F.max(F.col(dcn).cast("double"))).first()[0]
+            # all-NULL / empty radius column: candidates at touch-only
+            # expansion, the refine then drops every row (NULL radius
+            # never satisfies ST_DWithin) — correct empty result
+            dist = float(mx) if mx is not None else 0.0
+            if dist < 0.0:
+                dist = 0.0
         if m.how == "inner":
             # symmetric: index the smaller side (see build-side note below)
             from sedona_db_spark.plans.width import planned_size_bytes
@@ -825,10 +876,10 @@ def _build_join(spark, m, spatial, ldf, rdf_r, g1, g2) -> DataFrame:
             if sl is not None and sr is not None and sl < sr:
                 return spatial_join(rdf_r, ldf, left_geom=g2, right_geom=g1,
                                     predicate="intersects",
-                                    distance=spatial.extra[0], how="inner")
+                                    distance=dist, how="inner")
         return spatial_join(ldf, rdf_r, left_geom=g1, right_geom=g2,
                             predicate="intersects",
-                            distance=spatial.extra[0], how=m.how)
+                            distance=dist, how=m.how)
     pred = spatial.predicate
     if m.how == "inner":
         # spatial_join builds its index on the RIGHT side, so put the
@@ -1050,6 +1101,16 @@ def _chain_rewrite(spark, toks, depths, from_idx, rels, ons, from_end,
     lgeom = {a: c for a, c in zip(spatial.arg_rels, spatial.arg_cols)}
     g1 = lgeom.get(first_alias)
     g2 = rmap.get(lgeom.get(second_alias), lgeom.get(second_alias))
+
+    if spatial.dist_col is not None:
+        da, dc = spatial.dist_col
+        # a radius column living on a THIRD relation has no owner inside
+        # the pair join — decline to vanilla
+        if da not in (first_alias, second_alias) \
+                or dc not in pair_schemas[da]:
+            raise _Decline
+        spatial.dist_col_resolved = (
+            da, dc if da == first_alias else rmap.get(dc, dc))
 
     joined = _build_join(spark, m, spatial, ldf, rdf_r, g1, g2)
 

@@ -722,3 +722,65 @@ def test_lattice_extra_on_conjunct_declines(spark):
          "ON ST_Within(c.geom, n.geom) AND n.n_nationkey > 2")
     df = spark.sql(q)
     assert getattr(df, "_sedona_rewritten_sql", None) is None
+
+
+# ----------------------------------------------------------------------
+# round 8: column-valued distance (reference DistancePredicate
+# distance_side, rust/sedona-expr/src/spatial_predicate.rs:44-99)
+# ----------------------------------------------------------------------
+
+def _prep_radius_views(spark):
+    _prep(spark)
+    spark.sql("""
+      SELECT c_custkey, geom, (c_custkey % 7) * 2.0 AS radius
+      FROM cust_pts WHERE c_custkey < 400
+    """).createOrReplaceTempView("pts_r")
+    spark.sql("""
+      SELECT s_suppkey, ST_Point(abs(s_acctbal) % 100.0,
+                                 (s_suppkey % 1000) / 10.0) AS geom
+      FROM supplier
+    """).createOrReplaceTempView("sup_pts")
+
+
+def test_dwithin_column_radius_join(spark):
+    _prep_radius_views(spark)
+    q = """SELECT a.c_custkey, b.s_suppkey FROM pts_r a JOIN sup_pts b
+           ON ST_DWithin(a.geom, b.geom, a.radius)"""
+    df = spark.sql(q)
+    assert getattr(df, "_sedona_rewritten_sql", None) is not None
+    _assert_no_pair_explosion(df)
+    got = _rows(df, ["c_custkey", "s_suppkey"])
+    want = _rows(_vanilla(spark, q), ["c_custkey", "s_suppkey"])
+    assert got == want and len(got) > 0
+
+
+def test_distance_comparison_column_bound(spark):
+    _prep_radius_views(spark)
+    q = """SELECT a.c_custkey, b.s_suppkey FROM pts_r a JOIN sup_pts b
+           ON ST_Distance(a.geom, b.geom) < a.radius"""
+    df = spark.sql(q)
+    assert getattr(df, "_sedona_rewritten_sql", None) is not None
+    _assert_no_pair_explosion(df)
+    assert _rows(df, ["c_custkey", "s_suppkey"]) == \
+        _rows(_vanilla(spark, q), ["c_custkey", "s_suppkey"])
+
+
+def test_dwithin_radius_on_right_side(spark):
+    """Radius owned by the RIGHT relation maxes over that side."""
+    _prep_radius_views(spark)
+    q = """SELECT a.s_suppkey, b.c_custkey FROM sup_pts a JOIN pts_r b
+           ON ST_DWithin(a.geom, b.geom, b.radius)"""
+    df = spark.sql(q)
+    assert getattr(df, "_sedona_rewritten_sql", None) is not None
+    assert _rows(df, ["s_suppkey", "c_custkey"]) == \
+        _rows(_vanilla(spark, q), ["s_suppkey", "c_custkey"])
+
+
+def test_dwithin_radius_both_sides_declines(spark):
+    """A radius expression referencing BOTH sides has no owning relation
+    to max over -> vanilla planning."""
+    _prep_radius_views(spark)
+    q = """SELECT a.c_custkey, b.s_suppkey FROM pts_r a JOIN sup_pts b
+           ON ST_DWithin(a.geom, b.geom, a.radius + b.s_suppkey)"""
+    df = spark.sql(q)
+    assert getattr(df, "_sedona_rewritten_sql", None) is None
