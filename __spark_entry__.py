@@ -1031,7 +1031,7 @@ _sql("text_token_stats", """
                length(translate(norm, ' ', '')) AS slen,
                length(text) AS n_chars
         FROM (SELECT doc_id, text,
-                     regexp_replace(trim(text), '\\\\s+', ' ') AS norm
+                     trim(regexp_replace(text, '\\\\s+', ' ')) AS norm
               FROM documents))
 """, """
   SELECT doc_id,
@@ -1069,7 +1069,7 @@ _sql("text_stopword_ratio", """
                / greatest(CASE WHEN length(norm) = 0 THEN 0
                                ELSE length(norm) - length(translate(norm, ' ', '')) + 1 END,
                           1), 6) AS sw_ratio
-  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\\\\s+', ' ')) AS norm
+  FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\\\s+', ' '))) AS norm
         FROM documents)
 """, """
   SELECT doc_id,
@@ -1365,7 +1365,7 @@ _TOKCOUNT_SPARK = """
            AS n_tokens
   FROM (SELECT doc_id, length(norm) AS nlen,
                length(translate(norm, ' ', '')) AS slen
-        FROM (SELECT doc_id, regexp_replace(trim(text), '\\\\s+', ' ') AS norm
+        FROM (SELECT doc_id, trim(regexp_replace(text, '\\\\s+', ' ')) AS norm
               FROM documents))
 """
 _TOKCOUNT_DUCK = """
@@ -1493,15 +1493,23 @@ def _q_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PY["mix_domains_sample"] = _q_mix_domains
 _O["mix_domains_sample"] = """
-  WITH w(source, w) AS (VALUES ('src1', 2.0), ('src7', 1.0), ('src18', 0.5)),
+  WITH w(source, w) AS (VALUES ('src1', CAST(2.0 AS DOUBLE)),
+                               ('src7', CAST(1.0 AS DOUBLE)),
+                               ('src18', CAST(0.5 AS DOUBLE))),
   cnt AS (
     SELECT d.source, count(*) AS c, any_value(w.w) AS w
     FROM documents d JOIN w ON d.source = w.source
     GROUP BY d.source),
+  -- DOUBLE weights + the binding-domain pin mirror domain_mix_rates'
+  -- engine-portable rule: min is the bitwise min of c/w quotients,
+  -- the binding domain (c/w = t, exact float equality) takes 2^31,
+  -- everything else floors the same IEEE expression
   t AS (SELECT min(c / w) AS t FROM cnt),
   thr AS (
     SELECT source,
-           CAST(floor(((t.t * w) / c) * 2147483648) AS BIGINT) AS thr
+           CASE WHEN c / w = t.t THEN CAST(2147483648 AS BIGINT)
+                ELSE CAST(floor(((t.t * w) / c) * 2147483648) AS BIGINT)
+           END AS thr
     FROM cnt, t)
   SELECT d.source, count(*) AS n_kept, CAST(sum(d.doc_id) AS BIGINT) AS id_sum
   FROM documents d JOIN thr ON d.source = thr.source
@@ -1760,6 +1768,57 @@ _O["pipeline_pretrain_pack"] = """
          start_offset // 512 AS seq_first,
          (start_offset + greatest(n_tokens, 1) - 1) // 512 AS seq_last
   FROM c2
+"""
+
+
+def _q_pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curriculum assembly: quality gate (>= 0.85) -> token
+    counts -> length-bucketed fixed-size batches, ONE lazy plan.  The
+    bucketing stats probe the BASE table's id min/max (id_bounds), so
+    the quality gate never executes twice (round-8: parity with
+    pack_sequences' escape hatch)."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions import text as tx
+    from sedona_db_spark.operators.batching import length_bucketed_batches
+    docs = spark.table("documents").select("doc_id", "text")
+    good = docs.filter(
+        F.round(tx.quality_score_cell(F.col("text")), 4) >= 0.85)
+    toks = good.select("doc_id", tx.token_count(F.col("text"))
+                       .cast("long").alias("n_tokens"))
+    bounds = spark.table("documents").agg(
+        F.min("doc_id"), F.max("doc_id")).first()
+    return length_bucketed_batches(toks, 8,
+                                   id_bounds=(bounds[0], bounds[1]))
+
+
+_PY["pipeline_curriculum_compose"] = _q_pipeline_curriculum
+_O["pipeline_curriculum_compose"] = """
+  WITH s AS (
+    SELECT doc_id, text,
+      list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                  t -> t != '') AS tk
+    FROM documents),
+  m AS (
+    SELECT doc_id, text, tk,
+      round(0.3 * (CASE WHEN len(tk) >= 5 AND len(tk) <= 100000
+                        THEN 1.0 ELSE 0.0 END)
+          + 0.3 * (1.0 - len(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
+                         * 1.0 / greatest(len(text), 1))
+          + 0.2 * least(len(list_filter(tk, t -> list_contains(
+                  ['the','and','of','to','a','in','is','that','it','for'], t)))
+                  * 4.0 / greatest(len(tk), 1), 1.0)
+          + 0.2 * (CASE WHEN len(regexp_replace(text, '\\s+', '', 'g'))
+                             * 1.0 / greatest(len(tk), 1) BETWEEN 2.0 AND 12.0
+                        THEN 1.0 ELSE 0.0 END), 4) AS q
+    FROM s),
+  good AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens
+           FROM m WHERE q >= 0.85),
+  b AS (SELECT doc_id, n_tokens,
+               least(n_tokens // 64, 31) AS bucket FROM good)
+  SELECT doc_id, n_tokens, bucket,
+         (row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 8
+           AS batch_id
+  FROM b
 """
 
 

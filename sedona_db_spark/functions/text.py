@@ -39,8 +39,16 @@ def tokens(col) -> Column:
 
 
 def _norm_ws(col) -> Column:
-    """Whitespace-normalized trimmed text (single regex pass)."""
-    return F.regexp_replace(F.trim(col), _TOKEN_SPLIT, " ")
+    """Whitespace-normalized trimmed text (single regex pass).
+
+    Normalize FIRST, then trim: Spark's ``trim`` strips ASCII space
+    only, so trimming the raw text leaves a leading tab behind and the
+    normalizer turns it into a phantom leading space — one edge-
+    whitespace doc then shifts every downstream token count off the
+    filter-empties kernel/oracle convention (round-7 ADVICE).  After
+    normalization every edge run is a single space, which ``trim``
+    removes exactly."""
+    return F.trim(F.regexp_replace(col, _TOKEN_SPLIT, " "))
 
 
 def token_count(col) -> Column:

@@ -269,11 +269,21 @@ def domain_mix_rates(df: DataFrame, weights: dict[str, float],
                 if w > 0 and counts.get(d, 0) > 0}
     if not eligible:
         return {}
-    t = min(counts[d] / w for d, w in eligible.items())
+    # Engine-portable threshold rule (round-7 ADVICE): every step below
+    # is a single IEEE-double expression a SQL oracle reproduces
+    # bit-exactly with DOUBLE weights — t is the bitwise min of the
+    # c/w quotients, the binding domain is identified by float
+    # EQUALITY with t (exact: min returns one of the quotients), and
+    # its threshold is pinned to 2^31 so a rate-1.0 domain keeps hash
+    # 2^31-1 instead of losing it to the t*w/c float roundtrip.
+    t = min(counts[d] / float(w) for d, w in eligible.items())
     out = {}
     for d, w in eligible.items():
-        rate = t * w / counts[d]
-        out[d] = (int(rate * _M31), rate)
+        if counts[d] / float(w) == t:
+            out[d] = (_M31, 1.0)
+        else:
+            rate = t * float(w) / counts[d]
+            out[d] = (int(rate * _M31), rate)
     return out
 
 
@@ -396,7 +406,9 @@ def length_bucketed_batches(df: DataFrame, batch_size: int,
                             token_col: str = "n_tokens",
                             id_col: str = "doc_id",
                             bucket_width: int = 64, max_bucket: int = 31,
-                            npart: int | None = None) -> DataFrame:
+                            npart: int | None = None,
+                            id_bounds: tuple[int, int] | None = None
+                            ) -> DataFrame:
     """Assign docs to fixed-size batches within length-homogeneous buckets.
 
     Training dataloaders bucket samples by length so a batch pads to its
@@ -411,12 +423,22 @@ def length_bucketed_batches(df: DataFrame, batch_size: int,
     global prefix scan over the composite order (bucket, id) minus the
     bucket's first position (a tiny per-bucket aggregate, broadcast back)
     — parallelism stays at ``npart`` whatever the bucket skew.
+
+    When ``df`` is the tail of an expensive composed pipeline, pass
+    ``id_bounds`` (any range COVERING the ids, e.g. the base table's
+    min/max) so the stats job probes cheap base statistics instead of
+    executing the pipeline twice — the same escape hatch
+    ``pack_sequences`` / ``materialize_sequences`` carry; bounds only
+    steer bucket balance, never correctness.
     """
     if batch_size <= 0:
         raise ValueError("batch_size must be positive")
     npart = npart or _npart_default(df)
-    stats = df.agg(F.min(id_col).alias("lo"),
-                   F.max(id_col).alias("hi")).first()
+    if id_bounds is not None:
+        stats = {"lo": int(id_bounds[0]), "hi": int(id_bounds[1])}
+    else:
+        stats = df.agg(F.min(id_col).alias("lo"),
+                       F.max(id_col).alias("hi")).first()
     bucket = F.least(F.floor(F.col(token_col) / F.lit(int(bucket_width))),
                      F.lit(int(max_bucket))).cast("long")
     if stats["lo"] is None:

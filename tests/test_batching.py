@@ -311,3 +311,44 @@ def test_prefix_scan_property_random_shapes(spark):
         assert (out["run_before"].to_numpy() == excl).all()
 
     run()
+
+
+def test_id_bounds_skips_stats_execution(spark):
+    """id_bounds is the double-execution escape hatch: WITHOUT it the
+    operators run a min/max stats job over the input at BUILD time (an
+    exploding input raises right there); WITH it, build is pure plan
+    construction.  Mirrors pack_sequences' id_bounds contract
+    (round-7 verdict #5 parity for length_bucketed_batches)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.operators.batching import (length_bucketed_batches,
+                                                    pack_sequences)
+
+    def _boom(x):
+        raise RuntimeError("pipeline executed during plan construction")
+    boom = F.udf(_boom, "long")
+    df = spark.range(16).select(boom("id").alias("doc_id"),
+                                F.col("id").alias("n_tokens"))
+    with _pytest.raises(Exception):
+        length_bucketed_batches(df, 8)          # stats job fires -> boom
+    length_bucketed_batches(df, 8, id_bounds=(0, 15))   # no job: OK
+    with _pytest.raises(Exception):
+        pack_sequences(df, 512)
+    pack_sequences(df, 512, id_bounds=(0, 15))
+
+
+def test_length_bucketed_id_bounds_same_result(spark):
+    """Bounds only steer bucket balance — results identical even for a
+    covering range far wider than the actual ids."""
+    import pandas as pd
+
+    from sedona_db_spark.operators.batching import length_bucketed_batches
+    pdf = pd.DataFrame({"doc_id": range(50),
+                        "n_tokens": [7 * (i % 13) + 1 for i in range(50)]})
+    df = spark.createDataFrame(pdf)
+    a = length_bucketed_batches(df, 8).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = length_bucketed_batches(df, 8, id_bounds=(-1000, 10_000)) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
