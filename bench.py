@@ -108,16 +108,14 @@ GROUPS: dict[str, list[str]] = {
 }
 assert sorted(n for g in GROUPS.values() for n in g) == sorted(HEADLINE)
 
-# Queries whose walls are dominated by big shuffled joins — the class
-# where episodic hypervisor stalls (round-6 verdict: tpch_q3 4.6-17 s on
-# identical plans) distort a min-of-2 the most.
-_STALL_PRONE = {"tpch_q3_top10", "tpch_q5_nation_rev",
-                "spatial_join_grid_within", "knn_join_polygons_bulk",
-                # round-7 measurements: both swing 2-4x on identical
-                # plans under the ambient hypervisor stalls (operators
-                # unchanged since r6; isolated reruns reproduce the r6
-                # walls) — min-of-3 bounds the recorded number
-                "knn_join_polygons_k2", "predicates_random_100k"}
+# Round 8 (round-7 verdict #3/#6): min-of-3 for EVERY query.  The
+# round-7 driver run regressed tpch_q1/q3/q5 and predicates_random_100k
+# 15-27% with no plan changes — the documented episodic hypervisor
+# stalls (phantom loadavg with vmstat idle) land on whichever query is
+# running, not just the join-heavy set the old _STALL_PRONE list
+# guessed.  One extra rep across the ~35-query suite costs ~12 s of
+# bench wall and bounds the stall error everywhere.
+_STALL_PRONE = set(HEADLINE)
 
 
 def _loadavg() -> list[float]:
