@@ -3624,6 +3624,41 @@ _O["raster_zonal_stats"] = """
 """
 
 
+def _q_sql_raster_geom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-vs-geometry JOIN through the SQL front door (round 8,
+    reference join eligibility spatial_predicate.rs:203-205): the
+    rewrite materializes each raster's footprint (RS_Envelope) and
+    routes RS_Contains through the native spatial join instead of a
+    nested-loop + per-row refine."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions import raster as rs
+    boxes = spark.table("nation_boxes")
+    rast = boxes.select(
+        "n_nationkey",
+        rs.as_raster(F.col("geom"), 8, 8, F.lit(1.0)).alias("rast"))
+    rast.createOrReplaceTempView("nation_rasters")
+    return spark.sql("""
+      SELECT r.n_nationkey, count(*) AS n_pts
+      FROM nation_rasters r JOIN cust_pts c
+      ON RS_Contains(r.rast, c.geom)
+      GROUP BY r.n_nationkey
+    """)
+
+
+_PY["sql_raster_geom_join"] = _q_sql_raster_geom_join
+_O["sql_raster_geom_join"] = """
+  SELECT n.n_nationkey, count(*) AS n_pts
+  FROM (SELECT n_nationkey,
+               CAST(n_nationkey % 5 AS DOUBLE) * 20.0 AS x0,
+               CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 AS y0
+        FROM nation) n
+  JOIN (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,
+               (c_custkey % 1000) / 10.0 AS py FROM customer) c
+  ON c.px > n.x0 AND c.px < n.x0 + 20.0 AND c.py > n.y0 AND c.py < n.y0 + 20.0
+  GROUP BY n.n_nationkey
+"""
+
+
 _HTTP_RASTER_FIXTURE: dict = {}
 
 

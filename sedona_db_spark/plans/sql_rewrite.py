@@ -115,9 +115,21 @@ _TRANSPOSE = {
     # the engine does not certify arg-swap symmetry
 }
 
+# raster-vs-geometry join predicates (reference join eligibility:
+# rust/sedona-expr/src/spatial_predicate.rs:203-205).  The engine
+# defines RS_Pred(r, g) as ST_Pred(RS_Envelope(r), g) (the skew-correct
+# footprint polygon), so the join routes as an ordinary spatial join
+# over a materialized footprint column — EXACT, not a candidate cut.
+_RS_PRED_NAMES = {
+    "RS_INTERSECTS": "intersects",
+    "RS_CONTAINS": "contains",
+    "RS_WITHIN": "within",
+}
+
 _PRECHECK = re.compile(
-    r"\bST_(INTERSECTS|CONTAINS|WITHIN|COVERS|COVERED_?BY|TOUCHES|CROSSES|"
-    r"OVERLAPS|EQUALS|DWITHIN|KNN|DISTANCE)\s*\(",
+    r"\b(?:ST_(INTERSECTS|CONTAINS|WITHIN|COVERS|COVERED_?BY|TOUCHES|CROSSES|"
+    r"OVERLAPS|EQUALS|DWITHIN|KNN|DISTANCE)|"
+    r"RS_(INTERSECTS|CONTAINS|WITHIN))\s*\(",
     re.I,
 )
 
@@ -260,6 +272,11 @@ class _SpatialConjunct:
         # uses the column's MAX and the original conjunct survives as the
         # exact per-row refine (keep_refine forced on)
         self.dist_col: tuple[str, str] | None = None
+        # RS_Pred(raster, geometry): arg0 is a raster struct column;
+        # the join materializes its footprint (RS_Envelope) and routes
+        # as an ordinary spatial join — exact by definition, since the
+        # engine defines RS_Pred(r, g) = ST_Pred(RS_Envelope(r), g)
+        self.raster0 = False
 
 
 def _qualified_ref(toks, lo, hi, aliases, schemas):
@@ -349,7 +366,8 @@ def _parse_spatial_conjunct(toks, lo, hi, aliases, schemas):
     if hi - lo < 4 or toks[lo + 1] != "(" or toks[hi - 1] != ")":
         return _parse_distance_comparison(toks, lo, hi, aliases, schemas)
     fname = toks[lo].upper()
-    if fname not in _PRED_NAMES and fname not in ("ST_DWITHIN", "ST_KNN"):
+    if (fname not in _PRED_NAMES and fname not in _RS_PRED_NAMES
+            and fname not in ("ST_DWITHIN", "ST_KNN")):
         return _parse_distance_comparison(toks, lo, hi, aliases, schemas)
     # split args on top-level commas inside the call
     d = 0
@@ -382,6 +400,17 @@ def _parse_spatial_conjunct(toks, lo, hi, aliases, schemas):
             raise _Decline
         return _SpatialConjunct("relation", _PRED_NAMES[fname],
                                 [ra, rb], [ca, cb], [])
+    if fname in _RS_PRED_NAMES:
+        # RS_Pred(raster, geometry): arg0 is the raster side
+        if len(args) != 2:
+            raise _Decline
+        (ra, ca), (rb, cb) = geo(0), geo(1)
+        if ra == rb:
+            raise _Decline
+        sc = _SpatialConjunct("relation", _RS_PRED_NAMES[fname],
+                              [ra, rb], [ca, cb], [])
+        sc.raster0 = True
+        return sc
     if fname == "ST_DWITHIN":
         if len(args) != 3:
             raise _Decline
@@ -826,6 +855,28 @@ def _build_join(spark, m, spatial, ldf, rdf_r, g1, g2) -> DataFrame:
     """Route the matched shape into the engine's join operators."""
     from sedona_db_spark.operators.knn_join import knn_join
     from sedona_db_spark.operators.spatial_join import spatial_join
+
+    # raster-vs-geometry join (reference eligibility,
+    # spatial_predicate.rs:203-205): materialize the footprint polygon
+    # on the raster side and join it as ordinary geometry — placed
+    # BEFORE the geography probe (raster columns are structs, never
+    # geography-tagged WKB).
+    if spatial.raster0:
+        from pyspark.sql import functions as F
+        pred = spatial.predicate
+        fp = "__rs_fp"
+        if spatial.arg_rels[0] == m.rel1.alias:
+            l2 = ldf.withColumn(fp, F.expr(f"RS_Envelope(`{g1}`)"))
+            out = spatial_join(l2, rdf_r, left_geom=fp, right_geom=g2,
+                               predicate=pred, how=m.how)
+        else:
+            p2 = _TRANSPOSE.get(pred)
+            if p2 is None:
+                raise _Decline
+            r2 = rdf_r.withColumn(fp, F.expr(f"RS_Envelope(`{g2}`)"))
+            out = spatial_join(ldf, r2, left_geom=g1, right_geom=fp,
+                               predicate=p2, how=m.how)
+        return out.drop(fp)
 
     # geography values (in-band edge tags) make the planar operators
     # numerically wrong: probe and route.  Tagged point dwithin gets the

@@ -784,3 +784,77 @@ def test_dwithin_radius_both_sides_declines(spark):
            ON ST_DWithin(a.geom, b.geom, a.radius + b.s_suppkey)"""
     df = spark.sql(q)
     assert getattr(df, "_sedona_rewritten_sql", None) is None
+
+
+# ----------------------------------------------------------------------
+# round 8: raster-vs-geometry join routing (reference join eligibility,
+# rust/sedona-expr/src/spatial_predicate.rs:203-205)
+# ----------------------------------------------------------------------
+
+def _prep_rasters(spark):
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.functions import raster as rs
+    boxes = spark.table("nation_boxes")
+    boxes.select("n_nationkey",
+                 rs.as_raster(F.col("geom"), 8, 8, F.lit(1.0)).alias("rast")
+                 ).createOrReplaceTempView("nation_rasters")
+
+
+def test_raster_geom_join_rewrite(spark):
+    """RS_Contains(r, g) joins through the native spatial join on the
+    materialized footprint — exact (RS_Pred(r,g) is DEFINED as
+    ST_Pred(RS_Envelope(r), g)), no nested loop."""
+    _prep_rasters(spark)
+    q = """SELECT r.n_nationkey, c.c_custkey
+           FROM nation_rasters r JOIN cust_pts c
+           ON RS_Contains(r.rast, c.geom)"""
+    df = spark.sql(q)
+    assert getattr(df, "_sedona_rewritten_sql", None) is not None
+    _assert_no_pair_explosion(df)
+    got = _rows(df, ["n_nationkey", "c_custkey"])
+    want = _rows(_vanilla(spark, q), ["n_nationkey", "c_custkey"])
+    assert got == want and len(got) > 0
+
+
+def test_raster_geom_join_raster_on_right(spark):
+    """Raster on the RIGHT relation transposes the predicate so the
+    operator keeps SQL-side order."""
+    _prep_rasters(spark)
+    q = """SELECT c.c_custkey, r.n_nationkey
+           FROM cust_pts c JOIN nation_rasters r
+           ON RS_Contains(r.rast, c.geom)"""
+    df = spark.sql(q)
+    assert getattr(df, "_sedona_rewritten_sql", None) is not None
+    _assert_no_pair_explosion(df)
+    assert _rows(df, ["c_custkey", "n_nationkey"]) == \
+        _rows(_vanilla(spark, q), ["c_custkey", "n_nationkey"])
+
+
+def test_raster_geom_semi_join(spark):
+    """RS join composes with the round-8 join-type lattice: every
+    customer point inside SOME raster footprint, emitted once."""
+    _prep_rasters(spark)
+    q = """SELECT c.c_custkey
+           FROM (SELECT * FROM cust_pts WHERE c_custkey < 800) c
+           LEFT SEMI JOIN nation_rasters r ON RS_Contains(r.rast, c.geom)"""
+    df = spark.sql(q)
+    assert getattr(df, "_sedona_rewritten_sql", None) is not None
+    got = [r["c_custkey"] for r in df.collect()]
+    assert len(got) == len(set(got)) > 0
+    # oracle: strict point-in-box arithmetic over the same tiling
+    want = spark.sql("""
+      SELECT c_custkey FROM (
+        SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,
+               (c_custkey % 1000) / 10.0 AS py
+        FROM customer WHERE c_custkey < 800) c
+      WHERE EXISTS (
+        SELECT 1 FROM (
+          SELECT CAST(n_nationkey % 5 AS DOUBLE) * 20.0 AS x0,
+                 CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 AS y0
+          FROM nation) n
+        WHERE c.px > n.x0 AND c.px < n.x0 + 20.0
+          AND c.py > n.y0 AND c.py < n.y0 + 20.0)
+    """)
+    assert sorted(got) == sorted(r["c_custkey"] for r in want.collect())
