@@ -225,6 +225,89 @@ LCC2_ROWS += [
       for n in range(42, 51)],
 ]
 
+# ---------------------------------------------------------------------
+# round-8 tranche: remaining high-traffic national families.  Modern
+# (WGS84-coincident) datums carry shift None and are pinned by
+# agreement with the worked-example-verified WGS84 UTM math
+# (tests/test_geom.py round-8 block); zone-prefixed variants are
+# additionally pinned by the exact FE-prefix arithmetic identity.
+# ---------------------------------------------------------------------
+
+TM_ROWS += [
+    # CGCS2000 / 3-degree Gauss-Kruger zones 25-45 (EPSG:4513-4533,
+    # FE = zone*1e6 + 500 km) and the unprefixed CM 75E-135E variants
+    # (EPSG:4534-4554); 3-degree zone n has CM = 3n
+    *[(4488 + z, 0.0, 3.0 * z, 1.0, z * 1_000_000.0 + 500000.0, 0.0,
+       "GRS80", None) for z in range(25, 46)],
+    *[(4534 + i, 0.0, 75.0 + 3.0 * i, 1.0, 500000.0, 0.0, "GRS80",
+       None) for i in range(21)],
+    # Australia: GDA94 / MGA zones 48, 57, 58 (EPSG:28348/28357/28358;
+    # 49-56 are registered by _register_generated) and GDA2020 / MGA
+    # zones 46-48, 57-59 (EPSG:7846-7848, 7857-7859)
+    *[(28300 + z, 0.0, _utm_cm(z), 0.9996, 500000.0, 10000000.0,
+       "GRS80", None) for z in (48, 57, 58)],
+    *[(7800 + z, 0.0, _utm_cm(z), 0.9996, 500000.0, 10000000.0,
+       "GRS80", None) for z in (46, 47, 48, 57, 58, 59)],
+    # Brazil: SIRGAS 2000 / UTM zone 17S (EPSG:31977) completes 17S-25S
+    (31977, 0.0, _utm_cm(17), 0.9996, 500000.0, 10000000.0, "GRS80",
+     None),
+    # Japan: JGD2000 / UTM zones 51N-55N (EPSG:3097-3101) and
+    # JGD2011 / UTM zones 51N-55N (EPSG:6688-6692)
+    *[(3046 + z, 0.0, _utm_cm(z), 0.9996, 500000.0, 0.0, "GRS80",
+       None) for z in range(51, 56)],
+    *[(6637 + z, 0.0, _utm_cm(z), 0.9996, 500000.0, 0.0, "GRS80",
+       None) for z in range(51, 56)],
+    # Norway: ETRS89 / NTM zones 5-30 (EPSG:5105-5130, Kartverket):
+    # TM lat0 58N, CM = zone + 0.5 degrees, k0 = 1, FE 100 km,
+    # FN 1,000,000 (GRS80; ETRS89 WGS84-coincident)
+    *[(5100 + z, 58.0, z + 0.5, 1.0, 100000.0, 1000000.0, "GRS80",
+       None) for z in range(5, 31)],
+    # Japan legacy: Tokyo / Japan Plane Rectangular CS I-XIX
+    # (EPSG:30161-30179): the SAME zone-origin table as JGD2000/JGD2011
+    # on Bessel 1841 behind the published Tokyo Bursa-Wolf
+    *[(30161 + i, lat0, lon0, 0.9999, 0.0, 0.0, "BESSEL",
+       WGS84_TO_TOKYO) for i, (lat0, lon0) in enumerate(JPRCS_ORIGINS)],
+    # Canada: NAD83 / MTM zones 1-17 (EPSG:32181-32197): TM k0 0.9999,
+    # FE 304,800 m (1,000,000 ft), zone CMs per the SCRS MTM layout
+    # (zones 1-2 Newfoundland -53/-56; 3-10 Quebec/Labrador -58.5 to
+    # -79.5 step -3; 11 -82.5; 12-17 Ontario -81 to -96 step -3)
+    *[(32180 + z, 0.0, cm, 0.9999, 304800.0, 0.0, "GRS80", None)
+      for z, cm in ((1, -53.0), (2, -56.0), (3, -58.5), (4, -61.5),
+                    (5, -64.5), (6, -67.5), (7, -70.5), (8, -73.5),
+                    (9, -76.5), (10, -79.5), (11, -82.5), (12, -81.0),
+                    (13, -84.0), (14, -87.0), (15, -90.0), (16, -93.0),
+                    (17, -96.0))],
+    # Canada: NAD83(CSRS) / UTM — EPSG:2955-2962 (zones 11-13, 17-21)
+    # and EPSG:3154-3161 (zones 7-10, 14-16, 22)
+    *[(code, 0.0, _utm_cm(z), 0.9996, 500000.0, 0.0, "GRS80", None)
+      for code, z in ((2955, 11), (2956, 12), (2957, 13), (2958, 17),
+                      (2959, 18), (2960, 19), (2961, 20), (2962, 21),
+                      (3154, 7), (3155, 8), (3156, 9), (3157, 10),
+                      (3158, 14), (3159, 15), (3160, 16), (3161, 22))],
+    # Argentina: Gauss-Krüger fajas 1-7 (lat0 at the south pole, CM
+    # -72 to -54 step 3, FE = faja*1e6 + 500 km) for POSGAR 94
+    # (EPSG:22171-22177), POSGAR 98 (EPSG:22181-22187) and POSGAR 2007
+    # (EPSG:5343-5349) — all treated WGS84-coincident (meter-level)
+    *[(base + n, -90.0, -75.0 + 3.0 * n, 1.0,
+       n * 1_000_000.0 + 500000.0, 0.0, "GRS80", None)
+      for base in (22170, 22180, 5342) for n in range(1, 8)],
+    # USA: NAD83(HARN) / UTM zones 10N-19N (EPSG:3740-3749)
+    *[(3730 + z, 0.0, _utm_cm(z), 0.9996, 500000.0, 0.0, "GRS80",
+       None) for z in range(10, 20)],
+    # Colombia: MAGNA-SIRGAS zones (EPSG:3114-3118): TM k0 1,
+    # FE = FN = 1,000,000, lat0 4°35'46.3215"N, CM stepping 3 degrees
+    # from the Far West zone 80°04'39.0285"W to East 68°04'39.0285"W
+    *[(3114 + i, _D(4, 35, 46.3215), _D(-(68 + 3 * (4 - i)), 4, 39.0285),
+       1.0, 1000000.0, 1000000.0, "GRS80", None) for i in range(5)],
+]
+
+LCC2_ROWS += [
+    # NAD83 / Quebec Lambert (EPSG:32198)
+    (32198, 44.0, -68.5, 60.0, 46.0, 800000.0, 0.0, "GRS80", None),
+    # GDA2020 / GA LCC (EPSG:7845; same cone as GDA94's EPSG:3112)
+    (7845, 0.0, 134.0, -18.0, -36.0, 0.0, 0.0, "GRS80", None),
+]
+
 # OSGB36 <- WGS84 (same published Bursa-Wolf the EPSG:27700 entry uses)
 WGS84_TO_OSGB36 = (-446.448, 125.157, -542.060, -0.1502, -0.2470,
                    -0.8421, 20.4894)

@@ -382,6 +382,12 @@ class TransverseMercator:
 
     def _xi_of_lat(self, phi):
         s = math.sin(phi)
+        if abs(s) >= 1.0:
+            # polar latitude-of-origin (Argentina Gauss-Krüger fajas use
+            # lat0 = -90): atanh(+-1) diverges but the limit is exact —
+            # t -> +-inf, xi_p -> +-pi/2, and every series term
+            # sin(2*j*pi/2) vanishes
+            return math.copysign(math.pi / 2, s)
         t = math.sinh(math.atanh(s) - self.e * math.atanh(self.e * s))
         xi_p = math.atan(t)
         xi = xi_p

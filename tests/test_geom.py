@@ -694,3 +694,107 @@ def test_ups_and_new_national_grids():
                                 * np.sin(np.radians(sp)) ** 2))
             grid = float(np.hypot(xb - xa, yb - ya))
             assert abs(grid / ground - 1.0) < 1e-7, code
+
+
+# ----------------------------------------------------------------------
+# round 8: EPSG tranche to 800+ codes — each family pinned either by an
+# exact arithmetic identity (zone-prefix FE), agreement with the
+# worked-example-verified WGS84 UTM math (modern WGS84-coincident
+# datums), or a published-geography sanity band
+# ----------------------------------------------------------------------
+
+def _proj(code):
+    from sedona_db_spark.geom.projections import lookup_projection
+    p = lookup_projection(code)
+    assert p is not None, code
+    return p
+
+
+def test_registry_exceeds_800():
+    from sedona_db_spark.geom.projections import _PROJ_REGISTRY
+    assert len(_PROJ_REGISTRY) >= 800
+
+
+def test_cgcs2000_three_degree_prefix_identity():
+    """Zone-prefixed (4513-4533) and CM (4534-4554) variants differ by
+    exactly zone * 1e6 in FE — pure arithmetic identity."""
+    za, zb = _proj("EPSG:4523"), _proj("EPSG:4544")   # zone 35 / CM 105E
+    xa, ya = za.forward(105.5, 30.0)
+    xb, yb = zb.forward(105.5, 30.0)
+    assert float(xa - xb) == 35_000_000.0 and float(ya) == float(yb)
+
+
+def test_modern_datum_utm_twins_match_wgs84():
+    """GDA2020 MGA / JGD2011 UTM / CSRS UTM / HARN UTM / SIRGAS 17S are
+    WGS84-coincident: must agree with the worked-example-verified WGS84
+    UTM zone to < 1 mm (GRS80-vs-WGS84 flattening difference)."""
+    import math
+    cases = [("EPSG:7858", "EPSG:32758", 165.0, -45.0),   # MGA 58
+             ("EPSG:6692", "EPSG:32655", 147.0, 43.0),    # JGD2011 UTM 55N
+             ("EPSG:2958", "EPSG:32617", -80.0, 44.0),    # CSRS UTM 17N
+             ("EPSG:3745", "EPSG:32615", -92.0, 41.0),    # HARN UTM 15N
+             ("EPSG:31977", "EPSG:32717", -80.0, -5.0)]   # SIRGAS 17S
+    for code, twin, lon, lat in cases:
+        xa, ya = _proj(code).forward(lon, lat)
+        xb, yb = _proj(twin).forward(lon, lat)
+        assert math.hypot(float(xa - xb), float(ya - yb)) < 1e-3, code
+
+
+def test_ntm_zones():
+    """Norway NTM zone n: CM = n + 0.5, origin (58N, FE 100 km,
+    FN 1,000,000): a point ON the central meridian at 58N maps to
+    exactly (100000, 1000000); roundtrip closes."""
+    p = _proj("EPSG:5110")
+    x, y = p.forward(10.5, 58.0)
+    assert abs(float(x) - 100000.0) < 1e-6
+    assert abs(float(y) - 1000000.0) < 1e-6
+    lon, lat = p.inverse(*p.forward(10.6, 60.0))
+    assert abs(float(lon) - 10.6) < 1e-8 and abs(float(lat) - 60.0) < 1e-8
+
+
+def test_tokyo_datum_zones_offset_from_jgd():
+    """Tokyo / Japan PRC IX vs JGD2000 IX at Tokyo Station: identical
+    zone origin, Bessel+Bursa-Wolf datum — the documented Tokyo->JGD
+    coordinate shift in Kanto is ~400-500 m northwest-ish."""
+    import math
+    xt, yt = _proj("EPSG:30169").forward(139.7, 35.68)
+    xj, yj = _proj("EPSG:2451").forward(139.7, 35.68)
+    d = math.hypot(float(xt - xj), float(yt - yj))
+    assert 350.0 < d < 600.0, d
+    lon, lat = _proj("EPSG:30169").inverse(xt, yt)
+    # Helmert wrapper inverse is iterative: ~2e-8 deg (2 mm) residual
+    assert abs(float(lon) - 139.7) < 1e-6 and abs(float(lat) - 35.68) < 1e-6
+
+
+def test_posgar_fajas():
+    """Argentina GK faja 5 (CM -60, FE 5.5e6, origin at the south
+    pole): Buenos Aires lands ~146 km east of the CM and ~6150-6200 km
+    up from the pole; faja bases 94/98/2007 are identical params."""
+    x, y = _proj("EPSG:5347").forward(-58.4, -34.6)
+    assert 5_600_000 < float(x) < 5_700_000
+    assert 6_100_000 < float(y) < 6_250_000
+    for twin in ("EPSG:22175", "EPSG:22185"):
+        xt, yt = _proj(twin).forward(-58.4, -34.6)
+        assert float(xt) == float(x) and float(yt) == float(y)
+
+
+def test_mtm_and_quebec_lambert():
+    """NAD83 MTM zone 8 (CM -73.5, FE 304800 = 1e6 ft) and Quebec
+    Lambert put Montreal where the published grids do."""
+    x, y = _proj("EPSG:32188").forward(-73.56, 45.5)
+    assert 295_000 < float(x) < 305_000        # slightly west of CM
+    assert 5_030_000 < float(y) < 5_045_000    # ~45.5 deg meridian arc
+    x, y = _proj("EPSG:32198").forward(-73.56, 45.5)
+    assert 390_000 < float(x) < 420_000
+    assert 165_000 < float(y) < 195_000
+
+
+def test_magna_sirgas_bogota_origin():
+    """MAGNA-SIRGAS Bogota zone: the zone origin (4°35'46.3215"N,
+    74°04'39.0285"W) IS (1e6, 1e6) by definition."""
+    p = _proj("EPSG:3116")
+    lat0 = 4 + 35 / 60 + 46.3215 / 3600
+    lon0 = -(74 + 4 / 60 + 39.0285 / 3600)
+    x, y = p.forward(lon0, lat0)
+    assert abs(float(x) - 1_000_000.0) < 1e-6
+    assert abs(float(y) - 1_000_000.0) < 1e-6
