@@ -4247,6 +4247,137 @@ _O["multimodal_gif_decode"] = """
 """
 
 # ======================================================================
+# round 8: web-corpus ingestion — the pipeline stage BEFORE the text
+# suite: WARC shards (sources/warc.py), HTML -> text extraction and URL
+# hygiene (functions/web.py).  All three oracle-backed.
+# ======================================================================
+
+
+def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC shard write+read roundtrip (ISO 28500, one gzip member per
+    record — the Common Crawl layout): documents become conversion
+    records, the reader parses them back distributed (binaryFile scan,
+    one task per shard)."""
+    import tempfile
+    from pyspark.sql import functions as F
+    from sedona_db_spark.sources.warc import read_warc, write_warc
+    docs = spark.table("documents").select(
+        F.expr("concat('<urn:uuid:', CAST(doc_id AS STRING), '>')")
+        .alias("record_id"),
+        F.lit("conversion").alias("warc_type"),
+        F.expr("concat('https://site', CAST(doc_id % 10 AS STRING), "
+               "'.com/p/', CAST(doc_id % 7 AS STRING))").alias("url"),
+        F.lit("2020-01-01T00:00:00Z").alias("date"),
+        F.lit("text/plain").alias("content_type"),
+        F.col("text").cast("binary").alias("content"))
+    out = tempfile.mkdtemp(prefix="warc_") + "/shards"
+    write_warc(docs, out)
+    back = read_warc(spark, out + "/*.warc.gz")
+    return back.select(
+        F.regexp_extract("record_id", r"(\d+)", 1).cast("long")
+        .alias("doc_id"),
+        "url", F.col("content_length").cast("long").alias("n_bytes"),
+        F.length("text").cast("long").alias("n_chars"))
+
+
+_PY["warc_roundtrip_read"] = _q_warc_roundtrip
+_O["warc_roundtrip_read"] = """
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 10 AS VARCHAR) || '.com/p/'
+           || CAST(doc_id % 7 AS VARCHAR) AS url,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+"""
+
+
+def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> visible text (the documented simplified C4-class
+    extractor, functions/web.py): documents wrapped in a deterministic
+    HTML template with scripts, styles, entities and comments; the
+    oracle states the EXPECTED text independently (not a regex-chain
+    replica), so the extraction algorithm itself is what's checked."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions.web import html_to_text
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.expr("trim(regexp_replace(text, '\\\\s+', ' '))").alias("__t"))
+    docs = docs.filter(F.length("__t") > 0)
+    html = F.expr(
+        "concat('<html><head><script>var x = 1;</script>"
+        "<style>p{color:red}</style></head><body><h1>Doc ', "
+        "CAST(doc_id AS STRING), '</h1><p>', __t, "
+        "'</p><p>tail &amp; &lt;b&gt;</p><!-- hidden --></body></html>')")
+    return docs.select("doc_id",
+                       html_to_text(html).alias("text"))
+
+
+_PY["html_extract_text"] = _q_html_extract
+_O["html_extract_text"] = """
+  SELECT doc_id,
+         'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+           || trim(regexp_replace(text, '\\s+', ' ', 'g')) || chr(10)
+           || 'tail & <b>' AS text
+  FROM documents
+  WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+"""
+
+
+def _q_url_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL hygiene pipeline: blocklist gate (suffix-at-label-boundary)
+    then C4-style URL dedup (keep min doc_id per normalized URL) over
+    synthetic crawl URLs with www/scheme/fragment/trailing-slash noise."""
+    from sedona_db_spark.functions.web import (dedup_by_url,
+                                               filter_url_blocklist)
+    urls = spark.sql("""
+      SELECT doc_id,
+             concat(CASE WHEN doc_id % 4 = 0 THEN 'https://www.'
+                         ELSE 'http://' END,
+                    CASE WHEN doc_id % 5 = 0 THEN 'ads.' ELSE '' END,
+                    'site', CAST(doc_id % 10 AS STRING), '.com/p/',
+                    CAST(doc_id % 7 AS STRING),
+                    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+                    CASE WHEN doc_id % 2 = 0 THEN '#top' ELSE '' END)
+               AS url
+      FROM documents""")
+    kept = filter_url_blocklist(urls, ["site3.com", "site7.com"])
+    return dedup_by_url(kept).select("doc_id", "url")
+
+
+_PY["url_blocklist_dedup"] = _q_url_hygiene
+_O["url_blocklist_dedup"] = """
+  WITH u AS (
+    SELECT doc_id,
+           (CASE WHEN doc_id % 4 = 0 THEN 'https://www.'
+                 ELSE 'http://' END)
+           || (CASE WHEN doc_id % 5 = 0 THEN 'ads.' ELSE '' END)
+           || 'site' || CAST(doc_id % 10 AS VARCHAR) || '.com/p/'
+           || CAST(doc_id % 7 AS VARCHAR)
+           || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+           || (CASE WHEN doc_id % 2 = 0 THEN '#top' ELSE '' END) AS url
+    FROM documents),
+  h AS (
+    SELECT doc_id, url,
+           lower(regexp_extract(url,
+             '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1))
+             AS host
+    FROM u),
+  kept AS (
+    SELECT doc_id, url FROM h
+    WHERE NOT (host = 'site3.com' OR host LIKE '%.site3.com'
+               OR host = 'site7.com' OR host LIKE '%.site7.com')),
+  n AS (
+    SELECT doc_id, url,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             lower(url), '^[a-z][a-z0-9+.-]*://', ''),
+             '^www\\.', ''), '#.*$', ''), '/$', '') AS nurl
+    FROM kept),
+  keep AS (SELECT nurl, min(doc_id) AS doc_id FROM n GROUP BY nurl)
+  SELECT n.doc_id, n.url FROM n JOIN keep USING (nurl, doc_id)
+"""
+
+
+# ======================================================================
 # entry points
 # ======================================================================
 

@@ -132,6 +132,9 @@ def _register_builtins() -> None:
          "ASPRS LAS point cloud (LAZ gated)"),
         ("zarr", f"{S}.zarr_source", "read_zarr", None, (".zarr",),
          "Zarr v2/v3 datacube"),
+        ("warc", f"{S}.warc", "read_warc", "write_warc",
+         (".warc", ".warc.gz", ".wet", ".wet.gz"),
+         "WARC/WET web archives (ISO 28500, Common Crawl)"),
         ("csv", f"{S}.interop", "read_csv", "write_csv", (".csv",),
          "CSV with WKT geometry columns"),
         ("json", f"{S}.interop", "read_json", "write_json", (),

@@ -1,0 +1,182 @@
+"""Web-corpus ingestion: WARC/WET source, HTML->text, URL hygiene."""
+from __future__ import annotations
+
+import gzip
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sedona_db_spark.functions.web import (dedup_by_url,
+                                           filter_url_blocklist,
+                                           html_to_text, url_host,
+                                           url_normalize, url_path_depth)
+
+
+# ----------------------------------------------------------------------
+# HTML -> text
+# ----------------------------------------------------------------------
+
+def _extract(spark, html: str) -> str:
+    return spark.range(1).select(
+        html_to_text(F.lit(html)).alias("t")).first()["t"]
+
+
+def test_html_basic_blocks(spark):
+    html = ("<html><head><title>T</title><script>var x = '<p>';</script>"
+            "<style>p { color: red }</style></head>"
+            "<body><h1>Head line</h1><p>para one</p>"
+            "<p>two &amp; three &lt;ok&gt;</p><!-- secret --></body></html>")
+    out = _extract(spark, html)
+    assert out == "T Head line\npara one\ntwo & three <ok>"
+
+
+def test_html_script_content_never_leaks(spark):
+    out = _extract(spark, "<script>document.evil()</script><p>kept</p>")
+    assert "evil" not in out and out == "kept"
+
+
+def test_html_nbsp_and_br(spark):
+    out = _extract(spark, "a&nbsp;b<br>c<br/>d")
+    assert out == "a b\nc\nd"
+
+
+def test_html_whitespace_collapse(spark):
+    out = _extract(spark, "<div>  a\t b </div>\n\n<div> c </div>")
+    assert out == "a b\nc"
+
+
+# ----------------------------------------------------------------------
+# URL features
+# ----------------------------------------------------------------------
+
+def test_url_host_and_depth(spark):
+    df = spark.createDataFrame(
+        [("https://User:pw@WWW.Example.COM:8080/a/b/c?q=1#f",),
+         ("http://plain.org",),
+         ("not a url",)], "url string")
+    got = df.select(url_host("url").alias("h"),
+                    url_path_depth("url").alias("d")).collect()
+    assert (got[0]["h"], got[0]["d"]) == ("www.example.com", 3)
+    assert (got[1]["h"], got[1]["d"]) == ("plain.org", 0)
+    assert got[2]["h"] == ""
+
+
+def test_url_normalize_rule(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://WWW.Site.com/Path/#frag",),
+         ("http://site.com/Path",)], "url string")
+    got = [r[0] for r in df.select(url_normalize("url")).collect()]
+    # aggressive rule: lowercase, strip scheme/www/fragment/trailing /
+    assert got[0] == "site.com/path"
+    assert got[1] == "site.com/path"
+
+
+def test_blocklist_label_boundary(spark):
+    df = spark.createDataFrame(
+        [(1, "https://example.com/x"),
+         (2, "https://ads.example.com/x"),
+         (3, "https://notexample.com/x"),
+         (4, "https://fine.org/x")], "doc_id long, url string")
+    kept = filter_url_blocklist(df, ["example.com"])
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3, 4]
+
+
+def test_dedup_by_url_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(5, "https://www.a.com/p/"), (3, "http://a.com/p"),
+         (9, "https://a.com/p#top"), (7, "https://b.com/q")],
+        "doc_id long, url string")
+    kept = dedup_by_url(df)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3, 7]
+
+
+# ----------------------------------------------------------------------
+# WARC source
+# ----------------------------------------------------------------------
+
+def _mk_warc(tmpdir: str, records: list[dict], compress=True,
+             members=True) -> str:
+    """Hand-assemble a .warc(.gz): one gzip member per record when
+    members=True, a single member otherwise (both legal)."""
+    from sedona_db_spark.sources.warc import _record_bytes
+    blobs = [_record_bytes(r) for r in records]
+    path = os.path.join(tmpdir, "t.warc.gz" if compress else "t.warc")
+    with open(path, "wb") as f:
+        if not compress:
+            f.write(b"".join(blobs))
+        elif members:
+            for b in blobs:
+                f.write(gzip.compress(b, mtime=0))
+        else:
+            f.write(gzip.compress(b"".join(blobs), mtime=0))
+    return path
+
+
+_RECS = [
+    {"warc_type": "warcinfo", "record_id": "<urn:uuid:0>",
+     "date": "2020-01-01T00:00:00Z",
+     "content_type": "application/warc-fields",
+     "content": b"software: test\r\n"},
+    {"warc_type": "conversion", "record_id": "<urn:uuid:1>",
+     "url": "https://a.com/x", "date": "2020-01-01T00:00:01Z",
+     "content_type": "text/plain", "content": "hello wéb".encode()},
+    {"warc_type": "response", "record_id": "<urn:uuid:2>",
+     "url": "https://b.com/y", "date": "2020-01-01T00:00:02Z",
+     "content_type": "application/octet-stream",
+     "content": bytes(range(256))},
+]
+
+
+@pytest.mark.parametrize("compress,members", [(True, True), (True, False),
+                                              (False, True)])
+def test_warc_read_variants(spark, tmp_path, compress, members):
+    from sedona_db_spark.sources.warc import read_warc
+    p = _mk_warc(str(tmp_path), _RECS, compress=compress, members=members)
+    out = read_warc(spark, p).orderBy("record_id").collect()
+    assert [r["warc_type"] for r in out] == \
+        ["warcinfo", "conversion", "response"]
+    assert out[1]["url"] == "https://a.com/x"
+    assert out[1]["text"] == "hello wéb"
+    assert bytes(out[2]["content"]) == bytes(range(256))
+    assert out[2]["text"] is None
+    assert out[0]["url"] is None
+
+
+def test_warc_write_read_roundtrip(spark, tmp_path):
+    from sedona_db_spark.sources.warc import read_warc, write_warc
+    df = spark.createDataFrame(pd.DataFrame({
+        "record_id": [f"<urn:uuid:rt{i}>" for i in range(20)],
+        "warc_type": ["conversion"] * 20,
+        "url": [f"https://site{i % 3}.com/p{i}" for i in range(20)],
+        "date": ["2021-02-03T04:05:06Z"] * 20,
+        "content_type": ["text/plain"] * 20,
+        "content": [f"doc {i} body".encode() for i in range(20)],
+    }))
+    out_dir = str(tmp_path / "out")
+    write_warc(df, out_dir)
+    back = read_warc(spark, out_dir + "/*.warc.gz")
+    got = {r["record_id"]: r for r in back.collect()}
+    assert len(got) == 20
+    for i in range(20):
+        r = got[f"<urn:uuid:rt{i}>"]
+        assert r["text"] == f"doc {i} body"
+        assert r["url"] == f"https://site{i % 3}.com/p{i}"
+        assert r["content_length"] == len(f"doc {i} body")
+
+
+def test_warc_corrupt_tail_raises(spark, tmp_path):
+    from sedona_db_spark.sources.warc import read_warc
+    p = os.path.join(str(tmp_path), "bad.warc")
+    with open(p, "wb") as f:
+        f.write(b"WARC/1.0\r\nContent-Length: 5\r\n\r\nhello\r\n\r\ngarbage")
+    with pytest.raises(Exception, match="malformed WARC"):
+        read_warc(spark, p).collect()
+
+
+def test_warc_registered_as_external_format(spark):
+    from sedona_db_spark.sources.external import (format_for_path,
+                                                  lookup_format)
+    assert lookup_format("warc").name == "warc"
+    assert format_for_path("x/crawl.wet.gz").name == "warc"
