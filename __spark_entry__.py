@@ -4517,6 +4517,48 @@ _sql("sql_spatial_join_anti", """
     WHERE c.px > n.x0 AND c.px < n.x0 + 20.0 AND c.py > n.y0 AND c.py < n.y0 + 20.0)
 """)
 
+# round 8: spatial WHERE [NOT] EXISTS — the subquery spelling of the
+# semi/anti join; vanilla Spark cannot decorrelate a Python-UDF
+# predicate, so these shapes only run through the rewrite.
+_sql("sql_spatial_exists", """
+  SELECT c.c_custkey
+  FROM cust_pts c
+  WHERE c.c_custkey < 800 AND EXISTS (
+    SELECT 1 FROM nation_boxes n
+    WHERE ST_Within(c.geom, n.geom) AND n.n_nationkey < 20)
+""", """
+  SELECT c.c_custkey FROM
+  (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,
+          (c_custkey % 1000) / 10.0 AS py
+   FROM customer) c
+  WHERE c.c_custkey < 800 AND EXISTS (
+    SELECT 1 FROM (SELECT n_nationkey,
+                    CAST(n_nationkey % 5 AS DOUBLE) * 20.0 AS x0,
+                    CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 AS y0
+             FROM nation) n
+    WHERE c.px > n.x0 AND c.px < n.x0 + 20.0
+      AND c.py > n.y0 AND c.py < n.y0 + 20.0 AND n.n_nationkey < 20)
+""")
+
+_sql("sql_spatial_not_exists", """
+  SELECT c.c_custkey
+  FROM cust_pts c
+  WHERE c.c_custkey < 800 AND NOT EXISTS (
+    SELECT 1 FROM nation_boxes n WHERE ST_Within(c.geom, n.geom))
+""", """
+  SELECT c.c_custkey FROM
+  (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,
+          (c_custkey % 1000) / 10.0 AS py
+   FROM customer) c
+  WHERE c.c_custkey < 800 AND NOT EXISTS (
+    SELECT 1 FROM (SELECT n_nationkey,
+                    CAST(n_nationkey % 5 AS DOUBLE) * 20.0 AS x0,
+                    CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 AS y0
+             FROM nation) n
+    WHERE c.px > n.x0 AND c.px < n.x0 + 20.0
+      AND c.py > n.y0 AND c.py < n.y0 + 20.0)
+""")
+
 _sql("sql_knn_join", """
   SELECT c.c_custkey, n.n_nationkey, round(knn_distance, 6) AS dist
   FROM (SELECT * FROM cust_pts WHERE c_custkey < 500) c

@@ -246,8 +246,14 @@ def _split_conjuncts(toks: list[str], lo: int, hi: int) -> list[tuple[int, int]]
         elif d == 0 and t.upper() == "AND":
             spans.append((start, j))
             start = j + 1
-        elif d == 0 and (t.upper() == "OR" or t.upper() == "NOT"):
-            raise _Decline   # disjunctions / negations not rewritable
+        elif d == 0 and (t.upper() == "OR"
+                         or (t.upper() == "NOT"
+                             and not (j + 1 < hi
+                                      and toks[j + 1].upper() == "EXISTS"))):
+            # disjunctions / negations not rewritable — except NOT
+            # EXISTS, which stays inside its own conjunct span and is
+            # handled by the anti-join rewrite
+            raise _Decline
     spans.append((start, hi))
     return [s for s in spans if s[1] > s[0]]
 
@@ -625,6 +631,10 @@ def try_rewrite(spark: SparkSession, sql: str, vanilla_sql) -> DataFrame | None:
     except _Decline:
         pass
     try:
+        return _rewrite_exists(spark, sql, toks, vanilla_sql)
+    except _Decline:
+        pass
+    try:
         return _rewrite_chain(spark, sql, toks, vanilla_sql)
     except _Decline:
         return None
@@ -961,6 +971,171 @@ def _build_join(spark, m, spatial, ldf, rdf_r, g1, g2) -> DataFrame:
             raise _Decline
     return spatial_join(ldf, rdf_r, left_geom=g1, right_geom=g2,
                         predicate=pred, how=m.how)
+
+
+# ----------------------------------------------------------------------
+# spatial WHERE [NOT] EXISTS: the subquery-correlation spelling of the
+# semi/anti spatial join (reference SpatialJoinExec LeftSemi/LeftAnti,
+# exec.rs:235-240).  Vanilla Spark cannot decorrelate a Python-UDF
+# predicate (UNSUPPORTED_SUBQUERY_EXPRESSION / nested-loop fallback), so
+#   SELECT ... FROM t1 a WHERE [NOT] EXISTS (
+#       SELECT ... FROM t2 b WHERE ST_Pred(a.g, b.g) [AND b-only...])
+# routes through spatial_join(how=left_semi/left_anti): inner-only
+# conjuncts filter the subquery side first (exact EXISTS semantics),
+# the EXISTS conjunct is replaced by TRUE, and the outer FROM is
+# re-aliased onto the joined view so every other outer reference
+# survives verbatim.  Declines: multi-relation outer FROM, KNN or
+# comparison-form/column-radius predicates (their refine cannot live
+# inside an EXISTS), conjuncts referencing the outer side, GROUP/etc
+# inside the subquery.
+# ----------------------------------------------------------------------
+
+
+def _rewrite_exists(spark, sql, toks, vanilla_sql):
+    depths = _depths(toks)
+    n = len(toks)
+    for i in range(n):
+        if toks[i].upper() != "FROM" or depths[i] != 0:
+            continue
+        try:
+            rel1, j = _parse_rel(toks, i + 1)
+        except _Decline:
+            continue
+        if not (j < n and depths[j] == 0 and toks[j].upper() == "WHERE"):
+            continue                 # single-relation FROM + WHERE only
+        w_lo = j + 1
+        k = w_lo
+        stop = _BLOCK_END - {"WHERE"}
+        while k < n and (depths[k] > 0
+                         or toks[k].upper() not in stop):
+            k += 1
+        w_hi = k
+        for (lo, hi) in _split_conjuncts(toks, w_lo, w_hi):
+            p = lo
+            neg = False
+            if toks[p].upper() == "NOT":
+                neg, p = True, p + 1
+            if (p + 1 >= hi or toks[p].upper() != "EXISTS"
+                    or toks[p + 1] != "(" or toks[hi - 1] != ")"):
+                continue
+            try:
+                return _build_exists(spark, sql, toks, depths, rel1,
+                                     (i, j), (lo, hi),
+                                     (p + 2, hi - 1), neg, vanilla_sql)
+            except _Decline:
+                continue
+    raise _Decline
+
+
+def _build_exists(spark, sql, toks, depths, rel1, from_span, conj_span,
+                  sub_span, neg, vanilla_sql):
+    from pyspark.sql import functions as F
+    n = len(toks)
+    sub_lo, sub_hi = sub_span
+    d_sub = depths[sub_lo]
+    # subquery: SELECT ... FROM rel2 [WHERE ...], nothing else
+    f_idx = None
+    for k in range(sub_lo, sub_hi):
+        if depths[k] == d_sub and toks[k].upper() == "FROM":
+            f_idx = k
+            break
+        if depths[k] == d_sub and toks[k].upper() in _BLOCK_END:
+            raise _Decline
+    if f_idx is None:
+        raise _Decline
+    rel2, k = _parse_rel(toks, f_idx + 1)
+    if rel2.alias == rel1.alias:
+        raise _Decline
+    inner_conjs: list[tuple[int, int]] = []
+    if k < sub_hi:
+        if depths[k] != d_sub or toks[k].upper() != "WHERE":
+            raise _Decline           # joins / GROUP BY etc inside EXISTS
+        for kk in range(k + 1, sub_hi):
+            if depths[kk] == d_sub and toks[kk].upper() in _BLOCK_END:
+                raise _Decline
+        inner_conjs = _split_conjuncts(toks, k + 1, sub_hi)
+
+    ldf = _resolve_df(spark, vanilla_sql, rel1)
+    rdf = _resolve_df(spark, vanilla_sql, rel2)
+    aliases = (rel1.alias, rel2.alias)
+    schemas = {rel1.alias: set(ldf.columns), rel2.alias: set(rdf.columns)}
+
+    spatial = None
+    rest = []
+    for (lo, hi) in inner_conjs:
+        span = (lo + 1, hi - 1) if (
+            toks[lo] == "(" and toks[hi - 1] == ")"
+            and min(depths[lo + 1:hi - 1] or [0]) > depths[lo]) else (lo, hi)
+        sc = _parse_spatial_conjunct(toks, span[0], span[1],
+                                     aliases, schemas)
+        if sc is not None:
+            if spatial is not None:
+                raise _Decline
+            spatial = sc
+        else:
+            refs = _refs_relations(toks, span[0], span[1],
+                                   aliases, schemas)
+            if rel1.alias in refs:
+                raise _Decline       # outer-correlated non-spatial conjunct
+            rest.append((lo, hi))
+    if spatial is None or spatial.kind == "knn" or spatial.keep_refine:
+        raise _Decline
+    for a, c in zip(spatial.arg_rels, spatial.arg_cols):
+        if c not in schemas[a]:
+            raise _Decline
+
+    # inner-only conjuncts filter the subquery side BEFORE the semi join
+    # (exact EXISTS semantics) — rebuilt as a vanilla subquery so their
+    # original token text runs unchanged
+    if rest:
+        src = (f"({rel2.text})" if rel2.is_subquery else rel2.text)
+        cond = " AND ".join(
+            "( " + _render(toks[lo:hi]) + " )" for lo, hi in rest)
+        rdf = vanilla_sql(
+            f"SELECT * FROM {src} AS {rel2.alias} WHERE {cond}")
+
+    # right-side collision rename (same convention as the main path)
+    lcols = list(ldf.columns)
+    rmap = {c: (f"{rel2.alias}__{c}" if c in lcols else c)
+            for c in rdf.columns}
+    if any(v in lcols for c, v in rmap.items() if v != c):
+        raise _Decline
+    rdf_r = rdf.select([F.col(c).alias(a) for c, a in rmap.items()])
+
+    m = _Match()
+    m.rel1, m.rel2 = rel1, rel2
+    m.how = "left_anti" if neg else "left_semi"
+    m.comma_form = False
+    lgeom = {a: c for a, c in zip(spatial.arg_rels, spatial.arg_cols)}
+    g1 = lgeom.get(rel1.alias)
+    g2 = rmap.get(lgeom.get(rel2.alias), lgeom.get(rel2.alias))
+    joined = _build_join(spark, m, spatial, ldf, rdf_r, g1, g2)
+
+    vname = _VIEW_PREFIX + hashlib.sha1(
+        ("exists:" + sql).encode()).hexdigest()[:12]
+    joined.createOrReplaceTempView(vname)
+
+    out = []
+    i = 0
+    f_lo, f_hi = from_span
+    c_lo, c_hi = conj_span
+    while i < n:
+        if i == f_lo:
+            # re-alias the view onto the outer relation's alias so every
+            # other outer reference keeps resolving
+            out.extend(["FROM", vname, "AS", f"`{rel1.alias}`"])
+            i = f_hi
+            continue
+        if i == c_lo:
+            out.append("TRUE")
+            i = c_hi
+            continue
+        out.append(toks[i])
+        i += 1
+    rewritten = _render(out)
+    result = vanilla_sql(rewritten)
+    result._sedona_rewritten_sql = rewritten
+    return result
 
 
 # ----------------------------------------------------------------------

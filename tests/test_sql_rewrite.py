@@ -858,3 +858,67 @@ def test_raster_geom_semi_join(spark):
           AND c.py > n.y0 AND c.py < n.y0 + 20.0)
     """)
     assert sorted(got) == sorted(r["c_custkey"] for r in want.collect())
+
+
+# ----------------------------------------------------------------------
+# round 8: spatial WHERE [NOT] EXISTS -> semi/anti spatial join
+# ----------------------------------------------------------------------
+
+_EX_ORACLE_L = ("(SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,"
+                " (c_custkey % 1000) / 10.0 AS py FROM customer) c")
+_EX_ORACLE_R = ("(SELECT n_nationkey,"
+                " CAST(n_nationkey % 5 AS DOUBLE) * 20.0 AS x0,"
+                " CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 AS y0"
+                " FROM nation) n")
+_EX_COND = ("c.px > n.x0 AND c.px < n.x0 + 20.0 AND"
+            " c.py > n.y0 AND c.py < n.y0 + 20.0")
+
+
+@pytest.mark.parametrize("kw", ["EXISTS", "NOT EXISTS"])
+def test_spatial_exists_rewrite(spark, kw):
+    _prep(spark)
+    q = f"""SELECT c.c_custkey FROM cust_pts c
+            WHERE c.c_custkey < 800 AND {kw} (
+              SELECT 1 FROM nation_boxes n
+              WHERE ST_Within(c.geom, n.geom) AND n.n_nationkey < 20)"""
+    oq = f"""SELECT c.c_custkey FROM {_EX_ORACLE_L}
+             WHERE c.c_custkey < 800 AND {kw} (
+               SELECT 1 FROM {_EX_ORACLE_R}
+               WHERE {_EX_COND} AND n.n_nationkey < 20)"""
+    df = spark.sql(q)
+    assert getattr(df, "_sedona_rewritten_sql", None) is not None
+    _assert_no_pair_explosion(df)
+    assert _rows(df, ["c_custkey"]) == \
+        _rows(_vanilla(spark, oq), ["c_custkey"])
+
+
+def test_spatial_exists_outer_refs_survive(spark):
+    """Other outer conjuncts / projections keep resolving through the
+    re-aliased view; aggregation above the EXISTS works."""
+    _prep(spark)
+    q = """SELECT count(*) AS n, round(sum(c.c_acctbal), 2) AS bal
+           FROM cust_pts c
+           WHERE EXISTS (SELECT 1 FROM nation_boxes n
+                         WHERE ST_Contains(n.geom, c.geom))
+             AND c.c_custkey < 500"""
+    df = spark.sql(q)
+    assert getattr(df, "_sedona_rewritten_sql", None) is not None
+    oq = f"""SELECT count(*) AS n, round(sum(c.c_acctbal), 2) AS bal
+             FROM (SELECT c_custkey, c_acctbal,
+                          abs(c_acctbal) %% 100.0 AS px,
+                          (c_custkey %% 1000) / 10.0 AS py
+                   FROM customer) c
+             WHERE EXISTS (SELECT 1 FROM {_EX_ORACLE_R} WHERE {_EX_COND})
+               AND c.c_custkey < 500""".replace("%%", "%")
+    assert df.collect() == _vanilla(spark, oq).collect()
+
+
+def test_spatial_exists_correlated_extra_declines(spark):
+    """A non-spatial conjunct referencing the OUTER side inside EXISTS
+    cannot be folded into the subquery filter -> vanilla."""
+    _prep(spark)
+    q = """SELECT c.c_custkey FROM cust_pts c WHERE EXISTS (
+             SELECT 1 FROM nation_boxes n
+             WHERE ST_Within(c.geom, n.geom)
+               AND n.n_nationkey < c.c_custkey)"""
+    assert getattr(spark.sql(q), "_sedona_rewritten_sql", None) is None
