@@ -4377,6 +4377,96 @@ _O["url_blocklist_dedup"] = """
 """
 
 
+def _q_pipeline_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed web-ingestion pipeline, ONE lazy plan: synthetic crawl
+    (URL + HTML page per document) -> html_to_text -> quality gate
+    (>= 0.85 on the EXTRACTED text) -> URL blocklist -> C4 URL dedup ->
+    per-survivor token count.  Every stage is the same operator the
+    standalone contracts pin; this checks their composition."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions import text as tx
+    from sedona_db_spark.functions.web import (dedup_by_url,
+                                               filter_url_blocklist,
+                                               html_to_text)
+    crawl = spark.sql("""
+      SELECT doc_id,
+             concat(CASE WHEN doc_id % 4 = 0 THEN 'https://www.'
+                         ELSE 'http://' END,
+                    CASE WHEN doc_id % 5 = 0 THEN 'ads.' ELSE '' END,
+                    'site', CAST(doc_id % 10 AS STRING), '.com/p/',
+                    CAST(doc_id % 7 AS STRING),
+                    CASE WHEN doc_id % 2 = 0 THEN '#top' ELSE '' END)
+               AS url,
+             concat('<html><body><h1>Doc ', CAST(doc_id AS STRING),
+                    '</h1><p>', trim(regexp_replace(text, '\\\\s+', ' ')),
+                    '</p><!-- x --></body></html>') AS html
+      FROM documents
+      WHERE length(trim(regexp_replace(text, '\\\\s+', ' '))) > 0""")
+    extracted = crawl.select(
+        "doc_id", "url", html_to_text(F.col("html")).alias("text"))
+    good = extracted.filter(
+        F.round(tx.quality_score_cell(F.col("text")), 4) >= 0.85)
+    kept = dedup_by_url(filter_url_blocklist(good, ["site3.com"]))
+    return kept.select("doc_id", "url",
+                       tx.token_count(F.col("text")).cast("long")
+                       .alias("n_tokens"))
+
+
+_PY["pipeline_web_compose"] = _q_pipeline_web
+_O["pipeline_web_compose"] = """
+  WITH base AS (
+    SELECT doc_id,
+           (CASE WHEN doc_id % 4 = 0 THEN 'https://www.'
+                 ELSE 'http://' END)
+           || (CASE WHEN doc_id % 5 = 0 THEN 'ads.' ELSE '' END)
+           || 'site' || CAST(doc_id % 10 AS VARCHAR) || '.com/p/'
+           || CAST(doc_id % 7 AS VARCHAR)
+           || (CASE WHEN doc_id % 2 = 0 THEN '#top' ELSE '' END) AS url,
+           -- the extractor's expected output, stated independently
+           'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+             || trim(regexp_replace(text, '\\s+', ' ', 'g')) AS etext
+    FROM documents
+    WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0),
+  q AS (
+    SELECT doc_id, url, etext,
+      list_filter(regexp_split_to_array(lower(trim(etext)), '\\s+'),
+                  t -> t != '') AS tk
+    FROM base),
+  m AS (
+    SELECT doc_id, url, etext, tk,
+      round(0.3 * (CASE WHEN len(tk) >= 5 AND len(tk) <= 100000
+                        THEN 1.0 ELSE 0.0 END)
+          + 0.3 * (1.0 - len(regexp_replace(etext, '[^!-/:-@\\[-`{-~]', '', 'g'))
+                         * 1.0 / greatest(len(etext), 1))
+          + 0.2 * least(len(list_filter(tk, t -> list_contains(
+                  ['the','and','of','to','a','in','is','that','it','for'], t)))
+                  * 4.0 / greatest(len(tk), 1), 1.0)
+          + 0.2 * (CASE WHEN len(regexp_replace(etext, '\\s+', '', 'g'))
+                             * 1.0 / greatest(len(tk), 1) BETWEEN 2.0 AND 12.0
+                        THEN 1.0 ELSE 0.0 END), 4) AS qs
+    FROM q),
+  good AS (SELECT doc_id, url, tk FROM m WHERE qs >= 0.85),
+  unblocked AS (
+    SELECT doc_id, url, tk,
+           lower(regexp_extract(url,
+             '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1))
+             AS host
+    FROM good),
+  kept AS (
+    SELECT doc_id, url, tk FROM unblocked
+    WHERE NOT (host = 'site3.com' OR host LIKE '%.site3.com')),
+  n AS (
+    SELECT doc_id, url, tk,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             lower(url), '^[a-z][a-z0-9+.-]*://', ''),
+             '^www\\.', ''), '#.*$', ''), '/$', '') AS nurl
+    FROM kept),
+  keep AS (SELECT nurl, min(doc_id) AS doc_id FROM n GROUP BY nurl)
+  SELECT n.doc_id, n.url, CAST(len(n.tk) AS BIGINT) AS n_tokens
+  FROM n JOIN keep USING (nurl, doc_id)
+"""
+
+
 # ======================================================================
 # entry points
 # ======================================================================
