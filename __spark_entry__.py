@@ -4370,7 +4370,7 @@ _O["url_blocklist_dedup"] = """
     SELECT doc_id, url,
            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
              lower(url), '^[a-z][a-z0-9+.-]*://', ''),
-             '^www\\.', ''), '#.*$', ''), '/$', '') AS nurl
+             '^www\\.', ''), '#.*$', ''), '/+$', '') AS nurl
     FROM kept),
   keep AS (SELECT nurl, min(doc_id) AS doc_id FROM n GROUP BY nurl)
   SELECT n.doc_id, n.url FROM n JOIN keep USING (nurl, doc_id)
@@ -4459,7 +4459,7 @@ _O["pipeline_web_compose"] = """
     SELECT doc_id, url, tk,
            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
              lower(url), '^[a-z][a-z0-9+.-]*://', ''),
-             '^www\\.', ''), '#.*$', ''), '/$', '') AS nurl
+             '^www\\.', ''), '#.*$', ''), '/+$', '') AS nurl
     FROM kept),
   keep AS (SELECT nurl, min(doc_id) AS doc_id FROM n GROUP BY nurl)
   SELECT n.doc_id, n.url, CAST(len(n.tk) AS BIGINT) AS n_tokens

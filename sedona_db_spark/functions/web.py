@@ -71,12 +71,14 @@ def url_path_depth(col) -> Column:
 def url_normalize(col) -> Column:
     """Aggressive dedup-normalization (documented rule, applied
     identically in the SQL oracle): lowercase, strip the scheme, strip
-    one leading ``www.``, drop the #fragment, drop a trailing slash."""
+    one leading ``www.``, drop the #fragment, drop ALL trailing slashes
+    (one-slash stripping is not a fixpoint — caught by the hypothesis
+    idempotence property)."""
     c = F.lower(col)
     c = F.regexp_replace(c, r"^[a-z][a-z0-9+.-]*://", "")
     c = F.regexp_replace(c, r"^www\.", "")
     c = F.regexp_replace(c, r"#.*$", "")
-    return F.regexp_replace(c, r"/$", "")
+    return F.regexp_replace(c, r"/+$", "")
 
 
 def filter_url_blocklist(df: DataFrame, blocked_hosts, url_col: str = "url",

@@ -922,3 +922,32 @@ def test_spatial_exists_correlated_extra_declines(spark):
              WHERE ST_Within(c.geom, n.geom)
                AND n.n_nationkey < c.c_custkey)"""
     assert getattr(spark.sql(q), "_sedona_rewritten_sql", None) is None
+
+
+def test_dwithin_right_join_lattice(spark):
+    """Literal-distance ST_DWithin composes with the join-type lattice
+    (no refine-as-WHERE needed, so outer modes are exact)."""
+    _prep(spark)
+    q = """SELECT a.c_custkey, b.s_suppkey
+           FROM (SELECT c_custkey, geom FROM cust_pts
+                 WHERE c_custkey < 200) a
+           RIGHT JOIN (SELECT s_suppkey,
+                              ST_Point(abs(s_acctbal) % 100.0,
+                                       (s_suppkey % 1000) / 10.0) AS geom
+                       FROM supplier) b
+           ON ST_DWithin(a.geom, b.geom, 3.0)"""
+    df = spark.sql(q)
+    assert getattr(df, "_sedona_rewritten_sql", None) is not None
+    _assert_no_pair_explosion(df)
+    oq = """SELECT a.c_custkey, b.s_suppkey
+            FROM (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,
+                         (c_custkey % 1000) / 10.0 AS py
+                  FROM customer WHERE c_custkey < 200) a
+            RIGHT JOIN (SELECT s_suppkey, abs(s_acctbal) % 100.0 AS px,
+                               (s_suppkey % 1000) / 10.0 AS py
+                        FROM supplier) b
+            ON sqrt(power(a.px - b.px, 2) + power(a.py - b.py, 2)) <= 3.0"""
+    got = sorted(((r[0] is None, r[0] or 0), r[1]) for r in df.collect())
+    want = sorted(((r[0] is None, r[0] or 0), r[1])
+                  for r in _vanilla(spark, oq).collect())
+    assert got == want and len(got) > 0

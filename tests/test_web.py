@@ -180,3 +180,53 @@ def test_warc_registered_as_external_format(spark):
                                                   lookup_format)
     assert lookup_format("warc").name == "warc"
     assert format_for_path("x/crawl.wet.gz").name == "warc"
+
+
+# ----------------------------------------------------------------------
+# property invariants (hypothesis)
+# ----------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_URL_CHARS = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+             "0123456789-._~/?=&", min_size=0, max_size=20)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(
+    st.sampled_from(["http://", "https://", "HTTPS://"]),
+    st.sampled_from(["", "www.", "WWW.", "sub."]),
+    st.sampled_from(["a.com", "B.org", "x.y.net"]),
+    _URL_CHARS,
+    st.sampled_from(["", "/", "#frag", "/#Frag"])),
+    min_size=1, max_size=25))
+def test_url_normalize_idempotent(spark, parts):
+    """normalize(normalize(u)) == normalize(u) for URL-shaped inputs —
+    the dedup key is a fixpoint."""
+    urls = ["".join(p) for p in parts]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(url_normalize("url").alias("n1"))
+    twice = once.select(F.col("n1").alias("url")) \
+        .select(url_normalize("url").alias("n2"))
+    assert [r[0] for r in once.collect()] == \
+        [r[0] for r in twice.collect()]
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789 \t.,!?'",
+    min_size=0, max_size=60), min_size=1, max_size=25))
+def test_html_roundtrip_plain_text(spark, texts):
+    """For markup-free single-line text (no < or &; newlines are
+    line-break-preserving by design), wrapping in <p> tags and
+    extracting returns the whitespace-normalized text exactly."""
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = df.select(
+        html_to_text(F.concat(F.lit("<p>"), F.col("t"),
+                              F.lit("</p>"))).alias("o")).collect()
+    import re as _re
+    for t, row in zip(texts, got):
+        want = _re.sub(r"\s+", " ", t).strip()
+        assert row["o"] == want, (t, row["o"])
