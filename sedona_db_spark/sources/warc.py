@@ -116,23 +116,42 @@ def _parse_records(blob: bytes, path: str) -> Iterator[dict]:
         }
 
 
+_OUT_COLS = ["path", "record_id", "warc_type", "url", "date",
+             "content_type", "content_length", "content", "text"]
+
+
+def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for p, data in zip(pdf["path"], pdf["content"]):
+            for member in _iter_gzip_members(bytes(data)):
+                rows.extend(_parse_records(member, p))
+        yield pd.DataFrame(rows, columns=_OUT_COLS)
+
+
 def read_warc(spark: SparkSession, path: str, **options) -> DataFrame:
     """Distributed WARC/WET reader: one task per shard."""
     files = spark.read.format("binaryFile").load(path) \
         .select("path", "content")
+    return files.mapInPandas(_parse_batches, WARC_SCHEMA)
 
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for p, data in zip(pdf["path"], pdf["content"]):
-                for member in _iter_gzip_members(bytes(data)):
-                    rows.extend(_parse_records(member, p))
-            yield pd.DataFrame(
-                rows, columns=["path", "record_id", "warc_type", "url",
-                               "date", "content_type", "content_length",
-                               "content", "text"])
 
-    return files.mapInPandas(parse, WARC_SCHEMA)
+_BINFILE_SCHEMA = ("path string, modificationTime timestamp, "
+                   "length long, content binary")
+
+
+def read_warc_stream(spark: SparkSession, path: str, **options) -> DataFrame:
+    """Structured Streaming WARC/WET reader over a landing directory:
+    the file-stream source tracks which shards have been seen (exactly-
+    once per shard across restarts via the checkpoint), and each new
+    shard flows through the SAME record parser as the batch reader — so
+    the whole downstream web pipeline (html_to_text, quality gates, URL
+    hygiene: all stateless column expressions) runs on a live crawl
+    unchanged.  Batch/stream equivalence is pinned by test."""
+    files = spark.readStream.format("binaryFile") \
+        .schema(_BINFILE_SCHEMA).load(path) \
+        .select("path", "content")
+    return files.mapInPandas(_parse_batches, WARC_SCHEMA)
 
 
 def _record_bytes(r: dict) -> bytes:

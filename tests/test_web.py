@@ -230,3 +230,41 @@ def test_html_roundtrip_plain_text(spark, texts):
     for t, row in zip(texts, got):
         want = _re.sub(r"\s+", " ", t).strip()
         assert row["o"] == want, (t, row["o"])
+
+
+def test_warc_stream_matches_batch(spark, tmp_path):
+    """Streaming ingestion of a shard landing dir == the batch reader,
+    row for row, and the downstream web pipeline (stateless column
+    expressions) composes on the stream unchanged."""
+    from sedona_db_spark.sources.warc import (read_warc, read_warc_stream,
+                                              write_warc)
+    df = spark.createDataFrame(pd.DataFrame({
+        "record_id": [f"<urn:uuid:st{i}>" for i in range(12)],
+        "warc_type": ["conversion"] * 12,
+        "url": [f"https://www.s{i % 4}.com/p{i}#f" for i in range(12)],
+        "date": ["2022-01-01T00:00:00Z"] * 12,
+        "content_type": ["text/html"] * 12,
+        "content": [f"<p>body {i} &amp; more</p>".encode()
+                    for i in range(12)],
+    }))
+    land = str(tmp_path / "landing")
+    write_warc(df, land)
+
+    from sedona_db_spark.functions.web import html_to_text, url_normalize
+    def pipe(src):
+        return src.select(
+            "record_id", url_normalize(F.col("url")).alias("nurl"),
+            html_to_text(F.col("text")).alias("body"))
+
+    batch = pipe(read_warc(spark, land + "/*.warc.gz"))
+    stream = pipe(read_warc_stream(spark, land))
+    assert stream.isStreaming
+    q = (stream.writeStream.format("memory").queryName("warc_stream_t")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql(
+        "SELECT record_id, nurl, body FROM warc_stream_t").collect()))
+    want = sorted(map(tuple, batch.select(
+        "record_id", "nurl", "body").collect()))
+    assert got == want and len(got) == 12
+    assert got[0][2].endswith("& more")
