@@ -1208,6 +1208,52 @@ _O["dedup_lines_corpus"] = """
 """
 
 
+def _q_line_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-line exposure (RefinedWeb doc-level gate:
+    drop pages that are mostly corpus boilerplate) over the same
+    pseudo-line split as dedup_lines_corpus; output keeps only docs
+    CLEARING the 0.5 dup-line-fraction gate, with their scores."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.operators.dedup import line_dup_stats
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text"))
+    stats = line_dup_stats(docs, min_count=3)
+    return stats.where(F.col("dup_line_frac") <= 0.5)
+
+
+_PY["line_dup_doc_filter"] = _q_line_dup_stats
+_O["line_dup_doc_filter"] = """
+  WITH d AS (
+    SELECT doc_id,
+           string_split(replace(text, ' the ', chr(10)), chr(10)) AS ls
+    FROM documents),
+  l AS (
+    SELECT doc_id, unnest(ls) AS line FROM d),
+  dup AS (SELECT line FROM l GROUP BY line HAVING count(*) >= 3),
+  per AS (
+    SELECT doc_id,
+           count(*) AS n_lines,
+           sum(CASE WHEN line IN (SELECT line FROM dup)
+                    THEN 1 ELSE 0 END) AS n_dup_lines,
+           sum(len(line)) AS n_chars,
+           sum(CASE WHEN line IN (SELECT line FROM dup)
+                    THEN len(line) ELSE 0 END) AS dup_chars
+    FROM l GROUP BY doc_id)
+  SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+         CAST(n_dup_lines AS BIGINT) AS n_dup_lines,
+         round(CASE WHEN n_lines = 0 THEN 0.0
+                    ELSE n_dup_lines * 1.0 / n_lines END, 6)
+           AS dup_line_frac,
+         round(CASE WHEN n_chars = 0 THEN 0.0
+                    ELSE dup_chars * 1.0 / n_chars END, 6)
+           AS dup_char_frac
+  FROM per
+  WHERE round(CASE WHEN n_lines = 0 THEN 0.0
+                   ELSE n_dup_lines * 1.0 / n_lines END, 6) <= 0.5
+"""
+
+
 def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3/PaLM 13-gram eval-overlap rule).
     The benchmark set is derived deterministically on both sides: every

@@ -86,6 +86,51 @@ def remove_duplicate_lines(df: DataFrame, text_col: str = "text",
     return rebuilt.unionByName(survivors).select(*df.columns)
 
 
+def line_dup_stats(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", min_count: int = 2,
+                   sep: str = "\n") -> DataFrame:
+    """Per-document duplicated-line exposure (the RefinedWeb doc-level
+    counterpart of ``remove_duplicate_lines``): instead of cutting
+    lines, score each document by how much of it is corpus-duplicated
+    boilerplate — RefinedWeb-class pipelines DROP documents whose
+    duplicate-line fraction (by line count or by characters) exceeds a
+    threshold, on the grounds that a mostly-boilerplate page is low
+    value even after the boilerplate is removed.
+
+    Returns (id, n_lines, n_dup_lines, dup_line_frac, dup_char_frac).
+    Scale shape: identical to remove_duplicate_lines — posexplode, one
+    line groupBy with map-side partial counts, a LEFT SEMI membership
+    probe, one per-doc aggregate.  Filter with
+    ``.where(F.col('dup_line_frac') <= t)``."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1))
+        .alias("__pos", "__line"))
+    dup = (lines.groupBy("__line")
+           .agg(F.count(F.lit(1)).alias("__n"))
+           .filter(F.col("__n") >= int(min_count))
+           .select("__line"))
+    flagged = lines.join(dup.hint("shuffle_hash"), "__line", "left_semi") \
+        .groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("__dl"),
+            F.sum(F.length("__line")).alias("__dc"))
+    totals = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__nl"),
+        F.sum(F.length("__line")).alias("__nc"))
+    base = df.select(id_col).join(totals, id_col, "left") \
+        .join(flagged, id_col, "left")
+    nl = F.coalesce("__nl", F.lit(0)).cast("long")
+    dl = F.coalesce("__dl", F.lit(0)).cast("long")
+    nc = F.coalesce("__nc", F.lit(0)).cast("long")
+    dc = F.coalesce("__dc", F.lit(0)).cast("long")
+    return base.select(
+        id_col, nl.alias("n_lines"), dl.alias("n_dup_lines"),
+        F.round(F.when(nl == 0, F.lit(0.0)).otherwise(dl / nl), 6)
+        .alias("dup_line_frac"),
+        F.round(F.when(nc == 0, F.lit(0.0)).otherwise(dc / nc), 6)
+        .alias("dup_char_frac"))
+
+
 def _gram_hashes(toks, n: int):
     """xxhash64 of every token n-gram of an array column — fully native
     (sequence -> slice -> concat_ws -> xxhash64), one value per window.
