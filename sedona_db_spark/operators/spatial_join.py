@@ -123,6 +123,77 @@ def _bbox_kernel_planar_only(s: pd.Series) -> pd.DataFrame:
     return _bbox_kernel(s)
 
 
+# bbox + shape class for the join's OWN pruning columns (the public
+# bbox_col struct is also a GeoParquet covering column, so the extra
+# field lives in a private variant): cls 1 = 2-D point, 2 = axis-aligned
+# rectangle (single 5-point ring tracing its own bbox, nonzero area),
+# 0 = anything else/null.  The class feeds the rectangle fast-path
+# refine — computed in the SAME decode pass, zero extra Python cost.
+_BBOXC_T = T.StructType(_BBOX_T.fields + [T.StructField("cls", T.ByteType())])
+
+
+def _shape_cls(g) -> int:
+    from sedona_db_spark.geom import core
+    if g is None or g.has_z or g.has_m:
+        return 0
+    if g.gt == core.POINT:
+        return 1 if g.data is not None else 0
+    if g.gt == core.POLYGON and len(g.data) == 1:
+        ring = g.data[0]
+        if len(ring) != 5:
+            return 0
+        b = alg.bounds(g)
+        if b is None or not (b[0] < b[2] and b[1] < b[3]):
+            return 0                    # degenerate: no interior
+        if not (ring[0][0] == ring[4][0] and ring[0][1] == ring[4][1]):
+            return 0
+        corners = {(b[0], b[1]), (b[0], b[3]), (b[2], b[1]), (b[2], b[3])}
+        if {(float(p[0]), float(p[1])) for p in ring[:4]} != corners:
+            return 0
+        # consecutive corners share exactly one axis (excludes bowties)
+        for i in range(4):
+            if ((ring[i][0] == ring[i + 1][0])
+                    == (ring[i][1] == ring[i + 1][1])):
+                return 0
+        return 2
+    return 0
+
+
+def _bbox_cls_kernel_planar(s: pd.Series) -> pd.DataFrame:
+    if any(_wkb_is_geography(v) for v in s):
+        raise ValueError(
+            "geography (spherical-edge) values reached the planar spatial "
+            "join; use operators.geography_join.geography_dwithin_join or "
+            "the per-row ST_* kernels (spark.sql), which dispatch "
+            "spherically")
+    pts = _fast_points(s)
+    if pts is not None:
+        import numpy as np
+        return pd.DataFrame({"xmin": pts[:, 0], "ymin": pts[:, 1],
+                             "xmax": pts[:, 0], "ymax": pts[:, 1],
+                             "cls": np.ones(len(pts), dtype=np.int8)})
+    rows = []
+    for g in _decode(s):
+        b = None if g is None else alg.bounds(g)
+        if b is None:
+            rows.append((None, None, None, None, 0))
+        else:
+            rows.append((b[0], b[1], b[2], b[3], _shape_cls(g)))
+    return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax",
+                                       "cls"])
+
+
+_bbox_cls_udf = None
+
+
+def _bbox_cls_col(geom: Column) -> Column:
+    global _bbox_cls_udf
+    if _bbox_cls_udf is None:
+        _bbox_cls_udf = F.pandas_udf(_bbox_cls_kernel_planar,
+                                     returnType=_BBOXC_T)
+    return _bbox_cls_udf(geom)
+
+
 _bbox_udf = None
 _bbox_udf_planar = None
 
@@ -228,6 +299,98 @@ def _stats_memo_put(key, value) -> None:
             _STATS_MEMO.popitem(last=False)
 
 
+# Rectangle fast-path refine (tiny-broadcast regime): when EVERY build
+# geometry is an axis-aligned rectangle — verified exactly by one agg
+# over the (≤2000-row) build side, never sampled — the exact predicate
+# reduces to pure bbox arithmetic and the candidate filter stays in
+# whole-stage codegen with ZERO Python on the probe path (the reference's
+# tg backend specializes rectangles the same way; its NATURAL workload is
+# points-vs-tiles / admin-box joins):
+#   covered_by(g, rect)    == bbox(g) inside rect (inclusive) — exact for
+#                             EVERY geometry type (rects are convex and
+#                             axis-aligned, so g ⊆ rect ⟺ bbox(g) ⊆ rect)
+#   within(point, rect)    == strictly-inside comparisons
+#   intersects(point, rect)== inclusive comparisons
+# within/intersects are exact only for POINT probe rows, so the plan is
+# chosen after a 64-row probe of the probe side and each row is guarded
+# by its decode-time shape class: a non-point row past the probe raises
+# loud (same probe + fail-loud convention as the geography guard) with a
+# rect_fast_path=False escape hatch — never a silently wrong pair.
+_RECT_FAST_PREDS = {"within", "covered_by", "coveredby", "intersects"}
+
+
+def _rect_fast_refine(cand: DataFrame, left: DataFrame, left_geom: str,
+                      rb: DataFrame, predicate: str,
+                      distance: float | None, enabled: bool):
+    if not enabled or distance is not None \
+            or predicate not in _RECT_FAST_PREDS:
+        return None
+    # Plan-time verdicts are MEMOIZED on the analyzed-plan hash (bench
+    # reps / dashboards re-construct the same join; re-paying the probe
+    # jobs per construction cost more than the refine they saved).  A
+    # stale verdict can never produce a wrong pair: BOTH sides carry
+    # per-row shape-class guards below, so data changing under an
+    # identical plan hash fails LOUD with the escape hatch named.
+    if predicate in ("within", "intersects"):
+        lkey = ("rectfast_l", _plan_key(left), left_geom)
+        l_ok = _stats_memo_get(lkey)
+        if l_ok is None:
+            # probe the probe side: 64 rows, driver-side decode
+            try:
+                vals = [r[0] for r in
+                        left.select(left_geom).limit(64).collect()]
+            except Exception:
+                return None
+            from sedona_db_spark.geom import core
+            gs = _decode(pd.Series([v for v in vals if v is not None]))
+            l_ok = all(g is not None and g.gt == core.POINT
+                       and not g.has_z and not g.has_m
+                       and g.data is not None for g in gs)
+            _stats_memo_put(lkey, l_ok)
+        if not l_ok:
+            return None
+    rkey = ("rectfast_r", _plan_key(rb))
+    allrect = _stats_memo_get(rkey)
+    if allrect is None:
+        # exact build-side verdict: one agg pass, bounded by the caller
+        # (broadcast-tiny rows, or the partitioned path's 64 MB stats gate)
+        row = rb.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min((F.col("__rbox.cls") == 2).cast("int")).alias("allrect")
+        ).first()
+        allrect = bool(row["n"]) and row["allrect"] == 1
+        _stats_memo_put(rkey, allrect)
+    if not allrect:
+        return None
+    lx, ly = F.col("__lbox.xmin"), F.col("__lbox.ymin")
+    lX, lY = F.col("__lbox.xmax"), F.col("__lbox.ymax")
+    rx, ry = F.col("__rbox.xmin"), F.col("__rbox.ymin")
+    rX, rY = F.col("__rbox.xmax"), F.col("__rbox.ymax")
+
+    def rect_guard(formula):
+        return F.when(F.col("__rbox.cls") == 2, formula).otherwise(
+            F.raise_error(F.lit(
+                f"rectangle fast-path spatial join ({predicate}) met a "
+                "non-rectangle build geometry (data changed under a "
+                "memoized plan?); rerun with spatial_join(..., "
+                "rect_fast_path=False) for the general refine")))
+
+    if predicate in ("covered_by", "coveredby"):
+        return cand.filter(rect_guard((lx >= rx) & (lX <= rX) &
+                                      (ly >= ry) & (lY <= rY)))
+    if predicate == "within":
+        formula = (lx > rx) & (lX < rX) & (ly > ry) & (lY < rY)
+    else:                                   # intersects(point, rect)
+        formula = (lx >= rx) & (lx <= rX) & (ly >= ry) & (ly <= rY)
+    guard = F.when(F.col("__lbox.cls") == 1, rect_guard(formula)).otherwise(
+        F.raise_error(F.lit(
+            f"rectangle fast-path spatial join ({predicate}) met a "
+            "non-point probe geometry past the 64-row probe; rerun with "
+            "spatial_join(..., rect_fast_path=False) for the general "
+            "refine")))
+    return cand.filter(guard)
+
+
 def spatial_join(
     left: DataFrame,
     right: DataFrame,
@@ -238,6 +401,7 @@ def spatial_join(
     how: str = "inner",
     grid_cells: int | None = None,
     broadcast_threshold: int = 200_000,
+    rect_fast_path: bool = True,
 ) -> DataFrame:
     """Spatial join: ``predicate(left_geom, right_geom)`` (or dwithin when
     ``distance`` is set).  Output columns: left columns then right columns
@@ -275,7 +439,7 @@ def spatial_join(
                    if need_r else right)
         inner = spatial_join(left_t, right_t, left_geom, right_geom,
                              predicate, distance, "inner", grid_cells,
-                             broadcast_threshold)
+                             broadcast_threshold, rect_fast_path)
         if how == "left_semi":
             # distinct-on-id = reference "emit probe row once however
             # many build rows matched" (join_utils.rs:60-80)
@@ -336,8 +500,8 @@ def spatial_join(
     left = widen_if_starved(left)
     right_r = widen_if_starved(right_r)
 
-    lb = left.withColumn("__lbox", bbox_col(F.col(left_geom), planar_only=True))
-    rb = right_r.withColumn("__rbox", bbox_col(F.col(rgeom), planar_only=True))
+    lb = left.withColumn("__lbox", _bbox_cls_col(F.col(left_geom)))
+    rb = right_r.withColumn("__rbox", _bbox_cls_col(F.col(rgeom)))
     expand = float(distance) if distance is not None else 0.0
 
     # Path choice probe: limit-capped count scans at most threshold+1 rows
@@ -372,6 +536,10 @@ def spatial_join(
             (F.col("__rbox.ymin") <= F.col("__lbox.ymax") + expand)
         )
         cand = lb.join(F.broadcast(rb), cond, "inner")
+        fast = _rect_fast_refine(cand, left, left_geom, rb, predicate,
+                                 distance, rect_fast_path)
+        if fast is not None:
+            return fast.drop("__lbox", "__rbox")
         joined = _apply_refine(cand, left_geom, rgeom, predicate, distance)
         return joined.drop("__lbox", "__rbox")
 
@@ -479,7 +647,21 @@ def spatial_join(
     ref_cell = _bucket(rx, xbreaks) * ny + _bucket(ry, ybreaks)
     cand = cand.filter(F.col("__lcell") == ref_cell)
 
-    joined = _apply_refine(cand, left_geom, rgeom, predicate, distance)
+    # rectangle fast path in the partitioned regime too — the exact
+    # all-rects verification is a full build-side pass, so it is only
+    # attempted when Catalyst's plan stats bound that side under 64 MB
+    # (speculatively scanning a genuinely large build side to TEST
+    # rect-ness would cost more than the refine it might save)
+    joined = None
+    if rect_fast_path and distance is None \
+            and predicate in _RECT_FAST_PREDS:
+        from sedona_db_spark.plans.width import planned_size_bytes
+        sz = planned_size_bytes(right_r)
+        if sz is not None and sz < (64 << 20):
+            joined = _rect_fast_refine(cand, left, left_geom, rb,
+                                       predicate, distance, True)
+    if joined is None:
+        joined = _apply_refine(cand, left_geom, rgeom, predicate, distance)
     return joined.drop("__lbox", "__rbox", "__lcell", "__rcell")
 
 

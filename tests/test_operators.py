@@ -1629,3 +1629,98 @@ def test_quality_score_cell_matches_staged_form(spark):
     filt = df.filter(F.round(tx.quality_score_cell(F.col("text")), 4) >= 0.5)
     plan = filt._jdf.queryExecution().executedPlan().toString()
     assert plan.count("regexp_replace") <= 5
+
+
+def test_rect_fast_path_matches_general_refine(spark, cust_pts, boxes):
+    """Round 8: all-rectangle build sides refine in pure codegen; results
+    must equal the general Arrow refine bit-for-bit, and the plan above
+    the join must contain no Python stage."""
+    from sedona_db_spark.operators.spatial_join import spatial_join
+    left = cust_pts.select("c_custkey", "geom").filter("c_custkey < 600")
+    right = boxes.select("n_nationkey", "geom")
+    for pred in ("within", "intersects", "covered_by"):
+        fast = spatial_join(left, right, predicate=pred)
+        slow = spatial_join(left, right, predicate=pred,
+                            rect_fast_path=False)
+        a = sorted((r["c_custkey"], r["n_nationkey"]) for r in fast.collect())
+        b = sorted((r["c_custkey"], r["n_nationkey"]) for r in slow.collect())
+        assert a == b and len(a) > 0, pred
+    plan = spatial_join(left, right, predicate="within") \
+        ._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    join_at = next(i for i, ln in enumerate(lines)
+                   if "NestedLoopJoin" in ln or "CartesianProduct" in ln)
+    assert not any("ArrowEvalPython" in ln or "BatchEvalPython" in ln
+                   for ln in lines[:join_at]), plan
+
+
+def test_rect_fast_path_covered_by_any_geometry(spark, boxes):
+    """covered_by's bbox reduction is exact for EVERY geometry type
+    (rects are convex + axis-aligned): verify with LINESTRING probes
+    against the general refine."""
+    from sedona_db_spark.operators.spatial_join import spatial_join
+    lines = spark.sql("""
+      SELECT c_custkey,
+             ST_GeomFromWKT(concat('LINESTRING (',
+               abs(c_acctbal) % 100.0, ' ', (c_custkey % 1000) / 10.0,
+               ', ', abs(c_acctbal) % 100.0 + 3.0, ' ',
+               (c_custkey % 1000) / 10.0 + 3.0, ')')) AS geom
+      FROM customer WHERE c_custkey < 300
+    """)
+    right = boxes.select("n_nationkey", "geom")
+    fast = spatial_join(lines, right, predicate="covered_by")
+    slow = spatial_join(lines, right, predicate="covered_by",
+                        rect_fast_path=False)
+    a = sorted((r["c_custkey"], r["n_nationkey"]) for r in fast.collect())
+    b = sorted((r["c_custkey"], r["n_nationkey"]) for r in slow.collect())
+    assert a == b and len(a) > 0
+
+
+def test_rect_fast_path_mixed_probe_raises_loud(spark, boxes):
+    """A non-point probe row hiding past the 64-row probe must raise
+    with the escape hatch named - never emit a silently wrong pair."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.operators.spatial_join import spatial_join
+    pts = spark.sql("""
+      SELECT c_custkey, ST_Point(abs(c_acctbal) % 100.0,
+                                 (c_custkey % 1000) / 10.0) AS geom
+      FROM customer WHERE c_custkey < 200""")
+    sneak = spark.sql("""
+      SELECT 999999 AS c_custkey,
+             ST_MakeEnvelope(1.0, 1.0, 2.0, 2.0) AS geom""")
+    mixed = pts.unionByName(sneak)
+    out = spatial_join(mixed, boxes.select("n_nationkey", "geom"),
+                       predicate="within")
+    with _pytest.raises(Exception, match="rect_fast_path"):
+        out.collect()
+    # escape hatch: general refine handles the mix
+    ok = spatial_join(mixed, boxes.select("n_nationkey", "geom"),
+                      predicate="within", rect_fast_path=False)
+    assert ok.count() > 0
+
+
+def test_rect_fast_path_declines_non_rect_build(spark, cust_pts):
+    """Non-rectangle build geometries keep the general refine (verified
+    by result equality with the fast path disabled)."""
+    from sedona_db_spark.operators.spatial_join import spatial_join
+    tris = spark.sql("""
+      SELECT n_nationkey,
+             ST_GeomFromWKT(concat('POLYGON ((',
+               CAST(n_nationkey % 5 AS DOUBLE) * 20.0, ' ',
+               CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0,
+               ', ', CAST(n_nationkey % 5 AS DOUBLE) * 20.0 + 20.0, ' ',
+               CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0,
+               ', ', CAST(n_nationkey % 5 AS DOUBLE) * 20.0, ' ',
+               CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 + 20.0,
+               '))')) AS geom
+      FROM nation""")
+    left = cust_pts.select("c_custkey", "geom").filter("c_custkey < 400")
+    fast_attempt = spatial_join(left, tris, predicate="within")
+    slow = spatial_join(left, tris, predicate="within",
+                        rect_fast_path=False)
+    a = sorted((r["c_custkey"], r["n_nationkey"])
+               for r in fast_attempt.collect())
+    b = sorted((r["c_custkey"], r["n_nationkey"]) for r in slow.collect())
+    assert a == b and len(a) > 0
