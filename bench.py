@@ -78,6 +78,11 @@ HEADLINE = [
     "pack_sequences_gpt",
     "dedup_exact_substring",
     "materialize_sequences_512",
+    # round-8: web-corpus ingestion family (work grows with SF; NEW in
+    # r8 — excluded from core32_sec like the r7 additions)
+    "html_extract_text",
+    "url_blocklist_dedup",
+    "pipeline_web_compose",
 ]
 
 # Isolation groups: one subprocess (fresh JVM + python workers) each.
@@ -105,6 +110,8 @@ GROUPS: dict[str, list[str]] = {
              "knn_join_polygons_bulk"],
     "assembly": ["pack_sequences_gpt", "dedup_exact_substring",
                  "materialize_sequences_512"],
+    "web": ["html_extract_text", "url_blocklist_dedup",
+            "pipeline_web_compose"],
 }
 assert sorted(n for g in GROUPS.values() for n in g) == sorted(HEADLINE)
 
@@ -215,7 +222,7 @@ def main() -> None:
     # round-over-round comparability: the r7 assembly additions are NEW —
     # core32_sec is the sum over exactly BENCH_r06's 32-query set, the
     # number comparable to value=23.921 there.
-    r7_new = set(GROUPS["assembly"])
+    r7_new = set(GROUPS["assembly"]) | set(GROUPS["web"])
     core32 = sum(v for k, v in timings.items() if v > 0 and k not in r7_new)
     load1 = _loadavg()
     print(json.dumps({
