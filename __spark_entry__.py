@@ -1208,6 +1208,60 @@ _O["dedup_lines_corpus"] = """
 """
 
 
+def _q_dedup_prefer_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster dedup with a QUALITY-preferring representative (round 8):
+    deterministic star-shaped duplicate clusters (docs < 200 grouped by
+    doc_id % 17, each paired to its group min), transitively closed,
+    keeping the member with the highest quality score (ties -> min id)
+    — production curation keeps the best page of a cluster, not the
+    first-crawled one."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions import text as tx
+    from sedona_db_spark.operators.dedup import dedup_clusters
+    docs = spark.table("documents").select("doc_id", "text")
+    scored = docs.select(
+        "doc_id", F.round(tx.quality_score_cell(F.col("text")), 4)
+        .alias("q"))
+    grp = scored.filter("doc_id < 200") \
+        .withColumn("__g", F.col("doc_id") % 17)
+    gmin = grp.groupBy("__g").agg(F.min("doc_id").alias("id_a"))
+    pairs = (grp.join(gmin, "__g")
+             .filter(F.col("doc_id") != F.col("id_a"))
+             .select("id_a", F.col("doc_id").alias("id_b")))
+    kept = dedup_clusters(scored, pairs, prefer="q")
+    return kept.select("doc_id", "q")
+
+
+_PY["dedup_cluster_prefer_quality"] = _q_dedup_prefer_quality
+_O["dedup_cluster_prefer_quality"] = """
+  WITH s AS (
+    SELECT doc_id, text,
+      list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                  t -> t != '') AS tk
+    FROM documents),
+  m AS (
+    SELECT doc_id,
+      round(0.3 * (CASE WHEN len(tk) >= 5 AND len(tk) <= 100000
+                        THEN 1.0 ELSE 0.0 END)
+          + 0.3 * (1.0 - len(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
+                         * 1.0 / greatest(len(text), 1))
+          + 0.2 * least(len(list_filter(tk, t -> list_contains(
+                  ['the','and','of','to','a','in','is','that','it','for'], t)))
+                  * 4.0 / greatest(len(tk), 1), 1.0)
+          + 0.2 * (CASE WHEN len(regexp_replace(text, '\\s+', '', 'g'))
+                             * 1.0 / greatest(len(tk), 1) BETWEEN 2.0 AND 12.0
+                        THEN 1.0 ELSE 0.0 END), 4) AS q
+    FROM s),
+  rep AS (
+    SELECT doc_id % 17 AS g,
+           (list(doc_id ORDER BY q DESC, doc_id ASC))[1] AS doc_id
+    FROM m WHERE doc_id < 200 GROUP BY doc_id % 17)
+  SELECT doc_id, q FROM m WHERE doc_id >= 200
+  UNION ALL
+  SELECT m.doc_id, m.q FROM rep JOIN m USING (doc_id)
+"""
+
+
 def _q_line_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-line exposure (RefinedWeb doc-level gate:
     drop pages that are mostly corpus boilerplate) over the same

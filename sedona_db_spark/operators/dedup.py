@@ -529,13 +529,31 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 
 
 def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-                   src: str = "id_a", dst: str = "id_b") -> DataFrame:
+                   src: str = "id_a", dst: str = "id_b",
+                   prefer: str | None = None) -> DataFrame:
     """Transitive near-dup removal: close `pairs` into components and
-    keep the minimum id per component (reference pipelines close LSH
-    candidate pairs the same way).  Rows without any pair survive."""
+    keep ONE representative per component (reference pipelines close LSH
+    candidate pairs the same way).  Rows without any pair survive.
+
+    ``prefer=None`` keeps the minimum id (the classic deterministic
+    rule).  ``prefer=<column>`` keeps the member with the HIGHEST value
+    of that column (ties broken by minimum id) — production curation
+    keeps the best-quality page of a duplicate cluster, not the
+    first-crawled one.  Either way: one component-keyed aggregation
+    with map-side partials + a semi join, nothing driver-side."""
     cc = connected_components(pairs, src, dst)
-    keep = cc.filter(F.col("node") == F.col("component")) \
-        .select(F.col("node").alias(id_col))
+    if prefer is None:
+        keep = cc.filter(F.col("node") == F.col("component")) \
+            .select(F.col("node").alias(id_col))
+    else:
+        scored = cc.join(
+            df.select(F.col(id_col).alias("node"), F.col(prefer)), "node")
+        # max_by over (prefer DESC, id ASC): negate the id inside the
+        # ordering struct so the engine-portable rule is
+        # "highest prefer, then lowest id"
+        keep = scored.groupBy("component").agg(
+            F.max_by("node", F.struct(F.col(prefer), -F.col("node")))
+            .alias(id_col)).select(id_col)
     paired = cc.select(F.col("node").alias(id_col))
     unpaired = df.join(paired, id_col, "left_anti")
     kept_paired = df.join(keep, id_col, "left_semi")
