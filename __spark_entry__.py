@@ -4477,6 +4477,46 @@ _O["url_blocklist_dedup"] = """
 """
 
 
+# round 8: product quantization (Jégou et al. 2011).  The contract uses
+# DISCRETE synthetic vectors (each 4-dim subspace has <= 81 distinct
+# subvectors <= 256), so pq_train adopts the exact unique-subvector
+# codebook, encoding is LOSSLESS, and the approximate ADC top-k must
+# equal DuckDB's exact L2 top-k hash-for-hash — the quantizer machinery
+# itself is what's checked, with zero approximation slack.
+_PQ_DIM, _PQ_M, _PQ_K = 16, 4, 25
+_PQ_COMP = "CAST((((vec_id + 1) * ({c} * {c} + 7)) % 101) % 3 AS DOUBLE)"
+_PQ_QUERY = [float((((7 + 1) * (c * c + 7)) % 101) % 3)
+             for c in range(_PQ_DIM)]
+
+
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from sedona_db_spark.operators.similarity import (pq_encode, pq_topk,
+                                                      pq_train)
+    vecs = spark.table("embeddings").select(
+        "vec_id",
+        F.array(*[F.expr(_PQ_COMP.format(c=c)) for c in range(_PQ_DIM)])
+        .alias("embedding"))
+    books = pq_train(vecs, m=_PQ_M, seed=11)
+    coded = pq_encode(vecs, books)
+    out = pq_topk(coded, books, _PQ_QUERY, k=_PQ_K)
+    return out.select("vec_id", F.round("adc_dist", 6).alias("dist"))
+
+
+_PY["sim_pq_topk"] = _q_pq_topk
+_O["sim_pq_topk"] = """
+  SELECT vec_id, round({terms}, 6) AS dist
+  FROM embeddings
+  ORDER BY {terms}, vec_id
+  LIMIT {k}
+""".format(
+    terms=" + ".join(
+        "power(" + _PQ_COMP.format(c=c).replace("STRING", "VARCHAR")
+        + " - {q}, 2)".format(q=_PQ_QUERY[c])
+        for c in range(_PQ_DIM)),
+    k=_PQ_K)
+
+
 def _q_pipeline_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed web-ingestion pipeline, ONE lazy plan: synthetic crawl
     (URL + HTML page per document) -> html_to_text -> quality gate

@@ -344,6 +344,145 @@ def ivf_topk(assigned: DataFrame, centroids: list, query_vec: list[float],
 
 
 # ======================================================================
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") — the embedding COMPRESSION scale path:
+# a d-dim float vector becomes m uint8 codes (d*4 bytes -> m bytes,
+# 32x at d=64/m=8), and queries score compressed codes with asymmetric
+# distance (ADC): one (m x 256) lookup table per query, then LUT-gather
+# sums per batch.  At 100 TB of embeddings the PQ-coded table is what
+# fits the cluster; composition with ivf_build (IVF-PQ) keeps probes to
+# nprobe lists of codes.
+# ======================================================================
+
+def pq_train(df: DataFrame, vec_col: str = "embedding", m: int = 8,
+             sample_cap: int = 100_000, seed: int = 7,
+             iters: int = 12) -> np.ndarray:
+    """Train per-subspace codebooks (m, 256, d/m) with seeded Lloyd
+    k-means on a DETERMINISTIC hash-sampled subset (never LIMIT — its
+    row choice is plan-dependent).  Driver state is bounded by
+    sample_cap rows; the subsets are tiny (256 centroids x m subspaces),
+    exactly the "train on a sample" regime every PQ deployment uses."""
+    from sedona_db_spark.operators.batching import lcg_hash
+    cnt = df.limit(sample_cap + 1).count()
+    frac_col = None
+    base = df.select(F.col(vec_col).cast("array<double>").alias("__v")) \
+             .where(F.col("__v").isNotNull())
+    if cnt > sample_cap:
+        # deterministic thinning: keep ~sample_cap by hashing a stable
+        # row fingerprint (the vector text) — engine-independent
+        thr = int(max(sample_cap / max(cnt * 2, 1), 1e-6) * 2_147_483_648)
+        base = base.where(
+            F.pmod(F.xxhash64(F.col("__v").cast("string")),
+                   F.lit(2_147_483_648)) < F.lit(thr))
+    rows = base.limit(sample_cap).collect()
+    X = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+    if X.ndim != 2 or X.shape[0] == 0:
+        raise ValueError("pq_train: no trainable vectors")
+    d = X.shape[1]
+    if d % m != 0:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, 256, dsub))
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        uniq = np.unique(S, axis=0)
+        if len(uniq) <= 256:
+            # the sample's distinct subvectors fit the codebook: use
+            # them EXACTLY — quantization is lossless for in-sample
+            # data (pinned by test) and Lloyd iterations are moot
+            books[j, :len(uniq)] = uniq
+            books[j, len(uniq):] = uniq[0]
+            continue
+        C = S[rng.choice(len(S), size=256, replace=False)]
+        # dedupe seeds so empty clusters can't start coincident
+        C = np.unique(C, axis=0)
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(2) \
+                if len(S) * len(C) <= 4_000_000 else None
+            if d2 is None:
+                # blocked assignment for big samples
+                assign = np.empty(len(S), dtype=np.int64)
+                for lo in range(0, len(S), 8192):
+                    blk = S[lo:lo + 8192]
+                    assign[lo:lo + 8192] = (
+                        ((blk[:, None, :] - C[None, :, :]) ** 2)
+                        .sum(2).argmin(1))
+            else:
+                assign = d2.argmin(1)
+            newC = np.array([
+                S[assign == i].mean(0) if (assign == i).any() else C[i]
+                for i in range(len(C))])
+            if np.allclose(newC, C):
+                C = newC
+                break
+            C = newC
+        books[j, :len(C)] = C
+        if len(C) < 256:            # pad with the first centroid
+            books[j, len(C):] = C[0]
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks: np.ndarray,
+              vec_col: str = "embedding",
+              code_col: str = "pq_code") -> DataFrame:
+    """Encode each vector to m uint8 codes (nearest centroid per
+    subspace) — one Arrow kernel pass, codes shipped as binary."""
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, _, dsub = books.shape
+
+    def enc(v: pd.Series) -> pd.Series:
+        out = [None] * len(v)
+        valid = v.notna().to_numpy()
+        if valid.any():
+            X = np.asarray(v[valid].tolist(), dtype=np.float64)
+            codes = np.empty((len(X), m), dtype=np.uint8)
+            for j in range(m):
+                S = X[:, j * dsub:(j + 1) * dsub]
+                # ||s - c||^2 = ||s||^2 - 2 s.c + ||c||^2; argmin drops ||s||^2
+                d2 = -2.0 * (S @ books[j].T) + (books[j] ** 2).sum(1)
+                codes[:, j] = d2.argmin(1).astype(np.uint8)
+            bs = [c.tobytes() for c in codes]
+            it = iter(bs)
+            out = [next(it) if ok else None for ok in valid]
+        return pd.Series(out, dtype=object)
+
+    return df.withColumn(code_col, F.pandas_udf(enc, "binary")(
+        F.col(vec_col).cast("array<double>")))
+
+
+def pq_topk(coded: DataFrame, codebooks: np.ndarray,
+            query_vec: list[float], k: int = 10,
+            code_col: str = "pq_code", id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k by asymmetric (query-to-code) L2 distance: the
+    per-query LUT (m x 256 subspace distances) ships in the kernel
+    closure; each batch is a uint8 gather + row sum.  Ends in one
+    TakeOrdered — no shuffle of the coded table."""
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, _, dsub = books.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    if len(q) != m * dsub:
+        raise ValueError("query dim != codebook dim")
+    lut = np.stack([
+        ((books[j] - q[j * dsub:(j + 1) * dsub]) ** 2).sum(1)
+        for j in range(m)])                       # (m, 256)
+
+    def adc(codes: pd.Series) -> pd.Series:
+        out = np.full(len(codes), np.nan)
+        valid = codes.notna().to_numpy()
+        if valid.any():
+            C = np.frombuffer(
+                b"".join(codes[valid]), dtype=np.uint8).reshape(-1, m)
+            out[valid] = lut[np.arange(m)[None, :], C].sum(1)
+        return pd.Series(out)
+
+    dist = F.pandas_udf(adc, "double")(F.col(code_col))
+    return (coded.select(id_col, dist.alias("adc_dist"))
+            .where(~F.isnan("adc_dist"))
+            .orderBy(F.asc("adc_dist"), id_col).limit(k))
+
+
+# ======================================================================
 # SemDeDup — semantic deduplication (Abbas et al. 2023)
 # ======================================================================
 

@@ -276,6 +276,12 @@ def test_epsg_dump_importer_breadth_and_properties():
     for code in codes:
         p = prj.lookup_projection(code)
         assert p is not None, code
+        # Bursa-Wolf-wrapped codes roundtrip to ~|t| * e2 (the drop-
+        # height convention both directions, same as PROJ's grid-free
+        # path): Tokyo's 685 m dz measures 2e-8 deg (~2 mm).  1e-7
+        # (~1 cm) for wrapped codes, sub-mm for everything else.
+        tol = 1e-7 if isinstance(
+            p, (prj.HelmertTM, prj.HelmertProj)) else 1e-8
         ok = False
         for lon0, lat0 in anchors(p):
             lons = lon0 + rng.uniform(-1.5, 1.5, 8)
@@ -285,8 +291,8 @@ def test_epsg_dump_importer_breadth_and_properties():
                 lo, la = p.inverse(np.asarray(x), np.asarray(y))
             except Exception:
                 continue
-            if (np.max(np.abs(lo - lons)) < 1e-8
-                    and np.max(np.abs(la - lats)) < 1e-8):
+            if (np.max(np.abs(lo - lons)) < tol
+                    and np.max(np.abs(la - lats)) < tol):
                 ok = True
                 break
         assert ok, f"no invertible domain found for {code}"

@@ -130,3 +130,68 @@ def test_semantic_decontaminate_modes(spark):
                                      mode="flag").toPandas()
     assert dict(zip(flagged["vec_id"], flagged["contaminated"])) == \
         {1: True, 2: True, 3: False}
+
+
+# ----------------------------------------------------------------------
+# round 8: product quantization (Jegou et al. 2011)
+# ----------------------------------------------------------------------
+
+def test_pq_exact_when_quantization_lossless(spark):
+    """When every subspace has <= 256 distinct values (and the sample
+    sees them all), PQ encoding is LOSSLESS and ADC top-k must equal the
+    exact L2 top-k bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+    from sedona_db_spark.operators.similarity import (pq_encode, pq_topk,
+                                                      pq_train)
+    rng = np.random.RandomState(3)
+    # 16-dim vectors from a 3-value alphabet: each 4-dim subspace has
+    # <= 81 distinct subvectors <= 256, so pq_train adopts the exact
+    # unique-subvector codebook and encoding is lossless by construction
+    X = rng.choice([0.0, 1.0, 2.0], size=(400, 16))
+    pdf = pd.DataFrame({"vec_id": range(400),
+                        "embedding": [list(r) for r in X]})
+    df = spark.createDataFrame(pdf)
+    books = pq_train(df, m=4, seed=11)
+    coded = pq_encode(df, books)
+    q = list(rng.choice([0.0, 1.0, 2.0], size=16))
+    got = pq_topk(coded, books, q, k=10).collect()
+    exact = sorted(((np.asarray(v) - np.asarray(q)) ** 2).sum()
+                   for v in pdf["embedding"])[:10]
+    assert [round(r["adc_dist"], 9) for r in got] == \
+        [round(float(e), 9) for e in exact]
+
+
+def test_pq_recall_on_gaussian_embeddings(spark):
+    """Lossy regime: recall@10 of ADC against exact L2 on the real
+    embeddings table must clear 0.5 (PQ with m=8 on 64-dim data is a
+    coarse 32x compression; this bounds gross breakage, not tuning)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.operators.similarity import (pq_encode, pq_topk,
+                                                      pq_train)
+    emb = spark.table("embeddings").select("vec_id", "embedding") \
+        .limit(2000).cache()
+    books = pq_train(emb, m=8, seed=5)
+    coded = pq_encode(emb, books)
+    rows = emb.collect()
+    q = list(rows[17]["embedding"])
+    got = {r["vec_id"] for r in pq_topk(coded, books, q, k=10).collect()}
+    X = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.asarray([r["vec_id"] for r in rows])
+    d2 = ((X - np.asarray(q)) ** 2).sum(1)
+    want = set(ids[np.argsort(d2)[:10]])
+    assert len(got & want) >= 5, (got, want)
+
+
+def test_pq_encode_compression_and_nulls(spark):
+    import pandas as pd
+    from sedona_db_spark.operators.similarity import pq_encode, pq_train
+    pdf = pd.DataFrame({"vec_id": [0, 1, 2],
+                        "embedding": [[1.0] * 16, None, [2.0] * 16]})
+    df = spark.createDataFrame(pdf)
+    books = pq_train(df.where("embedding IS NOT NULL"), m=4, seed=1)
+    out = pq_encode(df, books).orderBy("vec_id").collect()
+    assert len(out[0]["pq_code"]) == 4          # 16 doubles -> 4 bytes
+    assert out[1]["pq_code"] is None
