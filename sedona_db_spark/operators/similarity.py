@@ -482,6 +482,28 @@ def pq_topk(coded: DataFrame, codebooks: np.ndarray,
             .orderBy(F.asc("adc_dist"), id_col).limit(k))
 
 
+def ivf_pq_topk(assigned_coded: DataFrame, centroids: list,
+                codebooks: np.ndarray, query_vec: list[float],
+                k: int = 10, nprobe: int = 4,
+                code_col: str = "pq_code",
+                id_col: str = "vec_id") -> DataFrame:
+    """IVF-PQ: the full 100 TB ANN layout — vectors live as m-byte PQ
+    codes partitioned by IVF list; a query touches only the ``nprobe``
+    nearest lists (coarse cosine against the broadcast-tiny centroid
+    table) and scores their CODES with the ADC lookup table.  Compose
+    as ``assigned, cents = ivf_build(df); coded = pq_encode(assigned,
+    books)`` and persist ``coded`` partitioned by ``__ivf_list``."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    sims = []
+    for i, c in enumerate(centroids):
+        c = np.asarray(c, dtype=np.float64)
+        denom = (np.linalg.norm(c) * np.linalg.norm(q)) or 1.0
+        sims.append((float(c @ q) / denom, i))
+    probe = [i for _, i in sorted(sims, reverse=True)[:nprobe]]
+    return pq_topk(assigned_coded.filter(F.col("__ivf_list").isin(probe)),
+                   codebooks, query_vec, k, code_col, id_col)
+
+
 # ======================================================================
 # SemDeDup — semantic deduplication (Abbas et al. 2023)
 # ======================================================================

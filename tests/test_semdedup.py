@@ -195,3 +195,28 @@ def test_pq_encode_compression_and_nulls(spark):
     out = pq_encode(df, books).orderBy("vec_id").collect()
     assert len(out[0]["pq_code"]) == 4          # 16 doubles -> 4 bytes
     assert out[1]["pq_code"] is None
+
+
+def test_ivf_pq_topk_recall(spark):
+    """IVF-PQ composition: coarse list pruning + ADC scoring; with
+    nprobe = n_lists (no pruning loss) results equal flat pq_topk, and
+    pruned probes keep recall vs the flat path."""
+    from sedona_db_spark.operators.similarity import (ivf_build,
+                                                      ivf_pq_topk,
+                                                      pq_encode, pq_topk,
+                                                      pq_train)
+    emb = spark.table("embeddings").select("vec_id", "embedding") \
+        .limit(1500).cache()
+    assigned, cents = ivf_build(emb, n_lists=8, seed=3)
+    books = pq_train(emb, m=8, seed=5)
+    coded = pq_encode(assigned, books)
+    q = list(emb.collect()[42]["embedding"])
+    full = [r["vec_id"]
+            for r in ivf_pq_topk(coded, cents, books, q, k=10,
+                                 nprobe=8).collect()]
+    flat = [r["vec_id"] for r in pq_topk(coded, books, q, k=10).collect()]
+    assert full == flat
+    pruned = {r["vec_id"]
+              for r in ivf_pq_topk(coded, cents, books, q, k=10,
+                                   nprobe=3).collect()}
+    assert len(pruned & set(flat)) >= 6
