@@ -4517,6 +4517,52 @@ _O["sim_pq_topk"] = """
     k=_PQ_K)
 
 
+def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain dataset card (round 8): exact corpus statistics in ONE
+    aggregation pass — docs/tokens/chars, exact-dup exposure via
+    distinct fingerprints, quality-gate pass counts, means."""
+    from sedona_db_spark.functions.text import corpus_report
+    docs = spark.table("documents")
+    return corpus_report(docs, domain_col="source")
+
+
+_PY["corpus_report_by_source"] = _q_corpus_report
+_O["corpus_report_by_source"] = """
+  WITH s AS (
+    SELECT source, doc_id, text,
+      list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                  t -> t != '') AS tk
+    FROM documents),
+  m AS (
+    SELECT source, doc_id, CAST(len(tk) AS BIGINT) AS nt,
+           CAST(len(text) AS BIGINT) AS nc,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+      round(0.3 * (CASE WHEN len(tk) >= 5 AND len(tk) <= 100000
+                        THEN 1.0 ELSE 0.0 END)
+          + 0.3 * (1.0 - len(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
+                         * 1.0 / greatest(len(text), 1))
+          + 0.2 * least(len(list_filter(tk, t -> list_contains(
+                  ['the','and','of','to','a','in','is','that','it','for'], t)))
+                  * 4.0 / greatest(len(tk), 1), 1.0)
+          + 0.2 * (CASE WHEN len(regexp_replace(text, '\\s+', '', 'g'))
+                             * 1.0 / greatest(len(tk), 1) BETWEEN 2.0 AND 12.0
+                        THEN 1.0 ELSE 0.0 END), 4) AS q
+    FROM s)
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(nt) AS BIGINT) AS n_tokens,
+         CAST(sum(nc) AS BIGINT) AS n_chars,
+         count(DISTINCT fp) AS n_distinct_fp,
+         CAST(sum(CASE WHEN q >= 0.85 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_quality_pass,
+         round(avg(q), 6) AS mean_quality,
+         round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 6)
+           AS pct_exact_dup,
+         round(sum(nt) * 1.0 / count(*), 6) AS mean_tokens_per_doc
+  FROM m GROUP BY source
+"""
+
+
 def _q_pipeline_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed web-ingestion pipeline, ONE lazy plan: synthetic crawl
     (URL + HTML page per document) -> html_to_text -> quality gate

@@ -568,3 +568,47 @@ def quality_score_cell(col) -> Column:
         F.length(F.regexp_replace(c, "[^!-/:-@\\[-`{-~]", "")).alias("punct"),
         F.length(F.regexp_replace(c, "\\s+", "")).alias("nospace"),
         norm_sig.alias("ns"))), formula)[0]
+
+
+def corpus_report(df, text_col: str = "text", id_col: str = "doc_id",
+                  domain_col: str | None = None,
+                  quality_gate: float = 0.85):
+    """The "dataset card" aggregate every curation pipeline emits: ONE
+    aggregation pass (map-side partials, no window, no collect) over
+    the corpus yielding exact corpus-level statistics —
+
+      n_docs, n_tokens, n_chars,
+      n_distinct_fp      exact distinct whitespace-normalized md5
+                         fingerprints (the exact-dup exposure),
+      pct_exact_dup      1 - distinct/docs,
+      n_quality_pass     docs clearing ``quality_gate``,
+      mean_quality, mean_tokens_per_doc
+
+    With ``domain_col`` set, one row per domain instead (the per-source
+    mix table a data card tabulates).  Every statistic is exact and
+    SQL-portable — the contract query is hash-checked against DuckDB,
+    not a sketch."""
+    c = F.col(text_col)
+    q = F.round(quality_score_cell(c), 4)
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+    base = df.select(
+        *( [F.col(domain_col)] if domain_col else [] ),
+        F.col(id_col),
+        token_count(c).cast("long").alias("__nt"),
+        F.length(c).cast("long").alias("__nc"),
+        q.alias("__q"), fp.alias("__fp"))
+    keys = [domain_col] if domain_col else []
+    agg = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("n_tokens"),
+        F.sum("__nc").alias("n_chars"),
+        F.countDistinct("__fp").alias("n_distinct_fp"),
+        F.sum(F.when(F.col("__q") >= quality_gate, 1)
+              .otherwise(0)).cast("long").alias("n_quality_pass"),
+        F.round(F.avg("__q"), 6).alias("mean_quality"))
+    return agg.withColumn(
+        "pct_exact_dup",
+        F.round(1.0 - F.col("n_distinct_fp") / F.col("n_docs"), 6)
+    ).withColumn(
+        "mean_tokens_per_doc",
+        F.round(F.col("n_tokens") / F.col("n_docs"), 6))
