@@ -105,10 +105,18 @@ def filter_url_blocklist(df: DataFrame, blocked_hosts, url_col: str = "url",
 def dedup_by_url(df: DataFrame, url_col: str = "url",
                  id_col: str = "doc_id") -> DataFrame:
     """URL-level exact dedup (C4 rule): keep the row with the minimum id
-    per normalized URL.  One hash shuffle with map-side partial min —
-    the same scale shape as fingerprint dedup."""
+    per normalized URL.
+
+    ONE hash shuffle via ``row_number() = 1`` over (url, id): Spark's
+    WindowGroupLimit pushes a partial per-partition top-1 BELOW the
+    exchange, so a hot boilerplate URL ships one candidate per map task
+    (the window-skew hazard does not apply to rank<=k windows), and —
+    unlike a groupBy + semi-join — the plan reads ``df`` exactly ONCE,
+    so a composed upstream pipeline is never evaluated twice."""
+    from pyspark.sql import Window
     norm = url_normalize(F.col(url_col))
-    tagged = df.withColumn("__nurl", norm)
-    keep = tagged.groupBy("__nurl").agg(F.min(id_col).alias(id_col))
-    return tagged.join(keep, ["__nurl", id_col], "left_semi") \
-                 .drop("__nurl")
+    w = Window.partitionBy("__nurl").orderBy(F.col(id_col).asc())
+    return (df.withColumn("__nurl", norm)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__nurl", "__rn"))
