@@ -1220,7 +1220,7 @@ def _q_dedup_prefer_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_db_spark.operators.dedup import dedup_clusters
     docs = spark.table("documents").select("doc_id", "text")
     scored = docs.select(
-        "doc_id", F.round(tx.quality_score_cell(F.col("text")), 4)
+        "doc_id", F.round(tx.quality_score_fast(F.col("text")), 4)
         .alias("q"))
     grp = scored.filter("doc_id < 200") \
         .withColumn("__g", F.col("doc_id") % 17)
@@ -1402,7 +1402,7 @@ def _q_pipeline_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     # copies it as a unit, so the regexes run once per row (the staged
     # with_quality_score form inflates to ~20 regex evals inside a filter)
     good = docs.filter(
-        F.round(tx.quality_score_cell(F.col("text")), 4) >= 0.85)
+        F.round(tx.quality_score_fast(F.col("text")), 4) >= 0.85)
     toks = tx.tokens(F.col("text"))
     bench = (docs.filter((F.col("doc_id") % 50) == 0)
                  .filter(F.size(toks) >= 17)
@@ -1785,7 +1785,7 @@ def _q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_db_spark.operators.dedup import exact_substring_spans
     docs = spark.table("documents").select("doc_id", "text")
     good = docs.filter(
-        F.round(tx.quality_score_cell(F.col("text")), 4) >= 0.85)
+        F.round(tx.quality_score_fast(F.col("text")), 4) >= 0.85)
     spans = exact_substring_spans(good, n=13, min_count=2)
     removed = spans.groupBy("doc_id").agg(
         F.sum(F.col("span_end") - F.col("span_start")).alias("__nr"))
@@ -1882,7 +1882,7 @@ def _q_pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_db_spark.operators.batching import length_bucketed_batches
     docs = spark.table("documents").select("doc_id", "text")
     good = docs.filter(
-        F.round(tx.quality_score_cell(F.col("text")), 4) >= 0.85)
+        F.round(tx.quality_score_fast(F.col("text")), 4) >= 0.85)
     toks = good.select("doc_id", tx.token_count(F.col("text"))
                        .cast("long").alias("n_tokens"))
     bounds = spark.table("documents").agg(
@@ -2050,11 +2050,11 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_quality_model.py."""
     from pyspark.sql import functions as F
     from sedona_db_spark.functions import quality_model as QM
-    from sedona_db_spark.functions.text import quality_score_cell
+    from sedona_db_spark.functions.text import quality_score_fast
     docs = spark.table("documents").select("doc_id", "text")
     lab = docs.withColumn(
         "label",
-        (F.round(quality_score_cell(F.col("text")), 4) >= 0.85)
+        (F.round(quality_score_fast(F.col("text")), 4) >= 0.85)
         .cast("int"))
     model = QM.train_quality_classifier(lab, "label")
     return (QM.score_quality(docs, model)
@@ -4591,7 +4591,7 @@ def _q_pipeline_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracted = crawl.select(
         "doc_id", "url", html_to_text(F.col("html")).alias("text"))
     good = extracted.filter(
-        F.round(tx.quality_score_cell(F.col("text")), 4) >= 0.85)
+        F.round(tx.quality_score_fast(F.col("text")), 4) >= 0.85)
     kept = dedup_by_url(filter_url_blocklist(good, ["site3.com"]))
     return kept.select("doc_id", "url",
                        tx.token_count(F.col("text")).cast("long")

@@ -589,7 +589,7 @@ def corpus_report(df, text_col: str = "text", id_col: str = "doc_id",
     SQL-portable — the contract query is hash-checked against DuckDB,
     not a sketch."""
     c = F.col(text_col)
-    q = F.round(quality_score_cell(c), 4)
+    q = F.round(quality_score_fast(c), 4)
     fp = F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
     base = df.select(
         *( [F.col(domain_col)] if domain_col else [] ),
@@ -612,3 +612,127 @@ def corpus_report(df, text_col: str = "text", id_col: str = "doc_id",
     ).withColumn(
         "mean_tokens_per_doc",
         F.round(F.col("n_tokens") / F.col("n_docs"), 6))
+
+
+# ----------------------------------------------------------------------
+# flat-batch quality kernel: quality_score_cell costs ~22 s/pass at sf10
+# (4-5 Java-regex passes over the corpus); this kernel computes the SAME
+# four signals in one uint8 sweep per Arrow batch (byte-class masks +
+# cumulative sums + a vectorized <=4-byte token compare for stopwords) —
+# the native cell remains the executable spec, pinned bit-equal by
+# tests/test_web.py on adversarial ASCII.  Unicode note: stopword
+# matching lowercases BYTES (A-Z only), exact for ASCII tokens; a
+# non-ASCII token can never equal an ASCII stopword on either path.
+# ----------------------------------------------------------------------
+
+_QK_STOP_CODES = None
+
+
+def _qk_stop_codes():
+    global _QK_STOP_CODES
+    if _QK_STOP_CODES is None:
+        codes = {}
+        for w in STOPWORDS["en"]:
+            b = w.encode()
+            v = 0
+            for i, c in enumerate(b):
+                v |= c << (8 * i)
+            codes.setdefault(len(b), []).append(v)
+        _QK_STOP_CODES = {k: np.asarray(v, dtype=np.uint32)
+                          for k, v in codes.items()}
+    return _QK_STOP_CODES
+
+
+def _quality_kernel(s: pd.Series) -> pd.Series:
+    stop_codes = _qk_stop_codes()
+    texts = s.tolist()
+    n = len(texts)
+    enc = [t.encode("utf-8") if isinstance(t, str) else b"" for t in texts]
+    nulls = np.asarray([not isinstance(t, str) for t in texts], dtype=bool)
+    char_len = np.asarray(
+        [len(t) if isinstance(t, str) else 0 for t in texts],
+        dtype=np.int64)
+    byte_len = np.asarray([len(b) for b in enc], dtype=np.int64)
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(byte_len, out=off[1:])
+    big = np.frombuffer(b"".join(enc) + b"\x00\x00\x00\x00",
+                        dtype=np.uint8)[:off[-1] + 4]
+    arr = big[:off[-1]]
+
+    ws = ((arr == 32) | (arr == 9) | (arr == 10) | (arr == 11)
+          | (arr == 12) | (arr == 13))
+    punct = (((arr >= 33) & (arr <= 47)) | ((arr >= 58) & (arr <= 64))
+             | ((arr >= 91) & (arr <= 96)) | ((arr >= 123) & (arr <= 126)))
+
+    def per_doc(mask):
+        cum = np.zeros(len(arr) + 1, dtype=np.int64)
+        np.cumsum(mask, out=cum[1:])
+        return cum[off[1:]] - cum[off[:-1]]
+
+    ws_cnt = per_doc(ws)
+    punct_cnt = per_doc(punct)
+    nonspace = char_len - ws_cnt           # \s chars are ASCII: 1 byte = 1 char
+
+    nw = ~ws
+    prev_ws = np.empty_like(ws)
+    if len(arr):
+        prev_ws[0] = True
+        prev_ws[1:] = ws[:-1]
+        starts_idx = off[:-1][byte_len > 0]
+        prev_ws[starts_idx] = True
+    tok_start = nw & prev_ws
+    n_tok = per_doc(tok_start)
+
+    # stopword hits: tokens of byte length 1-4, compared as packed u32
+    # against the lowered stopword codes
+    st = np.nonzero(tok_start)[0]
+    if len(st):
+        next_ws = np.empty_like(ws)
+        next_ws[-1] = True
+        next_ws[:-1] = ws[1:]
+        ends_idx = off[1:][byte_len > 0] - 1
+        next_ws[ends_idx] = True
+        en = np.nonzero(nw & next_ws)[0]     # inclusive token ends
+        tl = en - st + 1
+        lowered = np.where((big >= 65) & (big <= 90), big + 32,
+                           big).astype(np.uint32)
+        hits_mask = np.zeros(len(st), dtype=bool)
+        for L, codes in stop_codes.items():
+            cand = tl == L
+            if not cand.any():
+                continue
+            p = st[cand]
+            v = lowered[p].copy()
+            for i in range(1, L):
+                v |= lowered[p + i] << np.uint32(8 * i)
+            hits_mask[cand] = np.isin(v, codes)
+        doc_idx = np.searchsorted(off[1:], st, side="right")
+        sw_cnt = np.bincount(doc_idx[hits_mask], minlength=n)[:n]
+    else:
+        sw_cnt = np.zeros(n, dtype=np.int64)
+
+    den_tok = np.maximum(n_tok, 1)
+    length_ok = np.where((n_tok >= 5) & (n_tok <= 100000), 1.0, 0.0)
+    wl = nonspace / den_tok
+    word_len_ok = np.where((wl >= 2.0) & (wl <= 12.0), 1.0, 0.0)
+    sw_sig = np.minimum(sw_cnt / den_tok * 4.0, 1.0)
+    p_ratio = punct_cnt / np.maximum(char_len, 1)
+    score = (0.3 * length_ok + 0.3 * (1.0 - p_ratio)
+             + 0.2 * sw_sig + 0.2 * word_len_ok)
+    out = score.astype(object)
+    out[nulls] = None
+    return pd.Series(out)
+
+
+_quality_udf = None
+
+
+def quality_score_fast(col) -> Column:
+    """quality_score as ONE Arrow kernel pass — the hot-path form for
+    corpus-scale gates (sf10: ~22 s of regex -> ~2 s); bit-equal to
+    quality_score_cell (pinned by test)."""
+    global _quality_udf
+    if _quality_udf is None:
+        _quality_udf = F.pandas_udf(_quality_kernel, "double")
+    c = F.col(col) if isinstance(col, str) else col
+    return _quality_udf(c)

@@ -268,3 +268,71 @@ def test_warc_stream_matches_batch(spark, tmp_path):
         "record_id", "nurl", "body").collect()))
     assert got == want and len(got) == 12
     assert got[0][2].endswith("& more")
+
+
+# ----------------------------------------------------------------------
+# flat-batch quality kernel parity (round 8)
+# ----------------------------------------------------------------------
+
+def test_quality_kernel_bit_equals_native_cell(spark):
+    """quality_score_fast must equal quality_score_cell BIT-for-bit on
+    adversarial ASCII (edge tabs/newlines, empties, punct-only, long
+    runs, stopword boundary cases) — the native cell is the executable
+    spec."""
+    from sedona_db_spark.functions.text import (quality_score_cell,
+                                                quality_score_fast)
+    rows = [
+        "", " ", "\t\t", "\n",
+        "the", "the the the the the",
+        "a b c d e f g h i j k",
+        "THE AND OF TO", "The!And?Of.",
+        "word " * 200,
+        "!!!???;;;", "x" * 50,
+        "  leading and trailing  ",
+        "\tthe quick brown fox\n",
+        "of", "ofx", "xof", "o f",
+        "that that that thatx xthat",
+        "for for4 4for FOR For fOr",
+        "in in in is is it it a a to to",
+        "multi\nline\ntext with the usual words in it",
+        "punct,heavy;text:with/lots\\of@punct!chars?",
+        None,
+        "mixed \t whitespace \x0b and \x0c forms \r here",
+    ] + [f"doc {i} with some of the usual filler words for it "
+         * (i % 7 + 1) for i in range(60)]
+    import pandas as pd
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": pd.Series(rows, dtype=object)}))
+    out = df.select(
+        quality_score_cell(F.col("text")).alias("native"),
+        quality_score_fast(F.col("text")).alias("fast")).collect()
+    for r in out:
+        assert (r["native"] is None) == (r["fast"] is None)
+        if r["native"] is not None:
+            assert r["native"] == r["fast"], (r["native"], r["fast"])
+
+
+def test_quality_kernel_property(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st2
+
+    from sedona_db_spark.functions.text import (quality_score_cell,
+                                                quality_score_fast)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st2.lists(st2.text(
+        alphabet=("abcdefghijklmnopqrstuvwxyz"
+                  "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+                  " \t\n\x0b\x0c\r.,!?;:'\"()[]{}@#$%^&*-_=+/\\|<>~`"),
+        min_size=0, max_size=120), min_size=1, max_size=30))
+    def run(texts):
+        import pandas as pd
+        df = spark.createDataFrame(
+            pd.DataFrame({"text": pd.Series(texts, dtype=object)}))
+        out = df.select(
+            quality_score_cell(F.col("text")).alias("a"),
+            quality_score_fast(F.col("text")).alias("b")).collect()
+        for r in out:
+            assert r["a"] == r["b"], (r["a"], r["b"])
+
+    run()
