@@ -1140,11 +1140,16 @@ _O["text_lang_id_hist"] = """
 
 
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scores via the flat-batch Arrow kernel (round 8: one
+    uint8 sweep; the native with_quality_score/quality_score_cell
+    expressions remain the executable spec, pinned bit-equal by
+    tests/test_web.py)."""
     from pyspark.sql import functions as F
     from sedona_db_spark.functions import text as tx
     docs = spark.table("documents")
-    scored = tx.with_quality_score(docs, "text", out="__q")
-    return scored.select("doc_id", F.round(F.col("__q"), 4).alias("q"))
+    return docs.select(
+        "doc_id",
+        F.round(tx.quality_score_fast(F.col("text")), 4).alias("q"))
 
 
 _PY["text_quality_score"] = _q_quality
