@@ -180,14 +180,15 @@ def curate_stream(stream: DataFrame, benchmark: DataFrame,
                   n: int = 13, bench_text_col: str | None = None) -> DataFrame:
     """Streaming curation: quality gate + benchmark decontamination.
 
-    Both stages are STATELESS per-row ops (the quality score is one
-    substitution-safe native cell; contamination is a membership kernel
+    Both stages are STATELESS per-row ops (the quality score is the
+    flat-batch Arrow kernel, bit-equal to the native cell spec;
+    contamination is a membership kernel
     over the collected benchmark gram-hash set), so the pipeline runs
     under ``readStream`` with no state store and no watermark — each
     micro-batch is curated independently, exactly matching the batch
     operators' row-level semantics.  The benchmark side is a STATIC
     DataFrame, hashed once at plan time."""
-    from sedona_db_spark.functions.text import quality_score_cell
+    from sedona_db_spark.functions.text import quality_score_fast
     from sedona_db_spark.operators.dedup import (_gram_hash_kernel,
                                                  _gram_member_kernel)
     btc = bench_text_col or text_col
@@ -197,7 +198,7 @@ def curate_stream(stream: DataFrame, benchmark: DataFrame,
         .select(F.explode(gh(F.col(btc))).alias("__g")).distinct().collect())
     member = F.pandas_udf(_gram_member_kernel(n, bset), "boolean")
     return (stream
-            .filter(F.round(quality_score_cell(F.col(text_col)), 4)
+            .filter(F.round(quality_score_fast(F.col(text_col)), 4)
                     >= min_quality)
             .filter(~member(F.col(text_col))))
 
