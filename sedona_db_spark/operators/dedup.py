@@ -109,16 +109,18 @@ def line_dup_stats(df: DataFrame, text_col: str = "text",
     dup = (lines.groupBy("__line")
            .agg(F.count(F.lit(1)).alias("__n"))
            .filter(F.col("__n") >= int(min_count))
-           .select("__line"))
-    flagged = lines.join(dup.hint("shuffle_hash"), "__line", "left_semi") \
-        .groupBy(id_col).agg(
-            F.count(F.lit(1)).alias("__dl"),
-            F.sum(F.length("__line")).alias("__dc"))
-    totals = lines.groupBy(id_col).agg(
+           .select("__line", F.lit(1).alias("__isdup")))
+    # LEFT join (not semi) so ONE per-doc aggregate yields totals AND
+    # dup-flagged sums together — the semi-join formulation read the
+    # exploded lines a third time for the totals branch
+    flagged = lines.join(dup.hint("shuffle_hash"), "__line", "left")
+    stats = flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__nl"),
-        F.sum(F.length("__line")).alias("__nc"))
-    base = df.select(id_col).join(totals, id_col, "left") \
-        .join(flagged, id_col, "left")
+        F.sum(F.length("__line")).alias("__nc"),
+        F.sum(F.coalesce("__isdup", F.lit(0))).alias("__dl"),
+        F.sum(F.when(F.col("__isdup").isNotNull(), F.length("__line"))
+              .otherwise(F.lit(0))).alias("__dc"))
+    base = df.select(id_col).join(stats, id_col, "left")
     nl = F.coalesce("__nl", F.lit(0)).cast("long")
     dl = F.coalesce("__dl", F.lit(0)).cast("long")
     nc = F.coalesce("__nc", F.lit(0)).cast("long")
