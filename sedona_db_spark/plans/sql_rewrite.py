@@ -821,6 +821,53 @@ def _probe_geography(df, col, n=64):
     return sum(1 for v in vals if _wkb_is_geography(v)), len(vals)
 
 
+def _lattice_from_inner(ldf, rdf_r, how, inner_fn) -> DataFrame:
+    """Assemble any join-type-lattice mode from an inner-join builder by
+    row-id match tracking — the same probe-bitmap shape
+    operators.spatial_join uses (exec.rs:235-240).  ``rdf_r`` columns
+    are already collision-renamed by the caller, so ids never clash."""
+    from pyspark.sql import functions as F
+    lid, rid = "__lat_lid", "__lat_rid"
+    need_l = how in ("left", "full", "left_semi", "left_anti")
+    need_r = how in ("right", "full", "right_semi", "right_anti")
+    l2 = ldf.withColumn(lid, F.monotonically_increasing_id()) \
+        if need_l else ldf
+    r2 = rdf_r.withColumn(rid, F.monotonically_increasing_id()) \
+        if need_r else rdf_r
+    inner = inner_fn(l2, r2)
+    if how == "left_semi":
+        return l2.join(inner.select(lid).distinct(), lid,
+                       "left_semi").drop(lid)
+    if how == "left_anti":
+        return l2.join(inner.select(lid).distinct(), lid,
+                       "left_anti").drop(lid)
+    if how == "right_semi":
+        return r2.join(inner.select(rid).distinct(), rid,
+                       "left_semi").drop(rid)
+    if how == "right_anti":
+        return r2.join(inner.select(rid).distinct(), rid,
+                       "left_anti").drop(rid)
+
+    def _pad(df: DataFrame) -> DataFrame:
+        for c in inner.columns:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None))
+        return df.select(inner.columns)
+
+    parts = [inner]
+    if how in ("left", "full"):
+        parts.append(_pad(l2.join(inner.select(lid).distinct(), lid,
+                                  "left_anti")))
+    if how in ("right", "full"):
+        parts.append(_pad(r2.join(inner.select(rid).distinct(), rid,
+                                  "left_anti")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.drop(*[c for c in (lid if need_l else None,
+                                  rid if need_r else None) if c])
+
+
 def _build_geography_dwithin(spark, ldf, rdf_r, g1, g2, dist) -> DataFrame:
     """Geography ST_DWithin join: extract point lon/lat (raising loud on
     non-point or untagged rows — the route is only certified for
@@ -890,15 +937,24 @@ def _build_join(spark, m, spatial, ldf, rdf_r, g1, g2) -> DataFrame:
 
     # geography values (in-band edge tags) make the planar operators
     # numerically wrong: probe and route.  Tagged point dwithin gets the
-    # native geography join; every other tagged shape declines to
-    # vanilla, whose per-row kernels dispatch spherically.
+    # native geography join — across the whole join-type lattice via the
+    # same inner-core + row-id bookkeeping the planar operator uses
+    # (vanilla cannot plan ANY outer/semi/anti over a UDF predicate, so
+    # declining would be an error, not a fallback); every other tagged
+    # shape declines to vanilla, whose per-row kernels dispatch
+    # spherically.
     nt1, n1 = _probe_geography(ldf, g1)
     nt2, n2 = _probe_geography(rdf_r, g2)
     if nt1 or nt2:
-        if (spatial.kind == "dwithin" and m.how == "inner"
+        if (spatial.kind == "dwithin"
                 and nt1 == n1 and nt2 == n2 and not spatial.keep_refine):
-            return _build_geography_dwithin(spark, ldf, rdf_r, g1, g2,
-                                            spatial.extra[0])
+            if m.how == "inner":
+                return _build_geography_dwithin(spark, ldf, rdf_r, g1, g2,
+                                                spatial.extra[0])
+            return _lattice_from_inner(
+                ldf, rdf_r, m.how,
+                lambda l2, r2: _build_geography_dwithin(
+                    spark, l2, r2, g1, g2, spatial.extra[0]))
         raise _Decline
 
     first_is_left = spatial.arg_rels[0] == m.rel1.alias

@@ -951,3 +951,50 @@ def test_dwithin_right_join_lattice(spark):
     want = sorted(((r[0] is None, r[0] or 0), r[1])
                   for r in _vanilla(spark, oq).collect())
     assert got == want and len(got) > 0
+
+
+def test_geography_dwithin_lattice(spark):
+    """Round 8: geography ST_DWithin joins compose with the join-type
+    lattice (vanilla errors on ANY outer/semi/anti over a UDF
+    predicate, so the rewrite is the only plan)."""
+    _prep(spark)
+    spark.sql("""
+      SELECT c_custkey,
+             ST_GeogPoint(CAST(c_custkey % 360 AS DOUBLE) - 179.5,
+                          CAST((c_custkey * 7) % 160 AS DOUBLE) - 79.5) AS g
+      FROM customer WHERE c_custkey < 300
+    """).createOrReplaceTempView("geo_a")
+    spark.sql("""
+      SELECT s_suppkey,
+             ST_GeogPoint(CAST((s_suppkey * 13) % 360 AS DOUBLE) - 179.5,
+                          CAST((s_suppkey * 29) % 160 AS DOUBLE) - 79.5) AS g
+      FROM supplier
+    """).createOrReplaceTempView("geo_b")
+    inner = spark.sql("""SELECT a.c_custkey, b.s_suppkey FROM geo_a a
+                         JOIN geo_b b ON ST_DWithin(a.g, b.g, 1500000.0)""")
+    n_inner = inner.count()
+    matched_l = inner.select("c_custkey").distinct().count()
+    matched_r = inner.select("s_suppkey").distinct().count()
+    n_l = spark.table("geo_a").count()
+    n_r = spark.table("geo_b").count()
+    assert n_inner > 0
+
+    left = spark.sql("""SELECT a.c_custkey, b.s_suppkey FROM geo_a a
+                        LEFT JOIN geo_b b ON ST_DWithin(a.g, b.g, 1500000.0)""")
+    assert getattr(left, "_sedona_rewritten_sql", None) is not None
+    assert left.count() == n_inner + (n_l - matched_l)
+    assert left.filter("s_suppkey IS NULL").count() == n_l - matched_l
+
+    semi = spark.sql("""SELECT a.c_custkey FROM geo_a a
+                        LEFT SEMI JOIN geo_b b
+                        ON ST_DWithin(a.g, b.g, 1500000.0)""")
+    assert semi.count() == matched_l
+    anti = spark.sql("""SELECT a.c_custkey FROM geo_a a
+                        LEFT ANTI JOIN geo_b b
+                        ON ST_DWithin(a.g, b.g, 1500000.0)""")
+    assert anti.count() == n_l - matched_l
+
+    router = spark.sql("""SELECT a.c_custkey, b.s_suppkey FROM geo_a a
+                          RIGHT JOIN geo_b b
+                          ON ST_DWithin(a.g, b.g, 1500000.0)""")
+    assert router.count() == n_inner + (n_r - matched_r)
