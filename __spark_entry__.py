@@ -1464,14 +1464,11 @@ _O["pipeline_c4_compose"] = """
 
 # Whitespace token count with established Spark<->DuckDB parity (the
 # text_token_stats contract): chars(norm) - chars(norm sans spaces) + 1.
+# round 8: the regex-free flat-batch kernel (functions/text.py
+# token_count_fast, registered for SQL; bit-equal to the native
+# expression, pinned by test)
 _TOKCOUNT_SPARK = """
-  SELECT doc_id,
-         CAST(CASE WHEN nlen = 0 THEN 0 ELSE nlen - slen + 1 END AS BIGINT)
-           AS n_tokens
-  FROM (SELECT doc_id, length(norm) AS nlen,
-               length(translate(norm, ' ', '')) AS slen
-        FROM (SELECT doc_id, trim(regexp_replace(text, '\\\\s+', ' ')) AS norm
-              FROM documents))
+  SELECT doc_id, token_count_fast(text) AS n_tokens FROM documents
 """
 _TOKCOUNT_DUCK = """
   SELECT doc_id,
@@ -1795,7 +1792,7 @@ def _q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed = spans.groupBy("doc_id").agg(
         F.sum(F.col("span_end") - F.col("span_start")).alias("__nr"))
     clean = (good.select("doc_id",
-                         tx.token_count(F.col("text")).cast("long")
+                         tx.token_count_fast(F.col("text")).cast("long")
                          .alias("__nt"))
              .join(removed, "doc_id", "left")
              .select("doc_id",
@@ -1888,7 +1885,7 @@ def _q_pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents").select("doc_id", "text")
     good = docs.filter(
         F.round(tx.quality_score_fast(F.col("text")), 4) >= 0.85)
-    toks = good.select("doc_id", tx.token_count(F.col("text"))
+    toks = good.select("doc_id", tx.token_count_fast(F.col("text"))
                        .cast("long").alias("n_tokens"))
     bounds = spark.table("documents").agg(
         F.min("doc_id"), F.max("doc_id")).first()
@@ -4599,7 +4596,7 @@ def _q_pipeline_web(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tx.quality_score_fast(F.col("text")), 4) >= 0.85)
     kept = dedup_by_url(filter_url_blocklist(good, ["site3.com"]))
     return kept.select("doc_id", "url",
-                       tx.token_count(F.col("text")).cast("long")
+                       tx.token_count_fast(F.col("text")).cast("long")
                        .alias("n_tokens"))
 
 

@@ -410,6 +410,7 @@ simhash_udf = None  # initialized in register()
 
 
 def register(spark: SparkSession) -> None:
+    spark.udf.register("token_count_fast", _register_token_count_fast())
     global simhash_udf
     spark.udf.register("MinHashSignature", minhash_udf())
     simhash_udf = F.pandas_udf(simhash64_kernel, returnType=T.LongType())
@@ -736,3 +737,51 @@ def quality_score_fast(col) -> Column:
         _quality_udf = F.pandas_udf(_quality_kernel, "double")
     c = F.col(col) if isinstance(col, str) else col
     return _quality_udf(c)
+
+
+def _token_count_kernel(s: pd.Series) -> pd.Series:
+    """Flat-batch token count (the lean subset of _quality_kernel):
+    tokens = runs of non-\\s bytes.  Bit-equal to the native
+    token_count() (pinned by test); NULL -> NULL."""
+    texts = s.tolist()
+    n = len(texts)
+    enc = [t.encode("utf-8") if isinstance(t, str) else b"" for t in texts]
+    nulls = np.asarray([not isinstance(t, str) for t in texts], dtype=bool)
+    byte_len = np.asarray([len(b) for b in enc], dtype=np.int64)
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(byte_len, out=off[1:])
+    arr = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    ws = ((arr == 32) | (arr == 9) | (arr == 10) | (arr == 11)
+          | (arr == 12) | (arr == 13))
+    nw = ~ws
+    prev_ws = np.empty_like(ws)
+    if len(arr):
+        prev_ws[0] = True
+        prev_ws[1:] = ws[:-1]
+        prev_ws[off[:-1][byte_len > 0]] = True
+    starts = nw & prev_ws
+    cum = np.zeros(len(arr) + 1, dtype=np.int64)
+    np.cumsum(starts, out=cum[1:])
+    counts = (cum[off[1:]] - cum[off[:-1]]).astype(object)
+    counts[nulls] = None
+    return pd.Series(counts)
+
+
+_token_count_udf = None
+
+
+def _register_token_count_fast():
+    global _token_count_udf
+    if _token_count_udf is None:
+        _token_count_udf = F.pandas_udf(_token_count_kernel, "long")
+    return _token_count_udf
+
+
+def token_count_fast(col) -> Column:
+    """token_count as one Arrow kernel pass (regex-free hot-path form;
+    the native expression stays the spec)."""
+    global _token_count_udf
+    if _token_count_udf is None:
+        _token_count_udf = F.pandas_udf(_token_count_kernel, "long")
+    c = F.col(col) if isinstance(col, str) else col
+    return _token_count_udf(c)

@@ -336,3 +336,16 @@ def test_quality_kernel_property(spark):
             assert r["a"] == r["b"], (r["a"], r["b"])
 
     run()
+
+
+def test_token_count_kernel_bit_equals_native(spark):
+    from sedona_db_spark.functions.text import token_count, token_count_fast
+    rows = ["", " ", "\t", "a", " a ", "\ta b\tc\n", "x " * 99, None,
+            "one\ntwo\vthree\ffour\rfive", "  many   spaces   here  "]
+    import pandas as pd
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": pd.Series(rows, dtype=object)}))
+    out = df.select(token_count(F.col("text")).cast("long").alias("a"),
+                    token_count_fast(F.col("text")).alias("b")).collect()
+    for r in out:
+        assert r["a"] == r["b"], (r["a"], r["b"])
