@@ -554,7 +554,17 @@ def knn_join_partitioned(
     obj = widen_if_starved(obj)
     queries = widen_if_starved(queries)
 
-    q = queries.withColumn("__qid", F.monotonically_increasing_id())
+    # Pin the id assignment to ONE evaluation: __qid flows into top_a
+    # (cached) AND the qstat/round-B branch, which re-evaluate this
+    # subtree independently — above a shuffle, positional ids permute
+    # between evaluations and the safe/unsafe split silently mixes
+    # queries (ADVICE r8 hazard class).  The lazy localCheckpoint also
+    # collapses what were three full query-side scans (round A, qstat,
+    # round B) into one materialization.  Content hashes are NOT a
+    # substitute here: duplicate query rows must keep distinct ids or
+    # the per-query top-k window under-emits.
+    q = queries.withColumn("__qid", F.monotonically_increasing_id()) \
+               .localCheckpoint(eager=False)
     qb = q.withColumn("__qb", bbox_col(F.col(query_geom))) \
           .withColumn("__qx", (F.col("__qb.xmin") + F.col("__qb.xmax")) / 2) \
           .withColumn("__qy", (F.col("__qb.ymin") + F.col("__qb.ymax")) / 2) \
@@ -831,7 +841,11 @@ def knn_join_spheroid_partitioned(
                    .cast("double"))
         return df.withColumn(px, lon).withColumn(py, b["ymin"])
 
-    q = pts_of(queries.withColumn("__qid", F.monotonically_increasing_id()),
+    # localCheckpoint pins __qid to one evaluation (see the planar
+    # partitioned path above: the qstat branch re-evaluates this subtree
+    # and positional ids are not stable above a shuffle)
+    q = pts_of(queries.withColumn("__qid", F.monotonically_increasing_id())
+               .localCheckpoint(eager=False),
                query_geom, "__qlon", "__qlat")
     ob = pts_of(obj, ogeom, "__olon", "__olat")
 

@@ -63,6 +63,38 @@ def _wkb_is_geography(v) -> bool:
             and ((v[0] == 1 and v[4] & 0x10) or (v[0] == 0 and v[1] & 0x10)))
 
 
+def content_row_id(df: DataFrame, name: str) -> tuple[DataFrame, list[str]]:
+    """Tag every row with a content-derived 128-bit id (two seeded
+    xxhash64 sweeps over every column): ``(df_tagged, [id_col_names])``.
+
+    Why not monotonically_increasing_id: the lattice modes reference the
+    tagged side in TWO plan branches (the inner core and the
+    unmatched-row recovery), and Spark re-evaluates each branch.  Above
+    a shuffle, reduce-side row order is not deterministic between
+    evaluations, so positional ids can permute and outer/semi/anti
+    results silently drop or duplicate rows.  A content hash is a pure
+    function of the row — identical across evaluations by construction,
+    no materialization, no extra shuffle.
+
+    Identical duplicate rows share an id, which every lattice mode
+    tolerates: copies satisfy the spatial predicate identically, so the
+    match-id set keeps or drops them together and semi/anti/outer joins
+    on the id preserve per-copy multiplicity.  Collisions between
+    DIFFERENT rows are 128-bit rare (~1e-17 at 1e11 rows).
+
+    Map-typed columns are unhashable in Spark; that shape pins ONE
+    evaluation instead (lazy localCheckpoint + positional id) — costs a
+    materialization, never a silent wrong answer.
+    """
+    if any(isinstance(f.dataType, T.MapType) for f in df.schema.fields):
+        return (df.withColumn(name, F.monotonically_increasing_id())
+                  .localCheckpoint(eager=False), [name])
+    cols = [F.col(c) for c in df.columns]
+    n1, n2 = f"{name}1", f"{name}2"
+    return (df.withColumn(n1, F.xxhash64(F.lit(1), *cols))
+              .withColumn(n2, F.xxhash64(F.lit(2), *cols)), [n1, n2])
+
+
 def _geog_point_xy_kernel(s: pd.Series) -> pd.DataFrame:
     """lon/lat of uniformly tagged geography POINTs; raises loud on any
     planar or non-point row (the SQL front door's geography dwithin
@@ -430,34 +462,42 @@ def spatial_join(
         # distinct row-id set recovered from the inner result — a
         # shuffle-sized structure, never driver state, so the mode
         # lattice inherits the inner path's 100 TB story unchanged.
-        lid, rid = "__sj_lid", "__sj_rid"
+        # Ids are content-derived (content_row_id) so the two plan
+        # branches referencing the tagged side agree even above a
+        # shuffle (ADVICE r8: positional ids permute between branch
+        # re-evaluations and silently corrupt outer/semi/anti results).
         need_l = how in ("left", "full", "left_semi", "left_anti")
         need_r = how in ("right", "full", "right_semi", "right_anti")
-        left_t = (left.withColumn(lid, F.monotonically_increasing_id())
-                  if need_l else left)
-        right_t = (right.withColumn(rid, F.monotonically_increasing_id())
-                   if need_r else right)
+        lids: list[str] = []
+        rids: list[str] = []
+        left_t, right_t = left, right
+        if need_l:
+            left_t, lids = content_row_id(left, "__sj_lid")
+        if need_r:
+            right_t, rids = content_row_id(right, "__sj_rid")
         inner = spatial_join(left_t, right_t, left_geom, right_geom,
                              predicate, distance, "inner", grid_cells,
                              broadcast_threshold, rect_fast_path)
         if how == "left_semi":
             # distinct-on-id = reference "emit probe row once however
             # many build rows matched" (join_utils.rs:60-80)
-            return left_t.join(inner.select(lid).distinct(), lid,
-                               "left_semi").drop(lid)
+            return left_t.join(inner.select(*lids).distinct(), lids,
+                               "left_semi").drop(*lids)
         if how == "left_anti":
-            return left_t.join(inner.select(lid).distinct(), lid,
-                               "left_anti").drop(lid)
-        # right-side id may have been prefixed on collision — resolve
-        rid_out = rid if rid in inner.columns else f"right_{rid}"
+            return left_t.join(inner.select(*lids).distinct(), lids,
+                               "left_anti").drop(*lids)
+        # right-side ids may have been prefixed on collision — resolve
+        rids_out = [r if r in inner.columns else f"right_{r}" for r in rids]
         if how == "right_semi":
             return right_t.join(
-                inner.select(F.col(rid_out).alias(rid)).distinct(), rid,
-                "left_semi").drop(rid)
+                inner.select(*[F.col(o).alias(r) for o, r in
+                               zip(rids_out, rids)]).distinct(), rids,
+                "left_semi").drop(*rids)
         if how == "right_anti":
             return right_t.join(
-                inner.select(F.col(rid_out).alias(rid)).distinct(), rid,
-                "left_anti").drop(rid)
+                inner.select(*[F.col(o).alias(r) for o, r in
+                               zip(rids_out, rids)]).distinct(), rids,
+                "left_anti").drop(*rids)
 
         def _pad(df: DataFrame) -> DataFrame:
             for c in inner.columns:
@@ -467,7 +507,7 @@ def spatial_join(
 
         parts = [inner]
         if how in ("left", "full"):
-            unmatched = left_t.join(inner.select(lid).distinct(), lid,
+            unmatched = left_t.join(inner.select(*lids).distinct(), lids,
                                     "left_anti")
             parts.append(_pad(unmatched))
         if how in ("right", "full"):
@@ -477,15 +517,21 @@ def spatial_join(
                        for c in right_t.columns}
             unmatched = right_t.select(
                 [F.col(c).alias(a) for c, a in rcols_t.items()])
+            rids_u = [rcols_t[r] for r in rids]
             unmatched = unmatched.join(
-                inner.select(F.col(rid_out).alias(rid_out)).distinct(),
-                rid_out, "left_anti")
+                inner.select(*[F.col(o).alias(u) for o, u in
+                               zip(rids_out, rids_u)]).distinct(),
+                rids_u, "left_anti")
+            # unmatched carries ids under rids_u; inner under rids_out —
+            # line them up before the union pads missing columns
+            for u, o in zip(rids_u, rids_out):
+                if u != o:
+                    unmatched = unmatched.withColumnRenamed(u, o)
             parts.append(_pad(unmatched))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        drop = [c for c in (lid if need_l else None,
-                            rid_out if need_r else None) if c]
+        drop = (lids if need_l else []) + (rids_out if need_r else [])
         return out.drop(*drop)
 
     # disambiguate columns

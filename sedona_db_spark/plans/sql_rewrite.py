@@ -825,28 +825,34 @@ def _lattice_from_inner(ldf, rdf_r, how, inner_fn) -> DataFrame:
     """Assemble any join-type-lattice mode from an inner-join builder by
     row-id match tracking — the same probe-bitmap shape
     operators.spatial_join uses (exec.rs:235-240).  ``rdf_r`` columns
-    are already collision-renamed by the caller, so ids never clash."""
+    are already collision-renamed by the caller, so ids never clash.
+    Ids are content-derived (content_row_id) so both plan branches that
+    reference a tagged side agree even above a shuffle (ADVICE r8)."""
     from pyspark.sql import functions as F
-    lid, rid = "__lat_lid", "__lat_rid"
+
+    from sedona_db_spark.operators.spatial_join import content_row_id
     need_l = how in ("left", "full", "left_semi", "left_anti")
     need_r = how in ("right", "full", "right_semi", "right_anti")
-    l2 = ldf.withColumn(lid, F.monotonically_increasing_id()) \
-        if need_l else ldf
-    r2 = rdf_r.withColumn(rid, F.monotonically_increasing_id()) \
-        if need_r else rdf_r
+    lids: list[str] = []
+    rids: list[str] = []
+    l2, r2 = ldf, rdf_r
+    if need_l:
+        l2, lids = content_row_id(ldf, "__lat_lid")
+    if need_r:
+        r2, rids = content_row_id(rdf_r, "__lat_rid")
     inner = inner_fn(l2, r2)
     if how == "left_semi":
-        return l2.join(inner.select(lid).distinct(), lid,
-                       "left_semi").drop(lid)
+        return l2.join(inner.select(*lids).distinct(), lids,
+                       "left_semi").drop(*lids)
     if how == "left_anti":
-        return l2.join(inner.select(lid).distinct(), lid,
-                       "left_anti").drop(lid)
+        return l2.join(inner.select(*lids).distinct(), lids,
+                       "left_anti").drop(*lids)
     if how == "right_semi":
-        return r2.join(inner.select(rid).distinct(), rid,
-                       "left_semi").drop(rid)
+        return r2.join(inner.select(*rids).distinct(), rids,
+                       "left_semi").drop(*rids)
     if how == "right_anti":
-        return r2.join(inner.select(rid).distinct(), rid,
-                       "left_anti").drop(rid)
+        return r2.join(inner.select(*rids).distinct(), rids,
+                       "left_anti").drop(*rids)
 
     def _pad(df: DataFrame) -> DataFrame:
         for c in inner.columns:
@@ -856,16 +862,15 @@ def _lattice_from_inner(ldf, rdf_r, how, inner_fn) -> DataFrame:
 
     parts = [inner]
     if how in ("left", "full"):
-        parts.append(_pad(l2.join(inner.select(lid).distinct(), lid,
+        parts.append(_pad(l2.join(inner.select(*lids).distinct(), lids,
                                   "left_anti")))
     if how in ("right", "full"):
-        parts.append(_pad(r2.join(inner.select(rid).distinct(), rid,
+        parts.append(_pad(r2.join(inner.select(*rids).distinct(), rids,
                                   "left_anti")))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.drop(*[c for c in (lid if need_l else None,
-                                  rid if need_r else None) if c])
+    return out.drop(*(lids + rids))
 
 
 def _build_geography_dwithin(spark, ldf, rdf_r, g1, g2, dist) -> DataFrame:

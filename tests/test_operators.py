@@ -391,6 +391,43 @@ def test_spatial_join_type_lattice(spark, cust_pts, boxes):
     assert ranti.count() == n_right - matched_r
 
 
+def test_lattice_ids_stable_above_shuffle_and_duplicates(spark, cust_pts,
+                                                         boxes):
+    """ADVICE r8: non-inner modes reference the tagged side in two plan
+    branches; positional ids permute between re-evaluations above a
+    shuffle.  Content-derived ids must keep outer/semi/anti exact with a
+    shuffled upstream AND preserve per-copy multiplicity for duplicate
+    rows (identical rows share a content id by design)."""
+    from sedona_db_spark.operators.spatial_join import spatial_join
+    base = cust_pts.select("c_custkey", "geom").filter("c_custkey < 400")
+    # round-robin repartition = the canonical nondeterministic-order
+    # upstream; a groupBy shuffle on top makes re-evaluation order free
+    left = base.repartition(7).groupBy("c_custkey", "geom") \
+        .agg(F.count(F.lit(1)).alias("__n")).drop("__n").repartition(5)
+    right = boxes.select("n_nationkey", "geom")
+    inner = spatial_join(left, right, predicate="within")
+    n_left, n_inner = left.count(), inner.count()
+    matched_l = inner.select("c_custkey").distinct().count()
+    louter = spatial_join(left, right, predicate="within", how="left")
+    assert louter.count() == n_inner + (n_left - matched_l)
+    assert louter.filter("n_nationkey IS NULL").count() == n_left - matched_l
+    semi = spatial_join(left, right, predicate="within", how="left_semi")
+    anti = spatial_join(left, right, predicate="within", how="left_anti")
+    assert semi.count() == matched_l
+    assert anti.count() == n_left - matched_l
+
+    # duplicate left rows: each copy keeps its own multiplicity
+    dup = base.limit(50)
+    dup2 = dup.unionAll(dup).repartition(3)
+    inner_d = spatial_join(dup, right, predicate="within")
+    semi_d = spatial_join(dup2, right, predicate="within", how="left_semi")
+    louter_d = spatial_join(dup2, right, predicate="within", how="left")
+    matched_d = inner_d.select("c_custkey").distinct().count()
+    n_dup, n_inner_d = dup.count(), inner_d.count()
+    assert semi_d.count() == 2 * matched_d
+    assert louter_d.count() == 2 * (n_inner_d + (n_dup - matched_d))
+
+
 def test_spatial_join_semi_emits_once_per_probe_row(spark, cust_pts):
     """A left row matching MULTIPLE right rows emits exactly once in SEMI
     (reference probe-side match bitmap, join_utils.rs:60-80)."""
