@@ -91,7 +91,11 @@ def filter_url_blocklist(df: DataFrame, blocked_hosts, url_col: str = "url",
     broadcasts (blocklists are small by nature)."""
     spark = df.sparkSession
     if isinstance(blocked_hosts, DataFrame):
-        bl = blocked_hosts.toDF("__bl_host")
+        # lowercase DataFrame-form entries too: the URL host is
+        # lowercased, so a mixed-case blocklist row would silently
+        # fail to block (ADVICE r8)
+        bl = blocked_hosts.toDF("__bl_host") \
+            .select(F.lower(F.col("__bl_host")).alias("__bl_host"))
     else:
         bl = spark.createDataFrame([(h.lower(),) for h in blocked_hosts],
                                    "__bl_host string")

@@ -358,23 +358,22 @@ def pq_train(df: DataFrame, vec_col: str = "embedding", m: int = 8,
              sample_cap: int = 100_000, seed: int = 7,
              iters: int = 12) -> np.ndarray:
     """Train per-subspace codebooks (m, 256, d/m) with seeded Lloyd
-    k-means on a DETERMINISTIC hash-sampled subset (never LIMIT — its
-    row choice is plan-dependent).  Driver state is bounded by
-    sample_cap rows; the subsets are tiny (256 centroids x m subspaces),
-    exactly the "train on a sample" regime every PQ deployment uses."""
-    from sedona_db_spark.operators.batching import lcg_hash
-    cnt = df.limit(sample_cap + 1).count()
-    frac_col = None
+    k-means on a DETERMINISTIC sample: the sample_cap rows with the
+    smallest content hash (a bare LIMIT's row choice is plan-dependent).
+    Driver state is bounded by sample_cap rows; the subsets are tiny
+    (256 centroids x m subspaces), exactly the "train on a sample"
+    regime every PQ deployment uses."""
     base = df.select(F.col(vec_col).cast("array<double>").alias("__v")) \
              .where(F.col("__v").isNotNull())
-    if cnt > sample_cap:
-        # deterministic thinning: keep ~sample_cap by hashing a stable
-        # row fingerprint (the vector text) — engine-independent
-        thr = int(max(sample_cap / max(cnt * 2, 1), 1e-6) * 2_147_483_648)
-        base = base.where(
-            F.pmod(F.xxhash64(F.col("__v").cast("string")),
-                   F.lit(2_147_483_648)) < F.lit(thr))
-    rows = base.limit(sample_cap).collect()
+    # smallest-hash top-N: the sample is the sample_cap rows with the
+    # smallest content hash — a pure function of row VALUES, so the
+    # selection is identical under any plan, partitioning, or engine
+    # (a bare LIMIT's row choice is plan-dependent, and the r8 capped
+    # count made the old thinning fraction degenerate — ADVICE r8).
+    # Executes as TakeOrderedAndProject: per-partition top-N, one
+    # driver merge, bounded by sample_cap rows — never a full sort.
+    rows = base.withColumn("__h", F.xxhash64(F.col("__v").cast("string"))) \
+               .orderBy("__h").limit(sample_cap).collect()
     X = np.asarray([r["__v"] for r in rows], dtype=np.float64)
     if X.ndim != 2 or X.shape[0] == 0:
         raise ValueError("pq_train: no trainable vectors")

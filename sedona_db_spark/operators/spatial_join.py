@@ -352,7 +352,7 @@ _RECT_FAST_PREDS = {"within", "covered_by", "coveredby", "intersects"}
 
 
 def _rect_fast_refine(cand: DataFrame, left: DataFrame, left_geom: str,
-                      rb: DataFrame, predicate: str,
+                      rb: DataFrame, rgeom: str, predicate: str,
                       distance: float | None, enabled: bool):
     if not enabled or distance is not None \
             or predicate not in _RECT_FAST_PREDS:
@@ -414,12 +414,19 @@ def _rect_fast_refine(cand: DataFrame, left: DataFrame, left_geom: str,
         formula = (lx > rx) & (lX < rX) & (ly > ry) & (lY < rY)
     else:                                   # intersects(point, rect)
         formula = (lx >= rx) & (lx <= rX) & (ly >= ry) & (ly <= rY)
-    guard = F.when(F.col("__lbox.cls") == 1, rect_guard(formula)).otherwise(
-        F.raise_error(F.lit(
-            f"rectangle fast-path spatial join ({predicate}) met a "
-            "non-point probe geometry past the 64-row probe; rerun with "
-            "spatial_join(..., rect_fast_path=False) for the general "
-            "refine")))
+    # A non-point probe geometry past the 64-row probe falls back to the
+    # exact refine kernel per row instead of failing the job (ADVICE r8:
+    # mixed-geometry corpora are common and intersects is the default
+    # predicate).  Catalyst extracts the pandas UDF and evaluates it for
+    # EVERY candidate row, so the point majority is nulled out first —
+    # all-null Arrow columns cost ~nothing to ship or decode, keeping
+    # the certified all-point plan one cheap no-op round trip away from
+    # the old raise_error shape while the stragglers get exact answers.
+    nonpt = F.col("__lbox.cls") != 1
+    exact = _refine_udf(predicate, False)(
+        F.when(nonpt, F.col(left_geom)), F.when(nonpt, F.col(rgeom)))
+    guard = F.when(F.col("__lbox.cls") == 1, rect_guard(formula)) \
+             .otherwise(F.coalesce(exact, F.lit(False)))
     return cand.filter(guard)
 
 
@@ -582,8 +589,8 @@ def spatial_join(
             (F.col("__rbox.ymin") <= F.col("__lbox.ymax") + expand)
         )
         cand = lb.join(F.broadcast(rb), cond, "inner")
-        fast = _rect_fast_refine(cand, left, left_geom, rb, predicate,
-                                 distance, rect_fast_path)
+        fast = _rect_fast_refine(cand, left, left_geom, rb, rgeom,
+                                 predicate, distance, rect_fast_path)
         if fast is not None:
             return fast.drop("__lbox", "__rbox")
         joined = _apply_refine(cand, left_geom, rgeom, predicate, distance)
@@ -704,7 +711,7 @@ def spatial_join(
         from sedona_db_spark.plans.width import planned_size_bytes
         sz = planned_size_bytes(right_r)
         if sz is not None and sz < (64 << 20):
-            joined = _rect_fast_refine(cand, left, left_geom, rb,
+            joined = _rect_fast_refine(cand, left, left_geom, rb, rgeom,
                                        predicate, distance, True)
     if joined is None:
         joined = _apply_refine(cand, left_geom, rgeom, predicate, distance)

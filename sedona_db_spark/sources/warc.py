@@ -97,6 +97,14 @@ def _parse_records(blob: bytes, path: str) -> Iterator[dict]:
                 v.strip().decode("utf-8", "replace")
         length = int(headers.get("content-length", "0"))
         body_start = hdr_end + 4
+        if body_start + length > n:
+            # a declared Content-Length past the end of the blob is a
+            # truncated shard: raise loud like any other corrupt tail
+            # (a silent short read emits a record whose content
+            # contradicts its content_length — ADVICE r8)
+            raise ValueError(
+                f"truncated WARC record at byte {pos} of {path}: "
+                f"Content-Length {length} runs past end of data")
         payload = blob[body_start:body_start + length]
         pos = body_start + length
         ctype = headers.get("content-type", "")

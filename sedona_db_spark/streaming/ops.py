@@ -177,7 +177,8 @@ def geofence_join(stream: DataFrame, zones: DataFrame,
 
 def curate_stream(stream: DataFrame, benchmark: DataFrame,
                   text_col: str = "text", min_quality: float = 0.85,
-                  n: int = 13, bench_text_col: str | None = None) -> DataFrame:
+                  n: int = 13, bench_text_col: str | None = None,
+                  broadcast_threshold: int = 500_000) -> DataFrame:
     """Streaming curation: quality gate + benchmark decontamination.
 
     Both stages are STATELESS per-row ops (the quality score is the
@@ -193,9 +194,25 @@ def curate_stream(stream: DataFrame, benchmark: DataFrame,
                                                  _gram_member_kernel)
     btc = bench_text_col or text_col
     gh = F.pandas_udf(_gram_hash_kernel(n), "array<long>")
-    bset = frozenset(
-        r["__g"] for r in benchmark
-        .select(F.explode(gh(F.col(btc))).alias("__g")).distinct().collect())
+    # LIMIT-capped collect, matching batch `decontaminate`: the cap
+    # bounds driver memory.  The batch operator degrades to an equi-join
+    # above the cap; a stream CANNOT (the membership must be a stateless
+    # per-row expression — a stream-static join over exploded grams
+    # re-shapes the output), so an oversized benchmark raises loud and
+    # names the batch fallback instead of OOMing the driver.
+    cap = max(int(broadcast_threshold), 1)
+    bench_rows = (benchmark
+                  .select(F.explode(gh(F.col(btc))).alias("__g"))
+                  .distinct().limit(cap + 1).collect())
+    if len(bench_rows) > cap:
+        raise ValueError(
+            f"curate_stream: benchmark has > {cap} distinct {n}-gram "
+            "hashes — too large to broadcast to a stateless stream "
+            "filter. Raise broadcast_threshold if the driver has "
+            "headroom, or decontaminate in batch "
+            "(operators.dedup.decontaminate), which falls back to a "
+            "hash equi-join plan at any benchmark size.")
+    bset = frozenset(r["__g"] for r in bench_rows)
     member = F.pandas_udf(_gram_member_kernel(n, bset), "boolean")
     return (stream
             .filter(F.round(quality_score_fast(F.col(text_col)), 4)

@@ -1669,9 +1669,11 @@ def test_quality_score_cell_matches_staged_form(spark):
 
 
 def test_rect_fast_path_matches_general_refine(spark, cust_pts, boxes):
-    """Round 8: all-rectangle build sides refine in pure codegen; results
-    must equal the general Arrow refine bit-for-bit, and the plan above
-    the join must contain no Python stage."""
+    """Round 8/9: all-rectangle build sides refine the point majority in
+    pure codegen; results must equal the general Arrow refine
+    bit-for-bit.  The ONLY Python stage above the join is the r9
+    straggler fallback, and its inputs are null-gated (CASE WHEN cls)
+    so all-point data ships empty Arrow columns, never geometry."""
     from sedona_db_spark.operators.spatial_join import spatial_join
     left = cust_pts.select("c_custkey", "geom").filter("c_custkey < 600")
     right = boxes.select("n_nationkey", "geom")
@@ -1687,8 +1689,20 @@ def test_rect_fast_path_matches_general_refine(spark, cust_pts, boxes):
     lines = plan.splitlines()
     join_at = next(i for i, ln in enumerate(lines)
                    if "NestedLoopJoin" in ln or "CartesianProduct" in ln)
+    py_above = [ln for ln in lines[:join_at]
+                if "ArrowEvalPython" in ln or "BatchEvalPython" in ln]
+    assert len(py_above) <= 1, plan
+    for ln in py_above:
+        assert "CASE WHEN" in ln, plan      # null-gated inputs
+    # covered_by keeps the pure-codegen plan (bbox reduction is exact
+    # for every geometry type — no straggler fallback needed)
+    plan_cb = spatial_join(left, right, predicate="covered_by") \
+        ._jdf.queryExecution().executedPlan().toString()
+    lines_cb = plan_cb.splitlines()
+    join_cb = next(i for i, ln in enumerate(lines_cb)
+                   if "NestedLoopJoin" in ln or "CartesianProduct" in ln)
     assert not any("ArrowEvalPython" in ln or "BatchEvalPython" in ln
-                   for ln in lines[:join_at]), plan
+                   for ln in lines_cb[:join_cb]), plan_cb
 
 
 def test_rect_fast_path_covered_by_any_geometry(spark, boxes):
@@ -1713,29 +1727,33 @@ def test_rect_fast_path_covered_by_any_geometry(spark, boxes):
     assert a == b and len(a) > 0
 
 
-def test_rect_fast_path_mixed_probe_raises_loud(spark, boxes):
-    """A non-point probe row hiding past the 64-row probe must raise
-    with the escape hatch named - never emit a silently wrong pair."""
-    import pytest as _pytest
-    from pyspark.sql import functions as F
-
+def test_rect_fast_path_mixed_probe_auto_falls_back(spark, boxes):
+    """A non-point probe row hiding past the 64-row probe gets the exact
+    refine kernel per row (ADVICE r8: auto-fallback, not a job-killing
+    raise) — results must equal the fast path disabled, never a
+    silently wrong pair."""
     from sedona_db_spark.operators.spatial_join import spatial_join
     pts = spark.sql("""
       SELECT c_custkey, ST_Point(abs(c_acctbal) % 100.0,
                                  (c_custkey % 1000) / 10.0) AS geom
       FROM customer WHERE c_custkey < 200""")
+    # one sneaky envelope INSIDE a build box (must match via the exact
+    # kernel) and one partially-overlapping envelope (bbox-within of the
+    # build box but NOT within — the planar formula would wrongly keep
+    # a point at its bbox corner; the kernel must decide)
     sneak = spark.sql("""
       SELECT 999999 AS c_custkey,
              ST_MakeEnvelope(1.0, 1.0, 2.0, 2.0) AS geom""")
     mixed = pts.unionByName(sneak)
-    out = spatial_join(mixed, boxes.select("n_nationkey", "geom"),
-                       predicate="within")
-    with _pytest.raises(Exception, match="rect_fast_path"):
-        out.collect()
-    # escape hatch: general refine handles the mix
-    ok = spatial_join(mixed, boxes.select("n_nationkey", "geom"),
-                      predicate="within", rect_fast_path=False)
-    assert ok.count() > 0
+    for pred in ("within", "intersects"):
+        fast = spatial_join(mixed, boxes.select("n_nationkey", "geom"),
+                            predicate=pred)
+        slow = spatial_join(mixed, boxes.select("n_nationkey", "geom"),
+                            predicate=pred, rect_fast_path=False)
+        a = sorted((r["c_custkey"], r["n_nationkey"]) for r in fast.collect())
+        b = sorted((r["c_custkey"], r["n_nationkey"]) for r in slow.collect())
+        assert a == b and len(a) > 0
+        assert any(k == 999999 for k, _ in a)   # the straggler matched
 
 
 def test_rect_fast_path_declines_non_rect_build(spark, cust_pts):

@@ -185,6 +185,27 @@ def test_pq_recall_on_gaussian_embeddings(spark):
     assert len(got & want) >= 5, (got, want)
 
 
+def test_pq_train_deterministic_across_partitioning(spark):
+    """ADVICE r8: on a corpus LARGER than sample_cap the training sample
+    must be a pure function of row values — identical codebooks under
+    different partitionings (the old thinning + LIMIT let the plan pick
+    the rows)."""
+    import numpy as np
+    import pandas as pd
+    from sedona_db_spark.operators.similarity import pq_train
+    rng = np.random.RandomState(9)
+    X = rng.normal(size=(3000, 16))
+    pdf = pd.DataFrame({"embedding": [list(r) for r in X]})
+    df = spark.createDataFrame(pdf)
+    b7 = pq_train(df.repartition(7), m=4, seed=2, sample_cap=500)
+    b3 = pq_train(df.repartition(3), m=4, seed=2, sample_cap=500)
+    assert np.array_equal(b7, b3)
+    # and the sample really is capped (codebooks from the full table
+    # with a different cap differ — i.e. the cap selected a subset)
+    b_all = pq_train(df.repartition(5), m=4, seed=2, sample_cap=3000)
+    assert not np.array_equal(b7, b_all)
+
+
 def test_pq_encode_compression_and_nulls(spark):
     import pandas as pd
     from sedona_db_spark.operators.similarity import pq_encode, pq_train

@@ -192,6 +192,30 @@ def test_streaming_curation_matches_batch(spark):
     assert got == expected and len(expected) > 0
 
 
+def test_streaming_curation_overcap_benchmark_raises(spark):
+    """r8 verdict: the streaming decontam gate must not collect an
+    unbounded benchmark gram set — above the cap it raises loud and
+    names the batch fallback (a stream cannot take the join plan
+    statelessly)."""
+    import pytest
+    from pyspark.sql import types as T
+    from sedona_db_spark.streaming import ops as so
+
+    docs = spark.table("documents").select("doc_id", "text").limit(10)
+    bench = spark.table("documents").select("text").limit(50)
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    stream = spark.readStream.schema(schema) \
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+    with pytest.raises(ValueError, match="decontaminate in batch"):
+        so.curate_stream(stream, bench, broadcast_threshold=10)
+    # the probe stays LIMIT-capped: construction scans at most cap+1
+    # gram rows, so an under-cap benchmark still builds the gate
+    gated = so.curate_stream(stream, bench.limit(1),
+                             broadcast_threshold=500_000)
+    assert gated.isStreaming
+
+
 def test_streaming_batch_assembly_matches_batch(spark):
     """hash_sample / repeat_oversample run under readStream unchanged;
     mix_stream with thresholds from domain_mix_rates == batch

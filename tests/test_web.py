@@ -83,6 +83,18 @@ def test_blocklist_label_boundary(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [3, 4]
 
 
+def test_blocklist_dataframe_mixed_case(spark):
+    """ADVICE r8: a DataFrame-form blocklist with mixed-case hosts must
+    still block (the URL host is lowercased, so the list side must be
+    too)."""
+    df = spark.createDataFrame(
+        [(1, "https://example.com/x"), (2, "https://ADS.Example.com/x"),
+         (3, "https://fine.org/x")], "doc_id long, url string")
+    bl = spark.createDataFrame([("Example.COM",)], "host string")
+    kept = filter_url_blocklist(df, bl)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3]
+
+
 def test_dedup_by_url_keeps_min_id(spark):
     df = spark.createDataFrame(
         [(5, "https://www.a.com/p/"), (3, "http://a.com/p"),
@@ -172,6 +184,17 @@ def test_warc_corrupt_tail_raises(spark, tmp_path):
     with open(p, "wb") as f:
         f.write(b"WARC/1.0\r\nContent-Length: 5\r\n\r\nhello\r\n\r\ngarbage")
     with pytest.raises(Exception, match="malformed WARC"):
+        read_warc(spark, p).collect()
+
+
+def test_warc_truncated_payload_raises(spark, tmp_path):
+    """ADVICE r8: a Content-Length running past the end of the shard is
+    a truncated file — raise loud, never emit a short record."""
+    from sedona_db_spark.sources.warc import read_warc
+    p = os.path.join(str(tmp_path), "trunc.warc")
+    with open(p, "wb") as f:
+        f.write(b"WARC/1.0\r\nContent-Length: 100\r\n\r\nhello")
+    with pytest.raises(Exception, match="truncated WARC"):
         read_warc(spark, p).collect()
 
 
