@@ -4942,6 +4942,89 @@ _sql("sql_geo_dwithin_join", """
   FROM d WHERE dist_m <= 1000000.0
 """)
 
+# Geography RELATION join (round 9): ST_Intersects over geography-tagged
+# polygons routes through the spherical cell-cover join
+# (operators/geography_join.py geography_relation_join; reference
+# rust/sedona-spatial-join-geography) instead of vanilla's
+# BroadcastNestedLoopJoin pair explosion.  Oracle honesty: the engine
+# runs the FULL spherical point-in-polygon kernel; the oracle states the
+# expected result arithmetically, which is exact for THIS data by
+# construction — quad edges lie on integer degrees while every point
+# sits at X.5 degrees, and a great-circle lat edge of a 6-degree-wide
+# quad at |lat| <= 65 bulges < 0.04 degrees, so no point is within 0.4
+# degrees of any spherical-vs-planar disagreement strip.
+_sql("sql_geography_intersects_join", """
+  SELECT p.kid, q.pid
+  FROM (SELECT c_custkey AS kid,
+               ST_GeogPoint(CAST((c_custkey * 3) % 360 AS DOUBLE) - 179.5,
+                            CAST((c_custkey * 7) % 140 AS DOUBLE) - 69.5) AS g
+        FROM customer) p
+  JOIN (SELECT n_nationkey AS pid,
+               ST_ToGeography(ST_MakeEnvelope(
+                 CAST((n_nationkey * 23) % 334 AS DOUBLE) - 170.0,
+                 CAST((n_nationkey * 17) % 126 AS DOUBLE) - 65.0,
+                 CAST((n_nationkey * 23) % 334 AS DOUBLE) - 164.0,
+                 CAST((n_nationkey * 17) % 126 AS DOUBLE) - 61.0)) AS g
+        FROM nation) q
+  ON ST_Intersects(p.g, q.g)
+""", """
+  SELECT p.kid, q.pid
+  FROM (SELECT c_custkey AS kid,
+               ((c_custkey * 3) % 360) - 179.5 AS lon,
+               ((c_custkey * 7) % 140) - 69.5 AS lat FROM customer) p
+  JOIN (SELECT n_nationkey AS pid,
+               ((n_nationkey * 23) % 334) - 170.0 AS lon0,
+               ((n_nationkey * 17) % 126) - 65.0 AS lat0 FROM nation) q
+  ON p.lon > q.lon0 AND p.lon < q.lon0 + 6.0
+     AND p.lat > q.lat0 AND p.lat < q.lat0 + 4.0
+""")
+
+# Non-point geography ST_DWithin (round 9, r8 "What's missing #2"): the
+# padded spherical cell-cover join.  Oracle: tiny quads (0.2 degrees,
+# ~22 km) act as quasi-points — the wrap-correct nearest-box-point
+# haversine approximates the true great-circle point-to-polygon
+# distance to within tens of meters (lat-edge bulge < 30 m at |lat| <=
+# 70; meridian foot-point error second-order), and the threshold is
+# empirically > 1 km away from every pair's distance at sf <= 0.1, so
+# the approximation can never flip a row.
+_sql("sql_geography_dwithin_poly_join", """
+  SELECT p.kid, q.pid
+  FROM (SELECT c_custkey AS kid,
+               ST_GeogPoint(CAST((c_custkey * 3) % 360 AS DOUBLE) - 179.5,
+                            CAST((c_custkey * 7) % 140 AS DOUBLE) - 69.5) AS g
+        FROM customer) p
+  JOIN (SELECT n_nationkey AS pid,
+               ST_ToGeography(ST_MakeEnvelope(
+                 CAST((n_nationkey * 31) % 340 AS DOUBLE) - 170.0,
+                 CAST((n_nationkey * 19) % 130 AS DOUBLE) - 65.0,
+                 CAST((n_nationkey * 31) % 340 AS DOUBLE) - 169.8,
+                 CAST((n_nationkey * 19) % 130 AS DOUBLE) - 64.8)) AS g
+        FROM nation) q
+  ON ST_DWithin(p.g, q.g, 500000.0)
+""", """
+  WITH p AS (SELECT c_custkey AS kid,
+                    ((c_custkey * 3) % 360) - 179.5 AS lon,
+                    ((c_custkey * 7) % 140) - 69.5 AS lat FROM customer),
+  q AS (SELECT n_nationkey AS pid,
+               ((n_nationkey * 31) % 340) - 170.0 AS lon0,
+               ((n_nationkey * 19) % 130) - 65.0 AS lat0 FROM nation),
+  near AS (SELECT kid, pid, lon, lat,
+             -- wrap-correct nearest box point: clamp the short-way
+             -- delta from the box center, then clamp latitude
+             lon0 + 0.1 + greatest(-0.1, least(0.1,
+               (lon - (lon0 + 0.1)) - 360.0 *
+                 floor(((lon - (lon0 + 0.1)) + 180.0) / 360.0))) AS nlon,
+             greatest(lat0, least(lat0 + 0.2, lat)) AS nlat
+           FROM p, q),
+  d AS (SELECT kid, pid,
+          2 * 6371008.8 * asin(sqrt(
+            pow(sin(radians(nlat - lat) / 2), 2) +
+            cos(radians(lat)) * cos(radians(nlat)) *
+            pow(sin(radians(nlon - lon) / 2), 2))) AS dist_m
+        FROM near)
+  SELECT kid, pid FROM d WHERE dist_m <= 500000.0
+""")
+
 # ST_Distance(a,b) < d comparison form (reference sedona-expr utils.rs
 # parse_distance_predicate: Lt/LtEq with the call on either side) — plans
 # through the distance join with the strict comparison kept as an exact
@@ -5117,6 +5200,16 @@ _PRIORITY[_PRIORITY.index("st_envelope_agg")] = "dedup_exact_substring"
 # st_intersection_agg + st_polygonize_agg, and union_area stays green in
 # replica + pytest.
 _PRIORITY[_PRIORITY.index("st_union_agg_area")] = "pipeline_pretrain_pack"
+# Round 9: geography RELATION joins (the r8 verdict's #1 item — the
+# spherical cell-cover join replacing vanilla's pair-explosion plan)
+# take two window slots.  The multimodal family keeps png in-window
+# (webp stays green in replica + pytest); the text family keeps
+# lm_score + repetition + both pipelines (pii_redact stays green in
+# replica + pytest).
+_PRIORITY[_PRIORITY.index("multimodal_webp_decode")] = \
+    "sql_geography_intersects_join"
+_PRIORITY[_PRIORITY.index("text_pii_redact")] = \
+    "sql_geography_dwithin_poly_join"
 
 
 def _ordered_names() -> list[str]:

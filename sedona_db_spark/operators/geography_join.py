@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -93,3 +95,361 @@ def geography_dwithin_join(build: DataFrame, probe: DataFrame,
     return joined.where(d <= F.lit(float(dist_m))) \
                  .withColumn("geo_dist_m", d) \
                  .drop("_cx", "_cy")
+
+
+# ======================================================================
+# Geography RELATION joins (round 9): spherical cell-cover candidate
+# join + exact dispatched-kernel refine, for ANY geography geometry
+# type.  Reference parity: the dedicated S2-based geography join
+# planner for relation predicates
+# (/root/reference/rust/sedona-spatial-join-geography/src,
+#  registered rust/sedona/src/context.rs:163-172).  Spark-first shape:
+#
+# - each geography maps to the set of equal-angle lat/lon grid cells
+#   covering its FULL spherical extent (per-edge great-circle latitude
+#   bulge computed exactly from the circle normal; short-way longitude
+#   intervals — longitude is monotonic along a minor arc, since a
+#   minor arc (<180 deg) cannot contain both antipodal crossings of a
+#   meridian plane; pole-through edges and pole-containing polygons
+#   extend to the pole and wrap all longitudes)
+# - candidates meet in ONE hash equi-join on the cell id (modular
+#   longitude cells, antimeridian-safe); a pair sharing several cells
+#   is kept only in the SMALLEST shared cell (native array_intersect /
+#   array_min filter) so output multiplicity is exact
+# - the refine is the SAME per-row kernel vanilla SQL dispatches for
+#   tagged values, so boundary semantics are bit-identical by
+#   construction
+#
+# An equal-angle grid (not the planar join's quantile grid) is the v1
+# choice because modular longitude cells must tile the circle exactly
+# for antimeridian pairs; a production lever is S2-style hierarchical
+# cells for skewed data.
+# ======================================================================
+
+_RELATION_SQL = {
+    "intersects": "ST_Intersects", "contains": "ST_Contains",
+    "within": "ST_Within", "covers": "ST_Covers",
+    "covered_by": "ST_CoveredBy", "coveredby": "ST_CoveredBy",
+    "touches": "ST_Touches", "crosses": "ST_Crosses",
+    "overlaps": "ST_Overlaps", "equals": "ST_Equals",
+}
+
+
+def _edge_lat_lon(lon1, lat1, lon2, lat2, acc):
+    """Accumulate one great-circle edge's lat bounds / lon intervals /
+    pole flags into `acc` (dict with lat_lo, lat_hi, ivals, n_pole,
+    s_pole).  All degrees."""
+    lo, hi = min(lat1, lat2), max(lat1, lat2)
+    # pole endpoint: the arc runs along the other endpoint's meridian
+    if abs(lat1) >= 90.0 - 1e-9 or abs(lat2) >= 90.0 - 1e-9:
+        if lat1 >= 90.0 - 1e-9 or lat2 >= 90.0 - 1e-9:
+            acc["n_pole"] = True
+            hi = 90.0
+        if lat1 <= -90.0 + 1e-9 or lat2 <= -90.0 + 1e-9:
+            acc["s_pole"] = True
+            lo = -90.0
+        acc["lat_lo"] = min(acc["lat_lo"], lo)
+        acc["lat_hi"] = max(acc["lat_hi"], hi)
+        for la, ln in ((lat1, lon1), (lat2, lon2)):
+            if abs(la) < 90.0 - 1e-9:
+                acc["ivals"].append((ln, ln))
+        return
+    d = (lon2 - lon1 + 180.0) % 360.0 - 180.0    # signed short-way delta
+    if abs(abs(d) - 180.0) <= 1e-9:
+        # meridian-pair arc through a pole (or antipodal ambiguity):
+        # cover both meridians and both reachable poles — a small
+        # overcount the exact refine pays for, never a miss
+        acc["n_pole"] = True
+        acc["s_pole"] = True
+        acc["lat_lo"], acc["lat_hi"] = -90.0, 90.0
+        acc["ivals"].append((lon1, lon1))
+        acc["ivals"].append((lon2, lon2))
+        return
+    # latitude bulge: the great circle's vertex may exceed endpoint lats
+    from sedona_db_spark.geom.sphere import xyz_of
+    ab = xyz_of(np.array([[lon1, lat1], [lon2, lat2]]))
+    a, b = ab[0], ab[1]
+    n = np.cross(a, b)
+    nn = float(np.linalg.norm(n))
+    if nn > 1e-15:
+        nu = n / nn
+        s = float(np.hypot(nu[0], nu[1]))        # max |sin(lat)| on circle
+        if s > 1e-15:
+            zhat = np.array([0.0, 0.0, 1.0])
+            pmax = zhat - nu[2] * nu
+            pmax = pmax / np.linalg.norm(pmax)
+            vlat = float(np.degrees(np.arcsin(min(s, 1.0))))
+            # tolerant on-minor-arc tests (inflating the cover is safe)
+            if (float(np.dot(np.cross(a, pmax), n)) >= -1e-12
+                    and float(np.dot(np.cross(pmax, b), n)) >= -1e-12):
+                hi = max(hi, vlat)
+            pmin = -pmax
+            if (float(np.dot(np.cross(a, pmin), n)) >= -1e-12
+                    and float(np.dot(np.cross(pmin, b), n)) >= -1e-12):
+                lo = min(lo, -vlat)
+    acc["lat_lo"] = min(acc["lat_lo"], lo)
+    acc["lat_hi"] = max(acc["lat_hi"], hi)
+    acc["ivals"].append((lon1, lon1 + d) if d >= 0 else (lon1 + d, lon1))
+
+
+def spherical_cover(g):
+    """Lat/lon cover of a geography Geom with great-circle edges:
+    ``(lat_lo, lat_hi, lon_intervals, full_wrap, n_pole, s_pole)`` or
+    None for an empty geometry.  Intervals are (start, end) degrees
+    with end >= start (unwrapped; rasterization wraps modulo the cell
+    count).  The cover CONTAINS the geometry's full spherical extent —
+    interiors included: for a polygon containing neither pole, every
+    interior point shares a longitude with a boundary point and lies
+    between boundary latitudes (its meridian must cross the boundary
+    both ways), and pole-containing polygons wrap all longitudes."""
+    acc = {"lat_lo": float("inf"), "lat_hi": float("-inf"),
+           "ivals": [], "n_pole": False, "s_pole": False}
+    full_wrap = False
+    seen = False
+    for p in g.points():
+        seen = True
+        lon, lat = float(p[0]), float(p[1])
+        acc["lat_lo"] = min(acc["lat_lo"], lat)
+        acc["lat_hi"] = max(acc["lat_hi"], lat)
+        if abs(lat) >= 90.0 - 1e-9:
+            acc["n_pole" if lat > 0 else "s_pole"] = True
+        else:
+            acc["ivals"].append((lon, lon))
+
+    def chain(coords):
+        V = np.asarray(coords, dtype=np.float64)
+        for i in range(len(V) - 1):
+            _edge_lat_lon(float(V[i][0]), float(V[i][1]),
+                          float(V[i + 1][0]), float(V[i + 1][1]), acc)
+
+    for line in g.lines():
+        if len(line) == 0:
+            continue
+        seen = True
+        if len(line) == 1:
+            acc["ivals"].append((float(line[0][0]), float(line[0][0])))
+            acc["lat_lo"] = min(acc["lat_lo"], float(line[0][1]))
+            acc["lat_hi"] = max(acc["lat_hi"], float(line[0][1]))
+        chain(line)
+    for rings in g.polygons():
+        closed = []
+        for r in rings:
+            if len(r) == 0:
+                continue
+            seen = True
+            V = np.asarray(r, dtype=np.float64)[:, :2]
+            if len(V) > 1 and not np.array_equal(V[0], V[-1]):
+                V = np.vstack([V, V[:1]])
+            chain(V)
+            closed.append(V)
+        if closed:
+            # pole containment: interior reaching a pole wraps all lons
+            from sedona_db_spark.geom.sphere import (classify_point_poly,
+                                                     xyz_of)
+            rings_xyz = [xyz_of(V) for V in closed]
+            if classify_point_poly(np.array([0.0, 0.0, 1.0]),
+                                   rings_xyz) >= 0:
+                acc["n_pole"] = True
+                acc["lat_hi"] = 90.0
+                full_wrap = True
+            if classify_point_poly(np.array([0.0, 0.0, -1.0]),
+                                   rings_xyz) >= 0:
+                acc["s_pole"] = True
+                acc["lat_lo"] = -90.0
+                full_wrap = True
+    if not seen:
+        return None
+    return (acc["lat_lo"], acc["lat_hi"], acc["ivals"], full_wrap,
+            acc["n_pole"], acc["s_pole"])
+
+
+def _cover_cells(cover, cell_lat, lon_cell, ncx, ncy, pad_m,
+                 max_lat, cap):
+    """Rasterize a spherical_cover into a sorted list of cell ids
+    (cy * ncx + cx).  pad_m expands the cover by a geodesic radius
+    (dwithin probe side): exact latitude pad + latitude-aware
+    longitude pad (same bound as geography_dwithin_join)."""
+    lat_lo, lat_hi, ivals, full_wrap, n_pole, s_pole = cover
+    eps = 1e-9
+    if pad_m > 0.0:
+        pd = pad_m / M_PER_DEG
+        lat_lo, lat_hi = lat_lo - pd, lat_hi + pd
+        if lat_hi >= 90.0 - eps:
+            n_pole = True
+        if lat_lo <= -90.0 + eps:
+            s_pole = True
+        band = min(max(abs(lat_lo), abs(lat_hi)), max_lat)
+        r = pad_m / R_EARTH_M
+        arg = math.sin(r / 2.0) / math.cos(math.radians(band))
+        if arg >= 1.0:
+            full_wrap = True
+        else:
+            lp = math.degrees(2.0 * math.asin(arg))
+            ivals = [(s - lp, e + lp) for s, e in ivals]
+    lat_lo = max(lat_lo - eps, -90.0)
+    lat_hi = min(lat_hi + eps, 90.0)
+    cy0 = min(max(int((lat_lo + 90.0) // cell_lat), 0), ncy - 1)
+    cy1 = min(max(int((lat_hi + 90.0) // cell_lat), 0), ncy - 1)
+    cells = set()
+    if full_wrap or any(e - s >= 360.0 - 2 * eps for s, e in ivals):
+        cxs = range(ncx)
+    else:
+        cxs = set()
+        for s, e in ivals:
+            a = int(math.floor((s + 180.0 - eps) / lon_cell))
+            b = int(math.floor((e + 180.0 + eps) / lon_cell))
+            if b - a + 1 >= ncx:
+                cxs = range(ncx)
+                break
+            for cx in range(a, b + 1):
+                cxs.add(cx % ncx)
+    for cy in range(cy0, cy1 + 1):
+        base = cy * ncx
+        for cx in cxs:
+            cells.add(base + cx)
+    # pole rows: the pole point's longitude is representation-dependent,
+    # so a pole-touching geometry owns its entire polar row
+    if n_pole:
+        cells.update((ncy - 1) * ncx + cx for cx in range(ncx))
+    if s_pole:
+        cells.update(cx for cx in range(ncx))
+    if len(cells) > cap:
+        raise ValueError(
+            f"geography relation join: one geometry covers {len(cells)} "
+            f"grid cells (cap {cap}); pass a larger cell_deg to "
+            "geography_relation_join for globe-scale geometries")
+    return sorted(cells)
+
+
+def _cover_cells_udf(cell_deg, pad_m=0.0, max_lat=88.0, cap=200_000):
+    """array<long> pandas UDF: geography WKB -> covering cell ids."""
+    ncx = int(math.ceil(360.0 / cell_deg))
+    lon_cell = 360.0 / ncx                  # exact tiling (seam-safe)
+    ncy = int(math.ceil(180.0 / cell_deg))
+    cell_lat = 180.0 / ncy
+
+    def kern(s: pd.Series) -> pd.Series:
+        from sedona_db_spark.geom import core
+        out = []
+        for v in s:
+            if v is None:
+                out.append(None)
+                continue
+            g = core.from_wkb(bytes(v))
+            if not g.spherical:
+                raise ValueError(
+                    "geography relation join: planar (untagged) value in "
+                    "a geography-routed join past the plan-time probe; "
+                    "uniform tagging is required")
+            cover = spherical_cover(g)
+            out.append(None if cover is None else
+                       _cover_cells(cover, cell_lat, lon_cell, ncx, ncy,
+                                    pad_m, max_lat, cap))
+        return pd.Series(out, dtype=object)
+
+    return F.pandas_udf(kern, returnType="array<long>")
+
+
+def _probe_extent_deg(df: DataFrame, col: str, n: int = 64) -> list[float]:
+    """Driver-side probe: per-geometry angular extent (max of lat span
+    and cos-adjusted lon span) of the first n rows — sets the grid
+    scale only, never correctness."""
+    from sedona_db_spark.geom import core
+    exts = []
+    for r in df.select(col).limit(n).collect():
+        v = r[0]
+        if v is None:
+            continue
+        try:
+            g = core.from_wkb(bytes(v))
+            cover = spherical_cover(g)
+        except Exception:
+            continue
+        if cover is None:
+            continue
+        lat_lo, lat_hi, ivals, full_wrap, np_, sp_ = cover
+        lon_span = 360.0 if (full_wrap or np_ or sp_) else \
+            max((e - s for s, e in ivals), default=0.0)
+        mid = (lat_lo + lat_hi) / 2.0
+        exts.append(max(lat_hi - lat_lo,
+                        lon_span * math.cos(math.radians(
+                            min(abs(mid), 89.0)))))
+    return sorted(exts)
+
+
+def geography_relation_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_geom: str = "geog",
+    right_geom: str = "geog",
+    predicate: str = "intersects",
+    distance_m: float | None = None,
+    cell_deg: float | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Spherical relation (or non-point dwithin) join over geography
+    columns of ANY geometry type.  Output: left columns then right
+    columns (collisions prefixed ``right_``), matching spatial_join.
+
+    100 TB shape: one Python cover pass per side, ONE hash equi-join on
+    cell ids, native pair dedup, exact refine only on candidates —
+    never a pair explosion.  Reference:
+    rust/sedona-spatial-join-geography (S2 cell-cover planner)."""
+    if distance_m is None and predicate not in _RELATION_SQL:
+        raise ValueError(
+            f"unsupported geography join predicate {predicate!r} "
+            f"(supported: {sorted(set(_RELATION_SQL))} or distance_m)")
+    how_n = {
+        "left_outer": "left", "right_outer": "right", "outer": "full",
+        "full_outer": "full", "semi": "left_semi", "anti": "left_anti",
+        "leftsemi": "left_semi", "leftanti": "left_anti",
+    }.get(how, how)
+    rcols = {c: (f"right_{c}" if c in left.columns else c)
+             for c in right.columns}
+    right_r = right.select([F.col(c).alias(a) for c, a in rcols.items()])
+    g2 = rcols[right_geom]
+    if how_n == "inner":
+        return _geography_relation_inner(left, right_r, left_geom, g2,
+                                         predicate, distance_m, cell_deg)
+    from sedona_db_spark.plans.sql_rewrite import _lattice_from_inner
+    return _lattice_from_inner(
+        left, right_r, how_n,
+        lambda l2, r2: _geography_relation_inner(
+            l2, r2, left_geom, g2, predicate, distance_m, cell_deg))
+
+
+def _geography_relation_inner(ldf: DataFrame, rdf_r: DataFrame, g1: str,
+                              g2: str, predicate: str,
+                              distance_m: float | None,
+                              cell_deg: float | None) -> DataFrame:
+    """Inner-join core shared with the SQL front door (rdf_r already
+    collision-renamed)."""
+    from sedona_db_spark.functions import get_udf
+    pad = float(distance_m) if distance_m is not None else 0.0
+    if cell_deg is None:
+        e1 = _probe_extent_deg(ldf, g1)
+        e2 = _probe_extent_deg(rdf_r, g2)
+
+        def p90(v):
+            return v[int(len(v) * 0.9)] if v else 0.0
+        cell_deg = max(p90(e1), p90(e2), pad / M_PER_DEG, 0.25)
+        cell_deg = min(cell_deg, 30.0)
+    cover = _cover_cells_udf(cell_deg)
+    cover_pad = _cover_cells_udf(cell_deg, pad_m=pad) if pad > 0.0 \
+        else cover
+    # probe side (left) carries the distance pad, like the point path
+    lt = ldf.withColumn("__gcl", cover_pad(F.col(g1)))
+    rt = rdf_r.withColumn("__gcr", cover(F.col(g2)))
+    le = lt.withColumn("__gc", F.explode("__gcl"))
+    re_ = rt.withColumn("__gc", F.explode("__gcr"))
+    cand = le.join(re_, "__gc")
+    # multi-cell pair dedup: keep the pair only in the smallest shared
+    # cell (native; the shared set is never empty — we joined on one)
+    cand = cand.filter(
+        F.col("__gc") == F.array_min(F.array_intersect("__gcl", "__gcr")))
+    if distance_m is not None:
+        refine = get_udf("ST_DWithin")(F.col(g1), F.col(g2),
+                                       F.lit(float(distance_m)))
+    else:
+        refine = get_udf(_RELATION_SQL[predicate])(F.col(g1), F.col(g2))
+    return cand.filter(refine).drop("__gc", "__gcl", "__gcr")

@@ -709,3 +709,190 @@ def test_geography_line_union_polygon_collection(spark):
     nums = [float(x) for x in re.findall(r"(-?\d+\.?\d*) -?\d+\.?\d*",
                                          wkt.split("LINESTRING", 1)[1])]
     assert all(not (-29.0 < lon < 29.0) for lon in nums), nums
+
+
+# ----------------------------------------------------------------------
+# Round 9: geography RELATION joins (spherical cell-cover + exact refine)
+# ----------------------------------------------------------------------
+
+def test_spherical_cover_contains_arc_samples():
+    """The cover's lat/lon bounds must contain every point of each edge
+    arc — including the great-circle latitude bulge past both endpoint
+    latitudes (the planar bbox would miss it)."""
+    import numpy as np
+    from sedona_db_spark.geom import core
+    from sedona_db_spark.geom.wkt import from_wkt
+    from sedona_db_spark.operators.geography_join import spherical_cover
+
+    rng = np.random.RandomState(5)
+    for _ in range(200):
+        lon1, lon2 = rng.uniform(-180, 180, 2)
+        lat1, lat2 = rng.uniform(-85, 85, 2)
+        g = from_wkt(f"LINESTRING ({lon1} {lat1}, {lon2} {lat2})")
+        cover = spherical_cover(g)
+        lat_lo, lat_hi, ivals, full_wrap, npole, spole = cover
+        # slerp-sample the minor arc
+        from sedona_db_spark.geom.sphere import xyz_of
+        ab = xyz_of(np.array([[lon1, lat1], [lon2, lat2]]))
+        a, b = ab[0], ab[1]
+        ang = math.acos(max(-1.0, min(1.0, float(a @ b))))
+        if ang < 1e-12:
+            continue
+        for t in np.linspace(0.0, 1.0, 33):
+            p = (math.sin((1 - t) * ang) * a + math.sin(t * ang) * b) \
+                / math.sin(ang)
+            p = p / np.linalg.norm(p)
+            plat = math.degrees(math.asin(max(-1.0, min(1.0, p[2]))))
+            plon = math.degrees(math.atan2(p[1], p[0]))
+            assert lat_lo - 1e-6 <= plat <= lat_hi + 1e-6, \
+                (lon1, lat1, lon2, lat2, plat, lat_lo, lat_hi)
+            if not (full_wrap or npole or spole):
+                ok = any(s - 1e-6 <= plon + k <= e + 1e-6
+                         for s, e in ivals for k in (-360.0, 0.0, 360.0))
+                assert ok, (lon1, lat1, lon2, lat2, plon, ivals)
+
+
+def test_spherical_cover_lat_bulge_exceeds_endpoints():
+    """Concrete bulge case: both endpoints at lat 60, delta-lon 120 —
+    the arc's vertex is far north of 60."""
+    from sedona_db_spark.geom.wkt import from_wkt
+    from sedona_db_spark.operators.geography_join import spherical_cover
+    g = from_wkt("LINESTRING (-60 60, 60 60)")
+    lat_lo, lat_hi, *_ = spherical_cover(g)
+    assert lat_hi > 70.0            # vertex latitude ~ 73.9
+    assert lat_lo == 60.0
+
+
+def test_spherical_cover_pole_polygon_wraps():
+    """A polygon whose interior contains the north pole must wrap all
+    longitudes (interior points exist at every lon)."""
+    from sedona_db_spark.geom.wkt import from_wkt
+    from sedona_db_spark.operators.geography_join import spherical_cover
+    g = from_wkt("POLYGON ((0 80, 90 80, 180 80, -90 80, 0 80))")
+    lat_lo, lat_hi, ivals, full_wrap, npole, spole = spherical_cover(g)
+    assert npole and full_wrap and lat_hi == 90.0
+
+
+def test_geography_relation_join_matches_kernel_truth(spark):
+    """geography_relation_join == the per-pair dispatched kernel over
+    the cross product, for a mixed bag including antimeridian-crossing
+    quads, lines, and points."""
+    from sedona_db_spark.operators.geography_join import \
+        geography_relation_join
+    polys = spark.sql("""
+      SELECT n_nationkey AS pid,
+             ST_ToGeography(ST_MakeEnvelope(
+               CAST((n_nationkey * 37) % 350 AS DOUBLE) - 178.0,
+               CAST((n_nationkey * 23) % 150 AS DOUBLE) - 75.0,
+               CAST((n_nationkey * 37) % 350 AS DOUBLE) - 178.0 + 8.0,
+               CAST((n_nationkey * 23) % 150 AS DOUBLE) - 75.0 + 8.0)) AS g
+      FROM nation""")
+    pts = spark.sql("""
+      SELECT c_custkey AS kid,
+             ST_GeogPoint(CAST((c_custkey * 7) % 360 AS DOUBLE) - 179.5,
+                          CAST((c_custkey * 11) % 170 AS DOUBLE) - 84.5) AS g
+      FROM customer WHERE c_custkey < 400""")
+    polys.createOrReplaceTempView("grj_polys")
+    pts.createOrReplaceTempView("grj_pts")
+    for pred, sqlname in (("intersects", "ST_Intersects"),
+                          ("within", "ST_Within")):
+        got = sorted(
+            (r["kid"], r["pid"]) for r in geography_relation_join(
+                pts, polys, "g", "g", predicate=pred).collect())
+        want = sorted((r["kid"], r["pid"]) for r in spark.sql(
+            f"""SELECT p.kid, q.pid FROM grj_pts p CROSS JOIN grj_polys q
+                WHERE {sqlname}(p.g, q.g)""").collect())
+        assert got == want and len(want) > 0, pred
+    # polygon-vs-polygon (both sides multi-cell covers; pair-dedup must
+    # keep multiplicity exact)
+    polys2 = polys.selectExpr("pid AS pid2", "g")
+    polys2.createOrReplaceTempView("grj_polys2")
+    got = sorted((r["pid"], r["pid2"]) for r in geography_relation_join(
+        polys, polys2, "g", "g", predicate="intersects").collect())
+    want = sorted((r["pid"], r["pid2"]) for r in spark.sql(
+        """SELECT a.pid, b.pid2 FROM grj_polys a CROSS JOIN grj_polys2 b
+           WHERE ST_Intersects(a.g, b.g)""").collect())
+    assert got == want and len(want) >= 25      # at least the diagonal
+
+
+def test_geography_relation_join_nonpoint_dwithin(spark):
+    """Non-point geography ST_DWithin (r8 "What's missing #2"): the
+    padded cover join == the kernel over the cross product."""
+    from sedona_db_spark.operators.geography_join import \
+        geography_relation_join
+    polys = spark.sql("""
+      SELECT n_nationkey AS pid,
+             ST_ToGeography(ST_MakeEnvelope(
+               CAST((n_nationkey * 41) % 340 AS DOUBLE) - 175.0,
+               CAST((n_nationkey * 13) % 140 AS DOUBLE) - 70.0,
+               CAST((n_nationkey * 41) % 340 AS DOUBLE) - 175.0 + 5.0,
+               CAST((n_nationkey * 13) % 140 AS DOUBLE) - 70.0 + 5.0)) AS g
+      FROM nation""")
+    pts = spark.sql("""
+      SELECT c_custkey AS kid,
+             ST_GeogPoint(CAST((c_custkey * 3) % 360 AS DOUBLE) - 179.5,
+                          CAST((c_custkey * 17) % 160 AS DOUBLE) - 79.5) AS g
+      FROM customer WHERE c_custkey < 400""")
+    polys.createOrReplaceTempView("grj_dw_polys")
+    pts.createOrReplaceTempView("grj_dw_pts")
+    got = sorted((r["kid"], r["pid"]) for r in geography_relation_join(
+        pts, polys, "g", "g", distance_m=400_000.0).collect())
+    want = sorted((r["kid"], r["pid"]) for r in spark.sql(
+        """SELECT p.kid, q.pid FROM grj_dw_pts p CROSS JOIN grj_dw_polys q
+           WHERE ST_DWithin(p.g, q.g, 400000.0)""").collect())
+    assert got == want and len(want) > 0
+
+
+def test_sql_geography_relation_join_routes_native(spark):
+    """The SQL front door routes geography relation predicates through
+    the cell-cover join (r8 verdict #1): plan has no
+    BroadcastNestedLoopJoin / CartesianProduct, and the full join-type
+    lattice works (vanilla ERRORS on outer/semi/anti here)."""
+    spark.sql("""
+      SELECT n_nationkey AS pid,
+             ST_ToGeography(ST_MakeEnvelope(
+               CAST((n_nationkey * 29) % 340 AS DOUBLE) - 172.0,
+               CAST((n_nationkey * 17) % 150 AS DOUBLE) - 75.0,
+               CAST((n_nationkey * 29) % 340 AS DOUBLE) - 166.0,
+               CAST((n_nationkey * 17) % 150 AS DOUBLE) - 69.0)) AS g
+      FROM nation""").createOrReplaceTempView("grj_sql_polys")
+    spark.sql("""
+      SELECT c_custkey AS kid,
+             ST_GeogPoint(CAST((c_custkey * 7) % 360 AS DOUBLE) - 179.5,
+                          CAST((c_custkey * 11) % 170 AS DOUBLE) - 84.5) AS g
+      FROM customer WHERE c_custkey < 500""").createOrReplaceTempView(
+          "grj_sql_pts")
+    inner = spark.sql("""SELECT p.kid, q.pid FROM grj_sql_pts p
+                         JOIN grj_sql_polys q ON ST_Intersects(p.g, q.g)""")
+    assert getattr(inner, "_sedona_rewritten_sql", None) is not None
+    plan = inner._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    got = sorted((r["kid"], r["pid"]) for r in inner.collect())
+    want = sorted((r["kid"], r["pid"]) for r in spark.sql(
+        """SELECT p.kid, q.pid FROM grj_sql_pts p CROSS JOIN grj_sql_polys q
+           WHERE ST_Intersects(p.g, q.g)""").collect())
+    assert got == want and len(want) > 0
+    n_inner = len(got)
+    matched_l = len({k for k, _ in got})
+    n_l = spark.table("grj_sql_pts").count()
+    left = spark.sql("""SELECT p.kid, q.pid FROM grj_sql_pts p
+                        LEFT JOIN grj_sql_polys q
+                        ON ST_Intersects(p.g, q.g)""")
+    assert getattr(left, "_sedona_rewritten_sql", None) is not None
+    assert left.count() == n_inner + (n_l - matched_l)
+    semi = spark.sql("""SELECT p.kid FROM grj_sql_pts p LEFT SEMI JOIN
+                        grj_sql_polys q ON ST_Intersects(p.g, q.g)""")
+    anti = spark.sql("""SELECT p.kid FROM grj_sql_pts p LEFT ANTI JOIN
+                        grj_sql_polys q ON ST_Intersects(p.g, q.g)""")
+    assert semi.count() == matched_l
+    assert anti.count() == n_l - matched_l
+    # non-point dwithin through SQL now routes native too
+    dw = spark.sql("""SELECT p.kid, q.pid FROM grj_sql_pts p
+                      JOIN grj_sql_polys q ON ST_DWithin(p.g, q.g, 250000.0)""")
+    assert getattr(dw, "_sedona_rewritten_sql", None) is not None
+    got_dw = sorted((r["kid"], r["pid"]) for r in dw.collect())
+    want_dw = sorted((r["kid"], r["pid"]) for r in spark.sql(
+        """SELECT p.kid, q.pid FROM grj_sql_pts p CROSS JOIN grj_sql_polys q
+           WHERE ST_DWithin(p.g, q.g, 250000.0)""").collect())
+    assert got_dw == want_dw and len(want_dw) > 0
