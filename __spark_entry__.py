@@ -2966,6 +2966,86 @@ _O["geo_dwithin_join"] = """
 """
 
 
+def _q_geo_envelope_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geography ST_Envelope_Agg (round 9, §2.5 geography overload;
+    reference c/sedona-s2geography/src/st_envelope_agg.rs): per-group
+    lon/lat envelope with antimeridian awareness.  Group 0's cluster
+    straddles the antimeridian (lons 177..185 wrapped), so its tight
+    envelope has xmin > xmax (PostGIS wrapped convention) — the oracle
+    mirrors the two-framing min/max arithmetic exactly."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions.aggregates import envelope_agg_geography
+    pts = spark.sql("""
+      SELECT c_custkey % 8 AS grp,
+             ST_GeogPoint(
+               CAST(pmod(CAST(c_custkey % 8 AS DOUBLE) * 45.0 - 179.0
+                         + CAST((c_custkey * 5) % 9 AS DOUBLE) - 4.0
+                         + 180.0, 360.0) - 180.0 AS DOUBLE),
+               CAST((c_custkey * 7) % 120 AS DOUBLE) - 60.0) AS g
+      FROM customer""")
+    out = envelope_agg_geography(pts, ["grp"], geom="g")
+    return out.select("grp", "xmin", "ymin", "xmax", "ymax").orderBy("grp")
+
+
+_PY["geo_envelope_agg"] = _q_geo_envelope_agg
+_O["geo_envelope_agg"] = """
+  WITH p AS (
+    SELECT c_custkey % 8 AS grp,
+           ((c_custkey % 8) * 45.0 - 179.0 + ((c_custkey * 5) % 9) - 4.0
+            + 540.0) % 360.0 - 180.0 AS lon,
+           ((c_custkey * 7) % 120) - 60.0 AS lat
+    FROM customer),
+  a AS (
+    SELECT grp,
+           min(lon) AS rx0, max(lon) AS rx1,
+           min((lon + 360.0) % 360.0) AS sx0,
+           max((lon + 360.0) % 360.0) AS sx1,
+           min(lat) AS ymin, max(lat) AS ymax
+    FROM p GROUP BY grp)
+  SELECT grp,
+         CASE WHEN (sx1 - sx0) < (rx1 - rx0)
+              THEN ((sx0 + 180.0) % 360.0) - 180.0 ELSE rx0 END AS xmin,
+         ymin,
+         CASE WHEN (sx1 - sx0) < (rx1 - rx0)
+              THEN ((sx1 + 180.0) % 360.0) - 180.0 ELSE rx1 END AS xmax,
+         ymax
+  FROM a ORDER BY grp
+"""
+
+
+def _q_geo_analyze_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geography ST_Analyze_Agg overload (round 9; reference
+    c/sedona-s2geography/src/st_analyze_agg.rs): per-group stats over
+    geography values — count, lon/lat vertex bounds (the documented
+    convention for geography stats), mean points, distinct types."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.functions.aggregates import analyze_agg
+    pts = spark.sql("""
+      SELECT c_custkey % 5 AS grp,
+             ST_GeogPoint(CAST((c_custkey * 3) % 300 AS DOUBLE) - 150.0,
+                          CAST((c_custkey * 7) % 120 AS DOUBLE) - 60.0) AS g
+      FROM customer""")
+    out = analyze_agg(pts, ["grp"], geom="g")
+    return out.select(
+        "grp", "geom_count", "xmin", "ymin", "xmax", "ymax",
+        F.round("mean_points", 6).alias("mean_points"),
+        "distinct_types").orderBy("grp")
+
+
+_PY["geo_analyze_agg"] = _q_geo_analyze_agg
+_O["geo_analyze_agg"] = """
+  SELECT c_custkey % 5 AS grp,
+         count(*) AS geom_count,
+         min(((c_custkey * 3) % 300) - 150.0) AS xmin,
+         min(((c_custkey * 7) % 120) - 60.0) AS ymin,
+         max(((c_custkey * 3) % 300) - 150.0) AS xmax,
+         max(((c_custkey * 7) % 120) - 60.0) AS ymax,
+         1.0 AS mean_points,
+         1 AS distinct_types
+  FROM customer GROUP BY 1 ORDER BY 1
+"""
+
+
 def _q_knn_spheroid_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned great-circle KNN join (operators/knn_join.py
     knn_join_spheroid_partitioned): object side above the (overridden)

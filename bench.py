@@ -191,26 +191,53 @@ def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--group":
         # child mode: run one isolation group, print one JSON line
         names = GROUPS[sys.argv[2]]
+        gl0 = _loadavg()
         timings = _run_queries(names, sf_dir)
-        print(json.dumps({"group": sys.argv[2], "queries": timings}))
+        print(json.dumps({"group": sys.argv[2], "queries": timings,
+                          "load": [gl0, _loadavg()]}))
         return
 
     load0 = _loadavg()
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     isolate = os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
 
+    # Load gate (round 9, r8 verdict #4): BENCH_r08 ran under ambient
+    # loadavg 6.35 and four queries read +16-30% with zero plan changes.
+    # The ambient sample is taken at SUITE start — before any of our own
+    # JVMs inflate the 1-minute average (a 32-thread Spark burst raises
+    # loadavg for ~a minute after it exits, so PER-GROUP readings cannot
+    # distinguish a noisy neighbor from our own previous group).  Above
+    # the threshold every group runs twice (per-query min), bounding
+    # sustained-contention error the way min-of-3 bounds episodic stalls.
+    load_thr = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_THR", "2.0"))
+    contended = bool(load0 and load0[0] > load_thr)
+
     timings: dict[str, float] = {}
+    group_loads: dict[str, list] = {}
+    retried: list[str] = []
     if isolate:
         here = os.path.abspath(__file__)
+
+        def run_group(gname: str) -> dict[str, float]:
+            r = subprocess.run(
+                [sys.executable, here, "--group", gname],
+                capture_output=True, text=True, timeout=900,
+                cwd=os.path.dirname(here))
+            line = [l for l in r.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            payload = json.loads(line)
+            group_loads.setdefault(gname, []).append(payload.get("load"))
+            return payload["queries"]
+
         for gname in GROUPS:
             try:
-                r = subprocess.run(
-                    [sys.executable, here, "--group", gname],
-                    capture_output=True, text=True, timeout=900,
-                    cwd=os.path.dirname(here))
-                line = [l for l in r.stdout.splitlines()
-                        if l.startswith("{")][-1]
-                timings.update(json.loads(line)["queries"])
+                got = run_group(gname)
+                if contended:
+                    retried.append(gname)
+                    again = run_group(gname)
+                    got = {k: (min(v, again.get(k, v)) if v > 0
+                               else again.get(k, v))
+                           for k, v in got.items()}
+                timings.update(got)
             except Exception as e:
                 print(f"# group {gname} subprocess failed ({e}); "
                       "running in-process", file=sys.stderr)
@@ -236,7 +263,10 @@ def main() -> None:
         "warmup": "full-plan",
         "loadavg_start": load0,
         "loadavg_end": load1,
-        "load_warning": bool(load0 and load0[0] > cpus / 2),
+        "group_loads": group_loads,
+        "load_threshold": load_thr,
+        "load_warning": contended,
+        "load_retried_groups": retried,
     }))
 
 
