@@ -750,7 +750,11 @@ def _rewrite(spark, sql, toks, vanilla_sql):
     joined = _build_join(spark, m, spatial, ldf, rdf_r, g1, g2)
 
     # -------- register the view and rebuild the query text
-    vname = _VIEW_PREFIX + hashlib.sha1(sql.encode()).hexdigest()[:12]
+    # the conf suffix keeps views built under different plan-affecting
+    # session options (knn tie-breakers) from overwriting each other —
+    # the rewrite memo replays text referencing THIS name
+    vname = _VIEW_PREFIX + hashlib.sha1(
+        (sql + _plan_conf_fingerprint(spark)).encode()).hexdigest()[:12]
     joined.createOrReplaceTempView(vname)
 
     out = []
@@ -819,6 +823,18 @@ def _probe_geography(df, col, n=64):
     vals = [r[0] for r in df.select(col).limit(n).collect()
             if r[0] is not None]
     return sum(1 for v in vals if _wkb_is_geography(v)), len(vals)
+
+
+def _plan_conf_fingerprint(spark) -> str:
+    """Plan-affecting session options, folded into view names and the
+    rewrite memo key (a view or memo entry built under one setting must
+    never serve a query run under another)."""
+    try:
+        return "|ties=" + str(spark.conf.get(
+            "spark.sedona_db.spatial_join.knn_include_tie_breakers",
+            "false")).lower()
+    except Exception:
+        return "|ties=false"
 
 
 def _probe_geog_points(df, col, n=64) -> bool:
@@ -1002,8 +1018,15 @@ def _build_join(spark, m, spatial, ldf, rdf_r, g1, g2) -> DataFrame:
         k, use_spheroid = spatial.extra
         if not first_is_left:
             raise _Decline           # ST_KNN(queries, objects, ...) order
+        # tie-breaker inclusion is a session option in the reference
+        # (sedona.spatial_join.knn_include_tie_breakers,
+        #  sedona-common/src/option.rs:97-99), not a function argument —
+        # mirror that as a Spark conf
+        ties = str(spark.conf.get(
+            "spark.sedona_db.spatial_join.knn_include_tie_breakers",
+            "false")).lower() == "true"
         out = knn_join(ldf, rdf_r, int(k), query_geom=g1, object_geom=g2,
-                       use_spheroid=bool(use_spheroid))
+                       use_spheroid=bool(use_spheroid), include_ties=ties)
         # the SQL surface exposes both sides' columns (+ knn_distance)
         return out
     if spatial.kind == "dwithin":
@@ -1208,7 +1231,8 @@ def _build_exists(spark, sql, toks, depths, rel1, from_span, conj_span,
     joined = _build_join(spark, m, spatial, ldf, rdf_r, g1, g2)
 
     vname = _VIEW_PREFIX + hashlib.sha1(
-        ("exists:" + sql).encode()).hexdigest()[:12]
+        ("exists:" + sql
+         + _plan_conf_fingerprint(spark)).encode()).hexdigest()[:12]
     joined.createOrReplaceTempView(vname)
 
     out = []
@@ -1437,7 +1461,8 @@ def _chain_rewrite(spark, toks, depths, from_idx, rels, ons, from_end,
     joined = _build_join(spark, m, spatial, ldf, rdf_r, g1, g2)
 
     vname = _VIEW_PREFIX + hashlib.sha1(
-        ("chain:" + _render(toks)).encode()).hexdigest()[:12]
+        ("chain:" + _render(toks)
+         + _plan_conf_fingerprint(spark)).encode()).hexdigest()[:12]
     joined.createOrReplaceTempView(vname)
 
     pair = {first_alias, second_alias}
@@ -1709,12 +1734,18 @@ def install_sql_rewrite(spark: SparkSession) -> None:
             cache.pop(next(iter(cache)))
         cache[key] = text
 
+    def _plan_confs() -> str:
+        # plan-affecting session options must key the memo: a stale view
+        # built under the other setting would silently override the conf
+        return _plan_conf_fingerprint(spark)
+
     def sql(query, *args, **kwargs):
         if args or kwargs or not isinstance(query, str):
             return vanilla(query, *args, **kwargs)
         if not (_PRECHECK.search(query) or _PEEP_PRECHECK.search(query)):
             return vanilla(query)
-        hit = cache.get(query, _MISS)
+        query_key = (query, _plan_confs())
+        hit = cache.get(query_key, _MISS)
         if hit is not _MISS:
             # None memoizes a DECLINE: the matcher's eager work (plan
             # resolution, stats probes) runs once per query text, not
@@ -1733,12 +1764,12 @@ def install_sql_rewrite(spark: SparkSession) -> None:
             if out is not None:
                 rw = getattr(out, "_sedona_rewritten_sql", None)
                 if rw is not None:
-                    _remember(query, rw)
+                    _remember(query_key, rw)
                 return out
         if peeped is not None:
-            _remember(query, peeped)
+            _remember(query_key, peeped)
             return vanilla(peeped)
-        _remember(query, None)
+        _remember(query_key, None)
         return vanilla(query)
 
     spark.sql = sql

@@ -1003,3 +1003,38 @@ def test_geography_dwithin_lattice(spark):
                           RIGHT JOIN geo_b b
                           ON ST_DWithin(a.g, b.g, 1500000.0)""")
     assert router.count() == n_inner + (n_r - matched_r)
+
+
+def test_sql_knn_tie_breakers_conf(spark):
+    """Round 9: the reference's knn_include_tie_breakers session option
+    (sedona-common/src/option.rs:97-99) is reachable through SQL as a
+    Spark conf — ties at the k-th distance emit extra rows when on."""
+    _prep(spark)
+    # 4 objects equidistant-in-pairs from each query point: distances
+    # {0, 1, 1, 2} — k=2 cuts inside a tie
+    spark.sql("""
+      SELECT 1 AS qid, ST_Point(10.0D, 10.0D) AS geom
+    """).createOrReplaceTempView("knn_tie_q")
+    spark.sql("""
+      SELECT id AS oid,
+             CASE id WHEN 0 THEN ST_Point(10.0D, 10.0D)
+                     WHEN 1 THEN ST_Point(11.0D, 10.0D)
+                     WHEN 2 THEN ST_Point(9.0D, 10.0D)
+                     ELSE ST_Point(12.0D, 10.0D) END AS geom
+      FROM range(4)
+    """).createOrReplaceTempView("knn_tie_o")
+    q = """SELECT a.qid, b.oid FROM knn_tie_q a JOIN knn_tie_o b
+           ON ST_KNN(a.geom, b.geom, 2, false)"""
+    base = spark.sql(q)
+    assert base.count() == 2                    # default: exactly k
+    try:
+        spark.conf.set(
+            "spark.sedona_db.spatial_join.knn_include_tie_breakers", "true")
+        ties = spark.sql(q)
+        got = sorted(r["oid"] for r in ties.collect())
+        assert got == [0, 1, 2]                 # both distance-1 ties kept
+    finally:
+        spark.conf.unset(
+            "spark.sedona_db.spatial_join.knn_include_tie_breakers")
+    # flipping BACK must not replay the ties=true view from the memo
+    assert spark.sql(q).count() == 2
