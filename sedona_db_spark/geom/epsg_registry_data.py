@@ -346,3 +346,81 @@ WORLD_ROWS = [
     (54009, "moll"),         # ESRI World Mollweide
     (54008, "sinu"),         # ESRI World Sinusoidal
 ]
+
+# ---------------------------------------------------------------------
+# round-9 tranche (r8 verdict #8): registry past 1000 codes.  Same
+# standards as rounds 7-8: modern (WGS84-coincident) datums carry shift
+# None and are pinned by agreement with the worked-example-verified
+# WGS84 UTM math; zone-prefixed families are additionally pinned by the
+# exact FE-prefix arithmetic identity; legacy datums restate the
+# published EPSG mean-value transformations (code noted per constant).
+# ---------------------------------------------------------------------
+
+# Pulkovo 1995 -> WGS84 is EPSG tfm 1281-class mean (PROJ registry):
+# dx 24.47, dy -130.89, dz -81.56; stored inverted (WGS84 -> local).
+WGS84_TO_PULKOVO95 = (-24.47, 130.89, 81.56, 0.0, 0.0, 0.0, 0.0)
+# Beijing 1954 -> WGS84 published mean (PROJ registry / EPSG
+# 15918-class China mean): dx 15.8, dy -154.4, dz -82.3; inverted.
+WGS84_TO_BEIJING54 = (-15.8, 154.4, 82.3, 0.0, 0.0, 0.0, 0.0)
+
+
+def _wrap_cm(cm):
+    """Normalize a central meridian past the antimeridian (3-degree GK
+    zones 61-64 have CM 183..192 == 177W..168W)."""
+    return ((cm + 180.0) % 360.0) - 180.0
+
+
+TM_ROWS += [
+    # Pulkovo 1942 / 3-degree Gauss-Kruger zones 7-64 (EPSG:2523-2580):
+    # zone n has CM = 3n, FE = n*1e6 + 500 km, k0 = 1 (Krassowsky)
+    *[(2516 + n, 0.0, _wrap_cm(3.0 * n), 1.0,
+       n * 1_000_000.0 + 500000.0, 0.0, "KRASS", WGS84_TO_PULKOVO42)
+      for n in range(7, 65)],
+    # ... and the unprefixed CM variants (EPSG:2582-2639): same zones,
+    # FE 500 km without the zone prefix
+    *[(2575 + n, 0.0, _wrap_cm(3.0 * n), 1.0, 500000.0, 0.0, "KRASS",
+       WGS84_TO_PULKOVO42) for n in range(7, 65)],
+    # Pulkovo 1995 / 6-degree Gauss-Kruger zones 4-32 (EPSG:20004-20032)
+    *[(20000 + z, 0.0, 6.0 * z - 3.0, 1.0, z * 1_000_000.0 + 500000.0,
+       0.0, "KRASS", WGS84_TO_PULKOVO95) for z in range(4, 33)],
+    # Beijing 1954 / Gauss-Kruger zones 13-23 (EPSG:21413-21423) and the
+    # unprefixed CM 75E-135E variants (EPSG:21473-21483), Krassowsky
+    *[(21400 + z, 0.0, 6.0 * z - 3.0, 1.0, z * 1_000_000.0 + 500000.0,
+       0.0, "KRASS", WGS84_TO_BEIJING54) for z in range(13, 24)],
+    *[(21460 + z, 0.0, 6.0 * z - 3.0, 1.0, 500000.0, 0.0, "KRASS",
+       WGS84_TO_BEIJING54) for z in range(13, 24)],
+    # NAD83(NSRS2007) / UTM: zones 59N/60N (EPSG:3707/3708) then
+    # 1N-19N (EPSG:3709-3727) — the same layout NAD83(2011) uses at
+    # 6328-6348; GRS80, WGS84-coincident
+    (3707, 0.0, _utm_cm(59), 0.9996, 500000.0, 0.0, "GRS80", None),
+    (3708, 0.0, _utm_cm(60), 0.9996, 500000.0, 0.0, "GRS80", None),
+    *[(3708 + z, 0.0, _utm_cm(z), 0.9996, 500000.0, 0.0, "GRS80", None)
+      for z in range(1, 20)],
+    # NZGD2000 / UTM zones 58S-60S (EPSG:2133-2135)
+    *[(2075 + z, 0.0, _utm_cm(z), 0.9996, 500000.0, 10000000.0,
+       "GRS80", None) for z in range(58, 61)],
+    # Mexico ITRF2008 / UTM zones 11N-16N (EPSG:6366-6371)
+    *[(6355 + z, 0.0, _utm_cm(z), 0.9996, 500000.0, 0.0, "GRS80", None)
+      for z in range(11, 17)],
+    # ETRS89 / UTM zones 28N-38N (N-E) (EPSG:3040-3050): the
+    # northing-easting AXIS-ORDER variants of 25828-25838 — axis order
+    # is CRS metadata; this engine always emits (easting, northing)
+    # column order, identical to how the E-N twins are served
+    *[(3012 + z, 0.0, _utm_cm(z), 0.9996, 500000.0, 0.0, "GRS80", None)
+      for z in range(28, 39)],
+    # ETRS89 / UTM zE-N variants: zone-prefixed false easting
+    # (EPSG:4647 = 32N FE 32.5 Mm; 5649 = 31N; 5650 = 33N)
+    (4647, 0.0, _utm_cm(32), 0.9996, 32_500_000.0, 0.0, "GRS80", None),
+    (5649, 0.0, _utm_cm(31), 0.9996, 31_500_000.0, 0.0, "GRS80", None),
+    (5650, 0.0, _utm_cm(33), 0.9996, 33_500_000.0, 0.0, "GRS80", None),
+    # Tokyo / UTM zones 51N-55N (EPSG:3092-3096): Bessel + the published
+    # Tokyo Bursa-Wolf (the JGD2000 twins are 3097-3101, registered r8)
+    *[(3041 + z, 0.0, _utm_cm(z), 0.9996, 500000.0, 0.0, "BESSEL",
+       WGS84_TO_TOKYO) for z in range(51, 56)],
+]
+
+PSTEREO_ROWS += [
+    # WGS 84 / Australian Antarctic Polar Stereographic (EPSG:3032):
+    # lat_ts 71S, CM 70E, FE = FN = 6,000,000
+    (3032, -71.0, 70.0, 6000000.0, 6000000.0, True, "WGS84", None),
+]

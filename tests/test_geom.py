@@ -798,3 +798,89 @@ def test_magna_sirgas_bogota_origin():
     x, y = p.forward(lon0, lat0)
     assert abs(float(x) - 1_000_000.0) < 1e-6
     assert abs(float(y) - 1_000_000.0) < 1e-6
+
+
+# ----------------------------------------------------------------------
+# round 9: EPSG tranche past 1000 codes — same pin standards as r7/r8:
+# WGS84-coincident families pinned by agreement with the worked-example-
+# verified WGS84 UTM math; zone-prefixed families by the exact FE-prefix
+# arithmetic identity; legacy datums by roundtrip + published-shift
+# magnitude.
+# ----------------------------------------------------------------------
+
+def test_registry_exceeds_1000():
+    from sedona_db_spark.geom.projections import _PROJ_REGISTRY
+    assert len(_PROJ_REGISTRY) >= 1000
+
+
+def test_pulkovo_3deg_prefix_identity_and_wrap():
+    """Zone-prefixed (2523-2580) and CM variants (2582-2639) differ by
+    exactly zone * 1e6 in FE; zones 61-64 wrap the central meridian
+    across the antimeridian."""
+    za, zb = _proj("EPSG:2550"), _proj("EPSG:2609")   # 3-deg zone 34
+    xa, ya = za.forward(102.4, 55.0)
+    xb, yb = zb.forward(102.4, 55.0)
+    assert float(xa - xb) == 34_000_000.0 and float(ya) == float(yb)
+    x, y = _proj("EPSG:2577").forward(-177.3, 64.0)   # zone 61, CM 177W
+    assert abs(float(x) - 61_500_000.0) < 40_000.0
+    lon, lat = _proj("EPSG:2577").inverse(x, y)
+    assert abs(float(lon) - -177.3) < 1e-7 and abs(float(lat) - 64.0) < 1e-7
+
+
+def test_r9_modern_utm_twins_match_wgs84():
+    """NSRS2007 / Mexico ITRF2008 / NZGD2000-S / ETRS89 N-E and zE-N
+    variants are WGS84-coincident: < 1 mm from the WGS84 UTM zone."""
+    import math
+    cases = [("EPSG:3707", "EPSG:32659", 171.0, 55.0),    # NSRS2007 59N
+             ("EPSG:3723", "EPSG:32615", -92.0, 41.0),    # NSRS2007 15N
+             ("EPSG:6368", "EPSG:32613", -105.0, 24.0),   # Mexico 13N
+             ("EPSG:2134", "EPSG:32759", 171.0, -42.0),   # NZ UTM 59S
+             ("EPSG:3044", "EPSG:25832", 9.0, 52.0),      # ETRS89 32N N-E
+             ]
+    for code, twin, lon, lat in cases:
+        xa, ya = _proj(code).forward(lon, lat)
+        xb, yb = _proj(twin).forward(lon, lat)
+        assert math.hypot(float(xa - xb), float(ya - yb)) < 1e-3, code
+    # zE-N: zone-prefixed FE (32.5 Mm for zone 32)
+    xa, ya = _proj("EPSG:4647").forward(9.0, 52.0)
+    xb, yb = _proj("EPSG:25832").forward(9.0, 52.0)
+    assert float(xa - xb) == 32_000_000.0 and float(ya) == float(yb)
+
+
+def test_r9_legacy_datum_shift_plumbing():
+    """Legacy-datum rows: exact roundtrips, and the forward offset from
+    the WGS84-coincident twin matches the published shift's magnitude
+    class (catches dropped/doubled/misdirected Bursa-Wolf wiring)."""
+    import math
+    # Tokyo / UTM 54N vs JGD2000 / UTM 54N: Tokyo shift is ~850 m 3-D;
+    # the horizontal projected offset near Tokyo is several hundred m
+    xa, ya = _proj("EPSG:3095").forward(139.7, 35.7)
+    xb, yb = _proj("EPSG:3100").forward(139.7, 35.7)
+    d = math.hypot(float(xa - xb), float(ya - yb))
+    assert 200.0 < d < 1000.0, d
+    lon, lat = _proj("EPSG:3095").inverse(xa, ya)
+    assert abs(float(lon) - 139.7) < 1e-7 and abs(float(lat) - 35.7) < 1e-7
+    # Pulkovo 1995 vs Pulkovo 1942 zone 10: datum difference is meters
+    xa, ya = _proj("EPSG:20010").forward(57.0, 56.0)
+    xb, yb = _proj("EPSG:28410").forward(57.0, 56.0)
+    d = math.hypot(float(xa - xb), float(ya - yb))
+    assert 0.1 < d < 50.0, d
+    # Beijing 1954 zone 20 roundtrip + offset-from-WGS84 magnitude
+    xa, ya = _proj("EPSG:21420").forward(117.3, 39.9)
+    lon, lat = _proj("EPSG:21420").inverse(xa, ya)
+    assert abs(float(lon) - 117.3) < 1e-7 and abs(float(lat) - 39.9) < 1e-7
+    # CM-variant identity for Beijing 1954 (21473-21483)
+    xb, yb = _proj("EPSG:21480").forward(117.3, 39.9)
+    assert float(xa - xb) == 20_000_000.0 and float(ya) == float(yb)
+
+
+def test_r9_australian_antarctic_pstereo():
+    """EPSG:3032: south polar stereographic, CM 70E, FE=FN=6e6 — the
+    pole maps to (FE, FN) exactly; roundtrip at Mawson station."""
+    p = _proj("EPSG:3032")
+    x, y = p.forward(70.0, -90.0)
+    assert abs(float(x) - 6_000_000.0) < 1e-6
+    assert abs(float(y) - 6_000_000.0) < 1e-6
+    x, y = p.forward(62.87, -67.6)
+    lon, lat = p.inverse(x, y)
+    assert abs(float(lon) - 62.87) < 1e-7 and abs(float(lat) - -67.6) < 1e-7
