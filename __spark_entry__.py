@@ -2336,6 +2336,31 @@ _PY["spatial_join_grid_within"] = _q_spatial_join_grid
 _O["spatial_join_grid_within"] = _ORACLE_PIP
 
 
+def _q_spatial_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 9 (r8 verdict #6): the same join as spatial_join_grid_within
+    but against a PERSISTED bucketed-by-cell layout of the point table
+    (operators/spatial_join.py write_bucketed_layout) — the query-time
+    plan reads stored cells and flat bbox columns, skipping the per-query
+    Python bbox pass and the layout-side shuffle entirely.  The layout
+    write is an index build: it happens once per sf (first call — the
+    bench warmup pays it; timed runs and repeat users hit the table)."""
+    from sedona_db_spark.operators.spatial_join import (
+        spatial_join_bucketed, write_bucketed_layout)
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    tbl = f"cust_pts_layout_{tag}"
+    if not spark.catalog.tableExists(tbl):
+        write_bucketed_layout(spark.table("cust_pts")
+                              .select("c_custkey", "geom"), tbl,
+                              geom="geom")
+    boxes = spark.table("nation_boxes").select("n_nationkey", "geom")
+    out = spatial_join_bucketed(spark, tbl, boxes, predicate="within")
+    return out.select("c_custkey", "n_nationkey")
+
+
+_PY["spatial_join_bucketed_within"] = _q_spatial_join_bucketed
+_O["spatial_join_bucketed_within"] = _ORACLE_PIP
+
+
 def _q_spatial_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_db_spark.operators.spatial_join import spatial_join
     cust = spark.table("cust_pts").select("c_custkey", "geom")
