@@ -2344,14 +2344,25 @@ def _q_spatial_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python bbox pass and the layout-side shuffle entirely.  The layout
     write is an index build: it happens once per sf (first call — the
     bench warmup pays it; timed runs and repeat users hit the table)."""
+    import os as _os
+
     from sedona_db_spark.operators.spatial_join import (
-        spatial_join_bucketed, write_bucketed_layout)
+        register_bucketed_layout, spatial_join_bucketed,
+        write_bucketed_layout)
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
     tbl = f"cust_pts_layout_{tag}"
     if not spark.catalog.tableExists(tbl):
-        write_bucketed_layout(spark.table("cust_pts")
-                              .select("c_custkey", "geom"), tbl,
-                              geom="geom")
+        # a layout written by an earlier session re-attaches from its
+        # sidecar (index persistence); otherwise build it once
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        prev = _os.path.join(wh[5:], tbl) if wh.startswith("file:") else ""
+        if prev and _os.path.exists(_os.path.join(prev,
+                                                  "_sedona_layout.json")):
+            register_bucketed_layout(spark, prev, tbl)
+        else:
+            write_bucketed_layout(spark.table("cust_pts")
+                                  .select("c_custkey", "geom"), tbl,
+                                  geom="geom")
     boxes = spark.table("nation_boxes").select("n_nationkey", "geom")
     out = spatial_join_bucketed(spark, tbl, boxes, predicate="within")
     return out.select("c_custkey", "n_nationkey")

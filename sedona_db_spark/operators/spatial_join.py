@@ -1029,6 +1029,19 @@ def write_bucketed_layout(df: DataFrame, table: str, geom: str = "geom",
             .drop("__b"))
     if buckets is None:
         buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if mode == "overwrite" and not spark.catalog.tableExists(table):
+        # orphaned managed location from a previous session (the
+        # in-memory catalog forgot the entry; saveAsTable refuses to
+        # reuse the directory): overwrite semantics say replace it.
+        # A still-wanted previous layout is re-attached with
+        # register_bucketed_layout instead of rewritten.
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        if wh.startswith("file:"):
+            import os as _os
+            import shutil as _shutil
+            stale = _os.path.join(wh[5:], table.lower())
+            if _os.path.exists(stale):
+                _shutil.rmtree(stale)
     (out.write.format("parquet").mode(mode)
         .bucketBy(int(buckets), "__cell").sortBy("__cell")
         .saveAsTable(table))
