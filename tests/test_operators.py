@@ -1834,6 +1834,7 @@ def test_bucketed_layout_zero_exchange_same_grid(spark, cust_pts):
     write_bucketed_layout(cust, "t_layout_zx_a", geom="geom")
     write_bucketed_layout(cust.selectExpr("c_custkey AS k2", "geom"),
                           "t_layout_zx_b", geom="geom")
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         ll = spatial_join_bucketed(spark, "t_layout_zx_a", "t_layout_zx_b",
@@ -1847,7 +1848,9 @@ def test_bucketed_layout_zero_exchange_same_grid(spark, cust_pts):
         assert "SortMergeJoin" in plan
         assert not any("Exchange" in ln for ln in plan.splitlines()), plan
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # restore (unset falls back to the builder string form, which a
+        # later conf-format pin reads with int())
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
 
 
 def test_bucketed_layout_register_across_sessions(spark, cust_pts, boxes,
