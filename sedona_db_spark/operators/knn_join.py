@@ -250,6 +250,31 @@ class _GridIndex:
         return qr[o], oi[o], dd[o]
 
 
+_ORDER_RISKY = ("Exchange", "Repartition", "Join", "Aggregate", "Sort",
+                "Window", "Sample", "Deduplicate", "Intersect", "Except")
+
+
+def _pin_row_ids(df: DataFrame, name: str) -> DataFrame:
+    """Positional row ids that survive plan re-evaluation.
+
+    monotonically_increasing_id is only stable across re-evaluations
+    when the plan below it is order-deterministic; above a shuffle the
+    reduce-side row order varies and two branches reading the tagged
+    side can disagree (ADVICE r8).  A pure scan/filter/project pipeline
+    (the common KNN query side — file splits and in-file order are
+    fixed) keeps the free id; any order-risky node pins ONE evaluation
+    via lazy localCheckpoint.  A false positive on the plan-string
+    probe only costs the checkpoint, never correctness."""
+    tagged = df.withColumn(name, F.monotonically_increasing_id())
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return tagged.localCheckpoint(eager=False)
+    if any(k in plan for k in _ORDER_RISKY):
+        return tagged.localCheckpoint(eager=False)
+    return tagged
+
+
 def knn_join(
     queries: DataFrame,
     objects: DataFrame,
@@ -558,13 +583,10 @@ def knn_join_partitioned(
     # (cached) AND the qstat/round-B branch, which re-evaluate this
     # subtree independently — above a shuffle, positional ids permute
     # between evaluations and the safe/unsafe split silently mixes
-    # queries (ADVICE r8 hazard class).  The lazy localCheckpoint also
-    # collapses what were three full query-side scans (round A, qstat,
-    # round B) into one materialization.  Content hashes are NOT a
+    # queries (ADVICE r8 hazard class).  Content hashes are NOT a
     # substitute here: duplicate query rows must keep distinct ids or
     # the per-query top-k window under-emits.
-    q = queries.withColumn("__qid", F.monotonically_increasing_id()) \
-               .localCheckpoint(eager=False)
+    q = _pin_row_ids(queries, "__qid")
     qb = q.withColumn("__qb", bbox_col(F.col(query_geom))) \
           .withColumn("__qx", (F.col("__qb.xmin") + F.col("__qb.xmax")) / 2) \
           .withColumn("__qy", (F.col("__qb.ymin") + F.col("__qb.ymax")) / 2) \
@@ -841,11 +863,9 @@ def knn_join_spheroid_partitioned(
                    .cast("double"))
         return df.withColumn(px, lon).withColumn(py, b["ymin"])
 
-    # localCheckpoint pins __qid to one evaluation (see the planar
-    # partitioned path above: the qstat branch re-evaluates this subtree
-    # and positional ids are not stable above a shuffle)
-    q = pts_of(queries.withColumn("__qid", F.monotonically_increasing_id())
-               .localCheckpoint(eager=False),
+    # _pin_row_ids: the qstat branch re-evaluates this subtree and
+    # positional ids are not stable above a shuffle
+    q = pts_of(_pin_row_ids(queries, "__qid"),
                query_geom, "__qlon", "__qlat")
     ob = pts_of(obj, ogeom, "__olon", "__olat")
 
