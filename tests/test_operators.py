@@ -1881,3 +1881,19 @@ def test_bucketed_layout_register_across_sessions(spark, cust_pts, boxes,
     ref = spatial_join(cust, bx, predicate="within")
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, ref.collect()))
+
+
+def test_knn_partitioned_ids_pinned_above_shuffle(spark, cust_pts):
+    """ADVICE r8 hazard class in KNN: a shuffled query side must give
+    the same top-k as the unshuffled one (order-risky plans pin the id
+    assignment to one evaluation via localCheckpoint; plain scans keep
+    the free positional id)."""
+    from sedona_db_spark.operators.knn_join import knn_join_partitioned
+    base = cust_pts.select("c_custkey", "geom").filter("c_custkey < 75")
+    objs = cust_pts.filter("c_custkey >= 75") \
+        .select(F.col("c_custkey").alias("oid"), "geom")
+    ref = knn_join_partitioned(base, objs, k=2)
+    got = knn_join_partitioned(base.repartition(7), objs, k=2)
+    a = sorted((r["c_custkey"], r["oid"]) for r in ref.collect())
+    b = sorted((r["c_custkey"], r["oid"]) for r in got.collect())
+    assert a == b and len(a) == 2 * base.count()
