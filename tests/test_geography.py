@@ -896,3 +896,41 @@ def test_sql_geography_relation_join_routes_native(spark):
         """SELECT p.kid, q.pid FROM grj_sql_pts p CROSS JOIN grj_sql_polys q
            WHERE ST_DWithin(p.g, q.g, 250000.0)""").collect())
     assert got_dw == want_dw and len(want_dw) > 0
+
+
+def test_geography_relation_join_seam_and_pole(spark):
+    """Adversarial cover cases: a polygon genuinely CROSSING the
+    antimeridian (planar lon 176..184), one hugging the north pole, and
+    points on both sides of the seam — native join == kernel truth."""
+    polys = spark.sql("""
+      SELECT 1 AS pid, ST_ToGeography(ST_MakeEnvelope(176.0, 10.0,
+                                                      184.0, 18.0)) AS g
+      UNION ALL
+      SELECT 2, ST_ToGeography(ST_MakeEnvelope(-30.0, 82.0, 30.0, 88.0))
+      UNION ALL
+      SELECT 3, ST_ToGeography(ST_GeomFromText(
+        'POLYGON ((0 80, 120 80, -120 80, 0 80))'))
+    """)
+    pts = spark.sql("""
+      SELECT c_custkey AS kid,
+             ST_GeogPoint(CAST((c_custkey * 13) % 360 AS DOUBLE) - 179.7,
+                          CAST((c_custkey * 5) % 176 AS DOUBLE) - 87.7) AS g
+      FROM customer WHERE c_custkey < 400
+      UNION ALL SELECT 100001, ST_GeogPoint(179.5, 14.3)
+      UNION ALL SELECT 100002, ST_GeogPoint(-179.5, 14.3)
+      UNION ALL SELECT 100003, ST_GeogPoint(45.0, 89.2)
+    """)
+    polys.createOrReplaceTempView("grj_seam_polys")
+    pts.createOrReplaceTempView("grj_seam_pts")
+    from sedona_db_spark.operators.geography_join import \
+        geography_relation_join
+    got = sorted((r["kid"], r["pid"]) for r in geography_relation_join(
+        pts, polys, "g", "g", predicate="intersects").collect())
+    want = sorted((r["kid"], r["pid"]) for r in spark.sql(
+        """SELECT p.kid, q.pid FROM grj_seam_pts p CROSS JOIN grj_seam_polys q
+           WHERE ST_Intersects(p.g, q.g)""").collect())
+    assert got == want and len(want) > 0
+    # the seam-crossing polygon matches the explicit probes on BOTH
+    # sides of 180, and the pole triangle catches the near-pole probe
+    assert (100001, 1) in want and (100002, 1) in want
+    assert (100003, 3) in want
