@@ -89,6 +89,10 @@ HEADLINE = [
     # measure the query-time plan, the same way an indexed database
     # benchmarks index reads, not index builds.
     "spatial_join_bucketed_within",
+    # round-9: geography RELATION join (spherical cell-cover; the only
+    # other plan is vanilla's pair-explosion, 107x slower at sf0.1).
+    # NEW in r9 — excluded from core32_sec.
+    "sql_geography_intersects_join",
 ]
 
 # Isolation groups: one subprocess (fresh JVM + python workers) each.
@@ -105,6 +109,7 @@ GROUPS: dict[str, list[str]] = {
     "spatial_join": ["spatial_join_grid_within",
                      "spatial_join_broadcast_within",
                      "spatial_join_bucketed_within",
+                     "sql_geography_intersects_join",
                      "predicates_random_100k", "knn_join_k3",
                      "knn_join_polygons_k2"],
     "text_dedup": ["text_token_stats", "text_quality_score",
@@ -257,7 +262,8 @@ def main() -> None:
     # core32_sec is the sum over exactly BENCH_r06's 32-query set, the
     # number comparable to value=23.921 there.
     r7_new = (set(GROUPS["assembly"]) | set(GROUPS["web"])
-              | {"spatial_join_bucketed_within"})
+              | {"spatial_join_bucketed_within",
+                 "sql_geography_intersects_join"})
     core32 = sum(v for k, v in timings.items() if v > 0 and k not in r7_new)
     load1 = _loadavg()
     print(json.dumps({
