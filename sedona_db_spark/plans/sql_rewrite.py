@@ -1002,6 +1002,29 @@ def _build_join(spark, m, spatial, ldf, rdf_r, g1, g2) -> DataFrame:
                         spark, l2, r2, g1, g2, dist))
             builder = lambda l2, r2: _geography_relation_inner(  # noqa: E731
                 l2, r2, g1, g2, "intersects", float(dist), None)
+        elif spatial.kind == "dwithin":
+            # comparison form (ST_Distance(g1,g2) < d, keep_refine) and/or
+            # column-valued radius over geography: candidate cut at the
+            # exact MAX radius via the spherical cell-cover join; the
+            # ORIGINAL conjunct survives as the exact per-row WHERE
+            # refine (keep_refine is forced on for dist_col, and
+            # comparison forms are certified inner-only upstream).
+            # Mirrors the planar column-radius path below; reference
+            # distance_side, spatial_predicate.rs:44-99.
+            from pyspark.sql import functions as F
+            dist = spatial.extra[0]
+            if spatial.dist_col is not None:
+                da, dcn = spatial.dist_col_resolved
+                side = ldf if da == m.rel1.alias else rdf_r
+                mx = side.agg(F.max(F.col(dcn).cast("double"))).first()[0]
+                # all-NULL/empty radius: touch-only candidates; the
+                # refine drops every row (NULL never satisfies <) —
+                # correct empty result
+                dist = float(mx) if mx is not None else 0.0
+            if dist < 0.0:
+                dist = 0.0
+            builder = lambda l2, r2: _geography_relation_inner(  # noqa: E731
+                l2, r2, g1, g2, "intersects", float(dist), None)
         elif spatial.kind == "relation" \
                 and spatial.predicate in _RELATION_SQL \
                 and not spatial.keep_refine:

@@ -1005,6 +1005,73 @@ def test_geography_dwithin_lattice(spark):
     assert router.count() == n_inner + (n_r - matched_r)
 
 
+def test_geography_distance_comparison_join_routes_native(spark):
+    """Round 9 continuation: the comparison form ST_Distance(g1,g2) < d
+    over geography-tagged columns routes through the spherical
+    cell-cover candidate join (previously a _Decline that left vanilla
+    planning the pair explosion); the original conjunct survives as the
+    exact per-row refine, so results match vanilla bit-for-bit."""
+    _prep(spark)
+    spark.sql("""
+      SELECT c_custkey AS ka,
+             ST_GeogPoint(CAST(c_custkey % 360 AS DOUBLE) - 179.5,
+                          CAST((c_custkey * 7) % 160 AS DOUBLE) - 79.5) AS g
+      FROM customer WHERE c_custkey < 120
+    """).createOrReplaceTempView("geo_cmp_a")
+    spark.sql("""
+      SELECT s_suppkey AS kb,
+             ST_GeogPoint(CAST((s_suppkey * 13) % 360 AS DOUBLE) - 179.5,
+                          CAST((s_suppkey * 29) % 160 AS DOUBLE) - 79.5) AS g
+      FROM supplier
+    """).createOrReplaceTempView("geo_cmp_b")
+    q = """
+      SELECT a.ka, b.kb FROM geo_cmp_a a JOIN geo_cmp_b b
+      ON ST_Distance(a.g, b.g) < 1200000.0
+    """
+    df = spark.sql(q)
+    assert getattr(df, "_sedona_rewritten_sql", None) is not None
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    got = _rows(df, ["ka", "kb"])
+    want = _rows(_vanilla(spark, q), ["ka", "kb"])
+    assert got == want and len(got) > 0
+
+
+def test_geography_column_radius_dwithin_join(spark):
+    """Round 9 continuation: ST_DWithin(a.g, b.g, a.radius) with a
+    column-valued radius over geography routes native (exact-MAX
+    candidate cut on the spherical cell-cover join + original conjunct
+    as the per-row refine) — same contract as the planar column-radius
+    path, results identical to vanilla."""
+    _prep(spark)
+    spark.sql("""
+      SELECT c_custkey AS ka,
+             ST_GeogPoint(CAST(c_custkey % 360 AS DOUBLE) - 179.5,
+                          CAST((c_custkey * 7) % 160 AS DOUBLE) - 79.5) AS g,
+             CAST(200000 + (c_custkey % 11) * 150000 AS DOUBLE) AS radius_m
+      FROM customer WHERE c_custkey < 120
+    """).createOrReplaceTempView("geo_rad_a")
+    spark.sql("""
+      SELECT s_suppkey AS kb,
+             ST_GeogPoint(CAST((s_suppkey * 13) % 360 AS DOUBLE) - 179.5,
+                          CAST((s_suppkey * 29) % 160 AS DOUBLE) - 79.5) AS g
+      FROM supplier
+    """).createOrReplaceTempView("geo_rad_b")
+    q = """
+      SELECT a.ka, b.kb FROM geo_rad_a a JOIN geo_rad_b b
+      ON ST_DWithin(a.g, b.g, a.radius_m)
+    """
+    df = spark.sql(q)
+    assert getattr(df, "_sedona_rewritten_sql", None) is not None
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    got = _rows(df, ["ka", "kb"])
+    want = _rows(_vanilla(spark, q), ["ka", "kb"])
+    assert got == want and len(got) > 0
+
+
 def test_sql_knn_tie_breakers_conf(spark):
     """Round 9: the reference's knn_include_tie_breakers session option
     (sedona-common/src/option.rs:97-99) is reachable through SQL as a
