@@ -5141,6 +5141,67 @@ _sql("sql_geography_dwithin_poly_join", """
   SELECT kid, pid FROM d WHERE dist_m <= 500000.0
 """)
 
+# Geography comparison form ST_Distance(g1,g2) < d (round 9
+# continuation): routes through the spherical cell-cover candidate join
+# with the original conjunct as the exact per-row refine — previously a
+# decline that left vanilla planning the pair explosion.  Oracle: exact
+# haversine with the same strict < boundary.
+_sql("sql_geography_distance_cmp_join", """
+  SELECT a.c_custkey, b.s_suppkey
+  FROM (SELECT c_custkey,
+               ST_GeogPoint(CAST(c_custkey % 360 AS DOUBLE) - 179.5,
+                            CAST((c_custkey * 7) % 160 AS DOUBLE) - 79.5) AS g
+        FROM customer) a
+  JOIN (SELECT s_suppkey,
+               ST_GeogPoint(CAST((s_suppkey * 13) % 360 AS DOUBLE) - 179.5,
+                            CAST((s_suppkey * 29) % 160 AS DOUBLE) - 79.5) AS g
+        FROM supplier) b
+  ON ST_Distance(a.g, b.g) < 800000.0
+""", """
+  WITH c AS (SELECT c_custkey, (c_custkey % 360) - 179.5 AS lon_c,
+                    ((c_custkey * 7) % 160) - 79.5 AS lat_c FROM customer),
+  s AS (SELECT s_suppkey, ((s_suppkey * 13) % 360) - 179.5 AS lon_s,
+               ((s_suppkey * 29) % 160) - 79.5 AS lat_s FROM supplier),
+  d AS (SELECT c_custkey, s_suppkey,
+          2 * 6371008.8 * asin(sqrt(
+            pow(sin(radians(lat_s - lat_c) / 2), 2) +
+            cos(radians(lat_c)) * cos(radians(lat_s)) *
+            pow(sin(radians(lon_s - lon_c) / 2), 2))) AS dist_m
+        FROM c, s)
+  SELECT c_custkey, s_suppkey FROM d WHERE dist_m < 800000.0
+""")
+
+# Geography column-valued radius ST_DWithin(g1,g2,a.radius) (round 9
+# continuation): exact-MAX candidate cut on the spherical cell-cover
+# join + the original conjunct as the per-row refine — the geography
+# twin of the planar column-radius contract below.
+_sql("sql_geography_dwithin_radius_join", """
+  SELECT a.c_custkey, b.s_suppkey
+  FROM (SELECT c_custkey,
+               ST_GeogPoint(CAST(c_custkey % 360 AS DOUBLE) - 179.5,
+                            CAST((c_custkey * 7) % 160 AS DOUBLE) - 79.5) AS g,
+               CAST(200000 + (c_custkey % 7) * 120000 AS DOUBLE) AS r_m
+        FROM customer) a
+  JOIN (SELECT s_suppkey,
+               ST_GeogPoint(CAST((s_suppkey * 13) % 360 AS DOUBLE) - 179.5,
+                            CAST((s_suppkey * 29) % 160 AS DOUBLE) - 79.5) AS g
+        FROM supplier) b
+  ON ST_DWithin(a.g, b.g, a.r_m)
+""", """
+  WITH c AS (SELECT c_custkey, (c_custkey % 360) - 179.5 AS lon_c,
+                    ((c_custkey * 7) % 160) - 79.5 AS lat_c,
+                    200000 + (c_custkey % 7) * 120000 AS r_m FROM customer),
+  s AS (SELECT s_suppkey, ((s_suppkey * 13) % 360) - 179.5 AS lon_s,
+               ((s_suppkey * 29) % 160) - 79.5 AS lat_s FROM supplier),
+  d AS (SELECT c_custkey, s_suppkey, r_m,
+          2 * 6371008.8 * asin(sqrt(
+            pow(sin(radians(lat_s - lat_c) / 2), 2) +
+            cos(radians(lat_c)) * cos(radians(lat_s)) *
+            pow(sin(radians(lon_s - lon_c) / 2), 2))) AS dist_m
+        FROM c, s)
+  SELECT c_custkey, s_suppkey FROM d WHERE dist_m <= r_m
+""")
+
 # ST_Distance(a,b) < d comparison form (reference sedona-expr utils.rs
 # parse_distance_predicate: Lt/LtEq with the call on either side) — plans
 # through the distance join with the strict comparison kept as an exact
