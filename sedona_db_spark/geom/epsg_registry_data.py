@@ -424,3 +424,75 @@ PSTEREO_ROWS += [
     # lat_ts 71S, CM 70E, FE = FN = 6,000,000
     (3032, -71.0, 70.0, 6000000.0, 6000000.0, True, "WGS84", None),
 ]
+
+# ---------------------------------------------------------------------
+# round-9 tranche, part 2: South America (SAD69 UTM), Israel TM, Korea
+# 2000 belts, national LCCs, and the equal-area families (North-Pole /
+# EASE-Grid azimuthal, EASE-Grid cylindrical).  Same standards as
+# above: published EPSG parameters restated as data; legacy datums
+# carry the published mean Bursa-Wolf (EPSG transformation code noted).
+# ---------------------------------------------------------------------
+
+# SAD69 -> WGS84 published mean (EPSG tfm 1864): dx -57, dy +1, dz -41;
+# stored inverted (WGS84 -> SAD69).
+WGS84_TO_SAD69 = (57.0, -1.0, 41.0, 0.0, 0.0, 0.0, 0.0)
+# Israel 1993 -> WGS84 (EPSG tfm 1073): dx -48, dy +55, dz +52; inverted.
+WGS84_TO_ISRAEL93 = (48.0, -55.0, -52.0, 0.0, 0.0, 0.0, 0.0)
+
+TM_ROWS += [
+    # SAD69 / UTM zones 18N-22N (EPSG:29168-29172) and 18S-25S
+    # (EPSG:29188-29195, zone 23S = 29193 is the Sao Paulo sheet),
+    # GRS 1967 Modified (1/f = 298.25 exactly per the SIRGAS docs)
+    *[(29150 + z, 0.0, _utm_cm(z), 0.9996, 500000.0, 0.0, "GRS67",
+       WGS84_TO_SAD69) for z in range(18, 23)],
+    *[(29170 + z, 0.0, _utm_cm(z), 0.9996, 500000.0, 10000000.0,
+       "GRS67", WGS84_TO_SAD69) for z in range(18, 26)],
+    # Israel 1993 / Israeli TM Grid (EPSG:2039): lat0 31d44'03.817"N,
+    # lon0 35d12'16.261"E, k0 1.0000067, FE 219529.584, FN 626907.39
+    (2039, _D(31, 44, 3.817), _D(35, 12, 16.261), 1.0000067,
+     219529.584, 626907.39, "GRS80", WGS84_TO_ISRAEL93),
+    # Korea 2000 belts (EPSG:5180-5184): lat0 38N, k0 1, FE 200 km,
+    # FN 500 km (550 km for the Jeju belt 5182), GRS80, modern datum
+    (5180, 38.0, 125.0, 1.0, 200000.0, 500000.0, "GRS80", None),
+    (5181, 38.0, 127.0, 1.0, 200000.0, 500000.0, "GRS80", None),
+    (5182, 38.0, 127.0, 1.0, 200000.0, 550000.0, "GRS80", None),
+    (5183, 38.0, 129.0, 1.0, 200000.0, 500000.0, "GRS80", None),
+    (5184, 38.0, 131.0, 1.0, 200000.0, 500000.0, "GRS80", None),
+]
+
+LCC2_ROWS += [
+    # ETRS89 / LCC Germany (N-E) (EPSG:5243): SPs 48d40' / 53d40'
+    (5243, 51.0, 10.5, _D(48, 40), _D(53, 40), 0.0, 0.0, "GRS80", None),
+    # MGI / Austria Lambert (EPSG:31287), Bessel + published MGI shift
+    (31287, 47.5, _D(13, 20), 49.0, 46.0, 400000.0, 400000.0,
+     "BESSEL", WGS84_TO_MGI),
+    # NAD83(CSRS) / Canada Atlas Lambert (EPSG:3979) — projection-
+    # identical twin of 3978 (every NAD83 realization is treated
+    # WGS84-coincident here, same as the hand-curated entries)
+    (3979, 49.0, -95.0, 49.0, 77.0, 0.0, 0.0, "GRS80", None),
+]
+
+# Lambert azimuthal equal-area: (code, lat0, lon0, FE, FN, ellps, shift)
+LAEA_ROWS = [
+    # US National Atlas Equal Area (EPSG:2163; 9311 is its non-
+    # deprecated renumbering) on the Clarke 1866 authalic sphere
+    (2163, 45.0, -100.0, 0.0, 0.0, "SPHERE_ATLAS", None),
+    (9311, 45.0, -100.0, 0.0, 0.0, "SPHERE_ATLAS", None),
+    # WGS 84 / North Pole LAEA family (EPSG:3571-3576): polar aspect,
+    # CM per region
+    (3571, 90.0, 180.0, 0.0, 0.0, "WGS84", None),   # Bering Sea
+    (3572, 90.0, -150.0, 0.0, 0.0, "WGS84", None),  # Alaska
+    (3573, 90.0, -100.0, 0.0, 0.0, "WGS84", None),  # Canada
+    (3574, 90.0, -40.0, 0.0, 0.0, "WGS84", None),   # North Atlantic
+    (3575, 90.0, 10.0, 0.0, 0.0, "WGS84", None),    # Europe
+    (3576, 90.0, 90.0, 0.0, 0.0, "WGS84", None),    # Russia
+    # EASE-Grid 2.0 North / South (EPSG:6931/6932)
+    (6931, 90.0, 0.0, 0.0, 0.0, "WGS84", None),
+    (6932, -90.0, 0.0, 0.0, 0.0, "WGS84", None),
+]
+
+# Cylindrical equal-area: (code, lat_ts, lon0, FE, FN, ellps, shift)
+CEA_ROWS = [
+    (6933, 30.0, 0.0, 0.0, 0.0, "WGS84", None),         # EASE-Grid 2.0
+    (3410, 30.0, 0.0, 0.0, 0.0, "SPHERE_EASE1", None),  # EASE-Grid 1.0
+]

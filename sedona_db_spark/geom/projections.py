@@ -128,6 +128,12 @@ _ELLIPSOIDS = {
     "BESSEL": (6377397.155, 1.0 / 299.1528128),      # Bessel 1841
     "CLARKE66": (6378206.4, 1.0 / 294.9786982139006),  # Clarke 1866
     "KRASS": (6378245.0, 1.0 / 298.3),               # Krassowsky 1940
+    # GRS 1967 Modified (SIRGAS docs; SAD69 uses 1/f = 298.25 exactly)
+    "GRS67": (6378160.0, 1.0 / 298.25),
+    # authalic spheres (f = 0): US National Atlas (Clarke 1866 authalic)
+    # and the EASE-Grid 1.0 International 1924 authalic sphere
+    "SPHERE_ATLAS": (6370997.0, 0.0),
+    "SPHERE_EASE1": (6371228.0, 0.0),
 }
 
 
@@ -170,6 +176,21 @@ def _phi_from_q(q, e, e2, iters: int = 15):
                 + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s)))
         phi = phi + den * corr
     return phi
+
+
+def _q_any(phi, e, e2):
+    """Snyder's q, sphere-safe: the e -> 0 limit is q = 2 sin(phi)
+    (the 1/(2e)·log term -> sin(phi)), which the general form cannot
+    evaluate (division by e)."""
+    if e == 0.0:
+        return 2.0 * np.sin(phi)
+    return _q_snyder(phi, e, e2)
+
+
+def _phi_from_q_any(q, e, e2):
+    if e == 0.0:
+        return np.arcsin(np.clip(np.asarray(q) / 2.0, -1.0, 1.0))
+    return _phi_from_q(q, e, e2)
 
 
 
@@ -310,20 +331,31 @@ class LambertAzimuthalEqualArea:
         self.a, self.e, self.e2 = _ell(ellps)
         p0 = math.radians(lat0)
         self.lam0 = math.radians(lon0)
-        self.qp = float(_q_snyder(np.float64(np.pi / 2), self.e, self.e2))
-        q0 = float(_q_snyder(np.float64(p0), self.e, self.e2))
+        self.qp = float(_q_any(np.float64(np.pi / 2), self.e, self.e2))
+        # polar aspect (Snyder 1987 eq. 24-23..24-31): the oblique D =
+        # a·m0/(Rq·cos(b0)) degenerates 0/0 at |lat0| = 90
+        self.polar = 1 if lat0 >= 89.9999999 else (
+            -1 if lat0 <= -89.9999999 else 0)
+        self.fe, self.fn = fe, fn
+        if self.polar:
+            return
+        q0 = float(_q_any(np.float64(p0), self.e, self.e2))
         self.b0 = math.asin(q0 / self.qp)
         self.Rq = self.a * math.sqrt(self.qp / 2)
         m0 = float(_m_snyder(np.float64(p0), self.e))
         self.D = self.a * m0 / (self.Rq * math.cos(self.b0))
-        self.fe, self.fn = fe, fn
 
     def forward(self, lon, lat):
         lam = np.radians(np.asarray(lon, dtype=np.float64))
         phi = np.radians(np.asarray(lat, dtype=np.float64))
-        q = _q_snyder(phi, self.e, self.e2)
-        b = np.arcsin(np.clip(q / self.qp, -1.0, 1.0))
+        q = _q_any(phi, self.e, self.e2)
         dl = lam - self.lam0
+        if self.polar:
+            rho = self.a * np.sqrt(np.maximum(self.qp - self.polar * q, 0.0))
+            x = self.fe + rho * np.sin(dl)
+            y = self.fn - self.polar * rho * np.cos(dl)
+            return x, y
+        b = np.arcsin(np.clip(q / self.qp, -1.0, 1.0))
         denom = 1 + math.sin(self.b0) * np.sin(b) + math.cos(self.b0) * np.cos(b) * np.cos(dl)
         B = self.Rq * np.sqrt(2.0 / denom)
         x = B * self.D * np.cos(b) * np.sin(dl)
@@ -332,6 +364,15 @@ class LambertAzimuthalEqualArea:
         return self.fe + x, self.fn + y
 
     def inverse(self, x, y):
+        if self.polar:
+            dx = np.asarray(x, dtype=np.float64) - self.fe
+            dy = np.asarray(y, dtype=np.float64) - self.fn
+            rho = np.hypot(dx, dy)
+            q = self.polar * (self.qp - (rho / self.a) ** 2)
+            lam = self.lam0 + np.arctan2(dx, -self.polar * dy)
+            lam = np.where(rho == 0, self.lam0, lam)
+            phi = _phi_from_q_any(q, self.e, self.e2)
+            return _wrap_lon(np.degrees(lam)), np.degrees(phi)
         dx = (np.asarray(x, dtype=np.float64) - self.fe) / self.D
         dy = (np.asarray(y, dtype=np.float64) - self.fn) * self.D
         rho = np.hypot(dx, dy)
@@ -346,7 +387,38 @@ class LambertAzimuthalEqualArea:
         # at the projection origin rho == 0: q/lam degenerate -> origin
         q = np.where(rho == 0, self.qp * math.sin(self.b0), q)
         lam = np.where(rho == 0, self.lam0, lam)
-        phi = _phi_from_q(q, self.e, self.e2)
+        phi = _phi_from_q_any(q, self.e, self.e2)
+        return _wrap_lon(np.degrees(lam)), np.degrees(phi)
+
+
+class CylindricalEqualArea:
+    """Normal-aspect ellipsoidal cylindrical equal-area (Snyder 1987
+    eq. 10-13..10-16): x = a·k0·dλ, y = a·q/(2·k0) with
+    k0 = cos(φts)/sqrt(1 − e²·sin²(φts)).  Registered for the EASE-Grid
+    family (EPSG:6933 on WGS84, EPSG:3410 on the International authalic
+    sphere, both lat_ts = 30)."""
+
+    def __init__(self, lat_ts, lon0, fe, fn, ellps="WGS84"):
+        self.a, self.e, self.e2 = _ell(ellps)
+        ts = math.radians(lat_ts)
+        self.k0 = math.cos(ts) / math.sqrt(1 - self.e2 * math.sin(ts) ** 2)
+        self.lam0 = math.radians(lon0)
+        self.fe, self.fn = fe, fn
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        dl = np.arctan2(np.sin(lam - self.lam0), np.cos(lam - self.lam0))
+        q = _q_any(phi, self.e, self.e2)
+        return (self.fe + self.a * self.k0 * dl,
+                self.fn + self.a * q / (2.0 * self.k0))
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, dtype=np.float64) - self.fe
+        dy = np.asarray(y, dtype=np.float64) - self.fn
+        lam = self.lam0 + dx / (self.a * self.k0)
+        q = 2.0 * self.k0 * dy / self.a
+        phi = _phi_from_q_any(q, self.e, self.e2)
         return _wrap_lon(np.degrees(lam)), np.degrees(phi)
 
 
@@ -1236,6 +1308,12 @@ def _register_from_table():
         reg[f"EPSG:{code}"] = wrap(
             PolarStereographic(lat_ts, lon0, fe, fn, south=south,
                                ellps=ellps), shift)
+    for code, lat0, lon0, fe, fn, ellps, shift in D.LAEA_ROWS:
+        reg[f"EPSG:{code}"] = wrap(
+            LambertAzimuthalEqualArea(lat0, lon0, fe, fn, ellps), shift)
+    for code, lat_ts, lon0, fe, fn, ellps, shift in D.CEA_ROWS:
+        reg[f"EPSG:{code}"] = wrap(
+            CylindricalEqualArea(lat_ts, lon0, fe, fn, ellps), shift)
     for code, kind in D.MERC_ROWS:
         reg[f"EPSG:{code}"] = (WebMercator() if kind == "sphere"
                                else MercatorEllipsoidal())

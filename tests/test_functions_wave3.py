@@ -272,6 +272,8 @@ def test_epsg_dump_importer_breadth_and_properties():
     codes += [f"EPSG:{r[0]}" for r in D.LCC2_ROWS]
     codes += [f"EPSG:{r[0]}" for r in D.ALBERS_ROWS]
     codes += [f"EPSG:{r[0]}" for r in D.PSTEREO_ROWS]
+    codes += [f"EPSG:{r[0]}" for r in D.LAEA_ROWS]
+    codes += [f"EPSG:{r[0]}" for r in D.CEA_ROWS]
     codes += [f"EPSG:{c}" for c, _k in D.MERC_ROWS]
     for code in codes:
         p = prj.lookup_projection(code)
@@ -458,3 +460,105 @@ def test_epsg_round7_breadth_families():
     p27 = reg["EPSG:27700"].tm
     xd, yd = p27.forward(np.array([-2.0]), np.array([53.0]))
     assert abs(x36[0] - xd[0]) < 0.02 and abs(y36[0] - yd[0]) < 0.02
+
+
+def test_epsg_round9_equal_area_and_national_families():
+    """Round-9 part-2 tranche: SAD69 UTM (Brazil), Israel TM, Korea 2000
+    belts, Germany/Austria/Canada LCC, North-Pole + EASE-Grid LAEA
+    (polar aspect), EASE-Grid cylindrical equal-area.  Pins: exact
+    origin identities on no-shift codes, published-shift magnitudes on
+    legacy datums, first-principles scale identities, and a numeric
+    equal-area Jacobian check (the defining property of the LAEA/CEA
+    families — a wrong parameter or formula breaks area preservation)."""
+    import math
+
+    import numpy as np
+
+    from sedona_db_spark.geom import projections as prj
+
+    reg = prj._PROJ_REGISTRY
+    assert len(reg) >= 1050
+
+    def fwd(code, lon, lat):
+        p = prj.lookup_projection(f"EPSG:{code}")
+        x, y = p.forward(np.array([lon]), np.array([lat]))
+        return float(x[0]), float(y[0])
+
+    # Korea 2000 belts: exact origins (modern datum, no shift)
+    for code, lon0, fn in [(5180, 125.0, 500000.0), (5181, 127.0, 500000.0),
+                           (5182, 127.0, 550000.0), (5183, 129.0, 500000.0),
+                           (5184, 131.0, 500000.0)]:
+        x, y = fwd(code, lon0, 38.0)
+        assert abs(x - 200000.0) < 1e-6 and abs(y - fn) < 1e-6, code
+
+    # Israel 1993 TM: WGS84 input lands within the published 48/55/52 m
+    # datum shift of the projected origin, never on it
+    x, y = fwd(2039, 35.20451694444445, 31.73439361111111)
+    d = math.hypot(x - 219529.584, y - 626907.39)
+    assert 20.0 < d < 150.0, d
+
+    # SAD69 UTM 23S (Sao Paulo sheet): differs from WGS84 UTM 23S by the
+    # published -57/+1/-41 shift (tens of meters), never zero/never huge
+    x9, y9 = fwd(29193, -46.6, -23.5)
+    p84 = prj.lookup_projection("EPSG:32723")
+    e, n = p84.forward(np.array([-46.6]), np.array([-23.5]))
+    d = math.hypot(x9 - float(e[0]), y9 - float(n[0]))
+    assert 30.0 < d < 120.0, d
+
+    # LCC origins: Germany 5243 and Canada Atlas twins
+    x, y = fwd(5243, 10.5, 51.0)
+    assert abs(x) < 1e-6 and abs(y) < 1e-6
+    xa, ya = fwd(3978, -75.0, 45.0)
+    xb, yb = fwd(3979, -75.0, 45.0)
+    assert xa == xb and ya == yb
+    # Austria Lambert: origin within the ~600 m MGI shift
+    x, y = fwd(31287, 13.0 + 20.0 / 60.0, 47.5)
+    assert math.hypot(x - 400000.0, y - 400000.0) < 700.0
+
+    # polar LAEA: pole maps to the origin on every family member, and a
+    # fixed latitude gives the same radius regardless of CM
+    rhos = []
+    for code in (3571, 3572, 3573, 3574, 3575, 3576, 6931):
+        p = prj.lookup_projection(f"EPSG:{code}")
+        lon0 = math.degrees(p.lam0)
+        x, y = fwd(code, lon0, 90.0)
+        assert abs(x) < 1e-6 and abs(y) < 1e-6, code
+        x, y = fwd(code, lon0 + 37.0, 80.0)
+        rhos.append(math.hypot(x, y))
+    assert max(rhos) - min(rhos) < 1e-6
+    # ... and the radius is the Snyder closed form a*sqrt(qp - q(80))
+    p = prj.lookup_projection("EPSG:3575")
+    qp = prj._q_any(np.float64(np.pi / 2), p.e, p.e2)
+    q80 = prj._q_any(np.float64(math.radians(80.0)), p.e, p.e2)
+    assert abs(rhos[-1] - p.a * math.sqrt(qp - q80)) < 1e-6
+
+    # equal-area property (numeric Jacobian): a 0.01-degree quad's
+    # projected area equals the ellipsoidal surface area to < 1e-6
+    # relative, for the polar LAEA, south EASE grid, CEA, and the
+    # spherical National Atlas
+    def quad_rel_err(code, lon0, lat0):
+        p = prj.lookup_projection(f"EPSG:{code}")
+        d = 0.01
+        lons = np.array([lon0, lon0 + d, lon0 + d, lon0])
+        lats = np.array([lat0, lat0, lat0 + d, lat0 + d])
+        X, Y = p.forward(lons, lats)
+        area = 0.5 * abs(sum(X[i] * Y[(i + 1) % 4] - X[(i + 1) % 4] * Y[i]
+                             for i in range(4)))
+        phi = math.radians(lat0 + d / 2)
+        tru = (p.a * p.a * (1 - p.e2) * math.cos(phi)
+               / (1 - p.e2 * math.sin(phi) ** 2) ** 2
+               * math.radians(d) ** 2)
+        return abs(area - tru) / tru
+
+    assert quad_rel_err(3573, -60.0, 75.0) < 1e-6
+    assert quad_rel_err(6932, 120.0, -70.0) < 1e-6
+    assert quad_rel_err(6933, 100.0, 52.0) < 1e-6
+    assert quad_rel_err(2163, -95.0, 40.0) < 1e-6
+    assert quad_rel_err(3410, 10.0, -35.0) < 1e-6
+
+    # CEA first-principles x-scale: x(1 deg) = a * k0 * radians(1)
+    p = prj.lookup_projection("EPSG:6933")
+    k0 = math.cos(math.radians(30.0)) / math.sqrt(
+        1 - p.e2 * math.sin(math.radians(30.0)) ** 2)
+    x, _ = p.forward(np.array([1.0]), np.array([25.0]))
+    assert abs(float(x[0]) - p.a * k0 * math.radians(1.0)) < 1e-9
