@@ -496,3 +496,10 @@ CEA_ROWS = [
     (6933, 30.0, 0.0, 0.0, 0.0, "WGS84", None),         # EASE-Grid 2.0
     (3410, 30.0, 0.0, 0.0, 0.0, "SPHERE_EASE1", None),  # EASE-Grid 1.0
 ]
+
+# Equal Earth (Šavrič/Patterson/Jenny 2019): (code, lon0) on WGS84
+EQEARTH_ROWS = [
+    (8857, 0.0),      # Equal Earth Greenwich
+    (8858, -90.0),    # Equal Earth Americas
+    (8859, 150.0),    # Equal Earth Asia-Pacific
+]

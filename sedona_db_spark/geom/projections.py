@@ -996,6 +996,68 @@ class SinusoidalEllipsoidal:
         return np.degrees(lam), np.degrees(phi)
 
 
+class EqualEarth:
+    """Equal Earth pseudocylindrical projection (Šavrič, Patterson &
+    Jenny 2019, "The Equal Earth map projection", IJGIS 33:3 — the
+    published polynomial with A1..A4; PROJ `eqearth`).  Ellipsoidal
+    form: latitude is converted to the authalic latitude and the
+    authalic radius R_q = a·sqrt(qp/2) scales the plane, which keeps
+    the map exactly equal-area on the ellipsoid (pinned by the numeric
+    Jacobian test).  Registered for EPSG:8857/8858/8859."""
+
+    A1, A2, A3, A4 = 1.340264, -0.081106, 0.000893, 0.003796
+    _M = math.sqrt(3.0) / 2.0
+
+    def __init__(self, lon0=0.0, ellps="WGS84"):
+        self.a, self.e, self.e2 = _ell(ellps)
+        self.lam0 = math.radians(lon0)
+        self.qp = float(_q_any(np.float64(np.pi / 2), self.e, self.e2))
+        self.Rq = self.a * math.sqrt(self.qp / 2.0)
+        self.fe = self.fn = 0.0
+
+    def _poly(self, t):
+        t2 = t * t
+        t6 = t2 * t2 * t2
+        return self.A1 + self.A2 * t2 + self.A3 * t6 + self.A4 * t6 * t2
+
+    def _dpoly(self, t):
+        t2 = t * t
+        t6 = t2 * t2 * t2
+        return (self.A1 + 3.0 * self.A2 * t2 + 7.0 * self.A3 * t6
+                + 9.0 * self.A4 * t6 * t2)
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        q = _q_any(phi, self.e, self.e2)
+        sxi = np.clip(q / self.qp, -1.0, 1.0)       # sin(authalic lat)
+        theta = np.arcsin(np.clip(self._M * sxi, -1.0, 1.0))
+        dl = np.arctan2(np.sin(lam - self.lam0), np.cos(lam - self.lam0))
+        x = (2.0 * math.sqrt(3.0) / 3.0) * self.Rq * dl * np.cos(theta) \
+            / self._dpoly(theta)
+        y = self.Rq * theta * self._poly(theta)
+        return x, y
+
+    def inverse(self, x, y):
+        xs = np.asarray(x, dtype=np.float64) / self.Rq
+        ys = np.asarray(y, dtype=np.float64) / self.Rq
+        # Newton for theta: theta*poly(theta) = ys; |y|max = theta_max *
+        # poly ~ 1.31, well-conditioned (derivative >= A1 - ... > 0.7)
+        theta = np.clip(ys / self.A1, -np.pi / 2, np.pi / 2)
+        for _ in range(12):
+            f = theta * self._poly(theta) - ys
+            # d/dθ [θ·poly(θ)] = poly + θ·poly' ; note _dpoly is the
+            # x-denominator polynomial, which equals poly + θ·poly'
+            theta = theta - f / self._dpoly(theta)
+        sxi = np.clip(np.sin(theta) / self._M, -1.0, 1.0)
+        phi = _phi_from_q_any(sxi * self.qp, self.e, self.e2)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dl = xs * self._dpoly(theta) \
+                / ((2.0 * math.sqrt(3.0) / 3.0) * np.cos(theta))
+        dl = np.where(np.abs(np.cos(theta)) < 1e-12, 0.0, dl)
+        return _wrap_lon(np.degrees(self.lam0 + dl)), np.degrees(phi)
+
+
 class GeographicCRS:
     """A geographic (lon/lat degree) CRS on a possibly non-WGS84 datum.
     forward() takes WGS84 lon/lat and returns lon/lat in the local datum
@@ -1314,6 +1376,8 @@ def _register_from_table():
     for code, lat_ts, lon0, fe, fn, ellps, shift in D.CEA_ROWS:
         reg[f"EPSG:{code}"] = wrap(
             CylindricalEqualArea(lat_ts, lon0, fe, fn, ellps), shift)
+    for code, lon0 in D.EQEARTH_ROWS:
+        reg[f"EPSG:{code}"] = EqualEarth(lon0)
     for code, kind in D.MERC_ROWS:
         reg[f"EPSG:{code}"] = (WebMercator() if kind == "sphere"
                                else MercatorEllipsoidal())

@@ -274,6 +274,7 @@ def test_epsg_dump_importer_breadth_and_properties():
     codes += [f"EPSG:{r[0]}" for r in D.PSTEREO_ROWS]
     codes += [f"EPSG:{r[0]}" for r in D.LAEA_ROWS]
     codes += [f"EPSG:{r[0]}" for r in D.CEA_ROWS]
+    codes += [f"EPSG:{c}" for c, _lon0 in D.EQEARTH_ROWS]
     codes += [f"EPSG:{c}" for c, _k in D.MERC_ROWS]
     for code in codes:
         p = prj.lookup_projection(code)
@@ -562,3 +563,51 @@ def test_epsg_round9_equal_area_and_national_families():
         1 - p.e2 * math.sin(math.radians(30.0)) ** 2)
     x, _ = p.forward(np.array([1.0]), np.array([25.0]))
     assert abs(float(x[0]) - p.a * k0 * math.radians(1.0)) < 1e-9
+
+
+def test_equal_earth_published_properties():
+    """Equal Earth (EPSG:8857-8859, Šavrič/Patterson/Jenny 2019):
+    exactly equal-area on the ellipsoid (numeric Jacobian < 1e-6 rel at
+    four latitudes), the published overall aspect ratio 2.05458, a
+    central-meridian shift identity across the three family members,
+    and sub-1e-12-degree inverse roundtrips."""
+    import math
+
+    import numpy as np
+
+    from sedona_db_spark.geom import projections as prj
+
+    p = prj.lookup_projection("EPSG:8857")
+
+    def quad_rel_err(lon0, lat0, d=0.01):
+        lons = np.array([lon0, lon0 + d, lon0 + d, lon0])
+        lats = np.array([lat0, lat0, lat0 + d, lat0 + d])
+        X, Y = p.forward(lons, lats)
+        area = 0.5 * abs(sum(X[i] * Y[(i + 1) % 4] - X[(i + 1) % 4] * Y[i]
+                             for i in range(4)))
+        phi = math.radians(lat0 + d / 2)
+        tru = (p.a * p.a * (1 - p.e2) * math.cos(phi)
+               / (1 - p.e2 * math.sin(phi) ** 2) ** 2
+               * math.radians(d) ** 2)
+        return abs(area - tru) / tru
+
+    for lat in (0.0, 30.0, -55.0, 80.0):
+        assert quad_rel_err(40.0, lat) < 1e-6, lat
+
+    xw, _ = p.forward(np.array([180.0]), np.array([0.0]))
+    _, yh = p.forward(np.array([0.0]), np.array([90.0]))
+    assert abs(float(xw[0]) / float(yh[0]) - 2.05458) < 2e-4
+
+    p2 = prj.lookup_projection("EPSG:8858")
+    x2, y2 = p2.forward(np.array([-65.0]), np.array([33.0]))
+    x1, y1 = p.forward(np.array([25.0]), np.array([33.0]))
+    assert abs(float(x2[0]) - float(x1[0])) < 1e-6
+    assert float(y2[0]) == float(y1[0])
+
+    rng = np.random.RandomState(3)
+    lons = rng.uniform(-179.0, 179.0, 64)
+    lats = rng.uniform(-88.0, 88.0, 64)
+    x, y = p.forward(lons, lats)
+    lo, la = p.inverse(x, y)
+    assert np.max(np.abs(lo - lons)) < 1e-12
+    assert np.max(np.abs(la - lats)) < 1e-12
