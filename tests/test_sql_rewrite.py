@@ -1072,6 +1072,50 @@ def test_geography_column_radius_dwithin_join(spark):
     assert got == want and len(got) > 0
 
 
+def test_geography_column_radius_null_and_negative(spark):
+    """Edge semantics for the geography column-radius join: NULL radius
+    rows match nothing (NULL never satisfies ST_DWithin), negative
+    radii match nothing, and an all-NULL radius column yields a correct
+    empty result instead of an error (the exact-MAX candidate cut must
+    not explode or crash on degenerate stats)."""
+    _prep(spark)
+    spark.sql("""
+      SELECT n_nationkey AS k,
+             ST_GeogPoint(CAST(n_nationkey * 11 AS DOUBLE) - 130.0,
+                          CAST(n_nationkey * 5 AS DOUBLE) - 60.0) AS g,
+             CASE WHEN n_nationkey % 3 = 0 THEN CAST(NULL AS DOUBLE)
+                  WHEN n_nationkey % 3 = 1 THEN -500.0
+                  ELSE 2000000.0 END AS r_m
+      FROM nation
+    """).createOrReplaceTempView("geo_edge_a")
+    spark.sql("""
+      SELECT n_nationkey AS kb,
+             ST_GeogPoint(CAST(n_nationkey * 11 AS DOUBLE) - 129.0,
+                          CAST(n_nationkey * 5 AS DOUBLE) - 59.5) AS g
+      FROM nation
+    """).createOrReplaceTempView("geo_edge_b")
+    df = spark.sql("""
+      SELECT a.k, b.kb FROM geo_edge_a a JOIN geo_edge_b b
+      ON ST_DWithin(a.g, b.g, a.r_m)
+    """)
+    assert getattr(df, "_sedona_rewritten_sql", None) is not None
+    rows = df.collect()
+    # only the %3==2 rows (positive 2000 km radius) can match, and the
+    # offset twin point (~1 degree) is always within 2000 km
+    assert {r["k"] % 3 for r in rows} == {2}
+    assert len(rows) >= 8      # every %3==2 nation finds its twin
+
+    # all-NULL radius: empty result, no crash
+    spark.sql("""
+      SELECT k, g, CAST(NULL AS DOUBLE) AS r_m FROM geo_edge_a
+    """).createOrReplaceTempView("geo_edge_null")
+    df2 = spark.sql("""
+      SELECT a.k, b.kb FROM geo_edge_null a JOIN geo_edge_b b
+      ON ST_DWithin(a.g, b.g, a.r_m)
+    """)
+    assert df2.count() == 0
+
+
 def test_sql_knn_tie_breakers_conf(spark):
     """Round 9: the reference's knn_include_tie_breakers session option
     (sedona-common/src/option.rs:97-99) is reachable through SQL as a
