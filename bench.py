@@ -246,9 +246,13 @@ def main() -> None:
                 if contended:
                     retried.append(gname)
                     again = run_group(gname)
-                    got = {k: (min(v, again.get(k, v)) if v > 0
-                               else again.get(k, v))
-                           for k, v in got.items()}
+                    # keep the best POSITIVE timing: a -1.0 failure
+                    # sentinel from either run must never win the min
+                    # and mask a valid measurement (round-9 review)
+                    def _best(a, b):
+                        ok = [v for v in (a, b) if v is not None and v > 0]
+                        return min(ok) if ok else a
+                    got = {k: _best(v, again.get(k)) for k, v in got.items()}
                 timings.update(got)
             except Exception as e:
                 print(f"# group {gname} subprocess failed ({e}); "

@@ -73,8 +73,13 @@ def geography_dwithin_join(build: DataFrame, probe: DataFrame,
     # band latitude L satisfy |Δlon| <= 2·asin(sin(r/2)/cos(L)) (r = d/R);
     # the planar r/cos(L) underestimates this near the poles and drops
     # band-edge pairs.  arg >= 1 -> the circle wraps every longitude.
+    # The band uses the TRUE latitude (capped at 90, where cos -> ~6e-17
+    # and arg blows past 1 -> full wrap): clamping at a fixed max_lat
+    # under-padded the 88..90 band and silently dropped near-pole pairs
+    # (round-9 review); max_lat is retained for signature compatibility
+    # but no longer bounds the pad.
     r = dist_m / R_EARTH_M
-    wl = F.radians(F.least(F.abs(lat) + lat_pad, F.lit(max_lat)))
+    wl = F.radians(F.least(F.abs(lat) + lat_pad, F.lit(90.0)))
     arg = F.lit(math.sin(r / 2.0)) / F.cos(wl)
     lon_pad = F.when(arg >= 1.0, F.lit(180.0)) \
                .otherwise(F.degrees(2.0 * F.asin(arg)))
@@ -150,9 +155,17 @@ def _edge_lat_lon(lon1, lat1, lon2, lat2, acc):
             lo = -90.0
         acc["lat_lo"] = min(acc["lat_lo"], lo)
         acc["lat_hi"] = max(acc["lat_hi"], hi)
-        for la, ln in ((lat1, lon1), (lat2, lon2)):
-            if abs(la) < 90.0 - 1e-9:
-                acc["ivals"].append((ln, ln))
+        non_pole = [(la, ln) for la, ln in ((lat1, lon1), (lat2, lon2))
+                    if abs(la) < 90.0 - 1e-9]
+        for _la, ln in non_pole:
+            acc["ivals"].append((ln, ln))
+        if not non_pole:
+            # pole-to-pole arc: the endpoints are antipodal and the
+            # meridian is ambiguous (any great circle through both
+            # poles fits) — cover every longitude; the exact refine
+            # pays for the over-cover, a miss would drop pairs
+            # (round-9 review)
+            acc["ivals"].append((-180.0, 180.0))
         return
     d = (lon2 - lon1 + 180.0) % 360.0 - 180.0    # signed short-way delta
     if abs(abs(d) - 180.0) <= 1e-9:
@@ -278,14 +291,20 @@ def _cover_cells(cover, cell_lat, lon_cell, ncx, ncy, pad_m,
             n_pole = True
         if lat_lo <= -90.0 + eps:
             s_pole = True
-        band = min(max(abs(lat_lo), abs(lat_hi)), max_lat)
+        # TRUE band latitude (no max_lat clamp — clamping under-padded
+        # the 88..90 band and dropped near-pole pairs, round-9 review);
+        # a band at/through the pole wraps every longitude
+        band = max(abs(lat_lo), abs(lat_hi))
         r = pad_m / R_EARTH_M
-        arg = math.sin(r / 2.0) / math.cos(math.radians(band))
-        if arg >= 1.0:
+        if band >= 90.0 - eps:
             full_wrap = True
         else:
-            lp = math.degrees(2.0 * math.asin(arg))
-            ivals = [(s - lp, e + lp) for s, e in ivals]
+            arg = math.sin(r / 2.0) / math.cos(math.radians(band))
+            if arg >= 1.0:
+                full_wrap = True
+            else:
+                lp = math.degrees(2.0 * math.asin(arg))
+                ivals = [(s - lp, e + lp) for s, e in ivals]
     lat_lo = max(lat_lo - eps, -90.0)
     lat_hi = min(lat_hi + eps, 90.0)
     cy0 = min(max(int((lat_lo + 90.0) // cell_lat), 0), ncy - 1)
@@ -438,11 +457,8 @@ def geography_relation_join(
         raise ValueError(
             f"unsupported geography join predicate {predicate!r} "
             f"(supported: {sorted(set(_RELATION_SQL))} or distance_m)")
-    how_n = {
-        "left_outer": "left", "right_outer": "right", "outer": "full",
-        "full_outer": "full", "semi": "left_semi", "anti": "left_anti",
-        "leftsemi": "left_semi", "leftanti": "left_anti",
-    }.get(how, how)
+    from sedona_db_spark.operators.spatial_join import normalize_how
+    how_n = normalize_how(how)
     rcols = {c: (f"right_{c}" if c in left.columns else c)
              for c in right.columns}
     right_r = right.select([F.col(c).alias(a) for c, a in rcols.items()])

@@ -82,17 +82,65 @@ def content_row_id(df: DataFrame, name: str) -> tuple[DataFrame, list[str]]:
     on the id preserve per-copy multiplicity.  Collisions between
     DIFFERENT rows are 128-bit rare (~1e-17 at 1e11 rows).
 
-    Map-typed columns are unhashable in Spark; that shape pins ONE
-    evaluation instead (lazy localCheckpoint + positional id) — costs a
-    materialization, never a silent wrong answer.
+    Spark's xxhash64 SKIPS null children (the running hash is
+    unchanged), so rows with complementary null patterns — (G, NULL)
+    vs (NULL, G) — would fold the same non-null sequence and collide
+    SYSTEMATICALLY, not 128-bit-rarely.  Each column is therefore
+    interleaved with its never-null is-null flag: the flag pins the
+    null positions into the fold, restoring per-row sensitivity.
+
+    Map-typed columns (at any nesting depth) are unhashable in Spark;
+    that shape pins ONE evaluation instead (lazy localCheckpoint +
+    positional id) — costs a materialization, never a silent wrong
+    answer.
     """
-    if any(isinstance(f.dataType, T.MapType) for f in df.schema.fields):
+    if any(_type_has_map(f.dataType) for f in df.schema.fields):
         return (df.withColumn(name, F.monotonically_increasing_id())
                   .localCheckpoint(eager=False), [name])
-    cols = [F.col(c) for c in df.columns]
+    e1, e2 = _content_id_exprs(df.columns)
     n1, n2 = f"{name}1", f"{name}2"
-    return (df.withColumn(n1, F.xxhash64(F.lit(1), *cols))
-              .withColumn(n2, F.xxhash64(F.lit(2), *cols)), [n1, n2])
+    return (df.withColumn(n1, e1).withColumn(n2, e2), [n1, n2])
+
+
+def _type_has_map(dt) -> bool:
+    """True when a Spark type contains MapType at ANY nesting depth —
+    xxhash64 rejects maps recursively, not just at the top level."""
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _type_has_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_type_has_map(f.dataType) for f in dt.fields)
+    return False
+
+
+_HOW_ALIASES = {
+    "left_outer": "left", "right_outer": "right", "outer": "full",
+    "full_outer": "full", "semi": "left_semi", "anti": "left_anti",
+    "leftsemi": "left_semi", "leftanti": "left_anti",
+}
+_HOW_SUPPORTED = ("inner", "left", "right", "full",
+                  "left_semi", "left_anti", "right_semi", "right_anti")
+
+
+def normalize_how(how: str) -> str:
+    """Canonical join-type name; raises loud on unknown modes (silent
+    fall-through to inner-join semantics is the failure to avoid)."""
+    how_n = _HOW_ALIASES.get(how, how)
+    if how_n not in _HOW_SUPPORTED:
+        raise NotImplementedError(f"unsupported spatial join how={how!r}")
+    return how_n
+
+
+def _content_id_exprs(col_names) -> tuple:
+    """The two seeded content-hash expressions over the given columns,
+    each column interleaved with its is-null flag (see content_row_id's
+    null-pattern note)."""
+    cols = []
+    for c in col_names:
+        cols.append(F.col(c))
+        cols.append(F.col(c).isNull().cast("int"))
+    return F.xxhash64(F.lit(1), *cols), F.xxhash64(F.lit(2), *cols)
 
 
 def _geog_point_xy_kernel(s: pd.Series) -> pd.DataFrame:
@@ -451,14 +499,7 @@ def spatial_join(
     """
     if predicate not in _PREDICATES and distance is None:
         raise ValueError(f"unknown spatial predicate {predicate!r}")
-    how = {
-        "left_outer": "left", "right_outer": "right", "outer": "full",
-        "full_outer": "full", "semi": "left_semi", "anti": "left_anti",
-        "leftsemi": "left_semi", "leftanti": "left_anti",
-    }.get(how, how)
-    if how not in ("inner", "left", "right", "full",
-                   "left_semi", "left_anti", "right_semi", "right_anti"):
-        raise NotImplementedError(f"unsupported spatial join how={how!r}")
+    how = normalize_how(how)
     if how != "inner":
         # Non-inner modes = inner core + row-id bookkeeping, the same
         # shape the reference's SpatialJoinExec uses: its probe-side
@@ -993,6 +1034,34 @@ def write_bucketed_layout(df: DataFrame, table: str, geom: str = "geom",
 
     spark = df.sparkSession
     b = df.withColumn("__b", _bbox_cls_col(F.col(geom)))
+    if mode == "append" and spark.catalog.tableExists(table):
+        # appended rows MUST be celled under the EXISTING grid: re-
+        # sketching from the new rows alone would desynchronize the
+        # stored __cell of earlier rows from the table's break metadata
+        # (home-cell filters and join-time cell functions silently drop
+        # them — round-9 review)
+        meta = read_layout_meta(spark, table)
+        if meta.get("geom") != geom:
+            raise ValueError(
+                f"layout table {table} was written with geom column "
+                f"{meta.get('geom')!r}; cannot append with geom={geom!r}")
+        xbreaks = [float(v) for v in meta["xbreaks"]]
+        ybreaks = [float(v) for v in meta["ybreaks"]]
+        ny = int(meta["ny"])
+        out = (b.withColumn("__cell", F.explode(_cells_expr(
+                   F.col("__b.xmin"), F.col("__b.ymin"),
+                   F.col("__b.xmax"), F.col("__b.ymax"),
+                   F.lit(0.0), xbreaks, ybreaks, ny)))
+                .withColumn("__bx0", F.col("__b.xmin"))
+                .withColumn("__by0", F.col("__b.ymin"))
+                .withColumn("__bx1", F.col("__b.xmax"))
+                .withColumn("__by1", F.col("__b.ymax"))
+                .withColumn("__bcls", F.col("__b.cls"))
+                .drop("__b"))
+        (out.write.format("parquet").mode("append")
+            .bucketBy(int(meta["buckets"]), "__cell").sortBy("__cell")
+            .saveAsTable(table))
+        return
     if grid_cells is None:
         sp = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         grid_cells = max(sp * 4, 64)
@@ -1155,14 +1224,7 @@ def spatial_join_bucketed(
     else:
         right_df = right
 
-    how_n = {
-        "left_outer": "left", "right_outer": "right", "outer": "full",
-        "full_outer": "full", "semi": "left_semi", "anti": "left_anti",
-        "leftsemi": "left_semi", "leftanti": "left_anti",
-    }.get(how, how)
-    if how_n not in ("inner", "left", "right", "full",
-                     "left_semi", "left_anti", "right_semi", "right_anti"):
-        raise NotImplementedError(f"unsupported spatial join how={how!r}")
+    how_n = normalize_how(how)
 
     rcols = {c: (f"right_{c}" if c in lt.columns else c)
              for c in right_df.columns}
@@ -1248,32 +1310,18 @@ def spatial_join_bucketed(
     if how_n == "inner":
         return _inner(lt, [])
 
-    # lattice: content-derived ids over the ORIGINAL columns — exploded
-    # copies of a row share the id by design, so the distinct-id set
-    # means "matched at least once" and orig-side joins keep exact
-    # per-row multiplicity (see content_row_id)
-    lids = ["__sjb_lid1", "__sjb_lid2"]
-    id_exprs = [F.xxhash64(F.lit(1), *[F.col(c) for c in orig_cols]),
-                F.xxhash64(F.lit(2), *[F.col(c) for c in orig_cols])]
-    lt_t = lt.withColumn(lids[0], id_exprs[0]) \
-             .withColumn(lids[1], id_exprs[1])
-    orig = layout_original(spark, layout_table) \
-        .withColumn(lids[0], id_exprs[0]).withColumn(lids[1], id_exprs[1])
-    inner = _inner(lt_t, lids)
-    if how_n == "left_semi":
-        return orig.join(inner.select(*lids).distinct(), lids,
-                         "left_semi").drop(*lids)
-    if how_n == "left_anti":
-        return orig.join(inner.select(*lids).distinct(), lids,
-                         "left_anti").drop(*lids)
     if how_n in ("right_semi", "right_anti"):
         # ids over the right side's ORIGINAL columns; exploded copies
         # (same-grid second layout) share ids by design
         rids = ["__sjb_rid1", "__sjb_rid2"]
         r_orig_cols = [rcols[c] for c in right_df.columns
                        if rcols[c] not in rlayout]
-        rid_exprs = [F.xxhash64(F.lit(1), *[F.col(c) for c in r_orig_cols]),
-                     F.xxhash64(F.lit(2), *[F.col(c) for c in r_orig_cols])]
+        if any(_type_has_map(re_.schema[c].dataType) for c in r_orig_cols):
+            raise NotImplementedError(
+                "non-inner bucketed spatial joins need hashable row "
+                "content; map-typed columns are unsupported here — use "
+                "spatial_join")
+        rid_exprs = _content_id_exprs(r_orig_cols)
         re_t = re_.withColumn(rids[0], rid_exprs[0]) \
                   .withColumn(rids[1], rid_exprs[1])
         if right_meta is not None:
@@ -1305,6 +1353,31 @@ def spatial_join_bucketed(
                                 distance).select(*rids).distinct()
         mode = "left_semi" if how_n == "right_semi" else "left_anti"
         return r_orig.join(matched, rids, mode).drop(*rids)
+
+    # lattice: content-derived ids over the ORIGINAL columns — exploded
+    # copies of a row share the id by design, so the distinct-id set
+    # means "matched at least once" and orig-side joins keep exact
+    # per-row multiplicity (see content_row_id)
+    lids = ["__sjb_lid1", "__sjb_lid2"]
+    # exploded layout copies and home copies are linked ONLY by content
+    # ids, so there is no checkpoint fallback here: map-typed columns
+    # (unhashable) fail loud instead of wrong
+    if any(_type_has_map(lt.schema[c].dataType) for c in orig_cols):
+        raise NotImplementedError(
+            "non-inner bucketed spatial joins need hashable row content; "
+            "map-typed columns are unsupported here — use spatial_join")
+    id_exprs = _content_id_exprs(orig_cols)
+    lt_t = lt.withColumn(lids[0], id_exprs[0]) \
+             .withColumn(lids[1], id_exprs[1])
+    orig = layout_original(spark, layout_table) \
+        .withColumn(lids[0], id_exprs[0]).withColumn(lids[1], id_exprs[1])
+    inner = _inner(lt_t, lids)
+    if how_n == "left_semi":
+        return orig.join(inner.select(*lids).distinct(), lids,
+                         "left_semi").drop(*lids)
+    if how_n == "left_anti":
+        return orig.join(inner.select(*lids).distinct(), lids,
+                         "left_anti").drop(*lids)
 
     # left / right / full outer
     def _pad(df: DataFrame, like: DataFrame) -> DataFrame:

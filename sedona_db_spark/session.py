@@ -61,6 +61,15 @@ def configure(builder: SparkSession.Builder, cpus: int | None = None) -> SparkSe
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     builder = builder.config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+    # Optional warehouse isolation: every session in a process tree
+    # shares ./spark-warehouse by default (deliberate — persisted
+    # bucketed layouts are re-attachable across sessions), but two
+    # CONCURRENT harness processes then race on managed-table rebuilds
+    # (drop + rmtree + write of the bench bulk tables).  Harnesses that
+    # may run alongside another one set this env var to a private dir.
+    wh = os.environ.get("SPARK_GRAFT_WAREHOUSE")
+    if wh:
+        builder = builder.config("spark.sql.warehouse.dir", wh)
     for k, v in _DEFAULT_CONFS.items():
         builder = builder.config(k, v)
     return builder

@@ -934,3 +934,79 @@ def test_geography_relation_join_seam_and_pole(spark):
     # sides of 180, and the pole triangle catches the near-pole probe
     assert (100001, 1) in want and (100002, 1) in want
     assert (100003, 3) in want
+
+
+def test_near_pole_dwithin_pad_not_clamped(spark):
+    """Round-9 review: the lon pad for a dwithin candidate cut used a
+    band latitude clamped at 88 deg, under-padding the 88..90 band —
+    pairs genuinely within distance were silently dropped.  Two points
+    at lat 89.5 separated by 3 deg of longitude are ~2.9 km apart; a
+    3 km dwithin join must find them (the clamped pad was ~0.8 deg)."""
+    spark.sql("""
+      SELECT 1 AS ka, ST_GeogPoint(0.0, 89.5) AS g
+    """).createOrReplaceTempView("np_a")
+    spark.sql("""
+      SELECT 2 AS kb, ST_GeogPoint(3.0, 89.5) AS g
+    """).createOrReplaceTempView("np_b")
+    df = spark.sql("""
+      SELECT a.ka, b.kb FROM np_a a JOIN np_b b
+      ON ST_DWithin(a.g, b.g, 3000.0)
+    """)
+    assert getattr(df, "_sedona_rewritten_sql", None) is not None
+    assert df.count() == 1
+
+    # non-point twin through the cell-cover join: point vs tiny quad,
+    # ~4.7 km apart at lat 89.2, radius 5 km
+    spark.sql("""
+      SELECT 1 AS ka, ST_GeogPoint(0.0, 89.2) AS g
+    """).createOrReplaceTempView("np_c")
+    spark.sql("""
+      SELECT 2 AS kb,
+             ST_ToGeography(ST_MakeEnvelope(3.0, 89.2, 3.1, 89.21)) AS g
+    """).createOrReplaceTempView("np_d")
+    df2 = spark.sql("""
+      SELECT a.ka, b.kb FROM np_c a JOIN np_d b
+      ON ST_DWithin(a.g, b.g, 5000.0)
+    """)
+    assert getattr(df2, "_sedona_rewritten_sql", None) is not None
+    assert df2.count() == 1
+
+
+def test_pole_to_pole_edge_covers_all_longitudes():
+    """Round-9 review: a pole-to-pole arc's endpoints are antipodal
+    (any meridian fits), and the old cover emitted NO longitude
+    interval for it — mid-latitude candidates were dropped.  The cover
+    must now wrap every longitude at every latitude row."""
+    import math as _math
+
+    from sedona_db_spark.geom.wkt import from_wkt
+    from sedona_db_spark.operators.geography_join import (
+        _cover_cells, spherical_cover)
+
+    g = from_wkt("LINESTRING (10 90, 10 -90)")
+    cover = spherical_cover(g)
+    lat_lo, lat_hi, ivals, full_wrap, npole, spole = cover
+    assert npole and spole and lat_lo == -90.0 and lat_hi == 90.0
+    cell = 10.0
+    ncx = int(_math.ceil(360.0 / cell))
+    ncy = int(_math.ceil(180.0 / cell))
+    cells = set(_cover_cells(cover, 180.0 / ncy, 360.0 / ncx, ncx, ncy,
+                             0.0, 88.0, 200_000))
+    # the equator row cell at lon 135 (far from meridian 10) is covered
+    cy = int((0.0 + 90.0) // (180.0 / ncy))
+    cx = int((135.0 + 180.0) // (360.0 / ncx)) % ncx
+    assert cy * ncx + cx in cells
+    assert len(cells) == ncx * ncy     # full wrap at every row
+
+
+def test_geography_relation_join_rejects_unknown_how(spark):
+    """Round-9 review: an unknown join type must fail loud, not fall
+    through _lattice_from_inner to silent inner-join semantics."""
+    import pytest as _pytest
+
+    from sedona_db_spark.operators.geography_join import (
+        geography_relation_join)
+    a = spark.sql("SELECT 1 AS id, ST_GeogPoint(10.0, 20.0) AS geog")
+    with _pytest.raises(NotImplementedError, match="unsupported spatial join"):
+        geography_relation_join(a, a, "geog", "geog", "intersects",
+                                how="cross")

@@ -428,6 +428,44 @@ def test_lattice_ids_stable_above_shuffle_and_duplicates(spark, cust_pts,
     assert louter_d.count() == 2 * (n_inner_d + (n_dup - matched_d))
 
 
+def test_lattice_ids_null_patterns_and_nested_maps(spark, boxes):
+    """Code-review r9: (1) Spark's xxhash64 skips NULL children, so rows
+    with complementary null patterns — (geom, NULL) vs (NULL, geom) —
+    collided under the plain column fold and corrupted outer results
+    (the null-geom row vanished from the left-outer output).  The
+    is-null flag interleave must keep them distinct.  (2) A MAP nested
+    inside a struct is still unhashable; such schemas must take the
+    checkpoint-pin path instead of crashing at plan time."""
+    from sedona_db_spark.operators.spatial_join import (
+        _content_id_exprs, content_row_id, spatial_join)
+
+    pt = spark.sql("SELECT ST_Point(5.0, 5.0) AS g").first()["g"]
+    left = spark.createDataFrame(
+        [(bytes(pt), None), (None, bytes(pt))], "geom binary, extra binary")
+    e1, _ = _content_id_exprs(left.columns)
+    ids = [r[0] for r in left.select(e1).collect()]
+    assert ids[0] != ids[1], "complementary null patterns must not collide"
+
+    right = boxes.select("n_nationkey", "geom").filter("n_nationkey = 0")
+    # boxes n_nationkey=0 covers (0,0)-(20,20); (5,5) is within
+    louter = spatial_join(left, right, predicate="within", how="left")
+    rows = louter.collect()
+    assert len(rows) == 2
+    matched = [r for r in rows if r["n_nationkey"] is not None]
+    nulls = [r for r in rows if r["n_nationkey"] is None]
+    assert len(matched) == 1 and len(nulls) == 1
+
+    # nested map: struct<m: map<string,int>> — top-level check missed it
+    nested = spark.sql("""
+      SELECT ST_Point(5.0, 5.0) AS geom,
+             named_struct('m', map('k', 1)) AS payload
+    """)
+    tagged, idc = content_row_id(nested, "__id")
+    assert len(idc) == 1            # checkpoint-pin path, single id col
+    out = spatial_join(nested, right, predicate="within", how="left")
+    assert out.count() == 1
+
+
 def test_spatial_join_semi_emits_once_per_probe_row(spark, cust_pts):
     """A left row matching MULTIPLE right rows emits exactly once in SEMI
     (reference probe-side match bitmap, join_utils.rs:60-80)."""
@@ -1820,6 +1858,41 @@ def test_bucketed_layout_join_all_modes(spark, cust_pts, boxes):
     da = sorted((r["c_custkey"], r["n_nationkey"]) for r in dgot.collect())
     db = sorted((r["c_custkey"], r["n_nationkey"]) for r in dref.collect())
     assert da == db
+
+
+def test_bucketed_layout_append_keeps_grid(spark, cust_pts, boxes):
+    """Round-9 review: append mode must cell new rows under the
+    EXISTING grid breaks (re-sketching from the appended rows alone
+    desynchronizes earlier rows' stored __cell from the table metadata,
+    silently dropping them from home-cell filters and joins)."""
+    from sedona_db_spark.operators.spatial_join import (
+        layout_original, read_layout_meta, spatial_join,
+        spatial_join_bucketed, write_bucketed_layout)
+    cust = cust_pts.select("c_custkey", "geom")
+    first = cust.filter("c_custkey < 300")
+    # a skewed second batch whose own sketch would differ wildly
+    second = cust.filter("c_custkey >= 300 AND c_custkey < 400")
+    spark.sql("DROP TABLE IF EXISTS t_layout_app")
+    write_bucketed_layout(first, "t_layout_app", geom="geom")
+    meta0 = read_layout_meta(spark, "t_layout_app")
+    write_bucketed_layout(second, "t_layout_app", geom="geom",
+                          mode="append")
+    meta1 = read_layout_meta(spark, "t_layout_app")
+    assert meta1 == meta0                       # grid metadata unchanged
+    both = first.unionAll(second)
+    assert layout_original(spark, "t_layout_app").count() == both.count()
+    bx = boxes.select("n_nationkey", "geom")
+    ref = sorted((r["c_custkey"], r["n_nationkey"]) for r in
+                 spatial_join(both, bx, predicate="within").collect())
+    got = sorted((r["c_custkey"], r["n_nationkey"]) for r in
+                 spatial_join_bucketed(spark, "t_layout_app", bx,
+                                       predicate="within").collect())
+    assert got == ref and len(got) > 0
+    # geom-column mismatch on append fails loud
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="geom column"):
+        write_bucketed_layout(second.selectExpr("c_custkey", "geom AS g2"),
+                              "t_layout_app", geom="g2", mode="append")
 
 
 def test_bucketed_layout_zero_exchange_same_grid(spark, cust_pts):

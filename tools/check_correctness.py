@@ -92,6 +92,14 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     filters = sys.argv[2:]
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    # private warehouse: the checker is routinely run alongside pytest
+    # or bench.py, and the shared ./spark-warehouse makes the bench
+    # bulk-table rebuild (_prep: drop + rmtree + saveAsTable) a
+    # cross-process race — observed as one-off value mismatches on
+    # st_distance_pairs_bulk under concurrency, never on a quiet host
+    os.environ.setdefault(
+        "SPARK_GRAFT_WAREHOUSE",
+        os.path.abspath(f"spark-warehouse-cc{os.getpid()}"))
     import __spark_entry__ as entrymod
     from sedona_db_spark import get_spark
     spark = get_spark("correctness")
@@ -127,6 +135,10 @@ def main():
         n_fail += not ok
     print(f"\n=== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ===")
     spark.stop()
+    wh = os.environ.get("SPARK_GRAFT_WAREHOUSE", "")
+    if "spark-warehouse-cc" in wh:
+        import shutil
+        shutil.rmtree(wh, ignore_errors=True)
     return 1 if n_fail else 0
 
 
