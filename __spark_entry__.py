@@ -5202,6 +5202,29 @@ _sql("sql_geography_dwithin_radius_join", """
   SELECT c_custkey, s_suppkey FROM d WHERE dist_m <= r_m
 """)
 
+# Two spatial predicates in one INNER join (round 9 continuation):
+# one becomes the candidate-generating join (the relation predicate,
+# cheapest cut), the other survives as an exact per-row WHERE refine —
+# previously a blanket decline that left vanilla pair-exploding.
+_sql("sql_two_spatial_predicates_join", """
+  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+  FROM (SELECT * FROM cust_pts WHERE c_custkey < 400) a
+  JOIN (SELECT * FROM cust_pts WHERE c_custkey < 400) b
+  ON ST_DWithin(a.geom, b.geom, 9.0)
+     AND ST_Distance(a.geom, b.geom) < 5.0
+     AND a.c_custkey < b.c_custkey
+""", """
+  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+  FROM (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,
+               (c_custkey % 1000) / 10.0 AS py
+        FROM customer WHERE c_custkey < 400) a
+  JOIN (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,
+               (c_custkey % 1000) / 10.0 AS py
+        FROM customer WHERE c_custkey < 400) b
+  ON sqrt(power(a.px - b.px, 2) + power(a.py - b.py, 2)) < 5.0
+     AND a.c_custkey < b.c_custkey
+""")
+
 # ST_Distance(a,b) < d comparison form (reference sedona-expr utils.rs
 # parse_distance_predicate: Lt/LtEq with the call on either side) — plans
 # through the distance join with the strict comparison kept as an exact

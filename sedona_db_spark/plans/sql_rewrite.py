@@ -675,21 +675,49 @@ def _rewrite(spark, sql, toks, vanilla_sql):
     spatial = None
     spatial_span = None
     rest = []
+    spatials = []
     for (lo, hi) in conjuncts:
         span = (lo + 1, hi - 1) if (
             toks[lo] == "(" and toks[hi - 1] == ")"
             and min(depths[lo + 1:hi - 1] or [0]) > depths[lo]) else (lo, hi)
         sc = _parse_spatial_conjunct(toks, span[0], span[1], aliases, schemas)
         if sc is not None:
-            if spatial is not None:
-                raise _Decline       # two spatial predicates — not certified
-            spatial, spatial_span = sc, (lo, hi)
+            spatials.append((sc, (lo, hi)))
         else:
             if _is_equi_conjunct(toks, span[0], span[1], aliases, schemas):
                 raise _Decline       # equi-key present: hash join wins
             rest.append((lo, hi))
-    if spatial is None:
+    if not spatials:
         raise _Decline
+    if len(spatials) == 1:
+        spatial, spatial_span = spatials[0]
+    else:
+        # two+ spatial predicates (e.g. ST_Intersects(a,b) AND
+        # ST_DWithin(a,b,d)): certified for plain INNER joins only —
+        # one becomes the candidate-generating join, the others ride
+        # as exact per-row WHERE refines (the SAME dispatched kernels
+        # vanilla evaluates, so boundary semantics are unchanged;
+        # conjunction only ever shrinks the chosen join's result).
+        # KNN is not a row filter, so any KNN conjunct declines.
+        if m.how != "inner" or any(sc.kind == "knn" for sc, _ in spatials):
+            raise _Decline
+
+        def _rank(sc):
+            # prefer the cheapest candidate cut: plain relation bbox,
+            # then literal-radius dwithin, then column-radius/
+            # comparison forms (those add an eager MAX agg)
+            if sc.kind == "relation" and not sc.keep_refine:
+                return 0
+            if sc.kind == "dwithin" and sc.dist_col is None \
+                    and not sc.keep_refine:
+                return 1
+            return 2
+        spatials.sort(key=lambda p: _rank(p[0]))
+        spatial, spatial_span = spatials[0]
+        if not m.comma_form:
+            # ON-clause extras -> surviving WHERE conjuncts; in comma
+            # form they already sit in the WHERE text and stay there
+            rest.extend(sp for _sc, sp in spatials[1:])
     if spatial.keep_refine:
         # comparison form: inner joins only — the exact refine survives
         # as a WHERE conjunct, which would break LEFT match semantics

@@ -1116,6 +1116,55 @@ def test_geography_column_radius_null_and_negative(spark):
     assert df2.count() == 0
 
 
+def test_two_spatial_predicates_inner_join(spark):
+    """Round 9 continuation: two spatial predicates in one INNER join
+    (previously a blanket decline — vanilla then pair-explodes).  One
+    becomes the candidate join, the other survives as an exact WHERE
+    refine; results match vanilla bit-for-bit and the plan contains no
+    nested-loop pair explosion."""
+    _prep(spark)
+    q = """
+      SELECT c.c_custkey, n.n_nationkey
+      FROM (SELECT c_custkey, geom FROM cust_pts WHERE c_custkey < 400) c
+      JOIN nation_boxes n
+      ON ST_Within(c.geom, n.geom) AND ST_Distance(c.geom, n.geom) < 100.0
+    """
+    df = spark.sql(q)
+    assert getattr(df, "_sedona_rewritten_sql", None) is not None
+    _assert_no_pair_explosion(df)
+    got = _rows(df, ["c_custkey", "n_nationkey"])
+    want = _rows(_vanilla(spark, q), ["c_custkey", "n_nationkey"])
+    assert got == want and len(got) > 0
+
+    # dwithin + relation pair, reversed order in the ON
+    q2 = """
+      SELECT c.c_custkey, n.n_nationkey
+      FROM (SELECT c_custkey, geom FROM cust_pts WHERE c_custkey < 400) c
+      JOIN nation_boxes n
+      ON ST_DWithin(c.geom, n.geom, 5.0) AND ST_Intersects(n.geom, c.geom)
+    """
+    df2 = spark.sql(q2)
+    assert getattr(df2, "_sedona_rewritten_sql", None) is not None
+    got2 = _rows(df2, ["c_custkey", "n_nationkey"])
+    want2 = _rows(_vanilla(spark, q2), ["c_custkey", "n_nationkey"])
+    assert got2 == want2 and len(got2) > 0
+
+    # non-inner with two spatial predicates stays declined (vanilla
+    # errors on outer-over-UDF, so the rewrite must not mis-certify):
+    # LEFT JOIN with two spatial conjuncts raises in SQL — pin that it
+    # does NOT silently return wrong rows
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        spark.sql("""
+          SELECT c.c_custkey, n.n_nationkey
+          FROM (SELECT c_custkey, geom FROM cust_pts
+                WHERE c_custkey < 100) c
+          LEFT JOIN nation_boxes n
+          ON ST_Within(c.geom, n.geom)
+             AND ST_Intersects(c.geom, n.geom)
+        """).collect()
+
+
 def test_sql_knn_tie_breakers_conf(spark):
     """Round 9: the reference's knn_include_tie_breakers session option
     (sedona-common/src/option.rs:97-99) is reachable through SQL as a
