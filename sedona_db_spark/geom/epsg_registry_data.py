@@ -345,6 +345,7 @@ WORLD_ROWS = [
     (4087, "eqc"),           # WGS 84 / World Equidistant Cylindrical
     (54009, "moll"),         # ESRI World Mollweide
     (54008, "sinu"),         # ESRI World Sinusoidal
+    (54012, "eck4"),         # ESRI World Eckert IV
 ]
 
 # ---------------------------------------------------------------------
@@ -495,6 +496,8 @@ LAEA_ROWS = [
 CEA_ROWS = [
     (6933, 30.0, 0.0, 0.0, 0.0, "WGS84", None),         # EASE-Grid 2.0
     (3410, 30.0, 0.0, 0.0, 0.0, "SPHERE_EASE1", None),  # EASE-Grid 1.0
+    # ESRI World Cylindrical Equal Area (lat_ts 0, WGS84 ellipsoid)
+    (54034, 0.0, 0.0, 0.0, 0.0, "WGS84", None),
 ]
 
 # Equal Earth (Šavrič/Patterson/Jenny 2019): (code, lon0) on WGS84

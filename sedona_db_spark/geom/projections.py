@@ -950,6 +950,50 @@ class MollweideSphere:
         return np.degrees(lam), np.degrees(phi)
 
 
+class EckertIVSphere:
+    """ESRI:54012 World Eckert IV: equal-area pseudocylindrical on the
+    sphere of radius a (same spherical convention as World Mollweide).
+    Snyder 1987 eq. 32-1..32-6: solve
+    theta + sin(theta)cos(theta) + 2 sin(theta) = (2 + pi/2) sin(phi),
+    x = (2/sqrt(pi(4+pi))) a dlam (1 + cos theta),
+    y = 2 sqrt(pi/(4+pi)) a sin theta."""
+
+    _CX = 2.0 / math.sqrt(math.pi * (4.0 + math.pi))
+    _CY = 2.0 * math.sqrt(math.pi / (4.0 + math.pi))
+
+    def __init__(self):
+        self.a = WGS84_A
+
+    def _theta(self, phi):
+        rhs = (2.0 + np.pi / 2.0) * np.sin(phi)
+        t = phi / 2.0                      # Snyder's starting guess
+        for _ in range(16):
+            f = t + np.sin(t) * np.cos(t) + 2.0 * np.sin(t) - rhs
+            d = 2.0 * np.cos(t) * (1.0 + np.cos(t))
+            t = np.clip(t - f / np.maximum(d, 1e-9),
+                        -np.pi / 2, np.pi / 2)
+        return t
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        phi = np.radians(np.clip(np.asarray(lat, dtype=np.float64),
+                                 -90.0, 90.0))
+        t = self._theta(phi)
+        return (self._CX * self.a * lam * (1.0 + np.cos(t)),
+                self._CY * self.a * np.sin(t))
+
+    def inverse(self, x, y):
+        st = np.clip(np.asarray(y, dtype=np.float64)
+                     / (self._CY * self.a), -1.0, 1.0)
+        t = np.arcsin(st)
+        phi = np.arcsin(np.clip(
+            (t + np.sin(t) * np.cos(t) + 2.0 * np.sin(t))
+            / (2.0 + np.pi / 2.0), -1.0, 1.0))
+        den = self._CX * self.a * (1.0 + np.cos(t))
+        lam = np.asarray(x, dtype=np.float64) / np.maximum(den, 1e-9)
+        return np.degrees(lam), np.degrees(phi)
+
+
 class SinusoidalEllipsoidal:
     """ESRI:54008 World Sinusoidal: equal-area pseudocylindrical,
     ellipsoidal form (Snyder 30-8/30-9): x = a cos(phi) dlam / W,
@@ -1374,8 +1418,10 @@ def _register_from_table():
         reg[f"EPSG:{code}"] = wrap(
             LambertAzimuthalEqualArea(lat0, lon0, fe, fn, ellps), shift)
     for code, lat_ts, lon0, fe, fn, ellps, shift in D.CEA_ROWS:
-        reg[f"EPSG:{code}"] = wrap(
-            CylindricalEqualArea(lat_ts, lon0, fe, fn, ellps), shift)
+        obj = wrap(CylindricalEqualArea(lat_ts, lon0, fe, fn, ellps), shift)
+        reg[f"EPSG:{code}"] = obj
+        if code >= 54000:                   # ESRI world range
+            reg[f"ESRI:{code}"] = obj
     for code, lon0 in D.EQEARTH_ROWS:
         reg[f"EPSG:{code}"] = EqualEarth(lon0)
     for code, kind in D.MERC_ROWS:
@@ -1386,7 +1432,8 @@ def _register_from_table():
     for code, kind in D.WORLD_ROWS:
         obj = {"eqc": EquirectangularSphere,
                "moll": MollweideSphere,
-               "sinu": SinusoidalEllipsoidal}[kind]()
+               "sinu": SinusoidalEllipsoidal,
+               "eck4": EckertIVSphere}[kind]()
         reg[f"EPSG:{code}"] = obj
         if code >= 54000:                   # ESRI world range
             reg[f"ESRI:{code}"] = obj

@@ -611,3 +611,48 @@ def test_equal_earth_published_properties():
     lo, la = p.inverse(x, y)
     assert np.max(np.abs(lo - lons)) < 1e-12
     assert np.max(np.abs(la - lats)) < 1e-12
+
+
+def test_eckert_iv_and_world_cea():
+    """ESRI:54012 World Eckert IV (Snyder 32-1..32-6) and ESRI:54034
+    World Cylindrical Equal Area: both exactly equal-area (numeric
+    Jacobian), Eckert IV's defining 2:1 overall aspect, sub-1e-12
+    roundtrips, and dual EPSG:/ESRI: registration."""
+    import math
+
+    import numpy as np
+
+    from sedona_db_spark.geom import projections as prj
+
+    for code in ("ESRI:54012", "EPSG:54012", "ESRI:54034", "EPSG:54034"):
+        assert prj.lookup_projection(code) is not None, code
+
+    p = prj.lookup_projection("ESRI:54012")
+
+    def sphere_quad_rel_err(lon0, lat0, d=0.01):
+        lons = np.array([lon0, lon0 + d, lon0 + d, lon0])
+        lats = np.array([lat0, lat0, lat0 + d, lat0 + d])
+        X, Y = p.forward(lons, lats)
+        area = 0.5 * abs(sum(X[i] * Y[(i + 1) % 4] - X[(i + 1) % 4] * Y[i]
+                             for i in range(4)))
+        tru = p.a * p.a * math.cos(math.radians(lat0 + d / 2)) \
+            * math.radians(d) ** 2
+        return abs(area - tru) / tru
+
+    for lat in (0.0, 35.0, -60.0, 80.0):
+        assert sphere_quad_rel_err(20.0, lat) < 1e-6, lat
+    xw, _ = p.forward(np.array([180.0]), np.array([0.0]))
+    _, yh = p.forward(np.array([0.0]), np.array([90.0]))
+    assert abs(float(xw[0]) / float(yh[0]) - 2.0) < 1e-8
+    rng = np.random.RandomState(1)
+    lons = rng.uniform(-179.0, 179.0, 64)
+    lats = rng.uniform(-88.0, 88.0, 64)
+    x, y = p.forward(lons, lats)
+    lo, la = p.inverse(x, y)
+    assert np.max(np.abs(lo - lons)) < 1e-12
+    assert np.max(np.abs(la - lats)) < 1e-12
+
+    # World CEA = the ellipsoidal CEA class at lat_ts 0
+    q = prj.lookup_projection("ESRI:54034")
+    x, _ = q.forward(np.array([1.0]), np.array([40.0]))
+    assert abs(float(x[0]) - q.a * math.radians(1.0)) < 1e-9   # k0 = 1
