@@ -967,12 +967,17 @@ class EckertIVSphere:
     def _theta(self, phi):
         rhs = (2.0 + np.pi / 2.0) * np.sin(phi)
         t = phi / 2.0                      # Snyder's starting guess
-        for _ in range(16):
+        # f' = 2 cos(t)(1+cos(t)) -> 0 at the pole root t = pi/2, where
+        # Newton degrades to bisection-rate halving — 30 rounds leave
+        # ~1e-9 rad there (sub-cm in x), and the exact pole is snapped
+        # closed-form below (round-9 review)
+        for _ in range(30):
             f = t + np.sin(t) * np.cos(t) + 2.0 * np.sin(t) - rhs
             d = 2.0 * np.cos(t) * (1.0 + np.cos(t))
             t = np.clip(t - f / np.maximum(d, 1e-9),
                         -np.pi / 2, np.pi / 2)
-        return t
+        return np.where(np.abs(phi) >= np.pi / 2 - 1e-12,
+                        np.copysign(np.pi / 2, phi), t)
 
     def forward(self, lon, lat):
         lam = np.radians(np.asarray(lon, dtype=np.float64))

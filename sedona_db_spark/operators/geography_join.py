@@ -9,18 +9,21 @@ equivalent for point/point ST_DWithin(geography) joins:
 - equal-angle grid partitioning: build side maps to ONE cell
   (floor(lon/c), floor(lat/c)); probe side explodes to the cell range
   covering a geodesic radius, with latitude-aware longitude padding
-  (1° of longitude shrinks by cos(lat)) clamped at ±`max_lat`
+  (1° of longitude shrinks by cos(lat); bands at the pole wrap fully)
 - candidates meet in ONE shuffle (equi-join on the cell id — Spark's
   hash join machinery, AQE-eligible)
 - exact haversine refine runs as a native codegen expression
 
 No Python rows anywhere — the whole plan is JVM-side, so it scales with
 the cluster like any equi-join.  Longitude cells are modular (pmod over
-the cell count) so antimeridian-crossing pairs are found; the polar
-fan-out (a radius circle near a pole covers every longitude) is bounded
-by the `max_lat` clamp — rows there probe all lon cells of their band,
-which is exactly the correct candidate set.  A production variant could
-switch the cell id to hierarchical S2 cells to shrink that fan.
+the cell count) so antimeridian-crossing pairs are found.  Near the
+poles the lon pad uses the TRUE band latitude (a band at the pole wraps
+every longitude — the former fixed-latitude clamp under-padded the
+88..90 band and dropped pairs); a per-row fan-out cap fails loud when a
+radius-derived fine grid would explode a polar row to thousands of lon
+cells, naming geography_relation_join (coarser, capped cover) as the
+escape.  A production variant could switch the cell id to hierarchical
+S2 cells to shrink that fan.
 """
 
 from __future__ import annotations
@@ -52,6 +55,9 @@ def geography_dwithin_join(build: DataFrame, probe: DataFrame,
                            probe_lon: str = "lon", probe_lat: str = "lat",
                            max_lat: float = 88.0) -> DataFrame:
     """Inner join of `build` × `probe` on great-circle distance ≤ dist_m.
+
+    ``max_lat`` is DEPRECATED and ignored (the pad uses the true band
+    latitude; a fixed clamp under-padded the polar band).
 
     Pass the SMALLER side as `build` (it stays one-row-per-cell; the
     probe side fans out to its covering cells).  Returns all columns of
@@ -86,9 +92,26 @@ def geography_dwithin_join(build: DataFrame, probe: DataFrame,
     # modular lon cells handle the antimeridian: a circle near ±180°
     # covers cells on both sides; array_distinct guards the full-wrap
     # case (lon_pad = 180°) from emitting a cell twice
+    lo_c = F.floor((lon + 180.0 - lon_pad) / lon_cell)
+    hi_c = F.floor((lon + 180.0 + lon_pad) / lon_cell)
+    # full wrap never needs more than ncx cells
+    hi_c = F.least(hi_c, lo_c + F.lit(ncx - 1))
+    # fan-out cap: with a tiny radius the grid is fine (ncx ~ 360/cell),
+    # and a near-pole row's full wrap would explode to ALL ncx lon cells
+    # — a silent multi-GB shuffle.  Fail loud with the escape hatch
+    # (geography_relation_join picks its own, coarser cell_deg and has
+    # its own 200k cover cap), round-9 review.
+    fan_cap = 8192
+    if ncx > fan_cap:
+        cnt = hi_c - lo_c + 1
+        lo_c = F.when(cnt > F.lit(fan_cap), F.raise_error(F.lit(
+            "geography dwithin join: a near-pole row fans out to more "
+            f"than {fan_cap} longitude cells at this radius-derived grid "
+            "(ncx=" + str(ncx) + "); use geography_relation_join(..., "
+            "distance_m=..., cell_deg=...) with a coarser cell for "
+            "polar data"))).otherwise(lo_c)
     cxs = F.array_distinct(F.transform(
-        F.sequence(F.floor((lon + 180.0 - lon_pad) / lon_cell),
-                   F.floor((lon + 180.0 + lon_pad) / lon_cell)),
+        F.sequence(lo_c, hi_c),
         lambda x: F.pmod(x, F.lit(ncx))))
     p = (probe
          .withColumn("_cy", F.explode(F.sequence(
@@ -279,6 +302,7 @@ def spherical_cover(g):
 def _cover_cells(cover, cell_lat, lon_cell, ncx, ncy, pad_m,
                  max_lat, cap):
     """Rasterize a spherical_cover into a sorted list of cell ids
+    (``max_lat`` is DEPRECATED and ignored — see geography_dwithin_join)
     (cy * ncx + cx).  pad_m expands the cover by a geodesic radius
     (dwithin probe side): exact latitude pad + latitude-aware
     longitude pad (same bound as geography_dwithin_join)."""

@@ -816,6 +816,10 @@ def knn_join_spheroid_partitioned(
 ) -> DataFrame:
     """Partitioned great-circle KNN join for lon/lat POINT inputs.
 
+    ``max_lat`` is DEPRECATED and ignored (the round-B re-probe pads
+    with the true band latitude; a fixed clamp could return a farther
+    neighbor as "nearest" near the poles).
+
     Scale path for ``use_spheroid=True`` when the object side exceeds the
     broadcast threshold (reference option surface
     spatial_predicate.rs:254-297; refinement is haversine on the mean
@@ -969,7 +973,11 @@ def knn_join_spheroid_partitioned(
              .otherwise(F.lit(_math.pi * R_EARTH_M))   # found <k: whole globe
     lat_pad = rad_m / M_PER_DEG
     r_ang = rad_m / R_EARTH_M
-    wl = F.radians(F.least(F.abs(F.col("__qlat")) + lat_pad, F.lit(max_lat)))
+    # TRUE band latitude (capped at 90 where cos ~ 6e-17 pushes arg past
+    # 1 -> full wrap): clamping at max_lat under-padded the 88..90 band
+    # and could return a farther neighbor as "nearest" near the poles —
+    # the same defect fixed in geography_join (round-9 review sweep)
+    wl = F.radians(F.least(F.abs(F.col("__qlat")) + lat_pad, F.lit(90.0)))
     arg = F.sin(r_ang / 2.0) / F.cos(wl)
     lon_pad = F.when(arg >= 1.0, F.lit(180.0)) \
                .otherwise(F.degrees(2.0 * F.asin(arg)))

@@ -97,7 +97,7 @@ def content_row_id(df: DataFrame, name: str) -> tuple[DataFrame, list[str]]:
     if any(_type_has_map(f.dataType) for f in df.schema.fields):
         return (df.withColumn(name, F.monotonically_increasing_id())
                   .localCheckpoint(eager=False), [name])
-    e1, e2 = _content_id_exprs(df.columns)
+    e1, e2 = _content_id_exprs(df.columns, df.schema)
     n1, n2 = f"{name}1", f"{name}2"
     return (df.withColumn(n1, e1).withColumn(n2, e2), [n1, n2])
 
@@ -132,13 +132,27 @@ def normalize_how(how: str) -> str:
     return how_n
 
 
-def _content_id_exprs(col_names) -> tuple:
+def _content_id_exprs(col_names, schema=None) -> tuple:
     """The two seeded content-hash expressions over the given columns,
     each column interleaved with its is-null flag (see content_row_id's
-    null-pattern note)."""
+    null-pattern note).
+
+    xxhash64 skips null children RECURSIVELY — a null struct field or
+    array element also leaves the running hash unchanged — so flags on
+    the top-level columns alone still let struct(7, NULL) collide with
+    struct(NULL, 7) (round-9 review sweep).  Nested (struct/array)
+    columns are therefore hashed through a null-explicit JSON rendering
+    (ignoreNullFields=false keeps every null position in the text),
+    which is a pure function of the value: stable across plan
+    re-evaluations, exactly what the ids need."""
     cols = []
     for c in col_names:
-        cols.append(F.col(c))
+        dt = schema[c].dataType if schema is not None else None
+        if isinstance(dt, (T.StructType, T.ArrayType)):
+            cols.append(F.to_json(F.struct(F.col(c).alias("c")),
+                                  {"ignoreNullFields": "false"}))
+        else:
+            cols.append(F.col(c))
         cols.append(F.col(c).isNull().cast("int"))
     return F.xxhash64(F.lit(1), *cols), F.xxhash64(F.lit(2), *cols)
 
@@ -1321,7 +1335,7 @@ def spatial_join_bucketed(
                 "non-inner bucketed spatial joins need hashable row "
                 "content; map-typed columns are unsupported here — use "
                 "spatial_join")
-        rid_exprs = _content_id_exprs(r_orig_cols)
+        rid_exprs = _content_id_exprs(r_orig_cols, re_.schema)
         re_t = re_.withColumn(rids[0], rid_exprs[0]) \
                   .withColumn(rids[1], rid_exprs[1])
         if right_meta is not None:
@@ -1366,7 +1380,7 @@ def spatial_join_bucketed(
         raise NotImplementedError(
             "non-inner bucketed spatial joins need hashable row content; "
             "map-typed columns are unsupported here — use spatial_join")
-    id_exprs = _content_id_exprs(orig_cols)
+    id_exprs = _content_id_exprs(orig_cols, lt.schema)
     lt_t = lt.withColumn(lids[0], id_exprs[0]) \
              .withColumn(lids[1], id_exprs[1])
     orig = layout_original(spark, layout_table) \

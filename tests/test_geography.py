@@ -1010,3 +1010,34 @@ def test_geography_relation_join_rejects_unknown_how(spark):
     with _pytest.raises(NotImplementedError, match="unsupported spatial join"):
         geography_relation_join(a, a, "geog", "geog", "intersects",
                                 how="cross")
+
+
+def test_dwithin_fanout_cap_raises_loud():
+    """Round-9 review: a near-pole probe row at a tiny (radius-derived)
+    grid would silently explode to ALL ~400k longitude cells.  The
+    fan-out cap must fail loud naming the geography_relation_join
+    escape; mid-latitude rows at the same radius stay cheap and
+    correct."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.operators.geography_join import (
+        geography_dwithin_join)
+    from sedona_db_spark.session import get_spark
+    spark = get_spark("t_fanout")
+    polar = spark.sql(
+        "SELECT 1 AS pid, 0.0D AS plon, 89.9999D AS plat")
+    build = spark.sql(
+        "SELECT 2 AS bid, 0.001D AS blon, 89.9999D AS blat")
+    out = geography_dwithin_join(build, polar, 100.0,
+                                 build_lon="blon", build_lat="blat",
+                                 probe_lon="plon", probe_lat="plat")
+    with _pytest.raises(Exception, match="fans out"):
+        out.collect()
+    # mid-latitude rows with the same tiny radius are unaffected
+    a = spark.sql("SELECT 1 AS pid, 10.0D AS plon, 45.0D AS plat")
+    b = spark.sql("SELECT 2 AS bid, 10.0005D AS blon, 45.0D AS blat")
+    got = geography_dwithin_join(b, a, 100.0,
+                                 build_lon="blon", build_lat="blat",
+                                 probe_lon="plon", probe_lat="plat").collect()
+    assert len(got) == 1

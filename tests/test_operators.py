@@ -465,6 +465,31 @@ def test_lattice_ids_null_patterns_and_nested_maps(spark, boxes):
     out = spatial_join(nested, right, predicate="within", how="left")
     assert out.count() == 1
 
+    # nested null patterns: xxhash64 skips null children RECURSIVELY, so
+    # struct(7, NULL) vs struct(NULL, 7) collided under top-level flags
+    # alone (round-9 review sweep); the JSON rendering keeps them apart
+    nn = spark.sql("""
+      SELECT ST_Point(5.0, 5.0) AS geom,
+             named_struct('a', 7, 'b', CAST(NULL AS INT)) AS payload
+      UNION ALL
+      SELECT ST_Point(5.0, 5.0),
+             named_struct('a', CAST(NULL AS INT), 'b', 7)
+    """)
+    e1n, _ = _content_id_exprs(nn.columns, nn.schema)
+    ids_n = [r[0] for r in nn.select(e1n).collect()]
+    assert ids_n[0] != ids_n[1], \
+        "nested complementary null patterns must not collide"
+    # ... and array-element null patterns too
+    ar = spark.sql("""
+      SELECT ST_Point(5.0, 5.0) AS geom,
+             array(7, CAST(NULL AS INT)) AS payload
+      UNION ALL
+      SELECT ST_Point(5.0, 5.0), array(CAST(NULL AS INT), 7)
+    """)
+    e1a, _ = _content_id_exprs(ar.columns, ar.schema)
+    ids_a = [r[0] for r in ar.select(e1a).collect()]
+    assert ids_a[0] != ids_a[1]
+
 
 def test_spatial_join_semi_emits_once_per_probe_row(spark, cust_pts):
     """A left row matching MULTIPLE right rows emits exactly once in SEMI
@@ -610,6 +635,34 @@ def test_knn_spheroid_partitioned_matches_brute_force(spark):
     routed = knn_join(qg, objg, 3, use_spheroid=True,
                       broadcast_threshold=100)
     assert {(r["qid"], r["oid"]) for r in routed.collect()} == exp
+
+
+def test_knn_spheroid_partitioned_near_pole_reprobe(spark):
+    """Round-9 review sweep: the round-B re-probe clamped its lon-pad
+    band latitude at 88 deg — a polar query whose round-A candidate was
+    far away could miss a genuinely nearer object at a distant
+    longitude and return the wrong "nearest".  Construct exactly that:
+    query at (0, 89.8); decoy ~200 km away on the same meridian; true
+    nearest ~39 km away at lon 120 (outside the clamped pad)."""
+    from sedona_db_spark.operators.geography_join import haversine_m
+    from sedona_db_spark.operators.knn_join import (
+        knn_join_spheroid_partitioned)
+    q = spark.sql("SELECT 1 AS qid, ST_Point(0.0, 89.8) AS geom")
+    obj = spark.sql("""
+      SELECT 10 AS oid, ST_Point(0.0, 88.0) AS geom
+      UNION ALL
+      SELECT 20, ST_Point(120.0, 89.9)
+    """)
+    out = knn_join_spheroid_partitioned(q, obj, 1, cell_deg=0.5)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["oid"] == 20, rows
+    # sanity: the oracle agrees object 20 is nearer
+    dd = spark.range(1).select(
+        haversine_m(F.lit(89.8), F.lit(0.0),
+                    F.lit(89.9), F.lit(120.0)).alias("near"),
+        haversine_m(F.lit(89.8), F.lit(0.0),
+                    F.lit(88.0), F.lit(0.0)).alias("far")).first()
+    assert dd["near"] < dd["far"]
 
 
 def test_connected_components_and_transitive_dedup(spark):

@@ -135,12 +135,21 @@ def main():
         n_fail += not ok
     print(f"\n=== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ===")
     spark.stop()
+    return 1 if n_fail else 0
+
+
+def _cleanup_warehouse():
     wh = os.environ.get("SPARK_GRAFT_WAREHOUSE", "")
     if "spark-warehouse-cc" in wh:
         import shutil
         shutil.rmtree(wh, ignore_errors=True)
-    return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    try:
+        rc = main()
+    finally:
+        # also on exceptions/Ctrl-C: a failed sf0.1 sweep would otherwise
+        # leak a multi-GB per-pid warehouse per invocation
+        _cleanup_warehouse()
+    raise SystemExit(rc)
