@@ -96,33 +96,49 @@ def geography_dwithin_join(build: DataFrame, probe: DataFrame,
     hi_c = F.floor((lon + 180.0 + lon_pad) / lon_cell)
     # full wrap never needs more than ncx cells
     hi_c = F.least(hi_c, lo_c + F.lit(ncx - 1))
-    # fan-out cap: with a tiny radius the grid is fine (ncx ~ 360/cell),
-    # and a near-pole row's full wrap would explode to ALL ncx lon cells
-    # — a silent multi-GB shuffle.  Fail loud with the escape hatch
-    # (geography_relation_join picks its own, coarser cell_deg and has
-    # its own 200k cover cap), round-9 review.
+    # polar fan-out bound (round-9 review): with a tiny radius the grid
+    # is very fine (ncx ~ 360/cell_deg), and a near-pole row's lon pad
+    # approaches full wrap — exploding it to up to ncx cells is a silent
+    # multi-GB shuffle.  Rows whose fan would exceed the cap take a
+    # separate POLAR branch instead: at those latitudes every longitude
+    # is a genuine candidate anyway, so the correct candidate set is the
+    # cross product with the build rows that can reach the polar band
+    # (|blat| >= band_cut - pad) — bounded by the polar populations,
+    # which any plan must pair up.
     fan_cap = 8192
+    probe_cols = list(probe.columns)
+    polar_cond = F.lit(False)
+    band_cut = 91.0                       # unreachable unless set below
     if ncx > fan_cap:
-        cnt = hi_c - lo_c + 1
-        lo_c = F.when(cnt > F.lit(fan_cap), F.raise_error(F.lit(
-            "geography dwithin join: a near-pole row fans out to more "
-            f"than {fan_cap} longitude cells at this radius-derived grid "
-            "(ncx=" + str(ncx) + "); use geography_relation_join(..., "
-            "distance_m=..., cell_deg=...) with a coarser cell for "
-            "polar data"))).otherwise(lo_c)
+        # lon_pad > X  <=>  cos(band) < sin(r/2)/sin(X/2), band = |lat|+pad
+        x_half = math.radians(min(fan_cap * lon_cell / 2.0, 179.9)) / 2.0
+        cos_cut = math.sin(r / 2.0) / math.sin(x_half)
+        if cos_cut < 1.0:
+            band_cut = math.degrees(math.acos(cos_cut))
+            polar_cond = (F.abs(lat) + lat_pad) >= F.lit(band_cut)
     cxs = F.array_distinct(F.transform(
         F.sequence(lo_c, hi_c),
         lambda x: F.pmod(x, F.lit(ncx))))
-    p = (probe
+    p = (probe.filter(~polar_cond)
          .withColumn("_cy", F.explode(F.sequence(
              F.floor((lat - lat_pad) / cell), F.floor((lat + lat_pad) / cell))))
          .withColumn("_cx", F.explode(cxs)))
     joined = p.join(b, ["_cx", "_cy"])
     d = haversine_m(F.col(build_lat), F.col(build_lon),
                     F.col(probe_lat), F.col(probe_lon))
-    return joined.where(d <= F.lit(float(dist_m))) \
-                 .withColumn("geo_dist_m", d) \
-                 .drop("_cx", "_cy")
+    out = joined.where(d <= F.lit(float(dist_m))) \
+                .withColumn("geo_dist_m", d) \
+                .drop("_cx", "_cy")
+    if ncx > fan_cap:
+        reach = F.abs(F.col(build_lat)) >= (F.lit(band_cut) - lat_pad)
+        polar = (probe.filter(polar_cond)
+                 .crossJoin(build.filter(reach))
+                 .where(d <= F.lit(float(dist_m)))
+                 .withColumn("geo_dist_m", d)
+                 .select(*probe_cols, *build.columns, "geo_dist_m"))
+        out = out.select(*probe_cols, *build.columns, "geo_dist_m") \
+                 .unionByName(polar)
+    return out
 
 
 # ======================================================================

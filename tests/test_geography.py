@@ -1012,32 +1012,37 @@ def test_geography_relation_join_rejects_unknown_how(spark):
                                 how="cross")
 
 
-def test_dwithin_fanout_cap_raises_loud():
+def test_dwithin_polar_branch_bounded_and_correct():
     """Round-9 review: a near-pole probe row at a tiny (radius-derived)
-    grid would silently explode to ALL ~400k longitude cells.  The
-    fan-out cap must fail loud naming the geography_relation_join
-    escape; mid-latitude rows at the same radius stay cheap and
-    correct."""
-    import pytest as _pytest
-    from pyspark.sql import functions as F
-
+    grid would silently explode to ALL ~400k longitude cells.  Rows in
+    that polar sliver now take a bounded cross-join branch against the
+    polar subset of the build side (every longitude is a genuine
+    candidate there): matches within distance are found — including
+    across a 150-degree longitude gap, where the old clamped pad
+    dropped the pair — and mid-latitude rows are unaffected."""
     from sedona_db_spark.operators.geography_join import (
         geography_dwithin_join)
     from sedona_db_spark.session import get_spark
     spark = get_spark("t_fanout")
-    polar = spark.sql(
-        "SELECT 1 AS pid, 0.0D AS plon, 89.9999D AS plat")
-    build = spark.sql(
-        "SELECT 2 AS bid, 0.001D AS blon, 89.9999D AS blat")
+    polar = spark.sql("""
+      SELECT 1 AS pid, 0.0D AS plon, 89.9999D AS plat
+      UNION ALL SELECT 2, 150.0D, 89.99985D
+    """)
+    build = spark.sql("""
+      SELECT 10 AS bid, 0.001D AS blon, 89.9999D AS blat
+      UNION ALL SELECT 20, -120.0D, 89.99988D
+    """)
     out = geography_dwithin_join(build, polar, 100.0,
                                  build_lon="blon", build_lat="blat",
                                  probe_lon="plon", probe_lat="plat")
-    with _pytest.raises(Exception, match="fans out"):
-        out.collect()
+    got = {(r["pid"], r["bid"]) for r in out.collect()}
+    # every polar point here is within ~35 m of the pole, so all pairs
+    # are within 100 m regardless of longitude
+    assert got == {(1, 10), (1, 20), (2, 10), (2, 20)}
     # mid-latitude rows with the same tiny radius are unaffected
     a = spark.sql("SELECT 1 AS pid, 10.0D AS plon, 45.0D AS plat")
     b = spark.sql("SELECT 2 AS bid, 10.0005D AS blon, 45.0D AS blat")
-    got = geography_dwithin_join(b, a, 100.0,
-                                 build_lon="blon", build_lat="blat",
-                                 probe_lon="plon", probe_lat="plat").collect()
-    assert len(got) == 1
+    got2 = geography_dwithin_join(b, a, 100.0,
+                                  build_lon="blon", build_lat="blat",
+                                  probe_lon="plon", probe_lat="plat").collect()
+    assert len(got2) == 1
