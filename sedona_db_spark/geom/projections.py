@@ -968,10 +968,12 @@ class EckertIVSphere:
         rhs = (2.0 + np.pi / 2.0) * np.sin(phi)
         t = phi / 2.0                      # Snyder's starting guess
         # f' = 2 cos(t)(1+cos(t)) -> 0 at the pole root t = pi/2, where
-        # Newton degrades to bisection-rate halving — 30 rounds leave
-        # ~1e-9 rad there (sub-cm in x), and the exact pole is snapped
-        # closed-form below (round-9 review)
-        for _ in range(30):
+        # Newton degrades to bisection-rate halving; mid-latitude inputs
+        # converge quadratically well inside 12 rounds, so the extra
+        # rounds run only when near-pole latitudes are present, and the
+        # exact pole is snapped closed-form below (round-9 review)
+        extra = 18 if np.any(np.abs(phi) > math.radians(89.0)) else 0
+        for _ in range(12 + extra):
             f = t + np.sin(t) * np.cos(t) + 2.0 * np.sin(t) - rhs
             d = 2.0 * np.cos(t) * (1.0 + np.cos(t))
             t = np.clip(t - f / np.maximum(d, 1e-9),

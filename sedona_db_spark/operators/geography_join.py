@@ -19,11 +19,12 @@ the cluster like any equi-join.  Longitude cells are modular (pmod over
 the cell count) so antimeridian-crossing pairs are found.  Near the
 poles the lon pad uses the TRUE band latitude (a band at the pole wraps
 every longitude — the former fixed-latitude clamp under-padded the
-88..90 band and dropped pairs); a per-row fan-out cap fails loud when a
-radius-derived fine grid would explode a polar row to thousands of lon
-cells, naming geography_relation_join (coarser, capped cover) as the
-escape.  A production variant could switch the cell id to hierarchical
-S2 cells to shrink that fan.
+88..90 band and dropped pairs), and probe rows in the polar sliver —
+where that pad approaches full wrap on a radius-derived fine grid —
+take a bounded cross-join branch against the build rows that can reach
+the polar band instead of exploding to thousands of lon cells.  A
+production variant could switch the cell id to hierarchical S2 cells
+to shrink the remaining fan.
 """
 
 from __future__ import annotations
@@ -37,6 +38,22 @@ from pyspark.sql import functions as F
 
 R_EARTH_M = 6371008.8                       # IUGG mean radius
 M_PER_DEG = math.pi * R_EARTH_M / 180.0     # meridian meters per degree
+
+
+def lon_pad_deg_col(band_lat_deg: Column, r_ang: float) -> Column:
+    """Worst-case |Δlon| in degrees between two points within
+    great-circle angle ``r_ang`` when the band's max |lat| (degrees) is
+    the given column: 2·asin(sin(r/2)/cos(L)) — the planar r/cos(L)
+    underestimates near the poles and drops band-edge pairs.  The band
+    is capped at 90 (cos -> ~6e-17, arg past 1 -> 180° full wrap); a
+    fixed sub-90 clamp under-pads the polar band (round-9 review, fixed
+    here AND in knn round B — shared so the next tweak lands once)."""
+    wl = F.radians(F.least(band_lat_deg, F.lit(90.0)))
+    sin_half = (F.sin(r_ang / 2.0) if isinstance(r_ang, Column)
+                else F.lit(math.sin(r_ang / 2.0)))
+    arg = sin_half / F.cos(wl)
+    return F.when(arg >= 1.0, F.lit(180.0)) \
+            .otherwise(F.degrees(2.0 * F.asin(arg)))
 
 
 def haversine_m(lat1, lon1, lat2, lon2) -> Column:
@@ -75,20 +92,8 @@ def geography_dwithin_join(build: DataFrame, probe: DataFrame,
              .withColumn("_cy", F.floor(F.col(build_lat) / cell))
     lat, lon = F.col(probe_lat), F.col(probe_lon)
     lat_pad = F.lit(cell)
-    # exact geodesic lon bound: two points within distance d at worst-case
-    # band latitude L satisfy |Δlon| <= 2·asin(sin(r/2)/cos(L)) (r = d/R);
-    # the planar r/cos(L) underestimates this near the poles and drops
-    # band-edge pairs.  arg >= 1 -> the circle wraps every longitude.
-    # The band uses the TRUE latitude (capped at 90, where cos -> ~6e-17
-    # and arg blows past 1 -> full wrap): clamping at a fixed max_lat
-    # under-padded the 88..90 band and silently dropped near-pole pairs
-    # (round-9 review); max_lat is retained for signature compatibility
-    # but no longer bounds the pad.
     r = dist_m / R_EARTH_M
-    wl = F.radians(F.least(F.abs(lat) + lat_pad, F.lit(90.0)))
-    arg = F.lit(math.sin(r / 2.0)) / F.cos(wl)
-    lon_pad = F.when(arg >= 1.0, F.lit(180.0)) \
-               .otherwise(F.degrees(2.0 * F.asin(arg)))
+    lon_pad = lon_pad_deg_col(F.abs(lat) + lat_pad, r)
     # modular lon cells handle the antimeridian: a circle near ±180°
     # covers cells on both sides; array_distinct guards the full-wrap
     # case (lon_pad = 180°) from emitting a cell twice
@@ -106,7 +111,6 @@ def geography_dwithin_join(build: DataFrame, probe: DataFrame,
     # (|blat| >= band_cut - pad) — bounded by the polar populations,
     # which any plan must pair up.
     fan_cap = 8192
-    probe_cols = list(probe.columns)
     polar_cond = F.lit(False)
     band_cut = 91.0                       # unreachable unless set below
     if ncx > fan_cap:
@@ -130,14 +134,20 @@ def geography_dwithin_join(build: DataFrame, probe: DataFrame,
                 .withColumn("geo_dist_m", d) \
                 .drop("_cx", "_cy")
     if ncx > fan_cap:
-        reach = F.abs(F.col(build_lat)) >= (F.lit(band_cut) - lat_pad)
+        # a build match can sit lat_pad below the LOWEST polar probe
+        # (which is itself at band_cut - lat_pad): reach down a full
+        # 2*lat_pad, not one — one pad dropped boundary pairs the old
+        # grid path found (round-9 review, pass 3)
+        reach = F.abs(F.col(build_lat)) >= (F.lit(band_cut) - 2.0 * lat_pad)
         polar = (probe.filter(polar_cond)
                  .crossJoin(build.filter(reach))
                  .where(d <= F.lit(float(dist_m)))
-                 .withColumn("geo_dist_m", d)
-                 .select(*probe_cols, *build.columns, "geo_dist_m"))
-        out = out.select(*probe_cols, *build.columns, "geo_dist_m") \
-                 .unionByName(polar)
+                 .withColumn("geo_dist_m", d))
+        # positional union: both branches lay out probe cols, build
+        # cols, geo_dist_m in that order, and duplicate column NAMES
+        # across the two inputs are legal join output (unionByName or
+        # select-by-name would reject them)
+        out = out.union(polar)
     return out
 
 

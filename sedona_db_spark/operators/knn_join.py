@@ -973,14 +973,11 @@ def knn_join_spheroid_partitioned(
              .otherwise(F.lit(_math.pi * R_EARTH_M))   # found <k: whole globe
     lat_pad = rad_m / M_PER_DEG
     r_ang = rad_m / R_EARTH_M
-    # TRUE band latitude (capped at 90 where cos ~ 6e-17 pushes arg past
-    # 1 -> full wrap): clamping at max_lat under-padded the 88..90 band
-    # and could return a farther neighbor as "nearest" near the poles —
-    # the same defect fixed in geography_join (round-9 review sweep)
-    wl = F.radians(F.least(F.abs(F.col("__qlat")) + lat_pad, F.lit(90.0)))
-    arg = F.sin(r_ang / 2.0) / F.cos(wl)
-    lon_pad = F.when(arg >= 1.0, F.lit(180.0)) \
-               .otherwise(F.degrees(2.0 * F.asin(arg)))
+    # shared band-latitude bound (geography_join.lon_pad_deg_col): the
+    # former fixed max_lat clamp under-padded the 88..90 band and could
+    # return a farther neighbor as "nearest" near the poles
+    from sedona_db_spark.operators.geography_join import lon_pad_deg_col
+    lon_pad = lon_pad_deg_col(F.abs(F.col("__qlat")) + lat_pad, r_ang)
     cy0 = F.greatest(F.floor((F.col("__qlat") - lat_pad + 90.0) / cell_deg),
                      F.lit(0))
     cy1 = F.least(F.floor((F.col("__qlat") + lat_pad + 90.0) / cell_deg),

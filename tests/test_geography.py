@@ -1046,3 +1046,26 @@ def test_dwithin_polar_branch_bounded_and_correct():
                                   build_lon="blon", build_lat="blat",
                                   probe_lon="plon", probe_lat="plat").collect()
     assert len(got2) == 1
+
+    # polar-band BOUNDARY pair (review pass 3): a probe just inside the
+    # polar sliver matching a build row up to 2 lat-pads below the cut
+    # (one pad for the probe's own slack, one for the match distance) —
+    # a single-pad reach filter dropped this pair
+    import math as _math
+    from sedona_db_spark.operators.geography_join import (
+        M_PER_DEG, R_EARTH_M)
+    dist = 100.0
+    cell = dist / M_PER_DEG
+    ncx = int(_math.ceil(360.0 / cell))
+    lon_cell = 360.0 / ncx
+    x_half = _math.radians(min(8192 * lon_cell / 2.0, 179.9)) / 2.0
+    cos_cut = _math.sin((dist / R_EARTH_M) / 2.0) / _math.sin(x_half)
+    band_cut = _math.degrees(_math.acos(cos_cut))
+    plat = band_cut - 0.5 * cell          # polar: plat + cell >= cut
+    blat = plat - 0.9 * cell              # ~90 m away, below cut - pad
+    pa = spark.sql(f"SELECT 1 AS pid, 0.0D AS plon, {plat}D AS plat")
+    ba = spark.sql(f"SELECT 2 AS bid, 0.0D AS blon, {blat}D AS blat")
+    got3 = geography_dwithin_join(ba, pa, dist,
+                                  build_lon="blon", build_lat="blat",
+                                  probe_lon="plon", probe_lat="plat").collect()
+    assert len(got3) == 1, (plat, blat, band_cut)

@@ -642,14 +642,17 @@ def test_knn_spheroid_partitioned_near_pole_reprobe(spark):
     band latitude at 88 deg — a polar query whose round-A candidate was
     far away could miss a genuinely nearer object at a distant
     longitude and return the wrong "nearest".  Construct exactly that:
-    query at (0, 89.8); decoy ~200 km away on the same meridian; true
-    nearest ~39 km away at lon 120 (outside the clamped pad)."""
+    query at (0, 89.8); decoy ~78 km away on the same meridian INSIDE
+    the 3x3 round-A neighborhood (so round A completes with a finite
+    dk and round B re-probes at that radius — the path the clamp
+    broke); true nearest ~29 km away at lon 120, outside the old
+    clamped ~20-degree pad but inside the true full-wrap band."""
     from sedona_db_spark.operators.geography_join import haversine_m
     from sedona_db_spark.operators.knn_join import (
         knn_join_spheroid_partitioned)
     q = spark.sql("SELECT 1 AS qid, ST_Point(0.0, 89.8) AS geom")
     obj = spark.sql("""
-      SELECT 10 AS oid, ST_Point(0.0, 88.0) AS geom
+      SELECT 10 AS oid, ST_Point(0.0, 89.1) AS geom
       UNION ALL
       SELECT 20, ST_Point(120.0, 89.9)
     """)
@@ -661,7 +664,7 @@ def test_knn_spheroid_partitioned_near_pole_reprobe(spark):
         haversine_m(F.lit(89.8), F.lit(0.0),
                     F.lit(89.9), F.lit(120.0)).alias("near"),
         haversine_m(F.lit(89.8), F.lit(0.0),
-                    F.lit(88.0), F.lit(0.0)).alias("far")).first()
+                    F.lit(89.1), F.lit(0.0)).alias("far")).first()
     assert dd["near"] < dd["far"]
 
 
