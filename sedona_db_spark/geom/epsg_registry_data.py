@@ -506,3 +506,21 @@ EQEARTH_ROWS = [
     (8858, -90.0),    # Equal Earth Americas
     (8859, 150.0),    # Equal Earth Asia-Pacific
 ]
+
+# round-9 final tranche
+ALBERS_ROWS += [
+    # NAD83(NSRS2007) / Conus Albers — projection twin of 5070/6350
+    (5071, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0, "GRS80", None),
+    # ESRI North America Albers Equal Area Conic
+    (102008, 40.0, -96.0, 20.0, 60.0, 0.0, 0.0, "GRS80", None),
+]
+
+PSTEREO_ROWS += [
+    # WGS 84 / IBCAO Polar Stereographic (EPSG:3996): lat_ts 75N, CM 0
+    (3996, 75.0, 0.0, 0.0, 0.0, False, "WGS84", None),
+]
+
+LCC2_ROWS += [
+    # ETRS89 / LCC Germany (E-N) (EPSG:4839) — axis-order twin of 5243
+    (4839, 51.0, 10.5, _D(48, 40), _D(53, 40), 0.0, 0.0, "GRS80", None),
+]

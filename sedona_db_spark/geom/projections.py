@@ -1161,6 +1161,8 @@ def _register_projections():
     # Australia: GDA94 / Australian Albers
     reg["EPSG:3577"] = AlbersEqualArea2SP(
         0.0, 132.0, -18.0, -36.0, 0.0, 0.0, "GRS80")
+    # ESRI aliases of Web Mercator (ArcGIS "Auxiliary Sphere" ids)
+    reg["ESRI:102100"] = reg["ESRI:102113"] = WebMercator()
     # Europe: ETRS89-extended / LAEA Europe
     reg["EPSG:3035"] = LambertAzimuthalEqualArea(
         52.0, 10.0, 4321000.0, 3210000.0, "GRS80")
@@ -1251,12 +1253,23 @@ def _register_projections():
         r_arcsec=(1.042, 0.214, 0.631), s_ppm=-8.15)
     # France (legacy): NTF / Lambert zone II (EPSG:27572) — LCC 1SP on
     # Clarke 1880 IGN behind the NTF->WGS84 pure translation (negated)
-    _ntf_l2 = LambertConformalConic1SP(
-        46.8, 2.0 + 20.0 / 60.0 + 14.025 / 3600.0, 0.99987742,
-        600000.0, 2200000.0, 6378249.2, 1.0 / 293.4660212936269)
-    reg["EPSG:27572"] = HelmertProj(
-        _ntf_l2, t=(168.0, 60.0, -320.0), r_arcsec=(0.0, 0.0, 0.0),
-        s_ppm=0.0)
+    # ... and the full NTF zone family (round 9): zone I (Nord,
+    # lat0 49.5), II (Centre, 46.8), III (Sud, 44.1) — zone-prefixed
+    # "carto" northings 1.2/2.2/3.2 Mm (EPSG:27571-27573) and the
+    # unprefixed 200 km variants (EPSG:27561-27563); all LCC 1SP on
+    # Clarke 1880 IGN at the Paris meridian (2d20'14.025" E)
+    _ntf_lon0 = 2.0 + 20.0 / 60.0 + 14.025 / 3600.0
+    _ntf_zones = [(1, 49.5, 0.999877341), (2, 46.8, 0.99987742),
+                  (3, 44.1, 0.999877499)]
+    for _z, _lat0, _k0 in _ntf_zones:
+        for _code, _fn in ((27560 + _z, 200000.0),
+                           (27570 + _z, _z * 1_000_000.0 + 200000.0)):
+            _p = LambertConformalConic1SP(
+                _lat0, _ntf_lon0, _k0, 600000.0, _fn,
+                6378249.2, 1.0 / 293.4660212936269)
+            reg[f"EPSG:{_code}"] = HelmertProj(
+                _p, t=(168.0, 60.0, -320.0), r_arcsec=(0.0, 0.0, 0.0),
+                s_ppm=0.0)
     # Czechia/Slovakia: S-JTSK / Krovak East North (EPSG:5514) behind the
     # inverse of the published S-JTSK->WGS84 Bursa-Wolf
     reg["EPSG:5514"] = HelmertProj(

