@@ -406,11 +406,132 @@ def _stats_memo_put(key, value) -> None:
 #   within(point, rect)    == strictly-inside comparisons
 #   intersects(point, rect)== inclusive comparisons
 # within/intersects are exact only for POINT probe rows, so the plan is
-# chosen after a 64-row probe of the probe side and each row is guarded
-# by its decode-time shape class: a non-point row past the probe raises
-# loud (same probe + fail-loud convention as the geography guard) with a
-# rect_fast_path=False escape hatch — never a silently wrong pair.
+# chosen after a 64-row probe of the probe side and the candidate set is
+# then SPLIT into two native plan branches (r9 verdict #1): rows whose
+# raw WKB header is a simple 2D point keep the pure-codegen bbox
+# formula; everything else routes to a SEPARATE branch refined by the
+# exact kernel, and the two are unioned.  The split predicate is pure
+# codegen on the binary column (substring of the 5-byte WKB header), so
+# Catalyst pushes it below each branch's join — on an all-point corpus
+# the Python branch processes ZERO rows (not all-null rows: the r9
+# null-gated form still shipped every candidate through ArrowEvalPython
+# and measured 2.7x slower than the general refine at sf10) — while a
+# mixed corpus gets exact answers for the stragglers instead of a
+# job-killing raise.  Never a silently wrong pair either way.
 _RECT_FAST_PREDS = {"within", "covered_by", "coveredby", "intersects"}
+
+# WKB headers of a simple 2D point: endianness byte + uint32 type code 1.
+# Z/M/ZM (ISO 1001/2001/3001) and EWKB flag bits (0x80/0x40/0x20 high
+# byte) all change these 5 bytes, so a match GUARANTEES a 2D point with
+# no SRID prefix; a miss merely routes the row to the exact-refine
+# branch (correct for every geometry, just not codegen).
+_WKB_PT2D_LE = bytes((1, 1, 0, 0, 0))
+_WKB_PT2D_BE = bytes((0, 0, 0, 0, 1))
+
+
+def _wkb_point2d(g: Column) -> Column:
+    """Pure-codegen (no Python) test that a WKB value is a simple 2D
+    point.  False/null values route to the exact branch — never wrong,
+    only slower."""
+    head = F.substring(g, 1, 5)
+    return (head == F.lit(_WKB_PT2D_LE)) | (head == F.lit(_WKB_PT2D_BE))
+
+
+def _point_constructor_certified(df: DataFrame, geom_col: str) -> bool:
+    """Plan-time all-point certificate: True iff ``geom_col`` in df's
+    analyzed plan is directly the aliased output of the 2-argument
+    ``ST_Point`` constructor — a simple 2D point BY CONSTRUCTION for
+    every row (null inputs yield null geometry, which the bbox join
+    condition drops, matching the exact kernel's verdict).  With the
+    certificate the straggler branch is provably empty and is not built
+    at all, restoring the pure whole-stage-codegen plan.  Conservative:
+    any parse doubt returns False and the per-row WKB-header split
+    handles correctness instead."""
+    try:
+        qe = df._jdf.queryExecution().analyzed()
+        out = qe.output()
+        eid = None
+        for i in range(out.size()):
+            a = out.apply(i)
+            if a.name() == geom_col:
+                if eid is not None:          # ambiguous column name
+                    return False
+                eid = a.exprId().id()
+        if eid is None:
+            return False
+        s = qe.toString()
+    except Exception:
+        return False
+    import re
+    # Union (and CTE refs) REUSE the first child's exprIds for their
+    # output, so an alias found below one could certify rows that
+    # actually come from another branch — decline those plans outright
+    # (conservative: the per-row WKB-header split still applies).
+    if re.search(r"\bUnion\b|\bCTERelationRef\b", s):
+        return False
+
+    def match_open(i):
+        # index of the '(' balancing the ')' at i, or None
+        depth, j = 0, i
+        while j >= 0:
+            if s[j] == ")":
+                depth += 1
+            elif s[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    return j
+            j -= 1
+        return None
+
+    def ident_ending_at(i):
+        k = i
+        while k >= 0 and (s[k].isalnum() or s[k] == "_"):
+            k -= 1
+        return s[k + 1:i + 1]
+
+    # Follow the Alias chain for (name, exprId): a pandas-UDF output
+    # prints "ST_Point(<args>)#NNN AS geom#EID"; view type-coercion adds
+    # "cast(geom#A as binary) AS geom#B" and bare re-alias "geom#A AS
+    # geom#B" layers on top.
+    name, cur = geom_col, eid
+    seen = set()
+    while (name, cur) not in seen and len(seen) < 8:
+        seen.add((name, cur))
+        nxt = None
+        for m in re.finditer(r" AS %s#%d\b" % (re.escape(name), cur), s):
+            i = m.start() - 1
+            if i < 0:
+                continue
+            if s[i] == ")":                      # cast(inner as type)
+                j = match_open(i)
+                if j is None or ident_ending_at(j - 1) != "cast":
+                    continue
+                inner = re.match(r"\s*([A-Za-z_]\w*)#(\d+) as \w",
+                                 s[j + 1:i])
+                if inner:
+                    nxt = (inner.group(1), int(inner.group(2)))
+                    break
+                continue
+            if s[i].isdigit():                   # expr#NNN
+                j = i
+                while j >= 0 and s[j].isdigit():
+                    j -= 1
+                if j < 0 or s[j] != "#":
+                    continue
+                e = j - 1
+                if e >= 0 and s[e] == ")":       # fn(<args>)#NNN
+                    k = match_open(e)
+                    if k is not None and ident_ending_at(k - 1) == "ST_Point":
+                        return True
+                    continue
+                attr = ident_ending_at(e)        # bare attr#A AS name#B
+                if attr:
+                    nxt = (attr, int(s[j + 1:i + 1]))
+                    break
+        if nxt is None:
+            return False
+        name, cur = nxt
+    return False
 
 
 def _rect_fast_refine(cand: DataFrame, left: DataFrame, left_geom: str,
@@ -422,10 +543,14 @@ def _rect_fast_refine(cand: DataFrame, left: DataFrame, left_geom: str,
     # Plan-time verdicts are MEMOIZED on the analyzed-plan hash (bench
     # reps / dashboards re-construct the same join; re-paying the probe
     # jobs per construction cost more than the refine they saved).  A
-    # stale verdict can never produce a wrong pair: BOTH sides carry
-    # per-row shape-class guards below, so data changing under an
-    # identical plan hash fails LOUD with the escape hatch named.
+    # stale verdict can never produce a wrong pair: probe-side rows are
+    # split per row by their raw WKB header (non-points take the exact
+    # kernel), and the build side carries a per-row rect guard that
+    # fails LOUD with the escape hatch named.
+    certified = False
     if predicate in ("within", "intersects"):
+        certified = _point_constructor_certified(left, left_geom)
+    if predicate in ("within", "intersects") and not certified:
         lkey = ("rectfast_l", _plan_key(left), left_geom)
         l_ok = _stats_memo_get(lkey)
         if l_ok is None:
@@ -476,20 +601,36 @@ def _rect_fast_refine(cand: DataFrame, left: DataFrame, left_geom: str,
         formula = (lx > rx) & (lX < rX) & (ly > ry) & (lY < rY)
     else:                                   # intersects(point, rect)
         formula = (lx >= rx) & (lx <= rX) & (ly >= ry) & (ly <= rY)
-    # A non-point probe geometry past the 64-row probe falls back to the
-    # exact refine kernel per row instead of failing the job (ADVICE r8:
-    # mixed-geometry corpora are common and intersects is the default
-    # predicate).  Catalyst extracts the pandas UDF and evaluates it for
-    # EVERY candidate row, so the point majority is nulled out first —
-    # all-null Arrow columns cost ~nothing to ship or decode, keeping
-    # the certified all-point plan one cheap no-op round trip away from
-    # the old raise_error shape while the stragglers get exact answers.
-    nonpt = F.col("__lbox.cls") != 1
-    exact = _refine_udf(predicate, False)(
-        F.when(nonpt, F.col(left_geom)), F.when(nonpt, F.col(rgeom)))
-    guard = F.when(F.col("__lbox.cls") == 1, rect_guard(formula)) \
-             .otherwise(F.coalesce(exact, F.lit(False)))
-    return cand.filter(guard)
+    # Two-branch native split (r9 verdict #1).  A non-point probe row
+    # past the 64-row probe gets the exact refine kernel (ADVICE r8:
+    # mixed corpora are common), but in its OWN union branch gated by a
+    # codegen WKB-header check that Catalyst pushes below that branch's
+    # join: the point branch never leaves whole-stage codegen, and on
+    # all-point corpora the Python branch is empty (zero rows reach
+    # ArrowEvalPython — the r9 null-gated single-filter form shipped
+    # every candidate through Python and ran 2.7x slower than the
+    # general refine at sf10).  Correctness of the split: a header
+    # match guarantees a 2D point, whose bbox IS the point, so the
+    # formula is exact (an empty point encodes NaN coordinates; Spark
+    # orders NaN above every double, so `NaN < xmax` is false and the
+    # row drops — same verdict as the exact kernel).  A header miss
+    # (any other type, Z/M, EWKB-SRID) always takes the exact kernel.
+    if certified:
+        # all-point by construction: no straggler branch, no per-row
+        # split — the whole candidate filter is join-condition codegen
+        return cand.filter(rect_guard(formula))
+    # The point branch embeds the split in ONE CASE WHEN referencing
+    # both sides, so Catalyst keeps it in the join condition instead of
+    # splitting off the left-only conjunct and pushing it through the
+    # probe projection (which re-extracts — i.e. RE-RUNS — the bbox
+    # pandas UDF above the pushed filter: one full extra Python pass).
+    is_pt = _wkb_point2d(F.col(left_geom))
+    pts = cand.filter(
+        F.when(is_pt, rect_guard(formula)).otherwise(F.lit(False)))
+    exact = _refine_udf(predicate, False)(F.col(left_geom), F.col(rgeom))
+    strag = cand.filter(~F.coalesce(is_pt, F.lit(False))) \
+                .filter(F.coalesce(exact, F.lit(False)))
+    return pts.unionByName(strag)
 
 
 def spatial_join(

@@ -1763,11 +1763,13 @@ def test_quality_score_cell_matches_staged_form(spark):
 
 
 def test_rect_fast_path_matches_general_refine(spark, cust_pts, boxes):
-    """Round 8/9: all-rectangle build sides refine the point majority in
-    pure codegen; results must equal the general Arrow refine
-    bit-for-bit.  The ONLY Python stage above the join is the r9
-    straggler fallback, and its inputs are null-gated (CASE WHEN cls)
-    so all-point data ships empty Arrow columns, never geometry."""
+    """Round 10 (r9 verdict #1): ST_Point-constructed probes carry a
+    plan-time all-point certificate — no straggler branch is built, and
+    NO Python stage exists above the join (the r8 pure-codegen pin,
+    restored; the r9 null-gated single-filter form shipped every
+    candidate through ArrowEvalPython and measured 2.7x slower than the
+    general refine at sf10).  Results must equal the general Arrow
+    refine bit-for-bit."""
     from sedona_db_spark.operators.spatial_join import spatial_join
     left = cust_pts.select("c_custkey", "geom").filter("c_custkey < 600")
     right = boxes.select("n_nationkey", "geom")
@@ -1778,25 +1780,52 @@ def test_rect_fast_path_matches_general_refine(spark, cust_pts, boxes):
         a = sorted((r["c_custkey"], r["n_nationkey"]) for r in fast.collect())
         b = sorted((r["c_custkey"], r["n_nationkey"]) for r in slow.collect())
         assert a == b and len(a) > 0, pred
-    plan = spatial_join(left, right, predicate="within") \
-        ._jdf.queryExecution().executedPlan().toString()
+    for pred in ("within", "covered_by"):
+        plan = spatial_join(left, right, predicate=pred) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Union" not in plan, plan      # certified: single branch
+        lines = plan.splitlines()
+        join_at = next(i for i, ln in enumerate(lines)
+                       if "NestedLoopJoin" in ln or "CartesianProduct" in ln)
+        assert not any("ArrowEvalPython" in ln or "BatchEvalPython" in ln
+                       for ln in lines[:join_at]), plan
+
+
+def test_rect_fast_path_uncertified_two_branch_plan(spark, boxes):
+    """Raw-WKB probes (no constructor certificate) get the two-branch
+    union: the point branch joins in pure codegen with zero Python above
+    its join, and the exact-refine pandas UDF lives in a SEPARATE branch
+    whose not-a-2D-point WKB-header filter Catalyst pushes below that
+    branch's join — on all-point data ZERO rows reach ArrowEvalPython
+    (the r9 null-gated form shipped every candidate through Python)."""
+    import struct
+
+    from sedona_db_spark.operators.spatial_join import spatial_join
+
+    def wkb_pt(x, y):
+        return bytearray(b"\x01\x01\x00\x00\x00" +
+                         struct.pack("<dd", float(x), float(y)))
+
+    rows = [(i, wkb_pt(i % 100, (i * 7) % 100)) for i in range(500)]
+    left = spark.createDataFrame(rows, "pid long, geom binary")
+    right = boxes.select("n_nationkey", "geom")
+    fast = spatial_join(left, right, predicate="within")
+    slow = spatial_join(left, right, predicate="within",
+                        rect_fast_path=False)
+    a = sorted((r["pid"], r["n_nationkey"]) for r in fast.collect())
+    b = sorted((r["pid"], r["n_nationkey"]) for r in slow.collect())
+    assert a == b and len(a) > 0
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan, plan
     lines = plan.splitlines()
+    # branch 1 (points) prints first: nothing Python above its join
     join_at = next(i for i, ln in enumerate(lines)
                    if "NestedLoopJoin" in ln or "CartesianProduct" in ln)
-    py_above = [ln for ln in lines[:join_at]
-                if "ArrowEvalPython" in ln or "BatchEvalPython" in ln]
-    assert len(py_above) <= 1, plan
-    for ln in py_above:
-        assert "CASE WHEN" in ln, plan      # null-gated inputs
-    # covered_by keeps the pure-codegen plan (bbox reduction is exact
-    # for every geometry type — no straggler fallback needed)
-    plan_cb = spatial_join(left, right, predicate="covered_by") \
-        ._jdf.queryExecution().executedPlan().toString()
-    lines_cb = plan_cb.splitlines()
-    join_cb = next(i for i, ln in enumerate(lines_cb)
-                   if "NestedLoopJoin" in ln or "CartesianProduct" in ln)
     assert not any("ArrowEvalPython" in ln or "BatchEvalPython" in ln
-                   for ln in lines_cb[:join_cb]), plan_cb
+                   for ln in lines[:join_at]), plan
+    # branch 2 gates its Python refine behind a pushed-down NOT
+    # point-header filter on the raw bytes
+    assert any("substring" in ln and "NOT" in ln for ln in lines), plan
 
 
 def test_rect_fast_path_covered_by_any_geometry(spark, boxes):
