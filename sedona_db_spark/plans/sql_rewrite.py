@@ -689,17 +689,25 @@ def _rewrite(spark, sql, toks, vanilla_sql):
             rest.append((lo, hi))
     if not spatials:
         raise _Decline
+    # For non-inner modes, every conjunct beyond the candidate-
+    # generating one must be applied INSIDE the inner core before the
+    # lattice bookkeeping (a refine only ever shrinks the inner result,
+    # so match tracking is unchanged — applying it as an outer WHERE
+    # would instead drop padded LEFT rows / flip anti verdicts).
+    inner_refines: list[tuple[int, int]] = []
     if len(spatials) == 1:
         spatial, spatial_span = spatials[0]
     else:
         # two+ spatial predicates (e.g. ST_Intersects(a,b) AND
-        # ST_DWithin(a,b,d)): certified for plain INNER joins only —
-        # one becomes the candidate-generating join, the others ride
-        # as exact per-row WHERE refines (the SAME dispatched kernels
-        # vanilla evaluates, so boundary semantics are unchanged;
-        # conjunction only ever shrinks the chosen join's result).
-        # KNN is not a row filter, so any KNN conjunct declines.
-        if m.how != "inner" or any(sc.kind == "knn" for sc, _ in spatials):
+        # ST_DWithin(a,b,d)): one becomes the candidate-generating
+        # join, the others ride as exact per-row refines (the SAME
+        # dispatched kernels vanilla evaluates, so boundary semantics
+        # are unchanged; conjunction only ever shrinks the chosen
+        # join's result).  Inner joins put the refines in the rebuilt
+        # WHERE; the rest of the lattice (round 10) filters the inner
+        # core before row-id bookkeeping.  KNN is not a row filter, so
+        # any KNN conjunct declines.
+        if any(sc.kind == "knn" for sc, _ in spatials):
             raise _Decline
 
         def _rank(sc):
@@ -715,20 +723,30 @@ def _rewrite(spark, sql, toks, vanilla_sql):
         spatials.sort(key=lambda p: _rank(p[0]))
         spatial, spatial_span = spatials[0]
         if not m.comma_form:
-            # ON-clause extras -> surviving WHERE conjuncts; in comma
-            # form they already sit in the WHERE text and stay there
-            rest.extend(sp for _sc, sp in spatials[1:])
+            # ON-clause extras -> surviving WHERE conjuncts (inner) or
+            # inner-core refines (lattice); in comma form they already
+            # sit in the WHERE text and stay there
+            if m.how == "inner":
+                rest.extend(sp for _sc, sp in spatials[1:])
+            else:
+                inner_refines.extend(sp for _sc, sp in spatials[1:])
     if spatial.keep_refine:
-        # comparison form: inner joins only — the exact refine survives
-        # as a WHERE conjunct, which would break LEFT match semantics
-        if m.how != "inner":
-            raise _Decline
+        # comparison form: the exact refine survives as a WHERE
+        # conjunct (inner) or filters the inner core (lattice modes —
+        # an outer WHERE would break LEFT/anti match semantics)
         if not m.comma_form:
-            rest.append(spatial_span)
+            if m.how == "inner":
+                rest.append(spatial_span)
+            else:
+                inner_refines.append(spatial_span)
+        elif m.how != "inner":       # comma form is always inner
+            raise _Decline
     if m.how != "inner" and not m.comma_form and rest:
-        # extra ON conjuncts change outer/semi/anti match semantics;
-        # only the pure spatial form is certified
-        raise _Decline
+        # extra non-spatial ON conjuncts likewise refine the inner core
+        # (round 10; previously a blanket decline that left vanilla
+        # ERRORING on any outer/semi/anti python-UDF join)
+        inner_refines.extend(rest)
+        rest = []
     if spatial.kind == "knn" and m.how != "inner":
         raise _Decline
 
@@ -775,7 +793,27 @@ def _rewrite(spark, sql, toks, vanilla_sql):
         da, dc = spatial.dist_col
         spatial.dist_col_resolved = (da, out_name(da, dc))
 
-    joined = _build_join(spark, m, spatial, ldf, rdf_r, g1, g2)
+    if inner_refines and m.how != "inner":
+        # lattice modes with extra conjuncts (round 10): build the
+        # candidate join as INNER, filter it with the exact per-row
+        # conjuncts (mapped onto the view's output names), then derive
+        # the requested mode from row-id match tracking — semantically
+        # `ON (c1 AND c2 AND ...)`, because the refined inner result IS
+        # the true match set and a refine only ever shrinks it.
+        import copy
+        m_inner = copy.copy(m)
+        m_inner.how = "inner"
+        refine_sql = " AND ".join(
+            "( " + _render(map_refs(toks[lo:hi])) + " )"
+            for lo, hi in inner_refines)
+
+        def _refined_inner(l2, r2):
+            return _build_join(spark, m_inner, spatial, l2, r2, g1, g2) \
+                .filter(F.expr(refine_sql))
+
+        joined = _lattice_from_inner(ldf, rdf_r, m.how, _refined_inner)
+    else:
+        joined = _build_join(spark, m, spatial, ldf, rdf_r, g1, g2)
 
     # -------- register the view and rebuild the query text
     # the conf suffix keeps views built under different plan-affecting
