@@ -2344,11 +2344,20 @@ def _q_spatial_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python bbox pass and the layout-side shuffle entirely.  The layout
     write is an index build: it happens once per sf (first call — the
     bench warmup pays it; timed runs and repeat users hit the table)."""
+    tbl = _ensure_cust_layout(spark, sf_dir)
+    from sedona_db_spark.operators.spatial_join import spatial_join_bucketed
+    boxes = spark.table("nation_boxes").select("n_nationkey", "geom")
+    out = spatial_join_bucketed(spark, tbl, boxes, predicate="within")
+    return out.select("c_custkey", "n_nationkey")
+
+
+def _ensure_cust_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or re-attach) the persisted cust_pts bucketed layout for
+    this sf dir once; layout joins and the SQL auto-route share it."""
     import os as _os
 
     from sedona_db_spark.operators.spatial_join import (
-        register_bucketed_layout, spatial_join_bucketed,
-        write_bucketed_layout)
+        register_bucketed_layout, write_bucketed_layout)
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
     tbl = f"cust_pts_layout_{tag}"
     if not spark.catalog.tableExists(tbl):
@@ -2363,13 +2372,80 @@ def _q_spatial_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             write_bucketed_layout(spark.table("cust_pts")
                                   .select("c_custkey", "geom"), tbl,
                                   geom="geom")
-    boxes = spark.table("nation_boxes").select("n_nationkey", "geom")
-    out = spatial_join_bucketed(spark, tbl, boxes, predicate="within")
-    return out.select("c_custkey", "n_nationkey")
+    return tbl
 
 
 _PY["spatial_join_bucketed_within"] = _q_spatial_join_bucketed
 _O["spatial_join_bucketed_within"] = _ORACLE_PIP
+
+
+def _q_spatial_join_bucketed_distance(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Round 10 (r9 verdict #5): distance join over the persisted
+    layout — the cell lookup pads the stored cells by the radius
+    natively (no Python pass on the layout side)."""
+    tbl = _ensure_cust_layout(spark, sf_dir)
+    from sedona_db_spark.operators.spatial_join import spatial_join_bucketed
+    centers = spark.sql("""
+      SELECT n_nationkey,
+             ST_Point(CAST(n_nationkey % 5 AS DOUBLE) * 20.0 + 10.0,
+                      CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 + 10.0) AS geom
+      FROM nation""")
+    out = spatial_join_bucketed(spark, tbl, centers, distance=7.0)
+    return out.select("c_custkey", "n_nationkey")
+
+
+_PY["spatial_join_bucketed_distance"] = _q_spatial_join_bucketed_distance
+_O["spatial_join_bucketed_distance"] = """
+  SELECT c.c_custkey, n.n_nationkey FROM
+  (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px, (c_custkey % 1000) / 10.0 AS py FROM customer) c
+  JOIN (SELECT n_nationkey,
+               CAST(n_nationkey % 5 AS DOUBLE) * 20.0 + 10.0 AS cx,
+               CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 + 10.0 AS cy
+        FROM nation) n
+  ON sqrt(power(c.px - n.cx, 2) + power(c.py - n.cy, 2)) <= 7.0
+"""
+
+
+def _q_spatial_join_bucketed_intersects(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """Round 10 (r9 verdict #5): a second relation predicate over the
+    persisted layout (inclusive point-in-box boundary semantics)."""
+    tbl = _ensure_cust_layout(spark, sf_dir)
+    from sedona_db_spark.operators.spatial_join import spatial_join_bucketed
+    boxes = spark.table("nation_boxes").select("n_nationkey", "geom")
+    out = spatial_join_bucketed(spark, tbl, boxes, predicate="intersects")
+    return out.select("c_custkey", "n_nationkey")
+
+
+_PY["spatial_join_bucketed_intersects"] = _q_spatial_join_bucketed_intersects
+_O["spatial_join_bucketed_intersects"] = """
+  SELECT c.c_custkey, n.n_nationkey FROM
+  (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px, (c_custkey % 1000) / 10.0 AS py FROM customer) c
+  JOIN (SELECT n_nationkey,
+               CAST(n_nationkey % 5 AS DOUBLE) * 20.0 AS x0,
+               CAST(CAST(floor(n_nationkey / 5) AS INT) % 5 AS DOUBLE) * 20.0 AS y0
+        FROM nation) n
+  ON c.px >= n.x0 AND c.px <= n.x0 + 20.0 AND c.py >= n.y0 AND c.py <= n.y0 + 20.0
+"""
+
+
+def _q_sql_layout_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 10 (r9 verdict #4): the SQL front door auto-routes a
+    spatial join onto a registered bucketed layout — the rewrite reads
+    the STORED cells (no per-query Python bbox pass, no exchange above
+    the layout scan) when a bare relation is a layout table whose
+    geometry is the join argument."""
+    tbl = _ensure_cust_layout(spark, sf_dir)
+    return spark.sql(f"""
+      SELECT c.c_custkey, n.n_nationkey
+      FROM {tbl} c JOIN nation_boxes n
+      ON ST_Within(c.geom, n.geom)
+    """)
+
+
+_PY["sql_spatial_join_layout_route"] = _q_sql_layout_route
+_O["sql_spatial_join_layout_route"] = _ORACLE_PIP
 
 
 def _q_spatial_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1244,3 +1244,84 @@ def test_sql_knn_tie_breakers_conf(spark):
             "spark.sedona_db.spatial_join.knn_include_tie_breakers")
     # flipping BACK must not replay the ties=true view from the memo
     assert spark.sql(q).count() == 2
+
+
+def test_sql_auto_route_onto_bucketed_layout(spark):
+    """Round 10 (r9 verdict #4): spark.sql over a bucketed-layout table
+    routes onto the STORED cells via spatial_join_bucketed — results
+    match the grid join exactly, the plan references the stored cells
+    (no per-query Python bbox pass on the layout side), and the layout
+    scan has no shuffle above it (broadcast or bucket-aligned join)."""
+    _prep(spark)
+    from sedona_db_spark.operators.spatial_join import write_bucketed_layout
+    spark.sql("DROP TABLE IF EXISTS t_sql_route")
+    write_bucketed_layout(
+        spark.table("cust_pts").select("c_custkey", "geom"),
+        "t_sql_route", geom="geom")
+    df = spark.sql("""
+      SELECT c.c_custkey, n.n_nationkey
+      FROM t_sql_route c JOIN nation_boxes n
+      ON ST_Within(c.geom, n.geom)
+    """)
+    assert getattr(df, "_sedona_rewritten_sql", None) is not None
+    got = _rows(df, ["c_custkey", "n_nationkey"])
+    want = _rows(spark.sql(INNER_Q), ["c_custkey", "n_nationkey"])
+    assert got == want and len(got) > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__rcell" in plan, plan          # stored-cell route fired
+    # the layout side is never bbox-decoded in Python (the only pandas
+    # kernel inputs are the build side's constructed geometry)
+    assert "_bbox_cls_kernel_planar(geom#" not in plan, plan
+    # no shuffle above the layout scan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+    # right-side layout (inner): transposed predicate, same rows
+    df2 = spark.sql("""
+      SELECT n.n_nationkey, c.c_custkey
+      FROM nation_boxes n JOIN t_sql_route c
+      ON ST_Contains(n.geom, c.geom)
+    """)
+    assert _rows(df2, ["c_custkey", "n_nationkey"]) == want
+
+    # lattice over the layout: semi/anti keys partition the table
+    semi = spark.sql("""
+      SELECT c.c_custkey FROM t_sql_route c
+      LEFT SEMI JOIN nation_boxes n ON ST_Within(c.geom, n.geom)
+    """)
+    anti = spark.sql("""
+      SELECT c.c_custkey FROM t_sql_route c
+      LEFT ANTI JOIN nation_boxes n ON ST_Within(c.geom, n.geom)
+    """)
+    matched = {k for k, _ in want}
+    n_all = spark.table("cust_pts").count()
+    semi_keys = sorted(r["c_custkey"] for r in semi.collect())
+    assert semi_keys == sorted(matched)
+    assert anti.count() == n_all - len(matched)
+
+
+def test_bucketed_layout_distance_and_intersects(spark):
+    """Round 10 (r9 verdict #5): layout joins beyond `within` — the
+    distance join pads the stored-cell lookup by the radius natively,
+    and other relation predicates refine from the stored bbox/cls
+    columns; both must equal spatial_join bit-for-bit."""
+    _prep(spark)
+    from sedona_db_spark.operators.spatial_join import (
+        spatial_join, spatial_join_bucketed, write_bucketed_layout)
+    spark.sql("DROP TABLE IF EXISTS t_layout_predext")
+    cust = spark.table("cust_pts").select("c_custkey", "geom")
+    write_bucketed_layout(cust, "t_layout_predext", geom="geom")
+    centers = spark.sql("""
+      SELECT n_nationkey,
+             ST_Point(CAST(n_nationkey % 5 AS DOUBLE) * 20.0 + 10.0,
+                      CAST(CAST(floor(n_nationkey / 5) AS INT) % 5
+                           AS DOUBLE) * 20.0 + 10.0) AS geom
+      FROM nation""")
+    for kw in (dict(distance=7.0), dict(predicate="intersects"),
+               dict(predicate="covered_by")):
+        other = centers if "distance" in kw else \
+            spark.table("nation_boxes").select("n_nationkey", "geom")
+        ref = spatial_join(cust, other, **kw)
+        got = spatial_join_bucketed(spark, "t_layout_predext", other, **kw)
+        a = sorted((r["c_custkey"], r["n_nationkey"]) for r in got.collect())
+        b = sorted((r["c_custkey"], r["n_nationkey"]) for r in ref.collect())
+        assert a == b and len(a) > 0, kw
