@@ -79,6 +79,13 @@ def geography_dwithin_join(build: DataFrame, probe: DataFrame,
     Pass the SMALLER side as `build` (it stays one-row-per-cell; the
     probe side fans out to its covering cells).  Returns all columns of
     both inputs plus `geo_dist_m`."""
+    if max_lat != 88.0:
+        import warnings
+        warnings.warn(
+            "geography_dwithin_join(max_lat=...) is deprecated and "
+            "ignored: the longitude pad uses the true band latitude (a "
+            "fixed clamp under-padded the polar band and dropped pairs)",
+            DeprecationWarning, stacklevel=2)
     cell = dist_m / M_PER_DEG                   # grid step in degrees (lat)
     ncx = int(math.ceil(360.0 / cell))          # lon cells wrap modulo ncx
     # exact-tiling longitude step: ncx * lon_cell == 360 exactly, so
@@ -112,14 +119,16 @@ def geography_dwithin_join(build: DataFrame, probe: DataFrame,
     # which any plan must pair up.
     fan_cap = 8192
     polar_cond = F.lit(False)
-    band_cut = 91.0                       # unreachable unless set below
-    if ncx > fan_cap:
+    has_polar = False                     # gate the union branch (ADVICE
+    band_cut = 91.0                       # r9: cos_cut>=1 left a dead
+    if ncx > fan_cap:                     # always-empty crossJoin node)
         # lon_pad > X  <=>  cos(band) < sin(r/2)/sin(X/2), band = |lat|+pad
         x_half = math.radians(min(fan_cap * lon_cell / 2.0, 179.9)) / 2.0
         cos_cut = math.sin(r / 2.0) / math.sin(x_half)
         if cos_cut < 1.0:
             band_cut = math.degrees(math.acos(cos_cut))
             polar_cond = (F.abs(lat) + lat_pad) >= F.lit(band_cut)
+            has_polar = True
     cxs = F.array_distinct(F.transform(
         F.sequence(lo_c, hi_c),
         lambda x: F.pmod(x, F.lit(ncx))))
@@ -133,7 +142,7 @@ def geography_dwithin_join(build: DataFrame, probe: DataFrame,
     out = joined.where(d <= F.lit(float(dist_m))) \
                 .withColumn("geo_dist_m", d) \
                 .drop("_cx", "_cy")
-    if ncx > fan_cap:
+    if has_polar:
         # a build match can sit lat_pad below the LOWEST polar probe
         # (which is itself at band_cut - lat_pad): reach down a full
         # 2*lat_pad, not one — one pad dropped boundary pairs the old
@@ -523,6 +532,62 @@ def geography_relation_join(
             l2, r2, left_geom, g2, predicate, distance_m, cell_deg))
 
 
+def _skew_hot_cells(ldf: DataFrame, g1: str, cover_pad, spark) -> dict:
+    """Sampled per-cell histogram of the probe side's cover cells:
+    ``{cell_id: n_salts}`` for cells whose ESTIMATED row count exceeds
+    the skew target (round 10, r9 verdict #6 — the equal-angle grid's
+    documented production risk: clustered data puts most rows in ONE
+    cell = one shuffle partition = one straggler task).
+
+    Balance-only (a missed hot cell costs a straggler, never a row),
+    so the verdict is memoized on the analyzed-plan hash like the
+    planar grid edges.  Confs:
+
+    - ``spark.sedona_db.geography_join.skew_salting``: auto (default)
+      runs the 1%-sample detection only when plan stats put the probe
+      side above ~256 MB OR the target was set explicitly; ``off``
+      disables.
+    - ``spark.sedona_db.geography_join.skew_target_rows``: rows per
+      task the salting aims for (default 2,000,000)."""
+    mode = str(spark.conf.get(
+        "spark.sedona_db.geography_join.skew_salting", "auto")).lower()
+    if mode in ("off", "false", "0"):
+        return {}
+    explicit = True
+    try:
+        target = int(spark.conf.get(
+            "spark.sedona_db.geography_join.skew_target_rows", ""))
+    except (ValueError, TypeError):
+        target, explicit = 2_000_000, False
+    from sedona_db_spark.operators.spatial_join import (_plan_key,
+                                                        _stats_memo_get,
+                                                        _stats_memo_put)
+    key = ("geoskew", _plan_key(ldf), g1, target)
+    memo = _stats_memo_get(key)
+    if memo is not None:
+        return dict(memo)
+    if not explicit:
+        from sedona_db_spark.plans.width import planned_size_bytes
+        sz = planned_size_bytes(ldf)
+        if sz is not None and sz < (256 << 20):
+            return {}
+    frac = 0.01
+    try:
+        rows = (ldf.sample(fraction=frac, seed=7)
+                .withColumn("__gc", F.explode(cover_pad(F.col(g1))))
+                .groupBy("__gc").count()
+                .filter(F.col("count") > float(target) * frac)
+                .orderBy(F.desc("count")).limit(256).collect())
+    except Exception:
+        return {}
+    hot = {}
+    for r in rows:
+        est = int(r["count"] / frac)
+        hot[int(r["__gc"])] = int(min(max(est // target + 1, 2), 64))
+    _stats_memo_put(key, dict(hot))
+    return hot
+
+
 def _geography_relation_inner(ldf: DataFrame, rdf_r: DataFrame, g1: str,
                               g2: str, predicate: str,
                               distance_m: float | None,
@@ -547,7 +612,33 @@ def _geography_relation_inner(ldf: DataFrame, rdf_r: DataFrame, g1: str,
     rt = rdf_r.withColumn("__gcr", cover(F.col(g2)))
     le = lt.withColumn("__gc", F.explode("__gcl"))
     re_ = rt.withColumn("__gc", F.explode("__gcr"))
-    cand = le.join(re_, "__gc")
+    spark = ldf.sparkSession
+    hot = _skew_hot_cells(ldf, g1, cover_pad, spark)
+    if hot:
+        # two-level key for hot cells: probe rows take ONE content-
+        # derived salt, build rows replicate across that cell's salt
+        # space — each pair still meets exactly once, so multiplicity
+        # and the smallest-shared-cell dedup below are unchanged; max
+        # task input drops to ~hot_rows/n_salts + replicated build rows
+        hot_df = spark.createDataFrame(
+            [(int(c), int(s)) for c, s in sorted(hot.items())],
+            "__hc long, __ns long")
+        zero = F.lit(0).cast("long")
+        le = (le.join(F.broadcast(hot_df),
+                      le["__gc"] == F.col("__hc"), "left")
+                .withColumn("__gsalt", F.when(
+                    F.col("__ns").isNotNull(),
+                    F.pmod(F.xxhash64(F.col(g1)), F.col("__ns")))
+                    .otherwise(zero))
+                .drop("__hc", "__ns"))
+        re_ = (re_.join(F.broadcast(hot_df),
+                        re_["__gc"] == F.col("__hc"), "left")
+                  .withColumn("__gsalt", F.explode(F.sequence(
+                      zero, F.coalesce(F.col("__ns") - 1, zero))))
+                  .drop("__hc", "__ns"))
+        cand = le.join(re_, ["__gc", "__gsalt"]).drop("__gsalt")
+    else:
+        cand = le.join(re_, "__gc")
     # multi-cell pair dedup: keep the pair only in the smallest shared
     # cell (native; the shared set is never empty — we joined on one)
     cand = cand.filter(
@@ -557,4 +648,6 @@ def _geography_relation_inner(ldf: DataFrame, rdf_r: DataFrame, g1: str,
                                        F.lit(float(distance_m)))
     else:
         refine = get_udf(_RELATION_SQL[predicate])(F.col(g1), F.col(g2))
-    return cand.filter(refine).drop("__gc", "__gcl", "__gcr")
+    out = cand.filter(refine).drop("__gc", "__gcl", "__gcr")
+    out._sedona_geo_skew_salts = hot        # diagnostics (tests/COVERAGE)
+    return out

@@ -844,6 +844,13 @@ def knn_join_spheroid_partitioned(
     POINT-only: any non-point WKB in the LIMIT probe (or the guarded
     native expression) raises.
     """
+    if max_lat != 88.0:
+        import warnings
+        warnings.warn(
+            "knn_join_spheroid_partitioned(max_lat=...) is deprecated "
+            "and ignored: the round-B re-probe pads with the true band "
+            "latitude (a fixed clamp could return a farther neighbor as "
+            "nearest near the poles)", DeprecationWarning, stacklevel=2)
     from sedona_db_spark.operators.geography_join import (
         M_PER_DEG, R_EARTH_M, haversine_m)
     from sedona_db_spark.operators.spatial_join import bbox_col

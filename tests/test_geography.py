@@ -1069,3 +1069,61 @@ def test_dwithin_polar_branch_bounded_and_correct():
                                   build_lon="blon", build_lat="blat",
                                   probe_lon="plon", probe_lat="plat").collect()
     assert len(got3) == 1, (plat, blat, band_cut)
+
+
+def test_geography_skew_salting_bounds_task_input(spark):
+    """Round 10 (r9 verdict #6): clustered data on the equal-angle grid
+    — one hot cell — gets two-level (cell, salt) keys: the sampled
+    histogram detects the hot cell, probe rows take ONE content-derived
+    salt, build rows replicate across that cell's salt space.  Pins:
+    (a) results identical with salting off, (b) the hot map fires with
+    >= 2 salts, (c) max probe rows per join key drops to ~hot/salts."""
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.operators.geography_join import (
+        _cover_cells_udf, _skew_hot_cells, geography_relation_join)
+    pts = spark.sql("""
+      SELECT id, ST_GeogFromWKT(concat('POINT (',
+               10.0 + CAST(id % 64 AS DOUBLE) * 0.005, ' ',
+               45.0 + CAST(CAST(floor(id / 64) AS INT) % 64
+                           AS DOUBLE) * 0.005, ')')) AS geog
+      FROM range(2500)
+    """)
+    a = pts.select(F.col("id").alias("ka"), "geog")
+    b = pts.select(F.col("id").alias("kb"), "geog")
+    key = "spark.sedona_db.geography_join.skew_target_rows"
+    try:
+        spark.conf.set(key, "300")
+        salted = geography_relation_join(a, b, left_geom="geog",
+                                         right_geom="geog",
+                                         distance_m=900.0)
+        hot = getattr(salted, "_sedona_geo_skew_salts", {})
+        assert hot and max(hot.values()) >= 2, hot
+        got = sorted((r["ka"], r["kb"]) for r in salted.collect())
+        # (c) bounded max task input: replicate the operator's salting
+        # formula over the probe side and measure the largest key group
+        cover = _cover_cells_udf(0.25, pad_m=900.0)
+        exploded = a.withColumn("__gc", F.explode(cover(F.col("geog"))))
+        nsalt = F.create_map(*[x for c, s in sorted(hot.items())
+                               for x in (F.lit(c), F.lit(s))])[F.col("__gc")]
+        keyed = exploded.withColumn(
+            "__salt", F.when(nsalt.isNotNull(),
+                             F.pmod(F.xxhash64(F.col("geog")), nsalt))
+                       .otherwise(F.lit(0)))
+        sizes = keyed.groupBy("__gc", "__salt").count()
+        rows = {(r["__gc"], r["__salt"]): r["count"]
+                for r in sizes.collect()}
+        hot_total = sum(v for (c, _s), v in rows.items() if c in hot)
+        hot_max = max(v for (c, _s), v in rows.items() if c in hot)
+        ns = max(hot.values())
+        assert hot_max <= (hot_total / ns) * 3 + 64, (hot_max, hot_total, ns)
+        spark.conf.set("spark.sedona_db.geography_join.skew_salting", "off")
+        plain = geography_relation_join(a, b, left_geom="geog",
+                                        right_geom="geog",
+                                        distance_m=900.0)
+        assert getattr(plain, "_sedona_geo_skew_salts", None) == {}
+        want = sorted((r["ka"], r["kb"]) for r in plain.collect())
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.unset(key)
+        spark.conf.unset("spark.sedona_db.geography_join.skew_salting")
