@@ -335,7 +335,13 @@ def _refine_udf(predicate: str, distance_expr: bool):
 
         def refine_fast(s1: pd.Series, s2: pd.Series) -> pd.Series:
             r = fast(s1, s2)
-            return r.fillna(False) if r.dtype == object else r
+            if r.dtype == object:
+                # explicit bool build instead of fillna (pandas 2.x
+                # deprecates the silent object->bool downcast there)
+                r = pd.Series([bool(v) if (v is not None and v == v)
+                               else False for v in r],
+                              index=r.index, dtype=bool)
+            return r
         return F.pandas_udf(refine_fast, returnType=T.BooleanType())
     fn = _PREDICATES[predicate]
 
@@ -1200,6 +1206,23 @@ def write_bucketed_layout(df: DataFrame, table: str, geom: str = "geom",
             raise ValueError(
                 f"layout table {table} was written with geom column "
                 f"{meta.get('geom')!r}; cannot append with geom={geom!r}")
+        missing = [k for k in ("xbreaks", "ybreaks", "ny", "buckets")
+                   if k not in meta]
+        if missing:
+            raise ValueError(
+                f"{table} carries {_LAYOUT_PROP} but is missing layout "
+                f"metadata {missing}; rewrite it with "
+                "write_bucketed_layout(mode='overwrite')")
+        if buckets is not None and int(buckets) != int(meta["buckets"]):
+            raise ValueError(
+                f"append to {table} with buckets={buckets} conflicts "
+                f"with the stored bucket count {meta['buckets']}; "
+                "bucket counts are fixed at layout creation")
+        if grid_cells is not None:
+            raise ValueError(
+                f"append to {table} reuses the STORED grid; "
+                "grid_cells cannot be changed on append (re-layout with "
+                "mode='overwrite' to re-grid)")
         xbreaks = [float(v) for v in meta["xbreaks"]]
         ybreaks = [float(v) for v in meta["ybreaks"]]
         ny = int(meta["ny"])

@@ -1005,6 +1005,25 @@ def _build_geography_dwithin(spark, ldf, rdf_r, g1, g2, dist) -> DataFrame:
     return out.select(list(ldf.columns) + list(rdf_r.columns))
 
 
+def _max_radius(m, spatial, ldf, rdf_r) -> float:
+    """Exact MAX of a column-valued radius (shared by the planar and
+    geography column-radius paths — ADVICE r9 #4): ONE pushdown-friendly
+    agg job; parquet column stats usually make it metadata-only for raw
+    columns.  Runs eagerly at plan time and is deliberately NOT
+    memoized on the plan hash: a stale (lower) MAX under changed data
+    would undercut the candidate expansion and silently drop pairs —
+    unlike the memoized grid edges, which are balance-only.  All-NULL /
+    empty radius returns 0.0: candidates at touch-only expansion, then
+    the exact refine drops every row (NULL never satisfies the
+    predicate) — correct empty result."""
+    from pyspark.sql import functions as F
+    da, dcn = spatial.dist_col_resolved
+    side = ldf if da == m.rel1.alias else rdf_r
+    mx = side.agg(F.max(F.col(dcn).cast("double"))).first()[0]
+    d = float(mx) if mx is not None else 0.0
+    return d if d > 0.0 else 0.0
+
+
 def _try_layout_route(spark, m, spatial, ldf, rdf_r, g1, g2):
     """Auto-route a certified spatial join onto a persisted bucketed
     layout (round 10, r9 verdict #4): when one side is a BARE catalog
@@ -1156,16 +1175,9 @@ def _build_join(spark, m, spatial, ldf, rdf_r, g1, g2) -> DataFrame:
             # comparison forms are certified inner-only upstream).
             # Mirrors the planar column-radius path below; reference
             # distance_side, spatial_predicate.rs:44-99.
-            from pyspark.sql import functions as F
             dist = spatial.extra[0]
             if spatial.dist_col is not None:
-                da, dcn = spatial.dist_col_resolved
-                side = ldf if da == m.rel1.alias else rdf_r
-                mx = side.agg(F.max(F.col(dcn).cast("double"))).first()[0]
-                # all-NULL/empty radius: touch-only candidates; the
-                # refine drops every row (NULL never satisfies <) —
-                # correct empty result
-                dist = float(mx) if mx is not None else 0.0
+                dist = _max_radius(m, spatial, ldf, rdf_r)
             if dist < 0.0:
                 dist = 0.0
             builder = lambda l2, r2: _geography_relation_inner(  # noqa: E731
@@ -1205,21 +1217,10 @@ def _build_join(spark, m, spatial, ldf, rdf_r, g1, g2) -> DataFrame:
         dist = spatial.extra[0]
         if spatial.dist_col is not None:
             # column-valued radius: the candidate cut expands every bbox
-            # by the column's exact MAX (one pushdown-friendly column
-            # agg — a sampled max could undercut and silently drop
-            # pairs), and the ORIGINAL conjunct survives as the exact
-            # per-row refine (keep_refine).  Reference distance_side,
-            # spatial_predicate.rs:44-99.
-            from pyspark.sql import functions as F
-            da, dcn = spatial.dist_col_resolved
-            side = ldf if da == m.rel1.alias else rdf_r
-            mx = side.agg(F.max(F.col(dcn).cast("double"))).first()[0]
-            # all-NULL / empty radius column: candidates at touch-only
-            # expansion, the refine then drops every row (NULL radius
-            # never satisfies ST_DWithin) — correct empty result
-            dist = float(mx) if mx is not None else 0.0
-            if dist < 0.0:
-                dist = 0.0
+            # by the column's exact MAX, and the ORIGINAL conjunct
+            # survives as the exact per-row refine (keep_refine).
+            # Reference distance_side, spatial_predicate.rs:44-99.
+            dist = _max_radius(m, spatial, ldf, rdf_r)
         if m.how == "inner":
             # symmetric: index the smaller side (see build-side note below)
             from sedona_db_spark.plans.width import planned_size_bytes

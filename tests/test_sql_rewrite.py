@@ -720,13 +720,21 @@ def test_lattice_right_join_reversed_predicate_transposes(spark):
         _rows_nullsafe(_vanilla(spark, oq), ["c_custkey", "n_nationkey"])
 
 
-def test_lattice_extra_on_conjunct_declines(spark):
-    """Outer/semi/anti modes certify only the pure spatial ON form."""
+def test_lattice_extra_on_conjunct_refines_inner(spark):
+    """Round 10 (was a blanket decline through r9): outer/semi/anti
+    modes with extra non-spatial ON conjuncts refine the inner core
+    before the row-id lattice bookkeeping — semantically ON (c1 AND
+    c2), verified against the arithmetic form."""
     _prep(spark)
     q = (f"SELECT c.c_custkey FROM {_LAT_L} LEFT ANTI JOIN {_LAT_R} "
          "ON ST_Within(c.geom, n.geom) AND n.n_nationkey > 2")
     df = spark.sql(q)
-    assert getattr(df, "_sedona_rewritten_sql", None) is None
+    assert getattr(df, "_sedona_rewritten_sql", None) is not None
+    got = sorted(r["c_custkey"] for r in df.collect())
+    want = sorted(r["c_custkey"] for r in spark.sql(
+        f"SELECT c.c_custkey FROM {_ARITH_L} LEFT ANTI JOIN {_ARITH_R} "
+        f"ON {_ARITH_COND} AND n.n_nationkey > 2").collect())
+    assert got == want and len(got) > 0
 
 
 # ----------------------------------------------------------------------
