@@ -524,3 +524,109 @@ LCC2_ROWS += [
     # ETRS89 / LCC Germany (E-N) (EPSG:4839) — axis-order twin of 5243
     (4839, 51.0, 10.5, _D(48, 40), _D(53, 40), 0.0, 0.0, "GRS80", None),
 ]
+
+# ----------------------------------------------------------------------
+# round-10 tranche (r9 verdict #7): the Xian 1980 Gauss-Krüger block (a
+# code-for-code mirror of the CGCS2000 block on the IAG 1975
+# ellipsoid), Beijing 1954 3-degree GK, Mexico ITRF92 UTM, the
+# remaining NSIDC EASE grids, the classic South American legacy datums
+# (Córrego Alegre / Campo Inchauspe / PSAD56), and a geographic-CRS
+# tranche.  Shifts restate the published EPSG mean transformations
+# (code noted per constant), negated into WGS84 -> local.
+# ----------------------------------------------------------------------
+
+# Córrego Alegre 1970-72 -> WGS84 (EPSG tfm 1074): -205.57, +168.77, -4.12
+WGS84_TO_CORREGO = (205.57, -168.77, 4.12, 0.0, 0.0, 0.0, 0.0)
+# Campo Inchauspe -> WGS84 (EPSG tfm 1528): -148, +136, +90
+WGS84_TO_CAMPO = (148.0, -136.0, -90.0, 0.0, 0.0, 0.0, 0.0)
+# PSAD56 -> WGS84 (EPSG tfm 1201, South America mean): -288, +175, -376
+WGS84_TO_PSAD56 = (288.0, -175.0, 376.0, 0.0, 0.0, 0.0, 0.0)
+# AGD84 -> WGS84 (EPSG tfm 1236): -134, -48, +149
+WGS84_TO_AGD84 = (134.0, 48.0, -149.0, 0.0, 0.0, 0.0, 0.0)
+# AGD66 -> WGS84 (EPSG tfm 15786 simple / national mean): -133, -48, +148
+WGS84_TO_AGD66 = (133.0, 48.0, -148.0, 0.0, 0.0, 0.0, 0.0)
+# NZGD49 -> WGS84 (EPSG tfm 1564): +54.4, -20.1, +183.1
+WGS84_TO_NZGD49 = (-54.4, 20.1, -183.1, 0.0, 0.0, 0.0, 0.0)
+# HD72 -> WGS84 (EPSG tfm 1829): +52.17, -71.82, -14.9
+WGS84_TO_HD72 = (-52.17, 71.82, 14.9, 0.0, 0.0, 0.0, 0.0)
+# CH1903 -> WGS84 (swisstopo / EPSG tfm 1753): +674.4, +15.1, +405.3
+WGS84_TO_CH1903 = (-674.4, -15.1, -405.3, 0.0, 0.0, 0.0, 0.0)
+# CH1903+ -> WGS84 (Bern 1995 zero-point): +674.374, +15.056, +405.346
+WGS84_TO_CH1903P = (-674.374, -15.056, -405.346, 0.0, 0.0, 0.0, 0.0)
+# Monte Mario -> WGS84 (EPSG tfm 1169, Italy mean): -225, -65, +9
+WGS84_TO_MONTEMARIO = (225.0, 65.0, -9.0, 0.0, 0.0, 0.0, 0.0)
+
+TM_ROWS += [
+    # Xian 1980 — 6° GK zones 13-23 (EPSG:2327-2337, FE zone-prefixed)
+    # and CM variants 75E-135E (2338-2348); 3° zones 25-45 (2349-2369)
+    # and CM variants (2370-2390).  No single published Helmert to
+    # WGS84 exists (PROJ's EPSG db carries only regional transforms),
+    # so rows use the null transformation — PROJ's default pipeline.
+    *[(2314 + z, 0.0, 6.0 * z - 3.0, 1.0, z * 1_000_000.0 + 500000.0,
+       0.0, "XIAN80", None) for z in range(13, 24)],
+    *[(2338 + i, 0.0, 75.0 + 6.0 * i, 1.0, 500000.0, 0.0, "XIAN80",
+       None) for i in range(11)],
+    *[(2324 + z, 0.0, 3.0 * z, 1.0, z * 1_000_000.0 + 500000.0,
+       0.0, "XIAN80", None) for z in range(25, 46)],
+    *[(2370 + i, 0.0, 75.0 + 3.0 * i, 1.0, 500000.0, 0.0, "XIAN80",
+       None) for i in range(21)],
+    # Beijing 1954 — 3° GK zones 25-45 (EPSG:2401-2421, FE prefixed)
+    # and CM variants 75E-135E (2422-2442), Krassowsky + the published
+    # mean shift the 6° family already uses
+    *[(2376 + z, 0.0, 3.0 * z, 1.0, z * 1_000_000.0 + 500000.0,
+       0.0, "KRASS", WGS84_TO_BEIJING54) for z in range(25, 46)],
+    *[(2422 + i, 0.0, 75.0 + 3.0 * i, 1.0, 500000.0, 0.0, "KRASS",
+       WGS84_TO_BEIJING54) for i in range(21)],
+    # Mexico ITRF92 / UTM zones 11N-16N (EPSG:4484-4489) — modern
+    # twins of the ITRF2008 series 6366-6371
+    *[(4473 + z, 0.0, 6.0 * z - 183.0, 0.9996, 500000.0, 0.0, "GRS80",
+       None) for z in range(11, 17)],
+    # Córrego Alegre 1970-72 / UTM zones 21S-25S (EPSG:22521-22525)
+    *[(22500 + z, 0.0, 6.0 * z - 183.0, 0.9996, 500000.0, 10000000.0,
+       "INTL24", WGS84_TO_CORREGO) for z in range(21, 26)],
+    # Campo Inchauspe / Argentina fajas 1-7 (EPSG:22191-22197) — same
+    # Gauss-Krüger faja construction as the POSGAR families
+    *[(22190 + n, -90.0, -75.0 + 3.0 * n, 1.0,
+       n * 1_000_000.0 + 500000.0, 0.0, "INTL24", WGS84_TO_CAMPO)
+      for n in range(1, 8)],
+    # PSAD56 / UTM zones 17N-21N (EPSG:24817-24821) and 17S-22S
+    # (EPSG:24877-24882)
+    *[(24800 + z, 0.0, 6.0 * z - 183.0, 0.9996, 500000.0, 0.0,
+       "INTL24", WGS84_TO_PSAD56) for z in range(17, 22)],
+    *[(24860 + z, 0.0, 6.0 * z - 183.0, 0.9996, 500000.0, 10000000.0,
+       "INTL24", WGS84_TO_PSAD56) for z in range(17, 23)],
+]
+
+LAEA_ROWS += [
+    # NSIDC EASE-Grid 1.0 North / South (EPSG:3408/3409) on the
+    # International 1924 authalic sphere, and the WGS84 ellipsoidal
+    # EASE North / South (EPSG:3973/3974)
+    (3408, 90.0, 0.0, 0.0, 0.0, "SPHERE_EASE1", None),
+    (3409, -90.0, 0.0, 0.0, 0.0, "SPHERE_EASE1", None),
+    (3973, 90.0, 0.0, 0.0, 0.0, "WGS84", None),
+    (3974, -90.0, 0.0, 0.0, 0.0, "WGS84", None),
+]
+
+CEA_ROWS += [
+    # WGS 84 / NSIDC EASE-Grid Global (EPSG:3975), lat_ts 30
+    (3975, 30.0, 0.0, 0.0, 0.0, "WGS84", None),
+]
+
+GEOG_ROWS += [
+    (4322, "WGS72", WGS84_TO_WGS72),          # WGS 72
+    (4225, "INTL24", WGS84_TO_CORREGO),       # Córrego Alegre 1970-72
+    (4221, "INTL24", WGS84_TO_CAMPO),         # Campo Inchauspe
+    (4248, "INTL24", WGS84_TO_PSAD56),        # PSAD56
+    (4202, "GRS67", WGS84_TO_AGD66),          # AGD66 (Australian Nat.)
+    (4203, "GRS67", WGS84_TO_AGD84),          # AGD84 (Australian Nat.)
+    (4272, "INTL24", WGS84_TO_NZGD49),        # NZGD49
+    (4237, "GRS67_ORIG", WGS84_TO_HD72),      # HD72
+    (4149, "BESSEL", WGS84_TO_CH1903),        # CH1903
+    (4150, "BESSEL", WGS84_TO_CH1903P),       # CH1903+
+    (4265, "INTL24", WGS84_TO_MONTEMARIO),    # Monte Mario
+    (4618, "GRS67", WGS84_TO_SAD69),          # SAD69
+    (4152, "GRS80", None),                    # NAD83(HARN)
+    (4190, "GRS80", None),                    # POSGAR 98
+    (5340, "GRS80", None),                    # POSGAR 2007
+    (4686, "GRS80", None),                    # MAGNA-SIRGAS
+]

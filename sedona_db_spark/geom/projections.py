@@ -134,6 +134,10 @@ _ELLIPSOIDS = {
     # and the EASE-Grid 1.0 International 1924 authalic sphere
     "SPHERE_ATLAS": (6370997.0, 0.0),
     "SPHERE_EASE1": (6371228.0, 0.0),
+    # round-10 tranche: IAG 1975 (Xian 1980) and the ORIGINAL GRS 1967
+    # (HD72; distinct from the SAD69 "GRS 1967 Modified" 1/f=298.25)
+    "XIAN80": (6378140.0, 1.0 / 298.257),
+    "GRS67_ORIG": (6378160.0, 1.0 / 298.247167427),
 }
 
 

@@ -884,3 +884,69 @@ def test_r9_australian_antarctic_pstereo():
     x, y = p.forward(62.87, -67.6)
     lon, lat = p.inverse(x, y)
     assert abs(float(lon) - 62.87) < 1e-7 and abs(float(lat) - -67.6) < 1e-7
+
+
+def test_registry_exceeds_1200():
+    from sedona_db_spark.geom.projections import _PROJ_REGISTRY
+    assert len(_PROJ_REGISTRY) >= 1200
+
+
+def test_r10_xian80_block_identities():
+    """Round 10: Xian 1980 GK block mirrors CGCS2000 code-for-code —
+    near-identical coordinates (IAG75 vs GRS80 differ by ~3 m in a),
+    exact zone-prefix FE identities in both the 6° and 3° families."""
+    za, zb = _proj("EPSG:2327"), _proj("EPSG:4491")   # 6° zone 13
+    xa, ya = za.forward(75.5, 40.0)
+    xb, yb = zb.forward(75.5, 40.0)
+    assert abs(float(xa) - float(xb)) < 50 and abs(float(ya) - float(yb)) < 50
+    assert (float(xa), float(ya)) != (float(xb), float(yb))
+    xc, yc = _proj("EPSG:2338").forward(75.5, 40.0)   # CM 75E variant
+    assert float(xa) - float(xc) == 13_000_000.0 and float(ya) == float(yc)
+    xd, yd = _proj("EPSG:2354").forward(90.4, 35.0)   # 3° zone 30 (CM 90E)
+    xe, ye = _proj("EPSG:2375").forward(90.4, 35.0)   # 3° CM 90E variant
+    assert float(xd) - float(xe) == 30_000_000.0 and float(yd) == float(ye)
+
+
+def test_r10_beijing54_3deg_matches_6deg_twin():
+    """Beijing 1954 3° CM 75E (2422) is projection-identical to the 6°
+    CM 75E member of the already-verified family (21473): same CM,
+    k0=1, FE 500 km, Krassowsky, same datum shift."""
+    xd, yd = _proj("EPSG:2401").forward(75.2, 30.0)   # 3° zone 25 prefixed
+    xe, ye = _proj("EPSG:2422").forward(75.2, 30.0)   # 3° CM 75E
+    assert float(xd) - float(xe) == 25_000_000.0 and float(yd) == float(ye)
+    xf, yf = _proj("EPSG:21473").forward(75.2, 30.0)  # 6° CM 75E twin
+    assert float(xe) == float(xf) and float(ye) == float(yf)
+
+
+def test_r10_mexico_itrf92_twins_itrf2008():
+    """ITRF92 UTM 11N-16N (4484-4489) are parameter-identical twins of
+    the registered ITRF2008 series (6366-6371)."""
+    for z in range(11, 17):
+        a, b = _proj(f"EPSG:{4473 + z}"), _proj(f"EPSG:{6355 + z}")
+        lon = 6.0 * z - 183.0 + 0.7
+        xa, ya = a.forward(lon, 24.0)
+        xb, yb = b.forward(lon, 24.0)
+        assert float(xa) == float(xb) and float(ya) == float(yb)
+
+
+def test_r10_psad56_and_ease_grids():
+    """PSAD56 N/S FN identity, a hundreds-of-meters datum offset vs
+    WGS84 UTM (published mean is (-288, 175, -376)), and the EASE-Grid
+    1.0 North closed forms (pole at origin; equator ring at R*sqrt(2)
+    for spherical polar LAEA)."""
+    import math
+    n, s = _proj("EPSG:24818"), _proj("EPSG:24878")   # UTM 18 N/S
+    xn, yn = n.forward(-75.3, -5.0)
+    xs, ys = s.forward(-75.3, -5.0)
+    assert float(xn) == float(xs)
+    assert abs((float(ys) - float(yn)) - 10_000_000.0) < 1e-6
+    w = _proj("EPSG:32718")                           # WGS84 UTM 18S
+    xw, yw = w.forward(-75.3, -5.0)
+    assert 50.0 < abs(float(xs) - float(xw)) < 800.0
+    assert 50.0 < abs(float(ys) - float(yw)) < 800.0
+    e = _proj("EPSG:3408")
+    x0, y0 = e.forward(0.0, 90.0)
+    assert abs(float(x0)) < 1e-6 and abs(float(y0)) < 1e-6
+    x1, y1 = e.forward(0.0, 0.0)
+    assert abs(math.hypot(float(x1), float(y1))
+               - 6371228.0 * math.sqrt(2.0)) < 1.0
