@@ -5602,6 +5602,19 @@ _PRIORITY[_PRIORITY.index("multimodal_webp_decode")] = \
     "sql_geography_intersects_join"
 _PRIORITY[_PRIORITY.index("text_pii_redact")] = \
     "sql_geography_dwithin_poly_join"
+# Round 10: the lattice multi-predicate rewrite, the SQL auto-route
+# onto persisted bucketed layouts, and the geography skew lever take
+# three window slots.  The single-predicate left rewrite stays green in
+# replica + pytest (its lattice machinery is the same code the
+# multi-predicate entry now drives harder); remote loading stays
+# in-window via raster_s3_outdb (zarr_http stays green in replica +
+# pytest); TPC-H keeps q1/q3/q4/q5 in-window (q6 stays green in
+# replica + pytest).
+_PRIORITY[_PRIORITY.index("sql_spatial_join_left_rewrite")] = \
+    "sql_two_spatial_predicates_left"
+_PRIORITY[_PRIORITY.index("zarr_http_roundtrip")] = \
+    "sql_spatial_join_layout_route"
+_PRIORITY[_PRIORITY.index("tpch_q6_forecast")] = "geo_skew_join_clustered"
 
 
 def _ordered_names() -> list[str]:

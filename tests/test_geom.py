@@ -692,8 +692,8 @@ def test_ups_and_new_national_grids():
                       * prj.GRS80_A * np.cos(np.radians(sp))
                       / np.sqrt(1 - (prj.GRS80_F * (2 - prj.GRS80_F))
                                 * np.sin(np.radians(sp)) ** 2))
-            grid = float(np.hypot(xb - xa, yb - ya))
-            assert abs(grid / ground - 1.0) < 1e-7, code
+            grid = float(np.hypot(xb - xa, yb - ya)[0])
+            assert abs(grid / float(ground) - 1.0) < 1e-7, code
 
 
 # ----------------------------------------------------------------------
