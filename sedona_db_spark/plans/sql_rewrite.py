@@ -1069,8 +1069,29 @@ def _try_layout_route(spark, m, spatial, ldf, rdf_r, g1, g2):
     first_is_left = spatial.arg_rels[0] == m.rel1.alias
     lay = set(_LAYOUT_COLS)
     m1 = meta_of(m.rel1)
+    m2 = meta_of(m.rel2)
     if m1 is not None and m1.get("geom") == g1:
         lt_cols = set(spark.table(m.rel1.text).columns)
+        if m2 is not None:
+            # BOTH sides are layouts: the right side must be passed as
+            # its TABLE NAME so the bucketed operator reads its stored
+            # cells (same grid -> zero-exchange SMJ) — passing rdf_r
+            # would feed the PHYSICAL per-cell copies as rows and
+            # duplicate pairs for multi-cell geometries.  Requires the
+            # rewrite to have renamed nothing and a clean column split.
+            rt_cols = set(spark.table(m.rel2.text).columns)
+            ok = (g2 == m2.get("geom")
+                  and set(rdf_r.columns) <= rt_cols
+                  and not (set(rdf_r.columns) & lay)
+                  and not ((rt_cols - lay) & (lt_cols - lay)))
+            if ok and not (set(ldf.columns) & lay):
+                p = pred if (first_is_left or dist is not None) \
+                    else _TRANSPOSE.get(pred)
+                if p is not None:
+                    return spatial_join_bucketed(
+                        spark, m.rel1.text, m.rel2.text,
+                        predicate=p, distance=dist, how=m.how)
+            return None
         if not (set(rdf_r.columns) & lt_cols) \
                 and not (set(ldf.columns) & lay):
             if first_is_left or dist is not None:
@@ -1083,7 +1104,6 @@ def _try_layout_route(spark, m, spatial, ldf, rdf_r, g1, g2):
                     predicate=p, distance=dist, how=m.how)
     if m.how != "inner":
         return None
-    m2 = meta_of(m.rel2)
     if m2 is not None and g2 == m2.get("geom"):
         # right-side layout: only when the rewrite renamed nothing
         # (else the rebuilt text references names the layout join

@@ -1333,3 +1333,40 @@ def test_bucketed_layout_distance_and_intersects(spark):
         a = sorted((r["c_custkey"], r["n_nationkey"]) for r in got.collect())
         b = sorted((r["c_custkey"], r["n_nationkey"]) for r in ref.collect())
         assert a == b and len(a) > 0, kw
+
+
+def test_sql_two_layout_join_uses_stored_cells(spark):
+    """Round 10: when BOTH relations are layout tables the route passes
+    the right side by TABLE NAME so the bucketed operator reads its
+    stored cells — passing the resolved DataFrame would feed the
+    physical per-cell copies and duplicate pairs for multi-cell
+    (polygon) geometries.  Multiplicity must equal the original-rows
+    join exactly."""
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.operators.spatial_join import write_bucketed_layout
+    _prep(spark)
+    spark.sql("DROP TABLE IF EXISTS t_lay_pts2")
+    spark.sql("DROP TABLE IF EXISTS t_lay_boxes2")
+    write_bucketed_layout(
+        spark.table("cust_pts").select("c_custkey", "geom"),
+        "t_lay_pts2", geom="geom")
+    write_bucketed_layout(
+        spark.table("nation_boxes")
+        .select("n_nationkey", F.col("geom").alias("bgeom")),
+        "t_lay_boxes2", geom="bgeom")
+    # sanity: the polygon layout really stores multi-cell copies
+    n_phys = spark.table("t_lay_boxes2").count()
+    n_orig = spark.table("nation_boxes").count()
+    assert n_phys > n_orig, (n_phys, n_orig)
+    df = spark.sql("""
+      SELECT c.c_custkey, n.n_nationkey
+      FROM t_lay_pts2 c JOIN t_lay_boxes2 n
+      ON ST_Within(c.geom, n.bgeom)
+    """)
+    assert getattr(df, "_sedona_rewritten_sql", None) is not None
+    got = _rows(df, ["c_custkey", "n_nationkey"])
+    want = _rows(spark.sql(INNER_Q), ["c_custkey", "n_nationkey"])
+    assert got == want and len(got) > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__rcell" in plan or "right___cell" in plan, plan
