@@ -1370,3 +1370,34 @@ def test_sql_two_layout_join_uses_stored_cells(spark):
     assert got == want and len(got) > 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "__rcell" in plan or "right___cell" in plan, plan
+
+
+def test_sql_layout_route_dwithin_literal(spark):
+    """Round 10: ST_DWithin with a literal radius over a layout table
+    routes onto the stored cells with the radius-padded lookup."""
+    _prep(spark)
+    from sedona_db_spark.operators.spatial_join import write_bucketed_layout
+    spark.sql("DROP TABLE IF EXISTS t_lay_dw")
+    write_bucketed_layout(
+        spark.table("cust_pts").select("c_custkey", "geom"),
+        "t_lay_dw", geom="geom")
+    df = spark.sql("""
+      SELECT a.c_custkey, b.s_suppkey
+      FROM t_lay_dw a JOIN (
+        SELECT s_suppkey, ST_Point(abs(s_acctbal) % 100.0,
+                                   (s_suppkey % 1000) / 10.0) AS sgeom
+        FROM supplier) b
+      ON ST_DWithin(a.geom, b.sgeom, 4.0)
+    """)
+    assert getattr(df, "_sedona_rewritten_sql", None) is not None
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__rcell" in plan, plan       # stored-cell route fired
+    got = _rows(df, ["c_custkey", "s_suppkey"])
+    want = _rows(spark.sql("""
+      SELECT c.c_custkey, s.s_suppkey FROM
+      (SELECT c_custkey, px, py FROM cust_pts) c
+      JOIN (SELECT s_suppkey, abs(s_acctbal) % 100.0 AS px,
+                   (s_suppkey % 1000) / 10.0 AS py FROM supplier) s
+      ON sqrt(power(c.px - s.px, 2) + power(c.py - s.py, 2)) <= 4.0
+    """), ["c_custkey", "s_suppkey"])
+    assert got == want and len(got) > 0
