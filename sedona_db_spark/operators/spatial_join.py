@@ -452,7 +452,22 @@ def _point_constructor_certified(df: DataFrame, geom_col: str) -> bool:
     certificate the straggler branch is provably empty and is not built
     at all, restoring the pure whole-stage-codegen plan.  Conservative:
     any parse doubt returns False and the per-row WKB-header split
-    handles correctness instead."""
+    handles correctness instead.
+
+    Memoized on the analyzed-plan semantic hash: the verdict derives
+    from the PLAN's alias structure alone (never from data), so a memo
+    hit under changed data is still exact — the constructor runs per
+    row whatever the rows are."""
+    mkey = ("ptcert", _plan_key(df), geom_col)
+    memo = _stats_memo_get(mkey)
+    if memo is not None:
+        return memo
+    res = _point_constructor_certified_impl(df, geom_col)
+    _stats_memo_put(mkey, res)
+    return res
+
+
+def _point_constructor_certified_impl(df: DataFrame, geom_col: str) -> bool:
     try:
         qe = df._jdf.queryExecution().analyzed()
         out = qe.output()
