@@ -2055,3 +2055,56 @@ def test_knn_partitioned_ids_pinned_above_shuffle(spark, cust_pts):
     a = sorted((r["c_custkey"], r["oid"]) for r in ref.collect())
     b = sorted((r["c_custkey"], r["oid"]) for r in got.collect())
     assert a == b and len(a) == 2 * base.count()
+
+
+def test_rect_fast_path_random_mixed_wkb(spark, boxes):
+    """Round 10 hardening: randomized mixed probe corpus — LE points,
+    BE points, Z points, empty points (NaN coords), linestrings,
+    polygons — where the first 80 rows are plain points (so the 64-row
+    probe certifies the split path).  Fast-path results must equal the
+    general refine bit-for-bit for every supported predicate: BE points
+    take the codegen branch via the BE header, Z/empty/non-point rows
+    take the exact branch, NaN bboxes drop under Spark NaN ordering
+    exactly like the kernel verdict."""
+    import random
+    import struct
+
+    from sedona_db_spark.operators.spatial_join import spatial_join
+
+    def le_pt(x, y):
+        return b"\x01\x01\x00\x00\x00" + struct.pack("<dd", x, y)
+
+    def be_pt(x, y):
+        return b"\x00\x00\x00\x00\x01" + struct.pack(">dd", x, y)
+
+    def z_pt(x, y):
+        return b"\x01\xe9\x03\x00\x00" + struct.pack("<ddd", x, y, 1.0)
+
+    def empty_pt(x, y):
+        return le_pt(float("nan"), float("nan"))
+
+    def ls(x, y):
+        return (b"\x01\x02\x00\x00\x00" + struct.pack("<I", 2)
+                + struct.pack("<dddd", x, y, x + 3.0, y + 3.0))
+
+    def poly(x, y):
+        ring = [(x, y), (x + 2, y), (x + 2, y + 2), (x, y + 2), (x, y)]
+        return (b"\x01\x03\x00\x00\x00" + struct.pack("<II", 1, 5)
+                + b"".join(struct.pack("<dd", a, b) for a, b in ring))
+
+    rnd = random.Random(20260816)
+    kinds = [le_pt, be_pt, z_pt, empty_pt, ls, poly]
+    rows = []
+    for i in range(400):
+        x, y = rnd.uniform(-5.0, 105.0), rnd.uniform(-5.0, 105.0)
+        fn = le_pt if i < 80 else kinds[i % len(kinds)]
+        rows.append((i, bytearray(fn(x, y))))
+    left = spark.createDataFrame(rows, "pid long, geom binary")
+    right = boxes.select("n_nationkey", "geom")
+    for pred in ("within", "intersects", "covered_by"):
+        fast = spatial_join(left, right, predicate=pred)
+        slow = spatial_join(left, right, predicate=pred,
+                            rect_fast_path=False)
+        a = sorted((r["pid"], r["n_nationkey"]) for r in fast.collect())
+        b = sorted((r["pid"], r["n_nationkey"]) for r in slow.collect())
+        assert a == b and len(a) > 0, pred
