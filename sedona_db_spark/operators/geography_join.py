@@ -566,12 +566,17 @@ def _skew_hot_cells(ldf: DataFrame, g1: str, cover_pad, spark) -> dict:
     memo = _stats_memo_get(key)
     if memo is not None:
         return dict(memo)
-    if not explicit:
-        from sedona_db_spark.plans.width import planned_size_bytes
-        sz = planned_size_bytes(ldf)
-        if sz is not None and sz < (256 << 20):
-            return {}
+    from sedona_db_spark.plans.width import planned_size_bytes
+    sz = planned_size_bytes(ldf)
+    if not explicit and sz is not None and sz < (256 << 20):
+        return {}
+    # fixed sample VOLUME, not fraction: 1% of a 100 TB probe would be
+    # a terabyte-scale decode per planning — aim at ~256 MB of sampled
+    # input instead (hot cells at the 2M-row target are still hundreds
+    # of sampled rows there)
     frac = 0.01
+    if sz is not None and sz > 0:
+        frac = max(min(0.01, (256 << 20) / sz), 1e-6)
     try:
         rows = (ldf.sample(fraction=frac, seed=7)
                 .withColumn("__gc", F.explode(cover_pad(F.col(g1))))
