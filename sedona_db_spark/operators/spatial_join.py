@@ -808,6 +808,9 @@ def spatial_join(
         cand = lb.join(F.broadcast(rb), cond, "inner")
         fast = _rect_fast_refine(cand, left, left_geom, rb, rgeom,
                                  predicate, distance, rect_fast_path)
+        if fast is None and rect_fast_path:
+            fast = _dwithin_fast_refine(cand, left, left_geom, rb, rgeom,
+                                        distance)
         if fast is not None:
             return fast.drop("__lbox", "__rbox")
         joined = _apply_refine(cand, left_geom, rgeom, predicate, distance)
@@ -930,6 +933,9 @@ def spatial_join(
         if sz is not None and sz < (64 << 20):
             joined = _rect_fast_refine(cand, left, left_geom, rb, rgeom,
                                        predicate, distance, True)
+    if joined is None and rect_fast_path:
+        joined = _dwithin_fast_refine(cand, left, left_geom, rb, rgeom,
+                                      distance)
     if joined is None:
         joined = _apply_refine(cand, left_geom, rgeom, predicate, distance)
     return joined.drop("__lbox", "__rbox", "__lcell", "__rcell")
@@ -1144,6 +1150,34 @@ def _apply_refine(cand: DataFrame, lgeom: str, rgeom: str,
         return cand.filter(udf(F.col(lgeom), F.col(rgeom), F.lit(float(distance))))
     udf = _refine_udf(predicate, False)
     return cand.filter(udf(F.col(lgeom), F.col(rgeom)))
+
+
+def _dwithin_fast_refine(cand: DataFrame, left: DataFrame, left_geom: str,
+                         rb: DataFrame, rgeom: str,
+                         distance: float | None) -> DataFrame | None:
+    """Certified point-point distance refine in pure codegen (round 10,
+    the rect fast path's certificate applied to dwithin): when BOTH
+    sides are provably 2-argument ST_Point outputs, the exact predicate
+    IS ``(dx^2 + dy^2) <= d^2`` over the bbox min corners (a point's
+    bbox is the point) — the same squared-distance comparison the
+    vectorized kernel computes, so boundary semantics are identical,
+    and NaN coordinates fail the <= exactly like the kernel's False.
+
+    Certificate-only by design: a per-row WKB-header split here would
+    need a MIXED-side gate (NOT(l_point AND r_point)), which Catalyst
+    cannot push below the join — the straggler branch would ship every
+    candidate through ArrowEvalPython, the exact r9 regression shape.
+    Uncertified inputs keep the vectorized kernel refine."""
+    if distance is None:
+        return None
+    if not (_point_constructor_certified(left, left_geom)
+            and _point_constructor_certified(rb, rgeom)):
+        return None
+    lx, ly = F.col("__lbox.xmin"), F.col("__lbox.ymin")
+    rx, ry = F.col("__rbox.xmin"), F.col("__rbox.ymin")
+    dx, dy = lx - rx, ly - ry
+    return cand.filter(
+        (dx * dx + dy * dy) <= F.lit(float(distance) * float(distance)))
 
 
 def distance_join(left, right, left_geom="geom", right_geom="geom",
@@ -1495,6 +1529,32 @@ def spatial_join_bucketed(
                 joined = _rect_fast_refine(
                     cand2, l_tagged, left_geom, rb_clean,
                     rgeom, predicate, distance, True)
+        if joined is None and distance is not None and rect_fast_path:
+            # layout distance refine as three NATIVE branches: the
+            # stored shape class gates the left side (a plain column —
+            # pushes below the join with zero Python), the WKB header
+            # gates the right, and only genuinely non-point pairs reach
+            # the exact kernel.  The general operator cannot do this
+            # per row (its left gate would re-run the bbox UDF on
+            # pushdown); the layout's materialized __bcls is exactly
+            # what makes the split free here.
+            lx, ly = F.col("__bx0"), F.col("__by0")
+            rx, ry = F.col("__rbox.xmin"), F.col("__rbox.ymin")
+            dx, dy = lx - rx, ly - ry
+            d2 = F.lit(float(distance) * float(distance))
+            formula = (dx * dx + dy * dy) <= d2
+            is_r = _wkb_point2d(F.col(rgeom))
+            exact = _refine_udf("dwithin", True)(
+                F.col(left_geom), F.col(rgeom), F.lit(float(distance)))
+            pts = cand.filter(
+                (F.col("__bcls") == 1)
+                & F.when(is_r, formula).otherwise(F.lit(False)))
+            s_a = cand.filter(F.col("__bcls") != 1) \
+                      .filter(F.coalesce(exact, F.lit(False)))
+            s_b = cand.filter((F.col("__bcls") == 1)
+                              & ~F.coalesce(is_r, F.lit(False))) \
+                      .filter(F.coalesce(exact, F.lit(False)))
+            joined = pts.unionByName(s_a).unionByName(s_b)
         if joined is None:
             joined = _apply_refine(cand, left_geom, rgeom, predicate,
                                    distance)

@@ -2108,3 +2108,70 @@ def test_rect_fast_path_random_mixed_wkb(spark, boxes):
         a = sorted((r["pid"], r["n_nationkey"]) for r in fast.collect())
         b = sorted((r["pid"], r["n_nationkey"]) for r in slow.collect())
         assert a == b and len(a) > 0, pred
+
+
+def test_dwithin_certified_point_codegen(spark, cust_pts):
+    """Round 10: distance joins over BOTH-sides-certified ST_Point
+    inputs refine in pure codegen ((dx^2+dy^2) <= d^2 over the bbox min
+    corners) — no ArrowEvalPython above the join, no union branch —
+    and must equal the kernel refine bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.operators.spatial_join import spatial_join
+    a = cust_pts.select("c_custkey", "geom").filter("c_custkey < 300")
+    b = cust_pts.select(F.col("c_custkey").alias("k2"), "geom") \
+        .filter("k2 < 300")
+    fast = spatial_join(a, b, distance=5.0)
+    slow = spatial_join(a, b, distance=5.0, rect_fast_path=False)
+    ra = sorted((r["c_custkey"], r["k2"]) for r in fast.collect())
+    rb_ = sorted((r["c_custkey"], r["k2"]) for r in slow.collect())
+    assert ra == rb_ and len(ra) > 0
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan, plan
+    lines = plan.splitlines()
+    join_at = next(i for i, ln in enumerate(lines)
+                   if "Join" in ln or "CartesianProduct" in ln)
+    assert not any("ArrowEvalPython" in ln or "BatchEvalPython" in ln
+                   for ln in lines[:join_at]), plan
+
+
+def test_bucketed_distance_native_split_plan(spark, boxes):
+    """Round 10: the layout distance refine splits on the STORED shape
+    class + the right WKB header — point-point pairs never reach
+    Python; a polygon layout row still gets the exact kernel."""
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.operators.spatial_join import (
+        spatial_join, spatial_join_bucketed, write_bucketed_layout)
+    # mixed layout: points plus a few envelopes
+    pts = spark.sql("""
+      SELECT c_custkey AS id, ST_Point(abs(c_acctbal) % 100.0,
+                                       (c_custkey % 1000) / 10.0) AS geom
+      FROM customer WHERE c_custkey < 400""")
+    envs = spark.sql("""
+      SELECT 100000 + n_nationkey AS id,
+             ST_MakeEnvelope(CAST(n_nationkey % 5 AS DOUBLE) * 20.0,
+                             1.0,
+                             CAST(n_nationkey % 5 AS DOUBLE) * 20.0 + 3.0,
+                             6.0) AS geom
+      FROM nation WHERE n_nationkey < 5""")
+    mixed = pts.unionByName(envs)
+    spark.sql("DROP TABLE IF EXISTS t_lay_dwsplit")
+    write_bucketed_layout(mixed, "t_lay_dwsplit", geom="geom")
+    centers = spark.sql("""
+      SELECT n_nationkey,
+             ST_Point(CAST(n_nationkey % 5 AS DOUBLE) * 20.0 + 10.0,
+                      CAST(CAST(floor(n_nationkey / 5) AS INT) % 5
+                           AS DOUBLE) * 20.0 + 10.0) AS cgeom
+      FROM nation""")
+    got = spatial_join_bucketed(spark, "t_lay_dwsplit", centers,
+                                right_geom="cgeom", distance=9.0)
+    ref = spatial_join(mixed, centers, left_geom="geom",
+                       right_geom="cgeom", distance=9.0,
+                       rect_fast_path=False)
+    ga = sorted((r["id"], r["n_nationkey"]) for r in got.collect())
+    gb = sorted((r["id"], r["n_nationkey"]) for r in ref.collect())
+    assert ga == gb and len(ga) > 0
+    assert any(k >= 100000 for k, _ in ga)   # an envelope matched
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan, plan             # three-branch split fired
