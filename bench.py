@@ -93,6 +93,13 @@ HEADLINE = [
     # other plan is vanilla's pair-explosion, 107x slower at sf0.1).
     # NEW in r9 — excluded from core32_sec.
     "sql_geography_intersects_join",
+    # round-10: layout distance join (stored-cell radius-padded lookup,
+    # three-branch native refine), multi-predicate lattice through SQL,
+    # and the skew-salted clustered geography join.  NEW in r10 —
+    # excluded from core32_sec.
+    "spatial_join_bucketed_distance",
+    "sql_two_spatial_predicates_left",
+    "geo_skew_join_clustered",
 ]
 
 # Isolation groups: one subprocess (fresh JVM + python workers) each.
@@ -109,7 +116,10 @@ GROUPS: dict[str, list[str]] = {
     "spatial_join": ["spatial_join_grid_within",
                      "spatial_join_broadcast_within",
                      "spatial_join_bucketed_within",
+                     "spatial_join_bucketed_distance",
                      "sql_geography_intersects_join",
+                     "sql_two_spatial_predicates_left",
+                     "geo_skew_join_clustered",
                      "predicates_random_100k", "knn_join_k3",
                      "knn_join_polygons_k2"],
     "text_dedup": ["text_token_stats", "text_quality_score",
@@ -267,7 +277,10 @@ def main() -> None:
     # number comparable to value=23.921 there.
     r7_new = (set(GROUPS["assembly"]) | set(GROUPS["web"])
               | {"spatial_join_bucketed_within",
-                 "sql_geography_intersects_join"})
+                 "sql_geography_intersects_join",
+                 "spatial_join_bucketed_distance",
+                 "sql_two_spatial_predicates_left",
+                 "geo_skew_join_clustered"})
     core32 = sum(v for k, v in timings.items() if v > 0 and k not in r7_new)
     load1 = _loadavg()
     # The driver keeps only the LAST ~2000 chars of stdout: the r9 line
