@@ -3079,53 +3079,54 @@ _O["geo_dwithin_join"] = """
 
 
 def _q_geo_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round 10 (r9 verdict #6): clustered geography join through the
-    two-level skew salting — every point sits in ONE coarse grid cell
-    (a ~0.4x0.4 deg metro cluster on the join's auto-scaled grid), the
-    sampled histogram detects the hot cell, probe rows take a content-
-    derived salt and build rows replicate across the salt space.  Pair
-    results are salting-invariant (pinned in pytest with a bounded
-    max-task-input assertion); the oracle is the exact haversine pair
-    set on the same sphere."""
-    from pyspark.sql import functions as F
+    """Round 10 (r9 verdict #6): clustered geography RELATION join
+    through the two-level skew salting.  A relation join's grid scale
+    comes from the BUILD polygons' extents (1 deg here), so the
+    metro-sized probe cluster (~1.3 x 0.65 deg) lands in one or two hot
+    cells; the sampled histogram detects them, probe rows take a
+    content-derived salt, build rows replicate across the salt space.
+    (dwithin joins no longer hit this shape: their grid is
+    radius-scaled — the round-10 bench catch that replaced the 0.25-deg
+    floor.)  Results are salting-invariant (pinned in pytest with a
+    bounded max-task-input assertion); the oracle is planar box
+    membership, unambiguous because every point is >= 5 millidegrees
+    from any polygon edge while a 1-degree great-circle edge bulges
+    < 1 millidegree."""
     from sedona_db_spark.operators.geography_join import \
         geography_relation_join
     pts = spark.sql("""
-      SELECT c_custkey, ST_GeogFromWKT(concat('POINT (',
-               10.0 + CAST(c_custkey % 40 AS DOUBLE) * 0.01, ' ',
-               45.0 + CAST(CAST(floor(c_custkey / 40) AS INT) % 40
-                           AS DOUBLE) * 0.01, ')')) AS geog
+      SELECT c_custkey AS ka, ST_GeogFromWKT(concat('POINT (',
+               10.005 + CAST(c_custkey % 128 AS DOUBLE) * 0.01, ' ',
+               45.005 + CAST(CAST(floor(c_custkey / 128) AS INT) % 64
+                             AS DOUBLE) * 0.01, ')')) AS geog
       FROM customer
     """)
-    a = pts.select(F.col("c_custkey").alias("ka"), "geog")
-    b = pts.select(F.col("c_custkey").alias("kb"), "geog")
+    polys = spark.sql("""
+      SELECT CAST(id AS INT) AS poly_id, ST_GeogFromWKT(concat(
+               'POLYGON ((', 10 + 2 * id, ' 45, ', 11 + 2 * id, ' 45, ',
+               11 + 2 * id, ' 46, ', 10 + 2 * id, ' 46, ',
+               10 + 2 * id, ' 45))')) AS pgeog
+      FROM range(8)
+    """)
     key = "spark.sedona_db.geography_join.skew_target_rows"
     old = spark.conf.get(key, None)
     spark.conf.set(key, "200")
     try:
-        j = geography_relation_join(a, b, left_geom="geog",
-                                    right_geom="geog", distance_m=2500.0)
+        j = geography_relation_join(pts, polys, left_geom="geog",
+                                    right_geom="pgeog",
+                                    predicate="intersects")
     finally:
         if old is None:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
-    return j.filter("ka < kb").select("ka", "kb")
+    return j.select("ka", "poly_id")
 
 
 _PY["geo_skew_join_clustered"] = _q_geo_skew_join
 _O["geo_skew_join_clustered"] = """
-  WITH p AS (SELECT c_custkey AS k,
-                    10.0 + CAST(c_custkey % 40 AS DOUBLE) * 0.01 AS lon,
-                    45.0 + CAST(CAST(floor(c_custkey / 40) AS INT) % 40
-                                AS DOUBLE) * 0.01 AS lat
-             FROM customer)
-  SELECT a.k AS ka, b.k AS kb FROM p a, p b
-  WHERE a.k < b.k
-    AND 2 * 6371008.8 * asin(sqrt(
-          pow(sin(radians(b.lat - a.lat) / 2), 2) +
-          cos(radians(a.lat)) * cos(radians(b.lat)) *
-          pow(sin(radians(b.lon - a.lon) / 2), 2))) <= 2500.0
+  SELECT c_custkey AS ka, 0 AS poly_id FROM customer
+  WHERE 10.005 + CAST(c_custkey % 128 AS DOUBLE) * 0.01 < 11.0
 """
 
 

@@ -336,8 +336,32 @@ def covering_cell_ids(g: Geom, level: int = 8) -> list[int]:
 # pandas-UDF kernels
 # ----------------------------------------------------------------------
 
+def _haversine_m_vec(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Vectorized haversine (same formula/radius as haversine_m)."""
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dp = (p2 - p1) / 2.0
+    dl = np.radians(lon2 - lon1) / 2.0
+    a = np.sin(dp) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dl) ** 2
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.minimum(1.0, np.sqrt(a)))
+
+
 def _pair_metric(dist_fn):
+    vectorize = dist_fn is haversine_m
+
     def run(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        if vectorize and len(s1):
+            # all-tagged-point batch: one frombuffer sweep per side and
+            # a numpy haversine instead of millions of from_wkb calls —
+            # the dominant cost of geography dwithin refines at scale.
+            # Any null / non-point / NaN coordinate falls back per row.
+            from sedona_db_spark.operators.geography_join import \
+                _geog_points_fast
+            p1 = _geog_points_fast(list(s1))
+            p2 = _geog_points_fast(list(s2)) if p1 is not None else None
+            if p1 is not None and p2 is not None and len(p1) == len(p2) \
+                    and not np.isnan(p1).any() and not np.isnan(p2).any():
+                return pd.Series(_haversine_m_vec(
+                    p1[:, 0], p1[:, 1], p2[:, 0], p2[:, 1]))
         out = []
         for a, b in zip(_decode(s1), _decode(s2)):
             if a is None or b is None:
@@ -354,6 +378,14 @@ def _pair_metric(dist_fn):
 def k_dwithin_sphere(s1, s2, d) -> pd.Series:
     D = _coerce(d, len(s1))
     dist = _pair_metric(haversine_m)(s1, s2)
+    if dist.dtype != object:            # vectorized all-point batch
+        dv = pd.to_numeric(D, errors="coerce").to_numpy(dtype=float)
+        res = dist.to_numpy(dtype=float) <= dv
+        out = pd.Series(res, dtype=object)
+        nulls = pd.isna(pd.Series(list(D)))
+        if bool(nulls.any()):
+            out[nulls.to_numpy()] = None
+        return out
     return pd.Series(
         [None if (v is None or dd is None) else bool(v <= float(dd))
          for v, dd in zip(dist, D)], dtype=object)

@@ -607,7 +607,15 @@ def _geography_relation_inner(ldf: DataFrame, rdf_r: DataFrame, g1: str,
 
         def p90(v):
             return v[int(len(v) * 0.9)] if v else 0.0
-        cell_deg = max(p90(e1), p90(e2), pad / M_PER_DEG, 0.25)
+        # scale from the DATA: geometry extents and the search radius.
+        # The 0.25-deg fallback applies ONLY when neither exists (point
+        # relation joins have no natural scale) — flooring a small
+        # dwithin radius at 0.25 deg made the cell ~radius*11 at 2.5 km
+        # and turned a clustered 15k-point join into ~56M candidate
+        # pairs (round-10 bench catch: 195 s at sf0.1; 0.9 s after).
+        cell_deg = max(p90(e1), p90(e2), pad / M_PER_DEG)
+        if cell_deg <= 0.0:
+            cell_deg = 0.25
         cell_deg = min(cell_deg, 30.0)
     cover = _cover_cells_udf(cell_deg)
     cover_pad = _cover_cells_udf(cell_deg, pad_m=pad) if pad > 0.0 \

@@ -1072,40 +1072,53 @@ def test_dwithin_polar_branch_bounded_and_correct():
 
 
 def test_geography_skew_salting_bounds_task_input(spark):
-    """Round 10 (r9 verdict #6): clustered data on the equal-angle grid
-    — one hot cell — gets two-level (cell, salt) keys: the sampled
-    histogram detects the hot cell, probe rows take ONE content-derived
-    salt, build rows replicate across that cell's salt space.  Pins:
-    (a) results identical with salting off, (b) the hot map fires with
-    >= 2 salts, (c) max probe rows per join key drops to ~hot/salts."""
+    """Round 10 (r9 verdict #6): clustered probe points on an
+    extent-scaled relation-join grid — one/two hot cells — get
+    two-level (cell, salt) keys: the sampled histogram detects the hot
+    cells, probe rows take ONE content-derived salt, build rows
+    replicate across that cell's salt space.  Pins: (a) results
+    identical with salting off, (b) the hot map fires with >= 2 salts,
+    (c) max probe rows per join key drops to ~hot/salts.  (dwithin
+    joins scale their grid from the radius and no longer concentrate a
+    cluster into one cell — the round-10 bench catch.)"""
     from pyspark.sql import functions as F
 
     from sedona_db_spark.operators.geography_join import (
-        _cover_cells_udf, _skew_hot_cells, geography_relation_join)
+        _cover_cells_udf, geography_relation_join)
     pts = spark.sql("""
-      SELECT id, ST_GeogFromWKT(concat('POINT (',
-               10.0 + CAST(id % 64 AS DOUBLE) * 0.005, ' ',
-               45.0 + CAST(CAST(floor(id / 64) AS INT) % 64
-                           AS DOUBLE) * 0.005, ')')) AS geog
+      SELECT id AS ka, ST_GeogFromWKT(concat('POINT (',
+               10.005 + CAST(id % 64 AS DOUBLE) * 0.01, ' ',
+               45.005 + CAST(CAST(floor(id / 64) AS INT) % 40
+                             AS DOUBLE) * 0.01, ')')) AS geog
       FROM range(2500)
     """)
-    a = pts.select(F.col("id").alias("ka"), "geog")
-    b = pts.select(F.col("id").alias("kb"), "geog")
+    polys = spark.sql("""
+      SELECT CAST(id AS INT) AS poly_id, ST_GeogFromWKT(concat(
+               'POLYGON ((', 10 + 2 * id, ' 45, ', 11 + 2 * id, ' 45, ',
+               11 + 2 * id, ' 46, ', 10 + 2 * id, ' 46, ',
+               10 + 2 * id, ' 45))')) AS pgeog
+      FROM range(6)
+    """)
     key = "spark.sedona_db.geography_join.skew_target_rows"
     try:
         spark.conf.set(key, "300")
-        salted = geography_relation_join(a, b, left_geom="geog",
-                                         right_geom="geog",
-                                         distance_m=900.0)
+        salted = geography_relation_join(pts, polys, left_geom="geog",
+                                         right_geom="pgeog",
+                                         predicate="intersects")
         hot = getattr(salted, "_sedona_geo_skew_salts", {})
         assert hot and max(hot.values()) >= 2, hot
-        got = sorted((r["ka"], r["kb"]) for r in salted.collect())
+        got = sorted((r["ka"], r["poly_id"]) for r in salted.collect())
+        # every point sits >= 5 mdeg inside polygon 0's box (edge bulge
+        # < 1 mdeg), so membership is the planar box test
+        want = sorted((i, 0) for i in range(2500)
+                      if 10.005 + (i % 64) * 0.01 < 11.0)
+        assert got == want and len(got) > 0
         # (c) bounded max task input: replicate the operator's salting
         # formula over the probe side and measure the largest key group
-        cover = _cover_cells_udf(0.25, pad_m=900.0)
-        exploded = a.withColumn("__gc", F.explode(cover(F.col("geog"))))
-        nsalt = F.create_map(*[x for c, s in sorted(hot.items())
-                               for x in (F.lit(c), F.lit(s))])[F.col("__gc")]
+        cover = _cover_cells_udf(1.0)
+        exploded = pts.withColumn("__gc", F.explode(cover(F.col("geog"))))
+        nsalt = F.create_map(*[x for c, sl in sorted(hot.items())
+                               for x in (F.lit(c), F.lit(sl))])[F.col("__gc")]
         keyed = exploded.withColumn(
             "__salt", F.when(nsalt.isNotNull(),
                              F.pmod(F.xxhash64(F.col("geog")), nsalt))
@@ -1118,12 +1131,12 @@ def test_geography_skew_salting_bounds_task_input(spark):
         ns = max(hot.values())
         assert hot_max <= (hot_total / ns) * 3 + 64, (hot_max, hot_total, ns)
         spark.conf.set("spark.sedona_db.geography_join.skew_salting", "off")
-        plain = geography_relation_join(a, b, left_geom="geog",
-                                        right_geom="geog",
-                                        distance_m=900.0)
+        plain = geography_relation_join(pts, polys, left_geom="geog",
+                                        right_geom="pgeog",
+                                        predicate="intersects")
         assert getattr(plain, "_sedona_geo_skew_salts", None) == {}
-        want = sorted((r["ka"], r["kb"]) for r in plain.collect())
-        assert got == want and len(got) > 0
+        want2 = sorted((r["ka"], r["poly_id"]) for r in plain.collect())
+        assert got == want2
     finally:
         spark.conf.unset(key)
         spark.conf.unset("spark.sedona_db.geography_join.skew_salting")
