@@ -663,4 +663,5 @@ def _geography_relation_inner(ldf: DataFrame, rdf_r: DataFrame, g1: str,
         refine = get_udf(_RELATION_SQL[predicate])(F.col(g1), F.col(g2))
     out = cand.filter(refine).drop("__gc", "__gcl", "__gcr")
     out._sedona_geo_skew_salts = hot        # diagnostics (tests/COVERAGE)
+    out._sedona_geo_cell_deg = cell_deg
     return out

@@ -1140,3 +1140,30 @@ def test_geography_skew_salting_bounds_task_input(spark):
     finally:
         spark.conf.unset(key)
         spark.conf.unset("spark.sedona_db.geography_join.skew_salting")
+
+
+def test_geography_dwithin_grid_scales_with_radius(spark):
+    """Round 10 regression pin (the 195s bench catch): a point dwithin
+    relation join must size its grid from the RADIUS, never the old
+    0.25-deg floor (~11x a 2.5km radius -> ~56M candidate pairs on a
+    clustered 15k-point join); point relation joins with no radius
+    keep the 0.25-deg fallback."""
+    from sedona_db_spark.operators.geography_join import (
+        M_PER_DEG, geography_relation_join)
+    pts = spark.sql("""
+      SELECT id, ST_GeogFromWKT(concat('POINT (',
+               10.0 + CAST(id % 10 AS DOUBLE) * 0.01, ' ',
+               45.0 + CAST(CAST(floor(id / 10) AS INT) % 10
+                           AS DOUBLE) * 0.01, ')')) AS geog
+      FROM range(100)
+    """)
+    j = geography_relation_join(pts, pts.selectExpr("id AS id2", "geog"),
+                                left_geom="geog", right_geom="geog",
+                                distance_m=2500.0)
+    cell = getattr(j, "_sedona_geo_cell_deg", None)
+    assert cell is not None
+    assert abs(cell - 2500.0 / M_PER_DEG) < 1e-9, cell
+    r = geography_relation_join(pts, pts.selectExpr("id AS id2", "geog"),
+                                left_geom="geog", right_geom="geog",
+                                predicate="intersects")
+    assert abs(getattr(r, "_sedona_geo_cell_deg") - 0.25) < 1e-9
