@@ -1167,3 +1167,52 @@ def test_geography_dwithin_grid_scales_with_radius(spark):
                                 left_geom="geog", right_geom="geog",
                                 predicate="intersects")
     assert abs(getattr(r, "_sedona_geo_cell_deg") - 0.25) < 1e-9
+
+
+def test_vectorized_haversine_matches_scalar():
+    """Round 10 guard for the _pair_metric all-point fast path: the
+    vectorized haversine must agree with the scalar kernel formula on
+    random global pairs (same radius, same formula — any drift here
+    would silently move dwithin boundaries)."""
+    import numpy as np
+
+    from sedona_db_spark.functions.geography import (_haversine_m_vec,
+                                                     haversine_m)
+    rng = np.random.RandomState(20260816)
+    lon1 = rng.uniform(-180, 180, 2000)
+    lat1 = rng.uniform(-89.9, 89.9, 2000)
+    lon2 = lon1 + rng.uniform(-2, 2, 2000)
+    lat2 = np.clip(lat1 + rng.uniform(-2, 2, 2000), -89.95, 89.95)
+    vec = _haversine_m_vec(lon1, lat1, lon2, lat2)
+    for i in range(0, 2000, 37):
+        s = haversine_m(lon1[i], lat1[i], lon2[i], lat2[i])
+        assert abs(vec[i] - s) <= max(1e-6, 1e-12 * s), (i, vec[i], s)
+    # antipodal-ish and identical-point edges
+    assert _haversine_m_vec(np.array([0.0]), np.array([0.0]),
+                            np.array([0.0]), np.array([0.0]))[0] == 0.0
+    big = _haversine_m_vec(np.array([0.0]), np.array([0.0]),
+                           np.array([180.0]), np.array([0.0]))[0]
+    assert abs(big - haversine_m(0.0, 0.0, 180.0, 0.0)) < 1e-6
+
+
+def test_k_dwithin_sphere_fast_and_slow_paths_agree(spark):
+    """The tagged-point vectorized dwithin batch must give the same
+    booleans as the per-row path (forced by a null in the batch)."""
+    import pandas as pd
+
+    from sedona_db_spark.functions.geography import k_dwithin_sphere
+    rows = spark.sql("""
+      SELECT ST_AsEWKB(ST_GeogFromWKT(concat('POINT (',
+               CAST(id % 36 AS DOUBLE) * 10.0 - 175.0, ' ',
+               CAST(CAST(floor(id / 36) AS INT) AS DOUBLE) * 10.0 - 85.0,
+             ')'))) AS g
+      FROM range(600)
+    """).collect()
+    vals = [bytes(r["g"]) for r in rows]
+    s1 = pd.Series(vals)
+    s2 = pd.Series(vals[1:] + vals[:1])
+    fast = k_dwithin_sphere(s1, s2, 1_500_000.0)
+    slow = k_dwithin_sphere(pd.Series(vals + [None]),
+                            pd.Series((vals[1:] + vals[:1]) + [None]),
+                            1_500_000.0)
+    assert list(fast) == list(slow)[:600]
