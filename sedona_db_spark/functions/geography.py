@@ -633,11 +633,87 @@ def _spherical_overlay_kernel(op_fn, op_name: str | None = None):
     return run
 
 
+# position threshold for the vectorized spherical polygon-vs-points fast
+# path, mirroring kernels._PT_POLY_PRED: (flip, min_position) — flip True
+# means the polygon rides on the RIGHT argument; None means symmetric
+# (try both orders).  position: 1 interior, 0 boundary, -1 outside.
+_SPH_PT_POLY = {
+    "contains": (False, 1), "covers": (False, 0), "intersects": (None, 0),
+    "within": (True, 1), "covered_by": (True, 0),
+}
+
+
+def _sph_poly_parts_xyz(g: Geom):
+    """Polygon parts as lists of xyz rings, or None when g is not purely
+    polygonal (mirrors the planar fast-path eligibility test)."""
+    if g is None or g.is_empty() or g.dimension() != 2 \
+            or list(g.lines()) or list(g.points()):
+        return None
+    parts = [[_sphere.xyz_of(np.asarray(r, dtype=np.float64)[:, :2])
+              for r in rings if len(r)]
+             for rings in g.polygons()]
+    parts = [p for p in parts if p]
+    return parts or None
+
+
+def _sph_point_poly_fast(s1: pd.Series, s2: pd.Series, pred_name: str):
+    """Vectorized spherical predicate when one side is uniform tagged
+    geography points and the other has few distinct polygonal WKBs (the
+    geography relation-join refine shape).  Classification runs through
+    the batched exact spherical kernel (sphere.classify_points_poly_batch
+    — same on-arc/winding/parity procedure as the scalar path's global
+    branch, vectorized many-points-one-ring).  Returns None when the
+    batch doesn't fit; the caller falls back to the per-pair loop."""
+    spec = _SPH_PT_POLY.get(pred_name)
+    if spec is None:
+        return None
+    flip, min_pos = spec
+    from sedona_db_spark.operators.geography_join import _geog_points_fast
+    orders = ((s2, s1),) if flip is True else \
+        ((s1, s2),) if flip is False else ((s1, s2), (s2, s1))
+    for poly_s, pt_s in orders:
+        pts = _geog_points_fast(list(pt_s))
+        if pts is None or (len(pts) and bool(np.isnan(pts).any())):
+            continue
+        codes, uniques = pd.factorize(poly_s)
+        if len(uniques) > 64 or bool((codes < 0).any()):
+            continue
+        cache = []
+        good = True
+        for bts in uniques:
+            try:
+                parts = _sph_poly_parts_xyz(_core.from_wkb(bts))
+            except Exception:
+                parts = None
+            if parts is None:
+                good = False
+                break
+            cache.append(parts)
+        if not good:
+            continue
+        P = _sphere.xyz_of(pts)
+        res = np.empty(len(pt_s), dtype=bool)
+        for kcode, parts in enumerate(cache):
+            mask = codes == kcode
+            sub = P[mask]
+            pos = np.full(len(sub), -2, dtype=np.int8)
+            for rings in parts:        # multipolygon: best part wins,
+                pos = np.maximum(       # matching contains/covers_exact
+                    pos, _sphere.classify_points_poly_batch(sub, rings))
+            res[mask] = pos >= min_pos
+        return pd.Series(res)
+    return None
+
+
 def _spherical_pred_kernel(pred_name: str):
     pred = getattr(_alg, pred_name)
     exact = _sphere.EXACT_PREDICATES.get(pred_name)
 
     def run(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        fast = _sph_point_poly_fast(s1.reset_index(drop=True),
+                                    s2.reset_index(drop=True), pred_name)
+        if fast is not None:
+            return fast
         out = []
         for g1, g2 in zip(_decode(s1), _decode(s2)):
             if g1 is None or g2 is None:

@@ -1216,3 +1216,95 @@ def test_k_dwithin_sphere_fast_and_slow_paths_agree(spark):
                             pd.Series((vals[1:] + vals[:1]) + [None]),
                             1_500_000.0)
     assert list(fast) == list(slow)[:600]
+
+
+def test_batched_spherical_classifier_matches_scalar():
+    """r11 lever #1: classify_points_ring/poly_batch must reproduce the
+    scalar on-arc/winding/parity procedure exactly — randomized rings
+    (small, regional, hemisphere-spanning), exact ring vertices and arc
+    midpoints (boundary rows), and holed polygons."""
+    import numpy as np
+    from sedona_db_spark.geom import sphere as S
+
+    rng = np.random.default_rng(1234)
+    for trial in range(25):
+        nv = int(rng.integers(3, 9))
+        scale = float(rng.choice([0.5, 5.0, 40.0, 110.0]))
+        lon0, lat0 = rng.uniform(-180, 180), rng.uniform(-70, 70)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        rad = scale * (0.5 + rng.uniform(0, 1, nv))
+        ring = S.xyz_of(np.column_stack([
+            lon0 + rad * np.cos(ang),
+            np.clip(lat0 + rad * np.sin(ang), -89.5, 89.5)]))
+        P = np.vstack([
+            S.xyz_of(np.column_stack([rng.uniform(-180, 180, 120),
+                                      rng.uniform(-89, 89, 120)])),
+            ring])
+        a, b = S.ring_edges(ring)
+        mids = a + b
+        keep = np.linalg.norm(mids, axis=1) > 1e-12
+        P = np.vstack([P, mids[keep] /
+                       np.linalg.norm(mids[keep], axis=1, keepdims=True)])
+        batch = S.classify_points_ring_batch(P, ring)
+        scalar = np.array([S.classify_point_ring(P[i], ring)
+                           for i in range(len(P))], dtype=np.int8)
+        assert (batch == scalar).all(), \
+            f"trial {trial}: {np.nonzero(batch != scalar)[0][:5]}"
+
+    # holed polygon: hole boundary -> 0, in-hole -> -1, shell-only -> 1
+    shell = S.xyz_of(np.array(
+        [[0, 0], [8, 0], [8, 8], [0, 8], [0, 0]], float))
+    hole = S.xyz_of(np.array(
+        [[3, 3], [5, 3], [5, 5], [3, 5], [3, 3]], float))
+    P = np.vstack([S.xyz_of(np.column_stack([rng.uniform(-2, 10, 300),
+                                             rng.uniform(-2, 10, 300)])),
+                   shell, hole])
+    batch = S.classify_points_poly_batch(P, [shell, hole])
+    scalar = np.array([S.classify_point_poly(P[i], [shell, hole])
+                       for i in range(len(P))], dtype=np.int8)
+    assert (batch == scalar).all()
+
+
+def test_spherical_pred_fast_path_matches_scalar_loop():
+    """The _sph_point_poly_fast batch route must agree with the per-pair
+    scalar loop for every predicate over a mixed polygon panel (plain,
+    holed, multipolygon), both argument orders for intersects."""
+    import numpy as np
+    import pandas as pd
+    from sedona_db_spark.functions import geography as G
+    from sedona_db_spark.geom import core, wkt as W
+
+    def geog_wkb(w):
+        g = W.from_wkt(w)
+        g.spherical = True
+        return core.to_wkb(g)
+
+    rng = np.random.default_rng(99)
+    polys = [geog_wkb("POLYGON ((10 45, 11 45, 11 46, 10 46, 10 45))"),
+             geog_wkb("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0),"
+                      " (3 3, 5 3, 5 5, 3 5, 3 3))"),
+             geog_wkb("MULTIPOLYGON (((20 -10, 24 -10, 24 -6, 20 -6,"
+                      " 20 -10)), ((30 0, 33 0, 33 3, 30 3, 30 0)))")]
+    n = 600
+    s_pt = pd.Series([geog_wkb(
+        f"POINT ({rng.uniform(-5, 35):.6f} {rng.uniform(-15, 50):.6f})")
+        for _ in range(n)])
+    s_poly = pd.Series([polys[i % len(polys)] for i in range(n)])
+    for pred in ("intersects", "contains", "within", "covers",
+                 "covered_by"):
+        flip, _ = G._SPH_PT_POLY[pred]
+        a1, a2 = (s_pt, s_poly) if flip is True else (s_poly, s_pt)
+        fast = G._sph_point_poly_fast(a1, a2, pred)
+        assert fast is not None, f"{pred}: fast path must engage"
+        kern = G._spherical_pred_kernel(pred)
+        orig = G._sph_point_poly_fast
+        G._sph_point_poly_fast = lambda *a, **k: None
+        try:
+            slow = kern(a1, a2)
+        finally:
+            G._sph_point_poly_fast = orig
+        assert all(bool(fast[i]) == bool(slow[i]) for i in range(n)), pred
+    # intersects is symmetric: flipped argument order, same verdicts
+    f1 = G._sph_point_poly_fast(s_poly, s_pt, "intersects")
+    f2 = G._sph_point_poly_fast(s_pt, s_poly, "intersects")
+    assert (f1.to_numpy() == f2.to_numpy()).all()
