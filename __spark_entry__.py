@@ -351,8 +351,14 @@ def _bulk_pair_tables(spark: SparkSession) -> None:
         # warehouse and fails the CREATE — drop both first
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         _shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+        # repartition by the bucket column first: without it every input
+        # partition writes into every bucket (34 partitions x 32 buckets
+        # ~ 1088 tiny files at sf10) and the bucketed scan pays a
+        # parquet-open per file — the classic bucketed-write pitfall at
+        # any scale.  Aligned, each bucket is exactly one file.
         spark.table("cust_pts") \
             .select(jk.cast("long").alias("jk"), "geom", "px", "py") \
+            .repartition(_BULK_BUCKETS, F.col("jk")) \
             .write.format("parquet") \
             .bucketBy(_BULK_BUCKETS, "jk").sortBy("jk") \
             .saveAsTable(name)
@@ -363,12 +369,17 @@ def _q_st_distance_pairs_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides are bucketed+sorted by the join column, so the equi-join is
     exchange-free (zero shuffle of the point data; round-7 verdict #3 —
     the former width-guarded self-join shuffled 2x the table per run).
-    Width: the scan arrives in _BULK_BUCKETS bucket-tasks by layout."""
+    Width: the scan arrives in _BULK_BUCKETS bucket-tasks by layout.
+    The MERGE hint pins the bucketed SMJ: without it AQE flips to a
+    BroadcastHashJoin of the full 1.5M-row side at sf10 (driver-side
+    hashed-relation build), measured 1.46s vs 0.78s for the
+    zero-exchange SMJ — and a broadcast of a fact-sized side is exactly
+    what must never happen at 100TB."""
     return spark.sql("""
       SELECT count(*) AS n,
              round(avg(d), 4) AS avg_d,
              round(max(d), 4) AS max_d
-      FROM (SELECT ST_Distance(a.geom, b.geom) AS d
+      FROM (SELECT /*+ MERGE(a, b) */ ST_Distance(a.geom, b.geom) AS d
             FROM bulk_pts_a a JOIN bulk_pts_b b ON a.jk = b.jk)
     """)
 

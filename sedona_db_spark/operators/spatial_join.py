@@ -1285,7 +1285,12 @@ def write_bucketed_layout(df: DataFrame, table: str, geom: str = "geom",
                 .withColumn("__by1", F.col("__b.ymax"))
                 .withColumn("__bcls", F.col("__b.cls"))
                 .drop("__b"))
-        (out.write.format("parquet").mode("append")
+        # align partitions to buckets before the write: unaligned, every
+        # input partition emits a file into every bucket (partitions x
+        # buckets tiny files) and later bucketed scans pay a parquet
+        # open per file
+        (out.repartition(int(meta["buckets"]), F.col("__cell"))
+            .write.format("parquet").mode("append")
             .bucketBy(int(meta["buckets"]), "__cell").sortBy("__cell")
             .saveAsTable(table))
         return
@@ -1338,7 +1343,8 @@ def write_bucketed_layout(df: DataFrame, table: str, geom: str = "geom",
             stale = _os.path.join(wh[5:], table.lower())
             if _os.path.exists(stale):
                 _shutil.rmtree(stale)
-    (out.write.format("parquet").mode(mode)
+    (out.repartition(int(buckets), F.col("__cell"))
+        .write.format("parquet").mode(mode)
         .bucketBy(int(buckets), "__cell").sortBy("__cell")
         .saveAsTable(table))
     meta = {
