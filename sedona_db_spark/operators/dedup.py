@@ -452,9 +452,13 @@ def connected_components(edges: DataFrame, src: str = "id_a",
          .filter(F.col("u") != F.col("v")))
 
     if driver_threshold:
-        probe = e.limit(driver_threshold + 1).count()
-        if probe <= driver_threshold:
-            rows = e.collect()
+        # one job probes AND fetches: collect(limit(T+1)) — when it comes
+        # back with <= T rows those ARE the whole edge set, so the former
+        # separate count-probe scan (a second full job over the edge
+        # derivation) is folded away; with T+1 rows the sample is
+        # discarded and the distributed path runs
+        rows = e.limit(driver_threshold + 1).collect()
+        if len(rows) <= driver_threshold:
             parent: dict[int, int] = {}
 
             def find(x: int) -> int:
