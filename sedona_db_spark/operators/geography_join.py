@@ -553,12 +553,21 @@ def _skew_hot_cells(ldf: DataFrame, g1: str, cover_pad, spark) -> dict:
         "spark.sedona_db.geography_join.skew_salting", "auto")).lower()
     if mode in ("off", "false", "0"):
         return {}
-    explicit = True
+    raw = spark.conf.get(
+        "spark.sedona_db.geography_join.skew_target_rows", "")
+    explicit = bool(str(raw).strip())
     try:
-        target = int(spark.conf.get(
-            "spark.sedona_db.geography_join.skew_target_rows", ""))
+        target = int(raw)
     except (ValueError, TypeError):
-        target, explicit = 2_000_000, False
+        if explicit:
+            # conf SET but unparseable ('2e6', '2_000_000'): a silent
+            # fallback would ignore the user's tuning AND drop the
+            # explicit-mode bypass of the 256MB size gate — fail loud
+            # (r10 advisor)
+            raise ValueError(
+                "spark.sedona_db.geography_join.skew_target_rows must be "
+                f"an integer row count, got {raw!r}")
+        target = 2_000_000
     from sedona_db_spark.operators.spatial_join import (_plan_key,
                                                         _stats_memo_get,
                                                         _stats_memo_put)
@@ -613,7 +622,17 @@ def _geography_relation_inner(ldf: DataFrame, rdf_r: DataFrame, g1: str,
         # dwithin radius at 0.25 deg made the cell ~radius*11 at 2.5 km
         # and turned a clustered 15k-point join into ~56M candidate
         # pairs (round-10 bench catch: 195 s at sf0.1; 0.9 s after).
-        cell_deg = max(p90(e1), p90(e2), pad / M_PER_DEG)
+        # Tail guard (r10 advisor): a mostly-point corpus (p90 = 0) with
+        # a few large polygons must not get a radius-sized grid that
+        # blows the largest polygon past the 200k-cell cover cap — also
+        # floor at 1/64 of the largest SAMPLED extent.  1/64 (not the
+        # cap-derived 1/447): each exploded copy of a geometry carries
+        # its full cover array for the smallest-shared-cell dedup, so
+        # cover size is paid QUADRATICALLY in bytes per giant geometry
+        # (64^2 cells x 64^2-long arrays ~ 140 MB; at 256^2 it measured
+        # 14 GB on a single continental polygon).
+        mx = max(e1[-1] if e1 else 0.0, e2[-1] if e2 else 0.0)
+        cell_deg = max(p90(e1), p90(e2), pad / M_PER_DEG, mx / 64.0)
         if cell_deg <= 0.0:
             cell_deg = 0.25
         cell_deg = min(cell_deg, 30.0)

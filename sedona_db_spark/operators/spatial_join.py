@@ -323,7 +323,12 @@ def _refine_udf(predicate: str, distance_expr: bool):
             p2 = None if any(v is None for v in v2) else wkb_array_to_points(v2)
             if p1 is not None and p2 is not None:
                 dx, dy = p1[:, 0] - p2[:, 0], p1[:, 1] - p2[:, 1]
-                return pd.Series(dx * dx + dy * dy <= dv * dv)
+                # boundary convention unified across every distance
+                # branch: r <= d + 1e-12, matching algorithms.dwithin's
+                # _EPS (r10 advisor — the no-eps squared compare gave
+                # pairs in the 1e-12 band a different verdict per path)
+                de = dv + 1e-12
+                return pd.Series(dx * dx + dy * dy <= de * de)
             g1, g2 = _decode(s1), _decode(s2)
             return pd.Series([
                 False if (a is None or b is None) else bool(alg.dwithin(a, b, dd))
@@ -467,7 +472,28 @@ def _point_constructor_certified(df: DataFrame, geom_col: str) -> bool:
     return res
 
 
+def _st_point_registered_2d() -> bool:
+    """The certificate's premise: the SQL name ``ST_Point`` resolves to
+    the 2-argument (lon, lat) -> BINARY kernel.  Registering any other
+    overload under that name (e.g. a 3-arg Z point) would mis-certify
+    plans that print ``ST_Point(...)`` — assert the registry signature
+    at certificate time instead of assuming it (r10 advisor)."""
+    try:
+        from sedona_db_spark.functions.kernels import BIN, KERNELS
+        ent = KERNELS.get("ST_Point")
+        return ent is not None and ent[2] == "dd" and ent[1] is BIN
+    except Exception:
+        return False
+
+
 def _point_constructor_certified_impl(df: DataFrame, geom_col: str) -> bool:
+    # Plan-string format assumption (pinned): Spark's analyzed-plan
+    # toString prints a pandas-UDF projection as "ST_Point(<args>)#NNN
+    # AS geom#EID" with the full alias chain visible.  Truncation confs
+    # (spark.sql.debug.maxToStringFields / maxPlanStringLength) can only
+    # HIDE that text, which fails closed into the per-row WKB split.
+    if not _st_point_registered_2d():
+        return False
     try:
         qe = df._jdf.queryExecution().analyzed()
         out = qe.output()
@@ -772,7 +798,10 @@ def spatial_join(
 
     lb = left.withColumn("__lbox", _bbox_cls_col(F.col(left_geom)))
     rb = right_r.withColumn("__rbox", _bbox_cls_col(F.col(rgeom)))
-    expand = float(distance) if distance is not None else 0.0
+    # +1e-12: candidate generation must over-approximate the refine's
+    # unified ``r <= d + 1e-12`` boundary, or slack-band pairs would be
+    # dropped before any refine branch sees them
+    expand = float(distance) + 1e-12 if distance is not None else 0.0
 
     # Path choice probe: limit-capped count scans at most threshold+1 rows
     # (a plain count() would be a full pass over the build side at 100 TB).
@@ -1091,7 +1120,8 @@ def _broadcast_index_join(lb: DataFrame, rb: DataFrame, left_geom: str,
                 # all-points distance join: one vectorized hypot
                 dx = lpts[prow, 0] - rpts[bidx, 0]
                 dy = lpts[prow, 1] - rpts[bidx, 1]
-                mask = dx * dx + dy * dy <= d * d
+                # same +1e-12 boundary as alg.dwithin (unified convention)
+                mask = dx * dx + dy * dy <= (d + 1e-12) * (d + 1e-12)
                 li_out, ri_out = prow[mask], bidx[mask]
             elif (d is None and lpts is not None
                   and predicate in ("within", "intersects", "covered_by",
@@ -1158,9 +1188,9 @@ def _dwithin_fast_refine(cand: DataFrame, left: DataFrame, left_geom: str,
     """Certified point-point distance refine in pure codegen (round 10,
     the rect fast path's certificate applied to dwithin): when BOTH
     sides are provably 2-argument ST_Point outputs, the exact predicate
-    IS ``(dx^2 + dy^2) <= d^2`` over the bbox min corners (a point's
-    bbox is the point) — the same squared-distance comparison the
-    vectorized kernel computes, so boundary semantics are identical,
+    IS ``(dx^2 + dy^2) <= (d + 1e-12)^2`` over the bbox min corners (a
+    point's bbox is the point) — the same squared-distance comparison
+    the vectorized kernel computes (unified alg.dwithin boundary),
     and NaN coordinates fail the <= exactly like the kernel's False.
 
     Certificate-only by design: a per-row WKB-header split here would
@@ -1176,8 +1206,9 @@ def _dwithin_fast_refine(cand: DataFrame, left: DataFrame, left_geom: str,
     lx, ly = F.col("__lbox.xmin"), F.col("__lbox.ymin")
     rx, ry = F.col("__rbox.xmin"), F.col("__rbox.ymin")
     dx, dy = lx - rx, ly - ry
-    return cand.filter(
-        (dx * dx + dy * dy) <= F.lit(float(distance) * float(distance)))
+    # (d + 1e-12)^2: the unified alg.dwithin boundary convention
+    de = float(distance) + 1e-12
+    return cand.filter((dx * dx + dy * dy) <= F.lit(de * de))
 
 
 def distance_join(left, right, left_geom="geom", right_geom="geom",
@@ -1446,7 +1477,10 @@ def spatial_join_bucketed(
     xbreaks, ybreaks, ny = meta["xbreaks"], meta["ybreaks"], meta["ny"]
     left_geom = meta["geom"]
     lt = spark.table(layout_table)
-    expand = float(distance) if distance is not None else 0.0
+    # +1e-12: candidate generation must over-approximate the refine's
+    # unified ``r <= d + 1e-12`` boundary, or slack-band pairs would be
+    # dropped before any refine branch sees them
+    expand = float(distance) + 1e-12 if distance is not None else 0.0
 
     # ---- right side: DataFrame (kernel bbox) or a second layout ------
     right_meta = None
@@ -1547,7 +1581,8 @@ def spatial_join_bucketed(
             lx, ly = F.col("__bx0"), F.col("__by0")
             rx, ry = F.col("__rbox.xmin"), F.col("__rbox.ymin")
             dx, dy = lx - rx, ly - ry
-            d2 = F.lit(float(distance) * float(distance))
+            # (d + 1e-12)^2: the unified alg.dwithin boundary convention
+            d2 = F.lit((float(distance) + 1e-12) ** 2)
             formula = (dx * dx + dy * dy) <= d2
             is_r = _wkb_point2d(F.col(rgeom))
             exact = _refine_udf("dwithin", True)(

@@ -2175,3 +2175,96 @@ def test_bucketed_distance_native_split_plan(spark, boxes):
     assert any(k >= 100000 for k, _ in ga)   # an envelope matched
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Union" in plan, plan             # three-branch split fired
+
+
+def test_distance_boundary_convention_unified(spark):
+    """r10 advisor: every distance-join branch must share the
+    ``r <= d + 1e-12`` boundary (algorithms.dwithin's _EPS).  Pairs at
+    EXACTLY the radius are kept by: the certified pure-codegen refine,
+    the broadcast all-points kernel, the partitioned vectorized refine,
+    and the layout three-branch split."""
+    from sedona_db_spark.operators.spatial_join import (
+        distance_join, write_bucketed_layout, spatial_join_bucketed)
+    # pair distance = 1 + 5e-13: INSIDE the 1e-12 slack band, so the
+    # unified convention keeps it while the former no-eps squared
+    # compare (1 + 1e-12 <= 1) dropped it
+    left = spark.sql("""
+      SELECT id, ST_Point(CAST(id AS DOUBLE) * 10.0, 0.0) AS geom
+      FROM range(40)""")
+    right = spark.sql("""
+      SELECT id AS rid,
+             ST_Point(CAST(id AS DOUBLE) * 10.0 + 1.0000000000005, 0.0)
+               AS rgeom
+      FROM range(40)""")
+    # certified codegen path (both sides ST_Point by construction)
+    j1 = distance_join(left, right, "geom", "rgeom", distance=1.0)
+    assert j1.count() == 40, "slack-band pairs must be kept (certified)"
+    # broadcast path (tiny build side takes the mapInPandas joiner)
+    j2 = distance_join(left, right.limit(40), "geom", "rgeom",
+                       distance=1.0, broadcast_threshold=10_000)
+    assert j2.count() == 40
+    # layout path: persist left, three-branch split on the stored class
+    spark.sql("DROP TABLE IF EXISTS eps_layout")
+    write_bucketed_layout(left, "eps_layout", geom="geom", buckets=4)
+    j3 = spatial_join_bucketed(spark, "eps_layout", right,
+                               right_geom="rgeom", distance=1.0)
+    assert j3.count() == 40
+    spark.sql("DROP TABLE IF EXISTS eps_layout")
+
+
+def test_geography_grid_floor_survives_globe_polygon(spark):
+    """r10 advisor (medium): a mostly-point corpus with one globe-scale
+    polygon must not blow the cover cap when the radius-scaled grid
+    would otherwise be tiny — the max-sampled-extent/256 floor keeps
+    the largest geometry's cover enumerable."""
+    from sedona_db_spark.operators.geography_join import \
+        geography_relation_join
+    pts = spark.sql("""
+      SELECT id, ST_GeogPoint(CAST(id % 20 AS DOUBLE) * 7.0 - 66.5,
+                              CAST(id % 10 AS DOUBLE) * 13.0 - 58.5) AS g
+      FROM range(200)""")
+    # 11 tiny polygons (p90 extent ~0.2 deg) + one 160-deg continental
+    # polygon: without the max-extent floor the grid lands at ~0.2 deg
+    # and the big polygon's cover is (160/0.2)^2 = 640k cells > cap
+    polys = spark.sql("""
+      SELECT CAST(id AS INT) AS pid, ST_GeogFromWKT(concat(
+        'POLYGON ((', 10 + id, ' 45, ', 10.2 + id, ' 45, ',
+        10.2 + id, ' 45.2, ', 10 + id, ' 45.2, ', 10 + id, ' 45))')) AS pg
+      FROM range(11)
+      UNION ALL
+      SELECT 99, ST_GeogFromWKT(
+        'POLYGON ((-80 -70, 80 -70, 80 70, -80 70, -80 -70))')""")
+    out = geography_relation_join(pts, polys, left_geom="g",
+                                  right_geom="pg", predicate="intersects")
+    n = out.count()          # must not raise the 200k-cell cap error
+    assert n >= 100          # most points land in the continental polygon
+
+
+def test_skew_target_rows_invalid_conf_fails_loud(spark):
+    """r10 advisor: a SET-but-unparseable skew_target_rows must raise,
+    not silently fall back to the default."""
+    from sedona_db_spark.operators.geography_join import \
+        geography_relation_join
+    key = "spark.sedona_db.geography_join.skew_target_rows"
+    pts = spark.sql(
+        "SELECT id, ST_GeogPoint(CAST(id AS DOUBLE) % 10.0, 1.0) AS g "
+        "FROM range(50)")
+    polys = spark.sql(
+        "SELECT 0 AS pid, ST_GeogFromWKT('POLYGON ((0 0, 5 0, 5 5, 0 5,"
+        " 0 0))') AS pg")
+    spark.conf.set(key, "2e6")
+    try:
+        with pytest.raises(Exception, match="skew_target_rows"):
+            geography_relation_join(pts, polys, left_geom="g",
+                                    right_geom="pg",
+                                    predicate="intersects").count()
+    finally:
+        spark.conf.unset(key)
+    # valid integer conf still works
+    spark.conf.set(key, "1000")
+    try:
+        assert geography_relation_join(
+            pts, polys, left_geom="g", right_geom="pg",
+            predicate="intersects").count() > 0
+    finally:
+        spark.conf.unset(key)
