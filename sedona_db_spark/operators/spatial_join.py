@@ -1653,19 +1653,55 @@ def spatial_join_bucketed(
     # means "matched at least once" and orig-side joins keep exact
     # per-row multiplicity (see content_row_id)
     lids = ["__sjb_lid1", "__sjb_lid2"]
+    rids = ["__sjb_rid1", "__sjb_rid2"]
+    need_l = how_n in ("left", "full", "left_semi", "left_anti")
+    need_r = how_n in ("right", "full")
     # exploded layout copies and home copies are linked ONLY by content
     # ids, so there is no checkpoint fallback here: map-typed columns
     # (unhashable) fail loud instead of wrong
-    if any(_type_has_map(lt.schema[c].dataType) for c in orig_cols):
+    if need_l and any(_type_has_map(lt.schema[c].dataType)
+                      for c in orig_cols):
         raise NotImplementedError(
             "non-inner bucketed spatial joins need hashable row content; "
             "map-typed columns are unsupported here — use spatial_join")
-    id_exprs = _content_id_exprs(orig_cols, lt.schema)
-    lt_t = lt.withColumn(lids[0], id_exprs[0]) \
-             .withColumn(lids[1], id_exprs[1])
-    orig = layout_original(spark, layout_table) \
-        .withColumn(lids[0], id_exprs[0]).withColumn(lids[1], id_exprs[1])
-    inner = _inner(lt_t, lids)
+    lt_t, orig = lt, None
+    if need_l:
+        id_exprs = _content_id_exprs(orig_cols, lt.schema)
+        lt_t = lt.withColumn(lids[0], id_exprs[0]) \
+                 .withColumn(lids[1], id_exprs[1])
+        orig = layout_original(spark, layout_table) \
+            .withColumn(lids[0], id_exprs[0]) \
+            .withColumn(lids[1], id_exprs[1])
+    r_orig = None
+    if need_r:
+        # right/full outer preserve the NON-layout side: tag the
+        # exploded right stream with content ids (re_ is a closure of
+        # _inner, so retagging here flows into the candidate join)
+        r_orig_cols = [rcols[c] for c in right_df.columns
+                       if rcols[c] not in rlayout]
+        if any(_type_has_map(re_.schema[c].dataType)
+               for c in r_orig_cols):
+            raise NotImplementedError(
+                "non-inner bucketed spatial joins need hashable row "
+                "content; map-typed columns are unsupported here — use "
+                "spatial_join")
+        rid_exprs = _content_id_exprs(r_orig_cols, re_.schema)
+        re_ = re_.withColumn(rids[0], rid_exprs[0]) \
+                 .withColumn(rids[1], rid_exprs[1])
+        if right_meta is not None:
+            rhome = (_bucket_expr(F.col(rcols["__bx0"]),
+                                  right_meta["xbreaks"])
+                     * right_meta["ny"]
+                     + _bucket_expr(F.col(rcols["__by0"]),
+                                    right_meta["ybreaks"]))
+            r_orig = right_r.filter(F.col(rcols["__cell"]) == rhome) \
+                .drop(*rlayout)
+        else:
+            r_orig = right_r
+        r_orig = r_orig.withColumn(rids[0], rid_exprs[0]) \
+                       .withColumn(rids[1], rid_exprs[1])
+    inner = _inner(lt_t, (lids if need_l else []) +
+                   (rids if need_r else []))
     if how_n == "left_semi":
         return orig.join(inner.select(*lids).distinct(), lids,
                          "left_semi").drop(*lids)
@@ -1686,11 +1722,10 @@ def spatial_join_bucketed(
                               "left_anti")
         parts.append(_pad(unmatched, inner))
     if how_n in ("right", "full"):
-        raise NotImplementedError(
-            "spatial_join_bucketed: right/full outer over a layout left "
-            "side is not implemented; swap the sides (write the layout "
-            "for the other table) or use spatial_join")
+        unmatched_r = r_orig.join(inner.select(*rids).distinct(), rids,
+                                  "left_anti")
+        parts.append(_pad(unmatched_r, inner))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.drop(*lids)
+    return out.drop(*lids, *rids)

@@ -115,6 +115,16 @@ _TRANSPOSE = {
     # the engine does not certify arg-swap symmetry
 }
 
+# join-type mirror for running a query with its sides swapped (the
+# bucketed layout operator is left-anchored): preserve-left becomes
+# preserve-right and vice versa
+_MIRROR_HOW = {
+    "inner": "inner", "full": "full",
+    "left": "right", "right": "left",
+    "left_semi": "right_semi", "left_anti": "right_anti",
+    "right_semi": "left_semi", "right_anti": "left_anti",
+}
+
 # raster-vs-geometry join predicates (reference join eligibility:
 # rust/sedona-expr/src/spatial_predicate.rs:203-205).  The engine
 # defines RS_Pred(r, g) as ST_Pred(RS_Envelope(r), g) (the skew-correct
@@ -616,7 +626,21 @@ def _find_match(toks, depths, spark, vanilla_sql):
 def _resolve_df(spark, vanilla_sql, rel: _Rel) -> DataFrame:
     if rel.is_subquery:
         return vanilla_sql(rel.text)
-    return spark.table(rel.text)
+    df = spark.table(rel.text)
+    # A bucketed layout table stores one PHYSICAL copy per covering grid
+    # cell; inside the rewrite a bare reference always means the LOGICAL
+    # rows (r10 advisor: a query that fell off the cell route — extra
+    # conjunct, geometry mismatch — must not silently change row
+    # multiplicity vs the routed form).  The cell route itself reads the
+    # stored cells by TABLE NAME, so this never slows the routed path.
+    try:
+        from sedona_db_spark.operators.spatial_join import (
+            layout_original, read_layout_meta)
+        if read_layout_meta(spark, rel.text) is not None:
+            return layout_original(spark, rel.text)
+    except Exception:
+        pass
+    return df
 
 
 def try_rewrite(spark: SparkSession, sql: str, vanilla_sql) -> DataFrame | None:
@@ -1102,14 +1126,18 @@ def _try_layout_route(spark, m, spatial, ldf, rdf_r, g1, g2):
                 return spatial_join_bucketed(
                     spark, m.rel1.text, rdf_r, right_geom=g2,
                     predicate=p, distance=dist, how=m.how)
-    if m.how != "inner":
-        return None
     if m2 is not None and g2 == m2.get("geom"):
         # right-side layout: only when the rewrite renamed nothing
         # (else the rebuilt text references names the layout join
-        # cannot produce) and nothing would be right_-prefixed
+        # cannot produce) and nothing would be right_-prefixed.
+        # The bucketed operator is left-anchored, so the query's join
+        # type is MIRRORED (query-left LEFT JOIN layout == bucketed
+        # RIGHT join preserving the non-layout side) — r10 verdict #4:
+        # LEFT/SEMI/ANTI over a layout table also skip the per-query
+        # grid pass now.
+        how_m = _MIRROR_HOW.get(m.how)
         rt_cols = set(spark.table(m.rel2.text).columns)
-        if set(rdf_r.columns) <= rt_cols \
+        if how_m is not None and set(rdf_r.columns) <= rt_cols \
                 and not (set(rdf_r.columns) & lay) \
                 and not (set(ldf.columns) & rt_cols):
             if (not first_is_left) or dist is not None:
@@ -1119,7 +1147,7 @@ def _try_layout_route(spark, m, spatial, ldf, rdf_r, g1, g2):
             if p is not None:
                 return spatial_join_bucketed(
                     spark, m.rel2.text, ldf, right_geom=g1,
-                    predicate=p, distance=dist, how="inner")
+                    predicate=p, distance=dist, how=how_m)
     return None
 
 

@@ -1401,3 +1401,78 @@ def test_sql_layout_route_dwithin_literal(spark):
       ON sqrt(power(c.px - s.px, 2) + power(c.py - s.py, 2)) <= 4.0
     """), ["c_custkey", "s_suppkey"])
     assert got == want and len(got) > 0
+
+
+def test_sql_layout_route_right_side_lattice(spark):
+    """r10 verdict #4: LEFT / LEFT SEMI / LEFT ANTI with the layout on
+    the RIGHT side route onto the stored cells too (the bucketed
+    operator is left-anchored, so the join type is mirrored)."""
+    _prep(spark)
+    from sedona_db_spark.operators.spatial_join import write_bucketed_layout
+    spark.sql("DROP TABLE IF EXISTS t_lay_right")
+    write_bucketed_layout(
+        spark.table("cust_pts").select("c_custkey", "geom"),
+        "t_lay_right", geom="geom")
+    want = _rows(spark.sql(INNER_Q), ["c_custkey", "n_nationkey"])
+    matched_n = {n for _, n in want}
+    n_boxes = spark.table("nation_boxes").count()
+
+    semi = spark.sql("""
+      SELECT n.n_nationkey FROM nation_boxes n
+      LEFT SEMI JOIN t_lay_right c ON ST_Contains(n.geom, c.geom)
+    """)
+    assert getattr(semi, "_sedona_rewritten_sql", None) is not None
+    plan = semi._jdf.queryExecution().executedPlan().toString()
+    # the layout side is read via its STORED cells (bucketed scan of
+    # __cell), not re-gridded per query
+    assert "__cell" in plan and "SelectedBucketsCount" in plan, plan
+    assert sorted(r["n_nationkey"] for r in semi.collect()) \
+        == sorted(matched_n)
+
+    anti = spark.sql("""
+      SELECT n.n_nationkey FROM nation_boxes n
+      LEFT ANTI JOIN t_lay_right c ON ST_Contains(n.geom, c.geom)
+    """)
+    assert anti.count() == n_boxes - len(matched_n)
+
+    left = spark.sql("""
+      SELECT n.n_nationkey, c.c_custkey FROM nation_boxes n
+      LEFT JOIN t_lay_right c ON ST_Contains(n.geom, c.geom)
+    """)
+    got = sorted((r["n_nationkey"], r["c_custkey"])
+                 for r in left.collect())
+    want_left = sorted([(n, c) for c, n in want]
+                       + [(n, None) for n in range(n_boxes)
+                          if n not in matched_n])
+    assert got == want_left and len(got) > 0
+
+
+def test_sql_layout_table_reads_logical_rows_off_route(spark):
+    """r10 advisor: a spatial query that REFERENCES a layout table but
+    falls off the cell route (extra ON conjunct here) must see the
+    LOGICAL rows — identical multiplicity to the same query over the
+    original table, not the per-cell physical copies."""
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.operators.spatial_join import write_bucketed_layout
+    _prep(spark)
+    spark.sql("DROP TABLE IF EXISTS t_lay_logical")
+    write_bucketed_layout(
+        spark.table("nation_boxes")
+        .select("n_nationkey", F.col("geom").alias("bgeom")),
+        "t_lay_logical", geom="bgeom")
+    # polygons straddle grid cells: physical copies > originals
+    assert spark.table("t_lay_logical").count() \
+        > spark.table("nation_boxes").count()
+    q = """
+      SELECT c.c_custkey, n.n_nationkey
+      FROM cust_pts c JOIN t_lay_logical n
+      ON ST_Within(c.geom, n.bgeom) AND n.n_nationkey % 2 = 0
+    """
+    got = _rows(spark.sql(q), ["c_custkey", "n_nationkey"])
+    want = _rows(spark.sql("""
+      SELECT c.c_custkey, n.n_nationkey
+      FROM cust_pts c JOIN nation_boxes n
+      ON ST_Within(c.geom, n.geom) AND n.n_nationkey % 2 = 0
+    """), ["c_custkey", "n_nationkey"])
+    assert got == want and len(got) > 0
