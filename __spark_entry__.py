@@ -2459,6 +2459,68 @@ _PY["sql_spatial_join_layout_route"] = _q_sql_layout_route
 _O["sql_spatial_join_layout_route"] = _ORACLE_PIP
 
 
+def _sparse_boxes(spark: SparkSession) -> None:
+    """Boxes at x0 = 9*key: keys past ~11 sit beyond the point cloud
+    (px < 100), so LEFT-lattice queries have genuinely unmatched rows."""
+    spark.sql("""
+      CREATE OR REPLACE TEMP VIEW sparse_boxes AS
+      SELECT n_nationkey, ST_GeomFromWKT(concat(
+        'POLYGON ((', n_nationkey * 9.0, ' 10, ',
+        n_nationkey * 9.0 + 8.0, ' 10, ', n_nationkey * 9.0 + 8.0,
+        ' 90, ', n_nationkey * 9.0, ' 90, ', n_nationkey * 9.0,
+        ' 10))')) AS bgeom
+      FROM nation
+    """)
+
+
+def _q_sql_layout_route_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11 (r10 verdict #4): LEFT SEMI with the layout on the RIGHT
+    relation routes onto the stored cells (join type mirrored onto the
+    left-anchored bucketed operator — no per-query grid pass, no vanilla
+    fallback, which would be a hard AnalysisException for a pandas-UDF
+    ON clause)."""
+    tbl = _ensure_cust_layout(spark, sf_dir)
+    _sparse_boxes(spark)
+    return spark.sql(f"""
+      SELECT n.n_nationkey FROM sparse_boxes n
+      LEFT SEMI JOIN {tbl} c ON ST_Contains(n.bgeom, c.geom)
+    """)
+
+
+_PY["sql_layout_route_semi"] = _q_sql_layout_route_semi
+_O["sql_layout_route_semi"] = """
+  SELECT n_nationkey FROM nation n
+  WHERE EXISTS (
+    SELECT 1 FROM customer c
+    WHERE abs(c.c_acctbal) % 100.0 > n.n_nationkey * 9.0
+      AND abs(c.c_acctbal) % 100.0 < n.n_nationkey * 9.0 + 8.0
+      AND (c.c_custkey % 1000) / 10.0 > 10.0
+      AND (c.c_custkey % 1000) / 10.0 < 90.0)
+"""
+
+
+def _q_sql_layout_route_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11 (r10 verdict #4): LEFT OUTER with the layout on the
+    RIGHT relation routes too (bucketed right-outer: content-id-tracked
+    unmatched probe rows padded against the inner)."""
+    tbl = _ensure_cust_layout(spark, sf_dir)
+    _sparse_boxes(spark)
+    return spark.sql(f"""
+      SELECT n.n_nationkey, c.c_custkey FROM sparse_boxes n
+      LEFT JOIN {tbl} c ON ST_Contains(n.bgeom, c.geom)
+    """)
+
+
+_PY["sql_layout_route_left"] = _q_sql_layout_route_left
+_O["sql_layout_route_left"] = """
+  SELECT n.n_nationkey, c.c_custkey FROM nation n
+  LEFT JOIN (SELECT c_custkey, abs(c_acctbal) % 100.0 AS px,
+                    (c_custkey % 1000) / 10.0 AS py FROM customer) c
+    ON c.px > n.n_nationkey * 9.0 AND c.px < n.n_nationkey * 9.0 + 8.0
+   AND c.py > 10.0 AND c.py < 90.0
+"""
+
+
 def _q_spatial_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_db_spark.operators.spatial_join import spatial_join
     cust = spark.table("cust_pts").select("c_custkey", "geom")
