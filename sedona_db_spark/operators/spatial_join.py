@@ -1429,6 +1429,65 @@ def register_bucketed_layout(spark, path: str, table: str) -> None:
               f"('{_LAYOUT_PROP}' = '{props}')")
 
 
+def layout_staleness(spark, table: str) -> dict:
+    """Stored-cell balance diagnostic for a bucketed layout (r10 verdict
+    #6): appended rows reuse the CREATION-time grid breaks, so a shifted
+    append piles into a few cells and the layout's co-located join
+    degrades to stragglers.  One aggregation over the stored cells:
+
+    - ``cells`` / ``physical_rows`` / ``logical_rows``
+    - ``max_cell_rows`` and ``mean_cell_rows`` over stored cells
+    - ``skew`` = max/mean (1.0 = perfectly balanced)
+    - ``rebucket_recommended`` — skew > 4 with enough rows to matter
+
+    Balance-only (the stored grid stays CORRECT under any append — every
+    row is in its covering cells); this measures whether a
+    :func:`rebucket_layout` is worth its one-off shuffle."""
+    meta = read_layout_meta(spark, table)
+    t = spark.table(table)
+    home = (_bucket_expr(F.col("__bx0"), meta["xbreaks"]) * meta["ny"]
+            + _bucket_expr(F.col("__by0"), meta["ybreaks"]))
+    per_cell = t.groupBy("__cell").count()
+    stats = per_cell.agg(
+        F.count("*").alias("cells"),
+        F.sum("count").alias("phys"),
+        F.max("count").alias("mx"),
+        F.avg("count").alias("mean")).first()
+    logical = t.filter(F.col("__cell") == home).count()
+    mx = int(stats["mx"] or 0)
+    mean = float(stats["mean"] or 0.0)
+    skew = (mx / mean) if mean > 0 else 0.0
+    return {
+        "cells": int(stats["cells"] or 0),
+        "physical_rows": int(stats["phys"] or 0),
+        "logical_rows": int(logical),
+        "max_cell_rows": mx,
+        "mean_cell_rows": mean,
+        "skew": skew,
+        "rebucket_recommended": bool(skew > 4.0 and mx > 10_000),
+    }
+
+
+def rebucket_layout(spark, table: str, grid_cells: int | None = None,
+                    buckets: int | None = None) -> dict:
+    """Re-grid a layout table from its CURRENT logical rows (r10 verdict
+    #6): fresh equal-frequency breaks from today's distribution replace
+    the creation-time grid that appended data has outgrown.  Returns the
+    post-rebucket :func:`layout_staleness` dict.
+
+    The logical rows are materialized via ``localCheckpoint`` before the
+    overwrite (Spark cannot overwrite a table it is still lazily
+    reading).  On a multi-tenant cluster prefer writing a NEW table name
+    and swapping readers — localCheckpoint blocks live on executors for
+    the duration of the rewrite."""
+    meta = read_layout_meta(spark, table)
+    orig = layout_original(spark, table).localCheckpoint(eager=True)
+    write_bucketed_layout(orig, table, geom=meta["geom"],
+                          grid_cells=grid_cells, buckets=buckets,
+                          mode="overwrite")
+    return layout_staleness(spark, table)
+
+
 def read_layout_meta(spark, table: str) -> dict:
     import json as _json
     row = spark.sql(
