@@ -3338,6 +3338,66 @@ _O["knn_join_spheroid_partitioned"] = """
 """
 
 
+def _q_knn_spheroid_polar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11 (r10 verdict #7): adversarial polar spheroid KNN —
+    every query sits within 1 degree of a pole (both poles, key
+    parity), objects form a ring at |lat| ~ 88-89.5 crossing the
+    antimeridian, so the k-th neighbor routinely spans the lon seam and
+    the completion bound must pad the polar cap (r9 knn_join.py polar
+    pad).  Oracle = brute-force great-circle cross join + window; key-
+    dependent jitter keeps every distance unique within doubles."""
+    from pyspark.sql import functions as F
+    from sedona_db_spark.operators.knn_join import knn_join
+    supp = spark.table("supplier").selectExpr(
+        "s_suppkey",
+        "ST_Point((s_suppkey * 6397 % 3600) / 10.0 - 180 "
+        "         + (s_suppkey % 83) * 1e-3, "
+        "         (CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE -1 END) * "
+        "         (89.0 + (s_suppkey * 31 % 97) / 100.0 "
+        "          + (s_suppkey % 89) * 1e-5)) AS geom")
+    cust = spark.table("customer").selectExpr(
+        "c_custkey",
+        "ST_Point((c_custkey * 7919 % 3600) / 10.0 - 180 "
+        "         + (c_custkey % 97) * 1e-3, "
+        "         (CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE -1 END) * "
+        "         (88.0 + (c_custkey * 17 % 150) / 100.0 "
+        "          + (c_custkey % 79) * 1e-5)) AS geom")
+    out = knn_join(supp, cust, k=4, use_spheroid=True,
+                   broadcast_threshold=64)   # force the partitioned plan
+    return out.select("s_suppkey", "c_custkey",
+                      F.round(F.col("knn_distance") / 1000.0, 3)
+                      .alias("dist_km"))
+
+
+_PY["knn_join_spheroid_polar"] = _q_knn_spheroid_polar
+_O["knn_join_spheroid_polar"] = """
+  WITH s AS (SELECT s_suppkey,
+               (s_suppkey * 6397 % 3600) / 10.0 - 180
+                 + (s_suppkey % 83) * 1e-3 AS qlon,
+               (CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE -1 END) *
+                 (89.0 + (s_suppkey * 31 % 97) / 100.0
+                  + (s_suppkey % 89) * 1e-5) AS qlat FROM supplier),
+  c AS (SELECT c_custkey,
+               (c_custkey * 7919 % 3600) / 10.0 - 180
+                 + (c_custkey % 97) * 1e-3 AS olon,
+               (CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE -1 END) *
+                 (88.0 + (c_custkey * 17 % 150) / 100.0
+                  + (c_custkey % 79) * 1e-5) AS olat FROM customer),
+  d AS (SELECT s_suppkey, c_custkey,
+          2 * 6371008.8 * asin(sqrt(
+            pow(sin(radians(olat - qlat) / 2), 2) +
+            cos(radians(qlat)) * cos(radians(olat)) *
+            pow(sin(radians(olon - qlon) / 2), 2))) AS dist_m
+        FROM s, c),
+  r AS (SELECT s_suppkey, c_custkey, dist_m,
+               row_number() OVER (PARTITION BY s_suppkey
+                                  ORDER BY dist_m, c_custkey) AS rk
+        FROM d)
+  SELECT s_suppkey, c_custkey, round(dist_m / 1000.0, 3) AS dist_km
+  FROM r WHERE rk <= 4
+"""
+
+
 def _q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming windowed agg drained with availableNow over
     the events table — must equal the batch/oracle answer exactly (the
