@@ -630,3 +630,183 @@ GEOG_ROWS += [
     (5340, "GRS80", None),                    # POSGAR 2007
     (4686, "GRS80", None),                    # MAGNA-SIRGAS
 ]
+
+# ----------------------------------------------------------------------
+# round-11 tranche (r10 verdict #5): the Gauss-Krüger CM-variant blocks
+# the zone series already verified (Pulkovo 1942 CM 2492-2522, Pulkovo
+# 1995 CM 20062-20092 + missing zones 2-3, Beijing 1954 6° CM
+# 21453-21463), the Norwegian NTM series, East-European Pulkovo
+# realizations, RT90, Ain el Abd UTM, the Egypt 1907 belts (Helmert
+# 1906 ellipsoid), Luxembourg 1930, MGI Balkans, and French overseas
+# UTM.  Shifts restate published EPSG transformations (code noted per
+# constant), negated into the WGS84 -> local direction.
+# ----------------------------------------------------------------------
+
+# Pulkovo 1942(83) -> WGS84 (EPSG tfm 1775, East Germany): 24, -123, -94
+WGS84_TO_PULKOVO42_83 = (-24.0, 123.0, 94.0, 0.0, 0.0, 0.0, 0.0)
+# Pulkovo 1942(58) -> WGS84 (EPSG tfm 1645, onshore mean):
+# 33.4, -146.6, -76.3 (rotation-free mean form)
+WGS84_TO_PULKOVO42_58 = (-33.4, 146.6, 76.3, 0.0, 0.0, 0.0, 0.0)
+# Ain el Abd -> WGS84 (EPSG tfm 1225, Bahrain mean): -143, -236, 7
+WGS84_TO_AINELABD = (143.0, 236.0, -7.0, 0.0, 0.0, 0.0, 0.0)
+# Egypt 1907 -> WGS84 (EPSG tfm 1148): -130, 110, -13
+WGS84_TO_EGYPT1907 = (130.0, -110.0, 13.0, 0.0, 0.0, 0.0, 0.0)
+# RT90 -> WGS84 (Lantmäteriet position-vector):
+# 414.1, 41.3, 603.1, -0.855", 2.141", -7.023", 0
+WGS84_TO_RT90 = (-414.1, -41.3, -603.1, 0.855, -2.141, 7.023, 0.0)
+# Luxembourg 1930 -> WGS84 (EPSG tfm 1643):
+# -193, 13.7, -39.3, -0.41", -2.933", 2.688", 0.43 ppm
+WGS84_TO_LUX1930 = (193.0, -13.7, 39.3, 0.41, 2.933, -2.688, -0.43)
+
+TM_ROWS += [
+    # Pulkovo 1942 / Gauss-Kruger CM 9E..189E (EPSG:2492-2522) — CM
+    # variants (FE 500 km) of the verified zone series 28402-28432
+    *[(2492 + k, 0.0, 9.0 + 6.0 * k, 1.0, 500000.0, 0.0, "KRASS",
+       WGS84_TO_PULKOVO42) for k in range(31)],
+    # Pulkovo 1995 / Gauss-Kruger zones 2-3 (EPSG:20002-20003) complete
+    # the registered 20004-20032 block; CM variants 9E..189E
+    # (EPSG:20062-20092) mirror the 1942 block on the 1995 realization
+    (20002, 0.0, 9.0, 1.0, 2500000.0, 0.0, "KRASS", WGS84_TO_PULKOVO95),
+    (20003, 0.0, 15.0, 1.0, 3500000.0, 0.0, "KRASS", WGS84_TO_PULKOVO95),
+    *[(20062 + k, 0.0, 9.0 + 6.0 * k, 1.0, 500000.0, 0.0, "KRASS",
+       WGS84_TO_PULKOVO95) for k in range(31)],
+    # Beijing 1954 / Gauss-Kruger 6° CM 75E..135E (EPSG:21453-21463) —
+    # CM variants of the verified zone series 21413-21423
+    *[(21453 + i, 0.0, 75.0 + 6.0 * i, 1.0, 500000.0, 0.0, "KRASS",
+       WGS84_TO_BEIJING54) for i in range(11)],
+    # Pulkovo 1942(83) / 3° Gauss-Kruger zones 3-5 (EPSG:2397-2399,
+    # East Germany; CM = 3*zone, zone-prefixed FE)
+    *[(2394 + z, 0.0, 3.0 * z, 1.0, z * 1_000_000.0 + 500000.0, 0.0,
+       "KRASS", WGS84_TO_PULKOVO42_83) for z in range(3, 6)],
+    # Pulkovo 1942(58) / Gauss-Kruger zones 3-5 (EPSG:3333-3335,
+    # Eastern Europe; 6° zones)
+    *[(3330 + z, 0.0, 6.0 * z - 3.0, 1.0, z * 1_000_000.0 + 500000.0,
+       0.0, "KRASS", WGS84_TO_PULKOVO42_58) for z in range(3, 6)],
+    # RT90 2.5 gon V (EPSG:3021): Bessel, CM 15°48'29.8"E, FE 1500 km
+    (3021, 0.0, _D(15, 48, 29.8), 1.0, 1500000.0, 0.0, "BESSEL",
+     WGS84_TO_RT90),
+    # Ain el Abd / UTM zones 37N-39N (EPSG:20437-20439)
+    *[(20400 + z, 0.0, 6.0 * z - 183.0, 0.9996, 500000.0, 0.0,
+       "INTL24", WGS84_TO_AINELABD) for z in range(37, 40)],
+    # Egypt 1907 belts (Helmert 1906 ellipsoid, lat0 30N, k0 1)
+    (22991, 30.0, 35.0, 1.0, 300000.0, 1100000.0, "HELMERT1906",
+     WGS84_TO_EGYPT1907),                                  # Blue Belt
+    (22992, 30.0, 31.0, 1.0, 615000.0, 810000.0, "HELMERT1906",
+     WGS84_TO_EGYPT1907),                                  # Red Belt
+    (22993, 30.0, 27.0, 1.0, 700000.0, 200000.0, "HELMERT1906",
+     WGS84_TO_EGYPT1907),                                  # Purple Belt
+    (22994, 30.0, 27.0, 1.0, 700000.0, 1200000.0, "HELMERT1906",
+     WGS84_TO_EGYPT1907),                                  # Ext. Purple
+    # Luxembourg 1930 / Gauss (EPSG:2169): lat0 49°50'N, CM 6°10'E
+    (2169, _D(49, 50), _D(6, 10), 1.0, 80000.0, 100000.0, "INTL24",
+     WGS84_TO_LUX1930),
+    # MGI / Balkans zones 5-8 (EPSG:31275-31278): 3° GK on Bessel,
+    # zone-prefixed FE, same MGI mean shift as the Austria GK rows
+    *[(31270 + z, 0.0, 3.0 * z, 1.0, z * 1_000_000.0 + 500000.0, 0.0,
+       "BESSEL", WGS84_TO_MGI) for z in range(5, 9)],
+    # French overseas UTM: RGFG95 / UTM 22N (Guyane, EPSG:2972) and
+    # RGR92 / UTM 40S (Réunion, EPSG:2975) — modern GRS80 datums
+    (2972, 0.0, -51.0, 0.9996, 500000.0, 0.0, "GRS80", None),
+    (2975, 0.0, 57.0, 0.9996, 500000.0, 10000000.0, "GRS80", None),
+]
+
+# --- round-11 wave 2: Southeast Asia / Pacific / Nordic / Africa ---
+
+# ID74 (Indonesian 1974) -> WGS84 (EPSG tfm 1830): -24, -15, 5
+WGS84_TO_ID74 = (24.0, 15.0, -5.0, 0.0, 0.0, 0.0, 0.0)
+# Indian 1960 -> WGS84 (EPSG tfm 1541, Vietnam mean): 198, 881, 317
+WGS84_TO_INDIAN60 = (-198.0, -881.0, -317.0, 0.0, 0.0, 0.0, 0.0)
+# Minna -> WGS84 (EPSG tfm 1168, Nigeria mean): -92, -93, 122
+WGS84_TO_MINNA = (92.0, 93.0, -122.0, 0.0, 0.0, 0.0, 0.0)
+# KKJ -> WGS84 (EPSG tfm 1657, Finland mean): -90.7, -106.1, -119.2
+WGS84_TO_KKJ = (90.7, 106.1, 119.2, 0.0, 0.0, 0.0, 0.0)
+# DB_REF -> ETRS89 (DB Netz 7-param, ETRS89 ~ WGS84):
+# 584.9636, 107.7175, 413.8067, 1.1155", 0.2824", -3.1384", 7.9922 ppm
+WGS84_TO_DBREF = (-584.9636, -107.7175, -413.8067, -1.1155, -0.2824,
+                  3.1384, -7.9922)
+# Hong Kong 1980 -> WGS84 (EPSG tfm 1825, translation terms):
+# -162.619, -276.959, -161.764
+WGS84_TO_HK80 = (162.619, 276.959, 161.764, 0.0, 0.0, 0.0, 0.0)
+
+TM_ROWS += [
+    # ID74 / UTM zones 46N-54N (EPSG:23846-23854) and 46S-54S
+    # (EPSG:23886-23894) — Indonesian National (1974) ellipsoid
+    *[(23800 + z, 0.0, 6.0 * z - 183.0, 0.9996, 500000.0, 0.0,
+       "INDO74", WGS84_TO_ID74) for z in range(46, 55)],
+    *[(23840 + z, 0.0, 6.0 * z - 183.0, 0.9996, 500000.0, 10000000.0,
+       "INDO74", WGS84_TO_ID74) for z in range(46, 55)],
+    # DGN95 / UTM zones 46N-52N (EPSG:23866-23872) and 47S-54S
+    # (EPSG:23877-23884) — modern GRS80 datum
+    *[(23820 + z, 0.0, 6.0 * z - 183.0, 0.9996, 500000.0, 0.0,
+       "GRS80", None) for z in range(46, 53)],
+    *[(23830 + z, 0.0, 6.0 * z - 183.0, 0.9996, 500000.0, 10000000.0,
+       "GRS80", None) for z in range(47, 55)],
+    # KKJ / Finland zones 0-5: zone n has CM 18+3n E and FE
+    # n*1e6+500000 except the classic uniform grid; published layout:
+    # zone 1 (EPSG:2391) CM 21E FE 1.5M .. zone 4 (2394) CM 30E FE
+    # 4.5M; zone 0 (3387) CM 18E FE 0.5M; zone 5 (3388) CM 33E FE 5.5M
+    *[(2390 + n, 0.0, 18.0 + 3.0 * n, 1.0, n * 1_000_000.0 + 500000.0,
+       0.0, "INTL24", WGS84_TO_KKJ) for n in range(1, 5)],
+    (3387, 0.0, 18.0, 1.0, 500000.0, 0.0, "INTL24", WGS84_TO_KKJ),
+    (3388, 0.0, 33.0, 1.0, 5500000.0, 0.0, "INTL24", WGS84_TO_KKJ),
+    # ETRS89 / DKTM1-4 (EPSG:4093-4096, Denmark): k0 0.99998,
+    # CM 9 / 10 / 11.75 / 15 E, FE 200/400/600/800 km, FN -5000 km
+    (4093, 0.0, 9.0, 0.99998, 200000.0, -5000000.0, "GRS80", None),
+    (4094, 0.0, 10.0, 0.99998, 400000.0, -5000000.0, "GRS80", None),
+    (4095, 0.0, 11.75, 0.99998, 600000.0, -5000000.0, "GRS80", None),
+    (4096, 0.0, 15.0, 0.99998, 800000.0, -5000000.0, "GRS80", None),
+    # ETRS89 / UTM zones 31-33 N (zE-N) (EPSG:5651-5653): the German
+    # zone-prefixed false-easting variants of 25831-25833
+    *[(5620 + z, 0.0, 6.0 * z - 183.0, 0.9996,
+       z * 1_000_000.0 + 500000.0, 0.0, "GRS80", None)
+      for z in range(31, 34)],
+    # DB_REF / 3-degree Gauss-Kruger zones 2-5 (EPSG:5682-5685,
+    # German railway Bessel realization; CM 6/9/12/15 E)
+    *[(5680 + n, 0.0, 3.0 * n, 1.0, n * 1_000_000.0 + 500000.0, 0.0,
+       "BESSEL", WGS84_TO_DBREF) for n in range(2, 6)],
+    # TWD97 / TM2 zone 119 (Penghu, EPSG:3825) and 121 (Taiwan, 3826):
+    # k0 0.9999, FE 250 km, GRS80 modern datum
+    (3825, 0.0, 119.0, 0.9999, 250000.0, 0.0, "GRS80", None),
+    (3826, 0.0, 121.0, 0.9999, 250000.0, 0.0, "GRS80", None),
+    # SVY21 / Singapore TM (EPSG:3414): WGS84-class datum, published
+    # Fort Canning origin constants
+    (3414, _D(1, 22, 0.0), _D(103, 50, 0.0), 1.0, 28001.642,
+     38744.572, "WGS84", None),
+    # Hong Kong 1980 Grid System (EPSG:2326): Intl 1924, published
+    # Kau Yi Chau origin constants
+    (2326, _D(22, 18, 43.68), _D(114, 10, 42.80), 1.0, 836694.05,
+     819069.80, "INTL24", WGS84_TO_HK80),
+    # PNG94 / PNGMG94 zones 54-56 (EPSG:5550-5552): GRS80 UTM south
+    *[(5496 + z, 0.0, 6.0 * z - 183.0, 0.9996, 500000.0, 10000000.0,
+       "GRS80", None) for z in range(54, 57)],
+    # Fiji 1986 / Fiji Map Grid (EPSG:3460): WGS72 ellipsoid+datum,
+    # lat0 17S, CM 178.75E, k0 0.99985, FE 2000 km, FN 4000 km
+    (3460, -17.0, 178.75, 0.99985, 2000000.0, 4000000.0, "WGS72",
+     WGS84_TO_WGS72),
+    # Minna / UTM zones 31N-32N (EPSG:26331-26332) and the Nigeria
+    # West/Mid/East belts (EPSG:26391-26393, k0 0.99975, chain-derived
+    # false eastings)
+    (26331, 0.0, 3.0, 0.9996, 500000.0, 0.0, "CLARKE80RGS",
+     WGS84_TO_MINNA),
+    (26332, 0.0, 9.0, 0.9996, 500000.0, 0.0, "CLARKE80RGS",
+     WGS84_TO_MINNA),
+    (26391, 4.0, 4.5, 0.99975, 230738.26, 0.0, "CLARKE80RGS",
+     WGS84_TO_MINNA),
+    (26392, 4.0, 8.5, 0.99975, 670553.98, 0.0, "CLARKE80RGS",
+     WGS84_TO_MINNA),
+    (26393, 4.0, 12.5, 0.99975, 1110532.12, 0.0, "CLARKE80RGS",
+     WGS84_TO_MINNA),
+    # Indian 1960 / UTM zones 48N-49N (EPSG:3148-3149): Everest 1830
+    # (1937 adjustment), Vietnam mean shift
+    (3148, 0.0, 105.0, 0.9996, 500000.0, 0.0, "EVEREST37",
+     WGS84_TO_INDIAN60),
+    (3149, 0.0, 111.0, 0.9996, 500000.0, 0.0, "EVEREST37",
+     WGS84_TO_INDIAN60),
+]
+
+LCC2_ROWS += [
+    # EST92 (EPSG:3300): the 1992 Estonian realization of the same
+    # L-EST projection as 3301 (GRS80, meter-level vs EUREF)
+    (3300, _D(57, 31, 3.19415), 24.0, _D(59, 20), 58.0, 500000.0,
+     6375000.0, "GRS80", None),
+]

@@ -134,6 +134,12 @@ _ELLIPSOIDS = {
     # and the EASE-Grid 1.0 International 1924 authalic sphere
     "SPHERE_ATLAS": (6370997.0, 0.0),
     "SPHERE_EASE1": (6371228.0, 0.0),
+    # round-11: Helmert 1906 (Egypt 1907 belts), Indonesian National
+    # 1974, Everest 1830 (1937 adjustment), Clarke 1880 (RGS)
+    "HELMERT1906": (6378200.0, 1.0 / 298.3),
+    "INDO74": (6378160.0, 1.0 / 298.247),
+    "EVEREST37": (6377276.345, 1.0 / 300.8017),
+    "CLARKE80RGS": (6378249.145, 1.0 / 293.465),
     # round-10 tranche: IAG 1975 (Xian 1980) and the ORIGINAL GRS 1967
     # (HD72; distinct from the SAD69 "GRS 1967 Modified" 1/f=298.25)
     "XIAN80": (6378140.0, 1.0 / 298.257),
@@ -1461,6 +1467,18 @@ def _register_from_table():
         reg[f"EPSG:{code}"] = obj
         if code >= 54000:                   # ESRI world range
             reg[f"ESRI:{code}"] = obj
+    # round-11 hand extras: CH1903 / LV03 (EPSG:21781) is the LV95
+    # double projection with the 1903 false origin (600/200 km) behind
+    # the classic CH1903 translation (swisstopo GRANIT87-era values,
+    # no rotations — same convention as the 2056 entry); plus the
+    # common ESRI aliases for Krovak East-North and Web Mercator.
+    reg["EPSG:21781"] = HelmertProj(
+        SwissObliqueMercator(600000.0, 200000.0),
+        t=(-674.4, -15.1, -405.3), r_arcsec=(0.0, 0.0, 0.0), s_ppm=0.0)
+    if "EPSG:5514" in reg:
+        reg["ESRI:102067"] = reg["EPSG:102067"] = reg["EPSG:5514"]
+    if "EPSG:3857" in reg:
+        reg["ESRI:102100"] = reg["EPSG:102100"] = reg["EPSG:3857"]
 
 
 _register_projections()

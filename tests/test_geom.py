@@ -950,3 +950,165 @@ def test_r10_psad56_and_ease_grids():
     x1, y1 = e.forward(0.0, 0.0)
     assert abs(math.hypot(float(x1), float(y1))
                - 6371228.0 * math.sqrt(2.0)) < 1.0
+
+
+def test_registry_exceeds_1350():
+    from sedona_db_spark.geom.projections import _PROJ_REGISTRY
+    assert len(_PROJ_REGISTRY) >= 1350
+
+
+def _fwd(code, lon, lat):
+    import numpy as np
+    from sedona_db_spark.geom.projections import _PROJ_REGISTRY
+    x, y = _PROJ_REGISTRY[f"EPSG:{code}"].forward(
+        np.array([lon]), np.array([lat]))
+    return float(x[0]), float(y[0])
+
+
+def test_r11_gk_cm_variant_identities():
+    """Round 11: the CM-variant blocks are exact zone-prefix twins of
+    the verified zone series (Pulkovo 1942 2492+, Pulkovo 1995 20062+,
+    Beijing 1954 21453+), and the 1995 realization sits a published
+    ~10 m from the 1942 one."""
+    z = 8
+    cm = 6 * z - 3
+    xa, ya = _fwd(28400 + z, cm + 0.8, 55.0)
+    xb, yb = _fwd(2498, cm + 0.8, 55.0)          # CM 45E variant
+    assert xa - xb == z * 1_000_000.0 and ya == yb
+    xc, yc = _fwd(20008, cm + 0.8, 55.0)
+    xd, yd = _fwd(20068, cm + 0.8, 55.0)
+    assert xc - xd == 8_000_000.0 and yc == yd
+    d = ((xa - xc) ** 2 + (ya - yc) ** 2) ** 0.5  # P42 vs P95 datum gap
+    assert 1.0 < d < 60.0
+    x2, _ = _fwd(20002, 9.5, 55.0)               # new zone 2 plausible
+    assert 2_400_000 < x2 < 2_600_000
+    xe, ye = _fwd(21415, 87.4, 40.0)
+    xf, yf = _fwd(21455, 87.4, 40.0)
+    assert xe - xf == 15_000_000.0 and ye == yf
+
+
+def test_r11_national_grid_city_pins():
+    """Round 11 wave: independent city coordinates (coarse cells, the
+    projection cores are the already worked-example-verified classes)
+    + closed-form identities for the new national grids."""
+    # RT90 2.5 gon V: central Stockholm
+    x, y = _fwd(3021, 18.0686, 59.3293)
+    assert abs(x - 1628000) < 3000 and abs(y - 6580000) < 3000
+    # Egypt 1907: Extended Purple = Purple + 1,000,000 m FN; Cairo in
+    # the Red Belt near its false origin
+    xp, yp = _fwd(22993, 27.5, 30.5)
+    xe, ye = _fwd(22994, 27.5, 30.5)
+    assert xe == xp and abs((ye - yp) - 1_000_000.0) < 1e-6
+    xr, yr = _fwd(22992, 31.2357, 30.0444)
+    assert abs(xr - 615000) < 50000 and abs(yr - 810000) < 50000
+    # Luxembourg 1930 / Gauss: Luxembourg City
+    x, y = _fwd(2169, 6.1319, 49.6116)
+    assert 73000 < x < 80000 and 72000 < y < 78000
+    # CH1903/LV03: Bern old observatory ~ (600000, 200000); LV95 twin
+    # offset is the 2,000,000 m false-origin move
+    x3, y3 = _fwd(21781, 7.43861, 46.95108)
+    x5, _ = _fwd(2056, 7.43861, 46.95108)
+    assert abs(x3 - 600000) < 300 and abs(y3 - 200000) < 300
+    assert abs((x5 - x3) - 2_000_000.0) < 5.0
+    # Ain el Abd UTM 38N: a few hundred meters from WGS84 UTM
+    xa, ya = _fwd(20438, 46.7, 24.6)
+    xw, yw = _fwd(32638, 46.7, 24.6)
+    assert 50 < ((xa - xw) ** 2 + (ya - yw) ** 2) ** 0.5 < 600
+    # MGI Balkans zone 7 (CM 21E): Belgrade ~43 km west of the CM
+    x, y = _fwd(31277, 20.4612, 44.8186)
+    assert 7_420_000 < x < 7_490_000 and 4_940_000 < y < 5_000_000
+    # Pulkovo 1942(58) zone 5 puts Warsaw ~409 km west of CM 27E
+    x, y = _fwd(3335, 21.0122, 52.2297)
+    assert 5_050_000 < x < 5_150_000 and 5_760_000 < y < 5_850_000
+
+
+def test_r11_se_asia_pacific_pins():
+    """Round 11 wave 2: Indonesia (ID74 vs DGN95 published ~30 m datum
+    gap; DGN95 == WGS84 UTM to the meter), Finland KKJ, Denmark DKTM,
+    German zE-N prefix identity, DB_REF vs DHDN sub-meter gap, Taiwan,
+    Singapore, Hong Kong, PNG, Fiji, Nigeria, Vietnam legacy."""
+    x, y = _fwd(23888, 106.8456, -6.2088)        # Jakarta, ID74 48S
+    assert 600_000 < x < 800_000 and 9_200_000 < y < 9_400_000
+    xa, ya = _fwd(23878, 106.8456, -6.2088)      # DGN95 48S
+    xw, yw = _fwd(32748, 106.8456, -6.2088)
+    assert abs(xa - xw) < 1.0 and abs(ya - yw) < 1.0
+    assert 5 < ((x - xa) ** 2 + (y - ya) ** 2) ** 0.5 < 100
+    x, y = _fwd(2392, 24.9384, 60.1699)          # Helsinki, KKJ zone 2
+    assert abs(x - 2_552_000) < 3000 and abs(y - 6_673_000) < 3000
+    x, y = _fwd(4094, 10.2107, 56.1567)          # Aarhus, DKTM2
+    assert 350_000 < x < 450_000 and 1_200_000 < y < 1_300_000
+    xa, ya = _fwd(5652, 9.7, 52.4)               # zE-N 32 = 25832+32M
+    xb, yb = _fwd(25832, 9.7, 52.4)
+    assert xa - xb == 32_000_000.0 and ya == yb
+    xa, ya = _fwd(5683, 9.5, 51.0)               # DB_REF GK3 vs DHDN
+    xb, yb = _fwd(31467, 9.5, 51.0)
+    assert ((xa - xb) ** 2 + (ya - yb) ** 2) ** 0.5 < 30
+    x, y = _fwd(3826, 121.5645, 25.0340)         # Taipei, TWD97 TM2
+    assert abs(x - 306_900) < 2000 and abs(y - 2_769_800) < 2000
+    x, y = _fwd(3414, 103.8519, 1.2840)          # Singapore SVY21
+    assert abs(x - 29_900) < 3000 and abs(y - 29_000) < 3000
+    x, y = _fwd(2326, 114.1742, 22.3024)         # HK Observatory
+    assert 830_000 < x < 845_000 and 815_000 < y < 822_000
+    x, y = _fwd(5551, 147.18, -9.443)            # Port Moresby, PNGMG55
+    assert abs(x - 519_800) < 2000 and abs(y - 8_956_000) < 3000
+    x, y = _fwd(3460, 178.4419, -18.1416)        # Suva, Fiji Map Grid
+    assert 1_940_000 < x < 2_000_000 and 3_850_000 < y < 3_900_000
+    x, y = _fwd(26392, 7.49508, 9.05785)         # Abuja, Nigeria Mid
+    assert 400_000 < x < 700_000 and 500_000 < y < 1_200_000
+    xa, ya = _fwd(3148, 106.6297, 10.8231)       # HCMC, Indian 1960
+    xw, yw = _fwd(32648, 106.6297, 10.8231)
+    assert 200 < ((xa - xw) ** 2 + (ya - yw) ** 2) ** 0.5 < 1500
+    # EST92 is the same L-EST projection surface as L-EST97
+    assert _fwd(3300, 24.75, 59.44) == _fwd(3301, 24.75, 59.44)
+    # aliases
+    from sedona_db_spark.geom.projections import _PROJ_REGISTRY as reg
+    assert reg["ESRI:102067"] is reg["EPSG:5514"]
+    assert reg["EPSG:102100"] is reg["EPSG:3857"]
+
+
+def test_r11_new_codes_roundtrip():
+    """Every round-11 code roundtrips forward->inverse at 1e-7 deg on a
+    point inside its natural domain."""
+    import numpy as np
+    from sedona_db_spark.geom.projections import _PROJ_REGISTRY as reg
+    samples = {
+        3021: (16.5, 62.0), 2169: (6.1, 49.7), 21781: (8.2, 46.8),
+        22991: (34.0, 29.0), 22992: (31.5, 29.5), 22993: (26.5, 29.0),
+        22994: (26.5, 31.0), 20437: (38.0, 22.0), 20438: (45.5, 25.0),
+        20439: (50.0, 27.0), 2972: (-52.5, 4.5), 2975: (55.5, -21.0),
+        2397: (9.4, 51.0), 2398: (12.4, 52.0), 2399: (14.8, 51.5),
+        3333: (15.4, 50.5), 3334: (21.4, 52.0), 3335: (27.4, 53.0),
+        2391: (21.5, 61.0), 2392: (24.5, 62.0), 2393: (27.5, 63.0),
+        2394: (30.5, 64.0), 3387: (18.5, 60.5), 3388: (32.5, 64.5),
+        4093: (9.2, 55.5), 4094: (10.3, 56.0), 4095: (11.9, 55.3),
+        4096: (15.1, 55.1), 5651: (3.4, 51.5), 5652: (9.4, 52.0),
+        5653: (15.4, 52.5), 5682: (6.4, 50.5), 5683: (9.4, 51.0),
+        5684: (12.4, 51.5), 5685: (15.1, 51.0), 3825: (119.5, 23.5),
+        3826: (121.0, 24.0), 3414: (103.85, 1.35), 2326: (114.2, 22.35),
+        5550: (141.5, -5.0), 5551: (147.2, -9.4), 5552: (153.0, -10.5),
+        3460: (178.5, -17.8), 26331: (3.4, 6.5), 26332: (9.4, 10.0),
+        26391: (4.4, 7.0), 26392: (8.4, 9.0), 26393: (12.4, 10.0),
+        3148: (105.5, 10.5), 3149: (108.5, 12.0), 3300: (25.0, 58.8),
+        20002: (9.4, 54.0), 20003: (15.4, 55.0),
+    }
+    for k in range(31):
+        samples[2492 + k] = (9.0 + 6.0 * k + 0.4, 55.0)
+        samples[20062 + k] = (9.0 + 6.0 * k + 0.4, 55.0)
+    for i in range(11):
+        samples[21453 + i] = (75.0 + 6.0 * i + 0.4, 40.0)
+    for z in range(46, 55):
+        samples[23800 + z] = (6.0 * z - 183.0 + 0.4, 3.0)
+        samples[23840 + z] = (6.0 * z - 183.0 + 0.4, -5.0)
+    for z in range(46, 53):
+        samples[23820 + z] = (6.0 * z - 183.0 + 0.4, 2.0)
+    for z in range(47, 55):
+        samples[23830 + z] = (6.0 * z - 183.0 + 0.4, -6.0)
+    for z in range(5, 9):
+        samples[31270 + z] = (3.0 * z + 0.4, 44.0)
+    for code, (lon, lat) in samples.items():
+        lon = ((lon + 180.0) % 360.0) - 180.0   # CMs past 180E wrap
+        p = reg[f"EPSG:{code}"]
+        x, y = p.forward(np.array([lon]), np.array([lat]))
+        lon2, lat2 = p.inverse(x, y)
+        assert abs(float(lon2[0]) - lon) < 1e-7 \
+            and abs(float(lat2[0]) - lat) < 1e-7, code
