@@ -199,6 +199,27 @@ def classify_point_ring(p: np.ndarray, ring_xyz: np.ndarray,
     return 1 if in_left == smaller_is_left else -1
 
 
+def _crossing_unit(p, r, c, d) -> np.ndarray:
+    """``simple_crossing`` for the parity probe arc with unit-normalized
+    arc normals: the four-sign pattern is identical, but the magnitude
+    gate becomes scale-free.  The absolute ``_EPS_DET`` gate swallowed
+    GENUINE crossings on sub-milliradian rings (triple products scale
+    with edge-length x arc-length x separation ~ 1e-16 there), flipping
+    the parity fallback's verdict for points near tiny polygons."""
+    ab = np.cross(p, r)
+    nab = np.linalg.norm(ab, axis=-1, keepdims=True)
+    ab = ab / np.where(nab > 0, nab, 1.0)
+    cd = np.cross(c, d)
+    ncd = np.linalg.norm(cd, axis=-1, keepdims=True)
+    cd = cd / np.where(ncd > 0, ncd, 1.0)
+    acb = -np.sum(ab * c, axis=-1)
+    bda = np.sum(ab * d, axis=-1)
+    cbd = -np.sum(cd * r, axis=-1)
+    dac = np.sum(cd * p, axis=-1)
+    return ((acb * bda > _EPS_DET) & (acb * cbd > _EPS_DET)
+            & (acb * dac > _EPS_DET))
+
+
 def _in_left_by_parity(p: np.ndarray, ring_xyz: np.ndarray):
     """True/False: is p in the LEFT region of the (closed, simple) ring?
     Counts great-circle arc crossings from p to a point just left of a
@@ -217,12 +238,14 @@ def _in_left_by_parity(p: np.ndarray, ring_xyz: np.ndarray):
             continue
         m = m / nm
         # walking a->b on the outside of the sphere, LEFT is the a x b
-        # direction at the edge midpoint
-        r = m + 1e-5 * (n / nn)
+        # direction at the edge midpoint; the nudge scales with the edge
+        # (a fixed 1e-5 rad ~ 64 m overshoots sub-100 m rings entirely,
+        # putting the reference point OUTSIDE and inverting the parity)
+        r = m + min(1e-5, 0.25 * nn) * (n / nn)
         r = r / np.linalg.norm(r)
         if float(p @ r) < -1.0 + 1e-12:      # p ~ antipodal to r: arc undefined
             continue
-        cr = simple_crossing(p[None, :], r[None, :], a, b)
+        cr = _crossing_unit(p[None, :], r[None, :], a, b)
         cnt = int(np.sum(cr))
         # reject references where the probe arc grazes a ring vertex (an
         # endpoint touch is not counted by simple_crossing and would
@@ -300,7 +323,8 @@ def _in_left_by_parity_batch(P: np.ndarray, ring_xyz: np.ndarray):
         if nm < 1e-9 or nn < 1e-12:
             continue
         m = m / nm
-        r = m + 1e-5 * (nrm / nn)
+        # same edge-scaled nudge as the scalar (decision equivalence)
+        r = m + min(1e-5, 0.25 * nn) * (nrm / nn)
         r = r / np.linalg.norm(r)
         sub = P[todo]
         ok = sub @ r >= -1.0 + 1e-12        # p ~ antipodal to r: undefined
@@ -310,8 +334,8 @@ def _in_left_by_parity_batch(P: np.ndarray, ring_xyz: np.ndarray):
         usable = ok & ~graze
         if not usable.any():
             continue
-        cr = simple_crossing(sub[usable][:, None, :], r[None, None, :],
-                             a[None, :, :], b[None, :, :])
+        cr = _crossing_unit(sub[usable][:, None, :], r[None, None, :],
+                            a[None, :, :], b[None, :, :])
         hit = todo[usable]
         in_left[hit] = (np.sum(cr, axis=1) % 2) == 0
         valid[hit] = True

@@ -1308,3 +1308,27 @@ def test_spherical_pred_fast_path_matches_scalar_loop():
     f1 = G._sph_point_poly_fast(s_poly, s_pt, "intersects")
     f2 = G._sph_point_poly_fast(s_pt, s_poly, "intersects")
     assert (f1.to_numpy() == f2.to_numpy()).all()
+
+
+def test_parity_crossing_scale_free_tiny_rings():
+    """r11: the parity fallback must detect crossings at sub-milliradian
+    scales (the absolute _EPS_DET gate swallowed genuine crossings on
+    ~500 m rings, classifying nearby OUTSIDE points as inside — latent
+    until the batched fast path routed tiny rings through the global
+    classifier).  Sweep ring sizes across five orders of magnitude."""
+    import numpy as np
+    from sedona_db_spark.geom import sphere as S
+
+    for s in (0.0005, 0.005, 0.05, 0.5, 5.0):
+        ring = S.xyz_of(np.array(
+            [[10, 5], [10 + s, 5], [10 + s, 5 + s], [10, 5 + s],
+             [10, 5]], float))
+        inside = S.xyz_of(np.array([[10 + s / 2, 5 + s / 2]], float))
+        outside = S.xyz_of(np.array(
+            [[10 + 3 * s, 5 + 3 * s], [10 - 2 * s, 5 + s / 2]], float))
+        assert S.classify_point_ring(inside[0], ring) == 1, s
+        for i in range(len(outside)):
+            assert S.classify_point_ring(outside[i], ring) == -1, (s, i)
+        batch = S.classify_points_ring_batch(
+            np.vstack([inside, outside]), ring)
+        assert list(batch) == [1, -1, -1], (s, batch)
