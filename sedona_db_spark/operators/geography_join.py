@@ -470,8 +470,16 @@ def _cover_cells_udf(cell_deg, pad_m=0.0, max_lat=88.0, cap=200_000):
 def _probe_extent_deg(df: DataFrame, col: str, n: int = 64) -> list[float]:
     """Driver-side probe: per-geometry angular extent (max of lat span
     and cos-adjusted lon span) of the first n rows — sets the grid
-    scale only, never correctness."""
+    scale only, never correctness.  Memoized on the analyzed-plan
+    semantic hash like the skew histogram (r11): repeated builds of the
+    same join shape were paying one Spark job per side per build."""
     from sedona_db_spark.geom import core
+    from sedona_db_spark.operators.spatial_join import (
+        _plan_key, _stats_memo_get, _stats_memo_put)
+    mkey = ("geoext", _plan_key(df), col, n)
+    memo = _stats_memo_get(mkey)
+    if memo is not None:
+        return list(memo)
     exts = []
     for r in df.select(col).limit(n).collect():
         v = r[0]
@@ -491,7 +499,9 @@ def _probe_extent_deg(df: DataFrame, col: str, n: int = 64) -> list[float]:
         exts.append(max(lat_hi - lat_lo,
                         lon_span * math.cos(math.radians(
                             min(abs(mid), 89.0)))))
-    return sorted(exts)
+    out = sorted(exts)
+    _stats_memo_put(mkey, list(out))
+    return out
 
 
 def geography_relation_join(
