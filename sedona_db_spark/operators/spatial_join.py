@@ -583,7 +583,15 @@ def _point_constructor_certified_impl(df: DataFrame, geom_col: str) -> bool:
 
 def _rect_fast_refine(cand: DataFrame, left: DataFrame, left_geom: str,
                       rb: DataFrame, rgeom: str, predicate: str,
-                      distance: float | None, enabled: bool):
+                      distance: float | None, enabled: bool,
+                      point_gate=None):
+    """``point_gate`` (optional Column): a probe-side point-class gate
+    the caller can supply instead of the per-row WKB-header check — the
+    layout join passes its STORED ``__bcls == 1``, a plain column whose
+    negation pushes to the layout SCAN where parquet row-group min/max
+    stats prune the straggler branch to metadata-only on all-point
+    layouts (the header check re-reads the geometry bytes per row and
+    prunes nothing)."""
     if not enabled or distance is not None \
             or predicate not in _RECT_FAST_PREDS:
         return None
@@ -671,7 +679,8 @@ def _rect_fast_refine(cand: DataFrame, left: DataFrame, left_geom: str,
     # splitting off the left-only conjunct and pushing it through the
     # probe projection (which re-extracts — i.e. RE-RUNS — the bbox
     # pandas UDF above the pushed filter: one full extra Python pass).
-    is_pt = _wkb_point2d(F.col(left_geom))
+    is_pt = point_gate if point_gate is not None \
+        else _wkb_point2d(F.col(left_geom))
     pts = cand.filter(
         F.when(is_pt, rect_guard(formula)).otherwise(F.lit(False)))
     exact = _refine_udf(predicate, False)(F.col(left_geom), F.col(rgeom))
@@ -1627,7 +1636,8 @@ def spatial_join_bucketed(
                     F.col("__bcls").alias("cls")))
                 joined = _rect_fast_refine(
                     cand2, l_tagged, left_geom, rb_clean,
-                    rgeom, predicate, distance, True)
+                    rgeom, predicate, distance, True,
+                    point_gate=F.col("__bcls") == 1)
         if joined is None and distance is not None and rect_fast_path:
             # layout distance refine as three NATIVE branches: the
             # stored shape class gates the left side (a plain column —
