@@ -680,10 +680,28 @@ def knn_join_partitioned(
     def clip(v, hi):
         return F.least(F.greatest(v, F.lit(0)), F.lit(hi))
 
+    # Per-row guard for the memoized stats (r11): the completion bound
+    # leans on ohd_max and the grid extent, so an object BEYOND the
+    # cached bounds (data changed under a memoized plan) must fail
+    # LOUD, never silently clip into an edge cell the bound doesn't
+    # model.  Null centers (null/empty geometry) keep dropping silently.
+    dom_ok = (F.col("__ox").isNull() | F.col("__oy").isNull() |
+              ((F.col("__ox") >= F.lit(float(x0)) - 1e-9) &
+               (F.col("__ox") <= F.lit(float(x1)) + 1e-9) &
+               (F.col("__oy") >= F.lit(float(y0)) - 1e-9) &
+               (F.col("__oy") <= F.lit(float(y1)) + 1e-9) &
+               (F.coalesce(F.col("__ohd"), F.lit(0.0))
+                <= F.lit(ohd_max) + 1e-9)))
+    stale_err = F.raise_error(F.lit(
+        "knn_join_partitioned: object beyond the memoized planning "
+        "stats (extent/halfdiag grew under a cached plan); rebuild the "
+        "object DataFrame (new plan) to refresh the stats")).cast("long")
     ob2 = ob.withColumn(
         "__ocell",
-        clip(F.floor((F.col("__ox") - F.lit(x0)) / w), nx - 1) * ny +
-        clip(F.floor((F.col("__oy") - F.lit(y0)) / h), ny - 1))
+        F.when(dom_ok,
+               clip(F.floor((F.col("__ox") - F.lit(x0)) / w), nx - 1) * ny +
+               clip(F.floor((F.col("__oy") - F.lit(y0)) / h), ny - 1))
+        .otherwise(stale_err))
 
     qcx = clip(F.floor((F.col("__qx") - F.lit(x0)) / w), nx - 1)
     qcy = clip(F.floor((F.col("__qy") - F.lit(y0)) / h), ny - 1)
@@ -744,12 +762,15 @@ def knn_join_partitioned(
         native = F.sqrt(F.pow(F.col("__qx") - F.col("__ox"), 2) +
                         F.pow(F.col("__qy") - F.col("__oy"), 2))
         qlen_c = F.length(F.col(query_geom))
-        dist = F.when(qlen_c.isNull() | (qlen_c == 21), native) \
+        olen_c = F.length(F.col(ogeom))
+        dist = F.when((qlen_c.isNull() | (qlen_c == 21))
+                      & (olen_c.isNull() | (olen_c == 21)), native) \
                 .otherwise(F.raise_error(F.lit(
-                    "knn_join_partitioned: non-point query geometry "
-                    "appeared beyond the plan probe; re-run with exact "
-                    "mode (any non-point row in the first 4096 triggers "
-                    "it automatically)")).cast("double"))
+                    "knn_join_partitioned: non-point geometry appeared "
+                    "beyond the plan probe/stats (query probe miss, or "
+                    "object data changed under a memoized plan); re-run "
+                    "with a fresh object DataFrame or exact mode")).cast(
+                    "double"))
 
     # deterministic tie-break mirroring the broadcast path: distance,
     # then the object's orderable payload columns (id first by

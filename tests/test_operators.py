@@ -2334,3 +2334,35 @@ def test_rebucket_layout_after_shifted_append(spark):
         predicate="within").collect())
     assert after == ref
     spark.sql("DROP TABLE IF EXISTS t_rebucket")
+
+
+def test_knn_memoized_stats_guard_fails_loud(spark, tmp_path):
+    """r11: the KNN planning-stats memo is balance-only BECAUSE these
+    guards exist — an object beyond the memoized extent/halfdiag (data
+    appended under the same plan) must raise, never silently rank by a
+    grid the completion bound no longer models."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.operators.knn_join import knn_join
+    src = str(tmp_path / "objs")
+    spark.sql("""
+      SELECT id AS oid, ST_Point(CAST(id % 10 AS DOUBLE),
+                                 CAST(id % 7 AS DOUBLE)) AS geom
+      FROM range(500)""").write.mode("overwrite").parquet(src)
+    queries = spark.sql("""
+      SELECT id AS qid, ST_Point(CAST(id % 9 AS DOUBLE) + 0.3,
+                                 CAST(id % 6 AS DOUBLE) + 0.3) AS geom
+      FROM range(200)""")
+    objs = spark.read.parquet(src)
+    n1 = knn_join(queries, objs, k=2, broadcast_threshold=4).count()
+    assert n1 == 400
+    # append objects FAR outside the memoized extent, same plan shape
+    spark.sql("""
+      SELECT id + 10000 AS oid, ST_Point(500.0 + CAST(id AS DOUBLE),
+                                         500.0) AS geom
+      FROM range(50)""").write.mode("append").parquet(src)
+    objs2 = spark.read.parquet(src)
+    with pytest.raises(Exception,
+                       match="memoized|beyond the plan probe/stats"):
+        knn_join(queries, objs2, k=2, broadcast_threshold=4).count()
