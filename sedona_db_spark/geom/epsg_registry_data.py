@@ -810,3 +810,62 @@ LCC2_ROWS += [
     (3300, _D(57, 31, 3.19415), 24.0, _D(59, 20), 58.0, 500000.0,
      6375000.0, "GRS80", None),
 ]
+
+# ----------------------------------------------------------------------
+# Round-11 wave 3: Statistics Canada Lambert and the SPCS83 foot-unit
+# variant codes (the POSGAR fajas, CGCS2000 Gauss-Krüger families and
+# Canada Atlas Lambert candidates for this wave turned out to be
+# already registered by earlier rounds and are NOT re-stated here).
+# ----------------------------------------------------------------------
+
+LCC2_ROWS += [
+    # Statistics Canada Lambert (EPSG:3347 NAD83 / EPSG:3348
+    # NAD83(CSRS)): lat0 63d23'26.43"N, lon0 91d52'W, SPs 49/77,
+    # FE 6,200 km, FN 3,000 km
+    (3347, _D(63, 23, 26.43), -_D(91, 52), 49.0, 77.0, 6200000.0,
+     3000000.0, "GRS80", None),
+    (3348, _D(63, 23, 26.43), -_D(91, 52), 49.0, 77.0, 6200000.0,
+     3000000.0, "GRS80", None),
+]
+
+# SPCS83 foot-unit variant codes: (code, base_metric_code, unit).  EPSG
+# models each as the SAME projected conversion with a different axis
+# unit ('ftUS' = US survey foot 1200/3937 m, 'ft' = international foot
+# 0.3048 m — Arizona, Michigan, Oregon and South Carolina legislate the
+# international foot; the rest use the US survey foot).
+FOOT_ROWS = [
+    # California zones 1-6
+    (2225, 26941, "ftUS"), (2226, 26942, "ftUS"), (2227, 26943, "ftUS"),
+    (2228, 26944, "ftUS"), (2229, 26945, "ftUS"), (2230, 26946, "ftUS"),
+    # Texas North / North Central / Central / South Central / South
+    (2275, 32137, "ftUS"), (2276, 32138, "ftUS"), (2277, 32139, "ftUS"),
+    (2278, 32140, "ftUS"), (2279, 32141, "ftUS"),
+    # Colorado North / Central / South
+    (2231, 26953, "ftUS"), (2232, 26954, "ftUS"), (2233, 26955, "ftUS"),
+    # Florida East / West / North
+    (2236, 26958, "ftUS"), (2237, 26959, "ftUS"), (2238, 26960, "ftUS"),
+    # Georgia East / West
+    (2239, 26966, "ftUS"), (2240, 26967, "ftUS"),
+    # New York East / Central / West / Long Island
+    (2260, 32115, "ftUS"), (2261, 32116, "ftUS"), (2262, 32117, "ftUS"),
+    (2263, 32118, "ftUS"),
+    # Pennsylvania North / South
+    (2271, 32128, "ftUS"), (2272, 32129, "ftUS"),
+    # Virginia North / South
+    (2283, 32146, "ftUS"), (2284, 32147, "ftUS"),
+    # Washington North / South
+    (2285, 32148, "ftUS"), (2286, 32149, "ftUS"),
+    # Maryland; Massachusetts Mainland / Island
+    (2248, 26985, "ftUS"), (2249, 26986, "ftUS"), (2250, 26987, "ftUS"),
+    # North Carolina; Tennessee; New Jersey
+    (2264, 32119, "ftUS"), (2274, 32136, "ftUS"), (3424, 32111, "ftUS"),
+    # Illinois East / West; Ohio North / South
+    (3435, 26971, "ftUS"), (3436, 26972, "ftUS"),
+    (3734, 32122, "ftUS"), (3735, 32123, "ftUS"),
+    # international-foot states: Arizona E/C/W, Michigan N/C/S,
+    # Oregon N/S, South Carolina
+    (2222, 26948, "ft"), (2223, 26949, "ft"), (2224, 26950, "ft"),
+    (2251, 26988, "ft"), (2252, 26989, "ft"), (2253, 26990, "ft"),
+    (2269, 32126, "ft"), (2270, 32127, "ft"),
+    (2273, 32133, "ft"),
+]

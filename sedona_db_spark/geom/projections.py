@@ -717,6 +717,33 @@ class HelmertProj:
         return _ecef_to_geodetic(X, Y, Z, WGS84_A, WGS84_F * (2 - WGS84_F))
 
 
+US_SURVEY_FOOT = 1200.0 / 3937.0      # exact EPSG 9003 definition
+INTL_FOOT = 0.3048                    # exact EPSG 9002 definition
+
+
+class ScaledAxes:
+    """A projected CRS identical to ``proj`` but with its easting/
+    northing axes in a non-metre unit.  EPSG publishes these as
+    distinct codes (e.g. 2225 'NAD83 / California zone 1 (ftUS)' is the
+    unit conversion of 26941): the conversion parameters are the same
+    to the micrometre, only the axis unit changes, so the wrapper
+    divides on the way out and multiplies on the way in.  The reference
+    resolves these codes through PROJ's unit table
+    (c/sedona-proj/src/transform.rs); here the unit is explicit data."""
+
+    def __init__(self, proj, unit_m):
+        self.proj = proj
+        self.unit_m = float(unit_m)
+
+    def forward(self, lon, lat):
+        x, y = self.proj.forward(lon, lat)
+        return x / self.unit_m, y / self.unit_m
+
+    def inverse(self, x, y):
+        return self.proj.inverse(np.asarray(x, dtype=float) * self.unit_m,
+                                 np.asarray(y, dtype=float) * self.unit_m)
+
+
 class SwissObliqueMercator:
     """CH1903+/LV95 (EPSG:2056): swisstopo's conformal double projection —
     Bessel ellipsoid -> conformal sphere -> equator rotation -> Mercator
@@ -1344,6 +1371,16 @@ _SPCS83_LCC = [
     (26986, _dms(41, 0), _dms(-71, 30), _dms(42, 41), _dms(41, 43), 200000.0, 750000.0),
     (32143, _dms(38, 20), _dms(-111, 30), _dms(40, 39), _dms(39, 1), 500000.0, 2000000.0),
     (26982, _dms(28, 30), _dms(-91, 20), _dms(30, 42), _dms(29, 18), 1000000.0, 0.0),
+    # --- round-11 foot-variant bases ---
+    # Florida North, Massachusetts Island, South Carolina (FE is the
+    # exact metre value of 2,000,000 international feet)
+    (26960, _dms(29, 0), _dms(-84, 30), _dms(30, 45), _dms(29, 35), 600000.0, 0.0),
+    (26987, _dms(41, 0), _dms(-70, 30), _dms(41, 29), _dms(41, 17), 500000.0, 0.0),
+    (32133, _dms(31, 50), _dms(-81, 0), _dms(34, 50), _dms(32, 30), 609600.0, 0.0),
+    # Michigan North / Central / South
+    (26988, _dms(44, 47), _dms(-87, 0), _dms(47, 5), _dms(45, 29), 8000000.0, 0.0),
+    (26989, _dms(43, 19), _dms(-84, 22), _dms(45, 42), _dms(44, 11), 6000000.0, 0.0),
+    (26990, _dms(41, 30), _dms(-84, 22), _dms(43, 40), _dms(42, 6), 4000000.0, 0.0),
 ]
 
 _SPCS83_TM = [
@@ -1365,6 +1402,9 @@ _SPCS83_TM = [
     (26948, _dms(31, 0), _dms(-110, 10), 0.9999, 213360.0, 0.0),
     (26949, _dms(31, 0), _dms(-111, 55), 0.9999, 213360.0, 0.0),
     (26950, _dms(31, 0), _dms(-113, 45), 1.0 - 1.0 / 15000.0, 213360.0, 0.0),
+    # New York Central / West (round-11 foot-variant bases)
+    (32116, _dms(40, 0), _dms(-76, 35), 0.9999375, 250000.0, 0.0),
+    (32117, _dms(40, 0), _dms(-78, 35), 0.9999375, 350000.0, 0.0),
 ]
 
 
@@ -1467,6 +1507,13 @@ def _register_from_table():
         reg[f"EPSG:{code}"] = obj
         if code >= 54000:                   # ESRI world range
             reg[f"ESRI:{code}"] = obj
+    # SPCS83 foot-unit variants: the base metric zones are registered
+    # above (projections.py _SPCS83 tables run first), so each foot
+    # code wraps the already-built projection object
+    for code, base, unit in D.FOOT_ROWS:
+        reg[f"EPSG:{code}"] = ScaledAxes(
+            reg[f"EPSG:{base}"],
+            US_SURVEY_FOOT if unit == "ftUS" else INTL_FOOT)
     # round-11 hand extras: CH1903 / LV03 (EPSG:21781) is the LV95
     # double projection with the 1903 false origin (600/200 km) behind
     # the classic CH1903 translation (swisstopo GRANIT87-era values,

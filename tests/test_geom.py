@@ -1112,3 +1112,79 @@ def test_r11_new_codes_roundtrip():
         lon2, lat2 = p.inverse(x, y)
         assert abs(float(lon2[0]) - lon) < 1e-7 \
             and abs(float(lat2[0]) - lat) < 1e-7, code
+
+
+def test_registry_exceeds_1450():
+    from sedona_db_spark.geom.projections import _PROJ_REGISTRY
+    assert len(_PROJ_REGISTRY) >= 1450
+
+
+def test_r11_spcs_foot_variants():
+    """Round 11 wave 3: every SPCS83 foot-unit code is the exact axis
+    rescale of its registered metric twin (EPSG models them as the same
+    conversion with a different unit), US survey foot = 1200/3937 m
+    exactly, international foot = 0.3048 m exactly; roundtrips close."""
+    import numpy as np
+    from sedona_db_spark.geom import epsg_registry_data as D
+    from sedona_db_spark.geom.projections import (
+        _PROJ_REGISTRY, US_SURVEY_FOOT, INTL_FOOT)
+    assert US_SURVEY_FOOT == 1200.0 / 3937.0 and INTL_FOOT == 0.3048
+    lon, lat = np.array([-96.5]), np.array([38.2])
+    for code, base, unit in D.FOOT_ROWS:
+        f = _PROJ_REGISTRY[f"EPSG:{code}"]
+        m = _PROJ_REGISTRY[f"EPSG:{base}"]
+        # probe near each zone's own origin so the point is in-zone:
+        # use the base CRS inverse of a fixed grid position
+        glon, glat = m.inverse(np.array([300000.0]), np.array([150000.0]))
+        xm, ym = m.forward(glon, glat)
+        xf, yf = f.forward(glon, glat)
+        u = US_SURVEY_FOOT if unit == "ftUS" else INTL_FOOT
+        assert abs(float(xf[0]) * u - float(xm[0])) < 1e-6
+        assert abs(float(yf[0]) * u - float(ym[0])) < 1e-6
+        rlon, rlat = f.inverse(xf, yf)
+        assert abs(float(rlon[0]) - float(glon[0])) < 1e-7
+        assert abs(float(rlat[0]) - float(glat[0])) < 1e-7
+    # spot value: Arizona East ftUS-vs-ft distinction — the AZ codes
+    # are INTERNATIONAL feet, so the false easting reads exactly
+    # 700,000 ft at the CM/lat0 origin (213,360 m / 0.3048)
+    x, y = _fwd(2222, -(110 + 10 / 60.0), 31.0)
+    assert x == 700000.0 and abs(y) < 1e-9
+
+
+def test_r11_foot_base_zone_city_pins():
+    """New SPCS83 base zones added for the foot variants, pinned by
+    independent city coordinates (coarse cells — the projection cores
+    are the worked-example-verified LCC/TM classes)."""
+    x, y = _fwd(26960, -84.2807, 30.4383)        # Tallahassee, FL North
+    assert abs(x - 621000) < 4000 and abs(y - 159500) < 4000
+    x, y = _fwd(32116, -76.1474, 43.0481)        # Syracuse, NY Central
+    assert abs(x - 285500) < 4000 and abs(y - 338600) < 4000
+    x, y = _fwd(32117, -78.8784, 42.8864)        # Buffalo, NY West
+    assert abs(x - 326000) < 6000 and abs(y - 320600) < 6000
+    x, y = _fwd(26990, -83.0458, 42.3314)        # Detroit, MI South
+    assert abs(x - 4108900) < 6000 and abs(y - 93200) < 6000
+    x, y = _fwd(26989, -84.5555, 44.7614)        # Grayling, MI Central
+    assert abs(x - 5985000) < 20000 and abs(y - 160000) < 20000
+    x, y = _fwd(26988, -87.395, 45.759)          # Menominee, MI North
+    assert abs(x - 7969000) < 20000 and abs(y - 108000) < 20000
+    x, y = _fwd(32133, -81.0348, 34.0007)        # Columbia, SC
+    assert abs(x - 606400) < 6000 and abs(y - 240000) < 8000
+    x, y = _fwd(26987, -70.1003, 41.2835)        # Nantucket, MA Island
+    assert abs(x - 533400) < 6000 and abs(y - 31500) < 6000
+    # Michigan South metre-vs-international-foot twin at Detroit
+    xm, ym = _fwd(26990, -83.0458, 42.3314)
+    xf, yf = _fwd(2253, -83.0458, 42.3314)
+    assert abs(xf * 0.3048 - xm) < 1e-6 and abs(yf * 0.3048 - ym) < 1e-6
+
+
+def test_r11_statcan_lambert_pins():
+    """EPSG:3347/3348 Statistics Canada Lambert: CSRS twin is
+    identical (both modern realizations WGS84-coincident); Ottawa pin."""
+    xo, yo = _fwd(3347, -75.6972, 45.4215)
+    assert abs(xo - 7471000) < 8000 and abs(yo - 1190600) < 8000
+    xc, yc = _fwd(3348, -75.6972, 45.4215)
+    assert xo == xc and yo == yc
+    # false origin: the projection origin (91d52'W, 63d23'26.43"N)
+    # must read exactly (6,200,000, 3,000,000)
+    x0, y0 = _fwd(3347, -(91 + 52 / 60.0), 63 + 23 / 60.0 + 26.43 / 3600.0)
+    assert abs(x0 - 6200000.0) < 1e-6 and abs(y0 - 3000000.0) < 1e-6
