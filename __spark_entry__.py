@@ -5889,6 +5889,18 @@ _PRIORITY[_PRIORITY.index("sql_spatial_join_left_rewrite")] = \
 _PRIORITY[_PRIORITY.index("zarr_http_roundtrip")] = \
     "sql_spatial_join_layout_route"
 _PRIORITY[_PRIORITY.index("tpch_q6_forecast")] = "geo_skew_join_clustered"
+# Round 11: two of the three new pipeline operators take window slots —
+# the int8-quantized top-k (new similarity family member: quantization
+# arithmetic + packed-byte scoring proven against the oracle's verbatim
+# restatement) replaces window_running_sum (plain built-in window
+# surface, amply covered by the replica and the window functions inside
+# other in-window slots), and the
+# sliding-window chunker (new zero-shuffle generator family) replaces
+# grouping_sets_mix (built-in GROUPING SETS, same coverage argument);
+# dataset_split_stratified stays replica-covered (same lcg_hash core as
+# the in-window mix_domains_sample).
+_PRIORITY[_PRIORITY.index("window_running_sum")] = "sim_quantized_topk"
+_PRIORITY[_PRIORITY.index("grouping_sets_mix")] = "chunk_documents_overlap"
 
 
 def _ordered_names() -> list[str]:
