@@ -100,6 +100,12 @@ HEADLINE = [
     "spatial_join_bucketed_distance",
     "sql_two_spatial_predicates_left",
     "geo_skew_join_clustered",
+    # round-11: sliding-window chunking (zero-shuffle generator over the
+    # documents corpus) and int8-quantized cosine top-k (packed-byte
+    # scorer — 4x fewer scan bytes than the float path).  NEW in r11 —
+    # excluded from core32_sec.
+    "chunk_documents_overlap",
+    "sim_quantized_topk",
 ]
 
 # Isolation groups: one subprocess (fresh JVM + python workers) each.
@@ -127,11 +133,11 @@ GROUPS: dict[str, list[str]] = {
                    "text_ngram_jaccard_pairs", "dedup_transitive_cc"],
     "sim_media": ["sim_cosine_topk", "sim_label_centroid_dist",
                   "multimodal_jpeg_decode", "raster_zonal_stats",
-                  "asof_join_events"],
+                  "asof_join_events", "sim_quantized_topk"],
     "bulk": ["st_distance_pairs_bulk", "geo_distance_sphere_bulk",
              "knn_join_polygons_bulk"],
     "assembly": ["pack_sequences_gpt", "dedup_exact_substring",
-                 "materialize_sequences_512"],
+                 "materialize_sequences_512", "chunk_documents_overlap"],
     "web": ["html_extract_text", "url_blocklist_dedup",
             "pipeline_web_compose"],
 }
@@ -280,7 +286,8 @@ def main() -> None:
                  "sql_geography_intersects_join",
                  "spatial_join_bucketed_distance",
                  "sql_two_spatial_predicates_left",
-                 "geo_skew_join_clustered"})
+                 "geo_skew_join_clustered",
+                 "chunk_documents_overlap", "sim_quantized_topk"})
     core32 = sum(v for k, v in timings.items() if v > 0 and k not in r7_new)
     load1 = _loadavg()
     # The driver keeps only the LAST ~2000 chars of stdout: the r9 line
