@@ -775,14 +775,14 @@ def quantize_embeddings_int8(df: DataFrame, vec_col: str = "embedding",
         valid = vs.notna().to_numpy()
         if valid.any():
             idx = np.nonzero(valid)[0]
-            X = np.vstack([np.asarray(vs.iat[int(i)], dtype=np.float64)
-                           for i in idx])
+            vals = vs.to_numpy()
+            X = np.vstack([vals[i] for i in idx]).astype(np.float64)
             s = np.abs(X).max(axis=1)
             sc = np.where(s == 0.0, 1.0, s)
             C = np.clip(np.floor(X / sc[:, None] * 127.0 + 0.5),
                         -127, 127).astype(np.int8)
+            scales[idx] = s
             for row, i in enumerate(idx):
-                scales[i] = s[row]
                 codes[int(i)] = C[row].tobytes()
         return pd.DataFrame({"scale": scales, "codes": codes})
 
@@ -800,29 +800,61 @@ def quantized_topk(coded: DataFrame, query_vec: list[float], k: int = 10,
     """Exact top-k by quantized cosine: cos(dequant(x), q) equals
     cos(codes, q) because the symmetric per-vector scale cancels, so
     the scorer reads ONLY the packed byte codes (1 byte/dim — the scan
-    and any shuffle move 4x fewer bytes than the float path).  Each
-    Arrow batch is one frombuffer reshape + one BLAS matvec; ends in a
-    TakeOrdered(k), never a full sort."""
+    and any shuffle move 4x fewer bytes than the float path).
+
+    The scorer is mapInArrow, NOT a pandas UDF: a BinaryType column
+    through pandas materializes one python ``bytes`` object per row
+    (measured 0.55 s/500k rows at sf10 — 2.6x the scan floor), while
+    the Arrow RecordBatch exposes the packed codes as ONE contiguous
+    buffer that numpy views zero-copy: per batch the kernel is a
+    frombuffer reshape + one BLAS matvec.  Ends in a TakeOrdered(k),
+    never a full sort."""
+    import pyarrow as pa
+
     q = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.linalg.norm(q))
     dim = len(query_vec)
 
-    @F.pandas_udf(T.DoubleType())
-    def _score(cs: pd.Series) -> pd.Series:
-        out = np.full(len(cs), np.nan)
-        valid = cs.notna().to_numpy()
-        if valid.any():
-            idx = np.nonzero(valid)[0]
-            C = np.frombuffer(b"".join(cs.iat[int(i)] for i in idx),
-                              dtype=np.int8).reshape(-1, dim) \
-                  .astype(np.float64)
-            nrm = np.linalg.norm(C, axis=1)
-            nrm[nrm == 0.0] = np.inf        # all-zero vector: score 0
-            out[idx] = (C @ q) / (nrm * qn)
-        return pd.Series(out)
+    def _score(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            arr = batch.column(1)
+            n = len(arr)
+            # raw variable-width layout: buffers = [validity, int32
+            # offsets, data]; the offsets window accounts for any
+            # array-level slice offset
+            obuf, dbuf = arr.buffers()[1], arr.buffers()[2]
+            offs = np.frombuffer(obuf, dtype=np.int32)[
+                arr.offset:arr.offset + n + 1].astype(np.int64)
+            valid = ~np.asarray(arr.is_null())
+            lens = offs[1:] - offs[:-1]
+            if bool((valid & (lens != dim)).any()):
+                raise ValueError(
+                    f"quantized_topk: a codes row has {int(lens[valid & (lens != dim)][0])} "
+                    f"bytes but the query has {dim} dimensions — "
+                    "quantize with the same embedding dim as the query")
+            data = np.frombuffer(dbuf, dtype=np.int8,
+                                 count=int(offs[-1]))
+            out = np.full(n, np.nan)
+            if valid.any():
+                starts = offs[:-1][valid]
+                # values are contiguous per row: gather the kept rows
+                gather = (starts[:, None] + np.arange(dim)[None, :])
+                C = data[gather].astype(np.float64)
+                nrm = np.linalg.norm(C, axis=1)
+                nrm[nrm == 0.0] = np.inf    # all-zero vector: score 0
+                out[valid] = (C @ q) / (nrm * qn)
+            # NaN marks the null rows (from_pandas maps NaN -> Arrow
+            # null; a bare pa.array would keep NaN, which Spark orders
+            # ABOVE every real score in the descending TakeOrdered)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out, type=pa.float64(), from_pandas=True)],
+                names=[id_col, "q_cosine"])
 
-    return (coded.withColumn("q_cosine", _score(F.col(codes_col)))
-            .where(F.col("q_cosine").isNotNull())
+    narrow = coded.select(F.col(id_col), F.col(codes_col))
+    scored = narrow.mapInArrow(
+        _score, schema=f"{id_col} long, q_cosine double")
+    return (scored.where(F.col("q_cosine").isNotNull())
             .orderBy(F.col("q_cosine").desc(), F.col(id_col))
             .limit(int(k))
             .select(id_col, F.round("q_cosine", 6).alias("q_cosine")))

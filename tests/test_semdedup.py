@@ -276,3 +276,16 @@ def test_quantize_int8_roundtrip_and_topk(spark):
     # int8 keeps order on random gaussian data at this scale
     assert set(tk) & set(exact), "quantized and exact top-5 disjoint"
     assert tk[0] == exact[0]
+
+
+def test_quantized_topk_dim_mismatch_fails_loud(spark):
+    """A codes row whose byte length differs from the query dimension
+    must raise with the fix named, never silently drop or mis-score."""
+    import pytest as _pytest
+
+    from sedona_db_spark.operators.similarity import quantized_topk
+    df = spark.createDataFrame(
+        [(1, bytes(8)), (2, bytes(16))],
+        "vec_id long, q_codes binary")
+    with _pytest.raises(Exception, match="dimensions|quantize"):
+        quantized_topk(df, [0.5] * 16, k=1).collect()
