@@ -5082,16 +5082,20 @@ _O["chunk_documents_overlap"] = """
 
 
 def _q_split_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 90/5/5 split on the engine-portable LCG hash
-    (operators/batching.py split_dataset): a pure projection, so split
-    filters push to the scan; per-(split, source) counts prove the
-    assignment bit-for-bit against the ANSI-SQL restatement."""
+    """Deterministic EXACT-stratified 90/5/5 split (operators/batching
+    split_dataset, stratify_by='source'): per-stratum rank by the
+    engine-portable LCG hash, cut at exact cumulative boundaries —
+    every source lands its fractions to the row.  The rank is computed
+    skew-free (hash-range buckets + broadcast offsets, never a
+    single-task per-stratum window); per-(split, source) counts AND
+    char sums prove the row-level assignment bit-for-bit against the
+    oracle's window restatement."""
     from pyspark.sql import functions as F
 
     from sedona_db_spark.operators.batching import split_dataset
     sp = split_dataset(spark.table("documents"),
                        {"train": 0.9, "val": 0.05, "test": 0.05},
-                       key_col="doc_id", seed=3)
+                       key_col="doc_id", seed=3, stratify_by="source")
     return (sp.groupBy("split", "source").agg(
         F.count("*").alias("n"),
         F.sum("n_chars").alias("sum_chars"))
@@ -5111,14 +5115,18 @@ _O["dataset_split_stratified"] = """
                 (x2 * 1103515245) % 2147483648 AS x3 FROM h2),
   h AS (SELECT doc_id, source, n_chars,
                xor(x3, x3 // 65536) AS hv FROM h3),
+  r AS (
+    SELECT source, n_chars,
+           row_number() OVER (PARTITION BY source ORDER BY hv, doc_id)
+             AS rk,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM h),
   s AS (
     SELECT source, n_chars,
-           CASE WHEN hv < CAST(floor(0.9 * 2147483648) AS BIGINT)
-                  THEN 'train'
-                WHEN hv < CAST(floor(0.95 * 2147483648) AS BIGINT)
-                  THEN 'val'
+           CASE WHEN rk <= floor(0.9 * n + 1e-9) THEN 'train'
+                WHEN rk <= floor(0.95 * n + 1e-9) THEN 'val'
                 ELSE 'test' END AS split
-    FROM h)
+    FROM r)
   SELECT split, source, count(*) AS n,
          CAST(sum(n_chars) AS BIGINT) AS sum_chars
   FROM s GROUP BY split, source ORDER BY split, source

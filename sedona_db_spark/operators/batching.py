@@ -518,32 +518,80 @@ def chunk_documents(df: DataFrame, chunk_tokens: int, overlap: int = 0,
 
 def split_dataset(df: DataFrame, fractions: dict[str, float],
                   key_col: str = "doc_id", seed: int = 0,
-                  out_col: str = "split") -> DataFrame:
-    """Deterministic stratum-free train/val/test split: the engine-
-    portable ``lcg_hash`` (documented ANSI-SQL restatement above) maps
-    each key to [0, 2^31); cumulative fraction thresholds assign the
-    split label.  A pure filter-free projection — reproducible across
-    runs, engines and partitionings, and every downstream filter on
-    ``split`` is an ordinary pushable predicate (no sampling state).
+                  out_col: str = "split",
+                  stratify_by: str | None = None,
+                  npart: int | None = None) -> DataFrame:
+    """Deterministic train/val/test split on the engine-portable
+    ``lcg_hash`` (documented ANSI-SQL restatement above).
+
+    Two modes:
+
+    - **hash mode** (``stratify_by=None``): cumulative fraction
+      thresholds on the key hash — a pure filter-free projection,
+      reproducible across runs, engines and partitionings; every
+      downstream filter on ``split`` is an ordinary pushable predicate.
+      Proportions hold in expectation (Bernoulli), not exactly.
+    - **exact stratified mode** (``stratify_by="source"``): within each
+      stratum, rows are ranked by ``(hash, key)`` and cut at the exact
+      cumulative boundaries ``floor(cum_frac * stratum_n + 1e-9)`` —
+      every stratum lands its fractions to the row.  The rank is
+      computed skew-free: hash-range buckets give per-(stratum, bucket)
+      windows plus one broadcast offset join — never a single-task
+      per-stratum global window (same two-phase pattern as
+      ``prefix_scan``), so one 90 %-of-corpus stratum cannot serialize
+      the job at 100 TB.
 
     ``fractions`` must sum to 1 (tolerance 1e-9); insertion order
-    defines the threshold order, so ``{"train": .9, "val": .05,
-    "test": .05}`` gives train = hash < .9*2^31, etc."""
+    defines the boundary order, so ``{"train": .9, "val": .05,
+    "test": .05}`` gives train = first 90 %, etc."""
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
     if not fractions:
         raise ValueError("fractions must be non-empty")
+    names = list(fractions)
     h = lcg_hash(key_col, seed)
+    if stratify_by is None:
+        expr = None
+        acc = 0.0
+        for name in names[:-1]:
+            acc += fractions[name]
+            thr = int(acc * _M31)
+            cond = h < F.lit(thr)
+            expr = F.when(cond, F.lit(name)) if expr is None \
+                else expr.when(cond, F.lit(name))
+        last = F.lit(names[-1])
+        expr = last if expr is None else expr.otherwise(last)
+        return df.withColumn(out_col, expr)
+    # exact stratified: bucketed per-stratum rank (no global window)
+    npart = npart or _npart_default(df)
+    d = (df.withColumn("__h", h)
+           .withColumn("__b", _range_bucket("__h", 0, _M31 - 1, npart)))
+    w_in = Window.partitionBy(stratify_by, "__b").orderBy("__h", key_col)
+    d = d.withColumn("__rn", F.row_number().over(w_in))
+    tot = d.groupBy(stratify_by, "__b").agg(F.max("__rn").alias("__bn"))
+    w_off = (Window.partitionBy(stratify_by).orderBy("__b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = (Window.partitionBy(stratify_by)
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    # <= strata x npart rows: tiny by construction, broadcastable
+    offs = tot.select(
+        stratify_by, "__b",
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__bn").over(w_all).alias("__sn"))
+    ranked = (d.join(F.broadcast(offs), [stratify_by, "__b"])
+              .withColumn("__rank", (F.col("__off") + F.col("__rn"))
+                          .cast("long")))
     expr = None
     acc = 0.0
-    names = list(fractions)
     for name in names[:-1]:
         acc += fractions[name]
-        thr = int(acc * _M31)
-        cond = h < F.lit(thr)
+        bound = F.floor(F.lit(acc) * F.col("__sn") + F.lit(1e-9))
+        cond = F.col("__rank") <= bound
         expr = F.when(cond, F.lit(name)) if expr is None \
             else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
-    return df.withColumn(out_col, expr)
+    return (ranked.withColumn(out_col, expr)
+            .drop("__h", "__b", "__rn", "__off", "__sn", "__rank"))

@@ -408,3 +408,32 @@ def test_split_dataset_deterministic(spark):
     assert a != d
     with _pytest.raises(ValueError):
         split_dataset(df, {"train": 0.7, "val": 0.1})
+
+
+def test_split_dataset_stratified_exact_counts(spark):
+    """Exact stratified mode: every stratum lands the fractions to the
+    row (floor boundaries), assignment invariant to partitioning, and
+    the rank plan partitions by (stratum, bucket) — no single-task
+    per-stratum window."""
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.operators.batching import split_dataset
+    df = (spark.range(1000)
+          .select(F.col("id").alias("doc_id"),
+                  (F.col("id") % 4).cast("string").alias("dom")))
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    sp = split_dataset(df, fr, seed=9, stratify_by="dom")
+    counts = {(r.dom, r.split): r["count"]
+              for r in sp.groupBy("dom", "split").count().collect()}
+    for dom in ("0", "1", "2", "3"):        # 250 rows per stratum
+        assert counts[(dom, "train")] == 200
+        assert counts[(dom, "val")] == 25
+        assert counts[(dom, "test")] == 25
+    a = {r.doc_id: r.split for r in sp.collect()}
+    b = {r.doc_id: r.split
+         for r in split_dataset(df.repartition(17), fr, seed=9,
+                                stratify_by="dom").collect()}
+    assert a == b
+    plan = sp._jdf.queryExecution().executedPlan().toString()
+    # the only window partitioning over data is (stratum, bucket)
+    assert "__b" in plan
