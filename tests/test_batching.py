@@ -437,3 +437,35 @@ def test_split_dataset_stratified_exact_counts(spark):
     plan = sp._jdf.queryExecution().executedPlan().toString()
     # the only window partitioning over data is (stratum, bucket)
     assert "__b" in plan
+
+
+def test_chunk_documents_matches_naive_reference(spark):
+    """Randomized parameter sweep vs a naive python chunker: row set,
+    lengths and texts identical for every (chunk, overlap) combo."""
+    rng = np.random.RandomState(17)
+    texts = []
+    for i in range(40):
+        n = int(rng.randint(0, 50))
+        texts.append((i, " ".join(f"w{rng.randint(0, 9)}{j}"
+                                  for j in range(n)) if n else "x"))
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    def naive(text, chunk, ov):
+        toks = text.split()
+        step = chunk - ov
+        if len(toks) <= chunk:
+            nc = 1
+        else:
+            nc = (len(toks) - chunk + step - 1) // step + 1
+        return [(ci, len(toks[ci * step: ci * step + chunk]),
+                 " ".join(toks[ci * step: ci * step + chunk]))
+                for ci in range(nc)]
+
+    for chunk, ov in ((1, 0), (2, 1), (5, 2), (7, 0), (16, 15)):
+        got = {(r.doc_id, r.chunk_id): (r.chunk_len, r.chunk_text)
+               for r in B.chunk_documents(df, chunk, ov).collect()}
+        want = {}
+        for i, t in texts:
+            for ci, ln, tx in naive(t, chunk, ov):
+                want[(i, ci)] = (ln, tx)
+        assert got == want, (chunk, ov)
