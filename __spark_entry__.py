@@ -5057,7 +5057,10 @@ def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PY["chunk_documents_overlap"] = _q_chunk_documents
 _O["chunk_documents_overlap"] = """
   WITH t AS (
-    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+    SELECT doc_id,
+           CASE WHEN trim(coalesce(text, '')) = ''
+                THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(text), '\\s+') END AS toks
     FROM documents),
   n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
   w AS (

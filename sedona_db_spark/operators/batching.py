@@ -492,7 +492,13 @@ def chunk_documents(df: DataFrame, chunk_tokens: int, overlap: int = 0,
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("overlap must be in [0, chunk_tokens)")
     step = chunk_tokens - overlap
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # empty/whitespace-only/null text is ZERO tokens (a bare split('')
+    # yields [''] — one phantom empty token that would inflate token
+    # accounting); such docs still emit one chunk with chunk_len 0 and
+    # chunk_text '' so every document stays represented downstream
+    trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.when(trimmed == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(trimmed, r"\s+"))
     n = F.size(toks)
     nchunks = F.expr(
         f"CASE WHEN __n <= {chunk_tokens} THEN 1L "
@@ -544,11 +550,11 @@ def split_dataset(df: DataFrame, fractions: dict[str, float],
     ``fractions`` must sum to 1 (tolerance 1e-9); insertion order
     defines the boundary order, so ``{"train": .9, "val": .05,
     "test": .05}`` gives train = first 90 %, etc."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    if not fractions:
-        raise ValueError("fractions must be non-empty")
     names = list(fractions)
     h = lcg_hash(key_col, seed)
     if stratify_by is None:
@@ -563,9 +569,14 @@ def split_dataset(df: DataFrame, fractions: dict[str, float],
         last = F.lit(names[-1])
         expr = last if expr is None else expr.otherwise(last)
         return df.withColumn(out_col, expr)
-    # exact stratified: bucketed per-stratum rank (no global window)
+    # exact stratified: bucketed per-stratum rank (no global window).
+    # Null handling: a null stratum is a legitimate stratum (the window
+    # groups it, and the offsets join below uses NULL-SAFE equality —
+    # a plain equi-join would silently DROP every null-stratum row);
+    # a null key hashes to null, so the bucket coalesces to 0 and the
+    # row ranks deterministically among the lowest hashes.
     npart = npart or _npart_default(df)
-    d = (df.withColumn("__h", h)
+    d = (df.withColumn("__h", F.coalesce(h, F.lit(0)))
            .withColumn("__b", _range_bucket("__h", 0, _M31 - 1, npart)))
     w_in = Window.partitionBy(stratify_by, "__b").orderBy("__h", key_col)
     d = d.withColumn("__rn", F.row_number().over(w_in))
@@ -577,10 +588,14 @@ def split_dataset(df: DataFrame, fractions: dict[str, float],
                           Window.unboundedFollowing))
     # <= strata x npart rows: tiny by construction, broadcastable
     offs = tot.select(
-        stratify_by, "__b",
+        F.col(stratify_by).alias("__s_off"),
+        F.col("__b").alias("__b_off"),
         F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
         F.sum("__bn").over(w_all).alias("__sn"))
-    ranked = (d.join(F.broadcast(offs), [stratify_by, "__b"])
+    cond = (F.col(stratify_by).eqNullSafe(F.col("__s_off"))
+            & (F.col("__b") == F.col("__b_off")))
+    ranked = (d.join(F.broadcast(offs), cond)
+              .drop("__s_off", "__b_off")
               .withColumn("__rank", (F.col("__off") + F.col("__rn"))
                           .cast("long")))
     expr = None

@@ -777,6 +777,13 @@ def quantize_embeddings_int8(df: DataFrame, vec_col: str = "embedding",
             idx = np.nonzero(valid)[0]
             vals = vs.to_numpy()
             X = np.vstack([vals[i] for i in idx]).astype(np.float64)
+            if not np.isfinite(X).all():
+                raise ValueError(
+                    "quantize_embeddings_int8: an embedding contains "
+                    "NaN/Inf — a non-finite element would silently "
+                    "poison the per-vector scale (scale=NaN zeroes the "
+                    "WHOLE codes row); clean or filter embeddings "
+                    "upstream")
             s = np.abs(X).max(axis=1)
             sc = np.where(s == 0.0, 1.0, s)
             C = np.clip(np.floor(X / sc[:, None] * 127.0 + 0.5),
@@ -813,6 +820,11 @@ def quantized_topk(coded: DataFrame, query_vec: list[float], k: int = 10,
 
     q = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.linalg.norm(q))
+    if not np.isfinite(q).all() or qn == 0.0:
+        raise ValueError(
+            "quantized_topk: cosine against a zero or non-finite query "
+            "vector is undefined — every score would be NaN and the "
+            "result silently empty")
     dim = len(query_vec)
 
     def _score(batches):
@@ -842,7 +854,10 @@ def quantized_topk(coded: DataFrame, query_vec: list[float], k: int = 10,
                 gather = (starts[:, None] + np.arange(dim)[None, :])
                 C = data[gather].astype(np.float64)
                 nrm = np.linalg.norm(C, axis=1)
-                nrm[nrm == 0.0] = np.inf    # all-zero vector: score 0
+                # an all-zero codes row has no direction: its cosine is
+                # undefined, so it is EXCLUDED (NaN -> null -> filtered),
+                # matching the oracle's list_inner_product(c,c) > 0 gate
+                nrm[nrm == 0.0] = np.nan
                 out[valid] = (C @ q) / (nrm * qn)
             # NaN marks the null rows (from_pandas maps NaN -> Arrow
             # null; a bare pa.array would keep NaN, which Spark orders
@@ -852,8 +867,11 @@ def quantized_topk(coded: DataFrame, query_vec: list[float], k: int = 10,
                 names=[id_col, "q_cosine"])
 
     narrow = coded.select(F.col(id_col), F.col(codes_col))
-    scored = narrow.mapInArrow(
-        _score, schema=f"{id_col} long, q_cosine double")
+    # preserve the caller's id type verbatim (a hardcoded LONG would
+    # fail at executor runtime for string/int ids)
+    out_schema = T.StructType([narrow.schema[id_col],
+                               T.StructField("q_cosine", T.DoubleType())])
+    scored = narrow.mapInArrow(_score, schema=out_schema)
     return (scored.where(F.col("q_cosine").isNotNull())
             .orderBy(F.col("q_cosine").desc(), F.col(id_col))
             .limit(int(k))

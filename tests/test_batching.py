@@ -469,3 +469,43 @@ def test_chunk_documents_matches_naive_reference(spark):
             for ci, ln, tx in naive(t, chunk, ov):
                 want[(i, ci)] = (ln, tx)
         assert got == want, (chunk, ov)
+
+
+def test_split_dataset_stratified_null_stratum_and_key(spark):
+    """Review r11: null strata are legitimate strata (null-safe offsets
+    join — a plain equi-join silently DROPPED them), and null keys rank
+    deterministically instead of vanishing."""
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.operators.batching import split_dataset
+    df = (spark.range(100)
+          .select(F.col("id").alias("doc_id"),
+                  F.when(F.col("id") % 2 == 0, F.lit("a")).alias("dom")))
+    fr = {"train": 0.8, "test": 0.2}
+    sp = split_dataset(df, fr, seed=1, stratify_by="dom")
+    assert sp.count() == 100                      # no rows lost
+    counts = {(r.dom, r.split): r["count"]
+              for r in sp.groupBy("dom", "split").count().collect()}
+    assert counts[("a", "train")] == 40 and counts[("a", "test")] == 10
+    assert counts[(None, "train")] == 40 and counts[(None, "test")] == 10
+    # null keys keep their rows too
+    df2 = (spark.range(50)
+           .select(F.when(F.col("id") > 4, F.col("id")).alias("doc_id"),
+                   F.lit("s").alias("dom")))
+    assert split_dataset(df2, fr, seed=1, stratify_by="dom").count() == 50
+
+
+def test_chunk_documents_empty_and_null_text(spark):
+    """Review r11: empty/whitespace-only/null text is ZERO tokens (one
+    chunk, chunk_len 0, chunk_text '') — not one phantom '' token."""
+    from sedona_db_spark.operators.batching import chunk_documents
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "a b")],
+        "doc_id long, text string")
+    out = {(r.doc_id, r.chunk_id): (r.chunk_len, r.chunk_text)
+           for r in chunk_documents(df, 4, 1).collect()}
+    assert out[(1, 0)] == (0, "")
+    assert out[(2, 0)] == (0, "")
+    assert out[(3, 0)] == (0, "")
+    assert out[(4, 0)] == (2, "a b")
+    assert len(out) == 4

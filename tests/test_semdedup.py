@@ -289,3 +289,30 @@ def test_quantized_topk_dim_mismatch_fails_loud(spark):
         "vec_id long, q_codes binary")
     with _pytest.raises(Exception, match="dimensions|quantize"):
         quantized_topk(df, [0.5] * 16, k=1).collect()
+
+
+def test_quantized_topk_review_guards(spark):
+    """Review r11: string ids pass through verbatim (the schema is
+    derived, not hardcoded long); NaN embeddings and zero/non-finite
+    query vectors fail loud; all-zero codes rows are excluded like the
+    oracle's inner-product gate."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sedona_db_spark.operators.similarity import (
+        quantize_embeddings_int8, quantized_topk)
+    rows = [(f"id{i}", [float(np.cos(i + j)) for j in range(8)])
+            for i in range(20)]
+    rows.append(("zzzero", [0.0] * 8))
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    coded = quantize_embeddings_int8(df)
+    got = quantized_topk(coded, [1.0] * 8, k=25).collect()
+    assert all(isinstance(r.vec_id, str) for r in got)
+    assert "zzzero" not in {r.vec_id for r in got}   # excluded, not 0.0
+    assert len(got) == 20
+    with _pytest.raises(ValueError, match="zero or non-finite"):
+        quantized_topk(coded, [0.0] * 8, k=3)
+    bad = spark.createDataFrame(
+        [(1, [float("nan"), 1.0])], "vec_id long, embedding array<float>")
+    with _pytest.raises(Exception, match="NaN/Inf"):
+        quantize_embeddings_int8(bad).collect()
