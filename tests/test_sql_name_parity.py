@@ -41,7 +41,15 @@ def _reference_sql_names() -> set[str]:
             txt))
         for m in re.findall(r'with_aliases\(vec!\[([^\]]*)\]', txt):
             names |= set(re.findall(r'"([a-z0-9_]+)"', m))
-    assert len(names) > 100, "extraction regressed — too few names found"
+    # the C-backed engines (GEOS / s2geography / geoarrow-c / proj /
+    # tg) register overriding or additional implementations through
+    # their own register.rs manifests — every quoted function name
+    # there is user-callable (round 11: this is where st_geogfromwkb
+    # lives, which the rust-layer glob alone misses)
+    for f in glob.glob(f"{os.path.dirname(_REF)}/c/*/src/register.rs"):
+        names |= set(re.findall(
+            r'"((?:st|rs|sd|s2)_[a-z0-9_]+)"', open(f).read()))
+    assert len(names) > 150, "extraction regressed — too few names found"
     return names
 
 
