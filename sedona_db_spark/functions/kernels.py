@@ -716,9 +716,27 @@ def k_boundary(s):
             if len(g.data) == 0 or alg._close(g.data[0], g.data[-1]):
                 return Geom(core.MULTIPOINT, [])
             return Geom(core.MULTIPOINT, [g.data[0], g.data[-1]])
+        if g.gt == core.MULTILINESTRING:
+            # mod-2 rule (OGC/GEOS): boundary points are the component
+            # endpoints that occur an ODD number of times; closed
+            # components contribute nothing (reference
+            # c/sedona-geos/src/st_boundary.rs test)
+            counts: dict = {}
+            for l in g.data:
+                if len(l) == 0 or alg._close(l[0], l[-1]):
+                    continue
+                for p in (l[0], l[-1]):
+                    key = (round(float(p[0]), 12), round(float(p[1]), 12))
+                    counts[key] = counts.get(key, [0, p])
+                    counts[key][0] += 1
+            pts = [v[1] for v in counts.values() if v[0] % 2 == 1]
+            return Geom(core.MULTIPOINT, pts)
         if g.gt == core.MULTIPOLYGON:
             rings = [r for p in g.data for r in p]
             return Geom(core.MULTILINESTRING, rings)
+        if g.gt == core.GEOMETRYCOLLECTION:
+            # per-member boundary, preserving member order (GEOS)
+            return Geom(core.GEOMETRYCOLLECTION, [one(sub) for sub in g.data])
         return Geom(core.GEOMETRYCOLLECTION, [])
     return _unary_geom(one)(s)
 

@@ -1475,8 +1475,13 @@ def sym_difference(g1: Geom, g2: Geom) -> Geom:
 
 
 def normalize(g: Geom) -> Geom:
-    """Canonical form: shells CCW, holes CW, rings start at lexicographic
-    minimum vertex, multi-parts sorted by WKT."""
+    """GEOS canonical form (the reference's ST_Normalize is GEOS-backed,
+    c/sedona-geos/src/st_normalize.rs): exterior rings CLOCKWISE,
+    interior rings counter-clockwise, rings start at the lexicographic
+    minimum vertex, linestrings directed so the sequence is <= its
+    reverse, and multi-part components sorted in DESCENDING order —
+    e.g. MULTILINESTRING ((2 2, 1 1), (4 4, 3 3)) normalizes to
+    ((3 3, 4 4), (1 1, 2 2)), matching the reference's own test."""
     def norm_ring(ring, want_ccw):
         r = ring[:-1]
         ccw = _ring_area2(ring) > 0
@@ -1486,15 +1491,43 @@ def normalize(g: Geom) -> Geom:
         r = np.vstack([r[i:], r[:i]])
         return np.vstack([r, r[:1]])
 
+    def norm_line(l):
+        a = np.asarray(l, dtype=np.float64)
+        fwd = [tuple(p) for p in a]
+        if fwd[::-1] < fwd:
+            a = a[::-1]
+        return a
+
+    def _key(geom: Geom):
+        from sedona_db_spark.geom.wkt import to_wkt
+        return to_wkt(geom)
+
+    if g.gt == LINESTRING:
+        return Geom(LINESTRING, norm_line(g.data), g.has_z, g.has_m) \
+            if len(g.data) else g
+    if g.gt == MULTIPOINT:
+        pts = sorted([np.asarray(p) for p in g.data],
+                     key=lambda p: tuple(p), reverse=True)
+        return Geom(MULTIPOINT, pts, g.has_z, g.has_m)
+    if g.gt == MULTILINESTRING:
+        lines = sorted([norm_line(l) for l in g.data],
+                       key=lambda l: [tuple(p) for p in l], reverse=True)
+        return Geom(MULTILINESTRING, lines, g.has_z, g.has_m)
     if g.gt == POLYGON:
-        rings = [norm_ring(g.data[0], True)] + [norm_ring(h, False) for h in g.data[1:]]
+        if not g.data:
+            return g
+        rings = [norm_ring(g.data[0], False)] + \
+            [norm_ring(h, True) for h in g.data[1:]]
         return Geom(POLYGON, rings, g.has_z, g.has_m)
     if g.gt == MULTIPOLYGON:
-        polys = [normalize(Geom(POLYGON, p, g.has_z, g.has_m)).data for p in g.data]
+        polys = sorted(
+            [normalize(Geom(POLYGON, p, g.has_z, g.has_m)).data
+             for p in g.data],
+            key=lambda rs: [tuple(p) for p in rs[0]], reverse=True)
         return Geom(MULTIPOLYGON, polys, g.has_z, g.has_m)
     if g.gt == GEOMETRYCOLLECTION:
-        from sedona_db_spark.geom.wkt import to_wkt
-        subs = sorted([normalize(s) for s in g.data], key=to_wkt)
+        subs = sorted([normalize(s) for s in g.data], key=_key,
+                      reverse=True)
         return Geom(GEOMETRYCOLLECTION, subs, g.has_z, g.has_m)
     return g
 
@@ -1702,14 +1735,58 @@ def reverse(g: Geom) -> Geom:
 
 
 def make_valid(g: Geom) -> Geom:
-    """Best-effort: drop degenerate rings; close unclosed rings."""
+    """Best-effort: drop degenerate rings; close unclosed rings.
+
+    A polygon whose rings ALL collapse (zero area) returns its noded
+    linework instead of POLYGON EMPTY — GEOS MakeValid's linework
+    method (reference c/sedona-geos/src/st_makevalid.rs test:
+    POLYGON ((0 0, 1 1, 2 2, 3 3, 0 0)) -> MULTILINESTRING
+    ((0 0, 1 1), (1 1, 2 2), (2 2, 3 3))): segments split at every
+    input vertex lying on them, then deduplicated undirected."""
     if g.gt == POLYGON:
         rings = []
+        raw = []
         for r in g.data:
             if len(r) >= 3:
                 if not _close(r[0], r[-1]):
                     r = np.vstack([r, r[:1]])
+                raw.append(r)
                 if abs(_ring_area2(r)) > _EPS:
                     rings.append(r)
+        if not rings and raw:
+            segs = _collapsed_linework(raw)
+            if len(segs) == 1:
+                return Geom(LINESTRING, segs[0], g.has_z, g.has_m)
+            if segs:
+                return Geom(MULTILINESTRING, segs, g.has_z, g.has_m)
         return Geom(POLYGON, rings, g.has_z, g.has_m)
     return g
+
+
+def _collapsed_linework(rings: list) -> list:
+    """Unique undirected segments of degenerate rings, split at every
+    ring vertex that lies on a segment's interior (vertex-noding is
+    exact for collapsed rings: every crossing IS a vertex)."""
+    verts = np.vstack([np.asarray(r, dtype=np.float64)[:, :2]
+                       for r in rings])
+    out = {}
+    for r in rings:
+        a = np.asarray(r, dtype=np.float64)[:, :2]
+        for i in range(len(a) - 1):
+            p, q = a[i], a[i + 1]
+            d = q - p
+            L2 = float(d @ d)
+            if L2 <= _EPS * _EPS:
+                continue
+            # parameters of every vertex that lies on [p, q]
+            t = ((verts - p) @ d) / L2
+            on = (np.abs(np.cross(verts - p, d)) <= 1e-12 * np.sqrt(L2)) \
+                & (t > 1e-12) & (t < 1 - 1e-12)
+            cuts = sorted({0.0, 1.0} | set(np.round(t[on], 15)))
+            pts = [p + c * d for c in cuts]
+            for u, v in zip(pts[:-1], pts[1:]):
+                key = tuple(sorted((tuple(np.round(u, 12)),
+                                    tuple(np.round(v, 12)))))
+                if key not in out:
+                    out[key] = np.vstack([u, v])
+    return list(out.values())

@@ -245,12 +245,33 @@ def polygonize(g: Geom) -> Geom:
     return Geom(GEOMETRYCOLLECTION, polys)
 
 
+def _as_linework(g: Geom) -> Geom:
+    """Every edge of the input as plain linestrings: polygon/multipolygon
+    rings become closed lines (GEOS BuildArea consumes the LINEWORK of
+    its argument, so a polygon input rebuilds its area — reference
+    c/sedona-geos/src/st_buildarea.rs test: POLYGON in -> POLYGON out)."""
+    lines = [np.asarray(l, dtype=np.float64)[:, :2]
+             for l in g.lines() if len(l) >= 2]
+    if g.gt == POLYGON:
+        lines += [np.asarray(r, dtype=np.float64)[:, :2] for r in g.data]
+    elif g.gt == MULTIPOLYGON:
+        lines += [np.asarray(r, dtype=np.float64)[:, :2]
+                  for p in g.data for r in p]
+    elif g.gt == GEOMETRYCOLLECTION:
+        for sub in g.data:
+            lw = _as_linework(sub)
+            lines += [np.asarray(l) for l in lw.data] if lw.gt == MULTILINESTRING else []
+    return Geom(MULTILINESTRING, lines)
+
+
 def build_area(g: Geom) -> Geom:
-    """Polygonize + assign rings contained in another ring as holes."""
-    pc = polygonize(g)
+    """Polygonize + assign rings contained in another ring as holes.
+    Empty/non-polygonizable linework returns POLYGON EMPTY (the
+    reference's GEOS BuildArea contract for LINESTRING EMPTY)."""
+    pc = polygonize(_as_linework(g))
     shells = [p.data[0] for p in pc.data]
     if not shells:
-        return Geom(GEOMETRYCOLLECTION, [])
+        return Geom(POLYGON, [])
     # sort big->small so holes attach to the smallest enclosing shell last
     order = sorted(range(len(shells)),
                    key=lambda i: -abs(alg._ring_area2(shells[i])))
@@ -271,7 +292,7 @@ def build_area(g: Geom) -> Geom:
         holes = [shells[j][::-1] for j in range(len(shells)) if assigned[j] == i]
         polys.append(Geom(POLYGON, [shells[i]] + holes))
     if not polys:
-        return Geom(GEOMETRYCOLLECTION, [])
+        return Geom(POLYGON, [])
     if len(polys) == 1:
         return polys[0]
     return Geom(MULTIPOLYGON, [p.data for p in polys])

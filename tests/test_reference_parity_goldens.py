@@ -1,0 +1,78 @@
+"""Scalar cases replayed from the reference's OWN unit tests.
+
+Each row is an (SQL expression, expected) pair transcribed from a
+reference test file (cited per block) — the literal assertions its
+engine makes about itself, run through this engine's SQL surface.
+Round 11: mining these surfaced and fixed four semantic gaps
+(ST_Boundary mod-2 + collection recursion, ST_BuildArea polygon
+linework + empty type, ST_MakeValid collapse->linework, ST_Normalize
+GEOS canonical form)."""
+
+import pytest
+
+
+def _one(spark, expr):
+    return spark.sql(f"SELECT {expr}").collect()[0][0]
+
+
+CASES = [
+    # c/sedona-geos/src/st_boundary.rs
+    ("ST_AsText(ST_Boundary(ST_GeomFromWKT("
+     "'LINESTRING(100 150,50 60, 70 80, 160 170)')))",
+     "MULTIPOINT ((100 150), (160 170))"),
+    ("ST_AsText(ST_Boundary(ST_GeomFromWKT("
+     "'MULTILINESTRING ((10 10, 20 20), (30 30, 40 40, 30 30))')))",
+     "MULTIPOINT ((10 10), (20 20))"),
+    ("ST_AsText(ST_Boundary(ST_GeomFromWKT("
+     "'POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0))')))",
+     "LINESTRING (0 0, 0 10, 10 10, 10 0, 0 0)"),
+    # c/sedona-geos/src/st_buildarea.rs
+    ("ST_AsText(ST_BuildArea(ST_GeomFromWKT('POLYGON ((0 0, 1 0, 1 1, 0 0))')))",
+     "POLYGON ((0 0, 1 0, 1 1, 0 0))"),
+    ("ST_AsText(ST_BuildArea(ST_GeomFromWKT('LINESTRING EMPTY')))",
+     "POLYGON EMPTY"),
+    # c/sedona-geos/src/st_makevalid.rs
+    ("ST_AsText(ST_MakeValid(ST_GeomFromWKT("
+     "'POLYGON ((0 0, 1 1, 2 2, 3 3, 0 0))')))",
+     "MULTILINESTRING ((0 0, 1 1), (1 1, 2 2), (2 2, 3 3))"),
+    ("ST_AsText(ST_MakeValid(ST_GeomFromWKT('POLYGON ((0 0, 0 1, 1 1, "
+     "1 0, 0.0000000001 0.0000000001, 0 0))')))",
+     "POLYGON ((0 0, 0 1, 1 1, 1 0, 1e-10 1e-10, 0 0))"),
+    # c/sedona-geos/src/st_normalize.rs
+    ("ST_AsText(ST_Normalize(ST_GeomFromWKT("
+     "'MULTILINESTRING ((2 2, 1 1), (4 4, 3 3))')))",
+     "MULTILINESTRING ((3 3, 4 4), (1 1, 2 2))"),
+    ("ST_AsText(ST_Normalize(ST_GeomFromWKT("
+     "'POLYGON((1 1, 1 0, 0 0, 0 1, 1 1))')))",
+     "POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))"),
+    # rust/sedona-functions/src/st_start_point.rs
+    ("ST_AsText(ST_StartPoint(ST_GeomFromWKT('LINESTRING (1 2, 3 4, 5 6)')))",
+     "POINT (1 2)"),
+    ("ST_AsText(ST_EndPoint(ST_GeomFromWKT('LINESTRING (1 2, 3 4, 5 6)')))",
+     "POINT (5 6)"),
+    # c/sedona-geos/src/st_centroid.rs / st_pointonsurface.rs
+    ("ST_AsText(ST_Centroid(ST_GeomFromWKT("
+     "'POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))')))", "POINT (0.5 0.5)"),
+    ("ST_AsText(ST_PointOnSurface(ST_GeomFromWKT('POINT (1 2)')))",
+     "POINT (1 2)"),
+    # rust/sedona-functions/src/st_haszm.rs
+    ("ST_HasM(ST_GeomFromWKT('POINT M (1 2 3)'))", True),
+    ("ST_HasZ(ST_GeomFromWKT('POINT M (1 2 3)'))", False),
+    ("ST_ZMFlag(ST_GeomFromWKT('POINT ZM (1 2 3 4)'))", 3),
+    # rust/sedona-functions/src/st_npoints.rs
+    ("ST_NPoints(ST_GeomFromWKT('LINESTRING (1 2, 3 4, 5 6)'))", 3),
+    # c/sedona-geos/src/st_exteriorring.rs / st_isring.rs / st_issimple.rs
+    ("ST_AsText(ST_ExteriorRing(ST_GeomFromWKT("
+     "'POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0))')))",
+     "LINESTRING (0 0, 0 10, 10 10, 10 0, 0 0)"),
+    ("ST_IsRing(ST_GeomFromWKT('LINESTRING (0 0, 1 0, 1 1, 0 1, 0 0)'))",
+     True),
+    ("ST_IsSimple(ST_GeomFromWKT('LINESTRING (0 0, 1 1, 1 0, 0 1)'))",
+     False),
+]
+
+
+@pytest.mark.parametrize("expr,expected", CASES,
+                         ids=[c[0][:48] for c in CASES])
+def test_reference_scalar_golden(spark, expr, expected):
+    assert _one(spark, expr) == expected
