@@ -706,6 +706,16 @@ def k_npoints(s):
     return _unary(lambda g: int(len(g.all_coords())))(s)
 
 
+def _orient_cw(g: Geom) -> Geom:
+    """Clockwise shell for a single polygon (GEOS output convention at
+    the SQL surface); non-polygons pass through."""
+    if g is not None and g.gt == core.POLYGON and len(g.data) \
+            and alg._ring_area2(g.data[0]) > 0:
+        return Geom(core.POLYGON, [g.data[0][::-1]] + list(g.data[1:]),
+                    g.has_z, g.has_m)
+    return g
+
+
 def k_boundary(s):
     def one(g: Geom):
         if g.gt == core.POLYGON:
@@ -848,7 +858,12 @@ KERNELS: dict[str, tuple] = {
     # editors / transforms
     "ST_Buffer": (k_buffer, BIN, "gd"),
     "ST_Centroid": (k_centroid, BIN, "g"),
-    "ST_ConvexHull": (_unary_geom(alg.convex_hull), BIN, "g"),
+    # shell emitted CLOCKWISE at the SQL boundary — GEOS convention,
+    # pinned by the reference's own test (c/sedona-geos/src/
+    # st_convexhull.rs expects POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0)));
+    # internal consumers (concave hull etc.) keep alg.convex_hull's CCW
+    "ST_ConvexHull": (_unary_geom(
+        lambda g: _orient_cw(alg.convex_hull(g))), BIN, "g"),
     "ST_Simplify": (k_simplify, BIN, "gd"),
     "ST_SimplifyPreserveTopology": (k_simplify, BIN, "gd"),
     "ST_Reverse": (_unary_geom(alg.reverse), BIN, "g"),

@@ -233,13 +233,16 @@ def line_merge(g: Geom) -> Geom:
 
 
 def polygonize(g: Geom) -> Geom:
-    """Closed rings in the (merged) linework -> collection of polygons."""
+    """Closed rings in the (merged) linework -> collection of polygons.
+    Shells come out CLOCKWISE — GEOS Polygonizer's output convention
+    (reference c/sedona-geos/src/st_polygonize.rs asserts
+    POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0)) for the CCW input ring)."""
     m = line_merge(g)
     polys = []
     for l in ([m.data] if m.gt == LINESTRING else list(m.data) if m.gt == MULTILINESTRING else []):
         if len(l) >= 4 and _pt_key(l[0]) == _pt_key(l[-1]):
             ring = np.asarray(l, dtype=np.float64)
-            if alg._ring_area2(ring) < 0:
+            if alg._ring_area2(ring) > 0:
                 ring = ring[::-1]
             polys.append(Geom(POLYGON, [ring]))
     return Geom(GEOMETRYCOLLECTION, polys)

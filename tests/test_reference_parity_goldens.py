@@ -28,7 +28,7 @@ CASES = [
      "LINESTRING (0 0, 0 10, 10 10, 10 0, 0 0)"),
     # c/sedona-geos/src/st_buildarea.rs
     ("ST_AsText(ST_BuildArea(ST_GeomFromWKT('POLYGON ((0 0, 1 0, 1 1, 0 0))')))",
-     "POLYGON ((0 0, 1 0, 1 1, 0 0))"),
+     "POLYGON ((0 0, 1 1, 1 0, 0 0))"),
     ("ST_AsText(ST_BuildArea(ST_GeomFromWKT('LINESTRING EMPTY')))",
      "POLYGON EMPTY"),
     # c/sedona-geos/src/st_makevalid.rs
@@ -69,6 +69,17 @@ CASES = [
      True),
     ("ST_IsSimple(ST_GeomFromWKT('LINESTRING (0 0, 1 1, 1 0, 0 1)'))",
      False),
+    # c/sedona-geos/src/st_convexhull.rs / st_polygonize.rs — GEOS
+    # emits CLOCKWISE shells; pinned byte-for-byte
+    ("ST_AsText(ST_ConvexHull(ST_GeomFromWKT("
+     "'MULTIPOINT ((0 0), (0 1), (1 1), (1 0))')))",
+     "POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))"),
+    ("ST_AsText(ST_Polygonize(ST_GeomFromWKT("
+     "'LINESTRING(0 0, 0 1, 1 1, 1 0, 0 0)')))",
+     "GEOMETRYCOLLECTION (POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0)))"),
+    ("ST_AsText(ST_BuildArea(ST_GeomFromWKT("
+     "'LINESTRING (0 0, 1 0, 1 1, 0 1, 0 0)')))",
+     "POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))"),
 ]
 
 
