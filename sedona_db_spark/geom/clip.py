@@ -470,15 +470,20 @@ def _assemble(rings: list) -> Geom:
         depth.append(d)
     shells = [i for i in range(len(arrs)) if depth[i] % 2 == 0]
     holes = [i for i in range(len(arrs)) if depth[i] % 2 == 1]
+    # GEOS output convention (reference c/sedona-geos/src/st_unaryunion.rs
+    # asserts the CW sequence byte-for-byte): shells clockwise, holes
+    # counter-clockwise; reversing a closed ring keeps its start vertex
+    def orient(a, cw):
+        return a[::-1] if (_ring_area(a) > 0) == cw else a
     # assign each hole to the innermost (deepest) shell containing it
-    polys = {i: [arrs[i]] for i in shells}
+    polys = {i: [orient(arrs[i], True)] for i in shells}
     for h in holes:
         best, best_depth = None, -1
         for s in shells:
             if _pt_in_ring(reps[h], arrs[s]) and depth[s] > best_depth:
                 best, best_depth = s, depth[s]
         if best is not None:
-            polys[best].append(arrs[h])
+            polys[best].append(orient(arrs[h], False))
     out = [polys[s] for s in sorted(polys)]
     if len(out) == 1:
         return Geom(POLYGON, out[0])

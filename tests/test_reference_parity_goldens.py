@@ -87,3 +87,12 @@ CASES = [
                          ids=[c[0][:48] for c in CASES])
 def test_reference_scalar_golden(spark, expr, expected):
     assert _one(spark, expr) == expected
+
+
+def test_reference_unaryunion_exact(spark):
+    """c/sedona-geos/src/st_unaryunion.rs: byte-for-byte WKT of the
+    dissolved two-square union (CW shell, GEOS vertex order)."""
+    got = _one(spark, "ST_AsText(ST_UnaryUnion(ST_GeomFromWKT("
+               "'MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+               "((1 0, 2 0, 2 1, 1 1, 1 0)))')))")
+    assert got == "POLYGON ((0 0, 0 1, 1 1, 2 1, 2 0, 1 0, 0 0))"
