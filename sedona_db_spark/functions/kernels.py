@@ -924,14 +924,19 @@ def k_dump(s: pd.Series) -> pd.Series:
 
 
 def k_points(s: pd.Series) -> pd.Series:
-    """array<binary> of every vertex as POINT (ST_Points + explode)."""
+    """Every vertex of the geometry as ONE MULTIPOINT — the reference's
+    return contract (rust/sedona-functions/src/st_points.rs writes a
+    multipoint header + each coordinate, dimensions preserved), NOT an
+    exploded array (use ST_Dump/ST_DumpPoints for per-row points)."""
     out = []
     for g in _decode(s):
         if g is None:
             out.append(None)
         else:
-            out.append([core.to_wkb(Geom(core.POINT, c[:2]))
-                        for c in g.all_coords()])
+            width = 2 + (1 if g.has_z else 0) + (1 if g.has_m else 0)
+            coords = [c[:width] for c in g.all_coords()]
+            out.append(core.to_wkb(
+                Geom(core.MULTIPOINT, coords, g.has_z, g.has_m)))
     return pd.Series(out, dtype=object)
 
 
@@ -1073,7 +1078,7 @@ def k_transform(s: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
 KERNELS.update({
     "ST_Transform": (k_transform, BIN, "gss"),
     "ST_Dump": (k_dump, DUMP_T, "g"),
-    "ST_Points": (k_points, T.ArrayType(BIN), "g"),
+    "ST_Points": (k_points, BIN, "g"),
     "ST_MakePolygon": (k_makepolygon, BIN, "g"),
     "ST_ClosestPoint": (k_closestpoint, BIN, "gg"),
     "ST_ShortestLine": (k_shortestline, BIN, "gg"),

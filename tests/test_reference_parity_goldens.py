@@ -96,3 +96,14 @@ def test_reference_unaryunion_exact(spark):
                "'MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
                "((1 0, 2 0, 2 1, 1 1, 1 0)))')))")
     assert got == "POLYGON ((0 0, 0 1, 1 1, 2 1, 2 0, 1 0, 0 0))"
+
+
+def test_reference_st_points_multipoint(spark):
+    """rust/sedona-functions/src/st_points.rs: ST_Points returns ONE
+    MULTIPOINT of every vertex (dims preserved), not an exploded set."""
+    got = _one(spark, "ST_AsText(ST_Points(ST_GeomFromWKT("
+               "'LINESTRING (1 2, 3 4, 5 6)')))")
+    assert got == "MULTIPOINT ((1 2), (3 4), (5 6))"
+    got = _one(spark, "ST_AsText(ST_Points(ST_GeomFromWKT("
+               "'POINT Z (1 2 3)')))")
+    assert got == "MULTIPOINT Z ((1 2 3))"
