@@ -18,6 +18,13 @@ Known acceptable divergences (reported as SKIP-DIVERGENCE, not failures):
   — both valid ISO WKT, changing the writer would break every stored pin.
 - nested-GeometryCollection boundary grouping (the reference's own two
   st_boundary.rs asserts use different rules; we match the flat one).
+- spherical earth radius: this engine uses the IUGG mean radius
+  6371008.8 m everywhere (kernels, codegen peephole, goldens, every
+  DuckDB oracle restates it); the reference's s2 layer uses S2Earth's
+  6371010.0 m.  Geodesic area/length/perimeter therefore differ by a
+  systematic ~1.9e-7 relative factor — numeric cases from
+  c/sedona-s2geography within 5e-7 relative are skipped with this
+  reason rather than failed.
 """
 from __future__ import annotations
 
@@ -58,9 +65,11 @@ def mine(ref_root: str) -> list[dict]:
              + glob.glob(f"{ref_root}/c/*/src/*.rs"))
     for f in files:
         txt = re.sub(r"\s+", " ", open(f).read())
-        name_events = [(m.start(), m.group(1) or m.group(2)) for m in
-                       re.finditer(r'(?:from_impl|SedonaScalarUDF::new)\(\s*"([a-z0-9_]+)"'
-                                   r"|=\s*(st_[a-z0-9_]+?)_udf\(\)", txt)]
+        name_events = [(m.start(), m.group(1) or m.group(2) or m.group(3))
+                       for m in
+                       re.finditer(r'(?:from_impl|SedonaScalarUDF::new|s2_udf)\(\s*"([a-z0-9_]+)"'
+                                   r"|=\s*(st_[a-z0-9_]+?)_udf\(\)"
+                                   r'|s2_udf\(\s*"([a-z0-9_]+)"', txt)]
         inv_events = [(m.start(), m.group(1), m.group(2)) for m in
                       re.finditer(r'invoke_scalar\(\s*"([^"]+)"\s*(?:,\s*([^)]*?))?\)', txt)]
         for am in re.finditer(
@@ -106,7 +115,9 @@ def main() -> int:
             fails.append(("NOFN", fn, c["src"]))
             bad += 1
             continue
-        ctor = "ST_GeogFromWKT" if "geog" in fn else "ST_GeomFromWKT"
+        ctor = "ST_GeogFromWKT" if ("geog" in fn or
+                                    "s2geography" in c["src"]) \
+            else "ST_GeomFromWKT"
         args = [f"{ctor}('{c['arg']}')"]
         extra = (c["extra"] or "").strip()
         if extra:
@@ -161,6 +172,15 @@ def main() -> int:
             try:
                 match = abs(float(val) - float(exp)) \
                     <= 1e-9 * max(1.0, abs(float(exp)))
+            except Exception:
+                pass
+        if not match and "s2geography" in c["src"]:
+            try:
+                rel = abs(float(val) - float(exp)) / max(1.0,
+                                                         abs(float(exp)))
+                if rel < 5e-7:
+                    skip += 1  # SKIP-DIVERGENCE (earth-radius convention)
+                    continue
             except Exception:
                 pass
         if not match and exp in ("true", "false"):
