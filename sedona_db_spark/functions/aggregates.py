@@ -83,8 +83,12 @@ def _hull_finisher(arrs: pd.Series) -> pd.Series:
             out.append(None)
         else:
             allp = np.concatenate(pts)
-            out.append(core.to_wkb(alg.convex_hull(
-                core.Geom(core.MULTIPOINT, list(allp)))))
+            # CW shell at the SQL boundary, same as scalar ST_ConvexHull
+            # (the reference's aggregate test pins the CW sequence,
+            # rust/sedona-geo/src/st_convexhull_agg.rs:447)
+            from sedona_db_spark.functions.kernels import _orient_cw
+            out.append(core.to_wkb(_orient_cw(alg.convex_hull(
+                core.Geom(core.MULTIPOINT, list(allp))))))
     return pd.Series(out, dtype=object)
 
 

@@ -718,14 +718,18 @@ def _orient_cw(g: Geom) -> Geom:
 
 def k_boundary(s):
     def one(g: Geom):
+        # dimension flags propagate everywhere: boundary coordinates are
+        # slices of the input arrays, so a Z/M input needs Z/M headers
+        # (mismatched flags emit corrupt WKB — r11 review finding)
+        z, m = g.has_z, g.has_m
         if g.gt == core.POLYGON:
             if len(g.data) == 1:
-                return Geom(core.LINESTRING, g.data[0])
-            return Geom(core.MULTILINESTRING, list(g.data))
+                return Geom(core.LINESTRING, g.data[0], z, m)
+            return Geom(core.MULTILINESTRING, list(g.data), z, m)
         if g.gt == core.LINESTRING:
             if len(g.data) == 0 or alg._close(g.data[0], g.data[-1]):
-                return Geom(core.MULTIPOINT, [])
-            return Geom(core.MULTIPOINT, [g.data[0], g.data[-1]])
+                return Geom(core.MULTIPOINT, [], z, m)
+            return Geom(core.MULTIPOINT, [g.data[0], g.data[-1]], z, m)
         if g.gt == core.MULTILINESTRING:
             # mod-2 rule (OGC/GEOS): boundary points are the component
             # endpoints that occur an ODD number of times; closed
@@ -740,13 +744,14 @@ def k_boundary(s):
                     counts[key] = counts.get(key, [0, p])
                     counts[key][0] += 1
             pts = [v[1] for v in counts.values() if v[0] % 2 == 1]
-            return Geom(core.MULTIPOINT, pts)
+            return Geom(core.MULTIPOINT, pts, z, m)
         if g.gt == core.MULTIPOLYGON:
             rings = [r for p in g.data for r in p]
-            return Geom(core.MULTILINESTRING, rings)
+            return Geom(core.MULTILINESTRING, rings, z, m)
         if g.gt == core.GEOMETRYCOLLECTION:
             # per-member boundary, preserving member order (GEOS)
-            return Geom(core.GEOMETRYCOLLECTION, [one(sub) for sub in g.data])
+            return Geom(core.GEOMETRYCOLLECTION,
+                        [one(sub) for sub in g.data], z, m)
         return Geom(core.GEOMETRYCOLLECTION, [])
     return _unary_geom(one)(s)
 

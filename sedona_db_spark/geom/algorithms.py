@@ -1754,11 +1754,14 @@ def make_valid(g: Geom) -> Geom:
                 if abs(_ring_area2(r)) > _EPS:
                     rings.append(r)
         if not rings and raw:
+            # linework is computed in 2D (vertex noding drops Z/M), so
+            # the result flags MUST say 2D — mismatched flags crash the
+            # WKB writer (r11 review finding)
             segs = _collapsed_linework(raw)
             if len(segs) == 1:
-                return Geom(LINESTRING, segs[0], g.has_z, g.has_m)
+                return Geom(LINESTRING, segs[0])
             if segs:
-                return Geom(MULTILINESTRING, segs, g.has_z, g.has_m)
+                return Geom(MULTILINESTRING, segs)
         return Geom(POLYGON, rings, g.has_z, g.has_m)
     return g
 

@@ -252,7 +252,15 @@ def _as_linework(g: Geom) -> Geom:
     """Every edge of the input as plain linestrings: polygon/multipolygon
     rings become closed lines (GEOS BuildArea consumes the LINEWORK of
     its argument, so a polygon input rebuilds its area — reference
-    c/sedona-geos/src/st_buildarea.rs test: POLYGON in -> POLYGON out)."""
+    c/sedona-geos/src/st_buildarea.rs test: POLYGON in -> POLYGON out).
+    Collections recurse per member ONLY (g.lines() itself walks into
+    collections, so mixing both walks double-counted every lineal
+    member — r11 review finding)."""
+    if g.gt == GEOMETRYCOLLECTION:
+        lines = []
+        for sub in g.data:
+            lines += list(_as_linework(sub).data)
+        return Geom(MULTILINESTRING, lines)
     lines = [np.asarray(l, dtype=np.float64)[:, :2]
              for l in g.lines() if len(l) >= 2]
     if g.gt == POLYGON:
@@ -260,17 +268,25 @@ def _as_linework(g: Geom) -> Geom:
     elif g.gt == MULTIPOLYGON:
         lines += [np.asarray(r, dtype=np.float64)[:, :2]
                   for p in g.data for r in p]
-    elif g.gt == GEOMETRYCOLLECTION:
-        for sub in g.data:
-            lw = _as_linework(sub)
-            lines += [np.asarray(l) for l in lw.data] if lw.gt == MULTILINESTRING else []
     return Geom(MULTILINESTRING, lines)
 
 
-def build_area(g: Geom) -> Geom:
+def _puntal_only(g: Geom) -> bool:
+    if g.gt in (POINT, MULTIPOINT):
+        return True
+    if g.gt == GEOMETRYCOLLECTION:
+        return bool(g.data) and all(_puntal_only(s) for s in g.data)
+    return False
+
+
+def build_area(g: Geom) -> Geom | None:
     """Polygonize + assign rings contained in another ring as holes.
-    Empty/non-polygonizable linework returns POLYGON EMPTY (the
-    reference's GEOS BuildArea contract for LINESTRING EMPTY)."""
+    Non-lineal input (points) returns None -> SQL NULL; empty or
+    non-polygonizable LINEWORK returns POLYGON EMPTY — both pinned by
+    the reference's own asserts (c/sedona-geos/src/st_buildarea.rs:
+    POINT -> null, LINESTRING EMPTY -> POLYGON EMPTY)."""
+    if _puntal_only(g):
+        return None
     pc = polygonize(_as_linework(g))
     shells = [p.data[0] for p in pc.data]
     if not shells:

@@ -107,3 +107,36 @@ def test_reference_st_points_multipoint(spark):
     got = _one(spark, "ST_AsText(ST_Points(ST_GeomFromWKT("
                "'POINT Z (1 2 3)')))")
     assert got == "MULTIPOINT Z ((1 2 3))"
+
+
+def test_r11_review_regressions(spark):
+    """Second self-review wave: GC linework double-count, Z/M flag
+    propagation through boundary/makevalid, puntal BuildArea null,
+    aggregate hull orientation."""
+    # GC members are walked once — one polygon, not two
+    got = _one(spark, "ST_AsText(ST_BuildArea(ST_GeomFromWKT("
+               "'GEOMETRYCOLLECTION(LINESTRING(0 0, 0 1, 1 1, 1 0, 0 0))')))")
+    assert got == "POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))"
+    # split multiline ring inside a GC still polygonizes (the old
+    # double-count made every endpoint degree-4 and returned EMPTY)
+    got = _one(spark, "ST_Area(ST_BuildArea(ST_GeomFromWKT("
+               "'GEOMETRYCOLLECTION(MULTILINESTRING((0 0, 0 1, 1 1),"
+               "(1 1, 1 0, 0 0)))')))")
+    assert got == 1.0
+    # puntal input -> SQL NULL (reference st_buildarea.rs)
+    assert _one(spark, "ST_BuildArea(ST_GeomFromWKT('POINT (0 0)')) "
+                "IS NULL") is True
+    # Z flags survive boundary; collapsed-Z makevalid returns 2D linework
+    got = _one(spark, "ST_AsText(ST_Boundary(ST_GeomFromWKT("
+               "'MULTILINESTRING Z ((10 10 1, 20 20 1), "
+               "(30 30 1, 40 40 1, 30 30 1))')))")
+    assert got == "MULTIPOINT Z ((10 10 1), (20 20 1))"
+    got = _one(spark, "ST_AsText(ST_MakeValid(ST_GeomFromWKT("
+               "'POLYGON Z ((0 0 1, 1 1 1, 2 2 1, 3 3 1, 0 0 1))')))")
+    assert got == "MULTILINESTRING ((0 0, 1 1), (1 1, 2 2), (2 2, 3 3))"
+    # aggregate hull matches the scalar's CW shell
+    # (rust/sedona-geo/src/st_convexhull_agg.rs:447)
+    got = _one(spark, "ST_AsText(ST_ConvexHull_Agg(g)) FROM (SELECT "
+               "ST_GeomFromWKT(w) AS g FROM VALUES ('POINT (0 0)'),"
+               "('POINT (0 1)'),('POINT (1 1)'),('POINT (1 0)') AS t(w))")
+    assert got == "POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))"
