@@ -409,10 +409,15 @@ def k_dwithin(s1: pd.Series, s2: pd.Series, d) -> pd.Series:
     if fast is not None:
         # same boundary tolerance as the scalar path (algorithms.dwithin
         # r <= d + _EPS) — the two paths must agree at exact radii
+        if np.isnan(dv).any():   # NULL distance propagates as NULL
+            out = pd.Series(list(fast <= dv + 1e-12), dtype=object)
+            out[np.isnan(dv)] = None
+            return out
         return pd.Series(fast <= dv + 1e-12)
     g1s, g2s = _decode(s1), _decode(s2)
     return pd.Series(
-        [None if (a is None or b is None) else alg.dwithin(a, b, dv[i])
+        [None if (a is None or b is None or np.isnan(dv[i]))
+         else alg.dwithin(a, b, dv[i])
          for i, (a, b) in enumerate(zip(g1s, g2s))], dtype=object)
 
 

@@ -543,32 +543,33 @@ def disjoint(g1, g2):
 
 
 def touches(g1: Geom, g2: Geom) -> bool:
-    """Intersect only at boundaries (no interior-interior intersection)."""
+    """Boundary-only contact: intersects with empty interior-interior
+    intersection (DE-9IM F********, GEOS semantics).  Exact per dim
+    pair: point sides by position, line x area by split-segment
+    classified lengths, area x area by overlay area, line x line by the
+    exact II cell (collinear overlap / proper cross / interior vertex
+    contact all counted)."""
     if not intersects(g1, g2):
         return False
-    # interiors intersect?
-    if g1.dimension() == 0:
-        return all(point_position(p, g2) == 0 for p in g1.points())
-    if g2.dimension() == 0:
-        return all(point_position(p, g1) == 0 for p in g2.points())
-    if _any_proper_cross(g1, g2):
-        return False
-    if g1.dimension() == 2:
-        for a, b in _segments(g2):
-            mid = ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)
-            if point_position(mid, g1) == 1:
-                return False
-    if g2.dimension() == 2:
-        for a, b in _segments(g1):
-            mid = ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)
-            if point_position(mid, g2) == 1:
-                return False
-    if g1.dimension() == 2 and g2.dimension() == 2:
-        # area overlap without crossing => one contains the other's interior
-        c = _first_vertex(g2)
-        if c is not None and any(_point_in_polygon(c, poly) == 1 for poly in g1.polygons()):
-            return False
-    return True
+    d1, d2 = g1.dimension(), g2.dimension()
+    if d1 == 0 and d2 == 0:
+        return False  # any point-point contact is interior-interior
+    if d1 == 0 or d2 == 0:
+        pts = g1 if d1 == 0 else g2
+        other = g2 if d1 == 0 else g1
+        # II empty <=> no point in the other's interior (line interiors
+        # and open polygon interiors both read 1 from point_position)
+        return all(point_position(p, other) <= 0 for p in pts.points())
+    if d1 == 2 and d2 == 2:
+        from sedona_db_spark.geom import clip as _mclip
+        return area(_mclip.polygon_boolean(g1, g2, "intersection")) <= 1e-12
+    if 2 in (d1, d2):
+        line, poly = (g1, g2) if d1 == 1 else (g2, g1)
+        from sedona_db_spark.geom import algorithms2 as _a2
+        li, _lb, _le = _a2._linework_position_lengths(line, poly)
+        return li <= 1e-12
+    from sedona_db_spark.geom import algorithms2 as _a2
+    return not _a2.lines_ii_nonempty(g1, g2)
 
 
 def equals(g1: Geom, g2: Geom) -> bool:
@@ -580,11 +581,17 @@ def equals(g1: Geom, g2: Geom) -> bool:
 
 
 def crosses(g1: Geom, g2: Geom) -> bool:
+    """DE-9IM crosses: lower-dim side meets both interior and exterior
+    of the higher (T*T****** / T*****T**), lines cross at dim-0 (0********).
+    Line x area uses exact split-segment lengths (midpoint sampling
+    missed vertex-only boundary transits)."""
     d1, d2 = g1.dimension(), g2.dimension()
     if not intersects(g1, g2):
         return False
     if d1 == d2 == 1:
-        return _any_proper_cross(g1, g2)
+        from sedona_db_spark.geom import algorithms2 as _a2
+        return (not _a2._lines_share_dim1(g1, g2)
+                and _a2.lines_ii_nonempty(g1, g2))
     if {d1, d2} == {0, 1} or {d1, d2} == {0, 2}:
         pts = g1 if d1 == 0 else g2
         other = g2 if d1 == 0 else g1
@@ -593,25 +600,31 @@ def crosses(g1: Geom, g2: Geom) -> bool:
     if {d1, d2} == {1, 2}:
         line = g1 if d1 == 1 else g2
         poly = g2 if d1 == 1 else g1
-        has_in = has_out = False
-        for a, b in _segments(line):
-            for p in (a, ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0), b):
-                r = point_position(p, poly)
-                has_in |= r == 1
-                has_out |= r == -1
-                if has_in and has_out:
-                    return True
-        return has_in and has_out
+        from sedona_db_spark.geom import algorithms2 as _a2
+        li, _lb, le = _a2._linework_position_lengths(line, poly)
+        return li > 1e-12 and le > 1e-12
     return False
 
 
 def overlaps(g1: Geom, g2: Geom) -> bool:
-    if g1.dimension() != g2.dimension():
+    """DE-9IM overlaps: same dimension, interiors share that SAME
+    dimension, and each side keeps an exclusive part.  Lines that merely
+    cross at a point do NOT overlap (dim(II)=0 != 1); areas must share
+    positive area."""
+    d1, d2 = g1.dimension(), g2.dimension()
+    if d1 != d2 or not intersects(g1, g2):
         return False
-    if not intersects(g1, g2):
-        return False
-    return (not contains(g1, g2) and not contains(g2, g1)
-            and not touches(g1, g2))
+    if d1 == 0:
+        pa = {(round(p[0] / _EPS), round(p[1] / _EPS)) for p in g1.points()}
+        pb = {(round(p[0] / _EPS), round(p[1] / _EPS)) for p in g2.points()}
+        return bool(pa & pb) and bool(pa - pb) and bool(pb - pa)
+    if d1 == 1:
+        from sedona_db_spark.geom import algorithms2 as _a2
+        return (_a2._lines_share_dim1(g1, g2)
+                and not covered_by(g1, g2) and not covered_by(g2, g1))
+    from sedona_db_spark.geom import clip as _mclip
+    return (area(_mclip.polygon_boolean(g1, g2, "intersection")) > 1e-12
+            and not covered_by(g1, g2) and not covered_by(g2, g1))
 
 
 # ======================================================================

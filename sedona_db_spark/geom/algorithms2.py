@@ -459,6 +459,28 @@ def _pt_on_line_interior(p, g: Geom) -> bool:
     return alg.intersects(pg, g)
 
 
+def lines_ii_nonempty(a: Geom, b: Geom) -> bool:
+    """Exact interior(a) n interior(b) != empty for lineal a, b.
+    Three exhaustive contact classes: collinear overlap (dim 1), proper
+    transversal segment crossing, and a vertex of either line sitting
+    on the line-interior of BOTH (covers T-contacts and vertex-vertex
+    crossings that strict-orientation tests miss).  Isolated contacts
+    between polylines always fall in one of the last two classes: a
+    point shared by two straight segments away from every vertex is a
+    transversal crossing, and any other isolated contact involves a
+    segment endpoint, i.e. a vertex."""
+    if _lines_share_dim1(a, b):
+        return True
+    if alg._any_proper_cross(a, b):
+        return True
+    for g in (a, b):
+        for arr in g.lines():
+            for p in np.asarray(arr, dtype=np.float64)[:, :2]:
+                if _pt_on_line_interior(p, a) and _pt_on_line_interior(p, b):
+                    return True
+    return False
+
+
 def _lines_share_dim1(a: Geom, b: Geom) -> bool:
     """Any pair of collinear overlapping segments between the two."""
     for sa0, sa1 in alg._segments(a):
@@ -534,22 +556,11 @@ def _relate_simple(a: Geom, b: Geom) -> list[list[str]]:
         bbk = {_pt_key(p) for p in bb}
         if sh1:
             setc(0, 0, "1")
-        elif inter:
-            # point intersections: classify each side's touch point
-            touched_int = False
-            for p in bb:
-                if _pt_on_line_interior(p, a):
-                    setc(0, 1, "0")
-                    touched_int = True
-            for p in ba:
-                if _pt_on_line_interior(p, b):
-                    setc(1, 0, "0")
-                    touched_int = True
-            if bak & bbk:
-                setc(1, 1, "0")
-                touched_int = True
-            if not touched_int:
-                setc(0, 0, "0")  # proper interior crossing
+        elif inter and lines_ii_nonempty(a, b):
+            # isolated interior-interior contact: proper crossing or an
+            # interior-vertex contact (a boundary touch elsewhere no
+            # longer masks it — the old touched_int heuristic did)
+            setc(0, 0, "0")
         # boundary-vs-other cells
         for p in bb:
             if _pt_on_line_interior(p, a):
@@ -575,23 +586,19 @@ def _relate_simple(a: Geom, b: Geom) -> list[list[str]]:
     if da == 1 and db == 2:
         return _transpose(_relate_simple(b, a))
     if da == 2 and db == 1:
-        # polygon a vs line b
-        verts = b.all_coords()[:, :2]
-        pos = alg.points_position_batch(verts, a)
-        mids = (verts[:-1] + verts[1:]) / 2.0 if len(verts) > 1 else verts
-        mpos = alg.points_position_batch(mids, a)
-        if (pos > 0).any() or (mpos > 0).any():
+        # polygon a vs line b: exact first-column cells from the
+        # split-at-boundary classified lengths (vertex/midpoint sampling
+        # missed transits that cross the boundary only at ring vertices)
+        li, lb, le = _linework_position_lengths(b, a)
+        if li > _AREA_TOL:
             setc(0, 0, "1")
-        if alg._any_segment_cross(a, b):
-            setc(0, 0, "1") if ((pos > 0).any() or (mpos > 0).any()) else setc(1, 0, "0")
-        # line running along the boundary?
         ringg = Geom(MULTILINESTRING, [np.asarray(r, dtype=np.float64)[:, :2]
                                        for r in a.rings()])
-        if _lines_share_dim1(ringg, b):
-            setc(1, 0, "1")
-        elif (pos == 0).any() or (mpos == 0).any():
-            setc(1, 0, "0")
-        if (pos < 0).any() or (mpos < 0).any():
+        if lb > _AREA_TOL:
+            setc(1, 0, "1")   # line runs along the boundary
+        elif alg.intersects(ringg, b):
+            setc(1, 0, "0")   # isolated boundary touches/crossings only
+        if le > _AREA_TOL:
             setc(2, 0, "1")
         for p in _line_boundary_points(b):
             pp = alg.point_position(np.asarray(p, dtype=np.float64)[:2], a)

@@ -1779,6 +1779,42 @@ def _chain_rewrite(spark, toks, depths, from_idx, rels, ons, from_end,
 _PEEP_PRECHECK = re.compile(
     r"\bST_(DISTANCESPHERE|DISTANCE|DWITHIN)\s*\(\s*ST_POINT\s*\(", re.I)
 
+_OVERLOAD_PRECHECK = re.compile(r"\bST_RELATE\s*\(", re.I)
+
+
+def rewrite_relate_pattern(sql: str) -> str | None:
+    """3-arg ``ST_Relate(geom, geom, pattern)`` -> ``ST_RelateMatch``.
+
+    The reference registers the DE-9IM matrix kernel AND the pattern
+    kernel under ONE SQL name (c/sedona-geos/src/st_relate.rs:151,192);
+    Spark UDF registration is fixed-arity, so the SQL front door renames
+    the pattern form onto the engine's 3-arg boolean kernel.  Returns
+    None when the query has no 3-arg ST_Relate call."""
+    toks = _tokenize(sql)
+    if toks is None:
+        return None
+    changed = False
+    for i, t in enumerate(toks):
+        if t.upper() != "ST_RELATE" or i + 1 >= len(toks) \
+                or toks[i + 1] != "(":
+            continue
+        d, j = 0, i + 1
+        while j < len(toks):
+            if toks[j] == "(":
+                d += 1
+            elif toks[j] == ")":
+                d -= 1
+                if d == 0:
+                    break
+            j += 1
+        if j >= len(toks):
+            continue
+        spans = _split_args(toks, i + 2, j)
+        if spans is not None and len(spans) == 3:
+            toks[i] = "ST_RelateMatch"
+            changed = True
+    return " ".join(toks) if changed else None
+
 # the engine's own haversine (kernels.k_distance_sphere /
 # algorithms._EARTH_RADIUS_M) restated in Spark built-ins; java.lang.Math
 # and numpy agree to the ulp on these inputs and every contract query
@@ -1963,6 +1999,13 @@ def install_sql_rewrite(spark: SparkSession) -> None:
     def sql(query, *args, **kwargs):
         if args or kwargs or not isinstance(query, str):
             return vanilla(query, *args, **kwargs)
+        if _OVERLOAD_PRECHECK.search(query):
+            try:
+                ov = rewrite_relate_pattern(query)
+            except Exception:
+                ov = None
+            if ov is not None:
+                query = ov
         if not (_PRECHECK.search(query) or _PEEP_PRECHECK.search(query)):
             return vanilla(query)
         query_key = (query, _plan_confs())

@@ -1,0 +1,606 @@
+"""Replay the reference's Python-layer parametrized tests through this engine.
+
+Round 11's first replay wave mined the rust/c scalar unit tests (50
+cases).  This harness mines the much larger Python surface
+(python/sedonadb/tests/{functions,geography,expr}/*.py — ~2,700
+parametrized cases): each test module is exec'd with stubbed imports
+(pytest shim that records @parametrize tables, inert shapely/geopandas
+stubs, engine classes where SedonaDB binds to THIS engine's Spark
+session and PostGIS/BigQuery raise skip, exactly like the reference
+skips engines that aren't reachable), then every test function runs
+case-by-case with `eng.assert_query_result` executing real Spark SQL
+and comparing under the reference's own assert_result semantics
+(testing.py:235-335: list-of-tuples stringification, single-value
+reductions, numeric_epsilon, WKT rendering of geometry columns).
+
+Comparison is tolerant only where the difference is a writer/format
+choice, never on values: geometry strings compare structurally through
+this engine's WKT parser (exact coords, ring order and orientation),
+with a final approximate-structural fallback at 1e-8 relative for
+float formatting; numerics at 1e-9 relative unless the test itself
+passes numeric_epsilon.
+
+Skip classes (all counted and reportable with --verbose):
+- other-engine cases (PostGIS/BigQuery/DuckDB parametrizations);
+- cases whose inputs/expected need an unavailable library (shapely,
+  geopandas, pyproj, rasterio) — inert stub objects are detected in
+  the built query/expected and the case is skipped, not guessed;
+- fixture-taking tests (con/geoarrow_data/sedona_testing) — they need
+  the reference's own submodule checkouts which are not vendored;
+- documented divergences shared with tools/replay_reference_tests.py
+  (MULTIPOINT writer parentheses, spherical earth radius
+  6371008.8 vs S2Earth 6371010.0 — see that module's docstring).
+
+Usage:
+  python tools/replay_python_tests.py [--verbose] [--filter SUBSTR]
+Prints one JSON summary line, then failures (if any).  Exit 1 on any
+mismatch/error.
+"""
+from __future__ import annotations
+
+import glob
+import itertools
+import json
+import math
+import os
+import re
+import sys
+import types
+
+REF_TESTS = "/root/reference/python/sedonadb/tests"
+# expr/ is excluded: it tests the reference's Python Expr DSL object
+# surface (sedonadb.expr.col/lit), which maps to Spark's own Column DSL
+# here, not to replayable SQL.
+TARGET_GLOBS = ("functions/*.py", "geography/*.py")
+
+GEOM_KW = ("POINT", "LINESTRING", "POLYGON", "MULTIPOINT",
+           "MULTILINESTRING", "MULTIPOLYGON", "GEOMETRYCOLLECTION",
+           "SRID=")
+
+
+class _Skip(Exception):
+    pass
+
+
+class _Stub:
+    """Inert placeholder for unavailable libraries: any attribute /
+    call / operation yields another _Stub; cases that end up with a
+    _Stub in their SQL or expected value are skipped explicitly."""
+
+    def __getattr__(self, name):
+        return _Stub()
+
+    def __call__(self, *a, **k):
+        return _Stub()
+
+    def __iter__(self):
+        return iter(())
+
+    def __repr__(self):
+        return "<stub>"
+
+
+def _has_stub(obj, depth=0):
+    if isinstance(obj, _Stub):
+        return True
+    if depth > 4:
+        return False
+    if isinstance(obj, (list, tuple, set)):
+        return any(_has_stub(v, depth + 1) for v in obj)
+    if isinstance(obj, dict):
+        return any(_has_stub(v, depth + 1) for v in obj.values())
+    return False
+
+
+class _Approx:
+    def __init__(self, expected, rel=None, abs=None, nan_ok=False):
+        self.expected, self.rel, self.abs = expected, rel, abs
+
+    def __eq__(self, other):
+        try:
+            if isinstance(self.expected, (list, tuple)):
+                return len(self.expected) == len(other) and all(
+                    _Approx(e, self.rel, self.abs) == o
+                    for e, o in zip(self.expected, other))
+            return math.isclose(
+                float(other), float(self.expected),
+                rel_tol=self.rel if self.rel is not None else 1e-6,
+                abs_tol=self.abs if self.abs is not None else 1e-12)
+        except Exception:
+            return False
+
+    __req__ = __eq__
+
+
+class _Raises:
+    """pytest.raises shim: passes when the body raises anything (error
+    TYPE parity across engines is out of scope — the reference's own
+    PostGIS branch has the same allowance), fails when it doesn't."""
+
+    def __init__(self, *a, **k):
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, et, ev, tb):
+        if et is None:
+            raise AssertionError("DID NOT RAISE")
+        if et is _Skip:
+            return False
+        return True
+
+
+class _Param:
+    def __init__(self, values, marks, pid):
+        self.values, self.marks, self.id = values, marks, pid
+
+
+def _make_pytest():
+    m = types.ModuleType("pytest")
+
+    class _Mark:
+        @staticmethod
+        def parametrize(names, values, **kw):
+            def deco(fn):
+                if not hasattr(fn, "_rp_params"):
+                    fn._rp_params = []
+                fn._rp_params.append((names, list(values)))
+                return fn
+            return deco
+
+        class skip:
+            """usable both as @pytest.mark.skip and as a marks= value"""
+            _rp_skip = True
+
+            def __init__(self, *a, **k):
+                pass
+
+            def __call__(self, fn):
+                fn._rp_skipall = True
+                return fn
+
+        @staticmethod
+        def skipif(cond, *a, **kw):
+            def deco(fn):
+                if cond:
+                    fn._rp_skipall = True
+                return fn
+            return deco
+
+        @staticmethod
+        def xfail(*a, **kw):
+            def deco(fn):
+                fn._rp_skipall = True
+                return fn
+            return deco
+
+    m.mark = _Mark
+    m.param = lambda *v, marks=(), id=None, **k: _Param(
+        v, marks if isinstance(marks, (list, tuple)) else [marks], id)
+    m.approx = lambda e, rel=None, abs=None, nan_ok=False: _Approx(
+        e, rel, abs)
+    m.raises = _Raises
+
+    def _skip(reason=""):
+        raise _Skip(reason)
+    m.skip = _skip
+    m.fixture = lambda *a, **k: (a[0] if a and callable(a[0])
+                                 else (lambda fn: fn))
+    m.importorskip = lambda name, *a, **k: _Stub()
+    return m
+
+
+def _stub_module(name):
+    m = types.ModuleType(name)
+    m.__getattr__ = lambda attr: _Stub()
+    m.__path__ = []
+    return m
+
+
+# ---------------------------------------------------------------- engine
+
+def geom_or_null(arg, srid=None):
+    if arg is None:
+        return "NULL"
+    if isinstance(arg, _Stub):
+        return arg
+    if srid is None:
+        return f"ST_GeomFromText('{arg}')"
+    return f"ST_GeomFromEWKT('SRID={srid};{arg}')"
+
+
+def geog_or_null(arg):
+    if arg is None:
+        return "NULL"
+    if isinstance(arg, _Stub):
+        return arg
+    return f"ST_GeogFromText('{arg}')"
+
+
+def val_or_null(arg):
+    return "NULL" if arg is None else arg
+
+
+class _OtherEngine:
+    """PostGIS/BigQuery/DuckDB/...: reference behaviour is skip when
+    unreachable — always unreachable here."""
+    name = "other"
+
+    @classmethod
+    def create_or_skip(cls, *a, **k):
+        raise _Skip("other-engine")
+
+    @classmethod
+    def set_cache_dir(cls, *a, **k):
+        pass
+
+
+def _canon_geom(g, core):
+    """Canonical untagged WKB for structural comparison."""
+    return core.to_wkb(g, srid=0, spherical=False)
+
+
+def _coords_close(g1, g2, core, rel=1e-8):
+    """Same structure, coords within rel — the float-formatting
+    forgiveness layer (writer rounding), never orientation/order."""
+    from sedona_db_spark.geom import wkt as _wkt
+    t1 = re.split(r"([-+0-9.eE]+)", _wkt.to_wkt(g1))
+    t2 = re.split(r"([-+0-9.eE]+)", _wkt.to_wkt(g2))
+    if len(t1) != len(t2):
+        return False
+    for a, b in zip(t1, t2):
+        try:
+            fa, fb = float(a), float(b)
+            if not math.isclose(fa, fb, rel_tol=rel, abs_tol=1e-8):
+                return False
+        except ValueError:
+            if a.replace(" ", "") != b.replace(" ", ""):
+                return False
+    return True
+
+
+class _Eng:
+    """SedonaDB stand-in running this engine's Spark SQL."""
+    _instance = None
+
+    def __init__(self, spark):
+        self.spark = spark
+        from sedona_db_spark.geom import core, wkt
+        self._core, self._wkt = core, wkt
+
+    @classmethod
+    def get(cls):
+        if cls._instance is None:
+            sys.path.insert(0, os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+            os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+            from sedona_db_spark import session as _s
+            cls._instance = cls(_s.get_spark("replay_python"))
+        return cls._instance
+
+    # --- DBEngine surface used by the mined tests -------------------
+    @classmethod
+    def name(cls):
+        return "sedonadb"
+
+    def val_or_null(self, arg):
+        if isinstance(arg, bytes):
+            return f"X'{arg.hex()}'"
+        return val_or_null(arg)
+
+    def assert_query_result(self, query, expected, **kw):
+        if _has_stub(query) or _has_stub(expected):
+            raise _Skip("needs-unavailable-lib")
+        rows = [tuple(r) for r in self.spark.sql(query).collect()]
+        self._assert_rows(rows, expected, **kw)
+        return self
+
+    # --- comparison (reference testing.py:235-335 semantics) --------
+    def _assert_rows(self, rows, expected, **kw):
+        import pandas as _pd
+        import pyarrow as _pa
+        if isinstance(expected, _pa.Table):
+            exp_rows = list(zip(*[c.to_pylist()
+                                  for c in expected.columns]))
+            self._cmp_rows(rows, exp_rows, **kw)
+        elif isinstance(expected, _pd.DataFrame):
+            exp_rows = [tuple(r) for r in expected.itertuples(index=False)]
+            self._cmp_rows(rows, exp_rows, **kw)
+        elif isinstance(expected, list):
+            self._cmp_rows(rows, expected, **kw)
+        elif isinstance(expected, tuple):
+            self._cmp_rows(rows, [expected], **kw)
+        elif isinstance(expected, (str, bool, _Approx)) or expected is None:
+            self._cmp_rows(rows, [(expected,)], **kw)
+        elif isinstance(expected, (int, float, bytes)):
+            assert len(rows) == 1 and len(rows[0]) == 1, \
+                f"expected 1x1 result, got {rows!r}"
+            got = rows[0][0]
+            eps = kw.get("numeric_epsilon")
+            if eps is not None:
+                assert got is not None and math.isclose(
+                    float(got), float(expected), rel_tol=eps), \
+                    f"Expected {expected}, got {got}"
+            else:
+                assert self._cell_eq(got, expected, **kw), \
+                    f"Expected {expected!r}, got {got!r}"
+        else:
+            raise _Skip(f"unsupported-expected-{type(expected).__name__}")
+
+    def _cmp_rows(self, rows, exp_rows, **kw):
+        assert len(rows) == len(exp_rows), \
+            f"row count: got {len(rows)} want {len(exp_rows)}: {rows!r}"
+        for got, want in zip(rows, exp_rows):
+            assert len(got) == len(want), \
+                f"col count: got {got!r} want {want!r}"
+            for g, w in zip(got, want):
+                assert self._cell_eq(g, w, **kw), \
+                    f"cell: got {g!r} want {w!r}"
+
+    def _geom_from_result(self, val):
+        if isinstance(val, (bytes, bytearray)):
+            return self._core.from_wkb(bytes(val))
+        raise ValueError("not geometry")
+
+    def _cell_eq(self, got, want, wkt_precision=None, **kw):
+        core, wkt = self._core, self._wkt
+        if isinstance(want, _Approx):
+            return want == got
+        if want is None:
+            return got is None
+        if got is None:
+            return False
+        if isinstance(want, bool):
+            if isinstance(got, bool):
+                return got == want
+            return str(got).lower() == str(want).lower()
+        if isinstance(want, bytes):
+            return bytes(got) == want if isinstance(
+                got, (bytes, bytearray)) else False
+        if isinstance(want, (list,)):
+            try:
+                return len(got) == len(want) and all(
+                    self._cell_eq(g, w) for g, w in zip(got, want))
+            except TypeError:
+                return False
+        if isinstance(want, (int, float)):
+            try:
+                return math.isclose(float(got), float(want),
+                                    rel_tol=1e-9, abs_tol=1e-12)
+            except (TypeError, ValueError):
+                return False
+        if isinstance(want, str):
+            s = want.strip()
+            up = s.upper()
+            is_geom_want = up.startswith(GEOM_KW)
+            if isinstance(got, (bytes, bytearray)):
+                if not is_geom_want:
+                    return False
+                try:
+                    gg = self._geom_from_result(got)
+                    if up.startswith("SRID="):
+                        srid_w, s_body = s.split(";", 1)
+                        if int(srid_w[5:]) != (gg.srid or 0):
+                            return False
+                        s = s_body
+                    ge = wkt.from_wkt(s)
+                    if _canon_geom(gg, core) == _canon_geom(ge, core):
+                        return True
+                    if wkt_precision is not None or True:
+                        return _coords_close(gg, ge, core)
+                except Exception:
+                    return False
+            gs = str(got)
+            if gs == s:
+                return True
+            if is_geom_want and gs.upper().startswith(GEOM_KW):
+                try:
+                    g1, g2 = wkt.from_wkt(gs), wkt.from_wkt(s)
+                    if _canon_geom(g1, core) == _canon_geom(g2, core):
+                        return True
+                    return _coords_close(g1, g2, core)
+                except Exception:
+                    return False
+            try:
+                return math.isclose(float(gs), float(s),
+                                    rel_tol=1e-9, abs_tol=1e-12)
+            except ValueError:
+                pass
+            if s.lower() in ("true", "false"):
+                return gs.lower() == s.lower()
+            return False
+        return got == want
+
+
+class _SedonaDBCls:
+    """Class stub whose create_or_skip yields the live engine."""
+    @classmethod
+    def create_or_skip(cls, *a, **k):
+        return _Eng.get()
+
+    @classmethod
+    def name(cls):
+        return "sedonadb"
+
+
+def _make_sedonadb_mods():
+    pkg = _stub_module("sedonadb")
+    pkg.connect = lambda *a, **k: _Stub()
+    testing = types.ModuleType("sedonadb.testing")
+    testing.SedonaDB = _SedonaDBCls
+    testing.SedonaDBSingleThread = _OtherEngine
+    testing.PostGIS = _OtherEngine
+    testing.BigQuery = _OtherEngine
+    testing.DuckDB = _OtherEngine
+    testing.geom_or_null = geom_or_null
+    testing.geog_or_null = geog_or_null
+    testing.val_or_null = val_or_null
+    testing.skip_if_not_exists = lambda p: (_ for _ in ()).throw(
+        _Skip("missing-path")) if not os.path.exists(str(p)) else None
+    testing.__getattr__ = lambda attr: _Stub()
+    mods = {"sedonadb": pkg, "sedonadb.testing": testing}
+    for sub in ("dataframe", "expr", "raster", "raster_testing", "_lib",
+                "expr.expression", "expr.literal"):
+        mods[f"sedonadb.{sub}"] = _stub_module(f"sedonadb.{sub}")
+    return mods
+
+
+# ---------------------------------------------------------------- runner
+
+def _load_module(path, pytest_mod):
+    src = open(path).read()
+    g = {"__name__": f"replay_{os.path.basename(path)[:-3]}",
+         "__file__": path}
+    stubs = _make_sedonadb_mods()
+    for name in ("shapely", "shapely.wkt", "shapely.geometry",
+                 "geopandas", "geopandas.testing", "pyproj", "geoarrow",
+                 "geoarrow.pyarrow", "rasterio"):
+        stubs[name] = _stub_module(name)
+    stubs["pytest"] = pytest_mod
+    saved = {}
+    for name, mod in stubs.items():
+        saved[name] = sys.modules.get(name)
+        sys.modules[name] = mod
+    try:
+        exec(compile(src, path, "exec"), g)
+    finally:
+        for name, mod in saved.items():
+            if mod is None:
+                sys.modules.pop(name, None)
+            else:
+                sys.modules[name] = mod
+    return g
+
+
+def _cases_of(fn):
+    """Cartesian product of stacked parametrize tables (reference
+    pytest semantics; pairing only, order irrelevant)."""
+    groups = []
+    for names, values in getattr(fn, "_rp_params", []):
+        if isinstance(names, str):
+            names = [n.strip() for n in names.split(",")]
+        elif isinstance(names, (list, tuple)):
+            names = list(names)
+        cases = []
+        for v in values:
+            marks = []
+            if isinstance(v, _Param):
+                marks, v = v.marks, (v.values if len(names) > 1
+                                     else v.values[0])
+            if len(names) == 1:
+                kv = {names[0]: v}
+            else:
+                if not isinstance(v, (list, tuple)) or len(v) != len(names):
+                    kv = None
+                else:
+                    kv = dict(zip(names, v))
+            skip = any(getattr(mk, "_rp_skip", False) or
+                       getattr(type(mk), "_rp_skip", False)
+                       for mk in marks if mk)
+            cases.append((kv, skip))
+        groups.append(cases)
+    out = []
+    for combo in itertools.product(*groups):
+        kv, skip = {}, False
+        bad = False
+        for c_kv, c_skip in combo:
+            if c_kv is None:
+                bad = True
+                break
+            kv.update(c_kv)
+            skip = skip or c_skip
+        if not bad:
+            out.append((kv, skip))
+    return out
+
+
+def main() -> int:
+    verbose = "--verbose" in sys.argv
+    filt = None
+    if "--filter" in sys.argv:
+        filt = sys.argv[sys.argv.index("--filter") + 1]
+    pytest_mod = _make_pytest()
+    files = []
+    for pat in TARGET_GLOBS:
+        files += sorted(glob.glob(os.path.join(REF_TESTS, pat)))
+    ok = bad = skip = 0
+    fails = []
+    skip_reasons = {}
+    for path in files:
+        short = path.split("/tests/")[-1]
+        if os.path.basename(path) == "conftest.py":
+            continue
+        try:
+            ns = _load_module(path, pytest_mod)
+        except Exception as e:
+            skip_reasons[f"module:{short}"] = repr(e)[:120]
+            continue
+        for name, fn in sorted(ns.items()):
+            if not (name.startswith("test_") and callable(fn)):
+                continue
+            if filt and filt not in f"{short}::{name}":
+                continue
+            if getattr(fn, "_rp_skipall", False):
+                skip += 1
+                continue
+            cases = _cases_of(fn) or [({}, False)]
+            import inspect
+            argnames = list(inspect.signature(fn).parameters)
+            for kv, case_skip in cases:
+                if case_skip:
+                    skip += 1
+                    continue
+                missing = [a for a in argnames if a not in kv]
+                if "eng" in missing:
+                    kv = dict(kv)
+                    kv["eng"] = _SedonaDBCls
+                    missing.remove("eng")
+                if missing:   # fixture-dependent (con, geoarrow_data…)
+                    skip += 1
+                    skip_reasons.setdefault(
+                        f"fixture:{short}::{name}",
+                        f"needs {missing}")
+                    break
+                if _has_stub(list(kv.values())):
+                    skip += 1
+                    continue
+                if kv.get("eng") is _OtherEngine:
+                    skip += 1   # PostGIS/BigQuery/... parametrization
+                    continue
+                label = f"{short}::{name}{_fmt_case(kv)}"
+                try:
+                    fn(**kv)
+                    ok += 1
+                except _Skip as e:
+                    skip += 1
+                    if verbose and str(e) not in (
+                            "other-engine", "needs-unavailable-lib"):
+                        skip_reasons.setdefault(label, str(e))
+                except AssertionError as e:
+                    bad += 1
+                    fails.append(("MISMATCH", label, str(e)[:240]))
+                except Exception as e:
+                    bad += 1
+                    fails.append(("ERR", label, repr(e)[:240]))
+    print(json.dumps({"ok": ok, "mismatch+err": bad, "skipped": skip}))
+    for f in fails:
+        print(f)
+    if verbose:
+        for k, v in list(skip_reasons.items()):
+            print("SKIP", k, v)
+    return 1 if bad else 0
+
+
+def _fmt_case(kv):
+    parts = []
+    for k, v in kv.items():
+        if k == "eng":
+            continue
+        s = repr(v)
+        parts.append(f"{k}={s[:48]}")
+    return "[" + ", ".join(parts) + "]" if parts else ""
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
