@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from sedona_db_spark.functions.kernels import KERNELS, make_pandas_udf
 from sedona_db_spark.functions import kernels_wave3 as _wave3  # noqa: F401 (merges into KERNELS)
+from sedona_db_spark.functions import kernels_wave4 as _wave4  # noqa: F401 (merges into KERNELS)
 from sedona_db_spark.functions import geography as _geography  # noqa: F401 (merges into KERNELS)
 
 _REGISTERED_UDFS: dict[str, object] = {}

@@ -1136,6 +1136,12 @@ def _wrap_arity(fn, n: int):
         def w(c1: pd.Series, c2: pd.Series, c3: pd.Series, c4: pd.Series,
               c5: pd.Series, c6: pd.Series, c7: pd.Series) -> pd.Series:
             return fn(c1, c2, c3, c4, c5, c6, c7)
+    elif n == 13:  # ST_Affine 3-D form (geom + 12 matrix params)
+        def w(c1: pd.Series, c2: pd.Series, c3: pd.Series, c4: pd.Series,
+              c5: pd.Series, c6: pd.Series, c7: pd.Series, c8: pd.Series,
+              c9: pd.Series, c10: pd.Series, c11: pd.Series, c12: pd.Series,
+              c13: pd.Series) -> pd.Series:
+            return fn(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13)
     else:
         raise ValueError(f"unsupported arity {n}")
     return w

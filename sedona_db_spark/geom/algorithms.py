@@ -1040,6 +1040,298 @@ def _boundary_capsules(g: Geom, dist: float, quad_segs: int) -> list:
     return caps
 
 
+# ----------------------------------------------------------------------
+# styled buffer (GEOS buffer style parameters, reference
+# c/sedona-geos/src/st_buffer.rs 3-arg form)
+# ----------------------------------------------------------------------
+
+def _parse_buffer_style(params: str) -> dict:
+    """GEOS parameter string: 'quad_segs=8 endcap=round join=mitre
+    mitre_limit=5 side=both'.  Unknown keys raise (GEOS errors too)."""
+    out = {"quad_segs": 8, "endcap": "round", "join": "round",
+           "mitre_limit": 5.0, "side": "both"}
+    for tok in str(params).split():
+        if "=" not in tok:
+            raise ValueError(f"invalid buffer style parameter: {tok!r}")
+        k, v = tok.split("=", 1)
+        k = k.strip().lower()
+        v = v.strip().lower()
+        if k == "quad_segs" or k == "quadsegs":
+            out["quad_segs"] = max(int(float(v)), 1)
+        elif k == "endcap":
+            if v == "butt":
+                v = "flat"
+            if v not in ("round", "flat", "square"):
+                raise ValueError(f"unknown endcap style: {v!r}")
+            out["endcap"] = v
+        elif k == "join":
+            if v == "miter":
+                v = "mitre"
+            if v not in ("round", "mitre", "bevel"):
+                raise ValueError(f"unknown join style: {v!r}")
+            out["join"] = v
+        elif k in ("mitre_limit", "miter_limit"):
+            out["mitre_limit"] = float(v)
+        elif k == "side":
+            if v not in ("both", "left", "right"):
+                raise ValueError(f"unknown side: {v!r}")
+            out["side"] = v
+        else:
+            raise ValueError(f"unknown buffer style parameter: {k!r}")
+    return out
+
+
+def _fillet_arc(v, a0, total, direction, dist, quad_segs):
+    """GEOS OffsetSegmentGenerator::addDirectedFillet vertex placement:
+    arc of angular span `total` from angle a0, rotating `direction`
+    (+1 CCW / -1 CW), nseg = round(total/quantum), EVEN spacing."""
+    quantum = math.pi / 2.0 / quad_segs
+    nseg = int(total / quantum + 0.5)
+    if nseg < 1:
+        nseg = 1
+    inc = total / nseg
+    pts = []
+    for i in range(nseg + 1):
+        a = a0 + direction * i * inc
+        pts.append((v[0] + dist * math.cos(a), v[1] + dist * math.sin(a)))
+    return pts
+
+
+def _join_piece(v, t1, t2, dist, style) -> list | None:
+    """Join fill at vertex v between unit tangents t1 (incoming) and t2
+    (outgoing), on the OUTER side of the turn.  Returns a ring or None
+    for collinear.
+
+    The ring is anchored at a point pulled INTO the corridor (v minus
+    half the offset distance along the inner bisector) instead of at v
+    itself: the piece then overlaps the segment rectangles and its
+    edges cross them transversally — exact edge-on-edge abutment at v
+    is the Martinez sweep's degenerate case (observed: a cap chord
+    collinear with a rectangle side collapsed the union)."""
+    cross = t1[0] * t2[1] - t1[1] * t2[0]
+    if abs(cross) < 1e-14 and t1[0] * t2[0] + t1[1] * t2[1] > 0:
+        return None                      # straight through
+    # outer normal: right of travel for a left turn, left for a right
+    sgn = -1.0 if cross > 0 else 1.0     # +1 -> left normal side
+    n1 = (-t1[1] * sgn, t1[0] * sgn)
+    n2 = (-t2[1] * sgn, t2[0] * sgn)
+    p1 = (v[0] + dist * n1[0], v[1] + dist * n1[1])
+    p2 = (v[0] + dist * n2[0], v[1] + dist * n2[1])
+    bx, by = n1[0] + n2[0], n1[1] + n2[1]
+    bl = math.hypot(bx, by)
+    anchor = (v[0] - 0.5 * dist * bx / bl,
+              v[1] - 0.5 * dist * by / bl) if bl > 1e-9 else tuple(v[:2])
+    if style["join"] == "round":
+        a0 = math.atan2(n1[1], n1[0])
+        a1 = math.atan2(n2[1], n2[0])
+        # outer normals rotate WITH the tangent: CCW across the gap for
+        # a left turn, CW for a right turn
+        direction = 1.0 if cross > 0 else -1.0
+        total = (a1 - a0) * direction
+        while total < 0:
+            total += 2 * math.pi
+        while total >= 2 * math.pi:
+            total -= 2 * math.pi
+        arc = _fillet_arc(v, a0, total, direction, dist,
+                          style["quad_segs"])
+        ring = [anchor] + arc + [anchor]
+        return np.asarray(ring, dtype=float)
+    if style["join"] == "bevel":
+        return np.asarray([anchor, p1, p2, anchor], dtype=float)
+    # mitre
+    dot = n1[0] * n2[0] + n1[1] * n2[1]
+    denom = 1.0 + dot
+    if denom <= 1e-12:   # ~180-degree spike: fall back to bevel
+        return np.asarray([anchor, p1, p2, anchor], dtype=float)
+    mx = v[0] + dist * (n1[0] + n2[0]) / denom
+    my = v[1] + dist * (n1[1] + n2[1]) / denom
+    ratio = math.hypot(mx - v[0], my - v[1]) / dist
+    if ratio <= style["mitre_limit"]:
+        return np.asarray([anchor, p1, (mx, my), p2, anchor], dtype=float)
+    # truncated mitre: clip the spike by the line perpendicular to the
+    # bisector at distance mitre_limit*dist from v (GEOS limited mitre)
+    ml = math.hypot(mx - v[0], my - v[1])
+    ux, uy = (mx - v[0]) / ml, (my - v[1]) / ml
+    cut = style["mitre_limit"] * dist
+
+    def clip_toward_m(p):
+        # point on segment p->m where dot((x-v), u) == cut
+        d0 = (p[0] - v[0]) * ux + (p[1] - v[1]) * uy
+        if ml - d0 <= 1e-14:
+            return p
+        t = (cut - d0) / (ml - d0)
+        t = min(max(t, 0.0), 1.0)
+        return (p[0] + t * (mx - p[0]), p[1] + t * (my - p[1]))
+    q1, q2 = clip_toward_m(p1), clip_toward_m(p2)
+    return np.asarray([anchor, p1, q1, q2, p2, anchor], dtype=float)
+
+
+def _seg_piece(a, b, dist, style, cap_a, cap_b) -> np.ndarray | None:
+    """One segment's offset piece with its end caps FUSED into a single
+    ring (GEOS builds one offset curve; separate cap pieces abut the
+    rectangle exactly edge-on-edge, the Martinez sweep's degenerate
+    case)."""
+    t = (b[0] - a[0], b[1] - a[1])
+    L = math.hypot(t[0], t[1])
+    if L == 0.0:
+        return None
+    t = (t[0] / L, t[1] / L)
+    nl = (-t[1] * dist, t[0] * dist)
+    td = (t[0] * dist, t[1] * dist)
+    qs = style["quad_segs"]
+    cap = style["endcap"]
+    ring = [(a[0] + nl[0], a[1] + nl[1])]
+    if cap_b and cap == "round":
+        ring += _fillet_arc(b, math.atan2(nl[1], nl[0]), math.pi, -1.0,
+                            dist, qs)
+    elif cap_b and cap == "square":
+        ring += [(b[0] + nl[0], b[1] + nl[1]),
+                 (b[0] + nl[0] + td[0], b[1] + nl[1] + td[1]),
+                 (b[0] - nl[0] + td[0], b[1] - nl[1] + td[1]),
+                 (b[0] - nl[0], b[1] - nl[1])]
+    else:
+        ring += [(b[0] + nl[0], b[1] + nl[1]), (b[0] - nl[0], b[1] - nl[1])]
+    if cap_a and cap == "round":
+        ring += _fillet_arc(a, math.atan2(-nl[1], -nl[0]), math.pi, -1.0,
+                            dist, qs)
+    elif cap_a and cap == "square":
+        ring += [(a[0] - nl[0], a[1] - nl[1]),
+                 (a[0] - nl[0] - td[0], a[1] - nl[1] - td[1]),
+                 (a[0] + nl[0] - td[0], a[1] + nl[1] - td[1])]
+    else:
+        ring += [(a[0] - nl[0], a[1] - nl[1])]
+    if ring[-1] != ring[0]:
+        ring.append(ring[0])
+    return np.asarray(ring, dtype=float)
+
+
+def _ccw_ring(ring: np.ndarray) -> np.ndarray:
+    """Martinez pieces must be CCW (same convention as _capsule_ring)."""
+    ring = np.asarray(ring, dtype=float)
+    return ring[::-1] if _ring_area2(ring) < 0 else ring
+
+
+def _seg_rect(a, b, dist, side_sign) -> np.ndarray | None:
+    """Offset rectangle of one segment: both sides (side_sign 0) or a
+    single side (+1 left / -1 right of travel)."""
+    t = (b[0] - a[0], b[1] - a[1])
+    L = math.hypot(t[0], t[1])
+    if L == 0.0:
+        return None
+    t = (t[0] / L, t[1] / L)
+    nl = (-t[1] * dist, t[0] * dist)
+    if side_sign == 0:
+        ring = [(a[0] + nl[0], a[1] + nl[1]), (b[0] + nl[0], b[1] + nl[1]),
+                (b[0] - nl[0], b[1] - nl[1]), (a[0] - nl[0], a[1] - nl[1])]
+    else:
+        s = float(side_sign)
+        ring = [tuple(a[:2]), tuple(b[:2]),
+                (b[0] + s * nl[0], b[1] + s * nl[1]),
+                (a[0] + s * nl[0], a[1] + s * nl[1])]
+    ring.append(ring[0])
+    return np.asarray(ring, dtype=float)
+
+
+def _styled_line_pieces(coords: np.ndarray, dist, style, closed: bool
+                        ) -> list:
+    """Offset pieces for one polyline/ring: per-segment rectangles,
+    outer-turn joins, end caps (open lines, side=both only)."""
+    r = np.asarray(coords, dtype=float)[:, :2]
+    keep = [0]
+    for i in range(1, len(r)):
+        if math.hypot(*(r[i] - r[keep[-1]])) > 0:
+            keep.append(i)
+    r = r[keep]
+    if len(r) < 2:
+        return []
+    side_sign = {"both": 0, "left": 1, "right": -1}[style["side"]]
+    pieces = []
+    for i in range(len(r) - 1):
+        if side_sign == 0:
+            rect = _seg_piece(r[i], r[i + 1], dist, style,
+                              cap_a=(not closed and i == 0),
+                              cap_b=(not closed and i == len(r) - 2))
+        else:
+            rect = _seg_rect(r[i], r[i + 1], dist, side_sign)
+        if rect is not None:
+            pieces.append([_ccw_ring(rect)])
+    # joins at interior vertices (every vertex for closed rings)
+    n = len(r)
+    idxs = range(1, n - 1) if not closed else range(n - 1)
+    for i in idxs:
+        prev_i = i - 1 if i > 0 else n - 2
+        a, v, b = r[prev_i], r[i], r[(i + 1) % n if closed else i + 1]
+        t1 = v - a
+        t2 = b - v
+        L1, L2 = math.hypot(*t1), math.hypot(*t2)
+        if L1 == 0 or L2 == 0:
+            continue
+        t1, t2 = t1 / L1, t2 / L2
+        cross = t1[0] * t2[1] - t1[1] * t2[0]
+        if side_sign != 0:
+            # single-sided: joins only when the outer side is the
+            # buffered side (left turn -> outer is right)
+            outer = -1 if cross > 0 else 1
+            if outer != side_sign:
+                continue
+        ring = _join_piece(v, t1, t2, dist, style)
+        if ring is not None:
+            pieces.append([_ccw_ring(ring)])
+    return pieces
+
+
+def buffer_styled(g: Geom, dist: float, params: str) -> Geom:
+    """ST_Buffer with GEOS style parameters.  Same union-of-pieces
+    construction as `buffer` but with style-aware joins/caps and GEOS
+    fillet vertex placement (addDirectedFillet even spacing), so round
+    areas agree with GEOS to discretization-identical values.
+
+    side=left/right uses plain one-sided piece union; GEOS versions
+    disagree with each other on the winding cancellation this implies
+    for self-overlapping offsets (the reference's own test documents
+    GEOS 3.9 vs 3.12 splits), so only the non-overlapping cases are
+    byte-comparable."""
+    style = _parse_buffer_style(params)
+    if g.is_empty():
+        return Geom(POLYGON, [])
+    if dist == 0.0:
+        return g if g.dimension() == 2 else Geom(POLYGON, [])
+    qs = style["quad_segs"]
+    if dist < 0.0:
+        if g.dimension() < 2:
+            return Geom(POLYGON, [])
+        # erosion: carve the inner-side bands (+ joins at reflex turns)
+        pieces = []
+        for arr in g.rings():
+            pieces += _styled_line_pieces(arr, -dist, style, closed=True)
+        if not pieces:
+            return Geom(POLYGON, [])
+        carve = unary_union(Geom(MULTIPOLYGON, pieces))
+        out = difference(g, carve)
+        return out if not out.is_empty() else Geom(POLYGON, [])
+    pieces = []
+    for p in g.points():
+        if style["endcap"] == "flat":
+            continue
+        if style["endcap"] == "square":
+            pieces.append([_ccw_ring(np.asarray(
+                [(p[0] - dist, p[1] - dist), (p[0] + dist, p[1] - dist),
+                 (p[0] + dist, p[1] + dist), (p[0] - dist, p[1] + dist),
+                 (p[0] - dist, p[1] - dist)], dtype=float))])
+        else:
+            pieces.append([_disc_ring(p, dist, 4 * qs)])
+    for arr in g.lines():
+        pieces += _styled_line_pieces(arr, dist, style, closed=False)
+    for pr in g.polygons():
+        for ring in pr:
+            pieces += _styled_line_pieces(ring, dist, style, closed=True)
+    pieces += [[np.asarray(r, dtype=float)[:, :2] for r in pr]
+               for pr in g.polygons()]
+    if not pieces:
+        return Geom(POLYGON, [])
+    return unary_union(Geom(MULTIPOLYGON, pieces))
+
+
 def buffer(g: Geom, dist: float, quad_segs: int = 8) -> Geom:
     """GEOS-style round-join buffer.  Point: exact regular 4*quad_segs-gon
     (GEOS vertex placement).  Lines/polygons: union of per-segment

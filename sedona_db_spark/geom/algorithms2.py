@@ -199,8 +199,11 @@ def _pt_key(p, nd=12):
     return (round(float(p[0]), nd), round(float(p[1]), nd))
 
 
-def line_merge(g: Geom) -> Geom:
-    """Chain lines that meet at degree-2 endpoints (GEOS LineMerger)."""
+def line_merge(g: Geom, directed: bool = False) -> Geom:
+    """Chain lines that meet at degree-2 endpoints (GEOS LineMerger).
+    ``directed=True`` (GEOS DirectedLineMerger, the reference's 2-arg
+    ST_LineMerge) only joins an END to a START — no segment is ever
+    reversed."""
     lines = [np.asarray(l, dtype=np.float64)[:, :2] for l in g.lines() if len(l) >= 2]
     if not lines:
         return Geom(GEOMETRYCOLLECTION, []) if g.gt == GEOMETRYCOLLECTION else g
@@ -218,6 +221,17 @@ def line_merge(g: Geom) -> Geom:
             (i, si), (j, sj) = touching
             if i == j:
                 continue  # closed ring
+            if directed:
+                # join only end-of-one to start-of-other, as-is
+                if si == sj:
+                    continue
+                if si:       # i starts at k, j ends at k -> j + i
+                    i, j = j, i
+                    si, sj = sj, si
+                lines[i] = np.vstack([lines[i], lines[j][1:]])
+                lines.pop(j)
+                merged = True
+                break
             a, b = lines[i], lines[j]
             if si:
                 a = a[::-1]  # now a ends at k

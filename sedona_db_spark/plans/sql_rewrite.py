@@ -1779,41 +1779,118 @@ def _chain_rewrite(spark, toks, depths, from_idx, rels, ons, from_end,
 _PEEP_PRECHECK = re.compile(
     r"\bST_(DISTANCESPHERE|DISTANCE|DWITHIN)\s*\(\s*ST_POINT\s*\(", re.I)
 
-_OVERLOAD_PRECHECK = re.compile(r"\bST_RELATE\s*\(", re.I)
+# (UPPER name, arity) -> auxiliary SQL name carrying that arity's kernel.
+# The reference registers several kernels under ONE SQL name with
+# optional arguments (e.g. c/sedona-geos/src/st_relate.rs:151,192);
+# Spark UDF registration is fixed-arity, so the SQL front door renames
+# the extra-arity call onto the matching kernel (kernels_wave4.py).
+_ARITY_RENAMES = {
+    ("ST_RELATE", 3): "ST_RelateMatch",
+    ("ST_BUFFER", 3): "ST_BufferStyled",
+    ("ST_CONCAVEHULL", 3): "ST_ConcaveHullHoles",
+    ("ST_FORCE3DM", 2): "ST_Force3DMValue",
+    ("ST_FORCE4D", 3): "ST_Force4DValues",
+    ("ST_LINEMERGE", 2): "ST_LineMergeDirected",
+    ("ST_SCALE", 4): "ST_Scale3D",
+    ("ST_DELAUNAYTRIANGLES", 2): "ST_DelaunayTrianglesTol",
+    ("ST_DELAUNAYTRIANGLES", 3): "ST_DelaunayTrianglesFlags",
+    ("ST_AFFINE", 13): "ST_Affine3D",
+}
+
+# (UPPER name, arity) -> template over the split argument token spans.
+# Used where the overload is expressible as a composition of existing
+# kernels (constructor + SRID forms, reference st_geomfromtext.rs /
+# st_point.rs optional srid argument).
+_ARITY_TEMPLATES = {
+    ("ST_POINT", 3): "ST_SetSRID ( ST_Point ( {0} , {1} ) , {2} )",
+    ("ST_GEOMFROMTEXT", 2): "ST_SetSRID ( ST_GeomFromText ( {0} ) , {1} )",
+    ("ST_GEOMFROMWKT", 2): "ST_SetSRID ( ST_GeomFromWKT ( {0} ) , {1} )",
+    ("ST_GEOMETRYFROMTEXT", 2):
+        "ST_SetSRID ( ST_GeometryFromText ( {0} ) , {1} )",
+    ("ST_GEOMFROMWKB", 2): "ST_SetSRID ( ST_GeomFromWKB ( {0} ) , {1} )",
+    ("ST_POINTFROMTEXT", 2): "ST_SetSRID ( ST_PointFromText ( {0} ) , {1} )",
+    ("ST_LINEFROMTEXT", 2): "ST_SetSRID ( ST_LineFromText ( {0} ) , {1} )",
+    ("ST_LINESTRINGFROMTEXT", 2):
+        "ST_SetSRID ( ST_LineStringFromText ( {0} ) , {1} )",
+    ("ST_POLYGONFROMTEXT", 2):
+        "ST_SetSRID ( ST_PolygonFromText ( {0} ) , {1} )",
+    ("ST_MPOINTFROMTEXT", 2):
+        "ST_SetSRID ( ST_MPointFromText ( {0} ) , {1} )",
+    ("ST_MLINEFROMTEXT", 2):
+        "ST_SetSRID ( ST_MLineFromText ( {0} ) , {1} )",
+    ("ST_MPOLYFROMTEXT", 2):
+        "ST_SetSRID ( ST_MPolyFromText ( {0} ) , {1} )",
+    ("ST_GEOMCOLLFROMTEXT", 2):
+        "ST_SetSRID ( ST_GeomCollFromText ( {0} ) , {1} )",
+}
+
+_OVERLOAD_PRECHECK = re.compile(
+    "\\b(" + "|".join(sorted({k for k, _ in
+                              list(_ARITY_RENAMES) + list(_ARITY_TEMPLATES)}))
+    + ")\\s*\\(", re.I)
 
 
 def rewrite_relate_pattern(sql: str) -> str | None:
-    """3-arg ``ST_Relate(geom, geom, pattern)`` -> ``ST_RelateMatch``.
-
-    The reference registers the DE-9IM matrix kernel AND the pattern
-    kernel under ONE SQL name (c/sedona-geos/src/st_relate.rs:151,192);
-    Spark UDF registration is fixed-arity, so the SQL front door renames
-    the pattern form onto the engine's 3-arg boolean kernel.  Returns
-    None when the query has no 3-arg ST_Relate call."""
-    toks = _tokenize(sql)
-    if toks is None:
-        return None
-    changed = False
-    for i, t in enumerate(toks):
-        if t.upper() != "ST_RELATE" or i + 1 >= len(toks) \
-                or toks[i + 1] != "(":
-            continue
-        d, j = 0, i + 1
-        while j < len(toks):
-            if toks[j] == "(":
-                d += 1
-            elif toks[j] == ")":
-                d -= 1
-                if d == 0:
-                    break
-            j += 1
-        if j >= len(toks):
-            continue
-        spans = _split_args(toks, i + 2, j)
-        if spans is not None and len(spans) == 3:
-            toks[i] = "ST_RelateMatch"
-            changed = True
-    return " ".join(toks) if changed else None
+    """Rename/expand extra-arity ST_* calls onto their auxiliary kernels
+    (see _ARITY_RENAMES / _ARITY_TEMPLATES).  Returns None when the
+    query has no overloaded call.  Template expansion can nest (an
+    overloaded constructor inside another overloaded call), so passes
+    repeat to a small fixpoint."""
+    out_sql = sql
+    any_change = False
+    for _ in range(4):
+        toks = _tokenize(out_sql)
+        if toks is None:
+            return out_sql if any_change else None
+        changed = False
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            up = t.upper()
+            if (up not in {k for k, _ in _ARITY_RENAMES}
+                    and up not in {k for k, _ in _ARITY_TEMPLATES}) \
+                    or i + 1 >= len(toks) or toks[i + 1] != "(":
+                i += 1
+                continue
+            d, j = 0, i + 1
+            while j < len(toks):
+                if toks[j] == "(":
+                    d += 1
+                elif toks[j] == ")":
+                    d -= 1
+                    if d == 0:
+                        break
+                j += 1
+            if j >= len(toks):
+                i += 1
+                continue
+            spans = _split_args(toks, i + 2, j)
+            arity = len(spans) if spans is not None else -1
+            if (up, arity) in _ARITY_RENAMES:
+                toks[i] = _ARITY_RENAMES[(up, arity)]
+                changed = True
+                i += 1
+            elif (up, arity) in _ARITY_TEMPLATES:
+                # positional substitution (not str.format: argument SQL
+                # may contain literal braces)
+                repl_toks = []
+                for tt in _ARITY_TEMPLATES[(up, arity)].split(" "):
+                    if tt.startswith("{") and tt.endswith("}"):
+                        lo, hi = spans[int(tt[1:-1])]
+                        repl_toks.extend(toks[lo:hi])
+                    else:
+                        repl_toks.append(tt)
+                toks[i:j + 1] = repl_toks
+                changed = True
+                # restart scan past the replacement head
+                i += 1
+            else:
+                i += 1
+        if not changed:
+            break
+        any_change = True
+        out_sql = " ".join(toks)
+    return out_sql if any_change else None
 
 # the engine's own haversine (kernels.k_distance_sphere /
 # algorithms._EARTH_RADIUS_M) restated in Spark built-ins; java.lang.Math
