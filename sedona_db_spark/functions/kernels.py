@@ -270,7 +270,11 @@ def k_asgeojson(s: pd.Series) -> pd.Series:
             return {"type": "MultiPolygon", "coordinates": [[[list(map(float, c[:2])) for c in r] for r in p] for p in g.data]}
         return {"type": "GeometryCollection", "geometries": [gj(s_) for s_ in g.data]}
 
-    return pd.Series([None if g is None else json.dumps(gj(g)) for g in _decode(s)], dtype=object)
+    # compact separators: the reference's writer emits no whitespace
+    # (python/sedonadb tests pin '{"type":"Point","coordinates":[1.5,2.5]}')
+    return pd.Series(
+        [None if g is None else json.dumps(gj(g), separators=(",", ":"))
+         for g in _decode(s)], dtype=object)
 
 
 # ----------------------------------------------------------------------
@@ -635,8 +639,51 @@ def k_force2d(s):
 
 def k_isvalidreason(s):
     def one(g):
-        return "Valid Geometry" if alg.is_valid(g) else "Self-intersection or degenerate ring"
+        r = alg.invalid_reason(g)
+        return "Valid Geometry" if r is None else r
     return _unary(one)(s)
+
+
+def _has_dim_deep(g: Geom, which: str) -> bool:
+    flag = g.has_z if which == "z" else g.has_m
+    if flag:
+        return True
+    if g.gt == core.GEOMETRYCOLLECTION:
+        return any(_has_dim_deep(sub, which) for sub in g.data)
+    return False
+
+
+def _first_vertex_point(g: Geom):
+    """First coordinate of the first non-empty part, dims preserved."""
+    if g.gt == core.GEOMETRYCOLLECTION:
+        for sub in g.data:
+            p = _first_vertex_point(sub)
+            if p is not None:
+                return p
+        return None
+    if g.is_empty():
+        return None
+    if g.gt == core.POINT:
+        return g
+    if g.gt == core.LINESTRING:
+        return Geom(core.POINT, g.data[0], g.has_z, g.has_m)
+    if g.gt == core.POLYGON:
+        return Geom(core.POINT, g.data[0][0], g.has_z, g.has_m)
+    if g.gt == core.MULTIPOINT:
+        for p in g.data:
+            if p is not None:
+                return Geom(core.POINT, p, g.has_z, g.has_m)
+        return None
+    if g.gt == core.MULTILINESTRING:
+        for l in g.data:
+            if len(l):
+                return Geom(core.POINT, l[0], g.has_z, g.has_m)
+        return None
+    if g.gt == core.MULTIPOLYGON:
+        for p in g.data:
+            if p and len(p[0]):
+                return Geom(core.POINT, p[0][0], g.has_z, g.has_m)
+    return None
 
 
 def k_area(s: pd.Series) -> pd.Series:
@@ -754,9 +801,40 @@ def k_boundary(s):
             rings = [r for p in g.data for r in p]
             return Geom(core.MULTILINESTRING, rings, z, m)
         if g.gt == core.GEOMETRYCOLLECTION:
-            # per-member boundary, preserving member order (GEOS)
-            return Geom(core.GEOMETRYCOLLECTION,
-                        [one(sub) for sub in g.data], z, m)
+            # GEOS groups the flattened member boundaries by dimension:
+            # every lineal member's endpoints (deep, member order) into
+            # ONE MULTIPOINT, every areal ring into one lineal part;
+            # a single class is returned bare (python/sedonadb
+            # tests/functions/test_functions.py::test_st_boundary)
+            pts, rings = [], []
+
+            def walk(gg: Geom):
+                if gg.gt == core.GEOMETRYCOLLECTION:
+                    for sub in gg.data:
+                        walk(sub)
+                    return
+                b = one(gg)
+                if b.gt == core.MULTIPOINT:
+                    pts.extend(list(b.data))
+                elif b.gt == core.LINESTRING:
+                    rings.append(b.data)
+                elif b.gt == core.MULTILINESTRING:
+                    rings.extend(list(b.data))
+            walk(g)
+            lineal = None
+            if len(rings) == 1:
+                lineal = Geom(core.LINESTRING, rings[0], z, m)
+            elif rings:
+                lineal = Geom(core.MULTILINESTRING, rings, z, m)
+            if pts and lineal is not None:
+                return Geom(core.GEOMETRYCOLLECTION,
+                            [Geom(core.MULTIPOINT, pts, z, m), lineal],
+                            z, m)
+            if lineal is not None:
+                return lineal
+            if pts:
+                return Geom(core.MULTIPOINT, pts, z, m)
+            return Geom(core.GEOMETRYCOLLECTION, [])
         return Geom(core.GEOMETRYCOLLECTION, [])
     return _unary_geom(one)(s)
 
@@ -817,14 +895,17 @@ KERNELS: dict[str, tuple] = {
     "ST_IsEmpty": (_unary(lambda g: bool(g.is_empty())), BOOL, "g"),
     "ST_IsClosed": (_unary(lambda g: bool(alg.is_closed(g))), BOOL, "g"),
     "ST_IsCollection": (_unary(lambda g: g.gt in (4, 5, 6, 7)), BOOL, "g"),
-    "ST_HasZ": (_unary(lambda g: bool(g.has_z)), BOOL, "g"),
-    "ST_HasM": (_unary(lambda g: bool(g.has_m)), BOOL, "g"),
+    # deep: an untagged collection holding a Z/M member reports True
+    # (python/sedonadb tests pin GEOMETRYCOLLECTION (POINT Z ...))
+    "ST_HasZ": (_unary(lambda g: _has_dim_deep(g, "z")), BOOL, "g"),
+    "ST_HasM": (_unary(lambda g: _has_dim_deep(g, "m")), BOOL, "g"),
     "ST_NumGeometries": (k_numgeometries, INT, "g"),
     "ST_GeometryN": (k_geometryn, BIN, "gi"),
     "ST_PointN": (k_pointn, BIN, "gi"),
-    "ST_StartPoint": (
-        _unary_geom(lambda g: Geom(core.POINT, g.data[0], g.has_z, g.has_m)
-                    if g.gt == core.LINESTRING and len(g.data) else None), BIN, "g"),
+    # first vertex of ANY geometry, deep through collections (the
+    # reference returns POINT (1 2) for ST_StartPoint('POINT (1 2)') and
+    # walks nested collections; empty -> NULL)
+    "ST_StartPoint": (_unary_geom(_first_vertex_point), BIN, "g"),
     "ST_EndPoint": (
         _unary_geom(lambda g: Geom(core.POINT, g.data[-1], g.has_z, g.has_m)
                     if g.gt == core.LINESTRING and len(g.data) else None), BIN, "g"),
@@ -834,8 +915,11 @@ KERNELS: dict[str, tuple] = {
     "ST_NumInteriorRings": (
         _unary(lambda g: max(0, len(g.data) - 1) if g.gt == core.POLYGON else None), INT, "g"),
     "ST_ExteriorRing": (
-        _unary_geom(lambda g: Geom(core.LINESTRING, g.data[0], g.has_z, g.has_m)
-                    if g.gt == core.POLYGON and g.data else None), BIN, "g"),
+        _unary_geom(lambda g: (Geom(core.LINESTRING,
+                                    g.data[0] if g.data else
+                                    np.zeros((0, g.ndim)),
+                                    g.has_z, g.has_m)
+                    if g.gt == core.POLYGON else None)), BIN, "g"),
     "ST_InteriorRingN": (
         lambda s, n: pd.Series(
             [None if g is None or nn is None or g.gt != core.POLYGON or int(nn) >= len(g.data) or int(nn) < 1
@@ -1039,7 +1123,8 @@ def k_force3d(s: pd.Series, z) -> pd.Series:
 
 
 def k_zmflag(s: pd.Series) -> pd.Series:
-    return _unary(lambda g: int(g.has_z) * 2 + int(g.has_m))(s)
+    return _unary(lambda g: int(_has_dim_deep(g, "z")) * 2
+                  + int(_has_dim_deep(g, "m")))(s)
 
 
 def k_snap(s1: pd.Series, s2: pd.Series, tol) -> pd.Series:

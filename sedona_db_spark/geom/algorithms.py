@@ -74,13 +74,15 @@ def bounds(g: Geom):
 def envelope(g: Geom) -> Geom:
     b = bounds(g)
     if b is None:
-        return Geom(POLYGON, [])
+        return g          # GEOS: empty input keeps its type
     x0, y0, x1, y1 = b
     if x0 == x1 and y0 == y1:
         return make_point(x0, y0)
     if x0 == x1 or y0 == y1:
         return Geom(LINESTRING, np.array([[x0, y0], [x1, y1]]))
-    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+    # GEOS ring order: CW from (xmin, ymin) going up (python/sedonadb
+    # tests pin POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0)))
+    ring = np.array([[x0, y0], [x0, y1], [x1, y1], [x1, y0], [x0, y0]])
     return Geom(POLYGON, [ring])
 
 
@@ -1994,34 +1996,192 @@ def is_ring_simple(ring: np.ndarray) -> bool:
     return True
 
 
-def is_valid(g: Geom) -> bool:
-    for poly in g.polygons():
+def invalid_reason(g: Geom):
+    """GEOS-phrase validity diagnosis; None when valid.
+
+    Covered rules (python/sedonadb tests/functions test_st_isvalid):
+    lineal components need >= 2 distinct points; polygon rings closed,
+    >= 4 points, no proper self-crossing ("Self-intersection") and no
+    repeated interior vertex ("Ring Self-intersection"); holes may not
+    share a dim-1 stretch with the shell or leave it; multipolygon part
+    interiors must be disjoint and must not share edges."""
+    for line in g.lines():
+        if len(line) > 0:
+            arr = np.asarray(line, dtype=np.float64)[:, :2]
+            if float(np.abs(arr - arr[0]).max()) <= _EPS:
+                return "Too few distinct points in geometry component"
+    polys = list(g.polygons())
+    for poly in polys:
         for ring in poly:
-            if len(ring) < 4:
-                return False
-            if not _close(ring[0], ring[-1]):
-                return False
-            if not is_ring_simple(ring):
+            if len(ring) < 4 or not _close(ring[0], ring[-1]):
+                return "Too few points in geometry component"
+            r = _ring_crossing_kind(ring)
+            if r is not None:
+                return r
+        shell = np.asarray(poly[0], dtype=np.float64)[:, :2]
+        shell_g = Geom(POLYGON, [shell])
+        from sedona_db_spark.geom import algorithms2 as _a2
+        rings_as_lines = [Geom(LINESTRING, np.asarray(rr, dtype=np.float64)[:, :2])
+                          for rr in poly]
+        for hi in range(1, len(poly)):
+            if _a2._lines_share_dim1(rings_as_lines[0], rings_as_lines[hi]):
+                return "Self-intersection"    # hole runs along the shell
+            lo, _hihi = _all_vertices_position(
+                Geom(LINESTRING, np.asarray(poly[hi], dtype=np.float64)[:, :2]),
+                shell_g)
+            if lo < 0:
+                return "Hole lies outside shell"
+        for hi in range(1, len(poly)):
+            for hj in range(hi + 1, len(poly)):
+                if _a2._lines_share_dim1(rings_as_lines[hi], rings_as_lines[hj]):
+                    return "Self-intersection"
+    if len(polys) > 1:
+        from sedona_db_spark.geom import clip as _mclip
+        pgs = [Geom(POLYGON, [np.asarray(r, dtype=np.float64)[:, :2]
+                              for r in p]) for p in polys]
+        from sedona_db_spark.geom import algorithms2 as _a2
+        for i in range(len(pgs)):
+            for j in range(i + 1, len(pgs)):
+                if not intersects(pgs[i], pgs[j]):
+                    continue
+                if area(_mclip.polygon_boolean(pgs[i], pgs[j],
+                                               "intersection")) > 1e-12:
+                    return "Self-intersection"
+                ra = Geom(MULTILINESTRING, [np.asarray(r, dtype=np.float64)[:, :2]
+                                            for r in pgs[i].data])
+                rb = Geom(MULTILINESTRING, [np.asarray(r, dtype=np.float64)[:, :2]
+                                            for r in pgs[j].data])
+                if _a2._lines_share_dim1(ra, rb):
+                    return "Self-intersection"
+    return None
+
+
+def _ring_crossing_kind(ring):
+    """None if the closed ring is a simple curve; else the GEOS phrase:
+    'Self-intersection' for a proper segment crossing,
+    'Ring Self-intersection' for a repeated (pinch) vertex."""
+    r = np.asarray(ring, dtype=np.float64)[:, :2]
+    n = len(r) - 1
+    for i in range(n):
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue
+            if _seg_intersects(r[i], r[i + 1], r[j], r[j + 1]):
+                o1 = _orient(r[i], r[i + 1], r[j])
+                o2 = _orient(r[i], r[i + 1], r[j + 1])
+                o3 = _orient(r[j], r[j + 1], r[i])
+                o4 = _orient(r[j], r[j + 1], r[i + 1])
+                if o1 * o2 < 0 and o3 * o4 < 0:
+                    return "Self-intersection"
+                return "Ring Self-intersection"
+    # repeated non-closing vertex (pinch through a shared vertex)
+    seen = set()
+    for p in r[:-1]:
+        k = (round(float(p[0]) / _EPS), round(float(p[1]) / _EPS))
+        if k in seen:
+            return "Ring Self-intersection"
+        seen.add(k)
+    return None
+
+
+def is_valid(g: Geom) -> bool:
+    return invalid_reason(g) is None
+
+
+def is_ring_closed_simple(ring) -> bool:
+    return _ring_crossing_kind(ring) is None
+
+
+def _dedup_consecutive(arr):
+    arr = np.asarray(arr, dtype=np.float64)[:, :2]
+    if len(arr) < 2:
+        return arr
+    keep = [0]
+    for i in range(1, len(arr)):
+        if not _close(arr[i], arr[keep[-1]]):
+            keep.append(i)
+    return arr[keep]
+
+
+def _line_self_simple(line) -> bool:
+    """Single polyline simplicity: no self-contact except the closing
+    vertex of a closed line (adjacent segments may not backtrack)."""
+    pts = _dedup_consecutive(line)
+    n = len(pts) - 1
+    if n < 1:
+        return True
+    closed = _close(pts[0], pts[-1])
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b, c, d = pts[i], pts[i + 1], pts[j], pts[j + 1]
+            if j == i + 1:
+                # shared vertex b==c: backtrack overlap only
+                if _orient(a, b, d) == 0 and \
+                        (d[0] - b[0]) * (a[0] - b[0]) + \
+                        (d[1] - b[1]) * (a[1] - b[1]) > 0:
+                    return False
+                continue
+            if i == 0 and j == n - 1 and closed:
+                # closing pair shares pts[0]: backtrack overlap only
+                if _orient(c, d, b) == 0 and \
+                        (b[0] - d[0]) * (c[0] - d[0]) + \
+                        (b[1] - d[1]) * (c[1] - d[1]) > 0:
+                    return False
+                continue
+            if _seg_intersects(a, b, c, d):
                 return False
     return True
 
 
 def is_simple(g: Geom) -> bool:
-    for line in g.lines():
-        n = len(line) - 1
-        for i in range(n):
-            for j in range(i + 2, n):
-                if i == 0 and j == n - 1 and _close(line[0], line[-1]):
+    """OGC/GEOS ST_IsSimple semantics (python/sedonadb
+    tests/functions test_st_issimple): points always simple, multipoints
+    need distinct members, lines no self-contact, polygons need simple
+    rings, multilinestrings additionally only boundary-boundary contact
+    between members, collections and multipolygons check members
+    independently."""
+    if g.gt == GEOMETRYCOLLECTION:
+        return all(is_simple(s) for s in g.data)
+    if g.dimension() == 0:
+        keys = [(round(float(p[0]) / _EPS), round(float(p[1]) / _EPS))
+                for p in g.points()]
+        return len(keys) == len(set(keys))
+    if g.gt == LINESTRING:
+        return _line_self_simple(g.data)
+    if g.gt == MULTILINESTRING:
+        lines = [np.asarray(l, dtype=np.float64) for l in g.data]
+        if not all(_line_self_simple(l) for l in lines):
+            return False
+        from sedona_db_spark.geom import algorithms2 as _a2
+        gls = [Geom(LINESTRING, l[:, :2]) for l in lines if len(l)]
+        for i in range(len(gls)):
+            for j in range(i + 1, len(gls)):
+                if not intersects(gls[i], gls[j]):
                     continue
-                if _seg_intersects(line[i], line[i + 1], line[j], line[j + 1]):
+                M = _a2._relate_simple(gls[i], gls[j])
+                # contact allowed only at boundary-boundary points
+                if M[0][0] != "F" or M[0][1] != "F" or M[1][0] != "F":
                     return False
-    return is_valid(g)
+        return True
+    # areal: every ring a simple closed curve (cross-ring contact is a
+    # VALIDITY question, not simplicity)
+    for poly in g.polygons():
+        for ring in poly:
+            if len(ring) >= 4 and not is_ring_closed_simple(ring):
+                return False
+    return True
 
 
 def is_closed(g: Geom) -> bool:
+    """GEOS: empties are not closed; nonempty points/areals are; lineal
+    parts must each close; collections need every member closed."""
+    if g.is_empty():
+        return False
+    if g.gt == GEOMETRYCOLLECTION:
+        return all(is_closed(s) for s in g.data)
     lines = list(g.lines())
     if not lines:
-        return g.dimension() != 1
+        return True
     return all(len(l) >= 2 and _close(l[0], l[-1]) for l in lines)
 
 

@@ -486,10 +486,11 @@ def boxes_to_wkb_array(xmin, ymin, xmax, ymax) -> np.ndarray:
     buf = np.empty((n, _BOX_WKB_LEN), dtype=np.uint8)
     buf[:, :13] = np.frombuffer(_BOX_PREFIX, dtype=np.uint8)
     ring = np.empty((n, 10), dtype="<f8")
+    # GEOS envelope ring order: CW from (xmin, ymin) going up
     ring[:, 0], ring[:, 1] = xmin, ymin
-    ring[:, 2], ring[:, 3] = xmax, ymin
+    ring[:, 2], ring[:, 3] = xmin, ymax
     ring[:, 4], ring[:, 5] = xmax, ymax
-    ring[:, 6], ring[:, 7] = xmin, ymax
+    ring[:, 6], ring[:, 7] = xmax, ymin
     ring[:, 8], ring[:, 9] = xmin, ymin
     buf[:, 13:] = ring.view(np.uint8).reshape(n, 80)
     raw = buf.tobytes()

@@ -29,8 +29,10 @@ CASES = [
     ("ST_AsText(ST_StartPoint(ST_GeomFromWKT('LINESTRING (5 5, 9 9)')))", "POINT (5 5)"),
     ("ST_AsText(ST_EndPoint(ST_GeomFromWKT('LINESTRING (5 5, 9 9)')))", "POINT (9 9)"),
     ("ST_Dimension(ST_GeomFromWKT('POLYGON ((0 0, 1 0, 1 1, 0 0))'))", 2),
+    # GEOS envelope ring order: CW from (xmin, ymin) going up
+    # (python/sedonadb tests/functions test_st_envelope)
     ("ST_AsText(ST_Envelope(ST_GeomFromWKT('LINESTRING (0 0, 2 3)')))",
-     "POLYGON ((0 0, 2 0, 2 3, 0 3, 0 0))"),
+     "POLYGON ((0 0, 0 3, 2 3, 2 0, 0 0))"),
     ("ST_AsText(ST_Centroid(ST_MakeEnvelope(0.0,0.0,4.0,4.0)))", "POINT (2 2)"),
     ("ST_AsText(ST_Translate(ST_Point(1.0,1.0), 2.0, 3.0))", "POINT (3 4)"),
     ("ST_AsText(ST_FlipCoordinates(ST_Point(1.0,2.0)))", "POINT (2 1)"),
