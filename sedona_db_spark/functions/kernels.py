@@ -569,8 +569,12 @@ def k_lineinterpolate(s, f):
 
 def k_linelocate(s, pt_s):
     def one(g, p):
-        if g.gt != core.LINESTRING or p.gt != core.POINT or p.data is None:
-            return None
+        if g.gt != core.LINESTRING:
+            raise ValueError(
+                "ST_LineLocatePoint requires a LineString input, got "
+                + g.st_type_name())
+        if len(g.data) == 0 or p.gt != core.POINT or p.data is None:
+            return None   # empty line/point -> NULL (reference test)
         return alg.line_locate_point(g.data, p.data)
     return _binary(one)(s, pt_s)
 

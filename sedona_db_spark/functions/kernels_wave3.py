@@ -104,12 +104,14 @@ def _typed_from_text(*expect_gt):
             if v is None:
                 out.append(None)
                 continue
-            try:
-                g = wktmod.from_wkt(v)
-            except Exception:
-                out.append(None)
-                continue
-            out.append(core.to_wkb(g) if g.gt in expect_gt else None)
+            g = wktmod.from_wkt(v)       # parse errors raise (reference)
+            if g.gt not in expect_gt:
+                # wrong type is an ERROR, not NULL (python/sedonadb
+                # test_typed_geom_constructors_reject_wrong_type)
+                raise ValueError(
+                    f"Expected geometry type {expect_gt}, got "
+                    f"{g.st_type_name()} from {v[:60]!r}")
+            out.append(core.to_wkb(g))
         return pd.Series(out, dtype=object)
     return run
 
@@ -188,7 +190,7 @@ def _k_rotate_axis(axis: str):
                 if arr.shape[1] > 2 and g.has_z:
                     res[:, 2] = z2
                 return res
-            out.append(core.to_wkb(alg.transform_coords(g, fn)))
+            out.append(core.to_wkb(alg.transform_coords_full(g, fn)))
         return pd.Series(out, dtype=object)
     return run
 
@@ -399,6 +401,11 @@ KERNELS.update({
     "ST_MLineFromText": (_typed_from_text(MULTILINESTRING), BIN, "s"),
     "ST_MPolyFromText": (_typed_from_text(MULTIPOLYGON), BIN, "s"),
     "ST_GeomCollFromText": (_typed_from_text(GEOMETRYCOLLECTION), BIN, "s"),
+    # retarget the base typed ctors from the untyped parser: wrong type
+    # must raise (kernels.py registers them as plain k_geomfromwkt)
+    "ST_PointFromText": (_typed_from_text(POINT), BIN, "s"),
+    "ST_LineFromText": (_typed_from_text(LINESTRING), BIN, "s"),
+    "ST_PolygonFromText": (_typed_from_text(POLYGON), BIN, "s"),
     "ST_GeomFromWKBUnchecked": (lambda s: s, BIN, "g"),
     "ST_Collect": (k_collect, BIN, "a"),
     # affine family

@@ -85,7 +85,7 @@ def k_scale3d(s: pd.Series, sx, sy, sz) -> pd.Series:
             if has_z and arr.shape[1] > 2:
                 res[:, 2] = arr[:, 2] * fc
             return res
-        out.append(core.to_wkb(alg.transform_coords(g, fn)))
+        out.append(core.to_wkb(alg.transform_coords_full(g, fn)))
     return pd.Series(out, dtype=object)
 
 
@@ -115,7 +115,7 @@ def k_affine3d(s: pd.Series, a, b, c, d, e, f, g_, h, i, xo, yo, zo
             if has_z and arr.shape[1] > 2:
                 res[:, 2] = gg * x + hh * y + ii * z + z0
             return res
-        out.append(core.to_wkb(alg.transform_coords(g, fn)))
+        out.append(core.to_wkb(alg.transform_coords_full(g, fn)))
     return pd.Series(out, dtype=object)
 
 
@@ -137,7 +137,9 @@ def _snap_points(coords: np.ndarray, tol: float) -> np.ndarray:
         return coords
     kept: list = []
     for p in coords[:, :2]:
-        if all((p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2 > tol * tol
+        # strict <: a site at EXACTLY tol from a kept vertex is kept
+        # (GEOS keeps (1,0) under tolerance 1.0 - reference test)
+        if all((p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2 >= tol * tol
                for q in kept):
             kept.append(p)
     return np.asarray(kept, dtype=np.float64)
@@ -149,14 +151,7 @@ def _delaunay_with(g: Geom, tol: float, only_edges: bool) -> Geom:
         return Geom(GEOMETRYCOLLECTION, [])
     tris, pts = alg2.delaunay_triangles(coords)
     if not only_edges:
-        polys = []
-        for t in tris:
-            ring = np.array([pts[t[0]], pts[t[1]], pts[t[2]], pts[t[0]]],
-                            dtype=np.float64)
-            if alg._ring_area2(ring) < 0:
-                ring = ring[::-1]
-            polys.append(Geom(POLYGON, [ring]))
-        return Geom(GEOMETRYCOLLECTION, polys)
+        return alg2.delaunay_gc(tris, pts)
     # unique edges as a MULTILINESTRING, each directed ascending (x, y),
     # listed in GEOS QuadEdge emission order (start descending, end
     # ascending — pinned by the reference's only_edges test)

@@ -827,6 +827,37 @@ def simplify(g: Geom, tol: float) -> Geom:
     return g
 
 
+def transform_coords_full(g: Geom, fn) -> Geom:
+    """Apply fn((n,k) array)->(n,k) to every coordinate row, k = full
+    coordinate width (transform_coords only hands fn the xy slice and
+    DISCARDS its z writes — the 3-D kernels need the whole row)."""
+    def tx(arr):
+        if arr is None:
+            return None
+        arr = np.asarray(arr, dtype=np.float64)
+        single = arr.ndim == 1
+        a2 = arr.reshape(1, -1) if single else arr
+        out = np.asarray(fn(a2), dtype=np.float64)
+        return out[0] if single else out
+
+    if g.gt == POINT:
+        return Geom(POINT, tx(g.data), g.has_z, g.has_m, g.srid)
+    if g.gt == LINESTRING:
+        return Geom(LINESTRING, tx(g.data), g.has_z, g.has_m, g.srid)
+    if g.gt == POLYGON:
+        return Geom(POLYGON, [tx(r) for r in g.data], g.has_z, g.has_m, g.srid)
+    if g.gt == MULTIPOINT:
+        return Geom(MULTIPOINT, [tx(p) for p in g.data], g.has_z, g.has_m, g.srid)
+    if g.gt == MULTILINESTRING:
+        return Geom(MULTILINESTRING, [tx(l) for l in g.data], g.has_z, g.has_m, g.srid)
+    if g.gt == MULTIPOLYGON:
+        return Geom(MULTIPOLYGON, [[tx(r) for r in p] for p in g.data],
+                    g.has_z, g.has_m, g.srid)
+    return Geom(GEOMETRYCOLLECTION,
+                [transform_coords_full(s, fn) for s in g.data],
+                g.has_z, g.has_m, g.srid)
+
+
 def transform_coords(g: Geom, fn) -> Geom:
     """Apply fn((n,2) array)->(n,2) to every xy, preserving extra dims."""
     def tx(arr):
@@ -2059,8 +2090,12 @@ def invalid_reason(g: Geom):
 def _ring_crossing_kind(ring):
     """None if the closed ring is a simple curve; else the GEOS phrase:
     'Self-intersection' for a proper segment crossing,
-    'Ring Self-intersection' for a repeated (pinch) vertex."""
-    r = np.asarray(ring, dtype=np.float64)[:, :2]
+    'Ring Self-intersection' for a repeated (pinch) vertex.  Repeated
+    CONSECUTIVE points are not self-contact (GEOS: such polygons are
+    valid)."""
+    r = _dedup_consecutive(ring)
+    if len(r) >= 2 and _close(r[0], r[-1]):
+        pass
     n = len(r) - 1
     for i in range(n):
         for j in range(i + 2, n):
@@ -2216,9 +2251,24 @@ def make_valid(g: Geom) -> Geom:
                 if not _close(r[0], r[-1]):
                     r = np.vstack([r, r[:1]])
                 raw.append(r)
-                if abs(_ring_area2(r)) > _EPS:
+                # a self-crossing ring (bowtie) has cancelling signed
+                # area but nonzero even-odd area — keep it for noding
+                if abs(_ring_area2(r)) > _EPS or \
+                        _ring_crossing_kind(r) is not None:
                     rings.append(r)
-        if not rings and raw:
+        if any(_ring_crossing_kind(r) is not None for r in raw):
+            # self-crossing ring (bowtie): GEOS nodes the linework and
+            # keeps the odd-parity faces — MULTIPOLYGON of the lobes,
+            # CW shells (python/sedonadb test_st_makevalid); a fully
+            # collapsed self-touching ring yields no faces and falls
+            # through to the linework result below
+            from sedona_db_spark.geom import algorithms2 as _a2
+            faces = _a2.noded_even_odd_polygons(raw)
+            if len(faces) == 1:
+                return Geom(POLYGON, [faces[0][::-1]])
+            if faces:
+                return Geom(MULTIPOLYGON, [[f[::-1]] for f in faces])
+        if not [r for r in rings if abs(_ring_area2(r)) > _EPS] and raw:
             # linework is computed in 2D (vertex noding drops Z/M), so
             # the result flags MUST say 2D — mismatched flags crash the
             # WKB writer (r11 review finding)
@@ -2228,6 +2278,23 @@ def make_valid(g: Geom) -> Geom:
             if segs:
                 return Geom(MULTILINESTRING, segs)
         return Geom(POLYGON, rings, g.has_z, g.has_m)
+    if g.gt == MULTIPOLYGON:
+        parts = [make_valid(Geom(POLYGON, list(p), g.has_z, g.has_m))
+                 for p in g.data]
+        if all(p.gt == POLYGON for p in parts) and \
+                not any(_ring_crossing_kind(r) is not None
+                        for p in g.data for r in p if len(r) >= 4):
+            return g
+        out = []
+        for p in parts:
+            if p.gt == POLYGON and p.data:
+                out.append(p.data)
+            elif p.gt == MULTIPOLYGON:
+                out.extend(p.data)
+        return Geom(MULTIPOLYGON, out)
+    if g.gt == GEOMETRYCOLLECTION:
+        fixed = [make_valid(s) for s in g.data]
+        return Geom(GEOMETRYCOLLECTION, fixed, g.has_z, g.has_m)
     return g
 
 

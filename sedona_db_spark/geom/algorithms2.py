@@ -84,19 +84,159 @@ def delaunay_triangles(points: np.ndarray) -> list[tuple[int, int, int]]:
     return [(int(a), int(b), int(c)) for a, b, c in out], pts
 
 
+def _node_ring_segments(rings):
+    """Undirected noded edge soup of the rings: every segment split at
+    each intersection (proper crossings and T-junctions) with any other
+    segment.  Returns (vertices array, edge index pairs) with vertices
+    deduplicated on a 1e-9 grid, edges in input discovery order."""
+    segs = []
+    for r in rings:
+        a = np.asarray(r, dtype=np.float64)[:, :2]
+        for i in range(len(a) - 1):
+            if np.hypot(*(a[i + 1] - a[i])) > 1e-12:
+                segs.append((a[i], a[i + 1]))
+    cuts = [[0.0, 1.0] for _ in segs]
+    for i in range(len(segs)):
+        p, q = segs[i]
+        d = q - p
+        for j in range(len(segs)):
+            if j == i:
+                continue
+            c, e = segs[j]
+            f = e - c
+            den = d[0] * f[1] - d[1] * f[0]
+            if abs(den) > 1e-15:
+                t = ((c[0] - p[0]) * f[1] - (c[1] - p[1]) * f[0]) / den
+                u = ((c[0] - p[0]) * d[1] - (c[1] - p[1]) * d[0]) / den
+                if -1e-12 <= t <= 1 + 1e-12 and -1e-12 <= u <= 1 + 1e-12:
+                    cuts[i].append(min(max(t, 0.0), 1.0))
+            else:
+                # collinear: project the other's endpoints
+                L2 = float(d @ d)
+                if L2 > 0 and abs((c[0] - p[0]) * d[1]
+                                  - (c[1] - p[1]) * d[0]) < 1e-12:
+                    for pt in (c, e):
+                        t = float((pt - p) @ d) / L2
+                        if 0.0 < t < 1.0:
+                            cuts[i].append(t)
+    key2idx, verts, edges, seen = {}, [], [], set()
+
+    def vid(pt):
+        k = (round(pt[0] * 1e9), round(pt[1] * 1e9))
+        if k not in key2idx:
+            key2idx[k] = len(verts)
+            verts.append((pt[0], pt[1]))
+        return key2idx[k]
+
+    for i, (p, q) in enumerate(segs):
+        d = q - p
+        ts = sorted(set(cuts[i]))
+        for k in range(len(ts) - 1):
+            if ts[k + 1] - ts[k] < 1e-12:
+                continue
+            a = vid(p + ts[k] * d)
+            b = vid(p + ts[k + 1] * d)
+            if a == b:
+                continue
+            ek = (a, b) if a < b else (b, a)
+            if ek not in seen:
+                seen.add(ek)
+                edges.append((a, b))
+    return np.asarray(verts, dtype=np.float64), edges
+
+
+def noded_even_odd_polygons(rings) -> list:
+    """Node the rings, trace the arrangement's minimal faces (left-face
+    walk), keep faces whose representative point has ODD crossing
+    parity against the ORIGINAL rings — the GEOS MakeValid result for
+    self-crossing rings (bowtie -> two lobes).  Returns CCW face rings
+    in edge-discovery order."""
+    verts, edges = _node_ring_segments(rings)
+    if not edges:
+        return []
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    ang = {}
+    for v, nbrs in adj.items():
+        nbrs = sorted(set(nbrs))
+        adj[v] = nbrs
+        for w in nbrs:
+            ang[(v, w)] = math.atan2(verts[w][1] - verts[v][1],
+                                     verts[w][0] - verts[v][0])
+    visited = set()
+    faces = []
+    half = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    for h0 in half:
+        if h0 in visited:
+            continue
+        ring_idx = []
+        h = h0
+        for _ in range(4 * len(half)):
+            visited.add(h)
+            ring_idx.append(h[0])
+            u, v = h
+            back = ang[(v, u)]
+            nbrs = adj[v]
+            # next clockwise neighbor after the reversed edge -> left face
+            best, bestd = None, None
+            for w in nbrs:
+                d = (back - ang[(v, w)]) % (2 * math.pi)
+                if d < 1e-12:
+                    d = 2 * math.pi
+                if bestd is None or d < bestd:
+                    best, bestd = w, d
+            h = (v, best)
+            if h == h0:
+                break
+        ring = np.asarray([verts[i] for i in ring_idx] + [verts[ring_idx[0]]],
+                          dtype=np.float64)
+        if len(ring) >= 4 and alg._ring_area2(ring) > 1e-15:
+            faces.append(ring)
+    kept = []
+    for ring in faces:
+        rep = point_on_surface(Geom(POLYGON, [ring]))
+        if rep is None or rep.data is None:
+            continue
+        p = np.asarray(rep.data[:2], dtype=np.float64)
+        crossings = 0
+        for r in rings:
+            a = np.asarray(r, dtype=np.float64)[:, :2]
+            y0, y1 = a[:-1, 1], a[1:, 1]
+            x0, x1 = a[:-1, 0], a[1:, 0]
+            m = ((y0 <= p[1]) & (y1 > p[1])) | ((y1 <= p[1]) & (y0 > p[1]))
+            if m.any():
+                t = (p[1] - y0[m]) / (y1[m] - y0[m])
+                crossings += int(np.sum(x0[m] + t * (x1[m] - x0[m]) > p[0]))
+        if crossings % 2 == 1:
+            kept.append(ring)
+    return kept
+
+
+def delaunay_gc(tris, pts) -> Geom:
+    """Triangles -> GEOMETRYCOLLECTION of CCW POLYGONs, each ring
+    started at its top-most (tie: left-most) vertex — the GEOS
+    QuadEdge emission order the reference's python tests pin
+    (GEOMETRYCOLLECTION (POLYGON ((0.5 1, 0 0, 1 0, 0.5 1))))."""
+    polys = []
+    for a, b, c in tris:
+        ring = np.array([pts[a], pts[b], pts[c], pts[a]], dtype=np.float64)
+        if alg._ring_area2(ring) < 0:
+            ring = ring[::-1]
+        start = max(range(3), key=lambda i: (ring[i][1], -ring[i][0]))
+        if start:
+            ring = np.vstack([ring[start:-1], ring[:start], ring[start:start + 1]])
+        polys.append(Geom(POLYGON, [ring]))
+    return Geom(GEOMETRYCOLLECTION, polys)
+
+
 def st_delaunay(g: Geom) -> Geom:
     coords = g.all_coords()
     if len(coords) < 3:
         return Geom(GEOMETRYCOLLECTION, [])
     tris, pts = delaunay_triangles(coords)
-    polys = []
-    for a, b, c in tris:
-        ring = np.array([pts[a], pts[b], pts[c], pts[a]], dtype=np.float64)
-        # normalize to CCW like GEOS output
-        if alg._ring_area2(ring) < 0:
-            ring = ring[::-1]
-        polys.append(Geom(POLYGON, [ring]))
-    return Geom(GEOMETRYCOLLECTION, polys)
+    return delaunay_gc(tris, pts)
 
 
 # ----------------------------------------------------------------------
@@ -205,8 +345,12 @@ def line_merge(g: Geom, directed: bool = False) -> Geom:
     ST_LineMerge) only joins an END to a START — no segment is ever
     reversed."""
     lines = [np.asarray(l, dtype=np.float64)[:, :2] for l in g.lines() if len(l) >= 2]
+    lines += [np.asarray(r, dtype=np.float64)[:, :2]
+              for r in g.rings() if len(r) >= 2]   # polygon linework merges
     if not lines:
-        return Geom(GEOMETRYCOLLECTION, []) if g.gt == GEOMETRYCOLLECTION else g
+        # empty inputs keep their type; a non-empty puntal input has no
+        # linework and GEOS LineMerger emits an empty collection
+        return g if g.is_empty() else Geom(GEOMETRYCOLLECTION, [])
     merged = True
     while merged:
         merged = False
@@ -337,39 +481,46 @@ def build_area(g: Geom) -> Geom | None:
 
 def point_on_surface(g: Geom) -> Geom | None:
     if g.is_empty():
-        return None
+        return Geom(POINT, None)      # GEOS: POINT EMPTY, not NULL
     if g.gt in (POINT, MULTIPOINT):
         return Geom(POINT, next(iter(g.points())).copy()[:2])
     if g.gt in (LINESTRING, MULTILINESTRING):
-        # vertex closest to the centroid (GEOS InteriorPointLine flavor)
+        # GEOS InteriorPointLine: the interior (non-endpoint) vertex
+        # nearest the centroid; endpoints only when NO line has one
         c = alg.centroid(g)
-        best, bd = None, math.inf
-        for l in g.lines():
-            arr = np.asarray(l, dtype=np.float64)[:, :2]
-            # prefer non-endpoint vertices
-            cand = arr[1:-1] if len(arr) > 2 else arr
-            d = np.hypot(cand[:, 0] - c[0], cand[:, 1] - c[1])
-            i = int(d.argmin())
-            if d[i] < bd:
-                bd, best = float(d[i]), cand[i]
-        return Geom(POINT, best.copy())
+        for pick_interior in (True, False):
+            best, bd = None, math.inf
+            for l in g.lines():
+                arr = np.asarray(l, dtype=np.float64)[:, :2]
+                cand = arr[1:-1] if pick_interior else arr
+                if not len(cand):
+                    continue
+                d = np.hypot(cand[:, 0] - c[0], cand[:, 1] - c[1])
+                i = int(d.argmin())
+                if d[i] < bd:
+                    bd, best = float(d[i]), cand[i]
+            if best is not None:
+                return Geom(POINT, best.copy())
+        return Geom(POINT, None)
     polys = list(g.polygons())
     if not polys:
         for part in g.geometries():  # mixed collection: first non-empty
             p = point_on_surface(part)
-            if p is not None:
+            if p is not None and p.data is not None:
                 return p
         return None
-    # GEOS InteriorPointArea: horizontal bisector scanline, widest interval
+    # GEOS InteriorPointArea: horizontal SAFE bisector, widest interval.
+    # SafeBisectorFinder: loY = max vertex-Y <= centre (seeded minY),
+    # hiY = min vertex-Y > centre (seeded maxY), bisect the two — this
+    # moves the scanline off any vertex row (hole-top-on-centre case
+    # pins POINT (2 3), python/sedonadb test_st_pointonsurface)
     rings = [np.asarray(r, dtype=np.float64)[:, :2] for pr in polys for r in pr]
     ys = np.concatenate([r[:, 1] for r in rings])
-    y = (ys.min() + ys.max()) / 2.0
-    if np.any(np.isclose(ys, y)):  # nudge off vertices for robustness
-        uniq = np.unique(ys)
-        above = uniq[uniq > y]
-        below = uniq[uniq < y]
-        if len(above) and len(below):
-            y = (below.max() + above.min()) / 2.0
+    centre = (ys.min() + ys.max()) / 2.0
+    lo = ys[ys <= centre]
+    hi = ys[ys > centre]
+    y = ((lo.max() if len(lo) else ys.min())
+         + (hi.min() if len(hi) else ys.max())) / 2.0
     xs = []
     for r in rings:
         x0, y0 = r[:-1, 0], r[:-1, 1]

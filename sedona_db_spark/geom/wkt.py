@@ -106,13 +106,17 @@ def _parse_geom(tk: _Tokens) -> Geom:
         tk.expect("(")
         lines = []
         while True:
-            lines.append(_parse_coord_list(tk, k, has_z, has_m))
+            if tk.peek() and tk.peek().upper() == "EMPTY":
+                tk.next()    # EMPTY member: GEOS parses and drops it
+                lines.append(np.empty((0, k)))
+            else:
+                lines.append(_parse_coord_list(tk, k, has_z, has_m))
             if tk.peek() == ",":
                 tk.next()
                 continue
             break
         tk.expect(")")
-        g = Geom(MULTILINESTRING, lines, has_z, has_m)
+        g = Geom(MULTILINESTRING, [l for l in lines if len(l)], has_z, has_m)
     elif gt == MULTIPOLYGON:
         tk.expect("(")
         polys = []

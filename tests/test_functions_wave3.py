@@ -25,7 +25,9 @@ CASES = [
     # typed constructors
     ("ST_AsText(ST_MPointFromText('MULTIPOINT ((1 1), (2 2))'))",
      "MULTIPOINT ((1 1), (2 2))"),
-    ("ST_MPointFromText('POINT (1 1)')", None),
+    # wrong-type input to a typed constructor raises (python/sedonadb
+    # test_typed_geom_constructors_reject_wrong_type) — see
+    # test_typed_ctor_wrong_type_raises below
     ("ST_GeometryType(ST_MPolyFromText('MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))'))",
      "ST_MultiPolygon"),
     # affine family
@@ -708,3 +710,13 @@ def test_epsg_round9_final_tranche():
     xa, ya = t5070.forward(np.array([-96.0]), np.array([38.0]))
     xb, yb = t5071.forward(np.array([-96.0]), np.array([38.0]))
     assert float(xa[0]) == float(xb[0]) and float(ya[0]) == float(yb[0])
+
+
+def test_typed_ctor_wrong_type_raises(spark):
+    """Typed FromText constructors error on a mismatched geometry type
+    (python/sedonadb test_typed_geom_constructors_reject_wrong_type —
+    NULL would silently swallow the mistake)."""
+    with pytest.raises(Exception):
+        one(spark, "ST_MPointFromText('POINT (1 1)')")
+    with pytest.raises(Exception):
+        one(spark, "ST_PointFromText('LINESTRING EMPTY')")

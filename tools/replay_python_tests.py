@@ -241,6 +241,36 @@ def _canon_geom(g, core):
     return core.to_wkb(g, srid=0, spherical=False)
 
 
+def _rot_normalized(g, core):
+    """Every polygon ring rotated (orientation PRESERVED) to start at
+    its lexicographically smallest vertex.  GEOS's polygonizer picks a
+    ring start vertex from its internal edge traversal order — a writer
+    choice, like MULTIPOINT parentheses; orientation and vertex cycles
+    still compare exactly."""
+    import numpy as np
+
+    def rot(ring):
+        r = np.asarray(ring, dtype=float)
+        if len(r) < 4:
+            return r
+        body = r[:-1]
+        i = min(range(len(body)), key=lambda k: tuple(body[k][:2]))
+        if i == 0:
+            return r
+        return np.vstack([body[i:], body[:i], body[i:i + 1]])
+
+    G = type(g)
+    if g.gt == 3:      # POLYGON
+        return G(g.gt, [rot(r) for r in g.data], g.has_z, g.has_m)
+    if g.gt == 6:      # MULTIPOLYGON
+        return G(g.gt, [[rot(r) for r in p] for p in g.data],
+                 g.has_z, g.has_m)
+    if g.gt == 7:      # GEOMETRYCOLLECTION
+        return G(g.gt, [_rot_normalized(s, core) for s in g.data],
+                 g.has_z, g.has_m)
+    return g
+
+
 def _coords_close(g1, g2, core, rel=1e-8):
     """Same structure, coords within rel — the float-formatting
     forgiveness layer (writer rounding), never orientation/order."""
@@ -440,8 +470,11 @@ class _Eng:
                     ge = wkt.from_wkt(s)
                     if _canon_geom(gg, core) == _canon_geom(ge, core):
                         return True
-                    if wkt_precision is not None or True:
-                        return _coords_close(gg, ge, core)
+                    if _canon_geom(_rot_normalized(gg, core), core) == \
+                            _canon_geom(_rot_normalized(ge, core), core):
+                        return True
+                    return _coords_close(_rot_normalized(gg, core),
+                                         _rot_normalized(ge, core), core)
                 except Exception:
                     return False
             gs = str(got)
@@ -452,7 +485,11 @@ class _Eng:
                     g1, g2 = wkt.from_wkt(gs), wkt.from_wkt(s)
                     if _canon_geom(g1, core) == _canon_geom(g2, core):
                         return True
-                    return _coords_close(g1, g2, core)
+                    if _canon_geom(_rot_normalized(g1, core), core) == \
+                            _canon_geom(_rot_normalized(g2, core), core):
+                        return True
+                    return _coords_close(_rot_normalized(g1, core),
+                                         _rot_normalized(g2, core), core)
                 except Exception:
                     return False
             try:
