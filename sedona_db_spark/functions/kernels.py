@@ -428,12 +428,20 @@ def k_dwithin(s1: pd.Series, s2: pd.Series, d) -> pd.Series:
 def k_azimuth(s1: pd.Series, s2: pd.Series) -> pd.Series:
     p1, p2 = _fast_points(s1), _fast_points(s2)
     if p1 is not None and p2 is not None:
-        az = np.arctan2(p2[:, 0] - p1[:, 0], p2[:, 1] - p1[:, 1])
+        dx = p2[:, 0] - p1[:, 0]
+        dy = p2[:, 1] - p1[:, 1]
+        az = np.arctan2(dx, dy)
         az = np.where(az < 0, az + 2 * np.pi, az)
-        return pd.Series(az)
+        out = pd.Series(az, dtype=object)
+        # coincident points: azimuth undefined -> NULL (GEOS errors;
+        # python/sedonadb test_st_azimuth pins None)
+        out[(dx == 0) & (dy == 0)] = None
+        return out
 
     def one(a: Geom, b: Geom):
         if a.gt != core.POINT or b.gt != core.POINT or a.data is None or b.data is None:
+            return None
+        if a.data[0] == b.data[0] and a.data[1] == b.data[1]:
             return None
         v = math.atan2(b.data[0] - a.data[0], b.data[1] - a.data[1])
         return v + 2 * math.pi if v < 0 else v
@@ -587,12 +595,42 @@ def k_simplify(s, tol):
     return _with_scalar(lambda g, t: alg.simplify(g, t))(s, tol)
 
 
+def k_simplify_topo(s, tol):
+    return _with_scalar(lambda g, t: alg.simplify(g, t, preserve=True))(s, tol)
+
+
 def k_reduceprecision(s, grid):
     def one(g, gs):
         if gs <= 0:
             return g
         inv = 1.0 / gs
-        return alg.transform_coords(g, lambda xy: np.round(xy * inv) / inv)
+        snapped = alg.transform_coords(g, lambda xy: np.round(xy * inv) / inv)
+        # GEOS rebuilds areal output through overlay: consecutive
+        # duplicates collapse and shells emit CW / holes CCW
+        def clean(gg: Geom) -> Geom:
+            if gg.has_z or gg.has_m:
+                return gg   # xy-grid cleanup only (dedup slices 2-D)
+            if gg.gt == core.POLYGON:
+                rings = []
+                for i, r in enumerate(gg.data):
+                    rr = alg._dedup_consecutive(r)
+                    if len(rr) and not alg._close(rr[0], rr[-1]):
+                        rr = np.vstack([rr, rr[:1]])
+                    if len(rr) < 4 or abs(alg._ring_area2(rr)) <= 1e-12:
+                        continue
+                    ccw = alg._ring_area2(rr) > 0
+                    want_ccw = i > 0
+                    rings.append(rr[::-1] if ccw != want_ccw else rr)
+                return Geom(core.POLYGON, rings)
+            if gg.gt == core.MULTIPOLYGON:
+                parts = [clean(Geom(core.POLYGON, list(p))).data
+                         for p in gg.data]
+                return Geom(core.MULTIPOLYGON, [p for p in parts if p])
+            if gg.gt == core.GEOMETRYCOLLECTION:
+                return Geom(core.GEOMETRYCOLLECTION,
+                            [clean(x) for x in gg.data])
+            return gg
+        return clean(snapped)
     return _with_scalar(one)(s, grid)
 
 
@@ -963,7 +1001,7 @@ KERNELS: dict[str, tuple] = {
     "ST_ConvexHull": (_unary_geom(
         lambda g: _orient_cw(alg.convex_hull(g))), BIN, "g"),
     "ST_Simplify": (k_simplify, BIN, "gd"),
-    "ST_SimplifyPreserveTopology": (k_simplify, BIN, "gd"),
+    "ST_SimplifyPreserveTopology": (k_simplify_topo, BIN, "gd"),
     "ST_Reverse": (_unary_geom(alg.reverse), BIN, "g"),
     "ST_FlipCoordinates": (_unary_geom(alg.flip_coordinates), BIN, "g"),
     "ST_Translate": (k_translate, BIN, "gdd"),
@@ -1191,9 +1229,73 @@ KERNELS.update({
     "ST_Difference": (_binary(lambda a, b: core.to_wkb(alg.difference(a, b))), BIN, "gg"),
     "ST_SymDifference": (_binary(lambda a, b: core.to_wkb(alg.sym_difference(a, b))), BIN, "gg"),
     # dedupes point collections; lines/areas pass through (dissolve needs
-    # boolean ops — documented subset)
-    "ST_UnaryUnion": (_unary_geom(alg.unary_union), BIN, "g"),
+    # boolean ops — documented subset).  Z/M re-attached from the nearest
+    # input vertex: the overlay computes in 2-D but GEOS carries source
+    # Z through union (python/sedonadb test_st_unaryunion_zm)
+    "ST_UnaryUnion": (_unary_geom(
+        lambda g: _carry_zm(g, alg.unary_union(g))), BIN, "g"),
 })
+
+
+def _retag_dims(g: Geom, z: bool, m: bool) -> Geom:
+    """Set Z/M flags through the tree WITHOUT touching coordinates
+    (members' arrays already carry the extra columns)."""
+    if g.gt == core.GEOMETRYCOLLECTION:
+        return Geom(core.GEOMETRYCOLLECTION,
+                    [_retag_dims(s, z, m) for s in g.data], z, m)
+    if g.has_z == z and g.has_m == m:
+        return g
+    return Geom(g.gt, g.data, z, m)
+
+
+def _carry_zm(src: Geom, res):
+    if res is None:
+        return res
+    has_z = _has_dim_deep(src, "z")
+    has_m = _has_dim_deep(src, "m")
+    if not (has_z or has_m):
+        return res
+    if _has_dim_deep(res, "z") == has_z and _has_dim_deep(res, "m") == has_m:
+        # values already carry the dims; only normalize COLLECTION-level
+        # flags (GEOS writes GEOMETRYCOLLECTION Z when members are Z)
+        if res.has_z == has_z and res.has_m == has_m:
+            return res
+        return _retag_dims(res, has_z, has_m)
+    verts = src.all_coords()
+    if len(verts) == 0 or verts.shape[1] < 3:
+        return res
+    xy = verts[:, :2]
+    extras = verts[:, 2:]
+
+    def fix(arr):
+        if arr is None:
+            return None
+        a = np.asarray(arr, dtype=np.float64)
+        single = a.ndim == 1
+        a2 = a.reshape(1, -1)[:, :2] if single else a[:, :2]
+        d = ((a2[:, None, 0] - xy[None, :, 0]) ** 2
+             + (a2[:, None, 1] - xy[None, :, 1]) ** 2)
+        j = np.argmin(d, axis=1)
+        out = np.column_stack([a2, extras[j]])
+        return out[0] if single else out
+
+    def walk(gg: Geom) -> Geom:
+        z, m = has_z, has_m
+        if gg.gt == core.POINT:
+            return Geom(core.POINT, fix(gg.data), z, m)
+        if gg.gt == core.LINESTRING:
+            return Geom(core.LINESTRING, fix(gg.data), z, m)
+        if gg.gt == core.POLYGON:
+            return Geom(core.POLYGON, [fix(r) for r in gg.data], z, m)
+        if gg.gt == core.MULTIPOINT:
+            return Geom(core.MULTIPOINT, [fix(p) for p in gg.data], z, m)
+        if gg.gt == core.MULTILINESTRING:
+            return Geom(core.MULTILINESTRING, [fix(l) for l in gg.data], z, m)
+        if gg.gt == core.MULTIPOLYGON:
+            return Geom(core.MULTIPOLYGON,
+                        [[fix(r) for r in p] for p in gg.data], z, m)
+        return Geom(core.GEOMETRYCOLLECTION, [walk(x) for x in gg.data], z, m)
+    return walk(res)
 
 _SPEC_TYPE = {"g": BIN, "d": DBL, "i": T.LongType(), "s": STR,
               "a": T.ArrayType(BIN)}

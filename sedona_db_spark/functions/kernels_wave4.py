@@ -203,6 +203,38 @@ def k_concavehull_holes(s: pd.Series, ratio, holes) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def k_makeline_binary(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    """2-arg ST_MakeLine(geom, geom): concatenated coordinate sequence
+    of two puntal/lineal inputs with consecutive duplicates collapsed
+    (python/sedonadb test_st_makeline)."""
+    out = []
+    for a, b in zip(_decode(s1), _decode(s2)):
+        if a is None or b is None:
+            out.append(None)
+            continue
+        coords = []
+        for g in (a, b):
+            if g.gt == POINT and g.data is not None:
+                coords.append(np.asarray(g.data, dtype=np.float64)[:2])
+            elif g.gt == LINESTRING:
+                coords.extend(np.asarray(g.data, dtype=np.float64)[:, :2])
+            elif g.gt == MULTILINESTRING:
+                for l in g.data:
+                    coords.extend(np.asarray(l, dtype=np.float64)[:, :2])
+            elif g.gt == core.MULTIPOINT:
+                for p in g.data:
+                    if p is not None:
+                        coords.append(np.asarray(p, dtype=np.float64)[:2])
+        dedup = []
+        for c in coords:
+            if not dedup or abs(c[0] - dedup[-1][0]) > 1e-12 \
+                    or abs(c[1] - dedup[-1][1]) > 1e-12:
+                dedup.append(c)
+        out.append(core.to_wkb(
+            Geom(LINESTRING, np.asarray(dedup, dtype=np.float64))))
+    return pd.Series(out, dtype=object)
+
+
 def k_buffer_styled(s: pd.Series, dist, params) -> pd.Series:
     n = len(s)
     dv, pv = _coerce(dist, n), _coerce(params, n)
@@ -218,6 +250,7 @@ def k_buffer_styled(s: pd.Series, dist, params) -> pd.Series:
 
 KERNELS.update({
     "ST_BufferStyled": (k_buffer_styled, BIN, "gds"),
+    "ST_MakeLineBinary": (k_makeline_binary, BIN, "gg"),
     "ST_Force3DMValue": (k_force3dm_m, BIN, "gd"),
     "ST_Force4DValues": (k_force4d_zm, BIN, "gdd"),
     "ST_Scale3D": (k_scale3d, BIN, "gddd"),

@@ -813,17 +813,107 @@ def _simplify_path(arr: np.ndarray, tol: float, is_ring: bool) -> np.ndarray:
     return out
 
 
-def simplify(g: Geom, tol: float) -> Geom:
+def _ring_preserve_simplify(r, tol, must_contain=None):
+    """TopologyPreservingSimplifier ring pass: greedy max-deviation
+    re-insertion from the anchor vertex until every remaining deviation
+    is within tolerance AND the ring stays a valid positive-area ring
+    that still contains `must_contain` points (hole-in-shell guard).
+    Equal deviations resolve to the LOWEST vertex index (python/sedonadb
+    test_st_simplifypreservetopology pins (5 5, 5 6, 8 5))."""
+    body = np.asarray(r, dtype=np.float64)[:-1]
+    n = len(body)
+    if n <= 3:
+        return np.vstack([body, body[:1]])
+    sel = {0}
+
+    def chord_dev(idx, s_sorted):
+        # distance of body[idx] to the chord between its selected
+        # cyclic neighbors
+        import bisect
+        pos = bisect.bisect_left(s_sorted, idx)
+        a = body[s_sorted[pos - 1]]
+        b = body[s_sorted[pos % len(s_sorted)]]
+        ab = (b - a)[:2]
+        L2 = float(ab @ ab)
+        if L2 <= 0:
+            return float(np.hypot(*(body[idx][:2] - a[:2])))
+        t = min(1.0, max(0.0, float((body[idx][:2] - a[:2]) @ ab) / L2))
+        proj = a[:2] + t * ab
+        return float(np.hypot(*(body[idx][:2] - proj)))
+
+    while len(sel) < n:
+        s_sorted = sorted(sel)
+        ring = np.vstack([body[s_sorted], body[s_sorted[:1]]])
+        ok = (len(s_sorted) >= 3
+              and abs(_ring_area2(ring)) > _EPS
+              and (must_contain is None or all(
+                  _point_in_ring(p, ring) >= 0 for p in must_contain)))
+        best = None
+        for idx in range(n):
+            if idx in sel:
+                continue
+            d = chord_dev(idx, s_sorted)
+            if best is None or d > best[0] + 1e-15:
+                best = (d, idx)
+        if best is None:
+            break
+        if best[0] > tol or not ok:
+            sel.add(best[1])
+        else:
+            break
+    s_sorted = sorted(sel)
+    return np.vstack([body[s_sorted], body[s_sorted[:1]]])
+
+
+def simplify(g: Geom, tol: float, preserve: bool = False) -> Geom:
+    """Douglas-Peucker.  Plain mode DROPS rings/parts that collapse
+    under the tolerance (GEOS DouglasPeuckerSimplifier; python/sedonadb
+    test_st_simplify pins the degenerate-part drops); preserve mode
+    simplifies each ring only as far as validity allows — minimum
+    triangle, holes still inside the shell
+    (TopologyPreservingSimplifier)."""
+    def ring_out(r):
+        # raw DP (no ring-restore): a ring that collapses below 4
+        # points or zero area must be DETECTED, not silently restored
+        rr = _simplify_path(r, tol, False)
+        if len(rr) >= 4 and abs(_ring_area2(rr)) > _EPS:
+            return rr
+        return np.asarray(r, dtype=np.float64) if preserve else None
+
     if g.gt == LINESTRING:
         return Geom(LINESTRING, _simplify_path(g.data, tol, False), g.has_z, g.has_m)
     if g.gt == POLYGON:
-        return Geom(POLYGON, [_simplify_path(r, tol, True) for r in g.data], g.has_z, g.has_m)
+        if preserve:
+            if not g.data:
+                return g
+            holes = [_ring_preserve_simplify(h, tol) for h in g.data[1:]]
+            hole_pts = (np.vstack([h[:-1] for h in holes])
+                        if holes else None)
+            shell = _ring_preserve_simplify(g.data[0], tol, hole_pts)
+            return Geom(POLYGON, [shell] + holes, g.has_z, g.has_m)
+        rings = []
+        for i, r in enumerate(g.data):
+            rr = ring_out(r)
+            if rr is None:
+                if i == 0:
+                    return Geom(POLYGON, [], g.has_z, g.has_m)
+                continue   # collapsed hole drops
+            rings.append(rr)
+        return Geom(POLYGON, rings, g.has_z, g.has_m)
     if g.gt == MULTILINESTRING:
         return Geom(MULTILINESTRING, [_simplify_path(l, tol, False) for l in g.data], g.has_z, g.has_m)
     if g.gt == MULTIPOLYGON:
-        return Geom(MULTIPOLYGON, [[_simplify_path(r, tol, True) for r in p] for p in g.data], g.has_z, g.has_m)
+        parts = []
+        for p in g.data:
+            sp = simplify(Geom(POLYGON, list(p), g.has_z, g.has_m), tol,
+                          preserve)
+            if sp.data:
+                parts.append(sp.data)
+        return Geom(MULTIPOLYGON, parts, g.has_z, g.has_m)
     if g.gt == GEOMETRYCOLLECTION:
-        return Geom(GEOMETRYCOLLECTION, [simplify(s, tol) for s in g.data], g.has_z, g.has_m)
+        return Geom(GEOMETRYCOLLECTION,
+                    [simplify(s, tol, preserve) for s in g.data],
+                    g.has_z, g.has_m)
     return g
 
 
@@ -1780,7 +1870,25 @@ def unary_union(g: Geom) -> Geom:
     if g.is_empty():
         return Geom(GEOMETRYCOLLECTION, [])
     polys = [Geom(POLYGON, p, g.has_z, g.has_m) for p in g.polygons()]
-    if len(polys) <= 1:
+    if not polys:
+        return g
+    if len(polys) == 1:
+        if g.gt == MULTIPOLYGON:
+            # GEOS dissolves a single-part multipolygon to POLYGON with
+            # overlay orientation: CCW rings body-reverse (the output
+            # starts at the input's LAST body vertex — python/sedonadb
+            # test_st_unaryunion_zm pins POLYGON Z((0 4 10,...)));
+            # dimensions carry through untouched
+            rings = []
+            for i, r in enumerate(polys[0].data):
+                r = np.asarray(r, dtype=np.float64)
+                ccw = _ring_area2(r) > 0
+                want_ccw = i > 0
+                if ccw != want_ccw and len(r) > 1:
+                    b = r[:-1][::-1]
+                    r = np.vstack([b, b[:1]])
+                rings.append(r)
+            return Geom(POLYGON, rings, g.has_z, g.has_m)
         return g
     from sedona_db_spark.geom import clip as _mclip
     items = polys
@@ -1837,8 +1945,13 @@ def normalize(g: Geom) -> Geom:
         return a
 
     def _key(geom: Geom):
-        from sedona_db_spark.geom.wkt import to_wkt
-        return to_wkt(geom)
+        # GEOS Geometry::compareTo sort index (normalize sorts members
+        # DESCENDING: polygon before linestring before point — pinned
+        # by python/sedonadb test_st_normalize's mixed collection)
+        rank = {POINT: 0, MULTIPOINT: 1, LINESTRING: 2,
+                MULTILINESTRING: 4, POLYGON: 5, MULTIPOLYGON: 6,
+                GEOMETRYCOLLECTION: 7}.get(geom.gt, 8)
+        return (rank, [tuple(c[:2]) for c in geom.all_coords()])
 
     if g.gt == LINESTRING:
         return Geom(LINESTRING, norm_line(g.data), g.has_z, g.has_m) \
@@ -1871,20 +1984,95 @@ def normalize(g: Geom) -> Geom:
 
 
 def snap(g1: Geom, g2: Geom, tol: float) -> Geom:
-    """Snap vertices of g1 to the nearest vertex of g2 within tolerance."""
-    v2 = g2.all_coords()[:, :2]
-    if len(v2) == 0 or tol <= 0:
+    """GEOS GeometrySnapper semantics (python/sedonadb test_st_snap):
+    phase 1 — each SNAP POINT pulls its nearest source vertex within
+    tolerance onto itself (per-snap-point nearest, NOT per-vertex: a
+    chain of vertices near one snap point moves only its closest one);
+    phase 2 — snap points not already present are inserted into the
+    nearest source segment within tolerance."""
+    if g1.is_empty():
         return g1
+    snap_pts = g2.all_coords()[:, :2]
+    if len(snap_pts) == 0 or tol <= 0:
+        return g1
+    # dedupe preserving order
+    seen = set()
+    sp = []
+    for s in snap_pts:
+        k = (round(float(s[0]) * 1e12), round(float(s[1]) * 1e12))
+        if k not in seen:
+            seen.add(k)
+            sp.append(s)
 
-    def fn(xy):
-        out = xy.copy()
-        for i, p in enumerate(xy):
-            d = np.hypot(*(v2 - p).T)
-            j = int(np.argmin(d))
-            if d[j] <= tol:
-                out[i] = v2[j]
-        return out
-    return transform_coords(g1, fn)
+    def snap_seq(arr, closed, segments):
+        a = [row.copy() for row in np.asarray(arr, dtype=np.float64)]
+        n = len(a)
+        taken = set()
+        for s in sp:
+            lim = n - 1 if closed and n > 1 else n
+            best, bd = None, tol
+            for i in range(lim):
+                d = math.hypot(a[i][0] - s[0], a[i][1] - s[1])
+                if 0 < d <= bd and i not in taken:
+                    best, bd = i, d
+            if best is not None:
+                a[best][0], a[best][1] = s[0], s[1]
+                taken.add(best)
+                if closed and best == 0 and n > 1:
+                    a[-1][0], a[-1][1] = s[0], s[1]
+        if segments:
+            for s in sp:
+                if any(math.hypot(p[0] - s[0], p[1] - s[1]) < 1e-12
+                       for p in a):
+                    continue
+                best, bd, bt = None, tol, 0.0
+                for i in range(len(a) - 1):
+                    p, q = a[i], a[i + 1]
+                    dx, dy = q[0] - p[0], q[1] - p[1]
+                    L2 = dx * dx + dy * dy
+                    if L2 <= 0:
+                        continue
+                    t = ((s[0] - p[0]) * dx + (s[1] - p[1]) * dy) / L2
+                    t = min(max(t, 0.0), 1.0)
+                    d = math.hypot(p[0] + t * dx - s[0],
+                                   p[1] + t * dy - s[1])
+                    if d <= bd:
+                        best, bd, bt = i, d, t
+                if best is not None:
+                    row = a[best].copy()
+                    row[0], row[1] = s[0], s[1]
+                    a.insert(best + 1, row)
+        return np.asarray(a, dtype=np.float64)
+
+    def walk(g: Geom) -> Geom:
+        if g.gt == POINT:
+            if g.data is None:
+                return g
+            out = snap_seq(g.data.reshape(1, -1), False, False)[0]
+            return Geom(POINT, out, g.has_z, g.has_m)
+        if g.gt == MULTIPOINT:
+            pts = [p for p in g.data if p is not None]
+            if not pts:
+                return g
+            out = snap_seq(np.asarray(pts, dtype=np.float64), False, False)
+            return Geom(MULTIPOINT, list(out), g.has_z, g.has_m)
+        if g.gt == LINESTRING:
+            return Geom(LINESTRING, snap_seq(g.data, False, True),
+                        g.has_z, g.has_m)
+        if g.gt == MULTILINESTRING:
+            return Geom(MULTILINESTRING,
+                        [snap_seq(l, False, True) for l in g.data],
+                        g.has_z, g.has_m)
+        if g.gt == POLYGON:
+            return Geom(POLYGON, [snap_seq(r, True, True) for r in g.data],
+                        g.has_z, g.has_m)
+        if g.gt == MULTIPOLYGON:
+            return Geom(MULTIPOLYGON,
+                        [[snap_seq(r, True, True) for r in p]
+                         for p in g.data], g.has_z, g.has_m)
+        return Geom(GEOMETRYCOLLECTION, [walk(s) for s in g.data],
+                    g.has_z, g.has_m)
+    return walk(g1)
 
 
 _EARTH_RADIUS_M = 6371008.8
@@ -2094,9 +2282,17 @@ def _ring_crossing_kind(ring):
     CONSECUTIVE points are not self-contact (GEOS: such polygons are
     valid)."""
     r = _dedup_consecutive(ring)
-    if len(r) >= 2 and _close(r[0], r[-1]):
-        pass
     n = len(r) - 1
+    for i in range(n):
+        # adjacent (incl. closing) segment pair sharing vertex v:
+        # collinear backtrack is a self-overlap (a fully collinear
+        # "ring" pinches everywhere — zero-area triangle case)
+        a, v = r[i], r[i + 1]
+        d = r[((i + 1) % n) + 1]
+        if _orient(a, v, d) == 0 and \
+                (d[0] - v[0]) * (a[0] - v[0]) + \
+                (d[1] - v[1]) * (a[1] - v[1]) > 0:
+            return "Ring Self-intersection"
     for i in range(n):
         for j in range(i + 2, n):
             if i == 0 and j == n - 1:

@@ -280,21 +280,31 @@ def concave_hull(g: Geom, ratio: float, allow_holes: bool = False) -> Geom:
     while changed and len(tri_set) > 1:
         changed = False
         uses = edge_uses()
-        boundary_verts = set()
-        for e, ts in uses.items():
-            if len(ts) == 1:
-                boundary_verts.update(e)
-        # erode the boundary triangle exposing the longest too-long edge
+        border_edges = {e for e, ts in uses.items() if len(ts) == 1}
+        bcount: dict = {}
+        for e in border_edges:
+            for v in e:
+                bcount[v] = bcount.get(v, 0) + 1
+        # GEOS ConcaveHull erosion: remove the border triangle whose
+        # longest border edge is largest (above threshold).  Only
+        # single-border-edge triangles with an interior opposite vertex
+        # are removable — the hull must still COVER every input point,
+        # so ears never go.  NOTE: on co-circular inputs the Delaunay
+        # diagonals (and therefore which of several EQUAL-length border
+        # edges erodes) are not unique; GEOS's triangulator can bite a
+        # different corner (replay DIVERGENCES).
         best = None
-        for e, ts in uses.items():
-            if len(ts) != 1:
+        for t in tri_set:
+            tes = [edge_key(t[0], t[1]), edge_key(t[1], t[2]),
+                   edge_key(t[2], t[0])]
+            bes = [e for e in tes if e in border_edges]
+            if len(bes) != 1:
                 continue
-            ln = _edge_len(pts, *e)
+            ln = _edge_len(pts, *bes[0])
             if ln <= thr:
                 continue
-            t = ts[0]
-            opp = [v for v in t if v not in e][0]
-            if opp in boundary_verts:
+            opp = [v for v in t if v not in bes[0]][0]
+            if bcount.get(opp, 0):
                 continue  # removal would pinch the hull
             if best is None or ln > best[0]:
                 best = (ln, t)
@@ -394,15 +404,39 @@ def polygonize(g: Geom) -> Geom:
     """Closed rings in the (merged) linework -> collection of polygons.
     Shells come out CLOCKWISE — GEOS Polygonizer's output convention
     (reference c/sedona-geos/src/st_polygonize.rs asserts
-    POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0)) for the CCW input ring)."""
+    POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0)) for the CCW input ring).
+    A ring contained in another becomes a CCW HOLE of the smallest
+    enclosing ring's polygon AND still emits its own polygon (GEOS
+    Polygonizer; python/sedonadb test_st_polygonize pins the
+    polygon-with-hole double output)."""
     m = line_merge(g)
-    polys = []
+    rings = []
     for l in ([m.data] if m.gt == LINESTRING else list(m.data) if m.gt == MULTILINESTRING else []):
         if len(l) >= 4 and _pt_key(l[0]) == _pt_key(l[-1]):
             ring = np.asarray(l, dtype=np.float64)
             if alg._ring_area2(ring) > 0:
-                ring = ring[::-1]
-            polys.append(Geom(POLYGON, [ring]))
+                ring = ring[::-1]          # CW shells
+            rings.append(ring)
+    # containment: hole rings attach to the smallest enclosing ring
+    holes_of: dict = {i: [] for i in range(len(rings))}
+    for i, r in enumerate(rings):
+        parent, parea = None, None
+        for j, s in enumerate(rings):
+            if i == j:
+                continue
+            sa = abs(alg._ring_area2(s))
+            if sa <= abs(alg._ring_area2(r)):
+                continue
+            if alg._point_in_ring(r[0], s) > 0 or (
+                    alg._point_in_ring(r[0], s) == 0
+                    and alg._point_in_ring(
+                        0.5 * (r[0] + r[1]), s) >= 0):
+                if parent is None or sa < parea:
+                    parent, parea = j, sa
+        if parent is not None:
+            holes_of[parent].append(r[::-1])   # CCW holes
+    polys = [Geom(POLYGON, [r] + holes_of[i])
+             for i, r in enumerate(rings)]
     return Geom(GEOMETRYCOLLECTION, polys)
 
 
@@ -544,44 +578,58 @@ def point_on_surface(g: Geom) -> Geom | None:
 # ----------------------------------------------------------------------
 
 def minimum_clearance(g: Geom, want_line: bool = False):
-    """Min over (vertex-to-vertex, vertex-to-non-incident-segment) distances."""
+    """GEOS MinimumClearance: min over positive vertex-to-vertex and
+    vertex-to-non-incident-segment distances, scanned in GEOMETRY
+    order (the witness line is (query vertex, nearest point); strict <
+    keeps the first minimal pair — GEOS's tree traversal can pick a
+    different witness among EXACT ties, see tools/replay_python_tests
+    DIVERGENCES).  Puntal/empty input -> LINESTRING EMPTY for the line
+    form, inf for the scalar."""
     coords = g.all_coords()[:, :2]
-    if len(coords) < 2:
-        return (None if want_line else math.inf)
-    best = math.inf
-    best_pair = None
-    uniq = np.unique(coords, axis=0)
-    # vertex-vertex
-    for i in range(len(uniq)):
-        d = np.hypot(uniq[i + 1:, 0] - uniq[i, 0], uniq[i + 1:, 1] - uniq[i, 1])
-        if len(d):
-            j = int(d.argmin())
-            if d[j] < best:
-                best = float(d[j])
-                best_pair = (uniq[i], uniq[i + 1 + j])
-    # vertex to non-incident segment
+    uniq_seen: set = set()
+    verts = []
+    for p in coords:
+        k = (round(float(p[0]) * 1e12), round(float(p[1]) * 1e12))
+        if k not in uniq_seen:
+            uniq_seen.add(k)
+            verts.append(np.asarray(p, dtype=np.float64))
     segs = []
     for part in ([l for l in g.lines()] + [r for r in g.rings()]):
         arr = np.asarray(part, dtype=np.float64)[:, :2]
         for k in range(len(arr) - 1):
-            segs.append((arr[k], arr[k + 1]))
-    for v in uniq:
+            if np.hypot(*(arr[k + 1] - arr[k])) > 0:
+                segs.append((arr[k], arr[k + 1]))
+    if len(verts) < 2 and not segs:
+        if want_line:
+            return Geom(LINESTRING, np.empty((0, 2)))
+        return math.inf
+    best = math.inf
+    best_pair = None
+    # ALL vertex-vertex pairs first (geometry order), then vertex-to-
+    # segment: GEOS resolves a vertex-pair/segment tie in favor of the
+    # vertex pair (POLYGON((0 0,3 0,3 3,2 1,1 3,0 3)) pins (1 3, 0 3))
+    for i, v in enumerate(verts):
+        for j in range(i + 1, len(verts)):
+            d = float(np.hypot(*(verts[j] - v)))
+            if 0 < d < best:
+                best = d
+                best_pair = (v, verts[j])
+    for v in verts:
         for a, b in segs:
-            if (np.allclose(v, a) or np.allclose(v, b)):
+            if (abs(v[0] - a[0]) < 1e-12 and abs(v[1] - a[1]) < 1e-12) or \
+                    (abs(v[0] - b[0]) < 1e-12 and abs(v[1] - b[1]) < 1e-12):
                 continue
             ab = b - a
             ll = float(ab @ ab)
-            if ll == 0:
-                continue
             t = min(1.0, max(0.0, float((v - a) @ ab) / ll))
             proj = a + t * ab
             d = float(np.hypot(*(v - proj)))
-            if d < best:
+            if 0 < d < best:
                 best = d
                 best_pair = (v, proj)
     if want_line:
         if best_pair is None or not math.isfinite(best):
-            return None
+            return Geom(LINESTRING, np.empty((0, 2)))
         return Geom(LINESTRING, np.array([best_pair[0], best_pair[1]],
                                          dtype=np.float64))
     return best

@@ -121,7 +121,10 @@ def _parse_geom(tk: _Tokens) -> Geom:
         tk.expect("(")
         polys = []
         while True:
-            polys.append(_parse_ring_list(tk, k, has_z, has_m))
+            if tk.peek() and tk.peek().upper() == "EMPTY":
+                tk.next()    # EMPTY member: GEOS parses and drops it
+            else:
+                polys.append(_parse_ring_list(tk, k, has_z, has_m))
             if tk.peek() == ",":
                 tk.next()
                 continue

@@ -1795,6 +1795,7 @@ _ARITY_RENAMES = {
     ("ST_DELAUNAYTRIANGLES", 2): "ST_DelaunayTrianglesTol",
     ("ST_DELAUNAYTRIANGLES", 3): "ST_DelaunayTrianglesFlags",
     ("ST_AFFINE", 13): "ST_Affine3D",
+    ("ST_MAKELINE", 2): "ST_MakeLineBinary",
 }
 
 # (UPPER name, arity) -> template over the split argument token spans.

