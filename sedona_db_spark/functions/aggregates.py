@@ -49,19 +49,29 @@ def _collect_finisher(arrs: pd.Series) -> pd.Series:
             out.append(None)
             continue
         geoms = [core.from_wkb(bytes(b)) for b in arr if b is not None]
+        if not geoms:
+            # zero rows / all-NULL input -> SQL NULL (python/sedonadb
+            # test_st_collect_all_null / _zero_input)
+            out.append(None)
+            continue
+        dims = {(g.has_z, g.has_m) for g in geoms}
+        if len(dims) > 1:
+            raise ValueError(
+                "ST_Collect: cannot collect mixed dimension geometries")
         geoms = [g for g in geoms if not g.is_empty()]
         if not geoms:
             out.append(core.to_wkb(core.Geom(core.GEOMETRYCOLLECTION, [])))
             continue
+        z, m = dims.pop()
         gts = {g.gt for g in geoms}
         if gts == {core.POINT}:
-            out.append(core.to_wkb(core.Geom(core.MULTIPOINT, [g.data for g in geoms])))
+            out.append(core.to_wkb(core.Geom(core.MULTIPOINT, [g.data for g in geoms], z, m)))
         elif gts == {core.LINESTRING}:
-            out.append(core.to_wkb(core.Geom(core.MULTILINESTRING, [g.data for g in geoms])))
+            out.append(core.to_wkb(core.Geom(core.MULTILINESTRING, [g.data for g in geoms], z, m)))
         elif gts == {core.POLYGON}:
-            out.append(core.to_wkb(core.Geom(core.MULTIPOLYGON, [g.data for g in geoms])))
+            out.append(core.to_wkb(core.Geom(core.MULTIPOLYGON, [g.data for g in geoms], z, m)))
         else:
-            out.append(core.to_wkb(core.Geom(core.GEOMETRYCOLLECTION, geoms)))
+            out.append(core.to_wkb(core.Geom(core.GEOMETRYCOLLECTION, geoms, z, m)))
     return pd.Series(out, dtype=object)
 
 
@@ -137,8 +147,8 @@ def _union_finisher(arrs: pd.Series) -> pd.Series:
     the reference's GEOS boolean union."""
     out = []
     for arr in arrs:
-        if arr is None:
-            out.append(None)
+        if arr is None or not any(b is not None for b in arr):
+            out.append(None)    # zero rows / all-NULL group -> NULL
             continue
         pts, polys = [], []
         for b in arr:
@@ -233,8 +243,8 @@ def _polygonize_agg_finisher(arrs: pd.Series) -> pd.Series:
     one collection, then ring-assemble."""
     out = []
     for arr in arrs:
-        if arr is None:
-            out.append(None)
+        if arr is None or not any(b is not None for b in arr):
+            out.append(None)    # zero rows / all-NULL group -> NULL
             continue
         geoms = [core.from_wkb(bytes(b)) for b in arr if b is not None]
         geoms = [g for g in geoms if not g.is_empty()]
@@ -310,7 +320,20 @@ def _envelope_finisher(arrs: pd.Series) -> pd.Series:
         if lo[0] > hi[0]:
             out.append(None)
             continue
-        out.append(core.to_wkb(alg.box_polygon(lo[0], lo[1], hi[0], hi[1])))
+        if lo[0] == hi[0] and lo[1] == hi[1]:
+            # single point group -> POINT; collinear -> LINESTRING;
+            # GEOS envelope ring order otherwise (python/sedonadb
+            # test_st_envelope_agg_*)
+            out.append(core.to_wkb(core.make_point(lo[0], lo[1])))
+        elif lo[0] == hi[0] or lo[1] == hi[1]:
+            out.append(core.to_wkb(core.Geom(
+                core.LINESTRING,
+                np.array([[lo[0], lo[1]], [hi[0], hi[1]]]))))
+        else:
+            ring = np.array([[lo[0], lo[1]], [lo[0], hi[1]],
+                             [hi[0], hi[1]], [hi[0], lo[1]],
+                             [lo[0], lo[1]]])
+            out.append(core.to_wkb(core.Geom(core.POLYGON, [ring])))
     return pd.Series(out, dtype=object)
 
 
@@ -337,6 +360,13 @@ def register(spark: SparkSession) -> None:
                       ("ST_Polygonize_Agg", _polygonize_agg_finisher),
                       ("ST_Envelope_Agg", _envelope_finisher)):
         spark.udf.register(name, F.pandas_udf(_grouped_agg(fin), T.BinaryType()))
+        # array-input scalar form: the SQL front door rewrites
+        # ST_X_Agg(g) -> ST_X_AggFin(collect_list(g)) because Spark's
+        # GROUPED_AGG pandas UDFs emit ZERO rows for an empty global
+        # aggregate, while SQL (and the reference) return one NULL row;
+        # collect_list keeps the one-row semantics and drops NULLs,
+        # which the finishers map to NULL
+        spark.udf.register(name + "Fin", F.pandas_udf(fin, T.BinaryType()))
 
     def _analyze(s: pd.Series) -> str:
         import json

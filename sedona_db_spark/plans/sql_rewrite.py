@@ -1823,6 +1823,18 @@ _ARITY_TEMPLATES = {
         "ST_SetSRID ( ST_MPolyFromText ( {0} ) , {1} )",
     ("ST_GEOMCOLLFROMTEXT", 2):
         "ST_SetSRID ( ST_GeomCollFromText ( {0} ) , {1} )",
+    # aggregates: Spark GROUPED_AGG pandas UDFs return ZERO rows for an
+    # empty global aggregate; collect_list + scalar finisher restores
+    # the one-NULL-row SQL semantics (python/sedonadb test_aggregate)
+    ("ST_UNION_AGG", 1): "ST_Union_AggFin ( collect_list ( {0} ) )",
+    ("ST_COLLECT_AGG", 1): "ST_Collect_AggFin ( collect_list ( {0} ) )",
+    ("ST_CONVEXHULL_AGG", 1):
+        "ST_ConvexHull_AggFin ( collect_list ( {0} ) )",
+    ("ST_INTERSECTION_AGG", 1):
+        "ST_Intersection_AggFin ( collect_list ( {0} ) )",
+    ("ST_POLYGONIZE_AGG", 1):
+        "ST_Polygonize_AggFin ( collect_list ( {0} ) )",
+    ("ST_ENVELOPE_AGG", 1): "ST_Envelope_AggFin ( collect_list ( {0} ) )",
 }
 
 _OVERLOAD_PRECHECK = re.compile(
@@ -1867,6 +1879,9 @@ def rewrite_relate_pattern(sql: str) -> str | None:
                 continue
             spans = _split_args(toks, i + 2, j)
             arity = len(spans) if spans is not None else -1
+            if j + 1 < len(toks) and toks[j + 1].upper() == "OVER":
+                i += 1     # window invocation: leave untouched
+                continue
             if (up, arity) in _ARITY_RENAMES:
                 toks[i] = _ARITY_RENAMES[(up, arity)]
                 changed = True
