@@ -559,10 +559,18 @@ def k_linesubstring(s, f0, f1):
     a0, a1 = _coerce(f0, n), _coerce(f1, n)
     out = []
     for g, x0, x1 in zip(gs, a0, a1):
-        if g is None or x0 is None or x1 is None or g.gt != core.LINESTRING:
-            out.append(None)
+        if g is None or x0 is None or x1 is None or g.gt != core.LINESTRING \
+                or len(g.data) == 0:
+            out.append(None)   # empty line -> NULL (python/sedonadb)
+            continue
+        arr = alg.line_substring_full(g.data, float(x0), float(x1))
+        if len(arr) == 1:
+            # degenerate span (start == end or zero-length line) -> POINT
+            out.append(core.to_wkb(Geom(core.POINT, arr[0],
+                                        g.has_z, g.has_m)))
         else:
-            out.append(core.to_wkb(Geom(core.LINESTRING, alg.line_substring(g.data, float(x0), float(x1)))))
+            out.append(core.to_wkb(Geom(core.LINESTRING, arr,
+                                        g.has_z, g.has_m)))
     return pd.Series(out, dtype=object)
 
 

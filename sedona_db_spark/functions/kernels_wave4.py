@@ -16,11 +16,13 @@ Registration parity targets (the reference's optional-argument kernels):
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
 from sedona_db_spark.functions.kernels import (
-    BIN, KERNELS, _coerce, _decode,
+    BIN, DBL, KERNELS, _coerce, _decode,
 )
 from sedona_db_spark.functions.kernels_wave3 import _force_dims
 from sedona_db_spark.geom import algorithms as alg
@@ -203,6 +205,56 @@ def k_concavehull_holes(s: pd.Series, ratio, holes) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def k_hausdorff_densify(s1: pd.Series, s2: pd.Series, frac) -> pd.Series:
+    """3-arg ST_HausdorffDistance: densified discrete Hausdorff (GEOS
+    DiscreteHausdorffDistance with densifyFraction — each segment split
+    into ceil(1/frac) parts before the vertex sweep)."""
+    fv = _coerce(frac, len(s1))
+    out = []
+    for a, b, f in zip(_decode(s1), _decode(s2), fv):
+        ff = _num(f)
+        if a is None or b is None or ff is None:
+            out.append(None)
+            continue
+        if not (0.0 < ff <= 1.0):
+            raise ValueError(
+                "ST_HausdorffDistance: densifyFrac must be in (0, 1], "
+                f"got {ff}")
+        out.append(alg.hausdorff(_densify(a, ff), _densify(b, ff)))
+    return pd.Series(out, dtype=object)
+
+
+def _densify(g: Geom, frac: float) -> Geom:
+    n = max(1, int(math.ceil(1.0 / frac)))
+
+    def dense(arr):
+        a = np.asarray(arr, dtype=np.float64)
+        if len(a) < 2:
+            return a
+        rows = []
+        for i in range(len(a) - 1):
+            for k in range(n):
+                rows.append(a[i] + (k / n) * (a[i + 1] - a[i]))
+        rows.append(a[-1])
+        return np.asarray(rows, dtype=np.float64)
+
+    if g.gt == LINESTRING:
+        return Geom(LINESTRING, dense(g.data), g.has_z, g.has_m)
+    if g.gt == MULTILINESTRING:
+        return Geom(MULTILINESTRING, [dense(l) for l in g.data],
+                    g.has_z, g.has_m)
+    if g.gt == POLYGON:
+        return Geom(POLYGON, [dense(r) for r in g.data], g.has_z, g.has_m)
+    if g.gt == core.MULTIPOLYGON:
+        return Geom(core.MULTIPOLYGON,
+                    [[dense(r) for r in p] for p in g.data],
+                    g.has_z, g.has_m)
+    if g.gt == GEOMETRYCOLLECTION:
+        return Geom(GEOMETRYCOLLECTION, [_densify(m, frac) for m in g.data],
+                    g.has_z, g.has_m)
+    return g
+
+
 def k_makeline_binary(s1: pd.Series, s2: pd.Series) -> pd.Series:
     """2-arg ST_MakeLine(geom, geom): concatenated coordinate sequence
     of two puntal/lineal inputs with consecutive duplicates collapsed
@@ -251,6 +303,7 @@ def k_buffer_styled(s: pd.Series, dist, params) -> pd.Series:
 KERNELS.update({
     "ST_BufferStyled": (k_buffer_styled, BIN, "gds"),
     "ST_MakeLineBinary": (k_makeline_binary, BIN, "gg"),
+    "ST_HausdorffDistanceDensify": (k_hausdorff_densify, DBL, "ggd"),
     "ST_Force3DMValue": (k_force3dm_m, BIN, "gd"),
     "ST_Force4DValues": (k_force4d_zm, BIN, "gdd"),
     "ST_Scale3D": (k_scale3d, BIN, "gddd"),

@@ -1034,6 +1034,41 @@ def line_locate_point(line: np.ndarray, p) -> float:
     return float((np.sum(seglen[:i]) + t[i] * seglen[i]) / total)
 
 
+def line_substring_full(line: np.ndarray, f0: float, f1: float) -> np.ndarray:
+    """Substring of a line with EVERY coordinate column linearly
+    interpolated (Z/M follow the 2-D arc-length parameter — GEOS
+    LengthIndexedLine; python/sedonadb test_st_line_substring pins
+    LINESTRING Z (5 5 5, 8 8 8)).  Returns one row for a degenerate
+    span."""
+    arr = np.asarray(line, dtype=np.float64)
+    if f1 < f0:
+        f0, f1 = f1, f0
+    f0 = min(max(f0, 0.0), 1.0)
+    f1 = min(max(f1, 0.0), 1.0)
+    seg = np.diff(arr[:, :2], axis=0)
+    seglen = np.hypot(seg[:, 0], seg[:, 1])
+    total = float(seglen.sum())
+    if total == 0:
+        return arr[:1]
+    cum = np.concatenate([[0.0], np.cumsum(seglen)])
+
+    def at(target):
+        i = int(np.searchsorted(cum, target, side="right")) - 1
+        i = min(max(i, 0), len(seglen) - 1)
+        t = 0.0 if seglen[i] == 0 else (target - cum[i]) / seglen[i]
+        return arr[i] + t * (arr[i + 1] - arr[i])
+
+    lo, hi = f0 * total, f1 * total
+    if hi - lo <= 0:
+        return at(lo).reshape(1, -1)
+    rows = [at(lo)]
+    for i in range(1, len(arr)):
+        if lo < cum[i] < hi:
+            rows.append(arr[i])
+    rows.append(at(hi))
+    return np.asarray(rows, dtype=np.float64)
+
+
 def line_substring(line: np.ndarray, f0: float, f1: float):
     if f1 < f0:
         f0, f1 = f1, f0
@@ -1053,6 +1088,11 @@ def line_substring(line: np.ndarray, f0: float, f1: float):
 
 
 def segmentize(g: Geom, max_len: float) -> Geom:
+    if max_len <= 0:
+        raise ValueError(
+            "ST_Segmentize: max_segment_length must be positive, got "
+            f"{max_len}")
+
     def seg_path(arr):
         if len(arr) < 2:
             return arr
@@ -1599,18 +1639,201 @@ def _clip_line_area(line: Geom, poly: Geom, keep_inside: bool) -> list:
     return pieces
 
 
+def _overlay_orient(g: Geom) -> Geom:
+    """GEOS overlay output orientation for an unchanged areal result:
+    CW shells / CCW holes via BODY reversal (the ring restarts at the
+    input's last body vertex — matches the overlay writer)."""
+    def fix(rings):
+        out = []
+        for i, r in enumerate(rings):
+            r = np.asarray(r, dtype=np.float64)
+            ccw = _ring_area2(r) > 0
+            want_ccw = i > 0
+            if ccw != want_ccw and len(r) > 1:
+                b = r[:-1][::-1]
+                r = np.vstack([b, b[:1]])
+            out.append(r)
+        return out
+    if g.gt == POLYGON:
+        return Geom(POLYGON, fix(g.data), g.has_z, g.has_m)
+    if g.gt == MULTIPOLYGON:
+        return Geom(MULTIPOLYGON, [fix(p) for p in g.data],
+                    g.has_z, g.has_m)
+    return g
+
+
+def _empty_of_dim(d: int) -> Geom:
+    """GEOS overlay empty-result convention: POINT/LINESTRING/POLYGON
+    EMPTY by dimension (python/sedonadb test_overlay pins the types)."""
+    if d <= 0:
+        return Geom(POINT, None)
+    if d == 1:
+        return Geom(LINESTRING, np.empty((0, 2)))
+    return Geom(POLYGON, [])
+
+
+def _collinear_overlap_t(a, b, c, d):
+    """Overlap interval of segment (c,d) on segment (a,b) as (t0, t1)
+    along (a,b), or None when not collinear / no overlap."""
+    if abs(_orient(a, b, c)) > _EPS or abs(_orient(a, b, d)) > _EPS:
+        return None
+    ab = (b[0] - a[0], b[1] - a[1])
+    L2 = ab[0] * ab[0] + ab[1] * ab[1]
+    if L2 <= 0:
+        return None
+    t0 = ((c[0] - a[0]) * ab[0] + (c[1] - a[1]) * ab[1]) / L2
+    t1 = ((d[0] - a[0]) * ab[0] + (d[1] - a[1]) * ab[1]) / L2
+    lo, hi = min(t0, t1), max(t0, t1)
+    lo, hi = max(lo, 0.0), min(hi, 1.0)
+    if hi < lo:
+        return None
+    return (lo, hi)
+
+
+def _seg_cross_point(a, b, c, d):
+    """Isolated intersection point of segments, or None."""
+    r = (b[0] - a[0], b[1] - a[1])
+    s = (d[0] - c[0], d[1] - c[1])
+    den = r[0] * s[1] - r[1] * s[0]
+    if abs(den) < 1e-15:
+        return None
+    t = ((c[0] - a[0]) * s[1] - (c[1] - a[1]) * s[0]) / den
+    u = ((c[0] - a[0]) * r[1] - (c[1] - a[1]) * r[0]) / den
+    if -1e-12 <= t <= 1 + 1e-12 and -1e-12 <= u <= 1 + 1e-12:
+        return (a[0] + t * r[0], a[1] + t * r[1])
+    return None
+
+
+def _line_segs(g: Geom):
+    segs = []
+    for arr in list(g.lines()) + list(g.rings()):
+        a = np.asarray(arr, dtype=np.float64)[:, :2]
+        for i in range(len(a) - 1):
+            if np.hypot(*(a[i + 1] - a[i])) > 0:
+                segs.append((a[i], a[i + 1]))
+    return segs
+
+
+def _line_line_intersection(g1: Geom, g2: Geom) -> Geom:
+    """Exact lineal x lineal intersection: collinear overlap segments +
+    isolated contact points not covered by a segment (GEOS semantics,
+    python/sedonadb test_overlay: touching lines -> POINT)."""
+    segs1, segs2 = _line_segs(g1), _line_segs(g2)
+    out_segs, out_pts = [], []
+    for a, b in segs1:
+        for c, d in segs2:
+            ov = _collinear_overlap_t(a, b, c, d)
+            if ov is not None:
+                t0, t1 = ov
+                p = a + t0 * (b - a)
+                q = a + t1 * (b - a)
+                if np.hypot(*(q - p)) > _EPS:
+                    out_segs.append(np.vstack([p, q]))
+                else:
+                    out_pts.append(p)
+                continue
+            x = _seg_cross_point(a, b, c, d)
+            if x is not None:
+                out_pts.append(np.asarray(x))
+    seg_geom = None
+    if out_segs:
+        from sedona_db_spark.geom import algorithms2 as _a2
+        seg_geom = _a2.line_merge(Geom(MULTILINESTRING, out_segs))
+    pts = []
+    seen = set()
+    for p in out_pts:
+        if seg_geom is not None and intersects(Geom(POINT, p), seg_geom):
+            continue
+        k = (round(float(p[0]) / _EPS), round(float(p[1]) / _EPS))
+        if k not in seen:
+            seen.add(k)
+            pts.append(p)
+    if seg_geom is not None and not pts:
+        return seg_geom
+    if pts and seg_geom is None:
+        if len(pts) == 1:
+            return Geom(POINT, pts[0])
+        return Geom(MULTIPOINT, pts)
+    if pts and seg_geom is not None:
+        return Geom(GEOMETRYCOLLECTION,
+                    ([Geom(MULTIPOINT, pts)] if len(pts) > 1
+                     else [Geom(POINT, pts[0])]) + seg_geom.geometries())
+    return _empty_of_dim(1)
+
+
+def _line_line_difference(g1: Geom, g2: Geom) -> Geom:
+    """Lineal minus lineal: remove collinear overlap intervals (isolated
+    crossings remove nothing), then merge the remainder."""
+    segs2 = _line_segs(g2)
+    pieces = []
+    for a, b in _line_segs(g1):
+        ivs = []
+        for c, d in segs2:
+            ov = _collinear_overlap_t(a, b, c, d)
+            if ov is not None and ov[1] - ov[0] > 1e-15:
+                ivs.append(ov)
+        ivs.sort()
+        cur = 0.0
+        keep = []
+        for lo, hi in ivs:
+            if lo > cur + 1e-12:
+                keep.append((cur, lo))
+            cur = max(cur, hi)
+        if cur < 1.0 - 1e-12:
+            keep.append((cur, 1.0))
+        for lo, hi in keep:
+            p = a + lo * (b - a)
+            q = a + hi * (b - a)
+            pieces.append(np.vstack([p, q]))
+    if not pieces:
+        return _empty_of_dim(1)
+    from sedona_db_spark.geom import algorithms2 as _a2
+    return _a2.line_merge(Geom(MULTILINESTRING, pieces))
+
+
+def _line_line_union(g1: Geom, g2: Geom) -> Geom:
+    """Lineal union: the combined linework noded at every mutual
+    intersection, duplicates dropped (GEOS union output is the noded
+    edge set, NOT merged — python/sedonadb test_overlay pins
+    MULTILINESTRING ((0 0, 0.5 0.5), (0.5 0.5, 1 1)))."""
+    from sedona_db_spark.geom import algorithms2 as _a2
+    arrs = [np.asarray(l, dtype=np.float64)[:, :2]
+            for g in (g1, g2) for l in list(g.lines()) + list(g.rings())]
+    verts, edges = _a2._node_ring_segments(arrs)
+    if not edges:
+        return _empty_of_dim(1)
+    if len(edges) == 1:
+        a, b = edges[0]
+        return Geom(LINESTRING, np.vstack([verts[a], verts[b]]))
+    return Geom(MULTILINESTRING,
+                [np.vstack([verts[a], verts[b]]) for a, b in edges])
+
+
 def intersection(g1: Geom, g2: Geom) -> Geom:
     """Overlay subset: exact when one side is convex polygon / point / line."""
+    if g1.gt == GEOMETRYCOLLECTION or g2.gt == GEOMETRYCOLLECTION:
+        gc, other = (g1, g2) if g1.gt == GEOMETRYCOLLECTION else (g2, g1)
+        parts = [intersection(m, other) for m in gc.data]
+        parts = [p for p in parts if not p.is_empty()]
+        if not parts:
+            return _empty_of_dim(0)
+        if len(parts) == 1:
+            return parts[0]
+        return Geom(GEOMETRYCOLLECTION, parts)
     if g1.is_empty() or g2.is_empty() or not intersects(g1, g2):
-        return Geom(GEOMETRYCOLLECTION, [])
+        return _empty_of_dim(min(g1.dimension(), g2.dimension()))
     # points
     if g1.dimension() == 0:
         pts = [p for p in g1.points() if point_position(p, g2) >= 0]
+        if not pts:
+            return _empty_of_dim(0)
         if len(pts) == 1:
             return Geom(POINT, pts[0])
         return Geom(MULTIPOINT, pts)
     if g2.dimension() == 0:
         return intersection(g2, g1)
+    if g1.dimension() == 1 and g2.dimension() == 1:
+        return _line_line_intersection(g1, g2)
     if g1.dimension() == 2 and g2.dimension() == 2:
         p1s = list(g1.polygons())
         p2s = list(g2.polygons())
@@ -1807,6 +2030,13 @@ def union2(g1: Geom, g2: Geom) -> Geom:
         if len(spts) == 1:
             return Geom(POINT, np.asarray(spts[0]))
         return Geom(MULTIPOINT, [np.asarray(p) for p in spts])
+    if g1.dimension() == 1 and g2.dimension() == 1 \
+            and not list(g1.points()) and not list(g2.points()) \
+            and intersects(g1, g2):
+        # GEOS unions linework by NODING at mutual intersections even
+        # when one line covers the other (python/sedonadb test_overlay
+        # pins MULTILINESTRING ((0 0, 0.5 0.5), (0.5 0.5, 1 1)))
+        return _line_line_union(g1, g2)
     if contains(g1, g2) or covers(g1, g2):
         return g1
     if contains(g2, g1) or covers(g2, g1):
@@ -1829,28 +2059,47 @@ def union2(g1: Geom, g2: Geom) -> Geom:
         if rest.is_empty():
             return poly
         return Geom(GEOMETRYCOLLECTION, poly.geometries() + rest.geometries())
+    if g1.dimension() == 1 and g2.dimension() == 1:
+        return _line_line_union(g1, g2)
     raise NotImplementedError(
         "union of overlapping mixed lower-dimension geometries not supported")
 
 
 def difference(g1: Geom, g2: Geom) -> Geom:
     """Binary ST_Difference — supported: disjoint (identity), g2 covers g1
-    (empty), point/line minus area (sampled clip)."""
+    (typed empty), point/line minus area (exact clip), lineal minus
+    lineal (collinear interval subtraction), collections member-wise."""
+    if g1.gt == GEOMETRYCOLLECTION:
+        parts = [difference(m, g2) for m in g1.data]
+        parts = [p for p in parts if not p.is_empty()]
+        if not parts:
+            return _empty_of_dim(0)
+        if len(parts) == 1:
+            return parts[0]
+        return Geom(GEOMETRYCOLLECTION, parts)
     if g1.is_empty() or g2.is_empty() or not intersects(g1, g2):
+        if g1.dimension() == 2 and g2.dimension() == 2 \
+                and not g1.is_empty() and not g2.is_empty():
+            # GEOS difference rebuilds through overlay even for disjoint
+            # inputs: CW shells, body-reversed (test_overlay pins
+            # POLYGON ((0 1, 1 1, 1 0, 0 0, 0 1)))
+            return _overlay_orient(g1)
         return g1
     if covers(g2, g1):
-        return Geom(GEOMETRYCOLLECTION, [])
+        return _empty_of_dim(g1.dimension())
     if g1.dimension() == 0:
         pts = [p for p in g1.points() if point_position(p, g2) < 0]
         if not pts:
-            return Geom(GEOMETRYCOLLECTION, [])
+            return _empty_of_dim(0)
         if len(pts) == 1:
             return Geom(POINT, pts[0])
         return Geom(MULTIPOINT, pts)
+    if g1.dimension() == 1 and g2.dimension() == 1:
+        return _line_line_difference(g1, g2)
     if g1.dimension() == 1 and g2.dimension() == 2:
         pieces = _clip_line_area(g1, g2, keep_inside=False)
         if not pieces:
-            return Geom(GEOMETRYCOLLECTION, [])
+            return _empty_of_dim(1)
         if len(pieces) == 1:
             return Geom(LINESTRING, pieces[0])
         return Geom(MULTILINESTRING, pieces)

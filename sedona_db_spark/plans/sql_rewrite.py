@@ -1796,6 +1796,7 @@ _ARITY_RENAMES = {
     ("ST_DELAUNAYTRIANGLES", 3): "ST_DelaunayTrianglesFlags",
     ("ST_AFFINE", 13): "ST_Affine3D",
     ("ST_MAKELINE", 2): "ST_MakeLineBinary",
+    ("ST_HAUSDORFFDISTANCE", 3): "ST_HausdorffDistanceDensify",
 }
 
 # (UPPER name, arity) -> template over the split argument token spans.
