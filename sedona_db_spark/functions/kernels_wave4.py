@@ -205,6 +205,28 @@ def k_concavehull_holes(s: pd.Series, ratio, holes) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def k_translate3d(s: pd.Series, dx, dy, dz) -> pd.Series:
+    n = len(s)
+    X, Y, Z = _coerce(dx, n), _coerce(dy, n), _coerce(dz, n)
+    out = []
+    for g, a, b, c in zip(_decode(s), X, Y, Z):
+        fa, fb, fc = _num(a), _num(b), _num(c)
+        if g is None or fa is None or fb is None or fc is None:
+            out.append(None)
+            continue
+
+        def fn(arr, fa=fa, fb=fb, fc=fc, has_z=g.has_z):
+            arr = np.asarray(arr, dtype=np.float64)
+            res = arr.copy()
+            res[:, 0] = arr[:, 0] + fa
+            res[:, 1] = arr[:, 1] + fb
+            if has_z and arr.shape[1] > 2:
+                res[:, 2] = arr[:, 2] + fc
+            return res
+        out.append(core.to_wkb(alg.transform_coords_full(g, fn)))
+    return pd.Series(out, dtype=object)
+
+
 def k_hausdorff_densify(s1: pd.Series, s2: pd.Series, frac) -> pd.Series:
     """3-arg ST_HausdorffDistance: densified discrete Hausdorff (GEOS
     DiscreteHausdorffDistance with densifyFraction — each segment split
@@ -253,6 +275,52 @@ def _densify(g: Geom, frac: float) -> Geom:
         return Geom(GEOMETRYCOLLECTION, [_densify(m, frac) for m in g.data],
                     g.has_z, g.has_m)
     return g
+
+
+def _crs_to_srid(v):
+    """CRS argument of the constructor overloads: int SRID, 'EPSG:n',
+    or 'OGC:CRS84' (-> 4326)."""
+    if v is None:
+        return None
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return int(v)
+    s = str(v).strip().upper()
+    if s == "OGC:CRS84" or s == "CRS84":
+        return 4326
+    if s.startswith("EPSG:"):
+        return int(s.split(":", 1)[1])
+    if s.isdigit():
+        return int(s)
+    raise ValueError(f"unsupported CRS argument {v!r}")
+
+
+def k_point_crs(x: pd.Series, y: pd.Series, crs) -> pd.Series:
+    """3-arg ST_Point(x, y, crs) — crs is an int SRID or a CRS string
+    (reference st_point.rs optional crs argument)."""
+    n = len(x)
+    cv = _coerce(crs, n)
+    out = []
+    for xx, yy, c in zip(x, y, cv):
+        if xx is None or yy is None or c is None:
+            out.append(None)
+            continue
+        g = core.make_point(float(xx), float(yy))
+        out.append(core.to_wkb(g, srid=_crs_to_srid(c)))
+    return pd.Series(out, dtype=object)
+
+
+def k_geomfromtext_crs(s: pd.Series, crs) -> pd.Series:
+    """2-arg ST_GeomFromText(wkt, crs) — int SRID or CRS string."""
+    from sedona_db_spark.geom import wkt as wktmod
+    cv = _coerce(crs, len(s))
+    out = []
+    for v, c in zip(s, cv):
+        if v is None or c is None:
+            out.append(None)
+            continue
+        g = wktmod.from_wkt(v)
+        out.append(core.to_wkb(g, srid=_crs_to_srid(c)))
+    return pd.Series(out, dtype=object)
 
 
 def k_makeline_binary(s1: pd.Series, s2: pd.Series) -> pd.Series:
@@ -304,6 +372,9 @@ KERNELS.update({
     "ST_BufferStyled": (k_buffer_styled, BIN, "gds"),
     "ST_MakeLineBinary": (k_makeline_binary, BIN, "gg"),
     "ST_HausdorffDistanceDensify": (k_hausdorff_densify, DBL, "ggd"),
+    "ST_Translate3D": (k_translate3d, BIN, "gddd"),
+    "ST_PointCrs": (k_point_crs, BIN, "dds"),
+    "ST_GeomFromTextCrs": (k_geomfromtext_crs, BIN, "ss"),
     "ST_Force3DMValue": (k_force3dm_m, BIN, "gd"),
     "ST_Force4DValues": (k_force4d_zm, BIN, "gdd"),
     "ST_Scale3D": (k_scale3d, BIN, "gddd"),

@@ -1018,8 +1018,19 @@ def _sql_accessor_defs():
     w2r_det = "(r.transform[1] * r.transform[5] - r.transform[2] * r.transform[4])"
     return [
         ("RS_NumBands", f"(r {R})", "INT", "size(r.bands)"),
+        # reference pixel-type vocabulary (rs_band.rs: UNSIGNED_8BITS...)
         ("RS_BandPixelType", f"(r {R}, b INT)", "STRING",
-         "element_at(r.bands, b).datatype"),
+         "CASE element_at(r.bands, b).datatype "
+         "WHEN 'uint8' THEN 'UNSIGNED_8BITS' "
+         "WHEN 'int8' THEN 'SIGNED_8BITS' "
+         "WHEN 'uint16' THEN 'UNSIGNED_16BITS' "
+         "WHEN 'int16' THEN 'SIGNED_16BITS' "
+         "WHEN 'uint32' THEN 'UNSIGNED_32BITS' "
+         "WHEN 'int32' THEN 'SIGNED_32BITS' "
+         "WHEN 'int64' THEN 'SIGNED_64BITS' "
+         "WHEN 'float32' THEN 'FLOAT_32BITS' "
+         "WHEN 'float64' THEN 'FLOAT_64BITS' "
+         "ELSE element_at(r.bands, b).datatype END"),
         ("RS_BandNoDataValue", f"(r {R}, b INT)", "DOUBLE",
          "element_at(r.bands, b).nodata"),
         ("RS_BandPath", f"(r {R}, b INT)", "STRING",
@@ -1036,11 +1047,34 @@ def _sql_accessor_defs():
         ("RS_ScaleY", f"(r {R})", "DOUBLE", "r.transform[5]"),
         ("RS_Rotation", f"(r {R})", "DOUBLE",
          "atan2(r.transform[4], r.transform[1])"),
+        # GDAL world-file order scaleX skewY skewX scaleY ulx uly, 10
+        # decimals (reference rs_georeference.rs output format)
         ("RS_GeoReference", f"(r {R})", "STRING",
-         "concat_ws(chr(10), r.transform[1], r.transform[4], r.transform[2], "
-         "r.transform[5], r.transform[0], r.transform[3])"),
+         "concat_ws(chr(10), format_string('%.10f', r.transform[1]), "
+         "format_string('%.10f', r.transform[4]), "
+         "format_string('%.10f', r.transform[2]), "
+         "format_string('%.10f', r.transform[5]), "
+         "format_string('%.10f', r.transform[0]), "
+         "format_string('%.10f', r.transform[3]))"),
+        # 2-arg format variant ('GDAL'|'ESRI'): ESRI reports the pixel
+        # CENTER upper-left (corner + half a pixel incl. skew terms)
+        ("RS_GeoReferenceFmt", f"(r {R}, fmt STRING)", "STRING",
+         "concat_ws(chr(10), format_string('%.10f', r.transform[1]), "
+         "format_string('%.10f', r.transform[4]), "
+         "format_string('%.10f', r.transform[2]), "
+         "format_string('%.10f', r.transform[5]), "
+         "format_string('%.10f', r.transform[0] + IF(upper(fmt) = 'ESRI', "
+         "0.5D * (r.transform[1] + r.transform[2]), 0.0D)), "
+         "format_string('%.10f', r.transform[3] + IF(upper(fmt) = 'ESRI', "
+         "0.5D * (r.transform[4] + r.transform[5]), 0.0D)))"),
+        # RS_SRID: 'EPSG:n' strings, else the WHOLE-CRS authority code of
+        # a WKT string (the LAST AUTHORITY["EPSG","n"] clause)
         ("RS_SRID", f"(r {R})", "INT",
          "CASE WHEN r.crs LIKE 'EPSG:%' THEN CAST(split(r.crs, ':')[1] AS INT) "
+         "WHEN size(regexp_extract_all(r.crs, "
+         "'AUTHORITY\\\\[\"EPSG\",\"([0-9]+)\"\\\\]', 1)) > 0 THEN "
+         "CAST(element_at(regexp_extract_all(r.crs, "
+         "'AUTHORITY\\\\[\"EPSG\",\"([0-9]+)\"\\\\]', 1), -1) AS INT) "
          "ELSE 0 END"),
         ("RS_CRS", f"(r {R})", "STRING", "r.crs"),
         ("RS_NumDimensions", f"(r {R})", "INT", "size(r.spatial_shape)"),
@@ -1122,16 +1156,52 @@ def _sql_accessor_defs():
          "'numbands', RS_NumBands(r))"),
         ("RS_SetCRS", f"(r {R}, c STRING)", R,
          mk_raster.format(crs="c", transform="r.transform", bands="r.bands")),
-        ("RS_SetGeoReference",
-         f"(r {R}, ulx DOUBLE, sx DOUBLE, kx DOUBLE, uly DOUBLE, ky DOUBLE, sy DOUBLE)",
-         R, mk_raster.format(crs="r.crs",
-                             transform="array(ulx, sx, kx, uly, ky, sy)",
-                             bands="r.bands")),
+        # GDAL georeference STRING 'scaleX skewY skewX scaleY ulx uly'
+        # (reference rs_georeference.rs setter; the ESRI variant converts
+        # the pixel-center upper-left back to the stored corner)
+        ("RS_SetGeoReference", f"(r {R}, s STRING)", R,
+         mk_raster.format(
+             crs="r.crs",
+             transform=("array("
+                        "CAST(split(trim(s), '\\\\s+')[4] AS DOUBLE), "
+                        "CAST(split(trim(s), '\\\\s+')[0] AS DOUBLE), "
+                        "CAST(split(trim(s), '\\\\s+')[2] AS DOUBLE), "
+                        "CAST(split(trim(s), '\\\\s+')[5] AS DOUBLE), "
+                        "CAST(split(trim(s), '\\\\s+')[1] AS DOUBLE), "
+                        "CAST(split(trim(s), '\\\\s+')[3] AS DOUBLE))"),
+             bands="r.bands")),
+        ("RS_SetGeoReferenceFmt", f"(r {R}, s STRING, fmt STRING)", R,
+         mk_raster.format(
+             crs="r.crs",
+             transform=("array("
+                        "CAST(split(trim(s), '\\\\s+')[4] AS DOUBLE) - "
+                        "IF(upper(fmt) = 'ESRI', 0.5D * ("
+                        "CAST(split(trim(s), '\\\\s+')[0] AS DOUBLE) + "
+                        "CAST(split(trim(s), '\\\\s+')[2] AS DOUBLE)), 0.0D), "
+                        "CAST(split(trim(s), '\\\\s+')[0] AS DOUBLE), "
+                        "CAST(split(trim(s), '\\\\s+')[2] AS DOUBLE), "
+                        "CAST(split(trim(s), '\\\\s+')[5] AS DOUBLE) - "
+                        "IF(upper(fmt) = 'ESRI', 0.5D * ("
+                        "CAST(split(trim(s), '\\\\s+')[1] AS DOUBLE) + "
+                        "CAST(split(trim(s), '\\\\s+')[3] AS DOUBLE)), 0.0D), "
+                        "CAST(split(trim(s), '\\\\s+')[1] AS DOUBLE), "
+                        "CAST(split(trim(s), '\\\\s+')[3] AS DOUBLE))"),
+             bands="r.bands")),
         ("RS_SetBandNoDataValue", f"(r {R}, bi INT, v DOUBLE)", R,
          mk_raster.format(
              crs="r.crs", transform="r.transform",
              bands=("transform(r.bands, (b, i) -> IF(i = bi - 1, "
                     + B.format(nodata="v") + ", b))"))),
+        # 2-arg form: NULL value -> NULL raster; otherwise only
+        # unambiguous on a single-band raster
+        ("RS_SetBandNoDataValueB1", f"(r {R}, v DOUBLE)", R,
+         f"IF(isnull(v), CAST(NULL AS {R}), IF(size(r.bands) > 1, "
+         "raise_error('RS_SetBandNoDataValue: raster has multiple bands; "
+         "specify which band to set'), "
+         + mk_raster.format(
+             crs="r.crs", transform="r.transform",
+             bands=("transform(r.bands, (b, i) -> IF(i = 0, "
+                    + B.format(nodata="v") + ", b))")) + "))"),
     ]
 
 
@@ -1320,6 +1390,9 @@ def register(spark: SparkSession) -> None:
     spark.udf.register("RS_AsGeoTIFFDeflate", _rs_as_geotiff_deflate_udf)
     spark.udf.register("RS_FromGeoTIFF", _rs_from_geotiff_udf)
     spark.udf.register("RS_Values", _rs_values_udf)
+    # world-point RS_Value (2/3-arg SQL forms route here via the front
+    # door; the 4-arg pixel-coordinate form keeps the base name)
+    spark.udf.register("RS_ValueGeom", _rs_value_geom_udf)
     spark.udf.register("RS_ReprojectMatch", _rs_reproject_match_udf)
     spark.udf.register("RS_DimToBand", _rs_dimtoband_udf)
     spark.udf.register("RS_BandToDim", _rs_bandtodim_udf)
@@ -1476,6 +1549,7 @@ def _rs_values_udf(rs: pd.Series, pts: pd.Series, band: pd.Series) -> pd.Series:
             continue
         ulx, sx, kx, uly, ky, sy = t
         det = sx * sy - kx * ky
+        nod = r["bands"][int(b) - 1]["nodata"]
         vals = []
         for x, y in coords:
             dx, dy = x - ulx, y - uly
@@ -1486,11 +1560,25 @@ def _rs_values_udf(rs: pd.Series, pts: pd.Series, band: pd.Series) -> pd.Series:
             # alias onto index 0 instead of falling out of bounds
             ci, ri = math.floor(col), math.floor(row)
             if 0 <= ci < w and 0 <= ri < h:
-                vals.append(float(arr[ri, ci]))
+                v = float(arr[ri, ci])
+                # nodata pixels read as NULL (reference rs_values.rs)
+                vals.append(None if nod is not None and v == float(nod)
+                            else v)
             else:
                 vals.append(None)
         out.append(vals)
     return pd.Series(out, dtype=object)
+
+
+@F.pandas_udf(T.DoubleType())
+def _rs_value_geom_udf(rs: pd.Series, pts: pd.Series,
+                       band: pd.Series) -> pd.Series:
+    """RS_Value(raster, point_geom, band) — the reference's world-point
+    form (rs_value.rs); the 4-arg pixel form stays on RS_Value."""
+    vals = _rs_values_udf.func(rs, pts, band)
+    return pd.Series(
+        [None if v is None or not v else v[0] for v in vals],
+        dtype=object)
 
 
 def values(r, pts, band=1) -> Column:

@@ -2349,6 +2349,48 @@ _TRANSFORMS = {
 }
 
 
+_WGS84_SEMI_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_WGS84_E2 = _WGS84_F * (2.0 - _WGS84_F)
+
+
+def _llh_to_ecef(arr: np.ndarray) -> np.ndarray:
+    arr = np.asarray(arr, dtype=np.float64)
+    lon = np.radians(arr[:, 0])
+    lat = np.radians(arr[:, 1])
+    h = arr[:, 2] if arr.shape[1] > 2 else np.zeros(len(arr))
+    sinlat = np.sin(lat)
+    N = _WGS84_SEMI_A / np.sqrt(1.0 - _WGS84_E2 * sinlat * sinlat)
+    out = arr.copy()
+    out[:, 0] = (N + h) * np.cos(lat) * np.cos(lon)
+    out[:, 1] = (N + h) * np.cos(lat) * np.sin(lon)
+    if out.shape[1] > 2:
+        out[:, 2] = (N * (1.0 - _WGS84_E2) + h) * sinlat
+    return out
+
+
+def _ecef_to_llh(arr: np.ndarray) -> np.ndarray:
+    arr = np.asarray(arr, dtype=np.float64)
+    x, y = arr[:, 0], arr[:, 1]
+    z = arr[:, 2] if arr.shape[1] > 2 else np.zeros(len(arr))
+    lon = np.arctan2(y, x)
+    p = np.hypot(x, y)
+    lat = np.arctan2(z, p * (1.0 - _WGS84_E2))
+    for _ in range(8):   # fixed-point iteration, mm convergence
+        sinlat = np.sin(lat)
+        N = _WGS84_SEMI_A / np.sqrt(1.0 - _WGS84_E2 * sinlat * sinlat)
+        h = p / np.cos(lat) - N
+        lat = np.arctan2(z, p * (1.0 - _WGS84_E2 * N / (N + h)))
+    sinlat = np.sin(lat)
+    N = _WGS84_SEMI_A / np.sqrt(1.0 - _WGS84_E2 * sinlat * sinlat)
+    out = arr.copy()
+    out[:, 0] = np.degrees(lon)
+    out[:, 1] = np.degrees(lat)
+    if out.shape[1] > 2:
+        out[:, 2] = p / np.cos(lat) - N
+    return out
+
+
 def transform_crs(g: Geom, src: str, dst: str) -> Geom:
     """Reproject between supported CRSes (reference ST_Transform via PROJ,
     /root/reference/c/sedona-proj; here: spherical Web-Mercator math for
@@ -2357,6 +2399,11 @@ def transform_crs(g: Geom, src: str, dst: str) -> Geom:
     src, dst = src.upper(), dst.upper()
     if src == dst:
         return g
+    if {src, dst} == {"EPSG:4979", "EPSG:4978"}:
+        # geographic 3-D (lon lat h) <-> geocentric ECEF (WGS84
+        # closed forms; python/sedonadb test_st_transform_3d)
+        return transform_coords_full(
+            g, _llh_to_ecef if dst == "EPSG:4978" else _ecef_to_llh)
     fn = _TRANSFORMS.get((src, dst))
     if fn is not None:
         return transform_coords(g, fn)

@@ -1797,6 +1797,11 @@ _ARITY_RENAMES = {
     ("ST_AFFINE", 13): "ST_Affine3D",
     ("ST_MAKELINE", 2): "ST_MakeLineBinary",
     ("ST_HAUSDORFFDISTANCE", 3): "ST_HausdorffDistanceDensify",
+    ("ST_TRANSLATE", 4): "ST_Translate3D",
+    ("RS_VALUE", 3): "RS_ValueGeom",
+    ("RS_SETGEOREFERENCE", 3): "RS_SetGeoReferenceFmt",
+    ("RS_GEOREFERENCE", 2): "RS_GeoReferenceFmt",
+    ("RS_SETBANDNODATAVALUE", 2): "RS_SetBandNoDataValueB1",
 }
 
 # (UPPER name, arity) -> template over the split argument token spans.
@@ -1804,11 +1809,10 @@ _ARITY_RENAMES = {
 # kernels (constructor + SRID forms, reference st_geomfromtext.rs /
 # st_point.rs optional srid argument).
 _ARITY_TEMPLATES = {
-    ("ST_POINT", 3): "ST_SetSRID ( ST_Point ( {0} , {1} ) , {2} )",
-    ("ST_GEOMFROMTEXT", 2): "ST_SetSRID ( ST_GeomFromText ( {0} ) , {1} )",
-    ("ST_GEOMFROMWKT", 2): "ST_SetSRID ( ST_GeomFromWKT ( {0} ) , {1} )",
-    ("ST_GEOMETRYFROMTEXT", 2):
-        "ST_SetSRID ( ST_GeometryFromText ( {0} ) , {1} )",
+    ("ST_POINT", 3): "ST_PointCrs ( {0} , {1} , {2} )",
+    ("ST_GEOMFROMTEXT", 2): "ST_GeomFromTextCrs ( {0} , {1} )",
+    ("ST_GEOMFROMWKT", 2): "ST_GeomFromTextCrs ( {0} , {1} )",
+    ("ST_GEOMETRYFROMTEXT", 2): "ST_GeomFromTextCrs ( {0} , {1} )",
     ("ST_GEOMFROMWKB", 2): "ST_SetSRID ( ST_GeomFromWKB ( {0} ) , {1} )",
     ("ST_POINTFROMTEXT", 2): "ST_SetSRID ( ST_PointFromText ( {0} ) , {1} )",
     ("ST_LINEFROMTEXT", 2): "ST_SetSRID ( ST_LineFromText ( {0} ) , {1} )",
@@ -1836,6 +1840,7 @@ _ARITY_TEMPLATES = {
     ("ST_POLYGONIZE_AGG", 1):
         "ST_Polygonize_AggFin ( collect_list ( {0} ) )",
     ("ST_ENVELOPE_AGG", 1): "ST_Envelope_AggFin ( collect_list ( {0} ) )",
+    ("RS_VALUE", 2): "RS_ValueGeom ( {0} , {1} , 1 )",
 }
 
 _OVERLOAD_PRECHECK = re.compile(

@@ -287,7 +287,7 @@ def test_sql_accessors_match_column_api(rdf, spark):
     assert row["kx"] == 0.0 and row["rot"] == 0.0
     assert (row["srid"], row["crs"]) == (4326, "EPSG:4326")
     assert (row["nd"], row["dx"], list(row["shp"])) == (2, 4, [3, 4])
-    assert row["empty"] is False and row["pt"] == "float64" and row["nod"] is None
+    assert row["empty"] is False and row["pt"] == "FLOAT_64BITS" and row["nod"] is None
     assert (row["wx"], row["wy"]) == (12.0, 19.0)
     assert (row["px"], row["py"]) == (2, 1)
     plan = spark.sql(
@@ -301,7 +301,7 @@ def test_sql_setters_roundtrip(rdf, spark):
     row = spark.sql("""
       SELECT RS_SRID(RS_SetSRID(rast, 3857)) srid2,
              RS_CRS(RS_SetCRS(rast, 'OGC:CRS84')) crs2,
-             RS_ScaleX(RS_SetGeoReference(rast, 1.0, 2.0, 0.0, 3.0, 0.0, -2.0)) sx2,
+             RS_ScaleX(RS_SetGeoReference(rast, '2.0 0.0 0.0 -2.0 1.0 3.0')) sx2,
              RS_BandNoDataValue(RS_SetBandNoDataValue(rast, 1, -9.0), 1) nod2
       FROM rast_sql2""").first()
     assert row["srid2"] == 3857 and row["crs2"] == "OGC:CRS84"

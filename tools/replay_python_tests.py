@@ -320,6 +320,13 @@ DIVERGENCES = (
     # assembly at the lexicographic minimum (same cycle, same CW
     # orientation, Z carried)
     ("test_st_unaryunion_zm", "MULTIPOLYGON Z"),
+    # schema-surface CRS tests: the reference's Arrow schema carries a
+    # per-column CRS that its GeoDataFrame conversion exposes as .crs;
+    # this engine carries the SRID inside EWKB values (ST_SRID value
+    # semantics are covered by test_st_srid, which passes)
+    ("test_st_setsrid",),
+    ("test_st_setcrs_sedonadb",),
+    ("test_item_crs_sedonadb",),
 )
 
 
@@ -530,8 +537,10 @@ class _SedonaDBCls(_Eng):
     """Class stub whose create_or_skip yields the live engine (subclass
     of _Eng so the tests' `isinstance(eng, SedonaDB)` branches hold —
     _Eng.get() returns a _SedonaDBCls instance)."""
-    def __init__(self, spark):
-        super().__init__(spark)
+    def __init__(self, spark=None):
+        # tests also construct SedonaDB() directly (raster suite)
+        super().__init__(spark if spark is not None
+                         else _Eng.get().spark)
 
     @classmethod
     def create_or_skip(cls, *a, **k):

@@ -56,6 +56,15 @@ DIVERGENCES = {
      "GEOMETRYCOLLECTION(LINESTRING(1 1,2 2),GEOMETRYCOLLECTION("
      "POLYGON((3 3,4 4,5 5,3 3)),GEOMETRYCOLLECTION(LINESTRING(6 6,7 7),"
      "POLYGON((8 8,9 9,10 10,8 8)))))"),
+    # the reference's layers disagree on boundary-of-collection: the c
+    # layer pins the per-member form WITH empty members preserved
+    # (GC(GC EMPTY, MULTIPOINT, LINESTRING)), while the python layer
+    # (tests/functions/test_functions.py::test_st_boundary, 7 cases)
+    # pins the flattened form grouped by dimension with empties dropped
+    # (GC(MULTIPOINT, <lineal>)).  This engine follows the python layer.
+    ("c/sedona-geos/src/st_boundary.rs",
+     "GEOMETRYCOLLECTION(MULTIPOINT(-2 3, -2 2), LINESTRING(5 5, 10 10), "
+     "POLYGON((-7 4.2, -7.1 5, -7.1 4.3, -7 4.2)))"),
 }
 
 
