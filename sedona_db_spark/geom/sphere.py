@@ -79,14 +79,25 @@ def simple_crossing(a, b, c, d) -> np.ndarray:
 
 def on_arc(p, a, b) -> np.ndarray:
     """True where point p lies on the (minor) arc a->b, endpoints
-    included.  p broadcasts against edge arrays."""
+    included.  p broadcasts against edge arrays.
+
+    Betweenness uses tangent-plane SIGNS (sin of the along-arc offset
+    past each endpoint), not the angle-sum form: arccos near an endpoint
+    loses ~1.5e-8 rad to rounding (a 1-ulp dot error maps to ~10 cm), so
+    the angle-sum test at _EPS_ANG rejected bit-exact ring vertices and
+    boundary classification fell through to winding noise."""
     n = np.cross(a, b)
     nn = np.linalg.norm(n, axis=-1)
     degenerate = nn < 1e-15          # a == b (or antipodal): treat as point
     with np.errstate(invalid="ignore", divide="ignore"):
-        off_plane = np.abs(np.sum(n * p, axis=-1)) / np.where(nn, nn, 1.0)
+        n_hat = n / np.where(nn, nn, 1.0)[..., None]
+        off_plane = np.abs(np.sum(n_hat * p, axis=-1))
+    # sin of arc position past a (toward b) / before b (toward a); exact
+    # endpoints give 0 — well-conditioned where arccos is not
+    s_a = np.sum(np.cross(n_hat, a) * p, axis=-1)
+    s_b = np.sum(np.cross(b, n_hat) * p, axis=-1)
+    within = (s_a >= -_EPS_ANG) & (s_b >= -_EPS_ANG)
     ang = lambda u, v: np.arccos(np.clip(np.sum(u * v, axis=-1), -1, 1))  # noqa: E731
-    within = ang(a, p) + ang(p, b) <= ang(a, b) + _EPS_ANG
     same_as_a = ang(a, p) < _EPS_ANG
     return np.where(degenerate, same_as_a,
                     (off_plane < _EPS_ANG) & within)
