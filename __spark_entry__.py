@@ -2904,8 +2904,8 @@ def _q_random_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bounds": [0.0, 0.0, 80.0, 100.0], "size": [1.0, 15.0]})
     return df.selectExpr(
         "count(*) AS n",
-        "round(sum(ST_Area(geom)), 2) AS total_area",
-        "round(avg(ST_NPoints(geom)), 4) AS avg_np")
+        "round(sum(ST_Area(geometry)), 2) AS total_area",
+        "round(avg(ST_NPoints(geometry)), 4) AS avg_np")
 
 
 _PY["random_geometry_stats"] = _q_random_geometry
@@ -2923,7 +2923,8 @@ def _ref_pairs_table(spark: SparkSession) -> DataFrame:
     if not _os.path.exists(_REF_PAIRS_PATH):
         from sedona_db_spark.functions.table_functions import reference_bench_tables
         a, b = reference_bench_tables(spark, 100_000)
-        a.join(b.withColumnRenamed("geom", "geom2"), "id") \
+        a.withColumnRenamed("geometry", "geom") \
+            .join(b.withColumnRenamed("geometry", "geom2"), "id") \
             .write.mode("overwrite").parquet(_REF_PAIRS_PATH)
     return spark.read.parquet(_REF_PAIRS_PATH)
 

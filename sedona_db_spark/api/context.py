@@ -128,25 +128,48 @@ class SedonaContext:
             raise SedonaError(f"View '{name}' not found")
 
     # -- readers --------------------------------------------------------
+    @property
+    def read(self):
+        from sedona_db_spark.api.io import Read
+        return Read(self)
+
     def read_parquet(self, paths, **options) -> DataFrame:
-        from sedona_db_spark.sources import geoparquet
-        if isinstance(paths, (str, bytes)) or hasattr(paths, "__fspath__"):
-            paths = [paths]
-        paths = [str(p) for p in paths]
-        try:
-            sdf = geoparquet.read_geoparquet(self._spark, paths)
-        except Exception:
-            sdf = self._spark.read.parquet(*paths)
-        return DataFrame(self, sdf)
+        from sedona_db_spark.api.io import read_parquet
+        return read_parquet(self, paths, **options)
 
     # -- SQL ------------------------------------------------------------
     def sql(self, query: str, **kwargs) -> DataFrame:
         query = _dialect_shim(query)
+        query = self._table_function_shim(query)
+        # session-scoped views: the reference's CREATE VIEW is
+        # connection-local, which in Spark is a TEMPORARY view
+        query = re.sub(r"(?i)^(\s*CREATE)(\s+OR\s+REPLACE)?(\s+VIEW\b)",
+                       lambda m: f"{m.group(1)}{m.group(2) or ''} TEMPORARY"
+                                 f"{m.group(3)}", query)
         try:
             sdf = self._spark.sql(query)
         except AnalysisException as e:
             raise SedonaError(str(e)) from e
         return DataFrame(self, sdf)
+
+    _TF_RE = re.compile(r"(?i)\bsd_random_geometry\s*\(\s*'([^']*)'\s*\)")
+
+    def _table_function_shim(self, query: str) -> str:
+        """FROM sd_random_geometry('{json}') -> a registered temp view of
+        the engine's seeded generator (Spark SQL has no Python table
+        functions in FROM)."""
+        import json as _json
+
+        def sub(m):
+            from sedona_db_spark.functions.table_functions import \
+                sd_random_geometry
+            opts = _json.loads(m.group(1) or "{}")
+            df = sd_random_geometry(self._spark, opts)
+            name = f"__sd_random_geometry_{abs(hash(m.group(1))) % 10**9}"
+            df.createOrReplaceTempView(name)
+            return name
+
+        return self._TF_RE.sub(sub, query)
 
     # -- expressions ----------------------------------------------------
     @property

@@ -51,10 +51,16 @@ class DataFrame:
         self._ctx = ctx
         self._sdf = sdf
         self._alias = alias
+        self._geo_cols = {}        # {col: crs} known geometry columns
+        self._validate_wkb = False
 
     # -- construction helpers ------------------------------------------
     def _new(self, sdf) -> "DataFrame":
-        return DataFrame(self._ctx, sdf, self._alias)
+        out = DataFrame(self._ctx, sdf, self._alias)
+        out._geo_cols = {c: crs for c, crs in self._geo_cols.items()
+                         if c in sdf.columns}
+        out._validate_wkb = self._validate_wkb
+        return out
 
     def _guard(self, fn):
         """Run a plan-building callable; analysis errors surface as
@@ -518,6 +524,10 @@ class DataFrame:
     # -- interop --------------------------------------------------------
     def to_arrow_table(self, schema: Any = None):
         tbl = self._sdf.toArrow()
+        if self._geo_cols:
+            from sedona_db_spark.api import io as _io
+            tbl = _io.wrap_geo_columns(tbl, self._geo_cols,
+                                       validate=self._validate_wkb)
         if schema is not None:
             tbl = tbl.cast(schema)
         return tbl
@@ -553,22 +563,21 @@ class DataFrame:
                                                           self._sdf.schema))
 
     # -- writers --------------------------------------------------------
-    # Single-file writers match the reference's to_parquet/to_csv/to_json
-    # path contract; large-scale writes should go through the engine's
-    # partitioned writers (sources/) instead.
+    # Path with a matching file suffix -> ONE file (the reference's
+    # single-file contract, driver-side Arrow); any other path -> the
+    # distributed Spark/engine writers (GeoParquet footer + spatial sort
+    # for geometry — the 100 TB path).  See api/io.py.
     def to_parquet(self, path, **kwargs) -> None:
-        import pyarrow.parquet as pq
-        path = str(path)
-        if path.endswith("/") or kwargs.pop("partitioned", False):
-            self._sdf.write.mode("overwrite").parquet(path)
-            return
-        pq.write_table(self.to_arrow_table(), path)
+        from sedona_db_spark.api import io as _io
+        _io.to_parquet(self, path, **kwargs)
 
     def to_csv(self, path, **kwargs) -> None:
-        self.to_pandas().to_csv(str(path), index=False)
+        from sedona_db_spark.api import io as _io
+        _io.to_csv(self, path, **kwargs)
 
     def to_json(self, path) -> None:
-        self.to_pandas().to_json(str(path), orient="records", lines=True)
+        from sedona_db_spark.api import io as _io
+        _io.to_json(self, path)
 
     # -- display --------------------------------------------------------
     def show(self, limit: int = 10, **kwargs) -> None:

@@ -55,7 +55,8 @@ DEFAULTS = {
 
 
 def sd_random_geometry(spark: SparkSession, options: dict | None = None) -> DataFrame:
-    """Seeded random geometry table: columns (id bigint, geom binary WKB)."""
+    """Seeded random geometry table: reference schema (id bigint,
+    dist double 0..100, geometry binary WKB)."""
     opt = dict(DEFAULTS)
     opt.update(options or {})
     gt = opt["geom_type"].lower()
@@ -121,10 +122,15 @@ def sd_random_geometry(spark: SparkSession, options: dict | None = None) -> Data
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             geoms = [_one(int(i)) for i in ids]
-            yield pd.DataFrame({"id": ids, "geom": geoms})
+            # reference schema (random_geometry_provider.rs:303-319):
+            # id, dist (random float 0..100), geometry
+            dist = _uniforms(ids, seed, 90, 1)[:, 0] * 100.0
+            yield pd.DataFrame({"id": ids, "dist": dist,
+                                "geometry": geoms})
 
     schema = T.StructType([T.StructField("id", T.LongType()),
-                           T.StructField("geom", T.BinaryType())])
+                           T.StructField("dist", T.DoubleType()),
+                           T.StructField("geometry", T.BinaryType())])
     return spark.range(n).mapInPandas(gen, schema=schema)
 
 
@@ -138,4 +144,4 @@ def reference_bench_tables(spark: SparkSession, num_rows: int = 10_000):
     b = sd_random_geometry(spark, {
         "geom_type": "Polygon", "num_rows": num_rows, "num_vertices": [10, 10],
         "size": [1.0, 15.0], "bounds": [20.0, 0.0, 100.0, 100.0], "seed": 43})
-    return a, b
+    return a.select("id", "geometry"), b.select("id", "geometry")

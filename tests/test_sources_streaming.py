@@ -52,11 +52,11 @@ def test_random_geometry_deterministic(spark):
     from sedona_db_spark.functions.table_functions import sd_random_geometry
     a = sd_random_geometry(spark, {"geom_type": "Point", "num_rows": 500, "seed": 42})
     b = sd_random_geometry(spark, {"geom_type": "Point", "num_rows": 500, "seed": 42}) \
-        .repartition(7).withColumnRenamed("geom", "g2")
-    assert a.join(b, "id").filter("geom != g2").count() == 0
+        .repartition(7).withColumnRenamed("geometry", "g2")
+    assert a.join(b, "id").filter("geometry != g2").count() == 0
     c = sd_random_geometry(spark, {"geom_type": "Point", "num_rows": 500, "seed": 43}) \
-        .withColumnRenamed("geom", "g2")
-    assert a.join(c, "id").filter("geom != g2").count() > 400
+        .withColumnRenamed("geometry", "g2")
+    assert a.join(c, "id").filter("geometry != g2").count() > 400
 
 
 def test_random_geometry_options(spark):
@@ -67,17 +67,17 @@ def test_random_geometry_options(spark):
         "empty_rate": 0.05, "seed": 42})
     df.createOrReplaceTempView("rg")
     stats = spark.sql("""
-      SELECT count(*) AS n, count(geom) AS nonnull,
-             sum(CASE WHEN geom IS NOT NULL AND ST_IsEmpty(geom) THEN 1 ELSE 0 END) AS empties,
-             sum(CASE WHEN ST_NumInteriorRings(geom) > 0 THEN 1 ELSE 0 END) AS holes
+      SELECT count(*) AS n, count(geometry) AS nonnull,
+             sum(CASE WHEN geometry IS NOT NULL AND ST_IsEmpty(geometry) THEN 1 ELSE 0 END) AS empties,
+             sum(CASE WHEN ST_NumInteriorRings(geometry) > 0 THEN 1 ELSE 0 END) AS holes
       FROM rg""").first()
     assert stats["n"] == 300
     assert 240 <= stats["nonnull"] <= 290      # ~10% null
     assert stats["empties"] > 0
     assert stats["holes"] > 50                 # ~50% hole rate
     bounds = spark.sql(
-        "SELECT min(ST_XMin(geom)) AS a, max(ST_XMax(geom)) AS b FROM rg "
-        "WHERE geom IS NOT NULL AND NOT ST_IsEmpty(geom)").first()
+        "SELECT min(ST_XMin(geometry)) AS a, max(ST_XMax(geometry)) AS b FROM rg "
+        "WHERE geometry IS NOT NULL AND NOT ST_IsEmpty(geometry)").first()
     assert bounds["a"] >= 0.0 and bounds["b"] <= 100.0
 
 
