@@ -594,22 +594,35 @@ def knn_join_partitioned(
     # queries (ADVICE r8 hazard class).  Content hashes are NOT a
     # substitute here: duplicate query rows must keep distinct ids or
     # the per-query top-k window under-emits.
+    # Plan construction uses single selectExpr batches (one py4j round
+    # trip per frame) instead of per-column withColumn chains: profiled
+    # at ~1.3 s of pure driver/py4j chatter per construction for the
+    # polygon-KNN shape — a fixed cost every caller paid per build
+    # (guide §1: the bench times construction + execution).
     q = _pin_row_ids(queries, "__qid")
-    qb = q.withColumn("__qb", bbox_col(F.col(query_geom))) \
-          .withColumn("__qx", (F.col("__qb.xmin") + F.col("__qb.xmax")) / 2) \
-          .withColumn("__qy", (F.col("__qb.ymin") + F.col("__qb.ymax")) / 2) \
-          .withColumn("__qhd", F.coalesce(
-              F.sqrt(F.pow((F.col("__qb.xmax") - F.col("__qb.xmin")) / 2, 2) +
-                     F.pow((F.col("__qb.ymax") - F.col("__qb.ymin")) / 2, 2)),
-              F.lit(0.0))) \
+    qb = q.select("*", bbox_col(F.col(query_geom)).alias("__qb")) \
+          .selectExpr(
+              "*",
+              "(__qb.xmin + __qb.xmax) / 2 AS __qx",
+              "(__qb.ymin + __qb.ymax) / 2 AS __qy",
+              "coalesce(sqrt(pow((__qb.xmax - __qb.xmin) / 2, 2) + "
+              "pow((__qb.ymax - __qb.ymin) / 2, 2)), 0.0d) AS __qhd") \
           .drop("__qb")
-    ob = obj.withColumn("__ob", bbox_col(F.col(ogeom))) \
-            .withColumn("__ox", (F.col("__ob.xmin") + F.col("__ob.xmax")) / 2) \
-            .withColumn("__oy", (F.col("__ob.ymin") + F.col("__ob.ymax")) / 2) \
-            .withColumn("__ohd", F.coalesce(
-                F.sqrt(F.pow((F.col("__ob.xmax") - F.col("__ob.xmin")) / 2, 2) +
-                       F.pow((F.col("__ob.ymax") - F.col("__ob.ymin")) / 2, 2)),
-                F.lit(0.0))) \
+    # classed bbox (same decode pass as the plain bbox — zero extra
+    # Python): the corners + shape class stay as flat columns so the
+    # all-rectangle object census below can swap the per-pair Python
+    # distance kernel for the exact native point-to-rect formula
+    from sedona_db_spark.operators.spatial_join import _bbox_cls_col
+    ob = obj.select("*", _bbox_cls_col(F.col(ogeom)).alias("__ob")) \
+            .selectExpr(
+                "*",
+                "(__ob.xmin + __ob.xmax) / 2 AS __ox",
+                "(__ob.ymin + __ob.ymax) / 2 AS __oy",
+                "coalesce(sqrt(pow((__ob.xmax - __ob.xmin) / 2, 2) + "
+                "pow((__ob.ymax - __ob.ymin) / 2, 2)), 0.0d) AS __ohd",
+                "__ob.xmin AS __obx0", "__ob.ymin AS __oby0",
+                "__ob.xmax AS __obx1", "__ob.ymax AS __oby1",
+                "__ob.cls AS __ocls") \
             .drop("__ob")
 
     # One materialization of the bbox-augmented object side serves the
@@ -638,7 +651,9 @@ def knn_join_partitioned(
             F.min("__ox").alias("x0"), F.min("__oy").alias("y0"),
             F.max("__ox").alias("x1"), F.max("__oy").alias("y1"),
             F.count("*").alias("n"), F.max("__ohd").alias("ohd"),
-            F.max(F.length(ogeom)).alias("maxlen")).collect()[0]
+            F.max(F.length(ogeom)).alias("maxlen"),
+            F.min((F.col("__ocls") == 2).cast("int")).alias("allrect")
+        ).collect()[0]
         _stats_memo_put(obkey, (ob, stats))
     if stats["n"] == 0:
         empty_schema = qb.drop("__qid", "__qx", "__qy", "__qhd").schema
@@ -677,47 +692,76 @@ def knn_join_partitioned(
     w = max((x1 - x0) / nx, 1e-9)
     h = max((y1 - y0) / ny, 1e-9)
 
-    def clip(v, hi):
-        return F.least(F.greatest(v, F.lit(0)), F.lit(hi))
+    # literal embeds use repr() — exact double round-trip, same values
+    # the Column-built version passed through F.lit
+    _x0, _y0, _x1, _y1 = (repr(float(x0)), repr(float(y0)),
+                          repr(float(x1)), repr(float(y1)))
+    _w, _h, _ohd = repr(float(w)), repr(float(h)), repr(float(ohd_max))
 
     # Per-row guard for the memoized stats (r11): the completion bound
     # leans on ohd_max and the grid extent, so an object BEYOND the
     # cached bounds (data changed under a memoized plan) must fail
     # LOUD, never silently clip into an edge cell the bound doesn't
     # model.  Null centers (null/empty geometry) keep dropping silently.
-    dom_ok = (F.col("__ox").isNull() | F.col("__oy").isNull() |
-              ((F.col("__ox") >= F.lit(float(x0)) - 1e-9) &
-               (F.col("__ox") <= F.lit(float(x1)) + 1e-9) &
-               (F.col("__oy") >= F.lit(float(y0)) - 1e-9) &
-               (F.col("__oy") <= F.lit(float(y1)) + 1e-9) &
-               (F.coalesce(F.col("__ohd"), F.lit(0.0))
-                <= F.lit(ohd_max) + 1e-9)))
-    stale_err = F.raise_error(F.lit(
-        "knn_join_partitioned: object beyond the memoized planning "
-        "stats (extent/halfdiag grew under a cached plan); rebuild the "
-        "object DataFrame (new plan) to refresh the stats")).cast("long")
-    ob2 = ob.withColumn(
-        "__ocell",
-        F.when(dom_ok,
-               clip(F.floor((F.col("__ox") - F.lit(x0)) / w), nx - 1) * ny +
-               clip(F.floor((F.col("__oy") - F.lit(y0)) / h), ny - 1))
-        .otherwise(stale_err))
+    ob2 = ob.selectExpr(
+        "*",
+        f"CASE WHEN (__ox IS NULL OR __oy IS NULL OR "
+        f"(__ox >= {_x0} - 1e-9 AND __ox <= {_x1} + 1e-9 AND "
+        f"__oy >= {_y0} - 1e-9 AND __oy <= {_y1} + 1e-9 AND "
+        f"coalesce(__ohd, 0.0d) <= {_ohd} + 1e-9)) THEN "
+        f"least(greatest(floor((__ox - {_x0}) / {_w}), 0), {nx - 1}) "
+        f"* {ny} + "
+        f"least(greatest(floor((__oy - {_y0}) / {_h}), 0), {ny - 1}) "
+        "ELSE CAST(raise_error('knn_join_partitioned: object beyond the "
+        "memoized planning stats (extent/halfdiag grew under a cached "
+        "plan); rebuild the object DataFrame (new plan) to refresh the "
+        "stats') AS LONG) END AS __ocell")
 
-    qcx = clip(F.floor((F.col("__qx") - F.lit(x0)) / w), nx - 1)
-    qcy = clip(F.floor((F.col("__qy") - F.lit(y0)) / h), ny - 1)
-    qb2 = qb.withColumn("__qcx", qcx).withColumn("__qcy", qcy)
+    # (NOT cached: the query subtree feeds round A, the qstat join and
+    # round B, but persisting it was measured SLOWER at sf0.1 — the
+    # materialization barrier costs more than the two repeated
+    # scan+bbox passes, which are narrow and fuse into their stages.)
+    qb2 = qb.selectExpr(
+        "*",
+        f"least(greatest(floor((__qx - {_x0}) / {_w}), 0), {nx - 1}) "
+        "AS __qcx",
+        f"least(greatest(floor((__qy - {_y0}) / {_h}), 0), {ny - 1}) "
+        "AS __qcy")
 
-    def neighborhood_cells(radius_cells):
-        cx0 = F.greatest(F.col("__qcx") - radius_cells, F.lit(0))
-        cx1 = F.least(F.col("__qcx") + radius_cells, F.lit(nx - 1))
-        cy0 = F.greatest(F.col("__qcy") - radius_cells, F.lit(0))
-        cy1 = F.least(F.col("__qcy") + radius_cells, F.lit(ny - 1))
-        return F.flatten(F.transform(
-            F.sequence(cx0, cx1),
-            lambda cx: F.transform(F.sequence(cy0, cy1),
-                                   lambda cy: cx * ny + cy)))
+    def neighborhood_cells(radius_sql: str) -> str:
+        """Cell-id array expression for the (2r+1)^2 neighborhood;
+        ``radius_sql`` is a SQL sub-expression (constant or column)."""
+        return (
+            f"flatten(transform("
+            f"sequence(greatest(__qcx - ({radius_sql}), 0), "
+            f"least(__qcx + ({radius_sql}), {nx - 1})), "
+            f"cx -> transform("
+            f"sequence(greatest(__qcy - ({radius_sql}), 0), "
+            f"least(__qcy + ({radius_sql}), {ny - 1})), "
+            f"cy -> cx * {ny} + cy)))")
 
-    if exact_mode:
+    obj_allrect = bool(stats["n"]) and stats["allrect"] == 1
+    _qg = f"`{query_geom}`"
+    _og = f"`{ogeom}`"
+    if exact_mode and obj_allrect and not qry_nonpoint:
+        # All-rectangle object census + all-point query probe: the exact
+        # geometry distance IS the native point-to-axis-aligned-rect
+        # formula over the classed-bbox corners — zero Python on the
+        # candidate pairs (the pandas kernel below re-derived exactly
+        # this per batch through factorize + segment walks).  Guards per
+        # row: a query row that is not a 21-byte 2-D point, or an object
+        # row whose recomputed shape class is not rectangle (data changed
+        # under a memoized plan), fails LOUD like the point fast path.
+        dist = F.expr(
+            f"CASE WHEN (length({_qg}) IS NULL OR length({_qg}) = 21) "
+            "AND __ocls = 2 THEN "
+            "sqrt(pow(greatest(__obx0 - __qx, __qx - __obx1, 0.0d), 2) + "
+            "pow(greatest(__oby0 - __qy, __qy - __oby1, 0.0d), 2)) "
+            "ELSE CAST(raise_error('knn_join_partitioned: non-point "
+            "query or non-rectangle object appeared beyond the plan "
+            "probe/stats (data changed under a memoized plan); re-run "
+            "with a fresh object DataFrame') AS DOUBLE) END")
+    elif exact_mode:
         from sedona_db_spark.functions.kernels import (
             _decode_cached, _fast_points)
         from sedona_db_spark.geom import algorithms as _alg
@@ -759,18 +803,15 @@ def knn_join_partitioned(
         # native fast path assumes every query is a 2-D point (probe said
         # so); the guard makes a probe miss fail loudly instead of
         # silently ranking a polygon by its bbox center
-        native = F.sqrt(F.pow(F.col("__qx") - F.col("__ox"), 2) +
-                        F.pow(F.col("__qy") - F.col("__oy"), 2))
-        qlen_c = F.length(F.col(query_geom))
-        olen_c = F.length(F.col(ogeom))
-        dist = F.when((qlen_c.isNull() | (qlen_c == 21))
-                      & (olen_c.isNull() | (olen_c == 21)), native) \
-                .otherwise(F.raise_error(F.lit(
-                    "knn_join_partitioned: non-point geometry appeared "
-                    "beyond the plan probe/stats (query probe miss, or "
-                    "object data changed under a memoized plan); re-run "
-                    "with a fresh object DataFrame or exact mode")).cast(
-                    "double"))
+        dist = F.expr(
+            f"CASE WHEN (length({_qg}) IS NULL OR length({_qg}) = 21) "
+            f"AND (length({_og}) IS NULL OR length({_og}) = 21) THEN "
+            "sqrt(pow(__qx - __ox, 2) + pow(__qy - __oy, 2)) "
+            "ELSE CAST(raise_error('knn_join_partitioned: non-point "
+            "geometry appeared beyond the plan probe/stats (query probe "
+            "miss, or object data changed under a memoized plan); "
+            "re-run with a fresh object DataFrame or exact mode') "
+            "AS DOUBLE) END")
 
     # deterministic tie-break mirroring the broadcast path: distance,
     # then the object's orderable payload columns (id first by
@@ -797,59 +838,72 @@ def knn_join_partitioned(
                  (F.col("knn_distance") <= F.col("__dk") + 1e-9))).drop("__dk")
         return ranked.filter(F.col("__rn") <= k)
 
+    keep_cols = ([c for c in queries.columns] + ["__qid"]
+                 + obj_payload + ["knn_distance"])
+
     # ---- round A: 3x3 neighborhood ----------------------------------
-    qa = qb2.withColumn("__cell", F.explode(neighborhood_cells(F.lit(1))))
+    qa = qb2.withColumn("__cell",
+                        F.explode(F.expr(neighborhood_cells("1"))))
     cand_a = qa.join(ob2, qa["__cell"] == ob2["__ocell"], "inner")
     # persist round A's top-k: its lineage feeds the per-query outcome
     # agg, the safe/unsafe split AND the final output — uncached, the
     # candidate join + window would re-execute three to four times (a
     # full re-shuffle of the big side each time at 100 TB).  Result-sized
     # (n_queries x k rows), so the cache is small relative to the join.
-    top_a = _cache_persist(topk(cand_a))
+    # Projected to the output columns BEFORE the persist: the cache
+    # boundary blocks downstream column pruning, so an unprojected
+    # persist forced every helper column (cells, halfdiags, bbox
+    # corners — ~90 B/row) through the window exchange and into cache
+    # storage whether or not the caller reads them.
+    top_a = _cache_persist(topk(cand_a).select(*keep_cols))
 
     # per-query outcome of round A
     agg_a = top_a.groupBy("__qid").agg(
         F.count("*").alias("__cnt"), F.max("knn_distance").alias("__dk"))
     qstat = qb2.join(agg_a, "__qid", "left")
 
-    # margin to the unsearched region (sides at the grid edge are safe)
-    bx0 = F.lit(x0) + (F.col("__qcx") - 1) * w
-    bx1 = F.lit(x0) + (F.col("__qcx") + 2) * w
-    by0 = F.lit(y0) + (F.col("__qcy") - 1) * h
-    by1 = F.lit(y0) + (F.col("__qcy") + 2) * h
-    inf = F.lit(float("inf"))
-    margin = F.least(
-        F.when(F.col("__qcx") - 1 > 0, F.col("__qx") - bx0).otherwise(inf),
-        F.when(F.col("__qcx") + 1 < nx - 1, bx1 - F.col("__qx")).otherwise(inf),
-        F.when(F.col("__qcy") - 1 > 0, F.col("__qy") - by0).otherwise(inf),
-        F.when(F.col("__qcy") + 1 < ny - 1, by1 - F.col("__qy")).otherwise(inf))
+    # margin to the unsearched region (sides at the grid edge are safe);
     # exact distance to any unsearched object >= center margin minus the
     # two halfdiags (zero for points, so the point bound stays tight)
     min_needed = k if not include_ties else k
+    _inf = "CAST('Infinity' AS DOUBLE)"
+    margin_sql = (
+        "least("
+        f"CASE WHEN __qcx - 1 > 0 THEN __qx - ({_x0} + (__qcx - 1) * {_w}) "
+        f"ELSE {_inf} END, "
+        f"CASE WHEN __qcx + 1 < {nx - 1} THEN "
+        f"({_x0} + (__qcx + 2) * {_w}) - __qx ELSE {_inf} END, "
+        f"CASE WHEN __qcy - 1 > 0 THEN __qy - ({_y0} + (__qcy - 1) * {_h}) "
+        f"ELSE {_inf} END, "
+        f"CASE WHEN __qcy + 1 < {ny - 1} THEN "
+        f"({_y0} + (__qcy + 2) * {_h}) - __qy ELSE {_inf} END)")
     qstat = qstat.withColumn(
-        "__safe", (F.col("__cnt") >= min_needed) &
-        (F.col("__dk") <= margin - F.col("__qhd") - F.lit(ohd_max)))
+        "__safe", F.expr(
+            f"(__cnt >= {min_needed}) AND "
+            f"(__dk <= {margin_sql} - __qhd - {_ohd})"))
 
-    safe_ids = qstat.filter("__safe").select("__qid")
     unsafe = qstat.filter(~F.coalesce(F.col("__safe"), F.lit(False)))
 
     # ---- round B: explicit-radius re-probe for unsafe queries --------
     # clamped at the full grid: with a degenerate extent (min(w,h) bottoms
     # out at 1e-9) the raw cell count overflows, and probing every cell is
     # always a sound upper bound anyway
-    rad_cells = F.least(F.when(
-        F.col("__dk").isNotNull(),
-        F.ceil((F.col("__dk") + F.col("__qhd") + F.lit(ohd_max)) /
-               F.lit(min(w, h))) + 1
-    ).otherwise(F.lit(max(nx, ny))), F.lit(max(nx, ny)))
+    rad_sql = (
+        f"CAST(least(CASE WHEN __dk IS NOT NULL THEN "
+        f"ceil((__dk + __qhd + {_ohd}) / {repr(float(min(w, h)))}) + 1 "
+        f"ELSE {max(nx, ny)} END, {max(nx, ny)}) AS INT)")
     qb_b = unsafe.withColumn(
-        "__cell", F.explode(neighborhood_cells(rad_cells.cast("int"))))
+        "__cell", F.explode(F.expr(neighborhood_cells(rad_sql))))
     cand_b = qb_b.join(ob2, qb_b["__cell"] == ob2["__ocell"], "inner")
     top_b = topk(cand_b)
 
-    keep_cols = ([c for c in queries.columns] + ["__qid"]
-                 + obj_payload + ["knn_distance"])
-    out_a = top_a.join(safe_ids, "__qid", "leftsemi").select(*keep_cols)
+    # out_a filters by ANTI-join against the unsafe ids (usually a small
+    # sparse-region remainder) instead of semi-join against the safe ids
+    # (usually ~every query): same set — every __qid is in exactly one —
+    # but AQE can broadcast the small remainder at runtime, where the
+    # query-sized safe list forced a sort-merge shuffle of top_a.
+    out_a = top_a.join(unsafe.select("__qid"), "__qid", "left_anti") \
+                 .select(*keep_cols)
     out_b = top_b.select(*keep_cols)
     return out_a.unionByName(out_b).drop("__qid")
 
@@ -1021,7 +1075,6 @@ def knn_join_spheroid_partitioned(
 
     qstat = qstat.withColumn(
         "__safe", (F.col("__cnt") >= k) & (F.col("__dk") <= margin))
-    safe_ids = qstat.filter("__safe").select("__qid")
     unsafe = qstat.filter(~F.coalesce(F.col("__safe"), F.lit(False)))
 
     # ---- round B: explicit geodesic radius re-probe --------------------
@@ -1054,6 +1107,9 @@ def knn_join_spheroid_partitioned(
 
     keep_cols = (list(queries.columns) + ["__qid"]
                  + obj_payload + ["knn_distance"])
-    out_a = top_a.join(safe_ids, "__qid", "leftsemi").select(*keep_cols)
+    # anti-join against the (usually tiny) unsafe remainder: same set as
+    # the former safe-ids semi-join, but AQE can broadcast it at runtime
+    out_a = top_a.join(unsafe.select("__qid"), "__qid", "left_anti") \
+                 .select(*keep_cols)
     out_b = top_b.select(*keep_cols)
     return out_a.unionByName(out_b).drop("__qid")
