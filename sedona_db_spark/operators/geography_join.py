@@ -662,9 +662,19 @@ def _geography_relation_inner(ldf: DataFrame, rdf_r: DataFrame, g1: str,
         # space — each pair still meets exactly once, so multiplicity
         # and the smallest-shared-cell dedup below are unchanged; max
         # task input drops to ~hot_rows/n_salts + replicated build rows
-        hot_df = spark.createDataFrame(
-            [(int(c), int(s)) for c, s in sorted(hot.items())],
-            "__hc long, __ns long")
+        # SQL VALUES, not createDataFrame: a python-parallelized frame
+        # has sizeInBytes = Long.MaxValue, and that unknown poisons the
+        # build side's size estimate through the salt join — the
+        # planner then sort-merge-joined the candidate equi-join (both
+        # sides shuffled) even when the build side was 8 rows.  A
+        # LocalRelation carries real stats, so a provably-small build
+        # side broadcasts and the probe side is never shuffled.
+        hot_df = spark.sql(
+            "SELECT * FROM VALUES " +
+            ", ".join(f"(CAST({int(c)} AS BIGINT), "
+                      f"CAST({int(s)} AS BIGINT))"
+                      for c, s in sorted(hot.items())) +
+            " AS t(__hc, __ns)")
         zero = F.lit(0).cast("long")
         le = (le.join(F.broadcast(hot_df),
                       le["__gc"] == F.col("__hc"), "left")
