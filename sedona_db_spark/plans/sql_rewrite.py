@@ -1934,6 +1934,221 @@ _EUCLID_SQL = ("( SQRT ( POW ( ( {lon2} ) - ( {lon1} ) , 2 ) "
                "+ POW ( ( {lat2} ) - ( {lat1} ) , 2 ) ) )")
 
 
+_CERT_PRECHECK = re.compile(
+    r"\bST_(DISTANCESPHERE|DISTANCE|DWITHIN|X|Y)\s*\(", re.I)
+
+
+def _tokenize_spans(sql: str):
+    """Like _tokenize but also returns each token's (start, end) char
+    span in the ORIGINAL text, so rewrites can splice replacements into
+    the source string — token re-rendering drops comments, and with
+    them any /*+ ... */ join hints the query depends on."""
+    toks, spans = [], []
+    pos = 0
+    for m in _TOKEN_RE.finditer(sql):
+        if m.start() != pos:
+            return None, None
+        pos = m.end()
+        if m.lastgroup != "ws":
+            toks.append(m.group())
+            spans.append((m.start(), m.end()))
+    if pos != len(sql):
+        return None, None
+    return toks, spans
+
+
+def _point_table_cols(spark, table: str) -> list[str]:
+    """Certified point columns of a stored table (write-time-verified
+    property stamped by certify_point_table), [] when absent."""
+    import json as _json
+    try:
+        row = spark.sql(
+            f"SHOW TBLPROPERTIES {table} ('sedona.point.cols')").first()
+        val = row["value"] if row is not None else None
+        if not val or val.startswith("Table") or "does not have" in val:
+            return []
+        out = _json.loads(val)
+        return out if isinstance(out, list) else []
+    except Exception:
+        return []
+
+
+def certify_point_table(spark, table: str, cols: list[str]) -> None:
+    """Verify NATIVELY (one scan, no Python) that every non-null value
+    of each named column is a 21-byte little-endian 2D point WKB with
+    non-NaN coordinates (the ST_Point kernel's output invariant — NaN
+    inputs become NULL geometries, so kernels may treat NaN-coordinate
+    points as empty), then stamp the table property the certified scalar
+    rewrite trusts.  Raises if any row violates — never stamps a lie."""
+    from sedona_db_spark.plans.native_point import point_nan_free_sql
+    checks = ", ".join(
+        f"sum(CASE WHEN {c} IS NOT NULL AND NOT {point_nan_free_sql(c)} "
+        f"THEN 1 ELSE 0 END) AS bad_{i}" for i, c in enumerate(cols))
+    row = spark.sql(f"SELECT {checks} FROM {table}").first()
+    for i, c in enumerate(cols):
+        bad = row[f"bad_{i}"]
+        if bad:
+            raise ValueError(
+                f"certify_point_table({table}): column {c} has {bad} "
+                f"non-point rows — refusing to stamp the certificate")
+    import json as _json
+    val = _json.dumps(cols).replace("'", "''")
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES "
+              f"('sedona.point.cols' = '{val}')")
+
+
+def rewrite_certified_scalar(spark, sql: str, vanilla_sql) -> str | None:
+    """Rewrite scalar ST_X/ST_Y/ST_Distance/ST_DWithin/ST_DistanceSphere
+    calls over CERTIFIED all-point columns into native bit-extraction
+    arithmetic (plans/native_point.py) — whole-stage codegen, no
+    Arrow/Python round trip.  A column is certified when its relation's
+    analyzed plan proves it is the 2-arg ST_Point constructor's output
+    (the r10 plan-time certificate) or its table carries the write-time
+    point property (certify_point_table).  Conservative: any alias
+    ambiguity, subquery-sourced arg, or uncertified column leaves that
+    call untouched.  Returns spliced SQL text (comments/hints of the
+    original preserved) or None.
+
+    ST_X/ST_Y substitution is bit-exact (same stored double).  The
+    distance forms use the same _EUCLID/_HAVERSINE formulas as the
+    ST_Point-literal peephole — sqrt(dx^2+dy^2) vs the kernel's
+    np.hypot differs only in the last ulp (the DuckDB oracles compute
+    the sqrt form, so the rewrite moves Spark CLOSER to the oracle)."""
+    if not _CERT_PRECHECK.search(sql):
+        return None
+    toks, spans = _tokenize_spans(sql)
+    if toks is None:
+        return None
+    from sedona_db_spark.operators.spatial_join import (
+        _point_constructor_certified)
+    from sedona_db_spark.plans.native_point import (
+        point_x_sql, point_y_sql)
+    n = len(toks)
+    # --- collect relations (any depth; duplicate/subquery alias poisons)
+    rels: dict[str, str | None] = {}
+    i = 0
+    while i < n:
+        if toks[i].upper() in ("FROM", "JOIN"):
+            j = i + 1
+            while True:
+                try:
+                    rel, j = _parse_rel(toks, j)
+                except _Decline:
+                    break
+                if rel.is_subquery:
+                    rels[rel.alias] = None
+                elif rel.alias in rels and rels[rel.alias] != rel.text:
+                    rels[rel.alias] = None
+                else:
+                    rels.setdefault(rel.alias, rel.text)
+                if j < n and toks[j] == ",":
+                    j += 1
+                    continue
+                break
+            i = j
+            continue
+        i += 1
+    if not rels:
+        return None
+    dfs: dict[str, DataFrame] = {}
+    schemas: dict[str, list[str]] = {}
+    for a, tbl in list(rels.items()):
+        if tbl is None:
+            schemas[a] = []
+            continue
+        try:
+            dfs[a] = spark.table(tbl)
+            schemas[a] = dfs[a].columns
+        except Exception:
+            rels[a] = None
+            schemas[a] = []
+    cert_memo: dict[tuple[str, str], bool] = {}
+
+    def certified(alias: str, col: str) -> bool:
+        tbl = rels.get(alias)
+        if tbl is None or col not in schemas[alias]:
+            return False
+        key = (tbl, col)
+        hit = cert_memo.get(key)
+        if hit is not None:
+            return hit
+        ok = col in _point_table_cols(spark, tbl)
+        if not ok:
+            try:
+                ok = _point_constructor_certified(dfs[alias], col)
+            except Exception:
+                ok = False
+        cert_memo[key] = ok
+        return ok
+
+    def pt_ref(lo, hi):
+        """Arg span -> certified 'alias.col' source text, or None."""
+        q = _qualified_ref(toks, lo, hi, rels, schemas)
+        if q is None or not certified(*q):
+            return None
+        return sql[spans[lo][0]:spans[hi - 1][1]]
+
+    # --- scan calls and build splice list
+    edits: list[tuple[int, int, str]] = []
+    i = 0
+    while i < n:
+        u = toks[i].upper()
+        if u in ("ST_DISTANCESPHERE", "ST_DISTANCE", "ST_DWITHIN",
+                 "ST_X", "ST_Y") and i + 1 < n and toks[i + 1] == "(":
+            d, j = 0, i + 1
+            while j < n:
+                if toks[j] == "(":
+                    d += 1
+                elif toks[j] == ")":
+                    d -= 1
+                    if d == 0:
+                        break
+                j += 1
+            if j >= n:
+                return None
+            repl = None
+            if u in ("ST_X", "ST_Y"):
+                ref = pt_ref(i + 2, j)
+                if ref is not None:
+                    repl = (point_x_sql(ref) if u == "ST_X"
+                            else point_y_sql(ref))
+            elif u == "ST_DWITHIN":
+                parts = _split_args(toks, i + 2, j)
+                if parts is not None and len(parts) == 3:
+                    r1 = pt_ref(*parts[0])
+                    r2 = pt_ref(*parts[1])
+                    if r1 is not None and r2 is not None:
+                        dist = sql[spans[parts[2][0]][0]:
+                                   spans[parts[2][1] - 1][1]]
+                        # kernel boundary: r <= d + 1e-12 (_EPS)
+                        repl = ("( " + _EUCLID_SQL.format(
+                            lon1=point_x_sql(r1), lat1=point_y_sql(r1),
+                            lon2=point_x_sql(r2), lat2=point_y_sql(r2))
+                            + f" <= ( ( {dist} ) + 1e-12 ) )")
+            else:
+                args = _split_two_args(toks, i + 2, j)
+                if args is not None:
+                    r1 = pt_ref(*args[0])
+                    r2 = pt_ref(*args[1])
+                    if r1 is not None and r2 is not None:
+                        fmt = (_HAVERSINE_SQL if u == "ST_DISTANCESPHERE"
+                               else _EUCLID_SQL)
+                        repl = fmt.format(
+                            lon1=point_x_sql(r1), lat1=point_y_sql(r1),
+                            lon2=point_x_sql(r2), lat2=point_y_sql(r2))
+            if repl is not None:
+                edits.append((spans[i][0], spans[j][1], repl))
+                i = j + 1
+                continue
+        i += 1
+    if not edits:
+        return None
+    out = sql
+    for s, e, txt in reversed(edits):
+        out = out[:s] + txt + out[e:]
+    return out
+
+
 def _split_two_args(toks, lo, hi):
     """toks[lo:hi] = contents of a call; split on the single top-level
     comma -> ((a_lo, a_hi), (b_lo, b_hi)) or None."""
@@ -2105,7 +2320,8 @@ def install_sql_rewrite(spark: SparkSession) -> None:
                 ov = None
             if ov is not None:
                 query = ov
-        if not (_PRECHECK.search(query) or _PEEP_PRECHECK.search(query)):
+        if not (_PRECHECK.search(query) or _PEEP_PRECHECK.search(query)
+                or _CERT_PRECHECK.search(query)):
             return vanilla(query)
         query_key = (query, _plan_confs())
         hit = cache.get(query_key, _MISS)
@@ -2129,6 +2345,16 @@ def install_sql_rewrite(spark: SparkSession) -> None:
                 if rw is not None:
                     _remember(query_key, rw)
                 return out
+        # scalar spatial calls over certified all-point columns -> native
+        # bit-extraction arithmetic (runs on the peepholed text, so both
+        # rewrites compose; memoized like every other text rewrite)
+        try:
+            cert_text = rewrite_certified_scalar(spark, text, vanilla)
+        except Exception:
+            cert_text = None
+        if cert_text is not None:
+            _remember(query_key, cert_text)
+            return vanilla(cert_text)
         if peeped is not None:
             _remember(query_key, peeped)
             return vanilla(peeped)
