@@ -1973,41 +1973,189 @@ def _point_table_cols(spark, table: str) -> list[str]:
         return []
 
 
-def certify_point_table(spark, table: str, cols: list[str]) -> None:
-    """Verify NATIVELY (one scan, no Python) that every non-null value
-    of each named column is a 21-byte little-endian 2D point WKB with
-    non-NaN coordinates (the ST_Point kernel's output invariant — NaN
-    inputs become NULL geometries, so kernels may treat NaN-coordinate
-    points as empty), then stamp the table property the certified scalar
-    rewrite trusts.  Raises if any row violates — never stamps a lie."""
-    from sedona_db_spark.plans.native_point import point_nan_free_sql
-    checks = ", ".join(
-        f"sum(CASE WHEN {c} IS NOT NULL AND NOT {point_nan_free_sql(c)} "
-        f"THEN 1 ELSE 0 END) AS bad_{i}" for i, c in enumerate(cols))
-    row = spark.sql(f"SELECT {checks} FROM {table}").first()
+def _shadow_cast_sql(col: str) -> str:
+    """A shadow coordinate as the DOUBLE the ST_Point kernel received
+    (pandas coerces every numeric input to float64, so for a DECIMAL or
+    FLOAT shadow the kernel stored its round-to-nearest double image —
+    the cast reproduces exactly that; for DOUBLE it is a no-op)."""
+    return f"CAST({col} AS DOUBLE)"
+
+
+def _point_cert_checks(cols, shadow):
+    """Per-column bad-row predicates for point certification (one
+    scan).  The cheap native guard (length + header bytes) proves
+    21-byte LE point WKB; the VECTORIZED ST_X/ST_Y kernels prove the
+    coordinates — ST_X returns NULL exactly for the NaN-coordinate
+    (POINT EMPTY) encoding, so requiring non-null kernel output bans
+    NaN coords without per-row hex/conv string machinery (measured
+    ~10 us/row interpreted vs ~4 us/row for one whole-column kernel
+    pass at 1.5M rows).  With a shadow (c -> (xc, yc)) the scan
+    additionally proves the stored doubles EQUAL the kernel output
+    bit-for-bit: SQL `=` plus a string-form sign-of-zero refinement
+    ("-0.0" vs "0.0"; division tricks throw under ANSI mode), and NULL
+    geometry rows must have NULL shadows so substitution preserves
+    kernel NULL semantics."""
+    from sedona_db_spark.plans.native_point import point_guard_sql
+    checks = []
+    for i, c in enumerate(cols):
+        ok = (f"({point_guard_sql(c)} AND ST_X({c}) IS NOT NULL "
+              f"AND ST_Y({c}) IS NOT NULL")
+        if shadow and c in shadow:
+            # the shadow may be stored as DECIMAL (e.g. decimal-typed
+            # source arithmetic); the kernel saw its float64 image, so
+            # both the check and the substitution go through
+            # CAST(.. AS DOUBLE) — _shadow_cast_sql keeps them aligned
+            xc, yc = (_shadow_cast_sql(x) for x in shadow[c])
+            ok += (f" AND ST_X({c}) = {xc} AND ST_Y({c}) = {yc}"
+                   f" AND (ST_X({c}) != 0.0D OR CAST(ST_X({c}) AS STRING)"
+                   f" = CAST({xc} AS STRING))"
+                   f" AND (ST_Y({c}) != 0.0D OR CAST(ST_Y({c}) AS STRING)"
+                   f" = CAST({yc} AS STRING))")
+            null_ok = f"({c} IS NULL AND {xc} IS NULL AND {yc} IS NULL)"
+        else:
+            null_ok = f"{c} IS NULL"
+        ok += ")"
+        checks.append(f"sum(CASE WHEN NOT ({null_ok} OR {ok}) "
+                      f"THEN 1 ELSE 0 END) AS bad_{i}")
+    return checks
+
+
+def _point_cert_scan(spark, relation: str, cols, shadow, what: str):
+    checks = _point_cert_checks(cols, shadow)
+    row = spark.sql(
+        f"SELECT {', '.join(checks)} FROM {relation}").first()
     for i, c in enumerate(cols):
         bad = row[f"bad_{i}"]
         if bad:
             raise ValueError(
-                f"certify_point_table({table}): column {c} has {bad} "
-                f"non-point rows — refusing to stamp the certificate")
+                f"{what}({relation}): column {c} has {bad} rows that "
+                f"are not NaN-free 2D LE point WKB"
+                + (" with bit-equal shadow coordinates"
+                   if shadow and c in shadow else "")
+                + " — refusing to stamp the certificate")
+
+
+def certify_point_table(spark, table: str, cols: list[str],
+                        shadow: dict | None = None) -> None:
+    """Verify in ONE scan that every non-null value of each named
+    column is a 21-byte little-endian 2D point WKB with non-NaN
+    coordinates (the ST_Point kernel's output invariant — NaN inputs
+    become NULL geometries, so kernels treat NaN-coordinate points as
+    empty), then stamp the table properties the certified scalar
+    rewrite trusts.  ``shadow`` maps a point column to sibling
+    ``(x_col, y_col)`` DOUBLE columns proven bit-equal to its
+    coordinates: the rewrite then substitutes the stored doubles
+    directly (zero per-row decode — the only form that scales; WKB bit
+    extraction measured ~10 us/row).  Raises if any row violates —
+    never stamps a lie."""
+    _point_cert_scan(spark, table, cols, shadow, "certify_point_table")
     import json as _json
     val = _json.dumps(cols).replace("'", "''")
     spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES "
               f"('sedona.point.cols' = '{val}')")
+    if shadow:
+        sval = _json.dumps({c: list(xy) for c, xy in shadow.items()}) \
+            .replace("'", "''")
+        spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES "
+                  f"('sedona.point.shadow' = '{sval}')")
+
+
+def certify_point_view(spark, view: str, shadow: dict) -> None:
+    """certify_point_table for a (temp) view, which has no table
+    properties: verify the same predicate in one scan, then register
+    the shadow map in a session-level dict keyed by the view's CURRENT
+    analyzed plan string — a later CREATE OR REPLACE changes the plan
+    text and silently invalidates the certificate (fail-closed)."""
+    cols = list(shadow)
+    _point_cert_scan(spark, view, cols, shadow, "certify_point_view")
+    fp = _view_fingerprint(spark, view)
+    if fp is None:
+        return
+    reg = getattr(spark, "_sedona_point_view_shadows", None)
+    if reg is None:
+        reg = {}
+        spark._sedona_point_view_shadows = reg
+    reg[view] = (dict(shadow), fp)
+
+
+def _view_fingerprint(spark, view: str) -> str | None:
+    """Analyzed-plan text with expression ids stripped: stable across
+    re-analysis (each spark.table() call mints fresh ids) but changed
+    by any CREATE OR REPLACE that alters the view's definition."""
+    try:
+        s = spark.table(view)._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return None
+    return re.sub(r"#\d+", "#", s)
+
+
+def _view_shadow(spark, table: str, col: str):
+    """(x_col, y_col) for a view column certified by
+    certify_point_view, if the view's plan is unchanged; else None."""
+    reg = getattr(spark, "_sedona_point_view_shadows", None)
+    if not reg or table not in reg:
+        return None
+    shadow, fp = reg[table]
+    if col not in shadow:
+        return None
+    cur = _view_fingerprint(spark, table)
+    return tuple(shadow[col]) if cur is not None and cur == fp else None
+
+
+def _point_table_shadow(spark, table: str, col: str):
+    """(x_col, y_col) from the stored shadow property, or None."""
+    import json as _json
+    try:
+        row = spark.sql(
+            f"SHOW TBLPROPERTIES {table} ('sedona.point.shadow')").first()
+        val = row["value"] if row is not None else None
+        if not val or val.startswith("Table") or "does not have" in val:
+            return None
+        m = _json.loads(val)
+        xy = m.get(col)
+        return tuple(xy) if isinstance(xy, list) and len(xy) == 2 else None
+    except Exception:
+        return None
+
+
+# WKB bit extraction is exact but costs ~10 us/row/coordinate in
+# interpreted string machinery (hex/conv/concat); above this estimated
+# relation size the rewrite declines extraction and leaves the
+# vectorized Arrow kernel in place (~4 us/row/pass).  Shadow columns
+# (zero decode cost) are preferred at ANY size and ignore this gate.
+_EXTRACT_MAX_BYTES_CONF = "spark.sedona.scalarRewrite.extractMaxBytes"
+_EXTRACT_MAX_BYTES_DEFAULT = 4 * 1024 * 1024
+
+
+def _rel_size_bytes(df) -> int | None:
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return None
 
 
 def rewrite_certified_scalar(spark, sql: str, vanilla_sql) -> str | None:
     """Rewrite scalar ST_X/ST_Y/ST_Distance/ST_DWithin/ST_DistanceSphere
-    calls over CERTIFIED all-point columns into native bit-extraction
-    arithmetic (plans/native_point.py) — whole-stage codegen, no
-    Arrow/Python round trip.  A column is certified when its relation's
-    analyzed plan proves it is the 2-arg ST_Point constructor's output
-    (the r10 plan-time certificate) or its table carries the write-time
-    point property (certify_point_table).  Conservative: any alias
-    ambiguity, subquery-sourced arg, or uncertified column leaves that
-    call untouched.  Returns spliced SQL text (comments/hints of the
-    original preserved) or None.
+    calls over CERTIFIED all-point columns into pure whole-stage-codegen
+    arithmetic — no Arrow/Python round trip.  Coordinate sources, in
+    preference order:
+
+    1. SHADOW COLUMNS — sibling DOUBLE columns proven bit-equal to the
+       point's coordinates at certify time (certify_point_table /
+       certify_point_view).  Zero per-row decode; the only form whose
+       cost scales (a stored-column scan reads 16 B/row).
+    2. WKB BIT EXTRACTION (plans/native_point.py) — exact but ~10 us/
+       row/coordinate of interpreted string machinery, so gated on the
+       relation's estimated size (spark.sedona.scalarRewrite.
+       extractMaxBytes, default 4 MiB); above the gate the vectorized
+       Arrow kernel stays.  Available when the table property names the
+       column or the relation's analyzed plan proves it is the 2-arg
+       ST_Point constructor's output (the r10 plan-time certificate).
+
+    Conservative: any alias ambiguity, subquery-sourced arg, or
+    uncertified column leaves that call untouched.  Returns spliced SQL
+    text (comments/hints of the original preserved) or None.
 
     ST_X/ST_Y substitution is bit-exact (same stored double).  The
     distance forms use the same _EUCLID/_HAVERSINE formulas as the
@@ -2062,31 +2210,57 @@ def rewrite_certified_scalar(spark, sql: str, vanilla_sql) -> str | None:
         except Exception:
             rels[a] = None
             schemas[a] = []
-    cert_memo: dict[tuple[str, str], bool] = {}
+    cert_memo: dict[tuple[str, str], tuple | None] = {}
 
-    def certified(alias: str, col: str) -> bool:
+    def cert_kind(alias: str, col: str):
+        """('shadow', xc, yc) | ('extract',) | None for a relation
+        column, memoized per (table, col)."""
         tbl = rels.get(alias)
         if tbl is None or col not in schemas[alias]:
-            return False
-        key = (tbl, col)
-        hit = cert_memo.get(key)
-        if hit is not None:
-            return hit
-        ok = col in _point_table_cols(spark, tbl)
-        if not ok:
-            try:
-                ok = _point_constructor_certified(dfs[alias], col)
-            except Exception:
-                ok = False
-        cert_memo[key] = ok
-        return ok
-
-    def pt_ref(lo, hi):
-        """Arg span -> certified 'alias.col' source text, or None."""
-        q = _qualified_ref(toks, lo, hi, rels, schemas)
-        if q is None or not certified(*q):
             return None
-        return sql[spans[lo][0]:spans[hi - 1][1]]
+        key = (tbl, col)
+        if key in cert_memo:
+            return cert_memo[key]
+        out = None
+        xy = _view_shadow(spark, tbl, col) \
+            or _point_table_shadow(spark, tbl, col)
+        if xy and xy[0] in schemas[alias] and xy[1] in schemas[alias]:
+            out = ("shadow",) + tuple(xy)
+        else:
+            ok = col in _point_table_cols(spark, tbl)
+            if not ok:
+                try:
+                    ok = _point_constructor_certified(dfs[alias], col)
+                except Exception:
+                    ok = False
+            if ok:
+                try:
+                    cap = int(spark.conf.get(
+                        _EXTRACT_MAX_BYTES_CONF,
+                        str(_EXTRACT_MAX_BYTES_DEFAULT)))
+                except Exception:
+                    cap = _EXTRACT_MAX_BYTES_DEFAULT
+                size = _rel_size_bytes(dfs[alias])
+                if size is not None and size <= cap:
+                    out = ("extract",)
+        cert_memo[key] = out
+        return out
+
+    def pt_xy(lo, hi):
+        """Arg span -> (x_sql, y_sql) coordinate expressions of a
+        certified point column ref, or None."""
+        q = _qualified_ref(toks, lo, hi, rels, schemas)
+        if q is None:
+            return None
+        kind = cert_kind(*q)
+        if kind is None:
+            return None
+        alias = q[0]
+        if kind[0] == "shadow":
+            return (_shadow_cast_sql(f"{alias}.{kind[1]}"),
+                    _shadow_cast_sql(f"{alias}.{kind[2]}"))
+        ref = sql[spans[lo][0]:spans[hi - 1][1]]
+        return (point_x_sql(ref), point_y_sql(ref))
 
     # --- scan calls and build splice list
     edits: list[tuple[int, int, str]] = []
@@ -2108,34 +2282,33 @@ def rewrite_certified_scalar(spark, sql: str, vanilla_sql) -> str | None:
                 return None
             repl = None
             if u in ("ST_X", "ST_Y"):
-                ref = pt_ref(i + 2, j)
-                if ref is not None:
-                    repl = (point_x_sql(ref) if u == "ST_X"
-                            else point_y_sql(ref))
+                xy = pt_xy(i + 2, j)
+                if xy is not None:
+                    repl = xy[0] if u == "ST_X" else xy[1]
             elif u == "ST_DWITHIN":
                 parts = _split_args(toks, i + 2, j)
                 if parts is not None and len(parts) == 3:
-                    r1 = pt_ref(*parts[0])
-                    r2 = pt_ref(*parts[1])
-                    if r1 is not None and r2 is not None:
+                    xy1 = pt_xy(*parts[0])
+                    xy2 = pt_xy(*parts[1])
+                    if xy1 is not None and xy2 is not None:
                         dist = sql[spans[parts[2][0]][0]:
                                    spans[parts[2][1] - 1][1]]
                         # kernel boundary: r <= d + 1e-12 (_EPS)
                         repl = ("( " + _EUCLID_SQL.format(
-                            lon1=point_x_sql(r1), lat1=point_y_sql(r1),
-                            lon2=point_x_sql(r2), lat2=point_y_sql(r2))
+                            lon1=xy1[0], lat1=xy1[1],
+                            lon2=xy2[0], lat2=xy2[1])
                             + f" <= ( ( {dist} ) + 1e-12 ) )")
             else:
                 args = _split_two_args(toks, i + 2, j)
                 if args is not None:
-                    r1 = pt_ref(*args[0])
-                    r2 = pt_ref(*args[1])
-                    if r1 is not None and r2 is not None:
+                    xy1 = pt_xy(*args[0])
+                    xy2 = pt_xy(*args[1])
+                    if xy1 is not None and xy2 is not None:
                         fmt = (_HAVERSINE_SQL if u == "ST_DISTANCESPHERE"
                                else _EUCLID_SQL)
                         repl = fmt.format(
-                            lon1=point_x_sql(r1), lat1=point_y_sql(r1),
-                            lon2=point_x_sql(r2), lat2=point_y_sql(r2))
+                            lon1=xy1[0], lat1=xy1[1],
+                            lon2=xy2[0], lat2=xy2[1])
             if repl is not None:
                 edits.append((spans[i][0], spans[j][1], repl))
                 i = j + 1

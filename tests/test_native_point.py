@@ -107,6 +107,86 @@ def test_certify_point_table_stamps_and_refuses(spark, tmp_path):
     spark.sql("DROP TABLE np_cert_bad")
 
 
+def test_shadow_certification_and_substitution(spark):
+    """Shadow columns (stored doubles proven bit-equal to the WKB
+    coordinates) substitute directly — zero per-row decode: no
+    EvalPython AND no bit-extraction (conv) in the plan."""
+    from sedona_db_spark.plans.sql_rewrite import certify_point_table
+    rng = np.random.default_rng(11)
+    rows = [(int(i), _pt_wkb(float(x), float(y)), float(x), float(y))
+            for i, (x, y) in enumerate(rng.uniform(-50, 50, (32, 2)))]
+    rows.append((32, None, None, None))    # NULL row: shadows NULL too
+    spark.createDataFrame(rows, "k bigint, geom binary, px double, py double") \
+        .write.mode("overwrite").saveAsTable("np_shadow_pts")
+    certify_point_table(spark, "np_shadow_pts", ["geom"],
+                        shadow={"geom": ("px", "py")})
+    q = ("SELECT a.k, ST_Distance(a.geom, b.geom) d, ST_X(a.geom) x "
+         "FROM np_shadow_pts a JOIN np_shadow_pts b ON b.k = a.k + 1")
+    out = spark.sql(q)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+    assert "conv(" not in plan, plan       # shadow, not bit extraction
+    got = {r["k"]: (r["d"], r["x"]) for r in out.collect()}
+    by_k = {k: (x, y) for k, _, x, y in rows}
+    for k, (d, x) in got.items():
+        if by_k[k][0] is None or by_k[k + 1][0] is None:
+            assert d is None and (x is None or by_k[k][0] is not None)
+            continue
+        assert x == by_k[k][0]
+        assert d == pytest.approx(math.hypot(
+            by_k[k][0] - by_k[k + 1][0], by_k[k][1] - by_k[k + 1][1]),
+            abs=1e-9)
+    spark.sql("DROP TABLE np_shadow_pts")
+
+
+def test_shadow_certification_refusals(spark):
+    from sedona_db_spark.plans.sql_rewrite import certify_point_table
+    # (a) coordinate mismatch
+    rows = [(_pt_wkb(1.0, 2.0), 1.0, 2.5)]
+    spark.createDataFrame(rows, "geom binary, px double, py double") \
+        .write.mode("overwrite").saveAsTable("np_shadow_bad")
+    with pytest.raises(ValueError, match="refusing to stamp"):
+        certify_point_table(spark, "np_shadow_bad", ["geom"],
+                            shadow={"geom": ("px", "py")})
+    # (b) sign-of-zero mismatch: WKB stores -0.0, shadow says 0.0
+    rows = [(_pt_wkb(-0.0, 2.0), 0.0, 2.0)]
+    spark.createDataFrame(rows, "geom binary, px double, py double") \
+        .write.mode("overwrite").saveAsTable("np_shadow_zero")
+    with pytest.raises(ValueError, match="refusing to stamp"):
+        certify_point_table(spark, "np_shadow_zero", ["geom"],
+                            shadow={"geom": ("px", "py")})
+    # (c) NULL geometry with non-NULL shadow (substitution would
+    # resurrect a value the kernel returns NULL for)
+    rows = [(None, 1.0, 2.0)]
+    spark.createDataFrame(rows, "geom binary, px double, py double") \
+        .write.mode("overwrite").saveAsTable("np_shadow_null")
+    with pytest.raises(ValueError, match="refusing to stamp"):
+        certify_point_table(spark, "np_shadow_null", ["geom"],
+                            shadow={"geom": ("px", "py")})
+    for t in ("np_shadow_bad", "np_shadow_zero", "np_shadow_null"):
+        spark.sql(f"DROP TABLE {t}")
+
+
+def test_view_shadow_invalidated_by_replace(spark):
+    """certify_point_view's certificate dies with the view definition:
+    CREATE OR REPLACE with different content must fail the fingerprint
+    so the rewrite falls back to the kernel (fail-closed)."""
+    from sedona_db_spark.plans.sql_rewrite import (
+        certify_point_view, _view_shadow)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW np_vshadow AS
+                 SELECT CAST(id AS DOUBLE) vx, CAST(-id AS DOUBLE) vy,
+                        ST_Point(CAST(id AS DOUBLE), CAST(-id AS DOUBLE)) g
+                 FROM range(10)""")
+    certify_point_view(spark, "np_vshadow", {"g": ("vx", "vy")})
+    assert _view_shadow(spark, "np_vshadow", "g") == ("vx", "vy")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW np_vshadow AS
+                 SELECT CAST(id AS DOUBLE) vx, CAST(id AS DOUBLE) vy,
+                        ST_Point(CAST(id AS DOUBLE), CAST(id AS DOUBLE)) g
+                 FROM range(10)""")
+    assert _view_shadow(spark, "np_vshadow", "g") is None
+    spark.catalog.dropTempView("np_vshadow")
+
+
 def test_certified_scalar_rewrite_fires_and_matches(spark):
     from sedona_db_spark.plans.sql_rewrite import certify_point_table
     rng = np.random.default_rng(7)
