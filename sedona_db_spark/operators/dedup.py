@@ -456,8 +456,30 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         # back with <= T rows those ARE the whole edge set, so the former
         # separate count-probe scan (a second full job over the edge
         # derivation) is folded away; with T+1 rows the sample is
-        # discarded and the distributed path runs
-        rows = e.limit(driver_threshold + 1).collect()
+        # discarded and the distributed path runs.  CollectLimit's
+        # default first wave is 1 partition (then 4x growth), which for
+        # a SMALL edge set over a many-partition derivation means ~4
+        # sequential re-scan waves — start the probe at one full
+        # wave of cores instead (huge edge sets still stop at wave 1,
+        # now merely a bit wider)
+        spark = edges.sparkSession
+        _lim_conf = "spark.sql.limit.initialNumPartitions"
+        try:
+            prev_init = spark.conf.get(_lim_conf, None)
+            spark.conf.set(_lim_conf,
+                           str(spark.sparkContext.defaultParallelism))
+        except Exception:
+            prev_init = None
+        try:
+            rows = e.limit(driver_threshold + 1).collect()
+        finally:
+            try:
+                if prev_init is None:
+                    spark.conf.unset(_lim_conf)
+                else:
+                    spark.conf.set(_lim_conf, prev_init)
+            except Exception:
+                pass
         if len(rows) <= driver_threshold:
             parent: dict[int, int] = {}
 
@@ -478,9 +500,20 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                         parent[rv] = ru
                     else:
                         parent[ru] = rv
-            out = [(n, find(n)) for n in parent]
+            # Arrow/pandas createDataFrame: plans as a LocalTableScan
+            # with real stats instead of a pickled python RDD
+            # (applySchemaToPythonRDD) — measured 0.2 s vs 0.7-2.0 s
+            # per downstream action on the warm path, and downstream
+            # joins can see the (tiny) size and broadcast it
+            import numpy as _np
+            import pandas as _pd
+            nodes = _np.fromiter(parent.keys(), dtype=_np.int64,
+                                 count=len(parent))
+            comps = _np.fromiter((find(n) for n in nodes),
+                                 dtype=_np.int64, count=len(nodes))
             return edges.sparkSession.createDataFrame(
-                out, "node long, component long")
+                _pd.DataFrame({"node": nodes, "component": comps}),
+                "node long, component long")
 
     def large_star(ed: DataFrame) -> DataFrame:
         sym = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
