@@ -158,33 +158,80 @@ def _gram_hashes(toks, n: int):
 _JAVA_WS_RE = _re.compile(r"[ \t\n\x0b\f\r]+")
 
 
-def _batch_gram_strings(s: pd.Series, n: int):
-    """Tokenize a batch (Java-\\s-exact) and enumerate n-gram strings
-    into ONE flat list + per-row offsets — the flat layout lets the
-    whole batch be hashed in a single vectorized call (per-element cost
-    0.47 us vs 4.3 us for per-row hash_array calls, measured)."""
-    flat: list = []
-    offsets = [0]
+def _batch_gram_hashes(s: pd.Series, n: int):
+    """Tokenize a batch (Java-\\s-exact, lowered) and return
+    ``(gram_hashes, offsets)``: one flat int64 array of per-gram 64-bit
+    hashes plus per-row offsets into it (row i's grams are
+    ``gram_hashes[offsets[i]:offsets[i+1]]``).
+
+    r11 (guide §4.2, do the heavy lifting vectorized): the former
+    formulation materialized every n-gram STRING (``' '.join`` of n
+    tokens — O(n x corpus bytes) of Python string building) before one
+    vectorized siphash.  Now each TOKEN is hashed once (one flat
+    ``pd.util.hash_array`` call — deterministic fixed-key siphash,
+    stable across workers and sessions; ``categorize=False`` because
+    near-unique inputs make the factorize pre-pass pure overhead, 6x
+    measured) and a gram's hash is the position-weighted sum
+    ``sum_j token_hash[i+j] * C_j (mod 2^64)`` with fixed distinct odd
+    multipliers ``C_j`` — computed for the whole flat batch in n
+    vectorized multiply-adds, then sliced per row (grams spanning row
+    boundaries are discarded by the slicing).  Tokens cannot contain
+    whitespace, so gram identity over token tuples equals gram identity
+    over the joined strings; hash agreement is closed under the two
+    kernels below, and collisions stay ~2^-64 (a swap of unequal tokens
+    at positions j,k changes the sum by (h_a-h_b)(C_j-C_k) != 0 mod
+    2^64 except on a vanishing set).  Measured 1.9x on the 13-gram
+    kernel at sf0.1 shapes."""
+    import numpy as np
+    tok_flat: list = []
+    offs = [0]
     for txt in s:
         if txt:
-            tk = [t for t in _JAVA_WS_RE.split(txt.lower()) if t]
-            m = len(tk) - (n - 1)
-            if m > 0:
-                flat.extend(" ".join(tk[i:i + n]) for i in range(m))
-        offsets.append(len(flat))
-    return flat, offsets
+            tok_flat.extend(t for t in _JAVA_WS_RE.split(txt.lower()) if t)
+        offs.append(len(tok_flat))
+    if tok_flat:
+        th = pd.util.hash_array(np.array(tok_flat, dtype=object),
+                                categorize=False)
+    else:
+        th = np.empty(0, dtype="uint64")
+    L = len(th)
+    mults = _gram_mults(n)
+    if L >= n:
+        with np.errstate(over="ignore"):
+            G = th[:L - n + 1] * mults[0]
+            for j in range(1, n):
+                G = G + th[j:L - n + 1 + j] * mults[j]
+        G = G.view("int64")
+    else:
+        G = np.empty(0, dtype="int64")
+    # per-row gram offsets: row [a, b) of tokens owns flat grams
+    # [a, a + max(b - a - (n-1), 0)) — all fully inside the row
+    out_off = [0]
+    total = 0
+    starts = []
+    for i in range(len(s)):
+        a, b = offs[i], offs[i + 1]
+        m = max((b - a) - (n - 1), 0)
+        starts.append(a)
+        total += m
+        out_off.append(total)
+    flat_out = np.empty(total, dtype="int64")
+    pos = 0
+    for i in range(len(s)):
+        m = out_off[i + 1] - out_off[i]
+        if m:
+            a = starts[i]
+            flat_out[pos:pos + m] = G[a:a + m]
+            pos += m
+    return flat_out, out_off
 
 
-def _hash_flat(flat: list):
-    """64-bit deterministic siphash (pandas hash_array, fixed key —
-    stable across workers and sessions) of a flat gram-string list.
-    categorize=False: grams are near-unique, the factorize pre-pass
-    only adds overhead (6x, measured)."""
+def _gram_mults(n: int):
+    """Fixed distinct odd 64-bit position multipliers for the n-gram
+    combine (golden-ratio multiples, forced odd)."""
     import numpy as np
-    if not flat:
-        return np.empty(0, dtype="int64")
-    arr = np.array(flat, dtype=object)
-    return pd.util.hash_array(arr, categorize=False).view("int64")
+    return ((np.arange(1, n + 1, dtype=np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1))
 
 
 def _gram_hash_kernel(n: int):
@@ -193,8 +240,7 @@ def _gram_hash_kernel(n: int):
     DuckDB string oracle it is exact modulo a 2^-64 collision."""
 
     def run(s: pd.Series) -> pd.Series:
-        flat, offsets = _batch_gram_strings(s, n)
-        hashes = _hash_flat(flat)
+        hashes, offsets = _batch_gram_hashes(s, n)
         return pd.Series(
             [hashes[offsets[i]:offsets[i + 1]] for i in range(len(s))],
             dtype=object)
@@ -208,10 +254,10 @@ def _gram_member_kernel(n: int, bench_hashes: frozenset):
     join, no second pass over the corpus."""
 
     def run(s: pd.Series) -> pd.Series:
-        flat, offsets = _batch_gram_strings(s, n)
-        hashes = _hash_flat(flat).tolist()
+        hashes, offsets = _batch_gram_hashes(s, n)
+        hl = hashes.tolist()
         return pd.Series(
-            [not bench_hashes.isdisjoint(hashes[offsets[i]:offsets[i + 1]])
+            [not bench_hashes.isdisjoint(hl[offsets[i]:offsets[i + 1]])
              for i in range(len(s))], dtype=bool)
     return run
 
@@ -668,7 +714,7 @@ def exact_substring_spans(df: DataFrame, text_col: str = "text",
 
 def _span_rebuild_kernel(s_text: pd.Series, s_spans: pd.Series) -> pd.DataFrame:
     """Per-doc span removal + text rebuild, one Python pass per Arrow
-    batch.  Tokenization is the _batch_gram_strings convention (Java-\\s
+    batch.  Tokenization is the _batch_gram_hashes convention (Java-\\s
     split, empties filtered) applied to the ORIGINAL text: lowering
     never creates or removes whitespace, so token positions line up
     with the case-insensitive gram hashes while kept tokens retain
