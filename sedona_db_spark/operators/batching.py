@@ -349,21 +349,38 @@ def materialize_sequences(df: DataFrame, budget: int,
                                _range_bucket(id_col, lo, hi, npart))
     scanned = prefix_scan(narrow, "__part", [id_col], "__nt",
                           out_pos="__pos", out_run="__start")
-    toks = (scanned
-            .select(id_col, F.col("__start"),
-                    F.posexplode(tokens_col).alias("__tp", "__tok"))
-            .withColumn("__gpos", F.col("__start") + F.col("__tp"))
-            .withColumn("seq_id",
-                        F.floor(F.col("__gpos") / F.lit(int(budget)))
-                        .cast("long"))
-            .withColumn("__sp",
-                        F.pmod(F.col("__gpos"), F.lit(int(budget)))))
-    return (toks.groupBy("seq_id")
-            .agg(F.concat_ws(" ", F.transform(
+    # One row per (doc x overlapped sequence) FRAGMENT, not per token
+    # (r11, guide §2.3 shuffle fewer bytes/rows): a doc's tokens occupy
+    # the contiguous global range [__start, __start+__nt), so it
+    # contributes exactly one contiguous token slice to each sequence in
+    # [__start div b, (__start+__nt-1) div b].  The slice is cut in the
+    # same codegen stage as the explode — only the fragment arrays reach
+    # the exchange — collapsing shuffle row count by ~budget x while the
+    # token bytes still move exactly once.  Assembly sorts the few
+    # fragments per group by their in-sequence position and flattens;
+    # groups stay bounded by ``budget`` tokens, so the no-skew property
+    # is unchanged.  Output is bit-identical to the former per-token
+    # formulation (pinned by the oracle contract and
+    # tests/test_batching.py).
+    b = int(budget)
+    frags = (scanned.where(F.col("__nt") > 0)
+             .selectExpr(
+                 id_col, tokens_col, "__start", "__nt",
+                 f"explode(sequence(__start DIV {b}, "
+                 f"(__start + __nt - 1) DIV {b})) AS seq_id")
+             .selectExpr(
+                 "seq_id", id_col,
+                 f"greatest(__start - seq_id * {b}, 0L) AS __sp",
+                 f"slice({tokens_col}, "
+                 f"CAST(greatest(seq_id * {b} - __start, 0L) + 1 AS INT), "
+                 f"CAST(least((seq_id + 1) * {b}, __start + __nt) "
+                 f"- greatest(seq_id * {b}, __start) AS INT)) AS __frag"))
+    return (frags.groupBy("seq_id")
+            .agg(F.concat_ws(" ", F.flatten(F.transform(
                      F.array_sort(F.collect_list(
-                         F.struct("__sp", "__tok"))),
-                     lambda s: s["__tok"])).alias("seq_text"),
-                 F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                         F.struct("__sp", "__frag"))),
+                     lambda s: s["__frag"]))).alias("seq_text"),
+                 F.sum(F.size("__frag")).cast("long").alias("n_tokens"),
                  F.countDistinct(id_col).cast("long").alias("n_docs")))
 
 

@@ -509,3 +509,30 @@ def test_chunk_documents_empty_and_null_text(spark):
     assert out[(3, 0)] == (0, "")
     assert out[(4, 0)] == (2, "a b")
     assert len(out) == 4
+
+
+def test_materialize_fragment_shuffle_edge_shapes(spark):
+    """r11 fragment-shuffle rewrite: one giant doc spanning many
+    sequences, zero-token docs interleaved, and exact-budget boundaries
+    must reproduce the token stream bit-for-bit vs a Python reference."""
+    pdf = pd.DataFrame({
+        "doc_id": [10, 11, 12, 13, 14, 15],
+        "tokens": [["g%d" % i for i in range(23)],   # spans 6 seqs of 4
+                   [],                               # zero-token doc
+                   ["x"] * 4,                        # exact budget
+                   ["y"] * 1,
+                   [],                               # zero-token doc
+                   ["z%d" % i for i in range(9)]]})
+    df = spark.createDataFrame(pdf).repartition(4)
+    out = (B.materialize_sequences(df, 4)
+           .toPandas().sort_values("seq_id").reset_index(drop=True))
+    stream, owners = [], []
+    for _, r in pdf.iterrows():
+        stream += list(r["tokens"])
+        owners += [r["doc_id"]] * len(r["tokens"])
+    chunks = [stream[i:i + 4] for i in range(0, len(stream), 4)]
+    own = [owners[i:i + 4] for i in range(0, len(stream), 4)]
+    assert list(out["seq_id"]) == list(range(len(chunks)))
+    assert list(out["seq_text"]) == [" ".join(c) for c in chunks]
+    assert list(out["n_tokens"]) == [len(c) for c in chunks]
+    assert list(out["n_docs"]) == [len(set(o)) for o in own]
