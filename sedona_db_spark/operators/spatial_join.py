@@ -922,23 +922,16 @@ def spatial_join(
     ybreaks = sorted(set(qy))
     ny = len(ybreaks) + 1
 
-    def _bucket(v, breaks):
-        if not breaks:
-            return F.lit(0).cast("long")
-        arr = F.array(*[F.lit(float(b)) for b in breaks])
-        return F.size(F.filter(arr, lambda b: b <= v)).cast("long")
-
-    def cells(box, dx):
-        cx0 = _bucket(box["xmin"] - dx, xbreaks)
-        cx1 = _bucket(box["xmax"] + dx, xbreaks)
-        cy0 = _bucket(box["ymin"] - dx, ybreaks)
-        cy1 = _bucket(box["ymax"] + dx, ybreaks)
-        return F.flatten(F.transform(
-            F.sequence(cx0, cx1),
-            lambda cx: F.transform(F.sequence(cy0, cy1), lambda cy: cx * ny + cy)))
-
-    le = lb.withColumn("__cell", F.explode(cells(F.col("__lbox"), F.lit(expand))))
-    re_ = rb.withColumn("__cell", F.explode(cells(F.col("__rbox"), F.lit(0.0))))
+    # cell-id expressions as single SQL strings (_bucket_sql CASE
+    # chains): one py4j round trip per side and whole-stage codegen at
+    # runtime, replacing the per-break F.lit array + interpreted HOF
+    # filter (see _bucket_sql)
+    le = lb.withColumn("__cell", F.explode(F.expr(_cells_sql(
+        "__lbox.xmin", "__lbox.ymin", "__lbox.xmax", "__lbox.ymax",
+        expand, xbreaks, ybreaks, ny))))
+    re_ = rb.withColumn("__cell", F.explode(F.expr(_cells_sql(
+        "__rbox.xmin", "__rbox.ymin", "__rbox.xmax", "__rbox.ymax",
+        0.0, xbreaks, ybreaks, ny))))
 
     cond = (
         (F.col("__lcell") == F.col("__rcell")) &
@@ -953,9 +946,11 @@ def spatial_join(
 
     # reference-point dedup: keep the pair only in the cell holding the
     # top-left corner of the bbox intersection (expanded by distance)
-    rx = F.greatest(F.col("__lbox.xmin") - expand, F.col("__rbox.xmin"))
-    ry = F.greatest(F.col("__lbox.ymin") - expand, F.col("__rbox.ymin"))
-    ref_cell = _bucket(rx, xbreaks) * ny + _bucket(ry, ybreaks)
+    _d = _dlit(expand)
+    ref_cell = F.expr(
+        f"{_bucket_sql(f'greatest((__lbox.xmin) - {_d}, __rbox.xmin)', xbreaks)}"
+        f" * {int(ny)}L "
+        f"+ {_bucket_sql(f'greatest((__lbox.ymin) - {_d}, __rbox.ymin)', ybreaks)}")
     cand = cand.filter(F.col("__lcell") == ref_cell)
 
     # rectangle fast path in the partitioned regime too — the exact
@@ -1249,22 +1244,45 @@ _LAYOUT_PROP = "sedona_db.spatial_layout"
 _LAYOUT_COLS = ["__bx0", "__by0", "__bx1", "__by1", "__bcls", "__cell"]
 
 
-def _bucket_expr(v, breaks):
+def _dlit(x) -> str:
+    """Exact SQL double literal (CAST of repr string — constant-folded
+    at plan time, round-trips every finite double)."""
+    return f"CAST('{repr(float(x))}' AS DOUBLE)"
+
+
+def _bucket_sql(v_sql: str, breaks) -> str:
+    """SQL for 'number of breaks <= v' (the equal-frequency cell index).
+
+    r11 (guide §4.1 + §1.2 per-task work): the former Column form built
+    an array of per-break F.lit literals and counted them with an
+    interpreted higher-order filter — ~2 py4j round trips per break per
+    call site at construction (profiled: ~900 of the grid join's 2240
+    construction RPCs) and an interpreted per-row array scan at
+    execution.  The CASE chain is ONE F.expr round trip and whole-stage
+    codegen at runtime.  Semantics preserved exactly: breaks ascending
+    (duplicates allowed — an equal break's WHEN never fires, matching
+    the count), NULL input -> bucket 0 like the old filter-over-NULL
+    behavior."""
     if not breaks:
-        return F.lit(0).cast("long")
-    arr = F.array(*[F.lit(float(b)) for b in breaks])
-    return F.size(F.filter(arr, lambda b: b <= v)).cast("long")
+        return "0L"
+    whens = " ".join(
+        f"WHEN ({v_sql}) < {_dlit(b)} THEN {i}L"
+        for i, b in enumerate(breaks))
+    return (f"(CASE WHEN ({v_sql}) IS NULL THEN 0L {whens} "
+            f"ELSE {len(breaks)}L END)")
 
 
-def _cells_expr(x0, y0, x1, y1, dx, xbreaks, ybreaks, ny):
-    cx0 = _bucket_expr(x0 - dx, xbreaks)
-    cx1 = _bucket_expr(x1 + dx, xbreaks)
-    cy0 = _bucket_expr(y0 - dx, ybreaks)
-    cy1 = _bucket_expr(y1 + dx, ybreaks)
-    return F.flatten(F.transform(
-        F.sequence(cx0, cx1),
-        lambda cx: F.transform(F.sequence(cy0, cy1),
-                               lambda cy: cx * ny + cy)))
+def _cells_sql(x0, y0, x1, y1, dx, xbreaks, ybreaks, ny) -> str:
+    """SQL for the covering-cell id array of a bbox padded by ``dx``
+    (x0/y0/x1/y1 are SQL sub-expressions, dx a python float)."""
+    d = _dlit(dx)
+    cx0 = _bucket_sql(f"({x0}) - {d}", xbreaks)
+    cx1 = _bucket_sql(f"({x1}) + {d}", xbreaks)
+    cy0 = _bucket_sql(f"({y0}) - {d}", ybreaks)
+    cy1 = _bucket_sql(f"({y1}) + {d}", ybreaks)
+    return (f"flatten(transform(sequence({cx0}, {cx1}), "
+            f"cx -> transform(sequence({cy0}, {cy1}), "
+            f"cy -> cx * {int(ny)}L + cy)))")
 
 
 def write_bucketed_layout(df: DataFrame, table: str, geom: str = "geom",
@@ -1315,10 +1333,9 @@ def write_bucketed_layout(df: DataFrame, table: str, geom: str = "geom",
         xbreaks = [float(v) for v in meta["xbreaks"]]
         ybreaks = [float(v) for v in meta["ybreaks"]]
         ny = int(meta["ny"])
-        out = (b.withColumn("__cell", F.explode(_cells_expr(
-                   F.col("__b.xmin"), F.col("__b.ymin"),
-                   F.col("__b.xmax"), F.col("__b.ymax"),
-                   F.lit(0.0), xbreaks, ybreaks, ny)))
+        out = (b.withColumn("__cell", F.explode(F.expr(_cells_sql(
+                   "__b.xmin", "__b.ymin", "__b.xmax", "__b.ymax",
+                   0.0, xbreaks, ybreaks, ny))))
                 .withColumn("__bx0", F.col("__b.xmin"))
                 .withColumn("__by0", F.col("__b.ymin"))
                 .withColumn("__bx1", F.col("__b.xmax"))
@@ -1358,10 +1375,9 @@ def write_bucketed_layout(df: DataFrame, table: str, geom: str = "geom",
     xbreaks = sorted(set(float(v) for v in qx))
     ybreaks = sorted(set(float(v) for v in qy))
     ny = len(ybreaks) + 1
-    out = (b.withColumn("__cell", F.explode(_cells_expr(
-               F.col("__b.xmin"), F.col("__b.ymin"),
-               F.col("__b.xmax"), F.col("__b.ymax"),
-               F.lit(0.0), xbreaks, ybreaks, ny)))
+    out = (b.withColumn("__cell", F.explode(F.expr(_cells_sql(
+               "__b.xmin", "__b.ymin", "__b.xmax", "__b.ymax",
+               0.0, xbreaks, ybreaks, ny))))
             .withColumn("__bx0", F.col("__b.xmin"))
             .withColumn("__by0", F.col("__b.ymin"))
             .withColumn("__bx1", F.col("__b.xmax"))
@@ -1454,8 +1470,9 @@ def layout_staleness(spark, table: str) -> dict:
     :func:`rebucket_layout` is worth its one-off shuffle."""
     meta = read_layout_meta(spark, table)
     t = spark.table(table)
-    home = (_bucket_expr(F.col("__bx0"), meta["xbreaks"]) * meta["ny"]
-            + _bucket_expr(F.col("__by0"), meta["ybreaks"]))
+    home = F.expr(
+        f"{_bucket_sql('__bx0', meta['xbreaks'])} * {int(meta['ny'])}L "
+        f"+ {_bucket_sql('__by0', meta['ybreaks'])}")
     per_cell = t.groupBy("__cell").count()
     stats = per_cell.agg(
         F.count("*").alias("cells"),
@@ -1515,8 +1532,9 @@ def layout_original(spark, table: str) -> DataFrame:
     (bbox min corner), which the explode always includes."""
     meta = read_layout_meta(spark, table)
     t = spark.table(table)
-    home = (_bucket_expr(F.col("__bx0"), meta["xbreaks"]) * meta["ny"]
-            + _bucket_expr(F.col("__by0"), meta["ybreaks"]))
+    home = F.expr(
+        f"{_bucket_sql('__bx0', meta['xbreaks'])} * {int(meta['ny'])}L "
+        f"+ {_bucket_sql('__by0', meta['ybreaks'])}")
     return t.filter(F.col("__cell") == home).drop(*_LAYOUT_COLS)
 
 
@@ -1583,22 +1601,20 @@ def spatial_join_bucketed(
             # different grid (or a distance pad): keep each original row
             # once and re-explode NATIVELY from the stored bbox — no
             # Python pass, but this side does shuffle
-            rhome = (_bucket_expr(F.col(rcols["__bx0"]),
-                                  right_meta["xbreaks"]) * right_meta["ny"]
-                     + _bucket_expr(F.col(rcols["__by0"]),
-                                    right_meta["ybreaks"]))
+            rhome = F.expr(
+                f"{_bucket_sql('`' + rcols['__bx0'] + '`', right_meta['xbreaks'])} "
+                f"* {int(right_meta['ny'])}L "
+                f"+ {_bucket_sql('`' + rcols['__by0'] + '`', right_meta['ybreaks'])}")
             rb = rb.filter(F.col(rcols["__cell"]) == rhome)
-            re_ = rb.withColumn("__rcell", F.explode(_cells_expr(
-                F.col("__rbox.xmin"), F.col("__rbox.ymin"),
-                F.col("__rbox.xmax"), F.col("__rbox.ymax"),
-                F.lit(expand), xbreaks, ybreaks, ny)))
+            re_ = rb.withColumn("__rcell", F.explode(F.expr(_cells_sql(
+                "__rbox.xmin", "__rbox.ymin", "__rbox.xmax",
+                "__rbox.ymax", expand, xbreaks, ybreaks, ny))))
         rb_clean = rb
     else:
         rb = right_r.withColumn("__rbox", _bbox_cls_col(F.col(rgeom)))
-        re_ = rb.withColumn("__rcell", F.explode(_cells_expr(
-            F.col("__rbox.xmin"), F.col("__rbox.ymin"),
-            F.col("__rbox.xmax"), F.col("__rbox.ymax"),
-            F.lit(expand), xbreaks, ybreaks, ny)))
+        re_ = rb.withColumn("__rcell", F.explode(F.expr(_cells_sql(
+            "__rbox.xmin", "__rbox.ymin", "__rbox.xmax",
+            "__rbox.ymax", expand, xbreaks, ybreaks, ny))))
         rb_clean = rb
 
     orig_cols = [c for c in lt.columns if c not in _LAYOUT_COLS]
@@ -1615,10 +1631,11 @@ def spatial_join_bucketed(
         # pair dedup: the pad lives on the RIGHT side's cells here, so
         # the reference point is greatest(lxmin, rxmin - expand) — the
         # top-left corner of the padded-bbox intersection
-        rx = F.greatest(F.col("__bx0"), F.col("__rbox.xmin") - expand)
-        ry = F.greatest(F.col("__by0"), F.col("__rbox.ymin") - expand)
-        ref_cell = (_bucket_expr(rx, xbreaks) * ny
-                    + _bucket_expr(ry, ybreaks))
+        _d = _dlit(expand)
+        ref_cell = F.expr(
+            f"{_bucket_sql(f'greatest(__bx0, (__rbox.xmin) - {_d})', xbreaks)}"
+            f" * {int(ny)}L "
+            f"+ {_bucket_sql(f'greatest(__by0, (__rbox.ymin) - {_d})', ybreaks)}")
         cand = cand.filter(F.col("__cell") == ref_cell)
         out_cols = orig_cols + extra + \
             [rcols[c] for c in right_df.columns if rcols[c] not in rlayout]
@@ -1688,11 +1705,10 @@ def spatial_join_bucketed(
         re_t = re_.withColumn(rids[0], rid_exprs[0]) \
                   .withColumn(rids[1], rid_exprs[1])
         if right_meta is not None:
-            rhome = (_bucket_expr(F.col(rcols["__bx0"]),
-                                  right_meta["xbreaks"])
-                     * right_meta["ny"]
-                     + _bucket_expr(F.col(rcols["__by0"]),
-                                    right_meta["ybreaks"]))
+            rhome = F.expr(
+                f"{_bucket_sql('`' + rcols['__bx0'] + '`', right_meta['xbreaks'])} "
+                f"* {int(right_meta['ny'])}L "
+                f"+ {_bucket_sql('`' + rcols['__by0'] + '`', right_meta['ybreaks'])}")
             r_orig = right_r.filter(F.col(rcols["__cell"]) == rhome) \
                 .drop(*rlayout)
         else:
@@ -1707,10 +1723,11 @@ def spatial_join_bucketed(
             (F.col("__rbox.ymin") <= F.col("__by1") + expand)
         )
         cand = lt.join(re_t, cond, "inner")
-        rx = F.greatest(F.col("__bx0"), F.col("__rbox.xmin") - expand)
-        ry = F.greatest(F.col("__by0"), F.col("__rbox.ymin") - expand)
-        ref_cell = (_bucket_expr(rx, xbreaks) * ny
-                    + _bucket_expr(ry, ybreaks))
+        _d = _dlit(expand)
+        ref_cell = F.expr(
+            f"{_bucket_sql(f'greatest(__bx0, (__rbox.xmin) - {_d})', xbreaks)}"
+            f" * {int(ny)}L "
+            f"+ {_bucket_sql(f'greatest(__by0, (__rbox.ymin) - {_d})', ybreaks)}")
         cand = cand.filter(F.col("__cell") == ref_cell)
         matched = _apply_refine(cand, left_geom, rgeom, predicate,
                                 distance).select(*rids).distinct()
@@ -1758,11 +1775,10 @@ def spatial_join_bucketed(
         re_ = re_.withColumn(rids[0], rid_exprs[0]) \
                  .withColumn(rids[1], rid_exprs[1])
         if right_meta is not None:
-            rhome = (_bucket_expr(F.col(rcols["__bx0"]),
-                                  right_meta["xbreaks"])
-                     * right_meta["ny"]
-                     + _bucket_expr(F.col(rcols["__by0"]),
-                                    right_meta["ybreaks"]))
+            rhome = F.expr(
+                f"{_bucket_sql('`' + rcols['__bx0'] + '`', right_meta['xbreaks'])} "
+                f"* {int(right_meta['ny'])}L "
+                f"+ {_bucket_sql('`' + rcols['__by0'] + '`', right_meta['ybreaks'])}")
             r_orig = right_r.filter(F.col(rcols["__cell"]) == rhome) \
                 .drop(*rlayout)
         else:
