@@ -1110,11 +1110,22 @@ _sql("text_stopword_ratio", """
 """.format(sw=_STOP_EN))
 
 _sql("text_ngram_jaccard_pairs", """
-  WITH g AS (
-    SELECT doc_id, array_distinct(transform(
-             sequence(0, greatest(size(filter(split(lower(trim(text)), '\\\\s+'), t -> t != '')) - 3, 0)),
-             i -> concat_ws(' ', slice(filter(split(lower(trim(text)), '\\\\s+'), t -> t != ''), i + 1, 3)))) AS grams
+  WITH t AS (
+    -- explode(array(..)) materializes toks ONCE per row behind a
+    -- Generate barrier (r11, guide §1.2): inlined into the transform
+    -- lambda below, the split/filter chain would re-run for EVERY gram
+    -- index i (higher-order lambdas do not hoist loop-invariant
+    -- arguments) -- O(tokens^2) string work per document, twice (the
+    -- self-join evaluates both sides).  One-element explode keeps the
+    -- row set and values identical (NULL text -> NULL toks row, same
+    -- as the old inline expression's NULL propagation).
+    SELECT doc_id, explode(array(filter(split(lower(trim(text)), '\\\\s+'), t -> t != ''))) AS toks
     FROM documents WHERE doc_id < 250),
+  g AS (
+    SELECT doc_id, array_distinct(transform(
+             sequence(0, greatest(size(toks) - 3, 0)),
+             i -> concat_ws(' ', slice(toks, i + 1, 3)))) AS grams
+    FROM t),
   e AS (SELECT doc_id, size(grams) AS ng, explode(grams) AS gram FROM g)
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          round(count(*) / (max(a.ng) + max(b.ng) - count(*)), 6) AS jaccard
@@ -4989,14 +5000,25 @@ def _q_pipeline_web(spark: SparkSession, sf_dir: str) -> DataFrame:
                     '</p><!-- x --></body></html>') AS html
       FROM documents
       WHERE length(trim(regexp_replace(text, '\\\\s+', ' '))) > 0""")
-    extracted = crawl.select(
-        "doc_id", "url", html_to_text(F.col("html")).alias("text"))
-    good = extracted.filter(
-        F.round(tx.quality_score_fast(F.col("text")), 4) >= 0.85)
+    # ONE combined kernel pass (r11, guide §4.4/§2.3): quality and token
+    # count come from the same Arrow sweep over the extracted text, so
+    # (a) the 14-regexp extraction chain is evaluated once — the former
+    # quality-gate filter was pushed below the projection and re-ran the
+    # whole chain for the output `text` column — and (b) the full
+    # document text never reaches the URL-dedup exchange: only
+    # (doc_id, url, n_tokens) shuffle.  Same rows, same values: the
+    # combined kernel is bit-equal to (quality_score_fast,
+    # token_count_fast) by shared-core construction (pinned by test),
+    # and n_tokens per surviving row does not depend on when it is
+    # computed relative to blocklist/dedup.
+    scored = crawl.select(
+        "doc_id", "url",
+        tx.quality_tokens_fast(html_to_text(F.col("html"))).alias("__qt"))
+    good = (scored.filter(F.round(F.col("__qt.q"), 4) >= 0.85)
+            .select("doc_id", "url",
+                    F.col("__qt.nt").cast("long").alias("n_tokens")))
     kept = dedup_by_url(filter_url_blocklist(good, ["site3.com"]))
-    return kept.select("doc_id", "url",
-                       tx.token_count_fast(F.col("text")).cast("long")
-                       .alias("n_tokens"))
+    return kept.select("doc_id", "url", "n_tokens")
 
 
 _PY["pipeline_web_compose"] = _q_pipeline_web

@@ -645,6 +645,29 @@ def _qk_stop_codes():
 
 
 def _quality_kernel(s: pd.Series) -> pd.Series:
+    score, _n_tok, nulls = _quality_core(s)
+    out = score.astype(object)
+    out[nulls] = None
+    return pd.Series(out)
+
+
+def _quality_tokens_kernel(s: pd.Series) -> pd.DataFrame:
+    """quality score AND token count from the single shared sweep
+    (`_quality_core` already derives n_tok for the score terms): one
+    Arrow pass yields both, so composed pipelines that gate on quality
+    and later count tokens stop paying a second kernel pass — and stop
+    re-evaluating the (expensive) input expression chain feeding each
+    kernel.  Bit-equal to (_quality_kernel, _token_count_kernel) by
+    construction (shared core; pinned by test)."""
+    score, n_tok, nulls = _quality_core(s)
+    q = score.astype(object)
+    q[nulls] = None
+    nt = n_tok.astype(object)
+    nt[nulls] = None
+    return pd.DataFrame({"q": q, "nt": nt})
+
+
+def _quality_core(s: pd.Series):
     stop_codes = _qk_stop_codes()
     texts = s.tolist()
     n = len(texts)
@@ -720,12 +743,27 @@ def _quality_kernel(s: pd.Series) -> pd.Series:
     p_ratio = punct_cnt / np.maximum(char_len, 1)
     score = (0.3 * length_ok + 0.3 * (1.0 - p_ratio)
              + 0.2 * sw_sig + 0.2 * word_len_ok)
-    out = score.astype(object)
-    out[nulls] = None
-    return pd.Series(out)
+    return score, n_tok, nulls
 
 
 _quality_udf = None
+_quality_tokens_udf = None
+
+
+def quality_tokens_fast(col) -> Column:
+    """struct<q: double, nt: long> — quality score and token count in
+    ONE Arrow kernel pass (shared `_quality_core` sweep).  Marked
+    non-deterministic: a filter on the struct's `q` field would
+    otherwise be pushed below the projection and re-evaluate the kernel
+    (and its whole input expression chain) twice — the §4.4 duplication;
+    the kernel itself is pure."""
+    global _quality_tokens_udf
+    if _quality_tokens_udf is None:
+        _quality_tokens_udf = F.pandas_udf(
+            _quality_tokens_kernel,
+            "struct<q: double, nt: long>").asNondeterministic()
+    c = F.col(col) if isinstance(col, str) else col
+    return _quality_tokens_udf(c)
 
 
 def quality_score_fast(col) -> Column:

@@ -35,9 +35,13 @@ def html_to_text(col) -> Column:
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     c = F.regexp_replace(c, _BLOCK_CLOSERS, "\n")
     c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    # literal entity decode: replace() (codegen StringReplace) instead of
+    # regexp_replace — the six patterns contain no regex metacharacters,
+    # so the semantics are identical and each pass drops the regex
+    # engine's per-char machinery (guide §1.2 per-task work)
     for ent, ch in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
                     ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")):
-        c = F.regexp_replace(c, ent, ch)
+        c = F.replace(c, F.lit(ent), F.lit(ch))
     c = F.regexp_replace(c, r"[ \t\r]+", " ")
     c = F.regexp_replace(c, r" ?\n[ \n]*", "\n")
     return F.regexp_replace(c, r"^\s+|\s+$", "")

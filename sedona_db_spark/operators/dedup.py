@@ -665,7 +665,14 @@ def exact_substring_spans(df: DataFrame, text_col: str = "text",
     a mark opens a new span iff its start exceeds every previous end.
     Returns (id, span_start, span_end) with token-index half-open spans.
     """
-    gram = F.pandas_udf(_gram_hash_kernel(n), "array<long>")
+    # asNondeterministic (guide §4.4): posexplode infers a
+    # size(__gh)>0 AND isnotnull(__gh) filter that the optimizer pushes
+    # BELOW the kernel projection, evaluating the gram hash over the
+    # whole corpus TWICE per plan branch (4x total with the two
+    # detection branches).  The kernel is pure; the flag only stops the
+    # optimizer duplicating it past the inferred filter.
+    gram = F.pandas_udf(_gram_hash_kernel(n),
+                        "array<long>").asNondeterministic()
     occ = (df.select(F.col(id_col), gram(F.col(text_col)).alias("__gh"))
              .select(id_col, F.posexplode("__gh").alias("pos", "h")))
     # Duplicate detection: count aggregate + LEFT SEMI membership probe,
@@ -794,7 +801,10 @@ def ngram_novelty_scores(df: DataFrame, text_col: str = "text",
     one counted aggregate, LEFT SEMI membership — only (id, pos, hash64)
     shuffles.  Docs shorter than n score 1.0 (vacuously novel).
     Returns (id, n_grams, n_dup_grams, novelty)."""
-    gram = F.pandas_udf(_gram_hash_kernel(n), "array<long>")
+    # asNondeterministic: same §4.4 duplicated-evaluation guard as
+    # exact_substring_spans above
+    gram = F.pandas_udf(_gram_hash_kernel(n),
+                        "array<long>").asNondeterministic()
     occ = (df.select(F.col(id_col), gram(F.col(text_col)).alias("__gh"))
              .select(id_col, F.posexplode("__gh").alias("pos", "h")))
     dup = (occ.groupBy("h").agg(F.count(F.lit(1)).alias("c"))

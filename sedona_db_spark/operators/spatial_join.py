@@ -283,8 +283,14 @@ _bbox_cls_udf = None
 def _bbox_cls_col(geom: Column) -> Column:
     global _bbox_cls_udf
     if _bbox_cls_udf is None:
+        # asNondeterministic: the downstream cell explode carries an
+        # inferred isnotnull(box.*) filter that the optimizer pushes
+        # BELOW this projection, re-evaluating the kernel once for the
+        # filter and once for the output column (two ArrowEvalPython
+        # nodes per join side).  The kernel is pure; the flag only
+        # forbids the optimizer from duplicating it past the filter.
         _bbox_cls_udf = F.pandas_udf(_bbox_cls_kernel_planar,
-                                     returnType=_BBOXC_T)
+                                     returnType=_BBOXC_T).asNondeterministic()
     return _bbox_cls_udf(geom)
 
 

@@ -372,3 +372,33 @@ def test_token_count_kernel_bit_equals_native(spark):
                     token_count_fast(F.col("text")).alias("b")).collect()
     for r in out:
         assert r["a"] == r["b"], (r["a"], r["b"])
+
+
+def test_quality_tokens_kernel_bit_equals_split_kernels(spark):
+    """quality_tokens_fast (the r11 combined one-pass struct kernel) must
+    equal (quality_score_fast, token_count_fast) bit-for-bit, nulls
+    included — it is substituted for the pair in composed pipelines."""
+    from sedona_db_spark.functions.text import (quality_score_fast,
+                                                quality_tokens_fast,
+                                                token_count_fast)
+    rows = [
+        "", " ", "\t\t", "\n", None,
+        "the", "the the the the the",
+        "a b c d e f g h i j k",
+        "word " * 200, "!!!???;;;", "x" * 50,
+        "multi\nline\ntext with the usual words in it",
+        "mixed \t whitespace \x0b and \x0c forms \r here",
+    ] + [f"doc {i} with some of the usual filler words for it "
+         * (i % 7 + 1) for i in range(40)]
+    import pandas as pd
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": pd.Series(rows, dtype=object)}))
+    out = df.select(
+        quality_score_fast(F.col("text")).alias("q0"),
+        token_count_fast(F.col("text")).alias("n0"),
+        quality_tokens_fast(F.col("text")).alias("qt")).collect()
+    for r in out:
+        assert (r["q0"] is None) == (r["qt"] is None or r["qt"]["q"] is None)
+        if r["q0"] is not None:
+            assert r["q0"] == r["qt"]["q"], (r["q0"], r["qt"])
+            assert r["n0"] == r["qt"]["nt"], (r["n0"], r["qt"])
