@@ -46,16 +46,39 @@ def widen_if_starved(df: DataFrame, min_bytes: int = MIN_WIDEN_BYTES,
     """Repartition ``df`` to ``defaultParallelism`` when its planned
     partition count is below ``min_fraction`` of it AND the input is big
     enough that the extra shuffle pays for itself.  Identity otherwise.
-    """
+
+    Construction cost (r11): the verdict is pure plan analysis, so it is
+    memoized on the analyzed-plan key — operators that re-build the same
+    join shape (bench reps, dashboards) paid the partition-count RPC
+    chain per construction.  The size check runs FIRST (Catalyst stats,
+    cheap) so small inputs — the common early-out — never touch the RDD
+    handle at all, and the partition count comes from the java RDD
+    (``_jdf.rdd()``), not the python-wrapped ``df.rdd`` whose
+    construction costs several extra round trips.  A stale memo can only
+    mis-steer the widening choice, never correctness."""
+    try:
+        from sedona_db_spark.operators.spatial_join import (
+            _plan_key, _stats_memo_get, _stats_memo_put)
+        mkey = ("widen", _plan_key(df), min_bytes, min_fraction)
+        memo = _stats_memo_get(mkey)
+    except Exception:
+        mkey, memo, _stats_memo_put = None, None, None
+    if memo is not None:
+        return df.repartition(memo) if memo else df
     try:
         spark = df.sparkSession
         width = spark.sparkContext.defaultParallelism
-        nparts = df.rdd.getNumPartitions()
     except Exception:
         return df
-    if nparts >= max(int(width * min_fraction), 1):
-        return df
+    verdict = 0
     size = planned_size_bytes(df)
-    if size is None or size < min_bytes:
-        return df
-    return df.repartition(width)
+    if size is not None and size >= min_bytes:
+        try:
+            nparts = df._jdf.rdd().getNumPartitions()
+        except Exception:
+            return df
+        if nparts < max(int(width * min_fraction), 1):
+            verdict = width
+    if mkey is not None and _stats_memo_put is not None:
+        _stats_memo_put(mkey, verdict)
+    return df.repartition(width) if verdict else df
