@@ -2288,30 +2288,32 @@ _O["sim_embedding_norms"] = """
 
 def _q_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean vector, then each vector's distance to its label
-    centroid — exercises array aggregation at scale (map-side combinable)."""
-    from pyspark.sql import functions as F
-    emb = spark.table("embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
-    n = 64
-    sums = emb.groupBy("label").agg(
-        F.count("*").alias("cnt"),
-        *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(n)])
-    cent = sums.select("label", "cnt", F.array(*[(F.col(f"s{i}") / F.col("cnt")) for i in range(n)]).alias("c"))
-    j = emb.join(cent.select("label", "c"), "label")
-    # distance: interpreted HOF fold, ALL sizes (r11).  For this fixed
-    # 64-dim shape the Arrow euclidean kernel ships 2x64 doubles per row
-    # both ways; measured min-of-3 at 2k/32k/128k rows the HOF fold wins
-    # every time (0.27/0.84/2.54 s vs 0.39/1.25/3.37 s for the kernel) —
-    # the JVM-Python boundary costs more than interpretation saves
-    # (guide §4.1: the boundary itself is the tax).  Values agree with
-    # the numpy path and the DuckDB oracle bit-for-bit at round-6 on
-    # every tested SF (both fold orders are sequential over i; the
-    # double error is ~1e-15 relative, nine orders below the rounding
-    # step).
-    dist = F.sqrt(F.aggregate(
-        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda a, x: a + x))
-    return j.select("vec_id", "label", F.round(dist, 6).alias("dist_to_centroid"))
+    centroid — exercises array aggregation at scale (map-side combinable).
+
+    One SQL string, fully codegen (r11): the Column-built version paid
+    ~0.75 s of py4j construction per build (64 sum aggs + HOF lambdas,
+    each a round trip) and evaluated the distance as an interpreted
+    zip_with/aggregate fold.  The unrolled 64-term sum is bit-identical
+    to the sequential fold — squares are never -0.0, so the fold's
+    0.0-seed add is exact and both reduce left-to-right in the same
+    order — and whole-stage codegen takes it where HOFs stay
+    interpreted.  Same aggregate tree (per-index sum + count, divide,
+    broadcast join back), so partial/merge summation order is unchanged.
+    Measured construct+exec min-of-3 at sf0.1: 1.13 -> 0.50 s; results
+    verified bit-identical row-for-row."""
+    sums = ", ".join(f"sum(v[{i}]) AS s{i}" for i in range(64))
+    cdiv = ", ".join(f"s{i} / cnt" for i in range(64))
+    terms = " + ".join(f"(v[{i}] - c[{i}]) * (v[{i}] - c[{i}])"
+                       for i in range(64))
+    return spark.sql(f"""
+      WITH e AS (SELECT vec_id, label,
+                        CAST(embedding AS array<double>) AS v
+                 FROM embeddings),
+      s AS (SELECT label, count(*) AS cnt, {sums} FROM e GROUP BY label),
+      c AS (SELECT label, array({cdiv}) AS c FROM s)
+      SELECT vec_id, e.label AS label,
+             round(sqrt({terms}), 6) AS dist_to_centroid
+      FROM e JOIN c ON e.label = c.label""")
 
 
 _PY["sim_label_centroid_dist"] = _q_label_centroid_dist

@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sedona_db_spark.functions import text as tx
-from sedona_db_spark.operators.result_cache import PAIR_RESULT_POOL
+from sedona_db_spark.operators.result_cache import (PAIR_RESULT_POOL,
+                                                    SIG_FRAME_POOL)
 
 
 def exact_dedup(df: DataFrame, cols: list[str] | None = None,
@@ -331,25 +332,24 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     # both sides of the candidate join-back) and Catalyst would otherwise
     # re-run the shingle/minhash UDF for each reference.  ~300 B/doc
     # (MEMORY_AND_DISK), far smaller than the text it replaces.
-    sdf = df.select(F.col(id_col).alias("id"),
-                    sig(F.col(text_col)).alias("sig")).persist()
-    try:
-        # persist (NOT localCheckpoint) the pair set: persisted blocks
-        # stay recomputable through lineage if an executor dies, whereas
-        # localCheckpoint truncates lineage into non-replicated
-        # executor-local blocks — losing one executor made the result
-        # permanently unrecomputable (round-6 advisor).  count() eagerly
-        # materializes it so the signature cache can be released below.
-        pairs = PAIR_RESULT_POOL.persist(
-            _minhash_pairs_plan(sdf, num_perm, bands, rows_per_band,
-                                threshold))
-        pairs.count()
-        return pairs
-    finally:
-        # release the cached signature blocks as soon as the (far smaller)
-        # pair set is materialized — repeated invocations in a long-lived
-        # session must not accumulate MEMORY_AND_DISK blocks
-        sdf.unpersist()
+    sdf = SIG_FRAME_POOL.persist(
+        df.select(F.col(id_col).alias("id"),
+                  sig(F.col(text_col)).alias("sig")))
+    # persist (NOT localCheckpoint) the pair set: persisted blocks
+    # stay recomputable through lineage if an executor dies, whereas
+    # localCheckpoint truncates lineage into non-replicated
+    # executor-local blocks — losing one executor made the result
+    # permanently unrecomputable (round-6 advisor).
+    # Returned LAZY (r11): the former eager pairs.count() existed only
+    # so the signature cache could be released in a finally block — a
+    # whole extra materialization job per call (guide §1.2: every job
+    # counts).  The bounded SIG_FRAME_POOL now owns the signature
+    # blocks' lifetime the same way PAIR_RESULT_POOL owns the pair
+    # set's, so no call-time materialization is needed and the caller's
+    # first action computes everything in one go.
+    return PAIR_RESULT_POOL.persist(
+        _minhash_pairs_plan(sdf, num_perm, bands, rows_per_band,
+                            threshold))
 
 
 def _minhash_pairs_plan(sdf: DataFrame, num_perm: int, bands: int,
@@ -408,17 +408,13 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     from sedona_db_spark.functions.text import simhash64_kernel
     import pandas as pd
     sim = F.pandas_udf(simhash64_kernel, returnType="long")
-    # persist: the banded self-join would re-run the simhash UDF per side
-    sdf = df.select(F.col(id_col).alias("id"),
-                    sim(F.col(text_col)).alias("sh")).persist()
-    try:
-        # persist + eager count, not localCheckpoint — see the
-        # fault-tolerance note in minhash_candidate_pairs
-        pairs = PAIR_RESULT_POOL.persist(_simhash_pairs_plan(sdf, max_hamming))
-        pairs.count()
-        return pairs
-    finally:
-        sdf.unpersist()
+    # persist: the banded self-join would re-run the simhash UDF per side.
+    # Lazy like minhash_candidate_pairs (r11) — the SIG_FRAME_POOL owns
+    # the signature blocks, so no eager count()-then-unpersist job.
+    sdf = SIG_FRAME_POOL.persist(
+        df.select(F.col(id_col).alias("id"),
+                  sim(F.col(text_col)).alias("sh")))
+    return PAIR_RESULT_POOL.persist(_simhash_pairs_plan(sdf, max_hamming))
 
 
 def _simhash_pairs_plan(sdf: DataFrame, max_hamming: int) -> DataFrame:

@@ -22,23 +22,57 @@ from pyspark.sql import DataFrame
 
 
 class BoundedPersistPool:
-    """persist() frames and release the oldest past a retention window."""
+    """persist() frames and release the oldest past a retention window.
+
+    Keyed by the analyzed plan's semantic hash (r11): Spark's
+    CacheManager dedupes cache entries by canonicalized plan, so a
+    plan-identical re-build (same operator called twice, bench reps)
+    gets its persist() silently no-op'd against the FIRST frame's entry
+    — and evicting that first frame from a naive FIFO would uncache the
+    entry out from under the newer handle (measured: minhash pair reps
+    got 3x slower once eviction started killing the shared entry each
+    call).  One pool slot per distinct plan fixes both: re-enrollment
+    refreshes recency, eviction only ever releases plans nobody re-built
+    recently.  Frames whose semantic hash is unavailable fall back to an
+    always-enroll object key (never wrongly shared, only wrongly
+    retained, and the window bounds that)."""
 
     def __init__(self, keep: int):
         self._keep = keep
-        self._frames: deque = deque()
+        self._frames: "dict[object, DataFrame]" = {}
+        self._order: deque = deque()
         self._lock = threading.Lock()
 
+    @staticmethod
+    def _key(df: DataFrame):
+        try:
+            return df._jdf.queryExecution().analyzed().semanticHash()
+        except Exception:
+            return id(df)
+
     def persist(self, df: DataFrame) -> DataFrame:
+        key = self._key(df)
+        with self._lock:
+            if key in self._frames:
+                # same canonical plan: the cache entry already exists
+                # (this persist() would be a CacheManager no-op) —
+                # refresh recency, keep the ORIGINAL handle for the
+                # eventual unpersist
+                self._order.remove(key)
+                self._order.append(key)
+                df.persist()
+                return df
         df = df.persist()
         with self._lock:
-            self._frames.append(df)
-            while len(self._frames) > self._keep:
-                old = self._frames.popleft()
-                try:
-                    old.unpersist()
-                except Exception:
-                    pass
+            self._frames[key] = df
+            self._order.append(key)
+            while len(self._order) > self._keep:
+                old = self._frames.pop(self._order.popleft(), None)
+                if old is not None:
+                    try:
+                        old.unpersist()
+                    except Exception:
+                        pass
         return df
 
 
@@ -46,3 +80,10 @@ class BoundedPersistPool:
 # consume the pairs immediately (dedup filter, transitive closure), so two
 # recent results is a comfortable window.
 PAIR_RESULT_POOL = BoundedPersistPool(keep=2)
+
+# Signature frames feeding those pair plans (minhash/simhash): referenced
+# up to three times inside one pair plan (banding + both join-backs), so
+# they must be persisted, and the pool bounds their lifetime so the pair
+# operators can return LAZY plans instead of eagerly materializing just
+# to release the signature blocks in a finally (r11).
+SIG_FRAME_POOL = BoundedPersistPool(keep=2)

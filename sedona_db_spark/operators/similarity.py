@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from sedona_db_spark.operators.result_cache import PAIR_RESULT_POOL
+from sedona_db_spark.operators.result_cache import (PAIR_RESULT_POOL,
+                                                    SIG_FRAME_POOL)
 
 
 def _cosine_expr(vec_col, qlit):
@@ -249,8 +250,10 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
 
     LSH bucket join on signature bands (pigeonhole over hamming radius),
     exact native cosine verification on candidates only.  The result is
-    materialized eagerly (persist + count) so the persisted signature
-    frame can be released immediately.  The returned pair set itself is
+    returned LAZY (r11 — the former eager persist+count existed only to
+    release the signature frame, which the bounded SIG_FRAME_POOL now
+    owns; one whole materialization job per call removed).  The returned
+    pair set itself is
     persisted and enrolled in a bounded FIFO (result_cache.PAIR_RESULT_POOL):
     repeated calls release older results automatically, and the pair set
     stays lineage-recomputable on executor loss (localCheckpoint blocks
@@ -263,16 +266,12 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     sig_udf = lsh_signature_udf(dim, bits, seed)
     # persist: the banded self-join and the two join-backs would otherwise
     # re-run the signature UDF per reference
-    sdf = df.select(F.col(id_col).alias("id"),
-                    F.col(vec_col).cast("array<double>").alias("v")) \
-            .withColumn("sig", sig_udf(F.col("v"))).persist()
-    try:
-        pairs = PAIR_RESULT_POOL.persist(
-            _near_dup_pairs_plan(sdf, threshold, bits, band_bits))
-        pairs.count()
-        return pairs
-    finally:
-        sdf.unpersist()
+    sdf = SIG_FRAME_POOL.persist(
+        df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+          .withColumn("sig", sig_udf(F.col("v"))))
+    return PAIR_RESULT_POOL.persist(
+        _near_dup_pairs_plan(sdf, threshold, bits, band_bits))
 
 
 def pairwise_topk_native(df: DataFrame, k: int, vec_col: str = "embedding",

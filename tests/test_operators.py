@@ -1460,6 +1460,37 @@ def test_pair_result_pool_bounds_persisted_blocks(spark):
     assert n_after - n_before <= PAIR_RESULT_POOL._keep
 
 
+def test_persist_pool_plan_keyed_no_self_eviction(spark):
+    """r11: Spark's CacheManager dedupes cache entries by canonical plan,
+    so a naive FIFO evicting an older plan-identical frame uncaches the
+    entry out from under the newer handle.  The pool must key on the
+    semantic plan hash: re-enrolling the same plan refreshes recency
+    (still cached afterwards), and only genuinely distinct plans rotate
+    out of the window."""
+    from sedona_db_spark.operators.result_cache import BoundedPersistPool
+    pool = BoundedPersistPool(keep=2)
+    base = spark.range(100)
+    a1 = pool.persist(base.selectExpr("id * 2 AS x"))
+    a1.count()
+    # plan-identical re-build: must NOT consume a second slot
+    a2 = pool.persist(spark.range(100).selectExpr("id * 2 AS x"))
+    a2.count()
+    assert len(pool._order) == 1
+    # two more distinct plans fill the window; the re-enrolled plan was
+    # most recent before them, so exactly one distinct eviction happens
+    b = pool.persist(base.selectExpr("id * 3 AS x")); b.count()
+    c = pool.persist(base.selectExpr("id * 5 AS x")); c.count()
+    assert len(pool._order) == 2
+    # the a-plan was evicted (oldest); b/c retained and still cached
+    assert b.storageLevel.useMemory and c.storageLevel.useMemory
+    # re-enrolling c (plan-identical) must leave it cached, not uncache it
+    c2 = pool.persist(base.selectExpr("id * 5 AS x"))
+    c2.count()
+    assert c.storageLevel.useMemory
+    for f in (b, c):
+        f.unpersist()
+
+
 def test_webp_predictor_fuzz_libwebp_parity():
     """Round-7 advisor regression: predictor mode 11 tie-break (ties -> T)
     and mode 13 truncate-toward-zero division only show up under fuzz —
