@@ -63,7 +63,8 @@ def _wkb_is_geography(v) -> bool:
             and ((v[0] == 1 and v[4] & 0x10) or (v[0] == 0 and v[1] & 0x10)))
 
 
-def content_row_id(df: DataFrame, name: str) -> tuple[DataFrame, list[str]]:
+def content_row_id(df: DataFrame, name: str,
+                   exclude: tuple = ()) -> tuple[DataFrame, list[str]]:
     """Tag every row with a content-derived 128-bit id (two seeded
     xxhash64 sweeps over every column): ``(df_tagged, [id_col_names])``.
 
@@ -93,11 +94,24 @@ def content_row_id(df: DataFrame, name: str) -> tuple[DataFrame, list[str]]:
     that shape pins ONE evaluation instead (lazy localCheckpoint +
     positional id) — costs a materialization, never a silent wrong
     answer.
+
+    ``exclude``: columns to LEAVE OUT of the hash (they stay in the
+    output frame).  Only sound when every excluded column is
+    functionally determined by the remaining ones — e.g. a
+    shadow-certified point geometry, bit-equal to its sibling (x, y)
+    doubles by certificate — so excluding it cannot merge two rows the
+    full hash would distinguish.  The caller owns that proof.  The win:
+    a pandas-UDF-built column (ST_Point constructor) out of the hash
+    lets Catalyst prune the Python stage from every lattice branch that
+    only needs the ids.
     """
-    if any(_type_has_map(f.dataType) for f in df.schema.fields):
+    hash_cols = [c for c in df.columns if c not in set(exclude)]
+    if not hash_cols:
+        hash_cols = list(df.columns)
+    if any(_type_has_map(df.schema[c].dataType) for c in hash_cols):
         return (df.withColumn(name, F.monotonically_increasing_id())
                   .localCheckpoint(eager=False), [name])
-    e1, e2 = _content_id_exprs(df.columns, df.schema)
+    e1, e2 = _content_id_exprs(hash_cols, df.schema)
     n1, n2 = f"{name}1", f"{name}2"
     return (df.withColumn(n1, e1).withColumn(n2, e2), [n1, n2])
 
@@ -275,6 +289,29 @@ def _bbox_cls_kernel_planar(s: pd.Series) -> pd.DataFrame:
             rows.append((b[0], b[1], b[2], b[3], _shape_cls(g)))
     return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax",
                                        "cls"])
+
+
+def _bbox_cls_shadow_expr(xy: tuple) -> Column:
+    """The classed-bbox struct computed NATIVELY from shadow coordinate
+    columns (pure whole-stage codegen, zero Python) for a
+    shadow-CERTIFIED point column (certify_point_view /
+    certify_point_table: every non-null geometry is a NaN-free 2-D LE
+    point WKB whose coordinates bit-equal the shadow doubles, and NULL
+    geometry rows have NULL shadows).  Under that certificate this
+    reproduces _bbox_cls_kernel_planar exactly: a point's bbox is the
+    point (cls 1); a NULL geometry row is (NULL bbox, cls 0); the
+    geography-tag raise can never fire (the certified header is plain
+    LE point).  Callers must only pass certificate-backed columns —
+    the certificate, not this expression, owns that proof."""
+    x = f"CAST(`{xy[0]}` AS DOUBLE)"
+    y = f"CAST(`{xy[1]}` AS DOUBLE)"
+    return F.expr(
+        f"CASE WHEN {x} IS NULL OR {y} IS NULL THEN "
+        "named_struct('xmin', CAST(NULL AS DOUBLE), "
+        "'ymin', CAST(NULL AS DOUBLE), 'xmax', CAST(NULL AS DOUBLE), "
+        "'ymax', CAST(NULL AS DOUBLE), 'cls', CAST(0 AS TINYINT)) "
+        f"ELSE named_struct('xmin', {x}, 'ymin', {y}, "
+        f"'xmax', {x}, 'ymax', {y}, 'cls', CAST(1 AS TINYINT)) END")
 
 
 _bbox_cls_udf = None
@@ -590,7 +627,7 @@ def _point_constructor_certified_impl(df: DataFrame, geom_col: str) -> bool:
 def _rect_fast_refine(cand: DataFrame, left: DataFrame, left_geom: str,
                       rb: DataFrame, rgeom: str, predicate: str,
                       distance: float | None, enabled: bool,
-                      point_gate=None):
+                      point_gate=None, l_cert: bool = False):
     """``point_gate`` (optional Column): a probe-side point-class gate
     the caller can supply instead of the per-row WKB-header check — the
     layout join passes its STORED ``__bcls == 1``, a plain column whose
@@ -610,7 +647,7 @@ def _rect_fast_refine(cand: DataFrame, left: DataFrame, left_geom: str,
     # fails LOUD with the escape hatch named.
     certified = False
     if predicate in ("within", "intersects"):
-        certified = _point_constructor_certified(left, left_geom)
+        certified = l_cert or _point_constructor_certified(left, left_geom)
     if predicate in ("within", "intersects") and not certified:
         lkey = ("rectfast_l", _plan_key(left), left_geom)
         l_ok = _stats_memo_get(lkey)
@@ -706,10 +743,22 @@ def spatial_join(
     grid_cells: int | None = None,
     broadcast_threshold: int = 200_000,
     rect_fast_path: bool = True,
+    left_xy: tuple | None = None,
+    right_xy: tuple | None = None,
 ) -> DataFrame:
     """Spatial join: ``predicate(left_geom, right_geom)`` (or dwithin when
     ``distance`` is set).  Output columns: left columns then right columns
     (right-side name collisions prefixed ``right_``).
+
+    ``left_xy`` / ``right_xy``: names of shadow coordinate columns
+    ``(x_col, y_col)`` for a shadow-CERTIFIED point geometry column
+    (certify_point_view / certify_point_table).  When given, that
+    side's classed-bbox pruning column is computed natively from the
+    stored doubles (pure codegen — no Python bbox pass over the side),
+    and the side counts as point-certified for the codegen dwithin
+    refine.  Only pass columns backed by a live certificate: the
+    certificate's one verified scan, not this operator, owns the proof
+    that the shadows bit-equal the geometry coordinates.
 
     Semantics match the reference's relation/distance joins
     (/root/reference/rust/sedona-query-planner/src/spatial_predicate.rs:44-214).
@@ -737,12 +786,21 @@ def spatial_join(
         rids: list[str] = []
         left_t, right_t = left, right
         if need_l:
-            left_t, lids = content_row_id(left, "__sj_lid")
+            # a shadow-certified geometry is bit-determined by its
+            # shadow doubles, so it can stay out of the content hash —
+            # letting Catalyst prune its (Python) constructor from the
+            # lattice branches that only read the ids
+            left_t, lids = content_row_id(
+                left, "__sj_lid",
+                exclude=(left_geom,) if left_xy else ())
         if need_r:
-            right_t, rids = content_row_id(right, "__sj_rid")
+            right_t, rids = content_row_id(
+                right, "__sj_rid",
+                exclude=(right_geom,) if right_xy else ())
         inner = spatial_join(left_t, right_t, left_geom, right_geom,
                              predicate, distance, "inner", grid_cells,
-                             broadcast_threshold, rect_fast_path)
+                             broadcast_threshold, rect_fast_path,
+                             left_xy=left_xy, right_xy=right_xy)
         if how == "left_semi":
             # distinct-on-id = reference "emit probe row once however
             # many build rows matched" (join_utils.rs:60-80)
@@ -803,6 +861,9 @@ def spatial_join(
     rcols = {c: (f"right_{c}" if c in left.columns else c) for c in right.columns}
     right_r = right.select([F.col(c).alias(a) for c, a in rcols.items()])
     rgeom = rcols[right_geom]
+    if right_xy is not None:
+        right_xy = (rcols.get(right_xy[0], right_xy[0]),
+                    rcols.get(right_xy[1], right_xy[1]))
 
     # width guard (round-6 verdict #1): a small-on-disk input otherwise
     # runs every downstream bbox/refine kernel on its 1-5 scan splits
@@ -811,8 +872,12 @@ def spatial_join(
     left = widen_if_starved(left)
     right_r = widen_if_starved(right_r)
 
-    lb = left.withColumn("__lbox", _bbox_cls_col(F.col(left_geom)))
-    rb = right_r.withColumn("__rbox", _bbox_cls_col(F.col(rgeom)))
+    lb = left.withColumn("__lbox",
+                         _bbox_cls_shadow_expr(left_xy) if left_xy
+                         else _bbox_cls_col(F.col(left_geom)))
+    rb = right_r.withColumn("__rbox",
+                            _bbox_cls_shadow_expr(right_xy) if right_xy
+                            else _bbox_cls_col(F.col(rgeom)))
     # +1e-12: candidate generation must over-approximate the refine's
     # unified ``r <= d + 1e-12`` boundary, or slack-band pairs would be
     # dropped before any refine branch sees them
@@ -851,10 +916,13 @@ def spatial_join(
         )
         cand = lb.join(F.broadcast(rb), cond, "inner")
         fast = _rect_fast_refine(cand, left, left_geom, rb, rgeom,
-                                 predicate, distance, rect_fast_path)
+                                 predicate, distance, rect_fast_path,
+                                 l_cert=left_xy is not None)
         if fast is None and rect_fast_path:
             fast = _dwithin_fast_refine(cand, left, left_geom, rb, rgeom,
-                                        distance)
+                                        distance,
+                                        l_cert=left_xy is not None,
+                                        r_cert=right_xy is not None)
         if fast is not None:
             return fast.drop("__lbox", "__rbox")
         joined = _apply_refine(cand, left_geom, rgeom, predicate, distance)
@@ -971,10 +1039,13 @@ def spatial_join(
         sz = planned_size_bytes(right_r)
         if sz is not None and sz < (64 << 20):
             joined = _rect_fast_refine(cand, left, left_geom, rb, rgeom,
-                                       predicate, distance, True)
+                                       predicate, distance, True,
+                                       l_cert=left_xy is not None)
     if joined is None and rect_fast_path:
         joined = _dwithin_fast_refine(cand, left, left_geom, rb, rgeom,
-                                      distance)
+                                      distance,
+                                      l_cert=left_xy is not None,
+                                      r_cert=right_xy is not None)
     if joined is None:
         joined = _apply_refine(cand, left_geom, rgeom, predicate, distance)
     return joined.drop("__lbox", "__rbox", "__lcell", "__rcell")
@@ -1194,7 +1265,8 @@ def _apply_refine(cand: DataFrame, lgeom: str, rgeom: str,
 
 def _dwithin_fast_refine(cand: DataFrame, left: DataFrame, left_geom: str,
                          rb: DataFrame, rgeom: str,
-                         distance: float | None) -> DataFrame | None:
+                         distance: float | None, l_cert: bool = False,
+                         r_cert: bool = False) -> DataFrame | None:
     """Certified point-point distance refine in pure codegen (round 10,
     the rect fast path's certificate applied to dwithin): when BOTH
     sides are provably 2-argument ST_Point outputs, the exact predicate
@@ -1210,8 +1282,8 @@ def _dwithin_fast_refine(cand: DataFrame, left: DataFrame, left_geom: str,
     Uncertified inputs keep the vectorized kernel refine."""
     if distance is None:
         return None
-    if not (_point_constructor_certified(left, left_geom)
-            and _point_constructor_certified(rb, rgeom)):
+    if not ((l_cert or _point_constructor_certified(left, left_geom))
+            and (r_cert or _point_constructor_certified(rb, rgeom))):
         return None
     lx, ly = F.col("__lbox.xmin"), F.col("__lbox.ymin")
     rx, ry = F.col("__rbox.xmin"), F.col("__rbox.ymin")

@@ -688,6 +688,7 @@ def _rewrite(spark, sql, toks, vanilla_sql):
         else:
             star_sides.update(aliases)
     mentioned = {_unquote(t) for t in toks if _is_ident(t)}
+    ldf_full, rdf_full = ldf, rdf
     if m.rel1.alias not in star_sides:
         ldf = ldf.select([c for c in ldf.columns if c in mentioned])
     if m.rel2.alias not in star_sides:
@@ -779,6 +780,55 @@ def _rewrite(spark, sql, toks, vanilla_sql):
         if c not in schemas[a]:
             raise _Decline
 
+    # -------- certified shadow coordinates (round 12) ----------------
+    # When a side's geometry argument is a shadow-certified point
+    # column of a NAMED relation (certify_point_view /
+    # certify_point_table), keep the shadow doubles through pruning and
+    # thread them into the operator: that side's bbox pruning column
+    # and the codegen dwithin refine come straight from the stored
+    # doubles (no Python bbox pass), refine conjuncts substitute them
+    # via _subst_certified_calls, and — when nothing else references
+    # the geometry — its ST_Point constructor prunes out of the plan
+    # entirely.
+    geom_by_alias = {a: c for a, c in zip(spatial.arg_rels,
+                                          spatial.arg_cols)}
+    rel_by_alias = {m.rel1.alias: m.rel1, m.rel2.alias: m.rel2}
+    df_by_alias = {m.rel1.alias: ldf, m.rel2.alias: rdf}
+    full_by_alias = {m.rel1.alias: ldf_full, m.rel2.alias: rdf_full}
+    shadows: dict[str, dict[str, tuple]] = {}
+    for a in aliases:
+        gcol = geom_by_alias.get(a)
+        rel = rel_by_alias.get(a)
+        if gcol is None or rel is None:
+            continue
+        # a bare `SELECT * FROM <name> [WHERE ...]` subquery keeps the
+        # base relation's certificate: the shadow invariant is per-row
+        # (bit-equal doubles, matched NULLs), so any row FILTER
+        # preserves it and `*` preserves the columns; any other
+        # projection shape declines (column identity not tracked)
+        tbl = (_subquery_shadow_base(rel.text) if rel.is_subquery
+               else rel.text)
+        if tbl is None:
+            continue
+        try:
+            xy = _relation_shadow(spark, tbl, gcol)
+        except Exception:
+            xy = None
+        full_cols = full_by_alias[a].columns
+        if not xy or xy[0] not in full_cols or xy[1] not in full_cols:
+            continue
+        cur = df_by_alias[a]
+        if any(c not in cur.columns for c in xy):
+            keep = set(cur.columns) | set(xy)
+            df_by_alias[a] = full_by_alias[a].select(
+                [c for c in full_cols if c in keep])
+        shadows[a] = {gcol: tuple(xy)}
+    if shadows:
+        ldf = df_by_alias[m.rel1.alias]
+        rdf = df_by_alias[m.rel2.alias]
+        schemas = {m.rel1.alias: set(ldf.columns),
+                   m.rel2.alias: set(rdf.columns)}
+
     # -------- column disambiguation (right side renamed on collision)
     lcols = list(ldf.columns)
     collide = set(lcols) & set(rdf.columns)
@@ -813,6 +863,22 @@ def _rewrite(spark, sql, toks, vanilla_sql):
     g1 = lgeom.get(m.rel1.alias)
     g2 = rmap.get(lgeom.get(m.rel2.alias), lgeom.get(m.rel2.alias))
 
+    # shadow tuples resolved onto the operator-side column names
+    sxy1 = shadows.get(m.rel1.alias, {}).get(g1)
+    sxy2 = shadows.get(m.rel2.alias, {}).get(lgeom.get(m.rel2.alias))
+    if sxy2 is not None:
+        sxy2 = (rmap.get(sxy2[0], sxy2[0]), rmap.get(sxy2[1], sxy2[1]))
+
+    def _map_span(lo, hi):
+        """map_refs over a conjunct span, with certified-scalar calls
+        substituted by native shadow arithmetic first (round 12)."""
+        seg = toks[lo:hi]
+        if shadows:
+            sub = _subst_certified_calls(seg, shadows, aliases, schemas)
+            if sub is not None:
+                seg = sub
+        return map_refs(seg)
+
     if spatial.dist_col is not None:
         da, dc = spatial.dist_col
         spatial.dist_col_resolved = (da, out_name(da, dc))
@@ -828,16 +894,24 @@ def _rewrite(spark, sql, toks, vanilla_sql):
         m_inner = copy.copy(m)
         m_inner.how = "inner"
         refine_sql = " AND ".join(
-            "( " + _render(map_refs(toks[lo:hi])) + " )"
+            "( " + _render(_map_span(lo, hi)) + " )"
             for lo, hi in inner_refines)
 
         def _refined_inner(l2, r2):
-            return _build_join(spark, m_inner, spatial, l2, r2, g1, g2) \
+            return _build_join(spark, m_inner, spatial, l2, r2, g1, g2,
+                               sxy1=sxy1, sxy2=sxy2) \
                 .filter(F.expr(refine_sql))
 
-        joined = _lattice_from_inner(ldf, rdf_r, m.how, _refined_inner)
+        # shadow-certified geometries stay out of the lattice content
+        # hash (bit-determined by their shadow doubles), so the
+        # constructor prunes from the id-only branches
+        joined = _lattice_from_inner(
+            ldf, rdf_r, m.how, _refined_inner,
+            l_exclude=(g1,) if sxy1 else (),
+            r_exclude=(g2,) if sxy2 else ())
     else:
-        joined = _build_join(spark, m, spatial, ldf, rdf_r, g1, g2)
+        joined = _build_join(spark, m, spatial, ldf, rdf_r, g1, g2,
+                             sxy1=sxy1, sxy2=sxy2)
 
     # -------- register the view and rebuild the query text
     # the conf suffix keeps views built under different plan-affecting
@@ -867,7 +941,7 @@ def _rewrite(spark, sql, toks, vanilla_sql):
                 # identical semantics)
                 parts = []
                 for (lo, hi) in rest:
-                    parts.append("( " + _render(map_refs(toks[lo:hi])) + " )")
+                    parts.append("( " + _render(_map_span(lo, hi)) + " )")
                 nxt = skip_spans[0][1]
                 if nxt < n and toks[nxt].upper() == "WHERE":
                     out.extend(["WHERE", " AND ".join(parts), "AND"])
@@ -937,13 +1011,18 @@ def _probe_geog_points(df, col, n=64) -> bool:
     return all(len(v) == 21 for v in vals)
 
 
-def _lattice_from_inner(ldf, rdf_r, how, inner_fn) -> DataFrame:
+def _lattice_from_inner(ldf, rdf_r, how, inner_fn,
+                        l_exclude: tuple = (),
+                        r_exclude: tuple = ()) -> DataFrame:
     """Assemble any join-type-lattice mode from an inner-join builder by
     row-id match tracking — the same probe-bitmap shape
     operators.spatial_join uses (exec.rs:235-240).  ``rdf_r`` columns
     are already collision-renamed by the caller, so ids never clash.
     Ids are content-derived (content_row_id) so both plan branches that
-    reference a tagged side agree even above a shuffle (ADVICE r8)."""
+    reference a tagged side agree even above a shuffle (ADVICE r8).
+    ``l_exclude``/``r_exclude``: columns left out of the content hash —
+    only for columns the caller PROVED functionally determined by the
+    rest (shadow-certified geometries), see content_row_id."""
     from pyspark.sql import functions as F
 
     from sedona_db_spark.operators.spatial_join import content_row_id
@@ -953,9 +1032,9 @@ def _lattice_from_inner(ldf, rdf_r, how, inner_fn) -> DataFrame:
     rids: list[str] = []
     l2, r2 = ldf, rdf_r
     if need_l:
-        l2, lids = content_row_id(ldf, "__lat_lid")
+        l2, lids = content_row_id(ldf, "__lat_lid", exclude=l_exclude)
     if need_r:
-        r2, rids = content_row_id(rdf_r, "__lat_rid")
+        r2, rids = content_row_id(rdf_r, "__lat_rid", exclude=r_exclude)
     inner = inner_fn(l2, r2)
     if how == "left_semi":
         return l2.join(inner.select(*lids).distinct(), lids,
@@ -1151,8 +1230,14 @@ def _try_layout_route(spark, m, spatial, ldf, rdf_r, g1, g2):
     return None
 
 
-def _build_join(spark, m, spatial, ldf, rdf_r, g1, g2) -> DataFrame:
-    """Route the matched shape into the engine's join operators."""
+def _build_join(spark, m, spatial, ldf, rdf_r, g1, g2,
+                sxy1: tuple | None = None,
+                sxy2: tuple | None = None) -> DataFrame:
+    """Route the matched shape into the engine's join operators.
+    ``sxy1``/``sxy2``: certified shadow coordinate column names for the
+    two geometry arguments (resolved onto ldf / rdf_r), threaded into
+    the planar operator so the certified side's bbox pruning column is
+    pure codegen (see spatial_join left_xy/right_xy)."""
     from sedona_db_spark.operators.knn_join import knn_join
     from sedona_db_spark.operators.spatial_join import spatial_join
 
@@ -1192,8 +1277,11 @@ def _build_join(spark, m, spatial, ldf, rdf_r, g1, g2) -> DataFrame:
     #     per-pair Python kernel (r8 verdict "What's wrong #1")
     # Mixed tagged/planar columns decline to vanilla, whose per-row
     # kernels dispatch per value.
-    nt1, n1 = _probe_geography(ldf, g1)
-    nt2, n2 = _probe_geography(rdf_r, g2)
+    # a shadow-certified column is plain LE point WKB by certificate
+    # (the header check bans the geography tag), so its probe job is
+    # skipped — (0 tagged, 1 probed) keeps the mixed-side decline logic
+    nt1, n1 = (0, 1) if sxy1 is not None else _probe_geography(ldf, g1)
+    nt2, n2 = (0, 1) if sxy2 is not None else _probe_geography(rdf_r, g2)
     if nt1 or nt2:
         if not (nt1 == n1 and nt2 == n2 and n1 and n2):
             raise _Decline
@@ -1277,10 +1365,12 @@ def _build_join(spark, m, spatial, ldf, rdf_r, g1, g2) -> DataFrame:
             if sl is not None and sr is not None and sl < sr:
                 return spatial_join(rdf_r, ldf, left_geom=g2, right_geom=g1,
                                     predicate="intersects",
-                                    distance=dist, how="inner")
+                                    distance=dist, how="inner",
+                                    left_xy=sxy2, right_xy=sxy1)
         return spatial_join(ldf, rdf_r, left_geom=g1, right_geom=g2,
                             predicate="intersects",
-                            distance=dist, how=m.how)
+                            distance=dist, how=m.how,
+                            left_xy=sxy1, right_xy=sxy2)
     pred = spatial.predicate
     if m.how == "inner":
         # spatial_join builds its index on the RIGHT side, so put the
@@ -1291,16 +1381,20 @@ def _build_join(spark, m, spatial, ldf, rdf_r, g1, g2) -> DataFrame:
         from sedona_db_spark.plans.width import planned_size_bytes
         if first_is_left:
             a_df, ga, b_df, gb = ldf, g1, rdf_r, g2
+            a_xy, b_xy = sxy1, sxy2
         else:
             a_df, ga, b_df, gb = rdf_r, g2, ldf, g1
+            a_xy, b_xy = sxy2, sxy1
         sa = planned_size_bytes(a_df)
         sb = planned_size_bytes(b_df)
         if (sa is not None and sb is not None and sa < sb
                 and pred in _TRANSPOSE):
             return spatial_join(b_df, a_df, left_geom=gb, right_geom=ga,
-                                predicate=_TRANSPOSE[pred], how="inner")
+                                predicate=_TRANSPOSE[pred], how="inner",
+                                left_xy=b_xy, right_xy=a_xy)
         return spatial_join(a_df, b_df, left_geom=ga, right_geom=gb,
-                            predicate=pred, how="inner")
+                            predicate=pred, how="inner",
+                            left_xy=a_xy, right_xy=b_xy)
     # outer/semi/anti modes: operator-left must stay the SQL left
     # relation (the mode lattice is side-sensitive), so when the
     # predicate's first argument is the right relation the predicate is
@@ -1310,7 +1404,8 @@ def _build_join(spark, m, spatial, ldf, rdf_r, g1, g2) -> DataFrame:
         if pred is None:
             raise _Decline
     return spatial_join(ldf, rdf_r, left_geom=g1, right_geom=g2,
-                        predicate=pred, how=m.how)
+                        predicate=pred, how=m.how,
+                        left_xy=sxy1, right_xy=sxy2)
 
 
 # ----------------------------------------------------------------------
@@ -2116,6 +2211,114 @@ def _point_table_shadow(spark, table: str, col: str):
         return tuple(xy) if isinstance(xy, list) and len(xy) == 2 else None
     except Exception:
         return None
+
+
+def _relation_shadow(spark, tbl: str, col: str):
+    """Live certified shadow ``(x_col, y_col)`` for a named relation's
+    point column, from the session view registry (fingerprint-checked)
+    or the write-time table property — None when uncertified."""
+    return _view_shadow(spark, tbl, col) or _point_table_shadow(spark, tbl, col)
+
+
+def _subquery_shadow_base(text: str) -> str | None:
+    """``SELECT * FROM <name> [WHERE/ORDER/LIMIT ...]`` -> the base
+    relation name, else None.  Only this shape may inherit the base's
+    point-shadow certificate: the invariant is per-row, so filters and
+    row subsets preserve it, and bare ``*`` preserves column identity."""
+    t = _tokenize(text)
+    if not t or len(t) < 4:
+        return None
+    if (t[0].upper() != "SELECT" or t[1] != "*" or t[2].upper() != "FROM"
+            or not _is_ident(t[3])):
+        return None
+    if len(t) > 4 and t[4].upper() not in ("WHERE", "ORDER", "LIMIT"):
+        return None
+    return _unquote(t[3])
+
+
+def _subst_certified_calls(span: list[str], shadows: dict,
+                           aliases: tuple, schemas: dict) -> list[str] | None:
+    """Span-local certified-scalar substitution for the join rewrite's
+    refine conjuncts (round 12, extending the r11 scalar rewrite into
+    the lattice's refine position): ST_Distance / ST_DWithin / ST_X /
+    ST_Y calls whose geometry arguments are references to
+    shadow-certified point columns are replaced by the SAME native
+    arithmetic rewrite_certified_scalar emits — the shadow doubles
+    substitute the coordinates (bit-equal by certificate), sqrt-form
+    distance, the dwithin ``<= d + 1e-12`` kernel boundary.  Emitted
+    references stay alias-qualified token triples (``a . px``) so the
+    caller's map_refs pass renames them onto the joined view.
+
+    ``shadows``: alias -> {geom_col: (x_col, y_col)}.  Returns the new
+    token list, or None when nothing substituted (callers keep the
+    original span — the kernels stay exact for every shape this
+    declines).  ``aliases`` is the FULL alias tuple (not just the
+    shadow-bearing ones) so bare-column owner resolution matches the
+    main parser's."""
+
+    def pt_xy(lo, hi):
+        q = _qualified_ref(span, lo, hi, aliases, schemas)
+        if q is None:
+            return None
+        xy = shadows.get(q[0], {}).get(q[1])
+        if xy is None:
+            return None
+        return (f"CAST ( {q[0]} . {xy[0]} AS DOUBLE )",
+                f"CAST ( {q[0]} . {xy[1]} AS DOUBLE )")
+
+    out: list[str] = []
+    changed = False
+    i, n = 0, len(span)
+    while i < n:
+        u = span[i].upper()
+        if u in ("ST_DISTANCESPHERE", "ST_DISTANCE", "ST_DWITHIN",
+                 "ST_X", "ST_Y") and i + 1 < n and span[i + 1] == "(":
+            d, j = 0, i + 1
+            while j < n:
+                if span[j] == "(":
+                    d += 1
+                elif span[j] == ")":
+                    d -= 1
+                    if d == 0:
+                        break
+                j += 1
+            if j >= n:
+                return None
+            repl = None
+            if u in ("ST_X", "ST_Y"):
+                xy = pt_xy(i + 2, j)
+                if xy is not None:
+                    repl = xy[0] if u == "ST_X" else xy[1]
+            elif u == "ST_DWITHIN":
+                parts = _split_args(span, i + 2, j)
+                if parts is not None and len(parts) == 3:
+                    xy1, xy2 = pt_xy(*parts[0]), pt_xy(*parts[1])
+                    if xy1 is not None and xy2 is not None:
+                        dist = _render(span[parts[2][0]:parts[2][1]])
+                        repl = ("( " + _EUCLID_SQL.format(
+                            lon1=xy1[0], lat1=xy1[1],
+                            lon2=xy2[0], lat2=xy2[1])
+                            + f" <= ( ( {dist} ) + 1e-12 ) )")
+            else:
+                args = _split_two_args(span, i + 2, j)
+                if args is not None:
+                    xy1, xy2 = pt_xy(*args[0]), pt_xy(*args[1])
+                    if xy1 is not None and xy2 is not None:
+                        fmt = (_HAVERSINE_SQL if u == "ST_DISTANCESPHERE"
+                               else _EUCLID_SQL)
+                        repl = fmt.format(lon1=xy1[0], lat1=xy1[1],
+                                          lon2=xy2[0], lat2=xy2[1])
+            if repl is not None:
+                repl_toks = _tokenize(repl)
+                if repl_toks is None:
+                    return None
+                out.extend(repl_toks)
+                changed = True
+                i = j + 1
+                continue
+        out.append(span[i])
+        i += 1
+    return out if changed else None
 
 
 # WKB bit extraction is exact but costs ~10 us/row/coordinate in

@@ -1476,3 +1476,131 @@ def test_sql_layout_table_reads_logical_rows_off_route(spark):
       ON ST_Within(c.geom, n.geom) AND n.n_nationkey % 2 = 0
     """), ["c_custkey", "n_nationkey"])
     assert got == want and len(got) > 0
+
+
+# ----------------------------------------------------------------------
+# round 12: certified-shadow codegen through the rewrite and the lattice
+# ----------------------------------------------------------------------
+
+
+def _python_node_count(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    return len(re.findall(r"ArrowEvalPython|BatchEvalPython|MapInPandas",
+                          plan))
+
+
+LATTICE_2PRED_Q = """
+  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+  FROM (SELECT * FROM cust_pts WHERE c_custkey < 200) a
+  LEFT JOIN (SELECT * FROM cust_pts WHERE c_custkey < 200) b
+  ON ST_DWithin(a.geom, b.geom, 9.0)
+     AND ST_Distance(a.geom, b.geom) < 5.0
+     AND a.c_custkey < b.c_custkey
+"""
+
+
+def test_lattice_two_predicates_shadow_codegen(spark):
+    """r11 verdict item #3: with cust_pts shadow-certified, the
+    multi-predicate lattice plans with ZERO Python nodes (bbox prune,
+    dwithin candidate cut and the ST_Distance refine all substitute the
+    certified shadow doubles) and still matches the native restatement
+    row-for-row (vanilla cannot plan a Python UDF in a LEFT JOIN ON at
+    all — that inability is why the lattice exists)."""
+    _prep(spark)
+    df = spark.sql(LATTICE_2PRED_Q)
+    assert _python_node_count(df) == 0, \
+        df._jdf.queryExecution().executedPlan().toString()
+    got = _rows(df, ["ka", "kb"])
+    want = _rows(_vanilla(spark, """
+      SELECT a.c_custkey AS ka, b.c_custkey AS kb
+      FROM (SELECT * FROM cust_pts WHERE c_custkey < 200) a
+      LEFT JOIN (SELECT * FROM cust_pts WHERE c_custkey < 200) b
+      ON sqrt(power(a.px - b.px, 2) + power(a.py - b.py, 2)) < 5.0
+         AND a.c_custkey < b.c_custkey
+    """), ["ka", "kb"])
+    assert got == want and len(got) > 0
+
+
+def test_comparison_form_shadow_codegen(spark):
+    """ST_Distance(a,b) < d keep_refine form: candidate cut AND the
+    surviving refine conjunct are pure codegen under the certificate."""
+    _prep(spark)
+    q = """
+      SELECT a.c_custkey AS ka, b.c_custkey AS kb
+      FROM (SELECT * FROM cust_pts WHERE c_custkey < 200) a
+      JOIN (SELECT * FROM cust_pts WHERE c_custkey < 200) b
+      ON ST_Distance(a.geom, b.geom) < 5.0 AND a.c_custkey < b.c_custkey
+    """
+    df = spark.sql(q)
+    assert _python_node_count(df) == 0, \
+        df._jdf.queryExecution().executedPlan().toString()
+    got = _rows(df, ["ka", "kb"])
+    want = _rows(_vanilla(spark, q), ["ka", "kb"])
+    assert got == want and len(got) > 0
+
+
+def test_shadow_subquery_base_only_star_shapes(spark):
+    """A projecting subquery must NOT inherit the certificate (column
+    identity is not tracked through it) — the query still answers
+    correctly through the kernel path."""
+    _prep(spark)
+    q = """
+      SELECT a.c_custkey AS ka, b.c_custkey AS kb
+      FROM (SELECT c_custkey, geom FROM cust_pts WHERE c_custkey < 120) a
+      JOIN (SELECT c_custkey, geom FROM cust_pts WHERE c_custkey < 120) b
+      ON ST_Distance(a.geom, b.geom) < 5.0 AND a.c_custkey < b.c_custkey
+    """
+    df = spark.sql(q)
+    got = _rows(df, ["ka", "kb"])
+    want = _rows(_vanilla(spark, q), ["ka", "kb"])
+    assert got == want and len(got) > 0
+
+
+def test_shadow_bbox_matches_kernel_on_nulls(spark):
+    """_bbox_cls_shadow_expr reproduces the kernel's classed bbox for
+    certified point data including NULL geometry rows (NULL bbox,
+    cls 0)."""
+    from sedona_db_spark.operators.spatial_join import (
+        _bbox_cls_col, _bbox_cls_shadow_expr)
+    _prep(spark)
+    base = spark.sql("""
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL
+                  ELSE ST_Point(px, py) END AS geom,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE px END AS px,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE py END AS py
+      FROM cust_pts WHERE c_custkey < 300
+    """)
+    cols = ["c_custkey", "xmin", "ymin", "xmax", "ymax", "cls"]
+
+    def by_key(df):
+        rows = df.select("c_custkey", "__b.xmin", "__b.ymin", "__b.xmax",
+                         "__b.ymax", "__b.cls").collect()
+        return sorted((tuple(r[c] for c in cols) for r in rows),
+                      key=lambda t: t[0])
+    kern = by_key(base.withColumn("__b", _bbox_cls_col(F.col("geom"))))
+    nat = by_key(base.withColumn("__b",
+                                 _bbox_cls_shadow_expr(("px", "py"))))
+    assert kern == nat and any(t[-1] == 0 for t in kern) \
+        and any(t[-1] == 1 for t in kern)
+
+
+def test_content_row_id_exclude_keeps_ids_stable(spark):
+    """content_row_id(exclude=...) drops the column from the hash but
+    keeps it in the frame; ids equal the hash over the remaining
+    columns (so two frames differing only in the excluded column's
+    representation agree)."""
+    from sedona_db_spark.operators.spatial_join import content_row_id
+    _prep(spark)
+    a = spark.table("cust_pts").select("c_custkey", "geom", "px", "py") \
+        .filter("c_custkey < 50")
+    b = spark.table("cust_pts").select(
+        "c_custkey", F.lit(None).cast("binary").alias("geom"), "px", "py") \
+        .filter("c_custkey < 50")
+    ta, ids = content_row_id(a, "__id", exclude=("geom",))
+    tb, _ = content_row_id(b, "__id", exclude=("geom",))
+    assert set(ta.columns) == set(a.columns) | set(ids)
+    ra = sorted(tuple(r[i] for i in ids) for r in ta.select(*ids).collect())
+    rb = sorted(tuple(r[i] for i in ids) for r in tb.select(*ids).collect())
+    assert ra == rb and len(ra) == 50
