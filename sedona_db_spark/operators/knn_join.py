@@ -576,9 +576,13 @@ def knn_join_partitioned(
     """
     from sedona_db_spark.operators.spatial_join import bbox_col
 
-    # disambiguate object columns
+    # disambiguate object columns (one selectExpr round trip — aliased
+    # F.col()s cost 2 RPCs per column at construction, guide §1.2)
+    from sedona_db_spark.operators.spatial_join import _bq
     rcols = {c: (f"o_{c}" if c in queries.columns else c) for c in objects.columns}
-    obj = objects.select([F.col(c).alias(a) for c, a in rcols.items()])
+    obj = objects.selectExpr(
+        *[f"{_bq(c)} AS {_bq(a)}" if a != c else _bq(c)
+          for c, a in rcols.items()])
     ogeom = rcols[object_geom]
     obj_payload = [a for a in rcols.values()]
 
@@ -821,22 +825,29 @@ def knn_join_partitioned(
     tie_cols = [f.name for f in obj.schema.fields
                 if f.name != ogeom and isinstance(f.dataType, orderable)]
 
+    # ranking window + tie handling as single SQL strings (round 12,
+    # guide §1.2): the Window-builder form cost ~170 RPCs per topk call
+    # (two calls per build); the SQL window function is the identical
+    # plan (ORDER BY defaults ASC NULLS FIRST like Column asc) in 2-3
+    # round trips.
+    _order_sql = ", ".join(["knn_distance"] + [_bq(c) for c in tie_cols]
+                           + ["__ox", "__oy"])
+
     def topk(cand: DataFrame) -> DataFrame:
-        win = Window.partitionBy("__qid").orderBy(
-            F.col("knn_distance"), *[F.col(c) for c in tie_cols],
-            F.col("__ox"), F.col("__oy"))
-        ranked = cand.withColumn("knn_distance", dist) \
-                     .withColumn("__rn", F.row_number().over(win))
+        ranked = cand.withColumn("knn_distance", dist).selectExpr(
+            "*", "row_number() OVER (PARTITION BY __qid ORDER BY "
+            f"{_order_sql}) AS __rn")
         if include_ties:
-            kth = Window.partitionBy("__qid")
-            ranked = ranked.withColumn(
-                "__dk", F.max(F.when(F.col("__rn") == k,
-                                     F.col("knn_distance"))).over(kth))
+            # withColumn, not selectExpr("*", ...): round B's candidate
+            # frame already carries round A's __dk and must have it
+            # REPLACED by the tie threshold, not duplicated
+            ranked = ranked.withColumn("__dk", F.expr(
+                f"max(CASE WHEN __rn = {int(k)} THEN knn_distance END) "
+                "OVER (PARTITION BY __qid)"))
             return ranked.filter(
-                (F.col("__rn") <= k) |
-                (F.col("__dk").isNotNull() &
-                 (F.col("knn_distance") <= F.col("__dk") + 1e-9))).drop("__dk")
-        return ranked.filter(F.col("__rn") <= k)
+                f"__rn <= {int(k)} OR (__dk IS NOT NULL AND "
+                "knn_distance <= __dk + 1.0e-9)").drop("__dk")
+        return ranked.filter(f"__rn <= {int(k)}")
 
     keep_cols = ([c for c in queries.columns] + ["__qid"]
                  + obj_payload + ["knn_distance"])
@@ -844,7 +855,7 @@ def knn_join_partitioned(
     # ---- round A: 3x3 neighborhood ----------------------------------
     qa = qb2.withColumn("__cell",
                         F.explode(F.expr(neighborhood_cells("1"))))
-    cand_a = qa.join(ob2, qa["__cell"] == ob2["__ocell"], "inner")
+    cand_a = qa.join(ob2, F.expr("__cell = __ocell"), "inner")
     # persist round A's top-k: its lineage feeds the per-query outcome
     # agg, the safe/unsafe split AND the final output — uncached, the
     # candidate join + window would re-execute three to four times (a
@@ -877,12 +888,12 @@ def knn_join_partitioned(
         f"ELSE {_inf} END, "
         f"CASE WHEN __qcy + 1 < {ny - 1} THEN "
         f"({_y0} + (__qcy + 2) * {_h}) - __qy ELSE {_inf} END)")
-    qstat = qstat.withColumn(
-        "__safe", F.expr(
-            f"(__cnt >= {min_needed}) AND "
-            f"(__dk <= {margin_sql} - __qhd - {_ohd})"))
+    qstat = qstat.selectExpr(
+        "*",
+        f"(__cnt >= {min_needed}) AND "
+        f"(__dk <= {margin_sql} - __qhd - {_ohd}) AS __safe")
 
-    unsafe = qstat.filter(~F.coalesce(F.col("__safe"), F.lit(False)))
+    unsafe = qstat.filter("NOT coalesce(__safe, false)")
 
     # ---- round B: explicit-radius re-probe for unsafe queries --------
     # clamped at the full grid: with a degenerate extent (min(w,h) bottoms
@@ -894,7 +905,7 @@ def knn_join_partitioned(
         f"ELSE {max(nx, ny)} END, {max(nx, ny)}) AS INT)")
     qb_b = unsafe.withColumn(
         "__cell", F.explode(F.expr(neighborhood_cells(rad_sql))))
-    cand_b = qb_b.join(ob2, qb_b["__cell"] == ob2["__ocell"], "inner")
+    cand_b = qb_b.join(ob2, F.expr("__cell = __ocell"), "inner")
     top_b = topk(cand_b)
 
     # out_a filters by ANTI-join against the unsafe ids (usually a small

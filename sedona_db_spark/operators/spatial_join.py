@@ -679,26 +679,32 @@ def _rect_fast_refine(cand: DataFrame, left: DataFrame, left_geom: str,
         _stats_memo_put(rkey, allrect)
     if not allrect:
         return None
-    lx, ly = F.col("__lbox.xmin"), F.col("__lbox.ymin")
-    lX, lY = F.col("__lbox.xmax"), F.col("__lbox.ymax")
-    rx, ry = F.col("__rbox.xmin"), F.col("__rbox.ymin")
-    rX, rY = F.col("__rbox.xmax"), F.col("__rbox.ymax")
+    # formulas as single SQL strings (round 12, the sim_label
+    # treatment): the Column-built forms cost ~340 py4j round trips per
+    # construction (F.col pairs + one RPC per comparison/conjunction);
+    # one F.expr string is 1 round trip and plans to the identical
+    # comparison tree
+    msg = (f"rectangle fast-path spatial join ({predicate}) met a "
+           "non-rectangle build geometry (data changed under a "
+           "memoized plan?); rerun with spatial_join(..., "
+           "rect_fast_path=False) for the general refine").replace("'", "''")
 
-    def rect_guard(formula):
-        return F.when(F.col("__rbox.cls") == 2, formula).otherwise(
-            F.raise_error(F.lit(
-                f"rectangle fast-path spatial join ({predicate}) met a "
-                "non-rectangle build geometry (data changed under a "
-                "memoized plan?); rerun with spatial_join(..., "
-                "rect_fast_path=False) for the general refine")))
+    def rect_guard_sql(formula_sql: str) -> str:
+        return (f"CASE WHEN __rbox.cls = 2 THEN ({formula_sql}) "
+                f"ELSE CAST(raise_error('{msg}') AS BOOLEAN) END")
 
     if predicate in ("covered_by", "coveredby"):
-        return cand.filter(rect_guard((lx >= rx) & (lX <= rX) &
-                                      (ly >= ry) & (lY <= rY)))
+        return cand.filter(F.expr(rect_guard_sql(
+            "__lbox.xmin >= __rbox.xmin AND __lbox.xmax <= __rbox.xmax AND "
+            "__lbox.ymin >= __rbox.ymin AND __lbox.ymax <= __rbox.ymax")))
     if predicate == "within":
-        formula = (lx > rx) & (lX < rX) & (ly > ry) & (lY < rY)
+        formula_sql = (
+            "__lbox.xmin > __rbox.xmin AND __lbox.xmax < __rbox.xmax AND "
+            "__lbox.ymin > __rbox.ymin AND __lbox.ymax < __rbox.ymax")
     else:                                   # intersects(point, rect)
-        formula = (lx >= rx) & (lx <= rX) & (ly >= ry) & (ly <= rY)
+        formula_sql = (
+            "__lbox.xmin >= __rbox.xmin AND __lbox.xmin <= __rbox.xmax AND "
+            "__lbox.ymin >= __rbox.ymin AND __lbox.ymin <= __rbox.ymax")
     # Two-branch native split (r9 verdict #1).  A non-point probe row
     # past the 64-row probe gets the exact refine kernel (ADVICE r8:
     # mixed corpora are common), but in its OWN union branch gated by a
@@ -716,7 +722,7 @@ def _rect_fast_refine(cand: DataFrame, left: DataFrame, left_geom: str,
     if certified:
         # all-point by construction: no straggler branch, no per-row
         # split — the whole candidate filter is join-condition codegen
-        return cand.filter(rect_guard(formula))
+        return cand.filter(F.expr(rect_guard_sql(formula_sql)))
     # The point branch embeds the split in ONE CASE WHEN referencing
     # both sides, so Catalyst keeps it in the join condition instead of
     # splitting off the left-only conjunct and pushing it through the
@@ -725,7 +731,8 @@ def _rect_fast_refine(cand: DataFrame, left: DataFrame, left_geom: str,
     is_pt = point_gate if point_gate is not None \
         else _wkb_point2d(F.col(left_geom))
     pts = cand.filter(
-        F.when(is_pt, rect_guard(formula)).otherwise(F.lit(False)))
+        F.when(is_pt, F.expr(rect_guard_sql(formula_sql)))
+         .otherwise(F.lit(False)))
     exact = _refine_udf(predicate, False)(F.col(left_geom), F.col(rgeom))
     strag = cand.filter(~F.coalesce(is_pt, F.lit(False))) \
                 .filter(F.coalesce(exact, F.lit(False)))
@@ -857,9 +864,12 @@ def spatial_join(
         drop = (lids if need_l else []) + (rids_out if need_r else [])
         return out.drop(*drop)
 
-    # disambiguate columns
+    # disambiguate columns (one selectExpr round trip — a list of
+    # aliased F.col()s costs 2 RPCs per column at construction)
     rcols = {c: (f"right_{c}" if c in left.columns else c) for c in right.columns}
-    right_r = right.select([F.col(c).alias(a) for c, a in rcols.items()])
+    right_r = right.selectExpr(
+        *[f"{_bq(c)} AS {_bq(a)}" if a != c else _bq(c)
+          for c, a in rcols.items()])
     rgeom = rcols[right_geom]
     if right_xy is not None:
         right_xy = (rcols.get(right_xy[0], right_xy[0]),
@@ -908,12 +918,12 @@ def spatial_join(
     # one needs the executor-side index so probe cost stays
     # O(rows x candidates) instead of O(rows x build).
     if n_small is not None and n_small <= min(2000, broadcast_threshold):
-        cond = (
-            (F.col("__lbox.xmin") - expand <= F.col("__rbox.xmax")) &
-            (F.col("__rbox.xmin") <= F.col("__lbox.xmax") + expand) &
-            (F.col("__lbox.ymin") - expand <= F.col("__rbox.ymax")) &
-            (F.col("__rbox.ymin") <= F.col("__lbox.ymax") + expand)
-        )
+        _d = _dlit(expand)
+        cond = F.expr(
+            f"__lbox.xmin - {_d} <= __rbox.xmax AND "
+            f"__rbox.xmin <= __lbox.xmax + {_d} AND "
+            f"__lbox.ymin - {_d} <= __rbox.ymax AND "
+            f"__rbox.ymin <= __lbox.ymax + {_d}")
         cand = lb.join(F.broadcast(rb), cond, "inner")
         fast = _rect_fast_refine(cand, left, left_geom, rb, rgeom,
                                  predicate, distance, rect_fast_path,
@@ -948,9 +958,8 @@ def spatial_join(
     # cell occupancy balanced regardless of the data distribution.
     # The row count, emptiness probe, and both quantile sketches ride in
     # ONE agg job (each extra action re-runs the bbox decode pass).
-    cq = lb.select(
-        ((F.col("__lbox.xmin") + F.col("__lbox.xmax")) / 2).alias("__cx"),
-        ((F.col("__lbox.ymin") + F.col("__lbox.ymax")) / 2).alias("__cy"))
+    cq = lb.selectExpr("(__lbox.xmin + __lbox.xmax) / 2 AS __cx",
+                       "(__lbox.ymin + __lbox.ymax) / 2 AS __cy")
     probs = [i / nx for i in range(1, nx)]
     # Re-planning the same join (bench reps, iterative pipelines,
     # dashboards) re-pays the whole sampled-quantile scan.  Edges are
@@ -1007,25 +1016,24 @@ def spatial_join(
         "__rbox.xmin", "__rbox.ymin", "__rbox.xmax", "__rbox.ymax",
         0.0, xbreaks, ybreaks, ny))))
 
-    cond = (
-        (F.col("__lcell") == F.col("__rcell")) &
-        (F.col("__lbox.xmin") - expand <= F.col("__rbox.xmax")) &
-        (F.col("__rbox.xmin") <= F.col("__lbox.xmax") + expand) &
-        (F.col("__lbox.ymin") - expand <= F.col("__rbox.ymax")) &
-        (F.col("__rbox.ymin") <= F.col("__lbox.ymax") + expand)
-    )
+    _d = _dlit(expand)
+    cond = F.expr(
+        f"__lcell = __rcell AND "
+        f"__lbox.xmin - {_d} <= __rbox.xmax AND "
+        f"__rbox.xmin <= __lbox.xmax + {_d} AND "
+        f"__lbox.ymin - {_d} <= __rbox.ymax AND "
+        f"__rbox.ymin <= __lbox.ymax + {_d}")
     le = le.withColumnRenamed("__cell", "__lcell")
     re_ = re_.withColumnRenamed("__cell", "__rcell")
     cand = le.join(re_, cond, "inner")
 
     # reference-point dedup: keep the pair only in the cell holding the
     # top-left corner of the bbox intersection (expanded by distance)
-    _d = _dlit(expand)
-    ref_cell = F.expr(
+    cand = cand.filter(F.expr(
+        f"__lcell = "
         f"{_bucket_sql(f'greatest((__lbox.xmin) - {_d}, __rbox.xmin)', xbreaks)}"
         f" * {int(ny)}L "
-        f"+ {_bucket_sql(f'greatest((__lbox.ymin) - {_d}, __rbox.ymin)', ybreaks)}")
-    cand = cand.filter(F.col("__lcell") == ref_cell)
+        f"+ {_bucket_sql(f'greatest((__lbox.ymin) - {_d}, __rbox.ymin)', ybreaks)}"))
 
     # rectangle fast path in the partitioned regime too — the exact
     # all-rects verification is a full build-side pass, so it is only
@@ -1285,12 +1293,13 @@ def _dwithin_fast_refine(cand: DataFrame, left: DataFrame, left_geom: str,
     if not ((l_cert or _point_constructor_certified(left, left_geom))
             and (r_cert or _point_constructor_certified(rb, rgeom))):
         return None
-    lx, ly = F.col("__lbox.xmin"), F.col("__lbox.ymin")
-    rx, ry = F.col("__rbox.xmin"), F.col("__rbox.ymin")
-    dx, dy = lx - rx, ly - ry
-    # (d + 1e-12)^2: the unified alg.dwithin boundary convention
+    # (d + 1e-12)^2: the unified alg.dwithin boundary convention.
+    # One F.expr string (round 12) — the Column form cost ~14 RPCs.
     de = float(distance) + 1e-12
-    return cand.filter((dx * dx + dy * dy) <= F.lit(de * de))
+    return cand.filter(F.expr(
+        "(__lbox.xmin - __rbox.xmin) * (__lbox.xmin - __rbox.xmin) + "
+        "(__lbox.ymin - __rbox.ymin) * (__lbox.ymin - __rbox.ymin) <= "
+        + _dlit(de * de)))
 
 
 def distance_join(left, right, left_geom="geom", right_geom="geom",
@@ -1326,6 +1335,11 @@ def _dlit(x) -> str:
     """Exact SQL double literal (CAST of repr string — constant-folded
     at plan time, round-trips every finite double)."""
     return f"CAST('{repr(float(x))}' AS DOUBLE)"
+
+
+def _bq(name: str) -> str:
+    """Backquoted SQL identifier (backticks doubled)."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def _bucket_sql(v_sql: str, breaks) -> str:
