@@ -60,6 +60,30 @@ def _make_views(spark: SparkSession):
         certify_point_view(spark, "cust_pts", {"geom": ("px", "py")})
     except Exception:
         pass
+    # clustered geography probe points (geo_skew_join_clustered): the
+    # same rows the query previously built inline, now as a view with
+    # shadow lon/lat so the geography point certificate (one verified
+    # setup scan) lets the relation join compute cover/salt/refine
+    # natively and prune the ST_GeogFromWKT constructor
+    spark.sql("""
+      CREATE OR REPLACE TEMP VIEW geo_skew_pts AS
+      SELECT c_custkey AS ka,
+             10.005 + CAST(c_custkey % 128 AS DOUBLE) * 0.01 AS glon,
+             45.005 + CAST(CAST(floor(c_custkey / 128) AS INT) % 64
+                           AS DOUBLE) * 0.01 AS glat,
+             ST_GeogFromWKT(concat('POINT (',
+               10.005 + CAST(c_custkey % 128 AS DOUBLE) * 0.01, ' ',
+               45.005 + CAST(CAST(floor(c_custkey / 128) AS INT) % 64
+                             AS DOUBLE) * 0.01, ')')) AS geog
+      FROM customer
+    """)
+    try:
+        from sedona_db_spark.plans.sql_rewrite import \
+            certify_geog_point_view
+        certify_geog_point_view(spark, "geo_skew_pts",
+                                {"geog": ("glon", "glat")})
+    except Exception:
+        pass
     spark.sql("""
       CREATE OR REPLACE TEMP VIEW nation_boxes AS
       SELECT n_nationkey, n_name,
@@ -3202,13 +3226,13 @@ def _q_geo_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     < 1 millidegree."""
     from sedona_db_spark.operators.geography_join import \
         geography_relation_join
-    pts = spark.sql("""
-      SELECT c_custkey AS ka, ST_GeogFromWKT(concat('POINT (',
-               10.005 + CAST(c_custkey % 128 AS DOUBLE) * 0.01, ' ',
-               45.005 + CAST(CAST(floor(c_custkey / 128) AS INT) % 64
-                             AS DOUBLE) * 0.01, ')')) AS geog
-      FROM customer
-    """)
+    from sedona_db_spark.plans.sql_rewrite import geog_shadow_xy_for_view
+    # same rows/geography the inline SQL built before round 12; the
+    # view carries certified shadow lon/lat so the join's probe side is
+    # pure codegen (falls back to the kernel path when the certificate
+    # is not live)
+    pts = spark.table("geo_skew_pts")
+    lonlat = geog_shadow_xy_for_view(spark, "geo_skew_pts", "geog")
     polys = spark.sql("""
       SELECT CAST(id AS INT) AS poly_id, ST_GeogFromWKT(concat(
                'POLYGON ((', 10 + 2 * id, ' 45, ', 11 + 2 * id, ' 45, ',
@@ -3222,7 +3246,8 @@ def _q_geo_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         j = geography_relation_join(pts, polys, left_geom="geog",
                                     right_geom="pgeog",
-                                    predicate="intersects")
+                                    predicate="intersects",
+                                    left_lonlat=lonlat)
     finally:
         if old is None:
             spark.conf.unset(key)

@@ -705,6 +705,33 @@ def _sph_point_poly_fast(s1: pd.Series, s2: pd.Series, pred_name: str):
     return None
 
 
+def _synth_geog_points(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """21-byte tagged point WKB series from certified (lon, lat)
+    doubles — byte-identical to what ST_GeogFromWKT('POINT (lon lat)')
+    produced for the same doubles (certify_geog_point_view proved the
+    shadows bit-equal), so a kernel delegating through this sees the
+    exact inputs the geography column would have carried.  NULL lon or
+    lat -> NULL WKB (the certificate null-matches shadows to the
+    geography column)."""
+    from sedona_db_spark.operators.geography_join import _GEOG_PT_PREFIX
+    n = len(lon)
+    if n == 0:
+        return pd.Series([], dtype=object)
+    mask = (lon.isna() | lat.isna()).to_numpy()
+    lov = lon.to_numpy(dtype=np.float64, na_value=0.0)
+    lav = lat.to_numpy(dtype=np.float64, na_value=0.0)
+    raw = np.empty((n, 21), dtype=np.uint8)
+    raw[:, :5] = np.frombuffer(_GEOG_PT_PREFIX, dtype=np.uint8)
+    raw[:, 5:13] = np.ascontiguousarray(lov, dtype="<f8") \
+        .view(np.uint8).reshape(n, 8)
+    raw[:, 13:21] = np.ascontiguousarray(lav, dtype="<f8") \
+        .view(np.uint8).reshape(n, 8)
+    buf = raw.tobytes()
+    out = [None if mask[i] else buf[i * 21:(i + 1) * 21]
+           for i in range(n)]
+    return pd.Series(out, dtype=object)
+
+
 def _spherical_pred_kernel(pred_name: str):
     pred = getattr(_alg, pred_name)
     exact = _sphere.EXACT_PREDICATES.get(pred_name)

@@ -521,10 +521,22 @@ def geography_relation_join(
     distance_m: float | None = None,
     cell_deg: float | None = None,
     how: str = "inner",
+    left_lonlat: tuple | None = None,
 ) -> DataFrame:
     """Spherical relation (or non-point dwithin) join over geography
     columns of ANY geometry type.  Output: left columns then right
     columns (collisions prefixed ``right_``), matching spatial_join.
+
+    ``left_lonlat``: names of certified shadow coordinate columns
+    ``(lon_col, lat_col)`` for the left geometry
+    (certify_geog_point_view: every non-null value is a non-pole
+    NaN-free tagged 2-D point whose coordinates bit-equal the
+    shadows).  When given, the probe side's covering cell, skew salt
+    and relation refine all compute from the stored doubles — no
+    Python pass over the probe side, and the geography constructor
+    prunes out of the plan when nothing else references it.  Only pass
+    certificate-backed columns; the certificate's verified scan owns
+    the proof.
 
     100 TB shape: one Python cover pass per side, ONE hash equi-join on
     cell ids, native pair dedup, exact refine only on candidates —
@@ -542,12 +554,14 @@ def geography_relation_join(
     g2 = rcols[right_geom]
     if how_n == "inner":
         return _geography_relation_inner(left, right_r, left_geom, g2,
-                                         predicate, distance_m, cell_deg)
+                                         predicate, distance_m, cell_deg,
+                                         lonlat1=left_lonlat)
     from sedona_db_spark.plans.sql_rewrite import _lattice_from_inner
     return _lattice_from_inner(
         left, right_r, how_n,
         lambda l2, r2: _geography_relation_inner(
-            l2, r2, left_geom, g2, predicate, distance_m, cell_deg))
+            l2, r2, left_geom, g2, predicate, distance_m, cell_deg,
+            lonlat1=left_lonlat))
 
 
 def _skew_hot_cells(ldf: DataFrame, g1: str, cover_pad, spark) -> dict:
@@ -620,12 +634,30 @@ def _skew_hot_cells(ldf: DataFrame, g1: str, cover_pad, spark) -> dict:
     return hot
 
 
+def _lonlat_refine_udf(sql_name: str):
+    """Relation refine over (lon, lat, geog2): synthesizes the tagged
+    point WKB from the certified shadow doubles and DELEGATES to the
+    same dispatched kernel the (geog1, geog2) refine runs — verdicts
+    are byte-identical by construction (the synthesized WKB equals the
+    bytes the constructor produced for the same doubles)."""
+    from sedona_db_spark.functions.geography import _synth_geog_points
+    from sedona_db_spark.functions.kernels import KERNELS
+    fn, ret, _spec = KERNELS[sql_name]
+
+    def kern(lon: pd.Series, lat: pd.Series, s2: pd.Series) -> pd.Series:
+        return fn(_synth_geog_points(lon, lat), s2)
+
+    return F.pandas_udf(kern, returnType=ret)
+
+
 def _geography_relation_inner(ldf: DataFrame, rdf_r: DataFrame, g1: str,
                               g2: str, predicate: str,
                               distance_m: float | None,
-                              cell_deg: float | None) -> DataFrame:
+                              cell_deg: float | None,
+                              lonlat1: tuple | None = None) -> DataFrame:
     """Inner-join core shared with the SQL front door (rdf_r already
-    collision-renamed)."""
+    collision-renamed).  ``lonlat1``: certified shadow coordinates of
+    the probe geometry (see geography_relation_join left_lonlat)."""
     from sedona_db_spark.functions import get_udf
     pad = float(distance_m) if distance_m is not None else 0.0
     if cell_deg is None:
@@ -657,8 +689,35 @@ def _geography_relation_inner(ldf: DataFrame, rdf_r: DataFrame, g1: str,
     cover = _cover_cells_udf(cell_deg)
     cover_pad = _cover_cells_udf(cell_deg, pad_m=pad) if pad > 0.0 \
         else cover
+    if pad > 0.0:
+        lonlat1 = None        # padded covers keep the kernel path
     # probe side (left) carries the distance pad, like the point path
-    lt = ldf.withColumn("__gcl", cover_pad(F.col(g1)))
+    if lonlat1 is not None:
+        # certified-point probe (round 12): the covering cell of a
+        # non-pole point is exactly its own cell — the same formula the
+        # kernel's vectorized all-point branch computes, here as pure
+        # codegen over the certified shadow doubles.  NULL shadows
+        # (NULL geography, by certificate) yield a NULL cover like the
+        # kernel.
+        from sedona_db_spark.operators.spatial_join import _bq, _dlit
+        ncx = int(math.ceil(360.0 / cell_deg))
+        lon_cell = 360.0 / ncx
+        ncy = int(math.ceil(180.0 / cell_deg))
+        cell_lat = 180.0 / ncy
+        _lon = f"CAST({_bq(lonlat1[0])} AS DOUBLE)"
+        _lat = f"CAST({_bq(lonlat1[1])} AS DOUBLE)"
+        cell_sql = (
+            f"least(greatest(CAST(floor(({_lat} + 90.0D) / "
+            f"{_dlit(cell_lat)}) AS BIGINT), 0L), {ncy - 1}L) "
+            f"* {ncx}L + "
+            f"pmod(CAST(floor(({_lon} + 180.0D) / {_dlit(lon_cell)}) "
+            f"AS BIGINT), {ncx}L)")
+        lt = ldf.selectExpr(
+            "*",
+            f"CASE WHEN {_lon} IS NULL OR {_lat} IS NULL THEN NULL "
+            f"ELSE array({cell_sql}) END AS __gcl")
+    else:
+        lt = ldf.withColumn("__gcl", cover_pad(F.col(g1)))
     rt = rdf_r.withColumn("__gcr", cover(F.col(g2)))
     le = lt.withColumn("__gc", F.explode("__gcl"))
     re_ = rt.withColumn("__gc", F.explode("__gcr"))
@@ -684,11 +743,18 @@ def _geography_relation_inner(ldf: DataFrame, rdf_r: DataFrame, g1: str,
                       for c, s in sorted(hot.items())) +
             " AS t(__hc, __ns)")
         zero = F.lit(0).cast("long")
+        # content-derived salt: results are salting-invariant (each
+        # pair meets exactly once for ANY per-row salt assignment), so
+        # the certified-shadow path may hash the shadow doubles instead
+        # of the geography bytes — keeping the probe side free of any
+        # constructor reference
+        salt_src = F.xxhash64(F.col(lonlat1[0]), F.col(lonlat1[1])) \
+            if lonlat1 is not None else F.xxhash64(F.col(g1))
         le = (le.join(F.broadcast(hot_df),
                       le["__gc"] == F.col("__hc"), "left")
                 .withColumn("__gsalt", F.when(
                     F.col("__ns").isNotNull(),
-                    F.pmod(F.xxhash64(F.col(g1)), F.col("__ns")))
+                    F.pmod(salt_src, F.col("__ns")))
                     .otherwise(zero))
                 .drop("__hc", "__ns"))
         re_ = (re_.join(F.broadcast(hot_df),
@@ -706,6 +772,12 @@ def _geography_relation_inner(ldf: DataFrame, rdf_r: DataFrame, g1: str,
     if distance_m is not None:
         refine = get_udf("ST_DWithin")(F.col(g1), F.col(g2),
                                        F.lit(float(distance_m)))
+    elif lonlat1 is not None:
+        # delegate through the synthesized tagged point — verdicts
+        # byte-identical to the (g1, g2) kernel, but the probe side's
+        # constructor is no longer referenced anywhere pre-output
+        refine = _lonlat_refine_udf(_RELATION_SQL[predicate])(
+            F.col(lonlat1[0]), F.col(lonlat1[1]), F.col(g2))
     else:
         refine = get_udf(_RELATION_SQL[predicate])(F.col(g1), F.col(g2))
     out = cand.filter(refine).drop("__gc", "__gcl", "__gcr")

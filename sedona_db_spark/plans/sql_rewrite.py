@@ -2173,6 +2173,79 @@ def certify_point_view(spark, view: str, shadow: dict) -> None:
     reg[view] = (dict(shadow), fp)
 
 
+# geography edge tag in the WKB type word (core._SD_GEOG): byte 4 of a
+# little-endian 2-D point header
+_GEOG_PT_HEADER_HEX = "0101000010"
+
+
+def _geog_point_guard_sql(col: str) -> str:
+    """Boolean SQL: ``col`` is a 21-byte LE geography-tagged 2D point."""
+    return (f"(length({col}) = 21 AND "
+            f"substring({col}, 1, 5) = X'{_GEOG_PT_HEADER_HEX}')")
+
+
+def certify_geog_point_view(spark, view: str, shadow: dict) -> None:
+    """certify_point_view for GEOGRAPHY point columns (round 12): one
+    scan proves every non-null value of each ``shadow`` key is a
+    21-byte LE geography-TAGGED 2-D point WKB whose lon/lat are
+    bit-equal to the sibling ``(lon_col, lat_col)`` DOUBLE shadows
+    (sign-of-zero included), NULL geography rows have NULL shadows,
+    and ``abs(lat) < 90 - 1e-9`` — the pole band takes the cover
+    kernel's general (degenerate-longitude) path, which the native
+    single-cell formula does not reproduce, so certification FAILS
+    there rather than stamping a lie.  Raises on any violating row.
+
+    Consumers: geography_relation_join(left_lonlat=...) computes the
+    probe side's covering cell, salt and refine inputs natively from
+    the shadows, letting the geography constructor prune out of the
+    plan entirely."""
+    checks = []
+    cols = list(shadow)
+    for i, c in enumerate(cols):
+        xc, yc = (_shadow_cast_sql(x) for x in shadow[c])
+        ok = (f"({_geog_point_guard_sql(c)} AND ST_X({c}) IS NOT NULL "
+              f"AND ST_Y({c}) IS NOT NULL"
+              f" AND ST_X({c}) = {xc} AND ST_Y({c}) = {yc}"
+              f" AND (ST_X({c}) != 0.0D OR CAST(ST_X({c}) AS STRING)"
+              f" = CAST({xc} AS STRING))"
+              f" AND (ST_Y({c}) != 0.0D OR CAST(ST_Y({c}) AS STRING)"
+              f" = CAST({yc} AS STRING))"
+              f" AND abs(ST_Y({c})) < 90.0D - 1.0e-9)")
+        null_ok = f"({c} IS NULL AND {xc} IS NULL AND {yc} IS NULL)"
+        checks.append(f"sum(CASE WHEN NOT ({null_ok} OR {ok}) "
+                      f"THEN 1 ELSE 0 END) AS bad_{i}")
+    row = spark.sql(f"SELECT {', '.join(checks)} FROM {view}").first()
+    for i, c in enumerate(cols):
+        if row[f"bad_{i}"]:
+            raise ValueError(
+                f"certify_geog_point_view({view}): column {c} has "
+                f"{row[f'bad_{i}']} rows that are not non-pole NaN-free "
+                "tagged 2D point WKB with bit-equal shadow coordinates "
+                "— refusing to stamp the certificate")
+    fp = _view_fingerprint(spark, view)
+    if fp is None:
+        return
+    reg = getattr(spark, "_sedona_geog_point_view_shadows", None)
+    if reg is None:
+        reg = {}
+        spark._sedona_geog_point_view_shadows = reg
+    reg[view] = (dict(shadow), fp)
+
+
+def geog_shadow_xy_for_view(spark, view: str, col: str):
+    """Live certified geography shadow ``(lon_col, lat_col)`` for a
+    view's geography column, or None (fingerprint-checked: a CREATE OR
+    REPLACE that changes the view silently invalidates)."""
+    reg = getattr(spark, "_sedona_geog_point_view_shadows", None)
+    if not reg or view not in reg:
+        return None
+    shadow, fp = reg[view]
+    if col not in shadow:
+        return None
+    cur = _view_fingerprint(spark, view)
+    return tuple(shadow[col]) if cur is not None and cur == fp else None
+
+
 def _view_fingerprint(spark, view: str) -> str | None:
     """Analyzed-plan text with expression ids stripped: stable across
     re-analysis (each spark.table() call mints fresh ids) but changed

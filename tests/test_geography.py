@@ -1332,3 +1332,107 @@ def test_parity_crossing_scale_free_tiny_rings():
         batch = S.classify_points_ring_batch(
             np.vstack([inside, outside]), ring)
         assert list(batch) == [1, -1, -1], (s, batch)
+
+
+# ----------------------------------------------------------------------
+# round 12: certified-shadow probe side of the geography relation join
+# ----------------------------------------------------------------------
+
+
+def test_geog_cert_relation_join_matches_kernel_path(spark):
+    """With a live geography point certificate, the relation join's
+    probe side (cover cell, salt, refine input) computes from the
+    shadow doubles — rows must equal the uncertified kernel path
+    exactly, and the probe side must carry no Python node."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.operators.geography_join import \
+        geography_relation_join
+    from sedona_db_spark.plans.sql_rewrite import (
+        certify_geog_point_view, geog_shadow_xy_for_view)
+    pts = spark.sql("""
+      SELECT id AS ka,
+             CASE WHEN id = 7 THEN NULL
+                  ELSE 10.05 + CAST(id % 37 AS DOUBLE) * 0.11 END AS glon,
+             CASE WHEN id = 7 THEN NULL
+                  ELSE 44.95 + CAST(id % 53 AS DOUBLE) * 0.07 END AS glat,
+             CASE WHEN id = 7 THEN NULL
+                  ELSE ST_GeogFromWKT(concat('POINT (',
+                    10.05 + CAST(id % 37 AS DOUBLE) * 0.11, ' ',
+                    44.95 + CAST(id % 53 AS DOUBLE) * 0.07, ')')) END AS geog
+      FROM range(400)
+    """)
+    pts.createOrReplaceTempView("t_geog_cert_pts")
+    certify_geog_point_view(spark, "t_geog_cert_pts",
+                            {"geog": ("glon", "glat")})
+    xy = geog_shadow_xy_for_view(spark, "t_geog_cert_pts", "geog")
+    assert xy == ("glon", "glat")
+    polys = spark.sql("""
+      SELECT CAST(id AS INT) AS pid, ST_GeogFromWKT(concat(
+               'POLYGON ((', 10 + id, ' 45, ', 12 + id, ' 45, ',
+               12 + id, ' 47, ', 10 + id, ' 47, ', 10 + id, ' 45))'))
+             AS pgeog
+      FROM range(4)
+    """)
+    v = spark.table("t_geog_cert_pts")
+    fast = geography_relation_join(v, polys, left_geom="geog",
+                                   right_geom="pgeog",
+                                   predicate="intersects",
+                                   left_lonlat=xy) \
+        .select("ka", "pid")
+    slow = geography_relation_join(v, polys, left_geom="geog",
+                                   right_geom="pgeog",
+                                   predicate="intersects") \
+        .select("ka", "pid")
+    got = sorted((r["ka"], r["pid"]) for r in fast.collect())
+    want = sorted((r["ka"], r["pid"]) for r in slow.collect())
+    assert got == want and len(got) > 0
+    # probe side pure codegen: the only Python nodes left are the
+    # build-side cover and the refine (cut at the Initial Plan section
+    # — an executed AdaptiveSparkPlan prints both copies)
+    plan = fast._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    assert len(re.findall(r"ArrowEvalPython|BatchEvalPython", plan)) <= 2
+
+
+def test_geog_cert_refuses_pole_and_mismatch(spark):
+    """Certification fails loud on pole-band points and on shadows that
+    do not bit-equal the geography coordinates."""
+    import pytest as _pytest
+
+    from sedona_db_spark.plans.sql_rewrite import certify_geog_point_view
+    spark.sql("""
+      SELECT 89.9999999999 AS glat, 10.0 AS glon,
+             ST_GeogFromWKT('POINT (10.0 89.9999999999)') AS geog
+    """).createOrReplaceTempView("t_geog_pole")
+    with _pytest.raises(ValueError):
+        certify_geog_point_view(spark, "t_geog_pole",
+                                {"geog": ("glon", "glat")})
+    spark.sql("""
+      SELECT 10.0 AS glon, 45.0 AS glat,
+             ST_GeogFromWKT('POINT (10.5 45.0)') AS geog
+    """).createOrReplaceTempView("t_geog_bad")
+    with _pytest.raises(ValueError):
+        certify_geog_point_view(spark, "t_geog_bad",
+                                {"geog": ("glon", "glat")})
+
+
+def test_synth_geog_points_byte_identical(spark):
+    """_synth_geog_points reproduces the constructor's bytes exactly
+    (and NULL for NULL shadows)."""
+    import pandas as pd
+
+    from sedona_db_spark.functions.geography import _synth_geog_points
+    rows = spark.sql("""
+      SELECT ST_GeogFromWKT(concat('POINT (', x, ' ', y, ')')) AS g,
+             x, y FROM VALUES (10.05, -45.5), (-179.99, 0.0),
+             (0.125, 89.5) AS t(x, y)
+    """).collect()
+    lon = pd.Series([r["x"] for r in rows] + [None])
+    lat = pd.Series([r["y"] for r in rows] + [None])
+    synth = _synth_geog_points(lon, lat)
+    for i, r in enumerate(rows):
+        assert bytes(synth[i]) == bytes(r["g"]), i
+    assert synth[len(rows)] is None
