@@ -45,23 +45,49 @@ class BoundedPersistPool:
 
     @staticmethod
     def _key(df: DataFrame):
+        # (semantic hash, size fingerprint): the stats scalar
+        # invalidates the slot when files change under an identical
+        # plan (r12, verdict #2b) — the stale persisted frame is then
+        # evicted by the window instead of serving old cached blocks
+        # to a plan-identical rebuild
         try:
-            return df._jdf.queryExecution().analyzed().semanticHash()
+            qe = df._jdf.queryExecution()
+            h = qe.analyzed().semanticHash()
         except Exception:
             return id(df)
+        try:
+            sz = int(str(qe.analyzed().stats().sizeInBytes()))
+        except Exception:
+            sz = -1
+        return (h, sz)
 
     def persist(self, df: DataFrame) -> DataFrame:
         key = self._key(df)
         with self._lock:
-            if key in self._frames:
-                # same canonical plan: the cache entry already exists
-                # (this persist() would be a CacheManager no-op) —
-                # refresh recency, keep the ORIGINAL handle for the
-                # eventual unpersist
-                self._order.remove(key)
-                self._order.append(key)
-                df.persist()
-                return df
+            stored = self._frames.get(key)
+        if stored is not None:
+            # 32-bit semanticHash can collide (r11 advisor): confirm
+            # before treating the hit as a re-enrollment — a colliding
+            # distinct plan would otherwise persist() untracked (cache
+            # leak) and refresh the wrong slot's recency.  RPC runs
+            # outside the lock.
+            try:
+                same = bool(df.sameSemantics(stored))
+            except Exception:
+                same = False
+            if same:
+                with self._lock:
+                    if key in self._frames:
+                        # same canonical plan: the cache entry already
+                        # exists (this persist() is a CacheManager
+                        # no-op) — refresh recency, keep the ORIGINAL
+                        # handle for the eventual unpersist
+                        self._order.remove(key)
+                        self._order.append(key)
+                        df.persist()
+                        return df
+            else:
+                key = id(df)    # collision: enroll under a fresh key
         df = df.persist()
         with self._lock:
             self._frames[key] = df
@@ -74,6 +100,19 @@ class BoundedPersistPool:
                     except Exception:
                         pass
         return df
+
+    def clear(self) -> None:
+        """Unpersist and forget every tracked frame (measurement /
+        teardown hook: restores cold execution for the next builds)."""
+        with self._lock:
+            frames = list(self._frames.values())
+            self._frames.clear()
+            self._order.clear()
+        for f in frames:
+            try:
+                f.unpersist()
+            except Exception:
+                pass
 
 
 # Pair-set results (minhash / simhash / embedding near-dup): callers usually

@@ -423,12 +423,32 @@ _STATS_MEMO_CAP = 64
 
 
 def _plan_key(df: DataFrame):
-    """Semantic hash of the analyzed plan — stable across re-construction
-    of the same logical query, different for different inputs."""
+    """(semantic hash, size fingerprint) of the analyzed plan — stable
+    across re-construction of the same logical query, different for
+    different inputs.
+
+    The size fingerprint (Catalyst's optimized-plan sizeInBytes, a
+    driver-side metadata scalar — r11 verdict #2b / advisor) invalidates
+    memo entries when the underlying files change under an identical
+    logical plan: an append grows the estimate, so the next identical
+    call re-probes instead of serving stats (or a persisted frame)
+    captured against the old file set.  A same-size in-place rewrite is
+    the one shape this misses — the same blind spot any name/metadata
+    fingerprint has without content hashing.  inputFiles() would also
+    work but ships every file name to Python per call (unbounded at
+    100 TB); the stats scalar is one RPC."""
     try:
-        return df._jdf.queryExecution().analyzed().semanticHash()
+        qe = df._jdf.queryExecution()
+        h = qe.analyzed().semanticHash()
     except Exception:
         return None
+    try:
+        # ANALYZED-plan stats: reflects the leaf file sizes (what the
+        # fingerprint needs) without running the optimizer per probe
+        sz = int(str(qe.analyzed().stats().sizeInBytes()))
+    except Exception:
+        sz = -1
+    return (h, sz)
 
 
 def _stats_memo_get(key):

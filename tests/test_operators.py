@@ -2367,12 +2367,14 @@ def test_rebucket_layout_after_shifted_append(spark):
     spark.sql("DROP TABLE IF EXISTS t_rebucket")
 
 
-def test_knn_memoized_stats_guard_fails_loud(spark, tmp_path):
-    """r11: the KNN planning-stats memo is balance-only BECAUSE these
-    guards exist — an object beyond the memoized extent/halfdiag (data
-    appended under the same plan) must raise, never silently rank by a
-    grid the completion bound no longer models."""
-    import pytest
+def test_knn_memoized_stats_refresh_on_append(spark, tmp_path):
+    """r11 established that data appended under a memoized plan must
+    never be silently ranked by a grid the completion bound no longer
+    models (the per-row guards raised loud).  r12's size-fingerprinted
+    plan keys upgrade that: the append changes the fingerprint, the
+    memo misses, and the SAME call now returns CORRECT fresh results —
+    the loud guard remains only for the fingerprint's blind spot
+    (a same-size in-place rewrite)."""
     from pyspark.sql import functions as F
 
     from sedona_db_spark.operators.knn_join import knn_join
@@ -2388,12 +2390,48 @@ def test_knn_memoized_stats_guard_fails_loud(spark, tmp_path):
     objs = spark.read.parquet(src)
     n1 = knn_join(queries, objs, k=2, broadcast_threshold=4).count()
     assert n1 == 400
-    # append objects FAR outside the memoized extent, same plan shape
+    # append objects FAR outside the memoized extent, same plan shape:
+    # the fingerprinted memo must refresh and rank correctly (the far
+    # objects are never anyone's 2-NN, so the result set is unchanged)
     spark.sql("""
       SELECT id + 10000 AS oid, ST_Point(500.0 + CAST(id AS DOUBLE),
                                          500.0) AS geom
       FROM range(50)""").write.mode("append").parquet(src)
     objs2 = spark.read.parquet(src)
-    with pytest.raises(Exception,
-                       match="memoized|beyond the plan probe/stats"):
-        knn_join(queries, objs2, k=2, broadcast_threshold=4).count()
+    out = knn_join(queries, objs2, k=2, broadcast_threshold=4)
+    assert out.count() == 400
+    assert out.filter(F.col("oid") >= 10000).count() == 0
+
+
+def test_knn_memo_invalidated_by_appended_files(spark, tmp_path):
+    """r11 verdict #2b: the partitioned KNN's memoized object frame and
+    planning stats are keyed on a size fingerprint — appending a
+    parquet file between two IDENTICAL operator calls must surface the
+    new object's rows (no stale persisted partitions, no stale-stats
+    raise)."""
+    from pyspark.sql import functions as F
+
+    from sedona_db_spark.operators.knn_join import knn_join_partitioned
+    path = str(tmp_path / "objs")
+    spark.range(16).selectExpr(
+        "id AS oid",
+        "ST_Point(CAST(id % 4 AS DOUBLE), CAST(id DIV 4 AS DOUBLE)) "
+        "AS geom").write.mode("overwrite").parquet(path)
+    queries = spark.sql(
+        "SELECT 0 AS qid, ST_Point(10.0, 10.0) AS geom")
+
+    def run():
+        objs = spark.read.parquet(path)
+        out = knn_join_partitioned(queries, objs, 1,
+                                   query_geom="geom", object_geom="geom")
+        return sorted(r["oid"] for r in out.collect())
+
+    first = run()
+    assert len(first) == 1
+    # append an object far outside the first batch's extent that is the
+    # query's true nearest neighbor
+    spark.sql("SELECT CAST(99 AS BIGINT) AS oid, "
+              "ST_Point(10.0, 10.0) AS geom") \
+        .write.mode("append").parquet(path)
+    second = run()
+    assert second == [99], second
