@@ -240,6 +240,12 @@ def main() -> None:
     contended = bool(load0 and load0[0] > load_thr)
 
     timings: dict[str, float] = {}
+    # per-query minima drawn ONLY from group runs whose start loadavg
+    # was under the threshold (r11 verdict #8: two driver benches in a
+    # row carried load_warning and manufactured phantom regressions up
+    # to 4.8x; this additive field lets round-over-round comparisons go
+    # quiet-vs-quiet without touching the existing fields)
+    quiet: dict[str, float] = {}
     group_loads: dict[str, list] = {}
     retried: list[str] = []
     if isolate:
@@ -254,7 +260,22 @@ def main() -> None:
                     if l.startswith("{")][-1]
             payload = json.loads(line)
             group_loads.setdefault(gname, []).append(payload.get("load"))
-            return payload["queries"]
+            got = payload["queries"]
+            try:
+                gl0 = payload["load"][0][0]
+            except (KeyError, IndexError, TypeError):
+                gl0 = None
+            # a run is quiet when the SUITE's ambient start was quiet
+            # (later group-start readings include our own previous
+            # groups' decaying 32-thread bursts — self-load, constant
+            # across rounds, not contention) or when its own group
+            # start reads under the threshold despite a contended
+            # ambient (the retry that found a calm window)
+            if (not contended) or (gl0 is not None and gl0 <= load_thr):
+                for k, v in got.items():
+                    if v is not None and v > 0:
+                        quiet[k] = min(quiet.get(k, v), v)
+            return got
 
         for gname in GROUPS:
             try:
@@ -311,6 +332,7 @@ def main() -> None:
         "load_threshold": load_thr,
         "load_warning": contended,
         "load_retried_groups": retried,
+        "queries_quiet": quiet,
     }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -318,6 +340,10 @@ def main() -> None:
             json.dump(full, f)
     except OSError:
         pass
+    # stdout line stays compact (the driver keeps only its tail): the
+    # full queries_quiet map lives in bench_full.json; the line carries
+    # how many queries have a quiet reading so a contended run is
+    # self-describing
     print(json.dumps({
         "metric": "headline_suite_wall",
         "value": round(total, 3),
@@ -328,6 +354,7 @@ def main() -> None:
         "load1m": [round(load0[0], 2) if load0 else None,
                    round(load1[0], 2) if load1 else None],
         "load_warning": contended,
+        "n_quiet": len(quiet),
     }))
 
 

@@ -354,38 +354,38 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
 
 def _minhash_pairs_plan(sdf: DataFrame, num_perm: int, bands: int,
                         rows_per_band: int, threshold: float) -> DataFrame:
-    # band hash: native slice + hash of the slice
-    banded = sdf.select(
-        "id", "sig",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias("bh"))
-            for b in range(bands)])).alias("bk"))
+    # band hash: native slice + hash of the slice.  The whole banding
+    # projection renders as ONE selectExpr string (round 12, guide
+    # §1.2): the per-band F.struct/F.lit/F.hash Column loop cost ~860
+    # py4j round trips per construction for the identical plan.
+    band_sql = ", ".join(
+        f"named_struct('band', {b}, 'bh', "
+        f"hash(slice(sig, {b * rows_per_band + 1}, {rows_per_band})))"
+        for b in range(bands))
+    banded = sdf.selectExpr("id",
+                            f"explode(array({band_sql})) AS bk") \
+                .selectExpr("id", "bk.band AS band", "bk.bh AS bh")
     # band join ships only (id, band, bh) — the 64-long signature arrays
     # stay out of the shuffle and are joined back for the (far fewer)
     # deduped candidate pairs
-    banded = banded.select("id", F.col("bk.band").alias("band"),
-                           F.col("bk.bh").alias("bh"))
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
-                   (F.col("a.bh") == F.col("b.bh")) &
-                   (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    cand = (a.join(b, F.expr("a.band = b.band AND a.bh = b.bh "
+                             "AND a.id < b.id"))
+            .selectExpr("a.id AS id_a", "b.id AS id_b")
             .dropDuplicates(["id_a", "id_b"]))
     sigs = sdf.select(F.col("id"), F.col("sig"))
     pairs = (cand
-             .join(sigs.select(F.col("id").alias("id_a"),
-                               F.col("sig").alias("sig_a")), "id_a")
-             .join(sigs.select(F.col("id").alias("id_b"),
-                               F.col("sig").alias("sig_b")), "id_b"))
+             .join(sigs.selectExpr("id AS id_a", "sig AS sig_a"), "id_a")
+             .join(sigs.selectExpr("id AS id_b", "sig AS sig_b"), "id_b"))
     # HOF-audit: interpreted zip_with over CANDIDATE pairs only
     # (band-collision-bounded, 64-long signatures) — never a full-corpus
     # pass; fine while candidates stay sparse relative to the table
-    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                           lambda v: v)) / F.lit(float(num_perm)))
-    return (pairs.withColumn("est_jaccard", est)
-            .filter(F.col("est_jaccard") >= threshold)
+    return (pairs.selectExpr(
+        "*",
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) "
+        f"/ CAST({float(num_perm)!r} AS DOUBLE) AS est_jaccard")
+            .filter(f"est_jaccard >= {float(threshold)!r}")
             .select("id_a", "id_b", "est_jaccard"))
 
 
@@ -661,6 +661,10 @@ def exact_substring_spans(df: DataFrame, text_col: str = "text",
     a mark opens a new span iff its start exceeds every previous end.
     Returns (id, span_start, span_end) with token-index half-open spans.
     """
+    # (Semantics-bearing flag, r11 advisor: the column must not be
+    # referenced directly in join conditions or aggregates, and
+    # filters over it lose pushdown — project to a named column
+    # first, as current call sites do.)
     # asNondeterministic (guide §4.4): posexplode infers a
     # size(__gh)>0 AND isnotnull(__gh) filter that the optimizer pushes
     # BELOW the kernel projection, evaluating the gram hash over the

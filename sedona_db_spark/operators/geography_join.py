@@ -464,6 +464,10 @@ def _cover_cells_udf(cell_deg, pad_m=0.0, max_lat=88.0, cap=200_000):
                                     pad_m, max_lat, cap))
         return pd.Series(out, dtype=object)
 
+    # (Semantics-bearing flag, r11 advisor: the column must not be
+    # referenced directly in join conditions or aggregates, and
+    # filters over it lose pushdown — project to a named column
+    # first, as current call sites do.)
     # asNondeterministic (guide §4.4): the candidate equi-join's
     # isnotnull(__gc) condition is inferred, pushed below the cell
     # explode, and rewritten against the cover projection — duplicating

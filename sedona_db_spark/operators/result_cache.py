@@ -118,6 +118,16 @@ class BoundedPersistPool:
 # Pair-set results (minhash / simhash / embedding near-dup): callers usually
 # consume the pairs immediately (dedup filter, transitive closure), so two
 # recent results is a comfortable window.
+#
+# WINDOW CONSTRAINT (r11 advisor): pair operators return LAZY plans, so
+# a caller that builds THREE or more distinct pair plans before
+# materializing any of them evicts the earliest signature frame before
+# its first use — the signature UDF then recomputes for each of its ~3
+# references in that pair plan (correctness unaffected: kernels are
+# seeded/deterministic; cost is the N-fold recompute the persist
+# exists to avoid).  Interleave builds with actions, or widen the
+# pools, if a pipeline legitimately holds more lazy pair plans in
+# flight.
 PAIR_RESULT_POOL = BoundedPersistPool(keep=2)
 
 # Signature frames feeding those pair plans (minhash/simhash): referenced

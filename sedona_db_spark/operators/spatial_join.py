@@ -326,6 +326,12 @@ def _bbox_cls_col(geom: Column) -> Column:
         # filter and once for the output column (two ArrowEvalPython
         # nodes per join side).  The kernel is pure; the flag only
         # forbids the optimizer from duplicating it past the filter.
+        # COMPOSITION CONSTRAINT (r11 advisor): the flag is
+        # semantics-bearing — this column must NOT be referenced
+        # directly inside a join condition or aggregate expression
+        # (AnalysisException for nondeterministic expressions), and
+        # user filters over it lose legitimate pushdown.  Project it
+        # into a named column first, as every current call site does.
         _bbox_cls_udf = F.pandas_udf(_bbox_cls_kernel_planar,
                                      returnType=_BBOXC_T).asNondeterministic()
     return _bbox_cls_udf(geom)
